@@ -1,0 +1,71 @@
+"""Flagship pipeline: language-ID + quality-filter + PII-scrub over
+transcript Parquet (the engine's end-to-end shape, SURVEY.md §3.4):
+
+    read_parquet
+      → heuristics            (stateless map_batches, Arrow zero-copy)
+      → langid                (actor pool; model built once per actor)
+      → perplexity            (actor pool; model built once per actor)
+      → exact dedup           (shuffle #1: content-hash buckets)
+      → conversation          (shuffle #2: conv-hash buckets → stable
+                               (conv_id, turn_idx) order + role sequence)
+      → finalize              (keep / drop_reasons from rule_bits)
+      → scrub                 (Python-re PII sub over kept rows only)
+      → write_parquet         (or return the lazy Dataset)
+
+Output schema = input columns + lang, bits_per_byte, rule_bits, keep,
+drop_reasons:list<string>, text_scrubbed:string, pii_bits.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from packs_ray.config import DEFAULT_CONFIG, FilterConfig
+from packs_ray.stages.conversation import conversation_stage
+from packs_ray.stages.dedup import dedup_stage
+from packs_ray.stages.finalize import drop_helper_columns, finalize_batch
+from packs_ray.stages.heuristics import make_heuristics_fn
+from packs_ray.stages.model_stages import LangIdStage, PerplexityStage
+from packs_ray.stages.scrub import make_scrub_fn
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def build_filter_pipeline(
+    ds: "ray.data.Dataset",
+    cfg: FilterConfig = DEFAULT_CONFIG,
+    *,
+    num_buckets: int = 64,
+    model_concurrency=(1, 8),
+    batch_size: int = 16_384,
+    dedup: bool | None = None,
+) -> "ray.data.Dataset":
+    """Assemble the lazy flagship pipeline over an input Dataset."""
+    dedup = cfg.dedup_exact if dedup is None else dedup
+
+    ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
+                        batch_size=batch_size)
+    ds = ds.map_batches(LangIdStage, fn_constructor_args=(cfg,),
+                        batch_format="pyarrow", batch_size=batch_size,
+                        concurrency=model_concurrency)
+    ds = ds.map_batches(PerplexityStage, fn_constructor_args=(cfg,),
+                        batch_format="pyarrow", batch_size=batch_size,
+                        concurrency=model_concurrency)
+    if dedup:
+        ds = dedup_stage(ds, num_buckets)
+    ds = conversation_stage(ds, num_buckets, cfg)
+    ds = ds.map_batches(finalize_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(make_scrub_fn(cfg), batch_format="pyarrow",
+                        batch_size=batch_size)
+    return ds.map_batches(drop_helper_columns, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def read_transcripts(path: str | list[str]) -> "ray.data.Dataset":
+    """Column-pruned parquet read of the transcript schema."""
+    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def run_filter_pipeline(path: str | list[str], cfg: FilterConfig = DEFAULT_CONFIG,
+                        **kwargs) -> "ray.data.Dataset":
+    return build_filter_pipeline(read_transcripts(path), cfg, **kwargs)
