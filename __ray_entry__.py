@@ -1,44 +1,483 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript pipeline on sf0.001-scale
+deterministic synthetic transcripts.  ``queries()`` exposes one callable
+per implemented operator (SURVEY.md §2 + the training-data additions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names; rows-only checks for model/
+hash-based operators).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() anywhere in this module or the library.
 """
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+NOW = datetime.datetime(2026, 8, 1)  # pinned "now" for timeliness (no wall-clock)
+
+_PLACEHOLDER_SQL = ("'null','none','n/a','na','nan','-','--','---','.','..',"
+                    "'undefined','missing','unknown','#n/a','#na','#null!',"
+                    "'(blank)','(empty)','<null>'")
+
+_WS = " \t\n\r\f\v"
+
+
+def _ds(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _transcripts(sf_dir: str) -> str:
+    """Deterministic synthetic transcripts sized to the sf directory
+    (no transcript table ships in testdata; see BASELINE.json input_hint)."""
+    from packs_ray.gen import transcripts_path
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n = max(int(2_000_000 * sf), 2_000)
+    return transcripts_path(n)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the lazy Dataset."""
+    from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
 
+    return run_filter_pipeline(_transcripts("/root/testdata/sf0.001"), num_buckets=16)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from packs_ray.functions import (drift, duplicates, integrity, multimodal,
+                                     neardup, outliers, pii, profiling,
+                                     similarity, textstats, timeliness,
+                                     validation, windows)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def completeness_events(sf):
+        return profiling.completeness(
+            _ds(sf, "events"), ["event_id", "ts", "user_id", "event_type", "value", "props"])
 
+    def text_stats_documents(sf):
+        return textstats.text_validation_stats(
+            _ds(sf, "documents", ["text"]), "text", min_length=100, max_length=450)
+
+    def duplicates_documents(sf):
+        return duplicates.duplicate_metrics(_ds(sf, "documents", ["text"]), ["text"])
+
+    def dedup_exact_documents(sf):
+        return duplicates.dedup_exact(_ds(sf, "documents", ["doc_id", "text"]),
+                                      ["text"], "doc_id").select_columns(["doc_id"])
+
+    def distinct_mktsegment(sf):
+        from packs_ray.functions.agg import keyed_count
+
+        return keyed_count(_ds(sf, "customer", ["c_mktsegment"]), ["c_mktsegment"])
+
+    def numeric_range_lineitem(sf):
+        return validation.numeric_range(
+            _ds(sf, "lineitem", ["l_quantity", "l_discount", "l_tax"]),
+            [{"column": "l_quantity", "min": 1, "max": 50},
+             {"column": "l_discount", "min": 0.0, "max": 0.08},
+             {"column": "l_tax", "min": 0.0, "max": 0.06}])
+
+    def fk_orphans_orders(sf):
+        return integrity.fk_orphans(_ds(sf, "orders", ["o_custkey"]), ["o_custkey"],
+                                    _ds(sf, "customer", ["c_custkey"]), ["c_custkey"])
+
+    def timeliness_events(sf):
+        return timeliness.timeliness(_ds(sf, "events", ["ts"]), ["ts"], NOW)
+
+    def pattern_validation_part(sf):
+        return validation.pattern_validation(
+            _ds(sf, "part", ["p_name", "p_brand", "p_type"]),
+            [{"column": "p_type", "type": "alphanumeric"},
+             {"column": "p_name", "type": "alphanumeric"},
+             {"column": "p_brand", "type": "regex", "regex": r"^Brand#\d+$"},
+             {"column": "p_name", "type": "email"}])
+
+    def pii_scan_documents(sf):
+        return pii.pii_scan(_ds(sf, "documents", ["text"]), ["text"])
+
+    def token_counts_documents(sf):
+        return textstats.token_counts(_ds(sf, "documents", ["doc_id", "text"]),
+                                      "doc_id", "text")
+
+    def quality_scores_documents(sf):
+        return textstats.quality_scores(_ds(sf, "documents", ["doc_id", "text"]),
+                                        "doc_id", "text")
+
+    def _query_vec(sf):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+    def ann_bruteforce_embeddings(sf):
+        return similarity.brute_force_topk(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
+            _query_vec(sf), k=10)
+
+    def ann_ivf_embeddings(sf):
+        return similarity.ivf_topk(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
+            _query_vec(sf), k=10)
+
+    def events_per_window(sf):
+        return windows.events_per_window(
+            _ds(sf, "events", ["user_id", "ts", "value"]), "user_id", "ts", "value")
+
+    def sessionize_events(sf):
+        return windows.sessionize(_ds(sf, "events", ["user_id", "ts"]),
+                                  "user_id", "ts", gap_seconds=1800)
+
+    def profile_stats_lineitem(sf):
+        return profiling.numeric_column_stats(
+            _ds(sf, "lineitem", ["l_extendedprice"]), "l_extendedprice")
+
+    def embedding_pairs_exact(sf):
+        return neardup.embedding_cosine_pairs(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
+            threshold=0.45, n_planes=0)
+
+    def embedding_pairs_lsh(sf):
+        return neardup.embedding_cosine_pairs(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
+            threshold=0.45, n_planes=6)
+
+    def compare_orders_sample(sf):
+        import pyarrow.compute as pc
+
+        src = _ds(sf, "orders", ["o_orderkey", "o_totalprice"])
+        tgt = src.map_batches(
+            lambda t: t.filter(pc.not_equal(pc.bit_wise_and(t["o_orderkey"], 31), 0)),
+            batch_format="pyarrow")
+        return drift.compare_datasets(src, tgt, ["o_orderkey"], ["o_totalprice"])
+
+    def langid_documents(sf):
+        return textstats.langid_counts(_ds(sf, "documents", ["text"]), "text")
+
+    def fingerprints_documents(sf):
+        return textstats.fingerprints(_ds(sf, "documents", ["doc_id", "text"]),
+                                      "doc_id", "text")
+
+    def minhash_pairs_documents(sf):
+        return neardup.minhash_lsh_pairs(_ds(sf, "documents", ["doc_id", "text"]),
+                                         "doc_id", "text", jaccard_threshold=0.5)
+
+    def simhash_documents(sf):
+        return neardup.simhash64(_ds(sf, "documents", ["doc_id", "text"]),
+                                 "doc_id", "text")
+
+    def ks_drift_events(sf):
+        import pyarrow.compute as pc
+
+        ev = _ds(sf, "events", ["event_type", "value"])
+        a = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "click")),
+                           batch_format="pyarrow")
+        b = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")),
+                           batch_format="pyarrow")
+        return drift.ks_2sample(a, b, "value")
+
+    def knn_outliers_lineitem(sf):
+        return outliers.knn_outliers(_ds(sf, "lineitem", ["l_quantity", "l_extendedprice"]),
+                                     ["l_quantity", "l_extendedprice"])
+
+    def schema_hashes_lineitem(sf):
+        return profiling.schema_hashes(_ds(sf, "lineitem"))
+
+    def transcripts_filter_summary(sf):
+        import pandas as pd
+        import pyarrow as pa
+
+        from packs_ray.config import RULE_NAMES
+        from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+        from packs_ray.functions.agg import global_agg
+
+        out = run_filter_pipeline(_transcripts(sf), num_buckets=32)
+
+        def partial(batch: pa.Table) -> dict:
+            bits = batch.column("rule_bits").to_numpy(zero_copy_only=False)
+            d = {"total": len(bits), "kept": int((bits == 0).sum())}
+            for i, name in enumerate(RULE_NAMES):
+                d[name] = int((bits >> i & 1).sum())
+            return d
+
+        agg = global_agg(out, partial, lambda p: {c: int(p[c].sum()) for c in p.columns})
+        return pd.DataFrame([{"metric": k, "n": v} for k, v in agg.items()])
+
+    def media_image_features(sf):
+        import ray.data
+
+        media = ray.data.from_arrow(multimodal.synth_media_table(128))
+        return multimodal.image_features(media)
+
+    def media_audio_features(sf):
+        import ray.data
+
+        media = ray.data.from_arrow(multimodal.synth_media_table(128))
+        return multimodal.audio_features(media)
+
+    return {
+        "completeness_events": completeness_events,
+        "text_stats_documents": text_stats_documents,
+        "duplicates_documents": duplicates_documents,
+        "dedup_exact_documents": dedup_exact_documents,
+        "distinct_mktsegment": distinct_mktsegment,
+        "numeric_range_lineitem": numeric_range_lineitem,
+        "fk_orphans_orders": fk_orphans_orders,
+        "timeliness_events": timeliness_events,
+        "pattern_validation_part": pattern_validation_part,
+        "pii_scan_documents": pii_scan_documents,
+        "token_counts_documents": token_counts_documents,
+        "quality_scores_documents": quality_scores_documents,
+        "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
+        "ann_ivf_embeddings": ann_ivf_embeddings,
+        "events_per_window": events_per_window,
+        "sessionize_events": sessionize_events,
+        "profile_stats_lineitem": profile_stats_lineitem,
+        "embedding_pairs_exact": embedding_pairs_exact,
+        "embedding_pairs_lsh": embedding_pairs_lsh,
+        "compare_orders_sample": compare_orders_sample,
+        "langid_documents": langid_documents,
+        "fingerprints_documents": fingerprints_documents,
+        "minhash_pairs_documents": minhash_pairs_documents,
+        "simhash_documents": simhash_documents,
+        "ks_drift_events": ks_drift_events,
+        "knn_outliers_lineitem": knn_outliers_lineitem,
+        "schema_hashes_lineitem": schema_hashes_lineitem,
+        "transcripts_filter_summary": transcripts_filter_summary,
+        "media_image_features": media_image_features,
+        "media_audio_features": media_audio_features,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table name)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    completeness = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count({c})::BIGINT AS non_null, "
+        f"count(*)::BIGINT AS total, count({c})::DOUBLE / count(*) AS completeness "
+        f"FROM events" for c in ev_cols)
+
+    text_stats = f"""
+    SELECT count(text)::BIGINT AS non_null_count,
+        min(length(text))::BIGINT AS text_min_length,
+        max(length(text))::BIGINT AS text_max_length,
+        sum(length(text))::DOUBLE / count(text) AS text_mean_length,
+        sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)::BIGINT AS text_length_below_min_length,
+        sum(CASE WHEN length(text) > 450 THEN 1 ELSE 0 END)::BIGINT AS text_length_above_max_length,
+        round((count(text) - sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+               - sum(CASE WHEN length(text) > 450 THEN 1 ELSE 0 END))::DOUBLE
+              / count(text), 4) AS text_length_in_range_percent,
+        sum(CASE WHEN text = '' THEN 1 ELSE 0 END)::BIGINT AS empty_text_found,
+        sum(CASE WHEN trim(text, '{_WS}') = '' AND text <> '' THEN 1 ELSE 0 END)::BIGINT
+            AS whitespace_text_found,
+        sum(CASE WHEN lower(text) IN ({_PLACEHOLDER_SQL}) THEN 1 ELSE 0 END)::BIGINT
+            AS null_placeholder_text_found,
+        sum(CASE WHEN text <> trim(text, '{_WS}') THEN 1 ELSE 0 END)::BIGINT
+            AS text_surrounded_by_whitespace_found,
+        min(length(regexp_extract_all(text, '\\S+')))::BIGINT AS min_word_count,
+        max(length(regexp_extract_all(text, '\\S+')))::BIGINT AS max_word_count
+    FROM documents WHERE text IS NOT NULL
     """
-    return {}
+
+    duplicates = """
+    WITH c AS (SELECT count(*)::BIGINT AS cnt FROM documents WHERE text IS NOT NULL GROUP BY text)
+    SELECT sum(cnt)::BIGINT AS total_rows, sum(cnt - 1)::BIGINT AS duplicate_rows,
+        count(*)::BIGINT AS distinct_count,
+        round(sum(cnt - 1)::DOUBLE / sum(cnt), 4) AS duplicate_percent,
+        greatest(0.0, 1 - round(sum(cnt - 1)::DOUBLE / sum(cnt), 2)) AS score
+    FROM c
+    """
+
+    numeric_rules = [("l_quantity", 1, 50), ("l_discount", 0.0, 0.08), ("l_tax", 0.0, 0.06)]
+    numeric_range = " UNION ALL ".join(f"""
+        SELECT '{c}' AS "column", count({c})::BIGINT AS n,
+            sum(CASE WHEN {c} < {lo} THEN 1 ELSE 0 END)::BIGINT AS below_min,
+            sum(CASE WHEN {c} > {hi} THEN 1 ELSE 0 END)::BIGINT AS above_max,
+            sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)::BIGINT AS negative_count,
+            round((count({c}) - sum(CASE WHEN {c} < {lo} THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN {c} > {hi} THEN 1 ELSE 0 END))::DOUBLE
+                  / count({c}), 4) AS in_range_percent,
+            min({c})::DOUBLE AS min_value, max({c})::DOUBLE AS max_value
+        FROM lineitem""" for c, lo, hi in numeric_rules)
+
+    pattern_rules = [
+        ("p_type", "alphanumeric", "^[A-Za-z0-9]+$"),
+        ("p_name", "alphanumeric", "^[A-Za-z0-9]+$"),
+        ("p_brand", "custom_regex", "^Brand#\\d+$"),
+        ("p_name", "email", "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
+    ]
+    pattern_validation = " UNION ALL ".join(f"""
+        SELECT '{col}' AS "column", '{name}' AS pattern,
+            sum(CASE WHEN coalesce({col}, 'nan') <> ''
+                      AND NOT regexp_matches(coalesce({col}, 'nan'), '{rx}')
+                     THEN 1 ELSE 0 END)::BIGINT AS invalid_count,
+            round(sum(CASE WHEN coalesce({col}, 'nan') <> ''
+                      AND NOT regexp_matches(coalesce({col}, 'nan'), '{rx}')
+                     THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS invalid_percent,
+            round(1 - sum(CASE WHEN coalesce({col}, 'nan') <> ''
+                      AND NOT regexp_matches(coalesce({col}, 'nan'), '{rx}')
+                     THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS valid_percent
+        FROM part""" for col, name, rx in pattern_rules)
+
+    from packs_ray.rules.patterns import PII_PATTERNS
+    pii_parts = " UNION ALL ".join(
+        f"SELECT 'text' AS \"column\", '{k}' AS pattern, "
+        f"sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '{p}') "
+        f"THEN 1 ELSE 0 END)::BIGINT AS pii_hits FROM documents"
+        for k, p in PII_PATTERNS)
+    any_expr = " OR ".join(f"regexp_matches(text, '{p}')" for _k, p in PII_PATTERNS)
+    pii_scan = (pii_parts + " UNION ALL "
+                f"SELECT '__dataset__' AS \"column\", 'pii_records_ratio' AS pattern, "
+                f"sum(CASE WHEN text IS NOT NULL AND ({any_expr}) THEN 1 ELSE 0 END)::BIGINT "
+                f"AS pii_hits FROM documents")
+
+    wp_re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    token_counts = f"""
+    SELECT doc_id, length(text)::BIGINT AS n_chars,
+        length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+        length(regexp_extract_all(text, '{wp_re}'))::BIGINT AS n_wordpieces
+    FROM documents
+    """
+
+    from packs_ray.functions.textstats import STOPWORDS
+    stop_re = "(?i)\\b(?:" + "|".join(STOPWORDS) + ")\\b"
+    quality = f"""
+    WITH f AS (
+        SELECT doc_id,
+            length(text)::DOUBLE AS n_chars,
+            length(regexp_extract_all(text, '\\S+'))::DOUBLE AS n_tok,
+            length(regexp_extract_all(text, '{stop_re}'))::DOUBLE AS n_stop,
+            length(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_sym
+        FROM documents)
+    SELECT doc_id,
+        round((least(n_chars / 200.0, 1.0)
+             + least((n_stop / greatest(n_tok, 1.0)) / 0.4, 1.0)
+             + 1.0 - least(n_sym / greatest(n_chars, 1.0) / 0.5, 1.0)) / 3.0, 4)
+            AS quality_score
+    FROM f
+    """
+
+    ann = """
+    SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    events_window = """
+    SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS window_start,
+        count(*)::BIGINT AS n_events,
+        sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """
+
+    sessions = """
+    WITH d AS (
+        SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                 THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM d)
+    SELECT user_id, session_id::BIGINT AS session_id,
+        min(ts) AS session_start, max(ts) AS session_end,
+        count(*)::BIGINT AS n_events
+    FROM s GROUP BY 1, 2
+    """
+
+    profile_stats = """
+    SELECT 'l_extendedprice' AS "column", count(l_extendedprice)::BIGINT AS n,
+        round(avg(l_extendedprice), 4) AS mean_value,
+        round(stddev_samp(l_extendedprice), 4) AS std_samp,
+        round(stddev_pop(l_extendedprice), 4) AS std_pop,
+        round(min(l_extendedprice), 4) AS min_value,
+        round(max(l_extendedprice), 4) AS max_value,
+        round(quantile_cont(l_extendedprice, 0.10), 4) AS p10,
+        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+    FROM lineitem
+    """
+
+    emb_pairs = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    ORDER BY id_a, id_b
+    """
+
+    compare_orders = """
+    WITH tgt AS (SELECT o_orderkey, o_totalprice FROM orders WHERE (o_orderkey & 31) <> 0),
+    stats AS (SELECT (SELECT count(*) FROM orders) AS source_rows,
+                     (SELECT count(*) FROM tgt) AS target_rows,
+                     (SELECT count(*) FROM orders o JOIN tgt t USING (o_orderkey)) AS common,
+                     0 AS mismatched)
+    SELECT source_rows::BIGINT AS source_rows, target_rows::BIGINT AS target_rows,
+        common::BIGINT AS rows_in_common, mismatched::BIGINT AS rows_mismatched,
+        round(common::DOUBLE / target_rows, 4) AS precision,
+        round(common::DOUBLE / source_rows, 4) AS recall,
+        round(2 * (common::DOUBLE / target_rows) * (common::DOUBLE / source_rows)
+              / ((common::DOUBLE / target_rows) + (common::DOUBLE / source_rows)), 4) AS f1
+    FROM stats
+    """
+
+    fk = """
+    SELECT count(*)::BIGINT AS child_rows,
+        sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS orphan_rows,
+        round(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+            AS orphan_percent,
+        greatest(0.0, 1 - sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)) AS score
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+
+    timeliness_sql = """
+    SELECT 'ts' AS "column", max(ts) AS latest_ts,
+        floor(epoch(TIMESTAMP '2026-08-01 00:00:00' - max(ts)) / 86400)::BIGINT
+            AS days_since_latest,
+        round(greatest(0.0, 1 - floor(epoch(TIMESTAMP '2026-08-01 00:00:00' - max(ts))
+              / 86400) / 365), 2) AS timeliness_score
+    FROM events
+    """
+
+    return {
+        "completeness_events": completeness,
+        "text_stats_documents": text_stats,
+        "duplicates_documents": duplicates,
+        "dedup_exact_documents":
+            "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text",
+        "distinct_mktsegment":
+            "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer GROUP BY c_mktsegment",
+        "numeric_range_lineitem": numeric_range,
+        "fk_orphans_orders": fk,
+        "timeliness_events": timeliness_sql,
+        "pattern_validation_part": pattern_validation,
+        "pii_scan_documents": pii_scan,
+        "token_counts_documents": token_counts,
+        "quality_scores_documents": quality,
+        "ann_bruteforce_embeddings": ann,
+        "events_per_window": events_window,
+        "sessionize_events": sessions,
+        "profile_stats_lineitem": profile_stats,
+        "embedding_pairs_exact": emb_pairs,
+        "compare_orders_sample": compare_orders,
+    }

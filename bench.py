@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline transcript pipeline + representative operator queries
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` re-runs the plain bench in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox two-cluster-size
+protocol; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)  # warm caches (generated parquet + OS page cache), untimed
+    lo = run(8)
+    hi = run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "turns_per_sec_8": lo["turns_per_sec"], "turns_per_sec_32": hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3), "sf_dir": SF_DIR,
+    }))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _run_scaling()
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    n_turns = max(int(2_000_000 * sf), 10_000)
+    inp = entrymod._transcripts(SF_DIR)  # cached generation, untimed
+
+    # headline: full filter+scrub pipeline, consumed via write_parquet
+    out_dir = f"/tmp/packs_ray_bench/out_{NCPU}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_filter_pipeline(inp, num_buckets=max(32, NCPU * 4)).write_parquet(out_dir)
+    headline = time.time() - t0
+
+    # representative operator queries over the sf tables
+    qs = entrymod.queries()
+    bench_queries = [
+        "dedup_exact_documents", "duplicates_documents", "token_counts_documents",
+        "quality_scores_documents", "ann_bruteforce_embeddings",
+        "events_per_window", "sessionize_events", "profile_stats_lineitem",
+        "fk_orphans_orders", "minhash_pairs_documents",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume lazily-returned datasets
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "flagship filter+scrub wall time on synthetic transcripts",
+        "value": round(headline, 3), "unit": "sec",
+        "queries": timings, "sf": sf, "num_cpus": NCPU,
+        "n_turns": n_turns, "turns_per_sec": round(n_turns / headline, 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Multimodal column stages (image/audio/video as opaque binary columns).
+
+The container has no image/audio codecs, so the DECODE kernels are
+deterministic fakes behind ``_decode_*`` seams (clearly marked; swap for
+Pillow/torchaudio/PyAV in production) — but the Ray-side plumbing is
+real and tested: typed binary+metadata schema, actor-pool map_batches
+with small byte-budgeted batches, fixed-shape feature output columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # image | audio | video
+    ("payload", pa.binary()),         # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()),            # images/video
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),      # audio/video
+])
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded random bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
+                for sz in rng.integers(256, 4096, n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n), type=pa.int64()),
+        "kind": pa.array(kinds.tolist(), type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array([f"application/x-fake-{k}" for k in kinds], type=pa.string()),
+        "width": pa.array(rng.integers(64, 1920, n).astype(np.int32)),
+        "height": pa.array(rng.integers(64, 1080, n).astype(np.int32)),
+        "duration_ms": pa.array(rng.integers(0, 60_000, n).astype(np.int32)),
+    })
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode: deterministic pseudo-pixels from the payload digest.
+    Production: PIL.Image.open(io.BytesIO(payload)) — NotImplemented here
+    because no codec library ships in this container."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)  # "thumbnail"
+
+
+def _decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
+    return rng.standard_normal(min(max(duration_ms, 1), 1000)).astype(np.float32)
+
+
+class ImageFeatureStage:
+    """Actor stage: decode → 8x8 thumbnail → mean-channel features.
+    batch_size should be small (payloads are large); state (any model)
+    loads once per actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_numpy(zero_copy_only=False)
+        heights = batch.column("height").to_numpy(zero_copy_only=False)
+        feats = np.zeros((len(payloads), 3), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            px = _decode_image(p, int(widths[i]), int(heights[i]))
+            feats[i] = px.reshape(-1, 3).mean(axis=0)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "mean_r": pa.array(np.round(feats[:, 0], 4)),
+            "mean_g": pa.array(np.round(feats[:, 1], 4)),
+            "mean_b": pa.array(np.round(feats[:, 2], 4)),
+        })
+
+
+class AudioFeatureStage:
+    """Actor stage: decode → RMS/zero-crossing features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        durs = batch.column("duration_ms").to_numpy(zero_copy_only=False)
+        rms = np.zeros(len(payloads))
+        zc = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            w = _decode_audio(p, int(durs[i]))
+            rms[i] = float(np.sqrt((w ** 2).mean()))
+            zc[i] = int((np.diff(np.signbit(w)) != 0).sum())
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "rms": pa.array(np.round(rms, 4)),
+            "zero_crossings": pa.array(zc),
+        })
+
+
+def _kind_filter(kind: str):
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("kind"), kind))
+
+    return fn
+
+
+def image_features(ds, batch_size: int = 64, concurrency=(1, 4)):
+    imgs = ds.map_batches(_kind_filter("image"), batch_format="pyarrow")
+    return imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)
+
+
+def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):
+    aud = ds.map_batches(_kind_filter("audio"), batch_format="pyarrow")
+    return aud.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=concurrency)

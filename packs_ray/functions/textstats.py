@@ -1,0 +1,173 @@
+"""Text-validation / text-analysis checks as streaming aggregates and
+per-row vectorized transforms.
+
+Reference: text_validation_pack/main.py:36-114 (length/word/whitespace/
+placeholder stats); the per-row operators (token counts, quality score,
+language-ID counts, fingerprints) are the training-data additions the
+engine provides as first-class batch transforms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from packs_ray.functions.agg import global_agg
+from packs_ray.models import LangIdModel
+from packs_ray.rules.patterns import NULL_PLACEHOLDERS_LOWER
+from packs_ray.stages.util import str_column
+
+_PLACEHOLDERS = pa.array(sorted(NULL_PLACEHOLDERS_LOWER), type=pa.string())
+
+# small English stopword list for the quality score (public, generic)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "that", "this", "for", "on", "with", "as", "at", "by")
+
+
+def text_validation_stats(ds, column: str, min_length: int | None = None,
+                          max_length: int | None = None) -> pd.DataFrame:
+    """One-row summary with the reference's metric keys
+    (text_validation_pack/main.py:101-114; lengths on non-null values)."""
+
+    def partial(batch: pa.Table) -> dict:
+        text = str_column(batch, column).drop_null()
+        n = len(text)
+        if n == 0:
+            return {"n": 0, "len_min": None, "len_max": None, "len_sum": 0,
+                    "below": 0, "above": 0, "empty": 0, "ws": 0, "ph": 0,
+                    "padded": 0, "wc_min": None, "wc_max": None}
+        lengths = pc.utf8_length(text)
+        trimmed = pc.utf8_trim_whitespace(text)
+        empty = pc.sum(pc.cast(pc.equal(text, ""), "int64")).as_py() or 0
+        ws_all = pc.sum(pc.cast(pc.equal(trimmed, ""), "int64")).as_py() or 0
+        wc = pc.count_substring_regex(text, r"\S+")
+        return {
+            "n": n,
+            "len_min": pc.min(lengths).as_py(),
+            "len_max": pc.max(lengths).as_py(),
+            "len_sum": pc.sum(lengths).as_py() or 0,
+            "below": (pc.sum(pc.cast(pc.less(lengths, min_length), "int64")).as_py() or 0)
+                     if min_length is not None else 0,
+            "above": (pc.sum(pc.cast(pc.greater(lengths, max_length), "int64")).as_py() or 0)
+                     if max_length is not None else 0,
+            "empty": empty,
+            "ws": ws_all - empty,
+            "ph": pc.sum(pc.cast(pc.is_in(pc.utf8_lower(text), value_set=_PLACEHOLDERS),
+                                 "int64")).as_py() or 0,
+            "padded": pc.sum(pc.cast(pc.not_equal(text, trimmed), "int64")).as_py() or 0,
+            "wc_min": pc.min(wc).as_py(),
+            "wc_max": pc.max(wc).as_py(),
+        }
+
+    def combine(p: pd.DataFrame) -> dict:
+        n = int(p["n"].sum())
+        below = int(p["below"].sum())
+        above = int(p["above"].sum())
+        in_range = n - below - above
+        return {
+            "non_null_count": n,
+            "text_min_length": int(p["len_min"].min()) if n else 0,
+            "text_max_length": int(p["len_max"].max()) if n else 0,
+            "text_mean_length": (float(p["len_sum"].sum()) / n) if n else 0.0,
+            "text_length_below_min_length": below,
+            "text_length_above_max_length": above,
+            "text_length_in_range_percent": round(in_range / n, 4) if n else 1.0,
+            "empty_text_found": int(p["empty"].sum()),
+            "whitespace_text_found": int(p["ws"].sum()),
+            "null_placeholder_text_found": int(p["ph"].sum()),
+            "text_surrounded_by_whitespace_found": int(p["padded"].sum()),
+            "min_word_count": int(p["wc_min"].min()) if n else 0,
+            "max_word_count": int(p["wc_max"].max()) if n else 0,
+        }
+
+    return pd.DataFrame([global_agg(ds, partial, combine)])
+
+
+def token_counts(ds, id_col: str, column: str):
+    """Per-row token/char counts (whitespace tokenization + a BPE-ish
+    word-piece regex count) — lazy Dataset of (id, n_chars, n_tokens,
+    n_wordpieces)."""
+    wp_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pc.utf8_length(text).fill_null(0).cast(pa.int64()),
+            "n_tokens": pc.count_substring_regex(text, r"\S+").fill_null(0).cast(pa.int64()),
+            "n_wordpieces": pc.count_substring_regex(text, wp_re).fill_null(0).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(ds, id_col: str, column: str):
+    """Per-row heuristic quality score in [0,1]:
+    mean of (length score, stopword-ratio score, symbol cleanliness).
+    Deterministic double arithmetic, 4dp — SQL-replicable."""
+    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        n_chars = pc.utf8_length(text).fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_tok = pc.count_substring_regex(text, r"\S+").fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_stop = pc.count_substring_regex(text, stop_re).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_sym = pc.count_substring_regex(text, r"[^A-Za-z0-9\s]").fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        len_score = np.minimum(n_chars / 200.0, 1.0)
+        stop_score = np.minimum((n_stop / np.maximum(n_tok, 1.0)) / 0.4, 1.0)
+        sym_score = 1.0 - np.minimum(n_sym / np.maximum(n_chars, 1.0) / 0.5, 1.0)
+        score = np.round((len_score + stop_score + sym_score) / 3.0, 4)
+        return pa.table({id_col: batch.column(id_col),
+                         "quality_score": pa.array(score, type=pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def langid_counts(ds, column: str) -> pd.DataFrame:
+    """Predicted-language histogram over a text column (langid heuristic
+    as a dataset-level operator)."""
+    model_holder: dict = {}
+
+    def partial(batch: pa.Table) -> dict:
+        model = model_holder.setdefault("m", LangIdModel())
+        pred, _ = model.predict_batch(str_column(batch, column))
+        vals, counts = np.unique(pred.astype(str), return_counts=True)
+        return {f"lang_{v}": int(c) for v, c in zip(vals, counts)}
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {c[5:]: int(p[c].fillna(0).sum()) for c in p.columns}
+
+    agg = global_agg(ds, partial, combine)
+    return (pd.DataFrame([{"predicted_lang": k, "n": v} for k, v in agg.items()])
+            .sort_values("predicted_lang").reset_index(drop=True))
+
+
+def fingerprints(ds, id_col: str, column: str):
+    """Per-row 64-bit document fingerprint: polynomial rolling hash of the
+    normalized (lowercased, whitespace-collapsed) text — deterministic
+    across workers/runs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        norm = pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+        norm = pc.utf8_trim_whitespace(norm)
+        vals = norm.to_numpy(zero_copy_only=False)
+        MASK = (1 << 64) - 1
+        P = 1099511628211
+        out = np.zeros(len(vals), dtype=np.uint64)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            h = 14695981039346656037  # FNV-1a
+            for b in v.encode("utf-8"):
+                h = ((h ^ b) * P) & MASK
+            out[i] = h
+        return pa.table({id_col: batch.column(id_col),
+                         "fingerprint": pa.array(out.view(np.int64), type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,36 @@
+"""Timeliness checks (pinned-now; the reference's wall-clock dependence
+is made deterministic via an explicit ``now`` parameter).
+
+Reference: timeliness_pack/main.py:64-67 (score = max(0, 1 -
+days_since_latest/365)), :224-250 (dataset = mean of column scores).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from packs_ray.functions.agg import global_agg
+
+
+def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
+    """Per ts column: latest value, whole days since, score (2dp)."""
+
+    def partial(batch: pa.Table) -> dict:
+        return {f"max_{c}": pc.max(batch.column(c)).as_py() for c in ts_cols}
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {c: p[f"max_{c}"].max() for c in ts_cols}
+
+    agg = global_agg(ds, partial, combine)
+    rows = []
+    for c in ts_cols:
+        latest = agg[c]
+        days = (now - latest).days if latest is not None else None
+        score = max(0.0, 1 - days / 365) if days is not None else 0.0
+        rows.append({"column": c, "latest_ts": latest, "days_since_latest": days,
+                     "timeliness_score": round(score, 2)})
+    return pd.DataFrame(rows)

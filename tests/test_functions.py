@@ -1,0 +1,65 @@
+"""Function-layer checks vs the DuckDB oracle at sf0.001 (the same
+comparison the driver runs at sf0.01)."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+SQL_CHECKED = [
+    "completeness_events", "text_stats_documents", "duplicates_documents",
+    "dedup_exact_documents", "distinct_mktsegment", "numeric_range_lineitem",
+    "fk_orphans_orders", "timeliness_events", "pattern_validation_part",
+    "pii_scan_documents", "token_counts_documents", "quality_scores_documents",
+    "ann_bruteforce_embeddings", "events_per_window", "sessionize_events",
+    "profile_stats_lineitem", "embedding_pairs_exact", "compare_orders_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked_query(name, con, contract, ray_session):
+    from scripts.check_correctness import compare, to_pandas
+
+    qs, sqls = contract
+    eng = to_pandas(qs[name](SF))
+    ora = con.sql(sqls[name]).df()
+    problems = compare(name, eng, ora)
+    assert not problems, problems
+
+
+def test_rows_only_queries_run(contract, ray_session):
+    qs, sqls = contract
+    rows_only = [n for n in qs if n not in sqls
+                 and n not in ("knn_outliers_lineitem", "transcripts_filter_summary")]
+    for name in rows_only:
+        res = qs[name](SF)
+        from scripts.check_correctness import to_pandas
+
+        df = to_pandas(res)
+        assert df is not None and len(df) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as m
+
+    ds = m.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    assert len(df) > 0
+    assert {"conv_id", "turn_idx", "keep", "drop_reasons", "text_scrubbed"} <= set(df.columns)
