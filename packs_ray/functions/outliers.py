@@ -2,12 +2,23 @@
 
 Reference: outlier_detection_pack/main.py:201-260 — fit on a (seeded
 here; unseeded there) sample of <=100k rows, score every row, inlier
-score = 1 - score/(max+eps), outlier if below threshold.
+score = 1 - score/(max+eps), outlier if below threshold; univariate per
+numeric column plus a multivariate variant (:264-325).
 
-pyod is not in this container; the scorer is a plain numpy exact-kNN
-mean-distance score (the same algorithm class), fit on the driver and
-broadcast to a scoring actor pool — the template every fitted-model
-stage follows.
+pyod is not in this container; the scorer is plain numpy exact kNN
+(the same algorithm class), fit on the driver and broadcast to a
+scoring actor pool — the template every fitted-model stage follows.
+
+Scale notes:
+- univariate (d=1): train sorted once per actor; per-row kNN found via
+  ``searchsorted`` + a 2k-candidate window — exact, O(rows · k), no
+  distance matrix.
+- multivariate: O(rows · train) distance computation done per-dimension
+  in float32 with in-place accumulation (no BLAS: tiny inner dims hit
+  a pathological dgemm path here), train capped at ``sample_rows``
+  (default 1024 — the scorer is O(rows × train) and memory-bound, and
+  the reference itself fits on an unseeded random sample, i.e. the
+  score is approximate by design; raise the knob for tighter scores).
 """
 
 from __future__ import annotations
@@ -19,42 +30,72 @@ import pyarrow as pa
 import ray
 
 
+def _knn_univariate(x: np.ndarray, train_sorted: np.ndarray, k: int) -> np.ndarray:
+    """Exact mean-distance-to-k-nearest for 1-d data via sorted window."""
+    m = len(train_sorted)
+    k = min(k, m)
+    pos = np.searchsorted(train_sorted, x)
+    # candidate window: k points on each side of the insertion point
+    offs = np.arange(-k, k)
+    idx = np.clip(pos[:, None] + offs[None, :], 0, m - 1)
+    cand = train_sorted[idx]                      # (n, 2k)
+    d = np.abs(cand - x[:, None])
+    d.partition(k - 1, axis=1)
+    return d[:, :k].mean(axis=1)
+
+
+def _knn_multivariate(m: np.ndarray, train: np.ndarray, k: int) -> np.ndarray:
+    """Exact kNN mean distance; per-dimension accumulation, float32."""
+    k = min(k, train.shape[0])
+    d2 = np.zeros((m.shape[0], train.shape[0]), dtype=np.float32)
+    for j in range(m.shape[1]):
+        diff = m[:, j][:, None] - train[:, j][None, :]
+        np.multiply(diff, diff, out=diff)
+        d2 += diff
+    d2.partition(k - 1, axis=1)
+    return np.sqrt(d2[:, :k], out=d2[:, :k]).mean(axis=1)
+
+
 class KnnScorer:
     """Actor: holds the (broadcast) training sample; scores batches by
     mean distance to the k nearest training points."""
 
     def __init__(self, train_ref, k: int):
-        self.train = ray.get(train_ref)  # (n, d) float64, loaded once
+        train = ray.get(train_ref).astype(np.float32)  # loaded once per actor
         self.k = k
+        self.univariate = train.shape[1] == 1
+        self.train = np.sort(train[:, 0]) if self.univariate else train
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = [c for c in batch.column_names if c != "__score"]
+        cols = list(batch.column_names)
         m = np.column_stack([
-            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float32)
             for c in cols])
-        # ||x-t||² = ||x||² + ||t||² - 2 x·t  (matmul, no (n,m,d) blow-up)
-        d2 = ((m ** 2).sum(1)[:, None] + (self.train ** 2).sum(1)[None, :]
-              - 2.0 * (m @ self.train.T))
-        np.maximum(d2, 0.0, out=d2)
-        k = min(self.k, d2.shape[1])
-        knn = np.sqrt(np.partition(d2, k - 1, axis=1)[:, :k])
-        score = knn.mean(axis=1)
-        return batch.append_column("knn_score", pa.array(score, type=pa.float64()))
+        if self.univariate:
+            score = _knn_univariate(m[:, 0], self.train, self.k)
+        else:
+            score = _knn_multivariate(m, self.train, self.k)
+        return batch.append_column(
+            "knn_score", pa.array(score.astype(np.float64), type=pa.float64()))
 
 
-def knn_outliers(ds, columns: list[str], k: int = 5, sample_rows: int = 10_000,
+def knn_outliers(ds, columns: list[str], k: int = 5, sample_rows: int | None = None,
                  outlier_threshold: float = 0.5, seed: int = 42) -> pd.DataFrame:
     """Univariate/multivariate kNN outlier metrics: normality score per
     the reference roll-up (fraction of inliers)."""
+    if sample_rows is None:
+        sample_rows = 65_536 if len(columns) == 1 else 1_024
     proj = ds.select_columns(columns)
-    sample = proj.random_sample(min(1.0, sample_rows / max(1, proj.count())), seed=seed)
+    total = proj.count()  # parquet metadata only
+    sample = proj.random_sample(min(1.0, sample_rows / max(1, total)), seed=seed)
     train = sample.to_pandas().dropna().to_numpy(dtype=np.float64)[:sample_rows]
     tref = ray.put(train)
 
     scored = proj.map_batches(KnnScorer, fn_constructor_args=(tref, k),
-                              batch_format="pyarrow", concurrency=(1, 4))
-    # max score (for normalization) then inlier ratio — two cheap passes
-    # over the scored column only
+                              batch_format="pyarrow", batch_size=4096,
+                              concurrency=(1, 8))
+    # max score (for normalization) then inlier ratio — over the scored
+    # column only
     stats = scored.select_columns(["knn_score"]).to_pandas()["knn_score"].to_numpy()
     mx = float(stats.max()) if len(stats) else 0.0
     inlier = 1.0 - stats / (mx + 1e-9) if len(stats) else np.array([])
