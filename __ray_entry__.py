@@ -29,9 +29,9 @@ _WS = " \t\n\r\f\v"
 
 
 def _ds(sf_dir: str, table: str, columns=None):
-    import ray.data
+    from packs_ray.sources.parquet import read_parquet_sized
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _transcripts(sf_dir: str) -> str:
@@ -48,7 +48,7 @@ def entry() -> Any:
     """Flagship pipeline at sf0.001 scale; returns the lazy Dataset."""
     from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
 
-    return run_filter_pipeline(_transcripts("/root/testdata/sf0.001"), num_buckets=16)
+    return run_filter_pipeline(_transcripts("/root/testdata/sf0.001"))
 
 
 # --------------------------------------------------------------------------
@@ -201,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
         from packs_ray.functions.agg import global_agg
 
-        out = run_filter_pipeline(_transcripts(sf), num_buckets=32)
+        out = run_filter_pipeline(_transcripts(sf))
 
         def partial(batch: pa.Table) -> dict:
             bits = batch.column("rule_bits").to_numpy(zero_copy_only=False)

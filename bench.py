@@ -73,7 +73,7 @@ def main() -> None:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    run_filter_pipeline(inp, num_buckets=max(32, NCPU * 4)).write_parquet(out_dir)
+    run_filter_pipeline(inp).write_parquet(out_dir)
     headline = time.time() - t0
 
     # representative operator queries over the sf tables

@@ -42,19 +42,52 @@ def duplicate_metrics(ds, key_cols: list[str]) -> pd.DataFrame:
     }])
 
 
-def dedup_exact(ds, key_cols: list[str], order_col: str):
+def dedup_exact(ds, key_cols: list[str], order_col: str,
+                num_partitions: int | None = None):
     """Exact dedup: keep the row with min(order_col) per key group.
     Returns a lazy Dataset of (key_cols..., order_col) survivors.
+
+    Scale design: the shuffle groups on a 128-bit content hash of the key
+    columns (two vectorized 64-bit hashes with distinct keys), never on
+    the raw values — long text keys would otherwise dominate the sort
+    exchange.  Collision probability at 10^12 keys is ~1e-14 (birthday,
+    2^128); the first surviving value of each hash group is re-read from
+    the partial rows, so output columns are the real keys.
 
     (For full-row survivors join the result back on order_col, or use the
     pipeline-level dedup_stage which marks rows in place.)
     """
-    from ray.data.aggregate import Min
+    import numpy as np
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(key_cols + [order_col]).to_pandas()
-        out = df.groupby(key_cols, dropna=False, sort=False)[order_col].min().reset_index()
+        h1 = np.zeros(len(df), dtype=np.uint64)
+        h2 = np.zeros(len(df), dtype=np.uint64)
+        for c in key_cols:
+            vals = df[c].to_numpy()
+            h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+                vals, hash_key="0123456789123456")
+            h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+                vals, hash_key="6543216543210987")
+        df = df.assign(__h1=h1.view(np.int64), __h2=h2.view(np.int64),
+                       __p=(h1 % np.uint64(num_partitions)).astype(np.int64))
+        out = (df.groupby(["__p", "__h1", "__h2"], dropna=False, sort=False)
+               .agg({order_col: "min", **{c: "first" for c in key_cols}})
+               .reset_index())
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # sort so "first" key value is the one carried by the min-order row
+        g = g.sort_values(order_col, kind="stable")
+        out = (g.groupby(["__h1", "__h2"], dropna=False, sort=False)
+               .agg({order_col: "min", **{c: "first" for c in key_cols}})
+               .reset_index())
+        return out[key_cols + [order_col]]
+
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby(key_cols).aggregate(Min(order_col, alias_name=order_col))
+    return parts.groupby("__p").map_groups(per_bucket, batch_format="pandas")

@@ -13,7 +13,7 @@ import pyarrow.compute as pc
 
 
 def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
-                      window: str = "day"):
+                      window: str = "day", num_partitions: int | None = None):
     """Lazy Dataset of (key, window_start, n_events, sum_value_cents).
 
     The value sum is carried in integer cents so results are exactly
@@ -21,6 +21,11 @@ def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
     parity with the SQL oracle).
     """
     from ray.data.aggregate import Sum
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch.column(ts_col), unit=window)
@@ -33,19 +38,24 @@ def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
                .reset_index())
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow").repartition(num_partitions)
     return parts.groupby([key_col, "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value_cents", alias_name="sum_value_cents"))
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_seconds: int = 1800,
-               num_buckets: int = 64):
+               num_buckets: int | None = None):
     """Session windows per key: hash-bucket shuffle + vectorized per-bucket
     session assignment (sorted diff > gap ⇒ new session).  Returns a lazy
     Dataset of (key, session_id, session_start, session_end, n_events)."""
     import numpy as np
     import pandas as pd
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_buckets is None:
+        num_buckets = reduce_partition_count(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False)

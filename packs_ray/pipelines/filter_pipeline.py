@@ -35,13 +35,19 @@ def build_filter_pipeline(
     ds: "ray.data.Dataset",
     cfg: FilterConfig = DEFAULT_CONFIG,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     model_concurrency=(1, 8),
     batch_size: int = 16_384,
     dedup: bool | None = None,
 ) -> "ray.data.Dataset":
     """Assemble the lazy flagship pipeline over an input Dataset."""
     dedup = cfg.dedup_exact if dedup is None else dedup
+    if num_buckets is None:
+        # sized from the (cheap, metadata-estimated) input volume so tiny
+        # inputs don't fan every shuffle into thousands of empty buckets
+        from packs_ray.functions.agg import reduce_partition_count
+
+        num_buckets = reduce_partition_count(ds)
 
     ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)
@@ -62,8 +68,10 @@ def build_filter_pipeline(
 
 
 def read_transcripts(path: str | list[str]) -> "ray.data.Dataset":
-    """Column-pruned parquet read of the transcript schema."""
-    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    """Column-pruned, block-size-aware parquet read of the transcript schema."""
+    from packs_ray.sources.parquet import read_parquet_sized
+
+    return read_parquet_sized(path, columns=TRANSCRIPT_COLUMNS)
 
 
 def run_filter_pipeline(path: str | list[str], cfg: FilterConfig = DEFAULT_CONFIG,

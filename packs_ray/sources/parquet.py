@@ -1,0 +1,44 @@
+"""Size-aware parquet reads.
+
+Ray Data's default read heuristic targets ~2×CPU blocks regardless of
+input size; on small inputs that turns every downstream shuffle into
+O(blocks²) tiny tasks whose scheduling overhead dwarfs the work (a
+500-row groupby was 64 blocks → 4096 shuffle tasks).  For small inputs
+we override the block count from the on-disk footprint; large inputs
+(≥ ``SMALL_INPUT_BYTES`` on disk) keep Ray's own heuristics, which are
+what you want on a real multi-node cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+# ~4x is a typical parquet→Arrow in-memory expansion for mixed columns
+MEM_FACTOR = 4
+TARGET_BLOCK_BYTES = 32 << 20       # in-memory target per block
+SMALL_INPUT_BYTES = 256 << 20       # on-disk; above this, defer to Ray
+
+
+def _disk_bytes(path) -> int:
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files if f.endswith((".parquet", ".pq")))
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def read_parquet_sized(path, *, columns=None, target_block_bytes: int = TARGET_BLOCK_BYTES,
+                       **kwargs):
+    """``ray.data.read_parquet`` with a block count sized to the input."""
+    import ray.data
+
+    disk = _disk_bytes(path)
+    if 0 < disk < SMALL_INPUT_BYTES and "override_num_blocks" not in kwargs:
+        blocks = max(1, (disk * MEM_FACTOR) // target_block_bytes)
+        kwargs["override_num_blocks"] = int(blocks)
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

@@ -56,7 +56,7 @@ def _histogram(ds) -> dict:
 
 def run_resumable(input_files: list[str], out_dir: str,
                   cfg: FilterConfig = DEFAULT_CONFIG, shards: int = 8,
-                  num_buckets: int = 64) -> dict:
+                  num_buckets: int | None = None) -> dict:
     """Run the flagship pipeline shard-by-shard with commit manifest.
     Returns the merged lineage summary."""
     import ray.data
@@ -77,7 +77,9 @@ def run_resumable(input_files: list[str], out_dir: str,
         if k in done:
             continue
         t0 = time.time()
-        ds = ray.data.read_parquet(files)
+        from packs_ray.sources.parquet import read_parquet_sized
+
+        ds = read_parquet_sized(files)
         out = build_filter_pipeline(ds, cfg, num_buckets=num_buckets)
         tmp = os.path.join(out_dir, f".tmp_shard={k}")
         final = os.path.join(out_dir, f"shard={k}")
