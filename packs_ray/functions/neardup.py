@@ -82,15 +82,48 @@ def minhash_signatures(ds, id_col: str, text_col: str, num_perm: int = 64,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _pairs_within_sorted_groups(ids: np.ndarray, sizes: np.ndarray,
+                                max_group: int = 200):
+    """All within-group (a, b) index pairs for contiguous groups of the
+    given sizes over ``ids``.  Vectorized over groups of equal size (one
+    triu template per distinct size, tiled).  Groups larger than
+    ``max_group`` are skipped (pathological buckets: identical boilerplate;
+    callers should surface the skip in metrics rather than grind O(g²))."""
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    keep = (sizes >= 2) & (sizes <= max_group)
+    out_a, out_b = [], []
+    for g in np.unique(sizes[keep]):
+        sel = offs[keep][sizes[keep] == g]
+        ia, ib = np.triu_indices(int(g), k=1)             # one template
+        out_a.append((sel[:, None] + ia[None, :]).ravel())
+        out_b.append((sel[:, None] + ib[None, :]).ravel())
+    if not out_a:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    return ids[a], ids[b]
+
+
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
                       shingle: int = 5, jaccard_threshold: float = 0.8,
-                      seed: int = 42) -> pd.DataFrame:
-    """Candidate pairs via band-bucket groupby, verified with exact
+                      seed: int = 42, num_partitions: int | None = None) -> pd.DataFrame:
+    """Candidate pairs via band-bucket LSH, verified with exact
     character-shingle Jaccard.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b, sorted."""
+    id_a < id_b, sorted.
+
+    Scale shape: explode (id, band) rows → shuffle on ``band_hash % P``
+    (P sized to the input) → ONE vectorized pair-emission per partition
+    (no per-bucket Python) → candidate ids broadcast → distributed
+    shingle extraction of candidates only → exact verify on the (small)
+    candidate set."""
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
     sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle, seed)
     n_bands = num_perm // 4
-    # explode to (band_id, band_hash, id) rows → groupby bucket
+
+    # explode to (part, band_id, band_hash, id) rows → groupby partition
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out_band, out_hash, out_id = [], [], []
@@ -99,43 +132,56 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
             out_band.append(np.full(len(ids), bi, dtype=np.int64))
             out_hash.append(bh)
             out_id.append(ids)
+        bh_all = np.concatenate(out_hash)
+        part = (bh_all.view(np.uint64) % np.uint64(num_partitions)).view(np.int64)
         return pa.table({
+            "__p": part,
             "band_id": np.concatenate(out_band),
-            "band_hash": np.concatenate(out_hash),
+            "band_hash": bh_all,
             id_col: np.concatenate(out_id),
         })
 
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # cap pathological buckets
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["band_id", "band_hash", id_col], kind="stable")
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        sizes = np.diff(np.append(np.flatnonzero(new), len(g)))
+        a, b = _pairs_within_sorted_groups(ids, sizes)
+        return pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
 
-    pairs = (buckets.groupby(["band_id", "band_hash"])
-             .map_groups(emit_pairs, batch_format="pandas").to_pandas()
-             .drop_duplicates().reset_index(drop=True))
+    pairs = (buckets.groupby("__p").map_groups(emit_pairs, batch_format="pandas")
+             .to_pandas().drop_duplicates().reset_index(drop=True))
     if pairs.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
 
-    # verify with exact shingle Jaccard (texts of candidate ids only)
-    need = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
-    texts = {}
-    for b in ds.map_batches(lambda t: t.select([id_col, text_col]),
-                            batch_format="pyarrow").iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, need)
-        for i in np.flatnonzero(mask):
-            texts[ids[i]] = b.column(text_col)[i].as_py()
-    sh = {i: _shingle_hashes(texts.get(i), shingle) for i in need}
+    # distributed shingle extraction of candidate ids only (broadcast set)
+    need = np.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])))
+    need_ref = ray.put(need)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, ray.get(need_ref))
+        idx = np.flatnonzero(mask)
+        sh = [_shingle_hashes(batch.column(text_col)[int(i)].as_py(), shingle)
+              for i in idx]
+        return pa.table({id_col: pa.array(ids[idx]),
+                         "sh": pa.array([s.tolist() for s in sh],
+                                        type=pa.list_(pa.uint64()))})
+
+    got = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    sh = {int(r[id_col]): np.asarray(r["sh"], dtype=np.uint64)
+          for _, r in got.iterrows()}
     jac = []
     for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
-        A, B = sh[ia], sh[ib]
+        A, B = sh.get(ia, np.zeros(0, np.uint64)), sh.get(ib, np.zeros(0, np.uint64))
         inter = len(np.intersect1d(A, B, assume_unique=True))
         union = len(A) + len(B) - inter
         jac.append(inter / union if union else 0.0)
@@ -150,14 +196,28 @@ def simhash64(ds, id_col: str, text_col: str, shingle: int = 4):
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_numpy(zero_copy_only=False)
         out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            hs = _shingle_hashes(t, shingle)
-            if len(hs) == 0:
-                continue
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((vote > 0)[::-1]).view(">u8")[0]
+        hs_list = [_shingle_hashes(t, shingle) for t in texts]
+        lens = np.array([len(h) for h in hs_list], dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        pw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        # bit-vote via segment sums of the shingle-bit matrix (majority
+        # per row ⇔ 2·ones > len); rows chunked so the 64-wide expansion
+        # stays ~16 MB regardless of batch size
+        start = 0
+        while start < len(nz):
+            end, tot = start, 0
+            while end < len(nz) and tot < 32_768:
+                tot += lens[nz[end]]
+                end += 1
+            rows = nz[start:end]
+            all_h = np.concatenate([hs_list[i] for i in rows])
+            bits = ((all_h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
+            ones = np.add.reduceat(bits, offs, axis=0)
+            maj = (2 * ones) > lens[rows][:, None]
+            out[rows] = (maj * pw[None, :]).sum(axis=1, dtype=np.uint64)
+            start = end
         cols = {id_col: batch.column(id_col),
                 "simhash": pa.array(out.view(np.int64), type=pa.int64())}
         for k in range(4):
