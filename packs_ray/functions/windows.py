@@ -20,9 +20,7 @@ def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
     order-independent (double-sum associativity would break value-hash
     parity with the SQL oracle).
     """
-    from ray.data.aggregate import Sum
-
-    from packs_ray.functions.agg import reduce_partition_count
+    from packs_ray.functions.agg import bucketed_group_reduce, reduce_partition_count
 
     if num_partitions is None:
         num_partitions = reduce_partition_count(ds)
@@ -38,10 +36,14 @@ def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
                .reset_index())
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").repartition(num_partitions)
-    return parts.groupby([key_col, "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value_cents", alias_name="sum_value_cents"))
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([key_col, "window_start"], sort=False)
+                [["n_events", "sum_value_cents"]].sum().reset_index())
+
+    return bucketed_group_reduce(parts, [key_col, "window_start"], reduce_fn,
+                                 num_partitions)
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_seconds: int = 1800,
@@ -52,10 +54,10 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: int = 1800,
     import numpy as np
     import pandas as pd
 
-    from packs_ray.functions.agg import reduce_partition_count
+    from packs_ray.functions.agg import row_shuffle_partitions
 
     if num_buckets is None:
-        num_buckets = reduce_partition_count(ds)
+        num_buckets = row_shuffle_partitions(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False)

@@ -45,9 +45,10 @@ def build_filter_pipeline(
     if num_buckets is None:
         # sized from the (cheap, metadata-estimated) input volume so tiny
         # inputs don't fan every shuffle into thousands of empty buckets
-        from packs_ray.functions.agg import reduce_partition_count
+        # while real volumes get one bucket per ~128MB of rows
+        from packs_ray.functions.agg import row_shuffle_partitions
 
-        num_buckets = reduce_partition_count(ds)
+        num_buckets = row_shuffle_partitions(ds)
 
     ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)

@@ -15,7 +15,9 @@ import os
 
 # ~4x is a typical parquet→Arrow in-memory expansion for mixed columns
 MEM_FACTOR = 4
-TARGET_BLOCK_BYTES = 32 << 20       # in-memory target per block
+TARGET_BLOCK_BYTES = 4 << 20        # in-memory target per block: small enough
+                                    # that a few-MB input still fans out over
+                                    # the pool for compute-heavy stages
 SMALL_INPUT_BYTES = 256 << 20       # on-disk; above this, defer to Ray
 
 
