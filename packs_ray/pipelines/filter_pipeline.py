@@ -1,13 +1,14 @@
 """Flagship pipeline: language-ID + quality-filter + PII-scrub over
 transcript Parquet (the engine's end-to-end shape, SURVEY.md §3.4):
 
-    read_parquet
-      → heuristics            (stateless map_batches, Arrow zero-copy)
-      → langid                (actor pool; model built once per actor)
-      → perplexity            (actor pool; model built once per actor)
-      → exact dedup           (shuffle #1: content-hash buckets)
-      → conversation          (shuffle #2: conv-hash buckets → stable
-                               (conv_id, turn_idx) order + role sequence)
+    read_parquet ──┬─ heuristics          (stateless map_batches, Arrow zero-copy)
+                   │   → langid           (actor pool; model built once per actor)
+                   │   → perplexity       (actor pool; model built once per actor)
+                   └─ dedup marks         (narrow projection: content-hash
+                                           buckets, ~40 B/row shuffled)
+      → conversation (union)  (the ONE full-row shuffle: conv-hash buckets
+                               → stable (conv_id, turn_idx) order + role
+                               sequence + exact_duplicate marks absorbed)
       → finalize              (keep / drop_reasons from rule_bits)
       → scrub                 (Python-re PII sub over kept rows only)
       → write_parquet         (or return the lazy Dataset)
@@ -18,11 +19,12 @@ drop_reasons:list<string>, text_scrubbed:string, pii_bits.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 from packs_ray.config import DEFAULT_CONFIG, FilterConfig
 from packs_ray.stages.conversation import conversation_stage
-from packs_ray.stages.dedup import dedup_stage
+from packs_ray.stages.dedup import dedup_marks
 from packs_ray.stages.finalize import drop_helper_columns, finalize_batch
 from packs_ray.stages.heuristics import make_heuristics_fn
 from packs_ray.stages.model_stages import LangIdStage, PerplexityStage
@@ -50,6 +52,22 @@ def build_filter_pipeline(
 
         num_buckets = row_shuffle_partitions(ds)
 
+    # passthrough user columns beyond the input_hint schema (schema() is
+    # metadata-cheap on reads and in-memory datasets)
+    known = set(TRANSCRIPT_COLUMNS)
+    try:
+        sch = ds.schema()
+        extra_fields = [pa.field(n, t) for n, t in zip(sch.names, sch.types)
+                        if n not in known]
+    except Exception:
+        extra_fields = []
+
+    # dedup marks branch: re-reads only the narrow projection of the raw
+    # input (conv_id, turn_idx, role, text) and shuffles ~40 B/row; the
+    # marks are merged inside the conversation shuffle, so the full text
+    # payload shuffles exactly once in the whole pipeline
+    marks = dedup_marks(ds, num_buckets) if dedup else None
+
     ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)
     ds = ds.map_batches(LangIdStage, fn_constructor_args=(cfg,),
@@ -58,9 +76,8 @@ def build_filter_pipeline(
     ds = ds.map_batches(PerplexityStage, fn_constructor_args=(cfg,),
                         batch_format="pyarrow", batch_size=batch_size,
                         concurrency=model_concurrency)
-    if dedup:
-        ds = dedup_stage(ds, num_buckets)
-    ds = conversation_stage(ds, num_buckets, cfg)
+    ds = conversation_stage(ds, num_buckets, cfg, marks=marks,
+                            extra_fields=extra_fields)
     ds = ds.map_batches(finalize_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(make_scrub_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)

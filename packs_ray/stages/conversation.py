@@ -1,5 +1,5 @@
-"""Conversation shuffle stage: restore (conv_id, turn_idx) order and apply
-role-sequence validity.
+"""Conversation shuffle stage: restore (conv_id, turn_idx) order, apply
+role-sequence validity, and absorb duplicate marks.
 
 Scale design (SURVEY.md §7.3): instead of one reducer per conversation
 (per-tiny-group Python overhead; a mega-conversation = one hot reducer),
@@ -9,6 +9,13 @@ vectorized pandas frame: sort by (conv_id, turn_idx) (stable), lag the
 role column once, and mask cross-conversation boundaries.  Semantics are
 exact for every conversation regardless of gaps/duplicate turn_idx; skew
 is bounded by ``max_conv_turns + n/num_buckets`` rows per bucket.
+
+Duplicate marks from :func:`packs_ray.stages.dedup.dedup_marks` ride the
+same shuffle: mark rows (``__dup=1``) are unioned with the main rows
+(``__dup=0``) under one normalized schema, land in the same conversation
+bucket as the row they mark (same salted hash), and the
+``exact_duplicate`` bit is OR-ed in with a vectorized merge — so the
+full text payload shuffles exactly once in the whole pipeline.
 
 Skew salting for pathological mega-conversations (north rule): rows with
 ``turn_idx >= cfg.salt_segment_size`` are salted into per-segment buckets
@@ -30,33 +37,168 @@ import pandas as pd
 import pyarrow as pa
 
 from packs_ray.config import DEFAULT_CONFIG, RULE_BIT, FilterConfig
+from packs_ray.stages.dedup import content_hash128
 
 _PREV_OK = frozenset({"assistant", "tool"})
 
+#: base fields of the normalized exchange schema for the conversation
+#: shuffle (input_hint columns + stage outputs + dedup-mark carriers);
+#: extra user columns ride through between the stage outputs and helpers
+_BASE_FIELDS = [
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("rule_bits", pa.int64()),
+    ("lang", pa.string()),
+    ("bits_per_byte", pa.float64()),
+]
+_HELPER_FIELDS = [
+    ("__mk", pa.int64()),
+    ("__k", pa.int64()),
+    ("__dup", pa.int8()),
+    ("bucket", pa.int64()),
+]
 
-def add_conv_bucket(num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG):
-    """Batch fn adding the shuffle key ``bucket`` (int64)."""
+
+def conv_schema(extra_fields=()) -> pa.Schema:
+    """Exchange schema: base + passthrough extras + shuffle helpers."""
+    fields = list(_BASE_FIELDS)
+    known = {n for n, _ in _BASE_FIELDS} | {n for n, _ in _HELPER_FIELDS}
+    for f in extra_fields:
+        if f.name not in known:
+            fields.append((f.name, f.type))
+    return pa.schema(fields + _HELPER_FIELDS)
+
+
+def _salted_bucket(conv: np.ndarray, turn_idx, num_buckets: int, K: int) -> np.ndarray:
+    h = pd.util.hash_array(conv)
+    ti = np.asarray(turn_idx)
+    ti = np.nan_to_num(ti.astype(np.float64), nan=0.0).astype(np.int64)
+    seg = np.maximum(ti, 0) // K
+    salted = h ^ (seg.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return (salted % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _mark_key(conv: np.ndarray, turn_idx, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Single 64-bit row-identity key mixing conversation, turn index and
+    the 128-bit content hash; marks match rows on this within one bucket
+    (collision odds ~bucket_rows²/2^64, negligible)."""
+    ch = pd.util.hash_array(conv)
+    ti = np.asarray(turn_idx)
+    ti = np.nan_to_num(ti.astype(np.float64), nan=-1.0).astype(np.int64)
+    mk = (ch * np.uint64(0x9E3779B97F4A7C15)
+          ^ ti.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+          ^ h1.view(np.uint64) ^ (h2.view(np.uint64) >> np.uint64(1)))
+    return mk.view(np.int64)
+
+
+def add_conv_bucket(num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG,
+                    with_marks: bool = False, schema: pa.Schema | None = None):
+    """Batch fn normalizing main rows to the exchange schema with the
+    shuffle key."""
     K = cfg.salt_segment_size
+    CONV_SCHEMA = schema if schema is not None else conv_schema()
 
     def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         conv = batch.column("conv_id").to_numpy(zero_copy_only=False).astype(object)
-        h = pd.util.hash_array(conv)
-        ti = batch.column("turn_idx").to_numpy(zero_copy_only=False)
-        ti = np.nan_to_num(ti.astype(np.float64), nan=0.0).astype(np.int64)
-        seg = np.maximum(ti, 0) // K
-        salted = h ^ (seg.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        bucket = (salted % np.uint64(num_buckets)).astype(np.int64)
-        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        bucket = _salted_bucket(conv, batch.column("turn_idx").to_numpy(
+            zero_copy_only=False), num_buckets, K)
+        cols = {}
+        for f in CONV_SCHEMA:
+            if f.name == "bucket":
+                cols[f.name] = pa.array(bucket, type=pa.int64())
+            elif f.name == "__dup":
+                cols[f.name] = pa.array(np.zeros(n, dtype=np.int8), type=pa.int8())
+            elif f.name == "__k":
+                cols[f.name] = pa.nulls(n, pa.int64())
+            elif f.name == "__mk":
+                pass  # filled below
+            elif f.name in batch.column_names:
+                cols[f.name] = batch.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        if with_marks:
+            text = batch.column("text").to_numpy(zero_copy_only=False).astype(object)
+            role = batch.column("role").to_numpy(zero_copy_only=False).astype(object)
+            h1, h2 = content_hash128(role, text)
+            ti = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+            cols["__mk"] = pa.array(_mark_key(conv, ti, h1, h2), type=pa.int64())
+        else:
+            cols["__mk"] = pa.nulls(n, pa.int64())
+        return pa.table({f.name: cols[f.name] for f in CONV_SCHEMA})
 
     return fn
 
 
-def process_conv_bucket(group: pd.DataFrame, salt_k: int = DEFAULT_CONFIG.salt_segment_size) -> pd.DataFrame:
-    """Vectorized per-bucket: stable (conv_id, turn_idx) sort + role lag."""
-    g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+def align_marks(num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG,
+                schema: pa.Schema | None = None):
+    """Batch fn normalizing dedup-mark rows to the exchange schema."""
+    K = cfg.salt_segment_size
+    CONV_SCHEMA = schema if schema is not None else conv_schema()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False).astype(object)
+        bucket = _salted_bucket(conv, batch.column("turn_idx").to_numpy(
+            zero_copy_only=False), num_buckets, K)
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").to_numpy(zero_copy_only=False)
+        ti = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        mk = _mark_key(conv, ti, h1, h2)
+        cols = {}
+        for f in CONV_SCHEMA:
+            if f.name == "bucket":
+                cols[f.name] = pa.array(bucket, type=pa.int64())
+            elif f.name == "__dup":
+                cols[f.name] = pa.array(np.ones(n, dtype=np.int8), type=pa.int8())
+            elif f.name == "__k":
+                cols[f.name] = batch.column("k").cast(pa.int64())
+            elif f.name == "__mk":
+                cols[f.name] = pa.array(mk, type=pa.int64())
+            elif f.name in ("conv_id", "turn_idx"):
+                cols[f.name] = batch.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table({f.name: cols[f.name] for f in CONV_SCHEMA})
+
+    return fn
+
+
+def process_conv_bucket(group: pd.DataFrame,
+                        salt_k: int = DEFAULT_CONFIG.salt_segment_size) -> pd.DataFrame:
+    """Vectorized per-bucket: absorb dup marks, stable (conv_id, turn_idx)
+    sort, role lag."""
+    helper_cols = ("__mk", "__k", "__dup")
+    if len(group) == 0:
+        return group.drop(columns=[c for c in helper_cols if c in group.columns])
+    marks = None
+    if "__dup" in group.columns:
+        is_mark = group["__dup"].to_numpy() == 1
+        if is_mark.any():
+            marks = group.loc[is_mark, ["__mk", "__k"]]
+            group = group.loc[~is_mark].copy()
+            # null-filled mark rows made int columns float; restore
+            group["rule_bits"] = group["rule_bits"].astype(np.int64)
+
+    g = group
+    if marks is not None and len(g):
+        g = g.merge(marks.rename(columns={"__k": "__kk"}), how="left", on="__mk")
+        kk = g["__kk"].fillna(0).to_numpy(dtype=np.int64)
+        # mark the last k occurrences of each exact key (identical-twin rows)
+        occ_desc = g.groupby("__mk", sort=False).cumcount(ascending=False).to_numpy()
+        dup_mask = occ_desc < kk
+        g = g.drop(columns="__kk")
+        g["rule_bits"] = (g["rule_bits"].to_numpy()
+                          | dup_mask.astype(np.int64) * RULE_BIT["exact_duplicate"])
+
+    g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
     n = len(g)
     if n == 0:
-        return g
+        return g.drop(columns=[c for c in helper_cols if c in g.columns])
     role = g["role"].to_numpy(dtype=object)
     conv = g["conv_id"].to_numpy(dtype=object)
     prev_role = np.roll(role, 1)
@@ -77,12 +219,22 @@ def process_conv_bucket(group: pd.DataFrame, salt_k: int = DEFAULT_CONFIG.salt_s
     violation &= ~(seg_head & (seg > 0))
     bits = g["rule_bits"].to_numpy()
     g["rule_bits"] = bits | violation.astype(np.int64) * RULE_BIT["tool_without_assistant"]
-    return g
+    return g.drop(columns=[c for c in helper_cols if c in g.columns])
 
 
-def conversation_stage(ds, num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG):
-    """groupby(bucket) → vectorized per-bucket role-sequence + ordering."""
-    ds = ds.map_batches(add_conv_bucket(num_buckets, cfg), batch_format="pyarrow")
+def conversation_stage(ds, num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG,
+                       marks=None, extra_fields=()):
+    """groupby(bucket) → vectorized per-bucket role-sequence + ordering,
+    with optional dedup marks riding the same shuffle.  ``extra_fields``:
+    pyarrow fields of passthrough user columns beyond the input_hint
+    schema (they ride the shuffle unchanged)."""
+    with_marks = marks is not None
+    schema = conv_schema(extra_fields)
+    ds = ds.map_batches(add_conv_bucket(num_buckets, cfg, with_marks, schema),
+                        batch_format="pyarrow")
+    if with_marks:
+        ds = ds.union(marks.map_batches(align_marks(num_buckets, cfg, schema),
+                                        batch_format="pyarrow"))
     salt_k = cfg.salt_segment_size
     return ds.groupby("bucket").map_groups(
         lambda g: process_conv_bucket(g, salt_k), batch_format="pandas")
