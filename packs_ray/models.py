@@ -118,16 +118,29 @@ class PerplexityModel:
         out = np.zeros(n, dtype=np.float64)
         if len(data) < 2:
             return out
-        # bigram logp for every adjacent byte pair in the concatenated data
-        lp = self.logp[data[:-1].astype(np.intp), data[1:].astype(np.intp)]
-        # prefix-sum per row via reduceat on [start, end-1) spans
+        # bigram logp for every adjacent byte pair in the concatenated
+        # data: ONE flat uint16 index (hi byte << 8 | lo byte) gathered
+        # from the flattened table — no int64 casts, no 2-d fancy index
+        idx = (data[:-1].astype(np.uint16) << np.uint16(8)) | data[1:]
+        nlp = len(idx)
+        lp = np.empty(nlp + 1, dtype=np.float64)  # +1 dummy slot: keeps the
+        lp[-1] = 0.0                              # last reduceat end in range
+        np.take(self.logp.ravel(), idx, out=lp[:-1])
+        # per-row sums over [start, end) bigram spans via one reduceat pass
+        # (pairs interleaved; the inter-pair gap segments land at odd slots
+        # and are discarded) — replaces a full-length cumsum
         lens = offsets[1:] - offsets[:-1]
         valid = lens >= 2
         if not valid.any():
             return out
         starts = offsets[:-1][valid]
         ends = (offsets[1:][valid] - 1)
-        csum = np.concatenate([[0.0], np.cumsum(lp)])
-        sums = csum[ends] - csum[starts]
+        pairs = np.empty(2 * len(starts), dtype=np.int64)
+        pairs[0::2] = starts
+        pairs[1::2] = ends
+        sums = np.add.reduceat(lp, pairs)[0::2]
+        # a row whose span ends at the very last bigram contributes the
+        # dummy slot too when reduceat runs to the array end; subtract none
+        # (dummy is 0.0), so sums are exact
         out[valid] = -sums / (lens[valid] - 1)
         return out
