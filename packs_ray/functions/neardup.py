@@ -68,9 +68,26 @@ def minhash_signatures(ds, id_col: str, text_col: str, num_perm: int = 64,
     def fn(batch: pa.Table) -> pa.Table:
         av, bv = ray.get(aref)
         texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-        sigs = np.stack([
-            _minhash_sig(_shingle_hashes(t, shingle), av, bv) for t in texts
-        ]) if len(texts) else np.zeros((0, num_perm), dtype=np.uint64)
+        n = len(texts)
+        sigs = np.zeros((n, num_perm), dtype=np.uint64)
+        hs_list = [_shingle_hashes(t, shingle) for t in texts]
+        lens = np.array([len(h) for h in hs_list], dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        # permute whole row-chunks at once: one (num_perm, chunk_shingles)
+        # universal-hash matrix + min.reduceat per row — no per-row loop,
+        # bounded temporary regardless of batch size
+        start = 0
+        while start < len(nz):
+            end, tot = start, 0
+            while end < len(nz) and tot < 32_768:
+                tot += lens[nz[end]]
+                end += 1
+            rows = nz[start:end]
+            x = np.concatenate([hs_list[i] for i in rows]) & np.uint64(0xFFFFFFFF)
+            vals = (av[:, None] * x[None, :] + bv[:, None]) % _PRIME
+            offs = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
+            sigs[rows] = np.minimum.reduceat(vals, offs, axis=1).T
+            start = end
         cols = {id_col: batch.column(id_col)}
         for bi in range(n_bands):
             band = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
