@@ -213,6 +213,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = global_agg(out, partial, lambda p: {c: int(p[c].sum()) for c in p.columns})
         return pd.DataFrame([{"metric": k, "n": v} for k, v in agg.items()])
 
+    def mode_mktsegment(sf):
+        from packs_ray.functions.agg import keyed_count
+
+        counts = keyed_count(_ds(sf, "customer", ["c_mktsegment"]), ["c_mktsegment"])
+        df = counts.to_pandas()
+        return (df.sort_values(["cnt", "c_mktsegment"], ascending=[False, True])
+                .head(1).reset_index(drop=True))
+
+    def head_sample_orders(sf):
+        return _ds(sf, "orders", ["o_orderkey"]).limit(1000)
+
+    def duplicate_rows_export(sf):
+        import pandas as pd
+
+        out = duplicates.duplicate_rows(
+            _ds(sf, "documents", ["doc_id", "text"]), ["text"], export_cap=10_000
+        ).select_columns(["doc_id"]).to_pandas()
+        if out.empty:  # empty Dataset→pandas loses schema; restore it
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return out
+
+    def checks_suite_orders(sf):
+        from packs_ray.functions.checks import run_checks
+
+        return run_checks(_ds(sf, "orders"), [
+            {"type": "row_count_min", "min": 1000},
+            {"type": "not_null", "column": "o_custkey"},
+            {"type": "values_between", "column": "o_totalprice",
+             "min": 0.0, "max": 600_000.0},
+            {"type": "values_in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"type": "unique", "column": "o_orderkey"},
+        ])
+
+    def decimal_precision_lineitem(sf):
+        from packs_ray.functions.accuracy import decimal_precision
+
+        return decimal_precision(
+            _ds(sf, "lineitem", ["l_discount", "l_tax"]), ["l_discount", "l_tax"])
+
+    def ngram_jaccard_documents(sf):
+        return neardup.ngram_jaccard_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            threshold=0.5, max_rows=500)
+
+    def media_video_frames(sf):
+        import ray.data
+
+        media = ray.data.from_arrow(multimodal.synth_media_table(128))
+        return multimodal.video_frames(media)
+
     def media_image_features(sf):
         import ray.data
 
@@ -254,8 +305,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outliers_lineitem": knn_outliers_lineitem,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "transcripts_filter_summary": transcripts_filter_summary,
+        "mode_mktsegment": mode_mktsegment,
+        "head_sample_orders": head_sample_orders,
+        "duplicate_rows_export": duplicate_rows_export,
+        "checks_suite_orders": checks_suite_orders,
+        "decimal_precision_lineitem": decimal_precision_lineitem,
+        "ngram_jaccard_documents": ngram_jaccard_documents,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
+        "media_video_frames": media_video_frames,
     }
 
 
@@ -480,4 +538,33 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
+        "mode_mktsegment":
+            "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer "
+            "GROUP BY 1 ORDER BY cnt DESC, c_mktsegment LIMIT 1",
+        "head_sample_orders":
+            "SELECT o_orderkey FROM orders LIMIT 1000",
+        "duplicate_rows_export":
+            "SELECT doc_id FROM documents WHERE text IN "
+            "(SELECT text FROM documents GROUP BY text HAVING count(*) > 1)",
+        "checks_suite_orders": """
+    WITH agg AS (SELECT count(*) AS rows_n,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS v2,
+        sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v3
+        FROM orders),
+    dup AS (SELECT coalesce(sum(c - 1), 0) AS v4 FROM
+            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+    checks AS (
+        SELECT 0 AS check_id, 'row_count_min' AS type, '__table__' AS "column",
+               rows_n::BIGINT AS observed, rows_n >= 1000 AS passed FROM agg
+        UNION ALL SELECT 1, 'not_null', 'o_custkey', v1::BIGINT, v1 = 0 FROM agg
+        UNION ALL SELECT 2, 'values_between', 'o_totalprice', v2::BIGINT, v2 = 0 FROM agg
+        UNION ALL SELECT 3, 'values_in_set', 'o_orderstatus', v3::BIGINT, v3 = 0 FROM agg
+        UNION ALL SELECT 4, 'unique', 'o_orderkey', v4::BIGINT, v4 = 0 FROM dup)
+    SELECT * FROM checks
+    UNION ALL
+    SELECT -1, '__score__', '__dataset__',
+           (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) FROM checks)::BIGINT,
+           (SELECT bool_and(passed) FROM checks)
+    """,
     }

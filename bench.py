@@ -8,10 +8,12 @@ prints ONE JSON line:
     {"metric": "...", "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
 
-``--scaling`` re-runs the plain bench in fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (the sandbox two-cluster-size
-protocol; see BASELINE.md).
+``--scaling`` is the sandbox two-cluster-size protocol (see BASELINE.md):
+it re-runs the headline pipeline (only) in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the SAME larger input
+(``$GRAFT_SCALING_TURNS`` turns, default 1M — big enough that fixed
+session overhead doesn't mask parallel speedup) and reports both
+throughputs + scaling efficiency.
 """
 
 from __future__ import annotations
@@ -29,9 +31,12 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 def _run_scaling() -> None:
+    n = int(os.environ.get("GRAFT_SCALING_TURNS", "4000000"))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_N_TURNS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--headline-only"], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -40,9 +45,10 @@ def _run_scaling() -> None:
     hi = run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     print(json.dumps({
+        "n_turns": n,
         "sec_8": lo["value"], "sec_32": hi["value"],
         "turns_per_sec_8": lo["turns_per_sec"], "turns_per_sec_32": hi["turns_per_sec"],
-        "scaling_efficiency": round(eff, 3), "sf_dir": SF_DIR,
+        "scaling_efficiency": round(eff, 3),
     }))
 
 
@@ -61,11 +67,17 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     import __ray_entry__ as entrymod
+    from packs_ray.gen import transcripts_path
     from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    n_turns = max(int(2_000_000 * sf), 10_000)
-    inp = entrymod._transcripts(SF_DIR)  # cached generation, untimed
+    n_env = os.environ.get("GRAFT_N_TURNS")
+    if n_env:
+        n_turns = int(n_env)
+        inp = transcripts_path(n_turns)  # cached generation, untimed
+    else:
+        n_turns = max(int(2_000_000 * sf), 10_000)
+        inp = entrymod._transcripts(SF_DIR)
 
     # headline: full filter+scrub pipeline, consumed via write_parquet
     out_dir = f"/tmp/packs_ray_bench/out_{NCPU}"
@@ -76,22 +88,23 @@ def main() -> None:
     run_filter_pipeline(inp).write_parquet(out_dir)
     headline = time.time() - t0
 
-    # representative operator queries over the sf tables
-    qs = entrymod.queries()
-    bench_queries = [
-        "dedup_exact_documents", "duplicates_documents", "token_counts_documents",
-        "quality_scores_documents", "ann_bruteforce_embeddings",
-        "events_per_window", "sessionize_events", "profile_stats_lineitem",
-        "fk_orphans_orders", "minhash_pairs_documents",
-    ]
     timings: dict[str, float] = {}
-    for name in bench_queries:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume lazily-returned datasets
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        timings[name] = round(time.time() - t0, 3)
+    if "--headline-only" not in sys.argv:
+        # representative operator queries over the sf tables
+        qs = entrymod.queries()
+        bench_queries = [
+            "dedup_exact_documents", "duplicates_documents", "token_counts_documents",
+            "quality_scores_documents", "ann_bruteforce_embeddings",
+            "events_per_window", "sessionize_events", "profile_stats_lineitem",
+            "fk_orphans_orders", "minhash_pairs_documents",
+        ]
+        for name in bench_queries:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume lazily-returned datasets
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            timings[name] = round(time.time() - t0, 3)
 
     print(json.dumps({
         "metric": "flagship filter+scrub wall time on synthetic transcripts",

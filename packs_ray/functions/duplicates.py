@@ -42,6 +42,43 @@ def duplicate_metrics(ds, key_cols: list[str]) -> pd.DataFrame:
     }])
 
 
+def duplicate_rows(ds, key_cols: list[str], export_cap: int = 10_000):
+    """Full rows whose key appears more than once — the reference's
+    dup-keys inner join-back export (duplicates_finder_pack/main.py:60-84,
+    head-capped at 10k like :12).  The join is a broadcast semi-join:
+    duplicated keys (≤ export_cap of them, collected via the partial-count
+    shuffle) are shipped once via ray.put and each batch filters locally —
+    no full-row shuffle.  Returns a lazy Dataset (capped)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    counts = keyed_count(ds, key_cols)
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("cnt"), 1))
+
+    dup_keys = counts.map_batches(only_dups, batch_format="pyarrow") \
+        .limit(export_cap).to_pandas()
+    if dup_keys.empty:
+        return ds.limit(0)
+    if len(dup_keys) >= export_cap:
+        print(f"duplicate_rows: duplicated-key set hit export_cap={export_cap}; "
+              "export truncated")
+    keyset_ref = ray.put(set(map(tuple, dup_keys[key_cols].itertuples(index=False))))
+
+    def filter_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keyset = ray.get(keyset_ref)
+        cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+        mask = np.fromiter((t in keyset for t in zip(*cols)), dtype=bool,
+                           count=len(batch))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filter_rows, batch_format="pyarrow").limit(export_cap)
+
+
 def dedup_exact(ds, key_cols: list[str], order_col: str,
                 num_partitions: int | None = None):
     """Exact dedup: keep the row with min(order_col) per key group.

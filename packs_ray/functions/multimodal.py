@@ -97,6 +97,38 @@ class AudioFeatureStage:
         })
 
 
+class VideoFrameSampleStage:
+    """Actor stage: sample ``n_frames`` evenly-spaced frames per video and
+    emit one row per (media_id, frame_idx, frame_ms) with thumbnail mean
+    features.  STUB decode (PyAV in production); the fan-out row layout,
+    byte-budgeted batches and actor signature are the real plumbing."""
+
+    def __init__(self, n_frames: int = 4) -> None:
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        durs = batch.column("duration_ms").to_numpy(zero_copy_only=False)
+        out_id, out_fi, out_ms, out_mean = [], [], [], []
+        for i, p in enumerate(payloads):
+            dur = max(int(durs[i]), 1)
+            for fi in range(self.n_frames):
+                ms = (dur * fi) // self.n_frames
+                # STUB: hash-derived frame; production decodes frame at `ms`
+                px = _decode_image(p + ms.to_bytes(4, "little"), 8, 8)
+                out_id.append(int(ids[i]))
+                out_fi.append(fi)
+                out_ms.append(ms)
+                out_mean.append(float(px.mean()))
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_fi, type=pa.int32()),
+            "frame_ms": pa.array(out_ms, type=pa.int32()),
+            "frame_mean": pa.array(np.round(out_mean, 4), type=pa.float64()),
+        })
+
+
 def _kind_filter(kind: str):
     import pyarrow.compute as pc
 
@@ -116,3 +148,10 @@ def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):
     aud = ds.map_batches(_kind_filter("audio"), batch_format="pyarrow")
     return aud.map_batches(AudioFeatureStage, batch_format="pyarrow",
                            batch_size=batch_size, concurrency=concurrency)
+
+
+def video_frames(ds, n_frames: int = 4, batch_size: int = 16, concurrency=(1, 4)):
+    vid = ds.map_batches(_kind_filter("video"), batch_format="pyarrow")
+    return vid.map_batches(VideoFrameSampleStage, fn_constructor_args=(n_frames,),
+                           batch_format="pyarrow", batch_size=batch_size,
+                           concurrency=concurrency)

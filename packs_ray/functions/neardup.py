@@ -207,6 +207,48 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, shingle: int = 5,
+                        threshold: float = 0.5, max_rows: int = 20_000) -> pd.DataFrame:
+    """EXACT all-pairs character-n-gram Jaccard ≥ threshold (the
+    brute-force baseline the LSH variant approximates).  Shingling is
+    distributed; the pairwise intersection runs on the driver over the
+    collected (id, sorted-shingle-array) sketches and is O(n²) — capped
+    at ``max_rows`` rows (excess is dropped WITH a printed notice; use
+    minhash_lsh_pairs as the scale path)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        sh = [_shingle_hashes(t, shingle) for t in texts]
+        return pa.table({id_col: batch.column(id_col),
+                         "sh": pa.array([s.tolist() for s in sh],
+                                        type=pa.list_(pa.uint64()))})
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow").take(max_rows + 1)
+    if len(rows) > max_rows:
+        print(f"ngram_jaccard_pairs: input exceeds max_rows={max_rows}; "
+              f"truncated (use minhash_lsh_pairs at scale)")
+        rows = rows[:max_rows]
+    ids = [r[id_col] for r in rows]
+    shs = [np.asarray(r["sh"], dtype=np.uint64) for r in rows]
+    out_a, out_b, out_j = [], [], []
+    for i in range(len(ids)):
+        A = shs[i]
+        for j in range(i + 1, len(ids)):
+            B = shs[j]
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(jac, 4))
+    return (pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                          "id_b": pd.Series(out_b, dtype="int64"),
+                          "jaccard": pd.Series(out_j, dtype="float64")})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def simhash64(ds, id_col: str, text_col: str, shingle: int = 4):
     """Lazy Dataset of (id, simhash:int64, bucket sub-bands b0..b3)."""
 

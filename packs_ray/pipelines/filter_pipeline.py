@@ -38,12 +38,25 @@ def build_filter_pipeline(
     cfg: FilterConfig = DEFAULT_CONFIG,
     *,
     num_buckets: int | None = None,
-    model_concurrency=(1, 8),
+    model_concurrency=None,
     batch_size: int = 16_384,
     dedup: bool | None = None,
 ) -> "ray.data.Dataset":
     """Assemble the lazy flagship pipeline over an input Dataset."""
     dedup = cfg.dedup_exact if dedup is None else dedup
+    if model_concurrency is None:
+        # autoscaling actor pool; min 1 so tiny runs don't pay multi-actor
+        # spawn cost, max capped at 8 per stage — actor spawn is expensive
+        # relative to per-batch work here, and two pools × 8 actors already
+        # saturate the per-stage share of a node (measured: larger pools
+        # spawn-thrash and anti-scale)
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        model_concurrency = (1, min(8, cpus))
     if num_buckets is None:
         # sized from the (cheap, metadata-estimated) input volume so tiny
         # inputs don't fan every shuffle into thousands of empty buckets

@@ -15,9 +15,8 @@ import os
 
 # ~4x is a typical parquet→Arrow in-memory expansion for mixed columns
 MEM_FACTOR = 4
-TARGET_BLOCK_BYTES = 4 << 20        # in-memory target per block: small enough
-                                    # that a few-MB input still fans out over
-                                    # the pool for compute-heavy stages
+PARALLEL_BLOCK_BYTES = 1 << 20      # in-memory floor per block when fanning
+                                    # out a small input across the pool
 SMALL_INPUT_BYTES = 256 << 20       # on-disk; above this, defer to Ray
 
 
@@ -34,13 +33,23 @@ def _disk_bytes(path) -> int:
     return total
 
 
-def read_parquet_sized(path, *, columns=None, target_block_bytes: int = TARGET_BLOCK_BYTES,
+def read_parquet_sized(path, *, columns=None,
+                       parallel_block_bytes: int = PARALLEL_BLOCK_BYTES,
                        **kwargs):
-    """``ray.data.read_parquet`` with a block count sized to the input."""
+    """``ray.data.read_parquet`` with a block count sized to the input:
+    enough blocks to keep the pool busy (capped at 4×CPUs), but never the
+    thousands of near-empty blocks Ray's 2×CPU default creates for tiny
+    files."""
+    import ray
     import ray.data
 
     disk = _disk_bytes(path)
     if 0 < disk < SMALL_INPUT_BYTES and "override_num_blocks" not in kwargs:
-        blocks = max(1, (disk * MEM_FACTOR) // target_block_bytes)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        mem = disk * MEM_FACTOR
+        blocks = max(1, min(4 * cpus, mem // parallel_block_bytes))
         kwargs["override_num_blocks"] = int(blocks)
     return ray.data.read_parquet(path, columns=columns, **kwargs)
