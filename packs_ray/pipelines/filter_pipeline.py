@@ -27,7 +27,7 @@ from packs_ray.stages.conversation import conversation_stage
 from packs_ray.stages.dedup import dedup_marks
 from packs_ray.stages.finalize import drop_helper_columns, finalize_batch
 from packs_ray.stages.heuristics import make_heuristics_fn
-from packs_ray.stages.model_stages import LangIdStage, PerplexityStage
+from packs_ray.stages.model_stages import QualityModelStage
 from packs_ray.stages.scrub import make_scrub_fn
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -45,18 +45,21 @@ def build_filter_pipeline(
     """Assemble the lazy flagship pipeline over an input Dataset."""
     dedup = cfg.dedup_exact if dedup is None else dedup
     if model_concurrency is None:
-        # autoscaling actor pool; min 1 so tiny runs don't pay multi-actor
-        # spawn cost, max capped at 8 per stage — actor spawn is expensive
-        # relative to per-batch work here, and two pools × 8 actors already
-        # saturate the per-stage share of a node (measured: larger pools
-        # spawn-thrash and anti-scale)
-        import ray
+        # One fused model pool.  For real volumes the pool is FIXED at
+        # ~3/4 of the cluster: all actors spawn in one parallel import
+        # wave at pipeline start, then run at steady state — autoscaling
+        # from min=1 spawns actors mid-stream, and each spawn stalls the
+        # pipeline on this class of host (measured 2× wall-time noise).
+        # Tiny inputs keep a small autoscaling pool so unit-test runs
+        # don't pay a 24-actor spawn wave.
+        from packs_ray.functions.agg import _est_bytes_and_cpus
 
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        model_concurrency = (1, min(8, cpus))
+        nbytes, cpus = _est_bytes_and_cpus(ds)
+        if nbytes < (256 << 20):
+            model_concurrency = (1, min(8, cpus))
+        else:
+            # never demand more actors than the cluster can schedule
+            model_concurrency = max(1, min(cpus - 1, (cpus * 3) // 4))
     if num_buckets is None:
         # sized from the (cheap, metadata-estimated) input volume so tiny
         # inputs don't fan every shuffle into thousands of empty buckets
@@ -83,10 +86,7 @@ def build_filter_pipeline(
 
     ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)
-    ds = ds.map_batches(LangIdStage, fn_constructor_args=(cfg,),
-                        batch_format="pyarrow", batch_size=batch_size,
-                        concurrency=model_concurrency)
-    ds = ds.map_batches(PerplexityStage, fn_constructor_args=(cfg,),
+    ds = ds.map_batches(QualityModelStage, fn_constructor_args=(cfg,),
                         batch_format="pyarrow", batch_size=batch_size,
                         concurrency=model_concurrency)
     ds = conversation_stage(ds, num_buckets, cfg, marks=marks,

@@ -57,3 +57,18 @@ class PerplexityStage:
         batch = batch.append_column("bits_per_byte",
                                     pa.array(np.round(bpb, 4), type=pa.float64()))
         return _or_bits(batch, bits)
+
+
+class QualityModelStage:
+    """Fused langid + perplexity actor: both models built once per actor,
+    one batch pass, one pool.  Two separate pools halved utilization on a
+    shared node (each capped pool starves while the other's queue grows);
+    a single fused pool keeps every actor busy and removes one
+    inter-stage object-store hop per block."""
+
+    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG) -> None:
+        self.langid = LangIdStage(cfg)
+        self.ppl = PerplexityStage(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.ppl(self.langid(batch))
