@@ -18,6 +18,8 @@ import pandas as pd
 
 import ray
 
+from packs_ray.stages.util import round_half_away as _r
+
 
 def _column_values(ds, column: str) -> np.ndarray:
     return np.concatenate([
@@ -79,6 +81,6 @@ def compare_datasets(source_ds, target_ds, id_cols: list[str],
     return pd.DataFrame([{
         "source_rows": source_rows, "target_rows": target_rows,
         "rows_in_common": common, "rows_mismatched": mism,
-        "precision": round(precision, 4), "recall": round(recall, 4),
-        "f1": round(f1, 4),
+        "precision": float(_r(precision, 4)), "recall": float(_r(recall, 4)),
+        "f1": float(_r(f1, 4)),
     }])

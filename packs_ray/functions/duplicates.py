@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 
 from packs_ray.functions.agg import global_agg, keyed_count
+from packs_ray.stages.util import round_half_away as _r
 
 
 def duplicate_metrics(ds, key_cols: list[str]) -> pd.DataFrame:
@@ -37,8 +38,8 @@ def duplicate_metrics(ds, key_cols: list[str]) -> pd.DataFrame:
     rate = dups / rows if rows else 0.0
     return pd.DataFrame([{
         "total_rows": rows, "duplicate_rows": dups, "distinct_count": groups,
-        "duplicate_percent": round(rate, 4),
-        "score": max(0.0, 1 - round(rate, 2)),
+        "duplicate_percent": float(_r(rate, 4)),
+        "score": max(0.0, 1 - float(_r(rate, 2))),
     }])
 
 

@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray
 
 from packs_ray.functions.agg import global_agg
+from packs_ray.stages.util import round_half_away as _r
 
 
 def _key_tuples(batch: pa.Table, cols: list[str]) -> np.ndarray:
@@ -60,6 +61,6 @@ def fk_orphans(child_ds, child_keys: list[str], parent_ds,
     total, orphans = agg["total"], agg["orphans"]
     return pd.DataFrame([{
         "child_rows": total, "orphan_rows": orphans,
-        "orphan_percent": round(orphans / total, 4) if total else 0.0,
+        "orphan_percent": float(_r(orphans / total, 4)) if total else 0.0,
         "score": max(0.0, 1 - (orphans / total if total else 0.0)),
     }])

@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from packs_ray.functions.agg import global_agg
+from packs_ray.stages.util import round_half_away as _r
 
 
 def completeness(ds, columns: list[str]) -> pd.DataFrame:
@@ -77,14 +78,14 @@ def numeric_column_stats(ds, column: str, percentiles=(10, 25, 75, 90)) -> pd.Da
         for b in ds.select_columns([column]).iter_batches(
             batch_size=65536, batch_format="pyarrow")
     ]) if agg["count_"] else np.array([])
-    pcts = {f"p{p}": (round(float(np.percentile(vals, p)), 4) if len(vals) else None)
+    pcts = {f"p{p}": (float(_r(np.percentile(vals, p), 4)) if len(vals) else None)
             for p in percentiles}
 
     row = {"column": column, "n": agg["count_"],
-           "mean_value": round(agg["mean_"], 4),
-           "std_samp": round(agg["std_samp"], 4),
-           "std_pop": round(agg["std_pop"], 4),
-           "min_value": round(agg["min_"], 4), "max_value": round(agg["max_"], 4),
+           "mean_value": float(_r(agg["mean_"], 4)),
+           "std_samp": float(_r(agg["std_samp"], 4)),
+           "std_pop": float(_r(agg["std_pop"], 4)),
+           "min_value": float(_r(agg["min_"], 4)), "max_value": float(_r(agg["max_"], 4)),
            **pcts}
     return pd.DataFrame([row])
 

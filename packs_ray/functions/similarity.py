@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray
 
+from packs_ray.stages.util import round_half_away as _r
+
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
@@ -43,7 +45,7 @@ def brute_force_topk(ds, id_col: str, emb_col: str, query: np.ndarray,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         top = np.argsort(-cos, kind="stable")[:k]
         return pa.table({id_col: pa.array(ids[top]),
-                         "cosine": pa.array(np.round(cos[top], 6), type=pa.float64())})
+                         "cosine": pa.array(_r(cos[top], 6), type=pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.sort_values(["cosine", id_col], ascending=[False, True],
@@ -87,7 +89,7 @@ def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
         cos = (mm @ qv) / np.where(norms > 0, norms, 1.0)
         top = np.argsort(-cos, kind="stable")[:k]
         return pa.table({id_col: pa.array(ids[top]),
-                         "cosine": pa.array(np.round(cos[top], 6), type=pa.float64())})
+                         "cosine": pa.array(_r(cos[top], 6), type=pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return (parts.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from packs_ray.functions.agg import global_agg
 from packs_ray.models import LangIdModel
 from packs_ray.rules.patterns import NULL_PLACEHOLDERS_LOWER
-from packs_ray.stages.util import str_column
+from packs_ray.stages.util import round_half_away as _r, str_column
 
 _PLACEHOLDERS = pa.array(sorted(NULL_PLACEHOLDERS_LOWER), type=pa.string())
 
@@ -73,7 +73,7 @@ def text_validation_stats(ds, column: str, min_length: int | None = None,
             "text_mean_length": (float(p["len_sum"].sum()) / n) if n else 0.0,
             "text_length_below_min_length": below,
             "text_length_above_max_length": above,
-            "text_length_in_range_percent": round(in_range / n, 4) if n else 1.0,
+            "text_length_in_range_percent": float(_r(in_range / n, 4)) if n else 1.0,
             "empty_text_found": int(p["empty"].sum()),
             "whitespace_text_found": int(p["ws"].sum()),
             "null_placeholder_text_found": int(p["ph"].sum()),
@@ -121,7 +121,7 @@ def quality_scores(ds, id_col: str, column: str):
         len_score = np.minimum(n_chars / 200.0, 1.0)
         stop_score = np.minimum((n_stop / np.maximum(n_tok, 1.0)) / 0.4, 1.0)
         sym_score = 1.0 - np.minimum(n_sym / np.maximum(n_chars, 1.0) / 0.5, 1.0)
-        score = np.round((len_score + stop_score + sym_score) / 3.0, 4)
+        score = _r((len_score + stop_score + sym_score) / 3.0, 4)
         return pa.table({id_col: batch.column(id_col),
                          "quality_score": pa.array(score, type=pa.float64())})
 

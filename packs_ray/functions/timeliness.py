@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from packs_ray.functions.agg import global_agg
+from packs_ray.stages.util import round_half_away as _r
 
 
 def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
@@ -32,5 +33,5 @@ def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
         days = (now - latest).days if latest is not None else None
         score = max(0.0, 1 - days / 365) if days is not None else 0.0
         rows.append({"column": c, "latest_ts": latest, "days_since_latest": days,
-                     "timeliness_score": round(score, 2)})
+                     "timeliness_score": float(_r(score, 2))})
     return pd.DataFrame(rows)

@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 from packs_ray.functions.agg import global_agg
 from packs_ray.rules.patterns import BUILTIN_PATTERNS
 from packs_ray.stages.util import str_column
+from packs_ray.stages.util import round_half_away as _r
 
 
 def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
@@ -57,8 +58,8 @@ def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
         inv = agg[f"inv_{i}"]
         inv_pct = inv / total if total else 0.0
         rows.append({"column": col, "pattern": name, "invalid_count": inv,
-                     "invalid_percent": round(inv_pct, 4),
-                     "valid_percent": round(1 - inv_pct, 4)})
+                     "invalid_percent": float(_r(inv_pct, 4)),
+                     "valid_percent": float(_r(1 - inv_pct, 4))})
     return pd.DataFrame(rows)
 
 
@@ -102,6 +103,6 @@ def numeric_range(ds, rules: list[dict]) -> pd.DataFrame:
         rows.append({"column": r["column"], "n": n,
                      "below_min": agg[f"below_{i}"], "above_max": agg[f"above_{i}"],
                      "negative_count": agg[f"neg_{i}"],
-                     "in_range_percent": round((n - oob) / n, 4) if n else 1.0,
+                     "in_range_percent": float(_r((n - oob) / n, 4)) if n else 1.0,
                      "min_value": agg[f"min_{i}"], "max_value": agg[f"max_{i}"]})
     return pd.DataFrame(rows)

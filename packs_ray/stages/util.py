@@ -2,7 +2,17 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+
+def round_half_away(x, nd: int):
+    """Round half away from zero (SQL ROUND semantics; numpy/Python round
+    half-to-even, which diverges from the DuckDB oracle exactly on .5
+    boundaries of the (nd+1)-th digit)."""
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
 def str_column(batch: pa.Table, name: str) -> pa.Array:
