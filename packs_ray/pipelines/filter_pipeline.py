@@ -41,6 +41,7 @@ def build_filter_pipeline(
     model_concurrency=None,
     batch_size: int = 16_384,
     dedup: bool | None = None,
+    marks_source: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Assemble the lazy flagship pipeline over an input Dataset."""
     dedup = cfg.dedup_exact if dedup is None else dedup
@@ -81,8 +82,11 @@ def build_filter_pipeline(
     # dedup marks branch: re-reads only the narrow projection of the raw
     # input (conv_id, turn_idx, role, text) and shuffles ~40 B/row; the
     # marks are merged inside the conversation shuffle, so the full text
-    # payload shuffles exactly once in the whole pipeline
-    marks = dedup_marks(ds, num_buckets) if dedup else None
+    # payload shuffles exactly once in the whole pipeline.
+    # ``marks_source`` lets path-based callers give this branch its own
+    # column-pruned read instead of re-executing the 6-column read.
+    marks = dedup_marks(marks_source if marks_source is not None else ds,
+                        num_buckets) if dedup else None
 
     ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)
@@ -107,4 +111,8 @@ def read_transcripts(path: str | list[str]) -> "ray.data.Dataset":
 
 def run_filter_pipeline(path: str | list[str], cfg: FilterConfig = DEFAULT_CONFIG,
                         **kwargs) -> "ray.data.Dataset":
+    from packs_ray.sources.parquet import read_parquet_sized
+
+    kwargs.setdefault("marks_source", read_parquet_sized(
+        path, columns=["conv_id", "turn_idx", "role", "text"]))
     return build_filter_pipeline(read_transcripts(path), cfg, **kwargs)

@@ -80,7 +80,10 @@ def run_resumable(input_files: list[str], out_dir: str,
         from packs_ray.sources.parquet import read_parquet_sized
 
         ds = read_parquet_sized(files)
-        out = build_filter_pipeline(ds, cfg, num_buckets=num_buckets)
+        marks_src = read_parquet_sized(
+            files, columns=["conv_id", "turn_idx", "role", "text"])
+        out = build_filter_pipeline(ds, cfg, num_buckets=num_buckets,
+                                    marks_source=marks_src)
         tmp = os.path.join(out_dir, f".tmp_shard={k}")
         final = os.path.join(out_dir, f"shard={k}")
         shutil.rmtree(tmp, ignore_errors=True)
