@@ -321,6 +321,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; views pre-registered per table name)
 # --------------------------------------------------------------------------
 
+def _langid_sql() -> str:
+    """SQL replica of models.LangIdModel (same marker lists, same RE2
+    semantics, same stable argmax order en→fr→de→cjk, und on zero)."""
+    from packs_ray.models import _CJK_RANGE_RE, LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+        score_exprs.append(
+            f"length(regexp_extract_all(t, '{pat}'))::DOUBLE / tok AS {lang}")
+    return f"""
+    WITH base AS (
+        SELECT coalesce(text, '') AS t,
+            greatest(length(regexp_extract_all(coalesce(text, ''), '\\S+')), 1)::DOUBLE AS tok,
+            greatest(length(coalesce(text, '')), 1)::DOUBLE AS chars
+        FROM documents),
+    sc AS (
+        SELECT {', '.join(score_exprs)},
+            length(regexp_extract_all(t, '{_CJK_RANGE_RE}'))::DOUBLE / chars AS cjk
+        FROM base),
+    pred AS (
+        SELECT CASE
+            WHEN greatest(en, fr, de, cjk) <= 0 THEN 'und'
+            WHEN en >= fr AND en >= de AND en >= cjk THEN 'en'
+            WHEN fr >= de AND fr >= cjk THEN 'fr'
+            WHEN de >= cjk THEN 'de'
+            ELSE 'cjk' END AS predicted_lang
+        FROM sc)
+    SELECT predicted_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1
+    """
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -538,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
+        "langid_documents": _langid_sql(),
         "mode_mktsegment":
             "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer "
             "GROUP BY 1 ORDER BY cnt DESC, c_mktsegment LIMIT 1",
