@@ -72,14 +72,28 @@ def numeric_column_stats(ds, column: str, percentiles=(10, 25, 75, 90)) -> pd.Da
 
     agg = global_agg(ds, partial, combine)
 
-    # exact percentiles: stream just this column to the driver
-    vals = np.concatenate([
-        b.column(column).drop_null().to_numpy(zero_copy_only=False)
-        for b in ds.select_columns([column]).iter_batches(
-            batch_size=65536, batch_format="pyarrow")
-    ]) if agg["count_"] else np.array([])
-    pcts = {f"p{p}": (float(_r(np.percentile(vals, p), 4)) if len(vals) else None)
-            for p in percentiles}
+    # exact percentiles, distributed: histogram-refinement rank selection
+    # (no column materialization on the driver — the reference loads the
+    # whole frame, profiling_pack/main.py:386; we replicate np.percentile
+    # 'linear' == DuckDB quantile_cont exactly via the two bounding ranks)
+    n = agg["count_"]
+    if n:
+        ranks = set()
+        qpos = {}
+        for p in percentiles:
+            q = (n - 1) * (p / 100.0)
+            lo_i, hi_i = int(np.floor(q)), int(np.ceil(q))
+            ranks.update((lo_i, hi_i))
+            qpos[p] = (q, lo_i, hi_i)
+        rank_vals = _rank_select(ds, column, sorted(ranks),
+                                 agg["min_"], agg["max_"])
+        pcts = {}
+        for p in percentiles:
+            q, lo_i, hi_i = qpos[p]
+            v_lo, v_hi = rank_vals[lo_i], rank_vals[hi_i]
+            pcts[f"p{p}"] = float(_r(v_lo + (q - lo_i) * (v_hi - v_lo), 4))
+    else:
+        pcts = {f"p{p}": None for p in percentiles}
 
     row = {"column": column, "n": agg["count_"],
            "mean_value": float(_r(agg["mean_"], 4)),
@@ -88,6 +102,113 @@ def numeric_column_stats(ds, column: str, percentiles=(10, 25, 75, 90)) -> pd.Da
            "min_value": float(_r(agg["min_"], 4)), "max_value": float(_r(agg["max_"], 4)),
            **pcts}
     return pd.DataFrame([row])
+
+
+def _bin_edges(lo: float, hi: float, n_bins: int) -> np.ndarray:
+    """Deterministic bin edges with exact lo/hi endpoints."""
+    edges = lo + (hi - lo) * np.arange(n_bins + 1) / n_bins
+    edges[0], edges[-1] = lo, hi
+    return edges
+
+
+def _rank_select(ds, column: str, ranks: list[int], lo: float, hi: float,
+                 n_bins: int = 4096, gather_cap: int = 4_000_000) -> dict[int, float]:
+    """Exact values at the given 0-based sorted ranks of the column.
+
+    Iterative distributed selection: histogram the active [lo, hi) span
+    per rank (one combined scan per level, n_bins buckets), narrow each
+    rank to its bucket, and only when a bucket holds ≤ gather_cap values
+    gather that bucket to the driver for the final pick.  Depth is
+    log_{n_bins}(n / gather_cap) — ≤ 2 scans up to ~10^13 rows."""
+    # state per rank: (lo, hi, count_below_lo) with bin-index semantics
+    state = {r: [lo, hi, 0] for r in ranks}
+    out: dict[int, float] = {}
+
+    for _level in range(4):
+        active = {r: s for r, s in state.items() if r not in out}
+        if not active:
+            break
+        spans = sorted({(s[0], s[1]) for s in active.values()})
+
+        def hist_partial(batch, spans=spans):
+            col = batch.column(column).drop_null()
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            d = {}
+            for si, (slo, shi) in enumerate(spans):
+                if shi > slo:
+                    edges = _bin_edges(slo, shi, n_bins)
+                    # pure value-comparison binning: consistent across
+                    # refinement levels and with the gather predicate
+                    idx = np.searchsorted(edges, v, side="right") - 1
+                    sel = (v >= slo) & (v < shi)
+                    counts = np.bincount(np.clip(idx[sel], 0, n_bins - 1),
+                                         minlength=n_bins)
+                else:
+                    counts = np.zeros(n_bins, dtype=np.int64)
+                d[f"h_{si}"] = counts.tobytes()
+                d[f"eq_{si}"] = int((v == shi).sum())  # top-edge values
+            return d
+
+        def hist_combine(p):
+            d = {}
+            for si in range(len(spans)):
+                tot = np.zeros(n_bins, dtype=np.int64)
+                for b in p[f"h_{si}"]:
+                    tot += np.frombuffer(b, dtype=np.int64)
+                d[f"h_{si}"] = tot
+                d[f"eq_{si}"] = int(p[f"eq_{si}"].sum())
+            return d
+
+        hists = global_agg(ds.select_columns([column]), hist_partial, hist_combine)
+
+        gather_spans = {}
+        for r, (slo, shi, below) in active.items():
+            si = spans.index((slo, shi))
+            counts = hists[f"h_{si}"]
+            if shi <= slo:  # degenerate span: single value
+                out[r] = slo
+                continue
+            cum = below + np.cumsum(counts)
+            total_in = below + counts.sum() + hists[f"eq_{si}"]
+            if r >= total_in - hists[f"eq_{si}"]:  # rank sits on the top edge
+                out[r] = shi
+                continue
+            b = int(np.searchsorted(cum, r + 1))
+            new_below = below + (cum[b - 1] - below if b else 0)
+            edges = _bin_edges(slo, shi, n_bins)
+            blo, bhi = float(edges[b]), float(edges[b + 1])
+            if bhi <= blo:      # bin width collapsed: single float value
+                out[r] = blo
+            elif counts[b] <= gather_cap:
+                gather_spans.setdefault((slo, shi, b), []).append(r)
+                state[r] = [blo, bhi, int(new_below)]
+            else:
+                state[r] = [blo, bhi, int(new_below)]
+
+        if gather_spans:
+            def gather(batch, keys=sorted(gather_spans)):
+                col = batch.column(column).drop_null()
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                cols = {}
+                for ki, (slo, shi, b) in enumerate(keys):
+                    edges = _bin_edges(slo, shi, n_bins)
+                    sel = (v >= edges[b]) & (v < edges[b + 1])
+                    cols[f"v_{ki}"] = [v[sel].tobytes()]
+                return pa.table(cols)
+
+            got = ds.select_columns([column]).map_batches(
+                gather, batch_format="pyarrow").to_pandas()
+            for ki, key in enumerate(sorted(gather_spans)):
+                vals = np.sort(np.concatenate(
+                    [np.frombuffer(b, dtype=np.float64) for b in got[f"v_{ki}"]]))
+                for r in gather_spans[key]:
+                    below = state[r][2]
+                    out[r] = float(vals[r - below])
+
+    for r in ranks:  # safety: any unresolved rank (shouldn't happen)
+        if r not in out:
+            raise RuntimeError(f"rank {r} unresolved in _rank_select")
+    return out
 
 
 def schema_hashes(ds) -> pd.DataFrame:
