@@ -21,17 +21,26 @@ import ray
 from packs_ray.stages.util import round_half_away as _r
 
 
-def _column_values(ds, column: str) -> np.ndarray:
+def _column_values(ds, column: str, cap: int = 2_000_000,
+                   seed: int = 42) -> np.ndarray:
+    """Collect one numeric column; above ``cap`` rows a seeded random
+    sample of ~cap values is taken instead (the reference itself caps its
+    inputs by head-sampling, profiling_pack/main.py:26-28 — we sample
+    uniformly and keep the KS p-value valid for the sampled sizes)."""
+    proj = ds.select_columns([column])
+    n = proj.count()
+    if n and n > cap:
+        proj = proj.random_sample(cap / n, seed=seed)
     return np.concatenate([
         b.column(column).drop_null().to_numpy(zero_copy_only=False)
-        for b in ds.select_columns([column]).iter_batches(
-            batch_size=65536, batch_format="pyarrow")
+        for b in proj.iter_batches(batch_size=65536, batch_format="pyarrow")
     ] or [np.array([])])
 
 
 def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
     """Exact two-sample KS statistic + asymptotic p-value (public
-    Smirnov formula; matches scipy.stats.ks_2samp(mode='asymp'))."""
+    Smirnov formula; matches scipy.stats.ks_2samp(mode='asymp')).
+    Exact below the _column_values cap; sampled above it."""
     a = np.sort(_column_values(ds_a, column))
     b = np.sort(_column_values(ds_b, column))
     n, m = len(a), len(b)

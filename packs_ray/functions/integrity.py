@@ -29,35 +29,95 @@ def _key_tuples(batch: pa.Table, cols: list[str]) -> np.ndarray:
     return np.array(list(zip(*arrays)), dtype=object)
 
 
-def fk_orphans(child_ds, child_keys: list[str], parent_ds,
-               parent_keys: list[str]) -> pd.DataFrame:
-    """Count child rows whose key is absent from the parent key set."""
-    # distinct parent keys → driver set → broadcast
-    uniq = parent_ds.select_columns(parent_keys).unique(parent_keys[0]) \
-        if len(parent_keys) == 1 else None
-    if uniq is not None:
-        parent_set = set(uniq)
+BROADCAST_CAP = 20_000_000  # parent rows above this → bucketed anti-join
+
+
+def _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys):
+    """Small parent: distinct keys → ONE broadcast array → streamed isin."""
+    if len(parent_keys) == 1:
+        uniq = parent_ds.select_columns(parent_keys).unique(parent_keys[0])
+        parent_bc = np.sort(np.asarray(uniq))  # sorted ONCE, on the driver
     else:
         rows = parent_ds.select_columns(parent_keys).to_pandas()
-        parent_set = set(map(tuple, rows.itertuples(index=False, name=None)))
-    ref = ray.put(parent_set)
+        parent_bc = set(map(tuple, rows.itertuples(index=False, name=None)))
+    ref = ray.put(parent_bc)
 
     def partial(batch: pa.Table) -> dict:
-        pset = ray.get(ref)
+        pkeys = ray.get(ref)
         if len(child_keys) == 1:
             keys = batch.column(child_keys[0]).to_numpy(zero_copy_only=False)
-            ref_arr = np.array(sorted(pset))
-            mask = ~np.isin(keys, ref_arr)
-            orphans = int(mask.sum())
+            idx = np.searchsorted(pkeys, keys)
+            idx = np.clip(idx, 0, len(pkeys) - 1)
+            orphans = int((pkeys[idx] != keys).sum()) if len(pkeys) \
+                else batch.num_rows
         else:
             keys = _key_tuples(batch, child_keys)
-            orphans = sum(1 for k in keys if k not in pset)
+            orphans = sum(1 for k in keys if k not in pkeys)
         return {"total": batch.num_rows, "orphans": orphans}
 
     def combine(p: pd.DataFrame) -> dict:
         return {"total": int(p["total"].sum()), "orphans": int(p["orphans"].sum())}
 
-    agg = global_agg(child_ds, partial, combine)
+    return global_agg(child_ds, partial, combine)
+
+
+def _orphans_bucketed(child_ds, child_keys, parent_ds, parent_keys,
+                      num_partitions: int | None = None):
+    """Large-large: co-partition BOTH sides on key hash (child side ships
+    only per-batch distinct keys + counts), per-bucket set difference."""
+    from packs_ray.functions.agg import bucketed_group_reduce, keyed_count, \
+        reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = max(reduce_partition_count(child_ds),
+                             reduce_partition_count(parent_ds))
+
+    child_counts = keyed_count(child_ds.select_columns(child_keys), child_keys,
+                               num_partitions=num_partitions)
+
+    def mark_side(side: int, keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {f"k{i}": batch.column(c) for i, c in enumerate(keys)}
+            cols["cnt"] = (batch.column("cnt") if side == 0
+                           else pa.array(np.zeros(n, dtype=np.int64)))
+            cols["side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    kcols = [f"k{i}" for i in range(len(child_keys))]
+    child_marked = child_counts.map_batches(mark_side(0, child_keys),
+                                            batch_format="pyarrow")
+    parent_marked = parent_ds.select_columns(parent_keys).map_batches(
+        mark_side(1, parent_keys), batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        have_parent = g.loc[g["side"] == 1, kcols].drop_duplicates()
+        child = g[g["side"] == 0]
+        merged = child.merge(have_parent.assign(__hit=1), how="left", on=kcols)
+        orphans = int(merged.loc[merged["__hit"].isna(), "cnt"].sum())
+        total = int(child["cnt"].sum())
+        return pd.DataFrame({"total": [total], "orphans": [orphans]})
+
+    parts = bucketed_group_reduce(child_marked.union(parent_marked), kcols,
+                                  reduce_fn, num_partitions).to_pandas()
+    return {"total": int(parts["total"].sum()),
+            "orphans": int(parts["orphans"].sum())}
+
+
+def fk_orphans(child_ds, child_keys: list[str], parent_ds,
+               parent_keys: list[str]) -> pd.DataFrame:
+    """Count child rows whose key is absent from the parent key set.
+    Broadcast anti-join for small parents; hash-bucketed co-partition
+    anti-join when the parent side exceeds BROADCAST_CAP rows."""
+    try:
+        parent_rows = parent_ds.count()
+    except Exception:
+        parent_rows = 0
+    if parent_rows > BROADCAST_CAP:
+        agg = _orphans_bucketed(child_ds, child_keys, parent_ds, parent_keys)
+    else:
+        agg = _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys)
     total, orphans = agg["total"], agg["orphans"]
     return pd.DataFrame([{
         "child_rows": total, "orphan_rows": orphans,

@@ -63,3 +63,23 @@ def test_entry_smoke(ray_session):
     df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     assert len(df) > 0
     assert {"conv_id", "turn_idx", "keep", "drop_reasons", "text_scrubbed"} <= set(df.columns)
+
+
+def test_fk_orphans_bucketed_matches_broadcast(ray_session):
+    """The large-parent bucketed anti-join must agree with the broadcast
+    path (here forced on small data)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions import integrity
+
+    rng = np.random.default_rng(5)
+    parent = ray.data.from_arrow(pa.table({"pk": np.arange(0, 500, dtype=np.int64)}))
+    child_keys = rng.integers(0, 700, size=3000).astype(np.int64)  # ~29% orphans
+    child = ray.data.from_arrow(pa.table({"fk": child_keys}))
+
+    bc = integrity._orphans_broadcast(child, ["fk"], parent, ["pk"])
+    bk = integrity._orphans_bucketed(child, ["fk"], parent, ["pk"], num_partitions=4)
+    assert bc == bk, (bc, bk)
+    assert bc["orphans"] == int((child_keys >= 500).sum())
