@@ -156,17 +156,33 @@ def fingerprints(ds, id_col: str, column: str):
         text = str_column(batch, column)
         norm = pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
         norm = pc.utf8_trim_whitespace(norm)
-        vals = norm.to_numpy(zero_copy_only=False)
-        MASK = (1 << 64) - 1
-        P = 1099511628211
-        out = np.zeros(len(vals), dtype=np.uint64)
-        for i, v in enumerate(vals):
-            if v is None:
-                continue
-            h = 14695981039346656037  # FNV-1a
-            for b in v.encode("utf-8"):
-                h = ((h ^ b) * P) & MASK
-            out[i] = h
+        arr = pc.fill_null(norm, "").cast(pa.binary())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        offsets = raw_off[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        buf = arr.buffers()[2]
+        data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+                else np.zeros(0, dtype=np.uint8))
+        lens = offsets[1:] - offsets[:-1]
+        n = len(arr)
+        P = np.uint64(1099511628211)
+        out = np.full(n, np.uint64(14695981039346656037))  # FNV-1a offset
+        # rows advance in lockstep over byte positions: the chain
+        # h = (h ^ byte) * P is sequential per row, but each position step
+        # is one vectorized gather+xor+mul across all still-active rows
+        starts = offsets[:-1]
+        order = np.argsort(-lens, kind="stable")   # longest first → active
+        so, sl = starts[order], lens[order]        # prefix stays contiguous
+        h = out[order].copy()
+        for j in range(int(lens.max()) if n else 0):
+            na = int(np.searchsorted(-sl, -j, side="left"))  # rows with len>j
+            if na == 0:
+                break
+            b = data[so[:na] + j].astype(np.uint64)
+            h[:na] = (h[:na] ^ b) * P
+        out[order] = h
+        out[np.asarray(pc.is_null(norm).to_numpy(zero_copy_only=False))] = 0
         return pa.table({id_col: batch.column(id_col),
                          "fingerprint": pa.array(out.view(np.int64), type=pa.int64())})
 
