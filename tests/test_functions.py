@@ -8,14 +8,11 @@ SF = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
-SQL_CHECKED = [
-    "completeness_events", "text_stats_documents", "duplicates_documents",
-    "dedup_exact_documents", "distinct_mktsegment", "numeric_range_lineitem",
-    "fk_orphans_orders", "timeliness_events", "pattern_validation_part",
-    "pii_scan_documents", "token_counts_documents", "quality_scores_documents",
-    "ann_bruteforce_embeddings", "events_per_window", "sessionize_events",
-    "profile_stats_lineitem", "embedding_pairs_exact", "compare_orders_sample",
-]
+# every oracle-backed query is parity-tested (oracle_sql() is importable
+# without a Ray session)
+import __ray_entry__ as _entry
+
+SQL_CHECKED = sorted(_entry.oracle_sql().keys())
 
 
 @pytest.fixture(scope="module")
