@@ -59,9 +59,35 @@ def _run_scaling() -> None:
     print(json.dumps(out))
 
 
+def _run_reference() -> None:
+    """Single-process pandas run of the reference semantics (the oracle
+    is a faithful pandas re-implementation of the packs' per-turn checks,
+    i.e. the reference's own execution model) on the same input as the
+    headline — the matches-or-beats comparison baseline."""
+    import time as _t
+
+    import pandas as pd
+
+    from packs_ray.gen import transcripts_path
+    from packs_ray.oracle import oracle_labels
+
+    n = int(os.environ.get("GRAFT_N_TURNS", "200000"))
+    path = transcripts_path(n)
+    df = pd.read_parquet(path)
+    t0 = _t.time()
+    oracle_labels(df)
+    dt = _t.time() - t0
+    print(json.dumps({"metric": "reference-semantics pandas single-process",
+                      "value": round(dt, 3), "unit": "sec", "n_turns": n,
+                      "turns_per_sec": round(n / dt, 1)}))
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         _run_scaling()
+        return
+    if "--reference" in sys.argv:
+        _run_reference()
         return
 
     import ray
