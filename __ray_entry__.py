@@ -264,6 +264,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(128))
         return multimodal.video_frames(media)
 
+    def profile_summary_events(sf):
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        return profiling.table_summary(_ds(sf, "events", cols), cols)
+
+    def schema_drift_orders_lineitem(sf):
+        return profiling.schema_drift(_ds(sf, "orders"), _ds(sf, "lineitem"))
+
+    def normalize_documents(sf):
+        return textstats.normalize_text(_ds(sf, "documents", ["doc_id", "text"]),
+                                        "doc_id", "text")
+
     def media_image_features(sf):
         import ray.data
 
@@ -311,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checks_suite_orders": checks_suite_orders,
         "decimal_precision_lineitem": decimal_precision_lineitem,
         "ngram_jaccard_documents": ngram_jaccard_documents,
+        "profile_summary_events": profile_summary_events,
+        "schema_drift_orders_lineitem": schema_drift_orders_lineitem,
+        "normalize_documents": normalize_documents,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_video_frames": media_video_frames,
@@ -320,6 +334,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered per table name)
 # --------------------------------------------------------------------------
+
+def _profile_summary_sql() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    nv = len(cols)
+    miss = " + ".join(f"(count(*) - count({c}))" for c in cols)
+    parts = [
+        "SELECT 'n' AS key, count(*)::DOUBLE AS value FROM events",
+        f"SELECT 'n_var', {nv}::DOUBLE",
+        f"SELECT 'n_cells', (count(*) * {nv})::DOUBLE FROM events",
+        f"SELECT 'n_cells_missing', ({miss})::DOUBLE FROM events",
+        f"SELECT 'p_cells_missing', round(({miss})::DOUBLE / (count(*) * {nv}), 4) FROM events",
+    ]
+    for c in cols:
+        parts.append(
+            f"SELECT 'n_distinct_{c}', (count(DISTINCT {c})"
+            f" + max(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))::DOUBLE FROM events")
+        parts.append(
+            f"SELECT 'p_missing_{c}', round((count(*) - count({c}))::DOUBLE / count(*), 4)"
+            " FROM events")
+    return " UNION ALL ".join(parts)
+
 
 def _langid_sql() -> str:
     """SQL replica of models.LangIdModel (same marker lists, same RE2
@@ -570,6 +605,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
         "langid_documents": _langid_sql(),
+        "profile_summary_events": _profile_summary_sql(),
+        "schema_drift_orders_lineitem": """
+    WITH a AS (SELECT column_name FROM (DESCRIBE orders)),
+         b AS (SELECT column_name FROM (DESCRIBE lineitem))
+    SELECT coalesce(a.column_name, b.column_name) AS "column",
+        CASE WHEN a.column_name IS NULL THEN 'right_only'
+             WHEN b.column_name IS NULL THEN 'left_only'
+             ELSE 'both' END AS status
+    FROM a FULL OUTER JOIN b ON a.column_name = b.column_name
+    """,
+        "normalize_documents":
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+            " AS text_norm FROM documents",
         "mode_mktsegment":
             "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer "
             "GROUP BY 1 ORDER BY cnt DESC, c_mktsegment LIMIT 1",

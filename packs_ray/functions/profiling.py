@@ -211,6 +211,54 @@ def _rank_select(ds, column: str, ranks: list[int], lo: float, hi: float,
     return out
 
 
+def table_summary(ds, columns: list[str]) -> pd.DataFrame:
+    """ydata-profiling "table" stats (profiling_pack/main.py:325-371
+    catalog): n rows, n_var, total cells, missing cells + percent, and
+    per-column distinct counts — one streaming pass of partials plus one
+    bucketed distinct count per column."""
+    from packs_ray.functions.agg import global_agg, keyed_count
+
+    def partial(batch: pa.Table) -> dict:
+        d = {"rows": batch.num_rows}
+        for c in columns:
+            d[f"null_{c}"] = batch.column(c).null_count
+        return d
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {"rows": int(p["rows"].sum()),
+                **{f"null_{c}": int(p[f"null_{c}"].sum()) for c in columns}}
+
+    agg = global_agg(ds.select_columns(columns), partial, combine)
+    n = agg["rows"]
+    cells = n * len(columns)
+    missing = sum(agg[f"null_{c}"] for c in columns)
+    rows = [{"key": "n", "value": float(n)},
+            {"key": "n_var", "value": float(len(columns))},
+            {"key": "n_cells", "value": float(cells)},
+            {"key": "n_cells_missing", "value": float(missing)},
+            {"key": "p_cells_missing",
+             "value": float(_r(missing / cells, 4)) if cells else 0.0}]
+    for c in columns:
+        distinct = keyed_count(ds.select_columns([c]), [c]).count()
+        rows.append({"key": f"n_distinct_{c}", "value": float(distinct)})
+        rows.append({"key": f"p_missing_{c}",
+                     "value": float(_r(agg[f"null_{c}"] / n, 4)) if n else 0.0})
+    return pd.DataFrame(rows)
+
+
+def schema_drift(ds_a, ds_b) -> pd.DataFrame:
+    """Column-presence drift between two datasets
+    (schema_scanner_pack/main.py:84-124 semantics, name level): one row
+    per column name with status left_only / right_only / both."""
+    a = list(ds_a.schema().names)
+    b = list(ds_b.schema().names)
+    sa, sb = set(a), set(b)
+    rows = [{"column": c, "status": "both" if c in sb else "left_only"}
+            for c in a]
+    rows += [{"column": c, "status": "right_only"} for c in b if c not in sa]
+    return (pd.DataFrame(rows).sort_values("column").reset_index(drop=True))
+
+
 def schema_hashes(ds) -> pd.DataFrame:
     """md5 drift hashes of column list / ordered list / dtypes
     (schema_scanner_pack/main.py:84-124 semantics)."""

@@ -147,6 +147,22 @@ def langid_counts(ds, column: str) -> pd.DataFrame:
             .sort_values("predicted_lang").reset_index(drop=True))
 
 
+def normalize_text(ds, id_col: str, column: str):
+    """Training-data text normalization as a zero-copy Arrow map:
+    lowercase, collapse all whitespace runs to single spaces, trim.
+    (RE2 semantics identical to SQL regexp_replace(…, 'g').)"""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        norm = pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+        # explicit ' ' trim (collapse leaves only plain spaces at edges);
+        # utf8_trim_whitespace would also eat unicode spaces SQL trim keeps
+        norm = pc.utf8_trim(norm, " ")
+        return pa.table({id_col: batch.column(id_col), "text_norm": norm})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprints(ds, id_col: str, column: str):
     """Per-row 64-bit document fingerprint: polynomial rolling hash of the
     normalized (lowercased, whitespace-collapsed) text — deterministic
