@@ -190,6 +190,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return outliers.knn_outliers(_ds(sf, "lineitem", ["l_quantity", "l_extendedprice"]),
                                      ["l_quantity", "l_extendedprice"])
 
+    def knn_outliers_mixed_events(sf):
+        return outliers.knn_outliers(_ds(sf, "events", ["value", "event_type"]),
+                                     ["value"], categorical_columns=["event_type"])
+
+    def staleness_inputs(sf):
+        import glob as _glob
+
+        from packs_ray.functions.timeliness import staleness
+
+        return staleness(sorted(_glob.glob(f"{sf}/*.parquet")), NOW)
+
     def schema_hashes_lineitem(sf):
         return profiling.schema_hashes(_ds(sf, "lineitem"))
 
@@ -314,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": simhash_documents,
         "ks_drift_events": ks_drift_events,
         "knn_outliers_lineitem": knn_outliers_lineitem,
+        "knn_outliers_mixed_events": knn_outliers_mixed_events,
+        "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "transcripts_filter_summary": transcripts_filter_summary,
         "mode_mktsegment": mode_mktsegment,

@@ -56,21 +56,35 @@ def _knn_multivariate(m: np.ndarray, train: np.ndarray, k: int) -> np.ndarray:
     return np.sqrt(d2[:, :k], out=d2[:, :k]).mean(axis=1)
 
 
-class KnnScorer:
-    """Actor: holds the (broadcast) training sample; scores batches by
-    mean distance to the k nearest training points."""
+def _encode(df: pd.DataFrame, num_cols: list[str], cat_maps: dict) -> np.ndarray:
+    """Numeric columns + one-hot categoricals (≤100 categories/col like
+    the reference cap, outlier_detection_pack/main.py:8,271; unknown
+    categories encode as all-zeros) → float32 matrix."""
+    parts = [df[c].to_numpy(dtype=np.float32)[:, None] for c in num_cols]
+    for c, mapping in cat_maps.items():
+        idx = df[c].map(mapping).fillna(-1).to_numpy(dtype=np.int64)
+        parts.append((idx[:, None] == np.arange(len(mapping))[None, :])
+                     .astype(np.float32))
+    return np.concatenate(parts, axis=1) if parts else np.zeros((len(df), 0),
+                                                                dtype=np.float32)
 
-    def __init__(self, train_ref, k: int):
-        train = ray.get(train_ref).astype(np.float32)  # loaded once per actor
+
+class KnnScorer:
+    """Actor: holds the (broadcast) training sample + categorical
+    encoders; scores batches by mean distance to the k nearest training
+    points."""
+
+    def __init__(self, state_ref, k: int):
+        train, num_cols, cat_maps = ray.get(state_ref)  # loaded once per actor
+        train = train.astype(np.float32)
         self.k = k
+        self.num_cols = num_cols
+        self.cat_maps = cat_maps
         self.univariate = train.shape[1] == 1
         self.train = np.sort(train[:, 0]) if self.univariate else train
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = list(batch.column_names)
-        m = np.column_stack([
-            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float32)
-            for c in cols])
+        m = _encode(batch.to_pandas(), self.num_cols, self.cat_maps)
         if self.univariate:
             score = _knn_univariate(m[:, 0], self.train, self.k)
         else:
@@ -79,19 +93,29 @@ class KnnScorer:
             "knn_score", pa.array(score.astype(np.float64), type=pa.float64()))
 
 
-def knn_outliers(ds, columns: list[str], k: int = 5, sample_rows: int | None = None,
-                 outlier_threshold: float = 0.5, seed: int = 42) -> pd.DataFrame:
+def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None = None,
+                 k: int = 5, sample_rows: int | None = None,
+                 outlier_threshold: float = 0.5, seed: int = 42,
+                 max_categories: int = 100) -> pd.DataFrame:
     """Univariate/multivariate kNN outlier metrics: normality score per
-    the reference roll-up (fraction of inliers)."""
+    the reference roll-up (fraction of inliers).  ``categorical_columns``
+    are one-hot encoded with a sample-fitted ≤``max_categories`` map
+    (the reference's multivariate path)."""
+    cat_cols = categorical_columns or []
     if sample_rows is None:
-        sample_rows = 65_536 if len(columns) == 1 else 1_024
-    proj = ds.select_columns(columns)
+        sample_rows = 65_536 if len(columns) == 1 and not cat_cols else 1_024
+    proj = ds.select_columns(columns + cat_cols)
     total = proj.count()  # parquet metadata only
     sample = proj.random_sample(min(1.0, sample_rows / max(1, total)), seed=seed)
-    train = sample.to_pandas().dropna().to_numpy(dtype=np.float64)[:sample_rows]
-    tref = ray.put(train)
+    sample_df = sample.to_pandas().dropna()[:sample_rows]
+    cat_maps = {
+        c: {v: i for i, v in enumerate(
+            sample_df[c].value_counts().index[:max_categories])}
+        for c in cat_cols}
+    train = _encode(sample_df, columns, cat_maps).astype(np.float64)
+    sref = ray.put((train, columns, cat_maps))
 
-    scored = proj.map_batches(KnnScorer, fn_constructor_args=(tref, k),
+    scored = proj.map_batches(KnnScorer, fn_constructor_args=(sref, k),
                               batch_format="pyarrow", batch_size=4096,
                               concurrency=(1, 8))
     # max score (for normalization) then inlier ratio — over the scored

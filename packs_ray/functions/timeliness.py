@@ -17,6 +17,23 @@ from packs_ray.functions.agg import global_agg
 from packs_ray.stages.util import round_half_away as _r
 
 
+def staleness(paths: list[str], now: _dt.datetime) -> pd.DataFrame:
+    """Days since each input file was last modified
+    (timeliness_pack/main.py:150-187 file/folder mtime semantics, with
+    ``now`` pinned instead of wall-clock).  Pure input-manifest metadata —
+    at scale this is one stat() per fragment, no data read."""
+    import os
+
+    rows = []
+    for p in sorted(paths):
+        mtime = _dt.datetime.fromtimestamp(os.path.getmtime(p))
+        days = (now - mtime).days
+        rows.append({"path": os.path.basename(p),
+                     "days_since_modified": days,
+                     "staleness_score": float(_r(max(0.0, 1 - days / 365), 2))})
+    return pd.DataFrame(rows)
+
+
 def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
     """Per ts column: latest value, whole days since, score (2dp)."""
 
