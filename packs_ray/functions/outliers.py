@@ -117,7 +117,7 @@ def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None =
 
     scored = proj.map_batches(KnnScorer, fn_constructor_args=(sref, k),
                               batch_format="pyarrow", batch_size=4096,
-                              concurrency=(1, 8))
+                              concurrency=4)
     # max score (for normalization) then inlier ratio — over the scored
     # column only
     stats = scored.select_columns(["knn_score"]).to_pandas()["knn_score"].to_numpy()
