@@ -80,3 +80,27 @@ def test_rule_counts_match_output(ray_session, sharded_input, tmp_path):
     df2 = pq.read_table(out + "/shard=1").to_pandas()
     kept = int(df.keep.sum() + df2.keep.sum())
     assert summary["kept"] == kept
+
+
+def test_crash_mid_shard_leftover_tmp(ray_session, sharded_input, tmp_path):
+    """A crash between write_parquet and the atomic rename leaves a
+    .tmp_shard dir and NO manifest line; the re-run must recompute that
+    shard cleanly over the leftover."""
+    from packs_ray.state.checkpoint import run_resumable
+
+    out = str(tmp_path / "o4")
+    os.makedirs(out)
+    # leftover partial output from a "crashed" attempt at shard 0
+    tmp_dir = os.path.join(out, ".tmp_shard=0")
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    summary = run_resumable(sharded_input, out, shards=4, num_buckets=8)
+    assert summary["total"] == 6_000
+    assert not os.path.exists(tmp_dir)
+    recs = _manifest(out)
+    assert sorted(r["shard"] for r in recs) == [0, 1, 2, 3]
+    df = pq.read_table(os.path.join(out, "shard=0")).to_pandas()
+    assert len(df) > 0 and "garbage" not in " ".join(os.listdir(
+        os.path.join(out, "shard=0")))
