@@ -125,6 +125,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
             _query_vec(sf), k=10)
 
+    def ann_multi_query(sf):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        qm = np.array([t.column("embedding")[i].as_py() for i in range(3)],
+                      dtype=np.float64)
+        return similarity.brute_force_topk_multi(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
+            qm, k=5)
+
     def ann_ivf_embeddings(sf):
         return similarity.ivf_topk(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
@@ -275,6 +285,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(128))
         return multimodal.video_frames(media)
 
+    def top_orders_per_priority(sf):
+        from packs_ray.functions.agg import top_k_per_group
+
+        return top_k_per_group(
+            _ds(sf, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"]),
+            ["o_orderpriority"], "o_totalprice", k=3, tie_cols=["o_orderkey"])
+
     def profile_summary_events(sf):
         cols = ["event_id", "ts", "user_id", "event_type", "value"]
         return profiling.table_summary(_ds(sf, "events", cols), cols)
@@ -312,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_documents": token_counts_documents,
         "quality_scores_documents": quality_scores_documents,
         "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
+        "ann_multi_query": ann_multi_query,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
         "sessionize_events": sessionize_events,
@@ -338,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_summary_events": profile_summary_events,
         "schema_drift_orders_lineitem": schema_drift_orders_lineitem,
         "normalize_documents": normalize_documents,
+        "top_orders_per_priority": top_orders_per_priority,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_video_frames": media_video_frames,
@@ -612,6 +631,16 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_documents": token_counts,
         "quality_scores_documents": quality,
         "ann_bruteforce_embeddings": ann,
+        "ann_multi_query": """
+    SELECT q.query_idx, e.vec_id,
+        round(list_cosine_similarity(e.embedding::DOUBLE[], q.emb), 6) AS cosine
+    FROM (SELECT vec_id AS query_idx, embedding::DOUBLE[] AS emb
+          FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+    CROSS JOIN embeddings e
+    QUALIFY row_number() OVER (PARTITION BY q.query_idx
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.emb) DESC,
+                 e.vec_id) <= 5
+    """,
         "events_per_window": events_window,
         "sessionize_events": sessions,
         "profile_stats_lineitem": profile_stats,
@@ -631,6 +660,13 @@ def oracle_sql() -> dict[str, str]:
         "normalize_documents":
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
             " AS text_norm FROM documents",
+        "top_orders_per_priority": """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+    """,
         "mode_mktsegment":
             "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer "
             "GROUP BY 1 ORDER BY cnt DESC, c_mktsegment LIMIT 1",

@@ -93,6 +93,31 @@ def bucketed_group_reduce(parts, keys: list[str], reduce_fn, num_partitions: int
             .groupby("__p").map_groups(per_bucket, batch_format="pandas"))
 
 
+def top_k_per_group(ds, keys: list[str], value_col: str, k: int,
+                    tie_cols: list[str] | None = None,
+                    num_partitions: int | None = None):
+    """Top-k rows per key group by ``value_col`` (descending; ties broken
+    ascending on ``tie_cols`` for determinism).  Per-batch local top-k
+    first (combiner: at most k rows per (batch, group) survive), then the
+    bucketed vectorized reduce — the full rows never shuffle."""
+    tie_cols = tie_cols or []
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([value_col] + tie_cols,
+                            ascending=[False] + [True] * len(tie_cols),
+                            kind="stable")
+        return df.groupby(keys, dropna=False, sort=False).head(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(local_topk(batch.to_pandas()),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, keys, local_topk, num_partitions)
+
+
 def keyed_count(ds, keys: list[str], *, count_col: str = "cnt",
                 num_partitions: int | None = None):
     """Distributed value-count on ``keys``: per-batch partial counts →

@@ -115,9 +115,16 @@ def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None =
     train = _encode(sample_df, columns, cat_maps).astype(np.float64)
     sref = ray.put((train, columns, cat_maps))
 
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # fixed pool (one spawn wave), but never the whole cluster — a pool
+    # demanding every CPU starves the upstream read and deadlocks
+    pool = max(1, min(4, cpus - 1))
     scored = proj.map_batches(KnnScorer, fn_constructor_args=(sref, k),
                               batch_format="pyarrow", batch_size=4096,
-                              concurrency=4)
+                              concurrency=pool)
     # max score (for normalization) then inlier ratio — over the scored
     # column only
     stats = scored.select_columns(["knn_score"]).to_pandas()["knn_score"].to_numpy()

@@ -53,6 +53,42 @@ def brute_force_topk(ds, id_col: str, emb_col: str, query: np.ndarray,
     return out.reset_index(drop=True)
 
 
+def brute_force_topk_multi(ds, id_col: str, emb_col: str, queries: np.ndarray,
+                           k: int = 10) -> pd.DataFrame:
+    """Batched multi-query cosine top-k: ONE broadcast (Q, d) query
+    matrix, one matmul per batch producing all Q score columns, local
+    per-query top-k partials, driver merge of (blocks × Q × k) rows.
+    Returns (query_idx, id, cosine) sorted per query."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)                       # (Q, d)
+        m = _batch_matrix(batch, emb_col)        # (n, d)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms > 0, norms, 1.0)
+        cos = mn @ qv.T                          # (n, Q)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(cos.shape[1]):
+            top = np.argsort(-cos[:, qi], kind="stable")[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[top])
+            out_cos.append(cos[top, qi])
+        return pa.table({"query_idx": np.concatenate(out_q),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(_r(np.concatenate(out_cos), 6),
+                                            type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.sort_values(["query_idx", "cosine", id_col],
+                             ascending=[True, False, True], kind="stable")
+           .groupby("query_idx", sort=False).head(k))
+    return out.reset_index(drop=True)
+
+
 def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, sample_rows: int = 2048,
              seed: int = 42) -> pd.DataFrame:
