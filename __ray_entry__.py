@@ -303,6 +303,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textstats.normalize_text(_ds(sf, "documents", ["doc_id", "text"]),
                                         "doc_id", "text")
 
+    def conversation_summary_transcripts(sf):
+        from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+        from packs_ray.stages.finalize import conversation_summary
+
+        return conversation_summary(run_filter_pipeline(_transcripts(sf)))
+
     def media_image_features(sf):
         import ray.data
 
@@ -347,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "transcripts_filter_summary": transcripts_filter_summary,
+        "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
         "head_sample_orders": head_sample_orders,
         "duplicate_rows_export": duplicate_rows_export,

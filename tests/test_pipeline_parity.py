@@ -100,3 +100,29 @@ def test_defect_recall(ray_session, small_transcripts):
         kept_pii = out[pii & out["keep"]]
         assert (kept_pii["pii_bits"] > 0).all()
         assert not kept_pii["text_scrubbed"].str.contains("example.com").any()
+
+
+def test_conversation_summary(ray_session, small_transcripts_path):
+    """Per-conversation aggregates must equal a pandas groupby of the
+    pipeline output."""
+    import pandas as pd
+
+    from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+    from packs_ray.stages.finalize import conversation_summary
+
+    out = run_filter_pipeline(small_transcripts_path, num_buckets=8)
+    summary = (conversation_summary(out, num_partitions=4).to_pandas()
+               .sort_values("conv_id").reset_index(drop=True))
+    df = out.to_pandas()
+    exp = (df.assign(scrubbed=df["pii_bits"] > 0)
+           .groupby("conv_id", sort=False)
+           .agg(n_turns=("turn_idx", "size"), n_kept=("keep", "sum"),
+                n_scrubbed=("scrubbed", "sum"), n_roles=("role", "nunique"),
+                ts_min=("ts", "min"), ts_max=("ts", "max"))
+           .reset_index())
+    exp["span_seconds"] = (exp["ts_max"] - exp["ts_min"]).dt.total_seconds().fillna(0.0)
+    exp = exp.drop(columns=["ts_min", "ts_max"]).sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        summary.astype({"n_kept": "int64", "n_scrubbed": "int64"}),
+        exp.astype({"n_kept": "int64", "n_scrubbed": "int64"}),
+        check_dtype=False)
