@@ -80,3 +80,27 @@ def test_fk_orphans_bucketed_matches_broadcast(ray_session):
     bk = integrity._orphans_bucketed(child, ["fk"], parent, ["pk"], num_partitions=4)
     assert bc == bk, (bc, bk)
     assert bc["orphans"] == int((child_keys >= 500).sum())
+
+
+def test_rank_select_edges(ray_session):
+    """Distributed rank selection: constant columns, extreme ranks,
+    duplicate-heavy data, tiny n — vs np.percentile."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import numeric_column_stats
+
+    cases = {
+        "constant": np.full(5000, 3.14),
+        "two_values": np.repeat([1.0, 2.0], [4900, 100]),
+        "tiny": np.array([5.0, 1.0, 9.0]),
+        "skewed": np.random.default_rng(3).exponential(1.0, 20000),
+    }
+    for name, vals in cases.items():
+        ds = ray.data.from_arrow(pa.table({"x": vals}))
+        row = numeric_column_stats(ds, "x").iloc[0]
+        for p in (10, 25, 75, 90):
+            exp = round(float(np.percentile(vals, p)), 4)
+            got = row[f"p{p}"]
+            assert abs(got - exp) < 1e-9, (name, p, got, exp)
