@@ -186,6 +186,10 @@ def process_conv_bucket(group: pd.DataFrame,
 
     g = group
     if marks is not None and len(g):
+        # collapse marks per key: a left-merge against duplicate keys would
+        # multiply main rows (possible only via a 64-bit __mk collision of
+        # two distinct marks; summing k keeps the mark count right anyway)
+        marks = marks.groupby("__mk", sort=False, as_index=False)["__k"].sum()
         g = g.merge(marks.rename(columns={"__k": "__kk"}), how="left", on="__mk")
         kk = g["__kk"].fillna(0).to_numpy(dtype=np.int64)
         # mark the last k occurrences of each exact key (identical-twin rows)
