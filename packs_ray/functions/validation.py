@@ -32,18 +32,36 @@ def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
         else:
             resolved.append((r["column"], r["type"], BUILTIN_PATTERNS[r["type"]]))
 
+    def _re2_safe(pattern: str) -> bool:
+        """Patterns whose Python-re and RE2 semantics coincide (no lazy
+        quantifiers, no backreferences, no lookaround) can use the
+        vectorized Arrow kernel; others keep the per-value Python loop
+        for byte-parity (SURVEY.md §7.4)."""
+        return re.search(r"(?:[*+}?]\?)|\\[0-9]|\(\?[=!<]", pattern) is None
+
     def partial(batch: pa.Table) -> dict:
+        import numpy as np
+        import pyarrow.compute as pc
+
         d = {"total": batch.num_rows}
         for i, (col, _name, pattern) in enumerate(resolved):
-            compiled = re.compile(pattern)
             # reference: series.astype(str) → NaN becomes "nan"; then
-            # bool(match) if value else True
-            vals = str_column(batch, col).to_numpy(zero_copy_only=False)
-            inv = 0
-            for v in vals:
-                s = "nan" if v is None else str(v)
-                if s and not compiled.match(s):
-                    inv += 1
+            # bool(match) if value else True (empty string is VALID)
+            arr = str_column(batch, col)
+            if _re2_safe(pattern):
+                s = pc.fill_null(arr, "nan")
+                anchored = pattern if pattern.startswith("^") else "^" + pattern
+                ok = pc.or_(pc.equal(s, ""),
+                            pc.match_substring_regex(s, anchored))
+                inv = batch.num_rows - (pc.sum(pc.cast(ok, "int64")).as_py() or 0)
+            else:
+                compiled = re.compile(pattern)
+                vals = arr.to_numpy(zero_copy_only=False)
+                inv = 0
+                for v in vals:
+                    s = "nan" if v is None else str(v)
+                    if s and not compiled.match(s):
+                        inv += 1
             d[f"inv_{i}"] = inv
         return d
 
