@@ -69,8 +69,11 @@ def oracle_labels(df: pd.DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> pd.Da
         for i in np.flatnonzero(df["ts"].isna()):
             reasons[i].add("null_ts")
 
-    # ratio rules — per-row Python, reference style
-    tok_lists = s.str.split()
+    # ratio rules — per-row Python, reference style.  Token/symbol
+    # character classes are spelled out in ASCII to mirror RE2 semantics
+    # (RE2 \s = [\t\n\f\r ]; Python \s would also match unicode
+    # spaces and \v, diverging from the engine's Arrow kernels).
+    tok_lists = s.apply(lambda v: re.findall(r"[^ \t\n\f\r]+", v))
     for i in range(n):
         if is_null.iloc[i]:
             continue
@@ -82,12 +85,15 @@ def oracle_labels(df: pd.DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> pd.Da
                 reasons[i].add("repetition")
         v = s.iloc[i]
         if len(v) > 0:
-            nsym = len(re.findall(r"[^A-Za-z0-9\s]", v))
+            nsym = len(re.findall(r"[^A-Za-z0-9\t\n\f\r ]", v))
             if nsym / len(v) > cfg.max_symbol_ratio:
                 reasons[i].add("symbol_spam")
 
-    tox_re = re.compile(r"\b(?:" + "|".join(map(re.escape, cfg.toxicity_keywords)) + r")\b",
-                        re.IGNORECASE)
+    # ASCII word boundaries via lookarounds == RE2 \b (Python \b is
+    # unicode-aware)
+    tox_re = re.compile(r"(?<![A-Za-z0-9_])(?:"
+                        + "|".join(map(re.escape, cfg.toxicity_keywords))
+                        + r")(?![A-Za-z0-9_])", re.IGNORECASE)
     for i in np.flatnonzero(s.apply(lambda v: bool(tox_re.search(v)))):
         reasons[i].add("toxicity")
 

@@ -51,7 +51,10 @@ def max_token_run(text: pa.Array, n_tokens: np.ndarray) -> np.ndarray:
     has = n_tokens > 0
     if not has.any():
         return out
-    tokens = pc.utf8_split_whitespace(text)
+    # RE2 \s+ split (ASCII whitespace) so the token SPLIT agrees exactly
+    # with the RE2 \S+ token COUNT — utf8_split_whitespace would split on
+    # unicode spaces the count doesn't, skewing the repetition ratio
+    tokens = pc.split_pattern_regex(text, r"\s+")
     lens = pc.list_value_length(tokens).fill_null(0).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(tokens)
     row_ids = np.repeat(np.arange(len(text), dtype=np.int64), lens.astype(np.int64))

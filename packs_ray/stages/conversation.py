@@ -88,7 +88,9 @@ def _mark_key(conv: np.ndarray, turn_idx, h1: np.ndarray, h2: np.ndarray) -> np.
     (collision odds ~bucket_rows²/2^64, negligible)."""
     ch = pd.util.hash_array(conv)
     ti = np.asarray(turn_idx)
-    ti = np.nan_to_num(ti.astype(np.float64), nan=-1.0).astype(np.int64)
+    # null sentinel OUTSIDE the int32 domain so it can never collide with
+    # a real turn_idx value (e.g. -1)
+    ti = np.nan_to_num(ti.astype(np.float64), nan=-(2.0 ** 40)).astype(np.int64)
     mk = (ch * np.uint64(0x9E3779B97F4A7C15)
           ^ ti.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
           ^ h1.view(np.uint64) ^ (h2.view(np.uint64) >> np.uint64(1)))
@@ -159,9 +161,10 @@ def align_marks(num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG,
                 cols[f.name] = batch.column("k").cast(pa.int64())
             elif f.name == "__mk":
                 cols[f.name] = pa.array(mk, type=pa.int64())
-            elif f.name in ("conv_id", "turn_idx"):
-                cols[f.name] = batch.column(f.name).cast(f.type)
             else:
+                # mark rows carry ONLY (bucket, __mk, __k, __dup); their
+                # conv_id/turn_idx served to compute those and stay null
+                # (a null turn_idx would not survive the int32 cast anyway)
                 cols[f.name] = pa.nulls(n, f.type)
         return pa.table({f.name: cols[f.name] for f in CONV_SCHEMA})
 

@@ -64,7 +64,8 @@ def dedup_marks(raw_ds, num_partitions: int):
                                  "h1": pd.Series([], dtype="int64"),
                                  "h2": pd.Series([], dtype="int64"),
                                  "k": pd.Series([], dtype="int64")})
-        return (d.groupby(["conv_id", "turn_idx", "h1", "h2"], sort=False)
+        return (d.groupby(["conv_id", "turn_idx", "h1", "h2"], sort=False,
+                          dropna=False)  # null turn_idx rows still dedup
                 .size().reset_index(name="k"))
 
     proj = raw_ds.map_batches(project, batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""Property-based engine-vs-oracle parity on adversarial micro-frames.
+
+Hypothesis generates transcript frames mixing nulls, unicode, placeholder
+strings, PII fragments, broken turn indices and odd role sequences; the
+Ray pipeline and the pandas oracle must agree on keep, drop_reasons and
+scrubbed text for every row.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+TEXTS = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.just("n/a"),
+    st.just("NaN"),
+    st.sampled_from([
+        "the quick brown fox jumps over the lazy dog every day",
+        "ok ok ok ok ok ok ok ok ok ok",
+        "#$%^&* !!! @@@ ###",
+        "mail me at a.b@example.com or call 555-123-4567 now please thanks",
+        "こんにちは世界 これはテストです",
+        "le chat est sur la table et nous sommes tres contents",
+        "x",
+        "word " * 30,
+    ]),
+    st.text(min_size=0, max_size=40),
+)
+
+ROLES = st.sampled_from(["user", "assistant", "system", "tool", "bot", ""])
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    n_convs = draw(st.integers(min_value=1, max_value=4))
+    rows = []
+    for i in range(n):
+        conv = f"c{draw(st.integers(0, n_convs - 1))}"
+        ti = draw(st.one_of(st.integers(-2, 30), st.none()))
+        rows.append({
+            "conv_id": conv,
+            "turn_idx": ti,
+            "role": draw(ROLES),
+            "text": draw(TEXTS),
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+        })
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("Int32")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(frames())
+def test_random_frames_parity(ray_session, df):
+    import ray.data
+
+    from packs_ray.oracle import oracle_labels
+    from packs_ray.pipelines.filter_pipeline import build_filter_pipeline
+
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    eng = (build_filter_pipeline(ray.data.from_arrow(tbl), num_buckets=4)
+           .to_pandas())
+    ora = oracle_labels(df)
+    key = ["conv_id", "turn_idx", "role", "text", "ts"]
+    eng = eng.sort_values(key, kind="stable").reset_index(drop=True)
+    ora = ora.sort_values(key, kind="stable").reset_index(drop=True)
+    assert len(eng) == len(ora)
+    assert (eng["keep"].to_numpy() == ora["keep"].to_numpy()).all(), \
+        list(zip(eng["drop_reasons"], ora["drop_reasons"]))
+    for a, b in zip(eng["drop_reasons"], ora["drop_reasons"]):
+        assert list(a) == list(b), (list(a), list(b))
+    av = eng["text_scrubbed"].to_numpy(dtype=object)
+    bv = ora["text_scrubbed"].to_numpy(dtype=object)
+    assert all((x == y) or (x is None and y is None) for x, y in zip(av, bv))
