@@ -57,7 +57,7 @@ def frames(draw):
     return df
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(frames())
 def test_random_frames_parity(ray_session, df):
