@@ -194,15 +194,40 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
                                         type=pa.list_(pa.uint64()))})
 
     got = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
-    sh = {int(r[id_col]): np.asarray(r["sh"], dtype=np.uint64)
+    empty = np.zeros(0, np.uint64)
+    sh = {int(r[id_col]): np.asarray(r["sh"], dtype=np.uint64)  # sorted+unique
           for _, r in got.iterrows()}
-    jac = []
+    # exact verify, vectorized per doc: ONE searchsorted of all partners'
+    # shingles against the doc's sorted set + reduceat per partner
+    # (a per-pair intersect1d loop was the profile's hot spot)
+    from collections import defaultdict
+
+    partners: dict[int, list[int]] = defaultdict(list)
     for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
-        A, B = sh.get(ia, np.zeros(0, np.uint64)), sh.get(ib, np.zeros(0, np.uint64))
-        inter = len(np.intersect1d(A, B, assume_unique=True))
-        union = len(A) + len(B) - inter
-        jac.append(inter / union if union else 0.0)
-    pairs["jaccard"] = np.round(jac, 4)
+        partners[int(ia)].append(int(ib))
+    jmap: dict[tuple[int, int], float] = {}
+    for a, bs in partners.items():
+        A = sh.get(a, empty)
+        blists = [sh.get(b, empty) for b in bs]
+        lens = np.array([len(x) for x in blists], dtype=np.int64)
+        if len(A) == 0 or lens.sum() == 0:
+            for b, lb in zip(bs, lens):
+                u = len(A) + int(lb)
+                jmap[(a, b)] = 0.0
+            continue
+        concat = np.concatenate(blists)
+        idx = np.searchsorted(A, concat)
+        hit = (A[np.minimum(idx, len(A) - 1)] == concat).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        inter = np.zeros(len(bs), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            inter[nz] = np.add.reduceat(hit, offs[nz])[:]  # empties excluded
+        for b, lb, iv in zip(bs, lens, inter):
+            union = len(A) + int(lb) - int(iv)
+            jmap[(a, b)] = iv / union if union else 0.0
+    pairs["jaccard"] = np.round([jmap[(int(a), int(b))] for a, b in
+                                 zip(pairs["id_a"], pairs["id_b"])], 4)
     out = pairs[pairs["jaccard"] >= jaccard_threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
