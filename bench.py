@@ -54,8 +54,14 @@ def _run_scaling() -> None:
         (res[2]["value"] / res[8]["value"]) / 4, 3)
     out["scaling_efficiency_8_to_32"] = round(
         (res[8]["value"] / res[32]["value"]) / 4, 3)
-    # headline criterion (N→4N ≥ 0.8) evidenced at the pre-saturation pair
+    # headline criterion (N→4N ≥ 0.8) evidenced at the pre-saturation pair;
+    # the definition key makes the protocol explicit to downstream readers
+    # (8→32 saturates this host's memory bandwidth — BASELINE.md)
+    out["scaling_efficiency_pre_saturation"] = out["scaling_efficiency_2_to_8"]
     out["scaling_efficiency"] = out["scaling_efficiency_2_to_8"]
+    out["scaling_efficiency_definition"] = (
+        "2->8 CPUs (N->4N pre-saturation pair; 8->32 reported separately, "
+        "see BASELINE.md 'Scaling evidence')")
     print(json.dumps(out))
 
 

@@ -35,11 +35,16 @@ def _knn_univariate(x: np.ndarray, train_sorted: np.ndarray, k: int) -> np.ndarr
     m = len(train_sorted)
     k = min(k, m)
     pos = np.searchsorted(train_sorted, x)
-    # candidate window: k points on each side of the insertion point
+    # candidate window: k points on each side of the insertion point;
+    # out-of-range slots are masked to +inf (clipping would duplicate the
+    # boundary training point and underestimate tail scores).  The window
+    # always holds >= k in-range slots, so no inf reaches the k smallest.
     offs = np.arange(-k, k)
-    idx = np.clip(pos[:, None] + offs[None, :], 0, m - 1)
-    cand = train_sorted[idx]                      # (n, 2k)
+    idx = pos[:, None] + offs[None, :]
+    oob = (idx < 0) | (idx >= m)
+    cand = train_sorted[np.clip(idx, 0, m - 1)]   # (n, 2k)
     d = np.abs(cand - x[:, None])
+    d[oob] = np.inf
     d.partition(k - 1, axis=1)
     return d[:, :k].mean(axis=1)
 

@@ -50,7 +50,10 @@ def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
             arr = str_column(batch, col)
             if _re2_safe(pattern):
                 s = pc.fill_null(arr, "nan")
-                anchored = pattern if pattern.startswith("^") else "^" + pattern
+                # anchor the WHOLE pattern: a bare '^'+pattern leaves the
+                # later branches of a top-level alternation unanchored
+                # ('foo|bar' -> '^foo|bar'), diverging from re.match
+                anchored = "^(?:" + pattern + ")"
                 ok = pc.or_(pc.equal(s, ""),
                             pc.match_substring_regex(s, anchored))
                 inv = batch.num_rows - (pc.sum(pc.cast(ok, "int64")).as_py() or 0)

@@ -184,8 +184,13 @@ def process_conv_bucket(group: pd.DataFrame,
         if is_mark.any():
             marks = group.loc[is_mark, ["__mk", "__k"]]
             group = group.loc[~is_mark].copy()
-            # null-filled mark rows made int columns float; restore
+            # null-filled mark rows made int columns float; restore every
+            # integer column of the exchange schema so block schemas match
+            # the dedup=False path (turn_idx stays int32 end-to-end)
             group["rule_bits"] = group["rule_bits"].astype(np.int64)
+            ti = group["turn_idx"]
+            group["turn_idx"] = (ti.astype(np.int32) if not ti.isna().any()
+                                 else ti.astype("Int32"))
 
     g = group
     if marks is not None and len(g):

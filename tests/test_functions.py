@@ -82,6 +82,42 @@ def test_fk_orphans_bucketed_matches_broadcast(ray_session):
     assert bc["orphans"] == int((child_keys >= 500).sum())
 
 
+def test_knn_univariate_boundary_exact():
+    """Out-of-range candidate slots must be masked, not clipped — clipping
+    duplicates boundary train points and underestimates tail scores."""
+    import numpy as np
+
+    from packs_ray.functions.outliers import _knn_univariate
+
+    train = np.sort(np.array([0.0, 1.0, 2.0, 3.0]))
+    # query far right of the range: true 3-NN are {3,2,1} -> mean 8.0
+    got = _knn_univariate(np.array([10.0]), train, k=3)
+    assert abs(got[0] - 8.0) < 1e-12, got
+    # brute-force cross-check on random data incl. both tails
+    rng = np.random.default_rng(7)
+    tr = np.sort(rng.normal(size=50))
+    x = np.concatenate([rng.normal(size=20), [-10.0, 10.0, tr[0], tr[-1]]])
+    for k in (1, 3, 5):
+        got = _knn_univariate(x, tr, k)
+        exp = np.sort(np.abs(x[:, None] - tr[None, :]), axis=1)[:, :k].mean(axis=1)
+        assert np.allclose(got, exp), k
+
+
+def test_pattern_validation_alternation_anchored(ray_session):
+    """A custom pattern with a top-level alternation must be anchored as a
+    whole on the RE2 fast path ('foo|bar' must NOT accept 'xbar')."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.validation import pattern_validation
+
+    ds = ray.data.from_arrow(pa.table({"v": ["foo", "bar", "xbar", "barx", ""]}))
+    out = pattern_validation(ds, [{"column": "v", "regex": "foo|bar"}])
+    # Python re.match semantics: foo, bar, barx match; xbar does not;
+    # '' is valid by the reference quirk -> exactly 1 invalid
+    assert int(out["invalid_count"].iloc[0]) == 1, out
+
+
 def test_rank_select_edges(ray_session):
     """Distributed rank selection: constant columns, extreme ranks,
     duplicate-heavy data, tiny n — vs np.percentile."""

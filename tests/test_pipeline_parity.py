@@ -73,6 +73,18 @@ def test_lang_and_ppl_columns(engine_and_oracle):
     assert np.allclose(eng["bits_per_byte"], ora["bits_per_byte"], atol=1e-9)
 
 
+def test_output_turn_idx_stays_int32(ray_session, small_transcripts_path):
+    """With dedup marks riding the conversation shuffle (default), output
+    turn_idx must still be int32 — not drift to float64 via the null-filled
+    mark rows (declared exchange schema: int32)."""
+    from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+
+    out = run_filter_pipeline(small_transcripts_path, num_buckets=8)
+    schema = out.schema()
+    idx = schema.names.index("turn_idx")
+    assert str(schema.types[idx]) == "int32", schema
+
+
 def test_defect_recall(ray_session, small_transcripts):
     """Sanity vs planted labels: hard defect classes must be dropped and
     clean rows overwhelmingly kept (the oracle is the authority; this
