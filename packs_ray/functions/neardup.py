@@ -104,10 +104,12 @@ def _pairs_within_sorted_groups(ids: np.ndarray, sizes: np.ndarray,
     """All within-group (a, b) index pairs for contiguous groups of the
     given sizes over ``ids``.  Vectorized over groups of equal size (one
     triu template per distinct size, tiled).  Groups larger than
-    ``max_group`` are skipped (pathological buckets: identical boilerplate;
-    callers should surface the skip in metrics rather than grind O(g²))."""
+    ``max_group`` are skipped (pathological buckets: identical boilerplate)
+    and the skip count is returned so callers can surface it in metrics
+    rather than grind O(g²).  Returns (ids_a, ids_b, n_skipped_groups)."""
     offs = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     keep = (sizes >= 2) & (sizes <= max_group)
+    n_skipped = int((sizes > max_group).sum())
     out_a, out_b = [], []
     for g in np.unique(sizes[keep]):
         sel = offs[keep][sizes[keep] == g]
@@ -115,24 +117,51 @@ def _pairs_within_sorted_groups(ids: np.ndarray, sizes: np.ndarray,
         out_a.append((sel[:, None] + ia[None, :]).ravel())
         out_b.append((sel[:, None] + ib[None, :]).ravel())
     if not out_a:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), n_skipped
     a = np.concatenate(out_a)
     b = np.concatenate(out_b)
-    return ids[a], ids[b]
+    return ids[a], ids[b], n_skipped
+
+
+def _ibucket(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic partition of int64 ids (golden-ratio mix so
+    structured id spaces don't skew)."""
+    mixed = ids.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (mixed % np.uint64(num_partitions)).view(np.int64)
+
+
+_EMPTY_U64 = np.zeros(0, dtype=np.uint64)
+
+
+def _as_u64(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.uint64) if x is not None and not (
+        isinstance(x, float) and np.isnan(x)) else _EMPTY_U64
 
 
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
                       shingle: int = 5, jaccard_threshold: float = 0.8,
-                      seed: int = 42, num_partitions: int | None = None) -> pd.DataFrame:
+                      seed: int = 42, num_partitions: int | None = None,
+                      verify_partitions: int | None = None) -> pd.DataFrame:
     """Candidate pairs via band-bucket LSH, verified with exact
     character-shingle Jaccard.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b, sorted.
+    id_a < id_b, sorted.  ``result.attrs["skipped_buckets"]`` reports how
+    many over-sized LSH buckets (> max_group docs of identical band hash,
+    i.e. boilerplate pile-ups) were skipped during pair emission.
 
-    Scale shape: explode (id, band) rows → shuffle on ``band_hash % P``
-    (P sized to the input) → ONE vectorized pair-emission per partition
-    (no per-bucket Python) → candidate ids broadcast → distributed
-    shingle extraction of candidates only → exact verify on the (small)
-    candidate set."""
+    Scale shape — every heavy step is partition-parallel, nothing large
+    lands on the driver:
+      1. explode (id, band) rows → shuffle on ``band_hash % P`` → ONE
+         vectorized pair-emission per partition (candidate pairs stay a
+         Dataset in the object store);
+      2. candidate *ids* (ids only, the one driver-side set — 8 B/doc;
+         use a Bloom filter here if candidates ever outgrow the driver)
+         broadcast to prefilter a distributed shingle extraction;
+      3. verify in two bucketed shuffles: partition pairs on
+         ``_ibucket(id_a)``; B-side shingles are replicated to requesting
+         partitions via a (partition, id_b) request join so shingle
+         payload ships at most once per (doc, partition) — never per
+         pair — and exact Jaccard runs inside ``map_groups``; the driver
+         only ever sees the final thresholded pairs."""
     from packs_ray.functions.agg import reduce_partition_count
 
     if num_partitions is None:
@@ -169,67 +198,189 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
         new[0] = True
         new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
         sizes = np.diff(np.append(np.flatnonzero(new), len(g)))
-        a, b = _pairs_within_sorted_groups(ids, sizes)
-        return pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+        a, b, n_skipped = _pairs_within_sorted_groups(ids, sizes)
+        out = (pd.DataFrame({"id_a": pd.array(a, dtype="Int64"),
+                             "id_b": pd.array(b, dtype="Int64")})
+               .drop_duplicates())
+        out["skipped_buckets"] = np.int64(0)
+        if n_skipped:
+            # one null-id summary row carries the partition's skip count
+            out = pd.concat([out, pd.DataFrame(
+                {"id_a": pd.array([None], dtype="Int64"),
+                 "id_b": pd.array([None], dtype="Int64"),
+                 "skipped_buckets": np.array([n_skipped], dtype=np.int64)})],
+                ignore_index=True)
+        return out
 
-    pairs = (buckets.groupby("__p").map_groups(emit_pairs, batch_format="pandas")
-             .to_pandas().drop_duplicates().reset_index(drop=True))
-    if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+    empty_out.attrs["skipped_buckets"] = 0
 
-    # distributed shingle extraction of candidate ids only (broadcast set)
-    need = np.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])))
+    pairs_ds = (buckets.groupby("__p")
+                .map_groups(emit_pairs, batch_format="pandas").materialize())
+    skipped_total = int(pairs_ds.sum("skipped_buckets") or 0)
+    empty_out.attrs["skipped_buckets"] = skipped_total
+    if pairs_ds.count() == 0:
+        return empty_out
+
+    def drop_summary(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.is_valid(batch.column("id_a")))
+        return t.select(["id_a", "id_b"])
+
+    pairs_ds = pairs_ds.map_batches(drop_summary, batch_format="pyarrow")
+
+    # candidate id set (ids only) for the extraction prefilter
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch.column("id_a").to_numpy(zero_copy_only=False),
+            batch.column("id_b").to_numpy(zero_copy_only=False)]))
+        return pa.table({"id": pa.array(u, type=pa.int64())})
+
+    need_parts = pairs_ds.map_batches(batch_ids, batch_format="pyarrow") \
+        .to_arrow_refs()
+    # zero-row blocks bypass the UDF and keep the upstream schema — skip
+    chunks = [t.column("id").to_numpy(zero_copy_only=False)
+              for t in map(ray.get, need_parts)
+              if t.num_rows and "id" in t.column_names]
+    need = np.unique(np.concatenate(chunks or [np.zeros(0, np.int64)]))
+    if len(need) == 0:
+        return empty_out
     need_ref = ray.put(need)
+    # verify-stage partition count sized to the CANDIDATE set, not the
+    # input: a sort-exchange with P≫rows/1000 is all mesh overhead
+    vparts = verify_partitions or int(
+        max(1, min(num_partitions, np.ceil(len(need) / 4000))))
 
+    # distributed shingle extraction of candidate docs only
     def extract(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, ray.get(need_ref))
+        nd = ray.get(need_ref)  # sorted
+        pos = np.searchsorted(nd, ids)
+        mask = nd[np.minimum(pos, len(nd) - 1)] == ids
         idx = np.flatnonzero(mask)
         sh = [_shingle_hashes(batch.column(text_col)[int(i)].as_py(), shingle)
               for i in idx]
-        return pa.table({id_col: pa.array(ids[idx]),
+        return pa.table({"k": pa.array(ids[idx], type=pa.int64()),
+                         "other": pa.nulls(len(idx), pa.int64()),
                          "sh": pa.array([s.tolist() for s in sh],
-                                        type=pa.list_(pa.uint64()))})
+                                        type=pa.list_(pa.uint64())),
+                         "kind": pa.array(np.zeros(len(idx), dtype=np.int8)),
+                         "__p": pa.array(_ibucket(ids[idx], vparts))})
 
-    got = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
-    empty = np.zeros(0, np.uint64)
-    sh = {int(r[id_col]): np.asarray(r["sh"], dtype=np.uint64)  # sorted+unique
-          for _, r in got.iterrows()}
-    # exact verify, vectorized per doc: ONE searchsorted of all partners'
-    # shingles against the doc's sorted set + reduceat per partner
-    # (a per-pair intersect1d loop was the profile's hot spot)
-    from collections import defaultdict
+    sh_ds = ds.map_batches(extract, batch_format="pyarrow").materialize()
 
-    partners: dict[int, list[int]] = defaultdict(list)
-    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
-        partners[int(ia)].append(int(ib))
-    jmap: dict[tuple[int, int], float] = {}
-    for a, bs in partners.items():
-        A = sh.get(a, empty)
-        blists = [sh.get(b, empty) for b in bs]
-        lens = np.array([len(x) for x in blists], dtype=np.int64)
-        if len(A) == 0 or lens.sum() == 0:
-            for b, lb in zip(bs, lens):
-                u = len(A) + int(lb)
-                jmap[(a, b)] = 0.0
-            continue
-        concat = np.concatenate(blists)
-        idx = np.searchsorted(A, concat)
-        hit = (A[np.minimum(idx, len(A) - 1)] == concat).astype(np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        inter = np.zeros(len(bs), dtype=np.int64)
-        nz = lens > 0
-        if nz.any():
-            inter[nz] = np.add.reduceat(hit, offs[nz])[:]  # empties excluded
-        for b, lb, iv in zip(bs, lens, inter):
-            union = len(A) + int(lb) - int(iv)
-            jmap[(a, b)] = iv / union if union else 0.0
-    pairs["jaccard"] = np.round([jmap[(int(a), int(b))] for a, b in
-                                 zip(pairs["id_a"], pairs["id_b"])], 4)
-    out = pairs[pairs["jaccard"] >= jaccard_threshold]
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # ---- verify: pairs are partitioned by _ibucket(id_a); each partition
+    # needs the shingles of its id_a docs (routed directly — a doc's own
+    # bucket IS _ibucket(id)) and of its id_b partners (replicated via a
+    # (partition, id_b) request join).  Shingle payload thus ships at most
+    # once per (doc, partition) — NOT once per candidate pair, which blows
+    # up ~pairs/doc× on boilerplate-heavy corpora.
+    def _vtable(__p, id_a, id_b, k, sh, kind) -> pa.Table:
+        n = len(__p)
+        return pa.table({
+            "__p": pa.array(np.asarray(__p, dtype=np.int64)),
+            "id_a": (pa.nulls(n, pa.int64()) if id_a is None
+                     else pa.array(np.asarray(id_a, dtype=np.int64))),
+            "id_b": (pa.nulls(n, pa.int64()) if id_b is None
+                     else pa.array(np.asarray(id_b, dtype=np.int64))),
+            "k": (pa.nulls(n, pa.int64()) if k is None
+                  else pa.array(np.asarray(k, dtype=np.int64))),
+            "sh": (pa.nulls(n, pa.list_(pa.uint64())) if sh is None else sh),
+            "kind": pa.array(np.full(n, kind, dtype=np.int8))})
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return _vtable(_ibucket(a, vparts), a, b, None, None, 1)
+
+    def request_rows(batch: pa.Table) -> pa.Table:
+        """Distinct (requesting partition, id_b) rows, keyed for the
+        shingle exchange on _ibucket(id_b)."""
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([_ibucket(a, vparts), b], axis=1), axis=0)
+        return _vtable(_ibucket(uniq[:, 1], vparts), uniq[:, 0], None,
+                       uniq[:, 1], None, 1)
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return _vtable(_ibucket(k, vparts), None, None, k,
+                       batch.column("sh"), 0)
+
+    def replicate(g: pd.DataFrame) -> pa.Table:
+        """Join shingle rows to the distinct partitions requesting them."""
+        kind = g["kind"].to_numpy()
+        shr = g.loc[kind == 0, ["k", "sh"]]
+        req = g.loc[kind == 1, ["id_a", "k"]].drop_duplicates()
+        merged = req.merge(shr, on="k", how="inner")
+        sh = pa.array([_as_u64(x).tolist() for x in merged["sh"]],
+                      type=pa.list_(pa.uint64()))
+        return _vtable(merged["id_a"].to_numpy(dtype=np.int64), None, None,
+                       merged["k"].to_numpy(dtype=np.int64), sh, 0)
+
+    # with a single verify partition every candidate's shingles land in
+    # partition 0 via the direct route — the request-join exchange would
+    # be pure overhead
+    replicas = None
+    if vparts > 1:
+        replicas = (pairs_ds.map_batches(request_rows, batch_format="pyarrow")
+                    .union(sh_ds.map_batches(sh_rows, batch_format="pyarrow"))
+                    .groupby("__p").map_groups(replicate, batch_format="pandas"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        shr = g.loc[kind == 0]
+        lookup = {int(k): _as_u64(s) for k, s in zip(shr["k"], shr["sh"])}
+        pr = g.loc[kind == 1, ["id_a", "id_b"]].drop_duplicates()  # global dedup
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if len(pr) == 0:
+            return empty
+        out_a, out_b, out_j = [], [], []
+        # vectorized per id_a: ONE searchsorted of all partners' shingles
+        # against the doc's sorted set + reduceat per partner
+        for ida, grp in pr.groupby("id_a", sort=False):
+            A = lookup.get(int(ida), _EMPTY_U64)
+            ibs = grp["id_b"].to_numpy(dtype=np.int64)
+            blists = [lookup.get(int(b), _EMPTY_U64) for b in ibs]
+            lens = np.array([len(x) for x in blists], dtype=np.int64)
+            if len(A) == 0 or lens.sum() == 0:
+                inter = np.zeros(len(ibs), dtype=np.int64)
+            else:
+                concat = np.concatenate(blists)
+                idx = np.searchsorted(A, concat)
+                hit = (A[np.minimum(idx, len(A) - 1)] == concat).astype(np.int64)
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                inter = np.zeros(len(ibs), dtype=np.int64)
+                nz = lens > 0
+                if nz.any():
+                    inter[nz] = np.add.reduceat(hit, offs[nz])[:]
+            union = lens + len(A) - inter
+            jac = np.round(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 4)
+            keep = jac >= jaccard_threshold
+            out_a.append(np.full(int(keep.sum()), int(ida), dtype=np.int64))
+            out_b.append(ibs[keep])
+            out_j.append(jac[keep])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.zeros(0, np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
+            "jaccard": np.concatenate(out_j) if out_j else np.zeros(0, np.float64)})
+
+    inputs = pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+    others = [sh_ds.map_batches(sh_rows, batch_format="pyarrow")]
+    if replicas is not None:
+        others.append(replicas)
+    out = (inputs.union(*others)
+           .groupby("__p").map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return empty_out
+    out = (out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    out.attrs["skipped_buckets"] = skipped_total
+    return out
 
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, shingle: int = 5,

@@ -32,6 +32,63 @@ def test_minhash_finds_planted_pairs(neardup_docs):
     assert planted <= found, planted - found
 
 
+def test_minhash_reports_skipped_buckets(ray_session):
+    """Over-sized LSH buckets (identical boilerplate pile-ups) are skipped
+    during pair emission and the skip count must be surfaced in
+    result.attrs — not silently dropped."""
+    import ray.data
+
+    from packs_ray.functions.neardup import minhash_lsh_pairs
+
+    n = 30
+    texts = ["exactly the same boilerplate text repeated everywhere"] * n
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n)), "text": texts}))
+    # max_group is 200 by default; identical docs make every band one
+    # bucket of size n — with n<=200 nothing is skipped and all pairs emit
+    out = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.9)
+    assert out.attrs.get("skipped_buckets") == 0
+    assert len(out) == n * (n - 1) // 2
+
+    # monkeypatch-free way to exceed the cap: 250 identical docs > 200
+    n2 = 250
+    ds2 = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(n2)),
+         "text": ["same boilerplate again " * 3] * n2}))
+    out2 = minhash_lsh_pairs(ds2, "doc_id", "text", jaccard_threshold=0.9)
+    assert out2.attrs.get("skipped_buckets", 0) > 0
+    assert len(out2) == 0  # every bucket over the cap -> no pairs emitted
+
+
+def test_minhash_multipartition_verify_matches(neardup_docs):
+    """The request-join replication path (verify_partitions > 1) must give
+    identical results to the single-partition route."""
+    import pandas as pd
+
+    from packs_ray.functions.neardup import minhash_lsh_pairs
+
+    one = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
+                            jaccard_threshold=0.6)
+    multi = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
+                              jaccard_threshold=0.6, verify_partitions=3)
+    pd.testing.assert_frame_equal(one, multi)
+
+
+def test_minhash_matches_exact_jaccard(neardup_docs):
+    """LSH-verified pairs carry EXACT shingle Jaccard — cross-check the
+    distributed verify against a local brute-force computation."""
+    from packs_ray.functions.neardup import _shingle_hashes, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
+                              jaccard_threshold=0.6)
+    docs = neardup_docs.to_pandas().set_index("doc_id")["text"]
+    for _, r in pairs.iterrows():
+        A = _shingle_hashes(docs.loc[int(r["id_a"])], 5)
+        B = _shingle_hashes(docs.loc[int(r["id_b"])], 5)
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        exact = inter / (len(A) + len(B) - inter)
+        assert abs(r["jaccard"] - round(exact, 4)) < 1e-9, r
+
+
 def test_simhash_close_for_neardups(neardup_docs):
     from packs_ray.functions.neardup import simhash64
 
