@@ -7,8 +7,8 @@ precision/recall/F1).
 
 Scale: the KS statistic is computed from per-batch sorted-value partials
 merged on the driver (only the compared column streams); compare is a
-broadcast join for a small reference side (the common QA case) — for
-large-large use the bucket-join pattern.
+broadcast join while the target fits COMPARE_BROADCAST_CAP rows and a
+hash-bucketed co-partition join above it (neither table materializes).
 """
 
 from __future__ import annotations
@@ -56,34 +56,107 @@ def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
                           "p_value": round(p, 6), "drifted": p < 0.05}])
 
 
-def compare_datasets(source_ds, target_ds, id_cols: list[str],
-                     value_cols: list[str], abs_tol: float = 1e-4) -> pd.DataFrame:
-    """datacompy-semantics compare: row-match sets on id columns +
-    per-column tolerance compare; precision = common/target_rows,
-    recall = common/source_rows, F1 (data_compare_pack/main.py:303-351)."""
+#: target rows above this switch compare_datasets to the hash-bucketed
+#: co-partition path (the broadcast copy of the target must fit workers)
+COMPARE_BROADCAST_CAP = 5_000_000
+
+
+def _match_counts(src: pd.DataFrame, tgt_idx: pd.DataFrame,
+                  id_cols: list[str], value_cols: list[str],
+                  abs_tol: float) -> tuple[int, int, int]:
+    """(source_rows, common, mismatched) for one source chunk against an
+    indexed target — the shared kernel of both compare paths."""
+    df = src.set_index(id_cols)
+    common = df.index.intersection(tgt_idx.index)
+    mismatched = 0
+    if len(common):
+        left = df.loc[common, value_cols].to_numpy(dtype=float)
+        right = tgt_idx.loc[common, value_cols].to_numpy(dtype=float)
+        mismatched = int((np.abs(left - right) > abs_tol).any(axis=1).sum())
+    return len(df), len(common), mismatched
+
+
+def _compare_broadcast(source_ds, target_ds, id_cols, value_cols, abs_tol):
+    """Small target: collect+index it ONCE, ship via ray.put, stream the
+    source through map_batches."""
     tgt = target_ds.select_columns(id_cols + value_cols).to_pandas()
     tgt_idx = tgt.set_index(id_cols)
     ref = ray.put(tgt_idx)
 
     def partial(batch):
-        t = ray.get(ref)
-        df = batch.to_pandas().set_index(id_cols)
-        common = df.index.intersection(t.index)
-        mismatched = 0
-        if len(common):
-            left = df.loc[common, value_cols].to_numpy(dtype=float)
-            right = t.loc[common, value_cols].to_numpy(dtype=float)
-            mismatched = int((np.abs(left - right) > abs_tol).any(axis=1).sum())
         import pyarrow as pa
-        return pa.table({"source_rows": [len(df)], "common": [len(common)],
-                         "mismatched": [mismatched]})
+        t = ray.get(ref)
+        n, c, m = _match_counts(batch.to_pandas(), t, id_cols, value_cols, abs_tol)
+        return pa.table({"source_rows": [n], "common": [c], "mismatched": [m]})
 
     parts = source_ds.select_columns(id_cols + value_cols).map_batches(
         partial, batch_format="pyarrow").to_pandas()
-    source_rows = int(parts["source_rows"].sum())
-    common = int(parts["common"].sum())
-    mism = int(parts["mismatched"].sum())
-    target_rows = len(tgt_idx)
+    return (int(parts["source_rows"].sum()), len(tgt_idx),
+            int(parts["common"].sum()), int(parts["mismatched"].sum()))
+
+
+def _compare_bucketed(source_ds, target_ds, id_cols, value_cols, abs_tol,
+                      num_partitions: int | None = None):
+    """Large-large: co-partition BOTH sides on the id-key hash (mirrors
+    integrity._orphans_bucketed) and run the compare kernel per bucket —
+    neither table is ever materialized whole."""
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = max(reduce_partition_count(source_ds),
+                             reduce_partition_count(target_ds))
+
+    def mark(side: int):
+        def fn(batch):
+            import pyarrow as pa
+            df = batch.to_pandas()
+            h = pd.util.hash_pandas_object(df[id_cols], index=False).to_numpy()
+            out = df[id_cols + value_cols].copy()
+            out["__side"] = np.int8(side)
+            out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return fn
+
+    src = source_ds.select_columns(id_cols + value_cols).map_batches(
+        mark(0), batch_format="pyarrow")
+    tgt = target_ds.select_columns(id_cols + value_cols).map_batches(
+        mark(1), batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        s = g.loc[side == 0, id_cols + value_cols]
+        t = g.loc[side == 1, id_cols + value_cols].set_index(id_cols)
+        n, c, m = _match_counts(s, t, id_cols, value_cols, abs_tol)
+        return pd.DataFrame({"source_rows": [n], "target_rows": [len(t)],
+                             "common": [c], "mismatched": [m]})
+
+    parts = (src.union(tgt).groupby("__p")
+             .map_groups(reduce_fn, batch_format="pandas").to_pandas())
+    return (int(parts["source_rows"].sum()), int(parts["target_rows"].sum()),
+            int(parts["common"].sum()), int(parts["mismatched"].sum()))
+
+
+def compare_datasets(source_ds, target_ds, id_cols: list[str],
+                     value_cols: list[str], abs_tol: float = 1e-4,
+                     broadcast_cap: int = COMPARE_BROADCAST_CAP,
+                     num_partitions: int | None = None) -> pd.DataFrame:
+    """datacompy-semantics compare: row-match sets on id columns +
+    per-column tolerance compare; precision = common/target_rows,
+    recall = common/source_rows, F1 (data_compare_pack/main.py:303-351).
+
+    Broadcast join while the target fits ``broadcast_cap`` rows; above it
+    both sides co-partition on the id-key hash (no full materialization
+    of either table anywhere)."""
+    try:
+        trows = target_ds.count()  # parquet metadata only
+    except Exception:
+        trows = None
+    if trows is not None and trows > broadcast_cap:
+        source_rows, target_rows, common, mism = _compare_bucketed(
+            source_ds, target_ds, id_cols, value_cols, abs_tol, num_partitions)
+    else:
+        source_rows, target_rows, common, mism = _compare_broadcast(
+            source_ds, target_ds, id_cols, value_cols, abs_tol)
     precision = common / target_rows if target_rows else 0.0
     recall = common / source_rows if source_rows else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0

@@ -130,13 +130,29 @@ def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None =
     scored = proj.map_batches(KnnScorer, fn_constructor_args=(sref, k),
                               batch_format="pyarrow", batch_size=4096,
                               concurrency=pool)
-    # max score (for normalization) then inlier ratio — over the scored
-    # column only
-    stats = scored.select_columns(["knn_score"]).to_pandas()["knn_score"].to_numpy()
-    mx = float(stats.max()) if len(stats) else 0.0
-    inlier = 1.0 - stats / (mx + 1e-9) if len(stats) else np.array([])
-    n_out = int((inlier < outlier_threshold).sum())
-    n = len(stats)
+    # two streaming aggregate passes over the score COLUMN only (scoring
+    # runs once — the 8-byte/row column materializes in the object store,
+    # never on the driver): pass 1 n+max, pass 2 inlier count using the
+    # exact same float expression as the reference roll-up
+    from packs_ray.functions.agg import global_agg
+
+    score_col = scored.select_columns(["knn_score"]).materialize()
+    agg1 = global_agg(
+        score_col,
+        lambda b: {"n": b.num_rows,
+                   "mx": pa.compute.max(b.column("knn_score")).as_py()},
+        lambda p: {"n": int(p["n"].sum()),
+                   "mx": float(p["mx"].max()) if p["mx"].notna().any() else 0.0})
+    n, mx = agg1["n"], agg1["mx"]
+
+    def count_outliers(b: pa.Table) -> dict:
+        s = b.column("knn_score").to_numpy(zero_copy_only=False)
+        inlier = 1.0 - s / (mx + 1e-9)
+        return {"n_out": int((inlier < outlier_threshold).sum())}
+
+    n_out = global_agg(score_col, count_outliers,
+                       lambda p: {"n_out": int(p["n_out"].sum())})["n_out"] \
+        if n else 0
     return pd.DataFrame([{
         "rows": n, "outliers": n_out,
         "outlier_percent": round(n_out / n, 4) if n else 0.0,

@@ -118,6 +118,64 @@ def test_pattern_validation_alternation_anchored(ray_session):
     assert int(out["invalid_count"].iloc[0]) == 1, out
 
 
+def test_knn_outliers_matches_bruteforce(ray_session):
+    """Full-algorithm pin: with sample_rows >= n the train set is the whole
+    (deterministic) input, so the metrics row must equal a local numpy
+    re-computation (guards the streaming roll-up refactor)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.outliers import knn_outliers
+
+    rng = np.random.default_rng(13)
+    x = np.concatenate([rng.normal(0, 1, 400), [8.0, -9.0, 12.0]])
+    y = np.concatenate([rng.normal(5, 2, 400), [50.0, -40.0, 60.0]])
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y}))
+    got = knn_outliers(ds, ["x", "y"], k=5, sample_rows=10_000).iloc[0]
+
+    m = np.stack([x, y], axis=1)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+    score = np.sort(np.sqrt(d2), axis=1)[:, :5].mean(axis=1)
+    mx = score.max()
+    inlier = 1.0 - score / (mx + 1e-9)
+    n_out = int((inlier < 0.5).sum())
+    assert got["rows"] == len(x)
+    assert got["outliers"] == n_out, (got["outliers"], n_out)
+    assert got["outlier_percent"] == round(n_out / len(x), 4)
+
+
+def test_compare_bucketed_matches_broadcast(ray_session):
+    """The large-large co-partition compare must agree with the broadcast
+    path (forced here by a zero broadcast cap), mismatches included."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.drift import compare_datasets
+
+    rng = np.random.default_rng(17)
+    ids = np.arange(5000, dtype=np.int64)
+    vals = rng.normal(size=5000)
+    src = ray.data.from_arrow(pa.table({"id": ids, "v": vals}))
+    # target: drop 10%, perturb 5% beyond tolerance, add 100 extra rows
+    keep = rng.random(5000) > 0.1
+    tv = vals.copy()
+    bump = rng.random(5000) < 0.05
+    tv[bump] += 1.0
+    tgt_tbl = pa.table({"id": np.concatenate([ids[keep], np.arange(9000, 9100)]),
+                        "v": np.concatenate([tv[keep], np.zeros(100)])})
+    tgt = ray.data.from_arrow(tgt_tbl)
+
+    bc = compare_datasets(src, tgt, ["id"], ["v"])
+    bk = compare_datasets(src, tgt, ["id"], ["v"], broadcast_cap=0,
+                          num_partitions=4)
+    import pandas as pd
+    pd.testing.assert_frame_equal(bc, bk)
+    assert bc["rows_mismatched"].iloc[0] == int((bump & keep).sum())
+    assert bc["rows_in_common"].iloc[0] == int(keep.sum())
+
+
 def test_rank_select_edges(ray_session):
     """Distributed rank selection: constant columns, extreme ranks,
     duplicate-heavy data, tiny n — vs np.percentile."""
