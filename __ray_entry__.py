@@ -426,6 +426,265 @@ def _langid_sql() -> str:
     SELECT predicted_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1
     """
 
+# FNV-1a machinery shared by the shingle-based oracles (fingerprints,
+# simhash, ngram-jaccard, minhash LSH): byte extraction via hex() and the
+# 64-bit wraparound fold in HUGEINT arithmetic — replicates
+# packs_ray.functions.neardup._shingle_hashes byte-for-byte.
+_FNV_OFF = 14695981039346656037
+_FNV_P = 1099511628211
+_TWO64 = 18446744073709551616
+_GOLD = 0x9E3779B97F4A7C15
+
+_FNV_LAMBDA = (f"(acc, b) -> ((acc - acc % 256 + "
+               f"xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT) * "
+               f"{_FNV_P}::HUGEINT) % {_TWO64}::HUGEINT")
+
+_BYTES_EXPR = ("list_transform(range(0, nb), "
+               "i -> (16*(strpos('0123456789ABCDEF', hx[2*i+1:2*i+1])-1) "
+               "+ (strpos('0123456789ABCDEF', hx[2*i+2:2*i+2])-1))::HUGEINT)")
+
+
+def _sql_doc_shingles(n: int) -> str:
+    """CTE chain ending in ``sh(doc_id, h)``: one row per DISTINCT FNV-1a
+    n-byte-shingle hash of each non-null document (short texts padded with
+    NUL bytes, as the engine does)."""
+    return f"""
+    b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
+          FROM documents WHERE text IS NOT NULL),
+    bytes AS (SELECT doc_id, {_BYTES_EXPR} AS bl, nb FROM b),
+    padded AS (SELECT doc_id,
+        CASE WHEN nb < {n} THEN bl || list_transform(range(0, {n}-nb), i -> 0::HUGEINT)
+             ELSE bl END AS bl,
+        greatest(nb, {n}) AS nb FROM bytes),
+    hl AS (SELECT doc_id, list_transform(range(0, nb-{n}+1),
+        w -> list_reduce(list_prepend({_FNV_OFF}::HUGEINT, bl[w+1:w+{n}]),
+             {_FNV_LAMBDA})) AS hs
+        FROM padded),
+    sh AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hl)"""
+
+
+def _fingerprints_sql() -> str:
+    """textstats.fingerprints: FNV-1a fold over the normalized
+    (lower/collapse-ws/trim) utf-8 bytes; null text -> 0, signed int64."""
+    return f"""
+    WITH norm AS (SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+                 ELSE trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+            END AS t FROM documents),
+    b AS (SELECT doc_id, t, hex(encode(coalesce(t, ''))) AS hx,
+                 octet_length(encode(coalesce(t, ''))) AS nb FROM norm),
+    bl AS (SELECT doc_id, t, {_BYTES_EXPR} AS bl FROM b),
+    f AS (SELECT doc_id,
+            CASE WHEN t IS NULL THEN 0::HUGEINT
+                 ELSE list_reduce(list_prepend({_FNV_OFF}::HUGEINT, bl),
+                                  {_FNV_LAMBDA}) END AS v FROM bl)
+    SELECT doc_id,
+        (CASE WHEN v >= {2**63}::HUGEINT THEN v - {_TWO64}::HUGEINT ELSE v END)::BIGINT
+            AS fingerprint
+    FROM f"""
+
+
+def _simhash_sql() -> str:
+    """neardup.simhash64: majority bit-vote over distinct 4-byte-shingle
+    hashes; null text -> 0; 4 16-bit sub-bands."""
+    ones = ",\n        ".join(
+        f"sum(CASE WHEN (h // {2**k}::HUGEINT) % 2 = 1 THEN 1 ELSE 0 END) AS o{k}"
+        for k in range(64))
+    vote = " + ".join(
+        f"(CASE WHEN 2*o{k} > cnt THEN {2**k}::HUGEINT ELSE 0::HUGEINT END)"
+        for k in range(64))
+    return f"""
+    WITH {_sql_doc_shingles(4)},
+    v AS (SELECT doc_id, count(*) AS cnt,
+        {ones}
+        FROM sh GROUP BY doc_id),
+    sim AS (SELECT doc_id, ({vote}) AS sv FROM v),
+    allv AS (SELECT d.doc_id, coalesce(s.sv, 0::HUGEINT) AS sv
+             FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id)
+    SELECT doc_id,
+        (CASE WHEN sv >= {2**63}::HUGEINT THEN sv - {_TWO64}::HUGEINT ELSE sv END)::BIGINT
+            AS simhash,
+        ((sv // 1) % 65536)::BIGINT AS b0,
+        ((sv // 65536) % 65536)::BIGINT AS b1,
+        ((sv // {65536**2}) % 65536)::BIGINT AS b2,
+        ((sv // {65536**3}) % 65536)::BIGINT AS b3
+    FROM allv"""
+
+
+def _ngram_jaccard_sql() -> str:
+    """neardup.ngram_jaccard_pairs: exact all-pairs 5-gram Jaccard >= 0.5
+    (threshold on the unrounded value, output rounded 4dp)."""
+    return f"""
+    WITH {_sql_doc_shingles(5)},
+    shl AS (SELECT doc_id, list_sort(list(h)) AS hs, count(*) AS cnt
+            FROM sh GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.hs, b.hs))::DOUBLE
+              / (a.cnt + b.cnt - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+    FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+          / (a.cnt + b.cnt - len(list_intersect(a.hs, b.hs))) >= 0.5"""
+
+
+def _minhash_sql() -> str:
+    """neardup.minhash_lsh_pairs: 64-perm minhash (universal hashing with
+    the SAME seeded constants as the engine), 16 bands of 4, candidate
+    pairs from shared band buckets of size 2..200 (the engine's max_group
+    skip), exact-Jaccard verify with the >= 0.5 threshold applied AFTER
+    4dp rounding (engine order)."""
+    prime = 0xFFFFFFFB
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, prime, size=64, dtype=np.uint64)
+    b = rng.integers(0, prime, size=64, dtype=np.uint64)
+    mins = ",\n        ".join(
+        f"min(({int(a[i])}::HUGEINT * x + {int(b[i])}::HUGEINT) % {prime}::HUGEINT) AS m{i}"
+        for i in range(64))
+    bands = ",\n        ".join(
+        "((" + " + ".join(
+            f"(m{4*bi+j} * {_GOLD}::HUGEINT) % {_TWO64}::HUGEINT"
+            for j in range(4)) + f") % {_TWO64}::HUGEINT) AS bh{bi}"
+        for bi in range(16))
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS bi, bh{bi} AS bh FROM band" for bi in range(16))
+    return f"""
+    WITH {_sql_doc_shingles(5)},
+    x AS (SELECT doc_id, (h % 4294967296)::HUGEINT AS x FROM sh),
+    sig AS (SELECT doc_id,
+        {mins}
+        FROM x GROUP BY doc_id),
+    band AS (SELECT doc_id,
+        {bands}
+        FROM sig),
+    bands AS ({unpivot}),
+    grp AS (SELECT bi, bh FROM bands GROUP BY bi, bh
+            HAVING count(*) BETWEEN 2 AND 200),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN grp g ON g.bi = a.bi AND g.bh = a.bh
+             JOIN bands b ON b.bi = a.bi AND b.bh = a.bh AND a.doc_id < b.doc_id),
+    shl AS (SELECT doc_id, list_sort(list(h)) AS hs, count(*) AS cnt
+            FROM sh GROUP BY doc_id),
+    j AS (SELECT c.id_a, c.id_b,
+            round(len(list_intersect(a.hs, b.hs))::DOUBLE
+                  / (a.cnt + b.cnt - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+          FROM cand c JOIN shl a ON a.doc_id = c.id_a
+                      JOIN shl b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+
+def _ks_drift_sql() -> str:
+    """drift.ks_2sample over events click-vs-view `value`: exact D from a
+    cumulative-count ECDF at every sample point + the asymptotic Smirnov
+    p-value (the engine's 100-term series)."""
+    series = ("list_sum(list_transform(range(1, 101), "
+              "j -> (CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END) "
+              "* exp(-2.0 * (lam * j) * (lam * j))))")
+    return f"""
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL),
+    n AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb),
+    ca AS (SELECT v, count(*) AS c FROM a GROUP BY v),
+    cb AS (SELECT v, count(*) AS c FROM b GROUP BY v),
+    m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(ca.c, 0) AS ca,
+                 coalesce(cb.c, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+    e AS (SELECT sum(ca) OVER (ORDER BY v) / (SELECT na FROM n)::DOUBLE AS fa,
+                 sum(cb) OVER (ORDER BY v) / (SELECT nb FROM n)::DOUBLE AS fb
+          FROM m),
+    d AS (SELECT max(abs(fa - fb)) AS d FROM e),
+    l AS (SELECT d.d,
+            (en + 0.12 + 0.11/en) * d.d AS lam
+          FROM d, (SELECT sqrt(na::DOUBLE * nb / (na + nb)) AS en FROM n)),
+    p AS (SELECT d, least(greatest(2.0 * {series}, 0.0), 1.0) AS p FROM l)
+    SELECT 'value' AS "column", round(d, 6) AS ks_stat, round(p, 6) AS p_value,
+           p < 0.05 AS drifted
+    FROM p"""
+
+
+def _schema_hashes_sql() -> str:
+    """profiling.schema_hashes over lineitem: md5 of sorted/ordered column
+    lists and of name:pyarrow-dtype pairs (DuckDB types mapped to their
+    pyarrow names)."""
+    type_map = ("CASE t WHEN 'BIGINT' THEN 'int64' WHEN 'INTEGER' THEN 'int32' "
+                "WHEN 'SMALLINT' THEN 'int16' WHEN 'TINYINT' THEN 'int8' "
+                "WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float' "
+                "WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'bool' "
+                "WHEN 'TIMESTAMP' THEN 'timestamp[us]' WHEN 'DATE' THEN 'date32[day]' "
+                "ELSE lower(t) END")
+    return f"""
+    WITH cols AS (SELECT column_name AS n, column_type AS t,
+                         row_number() OVER () AS rn
+                  FROM (DESCRIBE lineitem)),
+    mapped AS (SELECT n, {type_map} AS pat, rn FROM cols)
+    SELECT md5(string_agg(n, ',' ORDER BY n)) AS columns_hash,
+           md5(string_agg(n, ',' ORDER BY rn)) AS order_hash,
+           md5(string_agg(n || ':' || pat, ',' ORDER BY rn)) AS dtypes_hash,
+           count(*)::BIGINT AS n_columns
+    FROM mapped"""
+
+
+def _decimal_precision_sql() -> str:
+    """accuracy.decimal_precision over l_discount/l_tax: decimal-digit
+    histogram from the VARCHAR cast (DuckDB's shortest-roundtrip double
+    repr matches Python str() on these values — verified on the testdata
+    domain), modal precision with smallest-k tie-break, 4dp proportions."""
+    return """
+    WITH v AS (
+        SELECT 'l_discount' AS col, l_discount AS x FROM lineitem
+        WHERE l_discount IS NOT NULL
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem WHERE l_tax IS NOT NULL),
+    s AS (SELECT col, x::VARCHAR AS s FROM v),
+    d AS (SELECT col, CASE WHEN s LIKE '%e%' OR s LIKE '%E%' THEN 17
+                           WHEN strpos(s, '.') > 0 THEN length(s) - strpos(s, '.')
+                           ELSE 0 END AS k FROM s),
+    hist AS (SELECT col, k, count(*) AS c FROM d GROUP BY col, k),
+    mode AS (SELECT col, k AS mode_k, c FROM (
+                SELECT col, k, c, row_number() OVER (
+                    PARTITION BY col ORDER BY c DESC, k) AS rn FROM hist)
+             WHERE rn = 1),
+    n AS (SELECT col, count(*) AS n FROM v GROUP BY col),
+    per_col AS (SELECT n.col, n.n, mode.mode_k, mode.c::DOUBLE / n.n AS prop
+                FROM n JOIN mode ON n.col = mode.col)
+    SELECT col AS "column", n::BIGINT AS n, mode_k::BIGINT AS mode_decimals,
+           round(prop, 4) AS proportion_score
+    FROM per_col
+    UNION ALL
+    SELECT '__dataset__', sum(n)::BIGINT, -1,
+           round(sum(prop * n) / sum(n), 4)
+    FROM per_col"""
+
+
+def _embedding_pairs_lsh_sql() -> str:
+    """neardup.embedding_cosine_pairs with 6 random-hyperplane buckets:
+    the seeded plane matrix is inlined as literals; pairs must share the
+    sign-pattern bucket AND have cosine >= 0.45."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["embedding"])
+    dim = len(t.column("embedding")[0])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, 6))
+    code = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(v)) for v in planes[:, j])
+        + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(6))
+    return f"""
+    WITH coded AS (SELECT vec_id, embedding, ({code}) AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4) AS cosine
+    FROM coded a JOIN coded b
+        ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.45"""
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -654,6 +913,14 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
         "langid_documents": _langid_sql(),
+        "fingerprints_documents": _fingerprints_sql(),
+        "simhash_documents": _simhash_sql(),
+        "ngram_jaccard_documents": _ngram_jaccard_sql(),
+        "minhash_pairs_documents": _minhash_sql(),
+        "ks_drift_events": _ks_drift_sql(),
+        "schema_hashes_lineitem": _schema_hashes_sql(),
+        "decimal_precision_lineitem": _decimal_precision_sql(),
+        "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),
         "profile_summary_events": _profile_summary_sql(),
         "schema_drift_orders_lineitem": """
     WITH a AS (SELECT column_name FROM (DESCRIBE orders)),

@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from packs_ray.functions.agg import global_agg
+from packs_ray.stages.util import round_half_away as _r
 
 
 def _decimals_of(v: float) -> int:
@@ -70,9 +71,9 @@ def decimal_precision(ds, columns: list[str]) -> pd.DataFrame:
         else:
             mode_k, prop = 0, 1.0
         rows.append({"column": col, "n": n, "mode_decimals": mode_k,
-                     "proportion_score": round(prop, 4)})
+                     "proportion_score": float(_r(prop, 4))})
         weighted += prop * n
         total_rows += n
     rows.append({"column": "__dataset__", "n": total_rows, "mode_decimals": -1,
-                 "proportion_score": round(weighted / total_rows, 4) if total_rows else 1.0})
+                 "proportion_score": float(_r(weighted / total_rows, 4)) if total_rows else 1.0})
     return pd.DataFrame(rows)

@@ -52,8 +52,8 @@ def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
     lam = (en + 0.12 + 0.11 / en) * d
     j = np.arange(1, 101)
     p = float(np.clip(2 * ((-1) ** (j - 1) * np.exp(-2 * (lam * j) ** 2)).sum(), 0, 1))
-    return pd.DataFrame([{"column": column, "ks_stat": round(d, 6),
-                          "p_value": round(p, 6), "drifted": p < 0.05}])
+    return pd.DataFrame([{"column": column, "ks_stat": float(_r(d, 6)),
+                          "p_value": float(_r(p, 6)), "drifted": p < 0.05}])
 
 
 #: target rows above this switch compare_datasets to the hash-bucketed

@@ -24,6 +24,8 @@ import pyarrow as pa
 
 import ray
 
+from packs_ray.stages.util import round_half_away as _r
+
 
 def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     """Character n-gram 64-bit hashes (FNV-1a over utf-8)."""
@@ -358,7 +360,7 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
                 if nz.any():
                     inter[nz] = np.add.reduceat(hit, offs[nz])[:]
             union = lens + len(A) - inter
-            jac = np.round(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 4)
+            jac = _r(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 4)
             keep = jac >= jaccard_threshold
             out_a.append(np.full(int(keep.sum()), int(ida), dtype=np.int64))
             out_b.append(ibs[keep])
@@ -418,7 +420,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, shingle: int = 5,
                 a, b = sorted((ids[i], ids[j]))
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(round(jac, 4))
+                out_j.append(float(_r(jac, 4)))
     return (pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                           "id_b": pd.Series(out_b, dtype="int64"),
                           "jaccard": pd.Series(out_j, dtype="float64")})

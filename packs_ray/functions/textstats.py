@@ -171,7 +171,9 @@ def fingerprints(ds, id_col: str, column: str):
     def fn(batch: pa.Table) -> pa.Table:
         text = str_column(batch, column)
         norm = pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
-        norm = pc.utf8_trim_whitespace(norm)
+        # plain-space trim, same normalization as normalize_text (collapse
+        # leaves only plain spaces at edges; SQL trim(x, ' ') equivalent)
+        norm = pc.utf8_trim(norm, " ")
         arr = pc.fill_null(norm, "").cast(pa.binary())
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
