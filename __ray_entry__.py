@@ -309,6 +309,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return conversation_summary(run_filter_pipeline(_transcripts(sf)))
 
+    def pattern_autodetect_customer(sf):
+        import pyarrow as pa
+
+        def rn(t: pa.Table) -> pa.Table:
+            # renamed so the reference's name-sniffing branches fire,
+            # incl. the ip-branch precedence quirk on 'ship_address'
+            return t.rename_columns(["contact_mail", "session_uuid",
+                                     "ship_address"])
+
+        ds = _ds(sf, "customer", ["c_name", "c_mktsegment", "c_custkey"]) \
+            .map_batches(rn, batch_format="pyarrow")
+        return validation.pattern_autodetect(ds)
+
+    def latlon_autodetect_events(sf):
+        import pyarrow as pa
+
+        def rn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["sensor_lat", "grid_lon"])
+
+        ds = _ds(sf, "events", ["value", "user_id"]) \
+            .map_batches(rn, batch_format="pyarrow")
+        return validation.latlon_autodetect(ds)
+
+    def timeliness_string_dates(sf):
+        import pandas as pd
+        import pyarrow as pa
+
+        def mk(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = (df["event_id"] % 3).to_numpy()
+            s = pd.Series(index=df.index, dtype=object)
+            s[m == 0] = df["ts"].dt.strftime("%Y-%m-%d")[m == 0]
+            s[m == 1] = df["ts"].dt.strftime("%Y/%m/%d")[m == 1]
+            s[m == 2] = df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")[m == 2]
+            s[df["ts"].isna()] = None
+            return pa.table({"ts_str": pa.array(s.to_numpy(dtype=object),
+                                                type=pa.string())})
+
+        ds = _ds(sf, "events", ["event_id", "ts"]).map_batches(
+            mk, batch_format="pyarrow")
+        return timeliness.timeliness_sniffed(ds, ["ts_str"], NOW)
+
+    def timeliness_year_events(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def mk(t: pa.Table) -> pa.Table:
+            return pa.table({"event_year":
+                             pc.cast(pc.year(t.column("ts")), pa.int64())})
+
+        ds = _ds(sf, "events", ["ts"]).map_batches(mk, batch_format="pyarrow")
+        return timeliness.timeliness_sniffed(ds, ["event_year"], NOW)
+
     def media_image_features(sf):
         import ray.data
 
@@ -364,6 +417,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_drift_orders_lineitem": schema_drift_orders_lineitem,
         "normalize_documents": normalize_documents,
         "top_orders_per_priority": top_orders_per_priority,
+        "pattern_autodetect_customer": pattern_autodetect_customer,
+        "latlon_autodetect_events": latlon_autodetect_events,
+        "timeliness_string_dates": timeliness_string_dates,
+        "timeliness_year_events": timeliness_year_events,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_video_frames": media_video_frames,
@@ -685,6 +742,88 @@ def _embedding_pairs_lsh_sql() -> str:
                                  b.embedding::DOUBLE[]) >= 0.45"""
 
 
+def _pattern_autodetect_sql() -> str:
+    """pattern_autodetect over the renamed customer columns: per-branch
+    invalid counts on non-null values (empty string valid) + the 2dp
+    score row (mean of the 4dp valid_percents)."""
+    from packs_ray.rules.patterns import BUILTIN_PATTERNS
+
+    rules = [("contact_mail", "email"), ("session_uuid", "uuid"),
+             ("ship_address", "ipv4")]
+    per_rule = " UNION ALL ".join(f"""
+        SELECT '{col}' AS "column", '{name}' AS pattern,
+            sum(CASE WHEN {col} <> ''
+                      AND NOT regexp_matches({col}, '{BUILTIN_PATTERNS[name]}')
+                     THEN 1 ELSE 0 END)::BIGINT AS invalid_count,
+            round(sum(CASE WHEN {col} <> ''
+                      AND NOT regexp_matches({col}, '{BUILTIN_PATTERNS[name]}')
+                     THEN 1 ELSE 0 END)::DOUBLE / count({col}), 4) AS invalid_percent,
+            round(1 - sum(CASE WHEN {col} <> ''
+                      AND NOT regexp_matches({col}, '{BUILTIN_PATTERNS[name]}')
+                     THEN 1 ELSE 0 END)::DOUBLE / count({col}), 4) AS valid_percent
+        FROM src""" for col, name in rules)
+    return f"""
+    WITH src AS (SELECT c_name AS contact_mail, c_mktsegment AS session_uuid,
+                        c_custkey::VARCHAR AS ship_address FROM customer),
+    rows AS ({per_rule})
+    SELECT * FROM rows
+    UNION ALL
+    SELECT '__dataset__', 'score', 0, 0.0, round(avg(valid_percent), 2) FROM rows
+    """
+
+
+def _latlon_sql() -> str:
+    return """
+    SELECT 'sensor_lat' AS "column", 'latitude' AS kind,
+        count(value)::BIGINT AS n,
+        sum(CASE WHEN value < -90 OR value > 90 THEN 1 ELSE 0 END)::BIGINT
+            AS invalid_count,
+        round(1 - sum(CASE WHEN value < -90 OR value > 90 THEN 1 ELSE 0 END)::DOUBLE
+              / count(value), 4) AS valid_percent
+    FROM events
+    UNION ALL
+    SELECT 'grid_lon', 'longitude', count(user_id)::BIGINT,
+        sum(CASE WHEN user_id < -180 OR user_id > 180 THEN 1 ELSE 0 END)::BIGINT,
+        round(1 - sum(CASE WHEN user_id < -180 OR user_id > 180 THEN 1 ELSE 0 END)::DOUBLE
+              / count(user_id), 4)
+    FROM events
+    """
+
+
+def _timeliness_string_sql() -> str:
+    """Mixed-format string dates rebuilt exactly as the query builds them,
+    parsed with a try_strptime ladder mirroring pandas format='mixed'."""
+    return """
+    WITH s AS (SELECT CASE WHEN ts IS NULL THEN NULL
+            WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d')
+            WHEN event_id % 3 = 1 THEN strftime(ts, '%Y/%m/%d')
+            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str FROM events),
+    p AS (SELECT coalesce(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+                          try_strptime(ts_str, '%Y/%m/%d'),
+                          try_strptime(ts_str, '%Y-%m-%d')) AS t FROM s),
+    mx AS (SELECT max(t) AS latest FROM p)
+    SELECT 'ts_str' AS "column", latest AS latest_ts,
+        floor(epoch(TIMESTAMP '2026-08-01 00:00:00' - latest) / 86400)::BIGINT
+            AS days_since_latest,
+        round(greatest(0.0, 1 - floor(epoch(TIMESTAMP '2026-08-01 00:00:00' - latest)
+              / 86400) / 365), 2) AS timeliness_score
+    FROM mx
+    """
+
+
+def _timeliness_year_sql() -> str:
+    return """
+    WITH mx AS (SELECT make_timestamp(max(year(ts))::BIGINT, 1, 1, 0, 0, 0)
+                    AS latest FROM events WHERE ts IS NOT NULL)
+    SELECT 'event_year' AS "column", latest AS latest_ts,
+        floor(epoch(TIMESTAMP '2026-08-01 00:00:00' - latest) / 86400)::BIGINT
+            AS days_since_latest,
+        round(greatest(0.0, 1 - floor(epoch(TIMESTAMP '2026-08-01 00:00:00' - latest)
+              / 86400) / 365), 2) AS timeliness_score
+    FROM mx
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -921,6 +1060,10 @@ def oracle_sql() -> dict[str, str]:
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),
+        "pattern_autodetect_customer": _pattern_autodetect_sql(),
+        "latlon_autodetect_events": _latlon_sql(),
+        "timeliness_string_dates": _timeliness_string_sql(),
+        "timeliness_year_events": _timeliness_year_sql(),
         "profile_summary_events": _profile_summary_sql(),
         "schema_drift_orders_lineitem": """
     WITH a AS (SELECT column_name FROM (DESCRIBE orders)),

@@ -23,25 +23,42 @@ from packs_ray.functions.agg import global_agg
 def pii_scan(ds, columns: list[str], cfg: FilterConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Rows: per (column, pattern) hit counts; plus a __dataset__ row with
     rows_with_pii / total / pii_records_ratio (4dp)."""
+    from packs_ray.functions.validation import _re2_safe
+
     bank = [(k, p) for k, p in cfg.pii_patterns]
+    # RE2-safe patterns run as ONE vectorized Arrow kernel per batch; the
+    # Python re loop survives only for lazy-quantifier patterns (the
+    # credit-card regex) where RE2 and Python semantics diverge — and only
+    # over prefiltered candidate rows
+    safe = {k for k, p in bank if _re2_safe(p)}
 
     def partial(batch: pa.Table) -> dict:
-        compiled = [(k, re.compile(p)) for k, p in bank]
-        d = {"total": batch.num_rows, "rows_with_pii": 0}
         import numpy as np
+
+        compiled = [(k, re.compile(p)) for k, p in bank if k not in safe]
+        d = {"total": batch.num_rows, "rows_with_pii": 0}
         any_hit = np.zeros(batch.num_rows, dtype=bool)
         for col in columns:
             text = str_column(batch, col)
-            cand = pc.match_substring_regex(
-                text, PII_PREFILTER_CHARS).fill_null(False).to_numpy(zero_copy_only=False)
-            vals = text.to_numpy(zero_copy_only=False)
-            for key, rx in compiled:
-                hits = 0
-                for i in np.flatnonzero(cand):
-                    if vals[i] is not None and rx.search(vals[i]):
-                        hits += 1
-                        any_hit[i] = True
-                d[f"hits_{col}_{key}"] = d.get(f"hits_{col}_{key}", 0) + hits
+            for key, pat in bank:
+                if key in safe:
+                    m = pc.match_substring_regex(text, pat).fill_null(False) \
+                        .to_numpy(zero_copy_only=False)
+                    any_hit |= m
+                    d[f"hits_{col}_{key}"] = d.get(f"hits_{col}_{key}", 0) \
+                        + int(m.sum())
+            if compiled:
+                cand = pc.match_substring_regex(
+                    text, PII_PREFILTER_CHARS).fill_null(False) \
+                    .to_numpy(zero_copy_only=False)
+                vals = text.to_numpy(zero_copy_only=False)
+                for key, rx in compiled:
+                    hits = 0
+                    for i in np.flatnonzero(cand):
+                        if vals[i] is not None and rx.search(vals[i]):
+                            hits += 1
+                            any_hit[i] = True
+                    d[f"hits_{col}_{key}"] = d.get(f"hits_{col}_{key}", 0) + hits
         d["rows_with_pii"] = int(any_hit.sum())
         return d
 

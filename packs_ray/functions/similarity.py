@@ -89,13 +89,9 @@ def brute_force_topk_multi(ds, id_col: str, emb_col: str, queries: np.ndarray,
     return out.reset_index(drop=True)
 
 
-def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, sample_rows: int = 2048,
-             seed: int = 42) -> pd.DataFrame:
-    """IVF-bucketed ANN: k-means-ish centroids fit on a seeded sample
-    (driver), broadcast; only batches' rows in the ``nprobe`` closest
-    buckets are scored.  Approximate by construction; tests compare its
-    recall against brute force."""
+def _fit_centroids(ds, emb_col: str, n_centroids: int, sample_rows: int,
+                   seed: int) -> np.ndarray:
+    """Seeded-sample Lloyd fit on the driver (deterministic, 5 iters)."""
     sample = ds.limit(sample_rows).select_columns([emb_col])
     m = np.concatenate([
         _batch_matrix(b, emb_col)
@@ -110,6 +106,84 @@ def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
             pts = m[assign == c]
             if len(pts):
                 cent[c] = pts.mean(0)
+    return cent
+
+
+def ivf_build(ds, id_col: str, emb_col: str, index_dir: str,
+              n_centroids: int = 16, sample_rows: int = 2048,
+              seed: int = 42) -> np.ndarray:
+    """Build a PERSISTED IVF index: fit centroids once, assign every row
+    its nearest-centroid bucket in one streaming pass, and write Parquet
+    hive-partitioned by ``ivf_bucket`` (one directory per bucket) plus
+    ``centroids.npy``.  Queries then read ONLY their ``nprobe`` bucket
+    directories — no re-scan of assignments (the scale path the one-shot
+    :func:`ivf_topk` approximates)."""
+    import os
+
+    cent = _fit_centroids(ds, emb_col, n_centroids, sample_rows, seed)
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centv = ray.get(cref)
+        m = _batch_matrix(batch, emb_col)
+        d = ((m[:, None, :] - centv[None, :, :]) ** 2).sum(-1)
+        return pa.table({id_col: batch.column(id_col),
+                         emb_col: batch.column(emb_col),
+                         "ivf_bucket": pa.array(d.argmin(1).astype(np.int64))})
+
+    (ds.select_columns([id_col, emb_col])
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["ivf_bucket"]))
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_query(index_dir: str, id_col: str, emb_col: str, query: np.ndarray,
+              k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Query a pre-built IVF index: load centroids, pick the ``nprobe``
+    closest buckets, and read only those partition directories."""
+    import glob as _glob
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe].tolist()
+    paths = [f for b in probe
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"ivf_bucket={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    import ray.data
+
+    ds = ray.data.read_parquet(paths, columns=[id_col, emb_col])
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _batch_matrix(batch, emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m @ qv) / np.where(norms > 0, norms, 1.0)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[top]),
+                         "cosine": pa.array(_r(cos[top], 6), type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(["cosine", id_col], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True))
+
+
+def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, sample_rows: int = 2048,
+             seed: int = 42) -> pd.DataFrame:
+    """IVF-bucketed ANN, one-shot variant: centroids fit on a seeded
+    sample (driver), broadcast; only batches' rows in the ``nprobe``
+    closest buckets are scored.  Approximate by construction; tests
+    compare its recall against brute force.  For repeated queries build a
+    persisted index with :func:`ivf_build` / :func:`ivf_query` instead."""
+    cent = _fit_centroids(ds, emb_col, n_centroids, sample_rows, seed)
     q = np.asarray(query, dtype=np.float64)
     probe = set(np.argsort(((cent - q) ** 2).sum(1))[:nprobe].tolist())
     cref = ray.put((cent, probe, q / np.linalg.norm(q)))

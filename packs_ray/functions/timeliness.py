@@ -34,6 +34,111 @@ def staleness(paths: list[str], now: _dt.datetime) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+#: the reference's 10 string-date regexes (timeliness_pack/main.py:28-39)
+_DATE_PATTERNS = (
+    r"^\d{4}-\d{2}-\d{2}$", r"^\d{4}/\d{2}/\d{2}$", r"^\d{2}-\d{2}-\d{4}$",
+    r"^\d{2}/\d{2}/\d{4}$", r"^\d{2}-\d{2}-\d{4}$", r"^\d{2}/\d{2}/\d{4}$",
+    r"^\d{4}\.\d{2}\.\d{2}$", r"^\d{2}\.\d{2}\.\d{4}$", r"^\d{2}\.\d{2}\.\d{4}$",
+    r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$",
+)
+
+
+def sniff_date_type(values, now: _dt.datetime) -> str | None:
+    """Replicates is_date over a sample (timeliness_pack/main.py:26-61,
+    with ``now`` pinned instead of datetime.now()): 'year_only' for
+    4-digit years 1900..now.year, 'date' if any sample value matches a
+    date regex AND dateutil-parses, else None."""
+    import re
+
+    from dateutil.parser import parse as _parse
+
+    kinds: set = set()
+    for v in values:
+        s = str(v)
+        if re.match(r"^\d{4}$", s):
+            kinds.add("year_only" if 1900 <= int(s) <= now.year else False)
+        elif any(re.match(p, s) for p in _DATE_PATTERNS):
+            try:
+                _parse(s)
+                kinds.add(True)
+            except ValueError:
+                kinds.add(False)
+        else:
+            kinds.add(False)
+    if "year_only" in kinds:
+        return "year_only"
+    return "date" if True in kinds else None
+
+
+def _safe_to_datetime(series: pd.Series) -> pd.Series:
+    """The reference's mixed-format coercion ladder
+    (timeliness_pack/main.py:74-83)."""
+    try:
+        return pd.to_datetime(series, errors="coerce", format="mixed")
+    except Exception:
+        try:
+            return pd.to_datetime(series, errors="coerce", dayfirst=True)
+        except Exception:
+            return pd.to_datetime(series, errors="coerce")
+
+
+def timeliness_sniffed(ds, columns: list[str], now: _dt.datetime,
+                       sample_rows: int = 1000) -> pd.DataFrame:
+    """Timeliness over STRING/INT candidate columns: the date type is
+    sniffed from the first <=10 unique values of a head sample (reference
+    samples 10 uniques, timeliness_pack/main.py:115-118 — here from the
+    first ``sample_rows`` rows so the sniff never scans the dataset), then
+
+    - 'year_only' columns aggregate int min/max year; latest_ts is pinned
+      to Jan 1 of the latest year (the reference's external aggregator is
+      not public; this convention is ours and documented);
+    - 'date' columns run the mixed-format ``to_datetime`` coercion ladder
+      per batch and max-aggregate the parsed timestamps.
+
+    Non-date columns are skipped (reference ``continue``)."""
+    sample = ds.select_columns(columns).limit(sample_rows).to_pandas()
+    plan: dict[str, str] = {}
+    for c in columns:
+        vals = sample[c].dropna().unique()[:10]
+        kind = sniff_date_type(vals, now)
+        if kind:
+            plan[c] = kind
+
+    if not plan:
+        return pd.DataFrame(columns=["column", "latest_ts",
+                                     "days_since_latest", "timeliness_score"])
+
+    def partial(batch: pa.Table) -> dict:
+        d = {}
+        for c, kind in plan.items():
+            ser = batch.column(c).to_pandas()
+            if kind == "year_only":
+                yr = ser.dropna().astype(int)
+                d[f"max_{c}"] = int(yr.max()) if len(yr) else None
+            else:
+                conv = _safe_to_datetime(ser)
+                mx = conv.max()
+                d[f"max_{c}"] = None if pd.isnull(mx) else mx
+        return d
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {c: p[f"max_{c}"].max() for c in plan}
+
+    agg = global_agg(ds, partial, combine)
+    rows = []
+    for c, kind in plan.items():
+        latest = agg[c]
+        if latest is None or pd.isnull(latest):
+            continue
+        if kind == "year_only":
+            latest = pd.Timestamp(year=int(latest), month=1, day=1)
+        days = (now - latest).days
+        rows.append({"column": c, "latest_ts": latest,
+                     "days_since_latest": days,
+                     "timeliness_score": float(_r(max(0.0, 1 - days / 365), 2))})
+    return pd.DataFrame(rows)
+
+
 def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
     """Per ts column: latest value, whole days since, score (2dp)."""
 

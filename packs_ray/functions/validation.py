@@ -20,24 +20,30 @@ from packs_ray.stages.util import str_column
 from packs_ray.stages.util import round_half_away as _r
 
 
-def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
+def _re2_safe(pattern: str) -> bool:
+    """Patterns whose Python-re and RE2 semantics coincide (no lazy
+    quantifiers, no backreferences, no lookaround) can use the
+    vectorized Arrow kernel; others keep the per-value Python loop
+    for byte-parity (SURVEY.md §7.4)."""
+    return re.search(r"(?:[*+}?]\?)|\\[0-9]|\(\?[=!<]", pattern) is None
+
+
+def pattern_validation(ds, rules: list[dict],
+                       skip_nulls: bool = False) -> pd.DataFrame:
     """rules: [{column, type (builtin name) | regex}].  Returns one row per
     rule: invalid_count / invalid_percent / valid_percent (4dp, reference
     rounding pattern_validation_pack/main.py:56).  NaN→"nan" via astype(str)
-    and the empty-string-is-valid quirk are reproduced exactly."""
+    and the empty-string-is-valid quirk are reproduced exactly.
+
+    ``skip_nulls=True`` validates non-null values only and divides by the
+    per-column non-null count — the reference's auto-detection path
+    (pattern_validation_pack/main.py:193, col_data = dropna())."""
     resolved = []
     for r in rules:
         if r.get("regex"):
             resolved.append((r["column"], "custom_regex", r["regex"]))
         else:
             resolved.append((r["column"], r["type"], BUILTIN_PATTERNS[r["type"]]))
-
-    def _re2_safe(pattern: str) -> bool:
-        """Patterns whose Python-re and RE2 semantics coincide (no lazy
-        quantifiers, no backreferences, no lookaround) can use the
-        vectorized Arrow kernel; others keep the per-value Python loop
-        for byte-parity (SURVEY.md §7.4)."""
-        return re.search(r"(?:[*+}?]\?)|\\[0-9]|\(\?[=!<]", pattern) is None
 
     def partial(batch: pa.Table) -> dict:
         import numpy as np
@@ -48,6 +54,9 @@ def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
             # reference: series.astype(str) → NaN becomes "nan"; then
             # bool(match) if value else True (empty string is VALID)
             arr = str_column(batch, col)
+            if skip_nulls:
+                arr = arr.drop_null()
+                d[f"tot_{i}"] = len(arr)
             if _re2_safe(pattern):
                 s = pc.fill_null(arr, "nan")
                 # anchor the WHOLE pattern: a bare '^'+pattern leaves the
@@ -56,7 +65,7 @@ def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
                 anchored = "^(?:" + pattern + ")"
                 ok = pc.or_(pc.equal(s, ""),
                             pc.match_substring_regex(s, anchored))
-                inv = batch.num_rows - (pc.sum(pc.cast(ok, "int64")).as_py() or 0)
+                inv = len(s) - (pc.sum(pc.cast(ok, "int64")).as_py() or 0)
             else:
                 compiled = re.compile(pattern)
                 vals = arr.to_numpy(zero_copy_only=False)
@@ -69,19 +78,107 @@ def pattern_validation(ds, rules: list[dict]) -> pd.DataFrame:
         return d
 
     def combine(p: pd.DataFrame) -> dict:
-        return {"total": int(p["total"].sum()),
-                **{f"inv_{i}": int(p[f"inv_{i}"].sum()) for i in range(len(resolved))}}
+        out = {"total": int(p["total"].sum()),
+               **{f"inv_{i}": int(p[f"inv_{i}"].sum()) for i in range(len(resolved))}}
+        if skip_nulls:
+            out.update({f"tot_{i}": int(p[f"tot_{i}"].sum())
+                        for i in range(len(resolved))})
+        return out
 
     agg = global_agg(ds, partial, combine)
-    total = agg["total"]
     rows = []
     for i, (col, name, _pattern) in enumerate(resolved):
         inv = agg[f"inv_{i}"]
+        total = agg[f"tot_{i}"] if skip_nulls else agg["total"]
         inv_pct = inv / total if total else 0.0
         rows.append({"column": col, "pattern": name, "invalid_count": inv,
                      "invalid_percent": float(_r(inv_pct, 4)),
                      "valid_percent": float(_r(1 - inv_pct, 4))})
     return pd.DataFrame(rows)
+
+
+#: name-sniffing branches of the reference's pattern auto-detection
+#: (pattern_validation_pack/main.py:196-243) — (predicate, builtin name).
+#: The ipv4 predicate keeps the documented precedence quirk at :230:
+#: `'ip' in c and 'address' in c or c in [...]` binds as
+#: `('ip' in c and 'address' in c) or c in [...]`, so a column such as
+#: 'ship_address' (contains both 'ip' and 'address') triggers the check.
+_AUTODETECT_BRANCHES = (
+    (lambda c: "email" in c or "mail" in c, "email"),
+    (lambda c: "uuid" in c or "guid" in c, "uuid"),
+    (lambda c: ("ip" in c and "address" in c)
+     or c in ("ip", "ip_address", "ipaddress"), "ipv4"),
+)
+
+
+def pattern_autodetect(ds) -> pd.DataFrame:
+    """Pattern checks auto-detected from COLUMN NAMES, reference semantics
+    (pattern_validation_pack/main.py:179-243): email/mail → email pattern,
+    uuid/guid → uuid, and the quirky ipv4 branch (see
+    _AUTODETECT_BRANCHES).  Validates non-null values only (:193) and
+    appends a ``__dataset__``/'score' row = mean of the 4dp-rounded
+    valid_percents, 2dp (:245-249); its invalid_count/invalid_percent are
+    0 by construction."""
+    empty = pd.DataFrame({"column": pd.Series([], dtype="object"),
+                          "pattern": pd.Series([], dtype="object"),
+                          "invalid_count": pd.Series([], dtype="int64"),
+                          "invalid_percent": pd.Series([], dtype="float64"),
+                          "valid_percent": pd.Series([], dtype="float64")})
+    rules = []
+    for c in ds.schema().names:
+        cl = c.lower()
+        for pred, name in _AUTODETECT_BRANCHES:
+            if pred(cl):
+                rules.append({"column": c, "type": name})
+    if not rules:
+        return empty
+    out = pattern_validation(ds, rules, skip_nulls=True)
+    score = float(out["valid_percent"].mean())  # mean of ROUNDED values (:56)
+    score_row = pd.DataFrame([{
+        "column": "__dataset__", "pattern": "score", "invalid_count": 0,
+        "invalid_percent": 0.0, "valid_percent": float(_r(score, 2))}])
+    return pd.concat([out, score_row], ignore_index=True)
+
+
+def latlon_autodetect(ds) -> pd.DataFrame:
+    """Name-sniffed latitude/longitude range validation over numeric
+    columns (accuracy_pack/main.py:85-129): 'lat' → ±90, 'lon'/'lng' →
+    ±180; non-null values only; all-null/non-numeric columns skipped."""
+    schema = ds.schema()
+    checks = []
+    for c, t in zip(schema.names, schema.types):
+        if not (pa.types.is_floating(t) or pa.types.is_integer(t)):
+            continue
+        cl = c.lower()
+        if "lat" in cl:
+            checks.append((c, "latitude", -90.0, 90.0))
+        if "lon" in cl or "lng" in cl:
+            checks.append((c, "longitude", -180.0, 180.0))
+
+    def partial(batch: pa.Table) -> dict:
+        d = {}
+        for i, (c, _kind, lo, hi) in enumerate(checks):
+            col = batch.column(c).drop_null()
+            d[f"n_{i}"] = len(col)
+            d[f"inv_{i}"] = (pc.sum(pc.cast(
+                pc.or_(pc.less(col, lo), pc.greater(col, hi)),
+                "int64")).as_py() or 0)
+        return d
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {c: int(p[c].sum()) for c in p.columns}
+
+    agg = global_agg(ds, partial, combine) if checks else {}
+    rows = []
+    for i, (c, kind, _lo, _hi) in enumerate(checks):
+        n = agg.get(f"n_{i}", 0)
+        if n == 0:  # reference skips empty columns (:93, :115)
+            continue
+        inv = agg[f"inv_{i}"]
+        rows.append({"column": c, "kind": kind, "n": n, "invalid_count": inv,
+                     "valid_percent": float(_r(1 - inv / n, 4))})
+    return pd.DataFrame(rows, columns=["column", "kind", "n", "invalid_count",
+                                       "valid_percent"])
 
 
 def numeric_range(ds, rules: list[dict]) -> pd.DataFrame:

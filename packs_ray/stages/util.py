@@ -16,10 +16,11 @@ def round_half_away(x, nd: int):
 
 
 def str_column(batch: pa.Table, name: str) -> pa.Array:
-    """Column as a combined string Array; all-null blocks that lost their
-    type through a pandas stage (null type) are cast back to string."""
+    """Column as a combined string Array: null-typed blocks (type lost
+    through a pandas stage) and non-string columns (int keys fed to a
+    string check — the reference's astype(str)) are cast to string."""
     col = batch.column(name)
-    if pa.types.is_null(col.type):
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
         col = col.cast(pa.string())
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

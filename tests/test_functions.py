@@ -176,6 +176,46 @@ def test_compare_bucketed_matches_broadcast(ray_session):
     assert bc["rows_in_common"].iloc[0] == int(keep.sum())
 
 
+def test_pattern_autodetect_ip_quirk(ray_session):
+    """The reference's IP-branch precedence quirk
+    (pattern_validation_pack/main.py:230): a column named 'ship_address'
+    (contains both 'ip' and 'address') triggers the ipv4 check, while
+    'shipping_code' and 'address' alone do not."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.validation import pattern_autodetect
+
+    ds = ray.data.from_arrow(pa.table({
+        "ship_address": ["10.0.0.1", "not-an-ip", ""],
+        "shipping_code": ["x", "y", "z"],
+        "address": ["a", "b", "c"],
+        "ip": ["10.0.0.2", "bad", "10.0.0.3"],
+    }))
+    out = pattern_autodetect(ds)
+    checked = set(zip(out["column"], out["pattern"]))
+    assert ("ship_address", "ipv4") in checked       # the quirk
+    assert ("ip", "ipv4") in checked                 # explicit name list
+    assert not any(c in ("shipping_code", "address")
+                   for c, _ in checked if c != "__dataset__")
+    row = out[(out["column"] == "ship_address")].iloc[0]
+    assert row["invalid_count"] == 1                 # '' is valid (quirk)
+
+
+def test_sniff_date_type():
+    import datetime
+
+    from packs_ray.functions.timeliness import sniff_date_type
+
+    now = datetime.datetime(2026, 8, 1)
+    assert sniff_date_type(["2024-03-01", "2025-12-31"], now) == "date"
+    assert sniff_date_type(["2020", "1999"], now) == "year_only"
+    assert sniff_date_type(["2120"], now) is None          # year out of range
+    assert sniff_date_type(["hello", "world"], now) is None
+    assert sniff_date_type(["2024-13-45"], now) is None    # regex ok, parse fails
+    assert sniff_date_type(["2024.05.06", "x"], now) == "date"  # any True wins
+
+
 def test_rank_select_edges(ray_session):
     """Distributed rank selection: constant columns, extreme ranks,
     duplicate-heavy data, tiny n — vs np.percentile."""

@@ -102,6 +102,35 @@ def test_simhash_close_for_neardups(neardup_docs):
     assert np.mean(hd) < 16, hd  # near-dups have small Hamming distance
 
 
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """ivf_build writes a bucket-partitioned index; ivf_query reads only
+    the probed bucket directories and must equal the one-shot ivf_topk
+    (same centroids, same probe set)."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.similarity import ivf_build, ivf_query, ivf_topk
+
+    rng = np.random.default_rng(21)
+    emb = rng.normal(size=(400, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": [row.tolist() for row in emb]}))
+    q = emb[7]
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, "vec_id", "embedding", idx, n_centroids=8, seed=5)
+    # partitioned layout on disk: one dir per bucket + persisted centroids
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    buckets = [d for d in os.listdir(idx) if d.startswith("ivf_bucket=")]
+    assert len(buckets) >= 2
+    got = ivf_query(idx, "vec_id", "embedding", q, k=5, nprobe=3)
+    exp = ivf_topk(ds, "vec_id", "embedding", q, k=5, n_centroids=8,
+                   nprobe=3, seed=5)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_ivf_recall_vs_bruteforce(ray_session):
     import ray.data
 
