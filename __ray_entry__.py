@@ -824,6 +824,181 @@ def _timeliness_year_sql() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# flagship-pipeline oracle: a full SQL replication of the filter pipeline
+# (heuristic rules + langid + byte-bigram perplexity + conversation window
+# + keep-first dedup + PII detection) over the SAME synthetic transcript
+# parquet the queries read.  The perplexity model's log-prob table is
+# persisted once as a parquet artifact the SQL joins against (model
+# parameters, like the langid marker words inlined in _langid_sql).
+# --------------------------------------------------------------------------
+
+def _ensure_flagship_artifacts() -> dict[str, str]:
+    """Generate (cached) the transcript fixtures for every sf the driver
+    or tests may compare at, plus the bigram log-prob parquet."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.gen import transcripts_path
+
+    paths = {n: transcripts_path(n) for n in (2_000, 20_000, 200_000)}
+    lp_path = "/tmp/packs_ray_data/bigram_logp.parquet"
+    if not os.path.exists(lp_path):
+        from packs_ray.models import PerplexityModel
+
+        logp = PerplexityModel().logp  # (256, 256) float64
+        hi, lo = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+        pq.write_table(pa.table({
+            "hi": pa.array(hi.ravel().astype(np.int64)),
+            "lo": pa.array(lo.ravel().astype(np.int64)),
+            "logp": pa.array(logp.ravel()),
+        }), lp_path)
+    return {"t2000": paths[2_000], "t20000": paths[20_000],
+            "t200000": paths[200_000], "logp": lp_path}
+
+
+def _flagship_rules_cte() -> str:
+    """CTE chain ending in ``rb``: one row per transcript turn with every
+    rule boolean, ``kept`` and ``scrubbed`` — the SQL twin of the engine's
+    rule_bits (packs_ray.rules.turn_rules + model/conversation/dedup
+    stages; semantics cited there)."""
+    from packs_ray.models import _CJK_RANGE_RE, LANG_MARKERS
+    from packs_ray.rules.patterns import PII_PATTERNS, TOXICITY_REGEX
+
+    a = _ensure_flagship_artifacts()
+    ws = " \t\n\r\x0b\x0c"  # Python str.strip / Arrow trim_whitespace set (ASCII)
+    lang_scores = []
+    for lang, words in LANG_MARKERS.items():
+        pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+        lang_scores.append(
+            f"length(regexp_extract_all(coalesce(text, ''), '{pat}'))::DOUBLE"
+            f" / greatest(length(regexp_extract_all(coalesce(text, ''), '\\S+')), 1)"
+            f" AS sc_{lang}")
+    lang_scores.append(
+        f"length(regexp_extract_all(coalesce(text, ''), '{_CJK_RANGE_RE}'))::DOUBLE"
+        f" / greatest(length(coalesce(text, '')), 1) AS sc_cjk")
+    pii_any = " OR ".join(f"regexp_matches(text, '{p}')" for _k, p in PII_PATTERNS)
+    # langid rule: fires iff the winner is a non-kept language AND the max
+    # is strictly unique (argmax margin > 0; ties -> margin 0 -> kept)
+    eqm = " + ".join(f"(CASE WHEN sc_{l} = sc_m THEN 1 ELSE 0 END)"
+                     for l in ("en", "fr", "de", "cjk"))
+    return f"""
+    t AS MATERIALIZED (
+        SELECT conv_id, turn_idx, role, text, ts, file_row_number AS frn
+        FROM read_parquet('{a["t2000"]}', file_row_number=true)
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL
+        SELECT conv_id, turn_idx, role, text, ts, file_row_number
+        FROM read_parquet('{a["t20000"]}', file_row_number=true)
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL
+        SELECT conv_id, turn_idx, role, text, ts, file_row_number
+        FROM read_parquet('{a["t200000"]}', file_row_number=true)
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    lp AS (SELECT hi, lo, logp FROM read_parquet('{a["logp"]}')),
+    -- utf-8 bytes of each non-null text (hex-decoded), one row per byte
+    bsrc AS (SELECT frn, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+             FROM t WHERE text IS NOT NULL),
+    bl AS (SELECT frn, nb, {_BYTES_EXPR.replace("::HUGEINT", "::BIGINT")} AS bl
+           FROM bsrc WHERE nb >= 2),
+    -- adjacent byte pairs via two lockstep unnests of shifted slices
+    -- (a positional self-join here goes quadratic on long rows)
+    prs AS (SELECT frn, unnest(bl[1:nb-1]) AS hi, unnest(bl[2:nb]) AS lo
+            FROM bl),
+    ppl AS (SELECT p.frn, -sum(l.logp) / count(*) AS bpb
+            FROM prs p JOIN lp l ON l.hi = p.hi AND l.lo = p.lo
+            GROUP BY p.frn),
+    -- repetition: exact max same-token count per row
+    tok AS (SELECT frn, unnest(regexp_extract_all(text, '\\S+')) AS tk
+            FROM t WHERE text IS NOT NULL),
+    reps AS (SELECT frn, max(c) AS max_run FROM
+                (SELECT frn, tk, count(*) AS c FROM tok GROUP BY frn, tk)
+             GROUP BY frn),
+    -- conversation window: previous role / salt segment per (conv, turn)
+    w AS (SELECT frn, lag(role) OVER cw AS prev_role,
+                 greatest(coalesce(turn_idx, 0), 0) // 8192 AS seg,
+                 lag(greatest(coalesce(turn_idx, 0), 0) // 8192) OVER cw AS prev_seg
+          FROM t WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx, frn)),
+    -- exact (role, text) dedup, keep-first by global (conv_id, turn_idx) order
+    d AS (SELECT frn, row_number() OVER (PARTITION BY role, text
+              ORDER BY conv_id, turn_idx, frn) AS rn
+          FROM t WHERE text IS NOT NULL),
+    sc0 AS (SELECT t.*, {', '.join(lang_scores)} FROM t),
+    sc AS (SELECT sc0.*, greatest(sc_en, sc_fr, sc_de, sc_cjk) AS sc_m FROM sc0),
+    rb0 AS (
+        SELECT sc.frn, sc.conv_id, sc.turn_idx, sc.role, sc.text, sc.ts,
+            (sc.text IS NULL) AS r_null_text,
+            coalesce(sc.text = '', false) AS r_empty_text,
+            coalesce(trim(sc.text, '{ws}') = '' AND sc.text <> '', false)
+                AS r_whitespace_text,
+            coalesce(lower(sc.text) IN ({_PLACEHOLDER_SQL}), false)
+                AS r_null_placeholder,
+            coalesce(length(sc.text) < 2, false) AS r_too_short,
+            coalesce(length(sc.text) > 8192, false) AS r_too_long,
+            (sc.role IS NULL OR sc.role NOT IN
+                ('assistant', 'system', 'tool', 'user')) AS r_invalid_role,
+            (sc.turn_idx IS NULL OR sc.turn_idx < 0) AS r_negative_turn_idx,
+            (sc.ts IS NULL) AS r_null_ts,
+            coalesce(length(regexp_extract_all(sc.text, '\\S+')) >= 8
+                AND reps.max_run::DOUBLE
+                    / length(regexp_extract_all(sc.text, '\\S+')) > 0.5, false)
+                AS r_repetition,
+            coalesce(length(sc.text) > 0
+                AND length(regexp_extract_all(sc.text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                    / length(sc.text) > 0.5, false) AS r_symbol_spam,
+            coalesce(regexp_matches(sc.text, '{TOXICITY_REGEX}'), false)
+                AS r_toxicity,
+            (sc_m > 0 AND sc_m > sc_en AND ({eqm}) = 1)
+                AS r_non_target_lang,
+            coalesce(ppl.bpb, 0.0) > 6.0 AS r_high_perplexity,
+            coalesce(sc.role = 'tool'
+                AND NOT ((w.prev_seg IS NULL OR w.seg <> w.prev_seg) AND w.seg > 0)
+                AND NOT coalesce(w.prev_role IN ('assistant', 'tool'), false),
+                false) AS r_tool_without_assistant,
+            coalesce(d.rn > 1, false) AS r_exact_duplicate
+        FROM sc
+        LEFT JOIN ppl ON ppl.frn = sc.frn
+        LEFT JOIN reps ON reps.frn = sc.frn
+        LEFT JOIN w ON w.frn = sc.frn
+        LEFT JOIN d ON d.frn = sc.frn),
+    rb AS MATERIALIZED (
+        SELECT rb0.*,
+            NOT (r_null_text OR r_empty_text OR r_whitespace_text
+                 OR r_null_placeholder OR r_too_short OR r_too_long
+                 OR r_invalid_role OR r_negative_turn_idx OR r_null_ts
+                 OR r_repetition OR r_symbol_spam OR r_toxicity
+                 OR r_non_target_lang OR r_high_perplexity
+                 OR r_tool_without_assistant OR r_exact_duplicate) AS kept,
+            coalesce(({pii_any}), false) AS has_pii
+        FROM rb0)"""
+
+
+def _transcripts_filter_summary_sql() -> str:
+    from packs_ray.config import RULE_NAMES
+
+    per_rule = " UNION ALL ".join(
+        f"SELECT '{name}', sum(CASE WHEN r_{name} THEN 1 ELSE 0 END)::BIGINT FROM rb"
+        for name in RULE_NAMES)
+    return f"""
+    WITH {_flagship_rules_cte()}
+    SELECT 'total' AS metric, count(*)::BIGINT AS n FROM rb
+    UNION ALL SELECT 'kept', sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT FROM rb
+    UNION ALL {per_rule}"""
+
+
+def _conversation_summary_sql() -> str:
+    return f"""
+    WITH {_flagship_rules_cte()}
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+        sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        sum(CASE WHEN kept AND has_pii THEN 1 ELSE 0 END)::BIGINT AS n_scrubbed,
+        count(DISTINCT role)::BIGINT AS n_roles,
+        coalesce(epoch(max(ts) - min(ts)), 0.0)::DOUBLE AS span_seconds
+    FROM rb GROUP BY conv_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -1064,6 +1239,8 @@ def oracle_sql() -> dict[str, str]:
         "latlon_autodetect_events": _latlon_sql(),
         "timeliness_string_dates": _timeliness_string_sql(),
         "timeliness_year_events": _timeliness_year_sql(),
+        "transcripts_filter_summary": _transcripts_filter_summary_sql(),
+        "conversation_summary_transcripts": _conversation_summary_sql(),
         "profile_summary_events": _profile_summary_sql(),
         "schema_drift_orders_lineitem": """
     WITH a AS (SELECT column_name FROM (DESCRIBE orders)),
