@@ -22,11 +22,19 @@ from packs_ray.functions.agg import global_agg
 from packs_ray.stages.util import round_half_away as _r
 
 
-def _key_tuples(batch: pa.Table, cols: list[str]) -> np.ndarray:
-    if len(cols) == 1:
-        return batch.column(cols[0]).to_numpy(zero_copy_only=False)
-    arrays = [batch.column(c).to_numpy(zero_copy_only=False) for c in cols]
-    return np.array(list(zip(*arrays)), dtype=object)
+def _combined_hash(arrays: list[np.ndarray]) -> np.ndarray:
+    """Order-sensitive 64-bit combine of per-column hashes — turns a
+    multi-column key into one sortable array (collision odds
+    ~|parent|x|child|/2^64, negligible; a collision can only under-count
+    orphans by one)."""
+    import pandas as pd
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+    h = np.full(len(arrays[0]), np.uint64(0xCBF29CE484222325))
+    for a in arrays:
+        ha = pd.util.hash_array(np.asarray(a, dtype=object))
+        h = (h * P) ^ ha
+    return h.view(np.int64)
 
 
 BROADCAST_CAP = 20_000_000  # parent rows above this → bucketed anti-join
@@ -38,21 +46,26 @@ def _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys):
         uniq = parent_ds.select_columns(parent_keys).unique(parent_keys[0])
         parent_bc = np.sort(np.asarray(uniq))  # sorted ONCE, on the driver
     else:
+        # multi-column: combine to one 64-bit hash per key, sort once —
+        # membership then stays a vectorized searchsorted like the
+        # single-column path (no per-row tuple/set lookups)
         rows = parent_ds.select_columns(parent_keys).to_pandas()
-        parent_bc = set(map(tuple, rows.itertuples(index=False, name=None)))
+        parent_bc = np.unique(_combined_hash(
+            [rows[c].to_numpy() for c in parent_keys]))
     ref = ray.put(parent_bc)
 
     def partial(batch: pa.Table) -> dict:
         pkeys = ray.get(ref)
         if len(child_keys) == 1:
             keys = batch.column(child_keys[0]).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(pkeys, keys)
-            idx = np.clip(idx, 0, len(pkeys) - 1)
-            orphans = int((pkeys[idx] != keys).sum()) if len(pkeys) \
-                else batch.num_rows
         else:
-            keys = _key_tuples(batch, child_keys)
-            orphans = sum(1 for k in keys if k not in pkeys)
+            keys = _combined_hash([batch.column(c).to_numpy(zero_copy_only=False)
+                                   for c in child_keys])
+        if len(pkeys):
+            idx = np.clip(np.searchsorted(pkeys, keys), 0, len(pkeys) - 1)
+            orphans = int((pkeys[idx] != keys).sum())
+        else:
+            orphans = batch.num_rows
         return {"total": batch.num_rows, "orphans": orphans}
 
     def combine(p: pd.DataFrame) -> dict:

@@ -202,6 +202,25 @@ def test_pattern_autodetect_ip_quirk(ray_session):
     assert row["invalid_count"] == 1                 # '' is valid (quirk)
 
 
+def test_read_csv_sized(ray_session, tmp_path):
+    """CSV opener (the reference's default input format) with the
+    skiprows knob and column projection; operators run on it unchanged."""
+    from packs_ray.functions.profiling import completeness
+    from packs_ray.sources.csv import read_csv_sized
+
+    p = tmp_path / "in.csv"
+    p.write_text("junk line 1\njunk line 2\n"
+                 "a,b,c\n1,x,\n2,,z\n3,y,w\n")
+    ds = read_csv_sized(str(p), skiprows=2)
+    assert ds.count() == 3
+    out = completeness(ds, ["a", "b", "c"]).set_index("column")
+    assert out.loc["a", "non_null"] == 3
+    assert out.loc["b", "non_null"] == 2
+    assert out.loc["c", "non_null"] == 2
+    proj = read_csv_sized(str(p), skiprows=2, columns=["a", "b"])
+    assert set(proj.schema().names) == {"a", "b"}
+
+
 def test_sniff_date_type():
     import datetime
 
@@ -214,6 +233,32 @@ def test_sniff_date_type():
     assert sniff_date_type(["hello", "world"], now) is None
     assert sniff_date_type(["2024-13-45"], now) is None    # regex ok, parse fails
     assert sniff_date_type(["2024.05.06", "x"], now) == "date"  # any True wins
+
+
+def test_fk_orphans_multicolumn(ray_session):
+    """Multi-column broadcast anti-join (vectorized hash-combined keys)
+    must agree with the bucketed path and a pandas merge ground truth."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions import integrity
+
+    rng = np.random.default_rng(9)
+    pk = pd.DataFrame({"a": rng.integers(0, 40, 300),
+                       "b": rng.choice(list("uvwxyz"), 300)}).drop_duplicates()
+    ck = pd.DataFrame({"a": rng.integers(0, 60, 2000),
+                       "b": rng.choice(list("uvwxyz"), 2000)})
+    parent = ray.data.from_arrow(pa.Table.from_pandas(pk, preserve_index=False))
+    child = ray.data.from_arrow(pa.Table.from_pandas(ck, preserve_index=False))
+
+    bc = integrity._orphans_broadcast(child, ["a", "b"], parent, ["a", "b"])
+    bk = integrity._orphans_bucketed(child, ["a", "b"], parent, ["a", "b"],
+                                     num_partitions=4)
+    truth = int(ck.merge(pk.assign(__hit=1), how="left",
+                         on=["a", "b"])["__hit"].isna().sum())
+    assert bc == bk == {"total": 2000, "orphans": truth}
 
 
 def test_rank_select_edges(ray_session):
