@@ -571,7 +571,10 @@ def _simhash_sql() -> str:
 
 def _ngram_jaccard_sql() -> str:
     """neardup.ngram_jaccard_pairs: exact all-pairs 5-gram Jaccard >= 0.5
-    (threshold on the unrounded value, output rounded 4dp)."""
+    (threshold on the unrounded value, output rounded 4dp).  Parity holds
+    while the table fits the engine's max_rows cap (500) — true at the
+    driver's sf0.01 gate; above it the engine truncates by design and
+    this uncapped SQL is the ground truth it approximates."""
     return f"""
     WITH {_sql_doc_shingles(5)},
     shl AS (SELECT doc_id, list_sort(list(h)) AS hs, count(*) AS cnt

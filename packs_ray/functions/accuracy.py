@@ -5,8 +5,10 @@ digits of each value via ``str(x).split(".")[1]``, take the mode, and
 score the column as the proportion of values at the modal precision;
 the dataset ``float_score`` is the row-weighted mean of column scores.
 Python ``str(float)`` semantics (shortest round-trip repr) are kept
-exactly, which is why this is a Python-per-value kernel and has no SQL
-oracle (DuckDB's VARCHAR cast renders doubles differently).
+exactly via a Python-per-value kernel; the DuckDB oracle uses the VARCHAR
+cast, whose shortest-roundtrip rendering matches ``str(float)`` on the
+testdata domain (verified value-by-value; divergent reprs exist in corner
+regimes, so the kernel stays Python).
 
 Scale: per-batch partial histograms of (column, n_decimals) — tiny —
 combined on the driver; the mode is exact, no row ever leaves its block.
