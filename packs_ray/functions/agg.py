@@ -63,6 +63,13 @@ def global_agg(ds, partial_fn: Callable[[pa.Table], dict[str, Any]],
         return pa.table({k: [v] for k, v in d.items()})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # 0-row input: map_batches never ran; feed partial_fn one empty
+        # batch with the input schema so combine sees its column set
+        sch = ds.schema()
+        arrow_sch = getattr(sch, "base_schema", sch)
+        parts = pa.table({k: [v] for k, v
+                          in partial_fn(arrow_sch.empty_table()).items()}).to_pandas()
     return combine_fn(parts)
 
 

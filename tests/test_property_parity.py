@@ -57,6 +57,76 @@ def frames(draw):
     return df
 
 
+_AUTO_VALUES = st.one_of(
+    st.none(),
+    st.just(""),
+    st.sampled_from([
+        "john.doe@example.com", "not-an-email@", "plain text",
+        "123e4567-e89b-12d3-a456-426614174000", "123e4567",
+        "10.0.0.1", "999.0.0.1", "192.168.1.255", "nan",
+    ]),
+    st.text(min_size=0, max_size=20),
+)
+
+
+@st.composite
+def autodetect_frames(draw):
+    cols = draw(st.lists(st.sampled_from(
+        ["user_email", "guid", "ship_address", "ip", "plain_col",
+         "address", "mailbox", "shipping"]), min_size=1, max_size=4,
+        unique=True))
+    n = draw(st.integers(min_value=0, max_value=20))
+    return pd.DataFrame({c: [draw(_AUTO_VALUES) for _ in range(n)]
+                         for c in cols})
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(autodetect_frames())
+def test_pattern_autodetect_vs_reference_replica(ray_session, df):
+    """pattern_autodetect vs an independent pandas replica of the
+    reference's auto-detection loop (pattern_validation_pack/main.py:
+    179-243 incl. the :230 precedence quirk and :49 empty-valid quirk)."""
+    import re
+
+    import ray.data
+
+    from packs_ray.functions.validation import pattern_autodetect
+    from packs_ray.rules.patterns import BUILTIN_PATTERNS
+
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    for i, f in enumerate(tbl.schema):  # all-null object cols -> string
+        if pa.types.is_null(f.type):
+            tbl = tbl.set_column(i, f.name, tbl.column(i).cast(pa.string()))
+    got = pattern_autodetect(ray.data.from_arrow(tbl))
+
+    # reference replica (straight pandas, per-value re)
+    exp_rows = []
+    for c in df.columns:
+        cl = c.lower()
+        branches = []
+        if "email" in cl or "mail" in cl:
+            branches.append("email")
+        if "uuid" in cl or "guid" in cl:
+            branches.append("uuid")
+        if "ip" in cl and "address" in cl or cl in ("ip", "ip_address",
+                                                    "ipaddress"):
+            branches.append("ipv4")
+        for name in branches:
+            vals = df[c].dropna()
+            rx = re.compile(BUILTIN_PATTERNS[name])
+            inv = sum(1 for v in vals.astype(str)
+                      if v and not rx.match(v))
+            exp_rows.append((c, name, inv, len(vals)))
+    data_rows = got[got["column"] != "__dataset__"]
+    assert len(data_rows) == len(exp_rows)
+    for (_, row), (c, name, inv, tot) in zip(data_rows.iterrows(), exp_rows):
+        assert (row["column"], row["pattern"]) == (c, name)
+        assert row["invalid_count"] == inv, (c, name)
+    if exp_rows:
+        assert (got["column"] == "__dataset__").sum() == 1
+
+
 @settings(max_examples=15, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(frames())
