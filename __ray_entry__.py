@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        if t.num_rows == 0:  # degenerate input: any unit query works
+            return np.array([1.0], dtype=np.float64)
         return np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
 
     def ann_bruteforce_embeddings(sf):
@@ -129,8 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-        qm = np.array([t.column("embedding")[i].as_py() for i in range(3)],
-                      dtype=np.float64)
+        qm = (np.array([t.column("embedding")[i].as_py()
+                        for i in range(min(3, t.num_rows))], dtype=np.float64)
+              if t.num_rows else np.ones((1, 1)))
         return similarity.brute_force_topk_multi(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
             qm, k=5)
@@ -239,6 +242,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         counts = keyed_count(_ds(sf, "customer", ["c_mktsegment"]), ["c_mktsegment"])
         df = counts.to_pandas()
+        if df.empty:  # 0-row collect loses the schema; restore it
+            import pandas as pd
+
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
         return (df.sort_values(["cnt", "c_mktsegment"], ascending=[False, True])
                 .head(1).reset_index(drop=True))
 

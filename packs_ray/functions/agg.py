@@ -54,9 +54,14 @@ def row_shuffle_partitions(input_ds, *, parallel_bytes: int = 2 << 20,
 
 
 def global_agg(ds, partial_fn: Callable[[pa.Table], dict[str, Any]],
-               combine_fn: Callable[[pd.DataFrame], dict[str, Any]]) -> dict[str, Any]:
+               combine_fn: Callable[[pd.DataFrame], dict[str, Any]],
+               empty_schema: "pa.Schema | None" = None) -> dict[str, Any]:
     """partial_fn: batch -> flat dict of partial stats (one row).
-    combine_fn: DataFrame of partial rows -> final dict."""
+    combine_fn: DataFrame of partial rows -> final dict.
+
+    ``empty_schema``: fallback batch schema for 0-row inputs whose lazy
+    schema is unknowable (any transform over zero blocks loses it) —
+    supply the columns ``partial_fn`` touches."""
 
     def partial(batch: pa.Table) -> pa.Table:
         d = partial_fn(batch)
@@ -68,6 +73,12 @@ def global_agg(ds, partial_fn: Callable[[pa.Table], dict[str, Any]],
         # batch with the input schema so combine sees its column set
         sch = ds.schema()
         arrow_sch = getattr(sch, "base_schema", sch)
+        if arrow_sch is None:
+            arrow_sch = empty_schema
+        if arrow_sch is None:
+            raise ValueError(
+                "global_agg over a 0-row dataset with unknown schema; "
+                "pass empty_schema= with the columns partial_fn reads")
         parts = pa.table({k: [v] for k, v
                           in partial_fn(arrow_sch.empty_table()).items()}).to_pandas()
     return combine_fn(parts)

@@ -44,6 +44,10 @@ def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
     a = np.sort(_column_values(ds_a, column))
     b = np.sort(_column_values(ds_b, column))
     n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        # degenerate sample: no evidence of drift (scipy would raise)
+        return pd.DataFrame([{"column": column, "ks_stat": 0.0,
+                              "p_value": 1.0, "drifted": False}])
     allv = np.concatenate([a, b])
     cdf_a = np.searchsorted(a, allv, side="right") / n
     cdf_b = np.searchsorted(b, allv, side="right") / m
@@ -80,6 +84,8 @@ def _compare_broadcast(source_ds, target_ds, id_cols, value_cols, abs_tol):
     """Small target: collect+index it ONCE, ship via ray.put, stream the
     source through map_batches."""
     tgt = target_ds.select_columns(id_cols + value_cols).to_pandas()
+    if tgt.empty:  # 0-row collect loses the schema; restore the columns
+        tgt = pd.DataFrame(columns=id_cols + value_cols)
     tgt_idx = tgt.set_index(id_cols)
     ref = ray.put(tgt_idx)
 
@@ -91,6 +97,8 @@ def _compare_broadcast(source_ds, target_ds, id_cols, value_cols, abs_tol):
 
     parts = source_ds.select_columns(id_cols + value_cols).map_batches(
         partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # 0-row source: no partials ran
+        return (0, len(tgt_idx), 0, 0)
     return (int(parts["source_rows"].sum()), len(tgt_idx),
             int(parts["common"].sum()), int(parts["mismatched"].sum()))
 

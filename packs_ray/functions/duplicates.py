@@ -33,7 +33,8 @@ def duplicate_metrics(ds, key_cols: list[str]) -> pd.DataFrame:
     def combine(p: pd.DataFrame) -> dict:
         return {k: int(p[k].sum()) for k in ("groups", "rows", "dups")}
 
-    agg = global_agg(counts, partial, combine)
+    agg = global_agg(counts, partial, combine,
+                     empty_schema=pa.schema([("cnt", pa.int64())]))
     rows, dups, groups = agg["rows"], agg["dups"], agg["groups"]
     rate = dups / rows if rows else 0.0
     return pd.DataFrame([{

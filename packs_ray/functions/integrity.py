@@ -44,12 +44,15 @@ def _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys):
     """Small parent: distinct keys → ONE broadcast array → streamed isin."""
     if len(parent_keys) == 1:
         uniq = parent_ds.select_columns(parent_keys).unique(parent_keys[0])
-        parent_bc = np.sort(np.asarray(uniq))  # sorted ONCE, on the driver
+        # 1-d even when empty (np.asarray([]) is 0-d-safe via ravel)
+        parent_bc = np.sort(np.asarray(uniq).ravel())  # sorted ONCE, driver
     else:
         # multi-column: combine to one 64-bit hash per key, sort once —
         # membership then stays a vectorized searchsorted like the
         # single-column path (no per-row tuple/set lookups)
         rows = parent_ds.select_columns(parent_keys).to_pandas()
+        if rows.empty:
+            rows = pd.DataFrame(columns=parent_keys)
         parent_bc = np.unique(_combined_hash(
             [rows[c].to_numpy() for c in parent_keys]))
     ref = ray.put(parent_bc)

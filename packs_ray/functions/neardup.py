@@ -474,8 +474,14 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
     within bucket)."""
     from packs_ray.functions.similarity import _batch_matrix
 
-    first = next(iter(ds.select_columns([emb_col]).iter_batches(
-        batch_size=1, batch_format="pyarrow")))
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    try:
+        first = next(iter(ds.select_columns([emb_col]).iter_batches(
+            batch_size=1, batch_format="pyarrow")))
+    except StopIteration:
+        return empty
     dim = len(first.column(emb_col)[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
@@ -507,8 +513,6 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
            .groupby("lsh_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
            .to_pandas())
     if out.empty or "id_a" not in out.columns:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
+        return empty
     out = out.astype({"id_a": "int64", "id_b": "int64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

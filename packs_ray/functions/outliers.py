@@ -111,6 +111,10 @@ def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None =
         sample_rows = 65_536 if len(columns) == 1 and not cat_cols else 1_024
     proj = ds.select_columns(columns + cat_cols)
     total = proj.count()  # parquet metadata only
+    if total == 0:
+        return pd.DataFrame([{"rows": 0, "outliers": 0,
+                              "outlier_percent": 0.0,
+                              "normality_score": 1.0}])
     sample = proj.random_sample(min(1.0, sample_rows / max(1, total)), seed=seed)
     sample_df = sample.to_pandas().dropna()[:sample_rows]
     cat_maps = {

@@ -228,7 +228,8 @@ def table_summary(ds, columns: list[str]) -> pd.DataFrame:
         return {"rows": int(p["rows"].sum()),
                 **{f"null_{c}": int(p[f"null_{c}"].sum()) for c in columns}}
 
-    agg = global_agg(ds.select_columns(columns), partial, combine)
+    agg = global_agg(ds.select_columns(columns), partial, combine,
+                     empty_schema=pa.schema([(c, pa.string()) for c in columns]))
     n = agg["rows"]
     cells = n * len(columns)
     missing = sum(agg[f"null_{c}"] for c in columns)

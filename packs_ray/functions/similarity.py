@@ -48,6 +48,9 @@ def brute_force_topk(ds, id_col: str, emb_col: str, query: np.ndarray,
                          "cosine": pa.array(_r(cos[top], 6), type=pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     out = parts.sort_values(["cosine", id_col], ascending=[False, True],
                             kind="stable").head(k)
     return out.reset_index(drop=True)
@@ -83,6 +86,10 @@ def brute_force_topk_multi(ds, id_col: str, emb_col: str, queries: np.ndarray,
                                             type=pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_idx": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     out = (parts.sort_values(["query_idx", "cosine", id_col],
                              ascending=[True, False, True], kind="stable")
            .groupby("query_idx", sort=False).head(k))
@@ -93,10 +100,12 @@ def _fit_centroids(ds, emb_col: str, n_centroids: int, sample_rows: int,
                    seed: int) -> np.ndarray:
     """Seeded-sample Lloyd fit on the driver (deterministic, 5 iters)."""
     sample = ds.limit(sample_rows).select_columns([emb_col])
-    m = np.concatenate([
-        _batch_matrix(b, emb_col)
-        for b in sample.iter_batches(batch_size=sample_rows, batch_format="pyarrow")
-    ])
+    chunks = [_batch_matrix(b, emb_col)
+              for b in sample.iter_batches(batch_size=sample_rows,
+                                           batch_format="pyarrow")]
+    if not chunks:
+        return np.zeros((0, 0))
+    m = np.concatenate(chunks)
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(5):  # few Lloyd iterations, deterministic
@@ -184,6 +193,9 @@ def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
     compare its recall against brute force.  For repeated queries build a
     persisted index with :func:`ivf_build` / :func:`ivf_query` instead."""
     cent = _fit_centroids(ds, emb_col, n_centroids, sample_rows, seed)
+    if cent.size == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     q = np.asarray(query, dtype=np.float64)
     probe = set(np.argsort(((cent - q) ** 2).sum(1))[:nprobe].tolist())
     cref = ray.put((cent, probe, q / np.linalg.norm(q)))

@@ -142,9 +142,12 @@ def langid_counts(ds, column: str) -> pd.DataFrame:
     def combine(p: pd.DataFrame) -> dict:
         return {c[5:]: int(p[c].fillna(0).sum()) for c in p.columns}
 
-    agg = global_agg(ds, partial, combine)
-    return (pd.DataFrame([{"predicted_lang": k, "n": v} for k, v in agg.items()])
-            .sort_values("predicted_lang").reset_index(drop=True))
+    agg = global_agg(ds, partial, combine,
+                     empty_schema=pa.schema([(column, pa.string())]))
+    return (pd.DataFrame([{"predicted_lang": k, "n": v} for k, v in agg.items()],
+                         columns=["predicted_lang", "n"])
+            .sort_values("predicted_lang").reset_index(drop=True)
+            .astype({"n": "int64"}))
 
 
 def normalize_text(ds, id_col: str, column: str):

@@ -99,6 +99,8 @@ def timeliness_sniffed(ds, columns: list[str], now: _dt.datetime,
     sample = ds.select_columns(columns).limit(sample_rows).to_pandas()
     plan: dict[str, str] = {}
     for c in columns:
+        if c not in sample.columns:  # 0-row input loses mapped columns
+            continue
         vals = sample[c].dropna().unique()[:10]
         kind = sniff_date_type(vals, now)
         if kind:
@@ -152,6 +154,8 @@ def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
     rows = []
     for c in ts_cols:
         latest = agg[c]
+        if latest is not None and pd.isnull(latest):
+            latest = None  # all-null / 0-row column aggregates to NaN
         days = (now - latest).days if latest is not None else None
         score = max(0.0, 1 - days / 365) if days is not None else 0.0
         rows.append({"column": c, "latest_ts": latest, "days_since_latest": days,

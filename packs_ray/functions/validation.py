@@ -124,8 +124,11 @@ def pattern_autodetect(ds) -> pd.DataFrame:
                           "invalid_count": pd.Series([], dtype="int64"),
                           "invalid_percent": pd.Series([], dtype="float64"),
                           "valid_percent": pd.Series([], dtype="float64")})
+    sch = ds.schema()
+    if sch is None:  # 0-row transformed input: columns unknowable
+        return empty
     rules = []
-    for c in ds.schema().names:
+    for c in sch.names:
         cl = c.lower()
         for pred, name in _AUTODETECT_BRANCHES:
             if pred(cl):
@@ -145,6 +148,9 @@ def latlon_autodetect(ds) -> pd.DataFrame:
     columns (accuracy_pack/main.py:85-129): 'lat' → ±90, 'lon'/'lng' →
     ±180; non-null values only; all-null/non-numeric columns skipped."""
     schema = ds.schema()
+    empty_cols = ["column", "kind", "n", "invalid_count", "valid_percent"]
+    if schema is None:  # 0-row transformed input: columns unknowable
+        return pd.DataFrame(columns=empty_cols)
     checks = []
     for c, t in zip(schema.names, schema.types):
         if not (pa.types.is_floating(t) or pa.types.is_integer(t)):
