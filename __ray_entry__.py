@@ -174,6 +174,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return drift.compare_datasets(src, tgt, ["o_orderkey"], ["o_totalprice"])
 
+    def compare_mismatch_export(sf):
+        import pyarrow.compute as pc
+
+        src = _ds(sf, "orders", ["o_orderkey", "o_totalprice"])
+
+        def perturb(t):
+            # deterministic target: drop keys %31==0, bump price on %7==0
+            t = t.filter(pc.not_equal(pc.bit_wise_and(t["o_orderkey"], 31), 0))
+            bump = pc.equal(pc.bit_wise_and(t["o_orderkey"], 7), 0)
+            newp = pc.if_else(bump, pc.add(t["o_totalprice"], 1.0),
+                              t["o_totalprice"])
+            return t.set_column(1, "o_totalprice", newp)
+
+        tgt = src.map_batches(perturb, batch_format="pyarrow")
+        return drift.compare_mismatch_rows(src, tgt, ["o_orderkey"],
+                                           ["o_totalprice"])
+
     def langid_documents(sf):
         return textstats.langid_counts(_ds(sf, "documents", ["text"]), "text")
 
@@ -404,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_exact": embedding_pairs_exact,
         "embedding_pairs_lsh": embedding_pairs_lsh,
         "compare_orders_sample": compare_orders_sample,
+        "compare_mismatch_export": compare_mismatch_export,
         "langid_documents": langid_documents,
         "fingerprints_documents": fingerprints_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
@@ -1237,6 +1255,17 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
+        "compare_mismatch_export": """
+    WITH tgt AS (SELECT o_orderkey,
+            CASE WHEN (o_orderkey & 7) = 0 THEN o_totalprice + 1.0
+                 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE (o_orderkey & 31) <> 0)
+    SELECT s.o_orderkey, 'o_totalprice' AS "column",
+           s.o_totalprice AS source_value, t.o_totalprice AS target_value
+    FROM orders s JOIN tgt t USING (o_orderkey)
+    WHERE abs(s.o_totalprice - t.o_totalprice) > 0.0001
+    ORDER BY s.o_orderkey LIMIT 10000
+    """,
         "langid_documents": _langid_sql(),
         "fingerprints_documents": _fingerprints_sql(),
         "simhash_documents": _simhash_sql(),

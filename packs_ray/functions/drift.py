@@ -144,6 +144,66 @@ def _compare_bucketed(source_ds, target_ds, id_cols, value_cols, abs_tol,
             int(parts["common"].sum()), int(parts["mismatched"].sum()))
 
 
+def compare_mismatch_rows(source_ds, target_ds, id_cols: list[str],
+                          value_cols: list[str], abs_tol: float = 1e-4,
+                          export_cap: int = 10_000) -> pd.DataFrame:
+    """Row-level mismatch export (datacompy ``all_mismatch`` semantics,
+    data_compare_pack/main.py:369-406): one row per (id, value column)
+    whose values differ beyond ``abs_tol`` on rows present in BOTH
+    tables — head-capped at ``export_cap`` (reference :27) in ascending
+    id order so the cap is deterministic.
+
+    Scale: broadcast-indexed target + streamed source (the mismatch SET
+    is assumed export-sized; the cap bounds the driver collect)."""
+    tgt = target_ds.select_columns(id_cols + value_cols).to_pandas()
+    if tgt.empty:
+        tgt = pd.DataFrame(columns=id_cols + value_cols)
+    tgt_idx = tgt.set_index(id_cols)
+    ref = ray.put(tgt_idx)
+
+    def partial(batch):
+        import pyarrow as pa
+        t = ray.get(ref)
+        df = batch.to_pandas().set_index(id_cols)
+        common = df.index.intersection(t.index)
+        out = {c: [] for c in
+               id_cols + ["column", "source_value", "target_value"]}
+        if len(common):
+            left = df.loc[common, value_cols]
+            right = t.loc[common, value_cols]
+            for c in value_cols:
+                lv = left[c].to_numpy(dtype=float)
+                rv = right[c].to_numpy(dtype=float)
+                bad = np.abs(lv - rv) > abs_tol
+                if bad.any():
+                    ids = common[bad]
+                    for j, k in enumerate(id_cols):
+                        vals = (ids.get_level_values(j) if len(id_cols) > 1
+                                else ids)
+                        out[k].extend(vals.tolist())
+                    n = int(bad.sum())
+                    out["column"].extend([c] * n)
+                    out["source_value"].extend(lv[bad].tolist())
+                    out["target_value"].extend(rv[bad].tolist())
+        if out["column"]:
+            return pa.table({k: pa.array(v) for k, v in out.items()})
+        types = {**{k: pa.int64() for k in id_cols}, "column": pa.string(),
+                 "source_value": pa.float64(), "target_value": pa.float64()}
+        return pa.table({k: pa.array([], type=types[k]) for k in out})
+
+    parts = source_ds.select_columns(id_cols + value_cols).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cols = id_cols + ["column", "source_value", "target_value"]
+    if parts.empty:
+        return pd.DataFrame({
+            **{k: pd.Series([], dtype="int64") for k in id_cols},
+            "column": pd.Series([], dtype="object"),
+            "source_value": pd.Series([], dtype="float64"),
+            "target_value": pd.Series([], dtype="float64")})
+    return (parts[cols].sort_values(id_cols + ["column"], kind="stable")
+            .head(export_cap).reset_index(drop=True))
+
+
 def compare_datasets(source_ds, target_ds, id_cols: list[str],
                      value_cols: list[str], abs_tol: float = 1e-4,
                      broadcast_cap: int = COMPARE_BROADCAST_CAP,
