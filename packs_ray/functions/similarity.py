@@ -21,12 +21,28 @@ from packs_ray.stages.util import round_half_away as _r
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix.  Null or ragged rows
+    zero-pad (a zero vector has cosine 0 to everything — corrupt rows
+    sink to the bottom instead of crashing the batch)."""
+    import pyarrow.compute as pc
+
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    n = len(arr)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(flat) // len(arr) if len(arr) else 0
-    return flat.reshape(len(arr), dim)
+    lens = pc.list_value_length(arr).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if n and lens.min() == lens.max() and len(flat) == n * lens[0]:
+        return flat.reshape(n, int(lens[0]))       # fast path: rectangular
+    dim = int(lens.max()) if n else 0
+    m = np.zeros((n, dim))
+    if len(flat):
+        idx_rows = np.repeat(np.arange(n), lens)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx_cols = np.arange(len(flat)) - np.repeat(offs, lens)
+        m[idx_rows, idx_cols] = flat
+    return m
 
 
 def brute_force_topk(ds, id_col: str, emb_col: str, query: np.ndarray,

@@ -102,6 +102,25 @@ def test_simhash_close_for_neardups(neardup_docs):
     assert np.mean(hd) < 16, hd  # near-dups have small Hamming distance
 
 
+def test_batch_matrix_null_and_ragged_rows(ray_session):
+    """Null / ragged embedding rows must zero-pad, not crash the reshape,
+    and top-k over such a table must still rank the valid rows."""
+    import ray.data
+
+    from packs_ray.functions.similarity import _batch_matrix, brute_force_topk
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], None, [0.0, 1.0], [2.0]],
+                              type=pa.list_(pa.float32()))})
+    m = _batch_matrix(tbl, "embedding")
+    assert m.shape == (4, 2)
+    assert (m[1] == 0).all() and m[3, 1] == 0
+    out = brute_force_topk(ray.data.from_arrow(tbl), "vec_id", "embedding",
+                           np.array([1.0, 0.0]), k=2)
+    assert list(out["vec_id"]) == [0, 3]  # exact match first, then [2,0]
+
+
 def test_ivf_persisted_index(ray_session, tmp_path):
     """ivf_build writes a bucket-partitioned index; ivf_query reads only
     the probed bucket directories and must equal the one-shot ivf_topk
