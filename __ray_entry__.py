@@ -118,9 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-        if t.num_rows == 0:  # degenerate input: any unit query works
-            return np.array([1.0], dtype=np.float64)
-        return np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
+        for i in range(min(t.num_rows, 100)):  # first non-null row
+            v = t.column("embedding")[i].as_py()
+            if v is not None:
+                return np.array(v, dtype=np.float64)
+        return np.array([1.0], dtype=np.float64)  # degenerate input
 
     def ann_bruteforce_embeddings(sf):
         return similarity.brute_force_topk(
@@ -131,9 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-        qm = (np.array([t.column("embedding")[i].as_py()
-                        for i in range(min(3, t.num_rows))], dtype=np.float64)
-              if t.num_rows else np.ones((1, 1)))
+        valid = [v for i in range(min(t.num_rows, 100))
+                 if (v := t.column("embedding")[i].as_py()) is not None][:3]
+        qm = np.array(valid, dtype=np.float64) if valid else np.ones((1, 1))
         return similarity.brute_force_topk_multi(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
             qm, k=5)

@@ -42,10 +42,14 @@ BROADCAST_CAP = 20_000_000  # parent rows above this → bucketed anti-join
 
 def _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys):
     """Small parent: distinct keys → ONE broadcast array → streamed isin."""
+    # null keys NEVER match (SQL join / pandas merge semantics): null
+    # parent keys are dropped; null child keys always count as orphans
     if len(parent_keys) == 1:
         uniq = parent_ds.select_columns(parent_keys).unique(parent_keys[0])
-        # 1-d even when empty (np.asarray([]) is 0-d-safe via ravel)
-        parent_bc = np.sort(np.asarray(uniq).ravel())  # sorted ONCE, driver
+        vals = np.asarray([v for v in np.asarray(uniq).ravel()
+                           if v is not None and not (isinstance(v, float)
+                                                     and np.isnan(v))])
+        parent_bc = np.sort(vals)  # sorted ONCE, on the driver
     else:
         # multi-column: combine to one 64-bit hash per key, sort once —
         # membership then stays a vectorized searchsorted like the
@@ -53,6 +57,7 @@ def _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys):
         rows = parent_ds.select_columns(parent_keys).to_pandas()
         if rows.empty:
             rows = pd.DataFrame(columns=parent_keys)
+        rows = rows.dropna(subset=parent_keys)
         parent_bc = np.unique(_combined_hash(
             [rows[c].to_numpy() for c in parent_keys]))
     ref = ray.put(parent_bc)
@@ -60,16 +65,20 @@ def _orphans_broadcast(child_ds, child_keys, parent_ds, parent_keys):
     def partial(batch: pa.Table) -> dict:
         pkeys = ray.get(ref)
         if len(child_keys) == 1:
-            keys = batch.column(child_keys[0]).to_numpy(zero_copy_only=False)
+            col = batch.column(child_keys[0])
+            null_keys = col.null_count
+            keys = col.drop_null().to_numpy(zero_copy_only=False)
         else:
-            keys = _combined_hash([batch.column(c).to_numpy(zero_copy_only=False)
-                                   for c in child_keys])
-        if len(pkeys):
+            df = batch.select(child_keys).to_pandas()
+            nn = df.dropna(subset=child_keys)
+            null_keys = len(df) - len(nn)
+            keys = _combined_hash([nn[c].to_numpy() for c in child_keys])
+        if len(pkeys) and len(keys):
             idx = np.clip(np.searchsorted(pkeys, keys), 0, len(pkeys) - 1)
             orphans = int((pkeys[idx] != keys).sum())
         else:
-            orphans = batch.num_rows
-        return {"total": batch.num_rows, "orphans": orphans}
+            orphans = len(keys)
+        return {"total": batch.num_rows, "orphans": orphans + null_keys}
 
     def combine(p: pd.DataFrame) -> dict:
         return {"total": int(p["total"].sum()), "orphans": int(p["orphans"].sum())}

@@ -482,14 +482,19 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
             batch_size=1, batch_format="pyarrow")))
     except StopIteration:
         return empty
-    dim = len(first.column(emb_col)[0])
+    import pyarrow.compute as pc
+    dim = int(pc.max(pc.list_value_length(first.column(emb_col)))
+              .as_py() or 0)
+    if dim == 0:  # first block all-null: no usable vectors
+        return empty
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     pref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        from packs_ray.functions.similarity import _fit_dim
         pl = ray.get(pref)
-        m = _batch_matrix(batch, emb_col)
+        m = _fit_dim(_batch_matrix(batch, emb_col), pl.shape[0])
         signs = (m @ pl) > 0
         code = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         return pa.table({id_col: batch.column(id_col), emb_col: batch.column(emb_col),

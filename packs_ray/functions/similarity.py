@@ -20,6 +20,17 @@ import ray
 from packs_ray.stages.util import round_half_away as _r
 
 
+def _fit_dim(m: np.ndarray, d: int) -> np.ndarray:
+    """Zero-pad / truncate a batch matrix to the query dimension (only
+    reachable on degenerate inputs: all-null or ragged embedding rows)."""
+    if m.shape[1] == d:
+        return m
+    out = np.zeros((m.shape[0], d))
+    w = min(d, m.shape[1])
+    out[:, :w] = m[:, :w]
+    return out
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     """list<float> column → (n, dim) float64 matrix.  Null or ragged rows
     zero-pad (a zero vector has cosine 0 to everything — corrupt rows
@@ -55,7 +66,7 @@ def brute_force_topk(ds, id_col: str, emb_col: str, query: np.ndarray,
 
     def partial(batch: pa.Table) -> pa.Table:
         qv = ray.get(qref)
-        m = _batch_matrix(batch, emb_col)
+        m = _fit_dim(_batch_matrix(batch, emb_col), len(qv))
         norms = np.linalg.norm(m, axis=1)
         cos = (m @ qv) / np.where(norms > 0, norms, 1.0)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -84,7 +95,7 @@ def brute_force_topk_multi(ds, id_col: str, emb_col: str, queries: np.ndarray,
 
     def partial(batch: pa.Table) -> pa.Table:
         qv = ray.get(qref)                       # (Q, d)
-        m = _batch_matrix(batch, emb_col)        # (n, d)
+        m = _fit_dim(_batch_matrix(batch, emb_col), qv.shape[1])  # (n, d)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         mn = m / np.where(norms > 0, norms, 1.0)
         cos = mn @ qv.T                          # (n, Q)
@@ -218,7 +229,7 @@ def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
 
     def partial(batch: pa.Table) -> pa.Table:
         centv, probev, qv = ray.get(cref)
-        mb = _batch_matrix(batch, emb_col)
+        mb = _fit_dim(_batch_matrix(batch, emb_col), centv.shape[1])
         d = ((mb[:, None, :] - centv[None, :, :]) ** 2).sum(-1)
         in_probe = np.isin(d.argmin(1), list(probev))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[in_probe]

@@ -38,11 +38,36 @@ def _query_names():
     return sorted(n for n in e.queries() if n not in SKIP)
 
 
+@pytest.fixture(scope="module")
+def allnull_sf(tmp_path_factory):
+    """Tables with rows present but EVERY value null (corrupt-feed
+    shape: schemas intact, content gone)."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sf_allnull")
+    for t in TABLES:
+        sch = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        cols = {f.name: pa.nulls(50, f.type) for f in sch}
+        pq.write_table(pa.table(cols, schema=sch),
+                       os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
 @pytest.mark.parametrize("name", _query_names())
 def test_query_on_empty_tables(name, empty_sf, ray_session):
     import __ray_entry__ as e
 
     res = e.queries()[name](empty_sf)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    assert res is not None and len(res) >= 0
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_on_allnull_tables(name, allnull_sf, ray_session):
+    import __ray_entry__ as e
+
+    res = e.queries()[name](allnull_sf)
     if hasattr(res, "to_pandas"):
         res = res.to_pandas()
     assert res is not None and len(res) >= 0
