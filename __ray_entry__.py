@@ -182,7 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         src = _ds(sf, "orders", ["o_orderkey", "o_totalprice"])
 
         def perturb(t):
-            # deterministic target: drop keys %31==0, bump price on %7==0
+            # deterministic target: drop keys with (o_orderkey & 31) == 0,
+            # bump price where (o_orderkey & 7) == 0 (bitwise AND, matching
+            # the oracle SQL)
             t = t.filter(pc.not_equal(pc.bit_wise_and(t["o_orderkey"], 31), 0))
             bump = pc.equal(pc.bit_wise_and(t["o_orderkey"], 7), 0)
             newp = pc.if_else(bump, pc.add(t["o_totalprice"], 1.0),
@@ -192,6 +194,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(perturb, batch_format="pyarrow")
         return drift.compare_mismatch_rows(src, tgt, ["o_orderkey"],
                                            ["o_totalprice"])
+
+    def compare_orders_reltol(sf):
+        import pyarrow.compute as pc
+
+        src = _ds(sf, "orders", ["o_orderkey", "o_totalprice"])
+
+        def perturb(t):
+            # drop keys (o_orderkey & 31)==0; scale price by 1.005 on
+            # (o_orderkey & 7)==0 (inside 1% rel_tol) and by 1.05 on
+            # (o_orderkey & 15)==0 (outside it)
+            t = t.filter(pc.not_equal(pc.bit_wise_and(t["o_orderkey"], 31), 0))
+            k = t["o_orderkey"]
+            f = pc.if_else(
+                pc.equal(pc.bit_wise_and(k, 15), 0), 1.05,
+                pc.if_else(pc.equal(pc.bit_wise_and(k, 7), 0), 1.005, 1.0))
+            return t.set_column(1, "o_totalprice",
+                                pc.multiply(t["o_totalprice"], f))
+
+        tgt = src.map_batches(perturb, batch_format="pyarrow")
+        return drift.compare_datasets(src, tgt, ["o_orderkey"],
+                                      ["o_totalprice"], abs_tol=0.0,
+                                      rel_tol=0.01)
 
     def langid_documents(sf):
         return textstats.langid_counts(_ds(sf, "documents", ["text"]), "text")
@@ -423,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_exact": embedding_pairs_exact,
         "embedding_pairs_lsh": embedding_pairs_lsh,
         "compare_orders_sample": compare_orders_sample,
+        "compare_orders_reltol": compare_orders_reltol,
         "compare_mismatch_export": compare_mismatch_export,
         "langid_documents": langid_documents,
         "fingerprints_documents": fingerprints_documents,
@@ -1257,6 +1282,27 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
+        "compare_orders_reltol": """
+    WITH tgt AS (SELECT o_orderkey,
+            o_totalprice * (CASE WHEN (o_orderkey & 15) = 0 THEN 1.05
+                 WHEN (o_orderkey & 7) = 0 THEN 1.005 ELSE 1.0 END)
+                AS o_totalprice
+        FROM orders WHERE (o_orderkey & 31) <> 0),
+    j AS (SELECT s.o_totalprice AS sv, t.o_totalprice AS tv
+          FROM orders s JOIN tgt t USING (o_orderkey)),
+    stats AS (SELECT (SELECT count(*) FROM orders) AS source_rows,
+                     (SELECT count(*) FROM tgt) AS target_rows,
+                     (SELECT count(*) FROM j) AS common,
+                     (SELECT sum(CASE WHEN abs(sv - tv) > 0.01 * abs(tv)
+                                 THEN 1 ELSE 0 END) FROM j) AS mismatched)
+    SELECT source_rows::BIGINT AS source_rows, target_rows::BIGINT AS target_rows,
+        common::BIGINT AS rows_in_common, mismatched::BIGINT AS rows_mismatched,
+        round(common::DOUBLE / target_rows, 4) AS precision,
+        round(common::DOUBLE / source_rows, 4) AS recall,
+        round(2 * (common::DOUBLE / target_rows) * (common::DOUBLE / source_rows)
+              / ((common::DOUBLE / target_rows) + (common::DOUBLE / source_rows)), 4) AS f1
+    FROM stats
+    """,
         "compare_mismatch_export": """
     WITH tgt AS (SELECT o_orderkey,
             CASE WHEN (o_orderkey & 7) = 0 THEN o_totalprice + 1.0

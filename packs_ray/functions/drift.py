@@ -65,34 +65,63 @@ def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
 COMPARE_BROADCAST_CAP = 5_000_000
 
 
+def _tol_mismatch(left: np.ndarray, right: np.ndarray, abs_tol: float,
+                  rel_tol: float) -> np.ndarray:
+    """datacompy tolerance: values match iff
+    |a - b| <= abs_tol + rel_tol * |b|  (data_compare_pack/main.py:151,224
+    via datacompy.columns_equal).  Returns a per-row any-column-mismatch
+    boolean matrix reduced over axis 1 by callers."""
+    return np.abs(left - right) > (abs_tol + rel_tol * np.abs(right))
+
+
+def _dedup_target(tgt: pd.DataFrame, id_cols: list[str]) -> pd.DataFrame:
+    """Index the target on its id columns, keeping the FIRST row per
+    duplicated id (datacompy tolerates duplicate join keys; we resolve
+    them to one representative instead of crashing on a re-expanding
+    ``.loc``).  Order is file order in the broadcast path; within-bucket
+    arrival order in the bucketed path."""
+    return (tgt.drop_duplicates(subset=id_cols, keep="first")
+            .set_index(id_cols))
+
+
 def _match_counts(src: pd.DataFrame, tgt_idx: pd.DataFrame,
                   id_cols: list[str], value_cols: list[str],
-                  abs_tol: float) -> tuple[int, int, int]:
-    """(source_rows, common, mismatched) for one source chunk against an
-    indexed target — the shared kernel of both compare paths."""
-    df = src.set_index(id_cols)
-    common = df.index.intersection(tgt_idx.index)
+                  abs_tol: float, rel_tol: float = 0.0) -> tuple[int, int, int]:
+    """(source_rows, common, mismatched) for one source chunk against a
+    UNIQUE-indexed target — the shared kernel of both compare paths.
+    Duplicate source ids each count (and each compare against the
+    target's representative row)."""
+    key = pd.MultiIndex.from_frame(src[id_cols]) if len(id_cols) > 1 \
+        else pd.Index(src[id_cols[0]])
+    mask = key.isin(tgt_idx.index)
     mismatched = 0
-    if len(common):
-        left = df.loc[common, value_cols].to_numpy(dtype=float)
-        right = tgt_idx.loc[common, value_cols].to_numpy(dtype=float)
-        mismatched = int((np.abs(left - right) > abs_tol).any(axis=1).sum())
-    return len(df), len(common), mismatched
+    if mask.any():
+        left = src.loc[mask, value_cols].to_numpy(dtype=float)
+        right = tgt_idx.loc[key[mask], value_cols].to_numpy(dtype=float)
+        mismatched = int(_tol_mismatch(left, right, abs_tol, rel_tol)
+                         .any(axis=1).sum())
+    return len(src), int(mask.sum()), mismatched
 
 
-def _compare_broadcast(source_ds, target_ds, id_cols, value_cols, abs_tol):
-    """Small target: collect+index it ONCE, ship via ray.put, stream the
-    source through map_batches."""
+def _broadcast_target_idx(target_ds, id_cols, value_cols):
     tgt = target_ds.select_columns(id_cols + value_cols).to_pandas()
     if tgt.empty:  # 0-row collect loses the schema; restore the columns
         tgt = pd.DataFrame(columns=id_cols + value_cols)
-    tgt_idx = tgt.set_index(id_cols)
+    return _dedup_target(tgt, id_cols)
+
+
+def _compare_broadcast(source_ds, target_ds, id_cols, value_cols, abs_tol,
+                       rel_tol=0.0):
+    """Small target: collect+index it ONCE, ship via ray.put, stream the
+    source through map_batches."""
+    tgt_idx = _broadcast_target_idx(target_ds, id_cols, value_cols)
     ref = ray.put(tgt_idx)
 
     def partial(batch):
         import pyarrow as pa
         t = ray.get(ref)
-        n, c, m = _match_counts(batch.to_pandas(), t, id_cols, value_cols, abs_tol)
+        n, c, m = _match_counts(batch.to_pandas(), t, id_cols, value_cols,
+                                abs_tol, rel_tol)
         return pa.table({"source_rows": [n], "common": [c], "mismatched": [m]})
 
     parts = source_ds.select_columns(id_cols + value_cols).map_batches(
@@ -103,10 +132,11 @@ def _compare_broadcast(source_ds, target_ds, id_cols, value_cols, abs_tol):
             int(parts["common"].sum()), int(parts["mismatched"].sum()))
 
 
-def _compare_bucketed(source_ds, target_ds, id_cols, value_cols, abs_tol,
-                      num_partitions: int | None = None):
-    """Large-large: co-partition BOTH sides on the id-key hash (mirrors
-    integrity._orphans_bucketed) and run the compare kernel per bucket —
+def _cobucketed_frames(source_ds, target_ds, id_cols, value_cols,
+                       per_bucket_fn, num_partitions: int | None = None):
+    """Shared large-large machinery: co-partition BOTH sides on the
+    id-key hash (mirrors integrity._orphans_bucketed) and run
+    ``per_bucket_fn(src_frame, tgt_frame) -> DataFrame`` once per bucket —
     neither table is ever materialized whole."""
     from packs_ray.functions.agg import reduce_partition_count
 
@@ -132,85 +162,138 @@ def _compare_bucketed(source_ds, target_ds, id_cols, value_cols, abs_tol,
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         side = g["__side"].to_numpy()
-        s = g.loc[side == 0, id_cols + value_cols]
-        t = g.loc[side == 1, id_cols + value_cols].set_index(id_cols)
-        n, c, m = _match_counts(s, t, id_cols, value_cols, abs_tol)
-        return pd.DataFrame({"source_rows": [n], "target_rows": [len(t)],
+        return per_bucket_fn(g.loc[side == 0, id_cols + value_cols],
+                             g.loc[side == 1, id_cols + value_cols])
+
+    return (src.union(tgt).groupby("__p")
+            .map_groups(reduce_fn, batch_format="pandas").to_pandas())
+
+
+def _compare_bucketed(source_ds, target_ds, id_cols, value_cols, abs_tol,
+                      rel_tol=0.0, num_partitions: int | None = None):
+    def per_bucket(s: pd.DataFrame, t: pd.DataFrame) -> pd.DataFrame:
+        t_idx = _dedup_target(t, id_cols)
+        n, c, m = _match_counts(s, t_idx, id_cols, value_cols, abs_tol, rel_tol)
+        return pd.DataFrame({"source_rows": [n], "target_rows": [len(t_idx)],
                              "common": [c], "mismatched": [m]})
 
-    parts = (src.union(tgt).groupby("__p")
-             .map_groups(reduce_fn, batch_format="pandas").to_pandas())
+    parts = _cobucketed_frames(source_ds, target_ds, id_cols, value_cols,
+                               per_bucket, num_partitions)
     return (int(parts["source_rows"].sum()), int(parts["target_rows"].sum()),
             int(parts["common"].sum()), int(parts["mismatched"].sum()))
 
 
+def _mismatch_frame(src: pd.DataFrame, tgt_idx: pd.DataFrame,
+                    id_cols: list[str], value_cols: list[str],
+                    abs_tol: float, rel_tol: float,
+                    cap: int) -> pd.DataFrame:
+    """Mismatch rows of one source chunk vs a unique-indexed target chunk:
+    one output row per (id, value column) beyond tolerance; truncated to
+    the ``cap`` smallest ids (ascending id then column order) so every
+    chunk's contribution is bounded."""
+    key = pd.MultiIndex.from_frame(src[id_cols]) if len(id_cols) > 1 \
+        else pd.Index(src[id_cols[0]])
+    mask = key.isin(tgt_idx.index)
+    out = {c: [] for c in id_cols + ["column", "source_value", "target_value"]}
+    if mask.any():
+        common = key[mask]
+        left = src.loc[mask, value_cols]
+        right = tgt_idx.loc[common, value_cols]
+        for c in value_cols:
+            lv = left[c].to_numpy(dtype=float)
+            rv = right[c].to_numpy(dtype=float)
+            bad = _tol_mismatch(lv, rv, abs_tol, rel_tol)
+            if bad.any():
+                ids = common[bad]
+                for j, k in enumerate(id_cols):
+                    vals = (ids.get_level_values(j) if len(id_cols) > 1
+                            else ids)
+                    out[k].extend(vals.tolist())
+                n = int(bad.sum())
+                out["column"].extend([c] * n)
+                out["source_value"].extend(lv[bad].tolist())
+                out["target_value"].extend(rv[bad].tolist())
+    df = pd.DataFrame(out)
+    return (df.sort_values(id_cols + ["column"], kind="stable").head(cap)
+            if len(df) else df)
+
+
+_MISMATCH_EMPTY_TYPES = {"column": "object", "source_value": "float64",
+                         "target_value": "float64"}
+
+
+def _empty_mismatch(id_cols: list[str]) -> pd.DataFrame:
+    return pd.DataFrame({
+        **{k: pd.Series([], dtype="int64") for k in id_cols},
+        **{k: pd.Series([], dtype=t) for k, t in _MISMATCH_EMPTY_TYPES.items()}})
+
+
 def compare_mismatch_rows(source_ds, target_ds, id_cols: list[str],
                           value_cols: list[str], abs_tol: float = 1e-4,
-                          export_cap: int = 10_000) -> pd.DataFrame:
+                          rel_tol: float = 0.0, export_cap: int = 10_000,
+                          broadcast_cap: int | None = None) -> pd.DataFrame:
     """Row-level mismatch export (datacompy ``all_mismatch`` semantics,
     data_compare_pack/main.py:369-406): one row per (id, value column)
-    whose values differ beyond ``abs_tol`` on rows present in BOTH
-    tables — head-capped at ``export_cap`` (reference :27) in ascending
-    id order so the cap is deterministic.
+    whose values differ beyond ``abs_tol + rel_tol*|target|`` on rows
+    present in BOTH tables — head-capped at ``export_cap`` (reference
+    :27) in ascending id order so the cap is deterministic.
 
-    Scale: broadcast-indexed target + streamed source (the mismatch SET
-    is assumed export-sized; the cap bounds the driver collect)."""
-    tgt = target_ds.select_columns(id_cols + value_cols).to_pandas()
-    if tgt.empty:
-        tgt = pd.DataFrame(columns=id_cols + value_cols)
-    tgt_idx = tgt.set_index(id_cols)
-    ref = ray.put(tgt_idx)
+    Scale: broadcast-indexed target + streamed source while the target
+    fits ``broadcast_cap`` rows (default COMPARE_BROADCAST_CAP); above it
+    the hash-bucketed co-partition path emits per-bucket mismatch rows,
+    each bucket capped at ``export_cap``, so the driver collects at most
+    buckets x export_cap rows before the final deterministic head."""
+    import pyarrow as pa
 
-    def partial(batch):
-        import pyarrow as pa
-        t = ray.get(ref)
-        df = batch.to_pandas().set_index(id_cols)
-        common = df.index.intersection(t.index)
-        out = {c: [] for c in
-               id_cols + ["column", "source_value", "target_value"]}
-        if len(common):
-            left = df.loc[common, value_cols]
-            right = t.loc[common, value_cols]
-            for c in value_cols:
-                lv = left[c].to_numpy(dtype=float)
-                rv = right[c].to_numpy(dtype=float)
-                bad = np.abs(lv - rv) > abs_tol
-                if bad.any():
-                    ids = common[bad]
-                    for j, k in enumerate(id_cols):
-                        vals = (ids.get_level_values(j) if len(id_cols) > 1
-                                else ids)
-                        out[k].extend(vals.tolist())
-                    n = int(bad.sum())
-                    out["column"].extend([c] * n)
-                    out["source_value"].extend(lv[bad].tolist())
-                    out["target_value"].extend(rv[bad].tolist())
-        if out["column"]:
-            return pa.table({k: pa.array(v) for k, v in out.items()})
-        types = {**{k: pa.int64() for k in id_cols}, "column": pa.string(),
-                 "source_value": pa.float64(), "target_value": pa.float64()}
-        return pa.table({k: pa.array([], type=types[k]) for k in out})
-
-    parts = source_ds.select_columns(id_cols + value_cols).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
+    if broadcast_cap is None:
+        broadcast_cap = COMPARE_BROADCAST_CAP
     cols = id_cols + ["column", "source_value", "target_value"]
+    try:
+        trows = target_ds.count()  # parquet metadata only
+    except Exception:
+        trows = None
+
+    if trows is not None and trows > broadcast_cap:
+        def per_bucket(s: pd.DataFrame, t: pd.DataFrame) -> pd.DataFrame:
+            out = _mismatch_frame(s, _dedup_target(t, id_cols), id_cols,
+                                  value_cols, abs_tol, rel_tol, export_cap)
+            return out if len(out) else _empty_mismatch(id_cols)
+
+        parts = _cobucketed_frames(source_ds, target_ds, id_cols, value_cols,
+                                   per_bucket)
+    else:
+        tgt_idx = _broadcast_target_idx(target_ds, id_cols, value_cols)
+        ref = ray.put(tgt_idx)
+
+        def partial(batch):
+            t = ray.get(ref)
+            out = _mismatch_frame(batch.to_pandas(), t, id_cols, value_cols,
+                                  abs_tol, rel_tol, export_cap)
+            if not len(out):
+                types = {**{k: pa.int64() for k in id_cols},
+                         "column": pa.string(), "source_value": pa.float64(),
+                         "target_value": pa.float64()}
+                return pa.table({k: pa.array([], type=types[k]) for k in cols})
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = source_ds.select_columns(id_cols + value_cols).map_batches(
+            partial, batch_format="pyarrow").to_pandas()
+
     if parts.empty:
-        return pd.DataFrame({
-            **{k: pd.Series([], dtype="int64") for k in id_cols},
-            "column": pd.Series([], dtype="object"),
-            "source_value": pd.Series([], dtype="float64"),
-            "target_value": pd.Series([], dtype="float64")})
+        return _empty_mismatch(id_cols)
     return (parts[cols].sort_values(id_cols + ["column"], kind="stable")
             .head(export_cap).reset_index(drop=True))
 
 
 def compare_datasets(source_ds, target_ds, id_cols: list[str],
                      value_cols: list[str], abs_tol: float = 1e-4,
+                     rel_tol: float = 0.0,
                      broadcast_cap: int = COMPARE_BROADCAST_CAP,
                      num_partitions: int | None = None) -> pd.DataFrame:
     """datacompy-semantics compare: row-match sets on id columns +
-    per-column tolerance compare; precision = common/target_rows,
-    recall = common/source_rows, F1 (data_compare_pack/main.py:303-351).
+    per-column tolerance compare (match iff |a-b| <= abs_tol +
+    rel_tol*|b|); precision = common/target_rows, recall =
+    common/source_rows, F1 (data_compare_pack/main.py:303-351).
 
     Broadcast join while the target fits ``broadcast_cap`` rows; above it
     both sides co-partition on the id-key hash (no full materialization
@@ -221,10 +304,11 @@ def compare_datasets(source_ds, target_ds, id_cols: list[str],
         trows = None
     if trows is not None and trows > broadcast_cap:
         source_rows, target_rows, common, mism = _compare_bucketed(
-            source_ds, target_ds, id_cols, value_cols, abs_tol, num_partitions)
+            source_ds, target_ds, id_cols, value_cols, abs_tol, rel_tol,
+            num_partitions)
     else:
         source_rows, target_rows, common, mism = _compare_broadcast(
-            source_ds, target_ds, id_cols, value_cols, abs_tol)
+            source_ds, target_ds, id_cols, value_cols, abs_tol, rel_tol)
     precision = common / target_rows if target_rows else 0.0
     recall = common / source_rows if source_rows else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0

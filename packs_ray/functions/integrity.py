@@ -97,7 +97,29 @@ def _orphans_bucketed(child_ds, child_keys, parent_ds, parent_keys,
         num_partitions = max(reduce_partition_count(child_ds),
                              reduce_partition_count(parent_ds))
 
-    child_counts = keyed_count(child_ds.select_columns(child_keys), child_keys,
+    # Null child keys are orphans BY DEFINITION (SQL join semantics — same
+    # contract as the broadcast path).  Count them in one streaming pass
+    # and exclude them from the exchange entirely: a nullable int64 key
+    # would otherwise promote to float64 through the pandas reduce and
+    # hash into different buckets than the parent's int64 keys.
+    child_proj = child_ds.select_columns(child_keys)
+
+    def _valid_mask(batch: pa.Table):
+        mask = None
+        for c in child_keys:
+            v = pa.compute.is_valid(batch.column(c))
+            mask = v if mask is None else pa.compute.and_(mask, v)
+        return mask
+
+    null_child = global_agg(
+        child_proj,
+        lambda b: {"nulls": len(b) - (pa.compute.sum(
+            pa.compute.cast(_valid_mask(b), "int64")).as_py() or 0)},
+        lambda p: {"nulls": int(p["nulls"].sum())})["nulls"]
+
+    child_nonnull = child_proj.map_batches(
+        lambda b: b.filter(_valid_mask(b)), batch_format="pyarrow")
+    child_counts = keyed_count(child_nonnull, child_keys,
                                num_partitions=num_partitions)
 
     def mark_side(side: int, keys: list[str]):
@@ -113,8 +135,21 @@ def _orphans_bucketed(child_ds, child_keys, parent_ds, parent_keys,
     kcols = [f"k{i}" for i in range(len(child_keys))]
     child_marked = child_counts.map_batches(mark_side(0, child_keys),
                                             batch_format="pyarrow")
-    parent_marked = parent_ds.select_columns(parent_keys).map_batches(
-        mark_side(1, parent_keys), batch_format="pyarrow")
+
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        # null parent keys never match (SQL join semantics — same contract
+        # as the broadcast path); dropping them here also stops the pandas
+        # merge below from NaN==NaN-matching a null child key
+        mask = None
+        for c in parent_keys:
+            valid = pa.compute.is_valid(batch.column(c))
+            mask = valid if mask is None else pa.compute.and_(mask, valid)
+        return batch.filter(mask)
+
+    parent_marked = (parent_ds.select_columns(parent_keys)
+                     .map_batches(drop_null_keys, batch_format="pyarrow")
+                     .map_batches(mark_side(1, parent_keys),
+                                  batch_format="pyarrow"))
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         have_parent = g.loc[g["side"] == 1, kcols].drop_duplicates()
@@ -126,8 +161,8 @@ def _orphans_bucketed(child_ds, child_keys, parent_ds, parent_keys,
 
     parts = bucketed_group_reduce(child_marked.union(parent_marked), kcols,
                                   reduce_fn, num_partitions).to_pandas()
-    return {"total": int(parts["total"].sum()),
-            "orphans": int(parts["orphans"].sum())}
+    return {"total": int(parts["total"].sum()) + null_child,
+            "orphans": int(parts["orphans"].sum()) + null_child}
 
 
 def fk_orphans(child_ds, child_keys: list[str], parent_ds,

@@ -24,7 +24,15 @@ def _re2_safe(pattern: str) -> bool:
     """Patterns whose Python-re and RE2 semantics coincide (no lazy
     quantifiers, no backreferences, no lookaround) can use the
     vectorized Arrow kernel; others keep the per-value Python loop
-    for byte-parity (SURVEY.md §7.4)."""
+    for byte-parity (SURVEY.md §7.4).
+
+    Documented divergence: ``\\d``/``\\s``/``\\w``/``\\b`` are
+    Unicode-aware in Python ``re`` but ASCII-only in RE2, so vectorized
+    paths treat them as ASCII classes.  This engine standardises on the
+    ASCII (RE2) semantics everywhere — pattern/PII rules target ASCII
+    identifiers (emails, SSNs, phones) by construction; behaviour on
+    non-ASCII digits/boundaries is pinned by
+    tests/test_functions.py::test_re2_ascii_semantics_pinned."""
     return re.search(r"(?:[*+}?]\?)|\\[0-9]|\(\?[=!<]", pattern) is None
 
 
@@ -86,15 +94,21 @@ def pattern_validation(ds, rules: list[dict],
         return out
 
     agg = global_agg(ds, partial, combine)
-    rows = []
+    rows, totals = [], []
     for i, (col, name, _pattern) in enumerate(resolved):
         inv = agg[f"inv_{i}"]
         total = agg[f"tot_{i}"] if skip_nulls else agg["total"]
+        totals.append(int(total))
         inv_pct = inv / total if total else 0.0
         rows.append({"column": col, "pattern": name, "invalid_count": inv,
                      "invalid_percent": float(_r(inv_pct, 4)),
                      "valid_percent": float(_r(1 - inv_pct, 4))})
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    # per-rule non-null totals for callers that must skip empty columns
+    # (the reference's autodetect drops dropna()-empty columns entirely,
+    # pattern_validation_pack/main.py:191-193)
+    out.attrs["rule_totals"] = totals
+    return out
 
 
 #: name-sniffing branches of the reference's pattern auto-detection
@@ -136,6 +150,13 @@ def pattern_autodetect(ds) -> pd.DataFrame:
     if not rules:
         return empty
     out = pattern_validation(ds, rules, skip_nulls=True)
+    # reference skips a column whose dropna() leaves 0 values — no metrics
+    # row, excluded from the score denominator (:191-193); mirrors
+    # latlon_autodetect's n==0 continue
+    nonempty = [t > 0 for t in out.attrs["rule_totals"]]
+    out = out.loc[nonempty].reset_index(drop=True)
+    if out.empty:
+        return empty
     score = float(out["valid_percent"].mean())  # mean of ROUNDED values (:56)
     score_row = pd.DataFrame([{
         "column": "__dataset__", "pattern": "score", "invalid_count": 0,

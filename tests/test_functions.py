@@ -283,3 +283,153 @@ def test_rank_select_edges(ray_session):
             exp = round(float(np.percentile(vals, p)), 4)
             got = row[f"p{p}"]
             assert abs(got - exp) < 1e-9, (name, p, got, exp)
+
+
+def test_pattern_autodetect_skips_allnull_columns(ray_session):
+    """All-null detected columns are skipped entirely (no metrics row,
+    excluded from the __dataset__ score mean), mirroring the reference's
+    dropna()-empty skip (pattern_validation_pack/main.py:191-193)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.validation import pattern_autodetect
+
+    ds = ray.data.from_arrow(pa.table({
+        "contact_mail": pa.array(["a@b.co", "bad", None], type=pa.string()),
+        "backup_email": pa.array([None, None, None], type=pa.string()),
+    }))
+    out = pattern_autodetect(ds)
+    assert "backup_email" not in set(out["column"])
+    # score = mean over the ONE surviving rule (2 valid / 3 non-null... 1
+    # invalid of 2 non-null -> valid 0.5), not dragged up by an empty rule
+    mail = out[out["column"] == "contact_mail"].iloc[0]
+    assert mail["invalid_count"] == 1 and mail["valid_percent"] == 0.5
+    score = out[out["column"] == "__dataset__"].iloc[0]["valid_percent"]
+    assert score == 0.5
+
+    # all detected columns empty -> empty frame (no spurious score row)
+    ds2 = ray.data.from_arrow(pa.table({
+        "backup_email": pa.array([None, None], type=pa.string())}))
+    assert pattern_autodetect(ds2).empty
+
+
+def test_fk_orphans_null_keys_bucketed_matches_broadcast(ray_session):
+    """SQL null semantics in BOTH paths: null parent keys never match,
+    null child keys always count as orphans."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions import integrity
+
+    parent = ray.data.from_pandas(pd.DataFrame(
+        {"pk": pd.array([1, 2, 3, None], dtype="Int64")}))
+    child = ray.data.from_pandas(pd.DataFrame(
+        {"fk": pd.array([1, 1, 2, 4, None, None], dtype="Int64")}))
+
+    bc = integrity._orphans_broadcast(child, ["fk"], parent, ["pk"])
+    bk = integrity._orphans_bucketed(child, ["fk"], parent, ["pk"],
+                                     num_partitions=3)
+    # orphans: 4 (absent) + two null child keys = 3
+    assert bc == bk == {"total": 6, "orphans": 3}, (bc, bk)
+
+
+def test_compare_duplicate_ids_no_crash(ray_session):
+    """Duplicate join keys must not crash (datacompy tolerates them):
+    duplicate target ids resolve keep-first; duplicate source rows each
+    count and compare against the representative."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.drift import compare_datasets, compare_mismatch_rows
+
+    src = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 1, 2, 3], "v": [10.0, 99.0, 20.0, 30.0]}))
+    tgt = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 1, 2], "v": [10.0, 55.0, 20.5]}))
+
+    out = compare_datasets(src, tgt, ["id"], ["v"]).iloc[0]
+    assert out["source_rows"] == 4
+    assert out["target_rows"] == 2          # deduped keep-first
+    assert out["rows_in_common"] == 3       # both id=1 source rows + id=2
+    # id=1 first source row matches rep 10.0; second (99.0) and id=2 differ
+    assert out["rows_mismatched"] == 2
+
+    rows = compare_mismatch_rows(src, tgt, ["id"], ["v"])
+    assert list(rows["id"]) == [1, 2]
+    assert list(rows["source_value"]) == [99.0, 20.0]
+
+
+def test_compare_reltol(ray_session):
+    """datacompy relative tolerance: match iff |a-b| <= abs_tol +
+    rel_tol*|b| (data_compare_pack/main.py:151,224)."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.drift import compare_datasets
+
+    src = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 3], "v": [100.0, 100.0, 1.0]}))
+    tgt = ray.data.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 3], "v": [100.9, 102.0, 1.009]}))
+
+    # rel_tol 1%: id=1 (0.9 <= 1.009) and id=3 (0.009 <= 0.01009) match,
+    # id=2 (2.0 > 1.02) mismatches
+    out = compare_datasets(src, tgt, ["id"], ["v"], abs_tol=0.0, rel_tol=0.01)
+    assert out["rows_mismatched"].iloc[0] == 1
+    # abs only: all three mismatch
+    out0 = compare_datasets(src, tgt, ["id"], ["v"], abs_tol=1e-4)
+    assert out0["rows_mismatched"].iloc[0] == 3
+    # bucketed path agrees
+    outb = compare_datasets(src, tgt, ["id"], ["v"], abs_tol=0.0,
+                            rel_tol=0.01, broadcast_cap=0, num_partitions=2)
+    assert outb["rows_mismatched"].iloc[0] == 1
+
+
+def test_mismatch_rows_bucketed_matches_broadcast(ray_session):
+    """Row-level mismatch export above the broadcast cap must equal the
+    broadcast path's result (same rows, same deterministic head order)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.drift import compare_mismatch_rows
+
+    rng = np.random.default_rng(23)
+    ids = np.arange(4000, dtype=np.int64)
+    vals = rng.normal(size=4000)
+    keep = rng.random(4000) > 0.1
+    tv = vals.copy()
+    bump = rng.random(4000) < 0.2
+    tv[bump] += 1.0
+    src = ray.data.from_arrow(__import__("pyarrow").table({"id": ids, "v": vals}))
+    tgt = ray.data.from_arrow(__import__("pyarrow").table(
+        {"id": ids[keep], "v": tv[keep]}))
+
+    bc = compare_mismatch_rows(src, tgt, ["id"], ["v"], export_cap=300)
+    bk = compare_mismatch_rows(src, tgt, ["id"], ["v"], export_cap=300,
+                               broadcast_cap=0)
+    pd.testing.assert_frame_equal(bc.reset_index(drop=True),
+                                  bk.reset_index(drop=True))
+    assert len(bc) == 300
+    truth_ids = ids[bump & keep]
+    assert list(bc["id"]) == sorted(truth_ids)[:300]
+
+
+def test_re2_ascii_semantics_pinned(ray_session):
+    """Pin the documented ASCII divergence: vectorized RE2 paths treat
+    \\d/\\b as ASCII-only, so Unicode digits do NOT match — the engine
+    standardises on RE2 semantics (see validation._re2_safe)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.validation import _re2_safe, pattern_validation
+
+    assert _re2_safe(r"^\d{3}$")            # stays on the vectorized path
+    ds = ray.data.from_arrow(pa.table({
+        "code": ["123", "٠١٢", "12x"]}))  # Arabic-Indic digits
+    out = pattern_validation(ds, [{"column": "code", "type": "regex",
+                                   "regex": r"^\d{3}$"}])
+    # ASCII semantics: the Unicode-digit row is INVALID (Python re would
+    # accept it); '12x' invalid; '123' valid
+    assert out["invalid_count"].iloc[0] == 2
