@@ -167,6 +167,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
             threshold=0.45, n_planes=6)
 
+    def embedding_pairs_banded(sf):
+        return neardup.embedding_cosine_pairs(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
+            threshold=0.45, n_planes=4, n_bands=3)
+
     def compare_orders_sample(sf):
         import pyarrow.compute as pc
 
@@ -446,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_stats_lineitem": profile_stats_lineitem,
         "embedding_pairs_exact": embedding_pairs_exact,
         "embedding_pairs_lsh": embedding_pairs_lsh,
+        "embedding_pairs_banded": embedding_pairs_banded,
         "compare_orders_sample": compare_orders_sample,
         "compare_orders_reltol": compare_orders_reltol,
         "compare_mismatch_export": compare_mismatch_export,
@@ -771,29 +777,67 @@ def _decimal_precision_sql() -> str:
     FROM per_col"""
 
 
-def _embedding_pairs_lsh_sql() -> str:
-    """neardup.embedding_cosine_pairs with 6 random-hyperplane buckets:
-    the seeded plane matrix is inlined as literals; pairs must share the
-    sign-pattern bucket AND have cosine >= 0.45."""
+def _emb_dim() -> int:
     import pyarrow.parquet as pq
 
     t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
                       columns=["embedding"])
-    dim = len(t.column("embedding")[0])
+    return len(t.column("embedding")[0])
+
+
+def _plane_codes(dim: int, n_planes: int, n_bands: int) -> list[str]:
+    """Per-band sign-code SQL expressions mirroring
+    neardup.embedding_cosine_pairs's seeded hyperplanes (one rng(42)
+    stream, band b = plane columns [b*n_planes, (b+1)*n_planes))."""
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, 6))
-    code = " + ".join(
+    planes = rng.standard_normal((dim, n_planes * n_bands))
+    return [" + ".join(
         "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(float(v)) for v in planes[:, j])
+        + ", ".join(repr(float(v)) for v in planes[:, b * n_planes + j])
         + f"]) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(6))
+        for j in range(n_planes)) for b in range(n_bands)]
+
+
+def _embedding_pairs_lsh_sql() -> str:
+    """neardup.embedding_cosine_pairs with 6 random-hyperplane buckets:
+    the seeded plane matrix is inlined as literals; pairs must share a
+    sign-pattern bucket of size 2..200 (the engine's max_group cap) AND
+    have cosine >= 0.45."""
+    code = _plane_codes(_emb_dim(), 6, 1)[0]
     return f"""
-    WITH coded AS (SELECT vec_id, embedding, ({code}) AS bucket FROM embeddings)
+    WITH coded AS (SELECT vec_id, embedding, ({code}) AS bucket FROM embeddings),
+    ok AS (SELECT bucket FROM coded GROUP BY bucket
+           HAVING count(*) BETWEEN 2 AND 200)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]), 4) AS cosine
     FROM coded a JOIN coded b
         ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+    JOIN ok ON ok.bucket = a.bucket
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.45"""
+
+
+def _embedding_pairs_banded_sql() -> str:
+    """neardup.embedding_cosine_pairs banded LSH (3 bands x 4 planes):
+    candidates share a sign code in ANY band whose bucket has 2..200
+    members; every distinct candidate is verified at cosine >= 0.45."""
+    codes = _plane_codes(_emb_dim(), 4, 3)
+    cols = ", ".join(f"({c}) AS c{b}" for b, c in enumerate(codes))
+    per_band = " UNION ".join(f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM coded a JOIN coded b ON a.vec_id < b.vec_id AND a.c{b} = b.c{b}
+        JOIN (SELECT c{b} FROM coded GROUP BY c{b}
+              HAVING count(*) BETWEEN 2 AND 200) ok ON ok.c{b} = a.c{b}"""
+        for b in range(3))
+    return f"""
+    WITH coded AS (SELECT vec_id, embedding, {cols} FROM embeddings),
+    cand AS ({per_band})
+    SELECT c.id_a, c.id_b,
+        round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4) AS cosine
+    FROM cand c JOIN coded a ON a.vec_id = c.id_a
+                JOIN coded b ON b.vec_id = c.id_b
     WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                  b.embedding::DOUBLE[]) >= 0.45"""
 
@@ -1323,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),
+        "embedding_pairs_banded": _embedding_pairs_banded_sql(),
         "pattern_autodetect_customer": _pattern_autodetect_sql(),
         "latlon_autodetect_events": _latlon_sql(),
         "timeliness_string_dates": _timeliness_string_sql(),

@@ -133,11 +133,197 @@ def _ibucket(ids: np.ndarray, num_partitions: int) -> np.ndarray:
 
 
 _EMPTY_U64 = np.zeros(0, dtype=np.uint64)
+_EMPTY_F64 = np.zeros(0, dtype=np.float64)
 
 
 def _as_u64(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint64) if x is not None and not (
         isinstance(x, float) and np.isnan(x)) else _EMPTY_U64
+
+
+def _as_f64(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64) if x is not None and not (
+        isinstance(x, float) and np.isnan(x)) else _EMPTY_F64
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered candidate membership: the payload-extraction prefilter
+# needs "is this doc id an endpoint of some candidate pair?" in every
+# extraction task WITHOUT collecting the candidate-id set on the driver.
+# Per-block bitmap partials OR-reduce into one fixed-size bitmap, so
+# driver memory is O(bloom bits) — independent of candidate count.  False
+# positives only extract a few extra payload rows; no verify partition
+# ever requests them, so results are exactly unchanged.
+
+_BLOOM_K = 4
+
+
+def _bloom_nbits(n_ids: int) -> int:
+    """Power-of-two bitmap size: ~20 bits/id -> <1% FP at k=4, clamped to
+    [2^16, 2^30] bits (8 KB – 128 MB on the driver)."""
+    bits = 1 << int(np.ceil(np.log2(max(20 * max(n_ids, 1), 1 << 16))))
+    return min(bits, 1 << 30)
+
+
+def _bloom_positions(ids: np.ndarray, nbits: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing of the golden-mixed id."""
+    x = np.ascontiguousarray(ids, dtype=np.int64).view(np.uint64)
+    h1 = x * np.uint64(0x9E3779B97F4A7C15)
+    h2 = ((x ^ (x >> np.uint64(33))) * np.uint64(0xC2B2AE3D27D4EB4F)) \
+        | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(nbits)).astype(np.int64)
+
+
+def _bloom_build(pairs_ds, nbits: int) -> np.ndarray:
+    """OR-reduce per-block bitmaps of pair-endpoint ids into one packed
+    uint64 bitmap.  Partials stream block-by-block through the driver
+    (the OR is associative — a tree reduce is the drop-in upgrade if
+    block-count x bitmap-size bandwidth ever matters)."""
+    words = nbits // 64
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            batch.column("id_a").to_numpy(zero_copy_only=False),
+            batch.column("id_b").to_numpy(zero_copy_only=False)]))
+        bm = np.zeros(words, dtype=np.uint64)
+        pos = _bloom_positions(ids, nbits).ravel()
+        np.bitwise_or.at(bm, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"bm": pa.array([bm.view(np.int64)],
+                                        type=pa.list_(pa.int64()))})
+
+    out = np.zeros(words, dtype=np.uint64)
+    for b in pairs_ds.map_batches(block_bloom, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if not b.num_rows or "bm" not in b.column_names:
+            continue
+        flat = b.column("bm").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).view(np.uint64)
+        out |= np.bitwise_or.reduce(flat.reshape(-1, words), axis=0)
+    return out
+
+
+def _bloom_contains(bm: np.ndarray, ids: np.ndarray, nbits: int) -> np.ndarray:
+    pos = _bloom_positions(ids, nbits)
+    hit = (bm[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return hit.all(axis=0)
+
+
+def _emit_capped_pairs(part: pd.DataFrame, key_cols: list[str], id_col: str,
+                       max_group: int) -> pd.DataFrame:
+    """Within-bucket candidate pairs for one shuffle partition: sort by
+    bucket key then id, emit all (a<b) pairs per bucket with groups over
+    ``max_group`` skipped; the partition's skip count rides out as one
+    null-id summary row in ``skipped_buckets``."""
+    g = part.sort_values(key_cols + [id_col], kind="stable")
+    ids = g[id_col].to_numpy()
+    n = len(g)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    if n > 1:
+        acc = np.zeros(n - 1, dtype=bool)
+        for c in key_cols:
+            v = g[c].to_numpy()
+            acc |= v[1:] != v[:-1]
+        new[1:] = acc
+    sizes = np.diff(np.append(np.flatnonzero(new), n))
+    a, b, n_skipped = _pairs_within_sorted_groups(ids, sizes, max_group)
+    out = (pd.DataFrame({"id_a": pd.array(a, dtype="Int64"),
+                         "id_b": pd.array(b, dtype="Int64")})
+           .drop_duplicates())
+    out["skipped_buckets"] = np.int64(0)
+    if n_skipped:
+        out = pd.concat([out, pd.DataFrame(
+            {"id_a": pd.array([None], dtype="Int64"),
+             "id_b": pd.array([None], dtype="Int64"),
+             "skipped_buckets": np.array([n_skipped], dtype=np.int64)})],
+            ignore_index=True)
+    return out
+
+
+def _bucketed_pair_verify(pairs_ds, payload_ds, payload_type, as_arr,
+                          verify_fn, vparts: int) -> pd.DataFrame:
+    """Verify candidate pairs against per-doc payloads with neither side
+    ever landing whole on the driver.
+
+    ``pairs_ds``: Dataset[id_a, id_b] (int64) candidate pairs.
+    ``payload_ds``: Dataset[k:int64, v:``payload_type``] — one row per
+    candidate doc (its sketch / vector).
+    Pairs partition on ``_ibucket(id_a)``; each partition receives the
+    payloads of its id_a docs directly (a doc's own bucket IS
+    ``_ibucket(k)``) and of its id_b partners via a distinct
+    (requesting-partition, id_b) request join — payload bytes ship at
+    most once per (doc, partition), never per pair.
+    ``verify_fn(lookup: dict[id -> ndarray], pairs: DataFrame)`` runs
+    once per partition on globally-deduplicated pairs."""
+
+    def _vtable(__p, id_a, id_b, k, v, kind) -> pa.Table:
+        n = len(__p)
+        return pa.table({
+            "__p": pa.array(np.asarray(__p, dtype=np.int64)),
+            "id_a": (pa.nulls(n, pa.int64()) if id_a is None
+                     else pa.array(np.asarray(id_a, dtype=np.int64))),
+            "id_b": (pa.nulls(n, pa.int64()) if id_b is None
+                     else pa.array(np.asarray(id_b, dtype=np.int64))),
+            "k": (pa.nulls(n, pa.int64()) if k is None
+                  else pa.array(np.asarray(k, dtype=np.int64))),
+            "v": (pa.nulls(n, payload_type) if v is None else v),
+            "kind": pa.array(np.full(n, kind, dtype=np.int8))})
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return _vtable(_ibucket(a, vparts), a, b, None, None, 1)
+
+    def request_rows(batch: pa.Table) -> pa.Table:
+        """Distinct (requesting partition, id_b) rows, keyed for the
+        payload exchange on _ibucket(id_b)."""
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([_ibucket(a, vparts), b], axis=1), axis=0)
+        return _vtable(_ibucket(uniq[:, 1], vparts), uniq[:, 0], None,
+                       uniq[:, 1], None, 1)
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return _vtable(_ibucket(k, vparts), None, None, k,
+                       batch.column("v"), 0)
+
+    def replicate(g: pd.DataFrame) -> pa.Table:
+        """Join payload rows to the distinct partitions requesting them."""
+        kind = g["kind"].to_numpy()
+        pay = g.loc[kind == 0, ["k", "v"]]
+        req = g.loc[kind == 1, ["id_a", "k"]].drop_duplicates()
+        merged = req.merge(pay, on="k", how="inner")
+        v = pa.array([as_arr(x).tolist() for x in merged["v"]],
+                     type=payload_type)
+        return _vtable(merged["id_a"].to_numpy(dtype=np.int64), None, None,
+                       merged["k"].to_numpy(dtype=np.int64), v, 0)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        pay = g.loc[kind == 0]
+        lookup = {int(k): as_arr(s) for k, s in zip(pay["k"], pay["v"])}
+        pr = g.loc[kind == 1, ["id_a", "id_b"]].drop_duplicates()
+        return verify_fn(lookup, pr)
+
+    # with a single verify partition every payload lands in partition 0
+    # via the direct route — the request-join exchange would be overhead
+    replicas = None
+    if vparts > 1:
+        replicas = (pairs_ds.map_batches(request_rows, batch_format="pyarrow")
+                    .union(payload_ds.map_batches(payload_rows,
+                                                  batch_format="pyarrow"))
+                    .groupby("__p").map_groups(replicate,
+                                               batch_format="pandas"))
+    inputs = pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+    others = [payload_ds.map_batches(payload_rows, batch_format="pyarrow")]
+    if replicas is not None:
+        others.append(replicas)
+    return (inputs.union(*others)
+            .groupby("__p").map_groups(verify, batch_format="pandas")
+            .to_pandas())
 
 
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
@@ -192,27 +378,8 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
     buckets = sigs.map_batches(explode, batch_format="pyarrow")
 
     def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.sort_values(["band_id", "band_hash", id_col], kind="stable")
-        bid = g["band_id"].to_numpy()
-        bh = g["band_hash"].to_numpy()
-        ids = g[id_col].to_numpy()
-        new = np.empty(len(g), dtype=bool)
-        new[0] = True
-        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
-        sizes = np.diff(np.append(np.flatnonzero(new), len(g)))
-        a, b, n_skipped = _pairs_within_sorted_groups(ids, sizes)
-        out = (pd.DataFrame({"id_a": pd.array(a, dtype="Int64"),
-                             "id_b": pd.array(b, dtype="Int64")})
-               .drop_duplicates())
-        out["skipped_buckets"] = np.int64(0)
-        if n_skipped:
-            # one null-id summary row carries the partition's skip count
-            out = pd.concat([out, pd.DataFrame(
-                {"id_a": pd.array([None], dtype="Int64"),
-                 "id_b": pd.array([None], dtype="Int64"),
-                 "skipped_buckets": np.array([n_skipped], dtype=np.int64)})],
-                ignore_index=True)
-        return out
+        return _emit_capped_pairs(part, ["band_id", "band_hash"], id_col,
+                                  max_group=200)
 
     empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                               "id_b": pd.Series([], dtype="int64"),
@@ -230,111 +397,36 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
         t = batch.filter(pa.compute.is_valid(batch.column("id_a")))
         return t.select(["id_a", "id_b"])
 
-    pairs_ds = pairs_ds.map_batches(drop_summary, batch_format="pyarrow")
-
-    # candidate id set (ids only) for the extraction prefilter
-    def batch_ids(batch: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            batch.column("id_a").to_numpy(zero_copy_only=False),
-            batch.column("id_b").to_numpy(zero_copy_only=False)]))
-        return pa.table({"id": pa.array(u, type=pa.int64())})
-
-    need_parts = pairs_ds.map_batches(batch_ids, batch_format="pyarrow") \
-        .to_arrow_refs()
-    # zero-row blocks bypass the UDF and keep the upstream schema — skip
-    chunks = [t.column("id").to_numpy(zero_copy_only=False)
-              for t in map(ray.get, need_parts)
-              if t.num_rows and "id" in t.column_names]
-    need = np.unique(np.concatenate(chunks or [np.zeros(0, np.int64)]))
-    if len(need) == 0:
+    pairs_ds = pairs_ds.map_batches(drop_summary, batch_format="pyarrow") \
+        .materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return empty_out
-    need_ref = ray.put(need)
+
+    # Bloom-filtered extraction prefilter: candidate membership reaches
+    # every extraction task as one fixed-size bitmap — NO driver-side id
+    # set, so driver memory stays flat on boilerplate-heavy corpora
+    nbits = _bloom_nbits(2 * n_pairs)
+    bloom_ref = ray.put(_bloom_build(pairs_ds, nbits))
     # verify-stage partition count sized to the CANDIDATE set, not the
     # input: a sort-exchange with P≫rows/1000 is all mesh overhead
     vparts = verify_partitions or int(
-        max(1, min(num_partitions, np.ceil(len(need) / 4000))))
+        max(1, min(num_partitions, np.ceil(2 * n_pairs / 4000))))
 
-    # distributed shingle extraction of candidate docs only
+    # distributed shingle extraction of (bloom-probable) candidate docs
     def extract(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        nd = ray.get(need_ref)  # sorted
-        pos = np.searchsorted(nd, ids)
-        mask = nd[np.minimum(pos, len(nd) - 1)] == ids
-        idx = np.flatnonzero(mask)
+        bm = ray.get(bloom_ref)
+        idx = np.flatnonzero(_bloom_contains(bm, ids, nbits))
         sh = [_shingle_hashes(batch.column(text_col)[int(i)].as_py(), shingle)
               for i in idx]
         return pa.table({"k": pa.array(ids[idx], type=pa.int64()),
-                         "other": pa.nulls(len(idx), pa.int64()),
-                         "sh": pa.array([s.tolist() for s in sh],
-                                        type=pa.list_(pa.uint64())),
-                         "kind": pa.array(np.zeros(len(idx), dtype=np.int8)),
-                         "__p": pa.array(_ibucket(ids[idx], vparts))})
+                         "v": pa.array([s.tolist() for s in sh],
+                                       type=pa.list_(pa.uint64()))})
 
     sh_ds = ds.map_batches(extract, batch_format="pyarrow").materialize()
 
-    # ---- verify: pairs are partitioned by _ibucket(id_a); each partition
-    # needs the shingles of its id_a docs (routed directly — a doc's own
-    # bucket IS _ibucket(id)) and of its id_b partners (replicated via a
-    # (partition, id_b) request join).  Shingle payload thus ships at most
-    # once per (doc, partition) — NOT once per candidate pair, which blows
-    # up ~pairs/doc× on boilerplate-heavy corpora.
-    def _vtable(__p, id_a, id_b, k, sh, kind) -> pa.Table:
-        n = len(__p)
-        return pa.table({
-            "__p": pa.array(np.asarray(__p, dtype=np.int64)),
-            "id_a": (pa.nulls(n, pa.int64()) if id_a is None
-                     else pa.array(np.asarray(id_a, dtype=np.int64))),
-            "id_b": (pa.nulls(n, pa.int64()) if id_b is None
-                     else pa.array(np.asarray(id_b, dtype=np.int64))),
-            "k": (pa.nulls(n, pa.int64()) if k is None
-                  else pa.array(np.asarray(k, dtype=np.int64))),
-            "sh": (pa.nulls(n, pa.list_(pa.uint64())) if sh is None else sh),
-            "kind": pa.array(np.full(n, kind, dtype=np.int8))})
-
-    def pair_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        return _vtable(_ibucket(a, vparts), a, b, None, None, 1)
-
-    def request_rows(batch: pa.Table) -> pa.Table:
-        """Distinct (requesting partition, id_b) rows, keyed for the
-        shingle exchange on _ibucket(id_b)."""
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        uniq = np.unique(np.stack([_ibucket(a, vparts), b], axis=1), axis=0)
-        return _vtable(_ibucket(uniq[:, 1], vparts), uniq[:, 0], None,
-                       uniq[:, 1], None, 1)
-
-    def sh_rows(batch: pa.Table) -> pa.Table:
-        k = batch.column("k").to_numpy(zero_copy_only=False)
-        return _vtable(_ibucket(k, vparts), None, None, k,
-                       batch.column("sh"), 0)
-
-    def replicate(g: pd.DataFrame) -> pa.Table:
-        """Join shingle rows to the distinct partitions requesting them."""
-        kind = g["kind"].to_numpy()
-        shr = g.loc[kind == 0, ["k", "sh"]]
-        req = g.loc[kind == 1, ["id_a", "k"]].drop_duplicates()
-        merged = req.merge(shr, on="k", how="inner")
-        sh = pa.array([_as_u64(x).tolist() for x in merged["sh"]],
-                      type=pa.list_(pa.uint64()))
-        return _vtable(merged["id_a"].to_numpy(dtype=np.int64), None, None,
-                       merged["k"].to_numpy(dtype=np.int64), sh, 0)
-
-    # with a single verify partition every candidate's shingles land in
-    # partition 0 via the direct route — the request-join exchange would
-    # be pure overhead
-    replicas = None
-    if vparts > 1:
-        replicas = (pairs_ds.map_batches(request_rows, batch_format="pyarrow")
-                    .union(sh_ds.map_batches(sh_rows, batch_format="pyarrow"))
-                    .groupby("__p").map_groups(replicate, batch_format="pandas"))
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        kind = g["kind"].to_numpy()
-        shr = g.loc[kind == 0]
-        lookup = {int(k): _as_u64(s) for k, s in zip(shr["k"], shr["sh"])}
-        pr = g.loc[kind == 1, ["id_a", "id_b"]].drop_duplicates()  # global dedup
+    def verify_jaccard(lookup: dict, pr: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                               "id_b": pd.Series([], dtype="int64"),
                               "jaccard": pd.Series([], dtype="float64")})
@@ -370,13 +462,8 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
             "id_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
             "jaccard": np.concatenate(out_j) if out_j else np.zeros(0, np.float64)})
 
-    inputs = pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
-    others = [sh_ds.map_batches(sh_rows, batch_format="pyarrow")]
-    if replicas is not None:
-        others.append(replicas)
-    out = (inputs.union(*others)
-           .groupby("__p").map_groups(verify, batch_format="pandas")
-           .to_pandas())
+    out = _bucketed_pair_verify(pairs_ds, sh_ds, pa.list_(pa.uint64()),
+                                _as_u64, verify_jaccard, vparts)
     if out.empty:
         return empty_out
     out = (out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
@@ -467,16 +554,43 @@ def simhash64(ds, id_col: str, text_col: str, shingle: int = 4):
 
 
 def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
-                           threshold: float = 0.95, n_planes: int = 8,
-                           seed: int = 42) -> pd.DataFrame:
-    """Near-dup pairs by cosine ≥ threshold, bucketed by random-hyperplane
-    LSH signs so only same-bucket pairs are compared (scale path; exact
-    within bucket)."""
-    from packs_ray.functions.similarity import _batch_matrix
+                           threshold: float = 0.95, n_planes: int | None = None,
+                           n_bands: int = 1, seed: int = 42,
+                           max_group: int = 200, max_exact_rows: int = 200_000,
+                           num_partitions: int | None = None,
+                           verify_partitions: int | None = None) -> pd.DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    ``n_planes == 0`` is the EXACT all-pairs baseline: the collected
+    (id, normalized-vector) matrix is compared blockwise on the driver —
+    O(n²) compute, hard-capped at ``max_exact_rows`` rows with a printed
+    notice (the LSH path is the scale route, mirroring
+    ``ngram_jaccard_pairs`` vs ``minhash_lsh_pairs``).
+
+    Otherwise: banded random-hyperplane LSH.  ``n_bands`` independent
+    bands of ``n_planes`` hyperplanes each; a pair is a candidate when
+    its sign code matches in ANY band (recall grows with bands, like
+    minhash band-LSH), then every candidate is verified with the exact
+    cosine.  ``n_planes=None`` auto-sizes the per-band code space to the
+    input (≈100 docs/bucket) so bucket count grows with data instead of
+    being fixed.  Scale shape — identical to ``minhash_lsh_pairs``:
+      1. narrow (band, code, id) rows shuffle on ``hash(band,code) % P``;
+         ONE vectorized pair emission per partition with groups over
+         ``max_group`` skipped and the skip count surfaced in
+         ``result.attrs["skipped_buckets"]`` (boilerplate pile-ups never
+         grind O(g²));
+      2. a Bloom bitmap of candidate ids (no driver-side id set)
+         prefilters a distributed vector extraction;
+      3. pairs verify in bucketed partitions via the shared
+         request-join payload exchange (vector bytes ship at most once
+         per (doc, partition), never per pair)."""
+    from packs_ray.functions.agg import reduce_partition_count
+    from packs_ray.functions.similarity import _batch_matrix, _fit_dim
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64"),
                           "cosine": pd.Series([], dtype="float64")})
+    empty.attrs["skipped_buckets"] = 0
     try:
         first = next(iter(ds.select_columns([emb_col]).iter_batches(
             batch_size=1, batch_format="pyarrow")))
@@ -487,37 +601,150 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
               .as_py() or 0)
     if dim == 0:  # first block all-null: no usable vectors
         return empty
+
+    if n_planes == 0:
+        # exact baseline: driver blockwise all-pairs over the collected
+        # normalized matrix (cos matrix never fully materialized)
+        rows = ds.select_columns([id_col, emb_col]).take(max_exact_rows + 1)
+        if len(rows) > max_exact_rows:
+            print(f"embedding_cosine_pairs: exact path exceeds "
+                  f"max_exact_rows={max_exact_rows}; truncated "
+                  f"(use the LSH path at scale)")
+            rows = rows[:max_exact_rows]
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        m = np.zeros((len(rows), dim))
+        for i, r in enumerate(rows):
+            v = _as_f64(r[emb_col])
+            m[i, :min(dim, len(v))] = v[:dim]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms > 0, norms, 1.0)
+        out_a, out_b, out_c = [], [], []
+        step = 2048
+        for s in range(0, len(mn), step):
+            cos = mn[s:s + step] @ mn.T                   # (chunk, n)
+            ia, ib = np.nonzero(cos >= threshold)
+            keep = (ia + s) < ib                          # upper triangle
+            ia, ib = ia[keep] + s, ib[keep]
+            lo = np.minimum(ids[ia], ids[ib])
+            hi = np.maximum(ids[ia], ids[ib])
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(np.round(cos[ia - s, ib], 4))
+        out = pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.zeros(0, np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
+            "cosine": np.concatenate(out_c) if out_c else np.zeros(0)})
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        out.attrs["skipped_buckets"] = 0
+        return out
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    if n_planes is None:
+        # ≈100 docs per bucket per band, 4..20 planes (16 .. 1M buckets)
+        n = ds.count()
+        n_planes = int(np.clip(np.ceil(np.log2(max(n, 1) / 100 + 1)), 4, 20))
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_planes * n_bands))
     pref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        from packs_ray.functions.similarity import _fit_dim
+        """Narrow (partition, band, code, id) bucket rows — the embedding
+        payload does NOT ride the bucket shuffle."""
         pl = ray.get(pref)
         m = _fit_dim(_batch_matrix(batch, emb_col), pl.shape[0])
         signs = (m @ pl) > 0
-        code = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        return pa.table({id_col: batch.column(id_col), emb_col: batch.column(emb_col),
-                         "lsh_bucket": pa.array(code, type=pa.int64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = 1 << np.arange(n_planes)
+        out_band, out_code, out_id = [], [], []
+        for bi in range(n_bands):
+            code = (signs[:, bi * n_planes:(bi + 1) * n_planes] * w) \
+                .sum(axis=1).astype(np.int64)
+            out_band.append(np.full(len(ids), bi, dtype=np.int64))
+            out_code.append(code)
+            out_id.append(ids)
+        band = np.concatenate(out_band)
+        code = np.concatenate(out_code)
+        mixed = ((code.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 ^ band.view(np.uint64))
+        return pa.table({
+            "__p": (mixed % np.uint64(num_partitions)).view(np.int64),
+            "band_id": band, "code": code,
+            id_col: np.concatenate(out_id)})
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        m = np.stack(g[emb_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        mn = m / np.where(norms > 0, norms, 1.0)
-        cos = mn @ mn.T
-        ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(g), k=1)
-        sel = cos[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": np.minimum(ids[ia[sel]], ids[ib[sel]]),
-                             "id_b": np.maximum(ids[ia[sel]], ids[ib[sel]]),
-                             "cosine": np.round(cos[ia[sel], ib[sel]], 4)})
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return _emit_capped_pairs(part, ["band_id", "code"], id_col,
+                                  max_group=max_group)
 
-    out = (ds.map_batches(bucketize, batch_format="pyarrow")
-           .groupby("lsh_bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-           .to_pandas())
-    if out.empty or "id_a" not in out.columns:
+    pairs_ds = (ds.map_batches(bucketize, batch_format="pyarrow")
+                .groupby("__p").map_groups(emit_pairs, batch_format="pandas")
+                .materialize())
+    skipped_total = int(pairs_ds.sum("skipped_buckets") or 0)
+    empty.attrs["skipped_buckets"] = skipped_total
+
+    def drop_summary(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.is_valid(batch.column("id_a")))
+        return t.select(["id_a", "id_b"])
+
+    pairs_ds = pairs_ds.map_batches(drop_summary, batch_format="pyarrow") \
+        .materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return empty
-    out = out.astype({"id_a": "int64", "id_b": "int64"})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    nbits = _bloom_nbits(2 * n_pairs)
+    bloom_ref = ray.put(_bloom_build(pairs_ds, nbits))
+    vparts = verify_partitions or int(
+        max(1, min(num_partitions, np.ceil(2 * n_pairs / 4000))))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        """Float64 vectors of (bloom-probable) candidate docs only."""
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bm = ray.get(bloom_ref)
+        idx = np.flatnonzero(_bloom_contains(bm, ids, nbits))
+        sub = batch.take(pa.array(idx, type=pa.int64()))
+        m = _fit_dim(_batch_matrix(sub, emb_col), dim)
+        return pa.table({"k": pa.array(ids[idx], type=pa.int64()),
+                         "v": pa.array([r.tolist() for r in m],
+                                       type=pa.list_(pa.float64()))})
+
+    vec_ds = ds.map_batches(extract, batch_format="pyarrow").materialize()
+
+    def verify_cosine(lookup: dict, pr: pd.DataFrame) -> pd.DataFrame:
+        empty_g = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64"),
+                                "cosine": pd.Series([], dtype="float64")})
+        if len(pr) == 0:
+            return empty_g
+        out_a, out_b, out_c = [], [], []
+        for ida, grp in pr.groupby("id_a", sort=False):
+            A = lookup.get(int(ida), _EMPTY_F64)
+            if len(A) == 0:
+                continue
+            na = np.linalg.norm(A)
+            An = A / na if na > 0 else A
+            ibs = grp["id_b"].to_numpy(dtype=np.int64)
+            M = np.zeros((len(ibs), len(A)))
+            for i, b in enumerate(ibs):
+                v = lookup.get(int(b), _EMPTY_F64)
+                M[i, :min(len(A), len(v))] = v[:len(A)]
+            norms = np.linalg.norm(M, axis=1)
+            cos = (M @ An) / np.where(norms > 0, norms, 1.0)
+            keep = cos >= threshold
+            out_a.append(np.full(int(keep.sum()), int(ida), dtype=np.int64))
+            out_b.append(ibs[keep])
+            out_c.append(np.round(cos[keep], 4))
+        if not out_a:
+            return empty_g
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    out = _bucketed_pair_verify(pairs_ds, vec_ds, pa.list_(pa.float64()),
+                                _as_f64, verify_cosine, vparts)
+    if out.empty:
+        return empty
+    out = (out.astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    out.attrs["skipped_buckets"] = skipped_total
+    return out

@@ -167,3 +167,118 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     assert bf.iloc[0]["vec_id"] == 7  # the query vector itself
     recall = len(set(bf["vec_id"]) & set(ivf["vec_id"])) / 10
     assert recall >= 0.5, recall
+
+
+def _emb_ds(m: np.ndarray):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              type=pa.list_(pa.float32()))}))
+
+
+def test_embedding_lsh_pairs_subset_of_exact(ray_session):
+    """Every LSH-bucketed pair must appear in the exact all-pairs output
+    with an identical cosine (LSH trades recall, never correctness)."""
+    from packs_ray.functions.neardup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16))
+    near = base[:10] + 0.01 * rng.standard_normal((10, 16))
+    m = np.vstack([base, near])
+    ds = _emb_ds(m)
+    exact = embedding_cosine_pairs(ds, "vec_id", "embedding",
+                                   threshold=0.9, n_planes=0)
+    lsh = embedding_cosine_pairs(ds, "vec_id", "embedding",
+                                 threshold=0.9, n_planes=4, n_bands=3)
+    exact_pairs = {(a, b): c for a, b, c in
+                   zip(exact["id_a"], exact["id_b"], exact["cosine"])}
+    assert len(lsh) > 0
+    for a, b, c in zip(lsh["id_a"], lsh["id_b"], lsh["cosine"]):
+        assert (a, b) in exact_pairs
+        assert abs(exact_pairs[(a, b)] - c) < 1e-9
+    # planted near-dups are strong candidates: banding should catch most
+    planted = {(i, 40 + i) for i in range(10)}
+    assert len(planted & set(exact_pairs)) == 10
+    found = planted & {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert len(found) >= 8, found
+
+
+def test_embedding_banded_beats_single_band(ray_session):
+    """More bands -> strictly more (or equal) recall at the same total
+    plane budget; both stay subsets of exact."""
+    from packs_ray.functions.neardup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((60, 24))
+    near = base[:20] + 0.05 * rng.standard_normal((20, 24))
+    ds = _emb_ds(np.vstack([base, near]))
+    one = embedding_cosine_pairs(ds, "vec_id", "embedding",
+                                 threshold=0.9, n_planes=12, n_bands=1)
+    banded = embedding_cosine_pairs(ds, "vec_id", "embedding",
+                                    threshold=0.9, n_planes=4, n_bands=3)
+    assert len(banded) >= len(one)
+    planted = {(i, 60 + i) for i in range(20)}
+    hit = planted & {(a, b) for a, b in zip(banded["id_a"], banded["id_b"])}
+    assert len(hit) >= 16, len(hit)
+
+
+def test_embedding_pathological_bucket_capped(ray_session):
+    """A same-bucket pile-up (thousands of identical embeddings) must
+    complete with bounded memory: over-cap buckets are skipped and the
+    skip count surfaced — never an O(g^2) in-bucket blow-up."""
+    from packs_ray.functions.neardup import embedding_cosine_pairs
+
+    n = 5000  # identical vectors: one bucket per band, all over max_group
+    m = np.tile(np.arange(8, dtype=np.float64), (n, 1))
+    out = embedding_cosine_pairs(_emb_ds(m), "vec_id", "embedding",
+                                 threshold=0.9, n_planes=4, n_bands=2)
+    assert len(out) == 0
+    assert out.attrs["skipped_buckets"] > 0
+
+    # under the cap the same corpus emits every pair exactly once
+    small = embedding_cosine_pairs(_emb_ds(m[:50]), "vec_id", "embedding",
+                                   threshold=0.9, n_planes=4, n_bands=2)
+    assert len(small) == 50 * 49 // 2
+    assert small.attrs["skipped_buckets"] == 0
+    assert (small["cosine"] == 1.0).all()
+
+
+def test_embedding_pairs_multipartition_verify(ray_session):
+    """Request-join payload replication (verify_partitions > 1) must give
+    identical results to the single-partition route."""
+    import pandas as pd
+
+    from packs_ray.functions.neardup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((50, 16))
+    ds = _emb_ds(np.vstack([base, base[:15] + 0.02]))
+    one = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.85,
+                                 n_planes=4, n_bands=2)
+    multi = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.85,
+                                   n_planes=4, n_bands=2, verify_partitions=3)
+    pd.testing.assert_frame_equal(one, multi)
+    assert len(one) > 0
+
+
+def test_bloom_membership_no_false_negatives(ray_session):
+    """The Bloom candidate prefilter can false-positive (harmless) but
+    must NEVER drop a real candidate id."""
+    import ray.data
+
+    from packs_ray.functions.neardup import (_bloom_build, _bloom_contains,
+                                             _bloom_nbits)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(-2**62, 2**62, size=2000, dtype=np.int64)
+    pairs = pa.table({"id_a": pa.array(ids[:1000], type=pa.int64()),
+                      "id_b": pa.array(ids[1000:], type=pa.int64())})
+    nbits = _bloom_nbits(len(ids))
+    bm = _bloom_build(ray.data.from_arrow(pairs), nbits)
+    assert _bloom_contains(bm, ids, nbits).all()
+    probe = rng.integers(-2**62, 2**62, size=20000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, ids)]
+    fp = _bloom_contains(bm, fresh, nbits).mean()
+    assert fp < 0.02, fp
