@@ -248,12 +248,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return drift.ks_2sample(a, b, "value")
 
     def knn_outliers_lineitem(sf):
-        return outliers.knn_outliers(_ds(sf, "lineitem", ["l_quantity", "l_extendedprice"]),
-                                     ["l_quantity", "l_extendedprice"])
+        import pyarrow.compute as pc
+
+        src = _ds(sf, "lineitem", ["l_quantity", "l_extendedprice",
+                                   "l_orderkey", "l_linenumber",
+                                   "l_partkey", "l_suppkey"])
+
+        def add_key(t):
+            # unique int64 row key for the deterministic hash-ranked
+            # training sample ((orderkey, linenumber) alone collides in
+            # this synthetic table; adding partkey+suppkey is unique)
+            k = pc.add(pc.multiply(t["l_orderkey"], 8),
+                       pc.cast(t["l_linenumber"], "int64"))
+            k = pc.add(pc.multiply(k, 1048576), t["l_partkey"])
+            k = pc.add(pc.multiply(k, 1024), t["l_suppkey"])
+            return t.append_column("__key", k)
+
+        return outliers.knn_outliers(
+            src.map_batches(add_key, batch_format="pyarrow"),
+            ["l_quantity", "l_extendedprice"], sample_key="__key")
 
     def knn_outliers_mixed_events(sf):
-        return outliers.knn_outliers(_ds(sf, "events", ["value", "event_type"]),
-                                     ["value"], categorical_columns=["event_type"])
+        return outliers.knn_outliers(
+            _ds(sf, "events", ["value", "event_type", "event_id"]),
+            ["value"], categorical_columns=["event_type"],
+            sample_key="event_id")
 
     def staleness_inputs(sf):
         import glob as _glob
@@ -842,6 +861,120 @@ def _embedding_pairs_banded_sql() -> str:
                                  b.embedding::DOUBLE[]) >= 0.45"""
 
 
+def _ann_ivf_sql() -> str:
+    """similarity.ivf_topk replica: centroids re-fit at generation time
+    with the shared ``_lloyd`` on the same table the driver compares at
+    (sf0.01; the seeded fit is deterministic given the table) and
+    inlined as literals — bucket assignment (sequential-sum squared
+    distance, ties to the lowest centroid index), nprobe pruning and the
+    rounded-cosine top-k are then exact SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions.similarity import _batch_matrix, _lloyd
+
+    # fit constants come from the driver's compare SF (sf0.01); local
+    # harnesses checking another SF point GRAFT_ORACLE_SF at its dir
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = _batch_matrix(t.slice(0, 2048), "embedding")
+    cent = _lloyd(m, 16, 42)
+    q, qid = None, 0
+    for i in range(min(t.num_rows, 100)):  # first non-null row, like _query_vec
+        v = t.column("embedding")[i].as_py()
+        if v is not None:
+            q = np.array(v, dtype=np.float64)
+            qid = t.column("vec_id")[i].as_py()
+            break
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:4].tolist()
+    cent_vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for i, row in enumerate(cent))
+    return f"""
+    WITH cent(cidx, cv) AS (VALUES {cent_vals}),
+    d AS (SELECT e.vec_id, e.embedding, c.cidx,
+            list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+          FROM embeddings e CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, embedding, cidx FROM d
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cidx) = 1),
+    sel AS (SELECT vec_id, embedding FROM assigned
+            WHERE cidx IN ({", ".join(str(p) for p in probe)}))
+    SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings
+             WHERE vec_id = {qid})), 6) AS cosine
+    FROM sel ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _knn_rollup_sql(src_sql: str, train_limit: int, d2_sql: str,
+                    feat_cols: list[str], extra_ctes: str = "",
+                    k: int = 5) -> str:
+    """Replica of outliers.knn_outliers with a hash-ranked training
+    sample: train = the ``train_limit`` rows with smallest 32-bit golden
+    key hash (feature columns break key-collision ties, mirroring the
+    engine sort); score = mean distance to the k nearest train rows
+    summed in ascending order (matching the engine's fixed
+    accumulation); then the reference roll-up (inlier =
+    1 - score/(max+1e-9), outlier below 0.5).  Rows sharing
+    (key, features) score once and re-enter the counts with weight
+    ``w`` — identical rows have identical scores."""
+    fc = ", ".join(feat_cols)
+    return f"""
+    WITH src AS ({src_sql}),
+    train AS (SELECT * FROM src ORDER BY h, key, {fc} LIMIT {train_limit}),
+    {extra_ctes}
+    grp AS (SELECT key, {fc}, count(*) AS w FROM src GROUP BY key, {fc}),
+    d AS (SELECT s.key, {", ".join("s." + c for c in feat_cols)}, s.w,
+                 {d2_sql} AS d2
+          FROM grp s CROSS JOIN train t),
+    near AS (SELECT key, {fc}, w, d2 FROM d
+             QUALIFY row_number() OVER (PARTITION BY key, {fc}
+                                        ORDER BY d2) <= {k}),
+    knn AS (SELECT key, {fc}, any_value(w) AS w,
+                   list_avg(list_transform(list_sort(list(d2)),
+                                           x -> sqrt(x))) AS score
+            FROM near GROUP BY key, {fc}),
+    mx AS (SELECT max(score) AS mxs FROM knn),
+    c AS (SELECT sum(w) AS n,
+                 sum(CASE WHEN 1 - score / (mxs + 1e-9) < 0.5
+                          THEN w ELSE 0 END) AS n_out
+          FROM knn, mx)
+    SELECT n::BIGINT AS rows, coalesce(n_out, 0)::BIGINT AS outliers,
+           round(n_out::DOUBLE / n, 4) AS outlier_percent,
+           round(1 - n_out::DOUBLE / n, 2) AS normality_score
+    FROM c"""
+
+
+def _knn_lineitem_sql() -> str:
+    src = """SELECT l_quantity AS q, l_extendedprice AS e,
+        ((l_orderkey * 8 + l_linenumber) * 1048576 + l_partkey) * 1024
+            + l_suppkey AS key,
+        (((((l_orderkey * 8 + l_linenumber) * 1048576 + l_partkey) * 1024
+            + l_suppkey)::UBIGINT & 4294967295)
+         * 2654435769) & 4294967295 AS h FROM lineitem"""
+    d2 = "(s.q - t.q) * (s.q - t.q) + (s.e - t.e) * (s.e - t.e)"
+    return _knn_rollup_sql(src, 1024, d2, ["q", "e"])
+
+
+def _knn_mixed_events_sql() -> str:
+    """value + one-hot event_type: categorical term is 0 (same), 2
+    (both known, different) or 1 (scored category unseen in sample)."""
+    src = """SELECT value AS v, event_type AS c, event_id AS key,
+        ((event_id::UBIGINT & 4294967295) * 2654435769) & 4294967295 AS h
+        FROM events"""
+    d2 = """(s.v - t.v) * (s.v - t.v)
+        + (CASE WHEN s.c IN (SELECT cat FROM cats)
+                THEN CASE WHEN s.c = t.c THEN 0 ELSE 2 END
+                ELSE 1 END)::DOUBLE"""
+    return _knn_rollup_sql(src, 1024, d2, ["v", "c"],
+                           extra_ctes="cats AS (SELECT DISTINCT c AS cat "
+                                      "FROM train),")
+
+
 def _pattern_autodetect_sql() -> str:
     """pattern_autodetect over the renamed customer columns: per-branch
     invalid counts on non-null values (empty string valid) + the 2dp
@@ -1364,6 +1497,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
         "minhash_pairs_documents": _minhash_sql(),
         "ks_drift_events": _ks_drift_sql(),
+        "ann_ivf_embeddings": _ann_ivf_sql(),
+        "knn_outliers_lineitem": _knn_lineitem_sql(),
+        "knn_outliers_mixed_events": _knn_mixed_events_sql(),
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),

@@ -14,8 +14,9 @@ Scale notes:
   ``searchsorted`` + a 2k-candidate window — exact, O(rows · k), no
   distance matrix.
 - multivariate: O(rows · train) distance computation done per-dimension
-  in float32 with in-place accumulation (no BLAS: tiny inner dims hit
-  a pathological dgemm path here), train capped at ``sample_rows``
+  in float64 with in-place accumulation (no BLAS: tiny inner dims hit
+  a pathological dgemm path here; fixed accumulation order keeps scores
+  bit-reproducible in SQL), train capped at ``sample_rows``
   (default 1024 — the scorer is O(rows × train) and memory-bound, and
   the reference itself fits on an unseeded random sample, i.e. the
   score is approximate by design; raise the knob for tighter scores).
@@ -28,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from packs_ray.stages.util import round_half_away as _r
 
 
 def _knn_univariate(x: np.ndarray, train_sorted: np.ndarray, k: int) -> np.ndarray:
@@ -46,32 +49,56 @@ def _knn_univariate(x: np.ndarray, train_sorted: np.ndarray, k: int) -> np.ndarr
     d = np.abs(cand - x[:, None])
     d[oob] = np.inf
     d.partition(k - 1, axis=1)
-    return d[:, :k].mean(axis=1)
+    return np.sort(d[:, :k], axis=1).mean(axis=1)  # ascending-order sum
 
 
 def _knn_multivariate(m: np.ndarray, train: np.ndarray, k: int) -> np.ndarray:
-    """Exact kNN mean distance; per-dimension accumulation, float32."""
+    """Exact kNN mean distance, numeric-only (per-dimension float64
+    accumulation in fixed column order — bit-reproducible in SQL)."""
+    return _knn_mixed(m, [], train, [], k)
+
+
+def _knn_mixed(m: np.ndarray, x_cat: list[np.ndarray], train: np.ndarray,
+               t_cat: list[np.ndarray], k: int) -> np.ndarray:
+    """kNN mean distance with one-hot-equivalent categorical terms.
+
+    ||onehot(a)-onehot(b)||² is 0 (same), 2 (both known, different) or
+    1 (unknown vs known) — computed directly from category indices, so
+    one (rows × train) matrix per categorical column instead of one per
+    category, and d² accumulates in a fixed order (numeric columns, then
+    categorical columns, one addition each) that a SQL replica can
+    reproduce bit-for-bit."""
     k = min(k, train.shape[0])
-    d2 = np.zeros((m.shape[0], train.shape[0]), dtype=np.float32)
+    d2 = _sq_dists(m, train)
+    for xi, ti in zip(x_cat, t_cat):
+        d2 += np.where(xi[:, None] < 0, 1.0,
+                       np.where(xi[:, None] == ti[None, :], 0.0, 2.0))
+    d2.partition(k - 1, axis=1)
+    # ascending-order mean of the k nearest: the SQL replica sums a
+    # sorted list, so fix the same order here (k<=8: numpy sums l-to-r)
+    near = np.sort(d2[:, :k], axis=1)
+    return np.sqrt(near, out=near).mean(axis=1)
+
+
+def _sq_dists(m: np.ndarray, train: np.ndarray) -> np.ndarray:
+    d2 = np.zeros((m.shape[0], train.shape[0]), dtype=np.float64)
     for j in range(m.shape[1]):
         diff = m[:, j][:, None] - train[:, j][None, :]
         np.multiply(diff, diff, out=diff)
         d2 += diff
-    d2.partition(k - 1, axis=1)
-    return np.sqrt(d2[:, :k], out=d2[:, :k]).mean(axis=1)
+    return d2
 
 
-def _encode(df: pd.DataFrame, num_cols: list[str], cat_maps: dict) -> np.ndarray:
-    """Numeric columns + one-hot categoricals (≤100 categories/col like
-    the reference cap, outlier_detection_pack/main.py:8,271; unknown
-    categories encode as all-zeros) → float32 matrix."""
-    parts = [df[c].to_numpy(dtype=np.float32)[:, None] for c in num_cols]
-    for c, mapping in cat_maps.items():
-        idx = df[c].map(mapping).fillna(-1).to_numpy(dtype=np.int64)
-        parts.append((idx[:, None] == np.arange(len(mapping))[None, :])
-                     .astype(np.float32))
-    return np.concatenate(parts, axis=1) if parts else np.zeros((len(df), 0),
-                                                                dtype=np.float32)
+_H32 = np.uint64(0x9E3779B9)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _key_hash32(keys: np.ndarray) -> np.ndarray:
+    """32-bit golden-ratio multiplicative hash of an int64 key — chosen
+    because it is exactly replicable in SQL with no 64-bit-overflow
+    gymnastics: ((key & 0xFFFFFFFF) * 2654435769) & 0xFFFFFFFF."""
+    k = np.ascontiguousarray(keys, dtype=np.int64).view(np.uint64)
+    return (((k & _M32) * _H32) & _M32).view(np.int64)
 
 
 class KnnScorer:
@@ -80,20 +107,26 @@ class KnnScorer:
     points."""
 
     def __init__(self, state_ref, k: int):
-        train, num_cols, cat_maps = ray.get(state_ref)  # loaded once per actor
-        train = train.astype(np.float32)
+        # loaded once per actor
+        train, num_cols, cat_maps, train_cat = ray.get(state_ref)
         self.k = k
         self.num_cols = num_cols
         self.cat_maps = cat_maps
-        self.univariate = train.shape[1] == 1
+        self.univariate = train.shape[1] == 1 and not cat_maps
         self.train = np.sort(train[:, 0]) if self.univariate else train
+        self.train_cat = train_cat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _encode(batch.to_pandas(), self.num_cols, self.cat_maps)
+        df = batch.to_pandas()
+        m = np.column_stack(
+            [df[c].to_numpy(dtype=np.float64) for c in self.num_cols]) \
+            if self.num_cols else np.zeros((len(df), 0))
         if self.univariate:
             score = _knn_univariate(m[:, 0], self.train, self.k)
         else:
-            score = _knn_multivariate(m, self.train, self.k)
+            x_cat = [df[c].map(mp).fillna(-1).to_numpy(dtype=np.int64)
+                     for c, mp in self.cat_maps.items()]
+            score = _knn_mixed(m, x_cat, self.train, self.train_cat, self.k)
         return batch.append_column(
             "knn_score", pa.array(score.astype(np.float64), type=pa.float64()))
 
@@ -101,28 +134,68 @@ class KnnScorer:
 def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None = None,
                  k: int = 5, sample_rows: int | None = None,
                  outlier_threshold: float = 0.5, seed: int = 42,
-                 max_categories: int = 100) -> pd.DataFrame:
+                 max_categories: int = 100,
+                 sample_key: str | None = None) -> pd.DataFrame:
     """Univariate/multivariate kNN outlier metrics: normality score per
     the reference roll-up (fraction of inliers).  ``categorical_columns``
     are one-hot encoded with a sample-fitted ≤``max_categories`` map
-    (the reference's multivariate path)."""
+    (the reference's multivariate path).
+
+    ``sample_key`` names a unique int64 key column: the training sample
+    becomes the ``sample_rows`` non-null rows with the smallest 32-bit
+    golden hash of the key — fully deterministic regardless of block
+    layout or parallelism (and exactly replicable in SQL), unlike the
+    default seeded ``random_sample`` whose output shifts with block
+    splits.  Prefer it wherever a stable key exists."""
     cat_cols = categorical_columns or []
     if sample_rows is None:
         sample_rows = 65_536 if len(columns) == 1 and not cat_cols else 1_024
-    proj = ds.select_columns(columns + cat_cols)
+    proj = ds.select_columns(
+        columns + cat_cols + ([sample_key] if sample_key else []))
     total = proj.count()  # parquet metadata only
     if total == 0:
         return pd.DataFrame([{"rows": 0, "outliers": 0,
                               "outlier_percent": 0.0,
                               "normality_score": 1.0}])
-    sample = proj.random_sample(min(1.0, sample_rows / max(1, total)), seed=seed)
-    sample_df = sample.to_pandas().dropna()[:sample_rows]
-    cat_maps = {
-        c: {v: i for i, v in enumerate(
-            sample_df[c].value_counts().index[:max_categories])}
-        for c in cat_cols}
-    train = _encode(sample_df, columns, cat_maps).astype(np.float64)
-    sref = ray.put((train, columns, cat_maps))
+    if sample_key:
+        # per-block top-n by key hash, then one driver-side merge of the
+        # blocks×n prefiltered rows (n is small; a bucketed tree reduce is
+        # the drop-in upgrade if blocks×n ever outgrows the driver)
+        # feature columns break ties between rows sharing a key (keys
+        # SHOULD be unique, but a collision must not make the boundary
+        # row of the sample depend on physical block order)
+        order = ["__h", sample_key] + columns + cat_cols
+
+        def local_top(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=columns + cat_cols + [sample_key])
+            df = df.assign(
+                __h=_key_hash32(df[sample_key].to_numpy(dtype=np.int64)))
+            return df.sort_values(order).head(sample_rows)
+
+        parts = proj.map_batches(local_top, batch_format="pandas").to_pandas()
+        if "__h" not in parts.columns:  # every block dropped to 0 rows
+            parts = pd.DataFrame({c: pd.Series([], dtype="float64")
+                                  for c in columns + cat_cols
+                                  + ["__h", sample_key]})
+        sample_df = (parts.sort_values(order)
+                     .head(sample_rows).drop(columns=["__h", sample_key]))
+    else:
+        sample = proj.random_sample(min(1.0, sample_rows / max(1, total)),
+                                    seed=seed)
+        sample_df = sample.to_pandas().dropna()[:sample_rows]
+    # deterministic category selection/order: count desc, then value asc
+    def _cat_map(s: pd.Series) -> dict:
+        vc = s.value_counts()
+        order = sorted(vc.index, key=lambda v: (-vc[v], str(v)))
+        return {v: i for i, v in enumerate(order[:max_categories])}
+
+    cat_maps = {c: _cat_map(sample_df[c]) for c in cat_cols}
+    train = np.column_stack(
+        [sample_df[c].to_numpy(dtype=np.float64) for c in columns]) \
+        if columns else np.zeros((len(sample_df), 0))
+    train_cat = [sample_df[c].map(mp).fillna(-1).to_numpy(dtype=np.int64)
+                 for c, mp in cat_maps.items()]
+    sref = ray.put((train, columns, cat_maps, train_cat))
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -159,6 +232,6 @@ def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None =
         if n else 0
     return pd.DataFrame([{
         "rows": n, "outliers": n_out,
-        "outlier_percent": round(n_out / n, 4) if n else 0.0,
-        "normality_score": round(1 - (n_out / n if n else 0.0), 2),
+        "outlier_percent": float(_r(n_out / n, 4)) if n else 0.0,
+        "normality_score": float(_r(1 - (n_out / n if n else 0.0), 2)),
     }])

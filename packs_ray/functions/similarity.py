@@ -123,6 +123,34 @@ def brute_force_topk_multi(ds, id_col: str, emb_col: str, queries: np.ndarray,
     return out.reset_index(drop=True)
 
 
+def _lloyd(m: np.ndarray, n_centroids: int, seed: int) -> np.ndarray:
+    """Deterministic 5-iteration Lloyd k-means on a collected matrix
+    (shared by the engine fit and the SQL-oracle generator so both see
+    bit-identical centroids)."""
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(5):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            pts = m[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
+def _sq_dist_seq(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, C) squared distances accumulated dimension-by-dimension in
+    index order — the same left-to-right sum a SQL ``list_sum`` replica
+    evaluates, unlike numpy's pairwise ``.sum(-1)``."""
+    d2 = np.zeros((m.shape[0], cent.shape[0]))
+    for j in range(m.shape[1]):
+        diff = m[:, j][:, None] - cent[None, :, j]
+        np.multiply(diff, diff, out=diff)
+        d2 += diff
+    return d2
+
+
 def _fit_centroids(ds, emb_col: str, n_centroids: int, sample_rows: int,
                    seed: int) -> np.ndarray:
     """Seeded-sample Lloyd fit on the driver (deterministic, 5 iters)."""
@@ -132,17 +160,7 @@ def _fit_centroids(ds, emb_col: str, n_centroids: int, sample_rows: int,
                                            batch_format="pyarrow")]
     if not chunks:
         return np.zeros((0, 0))
-    m = np.concatenate(chunks)
-    rng = np.random.default_rng(seed)
-    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
-    for _ in range(5):  # few Lloyd iterations, deterministic
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cent)):
-            pts = m[assign == c]
-            if len(pts):
-                cent[c] = pts.mean(0)
-    return cent
+    return _lloyd(np.concatenate(chunks), n_centroids, seed)
 
 
 def ivf_build(ds, id_col: str, emb_col: str, index_dir: str,
@@ -162,7 +180,7 @@ def ivf_build(ds, id_col: str, emb_col: str, index_dir: str,
     def assign(batch: pa.Table) -> pa.Table:
         centv = ray.get(cref)
         m = _batch_matrix(batch, emb_col)
-        d = ((m[:, None, :] - centv[None, :, :]) ** 2).sum(-1)
+        d = _sq_dist_seq(m, centv)
         return pa.table({id_col: batch.column(id_col),
                          emb_col: batch.column(emb_col),
                          "ivf_bucket": pa.array(d.argmin(1).astype(np.int64))})
@@ -230,7 +248,7 @@ def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
     def partial(batch: pa.Table) -> pa.Table:
         centv, probev, qv = ray.get(cref)
         mb = _fit_dim(_batch_matrix(batch, emb_col), centv.shape[1])
-        d = ((mb[:, None, :] - centv[None, :, :]) ** 2).sum(-1)
+        d = _sq_dist_seq(mb, centv)
         in_probe = np.isin(d.argmin(1), list(probev))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[in_probe]
         mm = mb[in_probe]

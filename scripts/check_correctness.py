@@ -73,8 +73,11 @@ def compare(name: str, eng: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    os.environ["GRAFT_ORACLE_SF"] = sf_dir  # data-dependent oracle constants
 
     import ray
 

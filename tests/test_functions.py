@@ -4,7 +4,10 @@ comparison the driver runs at sf0.01)."""
 import duckdb
 import pytest
 
+import os
+
 SF = "/root/testdata/sf0.001"
+os.environ["GRAFT_ORACLE_SF"] = SF  # data-dependent oracle constants
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
