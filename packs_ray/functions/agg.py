@@ -73,6 +73,17 @@ def global_agg(ds, partial_fn: Callable[[pa.Table], dict[str, Any]],
         # batch with the input schema so combine sees its column set
         sch = ds.schema()
         arrow_sch = getattr(sch, "base_schema", sch)
+        if arrow_sch is not None and not isinstance(arrow_sch, pa.Schema):
+            # pandas-block datasets report a PandasBlockSchema (names +
+            # numpy dtypes) — rebuild an Arrow schema (object -> string)
+            fields = []
+            for n, t in zip(arrow_sch.names, arrow_sch.types):
+                try:
+                    fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+                except (pa.ArrowNotImplementedError, TypeError,
+                        AttributeError):
+                    fields.append(pa.field(n, pa.string()))
+            arrow_sch = pa.schema(fields)
         if arrow_sch is None:
             arrow_sch = empty_schema
         if arrow_sch is None:

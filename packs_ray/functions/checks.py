@@ -20,6 +20,8 @@ Check types:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -87,3 +89,110 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     rows.append({"check_id": -1, "type": "__score__", "column": "__dataset__",
                  "observed": n_pass, "passed": n_pass == len(checks)})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Declarative ingestion: the reference feeds its check engines from
+# config files — a SodaCL YAML (soda_pack/checks.yaml, parsed by the
+# soda library in soda_pack/main.py:64) and a Great Expectations
+# expectation list (great_expectations_pack/main.py:35-55, dispatched by
+# expectation_type).  These parsers map the common subset of both
+# grammars onto run_checks rules so existing configs run unchanged.
+
+_SODA_ROW_COUNT = re.compile(
+    r"^row_count\s*(>=|>)\s*(\d+)$")
+_SODA_METRIC = re.compile(
+    r"^(missing_count|duplicate_count|invalid_count)\s*\(\s*([^)]+?)\s*\)"
+    r"\s*(=|<=|<)\s*0$")
+
+
+def checks_from_sodacl(text: str) -> list[dict]:
+    """Parse a SodaCL YAML document into run_checks rules.
+
+    Supported check lines (the zero-tolerance forms, which are the only
+    ones expressible as exact pass/fail without a threshold model):
+      - ``row_count > N`` / ``row_count >= N``       -> row_count_min
+      - ``missing_count(col) = 0``                   -> not_null
+      - ``duplicate_count(col) = 0``                 -> unique
+      - ``invalid_count(col) = 0`` + ``valid values: [...]``
+                                                     -> values_in_set
+      - ``invalid_count(col) = 0`` + ``valid min/valid max``
+                                                     -> values_between
+    Check entries may be bare strings or single-key mappings whose value
+    holds attributes (name, valid values, valid min/max), matching the
+    shapes the soda scanner accepts.  Unsupported lines raise — silent
+    skips would report a passing suite that never ran the check."""
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    out: list[dict] = []
+    for section, body in doc.items():
+        checks = body if isinstance(body, list) else \
+            (body or {}).get("checks", [])
+        for entry in checks:
+            if isinstance(entry, dict):
+                (line, attrs), = entry.items()
+                attrs = attrs or {}
+            else:
+                line, attrs = str(entry), {}
+            line = line.strip()
+            m = _SODA_ROW_COUNT.match(line)
+            if m:
+                op, n = m.group(1), int(m.group(2))
+                out.append({"type": "row_count_min",
+                            "min": n + (1 if op == ">" else 0)})
+                continue
+            m = _SODA_METRIC.match(line)
+            if m:
+                metric, col = m.group(1), m.group(2)
+                if metric == "missing_count":
+                    out.append({"type": "not_null", "column": col})
+                elif metric == "duplicate_count":
+                    out.append({"type": "unique", "column": col})
+                else:  # invalid_count: needs a validity definition
+                    if "valid values" in attrs:
+                        out.append({"type": "values_in_set", "column": col,
+                                    "values": list(attrs["valid values"])})
+                    elif "valid min" in attrs or "valid max" in attrs:
+                        out.append({
+                            "type": "values_between", "column": col,
+                            "min": attrs.get("valid min", float("-inf")),
+                            "max": attrs.get("valid max", float("inf"))})
+                    else:
+                        raise ValueError(
+                            f"invalid_count check needs 'valid values' or "
+                            f"'valid min'/'valid max': {line!r}")
+                continue
+            raise ValueError(f"unsupported SodaCL check: {line!r}")
+    return out
+
+
+_GE_MAP = {
+    "expect_column_values_to_not_be_null":
+        lambda kw: {"type": "not_null", "column": kw["column"]},
+    "expect_column_values_to_be_unique":
+        lambda kw: {"type": "unique", "column": kw["column"]},
+    "expect_column_values_to_be_in_set":
+        lambda kw: {"type": "values_in_set", "column": kw["column"],
+                    "values": list(kw["value_set"])},
+    "expect_column_values_to_be_between":
+        lambda kw: {"type": "values_between", "column": kw["column"],
+                    "min": kw.get("min_value", float("-inf")),
+                    "max": kw.get("max_value", float("inf"))},
+    "expect_table_row_count_to_be_between":
+        lambda kw: {"type": "row_count_min", "min": kw.get("min_value", 0)},
+}
+
+
+def checks_from_expectations(expectations: list[dict]) -> list[dict]:
+    """Map a Great Expectations suite (list of {expectation_type,
+    kwargs}) onto run_checks rules.  Unknown expectation types are
+    SKIPPED, mirroring the reference's ``hasattr`` dispatch
+    (great_expectations_pack/main.py:45-46), so a suite written for a
+    richer GE build still runs its supported subset."""
+    out = []
+    for exp in expectations:
+        fn = _GE_MAP.get(exp.get("expectation_type"))
+        if fn is not None:
+            out.append(fn(exp.get("kwargs", {})))
+    return out

@@ -436,3 +436,155 @@ def test_re2_ascii_semantics_pinned(ray_session):
     # ASCII semantics: the Unicode-digit row is INVALID (Python re would
     # accept it); '12x' invalid; '123' valid
     assert out["invalid_count"].iloc[0] == 2
+
+
+def test_sodacl_ingestion_matches_native_suite(ray_session):
+    """A SodaCL YAML covering the supported grammar must parse into the
+    exact native rules and give the same pass/fail set as the
+    directly-configured checks_suite_orders rules."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.checks import checks_from_sodacl, run_checks
+
+    yaml_text = """
+checks for orders:
+  - row_count >= 1000
+  - missing_count(o_custkey) = 0
+  - invalid_count(o_totalprice) = 0:
+      valid min: 0.0
+      valid max: 600000.0
+  - invalid_count(o_orderstatus) = 0:
+      valid values: [O, F, P]
+  - duplicate_count(o_orderkey) = 0:
+      name: "no duplicate order keys"
+"""
+    rules = checks_from_sodacl(yaml_text)
+    assert rules == [
+        {"type": "row_count_min", "min": 1000},
+        {"type": "not_null", "column": "o_custkey"},
+        {"type": "values_between", "column": "o_totalprice",
+         "min": 0.0, "max": 600000.0},
+        {"type": "values_in_set", "column": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"type": "unique", "column": "o_orderkey"},
+    ]
+    ds = ray.data.read_parquet(f"{SF}/orders.parquet")
+    native = run_checks(ds, rules)
+    direct = run_checks(ds, [
+        {"type": "row_count_min", "min": 1000},
+        {"type": "not_null", "column": "o_custkey"},
+        {"type": "values_between", "column": "o_totalprice",
+         "min": 0.0, "max": 600_000.0},
+        {"type": "values_in_set", "column": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"type": "unique", "column": "o_orderkey"},
+    ])
+    pd.testing.assert_frame_equal(native, direct)
+
+
+def test_sodacl_reference_shape_and_errors():
+    """The reference's own checks.yaml shape (soda_pack/checks.yaml: a
+    'row_count > 0' entry with a name attribute) parses; unsupported
+    lines raise instead of silently passing."""
+    import pytest as _pytest
+
+    from packs_ray.functions.checks import checks_from_sodacl
+
+    ref_shape = """
+checks for dataset:
+  - row_count > 0:
+      name: "Dataset vide"
+"""
+    assert checks_from_sodacl(ref_shape) == [
+        {"type": "row_count_min", "min": 1}]
+    with _pytest.raises(ValueError):
+        checks_from_sodacl("checks for t:\n  - freshness(ts) < 1d\n")
+    with _pytest.raises(ValueError):
+        checks_from_sodacl("checks for t:\n  - invalid_count(x) = 0\n")
+
+
+def test_ge_expectations_ingestion(ray_session):
+    """A GE expectation suite maps onto the same native rules; unknown
+    expectation types are skipped like the reference's hasattr
+    dispatch."""
+    from packs_ray.functions.checks import checks_from_expectations
+
+    suite = [
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1000, "max_value": 10_000_000}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "o_custkey"}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "o_totalprice", "min_value": 0.0,
+                    "max_value": 600000.0}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "o_orderstatus", "value_set": ["O", "F", "P"]}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "o_orderkey"}},
+        {"expectation_type": "expect_column_kl_divergence_to_be_less_than",
+         "kwargs": {"column": "o_totalprice"}},  # unsupported -> skipped
+    ]
+    rules = checks_from_expectations(suite)
+    assert [r["type"] for r in rules] == [
+        "row_count_min", "not_null", "values_between", "values_in_set",
+        "unique"]
+    assert rules[0]["min"] == 1000
+
+
+def test_record_validate_planted_fixture(ray_session):
+    """Hand-computed fixture for records.record_validate: required /
+    enum / pattern / date / boolean checks, a mapped-but-absent column,
+    and Arrow nulls counted as missing."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.records import record_validate
+
+    df = pd.DataFrame({
+        "pid": ["1", "2", "", None, "x5", "6"],
+        "sex": ["m", "f", "m", "f", "m", "zz"],
+        "dob": ["2020-01-02", "bad", None, "2021-12-31", "2022-02-02",
+                "2023-03-03"],
+        "act": ["true", "no", "1", "maybe", None, "YES"],
+    })
+    out = record_validate(
+        ray.data.from_pandas(df),
+        field_mappings={"patient_id": "pid", "gender": "sex",
+                        "birth_date": "dob", "active": "act",
+                        "language": "lang"},  # absent column
+        required_fields=["patient_id"],
+        enums={"gender": ["m", "f"]},
+        patterns={"patient_id": r"^[0-9]+$"},
+        date_fields=["birth_date"], boolean_fields=["active"])
+    # per row: r0 valid; r1 bad date; r2 empty required id; r3 null
+    # required id; r4 pattern fail; r5 enum fail
+    # (booleans: 'maybe' is row3 — already invalid; null/empty skip)
+    assert out["records"].iloc[0] == 6
+    assert out["valid_records"].iloc[0] == 1
+    # completeness: nonempty mapped cells / (5 fields * 6 rows)
+    # pid 4, sex 6, dob 5, act 5, lang 0 => 20/30
+    assert out["completeness"].iloc[0] == round(20 / 30, 4)
+    assert out["score"].iloc[0] == round(1 / 6, 2)
+    assert out["validity_ratio"].iloc[0] == round(1 / 6, 4)
+
+
+def test_record_validate_boolean_and_empty(ray_session):
+    """Boolean rule rejects non-boolean text; empty dataset returns a
+    zero summary row instead of crashing."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.records import record_validate
+
+    df = pd.DataFrame({"flag": ["TRUE", "0", "nope"]})
+    out = record_validate(ray.data.from_pandas(df),
+                          field_mappings={"active": "flag"},
+                          boolean_fields=["active"])
+    assert out["valid_records"].iloc[0] == 2
+
+    empty = record_validate(ray.data.from_pandas(df.iloc[:0]),
+                            field_mappings={"active": "flag"},
+                            boolean_fields=["active"])
+    assert empty["records"].iloc[0] == 0
+    assert empty["score"].iloc[0] == 0.0
