@@ -274,6 +274,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["value"], categorical_columns=["event_type"],
             sample_key="event_id")
 
+    def record_validation_events(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions import records
+
+        src = _ds(sf, "events", ["event_id", "event_type", "ts", "user_id"])
+
+        def build(t):
+            # deterministic planted-invalid fixture: empty required ids
+            # (& 127), out-of-enum gender (& 63), bad dates (& 31),
+            # non-boolean active flags (& 15); 'language' maps to a
+            # column that does not exist (always missing)
+            eid = t["event_id"]
+            pid = pc.if_else(pc.equal(pc.bit_wise_and(eid, 127), 0),
+                             pa.scalar(""), pc.cast(eid, "string"))
+            gender = pc.if_else(pc.equal(pc.bit_wise_and(eid, 63), 1),
+                                pa.scalar("mystery"), t["event_type"])
+            bdate = pc.if_else(pc.equal(pc.bit_wise_and(eid, 31), 2),
+                               pa.scalar("not-a-date"),
+                               pc.strftime(t["ts"], format="%Y-%m-%d"))
+            active = pc.if_else(
+                pc.equal(pc.bit_wise_and(eid, 15), 3), pa.scalar("maybe"),
+                pc.if_else(pc.equal(pc.bit_wise_and(t["user_id"], 1), 0),
+                           pa.scalar("true"), pa.scalar("no")))
+            return pa.table({"patient_id": pid, "gender": gender,
+                             "birth_date": bdate, "active": active})
+
+        return records.record_validate(
+            src.map_batches(build, batch_format="pyarrow"),
+            field_mappings={"patient_id": "patient_id", "gender": "gender",
+                            "birth_date": "birth_date", "active": "active",
+                            "language": "language"},
+            required_fields=["patient_id", "gender"],
+            enums={"gender": ["click", "error", "purchase", "signup",
+                              "view"]},
+            patterns={"patient_id": r"^[0-9]+$"},
+            date_fields=["birth_date"], boolean_fields=["active"])
+
     def staleness_inputs(sf):
         import glob as _glob
 
@@ -481,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_events": ks_drift_events,
         "knn_outliers_lineitem": knn_outliers_lineitem,
         "knn_outliers_mixed_events": knn_outliers_mixed_events,
+        "record_validation_events": record_validation_events,
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "transcripts_filter_summary": transcripts_filter_summary,
@@ -975,6 +1015,51 @@ def _knn_mixed_events_sql() -> str:
                                       "FROM train),")
 
 
+def _record_validation_sql() -> str:
+    """records.record_validate over the planted events fixture: per-row
+    field checks (required+pattern id, enum gender, ISO date, boolean
+    flag; 'language' always missing) and integer completeness partials
+    over 5 mapped fields."""
+    return """
+    WITH src AS (SELECT
+        CASE WHEN (event_id & 127) = 0 THEN ''
+             ELSE event_id::VARCHAR END AS patient_id,
+        CASE WHEN (event_id & 63) = 1 THEN 'mystery'
+             ELSE event_type END AS gender,
+        CASE WHEN (event_id & 31) = 2 THEN 'not-a-date'
+             ELSE strftime(ts, '%Y-%m-%d') END AS birth_date,
+        CASE WHEN (event_id & 15) = 3 THEN 'maybe'
+             WHEN (user_id & 1) = 0 THEN 'true' ELSE 'no' END AS active
+        FROM events),
+    per AS (SELECT
+        (CASE WHEN patient_id IS NOT NULL AND trim(patient_id) <> ''
+              THEN 1 ELSE 0 END)
+        + (CASE WHEN gender IS NOT NULL AND trim(gender) <> ''
+                THEN 1 ELSE 0 END)
+        + (CASE WHEN birth_date IS NOT NULL AND trim(birth_date) <> ''
+                THEN 1 ELSE 0 END)
+        + (CASE WHEN active IS NOT NULL AND trim(active) <> ''
+                THEN 1 ELSE 0 END) AS complete,
+        (patient_id IS NOT NULL AND trim(patient_id) <> ''
+         AND regexp_matches(patient_id, '^[0-9]+$'))
+        AND (gender IS NOT NULL AND trim(gender) <> ''
+             AND gender IN ('click', 'error', 'purchase', 'signup', 'view'))
+        AND (birth_date IS NULL OR trim(birth_date) = ''
+             OR try_strptime(birth_date, '%Y-%m-%d') IS NOT NULL)
+        AND (active IS NULL OR trim(active) = ''
+             OR lower(active) IN ('true', 'false', '1', '0', 'yes', 'no'))
+            AS valid
+        FROM src)
+    SELECT count(*)::BIGINT AS records,
+        sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS valid_records,
+        round(sum(complete)::DOUBLE / (5 * count(*)), 4) AS completeness,
+        round(sum(CASE WHEN valid THEN 1 ELSE 0 END)::DOUBLE / count(*), 2)
+            AS score,
+        round(sum(CASE WHEN valid THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+            AS validity_ratio
+    FROM per"""
+
+
 def _pattern_autodetect_sql() -> str:
     """pattern_autodetect over the renamed customer columns: per-branch
     invalid counts on non-null values (empty string valid) + the 2dp
@@ -1230,6 +1315,112 @@ def _conversation_summary_sql() -> str:
         count(DISTINCT role)::BIGINT AS n_roles,
         coalesce(epoch(max(ts) - min(ts)), 0.0)::DOUBLE AS span_seconds
     FROM rb GROUP BY conv_id"""
+
+
+def _ensure_media_artifacts() -> dict[str, str]:
+    """Persist the synth-media metadata and the STUB decoder outputs as
+    parquet model artifacts (the bigram-logp pattern,
+    _ensure_flagship_artifacts): the decode stub is the opaque "model";
+    the SQL independently recomputes kind filtering, the per-frame
+    fan-out, the feature math and the rounding from its pinned outputs.
+    All persisted values are exactly representable (integer pixels,
+    k/32768 PCM samples), so any summation order is bit-exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions import multimodal as mm
+
+    d = "/tmp/packs_ray_data"
+    os.makedirs(d, exist_ok=True)
+    paths = {"meta": f"{d}/media_meta.parquet",
+             "img": f"{d}/media_img_px.parquet",
+             "aud": f"{d}/media_audio_samples.parquet",
+             "vid": f"{d}/media_frame_px.parquet"}
+    if not all(os.path.exists(p) for p in paths.values()):
+        t = mm.synth_media_table(128)
+        pq.write_table(t.drop_columns(["payload"]), paths["meta"])
+        ids = t.column("media_id").to_pylist()
+        kinds = t.column("kind").to_pylist()
+        pls = t.column("payload").to_pylist()
+        durs = t.column("duration_ms").to_pylist()
+        im = {"media_id": [], "ch": [], "v": []}
+        au = {"media_id": [], "idx": [], "v": []}
+        vd = {"media_id": [], "frame_idx": [], "v": []}
+        for mid, kind, p, dur in zip(ids, kinds, pls, durs):
+            if kind == "image":
+                px = mm._decode_image(p, 8, 8).reshape(-1, 3)
+                for ch in range(3):
+                    im["media_id"].extend([mid] * 64)
+                    im["ch"].extend([ch] * 64)
+                    im["v"].extend(px[:, ch].astype(int).tolist())
+            elif kind == "audio":
+                w = mm._decode_audio(p, int(dur)).astype(np.float64)
+                au["media_id"].extend([mid] * len(w))
+                au["idx"].extend(range(len(w)))
+                au["v"].extend(w.tolist())
+            else:
+                dc = max(int(dur), 1)
+                for fi in range(4):
+                    ms = (dc * fi) // 4
+                    px = mm._decode_image(p + ms.to_bytes(4, "little"), 8, 8)
+                    vd["media_id"].extend([mid] * 192)
+                    vd["frame_idx"].extend([fi] * 192)
+                    vd["v"].extend(px.reshape(-1).astype(int).tolist())
+        pq.write_table(pa.table({
+            "media_id": pa.array(im["media_id"], type=pa.int64()),
+            "ch": pa.array(im["ch"], type=pa.int64()),
+            "v": pa.array(im["v"], type=pa.int64())}), paths["img"])
+        pq.write_table(pa.table({
+            "media_id": pa.array(au["media_id"], type=pa.int64()),
+            "idx": pa.array(au["idx"], type=pa.int64()),
+            "v": pa.array(au["v"], type=pa.float64())}), paths["aud"])
+        pq.write_table(pa.table({
+            "media_id": pa.array(vd["media_id"], type=pa.int64()),
+            "frame_idx": pa.array(vd["frame_idx"], type=pa.int64()),
+            "v": pa.array(vd["v"], type=pa.int64())}), paths["vid"])
+    return paths
+
+
+def _media_image_sql() -> str:
+    a = _ensure_media_artifacts()
+    return f"""
+    SELECT m.media_id,
+        round(sum(CASE WHEN p.ch = 0 THEN p.v END)::DOUBLE / 64, 4) AS mean_r,
+        round(sum(CASE WHEN p.ch = 1 THEN p.v END)::DOUBLE / 64, 4) AS mean_g,
+        round(sum(CASE WHEN p.ch = 2 THEN p.v END)::DOUBLE / 64, 4) AS mean_b
+    FROM read_parquet('{a["meta"]}') m
+    JOIN read_parquet('{a["img"]}') p USING (media_id)
+    WHERE m.kind = 'image' GROUP BY m.media_id"""
+
+
+def _media_audio_sql() -> str:
+    a = _ensure_media_artifacts()
+    return f"""
+    WITH s AS (SELECT media_id, idx, v, (v < 0) AS neg
+               FROM read_parquet('{a["aud"]}')),
+    p AS (SELECT media_id, v, neg,
+              lag(neg) OVER (PARTITION BY media_id ORDER BY idx) AS pneg
+          FROM s)
+    SELECT m.media_id,
+        round(sqrt(sum(p.v * p.v) / count(*)), 4) AS rms,
+        sum(CASE WHEN p.pneg IS NOT NULL AND p.neg <> p.pneg
+                 THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM read_parquet('{a["meta"]}') m JOIN p USING (media_id)
+    WHERE m.kind = 'audio' GROUP BY m.media_id"""
+
+
+def _media_video_sql() -> str:
+    a = _ensure_media_artifacts()
+    return f"""
+    SELECT m.media_id, f.frame_idx,
+        ((greatest(m.duration_ms, 1)::BIGINT * f.frame_idx) // 4) AS frame_ms,
+        round(sum(f.v)::DOUBLE / 192, 4) AS frame_mean
+    FROM read_parquet('{a["meta"]}') m
+    JOIN read_parquet('{a["vid"]}') f USING (media_id)
+    WHERE m.kind = 'video'
+    GROUP BY m.media_id, f.frame_idx, m.duration_ms"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1500,6 +1691,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_embeddings": _ann_ivf_sql(),
         "knn_outliers_lineitem": _knn_lineitem_sql(),
         "knn_outliers_mixed_events": _knn_mixed_events_sql(),
+        "record_validation_events": _record_validation_sql(),
+        "media_image_features": _media_image_sql(),
+        "media_audio_features": _media_audio_sql(),
+        "media_video_frames": _media_video_sql(),
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),

@@ -14,6 +14,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from packs_ray.stages.util import round_half_away as _r
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),            # image | audio | video
@@ -52,9 +54,16 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    """STUB decode: deterministic 16-bit-PCM-style samples k/32768
+    (k int in [-32768, 32767]) from the payload digest.  Production:
+    soundfile/torchaudio decode.  Quantized samples are exactly
+    representable in float32/float64, so downstream sums are
+    order-independent and bit-exact vs the SQL oracle replica."""
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
-    return rng.standard_normal(min(max(duration_ms, 1), 1000)).astype(np.float32)
+    n = min(max(duration_ms, 1), 1000)
+    k = rng.integers(-32768, 32768, size=n, dtype=np.int32)
+    return (k.astype(np.float32)) / np.float32(32768.0)
 
 
 class ImageFeatureStage:
@@ -69,12 +78,13 @@ class ImageFeatureStage:
         feats = np.zeros((len(payloads), 3), dtype=np.float64)
         for i, p in enumerate(payloads):
             px = _decode_image(p, int(widths[i]), int(heights[i]))
-            feats[i] = px.reshape(-1, 3).mean(axis=0)
+            # integer pixel sum / 64: exact in float64, any order
+            feats[i] = px.reshape(-1, 3).astype(np.int64).sum(axis=0) / 64.0
         return pa.table({
             "media_id": batch.column("media_id"),
-            "mean_r": pa.array(np.round(feats[:, 0], 4)),
-            "mean_g": pa.array(np.round(feats[:, 1], 4)),
-            "mean_b": pa.array(np.round(feats[:, 2], 4)),
+            "mean_r": pa.array(_r(feats[:, 0], 4)),
+            "mean_g": pa.array(_r(feats[:, 1], 4)),
+            "mean_b": pa.array(_r(feats[:, 2], 4)),
         })
 
 
@@ -87,12 +97,14 @@ class AudioFeatureStage:
         rms = np.zeros(len(payloads))
         zc = np.zeros(len(payloads), dtype=np.int64)
         for i, p in enumerate(payloads):
-            w = _decode_audio(p, int(durs[i]))
-            rms[i] = float(np.sqrt((w ** 2).mean()))
+            w = _decode_audio(p, int(durs[i])).astype(np.float64)
+            # k²/2³⁰ terms sum exactly in float64 (≤1000 samples), so
+            # the RMS is bit-identical to SQL sqrt(sum(v*v)/count(*))
+            rms[i] = float(np.sqrt((w * w).sum() / len(w)))
             zc[i] = int((np.diff(np.signbit(w)) != 0).sum())
         return pa.table({
             "media_id": batch.column("media_id"),
-            "rms": pa.array(np.round(rms, 4)),
+            "rms": pa.array(_r(rms, 4)),
             "zero_crossings": pa.array(zc),
         })
 
@@ -120,12 +132,14 @@ class VideoFrameSampleStage:
                 out_id.append(int(ids[i]))
                 out_fi.append(fi)
                 out_ms.append(ms)
-                out_mean.append(float(px.mean()))
+                # integer pixel sum / 192: exact float64, any order
+                out_mean.append(int(px.astype(np.int64).sum()) / 192.0)
         return pa.table({
             "media_id": pa.array(out_id, type=pa.int64()),
             "frame_idx": pa.array(out_fi, type=pa.int32()),
             "frame_ms": pa.array(out_ms, type=pa.int32()),
-            "frame_mean": pa.array(np.round(out_mean, 4), type=pa.float64()),
+            "frame_mean": pa.array(_r(np.asarray(out_mean), 4),
+                                   type=pa.float64()),
         })
 
 

@@ -588,3 +588,29 @@ def test_record_validate_boolean_and_empty(ray_session):
                             boolean_fields=["active"])
     assert empty["records"].iloc[0] == 0
     assert empty["score"].iloc[0] == 0.0
+
+
+def test_media_stub_outputs_pinned(ray_session):
+    """Golden pin for the deterministic STUB decoders: these exact
+    values back the media_* oracle artifacts, so a stub change must be
+    deliberate (regenerate /tmp/packs_ray_data/media_*.parquet).  The
+    swap point for real codecs is _decode_image/_decode_audio."""
+    import math
+
+    from packs_ray.functions import multimodal as mm
+
+    t = mm.synth_media_table(8)
+    out = mm.image_features(
+        __import__("ray").data.from_arrow(t)).to_pandas() \
+        .set_index("media_id")
+    # media_id 0 is an image under seed 42
+    assert out.loc[0, "mean_r"] == 128.5938
+    assert out.loc[0, "mean_g"] == 122.2813  # .28125 rounds half-away
+    assert out.loc[0, "mean_b"] == 134.0781
+
+    aud = mm.audio_features(
+        __import__("ray").data.from_arrow(t)).to_pandas() \
+        .set_index("media_id")
+    # media_id 2 is audio, duration >= 1000 -> 1000 PCM samples
+    assert math.isclose(aud.loc[2, "rms"], 0.5716, abs_tol=0)
+    assert aud.loc[2, "zero_crossings"] == 496
