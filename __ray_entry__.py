@@ -34,6 +34,41 @@ def _ds(sf_dir: str, table: str, columns=None):
     return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _sqlite_connect(path: str):
+    import sqlite3
+
+    return sqlite3.connect(path)
+
+
+def _events_sqlite(sf_dir: str) -> str:
+    """Cached sqlite replica of four events columns — the fixture behind
+    the ``db_source_events`` query (a 'database'-type source like the
+    reference's table_or_query configs)."""
+    import os
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/packs_ray_data", exist_ok=True)
+    key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    path = f"/tmp/packs_ray_data/events_{key}.sqlite"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "user_id", "value"])
+        con = sqlite3.connect(path + ".tmp")
+        con.execute("CREATE TABLE events (event_id INTEGER, "
+                    "event_type TEXT, user_id INTEGER, value REAL)")
+        con.executemany(
+            "INSERT INTO events VALUES (?,?,?,?)",
+            zip(*(t.column(c).to_pylist() for c in
+                  ("event_id", "event_type", "user_id", "value"))))
+        con.commit()
+        con.close()
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _transcripts(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf directory
     (no transcript table ships in testdata; see BASELINE.json input_hint)."""
@@ -313,6 +348,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             patterns={"patient_id": r"^[0-9]+$"},
             date_fields=["birth_date"], boolean_fields=["active"])
 
+    def db_source_events(sf):
+        from functools import partial
+
+        from packs_ray.sources.database import read_database
+
+        path = _events_sqlite(sf)
+        return read_database(partial(_sqlite_connect, path), "events",
+                             partition_column="event_id",
+                             num_partitions=8)
+
     def staleness_inputs(sf):
         import glob as _glob
 
@@ -521,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outliers_lineitem": knn_outliers_lineitem,
         "knn_outliers_mixed_events": knn_outliers_mixed_events,
         "record_validation_events": record_validation_events,
+        "db_source_events": db_source_events,
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "transcripts_filter_summary": transcripts_filter_summary,
@@ -1695,6 +1741,8 @@ def oracle_sql() -> dict[str, str]:
         "media_image_features": _media_image_sql(),
         "media_audio_features": _media_audio_sql(),
         "media_video_frames": _media_video_sql(),
+        "db_source_events":
+            "SELECT event_id, event_type, user_id, value FROM events",
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),

@@ -1,0 +1,113 @@
+"""Database source: a SQL table/query as a ``ray.data.Dataset``.
+
+Reference: every pack accepts ``type: "database"`` sources and calls
+``pack.load_data(..., table_or_query=...)`` (e.g.
+referential_integrity_pack/main.py:83-86) — a single driver-side
+``read_sql`` into pandas.  The Ray-Data-first shape instead plans one
+range partition per task and opens a DB connection inside each task, so
+a large table streams into the object store in parallel and never
+lands on the driver:
+
+- ``partition_column`` (a NON-NULL orderable numeric column, ideally
+  the PK — rows with a null partition key fall outside every range
+  predicate, the same contract as Spark's JDBC partitionColumn):
+  one cheap ``min/max`` bounds query on the driver, then
+  ``num_partitions`` range-sliced queries fan out via ``map_batches``
+  (one spec per block).  At cluster scale this is the same design as a
+  Spark JDBC partitioned read.
+- without it: a single off-driver task runs the whole query (small
+  dimension tables).
+
+``connection_factory`` must be picklable — a top-level function,
+functools.partial, or a closure that imports the driver inside (some
+drivers' ``connect`` itself is a PyCapsule and cannot be pickled, e.g.
+duckdb's) — each task calls it to get a fresh DBAPI connection; DuckDB connections (``.arrow()``) fetch zero-copy, plain
+DBAPI cursors (sqlite3, psycopg, ...) fetch via rows+description.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+
+def _is_query(table_or_query: str) -> bool:
+    head = table_or_query.lstrip().split(None, 1)
+    return bool(head) and head[0].lower() in ("select", "with")
+
+
+def _base_query(table_or_query: str, columns: list[str] | None) -> str:
+    cols = ", ".join(columns) if columns else "*"
+    if _is_query(table_or_query):
+        return f"SELECT {cols} FROM ({table_or_query}) AS __q" \
+            if columns else table_or_query
+    return f"SELECT {cols} FROM {table_or_query}"
+
+
+def _cursor_to_table(cur) -> pa.Table:
+    """DBAPI cursor -> Arrow table (duckdb exposes .arrow(); generic
+    cursors go through fetchall + description)."""
+    if hasattr(cur, "arrow"):
+        return cur.arrow()
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pa.table({n: pa.array(list(c)) for n, c in zip(names, cols)})
+
+
+def _run(con, sql: str) -> pa.Table:
+    cur = con.execute(sql) if hasattr(con, "execute") else None
+    if cur is None:  # pragma: no cover - DBAPI drivers without con.execute
+        cur = con.cursor()
+        cur.execute(sql)
+    return _cursor_to_table(cur)
+
+
+def read_database(connection_factory: Callable, table_or_query: str, *,
+                  columns: list[str] | None = None,
+                  partition_column: str | None = None,
+                  num_partitions: int = 8):
+    """Read a table or query into a Dataset (see module docstring)."""
+    import ray.data
+
+    base = _base_query(table_or_query, columns)
+    if partition_column is None:
+        specs = [base]
+    else:
+        con = connection_factory()
+        try:
+            lo, hi = _run(
+                con, f"SELECT min({partition_column}), "
+                     f"max({partition_column}) FROM ({base}) AS __b"
+            ).to_pylist()[0].values()
+        finally:
+            con.close()
+        if lo is None:  # empty table
+            specs = [base]
+        else:
+            lo, hi = float(lo), float(hi)
+            n = max(1, int(num_partitions))
+            step = (hi - lo) / n or 1.0
+            edges = [lo + i * step for i in range(n)] + [hi]
+            specs = []
+            for i in range(n):
+                op = "<=" if i == n - 1 else "<"
+                specs.append(
+                    f"SELECT * FROM ({base}) AS __p WHERE "
+                    f"{partition_column} >= {edges[i]!r} "
+                    f"AND {partition_column} {op} {edges[i + 1]!r}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = []
+        for sql in batch.column("sql").to_pylist():
+            con = connection_factory()
+            try:
+                out.append(_run(con, sql))
+            finally:
+                con.close()
+        return pa.concat_tables(out) if out else pa.table({})
+
+    spec_ds = ray.data.from_items(
+        [{"sql": s} for s in specs], override_num_blocks=len(specs))
+    return spec_ds.map_batches(load, batch_format="pyarrow", batch_size=1)

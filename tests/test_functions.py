@@ -614,3 +614,39 @@ def test_media_stub_outputs_pinned(ray_session):
     # media_id 2 is audio, duration >= 1000 -> 1000 PCM samples
     assert math.isclose(aud.loc[2, "rms"], 0.5716, abs_tol=0)
     assert aud.loc[2, "zero_crossings"] == 496
+
+
+def test_read_database_duckdb_and_partitions(ray_session, tmp_path):
+    """read_database over a DuckDB file: partitioned read returns
+    exactly the source rows (half-open ranges, inclusive tail); the
+    single-task path and an empty table also work."""
+    import duckdb
+    import pandas as pd
+
+    from packs_ray.sources.database import read_database
+
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT i AS id, i * 1.5 AS v, "
+                "'k' || (i % 3) AS k FROM range(0, 997) r(i)")
+    con.execute("CREATE TABLE empty AS SELECT * FROM t WHERE id < 0")
+    con.close()
+
+    def fac():  # duckdb.connect itself is unpicklable (PyCapsule) —
+        import duckdb as d  # a closure importing in-task is the pattern
+
+        return d.connect(db, read_only=True)
+    part = read_database(fac, "t", partition_column="id",
+                         num_partitions=5).to_pandas()
+    single = read_database(fac, "SELECT * FROM t").to_pandas()
+    assert len(part) == 997 and len(single) == 997
+    canon = lambda d: d.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(part), canon(single))
+    assert sorted(part.columns) == ["id", "k", "v"]
+
+    cols = read_database(fac, "t", columns=["id", "k"],
+                         partition_column="id").to_pandas()
+    assert sorted(cols.columns) == ["id", "k"] and len(cols) == 997
+
+    assert len(read_database(fac, "empty",
+                             partition_column="id").to_pandas()) == 0
