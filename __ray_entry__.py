@@ -404,6 +404,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def head_sample_orders(sf):
         return _ds(sf, "orders", ["o_orderkey"]).limit(1000)
 
+    def slugify_events(sf):
+        # A table whose columns carry whitespace (the situation
+        # soda_pack/main.py:45 slugifies away), fed through the
+        # metadata-only column slugifier.
+        from packs_ray.functions.slugify import slugify_columns
+
+        ds = _ds(sf, "events", ["event_id", "event_type", "user_id"]) \
+            .rename_columns({"event_type": "event  type",
+                             "user_id": " user id"})
+        out, assoc = slugify_columns(ds)
+        assert assoc == {"event_id": "event_id",
+                         "event__type": "event  type",
+                         "_user_id": " user id"}
+        return out.limit(1000)
+
     def duplicate_rows_export(sf):
         import pandas as pd
 
@@ -573,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
         "head_sample_orders": head_sample_orders,
+        "slugify_events": slugify_events,
         "duplicate_rows_export": duplicate_rows_export,
         "checks_suite_orders": checks_suite_orders,
         "decimal_precision_lineitem": decimal_precision_lineitem,
@@ -1778,6 +1794,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY cnt DESC, c_mktsegment LIMIT 1",
         "head_sample_orders":
             "SELECT o_orderkey FROM orders LIMIT 1000",
+        "slugify_events":
+            'SELECT event_id, event_type AS "event__type", '
+            'user_id AS "_user_id" FROM events LIMIT 1000',
         "duplicate_rows_export":
             "SELECT doc_id FROM documents WHERE text IN "
             "(SELECT text FROM documents GROUP BY text HAVING count(*) > 1)",

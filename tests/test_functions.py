@@ -650,3 +650,25 @@ def test_read_database_duckdb_and_partitions(ray_session, tmp_path):
 
     assert len(read_database(fac, "empty",
                              partition_column="id").to_pandas()) == 0
+
+
+def test_slugify_columns(ray_session):
+    """Whitespace -> underscore, slug->original association, collision
+    suffixes, and the identity fast path (same object when no rename)."""
+    import ray.data
+
+    from packs_ray.functions.slugify import slugify_columns, slugify_name
+
+    assert slugify_name("a b\tc") == "a_b_c"
+    ds = ray.data.from_items([{"plain": 1, "a b": 2, "a\tb": 3,
+                               " lead": 4}])
+    out, assoc = slugify_columns(ds)
+    assert sorted(out.schema().names) == ["_lead", "a_b", "a_b__2", "plain"]
+    assert assoc == {"plain": "plain", "a_b": "a b", "a_b__2": "a\tb",
+                     "_lead": " lead"}
+    row = out.take(1)[0]
+    assert (row["a_b"], row["a_b__2"], row["_lead"]) == (2, 3, 4)
+
+    clean = ray.data.from_items([{"x": 1}])
+    same, assoc2 = slugify_columns(clean)
+    assert same is clean and assoc2 == {"x": "x"}
