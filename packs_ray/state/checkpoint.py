@@ -112,5 +112,8 @@ def run_resumable(input_files: list[str], out_dir: str,
     mc = pipeline_metrics(rule_counts, total, kept, scrubbed,
                           dataset=os.path.basename(out_dir.rstrip("/")) or "transcripts")
     mc.save(out_dir)
+    from packs_ray.state.report import write_html_report
+
+    write_html_report(mc, os.path.join(out_dir, "report.html"))
     return {"shards": len(shard_lists), "total": total, "kept": kept,
             "scrubbed": scrubbed, "rule_counts": rule_counts}

@@ -672,3 +672,32 @@ def test_slugify_columns(ray_session):
     clean = ray.data.from_items([{"x": 1}])
     same, assoc2 = slugify_columns(clean)
     assert same is clean and assoc2 == {"x": "x"}
+
+
+def test_report_sinks(ray_session, tmp_path):
+    """HTML report renders metrics/recommendations/exports; tabular sink
+    falls back to CSV when no Excel writer is importable."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.state.metrics import pipeline_metrics
+    from packs_ray.state.report import write_html_report, write_tabular
+
+    mc = pipeline_metrics({"too_short": 7, "bad_role": 1}, total=100,
+                          kept=92, scrubbed=3, dataset="transcripts")
+    dup = ray.data.from_items(
+        [{"doc_id": i, "text": "<b>x</b>"} for i in range(25)])
+    path = write_html_report(mc, str(tmp_path / "report.html"),
+                             tables={"duplicate rows": dup}, cap=10)
+    doc = open(path).read()
+    assert "Quality report — transcripts" in doc
+    assert "rule_hits_too_short" in doc and "kept_ratio" in doc
+    assert "duplicate rows (10 rows)" in doc      # cap applied
+    assert "transcripts.text" in doc              # column scope label
+    assert "&lt;b&gt;x&lt;/b&gt;" in doc          # escaped cell content
+
+    out = write_tabular(pd.DataFrame({"a": range(3)}),
+                        str(tmp_path / "export"))
+    assert out.endswith((".csv", ".xlsx"))
+    back = pd.read_csv(out) if out.endswith(".csv") else pd.read_excel(out)
+    assert list(back["a"]) == [0, 1, 2]
