@@ -701,3 +701,36 @@ def test_report_sinks(ray_session, tmp_path):
     assert out.endswith((".csv", ".xlsx"))
     back = pd.read_csv(out) if out.endswith(".csv") else pd.read_excel(out)
     assert list(back["a"]) == [0, 1, 2]
+
+
+def test_dbt_adapter(tmp_path):
+    """run_results.json parsing matches the reference's tallies (any
+    non-'pass' status fails; score 1.0 on zero tests; 2dp string)."""
+    import json
+
+    import pytest
+
+    from packs_ray.functions.dbt_adapter import (dbt_checks,
+                                                 parse_run_results,
+                                                 run_dbt_tests)
+
+    proj = tmp_path / "proj"
+    (proj / "target").mkdir(parents=True)
+    artifact = {"results": [
+        {"resource_type": "test", "status": "pass"},
+        {"resource_type": "test", "status": "fail"},
+        {"resource_type": "test", "status": "error"},
+        {"resource_type": "model", "status": "success"},  # not a test
+    ]}
+    (proj / "target" / "run_results.json").write_text(json.dumps(artifact))
+
+    mc = dbt_checks(str(proj))
+    vals = {m["key"]: m["value"] for m in mc.metrics}
+    assert vals == {"tests_total": 3, "tests_passed": 1,
+                    "tests_failed": 2, "score": "0.33"}
+
+    assert parse_run_results({"results": []})["score"] == 1.0
+    assert parse_run_results(str(tmp_path / "missing.json"))["tests_total"] == 0
+
+    with pytest.raises(RuntimeError, match="dbt binary not found"):
+        run_dbt_tests(str(proj))
