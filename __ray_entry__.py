@@ -1485,6 +1485,47 @@ def _media_video_sql() -> str:
     GROUP BY m.media_id, f.frame_idx, m.duration_ms"""
 
 
+def _staleness_sql() -> str:
+    """SQL cannot stat() files, so the raw inputs (file mtimes — the
+    same stat the engine performs) are persisted as a parquet artifact
+    at SQL-build time for every testdata sf dir, keyed by that dir's
+    events row count; the query derives which sf it is running at from
+    the registered ``events`` view and reproduces the day-floor and
+    score arithmetic (timeliness_pack/main.py:150-187) in SQL."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/packs_ray_data", exist_ok=True)
+    art = "/tmp/packs_ray_data/staleness_stats.parquet"
+    rows = {"events_rows": [], "path": [], "mtime": []}
+    for d in sorted(_glob.glob("/root/testdata/sf*")):
+        ev = os.path.join(d, "events.parquet")
+        if not os.path.exists(ev):
+            continue
+        n = pq.ParquetFile(ev).metadata.num_rows
+        for p in sorted(_glob.glob(f"{d}/*.parquet")):
+            rows["events_rows"].append(n)
+            rows["path"].append(os.path.basename(p))
+            rows["mtime"].append(os.path.getmtime(p))
+    pq.write_table(pa.table({
+        "events_rows": pa.array(rows["events_rows"], type=pa.int64()),
+        "path": pa.array(rows["path"]),
+        "mtime": pa.array(rows["mtime"], type=pa.float64())}), art)
+    now_ts = NOW.timestamp()
+    return f"""
+    SELECT path,
+        CAST(floor(({now_ts!r} - mtime) / 86400.0) AS BIGINT)
+            AS days_since_modified,
+        round(greatest(0.0, 1.0 -
+            floor(({now_ts!r} - mtime) / 86400.0) / 365.0), 2)
+            AS staleness_score
+    FROM read_parquet('{art}')
+    WHERE events_rows = (SELECT count(*) FROM events)"""
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -1759,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_frames": _media_video_sql(),
         "db_source_events":
             "SELECT event_id, event_type, user_id, value FROM events",
+        "staleness_inputs": _staleness_sql(),
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),
