@@ -34,7 +34,10 @@ def slugify_columns(ds):
     ``__3``... suffixes in first-seen column order so the rename stays
     bijective.
     """
-    names = ds.schema().names
+    schema = ds.schema()
+    if schema is None:  # 0-block dataset (e.g. empty parquet input)
+        return ds, {}
+    names = schema.names
     mapping: dict[str, str] = {}
     assoc: dict[str, str] = {}
     for name in names:
