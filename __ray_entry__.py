@@ -368,6 +368,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def schema_hashes_lineitem(sf):
         return profiling.schema_hashes(_ds(sf, "lineitem"))
 
+    def approx_distinct_orders(sf):
+        from packs_ray.functions.sketches import approx_distinct
+
+        return approx_distinct(
+            _ds(sf, "orders", ["o_custkey", "o_orderstatus"]),
+            ["o_custkey", "o_orderstatus"])
+
     def transcripts_filter_summary(sf):
         import pandas as pd
         import pyarrow as pa
@@ -585,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "db_source_events": db_source_events,
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
+        "approx_distinct_orders": approx_distinct_orders,
         "transcripts_filter_summary": transcripts_filter_summary,
         "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
@@ -1486,6 +1494,63 @@ def _media_video_sql() -> str:
     GROUP BY m.media_id, f.frame_idx, m.duration_ms"""
 
 
+def _mul64_sql(expr: str, c: int) -> str:
+    """(expr * c) mod 2^64 in HUGEINT without overflowing INT128: split
+    the 64-bit constant into 32-bit halves so every product stays under
+    2^97."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (f"((({expr}) * {c_lo}::HUGEINT) % {_TWO64}::HUGEINT + "
+            f"(((({expr}) * {c_hi}::HUGEINT) % {1 << 32}::HUGEINT) * "
+            f"{1 << 32}::HUGEINT)) % {_TWO64}::HUGEINT")
+
+
+def _hll_column_sql(table: str, col: str) -> str:
+    """Exact SQL replica of packs_ray.functions.sketches for one column:
+    FNV-1a over CAST(col AS VARCHAR) utf-8 bytes (shared HUGEINT fold),
+    top-12-bit register index, rho via an integer-comparison CASE chain
+    (exactly the engine's digitize — no float log2), harmonic sum as an
+    exact HUGEINT, then the same fixed IEEE estimate sequence."""
+    from packs_ray.functions.sketches import _ALPHA, M
+
+    amm = _ALPHA * M * M
+    case = " ".join(f"WHEN w >= {1 << k}::HUGEINT THEN {52 - k}"
+                    for k in range(51, -1, -1))
+    pows = ", ".join(f"({k}, {1 << k}::HUGEINT)" for k in range(54))
+    return f"""
+    SELECT * FROM (
+    WITH vals AS (SELECT DISTINCT CAST({col} AS VARCHAR) AS sv
+                  FROM {table} WHERE {col} IS NOT NULL),
+    b AS (SELECT sv, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM vals),
+    hs AS (SELECT list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    f1 AS (SELECT {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM hs),
+    fr AS (SELECT ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
+    parts AS (SELECT h // {1 << 52}::HUGEINT AS idx,
+                     h % {1 << 52}::HUGEINT AS w FROM f2),
+    rho AS (SELECT idx, CASE WHEN w = 0 THEN 53 {case} END AS r FROM parts),
+    regs AS (SELECT g.range AS idx, coalesce(max(rho.r), 0) AS r
+             FROM range(0, {M}) g LEFT JOIN rho ON rho.idx = g.range
+             GROUP BY 1),
+    pw AS (SELECT * FROM (VALUES {pows}) t(k, p)),
+    agg AS (SELECT sum(pw.p) AS s,
+                   sum(CASE WHEN regs.r = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+            FROM regs JOIN pw ON pw.k = 53 - regs.r),
+    est AS (SELECT s, v,
+                CAST({amm!r} AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+                    / CAST(s AS DOUBLE) AS e_raw
+            FROM agg)
+    SELECT '{col}' AS "column",
+        CAST(floor(CASE WHEN e_raw <= CAST({2.5 * M!r} AS DOUBLE) AND v > 0
+                        THEN CAST({float(M)!r} AS DOUBLE) *
+                             ln(CAST({float(M)!r} AS DOUBLE) / v)
+                        ELSE e_raw END + 0.5) AS BIGINT) AS approx_distinct,
+        v AS zero_registers, CAST(s AS DOUBLE) AS harmonic_scaled
+    FROM est)"""
+
+
 def _staleness_sql() -> str:
     """SQL cannot stat() files, so the raw inputs (file mtimes — the
     same stat the engine performs) are persisted as a parquet artifact
@@ -1802,6 +1867,9 @@ def oracle_sql() -> dict[str, str]:
         "db_source_events":
             "SELECT event_id, event_type, user_id, value FROM events",
         "staleness_inputs": _staleness_sql(),
+        "approx_distinct_orders":
+            _hll_column_sql("orders", "o_custkey") + " UNION ALL " +
+            _hll_column_sql("orders", "o_orderstatus"),
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),

@@ -1,0 +1,162 @@
+"""Mergeable approximate-distinct sketch (HyperLogLog).
+
+The reference has no sketches — it substitutes head-sampling for them
+(SURVEY.md §2.5, `profiling_pack/main.py:65-133`) and computes
+`distinct_count` with exact groupbys (`duplicates_finder_pack/
+main.py:161-173`).  At 100 TB an exact distinct is an all-to-all
+shuffle of every key; an HLL register array is the standard streaming
+answer: per-batch partials are 4 KB regardless of input size, merge is
+an elementwise max (associative + commutative), and the estimate's
+error is ~1.04/sqrt(m) (~1.6 % at m=4096).
+
+Determinism contract (drives the DuckDB oracle): values are hashed as
+FNV-1a over the utf-8 bytes of their string form (`CAST(col AS
+VARCHAR)` in SQL); register index = top 12 hash bits; rho = leading
+zeros of the remaining 52-bit word + 1 computed with exact integer
+comparisons (NOT float log2, whose rounding misclassifies 2^k-1 near
+the mantissa edge); the harmonic sum is kept as the exact integer
+S = Σ 2^(53 - rho_j) so no float-summation-order ambiguity exists, and
+the final estimate arithmetic is a fixed sequence of IEEE ops both
+sides replicate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+P_BITS = 12
+M = 1 << P_BITS                      # 4096 registers
+K_MAX = 64 - P_BITS + 1              # max rho (w == 0 -> 53)
+_ALPHA = 0.7213 / (1 + 1.079 / M)    # Flajolet bias constant for m >= 128
+_BIT_BINS = (2.0 ** np.arange(1, 64 - P_BITS + 1))  # exact float64 powers
+
+_FNV_OFF = np.uint64(14695981039346656037)
+_FNV_P = np.uint64(1099511628211)
+# multiply-rotate-multiply finalizer: FNV-1a's high bits barely avalanche
+# on short inputs (a one-byte difference only perturbs bits ~40-48), which
+# collapses register indices; two odd-constant multiplies around a rot29
+# spread every input bit into the top 12.  Chosen over murmur fmix64
+# because it needs no xor, so the DuckDB replica stays pure HUGEINT
+# arithmetic (mul/div/add mod 2^64).
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _finalize(h: np.ndarray) -> np.ndarray:
+    h = h * _C1
+    h = (h << np.uint64(29)) | (h >> np.uint64(35))
+    return h * _C2
+
+
+def _fnv1a_str(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, valid_mask): vectorized FNV-1a over each value's utf-8
+    string bytes (lockstep byte advance — same scheme as
+    textstats.fingerprints)."""
+    s = col.cast(pa.string())
+    valid = np.asarray(pc.is_valid(s).to_numpy(zero_copy_only=False))
+    arr = pc.fill_null(s, "").cast(pa.binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offsets = raw_off[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.zeros(0, dtype=np.uint8))
+    lens = offsets[1:] - offsets[:-1]
+    n = len(arr)
+    h = np.full(n, _FNV_OFF)
+    starts = offsets[:-1]
+    order = np.argsort(-lens, kind="stable")
+    so, sl = starts[order], lens[order]
+    hh = h[order].copy()
+    for j in range(int(lens.max()) if n else 0):
+        na = int(np.searchsorted(-sl, -j, side="left"))
+        if na == 0:
+            break
+        b = data[so[:na] + j].astype(np.uint64)
+        hh[:na] = (hh[:na] ^ b) * _FNV_P
+    h[order] = hh
+    return h, valid
+
+
+def _registers(col: pa.Array) -> np.ndarray:
+    """4096-byte HLL register array for one column of one batch."""
+    h, valid = _fnv1a_str(col)
+    h = _finalize(h[valid])
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - P_BITS)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - P_BITS)) - 1)).astype(np.float64)
+    # bit_length via exact comparisons against float64 powers of two
+    # (w < 2^52 is exactly representable; np.log2 rounds 2^k-1 up to k
+    # at these magnitudes)
+    bl = np.digitize(w, _BIT_BINS) + 1
+    rho = np.where(w == 0, K_MAX, (64 - P_BITS + 1) - bl).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> dict:
+    """Deterministic HLL estimate from a register array: exact-integer
+    harmonic sum + the standard linear-counting small-range branch."""
+    counts = np.bincount(regs, minlength=K_MAX + 1)
+    # arbitrary-precision: the sum reaches m * 2^53 = 2^65, past int64
+    s_int = sum(int(c) << (K_MAX - k) for k, c in enumerate(counts))
+    v_zero = int(counts[0])
+    e_raw = (_ALPHA * M * M) * float(1 << K_MAX) / float(s_int)
+    if e_raw <= 2.5 * M and v_zero > 0:
+        est = M * math.log(M / v_zero)
+    else:
+        est = e_raw
+    return {"approx_distinct": int(math.floor(est + 0.5)),
+            "zero_registers": v_zero,
+            "harmonic_scaled": float(s_int)}
+
+
+def approx_distinct(ds, columns: list[str], *, fold_batch: int = 256
+                    ) -> pd.DataFrame:
+    """One row per column: (column, approx_distinct, zero_registers,
+    harmonic_scaled).  Partials are one 4 KB register row per
+    (batch, column); an intermediate fold stage maxes ``fold_batch``
+    partial rows at a time so the driver-side final fold sees
+    #batches/fold_batch rows, not #batches."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "regs": []}
+        for c in columns:
+            rows["column"].append(c)
+            rows["regs"].append(_registers(batch.column(c)))
+        return pa.table({"column": pa.array(rows["column"]),
+                         "regs": pa.array([r.tolist() for r in rows["regs"]],
+                                          type=pa.list_(pa.uint8()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_c, out_r = [], []
+        for c, grp in df.groupby("column", sort=True):
+            regs = np.stack([np.asarray(r, dtype=np.uint8)
+                             for r in grp["regs"]]).max(axis=0)
+            out_c.append(c)
+            out_r.append(regs.tolist())
+        return pa.table({"column": pa.array(out_c),
+                         "regs": pa.array(out_r, type=pa.list_(pa.uint8()))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow",
+                          batch_size=fold_batch).to_pandas())
+    rows = []
+    for c in columns:
+        grp = parts[parts["column"] == c] if len(parts) else parts
+        if len(grp):
+            regs = np.stack([np.asarray(r, dtype=np.uint8)
+                             for r in grp["regs"]]).max(axis=0)
+        else:  # 0-row input: all-empty registers
+            regs = np.zeros(M, dtype=np.uint8)
+        rows.append({"column": c, **_estimate(regs)})
+    return pd.DataFrame(rows)

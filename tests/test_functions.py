@@ -734,3 +734,29 @@ def test_dbt_adapter(tmp_path):
 
     with pytest.raises(RuntimeError, match="dbt binary not found"):
         run_dbt_tests(str(proj))
+
+
+def test_approx_distinct_hll(ray_session):
+    """HLL sketch: estimate within the ~1.6% design error band (allow
+    5%), block-split invariance (registers merge associatively), nulls
+    excluded, empty input -> 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sketches import approx_distinct
+
+    vals = [str(i * 37) for i in range(20_000)] + [None] * 500
+    one = ray.data.from_arrow(pa.table({"v": vals}))
+    many = one.repartition(17)
+    r1 = approx_distinct(one, ["v"]).iloc[0]
+    r17 = approx_distinct(many, ["v"]).iloc[0]
+    assert r1["approx_distinct"] == r17["approx_distinct"]  # merge-invariant
+    assert r1["harmonic_scaled"] == r17["harmonic_scaled"]
+    assert abs(r1["approx_distinct"] - 20_000) / 20_000 < 0.05
+
+    small = ray.data.from_items([{"v": x} for x in ["a", "b", "c", None]])
+    assert approx_distinct(small, ["v"]).iloc[0]["approx_distinct"] == 3
+
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.string())}))
+    assert approx_distinct(empty, ["v"]).iloc[0]["approx_distinct"] == 0
