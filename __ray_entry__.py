@@ -375,6 +375,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_custkey", "o_orderstatus"]),
             ["o_custkey", "o_orderstatus"])
 
+    def cms_counts_orders(sf):
+        from packs_ray.functions.sketches import count_min_counts
+
+        return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
+                                "o_custkey", list(range(1, 21)))
+
     def transcripts_filter_summary(sf):
         import pandas as pd
         import pyarrow as pa
@@ -593,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "approx_distinct_orders": approx_distinct_orders,
+        "cms_counts_orders": cms_counts_orders,
         "transcripts_filter_summary": transcripts_filter_summary,
         "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
@@ -1551,6 +1558,47 @@ def _hll_column_sql(table: str, col: str) -> str:
     FROM est)"""
 
 
+def _cms_sql(table: str, col: str, probes: list[int]) -> str:
+    """Exact SQL replica of packs_ray.functions.sketches.count_min_counts:
+    stream values and probe values share one hash chain (FNV-1a +
+    finalizer), counters are exact GROUP BY cell counts, estimate =
+    min over depth rows with missing cells coalesced to 0."""
+    from packs_ray.functions.sketches import CMS_D, CMS_W
+
+    pv = ", ".join(f"({int(p)})" for p in probes)
+    mul_c3 = _mul64_sql("h", 0xC2B2AE3D27D4EB4F)
+    return f"""
+    SELECT * FROM (
+    WITH src AS (
+        SELECT CAST({col} AS VARCHAR) AS sv, 0 AS isp, NULL::BIGINT AS key
+        FROM {table} WHERE {col} IS NOT NULL
+        UNION ALL
+        SELECT CAST(v AS VARCHAR), 1, v FROM (VALUES {pv}) t(v)),
+    b AS (SELECT sv, isp, key, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM src),
+    hs AS (SELECT isp, key, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    f1 AS (SELECT isp, key,
+               {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM hs),
+    fr AS (SELECT isp, key, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT isp, key,
+               {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
+    hh AS (SELECT isp, key, h % {CMS_W} AS a,
+                  (({mul_c3}) - ({mul_c3}) % 2 + 1) % {CMS_W} AS bb
+           FROM f2),
+    cells AS (SELECT isp, key, j.range AS j,
+                     (a + j.range * bb) % {CMS_W} AS pos
+              FROM hh CROSS JOIN range(0, {CMS_D}) j),
+    counters AS (SELECT j, pos, count(*)::BIGINT AS c FROM cells
+                 WHERE isp = 0 GROUP BY j, pos),
+    est AS (SELECT pc.key, min(coalesce(c.c, 0))::BIGINT AS est_count
+            FROM (SELECT key, j, pos FROM cells WHERE isp = 1) pc
+            LEFT JOIN counters c ON c.j = pc.j AND c.pos = pc.pos
+            GROUP BY pc.key)
+    SELECT CAST(key AS VARCHAR) AS key, est_count FROM est)"""
+
+
 def _staleness_sql() -> str:
     """SQL cannot stat() files, so the raw inputs (file mtimes — the
     same stat the engine performs) are persisted as a parquet artifact
@@ -1870,6 +1918,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_orders":
             _hll_column_sql("orders", "o_custkey") + " UNION ALL " +
             _hll_column_sql("orders", "o_orderstatus"),
+        "cms_counts_orders":
+            _cms_sql("orders", "o_custkey", list(range(1, 21))),
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),

@@ -119,6 +119,72 @@ def _estimate(regs: np.ndarray) -> dict:
             "harmonic_scaled": float(s_int)}
 
 
+CMS_D = 4                 # count-min depth (rows)
+CMS_W = 1 << 12           # width: eps = e/w ~ 0.07% of stream length
+_C3 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _cms_positions(h1: np.ndarray) -> np.ndarray:
+    """(CMS_D, n) counter positions by double hashing: pos_j =
+    (h1 + j*h2) mod w with h2 = (h1 * C3 | 1) — all arithmetic done on
+    the mod-w residues so the engine (wrapping uint64) and the SQL
+    replica (non-wrapping HUGEINT) compute identical cells."""
+    h2 = (h1 * _C3) | np.uint64(1)
+    a = (h1 % np.uint64(CMS_W)).astype(np.int64)
+    b = (h2 % np.uint64(CMS_W)).astype(np.int64)
+    j = np.arange(CMS_D, dtype=np.int64)[:, None]
+    return (a[None, :] + j * b[None, :]) % CMS_W
+
+
+def _cms_counters(col: pa.Array) -> np.ndarray:
+    """(CMS_D, CMS_W) int64 counter matrix for one batch of one column."""
+    h, valid = _fnv1a_str(col)
+    h1 = _finalize(h[valid])
+    cnt = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(h1):
+        pos = _cms_positions(h1)
+        for j in range(CMS_D):
+            np.add.at(cnt[j], pos[j], 1)
+    return cnt
+
+
+def count_min_counts(ds, col: str, probe_values: list, *,
+                     fold_batch: int = 64) -> pd.DataFrame:
+    """Count-min sketch frequency estimates (upper bounds, within
+    e/CMS_W of the stream length with prob 1-e^-CMS_D) for the given
+    probe values.  Counters are mergeable by elementwise sum —
+    order-free and exact, so the result is deterministic and the DuckDB
+    oracle replicates it cell-for-cell.  Per-partial cost is a fixed
+    CMS_D x CMS_W x 8 B (128 KB) regardless of input size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = _cms_counters(batch.column(col))
+        return pa.table({"cnt": pa.array([cnt.ravel().tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for r in batch.column("cnt").to_pylist():
+            acc += np.asarray(r, dtype=np.int64)
+        return pa.table({"cnt": pa.array([acc.tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow",
+                          batch_size=fold_batch).to_pandas())
+    cnt = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in parts["cnt"] if len(parts) else ():
+        cnt += np.asarray(r, dtype=np.int64)
+    cnt = cnt.reshape(CMS_D, CMS_W)
+
+    probe_arr = pa.array([str(v) for v in probe_values], type=pa.string())
+    h1 = _finalize(_fnv1a_str(probe_arr)[0])
+    pos = _cms_positions(h1)
+    est = np.min(cnt[np.arange(CMS_D)[:, None], pos], axis=0)
+    return pd.DataFrame({"key": [str(v) for v in probe_values],
+                         "est_count": est.astype(np.int64)})
+
+
 def approx_distinct(ds, columns: list[str], *, fold_batch: int = 256
                     ) -> pd.DataFrame:
     """One row per column: (column, approx_distinct, zero_registers,

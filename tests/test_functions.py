@@ -760,3 +760,33 @@ def test_approx_distinct_hll(ray_session):
 
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.string())}))
     assert approx_distinct(empty, ["v"]).iloc[0]["approx_distinct"] == 0
+
+
+def test_count_min_sketch(ray_session):
+    """CMS: estimates never underestimate, are exact when width >>
+    distinct keys, and are invariant to block split (sum-merge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sketches import count_min_counts
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, size=30_000)
+    one = ray.data.from_arrow(pa.table({"k": keys}))
+    many = one.repartition(13)
+    probes = list(range(50))
+    r1 = count_min_counts(one, "k", probes)
+    r13 = count_min_counts(many, "k", probes)
+    assert (r1["est_count"].to_numpy() == r13["est_count"].to_numpy()).all()
+    exact = {str(k): int(c) for k, c in
+             zip(*np.unique(keys, return_counts=True))}
+    est = dict(zip(r1["key"], r1["est_count"]))
+    assert all(est[k] >= exact.get(k, 0) for k in est)          # upper bound
+    # 50 distinct keys over 4096-wide rows: collisions are rare enough
+    # that at least 45 of 50 estimates are exact
+    assert sum(est[k] == exact.get(k, 0) for k in est) >= 45
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    r0 = count_min_counts(empty, "k", [1, 2])
+    assert list(r0["est_count"]) == [0, 0]
