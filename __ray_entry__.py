@@ -1396,11 +1396,13 @@ def _conversation_summary_sql() -> str:
 
 
 def _ensure_media_artifacts() -> dict[str, str]:
-    """Persist the synth-media metadata and the STUB decoder outputs as
-    parquet model artifacts (the bigram-logp pattern,
-    _ensure_flagship_artifacts): the decode stub is the opaque "model";
-    the SQL independently recomputes kind filtering, the per-frame
-    fan-out, the feature math and the rounding from its pinned outputs.
+    """Persist the synth-media metadata and the GROUND-TRUTH arrays as
+    parquet artifacts (the bigram-logp pattern,
+    _ensure_flagship_artifacts).  The truth tables come straight from
+    packs_ray.functions.multimodal.truth_* — the arrays the fixture
+    ENCODED into real BMP/WAV/Y4M payloads — so the SQL recomputes the
+    features from values that never passed through the decoders under
+    test: a genuine encode→decode→feature vs truth→feature check.
     All persisted values are exactly representable (integer pixels,
     k/32768 PCM samples), so any summation order is bit-exact."""
     import os
@@ -1412,40 +1414,40 @@ def _ensure_media_artifacts() -> dict[str, str]:
 
     d = "/tmp/packs_ray_data"
     os.makedirs(d, exist_ok=True)
-    paths = {"meta": f"{d}/media_meta.parquet",
-             "img": f"{d}/media_img_px.parquet",
-             "aud": f"{d}/media_audio_samples.parquet",
-             "vid": f"{d}/media_frame_px.parquet"}
+    paths = {"meta": f"{d}/media_truth_meta.parquet",
+             "img": f"{d}/media_truth_img_px.parquet",
+             "aud": f"{d}/media_truth_audio.parquet",
+             "vid": f"{d}/media_truth_frame_px.parquet"}
     if not all(os.path.exists(p) for p in paths.values()):
         t = mm.synth_media_table(128)
         pq.write_table(t.drop_columns(["payload"]), paths["meta"])
         ids = t.column("media_id").to_pylist()
         kinds = t.column("kind").to_pylist()
-        pls = t.column("payload").to_pylist()
-        durs = t.column("duration_ms").to_pylist()
         im = {"media_id": [], "ch": [], "v": []}
         au = {"media_id": [], "idx": [], "v": []}
         vd = {"media_id": [], "frame_idx": [], "v": []}
-        for mid, kind, p, dur in zip(ids, kinds, pls, durs):
+        for mid, kind in zip(ids, kinds):
             if kind == "image":
-                px = mm._decode_image(p, 8, 8).reshape(-1, 3)
+                px = mm.truth_image(mid).reshape(-1, 3)
+                n = px.shape[0]
                 for ch in range(3):
-                    im["media_id"].extend([mid] * 64)
-                    im["ch"].extend([ch] * 64)
+                    im["media_id"].extend([mid] * n)
+                    im["ch"].extend([ch] * n)
                     im["v"].extend(px[:, ch].astype(int).tolist())
             elif kind == "audio":
-                w = mm._decode_audio(p, int(dur)).astype(np.float64)
+                k = mm.truth_audio(mid)
+                w = k.astype(np.float64) / np.float64(32768.0)
                 au["media_id"].extend([mid] * len(w))
                 au["idx"].extend(range(len(w)))
                 au["v"].extend(w.tolist())
             else:
-                dc = max(int(dur), 1)
+                frames = mm.truth_video(mid)
+                f = frames.shape[0]
                 for fi in range(4):
-                    ms = (dc * fi) // 4
-                    px = mm._decode_image(p + ms.to_bytes(4, "little"), 8, 8)
-                    vd["media_id"].extend([mid] * 192)
-                    vd["frame_idx"].extend([fi] * 192)
-                    vd["v"].extend(px.reshape(-1).astype(int).tolist())
+                    fr = frames[(f * fi) // 4].reshape(-1)
+                    vd["media_id"].extend([mid] * fr.size)
+                    vd["frame_idx"].extend([fi] * fr.size)
+                    vd["v"].extend(fr.astype(int).tolist())
         pq.write_table(pa.table({
             "media_id": pa.array(im["media_id"], type=pa.int64()),
             "ch": pa.array(im["ch"], type=pa.int64()),
@@ -1465,9 +1467,12 @@ def _media_image_sql() -> str:
     a = _ensure_media_artifacts()
     return f"""
     SELECT m.media_id,
-        round(sum(CASE WHEN p.ch = 0 THEN p.v END)::DOUBLE / 64, 4) AS mean_r,
-        round(sum(CASE WHEN p.ch = 1 THEN p.v END)::DOUBLE / 64, 4) AS mean_g,
-        round(sum(CASE WHEN p.ch = 2 THEN p.v END)::DOUBLE / 64, 4) AS mean_b
+        round(sum(CASE WHEN p.ch = 0 THEN p.v END)::DOUBLE
+              / sum(CASE WHEN p.ch = 0 THEN 1 ELSE 0 END), 4) AS mean_r,
+        round(sum(CASE WHEN p.ch = 1 THEN p.v END)::DOUBLE
+              / sum(CASE WHEN p.ch = 1 THEN 1 ELSE 0 END), 4) AS mean_g,
+        round(sum(CASE WHEN p.ch = 2 THEN p.v END)::DOUBLE
+              / sum(CASE WHEN p.ch = 2 THEN 1 ELSE 0 END), 4) AS mean_b
     FROM read_parquet('{a["meta"]}') m
     JOIN read_parquet('{a["img"]}') p USING (media_id)
     WHERE m.kind = 'image' GROUP BY m.media_id"""
@@ -1494,7 +1499,7 @@ def _media_video_sql() -> str:
     return f"""
     SELECT m.media_id, f.frame_idx,
         ((greatest(m.duration_ms, 1)::BIGINT * f.frame_idx) // 4) AS frame_ms,
-        round(sum(f.v)::DOUBLE / 192, 4) AS frame_mean
+        round(sum(f.v)::DOUBLE / count(*), 4) AS frame_mean
     FROM read_parquet('{a["meta"]}') m
     JOIN read_parquet('{a["vid"]}') f USING (media_id)
     WHERE m.kind = 'video'

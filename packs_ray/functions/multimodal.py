@@ -1,15 +1,30 @@
 """Multimodal column stages (image/audio/video as opaque binary columns).
 
-The container has no image/audio codecs, so the DECODE kernels are
-deterministic fakes behind ``_decode_*`` seams (clearly marked; swap for
-Pillow/torchaudio/PyAV in production) — but the Ray-side plumbing is
-real and tested: typed binary+metadata schema, actor-pool map_batches
-with small byte-budgeted batches, fixed-shape feature output columns.
+Real decode, no codec libraries: the container ships neither Pillow nor
+PyAV, so the pipeline standardises on the codec-free members of each
+family and decodes them with pure struct/numpy parsing:
+
+- image: BMP (24-bit uncompressed, BITMAPINFOHEADER, bottom-up rows,
+  4-byte row padding) — ``decode_bmp``
+- audio: WAV (RIFF, PCM16 mono) with proper chunk walking — ``decode_wav``
+- video: Y4M (YUV4MPEG2, C444 — full-resolution planes, no chroma
+  subsampling) — ``decode_y4m``
+
+Compressed formats (JPEG/MP3/H.264) remain the documented swap point:
+replace the ``decode_*`` calls inside the stages with
+PIL/soundfile/PyAV and everything downstream (schema, byte-budgeted
+actor batches, fan-out layout, feature math) is unchanged.
+
+Correctness is checked end-to-end, not circularly: the synthetic
+fixture ENCODES deterministic ground-truth arrays into real format
+bytes; the stages DECODE those bytes; the DuckDB oracle computes the
+same features from the ground-truth arrays persisted independently of
+the decoder (__ray_entry__._ensure_media_artifacts).
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -19,67 +34,204 @@ from packs_ray.stages.util import round_half_away as _r
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),            # image | audio | video
-    ("payload", pa.binary()),         # opaque encoded bytes
+    ("payload", pa.binary()),         # encoded bytes (BMP / WAV / Y4M)
     ("mime", pa.string()),
     ("width", pa.int32()),            # images/video
     ("height", pa.int32()),
     ("duration_ms", pa.int32()),      # audio/video
 ])
 
+AUDIO_RATE = 8000                     # fixture sample rate (Hz)
+VIDEO_FPS = 25                        # fixture frame rate
+
+
+# --------------------------------------------------------------------------
+# encoders (fixture side) and decoders (pipeline side)
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 -> 24-bit uncompressed BMP bytes."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    bgr = px[:, :, ::-1]              # BMP stores BGR
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h - 1, -1, -1):    # bottom-up
+        rows += bgr[r].tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) RGB uint8."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_sz, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    flip = h > 0                       # positive height = bottom-up
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()     # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16 bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes -> (int16 samples, sample_rate).
+    Walks chunks properly (tolerates extra chunks before data)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos:pos + 4], struct.unpack_from("<I", payload,
+                                                           pos + 4)[0]
+        if cid == b"fmt ":
+            afmt, ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8)
+            if (afmt, ch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV: fmt={afmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2",
+                                    count=sz // 2, offset=pos + 8)
+        pos += 8 + sz + (sz & 1)       # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return samples, rate
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """(F, 3, H, W) uint8 YUV444 planes -> YUV4MPEG2 C444 bytes."""
+    f, _, h, w = frames.shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{VIDEO_FPS}:1 Ip A1:1 C444\n"
+                    .encode())
+    for fr in frames:
+        out += b"FRAME\n" + fr.tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 C444 bytes -> (F, 3, H, W) uint8 planes."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M payload")
+    w = h = None
+    for t in tokens[1:]:
+        if t[:1] == b"W":
+            w = int(t[1:])
+        elif t[:1] == b"H":
+            h = int(t[1:])
+        elif t[:1] == b"C" and t != b"C444":
+            raise ValueError(f"unsupported Y4M colorspace {t!r}")
+    frame_sz = 3 * h * w
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        start = fnl + 1
+        frames.append(np.frombuffer(payload, dtype=np.uint8,
+                                    count=frame_sz, offset=start)
+                      .reshape(3, h, w))
+        pos = start + frame_sz
+    return np.stack(frames) if frames else np.zeros((0, 3, h, w), np.uint8)
+
+
+# --------------------------------------------------------------------------
+# deterministic fixture: ground-truth arrays -> real encoded payloads
+
+def _truth_rng(media_id: int, seed: int) -> np.random.Generator:
+    return np.random.default_rng((seed << 32) ^ media_id)
+
+
+def truth_image(media_id: int, seed: int = 42) -> np.ndarray:
+    rng = _truth_rng(media_id, seed)
+    h, w = int(rng.integers(6, 25)), int(rng.integers(6, 25))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def truth_audio(media_id: int, seed: int = 42) -> np.ndarray:
+    rng = _truth_rng(media_id, seed)
+    n = int(rng.integers(200, 2001))
+    return rng.integers(-32768, 32768, size=n).astype(np.int16)
+
+
+def truth_video(media_id: int, seed: int = 42) -> np.ndarray:
+    rng = _truth_rng(media_id, seed)
+    f = int(rng.integers(4, 11))
+    h, w = int(rng.integers(6, 17)), int(rng.integers(6, 17))
+    return rng.integers(0, 256, size=(f, 3, h, w), dtype=np.uint8)
+
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded random bytes)."""
-    rng = np.random.default_rng(seed)
-    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
-                for sz in rng.integers(256, 4096, n)]
+    """Deterministic media rows with REAL encoded payloads (BMP / WAV /
+    Y4M of the ground-truth arrays)."""
+    kind_rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[kind_rng.integers(0, 3, n)]
+    payloads, mimes, widths, heights, durs = [], [], [], [], []
+    for mid, kind in enumerate(kinds):
+        if kind == "image":
+            px = truth_image(mid, seed)
+            payloads.append(encode_bmp(px))
+            mimes.append("image/bmp")
+            heights.append(px.shape[0])
+            widths.append(px.shape[1])
+            durs.append(0)
+        elif kind == "audio":
+            s = truth_audio(mid, seed)
+            payloads.append(encode_wav(s))
+            mimes.append("audio/wav")
+            widths.append(0)
+            heights.append(0)
+            durs.append(len(s) * 1000 // AUDIO_RATE)
+        else:
+            fr = truth_video(mid, seed)
+            payloads.append(encode_y4m(fr))
+            mimes.append("video/x-yuv4mpeg")
+            heights.append(fr.shape[2])
+            widths.append(fr.shape[3])
+            durs.append(fr.shape[0] * 1000 // VIDEO_FPS)
     return pa.table({
         "media_id": pa.array(np.arange(n), type=pa.int64()),
         "kind": pa.array(kinds.tolist(), type=pa.string()),
         "payload": pa.array(payloads, type=pa.binary()),
-        "mime": pa.array([f"application/x-fake-{k}" for k in kinds], type=pa.string()),
-        "width": pa.array(rng.integers(64, 1920, n).astype(np.int32)),
-        "height": pa.array(rng.integers(64, 1080, n).astype(np.int32)),
-        "duration_ms": pa.array(rng.integers(0, 60_000, n).astype(np.int32)),
+        "mime": pa.array(mimes, type=pa.string()),
+        "width": pa.array(np.asarray(widths, dtype=np.int32)),
+        "height": pa.array(np.asarray(heights, dtype=np.int32)),
+        "duration_ms": pa.array(np.asarray(durs, dtype=np.int32)),
     })
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: deterministic pseudo-pixels from the payload digest.
-    Production: PIL.Image.open(io.BytesIO(payload)) — NotImplemented here
-    because no codec library ships in this container."""
-    h = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)  # "thumbnail"
-
-
-def _decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
-    """STUB decode: deterministic 16-bit-PCM-style samples k/32768
-    (k int in [-32768, 32767]) from the payload digest.  Production:
-    soundfile/torchaudio decode.  Quantized samples are exactly
-    representable in float32/float64, so downstream sums are
-    order-independent and bit-exact vs the SQL oracle replica."""
-    h = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
-    n = min(max(duration_ms, 1), 1000)
-    k = rng.integers(-32768, 32768, size=n, dtype=np.int32)
-    return (k.astype(np.float32)) / np.float32(32768.0)
-
+# --------------------------------------------------------------------------
+# actor-pool feature stages (decode happens here, once per payload)
 
 class ImageFeatureStage:
-    """Actor stage: decode → 8x8 thumbnail → mean-channel features.
-    batch_size should be small (payloads are large); state (any model)
-    loads once per actor."""
+    """Actor stage: BMP decode -> per-channel mean features.  Integer
+    pixel sums divide by the exact pixel count, so the float result is
+    one deterministic IEEE division the SQL oracle replicates."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        widths = batch.column("width").to_numpy(zero_copy_only=False)
-        heights = batch.column("height").to_numpy(zero_copy_only=False)
         feats = np.zeros((len(payloads), 3), dtype=np.float64)
         for i, p in enumerate(payloads):
-            px = _decode_image(p, int(widths[i]), int(heights[i]))
-            # integer pixel sum / 64: exact in float64, any order
-            feats[i] = px.reshape(-1, 3).astype(np.int64).sum(axis=0) / 64.0
+            px = decode_bmp(p).reshape(-1, 3).astype(np.int64)
+            feats[i] = px.sum(axis=0) / px.shape[0]
         return pa.table({
             "media_id": batch.column("media_id"),
             "mean_r": pa.array(_r(feats[:, 0], 4)),
@@ -89,17 +241,18 @@ class ImageFeatureStage:
 
 
 class AudioFeatureStage:
-    """Actor stage: decode → RMS/zero-crossing features."""
+    """Actor stage: WAV decode -> RMS / zero-crossing features.  k/32768
+    samples are exact dyadic floats; k^2/2^30 terms sum exactly in
+    float64 at fixture lengths, keeping the RMS bit-identical to the SQL
+    sqrt(sum(v*v)/count(*))."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        durs = batch.column("duration_ms").to_numpy(zero_copy_only=False)
         rms = np.zeros(len(payloads))
         zc = np.zeros(len(payloads), dtype=np.int64)
         for i, p in enumerate(payloads):
-            w = _decode_audio(p, int(durs[i])).astype(np.float64)
-            # k²/2³⁰ terms sum exactly in float64 (≤1000 samples), so
-            # the RMS is bit-identical to SQL sqrt(sum(v*v)/count(*))
+            k, _rate = decode_wav(p)
+            w = k.astype(np.float64) / np.float64(32768.0)
             rms[i] = float(np.sqrt((w * w).sum() / len(w)))
             zc[i] = int((np.diff(np.signbit(w)) != 0).sum())
         return pa.table({
@@ -110,10 +263,9 @@ class AudioFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """Actor stage: sample ``n_frames`` evenly-spaced frames per video and
-    emit one row per (media_id, frame_idx, frame_ms) with thumbnail mean
-    features.  STUB decode (PyAV in production); the fan-out row layout,
-    byte-budgeted batches and actor signature are the real plumbing."""
+    """Actor stage: Y4M decode -> sample ``n_frames`` evenly-spaced
+    frames per video, one output row per (media_id, frame_idx, frame_ms)
+    with the frame's mean plane value."""
 
     def __init__(self, n_frames: int = 4) -> None:
         self.n_frames = n_frames
@@ -124,16 +276,16 @@ class VideoFrameSampleStage:
         durs = batch.column("duration_ms").to_numpy(zero_copy_only=False)
         out_id, out_fi, out_ms, out_mean = [], [], [], []
         for i, p in enumerate(payloads):
+            frames = decode_y4m(p)
+            f = frames.shape[0]
             dur = max(int(durs[i]), 1)
             for fi in range(self.n_frames):
-                ms = (dur * fi) // self.n_frames
-                # STUB: hash-derived frame; production decodes frame at `ms`
-                px = _decode_image(p + ms.to_bytes(4, "little"), 8, 8)
+                src = (f * fi) // self.n_frames
+                fr = frames[src].astype(np.int64)
                 out_id.append(int(ids[i]))
                 out_fi.append(fi)
-                out_ms.append(ms)
-                # integer pixel sum / 192: exact float64, any order
-                out_mean.append(int(px.astype(np.int64).sum()) / 192.0)
+                out_ms.append((dur * fi) // self.n_frames)
+                out_mean.append(int(fr.sum()) / fr.size)
         return pa.table({
             "media_id": pa.array(out_id, type=pa.int64()),
             "frame_idx": pa.array(out_fi, type=pa.int32()),

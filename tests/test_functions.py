@@ -590,30 +590,84 @@ def test_record_validate_boolean_and_empty(ray_session):
     assert empty["score"].iloc[0] == 0.0
 
 
-def test_media_stub_outputs_pinned(ray_session):
-    """Golden pin for the deterministic STUB decoders: these exact
-    values back the media_* oracle artifacts, so a stub change must be
-    deliberate (regenerate /tmp/packs_ray_data/media_*.parquet).  The
-    swap point for real codecs is _decode_image/_decode_audio."""
-    import math
+def test_media_codec_roundtrips():
+    """Real codec-free decoders: encode -> decode is the identity on the
+    ground-truth arrays (BMP incl. odd-width row padding, WAV chunk
+    walking, Y4M multi-frame), and malformed payloads raise."""
+    import numpy as np
+    import pytest
 
     from packs_ray.functions import multimodal as mm
 
-    t = mm.synth_media_table(8)
-    out = mm.image_features(
-        __import__("ray").data.from_arrow(t)).to_pandas() \
-        .set_index("media_id")
-    # media_id 0 is an image under seed 42
-    assert out.loc[0, "mean_r"] == 128.5938
-    assert out.loc[0, "mean_g"] == 122.2813  # .28125 rounds half-away
-    assert out.loc[0, "mean_b"] == 134.0781
+    rng = np.random.default_rng(3)
+    for h, w in ((1, 1), (5, 7), (16, 3), (9, 24)):   # odd widths: padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm.decode_bmp(mm.encode_bmp(px)) == px).all()
 
-    aud = mm.audio_features(
-        __import__("ray").data.from_arrow(t)).to_pandas() \
+    s = rng.integers(-32768, 32768, size=777).astype(np.int16)
+    back, rate = mm.decode_wav(mm.encode_wav(s))
+    assert rate == mm.AUDIO_RATE and (back == s).all()
+    # tolerate an extra chunk before data (real-world WAVs have LIST etc.)
+    wav = mm.encode_wav(s)
+    extra = wav[:12] + b"LIST\x04\x00\x00\x00INFO" + wav[12:]
+    back2, _ = mm.decode_wav(extra)
+    assert (back2 == s).all()
+
+    fr = rng.integers(0, 256, size=(6, 3, 11, 13), dtype=np.uint8)
+    assert (mm.decode_y4m(mm.encode_y4m(fr)) == fr).all()
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"nope")
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"MPEG4\n")
+
+
+def test_media_features_match_truth(ray_session):
+    """End-to-end: stages decode REAL payloads; features equal the same
+    math applied to the ground-truth arrays the fixture encoded."""
+    import numpy as np
+    import ray.data
+
+    from packs_ray.functions import multimodal as mm
+    from packs_ray.stages.util import round_half_away as _r
+
+    t = mm.synth_media_table(24)
+    kinds = dict(zip(t.column("media_id").to_pylist(),
+                     t.column("kind").to_pylist()))
+    img = mm.image_features(ray.data.from_arrow(t)).to_pandas() \
         .set_index("media_id")
-    # media_id 2 is audio, duration >= 1000 -> 1000 PCM samples
-    assert math.isclose(aud.loc[2, "rms"], 0.5716, abs_tol=0)
-    assert aud.loc[2, "zero_crossings"] == 496
+    for mid, k in kinds.items():
+        if k != "image":
+            continue
+        px = mm.truth_image(mid).reshape(-1, 3).astype(np.int64)
+        exp = _r(px.sum(axis=0) / px.shape[0], 4)
+        assert (img.loc[mid, ["mean_r", "mean_g", "mean_b"]]
+                .to_numpy() == exp).all()
+
+    aud = mm.audio_features(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("media_id")
+    for mid, k in kinds.items():
+        if k != "audio":
+            continue
+        w = mm.truth_audio(mid).astype(np.float64) / 32768.0
+        assert aud.loc[mid, "rms"] == _r(
+            np.asarray([np.sqrt((w * w).sum() / len(w))]), 4)[0]
+        assert aud.loc[mid, "zero_crossings"] == \
+            (np.diff(np.signbit(w)) != 0).sum()
+
+    vid = mm.video_frames(ray.data.from_arrow(t)).to_pandas() \
+        .set_index(["media_id", "frame_idx"])
+    for mid, k in kinds.items():
+        if k != "video":
+            continue
+        frames = mm.truth_video(mid)
+        f = frames.shape[0]
+        for fi in range(4):
+            fr = frames[(f * fi) // 4].astype(np.int64)
+            assert vid.loc[(mid, fi), "frame_mean"] == _r(
+                np.asarray([fr.sum() / fr.size]), 4)[0]
 
 
 def test_read_database_duckdb_and_partitions(ray_session, tmp_path):
