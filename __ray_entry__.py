@@ -556,6 +556,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(128))
         return multimodal.image_features(media)
 
+    def media_thumb_features(sf):
+        import ray.data
+
+        media = ray.data.from_arrow(multimodal.synth_media_table(128))
+        return multimodal.image_features(multimodal.image_resize(media, 4, 4))
+
     def media_audio_features(sf):
         import ray.data
 
@@ -618,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeliness_string_dates": timeliness_string_dates,
         "timeliness_year_events": timeliness_year_events,
         "media_image_features": media_image_features,
+        "media_thumb_features": media_thumb_features,
         "media_audio_features": media_audio_features,
         "media_video_frames": media_video_frames,
     }
@@ -1463,6 +1470,63 @@ def _ensure_media_artifacts() -> dict[str, str]:
     return paths
 
 
+def _ensure_media_thumb_artifact() -> str:
+    """Ground-truth image pixels WITH row-major position (media_id, pos,
+    ch, v) — lets the thumb oracle sample the exact nearest-neighbor
+    source pixels ((i*H)//th, (j*W)//tw) in SQL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions import multimodal as mm
+
+    d = "/tmp/packs_ray_data"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/media_truth_img_pos.parquet"
+    if not os.path.exists(path):
+        t = mm.synth_media_table(128)
+        rows = {"media_id": [], "pos": [], "ch": [], "v": []}
+        for mid, kind in zip(t.column("media_id").to_pylist(),
+                             t.column("kind").to_pylist()):
+            if kind != "image":
+                continue
+            px = mm.truth_image(mid).reshape(-1, 3)
+            n = px.shape[0]
+            for ch in range(3):
+                rows["media_id"].extend([mid] * n)
+                rows["pos"].extend(range(n))
+                rows["ch"].extend([ch] * n)
+                rows["v"].extend(px[:, ch].astype(int).tolist())
+        pq.write_table(pa.table({
+            "media_id": pa.array(rows["media_id"], type=pa.int64()),
+            "pos": pa.array(rows["pos"], type=pa.int64()),
+            "ch": pa.array(rows["ch"], type=pa.int64()),
+            "v": pa.array(rows["v"], type=pa.int64())}), path)
+    return path
+
+
+def _media_thumb_sql(th: int = 4, tw: int = 4) -> str:
+    a = _ensure_media_artifacts()
+    pos_art = _ensure_media_thumb_artifact()
+    return f"""
+    SELECT m.media_id,
+        round(sum(CASE WHEN p.ch = 0 THEN p.v END)::DOUBLE / {th * tw}, 4)
+            AS mean_r,
+        round(sum(CASE WHEN p.ch = 1 THEN p.v END)::DOUBLE / {th * tw}, 4)
+            AS mean_g,
+        round(sum(CASE WHEN p.ch = 2 THEN p.v END)::DOUBLE / {th * tw}, 4)
+            AS mean_b
+    FROM read_parquet('{a["meta"]}') m
+    CROSS JOIN range(0, {th}) i CROSS JOIN range(0, {tw}) j
+    JOIN read_parquet('{pos_art}') p
+      ON p.media_id = m.media_id
+     AND p.pos = ((i.range * m.height) // {th}) * m.width
+                 + ((j.range * m.width) // {tw})
+    WHERE m.kind = 'image'
+    GROUP BY m.media_id"""
+
+
 def _media_image_sql() -> str:
     a = _ensure_media_artifacts()
     return f"""
@@ -1915,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_outliers_mixed_events": _knn_mixed_events_sql(),
         "record_validation_events": _record_validation_sql(),
         "media_image_features": _media_image_sql(),
+        "media_thumb_features": _media_thumb_sql(4, 4),
         "media_audio_features": _media_audio_sql(),
         "media_video_frames": _media_video_sql(),
         "db_source_events":

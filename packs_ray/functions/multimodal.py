@@ -240,6 +240,38 @@ class ImageFeatureStage:
         })
 
 
+class ImageResizeStage:
+    """Actor stage: BMP decode -> nearest-neighbor resize -> BMP
+    re-encode.  Emits a media-table-shaped batch (payload = thumbnail
+    BMP), so downstream stages (ImageFeatureStage, another resize)
+    compose directly.  Source pixel for target (i, j) is
+    ((i*H)//th, (j*W)//tw) — pure integer math, replicated by the SQL
+    oracle against the ground-truth pixel table."""
+
+    def __init__(self, th: int = 4, tw: int = 4) -> None:
+        self.th, self.tw = th, tw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        thumbs = []
+        for p in payloads:
+            px = decode_bmp(p)
+            h, w, _ = px.shape
+            rows = (np.arange(self.th) * h) // self.th
+            cols = (np.arange(self.tw) * w) // self.tw
+            thumbs.append(encode_bmp(px[rows][:, cols]))
+        n = len(payloads)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "payload": pa.array(thumbs, type=pa.binary()),
+            "mime": batch.column("mime"),
+            "width": pa.array(np.full(n, self.tw, dtype=np.int32)),
+            "height": pa.array(np.full(n, self.th, dtype=np.int32)),
+            "duration_ms": batch.column("duration_ms"),
+        })
+
+
 class AudioFeatureStage:
     """Actor stage: WAV decode -> RMS / zero-crossing features.  k/32768
     samples are exact dyadic floats; k^2/2^30 terms sum exactly in
@@ -308,6 +340,14 @@ def image_features(ds, batch_size: int = 64, concurrency=(1, 4)):
     imgs = ds.map_batches(_kind_filter("image"), batch_format="pyarrow")
     return imgs.map_batches(ImageFeatureStage, batch_format="pyarrow",
                             batch_size=batch_size, concurrency=concurrency)
+
+
+def image_resize(ds, th: int = 4, tw: int = 4, batch_size: int = 64,
+                 concurrency=(1, 4)):
+    imgs = ds.map_batches(_kind_filter("image"), batch_format="pyarrow")
+    return imgs.map_batches(ImageResizeStage, fn_constructor_args=(th, tw),
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=concurrency)
 
 
 def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):

@@ -844,3 +844,28 @@ def test_count_min_sketch(ray_session):
     empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
     r0 = count_min_counts(empty, "k", [1, 2])
     assert list(r0["est_count"]) == [0, 0]
+
+
+def test_image_resize_stage(ray_session):
+    """Nearest-neighbor resize: BMP roundtrip thumbnails equal the numpy
+    index-sampled truth, and the output composes with ImageFeatureStage."""
+    import numpy as np
+    import ray.data
+
+    from packs_ray.functions import multimodal as mm
+
+    t = mm.synth_media_table(16)
+    out = mm.image_resize(ray.data.from_arrow(t), 3, 5).to_pandas() \
+        .set_index("media_id")
+    for mid, kind in zip(t.column("media_id").to_pylist(),
+                         t.column("kind").to_pylist()):
+        if kind != "image":
+            continue
+        px = mm.truth_image(mid)
+        h, w, _ = px.shape
+        rows = (np.arange(3) * h) // 3
+        cols = (np.arange(5) * w) // 5
+        exp = px[rows][:, cols]
+        got = mm.decode_bmp(out.loc[mid, "payload"])
+        assert (got == exp).all() and got.shape == (3, 5, 3)
+        assert (out.loc[mid, "height"], out.loc[mid, "width"]) == (3, 5)
