@@ -368,6 +368,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def schema_hashes_lineitem(sf):
         return profiling.schema_hashes(_ds(sf, "lineitem"))
 
+    def mixture_sample_sources(sf):
+        from packs_ray.functions.sampling import mixture_sample
+
+        return mixture_sample([
+            ("documents", _ds(sf, "documents", ["doc_id"]), "doc_id", 0.4),
+            ("events", _ds(sf, "events", ["event_id"]), "event_id", 0.1),
+        ])
+
+    def chunk_documents_sliding(sf):
+        from packs_ray.functions.textstats import chunk_documents
+
+        return chunk_documents(_ds(sf, "documents", ["doc_id", "text"]),
+                               "doc_id", "text",
+                               max_tokens=32, overlap=8)
+
     def approx_distinct_orders(sf):
         from packs_ray.functions.sketches import approx_distinct
 
@@ -606,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "approx_distinct_orders": approx_distinct_orders,
         "cms_counts_orders": cms_counts_orders,
+        "chunk_documents_sliding": chunk_documents_sliding,
+        "mixture_sample_sources": mixture_sample_sources,
         "transcripts_filter_summary": transcripts_filter_summary,
         "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
@@ -1668,6 +1685,32 @@ def _cms_sql(table: str, col: str, probes: list[int]) -> str:
     SELECT CAST(key AS VARCHAR) AS key, est_count FROM est)"""
 
 
+def _mixture_branch_sql(table: str, id_col: str, name: str,
+                        rate: float) -> str:
+    """One mixture-sample branch: FNV-1a of the id string, pre-multiplied
+    by the odd salt constant (= FNV of the source name), finalized, gated
+    at rate — cell-for-cell the engine's sampling.sample_mask."""
+    from packs_ray.functions.sampling import _salt_constant
+
+    sc = int(_salt_constant(name))
+    thr = int(round(rate * 1e6))
+    return f"""
+    SELECT * FROM (
+    WITH v AS (SELECT {id_col} AS id, CAST({id_col} AS VARCHAR) AS sv
+               FROM {table} WHERE {id_col} IS NOT NULL),
+    b AS (SELECT id, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT id, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT id, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT id, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM sm),
+    fr AS (SELECT id, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT id, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr)
+    SELECT '{name}' AS source, id FROM f2
+    WHERE h % 1000000 < {thr})"""
+
+
 def _staleness_sql() -> str:
     """SQL cannot stat() files, so the raw inputs (file mtimes — the
     same stat the engine performs) are persisted as a parquet artifact
@@ -1990,6 +2033,33 @@ def oracle_sql() -> dict[str, str]:
             _hll_column_sql("orders", "o_orderstatus"),
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        "mixture_sample_sources":
+            _mixture_branch_sql("documents", "doc_id", "documents", 0.4) +
+            " UNION ALL " +
+            _mixture_branch_sql("events", "event_id", "events", 0.1),
+        # chunk_documents: same RE2 ASCII-whitespace tokenizer, same
+        # integer chunk-count formula (step = 32 - 8 = 24)
+        "chunk_documents_sliding": r"""
+    SELECT * FROM (
+    WITH t AS (SELECT doc_id,
+            regexp_split_to_array(
+                regexp_replace(text,
+                    '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+                '[ \t\n\r\f\v]+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+          WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    c AS (SELECT doc_id, toks, n,
+            CASE WHEN n <= 32 THEN 1
+                 ELSE 1 + (n - 32 + 24 - 1) // 24 END AS nc FROM n),
+    g AS (SELECT doc_id, toks, n,
+            unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+    SELECT doc_id, chunk_idx,
+        least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_tokens,
+        array_to_string(toks[chunk_idx * 24 + 1 :
+                             least(chunk_idx * 24 + 32, n)], ' ')
+            AS chunk_text
+    FROM g)""",
         "schema_hashes_lineitem": _schema_hashes_sql(),
         "decimal_precision_lineitem": _decimal_precision_sql(),
         "embedding_pairs_lsh": _embedding_pairs_lsh_sql(),

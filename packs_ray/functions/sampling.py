@@ -1,0 +1,73 @@
+"""Deterministic sampling / dataset mixing.
+
+Training-data pipelines mix sources at configured rates (web 40 %,
+code 10 %, ...).  At 100 TB the sample decision must be a pure function
+of the row — no RNG state, no coordination — so any worker, any retry,
+any resume produces the same subset.  The gate here is
+``hash(id, salt) % 1e6 < rate * 1e6`` with the engine's FNV-1a +
+multiply-rotate-multiply finalizer (packs_ray.functions.sketches),
+which the DuckDB oracle replicates exactly.
+
+The reference's only sampling is positional ``head()``
+(profiling_pack/main.py:65-133) and an UNSEEDED ``np.random.choice``
+(outlier_detection_pack/main.py:206-209) — i.e. non-reproducible; this
+operator is the reproducible replacement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from packs_ray.functions.sketches import _finalize, _fnv1a_str
+
+_MOD = np.uint64(1_000_000)
+
+
+def _salt_constant(salt: str) -> np.uint64:
+    """Odd 64-bit constant from FNV-1a of the salt string (odd so the
+    pre-multiply stays a bijection mod 2^64)."""
+    h = 14695981039346656037
+    for b in salt.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) % (1 << 64)
+    return np.uint64(h | 1)
+
+
+def sample_mask(col: pa.Array, rate: float, salt: str = "") -> np.ndarray:
+    """Boolean keep-mask: hash(value, salt) lands under the rate
+    threshold.  Null values are never kept."""
+    h, valid = _fnv1a_str(col)
+    h = _finalize(h * _salt_constant(salt))
+    thr = np.uint64(int(round(rate * 1e6)))
+    return valid & ((h % _MOD) < thr)
+
+
+def deterministic_sample(ds, id_col: str, rate: float, *, salt: str = ""):
+    """Filter a Dataset to a reproducible ``rate`` fraction keyed on
+    ``id_col`` (same id -> same decision, on any cluster, any retry)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(
+            sample_mask(batch.column(id_col), rate, salt)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_sample(sources: list[tuple[str, "object", str, float]]):
+    """Mix sources at per-source rates: each element is
+    ``(name, ds, id_col, rate)``; rows are gated by
+    hash(id, salt=name) < rate and emitted as (source, id).  The union
+    is lazy — each branch streams independently, no shuffle."""
+    outs = []
+    for name, ds, id_col, rate in sources:
+        def fn(batch: pa.Table, _n=name, _c=id_col, _r=rate) -> pa.Table:
+            keep = sample_mask(batch.column(_c), _r, _n)
+            ids = batch.column(_c).cast(pa.int64())
+            t = pa.table({"source": pa.array([_n] * batch.num_rows),
+                          "id": ids}).filter(pa.array(keep))
+            return t
+        outs.append(ds.map_batches(fn, batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -208,3 +208,54 @@ def fingerprints(ds, id_col: str, column: str):
                          "fingerprint": pa.array(out.view(np.int64), type=pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(ds, id_col: str, column: str, *,
+                    max_tokens: int = 64, overlap: int = 16):
+    """Split documents into token-bounded sliding-window chunks — the
+    context-length prep step of a training-data pipeline (not in the
+    reference; standard public technique).
+
+    Tokens are ASCII-whitespace-delimited (RE2 ``[ \\t\\n\\r\\f\\v]+`` on
+    both the Arrow kernel and the DuckDB oracle, so semantics match
+    exactly); chunk ``i`` covers tokens ``[i*step, i*step+max_tokens)``
+    with ``step = max_tokens - overlap``, and the chunk count is the
+    integer ``1 + ceil((n - max_tokens)/step)`` for ``n > max_tokens``
+    (the tail chunk is shorter, never empty).  Null and zero-token
+    documents emit no rows.  One output row per (doc, chunk):
+    ``(id, chunk_idx, n_tokens, chunk_text)`` — embarrassingly parallel
+    per batch, no shuffle."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    ws = "[ \t\n\r\f\v]+"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim(col, " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(pc.fill_null(trimmed, ""), ws)
+        out_id, out_ci, out_nt, out_tx = [], [], [], []
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        for i in range(len(col)):
+            if not valid[i]:
+                continue
+            toks = lists[i].as_py()
+            if toks == [""]:          # empty/whitespace-only document
+                continue
+            n = len(toks)
+            nc = 1 if n <= max_tokens else 1 + (n - max_tokens + step - 1) // step
+            for ci in range(nc):
+                sl = toks[ci * step: ci * step + max_tokens]
+                out_id.append(ids[i])
+                out_ci.append(ci)
+                out_nt.append(len(sl))
+                out_tx.append(" ".join(sl))
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_ci, type=pa.int64()),
+            "n_tokens": pa.array(out_nt, type=pa.int64()),
+            "chunk_text": pa.array(out_tx, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

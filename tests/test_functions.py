@@ -869,3 +869,65 @@ def test_image_resize_stage(ray_session):
         got = mm.decode_bmp(out.loc[mid, "payload"])
         assert (got == exp).all() and got.shape == (3, 5, 3)
         assert (out.loc[mid, "height"], out.loc[mid, "width"]) == (3, 5)
+
+
+def test_chunk_documents(ray_session):
+    """Sliding-window chunking: overlap honored, tail chunk short but
+    never empty, null/empty docs skipped, chunks reassemble the doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [" ".join(toks),       # 25 tokens -> 3 chunks (10/4)
+                 "one two three",      # short -> 1 chunk
+                 None, "", "   \t "],  # skipped
+    }))
+    out = chunk_documents(ds, "doc_id", "text", max_tokens=10, overlap=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    d1 = out[out.doc_id == 1]
+    # step=6: starts 0,6,12,18 -> but 25<=10? no; nc = 1+ceil(15/6)=4
+    assert list(d1.chunk_idx) == [0, 1, 2, 3]
+    assert list(d1.n_tokens) == [10, 10, 10, 7]
+    assert d1.chunk_text.iloc[0].split() == toks[0:10]
+    assert d1.chunk_text.iloc[3].split() == toks[18:25]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert d1.chunk_text.iloc[0].split()[-4:] == d1.chunk_text.iloc[1].split()[:4]
+    assert set(out.doc_id) == {1, 2}
+    assert list(out[out.doc_id == 2].n_tokens) == [3]
+
+
+def test_deterministic_sampling_and_mixture(ray_session):
+    """Hash-gated sampling: block-split invariant, ~rate fraction kept,
+    monotone in rate (0.2-sample is a subset of the 0.5-sample), and
+    per-source salts decorrelate decisions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import (deterministic_sample,
+                                              mixture_sample, sample_mask)
+
+    ids = np.arange(20_000, dtype=np.int64)
+    one = ray.data.from_arrow(pa.table({"id": ids}))
+    s1 = set(deterministic_sample(one, "id", 0.3).to_pandas()["id"])
+    s17 = set(deterministic_sample(one.repartition(17), "id", 0.3)
+              .to_pandas()["id"])
+    assert s1 == s17
+    assert abs(len(s1) / 20_000 - 0.3) < 0.02
+    s_small = set(deterministic_sample(one, "id", 0.1).to_pandas()["id"])
+    assert s_small <= s1                               # monotone gate
+    m_a = sample_mask(pa.array(ids), 0.3, "a")
+    m_b = sample_mask(pa.array(ids), 0.3, "b")
+    assert 0.05 < (m_a & m_b).mean() < 0.15            # ~independent (0.09)
+
+    mix = mixture_sample([
+        ("x", one, "id", 0.5),
+        ("y", ray.data.from_arrow(pa.table({"k": ids[:1000]})), "k", 1.0),
+    ]).to_pandas()
+    counts = mix.groupby("source").size()
+    assert counts["y"] == 1000
+    assert abs(counts["x"] / 20_000 - 0.5) < 0.02
