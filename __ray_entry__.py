@@ -368,6 +368,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def schema_hashes_lineitem(sf):
         return profiling.schema_hashes(_ds(sf, "lineitem"))
 
+    def hash_split_orders(sf):
+        from packs_ray.functions.sampling import hash_split
+
+        out = hash_split(_ds(sf, "orders", ["o_orderkey"]), "o_orderkey",
+                         {"train": 0.9, "val": 0.05, "test": 0.05})
+        df = out.groupby("split").count().to_pandas()
+        return df.rename(columns={"count()": "cnt"})
+
     def mixture_sample_sources(sf):
         from packs_ray.functions.sampling import mixture_sample
 
@@ -623,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
+        "hash_split_orders": hash_split_orders,
         "transcripts_filter_summary": transcripts_filter_summary,
         "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
@@ -1711,6 +1720,39 @@ def _mixture_branch_sql(table: str, id_col: str, name: str,
     WHERE h % 1000000 < {thr})"""
 
 
+def _hash_split_sql(table: str, id_col: str,
+                    fractions: dict[str, float], salt: str = "split") -> str:
+    """Exact SQL replica of sampling.hash_split band assignment +
+    per-split counts."""
+    import numpy as np
+
+    from packs_ray.functions.sampling import _salt_constant
+
+    names = list(fractions)
+    edges = np.cumsum([int(round(fractions[n] * 1e6)) for n in names])
+    whens = " ".join(
+        f"WHEN m < {int(e)} THEN '{n}'" for n, e in
+        zip(names[:-1], edges[:-1]))
+    sc = int(_salt_constant(salt))
+    return f"""
+    SELECT * FROM (
+    WITH v AS (SELECT CAST({id_col} AS VARCHAR) AS sv FROM {table}
+               WHERE {id_col} IS NOT NULL),
+    b AS (SELECT hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM sm),
+    fr AS (SELECT ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
+    m AS (SELECT (h % 1000000)::BIGINT AS m FROM f2)
+    SELECT CASE {whens} ELSE '{names[-1]}' END AS split,
+           count(*)::BIGINT AS cnt
+    FROM m GROUP BY 1)"""
+
+
 def _staleness_sql() -> str:
     """SQL cannot stat() files, so the raw inputs (file mtimes — the
     same stat the engine performs) are persisted as a parquet artifact
@@ -2033,6 +2075,9 @@ def oracle_sql() -> dict[str, str]:
             _hll_column_sql("orders", "o_orderstatus"),
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        "hash_split_orders":
+            _hash_split_sql("orders", "o_orderkey",
+                            {"train": 0.9, "val": 0.05, "test": 0.05}),
         "mixture_sample_sources":
             _mixture_branch_sql("documents", "doc_id", "documents", 0.4) +
             " UNION ALL " +

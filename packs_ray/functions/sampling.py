@@ -71,3 +71,32 @@ def mixture_sample(sources: list[tuple[str, "object", str, float]]):
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def hash_split(ds, id_col: str, fractions: dict[str, float], *,
+               salt: str = "split"):
+    """Add a ``split`` column assigning each row to a named split by
+    hash band — keyed on ``id_col`` so rows sharing a key (e.g. all
+    turns of a conversation) land in the SAME split: no train/val
+    leakage, reproducible anywhere.  Fractions must sum to ~1; bands
+    are cumulative thresholds over hash(id, salt) % 1e6.  Null ids get
+    a null split."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    names = list(fractions)
+    edges = np.cumsum([int(round(fractions[n] * 1e6)) for n in names])
+    edges[-1] = 1_000_000            # absorb rounding in the last band
+    sc = _salt_constant(salt)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h, valid = _fnv1a_str(batch.column(id_col))
+        band = np.searchsorted(edges, (_finalize(h * sc) % _MOD)
+                               .astype(np.int64), side="right")
+        labels = np.array(names, dtype=object)[np.minimum(band, len(names) - 1)]
+        return batch.append_column(
+            "split", pa.array([l if v else None
+                               for l, v in zip(labels, valid)],
+                              type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -931,3 +931,31 @@ def test_deterministic_sampling_and_mixture(ray_session):
     counts = mix.groupby("source").size()
     assert counts["y"] == 1000
     assert abs(counts["x"] / 20_000 - 0.5) < 0.02
+
+
+def test_hash_split(ray_session):
+    """Leakage-safe splits: same key -> same split everywhere, fractions
+    approximately honored, all rows assigned, bad fractions rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from packs_ray.functions.sampling import hash_split
+
+    ids = np.repeat(np.arange(5000, dtype=np.int64), 3)   # 3 rows per key
+    ds = ray.data.from_arrow(pa.table({"k": ids, "v": np.arange(15000)}))
+    out = hash_split(ds, "k", {"train": 0.8, "val": 0.2}).to_pandas()
+    assert out["split"].notna().all()
+    per_key = out.groupby("k")["split"].nunique()
+    assert (per_key == 1).all()                            # no leakage
+    frac = (out["split"] == "train").mean()
+    assert abs(frac - 0.8) < 0.03
+    out17 = hash_split(ds.repartition(17), "k",
+                       {"train": 0.8, "val": 0.2}).to_pandas()
+    m1 = out.sort_values("v")["split"].to_numpy()
+    m17 = out17.sort_values("v")["split"].to_numpy()
+    assert (m1 == m17).all()
+
+    with pytest.raises(ValueError, match="fractions sum"):
+        hash_split(ds, "k", {"a": 0.5, "b": 0.2})
