@@ -591,6 +591,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(multimodal.synth_media_table(128))
         return multimodal.audio_features(media)
 
+    def repetition_documents(sf):
+        from packs_ray.functions import webquality
+
+        return webquality.repetition_stats(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", ns=(2, 3))
+
+    def decontam_documents(sf):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from packs_ray.functions import webquality
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        bench = [x for i, x in zip(ids, t.column("text").to_pylist())
+                 if i % 97 == 0]
+
+        def not_bench(batch: pa.Table) -> pa.Table:
+            d = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False))
+            return batch.filter(pa.array(d % 97 != 0))
+
+        scan = (_ds(sf, "documents", ["doc_id", "text"])
+                .map_batches(not_bench, batch_format="pyarrow"))
+        return webquality.decontaminate(scan, "doc_id", "text", bench, n=3)
+
+    def boilerplate_turns_transcripts(sf):
+        from packs_ray.functions import webquality
+        from packs_ray.sources.parquet import read_parquet_sized
+
+        tds = read_parquet_sized(_transcripts(sf), columns=["conv_id", "text"])
+        return webquality.boilerplate_texts(tds, "conv_id", "text", min_groups=5)
+
     return {
         "completeness_events": completeness_events,
         "text_stats_documents": text_stats_documents,
@@ -649,6 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latlon_autodetect_events": latlon_autodetect_events,
         "timeliness_string_dates": timeliness_string_dates,
         "timeliness_year_events": timeliness_year_events,
+        "repetition_documents": repetition_documents,
+        "decontam_documents": decontam_documents,
+        "boilerplate_turns_transcripts": boilerplate_turns_transcripts,
         "media_image_features": media_image_features,
         "media_thumb_features": media_thumb_features,
         "media_audio_features": media_audio_features,
@@ -1428,6 +1463,73 @@ def _conversation_summary_sql() -> str:
     FROM rb GROUP BY conv_id"""
 
 
+def _ngram_frac_sql(n: int) -> str:
+    """CTE pair computing per-doc top/dup word-{n}gram position fractions
+    (packs_ray.functions.webquality.repetition_stats semantics)."""
+    k = n - 1
+    return f"""
+    g{n} AS (SELECT doc_id, unnest(generate_series(1, len(ws)-{k})) AS i, ws FROM w),
+    c{n} AS (SELECT doc_id, array_to_string(ws[i:i+{k}],' ') AS gram, count(*) AS c
+             FROM g{n} GROUP BY 1, 2),
+    a{n} AS (SELECT doc_id, max(c)::DOUBLE/sum(c) AS top{n},
+                    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE/sum(c) AS dup{n}
+             FROM c{n} GROUP BY doc_id)"""
+
+
+def _repetition_sql() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+                    ELSE len(string_split(text, ' ')) END AS n_words,
+                    string_split(text, ' ') AS ws FROM documents),
+    {_ngram_frac_sql(2)},
+    {_ngram_frac_sql(3)}
+    SELECT w.doc_id, n_words,
+        coalesce(top2, 0.0) AS top_2gram_frac, coalesce(dup2, 0.0) AS dup_2gram_frac,
+        coalesce(top3, 0.0) AS top_3gram_frac, coalesce(dup3, 0.0) AS dup_3gram_frac
+    FROM w LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"""
+
+
+def _decontam_sql() -> str:
+    """Bench = docs with doc_id % 97 == 0; 3-gram overlap counts for the
+    rest (webquality.decontaminate semantics, position counts)."""
+    return """
+    WITH bw AS (SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+    bg AS (SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS gram FROM
+           (SELECT ws, unnest(generate_series(1, len(ws)-2)) AS i FROM bw)),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE doc_id % 97 != 0),
+    cg AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM
+           (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM cw)),
+    h AS (SELECT doc_id, count(*) AS n_hits FROM cg
+          WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN h USING (doc_id)"""
+
+
+def _boilerplate_sql() -> str:
+    """Normalized texts in >= 5 distinct conversations on the sf-sized
+    transcript fixture (same count(*)-gated union as the flagship CTE)."""
+    a = _ensure_flagship_artifacts()
+    return f"""
+    WITH t AS (
+        SELECT conv_id, text FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT conv_id, text FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT conv_id, text FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    n AS (SELECT conv_id, lower(trim(text,
+              ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS text_norm
+          FROM t WHERE text IS NOT NULL)
+    SELECT text_norm, count(DISTINCT conv_id)::BIGINT AS n_groups,
+           count(*)::BIGINT AS n_rows
+    FROM n WHERE text_norm <> ''
+    GROUP BY text_norm HAVING count(DISTINCT conv_id) >= 5"""
+
+
 def _ensure_media_artifacts() -> dict[str, str]:
     """Persist the synth-media metadata and the GROUND-TRUTH arrays as
     parquet artifacts (the bigram-logp pattern,
@@ -2113,6 +2215,9 @@ def oracle_sql() -> dict[str, str]:
         "latlon_autodetect_events": _latlon_sql(),
         "timeliness_string_dates": _timeliness_string_sql(),
         "timeliness_year_events": _timeliness_year_sql(),
+        "repetition_documents": _repetition_sql(),
+        "decontam_documents": _decontam_sql(),
+        "boilerplate_turns_transcripts": _boilerplate_sql(),
         "transcripts_filter_summary": _transcripts_filter_summary_sql(),
         "conversation_summary_transcripts": _conversation_summary_sql(),
         "profile_summary_events": _profile_summary_sql(),

@@ -1,0 +1,270 @@
+"""Web-scale corpus-quality operators: Gopher-style repetition stats,
+C4/CCNet-style corpus-level boilerplate removal, and benchmark
+decontamination.
+
+These extend the reference's per-column quality checks (e.g.
+text_validation_pack/main.py:36-114 length/word stats) to the
+document- and corpus-level signals a 100-TB training-data pipeline
+needs (Rae et al. 2021 "Scaling Language Models" App. A1.1 repetition
+filters; Raffel et al. 2020 C4 §2.2 corpus-level line dedup; Brown et
+al. 2020 GPT-3 App. C n-gram decontamination).  All three are
+published-recipe re-expressions, vectorized over Arrow batches:
+
+- ``repetition_stats``: per-document fraction of word n-gram positions
+  occupied by the most frequent n-gram (``top_{n}gram_frac``) and by
+  any n-gram occurring more than once (``dup_{n}gram_frac``).  We count
+  n-gram *positions* rather than Gopher's character coverage: the
+  signal is the same monotone repetition measure, but it is exactly
+  SQL-expressible so the DuckDB oracle can verify it hash-exact.
+- ``boilerplate_texts`` / ``drop_boilerplate``: normalized texts that
+  appear in >= ``min_groups`` distinct groups (conversations) are
+  boilerplate; find them with a bucketed distinct-count reduce, then
+  drop matching rows via a broadcast membership filter.
+- ``decontaminate``: mark corpus documents sharing any word n-gram
+  with a (small, broadcast) benchmark set.
+
+Tokenization contract shared with the oracles: split on a single
+ASCII space (empty tokens kept), n-grams joined with a single space —
+byte-identical to DuckDB ``string_split(text, ' ')`` +
+``array_to_string(ws[i:i+n-1], ' ')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from packs_ray.functions.agg import bucketed_group_reduce, reduce_partition_count
+from packs_ray.stages.util import str_column
+
+# Python str.strip / Arrow trim default whitespace, pinned to the ASCII
+# set so the DuckDB twin (trim(text, ' \t\n\r\x0b\x0c')) matches.
+_WS = " \t\n\r\x0b\x0c"
+
+
+def _flat_words(text: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split every text on ' ' and return (flat word values, per-doc word
+    counts, flat doc index).  Null texts contribute 0 words."""
+    nulls = pc.is_null(text).to_numpy(zero_copy_only=False)
+    split = pc.split_pattern(pc.coalesce(text, pa.scalar("", type=text.type)), " ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    # coalesce turned null -> "" -> [''] (one empty token); zero it back out
+    if nulls.any():
+        keep = split.filter(pa.array(~nulls))  # words of non-null docs only
+        lens = np.where(nulls, 0, lens)
+        flat = np.asarray(pc.list_flatten(keep).to_numpy(zero_copy_only=False),
+                          dtype=object)
+    else:
+        flat = np.asarray(pc.list_flatten(split).to_numpy(zero_copy_only=False),
+                          dtype=object)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return flat, lens, doc_idx
+
+
+def _gram_starts(doc_idx: np.ndarray, n: int) -> np.ndarray:
+    """Flat indices i such that words[i:i+n] lie inside one document."""
+    if doc_idx.size < n:
+        return np.empty(0, dtype=np.int64)
+    valid = doc_idx[: doc_idx.size - n + 1] == doc_idx[n - 1:]
+    return np.nonzero(valid)[0]
+
+
+def repetition_stats(ds, id_col: str, column: str, ns: tuple[int, ...] = (2, 3)):
+    """Per-document word n-gram repetition fractions (Gopher App. A1.1
+    recipe, position-fraction variant; see module docstring).
+
+    Output: one row per input row with ``id_col``, ``n_words`` and, for
+    each n, ``top_{n}gram_frac`` / ``dup_{n}gram_frac`` (0.0 when the
+    document has fewer than n words).  Fully per-batch (no shuffle).
+    """
+    ns = tuple(ns)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        words, lens, doc_idx = _flat_words(text)
+        ndocs = len(lens)
+        # exact word ids at C speed; gram identity = tuple of word ids
+        codes = (pd.factorize(words)[0].astype(np.int64) if words.size
+                 else np.empty(0, dtype=np.int64))
+        out: dict[str, pa.Array] = {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(lens, type=pa.int64()),
+        }
+        for n in ns:
+            starts = _gram_starts(doc_idx, n)
+            top = np.zeros(ndocs, dtype=np.float64)
+            dup = np.zeros(ndocs, dtype=np.float64)
+            if starts.size:
+                cols = [codes[starts + k] for k in range(n)]
+                docs = doc_idx[starts]
+                # sort gram occurrences by (doc, gram tuple); count runs
+                order = np.lexsort(tuple(reversed(cols)) + (docs,))
+                sd = docs[order]
+                new_run = np.zeros(starts.size, dtype=bool)
+                new_run[0] = True
+                for c in cols:
+                    cs = c[order]
+                    new_run[1:] |= cs[1:] != cs[:-1]
+                new_run[1:] |= sd[1:] != sd[:-1]
+                run_ids = np.cumsum(new_run) - 1
+                counts = np.bincount(run_ids)  # occurrences per (doc, gram)
+                run_doc = sd[new_run]
+                totals = np.bincount(docs, minlength=ndocs).astype(np.float64)
+                max_c = np.zeros(ndocs, dtype=np.int64)
+                np.maximum.at(max_c, run_doc, counts)
+                dup_c = np.zeros(ndocs, dtype=np.int64)
+                np.add.at(dup_c, run_doc, np.where(counts > 1, counts, 0))
+                nz = totals > 0
+                top[nz] = max_c[nz] / totals[nz]
+                dup[nz] = dup_c[nz] / totals[nz]
+            out[f"top_{n}gram_frac"] = pa.array(top, type=pa.float64())
+            out[f"dup_{n}gram_frac"] = pa.array(dup, type=pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def boilerplate_texts(ds, group_col: str, text_col: str, *, min_groups: int = 5):
+    """Normalized texts (strip + lower) appearing in >= ``min_groups``
+    distinct groups — the corpus-level "line appears in many documents"
+    boilerplate test of C4 §2.2, with conversation as the document.
+
+    Returns a Dataset of (text_norm, n_groups, n_rows).  Shuffle shape:
+    per-batch (norm, group) distinct partials (tiny vs the input), then
+    ONE bucketed reduce keyed by norm — all occurrences of one text
+    land in one bucket, so the distinct-group count is exact.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, text_col)
+        norm = pc.utf8_lower(pc.utf8_trim(text, _WS))
+        df = pd.DataFrame({
+            "text_norm": norm.to_numpy(zero_copy_only=False),
+            "g": batch.column(group_col).to_numpy(zero_copy_only=False),
+        })
+        df = df[df["text_norm"].notna() & (df["text_norm"] != "")]
+        part = (df.groupby(["text_norm", "g"], sort=False).size()
+                  .rename("n_rows").reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("text_norm", sort=False)
+                .agg(n_groups=("g", "nunique"), n_rows=("n_rows", "sum"))
+                .reset_index())
+        agg = agg[agg["n_groups"] >= min_groups]
+        return agg.astype({"n_groups": "int64", "n_rows": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["text_norm"], per_bucket,
+                                 reduce_partition_count(ds))
+
+
+def drop_boilerplate(ds, group_col: str, text_col: str, *, min_groups: int = 5):
+    """Remove rows whose normalized text is corpus-level boilerplate.
+
+    The boilerplate set is small by construction (each entry occurs in
+    >= ``min_groups`` groups, so the set has at most n_rows/min_groups
+    entries and in practice far fewer) — broadcast it once via
+    ``ray.put`` and filter each batch with a sorted-array membership
+    test.  No second shuffle of the full input.
+    """
+    import ray
+
+    bp = boilerplate_texts(ds, group_col, text_col, min_groups=min_groups)
+    norms = np.sort(np.asarray(
+        [r["text_norm"] for r in bp.select_columns(["text_norm"]).take_all()],
+        dtype=object))
+    ref = ray.put(norms)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        if bad.size == 0:
+            return batch
+        text = str_column(batch, text_col)
+        norm = np.asarray(pc.utf8_lower(pc.utf8_trim(text, _WS))
+                          .to_numpy(zero_copy_only=False), dtype=object)
+        present = pd.notna(norm)
+        probe = np.where(present, norm, "")
+        pos = np.searchsorted(bad, probe)
+        pos[pos == bad.size] = 0
+        hit = present & (bad[pos] == probe)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def build_bench_grams(bench_texts: list[str], n: int) -> dict:
+    """Benchmark word-n-gram index for :func:`decontaminate`: a word
+    vocabulary plus the packed int64 codes of every bench n-gram.
+    Built once on the driver and broadcast (benchmark suites are tiny
+    next to the corpus)."""
+    vocab: dict[str, int] = {}
+    grams: set[int] = set()
+    texts = [t for t in bench_texts if t is not None]
+    for t in texts:
+        for w in t.split(" "):
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    base = len(vocab) + 2  # +2: id 0 reserved for "not in bench vocab"
+    if base ** n >= 2 ** 63:
+        raise ValueError(
+            f"bench vocabulary too large to pack {n}-grams into int64 "
+            f"({len(vocab)} words); shrink the benchmark or n")
+    for t in texts:
+        ws = t.split(" ")
+        ids = [vocab[w] + 1 for w in ws]
+        for i in range(len(ids) - n + 1):
+            code = 0
+            for k in range(n):
+                code = code * base + ids[i + k]
+            grams.add(code)
+    return {
+        "vocab": pd.Index(list(vocab.keys())),
+        "grams": np.sort(np.fromiter(grams, dtype=np.int64, count=len(grams))),
+        "base": base,
+        "n": n,
+    }
+
+
+def decontaminate(ds, id_col: str, text_col: str, bench_texts: list[str],
+                  *, n: int = 3):
+    """Per-document benchmark-contamination counts (GPT-3 App. C style
+    n-gram overlap): ``n_hits`` = number of word n-gram positions whose
+    gram also occurs in the benchmark set, ``contaminated`` = any hit.
+
+    Scale shape: the bench index is built once and broadcast with
+    ``ray.put``; each batch maps its words onto the bench vocabulary
+    (``pd.Index.get_indexer``, exact), packs candidate grams into int64
+    and membership-tests with ``np.isin`` — no hashing, no collisions,
+    no shuffle.
+    """
+    import ray
+
+    ref = ray.put(build_bench_grams(bench_texts, n))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        text = str_column(batch, text_col)
+        words, lens, doc_idx = _flat_words(text)
+        ndocs = len(lens)
+        hits = np.zeros(ndocs, dtype=np.int64)
+        starts = _gram_starts(doc_idx, bench["n"])
+        if starts.size and bench["grams"].size:
+            ids = bench["vocab"].get_indexer(words) + 1  # 0 = out-of-vocab
+            code = np.zeros(starts.size, dtype=np.int64)
+            in_vocab = np.ones(starts.size, dtype=bool)
+            for k in range(bench["n"]):
+                w = ids[starts + k]
+                in_vocab &= w > 0
+                code = code * bench["base"] + w
+            hit = in_vocab & np.isin(code, bench["grams"], assume_unique=False)
+            np.add.at(hits, doc_idx[starts], hit.astype(np.int64))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_hits": pa.array(hits, type=pa.int64()),
+            "contaminated": pa.array(hits > 0, type=pa.bool_()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

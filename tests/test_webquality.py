@@ -1,0 +1,125 @@
+"""Tests for the corpus-quality operators (repetition stats, boilerplate
+removal, benchmark decontamination)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _brute_repetition(text, n):
+    if text is None:
+        return 0.0, 0.0
+    ws = text.split(" ")
+    grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+    if not grams:
+        return 0.0, 0.0
+    from collections import Counter
+
+    c = Counter(grams)
+    top = max(c.values()) / len(grams)
+    dup = sum(v for v in c.values() if v > 1) / len(grams)
+    return top, dup
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    from packs_ray.functions.webquality import repetition_stats
+
+    texts = ["a b a b a b", "x y z", "q", "", None, "w w w w",
+             "one two  three", "a a b b a a"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (repetition_stats(_ds(rows), "doc_id", "text", ns=(2, 3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        exp_words = 0 if t is None else len(t.split(" "))
+        assert out.loc[i, "n_words"] == exp_words
+        for n in (2, 3):
+            top, dup = _brute_repetition(t, n)
+            assert out.loc[i, f"top_{n}gram_frac"] == pytest.approx(top)
+            assert out.loc[i, f"dup_{n}gram_frac"] == pytest.approx(dup)
+
+
+def test_repetition_runs_never_cross_documents(ray_session):
+    from packs_ray.functions.webquality import repetition_stats
+
+    # identical adjacent docs: grams must not bleed across the boundary
+    rows = [{"doc_id": 0, "text": "p q"}, {"doc_id": 1, "text": "q p"}]
+    out = (repetition_stats(_ds(rows), "doc_id", "text", ns=(2,))
+           .to_pandas().sort_values("doc_id"))
+    assert (out["top_2gram_frac"] == 1.0).all()  # one gram each, count 1
+    assert (out["dup_2gram_frac"] == 0.0).all()
+
+
+def test_boilerplate_texts_distinct_groups(ray_session):
+    from packs_ray.functions.webquality import boilerplate_texts
+
+    rows = []
+    # "ok" in 3 convs (one conv repeats it -> 4 rows, 3 groups)
+    for c in ("a", "a", "b", "c"):
+        rows.append({"conv_id": c, "text": "ok"})
+    # "  OK " normalizes to the same text, conv d -> 4 groups total
+    rows.append({"conv_id": "d", "text": "  OK \t"})
+    # below threshold
+    rows.append({"conv_id": "a", "text": "rare"})
+    # empty/null excluded
+    rows.append({"conv_id": "e", "text": "   "})
+    rows.append({"conv_id": "e", "text": None})
+    out = (boilerplate_texts(_ds(rows), "conv_id", "text", min_groups=3)
+           .to_pandas())
+    assert len(out) == 1
+    assert out.iloc[0]["text_norm"] == "ok"
+    assert out.iloc[0]["n_groups"] == 4
+    assert out.iloc[0]["n_rows"] == 5
+
+
+def test_drop_boilerplate_keeps_rare_rows(ray_session):
+    from packs_ray.functions.webquality import drop_boilerplate
+
+    rows = ([{"conv_id": f"c{i}", "text": "yes"} for i in range(6)]
+            + [{"conv_id": "c0", "text": "unique words here"},
+               {"conv_id": "c1", "text": None}])
+    kept = (drop_boilerplate(_ds(rows), "conv_id", "text", min_groups=5)
+            .to_pandas())
+    texts = set(kept["text"].dropna())
+    assert texts == {"unique words here"}
+    assert kept["text"].isna().sum() == 1  # nulls are never boilerplate
+
+
+def test_decontaminate_counts_positions(ray_session):
+    from packs_ray.functions.webquality import decontaminate
+
+    bench = ["secret phrase here now", None]
+    rows = [
+        {"doc_id": 0, "text": "intro secret phrase here now outro"},  # 2 hits (n=3)
+        {"doc_id": 1, "text": "secret phrase somewhere else"},        # 0 hits
+        {"doc_id": 2, "text": "phrase here now"},                     # 1 hit
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "unseen words entirely fresh"},
+    ]
+    out = (decontaminate(_ds(rows), "doc_id", "text", bench, n=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["n_hits"]) == [2, 0, 1, 0, 0, 0]
+    assert list(out["contaminated"]) == [True, False, True, False, False, False]
+
+
+def test_decontaminate_empty_bench(ray_session):
+    from packs_ray.functions.webquality import decontaminate
+
+    rows = [{"doc_id": 0, "text": "a b c d"}]
+    out = decontaminate(_ds(rows), "doc_id", "text", [], n=3).to_pandas()
+    assert list(out["n_hits"]) == [0]
+
+
+def test_build_bench_grams_overflow_guard():
+    from packs_ray.functions.webquality import build_bench_grams
+
+    with pytest.raises(ValueError, match="too large"):
+        # 2^63^(1/2) ~ 3e9 words is unreachable; fake it with n huge
+        build_bench_grams(["a b c d e f g h"], n=40)
