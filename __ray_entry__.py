@@ -616,6 +616,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(not_bench, batch_format="pyarrow"))
         return webquality.decontaminate(scan, "doc_id", "text", bench, n=3)
 
+    def join_orders_customer(sf):
+        from packs_ray.functions.joins import equi_join
+
+        return equi_join(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _ds(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            left_on=["o_custkey"], right_on=["c_custkey"], how="left")
+
+    def asof_last_click_events(sf):
+        import pyarrow as pa
+
+        from packs_ray.functions.agg import (bucketed_group_reduce,
+                                             reduce_partition_count)
+        from packs_ray.functions.joins import asof_join
+
+        ev = _ds(sf, "events", ["event_id", "user_id", "ts"])
+        raw = _ds(sf, "events", ["user_id", "ts", "event_type", "value"])
+
+        def click_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[(df["event_type"] == "click")
+                    & df["user_id"].notna() & df["ts"].notna()]
+            part = (df.groupby(["user_id", "ts"], sort=False)["value"].max()
+                      .rename("click_value").reset_index())
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+        def click_reduce(g):
+            return (g.groupby(["user_id", "ts"], sort=False)["click_value"]
+                     .max().reset_index())
+
+        clicks = bucketed_group_reduce(
+            raw.map_batches(click_partial, batch_format="pyarrow"),
+            ["user_id", "ts"], click_reduce, reduce_partition_count(raw))
+        return asof_join(ev, clicks, by="user_id", on="ts",
+                         right_cols=["click_value"])
+
     def boilerplate_turns_transcripts(sf):
         from packs_ray.functions import webquality
         from packs_ray.sources.parquet import read_parquet_sized
@@ -684,6 +720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": repetition_documents,
         "decontam_documents": decontam_documents,
         "boilerplate_turns_transcripts": boilerplate_turns_transcripts,
+        "join_orders_customer": join_orders_customer,
+        "asof_last_click_events": asof_last_click_events,
         "media_image_features": media_image_features,
         "media_thumb_features": media_thumb_features,
         "media_audio_features": media_audio_features,
@@ -2218,6 +2256,16 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _repetition_sql(),
         "decontam_documents": _decontam_sql(),
         "boilerplate_turns_transcripts": _boilerplate_sql(),
+        "join_orders_customer":
+            "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+        "asof_last_click_events": """
+    WITH c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL
+               GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, e.ts, c.click_value
+    FROM events e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts""",
         "transcripts_filter_summary": _transcripts_filter_summary_sql(),
         "conversation_summary_transcripts": _conversation_summary_sql(),
         "profile_summary_events": _profile_summary_sql(),

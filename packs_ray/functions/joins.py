@@ -1,0 +1,263 @@
+"""Distributed joins: general equi-join (broadcast + bucketed
+co-partition) and a time-series as-of join.
+
+The reference joins only as datacompy-style compares and FK anti-joins
+(data_compare_pack/main.py, referential_integrity via merge); a
+standalone engine needs the general operators.  Shapes follow the
+repo's two-tier contract (functions/integrity.py, functions/drift.py):
+below ``JOIN_BROADCAST_CAP`` rows the small side is collected once,
+``ray.put`` once, and each batch joins against it with Arrow's C++
+hash join (zero pandas in the hot path); above the cap both sides are
+hash-co-partitioned on the key (ONE shuffle each) and merged per
+bucket.  Null join keys never match (SQL semantics) on every path.
+
+The as-of join (latest right row with ts <= left ts per key) is
+bucketed-only: both sides shuffle on ``hash(by)`` and each bucket runs
+one vectorized ``pd.merge_asof``.  Partitioning assumption: all rows of
+one key fit in one bucket — mega-keys need upstream salting or
+pre-aggregation, same contract as the conversation shuffle
+(stages/conversation.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from packs_ray.functions.agg import reduce_partition_count
+
+# same order of magnitude as COMPARE_BROADCAST_CAP (drift.py): a 5M-row
+# narrow side is ~100s of MB in every worker heap — beyond that, shuffle.
+JOIN_BROADCAST_CAP = 5_000_000
+
+
+def equi_join(left_ds, right_ds, *, left_on: list[str], right_on: list[str],
+              how: str = "inner", broadcast_cap: int = JOIN_BROADCAST_CAP):
+    """Equi-join two Datasets.  ``how`` in {"inner", "left"}.
+
+    Output columns: all left columns, then right columns (join keys
+    included; name collisions suffixed ``_r``).  Right side below
+    ``broadcast_cap`` rows broadcasts; above it, both sides co-partition
+    on the key hash.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lcols = left_ds.schema().names
+    ren = {c: (c + "_r" if c in lcols else c) for c in right_ds.schema().names}
+    if right_ds.count() <= broadcast_cap:
+        return _join_broadcast(left_ds, right_ds, left_on, right_on, how, ren)
+    return _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren)
+
+
+_ARROW_HOW = {"inner": "inner", "left": "left outer"}
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """The Dataset's schema as a pyarrow Schema (pandas-block datasets
+    report numpy dtypes; object falls back to string)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, ValueError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+def _join_broadcast(left_ds, right_ds, left_on, right_on, how, ren):
+    import ray
+
+    # collect as Arrow, NOT pandas: a pandas roundtrip promotes nullable
+    # int key columns to float64 and the typed hash join then refuses
+    blocks = [b for b in ray.get(right_ds.to_arrow_refs()) if len(b)]
+    rt = (pa.concat_tables(blocks, promote_options="default") if blocks
+          else _arrow_schema(right_ds).empty_table())
+    # Arrow's hash join coalesces the right key columns away; carry temp
+    # copies through as payload so the output matches the bucketed path
+    # (left join: null right keys on unmatched rows, as in SQL).
+    for i, c in enumerate(right_on):
+        rt = rt.append_column(f"__rk{i}", rt.column(c))
+    rt = rt.rename_columns(
+        [c if c in right_on or c.startswith("__rk") else ren[c]
+         for c in rt.column_names])
+    ref = ray.put(rt)
+    restore = {f"__rk{i}": ren[c] for i, c in enumerate(right_on)}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        out = batch.join(right, keys=left_on, right_keys=right_on,
+                         join_type=_ARROW_HOW[how], right_suffix="_r")
+        return out.rename_columns([restore.get(c, c) for c in out.column_names])
+
+    return left_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
+    """Co-partition hash join: each side ships once, keyed on the join
+    hash; one pandas merge per bucket.  Null-key rows never shuffle —
+    they cannot match (SQL semantics); for a left join they are kept
+    with null right columns via a separate streaming branch."""
+    num_partitions = max(reduce_partition_count(left_ds),
+                         reduce_partition_count(right_ds))
+    lcols = left_ds.schema().names
+    rcols = right_ds.schema().names
+    r_on = [ren[c] for c in right_on]
+
+    # schema-aligned union: every output column present on both sides,
+    # nulls where absent, so the two marked streams share one schema.
+    lschema = _arrow_schema(left_ds)
+    rschema = _arrow_schema(right_ds)
+    out_fields = [(c, lschema.field(c).type) for c in lcols]
+    out_fields += [(ren[c], rschema.field(c).type) for c in rcols]
+
+    def mark(side, on):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.rename_columns([ren[c] for c in batch.column_names])
+            mask = None
+            for c in on:
+                v = pa.compute.is_valid(batch.column(c))
+                mask = v if mask is None else pa.compute.and_(mask, v)
+            batch = batch.filter(mask)
+            n = len(batch)
+            h = np.zeros(n, dtype=np.uint64)
+            for c in on:
+                vals = batch.column(c).to_numpy(zero_copy_only=False)
+                h = (h * np.uint64(31)) ^ pd.util.hash_array(np.asarray(vals))
+            cols = {"__p": pa.array((h % np.uint64(num_partitions)).view(np.int64)),
+                    "__side": pa.array(np.full(n, side, dtype=np.int8))}
+            for name, typ in out_fields:
+                cols[name] = (batch.column(name) if name in batch.column_names
+                              else pa.nulls(n, typ))
+            return pa.table(cols)
+        return fn
+
+    marked = (left_ds.map_batches(mark(0, left_on), batch_format="pyarrow")
+              .union(right_ds.map_batches(mark(1, r_on),
+                                          batch_format="pyarrow")))
+
+    lout = [c for c, _ in out_fields if c in lcols]
+    rout = [c for c, _ in out_fields if c not in lcols]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lout]
+        r = g[g["__side"] == 1][rout]
+        return l.merge(r, left_on=left_on, right_on=r_on, how=how)
+
+    joined = marked.groupby("__p").map_groups(per_bucket, batch_format="pandas")
+    if how == "left":
+        # null-key left rows: kept with null right columns, no shuffle
+        def null_key_rows(batch: pa.Table) -> pa.Table:
+            mask = None
+            for c in left_on:
+                v = pa.compute.is_null(batch.column(c))
+                mask = v if mask is None else pa.compute.or_(mask, v)
+            batch = batch.filter(mask)
+            cols = {c: batch.column(c) for c in batch.column_names}
+            for name, typ in out_fields:
+                if name not in cols:
+                    cols[name] = pa.nulls(len(batch), typ)
+            return pa.table(cols)
+
+        joined = joined.union(left_ds.map_batches(null_key_rows,
+                                                  batch_format="pyarrow"))
+    return joined
+
+
+def asof_join(left_ds, right_ds, *, by: str, on: str,
+              right_cols: list[str], direction: str = "backward"):
+    """For each left row, attach the right row with the largest ``on``
+    <= left ``on`` (direction="backward"; "forward" = smallest >=)
+    sharing the same ``by`` key.
+
+    Output: all left columns + ``right_cols`` (collision-suffixed
+    ``_r``).  Right side should be unique per (by, on) — if several
+    right rows tie exactly, the match among them is unspecified;
+    pre-aggregate for determinism.  Left rows with a null key or null
+    ``on`` get null matches.  One shuffle per side, one vectorized
+    ``pd.merge_asof`` per bucket.
+    """
+    lcols = left_ds.schema().names
+    ren = {c: (c + "_r" if c in lcols else c) for c in right_cols}
+    if right_ds.schema() is None:
+        # fully-empty right side with unknown schema (e.g. a filter that
+        # dropped everything): every left row gets a null match; types
+        # default to float64 since the right never materialized any.
+        def all_null(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c) for c in batch.column_names}
+            for c in right_cols:
+                cols[ren[c]] = pa.nulls(len(batch), pa.float64())
+            return pa.table(cols)
+
+        return left_ds.map_batches(all_null, batch_format="pyarrow")
+    num_partitions = max(reduce_partition_count(left_ds),
+                         reduce_partition_count(right_ds))
+
+    lschema = _arrow_schema(left_ds)
+    rschema = _arrow_schema(right_ds)
+    out_fields = [(c, lschema.field(c).type) for c in lcols]
+    out_fields += [(ren[c], rschema.field(c).type) for c in right_cols]
+
+    def mark(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.select([by, on] + [c for c in right_cols
+                                                 if c not in (by, on)])
+                batch = batch.rename_columns(
+                    [ren.get(c, c) if c in right_cols and c not in (by, on)
+                     else c for c in batch.column_names])
+            mask = pa.compute.and_(pa.compute.is_valid(batch.column(by)),
+                                   pa.compute.is_valid(batch.column(on)))
+            batch = batch.filter(mask)
+            n = len(batch)
+            vals = np.asarray(batch.column(by).to_numpy(zero_copy_only=False))
+            h = pd.util.hash_array(vals) % np.uint64(num_partitions)
+            cols = {"__p": pa.array(h.view(np.int64)),
+                    "__side": pa.array(np.full(n, side, dtype=np.int8))}
+            for name, typ in out_fields:
+                cols[name] = (batch.column(name) if name in batch.column_names
+                              else pa.nulls(n, typ))
+            return pa.table(cols)
+        return fn
+
+    marked = (left_ds.map_batches(mark(0), batch_format="pyarrow")
+              .union(right_ds.map_batches(mark(1), batch_format="pyarrow")))
+
+    lout = [c for c, _ in out_fields if c in lcols]
+    radd = [c for c, _ in out_fields if c not in lcols]
+    rkeep = [by, on] + [c for c in radd if c not in (by, on)]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lout].sort_values(on, kind="stable")
+        r = g[g["__side"] == 1][rkeep].sort_values(on, kind="stable")
+        if r.empty:
+            out = l.copy()
+            for c in radd:
+                out[c] = None
+            return out
+        return pd.merge_asof(l, r, on=on, by=by, direction=direction,
+                             suffixes=("", "_r"))
+
+    joined = marked.groupby("__p").map_groups(per_bucket, batch_format="pandas")
+
+    # left rows with null key / null ts: appended with null matches
+    def null_key_rows(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.or_(pa.compute.is_null(batch.column(by)),
+                              pa.compute.is_null(batch.column(on)))
+        batch = batch.filter(mask)
+        cols = {c: batch.column(c) for c in batch.column_names}
+        for name, typ in out_fields:
+            if name not in cols:
+                cols[name] = pa.nulls(len(batch), typ)
+        return pa.table(cols)
+
+    return joined.union(left_ds.map_batches(null_key_rows,
+                                            batch_format="pyarrow"))

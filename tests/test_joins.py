@@ -1,0 +1,118 @@
+"""Tests for equi_join (broadcast == bucketed, SQL null semantics) and
+asof_join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows, schema=None):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+L_ROWS = [{"id": 1, "k": 10, "x": "a"},
+          {"id": 2, "k": 20, "x": "b"},
+          {"id": 3, "k": None, "x": "c"},   # null key: no match, kept on left
+          {"id": 4, "k": 30, "x": "d"},     # no right partner
+          {"id": 5, "k": 10, "x": "e"}]     # dup left key
+R_ROWS = [{"k": 10, "v": 1.0},
+          {"k": 10, "v": 2.0},              # dup right key -> multiplication
+          {"k": 20, "v": 3.0},
+          {"k": None, "v": 9.0},            # null right key never matches
+          {"k": 40, "v": 4.0}]
+
+
+def _sql_left():
+    out = []
+    for l in L_ROWS:
+        matches = [r for r in R_ROWS
+                   if l["k"] is not None and r["k"] == l["k"]]
+        if matches:
+            out += [{**l, "k_r": r["k"], "v": r["v"]} for r in matches]
+        else:
+            out.append({**l, "k_r": None, "v": None})
+    return pd.DataFrame(out)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("cap", [10_000, 0], ids=["broadcast", "bucketed"])
+def test_equi_join_left_sql_semantics(cap, ray_session):
+    from packs_ray.functions.joins import equi_join
+
+    out = equi_join(_ds(L_ROWS), _ds(R_ROWS), left_on=["k"], right_on=["k"],
+                    how="left", broadcast_cap=cap).to_pandas()
+    assert _canon(out).equals(_canon(_sql_left()))
+
+
+@pytest.mark.parametrize("cap", [10_000, 0], ids=["broadcast", "bucketed"])
+def test_equi_join_inner_sql_semantics(cap, ray_session):
+    from packs_ray.functions.joins import equi_join
+
+    exp = _sql_left()
+    exp = exp[exp["v"].notna()]
+    out = equi_join(_ds(L_ROWS), _ds(R_ROWS), left_on=["k"], right_on=["k"],
+                    how="inner", broadcast_cap=cap).to_pandas()
+    assert _canon(out).equals(_canon(exp))
+
+
+def test_equi_join_collision_suffix(ray_session):
+    from packs_ray.functions.joins import equi_join
+
+    l = _ds([{"k": 1, "a": "l"}])
+    r = _ds([{"k": 1, "a": "r"}])
+    for cap in (10, 0):
+        out = equi_join(l, r, left_on=["k"], right_on=["k"], how="inner",
+                        broadcast_cap=cap).to_pandas()
+        assert sorted(out.columns) == ["a", "a_r", "k", "k_r"]
+        assert out.iloc[0]["a"] == "l" and out.iloc[0]["a_r"] == "r"
+
+
+def test_asof_join_backward(ray_session):
+    from packs_ray.functions.joins import asof_join
+
+    left = [{"id": 1, "u": "a", "t": 10},
+            {"id": 2, "u": "a", "t": 25},
+            {"id": 3, "u": "b", "t": 5},     # before any right row
+            {"id": 4, "u": "c", "t": 7},     # key absent on right
+            {"id": 5, "u": None, "t": 7},    # null key -> null match
+            {"id": 6, "u": "a", "t": None}]  # null ts -> null match
+    right = [{"u": "a", "t": 8, "val": 100.0},
+             {"u": "a", "t": 20, "val": 200.0},
+             {"u": "b", "t": 50, "val": 300.0}]
+    out = (asof_join(_ds(left), _ds(right), by="u", on="t",
+                     right_cols=["val"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    vals = out["val"].tolist()
+    assert vals[:2] == [100.0, 200.0]
+    assert all(pd.isna(v) for v in vals[2:])
+    assert len(out) == 6
+
+
+def test_asof_join_exact_tie_matches(ray_session):
+    from packs_ray.functions.joins import asof_join
+
+    out = (asof_join(_ds([{"u": "a", "t": 20}]),
+                     _ds([{"u": "a", "t": 20, "val": 7.0}]),
+                     by="u", on="t", right_cols=["val"]).to_pandas())
+    assert out.iloc[0]["val"] == 7.0  # backward includes equality
+
+
+def test_equi_join_empty_right(ray_session):
+    from packs_ray.functions.joins import equi_join
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.float64())])
+    r = _ds([], schema=schema)
+    out = equi_join(_ds(L_ROWS), r, left_on=["k"], right_on=["k"],
+                    how="left").to_pandas()
+    assert len(out) == len(L_ROWS)
+    assert out["v"].isna().all()
