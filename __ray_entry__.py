@@ -268,6 +268,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return neardup.minhash_lsh_pairs(_ds(sf, "documents", ["doc_id", "text"]),
                                          "doc_id", "text", jaccard_threshold=0.5)
 
+    def neardup_clusters_documents(sf):
+        from packs_ray.functions.components import connected_components
+
+        pairs = neardup.minhash_lsh_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            jaccard_threshold=0.5)
+        return connected_components(pairs, node_col="doc_id",
+                                    label_col="cluster_id")
+
     def simhash_documents(sf):
         return neardup.simhash64(_ds(sf, "documents", ["doc_id", "text"]),
                                  "doc_id", "text")
@@ -687,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": langid_documents,
         "fingerprints_documents": fingerprints_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
+        "neardup_clusters_documents": neardup_clusters_documents,
         "simhash_documents": simhash_documents,
         "ks_drift_events": ks_drift_events,
         "knn_outliers_lineitem": knn_outliers_lineitem,
@@ -2198,6 +2208,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _simhash_sql(),
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
         "minhash_pairs_documents": _minhash_sql(),
+        "neardup_clusters_documents": f"""
+    WITH RECURSIVE p AS ({_minhash_sql()}),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (SELECT a, b FROM e
+                    UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+    SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+    FROM reach GROUP BY a""",
         "ks_drift_events": _ks_drift_sql(),
         "ann_ivf_embeddings": _ann_ivf_sql(),
         "knn_outliers_lineitem": _knn_lineitem_sql(),
