@@ -188,6 +188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return windows.sessionize(_ds(sf, "events", ["user_id", "ts"]),
                                   "user_id", "ts", gap_seconds=1800)
 
+    def window_functions_events(sf):
+        # SQL analytic window functions (row_number/lag/cumsum/rolling)
+        # per user ordered by (ts, event_id) — one keyed shuffle, then
+        # vectorized numpy per bucket (windows.keyed_window_functions)
+        return windows.keyed_window_functions(
+            _ds(sf, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id", ["ts", "event_id"], "value", rolling=3)
+
     def profile_stats_lineitem(sf):
         return profiling.numeric_column_stats(
             _ds(sf, "lineitem", ["l_extendedprice"]), "l_extendedprice")
@@ -685,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multi_query": ann_multi_query,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
+        "window_functions_events": window_functions_events,
         "sessionize_events": sessionize_events,
         "profile_stats_lineitem": profile_stats_lineitem,
         "embedding_pairs_exact": embedding_pairs_exact,
@@ -2167,6 +2176,21 @@ def oracle_sql() -> dict[str, str]:
                  e.vec_id) <= 5
     """,
         "events_per_window": events_window,
+        "window_functions_events": """
+    WITH c AS (SELECT user_id, ts, event_id,
+            round(value * 100, 0)::BIGINT AS cents FROM events)
+    SELECT user_id, ts, event_id, cents,
+        row_number() OVER w AS row_number,
+        (cents - lag(cents) OVER w)::DOUBLE AS lag_diff_cents,
+        sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)::BIGINT AS cumsum_cents,
+        sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING
+            AND CURRENT ROW)::BIGINT AS roll_sum_cents,
+        sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE
+            / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS roll_mean_cents
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
         "sessionize_events": sessions,
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,

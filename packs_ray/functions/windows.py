@@ -46,6 +46,89 @@ def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
                                  num_partitions)
 
 
+def keyed_window_functions(ds, key_col: str, order_cols: list[str],
+                           value_col: str, rolling: int = 3,
+                           num_buckets: int | None = None):
+    """Per-key ordered analytic functions (SQL window functions — absent
+    from the Ray Data API): row_number, lag difference, cumulative sum and
+    a ``rolling``-row trailing sum/mean, all partitioned by ``key_col``
+    and ordered by ``order_cols``.
+
+    Scale shape: ONE hash-bucket shuffle on the key (all rows of a key
+    land in one bucket — the same partitioning contract as
+    ``sessionize``), then fully vectorized numpy over each sorted bucket;
+    no driver materialization.  The value rides as integer cents so
+    cumulative sums are exactly order-independent across engines
+    (double accumulation order would break value-hash parity).
+
+    Returns a lazy Dataset with columns: key_col, *order_cols, cents,
+    row_number, lag_diff_cents (null on each key's first row),
+    cumsum_cents, roll_sum_cents, roll_mean_cents.
+    """
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    out_cols = [key_col, *order_cols, "cents", "row_number",
+                "lag_diff_cents", "cumsum_cents", "roll_sum_cents",
+                "roll_mean_cents"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        cents = pc.cast(pc.round(pc.multiply(batch.column(value_col), 100.0),
+                                 0), "int64")
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(_np.asarray(k))
+        t = batch.select([key_col, *order_cols])
+        t = t.append_column("cents", cents)
+        return t.append_column(
+            "bucket", pa.array((h % _np.uint64(num_buckets)).astype(_np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        key = g[key_col].to_numpy()
+        v = g["cents"].to_numpy(dtype=np.int64)
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        # row_number: position since last key start (1-based)
+        idx = np.arange(n, dtype=np.int64)
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        rownum = idx - key_start + 1
+        # lag diff: v[i] - v[i-1] within key, null on first row of key
+        lag_diff = np.empty(n, dtype=np.float64)
+        lag_diff[0] = np.nan
+        lag_diff[1:] = (v[1:] - v[:-1]).astype(np.float64)
+        lag_diff[new_key] = np.nan
+        # cumulative sum within key: global cumsum minus cumsum before key
+        cs = np.cumsum(v)
+        before_key = np.where(key_start > 0, cs[key_start - 1], 0)
+        cumsum = cs - before_key
+        # trailing rolling sum of `rolling` rows, clipped at the key start
+        win_lo = np.maximum(idx - rolling + 1, key_start)
+        prev = np.where(win_lo > 0, cs[win_lo - 1], 0)
+        roll_sum = cs - prev
+        cnt = idx - win_lo + 1
+        roll_mean = roll_sum.astype(np.float64) / cnt
+        out = g.drop(columns="bucket").copy()
+        out["row_number"] = rownum
+        out["lag_diff_cents"] = lag_diff
+        out["cumsum_cents"] = cumsum
+        out["roll_sum_cents"] = roll_sum
+        out["roll_mean_cents"] = roll_mean
+        return out[out_cols]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def sessionize(ds, key_col: str, ts_col: str, gap_seconds: int = 1800,
                num_buckets: int | None = None):
     """Session windows per key: hash-bucket shuffle + vectorized per-bucket

@@ -959,3 +959,55 @@ def test_hash_split(ray_session):
 
     with pytest.raises(ValueError, match="fractions sum"):
         hash_split(ds, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_keyed_window_functions(ray_session):
+    """Per-key analytics vs a straight pandas window oracle: row_number,
+    lag diff (null at key starts), cumsum, trailing rolling sum/mean
+    clipped at the key boundary; invariant under input block splits."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import keyed_window_functions
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "o": rng.permutation(n),
+        "val": np.round(rng.uniform(-50, 50, n), 2),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (keyed_window_functions(ds, "k", ["o"], "val", rolling=3)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+
+    ora = df.sort_values(["k", "o"]).reset_index(drop=True)
+    cents = np.round(ora["val"] * 100).astype(np.int64)
+    g = ora.groupby("k", sort=False)
+    exp_rownum = g.cumcount() + 1
+    exp_lag = cents - cents.groupby(ora["k"]).shift(1)
+    exp_cumsum = cents.groupby(ora["k"]).cumsum()
+    exp_roll = (cents.groupby(ora["k"])
+                .rolling(3, min_periods=1).sum().reset_index(drop=True))
+    exp_cnt = (cents.groupby(ora["k"])
+               .rolling(3, min_periods=1).count().reset_index(drop=True))
+
+    assert (out["cents"].to_numpy() == cents.to_numpy()).all()
+    assert (out["row_number"].to_numpy() == exp_rownum.to_numpy()).all()
+    eng_lag = out["lag_diff_cents"]
+    assert eng_lag.isna().equals(exp_lag.isna())
+    assert (eng_lag.dropna().to_numpy()
+            == exp_lag.dropna().to_numpy()).all()
+    assert (out["cumsum_cents"].to_numpy() == exp_cumsum.to_numpy()).all()
+    assert (out["roll_sum_cents"].to_numpy()
+            == exp_roll.to_numpy().astype(np.int64)).all()
+    assert np.allclose(out["roll_mean_cents"].to_numpy(),
+                       exp_roll.to_numpy() / exp_cnt.to_numpy())
+
+    # block-split invariance: same result from a 13-block input
+    out13 = (keyed_window_functions(ds.repartition(13), "k", ["o"], "val",
+                                    rolling=3)
+             .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out13)
