@@ -188,6 +188,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return windows.sessionize(_ds(sf, "events", ["user_id", "ts"]),
                                   "user_id", "ts", gap_seconds=1800)
 
+    def approx_quantiles_lineitem(sf):
+        from packs_ray.functions.sketches import approx_quantiles
+
+        return approx_quantiles(_ds(sf, "lineitem", ["l_extendedprice"]),
+                                "l_extendedprice",
+                                [0.01, 0.25, 0.5, 0.75, 0.9, 0.99])
+
     def window_functions_events(sf):
         # SQL analytic window functions (row_number/lag/cumsum/rolling)
         # per user ordered by (ts, event_id) — one keyed shuffle, then
@@ -693,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multi_query": ann_multi_query,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
+        "approx_quantiles_lineitem": approx_quantiles_lineitem,
         "window_functions_events": window_functions_events,
         "sessionize_events": sessionize_events,
         "profile_stats_lineitem": profile_stats_lineitem,
@@ -2176,6 +2184,51 @@ def oracle_sql() -> dict[str, str]:
                  e.vec_id) <= 5
     """,
         "events_per_window": events_window,
+        # exact replica of sketches.approx_quantiles: same integer
+        # log-bucket ids (length(bin(a)) == bit_length, exact), same
+        # ceil(q::DOUBLE * n) rank (DOUBLE, not DECIMAL — the engine's
+        # float64 q*n must round identically), same integer bounds math
+        "approx_quantiles_lineitem": """
+    WITH c AS (SELECT round(l_extendedprice * 100, 0)::BIGINT AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (SELECT CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END AS sg,
+                 abs(v) AS a FROM c),
+    m AS (SELECT sg * (CASE WHEN a < 32 THEN a
+            ELSE (length(bin(a)) - 6) * 32
+                 + a // CAST(power(2, length(bin(a)) - 6) AS BIGINT) END)
+            AS bucket FROM b),
+    h AS (SELECT bucket, count(*)::BIGINT AS cnt FROM m GROUP BY bucket),
+    w AS (SELECT bucket, cnt,
+                 sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum,
+                 (SELECT sum(cnt) FROM h)::BIGINT AS n FROM h),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.01),(0.25),(0.5),(0.75),(0.9),(0.99)) t(q)),
+    pick AS (SELECT q, greatest(CAST(ceil(q * (SELECT n FROM w LIMIT 1))
+                     AS BIGINT), 1) AS rank,
+                    (SELECT n FROM w LIMIT 1) AS n FROM qs),
+    sel AS (SELECT p.q, p.rank, p.n,
+                   (SELECT min(bucket) FROM w WHERE cum >= p.rank) AS bucket
+            FROM pick p),
+    geo AS (SELECT q, rank, n, bucket, abs(bucket) AS ab,
+                   CASE WHEN abs(bucket) < 32 THEN 0
+                        ELSE (abs(bucket) - 32) // 32 + 6 END AS bl
+            FROM sel),
+    bounds AS (SELECT q, rank, n, bucket,
+        CASE WHEN ab < 32 THEN ab
+             ELSE (ab - (bl - 6) * 32)
+                  * CAST(power(2, bl - 6) AS BIGINT) END AS lo0,
+        CASE WHEN ab < 32 THEN ab
+             ELSE (ab - (bl - 6) * 32 + 1)
+                  * CAST(power(2, bl - 6) AS BIGINT) - 1 END AS hi0
+        FROM geo)
+    SELECT q, rank, n,
+        CASE WHEN bucket < 0 THEN -hi0 ELSE lo0 END AS lo_cents,
+        CASE WHEN bucket < 0 THEN -lo0 ELSE hi0 END AS hi_cents,
+        CAST(floor((CASE WHEN bucket < 0 THEN -hi0 ELSE lo0 END
+                  + CASE WHEN bucket < 0 THEN -lo0 ELSE hi0 END) / 2.0)
+             AS BIGINT) AS est_cents
+    FROM bounds
+    """,
         "window_functions_events": """
     WITH c AS (SELECT user_id, ts, event_id,
             round(value * 100, 0)::BIGINT AS cents FROM events)

@@ -148,6 +148,82 @@ def _cms_counters(col: pa.Array) -> np.ndarray:
     return cnt
 
 
+QK = 5                    # quantile-sketch sub-bucket bits (rel err ~ 2^-QK)
+_QS = 1 << QK
+
+
+def _qbucket_ids(v: np.ndarray) -> np.ndarray:
+    """Signed monotone log-bucket id (DDSketch-style, base-2 with 2^QK
+    linear sub-buckets per octave) for int64 cents values.  Pure integer
+    arithmetic — bit_length comes from frexp (exact for |v| < 2^53, no
+    log2 rounding), so the DuckDB replica (length(bin(v))) computes the
+    identical id for every value."""
+    a = np.abs(v)
+    # bit_length: frexp exponent is exact for integers below 2^53
+    bl = np.frexp(a.astype(np.float64))[1].astype(np.int64)
+    shift = np.maximum(bl - 1 - QK, 0)
+    sub = a >> shift
+    mono = np.where(a < _QS, a, (bl - QK - 1) * _QS + sub)
+    return np.sign(v) * mono
+
+
+def _qbucket_bounds(mono: int) -> tuple[int, int]:
+    """[lo, hi] inclusive cents bounds of non-negative bucket id."""
+    if mono < _QS:
+        return mono, mono
+    bl = (mono - _QS) // _QS + QK + 1
+    sub = mono - (bl - QK - 1) * _QS
+    shift = bl - 1 - QK
+    return sub << shift, ((sub + 1) << shift) - 1
+
+
+def approx_quantiles(ds, col: str, qs: list[float],
+                     num_partitions: int | None = None) -> pd.DataFrame:
+    """Mergeable approximate quantiles of ``col`` (relative error
+    <= 2^-QK ~ 3%) from a log-bucket histogram: values ride as integer
+    cents, each batch emits partial (bucket, count) rows (at most a few
+    hundred distinct buckets regardless of input size), a bucketed
+    reduce sums them, and the driver walks the ~KB-sized histogram —
+    the scale path for `profiling`'s exact-percentile rank selection
+    when a full distributed sort is not worth the shuffle.
+
+    Returns one row per q: (q, rank, n, lo_cents, hi_cents, est_cents);
+    rank = ceil(q*n) (1-based), est = floor((lo+hi)/2) of the bucket
+    holding that rank.  All outputs are integers -> exact oracle parity.
+    """
+    from packs_ray.functions.agg import keyed_count
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).drop_null()
+        cents = pc.cast(pc.round(pc.multiply(x, 100.0), 0), "int64")
+        ids = _qbucket_ids(cents.to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(ids, type=pa.int64())})
+
+    hist = keyed_count(ds.select_columns([col])
+                       .map_batches(to_buckets, batch_format="pyarrow"),
+                       ["bucket"], num_partitions=num_partitions).to_pandas()
+    if "bucket" not in hist.columns:  # 0-row input: empty, column-less
+        hist = pd.DataFrame({"bucket": [], "cnt": []})
+    hist = hist.sort_values("bucket").reset_index(drop=True)
+    n = int(hist["cnt"].sum()) if len(hist) else 0
+    cum = hist["cnt"].cumsum().to_numpy() if len(hist) else np.zeros(0)
+    rows = []
+    for q in qs:
+        if n == 0:
+            rows.append({"q": q, "rank": 0, "n": 0, "lo_cents": None,
+                         "hi_cents": None, "est_cents": None})
+            continue
+        r = max(1, int(math.ceil(q * n)))
+        i = int(np.searchsorted(cum, r, side="left"))
+        b = int(hist["bucket"].iloc[i])
+        lo, hi = _qbucket_bounds(abs(b))
+        if b < 0:
+            lo, hi = -hi, -lo
+        rows.append({"q": q, "rank": r, "n": n, "lo_cents": lo,
+                     "hi_cents": hi, "est_cents": (lo + hi) // 2})
+    return pd.DataFrame(rows)
+
+
 def count_min_counts(ds, col: str, probe_values: list, *,
                      fold_batch: int = 64) -> pd.DataFrame:
     """Count-min sketch frequency estimates (upper bounds, within

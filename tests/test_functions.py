@@ -1011,3 +1011,40 @@ def test_keyed_window_functions(ray_session):
                                     rolling=3)
              .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out13)
+
+
+def test_approx_quantiles(ray_session):
+    """Log-bucket quantile sketch: relative error bounded by the bucket
+    width (2^-5), exact on singleton small-value buckets, handles
+    negatives, and is invariant under input block splits (mergeable
+    partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sketches import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.round(np.concatenate([
+        rng.lognormal(4, 1, 20_000),          # heavy positive tail
+        -rng.lognormal(2, 0.5, 5_000),        # negative mass
+        rng.integers(0, 30, 5_000) / 100.0,   # small-cents singletons
+    ]), 2)
+    ds = ray.data.from_arrow(pa.table({"x": vals}))
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    out = approx_quantiles(ds, "x", qs)
+    cents = np.sort(np.round(vals * 100).astype(np.int64))
+    for _, row in out.iterrows():
+        exact = cents[int(row["rank"]) - 1]
+        assert row["lo_cents"] <= exact <= row["hi_cents"]
+        rel = abs(row["est_cents"] - exact) / max(abs(exact), 1)
+        assert rel <= 2 ** -5 + 1e-12, (row["q"], rel)
+
+    out29 = approx_quantiles(ds.repartition(29), "x", qs)
+    assert out.equals(out29)
+
+    # 0-row input: null bounds, zero n
+    empty = approx_quantiles(
+        ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.float64())})),
+        "x", [0.5])
+    assert empty["n"].iloc[0] == 0 and empty["est_cents"].isna().all()
