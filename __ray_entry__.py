@@ -188,6 +188,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return windows.sessionize(_ds(sf, "events", ["user_id", "ts"]),
                                   "user_id", "ts", gap_seconds=1800)
 
+    def _docs_with_urls(sf):
+        # deterministic synthetic URLs planting every canonicalization
+        # hazard: mixed-case scheme/host, www., default ports, trailing
+        # slash, tracking params, unsorted params, fragments
+        import pandas as pd
+
+        def mk(batch):
+            d = batch.to_pandas()
+            m = (d.doc_id % 4).to_numpy()
+            even = (d.doc_id % 2 == 0).to_numpy()
+            scheme = np.where(even, "HTTPS://WWW.", "http://cdn.")
+            suffix = np.where(even, ".Example.COM:443", "-mirror.NET:80")
+            tail = np.select(
+                [m == 0, m == 1, m == 2, m == 3],
+                ["/", "?utm_source=feed&b=2&a=1",
+                 "?b=2&a=1&utm_campaign=x", "?z=9#frag"])
+            url = (pd.Series(scheme, index=d.index) + d.source
+                   + pd.Series(suffix, index=d.index)
+                   + "/p/" + (d.doc_id % 7).astype(str)
+                   + pd.Series(tail, index=d.index))
+            import pyarrow as pa
+
+            return pa.table({"doc_id": pa.array(d.doc_id, type=pa.int64()),
+                             "url": pa.array(url)})
+
+        return _ds(sf, "documents", ["doc_id", "source"]).map_batches(
+            mk, batch_format="pyarrow")
+
+    def url_canonicalize_documents(sf):
+        from packs_ray.functions import urls
+
+        return urls.canonicalize_urls(_docs_with_urls(sf), "url",
+                                      keep_cols=["doc_id"])
+
+    def domain_counts_documents(sf):
+        from packs_ray.functions import urls
+
+        return urls.domain_counts(_docs_with_urls(sf), "url")
+
     def approx_quantiles_lineitem(sf):
         from packs_ray.functions.sketches import approx_quantiles
 
@@ -701,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "url_canonicalize_documents": url_canonicalize_documents,
+        "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
         "sessionize_events": sessionize_events,
         "profile_stats_lineitem": profile_stats_lineitem,
@@ -1961,6 +2002,60 @@ def _staleness_sql() -> str:
     WHERE events_rows = (SELECT count(*) FROM events)"""
 
 
+def _url_canon_sql() -> str:
+    """Independent DuckDB canonicalizer over the same synthetic URLs the
+    engine query builds: generic split/lower/strip + list_filter (drop
+    tracking params) + list_sort (param order) — NOT an analytic
+    expected-output shortcut, so it exercises urls._canon_frame's rules
+    end-to-end."""
+    return r"""
+    WITH u AS (SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://cdn.' END
+          || source
+          || CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:443'
+                  ELSE '-mirror.NET:80' END
+          || '/p/' || (doc_id % 7)::VARCHAR
+          || CASE WHEN doc_id % 4 = 0 THEN '/'
+                  WHEN doc_id % 4 = 1 THEN '?utm_source=feed&b=2&a=1'
+                  WHEN doc_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=x'
+                  ELSE '?z=9#frag' END AS url
+      FROM documents),
+    p1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+    p2 AS (SELECT doc_id, split_part(nofrag, '?', 1) AS base,
+        CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2)
+             ELSE '' END AS query FROM p1),
+    p3 AS (SELECT doc_id, lower(split_part(base, '://', 1)) AS scheme,
+        split_part(base, '://', 2) AS rest, query FROM p2),
+    p4 AS (SELECT doc_id, scheme, query,
+        regexp_replace(lower(split_part(rest, '/', 1)), '^www\.', '')
+            AS h0,
+        CASE WHEN contains(rest, '/')
+             THEN regexp_replace('/' || substr(rest, strpos(rest, '/') + 1),
+                                 '/+$', '')
+             ELSE '' END AS path FROM p3),
+    p5 AS (SELECT doc_id, scheme, path,
+        CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+                 THEN left(h0, length(h0) - 3)
+             WHEN scheme = 'https' AND h0 LIKE '%:443'
+                 THEN left(h0, length(h0) - 4)
+             ELSE h0 END AS host,
+        list_sort(list_filter(string_split(query, '&'),
+            x -> x <> '' AND NOT regexp_matches(
+                x, '^(utm_[^=]*|gclid|fbclid)='))) AS params FROM p4),
+    p6 AS (SELECT doc_id,
+        regexp_replace(host, ':[0-9]+$', '') AS host,
+        scheme || '://' || host || path
+          || CASE WHEN len(params) > 0
+                  THEN '?' || array_to_string(params, '&') ELSE '' END
+            AS url_canon,
+        string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS labels
+        FROM p5)
+    SELECT doc_id, url_canon, host,
+        CASE WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+             ELSE host END AS domain
+    FROM p6"""
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -2229,6 +2324,10 @@ def oracle_sql() -> dict[str, str]:
              AS BIGINT) AS est_cents
     FROM bounds
     """,
+        "url_canonicalize_documents": _url_canon_sql(),
+        "domain_counts_documents": f"""
+    SELECT domain, count(*)::BIGINT AS n_docs
+    FROM ({_url_canon_sql()}) GROUP BY domain""",
         "window_functions_events": """
     WITH c AS (SELECT user_id, ts, event_id,
             round(value * 100, 0)::BIGINT AS cents FROM events)

@@ -1048,3 +1048,41 @@ def test_approx_quantiles(ray_session):
         ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.float64())})),
         "x", [0.5])
     assert empty["n"].iloc[0] == 0 and empty["est_cents"].isna().all()
+
+
+def test_url_canonicalize(ray_session):
+    """Canonicalization rules: case, www., default ports (kept when
+    non-default), fragment, tracking params, param sort, trailing slash,
+    schemeless input, null/empty, domain extraction under subdomains;
+    blocklist filter drops by registered domain."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.urls import (canonicalize_urls,
+                                          filter_blocked_domains)
+
+    urls_in = [
+        "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://ex.com:8080/a",             # non-default port kept
+        "ex.com/a/",                        # schemeless -> http
+        "https://cdn.news.site.org/x?gclid=1&fbclid=2&z=1&z=0",
+        None, "",
+        "http://sub.deep.example.net:80",
+    ]
+    ds = ray.data.from_arrow(pa.table({"id": list(range(len(urls_in))),
+                                       "url": urls_in}))
+    out = (canonicalize_urls(ds, "url", keep_cols=["id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out.url_canon[0] == "https://ex.com/a/b?a=1&b=2"
+    assert out.url_canon[1] == "http://ex.com:8080/a"
+    assert out.url_canon[2] == "http://ex.com/a"
+    assert out.url_canon[3] == "https://cdn.news.site.org/x?z=0&z=1"
+    assert out.url_canon[4] == "" and out.url_canon[5] == ""
+    assert out.url_canon[6] == "http://sub.deep.example.net"
+    assert out.domain[0] == "ex.com"
+    assert out.domain[3] == "site.org"
+    assert out.domain[6] == "example.net"
+
+    kept = (filter_blocked_domains(ds, "url", {"ex.com"}, keep_cols=["id"])
+            .to_pandas())
+    assert sorted(kept["id"]) == [3, 4, 5, 6]
