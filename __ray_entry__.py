@@ -227,6 +227,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return urls.domain_counts(_docs_with_urls(sf), "url")
 
+    def dedup_spans_documents(sf):
+        from packs_ray.functions import spandedup
+
+        return spandedup.dedup_spans(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=8)
+
     def approx_quantiles_lineitem(sf):
         from packs_ray.functions.sketches import approx_quantiles
 
@@ -740,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "dedup_spans_documents": dedup_spans_documents,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2002,6 +2009,64 @@ def _staleness_sql() -> str:
     WHERE events_rows = (SELECT count(*) FROM events)"""
 
 
+def _dedup_spans_sql(k: int = 8) -> str:
+    """Exact replica of spandedup.dedup_spans: RE2 whitespace tokenizer
+    (chunk_documents convention), FNV-1a + mul-rot-mul finalize per
+    token (sketches.py scheme), HUGEINT fold of each k-window of token
+    hashes (g = (g*B + h) mod 2^64), first-(doc_id,pos)-occurrence
+    canonical, coverage by span union, space-rejoined rebuild."""
+    from packs_ray.functions.sketches import _C1, _C2
+    from packs_ray.functions.spandedup import GRAM_B
+
+    c1, c2, gb = int(_C1), int(_C2), int(GRAM_B)
+    return rf"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t0 AS (SELECT doc_id,
+        regexp_split_to_array(regexp_replace(text,
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+                THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(len(toks))) AS pos FROM tl),
+    b AS (SELECT doc_id, pos, tok, hex(encode(tok)) AS hx,
+                 octet_length(encode(tok)) AS nb FROM tok),
+    hs AS (SELECT doc_id, pos, tok,
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    f1 AS (SELECT doc_id, pos, tok, {_mul64_sql('h', c1)} AS h FROM hs),
+    fr AS (SELECT doc_id, pos, tok, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT doc_id, pos, tok, {_mul64_sql('h', c2)} AS h FROM fr),
+    lst AS (SELECT doc_id, list(h ORDER BY pos) AS hl,
+                   count(*)::BIGINT AS n FROM f2 GROUP BY doc_id),
+    win AS (SELECT doc_id, hl,
+                   unnest(range(n - {k} + 1)) AS pos
+            FROM lst WHERE n >= {k}),
+    g AS (SELECT doc_id, pos,
+        list_reduce(list_prepend(0::HUGEINT, hl[pos + 1 : pos + {k}]),
+            (a, x) -> (a * {gb}::HUGEINT + x) % {_TWO64}::HUGEINT) AS gh
+        FROM win),
+    dup AS (SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, row_number() OVER (
+            PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM g)
+        WHERE rn > 1),
+    cov AS (SELECT DISTINCT doc_id, cpos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + {k} - 1)) AS cpos
+        FROM dup)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        WHERE c.doc_id IS NULL),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS txt
+            FROM kept GROUP BY doc_id),
+    nn AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tl)
+    SELECT nn.doc_id, nn.n_tokens,
+        (nn.n_tokens - coalesce(agg.n_kept, 0))::BIGINT AS n_dup_tokens,
+        coalesce(agg.txt, '') AS text_deduped
+    FROM nn LEFT JOIN agg USING (doc_id)"""
+
+
 def _url_canon_sql() -> str:
     """Independent DuckDB canonicalizer over the same synthetic URLs the
     engine query builds: generic split/lower/strip + list_filter (drop
@@ -2324,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
              AS BIGINT) AS est_cents
     FROM bounds
     """,
+        "dedup_spans_documents": _dedup_spans_sql(8),
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""
     SELECT domain, count(*)::BIGINT AS n_docs

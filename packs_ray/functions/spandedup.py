@@ -1,0 +1,189 @@
+"""Duplicate-substring (span-level) deduplication.
+
+Removes every repeated ``k``-token span from the corpus, keeping only
+its first occurrence (ordered by ``(doc_id, position)``) — the
+distributed re-expression of exact-substring training-data dedup
+(publicly described in Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better"; implemented there with a single-machine
+suffix array).  Document-level dedup (stages/dedup.py, neardup.py)
+cannot catch a boilerplate paragraph pasted into millions of otherwise
+distinct pages; span dedup does.
+
+Distributed shape (two shuffles, both narrow):
+1. ``map_batches``: tokenize (ASCII whitespace, the repo-wide RE2
+   convention shared with textstats.chunk_documents), hash every token
+   (FNV-1a + finalize, sketches.py scheme), fold each ``k``-window of
+   token hashes into a gram hash ``g = fold(g*B + h)`` (wrapping
+   uint64) — emits ``(g, doc_id, pos)`` rows, ~20 B per token.
+2. bucketed reduce on ``g``: within each gram group sorted by
+   ``(doc_id, pos)`` every row after the first is a duplicate
+   occurrence -> emit ``(doc_id, pos)`` marks (tiny).
+3. co-partition marks with the docs on ``hash(doc_id)`` and rebuild per
+   bucket: coverage via a +1/-1 diff array over token positions, kept
+   tokens re-joined with single spaces.
+
+All arithmetic is integer/wrapping and the tokenizer is RE2-exact, so a
+DuckDB replica (list_reduce HUGEINT fold) reproduces results
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from packs_ray.functions.sketches import _finalize, _fnv1a_str
+
+_WS = " \t\n\r\f\v"
+_WS_RE = "[ \t\n\r\f\v]+"
+GRAM_B = np.uint64(1099511628211)          # fold multiplier (FNV prime)
+
+
+def _flat_tokens(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(flattened token array, per-row token counts); null/empty rows
+    count 0 tokens."""
+    trimmed = pc.utf8_trim(pc.fill_null(col, ""), _WS)
+    lists = pc.split_pattern_regex(trimmed, _WS_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    lens = off[1:] - off[:-1]
+    # a zero-token document splits to [""] — mask it out
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    keep = np.ones(len(flat), dtype=bool)
+    keep[off[:-1][empty]] = False
+    lens = np.where(empty, 0, lens)
+    return flat.filter(pa.array(keep)), lens
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for non-negative counts."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return np.arange(total, dtype=np.int64) - starts
+
+
+def _gram_rows(ids: np.ndarray, col: pa.Array, k: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(g, doc_id, pos) arrays for every k-token window of the batch."""
+    flat, lens = _flat_tokens(col)
+    h = _finalize(_fnv1a_str(flat)[0])
+    nwin = np.maximum(lens - k + 1, 0)
+    pos = _grouped_arange(nwin)
+    doc = np.repeat(ids, nwin)
+    flat_off = np.cumsum(lens) - lens
+    start = np.repeat(flat_off, nwin) + pos
+    g = np.zeros(len(pos), dtype=np.uint64)
+    for j in range(k):
+        g = g * GRAM_B + h[start + j]
+    return g, doc, pos
+
+
+def duplicate_spans(ds, id_col: str, text_col: str, k: int = 8,
+                    num_partitions: int | None = None):
+    """Lazy Dataset of duplicate-occurrence marks ``(id_col, pos)`` —
+    every k-token window that repeats an earlier ``(doc, pos)``
+    occurrence of the same gram anywhere in the corpus."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        g, doc, pos = _gram_rows(ids, batch.column(text_col), k)
+        return pa.table({"g": pa.array(g, type=pa.uint64()),
+                         id_col: pa.array(doc, type=pa.int64()),
+                         "pos": pa.array(pos, type=pa.int64())})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow")
+
+    def dups_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["g", id_col, "pos"], kind="stable")
+        dup = df["g"].to_numpy()[1:] == df["g"].to_numpy()[:-1]
+        mask = np.concatenate([[False], dup]) if len(df) else np.zeros(0, bool)
+        return df.loc[mask, [id_col, "pos"]]
+
+    return bucketed_group_reduce(grams, ["g"], dups_in_bucket,
+                                 num_partitions)
+
+
+def dedup_spans(ds, id_col: str, text_col: str, k: int = 8,
+                num_partitions: int | None = None):
+    """Span-level dedup of the corpus: rebuild every document with all
+    duplicated k-token spans removed (first corpus occurrence kept).
+
+    Returns a lazy Dataset: (id_col, n_tokens, n_dup_tokens,
+    text_deduped) — text re-joined with single spaces (whitespace is
+    normalized, as in chunk_documents).
+    """
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+
+    marks = duplicate_spans(ds, id_col, text_col, k, num_partitions)
+
+    def mark_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pos": batch.column("pos"),
+            text_col: pa.nulls(len(batch), type=pa.string())})
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pos": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+            text_col: pc.cast(batch.column(text_col), pa.string())})
+
+    both = (ds.select_columns([id_col, text_col])
+            .map_batches(doc_side, batch_format="pyarrow")
+            .union(marks.map_batches(mark_side, batch_format="pyarrow")))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids))
+        return batch.append_column(
+            "bucket",
+            pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def rebuild(gdf: pd.DataFrame) -> pd.DataFrame:
+        docs = (gdf[gdf["pos"] < 0].sort_values(id_col)
+                .reset_index(drop=True))
+        dups = gdf[gdf["pos"] >= 0]
+        if len(docs) == 0:
+            return pd.DataFrame({id_col: [], "n_tokens": [],
+                                 "n_dup_tokens": [], "text_deduped": []})
+        flat, lens = _flat_tokens(pa.array(docs[text_col], type=pa.string()))
+        flat_off = np.cumsum(lens) - lens
+        total = int(lens.sum())
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if len(dups):
+            di = docs[id_col].searchsorted(dups[id_col].to_numpy())
+            p = dups["pos"].to_numpy()
+            np.add.at(diff, flat_off[di] + p, 1)
+            np.add.at(diff, np.minimum(flat_off[di] + p + k,
+                                       flat_off[di] + lens[di]), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        toks = pd.Series(flat.to_pandas().to_numpy())
+        row_of = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+        kept = toks[~covered]
+        joined = kept.groupby(row_of[~covered]).agg(" ".join)
+        text_out = pd.Series("", index=np.arange(len(docs)), dtype="object")
+        text_out.loc[joined.index] = joined
+        kept_counts = np.bincount(row_of[~covered], minlength=len(docs))
+        return pd.DataFrame({
+            id_col: docs[id_col].to_numpy(),
+            "n_tokens": lens.astype(np.int64),
+            "n_dup_tokens": (lens - kept_counts).astype(np.int64),
+            "text_deduped": text_out.to_numpy()})
+
+    return (both.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(rebuild, batch_format="pandas"))

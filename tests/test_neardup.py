@@ -282,3 +282,62 @@ def test_bloom_membership_no_false_negatives(ray_session):
     fresh = probe[~np.isin(probe, ids)]
     fp = _bloom_contains(bm, fresh, nbits).mean()
     assert fp < 0.02, fp
+
+
+def test_dedup_spans_planted(ray_session):
+    """Span-level dedup: a boilerplate k-token span pasted into several
+    otherwise-distinct docs survives only in its first (doc_id, pos)
+    occurrence; shorter-than-k repeats are untouched; within-doc repeats
+    are removed after the first; result is block-split invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.spandedup import dedup_spans
+
+    rng = np.random.default_rng(3)
+    boiler = "click here to subscribe to our newsletter today"  # 8 tokens
+    short = "terms apply"                                       # 2 tokens
+    docs = []
+    for i in range(20):
+        words = [f"w{i}_{j}" for j in range(rng.integers(10, 25))]
+        mid = len(words) // 2
+        if i % 3 == 0:
+            words = words[:mid] + boiler.split() + words[mid:]
+        words += short.split()
+        docs.append(" ".join(words))
+    docs.append(" ".join(["rep"] * 20))          # within-doc repetition
+    docs.append("")                              # empty doc
+    docs.append(None)                            # null doc
+    ids = list(range(len(docs)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": docs}))
+    out = (dedup_spans(ds, "doc_id", "text", k=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert len(out) == len(docs)
+    first_with_boiler = 0
+    assert boiler in out.text_deduped[first_with_boiler]
+    for i in range(1, 20):
+        if i % 3 == 0:
+            assert boiler not in out.text_deduped[i]
+            assert out.n_dup_tokens[i] >= 8
+        else:
+            assert out.n_dup_tokens[i] == 0
+            # short repeated phrase (< k tokens) never removed
+            assert out.text_deduped[i].endswith(short)
+    # within-doc: "rep"*20 has windows at pos 0..12; pos 0 canonical,
+    # covered = pos 1..12 span -> tokens 1..19 removed, 1 kept... the
+    # first window [0,8) is itself canonical but tokens 1..7 are covered
+    # by later duplicate windows, so exactly the tokens covered by
+    # windows 1..12 (i.e. 1..19) go
+    rep = out[out.doc_id == 20].iloc[0]
+    assert rep.n_tokens == 20 and rep.text_deduped == "rep"
+    assert rep.n_dup_tokens == 19
+    # empty/null docs
+    assert (out[out.doc_id >= 21].n_tokens == 0).all()
+    assert (out[out.doc_id >= 21].text_deduped == "").all()
+
+    out7 = (dedup_spans(ds.repartition(7), "doc_id", "text", k=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out7)
