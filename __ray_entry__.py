@@ -227,6 +227,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return urls.domain_counts(_docs_with_urls(sf), "url")
 
+    def time_window_agg_events(sf):
+        # trailing 1-hour per-user window (RANGE-frame semantics:
+        # peers at equal ts included)
+        return windows.keyed_time_window_agg(
+            _ds(sf, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id", "ts", "value", window_seconds=3600,
+            keep_cols=["event_id"])
+
+    def stratified_sample_orders(sf):
+        from packs_ray.functions.sampling import stratified_sample
+
+        return stratified_sample(
+            _ds(sf, "orders", ["o_orderkey", "o_orderpriority"]),
+            "o_orderpriority", "o_orderkey", 20, salt="strat")
+
     def dedup_spans_documents(sf):
         from packs_ray.functions import spandedup
 
@@ -746,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "time_window_agg_events": time_window_agg_events,
+        "stratified_sample_orders": stratified_sample_orders,
         "dedup_spans_documents": dedup_spans_documents,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
@@ -2009,6 +2026,35 @@ def _staleness_sql() -> str:
     WHERE events_rows = (SELECT count(*) FROM events)"""
 
 
+def _stratified_sql(table: str, id_col: str, group_col: str, n: int,
+                    salt: str) -> str:
+    """Exact replica of sampling.stratified_sample: FNV(id-as-string)
+    × salt-constant × finalize, hv = h >> 1, per-group head-n ordered by
+    (hv, id)."""
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _C1, _C2
+
+    sc, c1, c2 = int(_salt_constant(salt)), int(_C1), int(_C2)
+    return f"""
+    SELECT * FROM (
+    WITH v AS (SELECT {id_col}, {group_col},
+               CAST({id_col} AS VARCHAR) AS sv FROM {table}
+               WHERE {id_col} IS NOT NULL),
+    b AS (SELECT {id_col}, {group_col}, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT {id_col}, {group_col},
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT {id_col}, {group_col}, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT {id_col}, {group_col}, {_mul64_sql('h', c1)} AS h FROM sm),
+    fr AS (SELECT {id_col}, {group_col}, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {id_col}, {group_col}, {_mul64_sql('h', c2)} AS h FROM fr)
+    SELECT {id_col}, {group_col} FROM f2
+    QUALIFY row_number() OVER (PARTITION BY {group_col}
+        ORDER BY h // 2, {id_col}) <= {n})"""
+
+
 def _dedup_spans_sql(k: int = 8) -> str:
     """Exact replica of spandedup.dedup_spans: RE2 whitespace tokenizer
     (chunk_documents convention), FNV-1a + mul-rot-mul finalize per
@@ -2389,6 +2435,17 @@ def oracle_sql() -> dict[str, str]:
              AS BIGINT) AS est_cents
     FROM bounds
     """,
+        "time_window_agg_events": """
+    WITH c AS (SELECT user_id, ts, event_id,
+            round(value * 100, 0)::BIGINT AS cents FROM events)
+    SELECT user_id, ts, event_id, cents,
+        CAST(count(*) OVER w AS BIGINT) AS n_window,
+        CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_window
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW)
+    """,
+        "stratified_sample_orders": _stratified_sql(
+            "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""

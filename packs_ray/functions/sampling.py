@@ -100,3 +100,43 @@ def hash_split(ds, id_col: str, fractions: dict[str, float], *,
                               type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int, *,
+                      salt: str = "", num_partitions: int | None = None):
+    """Deterministic stratified sampling: at most ``n_per_group`` rows
+    per ``group_col`` value, chosen as the lowest finalized
+    ``hash(id, salt)`` (ties broken by id) — a pure function of the row,
+    so the sample is identical across clusters/retries/block splits,
+    unlike reservoir sampling (RNG + order dependent).
+
+    Scale shape: per-batch local head-n combiner first (at most n rows
+    per (batch, group) survive), then the bucketed vectorized reduce —
+    full rows never shuffle beyond the surviving candidates."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    sc = _salt_constant(salt)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h, valid = _fnv1a_str(batch.column(id_col))
+        hv = (_finalize(h * sc) >> np.uint64(1)).astype(np.int64)
+        t = batch.append_column("__hv", pa.array(hv))
+        return t.filter(pa.array(valid))      # null ids never sampled
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__hv", id_col], kind="stable")
+        return df.groupby(group_col, dropna=False, sort=False).head(n_per_group)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(local(batch.to_pandas()),
+                                    preserve_index=False)
+
+    parts = (ds.map_batches(add_hash, batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow"))
+    out = bucketed_group_reduce(parts, [group_col], local, num_partitions)
+    return out.drop_columns(["__hv"])

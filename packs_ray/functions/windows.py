@@ -129,6 +129,71 @@ def keyed_window_functions(ds, key_col: str, order_cols: list[str],
     return ds2.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def keyed_time_window_agg(ds, key_col: str, ts_col: str, value_col: str,
+                          window_seconds: int, keep_cols: list[str] | None = None,
+                          num_buckets: int | None = None):
+    """Per-row trailing event-time window aggregate: for every row, the
+    count and cents-sum of the key's rows with ``ts`` in
+    ``[row.ts - window, row.ts]`` (inclusive, peers-at-equal-ts included
+    — the value-defined semantics of a SQL RANGE frame, so the result is
+    independent of tie order).
+
+    One keyed hash-bucket shuffle, then per key segment two vectorized
+    ``searchsorted`` calls against the sorted timestamps + a prefix-sum
+    difference — no per-row loop, no driver materialization.
+
+    Returns a lazy Dataset: key, ts, *keep_cols, cents, n_window,
+    sum_cents_window."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    keep_cols = keep_cols or []
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    w_us = np.int64(window_seconds * 1_000_000)
+    out_cols = [key_col, ts_col, *keep_cols, "cents", "n_window",
+                "sum_cents_window"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column(value_col), 100.0),
+                                 0), "int64")
+        t = batch.select([key_col, ts_col, *keep_cols])
+        t = t.append_column("cents", cents)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["cents"].to_numpy(dtype=np.int64)
+        key = g[key_col].to_numpy()
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        seg_starts = np.flatnonzero(new_key)
+        seg_ends = np.append(seg_starts[1:], n)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(seg_starts, seg_ends):
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - w_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        out = g.drop(columns="bucket").copy()
+        out["n_window"] = hi - lo
+        out["sum_cents_window"] = cs[hi] - cs[lo]
+        return out[out_cols]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def sessionize(ds, key_col: str, ts_col: str, gap_seconds: int = 1800,
                num_buckets: int | None = None):
     """Session windows per key: hash-bucket shuffle + vectorized per-bucket

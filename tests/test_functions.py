@@ -1086,3 +1086,72 @@ def test_url_canonicalize(ray_session):
     kept = (filter_blocked_domains(ds, "url", {"ex.com"}, keep_cols=["id"])
             .to_pandas())
     assert sorted(kept["id"]) == [3, 4, 5, 6]
+
+
+def test_keyed_time_window_agg(ray_session):
+    """Trailing time-window aggregate: RANGE-frame semantics (window
+    defined on ts VALUES — peers at equal ts all see the same window,
+    including each other), inclusive lower bound, block-split
+    invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import keyed_time_window_agg
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [
+        # key 1: ts offsets in seconds, window = 10s
+        (1, 0, 1.0), (1, 5, 2.0), (1, 10, 4.0),   # 10s window incl. t-10
+        (1, 10, 8.0),                             # peer at equal ts
+        (1, 21, 16.0),                            # 21-10=11 > 10: alone
+        (2, 0, 1.0),
+    ]
+    df = pd.DataFrame(rows, columns=["k", "off", "val"])
+    df["ts"] = base + df["off"].to_numpy() * np.timedelta64(1_000_000, "us")
+    df["eid"] = np.arange(len(df))
+    ds = ray.data.from_arrow(pa.Table.from_pandas(
+        df[["k", "ts", "eid", "val"]], preserve_index=False))
+    out = (keyed_time_window_agg(ds, "k", "ts", "val", 10,
+                                 keep_cols=["eid"])
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    # expected: [0,5] -> 100+200; [0,10] peers: both rows at t=10 see
+    # all four rows (incl. each other)
+    assert list(out.n_window) == [1, 2, 4, 4, 1, 1]
+    assert list(out.sum_cents_window) == [100, 300, 1500, 1500, 1600, 100]
+
+    out5 = (keyed_time_window_agg(ds.repartition(5), "k", "ts", "val", 10,
+                                  keep_cols=["eid"])
+            .to_pandas().sort_values("eid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out5)
+
+
+def test_stratified_sample(ray_session):
+    """Deterministic per-group head-n by hashed id: cap respected,
+    small groups kept whole, identical across block splits and salts
+    stable; different salt -> different subset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import stratified_sample
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.where(ids % 17 == 0, "rare", np.where(ids % 2 == 0, "a", "b"))
+    small_ids = np.array([100000, 100001], dtype=np.int64)
+    ids = np.concatenate([ids, small_ids])
+    grp = np.concatenate([grp, ["tiny", "tiny"]])
+    ds = ray.data.from_arrow(pa.table({"id": ids, "g": grp}))
+
+    out = stratified_sample(ds, "g", "id", 50, salt="s1").to_pandas()
+    sizes = out.groupby("g").size()
+    assert sizes["a"] == 50 and sizes["b"] == 50 and sizes["rare"] == 50
+    assert sizes["tiny"] == 2                      # group smaller than n
+    out9 = stratified_sample(ds.repartition(9), "g", "id", 50,
+                             salt="s1").to_pandas()
+    key = lambda d: sorted(map(tuple, d[["g", "id"]].to_numpy()))
+    assert key(out) == key(out9)
+    out_s2 = stratified_sample(ds, "g", "id", 50, salt="s2").to_pandas()
+    assert key(out) != key(out_s2)
