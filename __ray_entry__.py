@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return urls.domain_counts(_docs_with_urls(sf), "url")
 
+    def top_terms_documents(sf):
+        return textstats.top_terms(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=5)
+
     def time_window_agg_events(sf):
         # trailing 1-hour per-user window (RANGE-frame semantics:
         # peers at equal ts included)
@@ -761,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "top_terms_documents": top_terms_documents,
         "time_window_agg_events": time_window_agg_events,
         "stratified_sample_orders": stratified_sample_orders,
         "dedup_spans_documents": dedup_spans_documents,
@@ -2434,6 +2439,23 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN bucket < 0 THEN -lo0 ELSE hi0 END) / 2.0)
              AS BIGINT) AS est_cents
     FROM bounds
+    """,
+        "top_terms_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    t AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+          FROM tok GROUP BY 1, 2),
+    f AS (SELECT token, count(*)::BIGINT AS df FROM t GROUP BY 1)
+    SELECT t.doc_id,
+        CAST(row_number() OVER (PARTITION BY t.doc_id
+            ORDER BY t.tf DESC, f.df ASC, t.token ASC) AS BIGINT) AS rank,
+        t.token, t.tf, f.df
+    FROM t JOIN f USING (token)
+    QUALIFY rank <= 5
     """,
         "time_window_agg_events": """
     WITH c AS (SELECT user_id, ts, event_id,

@@ -54,7 +54,7 @@ def _flat_tokens(col: pa.Array) -> tuple[pa.Array, np.ndarray]:
     # a zero-token document splits to [""] — mask it out
     empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
     keep = np.ones(len(flat), dtype=bool)
-    keep[off[:-1][empty]] = False
+    keep[(off[:-1] - off[0])[empty]] = False
     lens = np.where(empty, 0, lens)
     return flat.filter(pa.array(keep)), lens
 

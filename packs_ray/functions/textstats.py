@@ -259,3 +259,62 @@ def chunk_documents(ds, id_col: str, column: str, *,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_terms(ds, id_col: str, column: str, k: int = 5,
+              num_partitions: int | None = None):
+    """Per-document top-``k`` terms with corpus document frequency —
+    the exact-integer core of TF-IDF (rank by tf desc, corpus df asc,
+    token asc; ranking on integers/strings only, so results are
+    bit-deterministic — a float idf would make top-k ties
+    engine-dependent; idf = ln(N/df) is derivable from the outputs).
+
+    Shape: per-batch (doc, token, tf) partials (a doc is one row, so tf
+    is exact with no shuffle), ONE shuffle bucketed by token to attach
+    df (all rows of a token land together), ONE shuffle bucketed by doc
+    for the per-doc top-k.  Returns (id_col, rank, token, tf, df)."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        raw_lens = off[1:] - off[:-1]          # [""] slots still length 1
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False   # drop the [""] token
+        df = pd.DataFrame({id_col: np.repeat(ids, raw_lens)[keep],
+                           "token": flat[keep]})
+        out = (df.groupby([id_col, "token"], sort=False).size()
+               .reset_index(name="tf"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tf = ds.select_columns([id_col, column]).map_batches(
+        tf_rows, batch_format="pyarrow")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("token")["token"].transform("size")
+        return g
+
+    with_df = bucketed_group_reduce(tf, ["token"], attach_df,
+                                    num_partitions)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "df", "token"],
+                          ascending=[False, True, True], kind="stable")
+        g = g.groupby(id_col, sort=False).head(k)
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        return g[[id_col, "rank", "token", "tf", "df"]]
+
+    return bucketed_group_reduce(with_df, [id_col], topk, num_partitions)

@@ -1155,3 +1155,40 @@ def test_stratified_sample(ray_session):
     assert key(out) == key(out9)
     out_s2 = stratified_sample(ds, "g", "id", 50, salt="s2").to_pandas()
     assert key(out) != key(out_s2)
+
+
+def test_top_terms(ray_session):
+    """Per-doc top-k by (tf desc, corpus df asc, token): rare terms
+    outrank common ones at equal tf; df counts docs not occurrences;
+    block-split invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import top_terms
+
+    docs = {
+        1: "apple apple banana zebra",
+        2: "apple banana banana",
+        3: "zebra  cherry\tcherry cherry",
+        4: "",
+        5: None,
+    }
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(docs),
+                                       "text": list(docs.values())}))
+    out = (top_terms(ds, "doc_id", "text", k=2)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    assert set(out.doc_id) == {1, 2, 3}            # empty/null emit nothing
+    d1 = out[out.doc_id == 1]
+    # apple tf=2 first; then banana vs zebra (both tf=1, df=2): token asc
+    assert list(d1.token) == ["apple", "banana"]
+    assert list(d1.tf) == [2, 1] and list(d1.df) == [2, 2]
+    d3 = out[out.doc_id == 3]
+    assert list(d3.token) == ["cherry", "zebra"]
+    assert list(d3.df) == [1, 2]
+
+    out7 = (top_terms(ds.repartition(7), "doc_id", "text", k=2)
+            .to_pandas().sort_values(["doc_id", "rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out7)
