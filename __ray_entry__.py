@@ -227,6 +227,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return urls.domain_counts(_docs_with_urls(sf), "url")
 
+    def rollup_counts_orders(sf):
+        from packs_ray.functions.agg import rollup_counts
+
+        return rollup_counts(
+            _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
+            ["o_orderstatus", "o_orderpriority"])
+
     def top_terms_documents(sf):
         return textstats.top_terms(
             _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=5)
@@ -765,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
+        "rollup_counts_orders": rollup_counts_orders,
         "top_terms_documents": top_terms_documents,
         "time_window_agg_events": time_window_agg_events,
         "stratified_sample_orders": stratified_sample_orders,
@@ -2439,6 +2447,10 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN bucket < 0 THEN -lo0 ELSE hi0 END) / 2.0)
              AS BIGINT) AS est_cents
     FROM bounds
+    """,
+        "rollup_counts_orders": """
+    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
         "top_terms_documents": r"""
     WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(

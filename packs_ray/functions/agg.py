@@ -170,3 +170,71 @@ def keyed_count(ds, keys: list[str], *, count_col: str = "cnt",
                 .sum().reset_index())
 
     return bucketed_group_reduce(parts, keys, reduce_fn, num_partitions)
+
+
+def rollup_counts(ds, cols: list[str], *, count_col: str = "cnt",
+                  num_partitions: int | None = None):
+    """SQL ``GROUP BY ROLLUP(cols...)``: counts at every prefix level
+    (finest -> ... -> grand total), rolled-up columns emitted as NULL.
+
+    The finest level is one ``keyed_count`` over the input; every
+    coarser level re-reduces the previous level's (already tiny) count
+    rows — the raw data is scanned exactly once regardless of the
+    number of levels."""
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def nullify(level: int):
+        # fill rolled-up columns with typed nulls so union schemas match
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {c: batch.column(c) if i < level
+                   else pa.nulls(len(batch), type=pa.string())
+                   for i, c in enumerate(cols)}
+            out[count_col] = batch.column(count_col)
+            return pa.table(out)
+        return fn
+
+    finest = keyed_count(ds, cols, count_col=count_col,
+                         num_partitions=num_partitions)
+    levels = [finest.map_batches(nullify(len(cols)), batch_format="pyarrow")]
+    prev = finest
+    for lv in range(len(cols) - 1, 0, -1):
+        keys = cols[:lv]
+
+        def partial(batch: pa.Table, _k=keys) -> pa.Table:
+            df = batch.to_pandas()
+            out = (df.groupby(_k, dropna=False, sort=False)[count_col]
+                   .sum().reset_index())
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        def reduce_fn(g: pd.DataFrame, _k=keys) -> pd.DataFrame:
+            return (g.groupby(_k, dropna=False, sort=False)[count_col]
+                    .sum().reset_index())
+
+        parts = prev.map_batches(partial, batch_format="pyarrow")
+        lvl = bucketed_group_reduce(parts, keys, reduce_fn, num_partitions)
+        levels.append(lvl.map_batches(nullify(lv), batch_format="pyarrow"))
+        prev = lvl
+
+    # grand total: per-block partial sums of the coarsest level, reduced
+    # in one bucket (the partials are one row per block)
+    def gpartial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        total = _pc.sum(batch.column(count_col)).as_py() or 0
+        return pa.table({"__one": pa.array([1], type=pa.int64()),
+                         count_col: pa.array([total], type=pa.int64())})
+
+    def gsum(g: pd.DataFrame) -> pd.DataFrame:
+        row = {c: [None] for c in cols}
+        row[count_col] = [int(g[count_col].sum())]
+        return pd.DataFrame(row)
+
+    gtotal = bucketed_group_reduce(
+        prev.map_batches(gpartial, batch_format="pyarrow"),
+        ["__one"], lambda g: gsum(g), 1).map_batches(
+            nullify(0), batch_format="pyarrow")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.union(gtotal)

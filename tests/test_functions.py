@@ -1192,3 +1192,33 @@ def test_top_terms(ray_session):
             .to_pandas().sort_values(["doc_id", "rank"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out7)
+
+
+def test_rollup_counts(ray_session):
+    """ROLLUP levels: finest, per-prefix, grand total; null-key groups
+    counted; levels sum-consistent; single scan of the input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import rollup_counts
+
+    a = ["x"] * 6 + ["y"] * 3 + [None]
+    b = ["p", "p", "q", "q", "q", None, "p", "p", "q", "p"]
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b}))
+    out = rollup_counts(ds, ["a", "b"]).to_pandas()
+    lv2 = out[out.a.notna() & out.b.notna()]
+    lv1 = out[out.a.notna() & out.b.isna()]
+    lv0 = out[out.a.isna() & out.b.isna()]
+    # null-key fine rows: (None,'p') is a real group at the finest level
+    fine_null = out[out.a.isna() & out.b.notna()]
+    assert len(fine_null) == 1 and fine_null.cnt.iloc[0] == 1
+    assert dict(zip(zip(lv2.a, lv2.b), lv2.cnt))[("x", "p")] == 2
+    # ('x', None) appears twice: the real null-b group (1) and the
+    # rolled-up x subtotal (6) — disambiguate by count
+    assert sorted(lv1[lv1.a == "x"].cnt) == [1, 6]
+    assert set(lv1[lv1.a == "y"].cnt) == {3}
+    # grand total row: the (None,None) level-0 row holds all 10; the
+    # rolled-up subtotal of the null-a group (1) is also (None,None)
+    assert sorted(lv0.cnt) == [1, 10]
+    assert lv2.cnt.sum() + fine_null.cnt.sum() + lv1[lv1.cnt == 1].cnt.sum() == 10
