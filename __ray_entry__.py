@@ -259,6 +259,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return spandedup.dedup_spans(
             _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=8)
 
+    def shard_assign_orders(sf):
+        from packs_ray.functions.sharding import assign_shards
+
+        return assign_shards(
+            _ds(sf, "orders", ["o_orderkey"]), "o_orderkey", 16,
+            salt="shard").select_columns(
+                ["o_orderkey", "shard", "sort_key"])
+
+    def pack_sequences_documents(sf):
+        from packs_ray.functions.sharding import pack_sequences
+
+        return pack_sequences(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            budget=2048, num_partitions=8, salt="pack")
+
     def approx_quantiles_lineitem(sf):
         from packs_ray.functions.sketches import approx_quantiles
 
@@ -777,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_window_agg_events": time_window_agg_events,
         "stratified_sample_orders": stratified_sample_orders,
         "dedup_spans_documents": dedup_spans_documents,
+        "shard_assign_orders": shard_assign_orders,
+        "pack_sequences_documents": pack_sequences_documents,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2068,6 +2085,67 @@ def _stratified_sql(table: str, id_col: str, group_col: str, n: int,
         ORDER BY h // 2, {id_col}) <= {n})"""
 
 
+def _idhash_cte(table: str, id_col: str, salt: str,
+                extra_select: str = "", extra_cols: tuple = ()) -> str:
+    """CTE chain (no leading WITH) ending in ``f2({id_col}{extras}, h)``:
+    the engine's finalized salted id hash — FNV-1a over
+    CAST(id AS VARCHAR) utf-8 bytes × salt-constant × mul-rot-mul
+    finalize (sharding.py / sampling.py contract).  Null ids are
+    excluded (the engine masks them to null output)."""
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _C1, _C2
+
+    sc, c1, c2 = int(_salt_constant(salt)), int(_C1), int(_C2)
+    ec = "".join(f", {c}" for c in extra_cols)
+    return f"""
+    v AS (SELECT {id_col}{extra_select},
+               CAST({id_col} AS VARCHAR) AS sv FROM {table}
+               WHERE {id_col} IS NOT NULL),
+    b AS (SELECT {id_col}{ec}, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT {id_col}{ec},
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT {id_col}{ec}, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT {id_col}{ec}, {_mul64_sql('h', c1)} AS h FROM sm),
+    fr AS (SELECT {id_col}{ec}, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {id_col}{ec}, {_mul64_sql('h', c2)} AS h FROM fr)"""
+
+
+def _shard_assign_sql(table: str, id_col: str, n_shards: int,
+                      salt: str) -> str:
+    """sharding.assign_shards replica: shard = h % n_shards,
+    sort_key = h >> 1 (integer div keeps HUGEINT exact)."""
+    return f"""
+    WITH {_idhash_cte(table, id_col, salt)}
+    SELECT {id_col}, (h % {n_shards})::INTEGER AS shard,
+           (h // 2)::BIGINT AS sort_key FROM f2"""
+
+
+def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
+    """sharding.pack_sequences replica: part = h % parts, within-part
+    order by (h >> 1, id), window cumsum of \\S+ token counts, bins by
+    integer division (empty docs pinned via greatest(ntok, 1))."""
+    chain = _idhash_cte(
+        "documents", "doc_id", salt,
+        extra_select=(", length(regexp_extract_all(text, '\\S+'))::BIGINT"
+                      " AS ntok"),
+        extra_cols=("ntok",))
+    return f"""
+    WITH {chain},
+    w AS (SELECT doc_id AS id, (h % {parts})::INTEGER AS part,
+          (h // 2)::BIGINT AS sk, ntok FROM f2),
+    s AS (SELECT id, part, ntok,
+          (sum(ntok) OVER (PARTITION BY part ORDER BY sk, id
+              ROWS UNBOUNDED PRECEDING) - ntok)::BIGINT AS start_tok
+          FROM w)
+    SELECT id, part, start_tok, ntok AS n_tokens,
+        (start_tok // {budget})::BIGINT AS bin_first,
+        ((start_tok + greatest(ntok, 1) - 1) // {budget})::BIGINT AS bin_last
+    FROM s"""
+
+
 def _dedup_spans_sql(k: int = 8) -> str:
     """Exact replica of spandedup.dedup_spans: RE2 whitespace tokenizer
     (chunk_documents convention), FNV-1a + mul-rot-mul finalize per
@@ -2481,6 +2559,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_orders": _stratified_sql(
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
+        "shard_assign_orders": _shard_assign_sql(
+            "orders", "o_orderkey", 16, "shard"),
+        "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""
     SELECT domain, count(*)::BIGINT AS n_docs

@@ -136,6 +136,7 @@ def main() -> None:
             "quality_scores_documents", "ann_bruteforce_embeddings",
             "events_per_window", "sessionize_events", "profile_stats_lineitem",
             "fk_orphans_orders", "minhash_pairs_documents",
+            "dedup_spans_documents", "top_terms_documents",
         ]
         for name in bench_queries:
             t0 = time.time()

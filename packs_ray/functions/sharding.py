@@ -1,0 +1,135 @@
+"""Training-output sharding and sequence packing.
+
+Two operators a pretraining-data pipeline needs downstream of
+filtering, neither present in the reference (whose outputs are metric
+JSON + xlsx exports — profiling_pack/main.py:272-289):
+
+* ``assign_shards`` — the "global shuffle before writing training
+  shards" step.  Instead of ``ds.random_shuffle()`` (RNG + order
+  dependent, so a retried task or a resumed run produces a DIFFERENT
+  shuffle), shard and order are pure functions of the row id:
+  ``shard = finalize(fnv(id) * salt) % n_shards`` and the within-shard
+  sort key is the remaining hash bits.  Any worker, any retry, any
+  cluster size reproduces the identical permutation — which also makes
+  the result oracle-checkable.  Scale shape: the hash columns are
+  embarrassingly parallel; routing rows to shard files is the ONE
+  full-row exchange any global shuffle must pay (``write_training_shards``
+  pays it via a partitioned write, not a driver sort).
+
+* ``pack_sequences`` — GPT-style "concat and chunk" sequence packing:
+  documents are laid end-to-end in a deterministic order and cut every
+  ``budget`` tokens; a document crossing a cut spans two bins.  Packing
+  is partition-local (partition = hash(id) % num_partitions): each
+  partition is an independent token stream, so partitions pack in
+  parallel and a partition is the unit of resume.  The within-partition
+  running offset is the one inherently sequential scan — it runs as a
+  vectorized cumsum over a single bucket, never row-at-a-time.
+  Token counts use the engine's whitespace convention
+  (textstats.token_counts: ``\\S+`` runs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from packs_ray.functions.sampling import _salt_constant
+from packs_ray.functions.sketches import _finalize, _fnv1a_str
+
+
+def _hash_cols(batch: pa.Table, id_col: str, salt: str):
+    """(finalized uint64 hash, valid mask) for the id column."""
+    h, valid = _fnv1a_str(batch.column(id_col))
+    return _finalize(h * _salt_constant(salt)), valid
+
+
+def assign_shards(ds, id_col: str, n_shards: int, *, salt: str = "shard"):
+    """Append ``shard`` (int32) and ``sort_key`` (int64) columns.
+
+    shard = finalize(fnv1a(str(id)) * salt_const) % n_shards;
+    sort_key = the same hash >> 1 (kept positive for int64).  Rows with
+    a null id get null shard/sort_key (they cannot be routed
+    deterministically — surface them instead of guessing).
+    """
+    ns = np.uint64(n_shards)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h, valid = _hash_cols(batch, id_col, salt)
+        shard = (h % ns).astype(np.int32)
+        key = (h >> np.uint64(1)).astype(np.int64)
+        return (batch
+                .append_column("shard", pa.array(shard, type=pa.int32(),
+                                                 mask=~valid))
+                .append_column("sort_key", pa.array(key, type=pa.int64(),
+                                                    mask=~valid)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def write_training_shards(ds, id_col: str, n_shards: int, out_dir: str, *,
+                          salt: str = "shard"):
+    """Deterministically shuffle + write one parquet directory per shard
+    (resumable unit).  One full-row exchange (the partitioned write)
+    plus a within-shard sort by the hash key — this IS the global
+    shuffle, expressed so a re-run writes byte-identical shards."""
+    with_cols = assign_shards(ds, id_col, n_shards, salt=salt)
+    (with_cols
+     .sort(["shard", "sort_key"])
+     .write_parquet(out_dir, partition_cols=["shard"]))
+
+
+def pack_sequences(ds, id_col: str, text_col: str, budget: int, *,
+                   num_partitions: int = 32, salt: str = "pack"):
+    """Concat-and-chunk packing plan: lazy Dataset of
+    ``(id, part, start_tok, n_tokens, bin_first, bin_last)``.
+
+    Within each hash partition documents are ordered by
+    ``(sort_key, id)`` and laid end-to-end; ``start_tok`` is the
+    running token offset, and the document occupies training bins
+    ``start_tok // budget .. (start_tok + max(n_tokens,1) - 1) // budget``
+    (an empty document is pinned to the bin at its offset).  Documents
+    with a null id are dropped (cannot be ordered deterministically).
+
+    ``num_partitions`` bounds the size of the sequential scan: size it
+    so one partition ≈ one block (at 100 TB that means ~1e6 partitions,
+    still a single int32 column to shuffle — the full text never moves,
+    only (id, hash, n_tokens) triples).
+    """
+    import pandas as pd
+
+    from packs_ray.stages.util import str_column
+
+    np_u = np.uint64(num_partitions)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h, valid = _hash_cols(batch, id_col, salt)
+        text = str_column(batch, text_col)
+        ntok = pc.count_substring_regex(text, r"\S+").fill_null(0) \
+            .cast(pa.int64())
+        t = pa.table({
+            "id": batch.column(id_col),
+            "part": pa.array((h % np_u).astype(np.int32)),
+            "sort_key": pa.array((h >> np.uint64(1)).astype(np.int64)),
+            "n_tokens": ntok,
+        })
+        return t.filter(pa.array(valid))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sort_key", "id"], kind="stable")
+        width = np.maximum(df["n_tokens"].to_numpy(), 1)
+        start = np.cumsum(df["n_tokens"].to_numpy()) - df["n_tokens"].to_numpy()
+        return pd.DataFrame({
+            "id": df["id"].to_numpy(),
+            "part": df["part"].to_numpy(),
+            "start_tok": start,
+            "n_tokens": df["n_tokens"].to_numpy(),
+            "bin_first": start // budget,
+            "bin_last": (start + width - 1) // budget,
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return pack(g)
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pandas"))

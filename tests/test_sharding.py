@@ -1,0 +1,91 @@
+"""Sharding / sequence-packing invariants (beyond the SQL parity test
+in test_functions.py, which already covers shard_assign_orders and
+pack_sequences_documents hash-for-hash)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from packs_ray.functions.sharding import (assign_shards, pack_sequences,
+                                          write_training_shards)
+
+
+def _docs(n=200):
+    rng = np.random.default_rng(7)
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": [" ".join(f"w{j}" for j in range(int(rng.integers(0, 40))))
+                 for _ in range(n)],
+    }))
+
+
+def test_assign_shards_deterministic_and_in_range(ray_session):
+    ds = _docs()
+    a = assign_shards(ds, "doc_id", 16).to_pandas().sort_values("doc_id")
+    b = assign_shards(_docs(), "doc_id", 16).to_pandas().sort_values("doc_id")
+    assert (a["shard"].to_numpy() == b["shard"].to_numpy()).all()
+    assert (a["sort_key"].to_numpy() == b["sort_key"].to_numpy()).all()
+    assert a["shard"].between(0, 15).all()
+    assert a["sort_key"].ge(0).all()          # >>1 keeps int64 positive
+    # hash actually spreads: every shard non-empty at n=200, k=16
+    assert a["shard"].nunique() == 16
+
+
+def test_assign_shards_null_ids_masked(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, None, 3], type=pa.int64())}))
+    out = assign_shards(ds, "doc_id", 4).to_pandas()
+    nulls = out[out["doc_id"].isna()]
+    assert nulls["shard"].isna().all() and nulls["sort_key"].isna().all()
+    assert out[out["doc_id"].notna()]["shard"].notna().all()
+
+
+def test_pack_sequences_token_stream_is_gapless(ray_session):
+    """Within each partition the docs tile the token stream exactly:
+    sorted start offsets are the running sum of token counts, and bins
+    follow the integer-division formula (crossing docs span >1 bin)."""
+    out = pack_sequences(_docs(300), "doc_id", "text", budget=64,
+                         num_partitions=4).to_pandas()
+    assert len(out) == 300
+    for _, g in out.groupby("part"):
+        g = g.sort_values("start_tok")
+        starts = g["start_tok"].to_numpy()
+        ntok = g["n_tokens"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == (starts + ntok)[:-1]).all()
+        width = np.maximum(ntok, 1)
+        assert (g["bin_first"].to_numpy() == starts // 64).all()
+        assert (g["bin_last"].to_numpy() == (starts + width - 1) // 64).all()
+    # some doc actually crosses a bin boundary at this budget
+    assert (out["bin_last"] > out["bin_first"]).any()
+
+
+def test_pack_sequences_empty_doc_pinned(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["a b c", "", "d"]}))
+    out = pack_sequences(ds, "doc_id", "text", budget=2,
+                         num_partitions=1).to_pandas()
+    empty = out[out["n_tokens"] == 0]
+    assert (empty["bin_first"] == empty["bin_last"]).all()
+
+
+def test_write_training_shards_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(_docs(120), "doc_id", 8, out)
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 120
+    assert sorted(back["doc_id"]) == list(range(120))
+    # partition layout: one directory per non-empty shard
+    import os
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(dirs) == back["shard"].astype(int).nunique()
+    # re-run is the identical permutation
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(_docs(120), "doc_id", 8, out2)
+    back2 = ray.data.read_parquet(out2).to_pandas()
+    a = back.sort_values("doc_id")[["shard", "sort_key"]].to_numpy(dtype="int64")
+    b = back2.sort_values("doc_id")[["shard", "sort_key"]].to_numpy(dtype="int64")
+    assert (a == b).all()
