@@ -267,6 +267,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def pii_luhn_orders(sf):
+        # deterministic card-shaped fixture derived from orders (the
+        # compare_mismatch_export pattern): 16 digits from
+        # (o_orderkey*137+11) % 1e16, grouped 4-4-4-4 with dashes; the
+        # oracle rebuilds the identical text, so the Luhn verdict is
+        # exact on both sides.
+        from packs_ray.functions.pii import luhn_scan
+
+        def mk(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            d = np.char.zfill(
+                ((k.astype(np.int64) * 137 + 11) % 10**16).astype(str), 16)
+            txt = ["ref " + s[0:4] + "-" + s[4:8] + "-" + s[8:12] + "-"
+                   + s[12:16] + " thanks" for s in d]
+            return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                             "text": pa.array(txt, type=pa.string())})
+
+        return luhn_scan(
+            _ds(sf, "orders", ["o_orderkey"])
+            .map_batches(mk, batch_format="pyarrow"),
+            "o_orderkey", "text")
+
     def pack_sequences_documents(sf):
         from packs_ray.functions.sharding import pack_sequences
 
@@ -794,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_documents": dedup_spans_documents,
         "shard_assign_orders": shard_assign_orders,
         "pack_sequences_documents": pack_sequences_documents,
+        "pii_luhn_orders": pii_luhn_orders,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2123,6 +2149,31 @@ def _shard_assign_sql(table: str, id_col: str, n_shards: int,
            (h // 2)::BIGINT AS sort_key FROM f2"""
 
 
+def _pii_luhn_sql() -> str:
+    """pii.luhn_scan over the deterministic orders-derived card fixture:
+    identical text construction, RE2 candidate extraction, and a
+    list-transform Luhn mod-10 (reversed digits, even 1-based positions
+    doubled, minus 9 above 9)."""
+    return """
+    WITH t AS (SELECT o_orderkey,
+            lpad(CAST((o_orderkey * 137 + 11) % 10000000000000000
+                 AS VARCHAR), 16, '0') AS s FROM orders),
+    tx AS (SELECT o_orderkey, 'ref ' || s[1:4] || '-' || s[5:8] || '-'
+            || s[9:12] || '-' || s[13:16] || ' thanks' AS text FROM t),
+    e AS (SELECT o_orderkey, unnest(regexp_extract_all(
+            text, '[0-9](?:[ -]?[0-9]){12,18}')) AS cand FROM tx),
+    d AS (SELECT o_orderkey, list_reverse(list_transform(
+            regexp_extract_all(cand, '[0-9]'), x -> x::INT)) AS ds FROM e),
+    v AS (SELECT o_orderkey,
+            (list_sum(list_transform(range(1, len(ds)+1),
+              i -> CASE WHEN i % 2 = 0 THEN
+                    CASE WHEN ds[i]*2 > 9 THEN ds[i]*2 - 9 ELSE ds[i]*2 END
+                   ELSE ds[i] END)) % 10 = 0) AS ok FROM d)
+    SELECT o_orderkey, count(*)::BIGINT AS n_candidates,
+           sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid
+    FROM v GROUP BY o_orderkey"""
+
+
 def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
     """sharding.pack_sequences replica: part = h % parts, within-part
     order by (h >> 1, id), window cumsum of \\S+ token counts, bins by
@@ -2562,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
+        "pii_luhn_orders": _pii_luhn_sql(),
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""
     SELECT domain, count(*)::BIGINT AS n_docs

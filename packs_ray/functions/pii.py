@@ -78,3 +78,74 @@ def pii_scan(ds, columns: list[str], cfg: FilterConfig = DEFAULT_CONFIG) -> pd.D
         "pii_hits": agg["rows_with_pii"],
     }])
     return pd.concat([out, out_ds], ignore_index=True)
+
+
+# Credit-card candidates: 13-19 digits, single space/dash separators
+# allowed between digits.  ASCII [0-9] on BOTH sides (engine Python re
+# and the DuckDB/RE2 oracle) so the two can never diverge on Unicode
+# digits — the \d pitfall flagged for the generic PII bank.
+CARD_CANDIDATE = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _luhn_valid(cands: list[str]) -> "np.ndarray":
+    """Vectorized Luhn mod-10 over candidate strings (separators
+    stripped): reversed digits in a padded matrix, every second digit
+    doubled (minus 9 above 9), sum % 10 == 0.  Left-padding with zeros
+    is checksum-neutral (0 doubled is 0)."""
+    import numpy as np
+
+    if not cands:
+        return np.zeros(0, dtype=bool)
+    digs = [np.frombuffer(c.replace(" ", "").replace("-", "").encode(),
+                          dtype=np.uint8) - 48 for c in cands]
+    m = np.zeros((len(digs), 19), dtype=np.int64)
+    for i, d in enumerate(digs):
+        m[i, : len(d)] = d[::-1]
+    doubled = 2 * m[:, 1::2]
+    s = m[:, 0::2].sum(axis=1) + (doubled - 9 * (doubled > 9)).sum(axis=1)
+    return s % 10 == 0
+
+
+def luhn_scan(ds, id_col: str, text_col: str):
+    """Checksum-validated credit-card detection: lazy Dataset of
+    ``(id, n_candidates, n_valid)`` for rows containing at least one
+    card-shaped digit run.
+
+    The reference's credit-card PII rule is regex-only
+    (pii_scanner_pack/pack_conf.json — ``(?:\\d[ -]*?){13,16}``), so any
+    16-digit order/tracking number is a false hit; validating the Luhn
+    checksum keeps real card numbers (all major networks checksum) and
+    drops ~90 % of random digit runs.  Scale shape: the vectorized RE2
+    prefilter skips digit-free rows entirely; the Python findall loop
+    runs only over surviving candidate rows, and the checksum is one
+    numpy pass over all candidates in the batch."""
+    import numpy as np
+
+    from packs_ray.stages.util import str_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rx = re.compile(CARD_CANDIDATE)
+        text = str_column(batch, text_col)
+        cand = pc.match_substring_regex(text, CARD_CANDIDATE) \
+            .fill_null(False).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col)
+        vals = text.to_numpy(zero_copy_only=False)
+        idx, spans = [], []
+        all_cands: list[str] = []
+        for i in np.flatnonzero(cand):
+            found = rx.findall(vals[i])
+            idx.append(i)
+            spans.append(len(found))
+            all_cands.extend(found)
+        ok = _luhn_valid(all_cands)
+        n_valid, pos = [], 0
+        for k in spans:
+            n_valid.append(int(ok[pos: pos + k].sum()))
+            pos += k
+        return pa.table({
+            id_col: ids.take(pa.array(idx, type=pa.int64())),
+            "n_candidates": pa.array(spans, type=pa.int64()),
+            "n_valid": pa.array(n_valid, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
