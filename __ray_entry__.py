@@ -267,6 +267,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def quality_filter_documents(sf):
+        # two-pass corpus gate: exact global median of the heuristic
+        # quality score, then keep rows at-or-above it
+        from packs_ray.functions.profiling import quantile_filter
+        from packs_ray.functions.textstats import quality_scores
+
+        s = quality_scores(_ds(sf, "documents", ["doc_id", "text"]),
+                           "doc_id", "text")
+        return quantile_filter(s, "quality_score", 0.5)
+
     def pii_luhn_orders(sf):
         # deterministic card-shaped fixture derived from orders (the
         # compare_mismatch_export pattern): 16 digits from
@@ -820,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign_orders": shard_assign_orders,
         "pack_sequences_documents": pack_sequences_documents,
         "pii_luhn_orders": pii_luhn_orders,
+        "quality_filter_documents": quality_filter_documents,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2520,6 +2531,21 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_documents": pii_scan,
         "token_counts_documents": token_counts,
         "quality_scores_documents": quality,
+        # profiling.quantile_filter: identical rank-interpolated median
+        # (vlo + (qf - lo_i)*(vhi - vlo), qf = 0.5*(n-1)) then >= gate
+        "quality_filter_documents": f"""
+    WITH s AS ({quality}),
+    r AS (SELECT quality_score AS v,
+          row_number() OVER (ORDER BY quality_score) - 1 AS rk,
+          count(*) OVER () AS n FROM s WHERE quality_score IS NOT NULL),
+    p AS (SELECT
+          max(CASE WHEN rk = CAST(floor(0.5*(n-1)) AS BIGINT)
+              THEN v END) AS vlo,
+          max(CASE WHEN rk = CAST(ceil(0.5*(n-1)) AS BIGINT)
+              THEN v END) AS vhi,
+          max(0.5*(n-1)) AS qf, max(floor(0.5*(n-1))) AS lo_i FROM r)
+    SELECT doc_id, quality_score FROM s, p
+    WHERE quality_score >= vlo + (qf - lo_i) * (vhi - vlo)""",
         "ann_bruteforce_embeddings": ann,
         "ann_multi_query": """
     SELECT q.query_idx, e.vec_id,

@@ -273,3 +273,57 @@ def schema_hashes(ds) -> pd.DataFrame:
         "dtypes_hash": h(",".join(f"{n}:{t}" for n, t in zip(names, types))),
         "n_columns": len(names),
     }])
+
+
+def quantile_threshold(ds, column: str, q: float) -> float:
+    """Exact ``quantile_cont(column, q)`` without materializing the
+    column: global (n, min, max) partials, then histogram-refinement
+    rank selection for the two bounding ranks and the np.percentile
+    'linear' interpolation — a fixed float64 expression the SQL oracle
+    replicates term-for-term."""
+
+    def partial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null()
+        return {"n": len(v),
+                "mn": pc.min(v).as_py() if len(v) else None,
+                "mx": pc.max(v).as_py() if len(v) else None}
+
+    def combine(parts: pd.DataFrame) -> dict:
+        return {"n": int(parts["n"].sum()),
+                "mn": float(parts["mn"].min()),
+                "mx": float(parts["mx"].max())}
+
+    agg = global_agg(ds.select_columns([column]), partial, combine)
+    n = agg["n"]
+    if n == 0:
+        raise ValueError(f"quantile_threshold: no non-null {column!r}")
+    qf = (n - 1) * q
+    lo_i, hi_i = int(np.floor(qf)), int(np.ceil(qf))
+    rv = _rank_select(ds, column, sorted({lo_i, hi_i}),
+                      agg["mn"], agg["mx"])
+    return float(rv[lo_i] + (qf - lo_i) * (rv[hi_i] - rv[lo_i]))
+
+
+def quantile_filter(ds, column: str, q: float, *, keep: str = "above"):
+    """Keep rows whose ``column`` is >= (keep='above') or <= ('below')
+    the exact global q-quantile — the "drop the worst X % of the corpus
+    by score" step of a quality-filter pipeline.
+
+    Two-pass by construction (a global order statistic cannot be known
+    in one streaming pass): both passes are streaming scans of the one
+    needed column; nothing materializes on the driver but the
+    threshold.  Rows with a null score are dropped (unknown quality
+    never passes a quality gate).  For a score column that is itself an
+    expensive pipeline, checkpoint it to parquet first so the two scans
+    re-read the cheap artifact rather than recompute the model."""
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above|below, got {keep!r}")
+    thr = quantile_threshold(ds, column, q)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        m = (pc.greater_equal(col, thr) if keep == "above"
+             else pc.less_equal(col, thr)).fill_null(False)
+        return batch.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -89,3 +89,36 @@ def test_write_training_shards_roundtrip(ray_session, tmp_path):
     a = back.sort_values("doc_id")[["shard", "sort_key"]].to_numpy(dtype="int64")
     b = back2.sort_values("doc_id")[["shard", "sort_key"]].to_numpy(dtype="int64")
     assert (a == b).all()
+
+
+def test_quantile_filter_matches_numpy(ray_session):
+    """quantile_threshold == np.percentile(linear) exactly, and the gate
+    keeps precisely the >= threshold rows (keep='below' mirrors it)."""
+    import ray
+    from packs_ray.functions.profiling import (quantile_filter,
+                                               quantile_threshold)
+
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(0, 1, 1000), 4)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(range(1000), type=pa.int64()),
+        "score": pa.array(vals)}))
+    for q in (0.1, 0.5, 0.9):
+        thr = quantile_threshold(ds, "score", q)
+        assert thr == float(np.percentile(vals, q * 100))
+    thr = quantile_threshold(ds, "score", 0.75)
+    kept = quantile_filter(ds, "score", 0.75).to_pandas()
+    assert set(kept["id"]) == set(np.flatnonzero(vals >= thr))
+    low = quantile_filter(ds, "score", 0.75, keep="below").to_pandas()
+    assert set(low["id"]) == set(np.flatnonzero(vals <= thr))
+
+
+def test_quantile_filter_drops_null_scores(ray_session):
+    import ray
+    from packs_ray.functions.profiling import quantile_filter
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "score": pa.array([0.1, None, 0.9, 0.5])}))
+    kept = quantile_filter(ds, "score", 0.5).to_pandas()
+    assert 2 not in set(kept["id"])
