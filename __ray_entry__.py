@@ -267,6 +267,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def interval_join_events(sf):
+        # range join Ray Data lacks: attach each event to the session
+        # interval containing its timestamp
+        from packs_ray.functions.joins import interval_join
+
+        sess = windows.sessionize(_ds(sf, "events", ["user_id", "ts"]),
+                                  "user_id", "ts", gap_seconds=1800)
+        return interval_join(
+            _ds(sf, "events", ["event_id", "user_id", "ts"]), sess,
+            on="user_id", ts_col="ts", start_col="session_start",
+            end_col="session_end", payload_cols=["session_id"])
+
     def quality_filter_documents(sf):
         # two-pass corpus gate: exact global median of the heuristic
         # quality score, then keep rows at-or-above it
@@ -831,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": pack_sequences_documents,
         "pii_luhn_orders": pii_luhn_orders,
         "quality_filter_documents": quality_filter_documents,
+        "interval_join_events": interval_join_events,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2660,6 +2673,12 @@ def oracle_sql() -> dict[str, str]:
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
         "sessionize_events": sessions,
+        "interval_join_events": f"""
+    WITH sess AS ({sessions})
+    SELECT e.event_id, e.user_id, e.ts,
+           s.session_start, s.session_end, s.session_id
+    FROM events e JOIN sess s ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end""",
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,

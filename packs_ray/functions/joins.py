@@ -261,3 +261,96 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
 
     return joined.union(left_ds.map_batches(null_key_rows,
                                             batch_format="pyarrow"))
+
+
+
+def interval_join(left_ds, right_ds, *, on: str, ts_col: str,
+                  start_col: str, end_col: str, payload_cols: list[str]):
+    """Point-in-interval (range) join: for each left row, every right
+    interval of the same ``on`` key with ``start <= ts <= end`` —
+    inner semantics, one output row per matching pair.  Output: all
+    left columns + the interval bounds + ``payload_cols`` (names
+    colliding with a left column are suffixed ``_r``).
+
+    Ray Data has no range join; the shape here is the asof contract
+    (one hash shuffle per side on the key, vectorized per-bucket merge)
+    with a two-path bucket kernel: when a bucket's intervals are
+    NON-overlapping per key (sessionization / tumbling windows — the
+    common case), one ``pd.merge_asof`` on the interval start plus an
+    end-bound filter resolves every point in O((n+m) log m); when
+    overlaps exist (a point can match several intervals), the bucket
+    falls back to an exact per-key merge+filter whose cost is
+    points×intervals per key — fine for bounded intervals-per-key,
+    the documented assumption.  Null keys/timestamps never match
+    (SQL semantics).
+    """
+    lcols = left_ds.schema().names
+    rsrc = [start_col, end_col] + [c for c in payload_cols
+                                   if c not in (start_col, end_col)]
+    ren = {c: (c + "_r" if c in lcols else c) for c in rsrc}
+    num_partitions = max(reduce_partition_count(left_ds),
+                         reduce_partition_count(right_ds))
+    lschema = _arrow_schema(left_ds)
+    rschema = _arrow_schema(right_ds)
+    out_fields = [(c, lschema.field(c).type) for c in lcols]
+    out_fields += [(ren[c], rschema.field(c).type) for c in rsrc]
+    rs, re_ = ren[start_col], ren[end_col]
+    radd = [ren[c] for c in rsrc]
+
+    def mark(side, need):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.select([on] + rsrc)
+                batch = batch.rename_columns(
+                    [on] + [ren[c] for c in rsrc])
+            valid = pa.compute.is_valid(batch.column(need[0]))
+            for c in need[1:]:
+                valid = pa.compute.and_(valid,
+                                        pa.compute.is_valid(batch.column(c)))
+            batch = batch.filter(valid)
+            n = len(batch)
+            vals = np.asarray(batch.column(on).to_numpy(zero_copy_only=False))
+            h = pd.util.hash_array(vals) % np.uint64(num_partitions)
+            cols = {"__p": pa.array(h.view(np.int64)),
+                    "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                    on: batch.column(on)}
+            for name, typ in out_fields:
+                if name == on:
+                    continue
+                cols[name] = (batch.column(name) if name in batch.column_names
+                              else pa.nulls(n, typ))
+            return pa.table(cols)
+        return fn
+
+    marked = (left_ds.map_batches(mark(0, [on, ts_col]),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(mark(1, [on, rs, re_]),
+                                          batch_format="pyarrow")))
+
+    out_cols = [c for c, _ in out_fields]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lcols]
+        r = g[g["__side"] == 1][[on] + radd]
+        if l.empty or r.empty:
+            return l.head(0).merge(r.head(0), on=on)[out_cols]
+        v = r.sort_values([on, rs], kind="stable")
+        karr = v[on].to_numpy()
+        overlap = bool(np.any(
+            (karr[1:] == karr[:-1])
+            & (v[re_].to_numpy()[:-1] >= v[rs].to_numpy()[1:])))
+        if not overlap:
+            # merge_asof needs BOTH frames globally sorted on the time
+            # column (per-key order is handled by `by` internally)
+            l2 = l.sort_values(ts_col, kind="stable")
+            m = pd.merge_asof(l2, r.sort_values(rs, kind="stable"),
+                              left_on=ts_col, right_on=rs,
+                              by=on, direction="backward")
+            m = m[m[re_].notna() & (m[ts_col] <= m[re_])]
+        else:
+            m = l.merge(r, on=on)
+            m = m[(m[ts_col] >= m[rs]) & (m[ts_col] <= m[re_])]
+        return m[out_cols]
+
+    return marked.groupby("__p").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -116,3 +116,83 @@ def test_equi_join_empty_right(ray_session):
                     how="left").to_pandas()
     assert len(out) == len(L_ROWS)
     assert out["v"].isna().all()
+
+
+# ---- interval (range) join ----------------------------------------------
+
+def _ts(s):
+    return pd.Timestamp(s).to_datetime64()
+
+
+def _ij_frames(intervals):
+    import ray.data
+
+    pts = pd.DataFrame({
+        "eid": [1, 2, 3, 4, 5, 6],
+        "key": [1, 1, 1, 2, None, 2],
+        "ts": [_ts("2026-01-01 00:05"), _ts("2026-01-01 00:45"),
+               _ts("2026-01-01 02:00"), _ts("2026-01-01 00:10"),
+               _ts("2026-01-01 00:10"), pd.NaT],
+    })
+    iv = pd.DataFrame(intervals, columns=["key", "start", "end", "sid"])
+    return (ray.data.from_pandas(pts), ray.data.from_pandas(iv))
+
+
+def _expected(pts, intervals):
+    out = []
+    for _, p in pts.iterrows():
+        if pd.isna(p["key"]) or pd.isna(p["ts"]):
+            continue
+        for key, start, end, sid in intervals:
+            if key == p["key"] and start <= p["ts"] <= end:
+                out.append((p["eid"], sid))
+    return sorted(out)
+
+
+def test_interval_join_nonoverlapping(ray_session):
+    from packs_ray.functions.joins import interval_join
+
+    intervals = [
+        (1, _ts("2026-01-01 00:00"), _ts("2026-01-01 00:30"), 100),
+        (1, _ts("2026-01-01 00:40"), _ts("2026-01-01 01:00"), 101),
+        (2, _ts("2026-01-01 00:00"), _ts("2026-01-01 00:30"), 200),
+    ]
+    lds, rds = _ij_frames(intervals)
+    out = interval_join(lds, rds, on="key", ts_col="ts",
+                        start_col="start", end_col="end",
+                        payload_cols=["sid"]).to_pandas()
+    got = sorted(zip(out["eid"], out["sid"]))
+    pts = lds.to_pandas()
+    assert got == _expected(pts, intervals)
+    assert set(out.columns) == {"eid", "key", "ts", "start", "end", "sid"}
+
+
+def test_interval_join_overlapping_multimatch(ray_session):
+    from packs_ray.functions.joins import interval_join
+
+    intervals = [
+        (1, _ts("2026-01-01 00:00"), _ts("2026-01-01 01:00"), 100),
+        (1, _ts("2026-01-01 00:30"), _ts("2026-01-01 02:30"), 101),  # overlaps
+        (2, _ts("2026-01-01 00:00"), _ts("2026-01-01 00:30"), 200),
+    ]
+    lds, rds = _ij_frames(intervals)
+    out = interval_join(lds, rds, on="key", ts_col="ts",
+                        start_col="start", end_col="end",
+                        payload_cols=["sid"]).to_pandas()
+    got = sorted(zip(out["eid"], out["sid"]))
+    exp = _expected(lds.to_pandas(), intervals)
+    assert got == exp
+    # eid=2 (00:45) matches BOTH overlapping intervals
+    assert [s for e, s in exp if e == 2] == [100, 101]
+
+
+def test_interval_join_boundary_inclusive(ray_session):
+    from packs_ray.functions.joins import interval_join
+
+    intervals = [(1, _ts("2026-01-01 00:05"), _ts("2026-01-01 00:45"), 7)]
+    lds, rds = _ij_frames(intervals)
+    out = interval_join(lds, rds, on="key", ts_col="ts",
+                        start_col="start", end_col="end",
+                        payload_cols=["sid"]).to_pandas()
+    # eids 1 (== start) and 2 (== end) both match
+    assert sorted(out["eid"]) == [1, 2]
