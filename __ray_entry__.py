@@ -267,6 +267,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def mad_outliers_lineitem(sf):
+        from packs_ray.functions.outliers import mad_outliers
+
+        return mad_outliers(
+            _ds(sf, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_extendedprice"]),
+            "l_extendedprice", k=3.0)
+
+    def zscore_events(sf):
+        # per-user standardization with exact int64 cents partials
+        from packs_ray.functions.agg import groupwise_zscore
+
+        return groupwise_zscore(
+            _ds(sf, "events", ["event_id", "user_id", "value"]),
+            "user_id", "value")
+
     def interval_join_events(sf):
         # range join Ray Data lacks: attach each event to the session
         # interval containing its timestamp
@@ -844,6 +860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_luhn_orders": pii_luhn_orders,
         "quality_filter_documents": quality_filter_documents,
         "interval_join_events": interval_join_events,
+        "zscore_events": zscore_events,
+        "mad_outliers_lineitem": mad_outliers_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2173,6 +2191,38 @@ def _shard_assign_sql(table: str, id_col: str, n_shards: int,
            (h // 2)::BIGINT AS sort_key FROM f2"""
 
 
+def _median_ctes(src: str, col: str, tag: str) -> str:
+    """CTE fragment computing the rank-interpolated median of
+    ``src.col`` as ``m{tag}(med{tag})`` — the exact float expression
+    profiling.quantile_threshold uses (vlo + (qf-lo_i)*(vhi-vlo),
+    qf = 0.5*(n-1))."""
+    return f"""
+    r{tag} AS (SELECT {col} AS x, row_number() OVER (ORDER BY {col}) - 1 AS rk,
+           count(*) OVER () AS n FROM {src} WHERE {col} IS NOT NULL),
+    p{tag} AS (SELECT
+           max(CASE WHEN rk = CAST(floor(0.5*(n-1)) AS BIGINT) THEN x END) AS vlo,
+           max(CASE WHEN rk = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN x END) AS vhi,
+           max(0.5*(n-1)) AS qf, max(floor(0.5*(n-1))) AS lo_i FROM r{tag}),
+    m{tag} AS (SELECT vlo + (qf - lo_i) * (vhi - vlo) AS med{tag} FROM p{tag})"""
+
+
+def _mad_outliers_sql(k: float = 3.0) -> str:
+    """outliers.mad_outliers replica: two rank-interpolated medians,
+    z = round(|v−med| / (1.4826·MAD), 6), flag z > k."""
+    return f"""
+    WITH v AS (SELECT l_orderkey, l_linenumber, l_extendedprice
+               FROM lineitem),
+    {_median_ctes('v', 'l_extendedprice', '1')},
+    a AS (SELECT v.*, abs(l_extendedprice - med1) AS ad FROM v, m1),
+    {_median_ctes('a', 'ad', '2')}
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+        CASE WHEN l_extendedprice IS NOT NULL AND 1.4826 * med2 > 0
+             THEN round(ad / (1.4826 * med2), 6) > {k} END AS is_outlier,
+        CASE WHEN l_extendedprice IS NOT NULL AND 1.4826 * med2 > 0
+             THEN round(ad / (1.4826 * med2), 6) END AS mad_z
+    FROM a, m2"""
+
+
 def _pii_luhn_sql() -> str:
     """pii.luhn_scan over the deterministic orders-derived card fixture:
     identical text construction, RE2 candidate extraction, and a
@@ -2653,6 +2703,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
+        "mad_outliers_lineitem": _mad_outliers_sql(3.0),
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""
     SELECT domain, count(*)::BIGINT AS n_docs
@@ -2679,6 +2730,21 @@ def oracle_sql() -> dict[str, str]:
            s.session_start, s.session_end, s.session_id
     FROM events e JOIN sess s ON e.user_id = s.user_id
      AND e.ts BETWEEN s.session_start AND s.session_end""",
+        # agg.groupwise_zscore: exact int64 cents sums, then the identical
+        # fixed float64 expression (s/n, sqrt(s2/n - mean^2), 6dp)
+        "zscore_events": """
+    WITH e AS (SELECT event_id, user_id, value FROM events),
+    c AS (SELECT user_id, CAST(round(value*100, 0) AS BIGINT) AS cents
+          FROM e WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    g AS (SELECT user_id, count(*)::DOUBLE AS n, sum(cents)::DOUBLE AS s,
+          sum(cents*cents)::DOUBLE AS s2 FROM c GROUP BY user_id),
+    st AS (SELECT user_id, n, s/n AS mean,
+           sqrt(greatest(s2/n - (s/n)*(s/n), 0.0)) AS std FROM g)
+    SELECT e.event_id, e.user_id, e.value,
+        CASE WHEN e.value IS NOT NULL AND st.n > 1 AND st.std > 0
+             THEN round((CAST(round(e.value*100, 0) AS BIGINT) - st.mean)
+                        / st.std, 6) END AS zscore
+    FROM e LEFT JOIN st ON e.user_id = st.user_id""",
         "profile_stats_lineitem": profile_stats,
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,

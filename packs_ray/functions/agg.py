@@ -238,3 +238,108 @@ def rollup_counts(ds, cols: list[str], *, count_col: str = "cnt",
     for lv in levels[1:]:
         out = out.union(lv)
     return out.union(gtotal)
+
+
+def groupwise_zscore(ds, key_col: str, value_col: str, *,
+                     out_col: str = "zscore", scale: int = 100,
+                     ndigits: int = 6, num_partitions: int | None = None,
+                     broadcast_cap: int = 5_000_000):
+    """Per-group standardization: append ``out_col`` =
+    round((v − mean_g) / std_pop_g, ndigits) for each row's group.
+
+    Exactness contract (drives the SQL oracle): values are first fixed
+    to integers at ``scale`` (v*scale rounded half-even — the repo's
+    cents convention), so the per-group sums n/s/s2 are EXACT integers
+    whatever the partition/merge order; mean/std/z are then a fixed
+    float64 expression both sides replicate.  Groups with n == 1 or
+    zero variance get a null z (undefined), as do null keys/values.
+
+    Scale shape: per-batch integer partials (3 numbers per distinct
+    key per batch) → bucketed reduce → the per-key stats table, which
+    is the GROUP count not the row count.  Below ``broadcast_cap``
+    keys the stats join back via one object-store broadcast lookup per
+    batch; above it, the existing bucketed ``equi_join`` co-partition
+    path takes over.  Either way the full rows move at most once.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.joins import equi_join
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def to_cents(col):
+        # int64 partials: exact and order-free.  Range contract: |v*scale|
+        # and each group's Σ(v*scale)² must fit int64 — for cents-scale
+        # values that is ~1e8 rows per group; shrink `scale` beyond that.
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.rint(v * scale).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch.column(key_col)),
+                       pc.is_valid(batch.column(value_col)))
+        b = batch.filter(mask)
+        df = pd.DataFrame({key_col: b.column(key_col).to_numpy(
+            zero_copy_only=False)})
+        c = to_cents(b.column(value_col))
+        df["__s"] = c
+        df["__s2"] = c * c
+        g = df.groupby(key_col, sort=False)
+        out = g.agg(__n=("__s", "size"), __s=("__s", "sum"),
+                    __s2=("__s2", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(key_col, sort=False)
+                [["__n", "__s", "__s2"]].sum().reset_index())
+
+    stats = bucketed_group_reduce(
+        ds.select_columns([key_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [key_col], reduce_fn, num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("__s").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = batch.column("__s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = s2 / n - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table({key_col: batch.column(key_col),
+                         "__mean": pa.array(mean),
+                         "__std": pa.array(std),
+                         "__n1": pa.array(n > 1)})
+
+    if stats.schema() is None:
+        # 0-row input: no groups exist; rows (if any later appear via a
+        # union) get a null z — emit the schema-stable passthrough
+        def null_z(batch: pa.Table) -> pa.Table:
+            return batch.append_column(out_col,
+                                       pa.nulls(len(batch), pa.float64()))
+
+        return ds.map_batches(null_z, batch_format="pyarrow")
+
+    stats = stats.map_batches(finish, batch_format="pyarrow")
+    joined = equi_join(ds, stats, left_on=[key_col], right_on=[key_col],
+                       how="left", broadcast_cap=broadcast_cap)
+
+    def zcol(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        valid = (np.asarray(pc.is_valid(batch.column(value_col))
+                            .to_numpy(zero_copy_only=False))
+                 & np.asarray(pc.fill_null(batch.column("__n1"), False)
+                              .to_numpy(zero_copy_only=False)))
+        mean = batch.column("__mean").to_numpy(zero_copy_only=False)
+        std = batch.column("__std").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = np.rint(np.asarray(v, dtype=np.float64) * scale)
+            z = np.round((c - mean) / std, ndigits)
+        ok = valid & (std > 0)
+        keep = [c_ for c_ in batch.column_names
+                if c_ not in ("__mean", "__std", "__n1", key_col + "_r")]
+        out = batch.select(keep)
+        return out.append_column(out_col, pa.array(
+            np.where(ok, z, np.nan), type=pa.float64(), mask=~ok))
+
+    return joined.map_batches(zcol, batch_format="pyarrow")

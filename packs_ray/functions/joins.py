@@ -288,6 +288,18 @@ def interval_join(left_ds, right_ds, *, on: str, ts_col: str,
     rsrc = [start_col, end_col] + [c for c in payload_cols
                                    if c not in (start_col, end_col)]
     ren = {c: (c + "_r" if c in lcols else c) for c in rsrc}
+    if right_ds.schema() is None:
+        # fully-empty right side with unknown schema (e.g. intervals
+        # derived from an empty table): the inner join is empty; emit
+        # zero rows with the left schema + float64-typed right columns
+        # (the right never materialized any types)
+        def empty_out(batch: pa.Table) -> pa.Table:
+            cols = {c: batch.column(c) for c in batch.column_names}
+            for c in rsrc:
+                cols[ren[c]] = pa.nulls(len(batch), pa.float64())
+            return pa.table(cols).slice(0, 0)
+
+        return left_ds.map_batches(empty_out, batch_format="pyarrow")
     num_partitions = max(reduce_partition_count(left_ds),
                          reduce_partition_count(right_ds))
     lschema = _arrow_schema(left_ds)

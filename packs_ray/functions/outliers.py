@@ -235,3 +235,62 @@ def knn_outliers(ds, columns: list[str], categorical_columns: list[str] | None =
         "outlier_percent": float(_r(n_out / n, 4)) if n else 0.0,
         "normality_score": float(_r(1 - (n_out / n if n else 0.0), 2)),
     }])
+
+
+def mad_outliers(ds, column: str, *, k: float = 3.0):
+    """Robust (median/MAD) outlier flags: rows where
+    |v − median| > k · 1.4826 · MAD, MAD = median(|v − median|).
+
+    The reference's outlier pack is kNN-distance based (pyod semantics,
+    outlier_detection_pack/main.py) which needs a train sample; MAD is
+    the standard robust univariate alternative — insensitive to up to
+    50 % contamination and cheap at any scale.  Both medians come from
+    the exact distributed rank selection (`profiling._rank_select`
+    machinery via `quantile_threshold`) — three streaming scans of one
+    column, nothing driver-side but two scalars.  Null values are never
+    flagged.  Returns the input with ``is_outlier`` (bool, null for
+    null values) and ``mad_z`` (the |v−med|/(1.4826·MAD) score, 6dp;
+    null when MAD is 0 — a degenerate spread flags nothing).
+    """
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.profiling import quantile_threshold
+
+    med = quantile_threshold(ds, column, 0.5)
+    if med is None:
+        # no non-null values: rows pass through with null flags/scores
+        def all_null(batch: pa.Table) -> pa.Table:
+            return (batch
+                    .append_column("is_outlier",
+                                   pa.nulls(len(batch), pa.bool_()))
+                    .append_column("mad_z",
+                                   pa.nulls(len(batch), pa.float64())))
+
+        return ds.map_batches(all_null, batch_format="pyarrow")
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        return pa.table({"__ad": pa.array(
+            np.abs(v.astype(np.float64) - med),
+            mask=~np.asarray(pc.is_valid(batch.column(column))
+                             .to_numpy(zero_copy_only=False)))})
+
+    mad = quantile_threshold(
+        ds.select_columns([column]).map_batches(absdev,
+                                                batch_format="pyarrow"),
+        "__ad", 0.5)
+    denom = 1.4826 * mad
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        valid = np.asarray(pc.is_valid(batch.column(column))
+                           .to_numpy(zero_copy_only=False))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.round(np.abs(v.astype(np.float64) - med) / denom, 6)
+        ok = valid & (denom > 0)
+        out = batch.append_column("is_outlier", pa.array(
+            np.where(ok, z > k, False), type=pa.bool_(), mask=~ok))
+        return out.append_column("mad_z", pa.array(
+            np.where(ok, z, np.nan), type=pa.float64(), mask=~ok))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -275,12 +275,13 @@ def schema_hashes(ds) -> pd.DataFrame:
     }])
 
 
-def quantile_threshold(ds, column: str, q: float) -> float:
+def quantile_threshold(ds, column: str, q: float) -> "float | None":
     """Exact ``quantile_cont(column, q)`` without materializing the
     column: global (n, min, max) partials, then histogram-refinement
     rank selection for the two bounding ranks and the np.percentile
     'linear' interpolation — a fixed float64 expression the SQL oracle
-    replicates term-for-term."""
+    replicates term-for-term.  Returns None when the column has no
+    non-null values (the order statistic does not exist)."""
 
     def partial(batch: pa.Table) -> dict:
         v = batch.column(column).drop_null()
@@ -289,14 +290,16 @@ def quantile_threshold(ds, column: str, q: float) -> float:
                 "mx": pc.max(v).as_py() if len(v) else None}
 
     def combine(parts: pd.DataFrame) -> dict:
-        return {"n": int(parts["n"].sum()),
-                "mn": float(parts["mn"].min()),
-                "mx": float(parts["mx"].max())}
+        n = int(parts["n"].sum())
+        return {"n": n,
+                "mn": float(parts["mn"].min()) if n else 0.0,
+                "mx": float(parts["mx"].max()) if n else 0.0}
 
-    agg = global_agg(ds.select_columns([column]), partial, combine)
+    agg = global_agg(ds.select_columns([column]), partial, combine,
+                     empty_schema=pa.schema([(column, pa.float64())]))
     n = agg["n"]
     if n == 0:
-        raise ValueError(f"quantile_threshold: no non-null {column!r}")
+        return None
     qf = (n - 1) * q
     lo_i, hi_i = int(np.floor(qf)), int(np.ceil(qf))
     rv = _rank_select(ds, column, sorted({lo_i, hi_i}),
@@ -321,6 +324,8 @@ def quantile_filter(ds, column: str, q: float, *, keep: str = "above"):
     thr = quantile_threshold(ds, column, q)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if thr is None:     # no scores at all: nothing can pass the gate
+            return batch.slice(0, 0)
         col = batch.column(column)
         m = (pc.greater_equal(col, thr) if keep == "above"
              else pc.less_equal(col, thr)).fill_null(False)

@@ -196,3 +196,42 @@ def test_interval_join_boundary_inclusive(ray_session):
                         payload_cols=["sid"]).to_pandas()
     # eids 1 (== start) and 2 (== end) both match
     assert sorted(out["eid"]) == [1, 2]
+
+
+def test_interval_join_random_vs_duckdb(ray_session):
+    """Randomized parity vs a DuckDB BETWEEN join (overlaps, duplicate
+    starts, boundary hits, unmatched keys)."""
+    import duckdb
+
+    from packs_ray.functions.joins import interval_join
+
+    rng = np.random.default_rng(42)
+    n_pts, n_iv = 400, 60
+    base = pd.Timestamp("2026-01-01").value // 1000
+    pts = pd.DataFrame({
+        "eid": np.arange(n_pts),
+        "key": rng.integers(0, 10, n_pts),
+        "ts": pd.to_datetime(base + rng.integers(0, 10_000, n_pts) * 1_000_000,
+                             unit="us"),
+    })
+    starts = base + rng.integers(0, 9_000, n_iv) * 1_000_000
+    iv = pd.DataFrame({
+        "key": rng.integers(0, 12, n_iv),
+        "start": pd.to_datetime(starts, unit="us"),
+        "end": pd.to_datetime(starts + rng.integers(0, 2_000, n_iv) * 1_000_000,
+                              unit="us"),
+        "sid": np.arange(n_iv),
+    })
+    import ray
+
+    out = interval_join(ray.data.from_pandas(pts), ray.data.from_pandas(iv),
+                        on="key", ts_col="ts", start_col="start",
+                        end_col="end", payload_cols=["sid"]).to_pandas()
+    con = duckdb.connect()
+    con.register("pts", pts)
+    con.register("iv", iv)
+    exp = con.execute("""
+        SELECT p.eid, i.sid FROM pts p JOIN iv i ON p.key = i.key
+        AND p.ts BETWEEN i.start AND i.end""").df()
+    assert sorted(zip(out["eid"], out["sid"])) == \
+        sorted(zip(exp["eid"], exp["sid"]))
