@@ -267,6 +267,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def csv_source_orders(sf):
+        # round-trips orders through a 2-shard CSV export with 2 junk
+        # preamble lines per file and planted empty statuses, then reads
+        # it back via read_csv_sized (skiprows + pandas null semantics
+        # + block sizing) and aggregates — the CSV reader's oracle gate
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from packs_ray.functions.agg import bucketed_group_reduce
+        from packs_ray.sources.csv import read_csv_sized
+
+        df = pq.read_table(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+        ).to_pandas().sort_values("o_orderkey")
+        df.loc[df["o_orderkey"] % 11 == 0, "o_orderstatus"] = ""
+        d = "/tmp/packs_ray_csv_fixture"
+        os.makedirs(d, exist_ok=True)
+        half = len(df) // 2
+        paths = []
+        for i, part in enumerate((df.iloc[:half], df.iloc[half:])):
+            p = os.path.join(d, f"orders_{i}.csv")
+            with open(p, "w") as f:
+                f.write("# synthetic export\n# not data\n")
+                part.to_csv(f, index=False)
+            paths.append(p)
+        ds = read_csv_sized(paths, skiprows=2)
+
+        def partial(batch):
+            pdf = batch.to_pandas()
+            # nullable Int64: survives all-null price columns
+            pdf["cents"] = (pdf["o_totalprice"] * 100).round().astype("Int64")
+            g = (pdf.groupby("o_orderstatus", dropna=False)
+                 .agg(n=("cents", "size"), cents=("cents", "sum"))
+                 .reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+            return (g.groupby("o_orderstatus", dropna=False)
+                    [["n", "cents"]].sum().reset_index())
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        return bucketed_group_reduce(parts, ["o_orderstatus"], reduce_fn, 4)
+
     def mad_outliers_lineitem(sf):
         from packs_ray.functions.outliers import mad_outliers
 
@@ -862,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
+        "csv_source_orders": csv_source_orders,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2704,6 +2752,16 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
+        # sources/csv.read_csv_sized round-trip: the CSV writer plants
+        # empty statuses on o_orderkey % 11 == 0 (read back as null)
+        "csv_source_orders": """
+    WITH s AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_orderstatus, count(*)::BIGINT AS n,
+           sum(cents)::BIGINT AS cents
+    FROM s GROUP BY o_orderstatus""",
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""
     SELECT domain, count(*)::BIGINT AS n_docs
