@@ -267,6 +267,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def checks_percent_customer(sf):
+        # dqops-taxonomy percent-threshold checks (min_percent shape)
+        from packs_ray.functions.checks import run_checks
+
+        suite = [
+            {"type": "values_in_set_percent", "column": "c_mktsegment",
+             "values": ["BUILDING", "MACHINERY", "AUTOMOBILE"],
+             "min_percent": 0.5},
+            {"type": "pattern_match_percent", "column": "c_name",
+             "pattern": "Customer#[0-9]{9}", "min_percent": 0.999},
+            {"type": "text_length_between_percent", "column": "c_name",
+             "min_len": 10, "max_len": 18, "min_percent": 1.0},
+            {"type": "mean_between", "column": "c_acctbal",
+             "min": 0.0, "max": 10000.0},
+        ]
+        return run_checks(
+            _ds(sf, "customer", ["c_mktsegment", "c_name", "c_acctbal"]),
+            suite)
+
     def csv_source_orders(sf):
         # round-trips orders through a 2-shard CSV export with 2 junk
         # preamble lines per file and planted empty statuses, then reads
@@ -910,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
+        "checks_percent_customer": checks_percent_customer,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2752,6 +2772,36 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
+        # checks.run_checks percent-threshold types: identical rounded
+        # fractions over non-null values, empty-valid quirk, cents-mean
+        "checks_percent_customer": """
+    WITH a AS (SELECT
+        count(c_mktsegment) AS n0,
+        sum(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
+            THEN 1 ELSE 0 END) AS k0,
+        count(c_name) AS n1,
+        sum(CASE WHEN regexp_full_match(c_name, 'Customer#[0-9]{9}')
+            THEN 1 ELSE 0 END) AS k1,
+        sum(CASE WHEN length(c_name) BETWEEN 10 AND 18
+            THEN 1 ELSE 0 END) AS k2,
+        count(c_acctbal) AS n3,
+        sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s3
+      FROM customer),
+    r AS (
+      SELECT 0 AS check_id, 'values_in_set_percent' AS type,
+        'c_mktsegment' AS "column", round(k0::DOUBLE / n0, 6) AS observed,
+        round(k0::DOUBLE / n0, 6) >= 0.5 AS passed FROM a
+      UNION ALL SELECT 1, 'pattern_match_percent', 'c_name',
+        round(k1::DOUBLE / n1, 6), round(k1::DOUBLE / n1, 6) >= 0.999 FROM a
+      UNION ALL SELECT 2, 'text_length_between_percent', 'c_name',
+        round(k2::DOUBLE / n1, 6), round(k2::DOUBLE / n1, 6) >= 1.0 FROM a
+      UNION ALL SELECT 3, 'mean_between', 'c_acctbal',
+        round((s3::DOUBLE / n3) / 100.0, 6),
+        round((s3::DOUBLE / n3) / 100.0, 6) BETWEEN 0.0 AND 10000.0 FROM a)
+    SELECT * FROM r
+    UNION ALL SELECT -1, '__score__', '__dataset__',
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 4 FROM r)""",
         # sources/csv.read_csv_sized round-trip: the CSV writer plants
         # empty statuses on o_orderkey % 11 == 0 (read back as null)
         "csv_source_orders": """

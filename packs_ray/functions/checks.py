@@ -16,6 +16,22 @@ Check types:
 - values_between:  {type, column, min, max}      (all non-null in range)
 - values_in_set:   {type, column, values}        (all non-null in set)
 - unique:          {type, column}                (no duplicate values)
+
+Percent-threshold types (the dqops taxonomy's dominant shape,
+dqops-checks-reference.md "ACCEPTED VALUES"/"PATTERNS"/"TEXT": pass when
+the satisfied fraction of NON-NULL values ≥ min_percent; a column with
+zero non-null values passes — the reference's empty-valid quirk):
+- values_in_set_percent:       {type, column, values, min_percent}
+- pattern_match_percent:       {type, column, pattern, min_percent}
+                               (whole-value RE2 match, ASCII classes)
+- text_length_between_percent: {type, column, min_len, max_len,
+                                min_percent}
+- mean_between:                {type, column, min, max}  (dqops
+  total_average_match shape; exact int64 cents sum, mean = s/n/100)
+
+``observed`` is the violation count for absolute checks, the satisfied
+fraction (6dp) for percent checks, the cents-mean (6dp) for
+mean_between — all carried in one float64 column.
 """
 
 from __future__ import annotations
@@ -36,6 +52,8 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     great_expectations_pack/main.py:57-62)."""
     scan_checks = [(i, c) for i, c in enumerate(checks)
                    if c["type"] not in ("row_count_min", "unique")]
+    PCT = ("values_in_set_percent", "pattern_match_percent",
+           "text_length_between_percent")
 
     def partial(batch: pa.Table) -> dict:
         d = {"rows": batch.num_rows}
@@ -52,14 +70,39 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 v = col.drop_null()
                 ok = pc.is_in(v, value_set=pa.array(c["values"], type=v.type))
                 d[f"viol_{i}"] = len(v) - (pc.sum(pc.cast(ok, "int64")).as_py() or 0)
+            elif t in PCT:
+                v = col.drop_null()
+                if t == "values_in_set_percent":
+                    ok = pc.is_in(v, value_set=pa.array(c["values"],
+                                                        type=v.type))
+                elif t == "pattern_match_percent":
+                    ok = pc.match_substring_regex(
+                        v.cast(pa.string()), f"^(?:{c['pattern']})$")
+                else:
+                    ln = pc.utf8_length(v.cast(pa.string()))
+                    ok = pc.and_(pc.greater_equal(ln, c["min_len"]),
+                                 pc.less_equal(ln, c["max_len"]))
+                d[f"n_{i}"] = len(v)
+                d[f"k_{i}"] = pc.sum(pc.cast(ok, "int64")).as_py() or 0
+            elif t == "mean_between":
+                v = col.drop_null()
+                cents = pc.cast(pc.round(pc.multiply(
+                    pc.cast(v, pa.float64()), 100.0), 0), "int64")
+                d[f"n_{i}"] = len(v)
+                d[f"s_{i}"] = pc.sum(cents).as_py() or 0
             else:
                 raise ValueError(f"unknown check type {t!r}")
         return d
 
     def combine(p: pd.DataFrame) -> dict:
         out = {"rows": int(p["rows"].sum())}
-        for i, _c in scan_checks:
-            out[f"viol_{i}"] = int(p[f"viol_{i}"].fillna(0).sum())
+        for i, c in scan_checks:
+            if c["type"] in PCT or c["type"] == "mean_between":
+                out[f"n_{i}"] = int(p[f"n_{i}"].fillna(0).sum())
+                key = f"k_{i}" if c["type"] in PCT else f"s_{i}"
+                out[key] = int(p[key].fillna(0).sum())
+            else:
+                out[f"viol_{i}"] = int(p[f"viol_{i}"].fillna(0).sum())
         return out
 
     agg = global_agg(ds, partial, combine)
@@ -76,16 +119,30 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     rows = []
     n_pass = 0
     for i, c in enumerate(checks):
-        if c["type"] == "row_count_min":
+        t = c["type"]
+        if t == "row_count_min":
             observed = agg["rows"]
             passed = observed >= c["min"]
+        elif t in PCT:
+            n, k = agg[f"n_{i}"], agg[f"k_{i}"]
+            pct = (k / n) if n else 1.0        # empty-valid quirk
+            observed = round(pct, 6)
+            passed = observed >= c["min_percent"]
+        elif t == "mean_between":
+            n, s = agg[f"n_{i}"], agg[f"s_{i}"]
+            mean = (s / n) / 100.0 if n else None
+            observed = round(mean, 6) if n else None
+            passed = n > 0 and c["min"] <= observed <= c["max"]
         else:
             observed = agg[f"viol_{i}"]
             passed = observed == 0
         n_pass += bool(passed)
-        rows.append({"check_id": i, "type": c["type"],
+        rows.append({"check_id": i, "type": t,
                      "column": c.get("column", "__table__"),
-                     "observed": int(observed), "passed": bool(passed)})
+                     "observed": observed, "passed": bool(passed)})
+    # int observed for absolute checks, float for percent/mean ones —
+    # pandas upcasts the column to float64 only when a float is present,
+    # so all-absolute suites keep their historical int64 schema
     rows.append({"check_id": -1, "type": "__score__", "column": "__dataset__",
                  "observed": n_pass, "passed": n_pass == len(checks)})
     return pd.DataFrame(rows)
