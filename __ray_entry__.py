@@ -267,6 +267,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def grouped_quantiles_lineitem(sf):
+        from packs_ray.functions.profiling import grouped_quantiles
+
+        return grouped_quantiles(
+            _ds(sf, "lineitem", ["l_returnflag", "l_extendedprice"]),
+            "l_returnflag", "l_extendedprice", (0.25, 0.5, 0.75))
+
     def checks_percent_customer(sf):
         # dqops-taxonomy percent-threshold checks (min_percent shape)
         from packs_ray.functions.checks import run_checks
@@ -930,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
         "checks_percent_customer": checks_percent_customer,
+        "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2772,6 +2780,21 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
+        # profiling.grouped_quantiles: quantile_cont == np.percentile
+        # 'linear'; nulls excluded on both sides
+        "grouped_quantiles_lineitem": """
+    WITH v AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+               WHERE l_returnflag IS NOT NULL
+                 AND l_extendedprice IS NOT NULL)
+    SELECT l_returnflag, 0.25 AS q,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS value
+    FROM v GROUP BY l_returnflag
+    UNION ALL SELECT l_returnflag, 0.5,
+           round(quantile_cont(l_extendedprice, 0.5), 6)
+    FROM v GROUP BY l_returnflag
+    UNION ALL SELECT l_returnflag, 0.75,
+           round(quantile_cont(l_extendedprice, 0.75), 6)
+    FROM v GROUP BY l_returnflag""",
         # checks.run_checks percent-threshold types: identical rounded
         # fractions over non-null values, empty-valid quirk, cents-mean
         "checks_percent_customer": """

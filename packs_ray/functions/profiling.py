@@ -332,3 +332,46 @@ def quantile_filter(ds, column: str, q: float, *, keep: str = "above"):
         return batch.filter(m)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str,
+                      qs: tuple = (0.25, 0.5, 0.75), *,
+                      ndigits: int = 6, num_partitions: int | None = None):
+    """Exact per-group quantiles: lazy Dataset of
+    ``(key, q, value)`` with np.percentile-'linear' (== DuckDB
+    ``quantile_cont``) interpolation, 6dp.
+
+    An exact grouped order statistic needs each group's values
+    co-located, so the (key, value) projection — two columns, never the
+    full rows — hash-shuffles once and one vectorized pandas quantile
+    runs per bucket.  Partitioning assumption: one group's values fit a
+    bucket (mega-groups want the mergeable log-bucket sketch,
+    sketches.approx_quantiles, instead — same trade the global exact
+    path documents).  Null keys and null values are excluded.
+    """
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col])
+        mask = pc.and_(pc.is_valid(t.column(key_col)),
+                       pc.is_valid(t.column(value_col)))
+        return t.filter(mask)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, vals in g.groupby(key_col, sort=False)[value_col]:
+            v = np.round(np.percentile(vals.to_numpy(dtype=np.float64),
+                                       [q * 100 for q in qs]), ndigits)
+            out.append(pd.DataFrame({key_col: key, "q": list(qs),
+                                     "value": v}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({key_col: [], "q": [], "value": []}))
+
+    proj = ds.map_batches(project, batch_format="pyarrow")
+    return bucketed_group_reduce(proj, [key_col], per_group, num_partitions)
