@@ -94,3 +94,20 @@ def test_mad_outliers_nulls_and_zero_mad(ray_session):
     assert pd.isna(out.loc[2, "is_outlier"])      # null value
     # MAD == 0 (constant column): nothing flagged, scores null
     assert out.loc[[1, 3, 4], "mad_z"].isna().all()
+
+
+def test_zscore_hot_key_completes(ray_session):
+    """A single mega-key routes every row to one bucket: the reduce is
+    one vectorized frame (documented partitioning contract) and results
+    still match the pandas transform."""
+    n = 200_000
+    df = pd.DataFrame({"id": np.arange(n), "k": np.zeros(n, dtype=np.int64),
+                       "v": np.round(np.random.default_rng(1)
+                                     .uniform(0, 100, n), 2)})
+    out = (groupwise_zscore(_ds(df), "k", "v").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert len(out) == n
+    c = np.rint(df["v"].to_numpy() * 100)
+    z = np.round((c - c.mean()) / np.sqrt(((c * c).mean() - c.mean() ** 2)),
+                 6)
+    assert np.allclose(out["zscore"], z, atol=1e-9)
