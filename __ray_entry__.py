@@ -267,6 +267,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def sum_anomaly_events(sf):
+        # dqops sum_anomaly shape: daily value sums -> median/MAD flags
+        from packs_ray.functions.outliers import sum_anomaly
+
+        return sum_anomaly(_ds(sf, "events", ["ts", "value"]),
+                           "ts", "value", k=3.0)
+
     def grouped_quantiles_lineitem(sf):
         from packs_ray.functions.profiling import grouped_quantiles
 
@@ -938,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_source_orders": csv_source_orders,
         "checks_percent_customer": checks_percent_customer,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
+        "sum_anomaly_events": sum_anomaly_events,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2299,6 +2307,26 @@ def _mad_outliers_sql(k: float = 3.0) -> str:
     FROM a, m2"""
 
 
+def _sum_anomaly_sql(k: float = 3.0) -> str:
+    """outliers.sum_anomaly replica: exact daily cents sums, then the
+    same two rank-interpolated medians and round(|x−med|/(1.4826·MAD),6)
+    flag as _mad_outliers_sql."""
+    return f"""
+    WITH v AS (SELECT date_trunc('day', ts) AS day,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+               GROUP BY 1),
+    {_median_ctes('v', 'cents', '1')},
+    a AS (SELECT v.*, abs(cents - med1) AS ad FROM v, m1),
+    {_median_ctes('a', 'ad', '2')}
+    SELECT day, cents,
+        CASE WHEN 1.4826 * med2 > 0
+             THEN round(ad / (1.4826 * med2), 6) > {k} END AS is_outlier,
+        CASE WHEN 1.4826 * med2 > 0
+             THEN round(ad / (1.4826 * med2), 6) END AS mad_z
+    FROM a, m2"""
+
+
 def _pii_luhn_sql() -> str:
     """pii.luhn_scan over the deterministic orders-derived card fixture:
     identical text construction, RE2 candidate extraction, and a
@@ -2780,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
+        "sum_anomaly_events": _sum_anomaly_sql(3.0),
         # profiling.grouped_quantiles: quantile_cont == np.percentile
         # 'linear'; nulls excluded on both sides
         "grouped_quantiles_lineitem": """

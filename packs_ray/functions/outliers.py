@@ -294,3 +294,42 @@ def mad_outliers(ds, column: str, *, k: float = 3.0):
             np.where(ok, z, np.nan), type=pa.float64(), mask=~ok))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def sum_anomaly(ds, ts_col: str, value_col: str, *, k: float = 3.0,
+                scale: int = 100, num_partitions: int | None = None):
+    """dqops-taxonomy ``sum_anomaly`` (dqops-checks-reference.md
+    "ANOMALY DETECTION"): aggregate the value into daily sums, then
+    flag anomalous days with the robust median/MAD rule — lazy Dataset
+    of ``(day, cents, is_outlier, mad_z)``.
+
+    Scale shape: per-batch (day, int64-cents) partials → bucketed
+    reduce (exact whatever the partition order), then ``mad_outliers``
+    over the aggregated series — which is |days| rows, already tiny at
+    any input scale, the aggregate-then-analyze pattern anomaly checks
+    rely on."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        day = df[ts_col].dt.floor("D")
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions)
+    return mad_outliers(daily, "cents", k=k)

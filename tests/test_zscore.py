@@ -111,3 +111,19 @@ def test_zscore_hot_key_completes(ray_session):
     z = np.round((c - c.mean()) / np.sqrt(((c * c).mean() - c.mean() ** 2)),
                  6)
     assert np.allclose(out["zscore"], z, atol=1e-9)
+
+
+def test_sum_anomaly_flags_planted_spike(ray_session):
+    from packs_ray.functions.outliers import sum_anomaly
+
+    rng = np.random.default_rng(5)
+    days = np.repeat(pd.date_range("2026-01-01", periods=30, freq="D"), 100)
+    vals = np.round(rng.uniform(1, 10, len(days)), 2)
+    spike = days == pd.Timestamp("2026-01-15")
+    vals[spike] *= 50                              # planted anomalous day
+    df = pd.DataFrame({"ts": days, "value": vals})
+    out = sum_anomaly(_ds(df), "ts", "value", k=3.0).to_pandas()
+    assert len(out) == 30
+    flagged = set(pd.to_datetime(out[out["is_outlier"] == True]["day"]))  # noqa: E712
+    assert pd.Timestamp("2026-01-15") in flagged
+    assert len(flagged) <= 3                        # normal days stay quiet
