@@ -267,6 +267,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             salt="shard").select_columns(
                 ["o_orderkey", "shard", "sort_key"])
 
+    def histogram_lineitem(sf):
+        from packs_ray.functions.profiling import histogram
+
+        return histogram(_ds(sf, "lineitem", ["l_extendedprice"]),
+                         "l_extendedprice", n_bins=20)
+
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
         from packs_ray.functions.outliers import sum_anomaly
@@ -946,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checks_percent_customer": checks_percent_customer,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
+        "histogram_lineitem": histogram_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -2809,6 +2816,19 @@ def oracle_sql() -> dict[str, str]:
         "pii_luhn_orders": _pii_luhn_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
         "sum_anomaly_events": _sum_anomaly_sql(3.0),
+        # profiling.histogram: identical fixed binning expression
+        # min(floor((x-lo)/w), n-1); empty bins kept via generate_series
+        "histogram_lineitem": """
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+               (max(l_extendedprice) - min(l_extendedprice)) / 20 AS w
+               FROM lineitem),
+    c AS (SELECT CAST(least(floor((l_extendedprice - lo) / w), 19) AS BIGINT)
+            AS bin, count(*)::BIGINT AS n
+          FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+    g AS (SELECT unnest(range(0, 20)) AS bin)
+    SELECT g.bin, b.lo + g.bin * b.w AS lo, b.lo + (g.bin + 1) * b.w AS hi,
+           coalesce(c.n, 0)::BIGINT AS n
+    FROM g CROSS JOIN b LEFT JOIN c ON g.bin = c.bin""",
         # profiling.grouped_quantiles: quantile_cont == np.percentile
         # 'linear'; nulls excluded on both sides
         "grouped_quantiles_lineitem": """

@@ -375,3 +375,51 @@ def grouped_quantiles(ds, key_col: str, value_col: str,
 
     proj = ds.map_batches(project, batch_format="pyarrow")
     return bucketed_group_reduce(proj, [key_col], per_group, num_partitions)
+
+
+def histogram(ds, column: str, n_bins: int = 20) -> pd.DataFrame:
+    """Value-distribution histogram: one row per bin (empty bins
+    included) with ``(bin, lo, hi, n)``.
+
+    The profiling reference draws its histograms from the full frame in
+    memory (ydata-profiling semantics); here: one streaming pass for the
+    global min/max, one for the counts — per-batch ``np.bincount``
+    partials, elementwise sum.  Binning is the fixed float expression
+    ``min(floor((x − lo) / ((hi − lo) / n)), n−1)`` (NOT searchsorted on
+    precomputed edges) so a SQL replica reproduces every boundary
+    bit-for-bit.  Nulls excluded; a constant column lands in bin 0."""
+
+    def mpartial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null()
+        return {"n": len(v),
+                "mn": pc.min(v).as_py() if len(v) else None,
+                "mx": pc.max(v).as_py() if len(v) else None}
+
+    def mcombine(parts: pd.DataFrame) -> dict:
+        n = int(parts["n"].sum())
+        return {"n": n, "mn": float(parts["mn"].min()) if n else 0.0,
+                "mx": float(parts["mx"].max()) if n else 0.0}
+
+    agg = global_agg(ds.select_columns([column]), mpartial, mcombine,
+                     empty_schema=pa.schema([(column, pa.float64())]))
+    lo, hi = agg["mn"], agg["mx"]
+    w = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def hpartial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.minimum(np.floor((v - lo) / w), n_bins - 1).astype(np.int64)
+        return {"h": np.bincount(idx, minlength=n_bins).tobytes()}
+
+    def hcombine(parts: pd.DataFrame) -> dict:
+        tot = np.zeros(n_bins, dtype=np.int64)
+        for b in parts["h"].dropna():
+            tot += np.frombuffer(b, dtype=np.int64)
+        return {"h": tot}
+
+    counts = (global_agg(ds.select_columns([column]), hpartial, hcombine,
+                         empty_schema=pa.schema([(column, pa.float64())]))
+              ["h"] if agg["n"] else np.zeros(n_bins, dtype=np.int64))
+    i = np.arange(n_bins)
+    return pd.DataFrame({"bin": i, "lo": lo + i * w, "hi": lo + (i + 1) * w,
+                         "n": counts.astype(np.int64)})
