@@ -347,8 +347,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.Table.from_pandas(g, preserve_index=False)
 
         def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
-            return (g.groupby("o_orderstatus", dropna=False)
-                    [["n", "cents"]].sum().reset_index())
+            out = (g.groupby("o_orderstatus", dropna=False)
+                   [["n", "cents"]].sum().reset_index())
+            # the nullable-Int64 partials served their purpose (all-null
+            # survival); the summed totals are plain int64 facts
+            return out.astype({"n": "int64", "cents": "int64"})
 
         parts = ds.map_batches(partial, batch_format="pyarrow")
         return bucketed_group_reduce(parts, ["o_orderstatus"], reduce_fn, 4)
@@ -2008,8 +2011,8 @@ def _media_audio_sql() -> str:
 def _media_video_sql() -> str:
     a = _ensure_media_artifacts()
     return f"""
-    SELECT m.media_id, f.frame_idx,
-        ((greatest(m.duration_ms, 1)::BIGINT * f.frame_idx) // 4) AS frame_ms,
+    SELECT m.media_id, f.frame_idx::INT AS frame_idx,
+        ((greatest(m.duration_ms, 1)::BIGINT * f.frame_idx) // 4)::INT AS frame_ms,
         round(sum(f.v)::DOUBLE / count(*), 4) AS frame_mean
     FROM read_parquet('{a["meta"]}') m
     JOIN read_parquet('{a["vid"]}') f USING (media_id)
@@ -2320,7 +2323,7 @@ def _sum_anomaly_sql(k: float = 3.0) -> str:
     flag as _mad_outliers_sql."""
     return f"""
     WITH v AS (SELECT date_trunc('day', ts) AS day,
-               sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+               sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
                GROUP BY 1),
     {_median_ctes('v', 'cents', '1')},
@@ -2860,7 +2863,7 @@ def oracle_sql() -> dict[str, str]:
         sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS s3
       FROM customer),
     r AS (
-      SELECT 0 AS check_id, 'values_in_set_percent' AS type,
+      SELECT 0::BIGINT AS check_id, 'values_in_set_percent' AS type,
         'c_mktsegment' AS "column", round(k0::DOUBLE / n0, 6) AS observed,
         round(k0::DOUBLE / n0, 6) >= 0.5 AS passed FROM a
       UNION ALL SELECT 1, 'pattern_match_percent', 'c_name',
@@ -3083,7 +3086,7 @@ def oracle_sql() -> dict[str, str]:
     dup AS (SELECT coalesce(sum(c - 1), 0) AS v4 FROM
             (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
     checks AS (
-        SELECT 0 AS check_id, 'row_count_min' AS type, '__table__' AS "column",
+        SELECT 0::BIGINT AS check_id, 'row_count_min' AS type, '__table__' AS "column",
                rows_n::BIGINT AS observed, rows_n >= 1000 AS passed FROM agg
         UNION ALL SELECT 1, 'not_null', 'o_custkey', v1::BIGINT, v1 = 0 FROM agg
         UNION ALL SELECT 2, 'values_between', 'o_totalprice', v2::BIGINT, v2 = 0 FROM agg

@@ -52,9 +52,23 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
     num_partitions = reduce_partition_count(edges)
+    base = getattr(edges.schema(), "base_schema", None)
+    id_is_int = base is not None and pa.types.is_integer(base.field("src").type)
+
+    def restore_ids(out: pd.DataFrame) -> pd.DataFrame:
+        # the unioned edge+label frame carries nulls in the other side's
+        # columns, so pandas upcasts integer ids to float64 — restore so
+        # the emitted label schema matches the input id type exactly
+        if id_is_int:
+            fix = {c: np.int64 for c in ("node", "label")
+                   if c in out.columns and out[c].dtype != np.int64}
+            if fix:
+                out = out.astype(fix)
+        return out
 
     def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", sort=False)["label"].min().reset_index()
+        return restore_ids(
+            g.groupby("node", sort=False)["label"].min().reset_index())
 
     labels = bucketed_group_reduce(
         edges.map_batches(
@@ -85,7 +99,8 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
         msg = e.merge(l, on="src")[["dst", "label"]]
         msg.columns = ["node", "label"]
         own = l.rename(columns={"src": "node"})
-        return pd.concat([msg, own[["node", "label"]]], ignore_index=True)
+        return restore_ids(
+            pd.concat([msg, own[["node", "label"]]], ignore_index=True))
 
     prev_sum = None
     converged = False

@@ -53,6 +53,29 @@ def equi_join(left_ds, right_ds, *, left_on: list[str], right_on: list[str],
 _ARROW_HOW = {"inner": "inner", "left": "left outer"}
 
 
+def _dtype_restorer(out_fields):
+    """A pandas-frame fixer for the marked-union join kernels: the
+    unioned group frame holds nulls in the other side's columns, so
+    pandas upcasts int columns to float64 even when the join result is
+    null-free.  Restores each output column to its declared Arrow type's
+    pandas dtype, skipping integer casts when nulls remain (legitimate
+    outer-join misses stay float64/NaN, matching a SQL client fetch)."""
+    out_dtypes = {}
+    for name, typ in out_fields:
+        try:
+            out_dtypes[name] = np.dtype(typ.to_pandas_dtype())
+        except (NotImplementedError, TypeError):
+            pass
+
+    def restore(m: pd.DataFrame) -> pd.DataFrame:
+        fix = {c: dt for c, dt in out_dtypes.items()
+               if c in m.columns and m[c].dtype != dt
+               and not (np.issubdtype(dt, np.integer) and m[c].isna().any())}
+        return m.astype(fix) if fix else m
+
+    return restore
+
+
 def _arrow_schema(ds) -> pa.Schema:
     """The Dataset's schema as a pyarrow Schema (pandas-block datasets
     report numpy dtypes; object falls back to string)."""
@@ -146,11 +169,13 @@ def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
 
     lout = [c for c, _ in out_fields if c in lcols]
     rout = [c for c, _ in out_fields if c not in lcols]
+    restore_dtypes = _dtype_restorer(out_fields)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][lout]
         r = g[g["__side"] == 1][rout]
-        return l.merge(r, left_on=left_on, right_on=r_on, how=how)
+        return restore_dtypes(
+            l.merge(r, left_on=left_on, right_on=r_on, how=how))
 
     joined = marked.groupby("__p").map_groups(per_bucket, batch_format="pandas")
     if how == "left":
@@ -234,6 +259,7 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
     lout = [c for c, _ in out_fields if c in lcols]
     radd = [c for c, _ in out_fields if c not in lcols]
     rkeep = [by, on] + [c for c in radd if c not in (by, on)]
+    restore_dtypes = _dtype_restorer(out_fields)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][lout].sort_values(on, kind="stable")
@@ -242,9 +268,10 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
             out = l.copy()
             for c in radd:
                 out[c] = None
-            return out
-        return pd.merge_asof(l, r, on=on, by=by, direction=direction,
-                             suffixes=("", "_r"))
+            return restore_dtypes(out)
+        return restore_dtypes(
+            pd.merge_asof(l, r, on=on, by=by, direction=direction,
+                          suffixes=("", "_r")))
 
     joined = marked.groupby("__p").map_groups(per_bucket, batch_format="pandas")
 
@@ -340,12 +367,13 @@ def interval_join(left_ds, right_ds, *, on: str, ts_col: str,
                                           batch_format="pyarrow")))
 
     out_cols = [c for c, _ in out_fields]
+    restore_dtypes = _dtype_restorer(out_fields)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][lcols]
         r = g[g["__side"] == 1][[on] + radd]
         if l.empty or r.empty:
-            return l.head(0).merge(r.head(0), on=on)[out_cols]
+            return restore_dtypes(l.head(0).merge(r.head(0), on=on)[out_cols])
         v = r.sort_values([on, rs], kind="stable")
         karr = v[on].to_numpy()
         overlap = bool(np.any(
@@ -362,7 +390,7 @@ def interval_join(left_ds, right_ds, *, on: str, ts_col: str,
         else:
             m = l.merge(r, on=on)
             m = m[(m[ts_col] >= m[rs]) & (m[ts_col] <= m[re_])]
-        return m[out_cols]
+        return restore_dtypes(m[out_cols])
 
     return marked.groupby("__p").map_groups(per_bucket,
                                             batch_format="pandas")

@@ -138,7 +138,15 @@ def timeliness_sniffed(ds, columns: list[str], now: _dt.datetime,
         rows.append({"column": c, "latest_ts": latest,
                      "days_since_latest": days,
                      "timeliness_score": float(_r(max(0.0, 1 - days / 365), 2))})
-    return pd.DataFrame(rows)
+    return _us_ts(pd.DataFrame(rows))
+
+
+def _us_ts(df: pd.DataFrame) -> pd.DataFrame:
+    """Emit timestamps at microsecond precision (the parquet/SQL norm)
+    rather than pandas' default ns, so downstream hashes are stable."""
+    if "latest_ts" in df.columns and len(df):
+        df["latest_ts"] = pd.to_datetime(df["latest_ts"]).astype("datetime64[us]")
+    return df
 
 
 def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
@@ -160,4 +168,4 @@ def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
         score = max(0.0, 1 - days / 365) if days is not None else 0.0
         rows.append({"column": c, "latest_ts": latest, "days_since_latest": days,
                      "timeliness_score": float(_r(score, 2))})
-    return pd.DataFrame(rows)
+    return _us_ts(pd.DataFrame(rows))

@@ -57,6 +57,13 @@ def compare(name: str, eng: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
     if ec != oc:
         problems.append(f"columns {ec} != {oc}")
         return problems
+    # strict dtype parity BEFORE canon: the driver's value hash
+    # distinguishes float64 1.0 from int64 1 (r03 reds were exactly
+    # this), so a canon-hidden dtype drift is a latent driver red
+    for c in ec:
+        a, b = eng[c].dtype, ora[c].dtype
+        if str(a) != str(b):
+            problems.append(f"dtype[{c}]: {a} != {b}")
     a, b = canon(eng), canon(ora)
     if len(a) == len(b):
         for c in a.columns:
