@@ -2803,7 +2803,9 @@ def oracle_sql() -> dict[str, str]:
     """,
         "time_window_agg_events": """
     WITH c AS (SELECT user_id, ts, event_id,
-            round(value * 100, 0)::BIGINT AS cents FROM events)
+            round(value * 100, 0)::BIGINT AS cents FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL)
     SELECT user_id, ts, event_id, cents,
         CAST(count(*) OVER w AS BIGINT) AS n_window,
         CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_window
@@ -2893,7 +2895,9 @@ def oracle_sql() -> dict[str, str]:
     FROM ({_url_canon_sql()}) GROUP BY domain""",
         "window_functions_events": """
     WITH c AS (SELECT user_id, ts, event_id,
-            round(value * 100, 0)::BIGINT AS cents FROM events)
+            round(value * 100, 0)::BIGINT AS cents FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL AND value IS NOT NULL)
     SELECT user_id, ts, event_id, cents,
         row_number() OVER w AS row_number,
         (cents - lag(cents) OVER w)::DOUBLE AS lag_diff_cents,

@@ -79,6 +79,13 @@ def keyed_window_functions(ds, key_col: str, order_cols: list[str],
     def add_bucket(batch: pa.Table) -> pa.Table:
         import numpy as _np
 
+        # drop null key/order/value rows (the null-handling convention of
+        # groupwise_zscore): a null value would otherwise silently cast
+        # NaN -> INT64_MIN in the cents vector and poison every cumsum
+        valid = pc.is_valid(batch.column(value_col))
+        for c in (key_col, *order_cols):
+            valid = pc.and_(valid, pc.is_valid(batch.column(c)))
+        batch = batch.filter(valid)
         cents = pc.cast(pc.round(pc.multiply(batch.column(value_col), 100.0),
                                  0), "int64")
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
@@ -156,6 +163,12 @@ def keyed_time_window_agg(ds, key_col: str, ts_col: str, value_col: str,
                 "sum_cents_window"]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # same null convention as keyed_window_functions: null
+        # key/ts/value rows are dropped, never INT64_MIN-poisoned
+        valid = pc.and_(pc.and_(pc.is_valid(batch.column(key_col)),
+                                pc.is_valid(batch.column(ts_col))),
+                        pc.is_valid(batch.column(value_col)))
+        batch = batch.filter(valid)
         cents = pc.cast(pc.round(pc.multiply(batch.column(value_col), 100.0),
                                  0), "int64")
         t = batch.select([key_col, ts_col, *keep_cols])

@@ -1222,3 +1222,43 @@ def test_rollup_counts(ray_session):
     # rolled-up subtotal of the null-a group (1) is also (None,None)
     assert sorted(lv0.cnt) == [1, 10]
     assert lv2.cnt.sum() + fine_null.cnt.sum() + lv1[lv1.cnt == 1].cnt.sum() == 10
+
+
+def test_keyed_windows_null_rows_dropped(ray_session):
+    """Null key/ts/value rows are filtered, never NaN->INT64_MIN poisoned:
+    a 3-row input with one null value must yield the same analytics as the
+    2-row clean input (the ADVICE r03 repro)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import (keyed_time_window_agg,
+                                             keyed_window_functions)
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:05",
+                              "2024-01-01 00:00:09"]).astype("datetime64[us]"),
+        "val": [1.25, None, 2.5],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    clean = ray.data.from_arrow(pa.Table.from_pandas(
+        df[df.val.notna()], preserve_index=False))
+
+    out = (keyed_window_functions(ds, "k", ["ts"], "val", rolling=3)
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    exp = (keyed_window_functions(clean, "k", ["ts"], "val", rolling=3)
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    assert len(out) == 2
+    pd.testing.assert_frame_equal(out, exp)
+    assert out["cumsum_cents"].tolist() == [125, 375]
+    assert not (out["cumsum_cents"] < -10**15).any()  # no INT64_MIN garbage
+
+    out2 = (keyed_time_window_agg(ds, "k", "ts", "val", 10)
+            .to_pandas().sort_values("ts").reset_index(drop=True))
+    exp2 = (keyed_time_window_agg(clean, "k", "ts", "val", 10)
+            .to_pandas().sort_values("ts").reset_index(drop=True))
+    assert len(out2) == 2
+    pd.testing.assert_frame_equal(out2, exp2)
+    assert out2["sum_cents_window"].tolist() == [125, 375]
