@@ -243,9 +243,11 @@ def _emit_capped_pairs(part: pd.DataFrame, key_cols: list[str], id_col: str,
 
 
 def _bucketed_pair_verify(pairs_ds, payload_ds, payload_type, as_arr,
-                          verify_fn, vparts: int) -> pd.DataFrame:
+                          verify_fn, vparts: int):
     """Verify candidate pairs against per-doc payloads with neither side
-    ever landing whole on the driver.
+    ever landing on the driver — returns the verified pairs as a LAZY
+    Dataset (the thresholded pair set is unbounded on a boilerplate-heavy
+    corpus; collecting it is the caller's opt-in).
 
     ``pairs_ds``: Dataset[id_a, id_b] (int64) candidate pairs.
     ``payload_ds``: Dataset[k:int64, v:``payload_type``] — one row per
@@ -322,19 +324,66 @@ def _bucketed_pair_verify(pairs_ds, payload_ds, payload_type, as_arr,
     if replicas is not None:
         others.append(replicas)
     return (inputs.union(*others)
-            .groupby("__p").map_groups(verify, batch_format="pandas")
-            .to_pandas())
+            .groupby("__p").map_groups(verify, batch_format="pandas"))
+
+
+def _pairs_result(verified_ds, skipped_total: int, value_col: str,
+                  collect: bool, op: str):
+    """Shared tail for the pair finders: lazy Dataset by default (the
+    100-TB path — verified pairs stream straight into
+    connected_components / a parquet sink), pandas with
+    ``attrs['skipped_buckets']`` when ``collect=True`` (the small-scale
+    convenience collector)."""
+    if not collect:
+        if skipped_total:
+            print(f"{op}: {skipped_total} over-sized LSH buckets skipped "
+                  "during pair emission (boilerplate pile-ups)")
+        return verified_ds
+    out = verified_ds.to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            value_col: pd.Series([], dtype="float64")})
+    else:
+        out = (out.astype({"id_a": "int64", "id_b": "int64",
+                           value_col: "float64"})
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    out.attrs["skipped_buckets"] = skipped_total
+    return out
+
+
+def _empty_pairs(value_col: str, skipped_total: int, collect: bool):
+    """Zero-pair result in the caller's requested shape."""
+    if collect:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            value_col: pd.Series([], dtype="float64")})
+        out.attrs["skipped_buckets"] = skipped_total
+        return out
+    import ray.data
+
+    if skipped_total:
+        print(f"pair emission skipped {skipped_total} over-sized buckets")
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        value_col: pa.array([], type=pa.float64())}))
 
 
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
                       shingle: int = 5, jaccard_threshold: float = 0.8,
                       seed: int = 42, num_partitions: int | None = None,
-                      verify_partitions: int | None = None) -> pd.DataFrame:
+                      verify_partitions: int | None = None,
+                      collect: bool = False):
     """Candidate pairs via band-bucket LSH, verified with exact
-    character-shingle Jaccard.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b, sorted.  ``result.attrs["skipped_buckets"]`` reports how
-    many over-sized LSH buckets (> max_group docs of identical band hash,
-    i.e. boilerplate pile-ups) were skipped during pair emission.
+    character-shingle Jaccard.  Returns a LAZY Dataset of
+    (id_a, id_b, jaccard) with id_a < id_b — the verified pair set is
+    O(corpus) on a boilerplate-heavy crawl, so it stays in the object
+    store and feeds ``connected_components`` / a sink without touching
+    the driver.  ``collect=True`` instead returns a sorted pandas frame
+    whose ``attrs["skipped_buckets"]`` reports how many over-sized LSH
+    buckets (> max_group docs of identical band hash, i.e. boilerplate
+    pile-ups) were skipped during pair emission.
 
     Scale shape — every heavy step is partition-parallel, nothing large
     lands on the driver:
@@ -381,17 +430,11 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
         return _emit_capped_pairs(part, ["band_id", "band_hash"], id_col,
                                   max_group=200)
 
-    empty_out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
-    empty_out.attrs["skipped_buckets"] = 0
-
     pairs_ds = (buckets.groupby("__p")
                 .map_groups(emit_pairs, batch_format="pandas").materialize())
     skipped_total = int(pairs_ds.sum("skipped_buckets") or 0)
-    empty_out.attrs["skipped_buckets"] = skipped_total
     if pairs_ds.count() == 0:
-        return empty_out
+        return _empty_pairs("jaccard", skipped_total, collect)
 
     def drop_summary(batch: pa.Table) -> pa.Table:
         t = batch.filter(pa.compute.is_valid(batch.column("id_a")))
@@ -401,7 +444,7 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
         .materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
-        return empty_out
+        return _empty_pairs("jaccard", skipped_total, collect)
 
     # Bloom-filtered extraction prefilter: candidate membership reaches
     # every extraction task as one fixed-size bitmap — NO driver-side id
@@ -462,14 +505,10 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
             "id_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
             "jaccard": np.concatenate(out_j) if out_j else np.zeros(0, np.float64)})
 
-    out = _bucketed_pair_verify(pairs_ds, sh_ds, pa.list_(pa.uint64()),
-                                _as_u64, verify_jaccard, vparts)
-    if out.empty:
-        return empty_out
-    out = (out.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
-           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
-    out.attrs["skipped_buckets"] = skipped_total
-    return out
+    verified = _bucketed_pair_verify(pairs_ds, sh_ds, pa.list_(pa.uint64()),
+                                     _as_u64, verify_jaccard, vparts)
+    return _pairs_result(verified, skipped_total, "jaccard", collect,
+                         "minhash_lsh_pairs")
 
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, shingle: int = 5,
@@ -558,8 +597,14 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
                            n_bands: int = 1, seed: int = 42,
                            max_group: int = 200, max_exact_rows: int = 200_000,
                            num_partitions: int | None = None,
-                           verify_partitions: int | None = None) -> pd.DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold.
+                           verify_partitions: int | None = None,
+                           collect: bool = False):
+    """Near-dup pairs by embedding cosine ≥ threshold.  LSH paths return
+    a LAZY Dataset of (id_a, id_b, cosine) by default; ``collect=True``
+    returns a sorted pandas frame with ``attrs["skipped_buckets"]``.
+    The ``n_planes == 0`` exact baseline computes on the driver either
+    way (that is its documented nature) and wraps the frame in a Dataset
+    unless ``collect=True``.
 
     ``n_planes == 0`` is the EXACT all-pairs baseline: the collected
     (id, normalized-vector) matrix is compared blockwise on the driver —
@@ -583,24 +628,21 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
          prefilters a distributed vector extraction;
       3. pairs verify in bucketed partitions via the shared
          request-join payload exchange (vector bytes ship at most once
-         per (doc, partition), never per pair)."""
+         per (doc, partition), never per pair) and stream out as a lazy
+         Dataset — the driver never holds the pair set."""
     from packs_ray.functions.agg import reduce_partition_count
     from packs_ray.functions.similarity import _batch_matrix, _fit_dim
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "cosine": pd.Series([], dtype="float64")})
-    empty.attrs["skipped_buckets"] = 0
     try:
         first = next(iter(ds.select_columns([emb_col]).iter_batches(
             batch_size=1, batch_format="pyarrow")))
     except StopIteration:
-        return empty
+        return _empty_pairs("cosine", 0, collect)
     import pyarrow.compute as pc
     dim = int(pc.max(pc.list_value_length(first.column(emb_col)))
               .as_py() or 0)
     if dim == 0:  # first block all-null: no usable vectors
-        return empty
+        return _empty_pairs("cosine", 0, collect)
 
     if n_planes == 0:
         # exact baseline: driver blockwise all-pairs over the collected
@@ -635,8 +677,15 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
             "id_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
             "cosine": np.concatenate(out_c) if out_c else np.zeros(0)})
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-        out.attrs["skipped_buckets"] = 0
-        return out
+        if collect:
+            out.attrs["skipped_buckets"] = 0
+            return out
+        if out.empty:
+            return _empty_pairs("cosine", 0, collect)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False))
 
     if num_partitions is None:
         num_partitions = reduce_partition_count(ds)
@@ -680,7 +729,6 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
                 .groupby("__p").map_groups(emit_pairs, batch_format="pandas")
                 .materialize())
     skipped_total = int(pairs_ds.sum("skipped_buckets") or 0)
-    empty.attrs["skipped_buckets"] = skipped_total
 
     def drop_summary(batch: pa.Table) -> pa.Table:
         t = batch.filter(pa.compute.is_valid(batch.column("id_a")))
@@ -690,7 +738,7 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
         .materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
-        return empty
+        return _empty_pairs("cosine", skipped_total, collect)
 
     nbits = _bloom_nbits(2 * n_pairs)
     bloom_ref = ray.put(_bloom_build(pairs_ds, nbits))
@@ -740,11 +788,7 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
                              "id_b": np.concatenate(out_b),
                              "cosine": np.concatenate(out_c)})
 
-    out = _bucketed_pair_verify(pairs_ds, vec_ds, pa.list_(pa.float64()),
-                                _as_f64, verify_cosine, vparts)
-    if out.empty:
-        return empty
-    out = (out.astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
-           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
-    out.attrs["skipped_buckets"] = skipped_total
-    return out
+    verified = _bucketed_pair_verify(pairs_ds, vec_ds, pa.list_(pa.float64()),
+                                     _as_f64, verify_cosine, vparts)
+    return _pairs_result(verified, skipped_total, "cosine", collect,
+                         "embedding_cosine_pairs")

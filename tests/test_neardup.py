@@ -26,7 +26,7 @@ def test_minhash_finds_planted_pairs(neardup_docs):
     from packs_ray.functions.neardup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
-                              jaccard_threshold=0.6)
+                              jaccard_threshold=0.6, collect=True)
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     planted = {(i, 50 + i) for i in range(10)}
     assert planted <= found, planted - found
@@ -45,7 +45,8 @@ def test_minhash_reports_skipped_buckets(ray_session):
     ds = ray.data.from_arrow(pa.table({"doc_id": list(range(n)), "text": texts}))
     # max_group is 200 by default; identical docs make every band one
     # bucket of size n — with n<=200 nothing is skipped and all pairs emit
-    out = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.9)
+    out = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.9,
+                            collect=True)
     assert out.attrs.get("skipped_buckets") == 0
     assert len(out) == n * (n - 1) // 2
 
@@ -54,7 +55,8 @@ def test_minhash_reports_skipped_buckets(ray_session):
     ds2 = ray.data.from_arrow(pa.table(
         {"doc_id": list(range(n2)),
          "text": ["same boilerplate again " * 3] * n2}))
-    out2 = minhash_lsh_pairs(ds2, "doc_id", "text", jaccard_threshold=0.9)
+    out2 = minhash_lsh_pairs(ds2, "doc_id", "text", jaccard_threshold=0.9,
+                             collect=True)
     assert out2.attrs.get("skipped_buckets", 0) > 0
     assert len(out2) == 0  # every bucket over the cap -> no pairs emitted
 
@@ -67,9 +69,10 @@ def test_minhash_multipartition_verify_matches(neardup_docs):
     from packs_ray.functions.neardup import minhash_lsh_pairs
 
     one = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
-                            jaccard_threshold=0.6)
+                            jaccard_threshold=0.6, collect=True)
     multi = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
-                              jaccard_threshold=0.6, verify_partitions=3)
+                              jaccard_threshold=0.6, verify_partitions=3,
+                              collect=True)
     pd.testing.assert_frame_equal(one, multi)
 
 
@@ -79,7 +82,7 @@ def test_minhash_matches_exact_jaccard(neardup_docs):
     from packs_ray.functions.neardup import _shingle_hashes, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
-                              jaccard_threshold=0.6)
+                              jaccard_threshold=0.6, collect=True)
     docs = neardup_docs.to_pandas().set_index("doc_id")["text"]
     for _, r in pairs.iterrows():
         A = _shingle_hashes(docs.loc[int(r["id_a"])], 5)
@@ -189,9 +192,10 @@ def test_embedding_lsh_pairs_subset_of_exact(ray_session):
     m = np.vstack([base, near])
     ds = _emb_ds(m)
     exact = embedding_cosine_pairs(ds, "vec_id", "embedding",
-                                   threshold=0.9, n_planes=0)
+                                   threshold=0.9, n_planes=0, collect=True)
     lsh = embedding_cosine_pairs(ds, "vec_id", "embedding",
-                                 threshold=0.9, n_planes=4, n_bands=3)
+                                 threshold=0.9, n_planes=4, n_bands=3,
+                                 collect=True)
     exact_pairs = {(a, b): c for a, b, c in
                    zip(exact["id_a"], exact["id_b"], exact["cosine"])}
     assert len(lsh) > 0
@@ -215,9 +219,11 @@ def test_embedding_banded_beats_single_band(ray_session):
     near = base[:20] + 0.05 * rng.standard_normal((20, 24))
     ds = _emb_ds(np.vstack([base, near]))
     one = embedding_cosine_pairs(ds, "vec_id", "embedding",
-                                 threshold=0.9, n_planes=12, n_bands=1)
+                                 threshold=0.9, n_planes=12, n_bands=1,
+                                 collect=True)
     banded = embedding_cosine_pairs(ds, "vec_id", "embedding",
-                                    threshold=0.9, n_planes=4, n_bands=3)
+                                    threshold=0.9, n_planes=4, n_bands=3,
+                                    collect=True)
     assert len(banded) >= len(one)
     planted = {(i, 60 + i) for i in range(20)}
     hit = planted & {(a, b) for a, b in zip(banded["id_a"], banded["id_b"])}
@@ -233,13 +239,15 @@ def test_embedding_pathological_bucket_capped(ray_session):
     n = 5000  # identical vectors: one bucket per band, all over max_group
     m = np.tile(np.arange(8, dtype=np.float64), (n, 1))
     out = embedding_cosine_pairs(_emb_ds(m), "vec_id", "embedding",
-                                 threshold=0.9, n_planes=4, n_bands=2)
+                                 threshold=0.9, n_planes=4, n_bands=2,
+                                 collect=True)
     assert len(out) == 0
     assert out.attrs["skipped_buckets"] > 0
 
     # under the cap the same corpus emits every pair exactly once
     small = embedding_cosine_pairs(_emb_ds(m[:50]), "vec_id", "embedding",
-                                   threshold=0.9, n_planes=4, n_bands=2)
+                                   threshold=0.9, n_planes=4, n_bands=2,
+                                   collect=True)
     assert len(small) == 50 * 49 // 2
     assert small.attrs["skipped_buckets"] == 0
     assert (small["cosine"] == 1.0).all()
@@ -256,9 +264,10 @@ def test_embedding_pairs_multipartition_verify(ray_session):
     base = rng.standard_normal((50, 16))
     ds = _emb_ds(np.vstack([base, base[:15] + 0.02]))
     one = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.85,
-                                 n_planes=4, n_bands=2)
+                                 n_planes=4, n_bands=2, collect=True)
     multi = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.85,
-                                   n_planes=4, n_bands=2, verify_partitions=3)
+                                   n_planes=4, n_bands=2, verify_partitions=3,
+                                   collect=True)
     pd.testing.assert_frame_equal(one, multi)
     assert len(one) > 0
 
@@ -341,3 +350,60 @@ def test_dedup_spans_planted(ray_session):
     out7 = (dedup_spans(ds.repartition(7), "doc_id", "text", k=8)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out7)
+
+
+def test_minhash_pairs_lazy_dataset_feeds_components(neardup_docs):
+    """Default return is a LAZY Dataset — the verified pair set never
+    lands on the driver (the 100-TB shape: pairs stream straight into
+    connected_components).  The Dataset path must agree exactly with the
+    collect=True convenience path, and clustering a pathological
+    all-near-dup corpus must work end-to-end without a pandas round-trip."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.components import connected_components
+    from packs_ray.functions.neardup import minhash_lsh_pairs
+
+    lazy = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
+                             jaccard_threshold=0.6)
+    assert isinstance(lazy, ray.data.Dataset)
+    collected = minhash_lsh_pairs(neardup_docs, "doc_id", "text",
+                                  jaccard_threshold=0.6, collect=True)
+    lazy_pdf = (lazy.to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(lazy_pdf, collected)
+
+    labels = (connected_components(lazy, "id_a", "id_b", node_col="doc_id",
+                                   label_col="cluster_id")
+              .to_pandas().set_index("doc_id")["cluster_id"])
+    for i in range(10):  # planted near-dups: (i, 50+i) share a component
+        assert labels[i] == labels[50 + i] == min(i, labels[i])
+
+
+def test_minhash_pathological_corpus_stays_distributed(ray_session):
+    """160 docs of only 4 distinct texts = ~3.2k verified pairs from a
+    boilerplate pile-up.  The default (lazy) path must hold ZERO pair
+    rows on the driver: consume one streamed batch and verify the full
+    cluster labels agree with the known ground truth."""
+    import ray.data
+
+    from packs_ray.functions.components import connected_components
+    from packs_ray.functions.neardup import minhash_lsh_pairs
+
+    texts, ids = [], []
+    for i in range(160):
+        texts.append(f"boilerplate variant {i % 4} " * 6)
+        ids.append(i)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.9)
+    assert isinstance(pairs, ray.data.Dataset)
+    # streaming consumption: first batch only, no to_pandas of the set
+    first = next(iter(pairs.iter_batches(batch_size=64,
+                                         batch_format="pyarrow")))
+    assert first.num_rows > 0
+    labels = connected_components(pairs, "id_a", "id_b", node_col="doc_id",
+                                  label_col="cluster_id").to_pandas()
+    assert len(labels) == 160
+    got = labels.set_index("doc_id")["cluster_id"]
+    for i in range(160):
+        assert got[i] == i % 4  # component min = first doc of each variant
