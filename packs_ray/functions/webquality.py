@@ -161,22 +161,51 @@ def boilerplate_texts(ds, group_col: str, text_col: str, *, min_groups: int = 5)
                                  reduce_partition_count(ds))
 
 
-def drop_boilerplate(ds, group_col: str, text_col: str, *, min_groups: int = 5):
+def _pack128(norm_obj: np.ndarray) -> np.ndarray:
+    """Two independent 64-bit hashes of each normalized text, packed
+    big-endian into sortable 16-byte keys (S16 compares bytewise, so
+    ``np.searchsorted`` gives exact 128-bit membership)."""
+    h1 = pd.util.hash_array(norm_obj, hash_key="0123456789123456")
+    h2 = pd.util.hash_array(norm_obj, hash_key="6543216543210987")
+    b = np.empty((len(norm_obj), 2), dtype=">u8")
+    b[:, 0] = h1
+    b[:, 1] = h2
+    return np.ascontiguousarray(b).view("S16").ravel()
+
+
+def drop_boilerplate(ds, group_col: str, text_col: str, *, min_groups: int = 5,
+                     max_broadcast: int = 4_000_000):
     """Remove rows whose normalized text is corpus-level boilerplate.
 
-    The boilerplate set is small by construction (each entry occurs in
-    >= ``min_groups`` groups, so the set has at most n_rows/min_groups
-    entries and in practice far fewer) — broadcast it once via
-    ``ray.put`` and filter each batch with a sorted-array membership
-    test.  No second shuffle of the full input.
+    The broadcast is the 128-bit HASH set of the boilerplate texts, not
+    the strings themselves: the set is bounded by n_rows/min_groups
+    entries, which is small in practice but each entry could be a whole
+    document on an adversarial corpus — 16 B/entry keeps the driver and
+    every worker flat regardless of text size (the ``content_hash128``
+    convention of stages/dedup; collision odds are negligible at 10^12
+    rows).  Entries beyond ``max_broadcast`` (64 MB of keys) are dropped
+    from the filter with a printed notice — filtering then degrades to
+    partial rather than failing.
     """
     import ray
 
     bp = boilerplate_texts(ds, group_col, text_col, min_groups=min_groups)
-    norms = np.sort(np.asarray(
-        [r["text_norm"] for r in bp.select_columns(["text_norm"]).take_all()],
-        dtype=object))
-    ref = ray.put(norms)
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        norm = np.asarray(batch.column("text_norm")
+                          .to_numpy(zero_copy_only=False), dtype=object)
+        return pa.table({"hk": pa.array(list(_pack128(norm)),
+                                        type=pa.binary(16))})
+
+    rows = bp.map_batches(to_keys, batch_format="pyarrow") \
+        .take(max_broadcast + 1)
+    if len(rows) > max_broadcast:
+        print(f"drop_boilerplate: boilerplate set exceeds max_broadcast="
+              f"{max_broadcast}; {len(rows) - max_broadcast}+ entries not "
+              "filtered (raise max_broadcast or min_groups)")
+        rows = rows[:max_broadcast]
+    keys = np.sort(np.array([r["hk"] for r in rows], dtype="S16"))
+    ref = ray.put(keys)
 
     def keep(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
@@ -185,8 +214,8 @@ def drop_boilerplate(ds, group_col: str, text_col: str, *, min_groups: int = 5):
         text = str_column(batch, text_col)
         norm = np.asarray(pc.utf8_lower(pc.utf8_trim(text, _WS))
                           .to_numpy(zero_copy_only=False), dtype=object)
-        present = pd.notna(norm)
-        probe = np.where(present, norm, "")
+        present = pd.notna(norm) & (norm != "")
+        probe = _pack128(np.where(present, norm, ""))
         pos = np.searchsorted(bad, probe)
         pos[pos == bad.size] = 0
         hit = present & (bad[pos] == probe)
