@@ -446,19 +446,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "lineitem", ["l_extendedprice"]), "l_extendedprice")
 
     def embedding_pairs_exact(sf):
+        # queries emit via the convenience collector (thresholded pair
+        # sets are tiny; Ray loses a 0-row Dataset's schema in
+        # to_pandas, so the lazy return is for pipeline composition)
         return neardup.embedding_cosine_pairs(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
-            threshold=0.45, n_planes=0)
+            threshold=0.45, n_planes=0, collect=True)
 
     def embedding_pairs_lsh(sf):
         return neardup.embedding_cosine_pairs(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
-            threshold=0.45, n_planes=6)
+            threshold=0.45, n_planes=6, collect=True)
 
     def embedding_pairs_banded(sf):
         return neardup.embedding_cosine_pairs(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
-            threshold=0.45, n_planes=4, n_bands=3)
+            threshold=0.45, n_planes=4, n_bands=3, collect=True)
 
     def compare_orders_sample(sf):
         import pyarrow.compute as pc
@@ -519,7 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def minhash_pairs_documents(sf):
         return neardup.minhash_lsh_pairs(_ds(sf, "documents", ["doc_id", "text"]),
-                                         "doc_id", "text", jaccard_threshold=0.5)
+                                         "doc_id", "text", jaccard_threshold=0.5,
+                                         collect=True)
 
     def neardup_clusters_documents(sf):
         from packs_ray.functions.components import connected_components
@@ -741,6 +745,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"type": "unique", "column": "o_orderkey"},
         ])
 
+    def checks_ge_full_customer(sf):
+        # realistic Great Expectations suite ingested via
+        # checks_from_expectations: regex search (GE str.contains
+        # semantics), length-between, mostly thresholds, column-exists,
+        # distinct-in-set, mean/min/max bounds, and one unknown
+        # expectation surfaced as a skipped row (never silently dropped)
+        from packs_ray.functions.checks import (checks_from_expectations,
+                                                run_checks)
+
+        suite = [
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "c_name"}},
+            {"expectation_type": "expect_column_values_to_match_regex",
+             "kwargs": {"column": "c_name", "regex": "Customer#",
+                        "mostly": 0.99}},
+            {"expectation_type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "c_name", "min_value": 10,
+                        "max_value": 18}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "c_acctbal", "mostly": 0.95}},
+            {"expectation_type": "expect_column_distinct_values_to_be_in_set",
+             "kwargs": {"column": "c_mktsegment",
+                        "value_set": ["BUILDING", "MACHINERY", "AUTOMOBILE",
+                                      "HOUSEHOLD", "FURNITURE"]}},
+            {"expectation_type": "expect_column_mean_to_be_between",
+             "kwargs": {"column": "c_acctbal", "min_value": 0.0,
+                        "max_value": 10000.0}},
+            {"expectation_type": "expect_column_min_to_be_between",
+             "kwargs": {"column": "c_acctbal", "min_value": -2000.0,
+                        "max_value": 100.0}},
+            {"expectation_type": "expect_column_max_to_be_between",
+             "kwargs": {"column": "c_acctbal", "min_value": 5000.0,
+                        "max_value": 12000.0}},
+            {"expectation_type": "expect_column_kl_divergence_to_be_less_than",
+             "kwargs": {"column": "c_acctbal"}},
+        ]
+        return run_checks(
+            _ds(sf, "customer", ["c_name", "c_acctbal", "c_mktsegment"]),
+            checks_from_expectations(suite))
+
+    def checks_sodacl_thresholds_orders(sf):
+        # SodaCL warn:/fail: threshold blocks + percent one-liners (the
+        # production shapes of soda_pack/main.py:54-67) mapped onto the
+        # percent/max_violations machinery
+        from packs_ray.functions.checks import checks_from_sodacl, run_checks
+
+        yaml_text = """
+checks for orders:
+  - row_count between 1000 and 100000000
+  - missing_percent(o_custkey) < 5%
+  - duplicate_percent(o_orderkey) < 1%
+  - invalid_count(o_orderstatus):
+      valid values: [O, F]
+      warn: when > 0
+      fail: when > 100000000
+"""
+        return run_checks(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]),
+            checks_from_sodacl(yaml_text))
+
     def decimal_precision_lineitem(sf):
         from packs_ray.functions.accuracy import decimal_precision
 
@@ -953,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
         "checks_percent_customer": checks_percent_customer,
+        "checks_ge_full_customer": checks_ge_full_customer,
+        "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
         "histogram_lineitem": histogram_lineitem,
@@ -2849,6 +2915,86 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT l_returnflag, 0.75,
            round(quantile_cont(l_extendedprice, 0.75), 6)
     FROM v GROUP BY l_returnflag""",
+        # checks_from_expectations end-to-end: GE regex-search/mostly/
+        # length/exists/distinct-set/mean/min/max forms + a surfaced
+        # skipped row for the unmapped expectation type
+        "checks_ge_full_customer": """
+    WITH a AS (SELECT
+        count(*)::DOUBLE AS rows_n,
+        count(c_name) AS n_name,
+        sum(CASE WHEN regexp_matches(c_name, 'Customer#')
+            THEN 1 ELSE 0 END) AS k_regex,
+        sum(CASE WHEN length(c_name) BETWEEN 10 AND 18
+            THEN 1 ELSE 0 END) AS k_len,
+        count(c_acctbal) AS n_bal,
+        sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+            ('BUILDING','MACHINERY','AUTOMOBILE','HOUSEHOLD','FURNITURE')
+            THEN 1 ELSE 0 END) AS viol_set,
+        sum(CAST(round(c_acctbal*100, 0) AS BIGINT))::DOUBLE AS s_bal,
+        min(c_acctbal)::DOUBLE AS min_bal,
+        max(c_acctbal)::DOUBLE AS max_bal
+      FROM customer),
+    r AS (
+      SELECT 0::BIGINT AS check_id, 'column_exists' AS type,
+        'c_name' AS "column", 1.0::DOUBLE AS observed, TRUE AS passed FROM a
+      UNION ALL SELECT 1, 'pattern_search_percent', 'c_name',
+        round(k_regex::DOUBLE / n_name, 6),
+        round(k_regex::DOUBLE / n_name, 6) >= 0.99 FROM a
+      UNION ALL SELECT 2, 'text_length_between_percent', 'c_name',
+        round(k_len::DOUBLE / n_name, 6),
+        round(k_len::DOUBLE / n_name, 6) >= 1.0 FROM a
+      UNION ALL SELECT 3, 'not_null_percent', 'c_acctbal',
+        round(n_bal::DOUBLE / rows_n, 6),
+        round(n_bal::DOUBLE / rows_n, 6) >= 0.95 FROM a
+      UNION ALL SELECT 4, 'values_in_set', 'c_mktsegment',
+        viol_set::DOUBLE, viol_set = 0 FROM a
+      UNION ALL SELECT 5, 'mean_between', 'c_acctbal',
+        round((s_bal / n_bal) / 100.0, 6),
+        round((s_bal / n_bal) / 100.0, 6) BETWEEN 0.0 AND 10000.0 FROM a
+      UNION ALL SELECT 6, 'min_between', 'c_acctbal',
+        min_bal, min_bal BETWEEN -2000.0 AND 100.0 FROM a
+      UNION ALL SELECT 7, 'max_between', 'c_acctbal',
+        max_bal, max_bal BETWEEN 5000.0 AND 12000.0 FROM a)
+    SELECT * FROM r
+    UNION ALL SELECT 8,
+      'skipped:expect_column_kl_divergence_to_be_less_than', 'c_acctbal',
+      NULL, FALSE
+    UNION ALL SELECT -1, '__score__', '__dataset__',
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 8 FROM r)""",
+        # checks_from_sodacl warn:/fail: threshold blocks + percent
+        # one-liners: identical labels, strict boundaries, dup fraction
+        "checks_sodacl_thresholds_orders": """
+    WITH a AS (SELECT count(*)::DOUBLE AS rows_n,
+        count(o_custkey) AS n_ck,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O','F')
+            THEN 1 ELSE 0 END) AS viol_st
+      FROM orders),
+    dup AS (SELECT coalesce(sum(c - 1), 0) AS d FROM
+            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+    r AS (
+      SELECT 0::BIGINT AS check_id, 'row_count_between' AS type,
+        '__table__' AS "column", rows_n AS observed,
+        rows_n BETWEEN 1000 AND 100000000 AS passed FROM a
+      UNION ALL SELECT 1,
+        'not_null_percent[missing_percent(o_custkey) < 5%]', 'o_custkey',
+        round(n_ck::DOUBLE / rows_n, 6),
+        round(n_ck::DOUBLE / rows_n, 6) > 0.95 FROM a
+      UNION ALL SELECT 2,
+        'duplicate_percent_max[duplicate_percent(o_orderkey) < 1%]',
+        'o_orderkey', round(d::DOUBLE / rows_n, 6),
+        round(d::DOUBLE / rows_n, 6) < 0.01 FROM a, dup
+      UNION ALL SELECT 3,
+        'values_in_set[invalid_count(o_orderstatus) fail when > 100000000]',
+        'o_orderstatus', viol_st::DOUBLE, viol_st <= 100000000 FROM a
+      UNION ALL SELECT 4,
+        'values_in_set[invalid_count(o_orderstatus) warn when > 0]',
+        'o_orderstatus', viol_st::DOUBLE, viol_st <= 0 FROM a)
+    SELECT * FROM r
+    UNION ALL SELECT -1, '__score__', '__dataset__',
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 5 FROM r)""",
         # checks.run_checks percent-threshold types: identical rounded
         # fractions over non-null values, empty-valid quirk, cents-mean
         "checks_percent_customer": """

@@ -12,10 +12,17 @@ over 10^12 rows costs one scan.
 
 Check types:
 - row_count_min:   {type, min}
+- row_count_between: {type, min, max}
 - not_null:        {type, column}                (all values non-null)
 - values_between:  {type, column, min, max}      (all non-null in range)
 - values_in_set:   {type, column, values}        (all non-null in set)
 - unique:          {type, column}                (no duplicate values)
+- column_exists:   {type, column}                (schema-level)
+- skipped:         {type, name}                  (surfaced no-op: an
+  unmapped upstream check — reported as a row with passed=False and
+  excluded from the score denominator, never silently dropped)
+Absolute checks accept ``max_violations`` (default 0): the SodaCL
+``fail: when > N`` threshold form.
 
 Percent-threshold types (the dqops taxonomy's dominant shape,
 dqops-checks-reference.md "ACCEPTED VALUES"/"PATTERNS"/"TEXT": pass when
@@ -24,10 +31,23 @@ zero non-null values passes — the reference's empty-valid quirk):
 - values_in_set_percent:       {type, column, values, min_percent}
 - pattern_match_percent:       {type, column, pattern, min_percent}
                                (whole-value RE2 match, ASCII classes)
+- pattern_search_percent:      {type, column, pattern, min_percent}
+                               (unanchored RE2 search — the GE
+                               match_regex / str.contains semantics)
 - text_length_between_percent: {type, column, min_len, max_len,
                                 min_percent}
+- not_null_percent:            {type, column, min_percent} (non-null
+                               fraction of ALL rows — the GE ``mostly``
+                               form of not-null / SodaCL missing_percent)
+- duplicate_percent_max:       {type, column, max_percent} (SodaCL
+                               duplicate_percent; duplicate rows /
+                               total rows)
 - mean_between:                {type, column, min, max}  (dqops
   total_average_match shape; exact int64 cents sum, mean = s/n/100)
+- min_between / max_between:   {type, column, min, max}  (GE
+  expect_column_min/max_to_be_between; observed = the extremum)
+Percent checks accept ``strict=True`` to pass only when the fraction
+is STRICTLY above ``min_percent`` (SodaCL ``< P%`` boundary).
 
 ``observed`` is the violation count for absolute checks, the satisfied
 fraction (6dp) for percent checks, the cents-mean (6dp) for
@@ -50,10 +70,14 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     or row count for row_count_min), passed — plus a final ``__score__``
     row (checks passed, per the reference roll-up
     great_expectations_pack/main.py:57-62)."""
+    NOSCAN = ("row_count_min", "row_count_between", "unique",
+              "duplicate_percent_max", "column_exists", "skipped")
     scan_checks = [(i, c) for i, c in enumerate(checks)
-                   if c["type"] not in ("row_count_min", "unique")]
+                   if c["type"] not in NOSCAN]
     PCT = ("values_in_set_percent", "pattern_match_percent",
-           "text_length_between_percent")
+           "pattern_search_percent", "text_length_between_percent",
+           "not_null_percent")
+    EXT = ("min_between", "max_between")
 
     def partial(batch: pa.Table) -> dict:
         d = {"rows": batch.num_rows}
@@ -70,6 +94,10 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 v = col.drop_null()
                 ok = pc.is_in(v, value_set=pa.array(c["values"], type=v.type))
                 d[f"viol_{i}"] = len(v) - (pc.sum(pc.cast(ok, "int64")).as_py() or 0)
+            elif t == "not_null_percent":
+                # denominator = ALL rows (missing fraction semantics)
+                d[f"n_{i}"] = len(col)
+                d[f"k_{i}"] = len(col) - col.null_count
             elif t in PCT:
                 v = col.drop_null()
                 if t == "values_in_set_percent":
@@ -78,12 +106,23 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 elif t == "pattern_match_percent":
                     ok = pc.match_substring_regex(
                         v.cast(pa.string()), f"^(?:{c['pattern']})$")
+                elif t == "pattern_search_percent":
+                    ok = pc.match_substring_regex(
+                        v.cast(pa.string()), c["pattern"])
                 else:
                     ln = pc.utf8_length(v.cast(pa.string()))
                     ok = pc.and_(pc.greater_equal(ln, c["min_len"]),
                                  pc.less_equal(ln, c["max_len"]))
                 d[f"n_{i}"] = len(v)
                 d[f"k_{i}"] = pc.sum(pc.cast(ok, "int64")).as_py() or 0
+            elif t in EXT:
+                v = col.drop_null()
+                if len(v) == 0:
+                    d[f"x_{i}"] = None
+                elif t == "min_between":
+                    d[f"x_{i}"] = pc.min(v).as_py()
+                else:
+                    d[f"x_{i}"] = pc.max(v).as_py()
             elif t == "mean_between":
                 v = col.drop_null()
                 cents = pc.cast(pc.round(pc.multiply(
@@ -101,50 +140,85 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 out[f"n_{i}"] = int(p[f"n_{i}"].fillna(0).sum())
                 key = f"k_{i}" if c["type"] in PCT else f"s_{i}"
                 out[key] = int(p[key].fillna(0).sum())
+            elif c["type"] in EXT:
+                x = p[f"x_{i}"].dropna()
+                out[f"x_{i}"] = None if x.empty else (
+                    x.min() if c["type"] == "min_between" else x.max())
             else:
                 out[f"viol_{i}"] = int(p[f"viol_{i}"].fillna(0).sum())
         return out
 
     agg = global_agg(ds, partial, combine)
 
-    # unique checks: exact cross-block duplicate count via the
-    # hash-partitioned grouped count (duplicates_finder semantics)
+    # unique / duplicate_percent checks: exact cross-block duplicate
+    # count via the hash-partitioned grouped count (duplicates_finder
+    # semantics)
     for i, c in enumerate(checks):
-        if c["type"] == "unique":
+        if c["type"] in ("unique", "duplicate_percent_max"):
             from packs_ray.functions.duplicates import duplicate_metrics
 
             m = duplicate_metrics(ds, [c["column"]])
             agg[f"viol_{i}"] = int(m["duplicate_rows"].iloc[0])
 
+    schema_names = None
     rows = []
     n_pass = 0
+    n_scored = 0
     for i, c in enumerate(checks):
         t = c["type"]
+        if t == "skipped":
+            rows.append({"check_id": i, "type": f"skipped:{c['name']}",
+                         "column": c.get("column", "__unknown__"),
+                         "observed": None, "passed": False})
+            continue
         if t == "row_count_min":
             observed = agg["rows"]
             passed = observed >= c["min"]
+        elif t == "row_count_between":
+            observed = agg["rows"]
+            passed = c["min"] <= observed <= c["max"]
+        elif t == "column_exists":
+            if schema_names is None:
+                schema_names = set(ds.schema().names)
+            observed = int(c["column"] in schema_names)
+            passed = bool(observed)
+        elif t == "duplicate_percent_max":
+            pct = agg[f"viol_{i}"] / agg["rows"] if agg["rows"] else 0.0
+            observed = round(pct, 6)
+            passed = (observed < c["max_percent"] if c.get("strict")
+                      else observed <= c["max_percent"])
         elif t in PCT:
             n, k = agg[f"n_{i}"], agg[f"k_{i}"]
             pct = (k / n) if n else 1.0        # empty-valid quirk
             observed = round(pct, 6)
-            passed = observed >= c["min_percent"]
+            passed = (observed > c["min_percent"] if c.get("strict")
+                      else observed >= c["min_percent"])
         elif t == "mean_between":
             n, s = agg[f"n_{i}"], agg[f"s_{i}"]
             mean = (s / n) / 100.0 if n else None
             observed = round(mean, 6) if n else None
             passed = n > 0 and c["min"] <= observed <= c["max"]
+        elif t in EXT:
+            x = agg[f"x_{i}"]
+            observed = None if x is None else float(x)
+            passed = x is not None and c["min"] <= x <= c["max"]
         else:
             observed = agg[f"viol_{i}"]
-            passed = observed == 0
+            passed = observed <= c.get("max_violations", 0)
         n_pass += bool(passed)
-        rows.append({"check_id": i, "type": t,
+        n_scored += 1
+        rows.append({"check_id": i, "type": c.get("label", t),
                      "column": c.get("column", "__table__"),
                      "observed": observed, "passed": bool(passed)})
     # int observed for absolute checks, float for percent/mean ones —
     # pandas upcasts the column to float64 only when a float is present,
-    # so all-absolute suites keep their historical int64 schema
+    # so all-absolute suites keep their historical int64 schema.
+    # Skipped rows never count toward the score denominator (the
+    # reference's hasattr dispatch doesn't count undispatched
+    # expectations, great_expectations_pack/main.py:45-49) — but they
+    # are visible, passed=False rows, never silent.
     rows.append({"check_id": -1, "type": "__score__", "column": "__dataset__",
-                 "observed": n_pass, "passed": n_pass == len(checks)})
+                 "observed": n_pass, "passed": n_pass == n_scored})
     return pd.DataFrame(rows)
 
 
@@ -158,27 +232,47 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
 
 _SODA_ROW_COUNT = re.compile(
     r"^row_count\s*(>=|>)\s*(\d+)$")
+_SODA_ROW_BETWEEN = re.compile(
+    r"^row_count\s+between\s+(\d+)\s+and\s+(\d+)$")
 _SODA_METRIC = re.compile(
     r"^(missing_count|duplicate_count|invalid_count)\s*\(\s*([^)]+?)\s*\)"
     r"\s*(=|<=|<)\s*0$")
+_SODA_METRIC_HEAD = re.compile(
+    r"^(missing_count|duplicate_count|invalid_count)\s*\(\s*([^)]+?)\s*\)$")
+_SODA_PCT = re.compile(
+    r"^(missing_percent|duplicate_percent|invalid_percent)"
+    r"\s*\(\s*([^)]+?)\s*\)\s*(<=|<)\s*([0-9.]+)\s*%?$")
+_SODA_WHEN = re.compile(r"^when\s*(>|>=)\s*(\d+)$")
 
 
 def checks_from_sodacl(text: str) -> list[dict]:
     """Parse a SodaCL YAML document into run_checks rules.
 
-    Supported check lines (the zero-tolerance forms, which are the only
-    ones expressible as exact pass/fail without a threshold model):
+    Supported check lines:
       - ``row_count > N`` / ``row_count >= N``       -> row_count_min
+      - ``row_count between A and B``                -> row_count_between
       - ``missing_count(col) = 0``                   -> not_null
       - ``duplicate_count(col) = 0``                 -> unique
       - ``invalid_count(col) = 0`` + ``valid values: [...]``
                                                      -> values_in_set
       - ``invalid_count(col) = 0`` + ``valid min/valid max``
                                                      -> values_between
+      - ``missing_percent(col) < P%``                -> not_null_percent
+      - ``duplicate_percent(col) < P%``              -> duplicate_percent_max
+      - ``invalid_percent(col) < P%`` + validity     -> values_in_set_percent
+        (denominator convention: non-null values, the engine's percent
+        family; Soda divides by total rows — documented divergence)
+      - ``metric(col):`` with ``warn: when > N`` / ``fail: when > N``
+        attribute blocks (the production SodaCL threshold shape,
+        soda_pack/main.py:54-67) -> one rule per level with
+        ``max_violations=N``; both levels count toward the score exactly
+        as the reference's outcome=="pass" roll-up does
+        (soda_pack/main.py:103-107 — a warn outcome is not a pass).
     Check entries may be bare strings or single-key mappings whose value
-    holds attributes (name, valid values, valid min/max), matching the
-    shapes the soda scanner accepts.  Unsupported lines raise — silent
-    skips would report a passing suite that never ran the check."""
+    holds attributes (name, valid values, valid min/max, warn, fail),
+    matching the shapes the soda scanner accepts.  Unsupported lines
+    raise — silent skips would report a passing suite that never ran
+    the check."""
     import yaml
 
     doc = yaml.safe_load(text) or {}
@@ -198,6 +292,71 @@ def checks_from_sodacl(text: str) -> list[dict]:
                 op, n = m.group(1), int(m.group(2))
                 out.append({"type": "row_count_min",
                             "min": n + (1 if op == ">" else 0)})
+                continue
+            m = _SODA_ROW_BETWEEN.match(line)
+            if m:
+                out.append({"type": "row_count_between",
+                            "min": int(m.group(1)), "max": int(m.group(2))})
+                continue
+            m = _SODA_PCT.match(line)
+            if m:
+                metric, col, op, pct = (m.group(1), m.group(2), m.group(3),
+                                        float(m.group(4)) / 100.0)
+                strict = op == "<"
+                if metric == "missing_percent":
+                    out.append({"type": "not_null_percent", "column": col,
+                                "min_percent": 1.0 - pct, "strict": strict,
+                                "label": f"not_null_percent[{line}]"})
+                elif metric == "duplicate_percent":
+                    out.append({"type": "duplicate_percent_max",
+                                "column": col, "max_percent": pct,
+                                "strict": strict,
+                                "label": f"duplicate_percent_max[{line}]"})
+                else:  # invalid_percent: needs a validity definition
+                    if "valid values" not in attrs:
+                        raise ValueError(
+                            f"invalid_percent check needs 'valid values': "
+                            f"{line!r}")
+                    out.append({"type": "values_in_set_percent",
+                                "column": col,
+                                "values": list(attrs["valid values"]),
+                                "min_percent": 1.0 - pct, "strict": strict,
+                                "label": f"values_in_set_percent[{line}]"})
+                continue
+            m = _SODA_METRIC_HEAD.match(line)
+            if m and ("warn" in attrs or "fail" in attrs):
+                metric, col = m.group(1), m.group(2)
+                base = {"missing_count": {"type": "not_null", "column": col},
+                        "duplicate_count": {"type": "unique", "column": col}}
+                if metric == "invalid_count":
+                    if "valid values" in attrs:
+                        proto = {"type": "values_in_set", "column": col,
+                                 "values": list(attrs["valid values"])}
+                    elif "valid min" in attrs or "valid max" in attrs:
+                        proto = {"type": "values_between", "column": col,
+                                 "min": attrs.get("valid min", float("-inf")),
+                                 "max": attrs.get("valid max", float("inf"))}
+                    else:
+                        raise ValueError(
+                            f"invalid_count check needs 'valid values' or "
+                            f"'valid min'/'valid max': {line!r}")
+                else:
+                    proto = base[metric]
+                for level in ("fail", "warn"):
+                    if level not in attrs:
+                        continue
+                    w = _SODA_WHEN.match(str(attrs[level]).strip())
+                    if not w:
+                        raise ValueError(
+                            f"unsupported {level} threshold "
+                            f"{attrs[level]!r} for {line!r} "
+                            "(expected 'when > N' / 'when >= N')")
+                    n = int(w.group(2)) - (1 if w.group(1) == ">=" else 0)
+                    rule = dict(proto)
+                    rule["max_violations"] = n
+                    rule["label"] = f"{proto['type']}[{line} {level} " \
+                                    f"{attrs[level]}]"
+                    out.append(rule)
                 continue
             m = _SODA_METRIC.match(line)
             if m:
@@ -224,32 +383,84 @@ def checks_from_sodacl(text: str) -> list[dict]:
     return out
 
 
+def _ge_not_null(kw):
+    if kw.get("mostly", 1) < 1:
+        return {"type": "not_null_percent", "column": kw["column"],
+                "min_percent": kw["mostly"]}
+    return {"type": "not_null", "column": kw["column"]}
+
+
+def _ge_in_set(kw):
+    if kw.get("mostly", 1) < 1:
+        return {"type": "values_in_set_percent", "column": kw["column"],
+                "values": list(kw["value_set"]),
+                "min_percent": kw["mostly"]}
+    return {"type": "values_in_set", "column": kw["column"],
+            "values": list(kw["value_set"])}
+
+
 _GE_MAP = {
-    "expect_column_values_to_not_be_null":
-        lambda kw: {"type": "not_null", "column": kw["column"]},
+    "expect_column_values_to_not_be_null": _ge_not_null,
     "expect_column_values_to_be_unique":
         lambda kw: {"type": "unique", "column": kw["column"]},
-    "expect_column_values_to_be_in_set":
+    "expect_column_values_to_be_in_set": _ge_in_set,
+    "expect_column_distinct_values_to_be_in_set":
+        # distinct-set containment == every non-null value in the set
         lambda kw: {"type": "values_in_set", "column": kw["column"],
                     "values": list(kw["value_set"])},
     "expect_column_values_to_be_between":
         lambda kw: {"type": "values_between", "column": kw["column"],
                     "min": kw.get("min_value", float("-inf")),
                     "max": kw.get("max_value", float("inf"))},
+    "expect_column_values_to_match_regex":
+        # GE's pandas map metric is str.contains — an unanchored search
+        lambda kw: {"type": "pattern_search_percent", "column": kw["column"],
+                    "pattern": kw["regex"],
+                    "min_percent": kw.get("mostly", 1.0)},
+    "expect_column_value_lengths_to_be_between":
+        lambda kw: {"type": "text_length_between_percent",
+                    "column": kw["column"],
+                    "min_len": kw.get("min_value", 0),
+                    "max_len": kw.get("max_value", 1 << 62),
+                    "min_percent": kw.get("mostly", 1.0)},
+    "expect_column_to_exist":
+        lambda kw: {"type": "column_exists", "column": kw["column"]},
+    "expect_column_mean_to_be_between":
+        lambda kw: {"type": "mean_between", "column": kw["column"],
+                    "min": kw.get("min_value", float("-inf")),
+                    "max": kw.get("max_value", float("inf"))},
+    "expect_column_min_to_be_between":
+        lambda kw: {"type": "min_between", "column": kw["column"],
+                    "min": kw.get("min_value", float("-inf")),
+                    "max": kw.get("max_value", float("inf"))},
+    "expect_column_max_to_be_between":
+        lambda kw: {"type": "max_between", "column": kw["column"],
+                    "min": kw.get("min_value", float("-inf")),
+                    "max": kw.get("max_value", float("inf"))},
     "expect_table_row_count_to_be_between":
-        lambda kw: {"type": "row_count_min", "min": kw.get("min_value", 0)},
+        lambda kw: ({"type": "row_count_between",
+                     "min": kw.get("min_value", 0), "max": kw["max_value"]}
+                    if kw.get("max_value") is not None
+                    else {"type": "row_count_min",
+                          "min": kw.get("min_value", 0)}),
 }
 
 
 def checks_from_expectations(expectations: list[dict]) -> list[dict]:
     """Map a Great Expectations suite (list of {expectation_type,
-    kwargs}) onto run_checks rules.  Unknown expectation types are
-    SKIPPED, mirroring the reference's ``hasattr`` dispatch
-    (great_expectations_pack/main.py:45-46), so a suite written for a
-    richer GE build still runs its supported subset."""
+    kwargs}) onto run_checks rules.  Unknown expectation types become
+    explicit ``skipped`` rules — run_checks surfaces each as a
+    passed=False row excluded from the score denominator, mirroring the
+    reference's ``hasattr`` dispatch (great_expectations_pack/
+    main.py:45-46) while never dropping a check silently."""
     out = []
     for exp in expectations:
-        fn = _GE_MAP.get(exp.get("expectation_type"))
+        et = exp.get("expectation_type")
+        kw = exp.get("kwargs", {})
+        fn = _GE_MAP.get(et)
         if fn is not None:
-            out.append(fn(exp.get("kwargs", {})))
+            out.append(fn(kw))
+        else:
+            out.append({"type": "skipped", "name": str(et),
+                        "column": kw.get("column", "__unknown__")})
     return out

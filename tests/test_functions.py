@@ -527,9 +527,10 @@ def test_ge_expectations_ingestion(ray_session):
     ]
     rules = checks_from_expectations(suite)
     assert [r["type"] for r in rules] == [
-        "row_count_min", "not_null", "values_between", "values_in_set",
-        "unique"]
-    assert rules[0]["min"] == 1000
+        "row_count_between", "not_null", "values_between", "values_in_set",
+        "unique", "skipped"]
+    assert rules[0]["min"] == 1000 and rules[0]["max"] == 10_000_000
+    assert rules[-1]["name"] == "expect_column_kl_divergence_to_be_less_than"
 
 
 def test_record_validate_planted_fixture(ray_session):
@@ -1262,3 +1263,98 @@ def test_keyed_windows_null_rows_dropped(ray_session):
     assert len(out2) == 2
     pd.testing.assert_frame_equal(out2, exp2)
     assert out2["sum_cents_window"].tolist() == [125, 375]
+
+
+def test_sodacl_threshold_forms(ray_session):
+    """warn:/fail: blocks and percent one-liners (the production SodaCL
+    shapes) parse onto max_violations / percent rules with readable
+    labels; a warn outcome is not a pass (reference roll-up
+    soda_pack/main.py:103-107)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.checks import checks_from_sodacl, run_checks
+
+    yaml_text = """
+checks for t:
+  - row_count between 2 and 100
+  - missing_percent(v) < 50%
+  - duplicate_percent(k) < 40%
+  - invalid_count(s):
+      valid values: [a, b]
+      warn: when > 0
+      fail: when > 2
+"""
+    rules = checks_from_sodacl(yaml_text)
+    assert [r["type"] for r in rules] == [
+        "row_count_between", "not_null_percent", "duplicate_percent_max",
+        "values_in_set", "values_in_set"]
+    assert rules[1]["min_percent"] == 0.5 and rules[1]["strict"]
+    assert rules[3]["max_violations"] == 2      # fail: when > 2
+    assert rules[4]["max_violations"] == 0      # warn: when > 0
+    assert "fail" in rules[3]["label"] and "warn" in rules[4]["label"]
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2, 3],                      # 1 duplicate row / 4 = 25%
+        "v": [1.0, None, 2.0, 3.0],             # 25% missing < 50%
+        "s": ["a", "b", "x", "y"],              # 2 invalid values
+    }))
+    out = run_checks(ds, rules).set_index("check_id")
+    assert bool(out.loc[0, "passed"])           # 4 rows in [2, 100]
+    assert out.loc[1, "observed"] == 0.75 and bool(out.loc[1, "passed"])
+    assert out.loc[2, "observed"] == 0.25 and bool(out.loc[2, "passed"])
+    assert out.loc[3, "observed"] == 2 and bool(out.loc[3, "passed"])
+    assert not bool(out.loc[4, "passed"])       # warn threshold breached
+    assert out.loc[-1, "observed"] == 4.0       # 4 of 5 checks passed
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported warn threshold"):
+        checks_from_sodacl(
+            "checks for t:\n  - missing_count(v):\n      warn: when < 5\n")
+
+
+def test_ge_extended_forms(ray_session):
+    """regex-search (str.contains) vs full-match, mostly thresholds,
+    column-exists, length-between, min/max bounds — and the skipped row
+    is visible, passed=False, and excluded from the score denominator."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.checks import (checks_from_expectations,
+                                            run_checks)
+
+    ds = ray.data.from_arrow(pa.table({
+        "name": ["id-001", "id-002", "xx-003", "id-004"],
+        "x": [1.0, 5.0, None, 9.0],
+    }))
+    suite = [
+        {"expectation_type": "expect_column_to_exist",
+         "kwargs": {"column": "name"}},
+        {"expectation_type": "expect_column_to_exist",
+         "kwargs": {"column": "missing_col"}},
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "name", "regex": "id-", "mostly": 0.7}},
+        {"expectation_type": "expect_column_value_lengths_to_be_between",
+         "kwargs": {"column": "name", "min_value": 6, "max_value": 6}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "x", "mostly": 0.7}},
+        {"expectation_type": "expect_column_min_to_be_between",
+         "kwargs": {"column": "x", "min_value": 0.0, "max_value": 2.0}},
+        {"expectation_type": "expect_column_max_to_be_between",
+         "kwargs": {"column": "x", "min_value": 10.0, "max_value": 20.0}},
+        {"expectation_type": "expect_some_future_thing",
+         "kwargs": {"column": "x"}},
+    ]
+    out = run_checks(ds, checks_from_expectations(suite)) \
+        .set_index("check_id")
+    assert bool(out.loc[0, "passed"]) and not bool(out.loc[1, "passed"])
+    # regex SEARCH: 'id-' hits 3/4 = 0.75 >= 0.7 (full-match would be 0)
+    assert out.loc[2, "observed"] == 0.75 and bool(out.loc[2, "passed"])
+    assert bool(out.loc[3, "passed"])           # all lengths exactly 6
+    assert out.loc[4, "observed"] == 0.75       # non-null of ALL rows
+    assert bool(out.loc[5, "passed"]) and out.loc[5, "observed"] == 1.0
+    assert not bool(out.loc[6, "passed"]) and out.loc[6, "observed"] == 9.0
+    skipped = out[out["type"].str.startswith("skipped:")]
+    assert len(skipped) == 1 and not skipped["passed"].iloc[0]
+    # score: 5 passed of 7 scored (skip excluded from the denominator)
+    assert out.loc[-1, "observed"] == 5.0 and not bool(out.loc[-1, "passed"])
