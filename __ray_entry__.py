@@ -445,6 +445,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return profiling.numeric_column_stats(
             _ds(sf, "lineitem", ["l_extendedprice"]), "l_extendedprice")
 
+    def profile_variables_lineitem(sf):
+        # ydata-style variable catalog tail: missing/distinct fractions,
+        # skewness/kurtosis from exact power sums, CV, quartiles, IQR
+        return profiling.profile_variables(
+            _ds(sf, "lineitem", ["l_extendedprice"]), "l_extendedprice")
+
     def embedding_pairs_exact(sf):
         # queries emit via the convenience collector (thresholded pair
         # sets are tiny; Ray loses a 0-row Dataset's schema in
@@ -1027,6 +1033,7 @@ checks for orders:
         "window_functions_events": window_functions_events,
         "sessionize_events": sessionize_events,
         "profile_stats_lineitem": profile_stats_lineitem,
+        "profile_variables_lineitem": profile_variables_lineitem,
         "embedding_pairs_exact": embedding_pairs_exact,
         "embedding_pairs_lsh": embedding_pairs_lsh,
         "embedding_pairs_banded": embedding_pairs_banded,
@@ -1312,7 +1319,7 @@ def _ks_drift_sql() -> str:
           FROM d, (SELECT sqrt(na::DOUBLE * nb / (na + nb)) AS en FROM n)),
     p AS (SELECT d, least(greatest(2.0 * {series}, 0.0), 1.0) AS p FROM l)
     SELECT 'value' AS "column", round(d, 6) AS ks_stat, round(p, 6) AS p_value,
-           p < 0.05 AS drifted
+           p < 0.05 AS drifted, FALSE AS sampled
     FROM p"""
 
 
@@ -2889,9 +2896,13 @@ def oracle_sql() -> dict[str, str]:
         "sum_anomaly_events": _sum_anomaly_sql(3.0),
         # profiling.histogram: identical fixed binning expression
         # min(floor((x-lo)/w), n-1); empty bins kept via generate_series
+        # degenerate-width guard mirrors histogram()'s hi==lo -> w=1.0
+        # fallback (constant column: all rows in bin 0, unit-width bins)
         "histogram_lineitem": """
     WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
-               (max(l_extendedprice) - min(l_extendedprice)) / 20 AS w
+               CASE WHEN max(l_extendedprice) > min(l_extendedprice)
+                    THEN (max(l_extendedprice) - min(l_extendedprice)) / 20
+                    ELSE 1.0 END AS w
                FROM lineitem),
     c AS (SELECT CAST(least(floor((l_extendedprice - lo) / w), 19) AS BIGINT)
             AS bin, count(*)::BIGINT AS n
@@ -3079,6 +3090,44 @@ def oracle_sql() -> dict[str, str]:
                         / st.std, 6) END AS zscore
     FROM e LEFT JOIN st ON e.user_id = st.user_id""",
         "profile_stats_lineitem": profile_stats,
+        # profiling.profile_variables: identical raw-power-sum moment
+        # arithmetic (bias-corrected G1/G2), exact distinct, identical
+        # rounding — so the 6dp/4dp rounds absorb summation-order bits
+        "profile_variables_lineitem": """
+    WITH a AS (SELECT count(*)::BIGINT AS n_total, count(v)::BIGINT AS n,
+        count(DISTINCT v)::BIGINT AS nd,
+        sum(v)::DOUBLE AS s, sum(v*v)::DOUBLE AS s2,
+        sum(v*v*v)::DOUBLE AS s3, sum(v*v*v*v)::DOUBLE AS s4,
+        min(v)::DOUBLE AS mn, max(v)::DOUBLE AS mx,
+        sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros,
+        sum(CAST(round(v * 100, 0) AS BIGINT))::BIGINT AS sc,
+        quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.50) AS q50,
+        quantile_cont(v, 0.75) AS q75
+      FROM (SELECT l_extendedprice AS v FROM lineitem)),
+    m AS (SELECT *, s / n AS mean,
+          greatest(s2 / n - (s / n) * (s / n), 0.0) AS m2 FROM a),
+    w AS (SELECT *,
+          m2 * n / (n - 1) AS var_samp, sqrt(m2 * n / (n - 1)) AS std,
+          s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean AS m3,
+          s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n)
+            - 3 * mean * mean * mean * mean AS m4 FROM m)
+    SELECT 'l_extendedprice' AS "column", n,
+        (n_total - n)::BIGINT AS n_missing,
+        round((n_total - n)::DOUBLE / n_total, 6) AS p_missing,
+        nd AS n_distinct, round(nd::DOUBLE / n, 6) AS p_distinct,
+        round(mean, 4) AS mean_value, round(std, 4) AS std_samp,
+        round(round(std, 4) * round(std, 4), 4) AS variance,
+        round(std / mean, 6) AS cv,
+        round((m3 / m2 ** 1.5) * sqrt(n::DOUBLE * (n - 1)) / (n - 2), 6)
+            AS skewness,
+        round(((n + 1) * (m4 / (m2 * m2) - 3.0) + 6) * (n - 1)::DOUBLE
+              / ((n - 2) * (n - 3)), 6) AS kurtosis,
+        round(mn, 4) AS min_value, round(mx, 4) AS max_value,
+        round(mx - mn, 4) AS range_value, sc / 100.0 AS sum_value,
+        zeros AS n_zeros, round(zeros::DOUBLE / n, 6) AS p_zeros,
+        round(q25, 4) AS p25, round(q50, 4) AS p50, round(q75, 4) AS p75,
+        round(round(q75, 4) - round(q25, 4), 4) AS iqr
+    FROM w""",
         "embedding_pairs_exact": emb_pairs,
         "compare_orders_sample": compare_orders,
         "compare_orders_reltol": """

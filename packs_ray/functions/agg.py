@@ -183,12 +183,19 @@ def rollup_counts(ds, cols: list[str], *, count_col: str = "cnt",
     number of levels."""
     if num_partitions is None:
         num_partitions = reduce_partition_count(ds)
+    base = getattr(ds.schema(), "base_schema", None)
+    col_types = {c: (base.field(c).type if base is not None
+                     and base.get_field_index(c) >= 0 else pa.string())
+                 for c in cols}
 
     def nullify(level: int):
-        # fill rolled-up columns with typed nulls so union schemas match
+        # fill rolled-up columns with nulls of the column's OWN type so
+        # the level union shares one schema regardless of key dtype
+        # (a string-typed null against an int64 finest level would make
+        # the union unreadable)
         def fn(batch: pa.Table) -> pa.Table:
-            out = {c: batch.column(c) if i < level
-                   else pa.nulls(len(batch), type=pa.string())
+            out = {c: (batch.column(c).cast(col_types[c]) if i < level
+                       else pa.nulls(len(batch), type=col_types[c]))
                    for i, c in enumerate(cols)}
             out[count_col] = batch.column(count_col)
             return pa.table(out)

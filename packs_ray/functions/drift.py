@@ -22,32 +22,39 @@ from packs_ray.stages.util import round_half_away as _r
 
 
 def _column_values(ds, column: str, cap: int = 2_000_000,
-                   seed: int = 42) -> np.ndarray:
+                   seed: int = 42) -> tuple[np.ndarray, bool]:
     """Collect one numeric column; above ``cap`` rows a seeded random
     sample of ~cap values is taken instead (the reference itself caps its
     inputs by head-sampling, profiling_pack/main.py:26-28 — we sample
-    uniformly and keep the KS p-value valid for the sampled sizes)."""
+    uniformly and keep the KS p-value valid for the sampled sizes).
+    Returns (values, sampled)."""
     proj = ds.select_columns([column])
     n = proj.count()
-    if n and n > cap:
+    sampled = bool(n and n > cap)
+    if sampled:
         proj = proj.random_sample(cap / n, seed=seed)
     return np.concatenate([
         b.column(column).drop_null().to_numpy(zero_copy_only=False)
         for b in proj.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ] or [np.array([])])
+    ] or [np.array([])]), sampled
 
 
 def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
     """Exact two-sample KS statistic + asymptotic p-value (public
     Smirnov formula; matches scipy.stats.ks_2samp(mode='asymp')).
-    Exact below the _column_values cap; sampled above it."""
-    a = np.sort(_column_values(ds_a, column))
-    b = np.sort(_column_values(ds_b, column))
+    Exact below the _column_values cap; sampled above it — the
+    ``sampled`` output column says which, so a consumer knows the
+    p-value is an estimate over ~cap draws rather than the full data."""
+    av, sa = _column_values(ds_a, column)
+    bv, sb = _column_values(ds_b, column)
+    a, b = np.sort(av), np.sort(bv)
+    sampled = sa or sb
     n, m = len(a), len(b)
     if n == 0 or m == 0:
         # degenerate sample: no evidence of drift (scipy would raise)
         return pd.DataFrame([{"column": column, "ks_stat": 0.0,
-                              "p_value": 1.0, "drifted": False}])
+                              "p_value": 1.0, "drifted": False,
+                              "sampled": sampled}])
     allv = np.concatenate([a, b])
     cdf_a = np.searchsorted(a, allv, side="right") / n
     cdf_b = np.searchsorted(b, allv, side="right") / m
@@ -57,7 +64,8 @@ def ks_2sample(ds_a, ds_b, column: str) -> pd.DataFrame:
     j = np.arange(1, 101)
     p = float(np.clip(2 * ((-1) ** (j - 1) * np.exp(-2 * (lam * j) ** 2)).sum(), 0, 1))
     return pd.DataFrame([{"column": column, "ks_stat": float(_r(d, 6)),
-                          "p_value": float(_r(p, 6)), "drifted": p < 0.05}])
+                          "p_value": float(_r(p, 6)), "drifted": p < 0.05,
+                          "sampled": sampled}])
 
 
 #: target rows above this switch compare_datasets to the hash-bucketed

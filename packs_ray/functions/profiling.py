@@ -104,6 +104,93 @@ def numeric_column_stats(ds, column: str, percentiles=(10, 25, 75, 90)) -> pd.Da
     return pd.DataFrame([row])
 
 
+def profile_variables(ds, column: str) -> pd.DataFrame:
+    """The ydata-style per-variable catalog tail the reference emits as
+    metric records (profiling_pack/main.py:356-371 + README metric
+    table): missing/distinct fractions, central moments up to kurtosis,
+    CV, quartiles and IQR, zeros — one streaming power-sum scan plus ONE
+    unique-value shuffle (exact n_distinct) plus the shared
+    rank-selection percentile scans; nothing lands on the driver.
+
+    Skewness/kurtosis are the bias-corrected sample estimators pandas
+    ``skew()``/``kurt()`` report (adjusted Fisher-Pearson G1 / excess
+    G2), computed from exact raw power sums s..s4 so the oracle can
+    replicate the arithmetic term for term.
+    """
+    from packs_ray.functions.agg import keyed_count
+
+    def partial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null()
+        a = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        return {"n_total": batch.num_rows, "n": len(a),
+                "s": float(a.sum()), "s2": float((a * a).sum()),
+                "s3": float((a ** 3).sum()), "s4": float((a ** 4).sum()),
+                "mn": float(a.min()) if len(a) else None,
+                "mx": float(a.max()) if len(a) else None,
+                "zeros": int((a == 0.0).sum()),
+                # exact integer-cents sum: a float sum of 10^12 values
+                # carries O(n*eps) absolute error, which no fixed-decimal
+                # rounding can absorb — the extensive stat rides as int64
+                "sc": int(np.round(a * 100.0).astype(np.int64).sum())}
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {"n_total": int(p["n_total"].sum()), "n": int(p["n"].sum()),
+                "s": float(p["s"].sum()), "s2": float(p["s2"].sum()),
+                "s3": float(p["s3"].sum()), "s4": float(p["s4"].sum()),
+                "mn": float(p["mn"].min()), "mx": float(p["mx"].max()),
+                "zeros": int(p["zeros"].sum()), "sc": int(p["sc"].sum())}
+
+    agg = global_agg(ds, partial, combine)
+    n_total, n = agg["n_total"], agg["n"]
+    n_distinct = keyed_count(ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(column))),
+        batch_format="pyarrow"), [column]).count()
+
+    mean = agg["s"] / n if n else 0.0
+    m2 = max(agg["s2"] / n - mean ** 2, 0.0) if n else 0.0
+    var_samp = m2 * n / (n - 1) if n > 1 else 0.0
+    std_samp = float(np.sqrt(var_samp))
+    cv = std_samp / mean if n and mean != 0 else None
+    m3 = agg["s3"] / n - 3 * mean * (agg["s2"] / n) + 2 * mean ** 3 \
+        if n else 0.0
+    m4 = (agg["s4"] / n - 4 * mean * (agg["s3"] / n)
+          + 6 * mean ** 2 * (agg["s2"] / n) - 3 * mean ** 4) if n else 0.0
+    skew = kurt = None
+    if n > 2 and m2 > 0:
+        g1 = m3 / m2 ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+    if n > 3 and m2 > 0:
+        g2 = m4 / m2 ** 2 - 3.0
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    sub = numeric_column_stats(ds, column, percentiles=(25, 50, 75)).iloc[0]
+    p25, p50, p75 = sub["p25"], sub["p50"], sub["p75"]
+
+    row = {
+        "column": column, "n": n, "n_missing": n_total - n,
+        "p_missing": float(_r((n_total - n) / n_total, 6)) if n_total else None,
+        "n_distinct": n_distinct,
+        "p_distinct": float(_r(n_distinct / n, 6)) if n else None,
+        "mean_value": float(_r(mean, 4)) if n else None,
+        "std_samp": float(_r(std_samp, 4)) if n else None,
+        # variance is the square of the ROUNDED std: squaring identical
+        # 4dp inputs keeps both engines off each other's rounding edges
+        "variance": float(_r(_r(std_samp, 4) ** 2, 4)) if n else None,
+        "cv": float(_r(cv, 6)) if cv is not None else None,
+        "skewness": float(_r(skew, 6)) if skew is not None else None,
+        "kurtosis": float(_r(kurt, 6)) if kurt is not None else None,
+        "min_value": float(_r(agg["mn"], 4)) if n else None,
+        "max_value": float(_r(agg["mx"], 4)) if n else None,
+        "range_value": float(_r(agg["mx"] - agg["mn"], 4)) if n else None,
+        "sum_value": agg["sc"] / 100.0 if n else None,
+        "n_zeros": agg["zeros"],
+        "p_zeros": float(_r(agg["zeros"] / n, 6)) if n else None,
+        "p25": p25, "p50": p50, "p75": p75,
+        "iqr": float(_r(p75 - p25, 4)) if n else None,
+    }
+    return pd.DataFrame([row])
+
+
 def _bin_edges(lo: float, hi: float, n_bins: int) -> np.ndarray:
     """Deterministic bin edges with exact lo/hi endpoints."""
     edges = lo + (hi - lo) * np.arange(n_bins + 1) / n_bins

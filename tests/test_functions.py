@@ -1358,3 +1358,62 @@ def test_ge_extended_forms(ray_session):
     assert len(skipped) == 1 and not skipped["passed"].iloc[0]
     # score: 5 passed of 7 scored (skip excluded from the denominator)
     assert out.loc[-1, "observed"] == 5.0 and not bool(out.loc[-1, "passed"])
+
+
+def test_profile_variables_matches_pandas_moments(ray_session):
+    """profile_variables' power-sum skewness/kurtosis must equal pandas
+    skew()/kurt() (the ydata estimators the reference emits), and the
+    catalog fractions must match direct computation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import profile_variables
+
+    rng = np.random.default_rng(29)
+    v = np.round(np.exp(rng.normal(3, 0.8, 4000)), 2)  # right-skewed
+    v[::50] = np.nan                                   # 2% missing
+    v[1::100] = 0.0
+    # from_pandas=True converts NaN -> Arrow null (parquet semantics);
+    # a raw numpy NaN would be a float VALUE, not a missing cell
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v, from_pandas=True)}))
+    got = profile_variables(ds, "v").iloc[0]
+
+    s = pd.Series(v)
+    assert got["n"] == int(s.notna().sum())
+    assert got["n_missing"] == int(s.isna().sum())
+    assert got["p_missing"] == round(s.isna().mean(), 6)
+    assert got["n_distinct"] == s.dropna().nunique()
+    assert abs(got["skewness"] - round(s.skew(), 6)) <= 1e-6
+    assert abs(got["kurtosis"] - round(s.kurt(), 6)) <= 1e-6
+    assert abs(got["cv"] - round(s.std() / s.mean(), 6)) <= 1e-6
+    assert got["iqr"] == round(round(s.quantile(0.75), 4)
+                               - round(s.quantile(0.25), 4), 4)
+    assert got["n_zeros"] == int((s == 0).sum())
+    assert got["sum_value"] == np.round(s.dropna() * 100).astype(
+        np.int64).sum() / 100.0
+
+
+def test_rollup_counts_integer_keys(ray_session):
+    """Rolled-up levels must emit nulls of the column's OWN type — an
+    int64 group column survives the level union as int64 (ADVICE r03:
+    string-typed nulls used to break any non-string key)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import rollup_counts
+
+    ds = ray.data.from_arrow(pa.table({
+        "a": [1, 1, 1, 2, 2, 3],
+        "b": [10, 10, 20, 10, 10, 30],
+    }))
+    out = rollup_counts(ds, ["a", "b"]).to_pandas()
+    # keys stay numeric through the union (never string-coerced)
+    assert all(not isinstance(x, str) for x in out["a"].dropna())
+    fine = out[out.a.notna() & out.b.notna()]
+    assert dict(zip(zip(fine.a, fine.b), fine.cnt))[(1, 10)] == 2
+    sub = out[out.a.notna() & out.b.isna()]
+    assert dict(zip(sub.a, sub.cnt)) == {1: 3, 2: 2, 3: 1}
+    grand = out[out.a.isna() & out.b.isna()]
+    assert grand.cnt.tolist() == [6]
