@@ -84,20 +84,97 @@ def _gram_rows(ids: np.ndarray, col: pa.Array, k: int
     return g, doc, pos
 
 
+SKETCH_D = 2                      # prefilter rows (double hashing)
+_SK_C3 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _sketch_pos(g: np.ndarray, width: int) -> np.ndarray:
+    """(SKETCH_D, n) cell positions for gram hashes (the
+    sketches._cms_positions double-hashing scheme)."""
+    h2 = (g * _SK_C3) | np.uint64(1)
+    a = (g % np.uint64(width)).astype(np.int64)
+    b = (h2 % np.uint64(width)).astype(np.int64)
+    j = np.arange(SKETCH_D, dtype=np.int64)[:, None]
+    return (a[None, :] + j * b[None, :]) % width
+
+
+def _build_gram_sketch(ds, id_col: str, text_col: str, k: int, width: int):
+    """Saturating (cap 2) count-min sketch over every gram hash in the
+    corpus: one tokenize+hash scan, fixed SKETCH_D x width uint8
+    partials tree-folded to a single bitmap.  min-over-rows == 1 is an
+    UPPER bound of 1, i.e. a provable singleton — CMS never
+    undercounts, so the prefilter is exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        g, _, _ = _gram_rows(ids, batch.column(text_col), k)
+        cnt = np.zeros((SKETCH_D, width), dtype=np.uint8)
+        if len(g):
+            pos = _sketch_pos(g, width)
+            for j in range(SKETCH_D):
+                bc = np.bincount(pos[j], minlength=width)
+                cnt[j] = np.minimum(bc, 2).astype(np.uint8)
+        return pa.table({"sk": pa.array([cnt.tobytes()], type=pa.binary())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(SKETCH_D * width, dtype=np.uint8)
+        for b in batch.column("sk").to_pylist():
+            # saturate at 2 each step: 2+2 never overflows uint8
+            acc = np.minimum(
+                acc.astype(np.int16)
+                + np.frombuffer(b, dtype=np.uint8).astype(np.int16),
+                2).astype(np.uint8)
+        return pa.table({"sk": pa.array([acc.tobytes()], type=pa.binary())})
+
+    parts = (ds.select_columns([id_col, text_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow", batch_size=32)
+             .take_all())
+    acc = np.zeros(SKETCH_D * width, dtype=np.uint8)
+    for r in parts:
+        acc = np.minimum(acc.astype(np.int16)
+                         + np.frombuffer(r["sk"], dtype=np.uint8)
+                         .astype(np.int16), 2).astype(np.uint8)
+    return acc.reshape(SKETCH_D, width)
+
+
 def duplicate_spans(ds, id_col: str, text_col: str, k: int = 8,
-                    num_partitions: int | None = None):
+                    num_partitions: int | None = None,
+                    prefilter: bool = True,
+                    prefilter_width: int = 1 << 22):
     """Lazy Dataset of duplicate-occurrence marks ``(id_col, pos)`` —
     every k-token window that repeats an earlier ``(doc, pos)``
-    occurrence of the same gram anywhere in the corpus."""
+    occurrence of the same gram anywhere in the corpus.
+
+    ``prefilter`` (default on) runs a saturating count-min pass first
+    and drops grams whose CMS upper bound is 1 — provable singletons
+    that cannot participate in a duplicate — before the (g, doc, pos)
+    shuffle, cutting the dominant exchange on mostly-unique corpora
+    while keeping results EXACT (over-counts only ever keep extra
+    grams).  Size ``prefilter_width`` to ≥4x the expected distinct-gram
+    count for a ~95% singleton drop rate (at the 8 MB default the
+    sketch stops discriminating around ~10M grams; raise it, or
+    disable, beyond that)."""
+    import ray
+
     from packs_ray.functions.agg import (bucketed_group_reduce,
                                          row_shuffle_partitions)
 
     if num_partitions is None:
         num_partitions = row_shuffle_partitions(ds)
+    sketch_ref = (ray.put(_build_gram_sketch(ds, id_col, text_col, k,
+                                             prefilter_width))
+                  if prefilter else None)
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         g, doc, pos = _gram_rows(ids, batch.column(text_col), k)
+        if sketch_ref is not None and len(g):
+            sk = ray.get(sketch_ref)
+            p = _sketch_pos(g, prefilter_width)
+            ub = sk[np.arange(SKETCH_D)[:, None], p].min(axis=0)
+            keep = ub >= 2
+            g, doc, pos = g[keep], doc[keep], pos[keep]
         return pa.table({"g": pa.array(g, type=pa.uint64()),
                          id_col: pa.array(doc, type=pa.int64()),
                          "pos": pa.array(pos, type=pa.int64())})
@@ -116,7 +193,8 @@ def duplicate_spans(ds, id_col: str, text_col: str, k: int = 8,
 
 
 def dedup_spans(ds, id_col: str, text_col: str, k: int = 8,
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                prefilter: bool = True, prefilter_width: int = 1 << 22):
     """Span-level dedup of the corpus: rebuild every document with all
     duplicated k-token spans removed (first corpus occurrence kept).
 
@@ -129,7 +207,9 @@ def dedup_spans(ds, id_col: str, text_col: str, k: int = 8,
     if num_partitions is None:
         num_partitions = row_shuffle_partitions(ds)
 
-    marks = duplicate_spans(ds, id_col, text_col, k, num_partitions)
+    marks = duplicate_spans(ds, id_col, text_col, k, num_partitions,
+                            prefilter=prefilter,
+                            prefilter_width=prefilter_width)
 
     def mark_side(batch: pa.Table) -> pa.Table:
         return pa.table({

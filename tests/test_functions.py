@@ -1417,3 +1417,41 @@ def test_rollup_counts_integer_keys(ray_session):
     assert dict(zip(sub.a, sub.cnt)) == {1: 3, 2: 2, 3: 1}
     grand = out[out.a.isna() & out.b.isna()]
     assert grand.cnt.tolist() == [6]
+
+
+def test_span_dedup_prefilter_exact(ray_session):
+    """The saturating-CMS singleton prefilter must change NOTHING: a CMS
+    upper bound of 1 is a provable singleton, so prefilter on/off give
+    identical marks and identical rebuilt text — while the gram exchange
+    shrinks on a mostly-unique corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.spandedup import dedup_spans, duplicate_spans
+
+    rng = np.random.default_rng(31)
+    words = [f"w{i}" for i in range(500)]
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    texts, ids = [], []
+    for i in range(120):
+        body = " ".join(rng.choice(words, 40))
+        texts.append(body if i % 4 else body + " " + boiler)
+        ids.append(i)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    m_on = (duplicate_spans(ds, "doc_id", "text", k=8, prefilter=True,
+                            prefilter_width=1 << 16)
+            .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    m_off = (duplicate_spans(ds, "doc_id", "text", k=8, prefilter=False)
+             .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(m_on, m_off)
+    assert len(m_on) > 0  # the planted boilerplate span is found
+
+    d_on = (dedup_spans(ds, "doc_id", "text", k=8, prefilter=True,
+                        prefilter_width=1 << 16)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    d_off = (dedup_spans(ds, "doc_id", "text", k=8, prefilter=False)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(d_on, d_off)
