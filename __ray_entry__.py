@@ -384,6 +384,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             on="user_id", ts_col="ts", start_col="session_start",
             end_col="session_end", payload_cols=["session_id"])
 
+    def dsir_weights_documents(sf):
+        # DSIR hashed-ngram importance weights: target = the
+        # deterministic doc_id % 25 == 0 slice of the same corpus, so
+        # the oracle can rebuild both distributions from the view
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.dsir import importance_weights
+
+        def tgt_slice(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 25 == 0))
+
+        src = _ds(sf, "documents", ["doc_id", "text"])
+        tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
+        return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
+
     def quality_filter_documents(sf):
         # two-pass corpus gate: exact global median of the heuristic
         # quality score, then keep rows at-or-above it
@@ -1018,6 +1035,7 @@ checks for orders:
         "pack_sequences_documents": pack_sequences_documents,
         "pii_luhn_orders": pii_luhn_orders,
         "quality_filter_documents": quality_filter_documents,
+        "dsir_weights_documents": dsir_weights_documents,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
@@ -2458,6 +2476,62 @@ def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
     FROM s"""
 
 
+def _dsir_sql(n_bits: int = 16, mod: int = 25) -> str:
+    """Exact replica of dsir.importance_weights: the dedup_spans token
+    chain (RE2 whitespace split, FNV-1a + mul-rot-mul finalize), bigram
+    fold g = h1*B + h2 (wrapping), bucket = top n_bits of a golden-ratio
+    multiply, add-1 smoothed log-ratio weights, per-doc feature-sum."""
+    from packs_ray.functions.sketches import _C1, _C2
+    from packs_ray.functions.spandedup import GRAM_B
+
+    c1, c2, gb = int(_C1), int(_C2), int(GRAM_B)
+    width = 1 << n_bits
+    shift = 1 << (64 - n_bits)
+    return rf"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t0 AS (SELECT doc_id,
+        regexp_split_to_array(regexp_replace(text,
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+                THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(len(toks))) AS pos FROM tl),
+    b AS (SELECT doc_id, pos, hex(encode(tok)) AS hx,
+                 octet_length(encode(tok)) AS nb FROM tok),
+    hs AS (SELECT doc_id, pos,
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    f1 AS (SELECT doc_id, pos, {_mul64_sql('h', c1)} AS h FROM hs),
+    fr AS (SELECT doc_id, pos, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT doc_id, pos, {_mul64_sql('h', c2)} AS h FROM fr),
+    uni AS (SELECT doc_id, ({_mul64_sql('h', _GOLD)}) // {shift}::HUGEINT
+            AS bkt FROM f2),
+    lst AS (SELECT doc_id, list(h ORDER BY pos) AS hl FROM f2 GROUP BY doc_id),
+    big AS (SELECT doc_id, unnest(list_transform(range(1, len(hl)),
+            i -> (({_mul64_sql('hl[i]', gb)} + hl[i+1])
+                  % {_TWO64}::HUGEINT))) AS g FROM lst),
+    bib AS (SELECT doc_id, ({_mul64_sql('g', _GOLD)}) // {shift}::HUGEINT
+            AS bkt FROM big),
+    feats AS (SELECT doc_id, bkt FROM uni
+              UNION ALL SELECT doc_id, bkt FROM bib),
+    tot AS (SELECT (SELECT count(*) FROM feats)::DOUBLE AS s_tot,
+        (SELECT count(*) FROM feats WHERE doc_id % {mod} = 0)::DOUBLE
+            AS t_tot),
+    src AS (SELECT bkt, count(*)::DOUBLE AS c FROM feats GROUP BY bkt),
+    tgt AS (SELECT bkt, count(*)::DOUBLE AS c FROM feats
+            WHERE doc_id % {mod} = 0 GROUP BY bkt),
+    w AS (SELECT s.bkt,
+          ln((coalesce(t.c, 0) + 1.0) / (t_tot + {width}.0))
+          - ln((s.c + 1.0) / (s_tot + {width}.0)) AS w
+          FROM src s LEFT JOIN tgt t USING (bkt), tot)
+    SELECT f.doc_id, count(*)::BIGINT AS n_features,
+           round(sum(w.w), 6) AS logratio
+    FROM feats f JOIN w ON f.bkt = w.bkt
+    GROUP BY f.doc_id"""
+
+
 def _dedup_spans_sql(k: int = 8) -> str:
     """Exact replica of spandedup.dedup_spans: RE2 whitespace tokenizer
     (chunk_documents convention), FNV-1a + mul-rot-mul finalize per
@@ -2888,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_orders": _stratified_sql(
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
+        "dsir_weights_documents": _dsir_sql(16, 25),
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),

@@ -51,22 +51,27 @@ def _run_scaling() -> None:
     # (each pair is back-to-back, so it samples one window coherently)
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     pairs = [(run(2), run(8)) for _ in range(n_pairs)]
-    effs = sorted(round((a["value"] / b["value"]) / 4, 3)
-                  for a, b in pairs)
+    per_pair = [round((a["value"] / b["value"]) / 4, 3) for a, b in pairs]
+    effs = sorted(per_pair)
     med = effs[len(effs) // 2]
-    best8 = min(b["value"] for _, b in pairs)
+    # headline sec_2/sec_8 come from the MEDIAN-efficiency pair so every
+    # top-level field describes ONE coherently sampled window (this host
+    # swings ~3x between windows; mixing best-of legs across pairs made
+    # the ratio of the headline fields disagree with the reported
+    # efficiency)
+    med_a, med_b = pairs[per_pair.index(med)]
     r32 = run(32)
     out = {"n_turns": n,
            "pairs_2_8_sec": [[a["value"], b["value"]] for a, b in pairs],
-           "sec_2": pairs[0][0]["value"], "sec_8": best8,
+           "sec_2": med_a["value"], "sec_8": med_b["value"],
            "sec_32": r32["value"],
-           "turns_per_sec_2": pairs[0][0]["turns_per_sec"],
-           "turns_per_sec_8": round(n / best8, 1),
+           "turns_per_sec_2": med_a["turns_per_sec"],
+           "turns_per_sec_8": med_b["turns_per_sec"],
            "turns_per_sec_32": r32["turns_per_sec"]}
     out["scaling_efficiency_2_to_8"] = med
     out["scaling_efficiency_2_to_8_all"] = effs
     out["scaling_efficiency_8_to_32"] = round(
-        (best8 / r32["value"]) / 4, 3)
+        (med_b["value"] / r32["value"]) / 4, 3)
     # headline criterion (N→4N ≥ 0.8) evidenced at the pre-saturation pair;
     # the definition key makes the protocol explicit to downstream readers
     # (8→32 saturates this host's memory bandwidth — BASELINE.md)
@@ -177,6 +182,10 @@ def main() -> None:
         "metric": "flagship filter+scrub wall time on synthetic transcripts",
         "value": round(headline, 3), "unit": "sec",
         "queries": timings, "sf": sf, "num_cpus": NCPU,
+        # cross-round comparator: the summed bench-query set (same 12
+        # queries as round 3, so round-over-round deltas aren't
+        # confounded by bench-set growth)
+        "queries_sum": round(sum(timings.values()), 3) if timings else None,
         "n_turns": n_turns, "turns_per_sec": round(n_turns / headline, 1),
     }))
     ray.shutdown()

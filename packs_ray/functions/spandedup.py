@@ -140,21 +140,25 @@ def _build_gram_sketch(ds, id_col: str, text_col: str, k: int, width: int):
 
 def duplicate_spans(ds, id_col: str, text_col: str, k: int = 8,
                     num_partitions: int | None = None,
-                    prefilter: bool = True,
-                    prefilter_width: int = 1 << 22):
+                    prefilter: "bool | str" = "auto",
+                    prefilter_width: int = 1 << 22,
+                    prefilter_min_rows: int = 2_000_000):
     """Lazy Dataset of duplicate-occurrence marks ``(id_col, pos)`` —
     every k-token window that repeats an earlier ``(doc, pos)``
     occurrence of the same gram anywhere in the corpus.
 
-    ``prefilter`` (default on) runs a saturating count-min pass first
-    and drops grams whose CMS upper bound is 1 — provable singletons
-    that cannot participate in a duplicate — before the (g, doc, pos)
-    shuffle, cutting the dominant exchange on mostly-unique corpora
-    while keeping results EXACT (over-counts only ever keep extra
-    grams).  Size ``prefilter_width`` to ≥4x the expected distinct-gram
-    count for a ~95% singleton drop rate (at the 8 MB default the
-    sketch stops discriminating around ~10M grams; raise it, or
-    disable, beyond that)."""
+    ``prefilter`` runs a saturating count-min pass first and drops
+    grams whose CMS upper bound is 1 — provable singletons that cannot
+    participate in a duplicate — before the (g, doc, pos) shuffle,
+    cutting the dominant exchange ~86% on a mostly-unique corpus while
+    keeping results EXACT (over-counts only ever keep extra grams).
+    The pass costs one extra tokenize+hash scan, which only pays once
+    the exchange is the bottleneck, so ``"auto"`` (default) enables it
+    above ``prefilter_min_rows`` input rows (a cheap parquet-metadata
+    count) and skips it on small single-node inputs.  Size
+    ``prefilter_width`` to ≥4x the expected distinct-gram count for a
+    ~95% singleton drop rate (at the 8 MB default the sketch stops
+    discriminating around ~10M grams; raise it beyond that)."""
     import ray
 
     from packs_ray.functions.agg import (bucketed_group_reduce,
@@ -162,6 +166,8 @@ def duplicate_spans(ds, id_col: str, text_col: str, k: int = 8,
 
     if num_partitions is None:
         num_partitions = row_shuffle_partitions(ds)
+    if prefilter == "auto":
+        prefilter = ds.count() >= prefilter_min_rows
     sketch_ref = (ray.put(_build_gram_sketch(ds, id_col, text_col, k,
                                              prefilter_width))
                   if prefilter else None)
@@ -194,7 +200,8 @@ def duplicate_spans(ds, id_col: str, text_col: str, k: int = 8,
 
 def dedup_spans(ds, id_col: str, text_col: str, k: int = 8,
                 num_partitions: int | None = None,
-                prefilter: bool = True, prefilter_width: int = 1 << 22):
+                prefilter: "bool | str" = "auto",
+                prefilter_width: int = 1 << 22):
     """Span-level dedup of the corpus: rebuild every document with all
     duplicated k-token spans removed (first corpus occurrence kept).
 

@@ -1455,3 +1455,46 @@ def test_span_dedup_prefilter_exact(ray_session):
     d_off = (dedup_spans(ds, "doc_id", "text", k=8, prefilter=False)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(d_on, d_off)
+
+
+def test_dsir_importance_weights_selects_target_like(ray_session):
+    """DSIR log importance weights: documents drawn from the target
+    word distribution must outscore off-distribution documents, empty
+    docs are excluded, and the score equals a local numpy replica."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.dsir import (_count_features, _doc_features,
+                                          importance_weights)
+
+    rng = np.random.default_rng(37)
+    tech = "model data training token corpus dedup shuffle batch".split()
+    chat = "hello thanks maybe tomorrow dinner weather friend movie".split()
+    docs, ids = [], []
+    for i in range(60):
+        pool = tech if i % 2 == 0 else chat
+        docs.append(" ".join(rng.choice(pool, 30)))
+        ids.append(i)
+    docs.append("   ")  # whitespace-only: excluded
+    ids.append(999)
+    src = ray.data.from_arrow(pa.table({"doc_id": ids, "text": docs}))
+    tgt = ray.data.from_arrow(pa.table(
+        {"doc_id": [0], "text": [" ".join(rng.choice(tech, 400))]}))
+
+    out = importance_weights(src, "doc_id", "text", tgt, n_bits=12) \
+        .to_pandas().set_index("doc_id")
+    assert 999 not in out.index and len(out) == 60
+    tech_scores = out.loc[[i for i in range(60) if i % 2 == 0], "logratio"]
+    chat_scores = out.loc[[i for i in range(60) if i % 2 == 1], "logratio"]
+    assert tech_scores.min() > chat_scores.max()
+
+    # exact numpy replica of one document's score
+    width = 1 << 12
+    sc = _count_features(src, "text", 12)
+    tc = _count_features(tgt, "text", 12)
+    w = (np.log((tc + 1.0) / (tc.sum() + width))
+         - np.log((sc + 1.0) / (sc.sum() + width)))
+    b, counts = _doc_features(pa.array([docs[0]]), 12)
+    assert abs(out.loc[0, "logratio"] - round(float(w[b].sum()), 6)) < 1e-9
+    assert out.loc[0, "n_features"] == counts[0]
