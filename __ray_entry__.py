@@ -401,6 +401,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def perplexity_corpus_documents(sf):
+        # KenLM-style self-perplexity: byte-bigram LM trained on the
+        # corpus itself in one exact-count pass, then every doc scored
+        from packs_ray.functions.lm import corpus_perplexity
+
+        return corpus_perplexity(_ds(sf, "documents", ["doc_id", "text"]),
+                                 "doc_id", "text")
+
     def quality_filter_documents(sf):
         # two-pass corpus gate: exact global median of the heuristic
         # quality score, then keep rows at-or-above it
@@ -1036,6 +1044,7 @@ checks for orders:
         "pii_luhn_orders": pii_luhn_orders,
         "quality_filter_documents": quality_filter_documents,
         "dsir_weights_documents": dsir_weights_documents,
+        "perplexity_corpus_documents": perplexity_corpus_documents,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
@@ -2476,6 +2485,31 @@ def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
     FROM s"""
 
 
+def _perplexity_corpus_sql() -> str:
+    """Exact replica of lm.corpus_perplexity: within-row byte bigrams
+    (hi*256+lo), exact corpus counts, add-one smoothing per hi row
+    (denominator = row total + 256), per-doc mean -log2, 6dp."""
+    return f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb FROM d),
+    bl AS (SELECT doc_id, nb, {_BYTES_EXPR} AS bl FROM b),
+    pairs AS (SELECT doc_id, unnest(list_transform(range(0, nb - 1),
+              i -> (bl[i+1] * 256 + bl[i+2])::BIGINT)) AS pr
+              FROM bl WHERE nb >= 2),
+    cnt AS (SELECT pr, count(*)::BIGINT AS c FROM pairs GROUP BY pr),
+    rowsum AS (SELECT pr // 256 AS hi, sum(c)::BIGINT AS ch
+               FROM cnt GROUP BY 1),
+    w AS (SELECT cnt.pr,
+          log2((cnt.c + 1.0) / (256.0 + rs.ch)) AS lp
+          FROM cnt JOIN rowsum rs ON cnt.pr // 256 = rs.hi),
+    s AS (SELECT p.doc_id, count(*)::DOUBLE AS np, sum(w.lp) AS slp
+          FROM pairs p JOIN w USING (pr) GROUP BY p.doc_id)
+    SELECT b.doc_id, b.nb::BIGINT AS n_bytes,
+        round(coalesce(-s.slp / s.np, 0.0), 6) AS bits_per_byte
+    FROM b LEFT JOIN s USING (doc_id)"""
+
+
 def _dsir_sql(n_bits: int = 16, mod: int = 25) -> str:
     """Exact replica of dsir.importance_weights: the dedup_spans token
     chain (RE2 whitespace split, FNV-1a + mul-rot-mul finalize), bigram
@@ -2963,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),

@@ -88,6 +88,61 @@ def _training_corpus() -> bytes:
     return (". ".join(pool)).encode("utf-8", errors="ignore")
 
 
+def _utf8_buffers(text: pa.Array | pa.ChunkedArray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated utf-8 byte data, per-row offsets) — zero-copy reads
+    of the Arrow string buffers; nulls read as empty."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    filled = pc.fill_null(text, "")
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    arr = filled.cast(pa.binary())
+    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offsets = raw_offsets[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.zeros(0, dtype=np.uint8))
+    return data, offsets
+
+
+def bits_per_byte_from_logp(logp: np.ndarray,
+                            text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Mean negative bigram log2-prob per row under a (256, 256) logp
+    table; 0.0 for rows with < 2 bytes."""
+    data, offsets = _utf8_buffers(text)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    if len(data) < 2:
+        return out
+    # bigram logp for every adjacent byte pair in the concatenated
+    # data: ONE flat uint16 index (hi byte << 8 | lo byte) gathered
+    # from the flattened table — no int64 casts, no 2-d fancy index
+    idx = (data[:-1].astype(np.uint16) << np.uint16(8)) | data[1:]
+    nlp = len(idx)
+    lp = np.empty(nlp + 1, dtype=np.float64)  # +1 dummy slot: keeps the
+    lp[-1] = 0.0                              # last reduceat end in range
+    np.take(logp.ravel(), idx, out=lp[:-1])
+    # per-row sums over [start, end) bigram spans via one reduceat pass
+    # (pairs interleaved; the inter-pair gap segments land at odd slots
+    # and are discarded) — replaces a full-length cumsum
+    lens = offsets[1:] - offsets[:-1]
+    valid = lens >= 2
+    if not valid.any():
+        return out
+    starts = offsets[:-1][valid]
+    ends = (offsets[1:][valid] - 1)
+    pairs = np.empty(2 * len(starts), dtype=np.int64)
+    pairs[0::2] = starts
+    pairs[1::2] = ends
+    sums = np.add.reduceat(lp, pairs)[0::2]
+    # a row whose span ends at the very last bigram contributes the
+    # dummy slot too when reduceat runs to the array end; subtract none
+    # (dummy is 0.0), so sums are exact
+    out[valid] = -sums / (lens[valid] - 1)
+    return out
+
+
 class PerplexityModel:
     """Byte-bigram LM; ``bits_per_byte`` ≈ cross-entropy of each row's
     UTF-8 bytes under an English bigram distribution (add-one smoothed).
@@ -102,45 +157,4 @@ class PerplexityModel:
     def bits_per_byte(self, text: pa.Array | pa.ChunkedArray) -> np.ndarray:
         """Mean negative bigram log2-prob per row; 0.0 for rows with < 2
         bytes (null/empty/1-char rows are the other rules' business)."""
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        filled = pc.fill_null(text, "")
-        if isinstance(filled, pa.ChunkedArray):
-            filled = filled.combine_chunks()
-        # zero-copy: read the utf8 offsets + data buffers directly
-        arr = filled.cast(pa.binary())
-        raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-        offsets = raw_offsets[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
-        data_buf = arr.buffers()[2]
-        data = (np.frombuffer(data_buf, dtype=np.uint8)
-                if data_buf is not None else np.zeros(0, dtype=np.uint8))
-        n = len(arr)
-        out = np.zeros(n, dtype=np.float64)
-        if len(data) < 2:
-            return out
-        # bigram logp for every adjacent byte pair in the concatenated
-        # data: ONE flat uint16 index (hi byte << 8 | lo byte) gathered
-        # from the flattened table — no int64 casts, no 2-d fancy index
-        idx = (data[:-1].astype(np.uint16) << np.uint16(8)) | data[1:]
-        nlp = len(idx)
-        lp = np.empty(nlp + 1, dtype=np.float64)  # +1 dummy slot: keeps the
-        lp[-1] = 0.0                              # last reduceat end in range
-        np.take(self.logp.ravel(), idx, out=lp[:-1])
-        # per-row sums over [start, end) bigram spans via one reduceat pass
-        # (pairs interleaved; the inter-pair gap segments land at odd slots
-        # and are discarded) — replaces a full-length cumsum
-        lens = offsets[1:] - offsets[:-1]
-        valid = lens >= 2
-        if not valid.any():
-            return out
-        starts = offsets[:-1][valid]
-        ends = (offsets[1:][valid] - 1)
-        pairs = np.empty(2 * len(starts), dtype=np.int64)
-        pairs[0::2] = starts
-        pairs[1::2] = ends
-        sums = np.add.reduceat(lp, pairs)[0::2]
-        # a row whose span ends at the very last bigram contributes the
-        # dummy slot too when reduceat runs to the array end; subtract none
-        # (dummy is 0.0), so sums are exact
-        out[valid] = -sums / (lens[valid] - 1)
-        return out
+        return bits_per_byte_from_logp(self.logp, text)

@@ -1498,3 +1498,45 @@ def test_dsir_importance_weights_selects_target_like(ray_session):
     b, counts = _doc_features(pa.array([docs[0]]), 12)
     assert abs(out.loc[0, "logratio"] - round(float(w[b].sum()), 6)) < 1e-9
     assert out.loc[0, "n_features"] == counts[0]
+
+
+def test_corpus_perplexity_trained_lm(ray_session):
+    """Corpus-trained byte-bigram LM: bigram counts never cross row
+    boundaries, in-distribution text scores fewer bits/byte than random
+    bytes, short/null rows score 0.0, and the counts match a local
+    numpy replica."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.lm import (corpus_perplexity,
+                                        train_byte_bigram_counts)
+
+    rng = np.random.default_rng(41)
+    english = ["the model trains on the corpus and scores the corpus"
+               for _ in range(50)]
+    noise = ["".join(chr(c) for c in rng.integers(33, 127, 60))
+             for _ in range(5)]
+    rows = english + noise + [None, "x"]
+    ids = list(range(len(rows)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": rows}))
+
+    counts = train_byte_bigram_counts(ds, "text")
+    # local replica: within-row pairs only
+    exp = np.zeros((256, 256), dtype=np.int64)
+    for t in rows:
+        if t is None:
+            continue
+        bs = t.encode()
+        for a, b in zip(bs[:-1], bs[1:]):
+            exp[a, b] += 1
+    assert (counts == exp).all()
+
+    out = corpus_perplexity(ds, "doc_id", "text").to_pandas() \
+        .set_index("doc_id")
+    en = out.loc[range(50), "bits_per_byte"]
+    nz = out.loc[range(50, 55), "bits_per_byte"]
+    assert en.max() < nz.min()          # corpus-typical text scores lower
+    assert out.loc[55, "bits_per_byte"] == 0.0   # null text
+    assert out.loc[55, "n_bytes"] == 0
+    assert out.loc[56, "bits_per_byte"] == 0.0   # single byte
