@@ -401,6 +401,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def cluster_balance_embeddings(sf):
+        # topic-balanced curation: k-means over embeddings, then a
+        # deterministic stratified sample of 10 ids per cluster
+        from packs_ray.functions.similarity import cluster_balanced_sample
+
+        return cluster_balanced_sample(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", n_per_cluster=10, n_clusters=8)
+
     def perplexity_corpus_documents(sf):
         # KenLM-style self-perplexity: byte-bigram LM trained on the
         # corpus itself in one exact-count pass, then every doc scored
@@ -1045,6 +1054,7 @@ checks for orders:
         "quality_filter_documents": quality_filter_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
+        "cluster_balance_embeddings": cluster_balance_embeddings,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
@@ -2485,6 +2495,56 @@ def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
     FROM s"""
 
 
+def _cluster_balance_sql(n_clusters: int = 8, n: int = 10,
+                         salt: str = "") -> str:
+    """similarity.cluster_balanced_sample replica: centroids re-fit at
+    generation time with the shared ``_lloyd`` and inlined as literals
+    (the _ann_ivf_sql pattern); sequential-sum least-distance
+    assignment, then the _stratified_sql FNV head-n per cluster."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _C1, _C2
+    from packs_ray.functions.similarity import _batch_matrix, _lloyd
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    cent = _lloyd(_batch_matrix(t.slice(0, 2048), "embedding"),
+                  n_clusters, 42)
+    cent_vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for i, row in enumerate(cent))
+    sc, c1, c2 = int(_salt_constant(salt)), int(_C1), int(_C2)
+    return f"""
+    WITH cent(cidx, cv) AS (VALUES {cent_vals}),
+    d AS (SELECT e.vec_id, c.cidx,
+            list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.embedding IS NOT NULL),
+    assigned AS (SELECT vec_id, cidx::BIGINT AS cluster FROM d
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cidx) = 1),
+    v AS (SELECT vec_id, cluster, CAST(vec_id AS VARCHAR) AS sv
+          FROM assigned WHERE vec_id IS NOT NULL),
+    b AS (SELECT vec_id, cluster, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT vec_id, cluster,
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT vec_id, cluster, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT vec_id, cluster, {_mul64_sql('h', c1)} AS h FROM sm),
+    fr AS (SELECT vec_id, cluster, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT vec_id, cluster, {_mul64_sql('h', c2)} AS h FROM fr)
+    SELECT vec_id, cluster FROM f2
+    QUALIFY row_number() OVER (PARTITION BY cluster
+        ORDER BY h // 2, vec_id) <= {n}"""
+
+
 def _perplexity_corpus_sql() -> str:
     """Exact replica of lm.corpus_perplexity: within-row byte bigrams
     (hi*256+lo), exact corpus counts, add-one smoothing per hi row
@@ -2998,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
+        "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),

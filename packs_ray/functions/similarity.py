@@ -261,3 +261,52 @@ def ivf_topk(ds, id_col: str, emb_col: str, query: np.ndarray, k: int = 10,
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return (parts.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
             .head(k).reset_index(drop=True))
+
+
+def cluster_assign(ds, id_col: str, emb_col: str, n_clusters: int = 16,
+                   sample_rows: int = 2048, seed: int = 42,
+                   centroids: np.ndarray | None = None):
+    """Lazy Dataset of (id_col, cluster): nearest-centroid assignment of
+    every embedding under the deterministic seeded-sample Lloyd fit
+    (the ivf_build assignment, without persisting payloads).  Null
+    embeddings are excluded — a zero-filled vector would land in an
+    arbitrary cluster.  Pass ``centroids`` to reuse a fit."""
+    cent = (centroids if centroids is not None
+            else _fit_centroids(ds, emb_col, n_clusters, sample_rows, seed))
+    if cent.size == 0:
+        return ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table({id_col: b.column(id_col),
+                                "cluster": pa.nulls(len(b), pa.int64())})
+            .slice(0, 0), batch_format="pyarrow")
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        centv = ray.get(cref)
+        batch = batch.filter(pc.is_valid(batch.column(emb_col)))
+        m = _fit_dim(_batch_matrix(batch, emb_col), centv.shape[1])
+        d = _sq_dist_seq(m, centv)
+        return pa.table({id_col: batch.column(id_col),
+                         "cluster": pa.array(d.argmin(1).astype(np.int64))})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def cluster_balanced_sample(ds, id_col: str, emb_col: str, *,
+                            n_per_cluster: int, n_clusters: int = 16,
+                            sample_rows: int = 2048, seed: int = 42,
+                            salt: str = ""):
+    """Topic-balanced subset: k-means-cluster the embeddings, then take
+    a deterministic stratified sample of ``n_per_cluster`` ids per
+    cluster (lowest finalized hash(id, salt) — retry/block-split
+    stable).  The mixture-flattening step of embedding-clustered data
+    curation: a dominant topic cluster contributes the same row budget
+    as a rare one.  Returns a lazy Dataset of (id_col, cluster)."""
+    from packs_ray.functions.sampling import stratified_sample
+
+    assigned = cluster_assign(ds, id_col, emb_col, n_clusters,
+                              sample_rows, seed)
+    return stratified_sample(assigned, "cluster", id_col, n_per_cluster,
+                             salt=salt)

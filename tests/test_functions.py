@@ -1540,3 +1540,46 @@ def test_corpus_perplexity_trained_lm(ray_session):
     assert out.loc[55, "bits_per_byte"] == 0.0   # null text
     assert out.loc[55, "n_bytes"] == 0
     assert out.loc[56, "bits_per_byte"] == 0.0   # single byte
+
+
+def test_cluster_balanced_sample_flattens_mixture(ray_session):
+    """cluster_balanced_sample: a dominant topic cluster contributes the
+    same row budget as a rare one, assignment matches a local Lloyd
+    replica, and the per-cluster pick is the deterministic lowest-hash
+    head (stable under repartitioning)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.similarity import (_fit_dim, _lloyd,
+                                                _sq_dist_seq, _batch_matrix,
+                                                cluster_balanced_sample)
+
+    rng = np.random.default_rng(43)
+    # two well-separated topics, 10:1 imbalance
+    big = rng.normal(0, 0.1, (400, 8)) + np.array([5.0] * 8)
+    small = rng.normal(0, 0.1, (40, 8)) + np.array([-5.0] * 8)
+    m = np.vstack([big, small])
+    ids = list(range(len(m)))
+    ds = ray.data.from_arrow(pa.table(
+        {"vec_id": ids, "embedding": [r.tolist() for r in m]}))
+
+    out = cluster_balanced_sample(ds, "vec_id", "embedding",
+                                  n_per_cluster=15, n_clusters=2,
+                                  sample_rows=2048, seed=42).to_pandas()
+    counts = out.groupby("cluster").size()
+    assert set(counts) == {15}          # both topics capped at 15
+    # assignment parity with a local replica
+    cent = _lloyd(m[:2048], 2, 42)
+    local_assign = _sq_dist_seq(m, cent).argmin(1)
+    got = out.set_index("vec_id")["cluster"]
+    for vid, cl in got.items():
+        assert local_assign[vid] == cl
+    # repartition stability
+    out7 = cluster_balanced_sample(ds.repartition(7), "vec_id", "embedding",
+                                   n_per_cluster=15, n_clusters=2,
+                                   sample_rows=2048, seed=42).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["cluster", "vec_id"]).reset_index(drop=True),
+        out7.sort_values(["cluster", "vec_id"]).reset_index(drop=True))
