@@ -401,6 +401,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def weighted_sample_orders(sf):
+        # Efraimidis-Spirakis weighted draw, hash-derived uniforms:
+        # 100 orders with probability proportional to o_totalprice
+        from packs_ray.functions.sampling import weighted_sample
+
+        return weighted_sample(
+            _ds(sf, "orders", ["o_orderkey", "o_totalprice"]),
+            "o_orderkey", "o_totalprice", 100)
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -1055,6 +1064,7 @@ checks for orders:
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
+        "weighted_sample_orders": weighted_sample_orders,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
@@ -2495,6 +2505,37 @@ def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
     FROM s"""
 
 
+def _weighted_sample_sql(table: str, id_col: str, w_col: str, n: int,
+                         salt: str = "") -> str:
+    """sampling.weighted_sample replica: the _stratified_sql FNV chain,
+    u = ((h >> 11) + 1) * 2^-53, key = -ln(u)/w, n smallest keys (id
+    tiebreak), key emitted at 10dp."""
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _C1, _C2
+
+    sc, c1, c2 = int(_salt_constant(salt)), int(_C1), int(_C2)
+    return f"""
+    WITH v AS (SELECT {id_col}, {w_col},
+               CAST({id_col} AS VARCHAR) AS sv FROM {table}
+               WHERE {id_col} IS NOT NULL AND {w_col} IS NOT NULL
+                 AND {w_col} > 0),
+    b AS (SELECT {id_col}, {w_col}, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT {id_col}, {w_col},
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT {id_col}, {w_col}, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT {id_col}, {w_col}, {_mul64_sql('h', c1)} AS h FROM sm),
+    fr AS (SELECT {id_col}, {w_col}, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {id_col}, {w_col}, {_mul64_sql('h', c2)} AS h FROM fr),
+    k AS (SELECT {id_col}, {w_col},
+          -ln(((h // 2048)::DOUBLE + 1.0) * pow(2.0, -53))
+              / {w_col}::DOUBLE AS key FROM f2)
+    SELECT {id_col}, {w_col}, round(key, 10) AS key FROM k
+    QUALIFY row_number() OVER (ORDER BY key, {id_col}) <= {n}"""
+
+
 def _cluster_balance_sql(n_clusters: int = 8, n: int = 10,
                          salt: str = "") -> str:
     """similarity.cluster_balanced_sample replica: centroids re-fit at
@@ -3059,6 +3100,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_documents": _dsir_sql(16, 25),
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
+        "weighted_sample_orders": _weighted_sample_sql(
+            "orders", "o_orderkey", "o_totalprice", 100),
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),

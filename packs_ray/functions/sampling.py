@@ -140,3 +140,62 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int, *,
              .map_batches(partial, batch_format="pyarrow"))
     out = bucketed_group_reduce(parts, [group_col], local, num_partitions)
     return out.drop_columns(["__hv"])
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, n: int, *,
+                    salt: str = ""):
+    """Deterministic weighted sampling without replacement: ``n`` rows
+    drawn with probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis exponential-key scheme (key = -ln(u)/w, keep
+    the n SMALLEST keys), with the uniform u derived from
+    ``hash(id, salt)`` instead of an RNG, so any worker/retry/resume
+    produces the identical subset (the DSIR-resampling companion:
+    weight by exp(importance) and this draws the selection).
+
+    Rows with null id, null weight, or weight <= 0 are never sampled.
+    Scale shape: per-batch local head-n (at most n rows survive any
+    batch), then one tiny single-bucket reduce over <= n*blocks
+    candidate rows — full rows never shuffle.
+
+    Returns a lazy Dataset of the winning (id_col, weight_col, key)
+    rows; ``key`` (10dp) makes the draw auditable and deterministic to
+    sort on — selection itself uses the unrounded key."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import bucketed_group_reduce
+    from packs_ray.stages.util import round_half_away as _r
+
+    sc = _salt_constant(salt)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch.column(weight_col)
+        valid_w = pc.and_(pc.is_valid(w),
+                          pc.greater(pc.cast(w, pa.float64()), 0.0))
+        batch = batch.filter(pc.fill_null(valid_w, False))
+        h, valid = _fnv1a_str(batch.column(id_col))
+        batch = batch.filter(pa.array(valid))
+        h = _finalize(h[valid] * sc)
+        # 53-bit mantissa uniform in (0, 1]; +1 keeps u > 0 so the key
+        # is finite (an exact-zero u would win every draw)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
+        wv = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        key = -np.log(u) / wv
+        t = pa.table({id_col: batch.column(id_col),
+                      weight_col: batch.column(weight_col),
+                      "key": pa.array(key, type=pa.float64())})
+        df = t.to_pandas().sort_values(["key", id_col], kind="stable").head(n)
+        df["__one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["key", id_col], kind="stable").head(n)
+               .drop(columns="__one"))
+        out["key"] = _r(out["key"].to_numpy(), 10)
+        return out
+
+    parts = ds.select_columns([id_col, weight_col]) \
+        .map_batches(add_key, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["__one"], reduce_fn, 1)

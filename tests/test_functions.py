@@ -1583,3 +1583,37 @@ def test_cluster_balanced_sample_flattens_mixture(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values(["cluster", "vec_id"]).reset_index(drop=True),
         out7.sort_values(["cluster", "vec_id"]).reset_index(drop=True))
+
+
+def test_weighted_sample_proportional_and_stable(ray_session):
+    """weighted_sample: heavier rows win more often (statistical check
+    over disjoint salts), selection is invariant under repartitioning,
+    and zero/null weights never get drawn."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import weighted_sample
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    # first half weight 9, second half weight 1 -> ~90% of draws heavy
+    w = np.where(ids < n // 2, 9.0, 1.0)
+    w[0] = 0.0                         # never drawn
+    tbl = pa.table({"k": ids, "w": w})
+    ds = ray.data.from_arrow(tbl)
+
+    heavy = 0
+    for s in ("a", "b", "c", "d"):
+        out = weighted_sample(ds, "k", "w", 100, salt=s).to_pandas()
+        assert len(out) == 100
+        assert 0 not in set(out["k"])
+        heavy += int((out["k"] < n // 2).sum())
+    assert 310 <= heavy <= 390         # E=360, sd~6 per 400 draws
+
+    one = weighted_sample(ds, "k", "w", 50).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    many = weighted_sample(ds.repartition(9), "k", "w", 50).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
