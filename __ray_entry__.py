@@ -410,6 +410,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_orderkey", "o_totalprice"]),
             "o_orderkey", "o_totalprice", 100)
 
+    def pivot_events_type(sf):
+        # crosstab: per-user counts of each event type (explicit pivoted
+        # domain; per-batch crosstab combiner, bucketed sum reduce)
+        from packs_ray.functions.agg import pivot_counts
+
+        return pivot_counts(
+            _ds(sf, "events", ["user_id", "event_type"]),
+            "user_id", "event_type",
+            ["click", "error", "purchase", "signup", "view"])
+
+    def quality_tiers_documents(sf):
+        # boundary-ntile curation tiers: exact quartile thresholds of the
+        # heuristic quality score (one combined rank selection), then a
+        # streaming tier-assignment pass
+        from packs_ray.functions.profiling import ntile_by_value
+        from packs_ray.functions.textstats import quality_scores
+
+        s = quality_scores(_ds(sf, "documents", ["doc_id", "text"]),
+                           "doc_id", "text")
+        return ntile_by_value(s, "quality_score", 4)
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -1061,6 +1082,8 @@ checks for orders:
         "pack_sequences_documents": pack_sequences_documents,
         "pii_luhn_orders": pii_luhn_orders,
         "quality_filter_documents": quality_filter_documents,
+        "pivot_events_type": pivot_events_type,
+        "quality_tiers_documents": quality_tiers_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
@@ -3005,6 +3028,39 @@ def oracle_sql() -> dict[str, str]:
           max(0.5*(n-1)) AS qf, max(floor(0.5*(n-1))) AS lo_i FROM r)
     SELECT doc_id, quality_score FROM s, p
     WHERE quality_score >= vlo + (qf - lo_i) * (vhi - vlo)""",
+        "pivot_events_type": """
+    SELECT user_id,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id""",
+        # ntile_by_value: the 3 exact quartile thresholds replicated with
+        # the same rank-interpolation expression as quality_filter (0.25
+        # multiples are exact in both decimal and binary, so the decimal
+        # qf literal is bit-identical to the engine's float64), tier =
+        # 1 + #{thresholds <= score}
+        "quality_tiers_documents": f"""
+    WITH s AS ({quality}),
+    r AS (SELECT quality_score AS v,
+          row_number() OVER (ORDER BY quality_score) - 1 AS rk,
+          count(*) OVER () AS n FROM s WHERE quality_score IS NOT NULL),
+    p AS (SELECT
+          {", ".join(
+        f"max(CASE WHEN rk = CAST(floor({q}*(n-1)) AS BIGINT) THEN v END)"
+        f" AS vlo_{j}, "
+        f"max(CASE WHEN rk = CAST(ceil({q}*(n-1)) AS BIGINT) THEN v END)"
+        f" AS vhi_{j}, "
+        f"max({q}*(n-1)) AS qf_{j}, max(floor({q}*(n-1))) AS lo_{j}"
+        for j, q in ((1, 0.25), (2, 0.5), (3, 0.75)))}
+          FROM r)
+    SELECT doc_id, quality_score, (1
+        {" ".join(
+        f"+ (CASE WHEN quality_score >= vlo_{j} + (qf_{j} - lo_{j})"
+        f" * (vhi_{j} - vlo_{j}) THEN 1 ELSE 0 END)"
+        for j in (1, 2, 3))})::BIGINT AS tier
+    FROM s, p WHERE quality_score IS NOT NULL""",
         "ann_bruteforce_embeddings": ann,
         "ann_multi_query": """
     SELECT q.query_idx, e.vec_id,

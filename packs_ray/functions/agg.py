@@ -172,6 +172,47 @@ def keyed_count(ds, keys: list[str], *, count_col: str = "cnt",
     return bucketed_group_reduce(parts, keys, reduce_fn, num_partitions)
 
 
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], *,
+                 prefix: str = "n_", num_partitions: int | None = None):
+    """Crosstab: one row per ``key_col``, one count column per entry of
+    ``values`` (the pivoted domain of ``pivot_col``), named
+    ``{prefix}{value}``.
+
+    The pivoted domain is EXPLICIT (schema stability at scale — a
+    discovered domain would make the output schema data-dependent;
+    discover it separately with ``keyed_count`` when needed).  Pivot
+    values outside ``values`` and null keys are dropped, mirroring SQL
+    conditional aggregation over an explicit CASE list.
+
+    Scale shape: per-batch ``pd.crosstab`` combiner (at most
+    |keys-in-batch| rows leave each block), then the bucketed vectorized
+    sum — the raw rows never shuffle."""
+    cols = [f"{prefix}{v}" for v in values]
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, pivot_col])
+        # drop null keys in Arrow BEFORE to_pandas: a null in an int64
+        # key column would otherwise coerce the whole block to float64
+        # and the output dtype would depend on which blocks held nulls
+        batch = batch.filter(batch.column(key_col).is_valid())
+        df = batch.to_pandas()
+        ct = pd.crosstab(df[key_col], df[pivot_col])
+        ct = ct.reindex(columns=values, fill_value=0)
+        ct.columns = cols
+        ct = ct.reset_index().astype({c: "int64" for c in cols})
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, sort=False)[cols].sum().reset_index()
+        return out.astype({c: "int64" for c in cols})
+
+    return bucketed_group_reduce(parts, [key_col], reduce_fn, num_partitions)
+
+
 def rollup_counts(ds, cols: list[str], *, count_col: str = "cnt",
                   num_partitions: int | None = None):
     """SQL ``GROUP BY ROLLUP(cols...)``: counts at every prefix level

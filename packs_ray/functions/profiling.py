@@ -362,13 +362,14 @@ def schema_hashes(ds) -> pd.DataFrame:
     }])
 
 
-def quantile_threshold(ds, column: str, q: float) -> "float | None":
-    """Exact ``quantile_cont(column, q)`` without materializing the
-    column: global (n, min, max) partials, then histogram-refinement
-    rank selection for the two bounding ranks and the np.percentile
-    'linear' interpolation — a fixed float64 expression the SQL oracle
-    replicates term-for-term.  Returns None when the column has no
-    non-null values (the order statistic does not exist)."""
+def quantile_thresholds(ds, column: str,
+                        qs: "list[float]") -> "list[float] | None":
+    """Exact ``quantile_cont(column, q)`` for EVERY q in one pass, no
+    column materialization: one global (n, min, max) scan, then a single
+    histogram-refinement rank selection over the union of bounding ranks
+    and the np.percentile-'linear' interpolation — a fixed float64
+    expression the SQL oracle replicates term-for-term.  Returns None
+    when the column has no non-null values."""
 
     def partial(batch: pa.Table) -> dict:
         v = batch.column(column).drop_null()
@@ -387,11 +388,22 @@ def quantile_threshold(ds, column: str, q: float) -> "float | None":
     n = agg["n"]
     if n == 0:
         return None
-    qf = (n - 1) * q
-    lo_i, hi_i = int(np.floor(qf)), int(np.ceil(qf))
-    rv = _rank_select(ds, column, sorted({lo_i, hi_i}),
-                      agg["mn"], agg["mx"])
-    return float(rv[lo_i] + (qf - lo_i) * (rv[hi_i] - rv[lo_i]))
+    bounds = []
+    ranks: set[int] = set()
+    for q in qs:
+        qf = (n - 1) * q
+        lo_i, hi_i = int(np.floor(qf)), int(np.ceil(qf))
+        bounds.append((qf, lo_i, hi_i))
+        ranks.update((lo_i, hi_i))
+    rv = _rank_select(ds, column, sorted(ranks), agg["mn"], agg["mx"])
+    return [float(rv[lo_i] + (qf - lo_i) * (rv[hi_i] - rv[lo_i]))
+            for qf, lo_i, hi_i in bounds]
+
+
+def quantile_threshold(ds, column: str, q: float) -> "float | None":
+    """Single-q convenience wrapper over ``quantile_thresholds``."""
+    thrs = quantile_thresholds(ds, column, [q])
+    return None if thrs is None else thrs[0]
 
 
 def quantile_filter(ds, column: str, q: float, *, keep: str = "above"):
@@ -417,6 +429,38 @@ def quantile_filter(ds, column: str, q: float, *, keep: str = "above"):
         m = (pc.greater_equal(col, thr) if keep == "above"
              else pc.less_equal(col, thr)).fill_null(False)
         return batch.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ntile_by_value(ds, column: str, n_buckets: int = 10, *,
+                   tier_col: str = "tier"):
+    """Assign every row a 1..n_buckets quality tier by VALUE BOUNDARY:
+    tier = 1 + #{exact j/n_buckets quantiles <= value}.
+
+    This is the scalable ntile — a true rank-ntile needs a global sort,
+    while boundary assignment needs only the n_buckets-1 exact
+    order statistics (one combined histogram-refinement selection) plus
+    one streaming pass.  Rows inside one quantile span share a tier, so
+    unlike SQL NTILE the bucket populations are equal only up to ties at
+    the boundaries; the tie rule (boundary value goes UP a tier) is
+    deterministic and replicated by the oracle term-for-term.  Rows with
+    a null value are dropped (the quantile-gate convention of
+    ``quantile_filter``)."""
+    qs = [j / n_buckets for j in range(1, n_buckets)]
+    thrs = quantile_thresholds(ds, column, qs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        batch = batch.filter(col.is_valid())
+        if thrs is None or batch.num_rows == 0:
+            return batch.slice(0, 0).append_column(
+                tier_col, pa.array([], type=pa.int64()))
+        v = batch.column(column).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tier = 1 + np.searchsorted(np.asarray(thrs), v, side="right")
+        return batch.append_column(
+            tier_col, pa.array(tier.astype(np.int64), type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

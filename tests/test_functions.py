@@ -1617,3 +1617,69 @@ def test_weighted_sample_proportional_and_stable(ray_session):
     many = weighted_sample(ds.repartition(9), "k", "w", 50).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_pivot_counts_domain_and_nulls(ray_session):
+    """pivot_counts: explicit domain (off-domain values dropped), null
+    keys dropped, counts exact and repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import pivot_counts
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 2, 2, 2, None, 3], type=pa.int64()),
+        "v": pa.array(["a", "b", "a", "zz", "a", "a", "b"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = pivot_counts(ds, "k", "v", ["a", "b"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3]          # null key dropped
+    assert list(out["n_a"]) == [1, 2, 0]        # 'zz' counted nowhere
+    assert list(out["n_b"]) == [1, 0, 1]
+    out9 = pivot_counts(ds.repartition(9), "k", "v", ["a", "b"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out9)
+
+
+def test_ntile_by_value_ties_and_nulls(ray_session):
+    """ntile_by_value: boundary values go UP a tier, nulls dropped, a
+    constant column lands everything in the top tier, and assignment is
+    repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import ntile_by_value
+
+    v = np.arange(100, dtype=np.float64)
+    tbl = pa.table({"id": np.arange(100, dtype=np.int64), "x": v})
+    ds = ray.data.from_arrow(tbl)
+    out = ntile_by_value(ds, "x", 4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # exact quartiles of 0..99 are 24.75/49.5/74.25; tier populations
+    # are the searchsorted counts
+    assert out["tier"].min() == 1 and out["tier"].max() == 4
+    assert list(out.groupby("tier").size()) == [25, 25, 25, 25]
+    # ties at the boundary: v == threshold goes up
+    t2 = out.loc[out["id"] == 50, "tier"].iloc[0]
+    assert t2 == 3                               # 50 >= 49.5
+
+    # nulls dropped
+    tbl2 = pa.table({"id": pa.array([0, 1, 2], type=pa.int64()),
+                     "x": pa.array([1.0, None, 2.0])})
+    out2 = ntile_by_value(ray.data.from_arrow(tbl2), "x", 2).to_pandas()
+    assert sorted(out2["id"]) == [0, 2]
+
+    # constant column: every threshold equals the value -> top tier
+    tbl3 = pa.table({"id": pa.array([0, 1], type=pa.int64()),
+                     "x": pa.array([5.0, 5.0])})
+    out3 = ntile_by_value(ray.data.from_arrow(tbl3), "x", 4).to_pandas()
+    assert set(out3["tier"]) == {4}
+
+    out9 = ntile_by_value(ds.repartition(9), "x", 4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out9)
