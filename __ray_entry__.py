@@ -431,6 +431,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "doc_id", "text")
         return ntile_by_value(s, "quality_score", 4)
 
+    def dedup_snapshot_documents(sf):
+        # incremental-crawl dedup: odd doc_ids are the "new crawl", even
+        # the prior snapshot; content key = 20-char text prefix (stand-in
+        # normalized fingerprint so the fixture has real cross-side hits)
+        import pyarrow as pa
+
+        from packs_ray.functions.duplicates import dedup_against
+
+        def side(parity):
+            def fn(batch):
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                t = batch.filter(pa.array(ids % 2 == parity))
+                key = t.column("text").to_pandas().str.slice(0, 20)
+                return pa.table({"doc_id": t.column("doc_id"),
+                                 "key": pa.array(key, type=pa.string())})
+            return fn
+
+        new = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            side(1), batch_format="pyarrow")
+        snap = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            side(0), batch_format="pyarrow")
+        return dedup_against(new, snap, ["key"], "doc_id")
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -1083,6 +1106,7 @@ checks for orders:
         "pii_luhn_orders": pii_luhn_orders,
         "quality_filter_documents": quality_filter_documents,
         "pivot_events_type": pivot_events_type,
+        "dedup_snapshot_documents": dedup_snapshot_documents,
         "quality_tiers_documents": quality_tiers_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
@@ -3028,6 +3052,12 @@ def oracle_sql() -> dict[str, str]:
           max(0.5*(n-1)) AS qf, max(floor(0.5*(n-1))) AS lo_i FROM r)
     SELECT doc_id, quality_score FROM s, p
     WHERE quality_score >= vlo + (qf - lo_i) * (vhi - vlo)""",
+        "dedup_snapshot_documents": """
+    SELECT a.doc_id FROM documents a
+    WHERE a.doc_id % 2 = 1 AND NOT EXISTS (
+        SELECT 1 FROM documents b
+        WHERE b.doc_id % 2 = 0
+          AND substr(b.text, 1, 20) = substr(a.text, 1, 20))""",
         "pivot_events_type": """
     SELECT user_id,
         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

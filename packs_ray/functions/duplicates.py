@@ -81,6 +81,70 @@ def duplicate_rows(ds, key_cols: list[str], export_cap: int = 10_000):
     return ds.map_batches(filter_rows, batch_format="pyarrow").limit(export_cap)
 
 
+def dedup_against(ds, snapshot_ds, key_cols: list[str], id_col: str,
+                  num_partitions: int | None = None):
+    """Incremental-crawl dedup: ids of ``ds`` rows whose ``key_cols``
+    content does NOT appear in ``snapshot_ds`` (anti-join on content —
+    the "new crawl vs. last snapshot" step; internal duplicates within
+    ``ds`` are kept, compose with ``dedup_exact`` for those).
+
+    Scale design: both sides reduce to the same 128-bit dual hash as
+    ``dedup_exact`` inside ``map_batches`` — only narrow
+    (id, h1, h2) rows ride the ONE co-partitioned shuffle, never the
+    text.  The snapshot side is locally deduped per batch (combiner)
+    before the exchange.  Both sides must carry ``id_col`` (snapshot ids
+    are exchanged but unused) so no column is ever null and integer id
+    dtypes survive the pandas bucket reduce intact."""
+    import numpy as np
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = max(reduce_partition_count(ds),
+                             reduce_partition_count(snapshot_ds))
+
+    def _hash128(df: pd.DataFrame):
+        h1 = np.zeros(len(df), dtype=np.uint64)
+        h2 = np.zeros(len(df), dtype=np.uint64)
+        for c in key_cols:
+            vals = df[c].to_numpy()
+            h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+                vals, hash_key="0123456789123456")
+            h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+                vals, hash_key="6543216543210987")
+        return h1, h2
+
+    def mk_partial(side: int, local_dedup: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.select([id_col] + key_cols).to_pandas()
+            h1, h2 = _hash128(df)
+            out = pd.DataFrame({
+                id_col: df[id_col],
+                "__h1": h1.view(np.int64), "__h2": h2.view(np.int64),
+                "__p": (h1 % np.uint64(num_partitions)).astype(np.int64),
+                "__side": np.full(len(df), side, dtype=np.int8)})
+            if local_dedup:
+                out = out.drop_duplicates(["__h1", "__h2"])
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return partial
+
+    new_marks = ds.map_batches(mk_partial(0, False), batch_format="pyarrow")
+    snap_marks = snapshot_ds.map_batches(mk_partial(1, True),
+                                         batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["__side"] == 0]
+        snap = g[g["__side"] == 1]
+        if not snap.empty:
+            mi_new = pd.MultiIndex.from_arrays([new["__h1"], new["__h2"]])
+            mi_snap = pd.MultiIndex.from_arrays([snap["__h1"], snap["__h2"]])
+            new = new[~mi_new.isin(mi_snap)]
+        return new[[id_col]]
+
+    return (new_marks.union(snap_marks).groupby("__p")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def dedup_exact(ds, key_cols: list[str], order_col: str,
                 num_partitions: int | None = None):
     """Exact dedup: keep the row with min(order_col) per key group.

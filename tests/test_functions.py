@@ -1683,3 +1683,34 @@ def test_ntile_by_value_ties_and_nulls(ray_session):
     out9 = ntile_by_value(ds.repartition(9), "x", 4).to_pandas() \
         .sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out9)
+
+
+def test_dedup_against_snapshot(ray_session):
+    """dedup_against: cross-side content hits dropped, internal new-side
+    dups kept, int64 ids survive the bucket reduce, repartition-stable."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.duplicates import dedup_against
+
+    new = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "t": ["dup-a", "fresh-1", "fresh-1", "dup-b"]}))
+    snap = ray.data.from_arrow(pa.table({
+        "id": pa.array([100, 101], type=pa.int64()),
+        "t": ["dup-a", "dup-b"]}))
+    out = dedup_against(new, snap, ["t"], "id").to_pandas()
+    assert sorted(out["id"]) == [2, 3]      # internal dup kept twice
+    assert out["id"].dtype == "int64"
+
+    out9 = dedup_against(new.repartition(5), snap.repartition(3),
+                         ["t"], "id").to_pandas()
+    assert sorted(out9["id"]) == [2, 3]
+
+    # empty snapshot: everything is new
+    empty = ray.data.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "t": pa.array([], type=pa.string())}))
+    out0 = dedup_against(new, empty, ["t"], "id").to_pandas()
+    assert sorted(out0["id"]) == [1, 2, 3, 4]
