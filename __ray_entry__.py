@@ -454,6 +454,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             side(0), batch_format="pyarrow")
         return dedup_against(new, snap, ["key"], "doc_id")
 
+    def dedup_lines_documents(sf):
+        # C4-style corpus line dedup over a deterministic 3-line fixture
+        # (shared headers/footers + 40-char body prefix => real cross-doc
+        # duplicate lines the oracle reproduces exactly)
+        import pyarrow as pa
+
+        from packs_ray.functions.webquality import dedup_lines
+
+        def mk(batch):
+            df = batch.to_pandas()
+            txt = ("shared header " + (df["doc_id"] % 5).astype(str)
+                   + "\n" + df["text"].str.slice(0, 40)
+                   + "\n" + "footer " + (df["doc_id"] % 7).astype(str))
+            return pa.table({"doc_id": pa.array(df["doc_id"],
+                                                type=pa.int64()),
+                             "text": pa.array(txt, type=pa.string())})
+
+        fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            mk, batch_format="pyarrow")
+        return dedup_lines(fixture, "doc_id", "text")
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -1107,6 +1128,7 @@ checks for orders:
         "quality_filter_documents": quality_filter_documents,
         "pivot_events_type": pivot_events_type,
         "dedup_snapshot_documents": dedup_snapshot_documents,
+        "dedup_lines_documents": dedup_lines_documents,
         "quality_tiers_documents": quality_tiers_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
@@ -3058,6 +3080,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1 FROM documents b
         WHERE b.doc_id % 2 = 0
           AND substr(b.text, 1, 20) = substr(a.text, 1, 20))""",
+        "dedup_lines_documents": """
+    WITH src AS (SELECT doc_id,
+        'shared header ' || (doc_id % 5) || chr(10)
+        || substr(text, 1, 40) || chr(10)
+        || 'footer ' || (doc_id % 7) AS text FROM documents),
+    l AS (SELECT doc_id, generate_subscripts(parts, 1) AS i,
+                 unnest(parts) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                FROM src)),
+    w AS (SELECT doc_id, i, line,
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+          FROM l)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+    FROM w WHERE rn = 1 GROUP BY doc_id""",
         "pivot_events_type": """
     SELECT user_id,
         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

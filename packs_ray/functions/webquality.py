@@ -297,3 +297,98 @@ def decontaminate(ds, id_col: str, text_col: str, bench_texts: list[str],
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_lines(ds, id_col: str, text_col: str, *, sep: str = "\n",
+                num_partitions: int | None = None):
+    """C4-style corpus-level line dedup (Raffel et al. 2020 §2.2):
+    every distinct line survives only at its first occurrence — the
+    minimal ``(doc, line_idx)`` lexicographically — and documents are
+    rebuilt from their surviving lines.  Docs that lose every line
+    disappear (SQL GROUP BY semantics, mirrored by the oracle).
+
+    Scale shape (the dedup_spans layout): the winner election shuffles
+    only ~24 B/line marks ``(h1, h2, doc, idx)`` bucketed by line hash;
+    the line TEXT shuffles once, co-partitioned with the winner marks by
+    doc hash for the rebuild.  All lines participate, empties included.
+
+    Returns a lazy Dataset of ``(id_col, text_col)``."""
+    if num_partitions is None:
+        num_partitions = max(2, reduce_partition_count(ds))
+
+    def explode(batch: pa.Table, with_text: bool) -> pd.DataFrame:
+        df = batch.select([id_col, text_col]).to_pandas()
+        lines = df[text_col].str.split(sep)
+        n = lines.str.len().to_numpy()
+        doc = np.repeat(df[id_col].to_numpy(), n)
+        idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n]) \
+            if len(n) else np.array([], dtype=np.int64)
+        line = np.concatenate([np.asarray(v, dtype=object) for v in lines]) \
+            if len(n) else np.array([], dtype=object)
+        out = pd.DataFrame({id_col: doc, "__idx": idx})
+        h1 = pd.util.hash_array(line, hash_key="0123456789123456")
+        h2 = pd.util.hash_array(line, hash_key="6543216543210987")
+        out["__h1"] = h1.view(np.int64)
+        out["__h2"] = h2.view(np.int64)
+        if with_text:
+            out["__line"] = line
+        return out
+
+    # pass 1: winner election — marks only, bucketed by line hash
+    def marks(batch: pa.Table) -> pa.Table:
+        out = explode(batch, with_text=False)
+        # local combiner: one candidate (min doc, idx) per line per batch
+        out = (out.sort_values([id_col, "__idx"], kind="stable")
+               .drop_duplicates(["__h1", "__h2"]))
+        out["__p"] = (out["__h1"].to_numpy().view(np.uint64)
+                      % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([id_col, "__idx"], kind="stable")
+             .drop_duplicates(["__h1", "__h2"]))
+        return g[[id_col, "__idx"]]
+
+    winners = ds.map_batches(marks, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda g: elect(g.drop(columns="__p")), batch_format="pandas")
+
+    # pass 2: rebuild — text rows co-partitioned with winner marks by doc
+    def doc_bucket(df: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_array(df[id_col].to_numpy())
+        return (h % np.uint64(num_partitions)).astype(np.int64)
+
+    def text_side(batch: pa.Table) -> pa.Table:
+        out = explode(batch, with_text=True)
+        out = out.drop(columns=["__h1", "__h2"])
+        out["__side"] = np.int8(0)
+        out["__p"] = doc_bucket(out)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def mark_side(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame({id_col: df[id_col], "__idx": df["__idx"]})
+        out["__line"] = ""
+        out["__side"] = np.int8(1)
+        out["__p"] = doc_bucket(out)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["__side"] == 1][[id_col, "__idx"]]
+        text = g[g["__side"] == 0]
+        mi_t = pd.MultiIndex.from_arrays([text[id_col], text["__idx"]])
+        mi_k = pd.MultiIndex.from_arrays([keep[id_col], keep["__idx"]])
+        kept = text[mi_t.isin(mi_k)]
+        if kept.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
+                                 text_col: pd.Series([], dtype=object)})
+        kept = kept.sort_values([id_col, "__idx"], kind="stable")
+        out = (kept.groupby(id_col, sort=False)["__line"]
+               .agg(sep.join).reset_index())
+        return out.rename(columns={"__line": text_col})
+
+    texts = ds.map_batches(text_side, batch_format="pyarrow")
+    marks_ds = winners.map_batches(mark_side, batch_format="pyarrow")
+    return (texts.union(marks_ds).groupby("__p")
+            .map_groups(lambda g: rebuild(g.drop(columns="__p")),
+                        batch_format="pandas"))

@@ -174,3 +174,41 @@ def test_drop_boilerplate_broadcast_cap_surfaced(ray_session, capsys):
     assert "exceeds max_broadcast" in capsys.readouterr().out
     # 3 of the 8 texts filtered -> 25 rows survive out of 40
     assert len(kept) == 25
+
+
+def test_dedup_lines_first_occurrence_and_rebuild(ray_session):
+    """dedup_lines: a repeated line survives only at its minimal
+    (doc, idx); docs rebuilt in line order; a doc losing every line
+    disappears; empty lines participate; repartition-stable."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.webquality import dedup_lines
+
+    docs = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "t": ["keep-a\nshared\nkeep-b",
+              "shared\nonly-2",
+              "shared"],          # doc 3 loses its only line
+    })
+    out = dedup_lines(ray.data.from_arrow(docs), "id", "t").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == [1, 2]
+    assert out.loc[0, "t"] == "keep-a\nshared\nkeep-b"
+    assert out.loc[1, "t"] == "only-2"
+
+    # empty lines dedup too: the first '' wins, later ones vanish
+    docs2 = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "t": ["a\n\nb", "c\n\nd"],
+    })
+    out2 = dedup_lines(ray.data.from_arrow(docs2), "id", "t").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out2.loc[0, "t"] == "a\n\nb"
+    assert out2.loc[1, "t"] == "c\nd"
+
+    out9 = dedup_lines(ray.data.from_arrow(docs).repartition(5),
+                       "id", "t").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out9)
