@@ -475,6 +475,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return dedup_lines(fixture, "doc_id", "text")
 
+    def semantic_dedup_embeddings(sf):
+        # SemDeDup: k-means topic clusters, then leader cosine dedup
+        # within each cluster (tau picked where the corpus has a real
+        # drop set and a wide float margin at the boundary)
+        from packs_ray.functions.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", tau=0.3, n_clusters=8)
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -1133,6 +1143,7 @@ checks for orders:
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "weighted_sample_orders": weighted_sample_orders,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
@@ -2655,6 +2666,46 @@ def _cluster_balance_sql(n_clusters: int = 8, n: int = 10,
         ORDER BY h // 2, vec_id) <= {n}"""
 
 
+def _semantic_dedup_sql(n_clusters: int, tau: float) -> str:
+    """similarity.semantic_dedup replica: same inlined-centroid
+    assignment as _cluster_balance_sql, then NOT EXISTS leader dedup —
+    a row is dropped iff ANY smaller-id row of its cluster has cosine
+    >= tau (the leader set includes dropped rows, so the SQL needs no
+    recursion)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions.similarity import _batch_matrix, _lloyd
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    cent = _lloyd(_batch_matrix(t.slice(0, 2048), "embedding"),
+                  n_clusters, 42)
+    cent_vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for i, row in enumerate(cent))
+    return f"""
+    WITH cent(cidx, cv) AS (VALUES {cent_vals}),
+    d AS (SELECT e.vec_id, c.cidx,
+            list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+          FROM embeddings e CROSS JOIN cent c
+          WHERE e.embedding IS NOT NULL),
+    assigned AS (SELECT vec_id, cidx::BIGINT AS cluster FROM d
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cidx) = 1)
+    SELECT a.vec_id, a.cluster FROM assigned a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM assigned b
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+          AND list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]) >= {tau})"""
+
+
 def _perplexity_corpus_sql() -> str:
     """Exact replica of lm.corpus_perplexity: within-row byte bigrams
     (hi*256+lo), exact corpus counts, add-one smoothing per hi row
@@ -3222,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_documents": _dsir_sql(16, 25),
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
         "weighted_sample_orders": _weighted_sample_sql(
             "orders", "o_orderkey", "o_totalprice", 100),
         "shard_assign_orders": _shard_assign_sql(

@@ -310,3 +310,72 @@ def cluster_balanced_sample(ds, id_col: str, emb_col: str, *,
                               sample_rows, seed)
     return stratified_sample(assigned, "cluster", id_col, n_per_cluster,
                              salt=salt)
+
+
+def semantic_dedup(ds, id_col: str, emb_col: str, *, tau: float,
+                   n_clusters: int = 16, sample_rows: int = 2048,
+                   seed: int = 42, group_cap: int = 100_000,
+                   centroids: np.ndarray | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings, then within each cluster drop every row that has a
+    SMALLER-id row with cosine similarity >= ``tau`` (leader dedup; the
+    leader set includes already-dropped rows, so the rule is
+    order-independent and exactly SQL-replicable as NOT EXISTS).
+
+    Scale shape: clustering bounds the pairwise work — embeddings ride
+    ONE shuffle co-partitioned by cluster, and each cluster runs a
+    blockwise normalized matmul (never materializing more than
+    block x cluster floats).  Clusters above ``group_cap`` rows skip the
+    quadratic pass and keep all rows, loudly (the capped-group
+    convention of minhash verify).  Null embeddings are excluded.
+
+    Returns a lazy Dataset of survivors (id_col, cluster)."""
+    cent = (centroids if centroids is not None
+            else _fit_centroids(ds, emb_col, n_clusters, sample_rows, seed))
+    if cent.size == 0:
+        return ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table({id_col: b.column(id_col),
+                                "cluster": pa.nulls(len(b), pa.int64())})
+            .slice(0, 0), batch_format="pyarrow")
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        centv = ray.get(cref)
+        batch = batch.filter(pc.is_valid(batch.column(emb_col)))
+        m = _fit_dim(_batch_matrix(batch, emb_col), centv.shape[1])
+        d = _sq_dist_seq(m, centv)
+        return pa.table({id_col: batch.column(id_col),
+                         emb_col: batch.column(emb_col),
+                         "cluster": pa.array(d.argmin(1).astype(np.int64))})
+
+    withc = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n > group_cap:
+            print(f"semantic_dedup: cluster of {n} rows exceeds "
+                  f"group_cap={group_cap}; quadratic pass skipped, "
+                  "all rows kept")
+            return g[[id_col, "cluster"]]
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        g = g.iloc[order]
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[emb_col]])
+        norm = np.linalg.norm(M, axis=1)
+        norm[norm == 0] = 1.0
+        M = M / norm[:, None]
+        keep = np.ones(n, dtype=bool)
+        B = 1024
+        rows = np.arange(n)
+        for j0 in range(0, n, B):
+            j1 = min(j0 + B, n)
+            S = M[:j1] @ M[j0:j1].T                    # (j1, block)
+            earlier = rows[:j1, None] < np.arange(j0, j1)[None, :]
+            keep[j0:j1] = ~((S >= tau) & earlier).any(axis=0)
+        return g.loc[keep, [id_col, "cluster"]]
+
+    return withc.groupby("cluster").map_groups(per_cluster,
+                                               batch_format="pandas")

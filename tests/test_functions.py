@@ -1714,3 +1714,48 @@ def test_dedup_against_snapshot(ray_session):
         "t": pa.array([], type=pa.string())}))
     out0 = dedup_against(new, empty, ["t"], "id").to_pandas()
     assert sorted(out0["id"]) == [1, 2, 3, 4]
+
+
+def test_semantic_dedup_leader_rule(ray_session):
+    """semantic_dedup: within a cluster the smallest id of each
+    cosine-tau group survives, the leader set includes dropped rows,
+    nulls are excluded, oversize clusters skip the quadratic pass."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.similarity import semantic_dedup
+
+    # two well-separated directions; ids 0,1,2 ~ +x (dups), 10 ~ +y
+    vecs = [[1.0, 0.0], [0.99, 0.14], [0.98, 0.2], [0.0, 1.0], None]
+    ids = [0, 1, 2, 10, 99]
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]], dtype=np.float64)
+    tbl = pa.table({"id": pa.array(ids, type=pa.int64()),
+                    "v": pa.array(vecs, type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    out = semantic_dedup(ds, "id", "v", tau=0.95, centroids=cent) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # 0 survives; 1,2 within tau of 0 -> dropped; 10 other cluster; 99 null
+    assert list(out["id"]) == [0, 10]
+
+    # chain case: cos(0,1)>=tau, cos(1,2)>=tau but cos(0,2)<tau ->
+    # 2 still dropped because dropped row 1 stays a leader
+    v2 = [[1.0, 0.0], [0.9239, 0.3827], [0.7071, 0.7071]]  # 0/22.5/45 deg
+    t2 = pa.table({"id": pa.array([0, 1, 2], type=pa.int64()),
+                   "v": pa.array(v2, type=pa.list_(pa.float32()))})
+    out2 = semantic_dedup(ray.data.from_arrow(t2), "id", "v",
+                          tau=0.92, centroids=np.array([[1.0, 0.0]])) \
+        .to_pandas()
+    assert list(sorted(out2["id"])) == [0]
+
+    # group_cap: oversize cluster keeps everything
+    out3 = semantic_dedup(ray.data.from_arrow(t2), "id", "v",
+                          tau=0.92, centroids=np.array([[1.0, 0.0]]),
+                          group_cap=2).to_pandas()
+    assert sorted(out3["id"]) == [0, 1, 2]
+
+    out9 = semantic_dedup(ds.repartition(4), "id", "v", tau=0.95,
+                          centroids=cent).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out9)
