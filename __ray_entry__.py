@@ -485,6 +485,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]),
             "vec_id", "embedding", tau=0.3, n_clusters=8)
 
+    def budget_mixture_documents(sf):
+        # token-budget mixture: per-source character budgets filled in
+        # deterministic hash order (budget formula is replicated in the
+        # oracle from the source name)
+        from packs_ray.functions.sampling import budget_sample
+
+        budgets = {f"src{i}": 2000 + 1000 * (i % 4) for i in range(20)}
+        return budget_sample(
+            _ds(sf, "documents", ["doc_id", "source", "n_chars"]),
+            "doc_id", "source", "n_chars", budgets, salt="mix")
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -1144,6 +1155,7 @@ checks for orders:
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "budget_mixture_documents": budget_mixture_documents,
         "weighted_sample_orders": weighted_sample_orders,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
@@ -2666,6 +2678,24 @@ def _cluster_balance_sql(n_clusters: int = 8, n: int = 10,
         ORDER BY h // 2, vec_id) <= {n}"""
 
 
+def _budget_mixture_sql() -> str:
+    """sampling.budget_sample replica: _idhash_cte hv ordering, windowed
+    running sum per source, keep while the total BEFORE the row is
+    under the per-source budget (2000 + 1000 * (src index % 4))."""
+    chain = _idhash_cte("documents", "doc_id", "mix",
+                        extra_select=", source, n_chars",
+                        extra_cols=("source", "n_chars"))
+    return f"""
+    WITH {chain},
+    o AS (SELECT doc_id, source, n_chars, h // 2 AS hv FROM f2),
+    c AS (SELECT doc_id, source, n_chars,
+          sum(n_chars) OVER (PARTITION BY source ORDER BY hv, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM o)
+    SELECT doc_id, source, n_chars FROM c
+    WHERE cum - n_chars <
+          2000 + 1000 * (CAST(substr(source, 4) AS INT) % 4)"""
+
+
 def _semantic_dedup_sql(n_clusters: int, tau: float) -> str:
     """similarity.semantic_dedup replica: same inlined-centroid
     assignment as _cluster_balance_sql, then NOT EXISTS leader dedup —
@@ -3274,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
+        "budget_mixture_documents": _budget_mixture_sql(),
         "weighted_sample_orders": _weighted_sample_sql(
             "orders", "o_orderkey", "o_totalprice", 100),
         "shard_assign_orders": _shard_assign_sql(

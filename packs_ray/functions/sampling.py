@@ -199,3 +199,50 @@ def weighted_sample(ds, id_col: str, weight_col: str, n: int, *,
     parts = ds.select_columns([id_col, weight_col]) \
         .map_batches(add_key, batch_format="pyarrow")
     return bucketed_group_reduce(parts, ["__one"], reduce_fn, 1)
+
+
+def budget_sample(ds, id_col: str, source_col: str, tokens_col: str,
+                  budgets: "dict[str, int]", *, salt: str = ""):
+    """Token-budget mixture construction (the LLaMA/DoReMi "fill each
+    source's token budget" step): within each source, rows are ordered
+    by finalized ``hash(id, salt)`` (ties by id — the deterministic
+    shuffle order of ``assign_shards``) and kept while the running token
+    total BEFORE the row is under the source's budget, so every source
+    overshoots by at most one document.  Sources absent from
+    ``budgets`` (and null ids) are dropped.
+
+    Scale shape: rows are pre-filtered to budgeted sources, then only
+    (id, source, tokens, hv) marks ride ONE shuffle that lands each
+    source in a single bucket (the sessionize partitioning contract —
+    a mixture spec has few sources by construction); the budget scan is
+    a single vectorized int64 cumsum per bucket, exact by integer
+    associativity.  Returns a lazy Dataset of
+    (id_col, source_col, tokens_col) survivors."""
+    import pandas as pd
+
+    sc = _salt_constant(salt)
+    allowed = set(budgets)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([id_col, source_col, tokens_col])
+        keep = pc.is_in(batch.column(source_col),
+                        value_set=pa.array(sorted(allowed), pa.string()))
+        batch = batch.filter(pc.fill_null(keep, False))
+        h, valid = _fnv1a_str(batch.column(id_col))
+        hv = (_finalize(h * sc) >> np.uint64(1)).astype(np.int64)
+        return batch.append_column("__hv", pa.array(hv)) \
+            .filter(pa.array(valid))
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__hv", id_col], kind="stable")
+        tok = g[tokens_col].to_numpy(dtype=np.int64)
+        cum = np.cumsum(tok)
+        budget = np.int64(budgets[g[source_col].iloc[0]])
+        return g.loc[(cum - tok) < budget,
+                     [id_col, source_col, tokens_col]]
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby(source_col)
+            .map_groups(per_source, batch_format="pandas"))

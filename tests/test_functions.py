@@ -1759,3 +1759,36 @@ def test_semantic_dedup_leader_rule(ray_session):
                           centroids=cent).to_pandas() \
         .sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out9)
+
+
+def test_budget_sample_fills_per_source(ray_session):
+    """budget_sample: each source's kept token total reaches its budget
+    with at most one overshooting doc; unbudgeted sources drop; order
+    is the deterministic hash order (repartition-stable)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import budget_sample
+
+    n = 300
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), type=pa.int64()),
+        "src": pa.array(["a" if i % 3 else "b" for i in range(n)]),
+        "tok": pa.array(np.full(n, 10), type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = budget_sample(ds, "id", "src", "tok", {"a": 95}).to_pandas()
+    assert set(out["src"]) == {"a"}          # 'b' unbudgeted
+    total = out["tok"].sum()
+    assert 95 <= total < 95 + 10             # fills budget, <=1 doc over
+    out9 = budget_sample(ds.repartition(7), "id", "src", "tok",
+                         {"a": 95}).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("id").reset_index(drop=True),
+        out9.sort_values("id").reset_index(drop=True))
+
+    # budget smaller than any doc still takes the first doc
+    out1 = budget_sample(ds, "id", "src", "tok", {"b": 1}).to_pandas()
+    assert len(out1) == 1 and out1["src"].iloc[0] == "b"
