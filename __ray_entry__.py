@@ -485,6 +485,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]),
             "vec_id", "embedding", tau=0.3, n_clusters=8)
 
+    def gopher_filter_documents(sf):
+        # Gopher rule bundle (word bounds, mean word length, symbol /
+        # bullet / ellipsis ratios, alpha-word fraction, stopword floor)
+        from packs_ray.functions.webquality import gopher_flags
+
+        return gopher_flags(_ds(sf, "documents", ["doc_id", "text"]),
+                            "doc_id", "text", min_words=20)
+
     def budget_mixture_documents(sf):
         # token-budget mixture: per-source character budgets filled in
         # deterministic hash order (budget formula is replicated in the
@@ -1156,6 +1164,7 @@ checks for orders:
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
+        "gopher_filter_documents": gopher_filter_documents,
         "weighted_sample_orders": weighted_sample_orders,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
@@ -3305,6 +3314,40 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
         "budget_mixture_documents": _budget_mixture_sql(),
+        # gopher_flags: same RE2 patterns (DuckDB and pyarrow both run
+        # RE2), ratios rounded 4dp BEFORE thresholding on both sides
+        "gopher_filter_documents": f"""
+    WITH f AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    m AS (SELECT doc_id,
+        length(regexp_extract_all(t, '\\S+'))::DOUBLE AS n_words,
+        length(regexp_extract_all(t, '\\S'))::DOUBLE AS n_wchars,
+        length(regexp_extract_all(t, '[#…]'))::DOUBLE AS n_sym,
+        length(regexp_extract_all(t, '\\S*[A-Za-z]\\S*'))::DOUBLE
+            AS n_alpha,
+        length(regexp_extract_all(t, '{stop_re}'))::DOUBLE AS n_stop,
+        (length(t) - length(replace(t, chr(10), '')) + 1)::DOUBLE
+            AS n_lines,
+        length(regexp_extract_all(t, '(?m)^[ \t]*[-*•]'))::DOUBLE
+            AS n_bullet,
+        length(regexp_extract_all(t, '(?m)(?:\\.\\.\\.|…)[ \t]*$'))::DOUBLE
+            AS n_ellip
+        FROM f),
+    r AS (SELECT doc_id, n_words, n_stop,
+        round(n_wchars / greatest(n_words, 1), 4) AS mean_word_len,
+        round(n_sym / greatest(n_words, 1), 4) AS symbol_ratio,
+        round(n_bullet / n_lines, 4) AS bullet_frac,
+        round(n_ellip / n_lines, 4) AS ellipsis_frac,
+        round(n_alpha / greatest(n_words, 1), 4) AS alpha_frac
+        FROM m)
+    SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len,
+        symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+        n_stop::BIGINT AS n_stopwords,
+        (CASE WHEN n_words >= 20 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+              AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+              AND n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep_gopher
+    FROM r""",
         "weighted_sample_orders": _weighted_sample_sql(
             "orders", "o_orderkey", "o_totalprice", 100),
         "shard_assign_orders": _shard_assign_sql(

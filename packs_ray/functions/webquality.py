@@ -392,3 +392,79 @@ def dedup_lines(ds, id_col: str, text_col: str, *, sep: str = "\n",
     return (texts.union(marks_ds).groupby("__p")
             .map_groups(lambda g: rebuild(g.drop(columns="__p")),
                         batch_format="pandas"))
+
+
+def gopher_flags(ds, id_col: str, text_col: str, *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 2):
+    """Gopher quality-rule bundle (Rae et al. 2021 App. A1.1, adapted):
+    per-document metrics + a combined keep verdict from the published
+    thresholds — word-count bounds, mean word length, #/… symbol-to-word
+    ratio, bullet-start and ellipsis-end line fractions, fraction of
+    words containing a letter, and a stopword floor (occurrences of the
+    shared STOPWORDS bank rather than Gopher's distinct-count — the
+    SQL-exact adaptation).
+
+    One streaming pass, every counter an RE2 kernel
+    (``pc.count_substring_regex`` — the same regex engine DuckDB calls,
+    so the oracle is replicable pattern-for-pattern).  Ratios are
+    rounded half-away to 4dp BEFORE thresholding on both sides, so a
+    boundary document cannot flip on float formatting.  Null text
+    counts as empty."""
+    from packs_ray.functions.textstats import STOPWORDS
+    from packs_ray.stages.util import round_half_away as _r4
+
+    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, text_col)
+
+        def cnt(pattern):
+            return pc.count_substring_regex(text, pattern).fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+
+        n_words = cnt(r"\S+")
+        n_wchars = cnt(r"\S")
+        n_sym = cnt(r"[#…]")
+        n_alpha_w = cnt(r"\S*[A-Za-z]\S*")
+        n_stop = cnt(stop_re)
+        n_lines = pc.add(pc.count_substring(text, "\n").fill_null(0),
+                         1).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_bullet = cnt(r"(?m)^[ \t]*[-*•]")
+        n_ellip = cnt(r"(?m)(?:\.\.\.|…)[ \t]*$")
+
+        wdiv = np.maximum(n_words, 1.0)
+        mean_wl = _r4(n_wchars / wdiv, 4)
+        sym_ratio = _r4(n_sym / wdiv, 4)
+        bullet_frac = _r4(n_bullet / n_lines, 4)
+        ellip_frac = _r4(n_ellip / n_lines, 4)
+        alpha_frac = _r4(n_alpha_w / wdiv, 4)
+
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (mean_wl >= min_mean_word_len)
+                & (mean_wl <= max_mean_word_len)
+                & (sym_ratio <= max_symbol_ratio)
+                & (bullet_frac <= max_bullet_frac)
+                & (ellip_frac <= max_ellipsis_frac)
+                & (alpha_frac >= min_alpha_frac)
+                & (n_stop >= min_stopwords))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "mean_word_len": pa.array(mean_wl, type=pa.float64()),
+            "symbol_ratio": pa.array(sym_ratio, type=pa.float64()),
+            "bullet_frac": pa.array(bullet_frac, type=pa.float64()),
+            "ellipsis_frac": pa.array(ellip_frac, type=pa.float64()),
+            "alpha_frac": pa.array(alpha_frac, type=pa.float64()),
+            "n_stopwords": pa.array(n_stop.astype(np.int64)),
+            "keep_gopher": pa.array(keep.astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -212,3 +212,41 @@ def test_dedup_lines_first_occurrence_and_rebuild(ray_session):
                        "id", "t").to_pandas() \
         .sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out9)
+
+
+def test_gopher_flags_rules(ray_session):
+    """gopher_flags: each rule trips on a crafted document; bullet and
+    ellipsis line fractions count real lines; nulls count as empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.webquality import gopher_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs to the old mill where it sleeps in the warm sun all "
+            "day long before the moon rises over the quiet hills")
+    docs = pa.table({
+        "id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "t": [
+            good,                                   # passes everything
+            "short text only here",                 # too few words
+            "# ## " * 30 + good,                    # symbol ratio high
+            "- a\n- b\n- c\n- d",                   # all bullet lines
+            None,                                   # null -> empty
+        ],
+    })
+    out = gopher_flags(ray.data.from_arrow(docs), "id", "t",
+                       min_words=20).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out.loc[0, "keep_gopher"] == 1
+    assert out.loc[1, "keep_gopher"] == 0 and out.loc[1, "n_words"] == 4
+    assert out.loc[2, "keep_gopher"] == 0
+    assert out.loc[2, "symbol_ratio"] > 0.1
+    assert out.loc[3, "bullet_frac"] == 1.0
+    assert out.loc[4, "n_words"] == 0 and out.loc[4, "keep_gopher"] == 0
+
+    # ellipsis line-end fraction
+    e = pa.table({"id": pa.array([0], type=pa.int64()),
+                  "t": ["first line...\nsecond line\nthird…"]})
+    oe = gopher_flags(ray.data.from_arrow(e), "id", "t").to_pandas()
+    assert abs(oe.loc[0, "ellipsis_frac"] - 0.6667) < 1e-9
