@@ -410,6 +410,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_orderkey", "o_totalprice"]),
             "o_orderkey", "o_totalprice", 100)
 
+    def uniform_sample_orders(sf):
+        # exact-n uniform draw: 100 orders with the smallest finalized
+        # hash(id) — reproducible replacement for positional head()
+        from packs_ray.functions.sampling import uniform_sample_n
+
+        return uniform_sample_n(
+            _ds(sf, "orders", ["o_orderkey"]), "o_orderkey", 100,
+            salt="uni")
+
+    def winsorize_lineitem(sf):
+        # outlier treatment: clip l_extendedprice into its exact global
+        # [p5, p95] band (two threshold scans + one stateless clip pass)
+        from packs_ray.functions.profiling import winsorize
+
+        return winsorize(
+            _ds(sf, "lineitem",
+                ["l_orderkey", "l_linenumber", "l_extendedprice"]),
+            ["l_orderkey", "l_linenumber"], "l_extendedprice",
+            0.05, 0.95)
+
+    def psi_drift_events(sf):
+        # Population Stability Index, click-vs-view value distributions
+        # (baseline-binned, fully streaming — no value collect)
+        import pyarrow.compute as pc
+
+        ev = _ds(sf, "events", ["event_type", "value"])
+        a = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")),
+            batch_format="pyarrow")
+        b = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "view")),
+            batch_format="pyarrow")
+        return drift.psi_drift(a, b, "value", n_bins=10)
+
     def pivot_events_type(sf):
         # crosstab: per-user counts of each event type (explicit pivoted
         # domain; per-batch crosstab combiner, bucketed sum reduce)
@@ -1166,6 +1200,9 @@ checks for orders:
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
         "weighted_sample_orders": weighted_sample_orders,
+        "uniform_sample_orders": uniform_sample_orders,
+        "winsorize_lineitem": winsorize_lineitem,
+        "psi_drift_events": psi_drift_events,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
@@ -2637,6 +2674,81 @@ def _weighted_sample_sql(table: str, id_col: str, w_col: str, n: int,
     QUALIFY row_number() OVER (ORDER BY key, {id_col}) <= {n}"""
 
 
+def _uniform_sample_sql(table: str, id_col: str, n: int,
+                        salt: str = "") -> str:
+    """sampling.uniform_sample_n replica: the _stratified_sql FNV chain,
+    hv = finalized hash >> 1 (sign-cleared int64), n smallest (hv, id)."""
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _C1, _C2
+
+    sc, c1, c2 = int(_salt_constant(salt)), int(_C1), int(_C2)
+    return f"""
+    SELECT * FROM (
+    WITH v AS (SELECT {id_col}, CAST({id_col} AS VARCHAR) AS sv
+               FROM {table} WHERE {id_col} IS NOT NULL),
+    b AS (SELECT {id_col}, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT {id_col},
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT {id_col}, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT {id_col}, {_mul64_sql('h', c1)} AS h FROM sm),
+    fr AS (SELECT {id_col}, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {id_col}, {_mul64_sql('h', c2)} AS h FROM fr)
+    SELECT {id_col}, (h // 2)::BIGINT AS hv FROM f2
+    QUALIFY row_number() OVER (ORDER BY h // 2, {id_col}) <= {n})"""
+
+
+def _winsorize_sql(table: str, id_cols: list[str], col: str,
+                   q_lo: float, q_hi: float) -> str:
+    """profiling.winsorize replica: quantile_cont == the engine's
+    rank-select + 'linear' interpolation (grouped_quantiles parity);
+    identical clip + 6dp round; null values stay null."""
+    ids = ", ".join(id_cols)
+    return f"""
+    WITH t AS (SELECT {ids}, {col} FROM {table}),
+    q AS (SELECT quantile_cont({col}, {q_lo}) AS lo,
+                 quantile_cont({col}, {q_hi}) AS hi FROM t)
+    SELECT {ids}, {col},
+           CASE WHEN {col} IS NULL THEN NULL
+                ELSE round(least(greatest({col}, lo), hi), 6)
+           END AS winsorized
+    FROM t, q"""
+
+
+def _psi_drift_sql(n_bins: int = 10, threshold: float = 0.2) -> str:
+    """drift.psi_drift replica over events click-vs-view `value`:
+    baseline-binned fixed-width histogram (the histogram() boundary
+    expression, edge bins clamp), 1e-6 proportion floor, 6dp PSI."""
+    nb = n_bins
+    psi = "round(sum((pa - pb) * ln(pa / pb)), 6)"
+    return f"""
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL),
+    m AS (SELECT min(v) AS lo,
+          CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / {nb}
+               ELSE 1.0 END AS w FROM a),
+    ca AS (SELECT CAST(least(greatest(floor((v - lo) / w), 0), {nb - 1})
+             AS BIGINT) AS bin, count(*)::DOUBLE AS n
+           FROM a, m GROUP BY 1),
+    cb AS (SELECT CAST(least(greatest(floor((v - lo) / w), 0), {nb - 1})
+             AS BIGINT) AS bin, count(*)::DOUBLE AS n
+           FROM b, m GROUP BY 1),
+    g AS (SELECT unnest(range(0, {nb})) AS bin),
+    p AS (SELECT greatest(coalesce(ca.n, 0)
+                   / (SELECT sum(n) FROM ca), 1e-6) AS pa,
+                 greatest(coalesce(cb.n, 0)
+                   / (SELECT sum(n) FROM cb), 1e-6) AS pb
+          FROM g LEFT JOIN ca ON g.bin = ca.bin
+                 LEFT JOIN cb ON g.bin = cb.bin)
+    SELECT 'value' AS "column", {psi} AS psi,
+           {psi} >= {threshold} AS drifted, {nb}::BIGINT AS n_bins
+    FROM p"""
+
+
 def _cluster_balance_sql(n_clusters: int = 8, n: int = 10,
                          salt: str = "") -> str:
     """similarity.cluster_balanced_sample replica: centroids re-fit at
@@ -3350,6 +3462,12 @@ def oracle_sql() -> dict[str, str]:
     FROM r""",
         "weighted_sample_orders": _weighted_sample_sql(
             "orders", "o_orderkey", "o_totalprice", 100),
+        "uniform_sample_orders": _uniform_sample_sql(
+            "orders", "o_orderkey", 100, salt="uni"),
+        "winsorize_lineitem": _winsorize_sql(
+            "lineitem", ["l_orderkey", "l_linenumber"],
+            "l_extendedprice", 0.05, 0.95),
+        "psi_drift_events": _psi_drift_sql(10, 0.2),
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),

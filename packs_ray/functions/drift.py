@@ -326,3 +326,76 @@ def compare_datasets(source_ds, target_ds, id_cols: list[str],
         "precision": float(_r(precision, 4)), "recall": float(_r(recall, 4)),
         "f1": float(_r(f1, 4)),
     }])
+
+
+def psi_drift(ds_a, ds_b, column: str, *, n_bins: int = 10,
+              threshold: float = 0.2) -> pd.DataFrame:
+    """Population Stability Index between a baseline and a comparison
+    dataset over one numeric column — the standard production drift
+    score next to ``ks_2sample`` (same data_drift_pack shape,
+    data_drift_pack/main.py:41-70, different statistic: PSI is
+    binned and threshold-interpretable, 0.1 = moderate / 0.2 = major
+    shift).
+
+    Bins are ``n_bins`` fixed-width intervals from the BASELINE's
+    global min/max with the engine's histogram boundary expression
+    ``min(max(floor((x - lo) / w), 0), n-1)`` (histogram(),
+    profiling.py) so the SQL replica reproduces every boundary;
+    comparison values outside the baseline range clamp into the edge
+    bins.  Proportions are floored at 1e-6 before the log ratio (the
+    standard zero-bin guard).  Fully streaming: two scans of the one
+    column per side (min/max + bincount partials), nothing lands on
+    the driver but 2*n_bins counts — no value collect, no cap, unlike
+    the KS path.  ``psi`` is 6dp-pinned; ``drifted`` compares the
+    rounded value so the verdict is bit-stable too."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import global_agg
+
+    def mpartial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null()
+        return {"n": len(v),
+                "mn": pc.min(v).as_py() if len(v) else None,
+                "mx": pc.max(v).as_py() if len(v) else None}
+
+    def mcombine(parts: pd.DataFrame) -> dict:
+        n = int(parts["n"].sum())
+        return {"n": n, "mn": float(parts["mn"].min()) if n else 0.0,
+                "mx": float(parts["mx"].max()) if n else 0.0}
+
+    sch = pa.schema([(column, pa.float64())])
+    agg = global_agg(ds_a.select_columns([column]), mpartial, mcombine,
+                     empty_schema=sch)
+    lo, hi, n_a = agg["mn"], agg["mx"], agg["n"]
+    w = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def hpartial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.minimum(np.maximum(np.floor((v - lo) / w), 0),
+                         n_bins - 1).astype(np.int64)
+        return {"h": np.bincount(idx, minlength=n_bins).tobytes()}
+
+    def hcombine(parts: pd.DataFrame) -> dict:
+        tot = np.zeros(n_bins, dtype=np.int64)
+        for b in parts["h"].dropna():
+            tot += np.frombuffer(b, dtype=np.int64)
+        return {"h": tot}
+
+    def counts(ds) -> np.ndarray:
+        return global_agg(ds.select_columns([column]), hpartial,
+                          hcombine, empty_schema=sch)["h"]
+
+    ca = counts(ds_a) if n_a else np.zeros(n_bins, dtype=np.int64)
+    cb = counts(ds_b)
+    n_b = int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        return pd.DataFrame([{"column": column, "psi": np.nan,
+                              "drifted": False, "n_bins": n_bins}])
+    pa_ = np.maximum(ca / n_a, 1e-6)
+    pb_ = np.maximum(cb / n_b, 1e-6)
+    psi = float(_r(np.sum((pa_ - pb_) * np.log(pa_ / pb_)), 6))
+    return pd.DataFrame([{"column": column, "psi": psi,
+                          "drifted": bool(psi >= threshold),
+                          "n_bins": np.int64(n_bins)}])

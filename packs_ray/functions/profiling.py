@@ -554,3 +554,35 @@ def histogram(ds, column: str, n_bins: int = 20) -> pd.DataFrame:
     i = np.arange(n_bins)
     return pd.DataFrame({"bin": i, "lo": lo + i * w, "hi": lo + (i + 1) * w,
                          "n": counts.astype(np.int64)})
+
+
+def winsorize(ds, id_cols: list[str], column: str,
+              q_lo: float = 0.05, q_hi: float = 0.95):
+    """Winsorize ``column`` at the exact global [q_lo, q_hi] quantiles:
+    every row is emitted with ``winsorized`` = value clipped into the
+    quantile band, 6dp — the outlier-TREATMENT counterpart of the
+    outlier-detection checks (outlier_detection_pack flags; training
+    pipelines clip features/scores instead of dropping rows).
+
+    Two streaming passes for the thresholds (``quantile_thresholds``,
+    no column collect), then one stateless clip pass — rows never
+    shuffle.  Null values stay null (a missing measurement is not an
+    extreme one); the 6dp round pins float parity with the SQL replica
+    across summation orders."""
+    thrs = quantile_thresholds(ds, column, [q_lo, q_hi])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(column)
+        vf = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        if thrs is None:
+            out = np.full(len(vf), np.nan)
+        else:
+            out = _r(np.clip(vf, thrs[0], thrs[1]), 6)
+        return pa.table(
+            {c: batch.column(c) for c in id_cols}
+            | {column: v,
+               "winsorized": pa.array(out, type=pa.float64(),
+                                      from_pandas=True)})
+
+    return ds.select_columns(id_cols + [column]) \
+        .map_batches(fn, batch_format="pyarrow")

@@ -246,3 +246,42 @@ def budget_sample(ds, id_col: str, source_col: str, tokens_col: str,
     return (ds.map_batches(add_hash, batch_format="pyarrow")
             .groupby(source_col)
             .map_groups(per_source, batch_format="pandas"))
+
+
+def uniform_sample_n(ds, id_col: str, n: int, *, salt: str = ""):
+    """Deterministic exact-n uniform sample without replacement: the n
+    rows whose finalized ``hash(id, salt)`` is smallest (ties broken by
+    id) — the fixed-size companion of ``deterministic_sample``'s
+    fixed-rate gate, and the reproducible replacement for the
+    reference's positional ``head()`` sampling
+    (profiling_pack/main.py:95-105): head() depends on file order;
+    this draw is a pure function of the row ids.
+
+    Scale shape: identical to ``weighted_sample`` — per-batch local
+    head-n (at most n rows survive any batch), then one tiny
+    single-bucket reduce over <= n*blocks candidates; full rows never
+    shuffle.  Null ids are never sampled.  Returns a lazy Dataset of
+    ``(id_col, hv)`` where ``hv`` is the (sign-cleared int64) hash key
+    the draw ordered on, making the sample auditable."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import bucketed_group_reduce
+
+    sc = _salt_constant(salt)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h, valid = _fnv1a_str(batch.column(id_col))
+        hv = (_finalize(h * sc) >> np.uint64(1)).astype(np.int64)
+        t = pa.table({id_col: batch.column(id_col),
+                      "hv": pa.array(hv)}).filter(pa.array(valid))
+        df = t.to_pandas().sort_values(["hv", id_col], kind="stable").head(n)
+        df["__one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["hv", id_col], kind="stable").head(n)
+                .drop(columns="__one"))
+
+    parts = ds.select_columns([id_col]) \
+        .map_batches(add_key, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["__one"], reduce_fn, 1)

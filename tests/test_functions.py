@@ -1792,3 +1792,92 @@ def test_budget_sample_fills_per_source(ray_session):
     # budget smaller than any doc still takes the first doc
     out1 = budget_sample(ds, "id", "src", "tok", {"b": 1}).to_pandas()
     assert len(out1) == 1 and out1["src"].iloc[0] == "b"
+
+
+def test_uniform_sample_n_exact_and_partition_invariant(ray_session):
+    """uniform_sample_n: exactly n rows, equal to the pandas-computed
+    n-smallest-hash subset, invariant under repartitioning, and
+    disjoint salts draw visibly different subsets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import (_salt_constant,
+                                              uniform_sample_n)
+    from packs_ray.functions.sketches import _finalize, _fnv1a_str
+
+    n = 1500
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": ids}))
+
+    out = uniform_sample_n(ds, "k", 60, salt="s").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert len(out) == 60
+
+    # oracle: full hash order computed locally
+    h, _ = _fnv1a_str(pa.array(ids))
+    hv = (_finalize(h * _salt_constant("s")) >> np.uint64(1)) \
+        .astype(np.int64)
+    exp = (pd.DataFrame({"k": ids, "hv": hv})
+           .sort_values(["hv", "k"]).head(60)
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
+
+    many = uniform_sample_n(ds.repartition(11), "k", 60, salt="s") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, many)
+
+    other = uniform_sample_n(ds, "k", 60, salt="t").to_pandas()
+    assert set(out["k"]) != set(other["k"])
+
+
+def test_winsorize_clips_and_keeps_nulls(ray_session):
+    """winsorize: values clip into the exact [q_lo, q_hi] band, interior
+    values pass through (6dp), null values stay null, rows never drop."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import winsorize
+
+    v = np.arange(101, dtype=np.float64)       # p5 = 5.0, p95 = 95.0
+    tbl = pa.table({"id": np.arange(102, dtype=np.int64),
+                    "x": pa.array(list(v) + [None], type=pa.float64())})
+    out = winsorize(ray.data.from_arrow(tbl).repartition(7),
+                    ["id"], "x", 0.05, 0.95).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert len(out) == 102
+    w = out["winsorized"]
+    assert w.iloc[0] == 5.0 and w.iloc[3] == 5.0      # low tail clipped
+    assert w.iloc[100] == 95.0 and w.iloc[97] == 95.0  # high tail clipped
+    assert (w.iloc[5:96].to_numpy() == v[5:96]).all()  # interior intact
+    assert pd.isna(w.iloc[101]) and pd.isna(out["x"].iloc[101])
+
+
+def test_psi_drift_detects_shift(ray_session):
+    """psi_drift: ~0 for identically-distributed halves, large for a
+    shifted distribution; out-of-range comparison values clamp into the
+    edge bins instead of vanishing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.drift import psi_drift
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 1.0, 4000)
+    same = rng.normal(0.0, 1.0, 4000)
+    shifted = rng.normal(2.5, 1.0, 4000)
+
+    mk = lambda a: ray.data.from_arrow(pa.table({"x": a})).repartition(5)
+    near = psi_drift(mk(base), mk(same), "x")
+    far = psi_drift(mk(base), mk(shifted), "x")
+    assert near["psi"].iloc[0] < 0.05 and not near["drifted"].iloc[0]
+    assert far["psi"].iloc[0] > 1.0 and far["drifted"].iloc[0]
+
+    # every comparison value beyond the baseline max -> all mass in the
+    # top edge bin, PSI finite (epsilon floor) and huge
+    out = psi_drift(mk(base), mk(base + 100.0), "x")
+    assert np.isfinite(out["psi"].iloc[0]) and out["drifted"].iloc[0]
