@@ -841,6 +841,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_custkey", "o_orderstatus"]),
             ["o_custkey", "o_orderstatus"])
 
+    def grouped_distinct_events(sf):
+        # per-key HLL: distinct users per event type (mergeable 4 KB
+        # register partials ride the one narrow shuffle)
+        from packs_ray.functions.sketches import grouped_approx_distinct
+
+        return grouped_approx_distinct(
+            _ds(sf, "events", ["event_type", "user_id"]),
+            "event_type", "user_id")
+
     def cms_counts_orders(sf):
         from packs_ray.functions.sketches import count_min_counts
 
@@ -1238,6 +1247,7 @@ checks for orders:
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "approx_distinct_orders": approx_distinct_orders,
+        "grouped_distinct_events": grouped_distinct_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -2327,6 +2337,57 @@ def _hll_column_sql(table: str, col: str) -> str:
                     / CAST(s AS DOUBLE) AS e_raw
             FROM agg)
     SELECT '{col}' AS "column",
+        CAST(floor(CASE WHEN e_raw <= CAST({2.5 * M!r} AS DOUBLE) AND v > 0
+                        THEN CAST({float(M)!r} AS DOUBLE) *
+                             ln(CAST({float(M)!r} AS DOUBLE) / v)
+                        ELSE e_raw END + 0.5) AS BIGINT) AS approx_distinct,
+        v AS zero_registers, CAST(s AS DOUBLE) AS harmonic_scaled
+    FROM est)"""
+
+
+def _hll_grouped_sql(table: str, key_col: str, col: str) -> str:
+    """sketches.grouped_approx_distinct replica: the _hll_column_sql
+    register/estimate pipeline carried through per-key — DISTINCT
+    (key, value) pairs hash once, registers group by (key, idx), the
+    estimate runs per key.  Null keys/values excluded on both sides."""
+    from packs_ray.functions.sketches import _ALPHA, M
+
+    amm = _ALPHA * M * M
+    case = " ".join(f"WHEN w >= {1 << k}::HUGEINT THEN {52 - k}"
+                    for k in range(51, -1, -1))
+    pows = ", ".join(f"({k}, {1 << k}::HUGEINT)" for k in range(54))
+    return f"""
+    SELECT * FROM (
+    WITH vals AS (SELECT DISTINCT {key_col} AS k,
+                         CAST({col} AS VARCHAR) AS sv
+                  FROM {table}
+                  WHERE {col} IS NOT NULL AND {key_col} IS NOT NULL),
+    b AS (SELECT k, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM vals),
+    hs AS (SELECT k, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    f1 AS (SELECT k, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM hs),
+    fr AS (SELECT k, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT k, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
+    parts AS (SELECT k, h // {1 << 52}::HUGEINT AS idx,
+                     h % {1 << 52}::HUGEINT AS w FROM f2),
+    rho AS (SELECT k, idx,
+                   CASE WHEN w = 0 THEN 53 {case} END AS r FROM parts),
+    keys AS (SELECT DISTINCT k FROM vals),
+    regs AS (SELECT keys.k, g.range AS idx, coalesce(max(rho.r), 0) AS r
+             FROM keys CROSS JOIN range(0, {M}) g
+             LEFT JOIN rho ON rho.k = keys.k AND rho.idx = g.range
+             GROUP BY 1, 2),
+    pw AS (SELECT * FROM (VALUES {pows}) t(kk, p)),
+    agg AS (SELECT regs.k, sum(pw.p) AS s,
+                   sum(CASE WHEN regs.r = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+            FROM regs JOIN pw ON pw.kk = 53 - regs.r GROUP BY 1),
+    est AS (SELECT k, s, v,
+                CAST({amm!r} AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+                    / CAST(s AS DOUBLE) AS e_raw
+            FROM agg)
+    SELECT k AS {key_col},
         CAST(floor(CASE WHEN e_raw <= CAST({2.5 * M!r} AS DOUBLE) AND v > 0
                         THEN CAST({float(M)!r} AS DOUBLE) *
                              ln(CAST({float(M)!r} AS DOUBLE) / v)
@@ -3770,6 +3831,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_orders":
             _hll_column_sql("orders", "o_custkey") + " UNION ALL " +
             _hll_column_sql("orders", "o_orderstatus"),
+        "grouped_distinct_events":
+            _hll_grouped_sql("events", "event_type", "user_id"),
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
         "hash_split_orders":

@@ -302,3 +302,53 @@ def approx_distinct(ds, columns: list[str], *, fold_batch: int = 256
             regs = np.zeros(M, dtype=np.uint8)
         rows.append({"column": c, **_estimate(regs)})
     return pd.DataFrame(rows)
+
+
+def grouped_approx_distinct(ds, key_col: str, col: str, *,
+                            num_partitions: int | None = None):
+    """Per-key HLL distinct count — "distinct users per event type" at
+    any cardinality: one row per key with (key_col, approx_distinct,
+    zero_registers, harmonic_scaled), the same register construction
+    and deterministic estimate as ``approx_distinct``.
+
+    Scale shape: each batch contributes one 4 KB register row per key
+    it contains; ONLY those (key, regs) partials ride a bucketed
+    shuffle (values never move), and the per-key max-merge + estimate
+    runs inside the reduce — mergeable-sketch semantics, so retries /
+    partition counts cannot change the answer.  Rows with a null key
+    or a null value are excluded (a key whose values are all null does
+    not appear, matching the SQL replica's DISTINCT-over-non-null)."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).to_pandas() \
+            .dropna(subset=[key_col, col])
+        keys, regs = [], []
+        for k, grp in df.groupby(key_col, sort=True):
+            keys.append(k)
+            regs.append(_registers(pa.Array.from_pandas(grp[col])))
+        # pin the key type so a key-less batch can't emit a null-typed
+        # column that breaks the downstream concat
+        ktype = batch.schema.field(key_col).type
+        return pa.table({key_col: pa.array(keys, type=ktype),
+                         "regs": pa.array([r.tolist() for r in regs],
+                                          type=pa.list_(pa.uint8()))})
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, grp in g.groupby(key_col, sort=True):
+            regs = np.stack([np.asarray(r, dtype=np.uint8)
+                             for r in grp["regs"]]).max(axis=0)
+            rows.append({key_col: k, **_estimate(regs)})
+        return pd.DataFrame(rows)
+
+    parts = ds.select_columns([key_col, col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, [key_col], reduce_fn,
+                                 num_partitions)
