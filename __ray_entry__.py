@@ -306,6 +306,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "customer", ["c_mktsegment", "c_name", "c_acctbal"]),
             suite)
 
+    def checks_pair_lineitem(sf):
+        # GE column-pair expectations (A vs B comparison percent),
+        # ingested through the expectation mapper — cross-column
+        # consistency checks the r3 verdict flagged as a GE gap
+        from packs_ray.functions.checks import (checks_from_expectations,
+                                                run_checks)
+
+        suite = checks_from_expectations([
+            {"expectation_type":
+                "expect_column_pair_values_a_to_be_greater_than_b",
+             "kwargs": {"column_A": "l_extendedprice",
+                        "column_B": "l_quantity", "or_equal": True}},
+            {"expectation_type":
+                "expect_column_pair_values_a_to_be_greater_than_b",
+             "kwargs": {"column_A": "l_extendedprice",
+                        "column_B": "l_discount", "mostly": 0.99}},
+            {"expectation_type": "expect_column_pair_values_to_be_equal",
+             "kwargs": {"column_A": "l_returnflag",
+                        "column_B": "l_linestatus", "mostly": 0.1}},
+        ])
+        return run_checks(
+            _ds(sf, "lineitem", ["l_extendedprice", "l_quantity",
+                                 "l_discount", "l_returnflag",
+                                 "l_linestatus"]), suite)
+
     def csv_source_orders(sf):
         # round-trips orders through a 2-shard CSV export with 2 junk
         # preamble lines per file and planted empty statuses, then reads
@@ -1217,6 +1242,7 @@ checks for orders:
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
         "checks_percent_customer": checks_percent_customer,
+        "checks_pair_lineitem": checks_pair_lineitem,
         "checks_ge_full_customer": checks_ge_full_customer,
         "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
@@ -3677,6 +3703,36 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT -1, '__score__', '__dataset__',
       (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
       (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 4 FROM r)""",
+        # checks.run_checks column_pair_percent: denominator = rows with
+        # BOTH sides present; same percent/score assembly as above
+        "checks_pair_lineitem": """
+    WITH a AS (SELECT
+        sum(CASE WHEN l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+        sum(CASE WHEN l_extendedprice >= l_quantity
+            THEN 1 ELSE 0 END) AS k0,
+        sum(CASE WHEN l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN l_extendedprice > l_discount
+            THEN 1 ELSE 0 END) AS k1,
+        sum(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_linestatus IS NOT NULL THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN l_returnflag = l_linestatus
+            THEN 1 ELSE 0 END) AS k2
+      FROM lineitem),
+    r AS (
+      SELECT 0::BIGINT AS check_id, 'column_pair_percent' AS type,
+        'l_extendedprice' AS "column",
+        round(k0::DOUBLE / n0, 6) AS observed,
+        round(k0::DOUBLE / n0, 6) >= 1.0 AS passed FROM a
+      UNION ALL SELECT 1, 'column_pair_percent', 'l_extendedprice',
+        round(k1::DOUBLE / n1, 6), round(k1::DOUBLE / n1, 6) >= 0.99 FROM a
+      UNION ALL SELECT 2, 'column_pair_percent', 'l_returnflag',
+        round(k2::DOUBLE / n2, 6), round(k2::DOUBLE / n2, 6) >= 0.1 FROM a)
+    SELECT * FROM r
+    UNION ALL SELECT -1, '__score__', '__dataset__',
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 3 FROM r)""",
         # sources/csv.read_csv_sized round-trip: the CSV writer plants
         # empty statuses on o_orderkey % 11 == 0 (read back as null)
         "csv_source_orders": """

@@ -76,7 +76,7 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                    if c["type"] not in NOSCAN]
     PCT = ("values_in_set_percent", "pattern_match_percent",
            "pattern_search_percent", "text_length_between_percent",
-           "not_null_percent")
+           "not_null_percent", "column_pair_percent")
     EXT = ("min_between", "max_between")
 
     def partial(batch: pa.Table) -> dict:
@@ -98,6 +98,17 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 # denominator = ALL rows (missing fraction semantics)
                 d[f"n_{i}"] = len(col)
                 d[f"k_{i}"] = len(col) - col.null_count
+            elif t == "column_pair_percent":
+                # cross-column comparison (GE expect_column_pair_*):
+                # denominator = rows where BOTH sides are present
+                other = batch.column(c["other"])
+                both = pc.and_(pc.is_valid(col), pc.is_valid(other))
+                opf = {">": pc.greater, ">=": pc.greater_equal,
+                       "<": pc.less, "<=": pc.less_equal,
+                       "==": pc.equal}[c.get("op", ">=")]
+                ok = pc.and_(opf(col, other), both)
+                d[f"n_{i}"] = pc.sum(pc.cast(both, "int64")).as_py() or 0
+                d[f"k_{i}"] = pc.sum(pc.cast(ok, "int64")).as_py() or 0
             elif t in PCT:
                 v = col.drop_null()
                 if t == "values_in_set_percent":
@@ -437,6 +448,15 @@ _GE_MAP = {
         lambda kw: {"type": "max_between", "column": kw["column"],
                     "min": kw.get("min_value", float("-inf")),
                     "max": kw.get("max_value", float("inf"))},
+    "expect_column_pair_values_a_to_be_greater_than_b":
+        lambda kw: {"type": "column_pair_percent",
+                    "column": kw["column_A"], "other": kw["column_B"],
+                    "op": ">=" if kw.get("or_equal") else ">",
+                    "min_percent": kw.get("mostly", 1.0)},
+    "expect_column_pair_values_to_be_equal":
+        lambda kw: {"type": "column_pair_percent",
+                    "column": kw["column_A"], "other": kw["column_B"],
+                    "op": "==", "min_percent": kw.get("mostly", 1.0)},
     "expect_table_row_count_to_be_between":
         lambda kw: ({"type": "row_count_between",
                      "min": kw.get("min_value", 0), "max": kw["max_value"]}

@@ -1923,3 +1923,43 @@ def test_grouped_approx_distinct_accuracy_and_invariance(ray_session):
         .to_pandas()
     assert set(small["k"]) == {1}
     assert small["approx_distinct"].iloc[0] == 2
+
+
+def test_column_pair_checks_nulls_and_ops(ray_session):
+    """column_pair_percent: denominator counts rows where BOTH sides are
+    present; each comparison op works; GE pair expectations map onto it
+    (or_equal toggles >= vs >)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.checks import (checks_from_expectations,
+                                            run_checks)
+
+    tbl = pa.table({
+        "a": pa.array([3.0, 2.0, 1.0, None, 5.0], type=pa.float64()),
+        "b": pa.array([1.0, 2.0, 4.0, 9.0, None], type=pa.float64())})
+    ds = ray.data.from_arrow(tbl)
+    out = run_checks(ds, [
+        {"type": "column_pair_percent", "column": "a", "other": "b",
+         "op": ">", "min_percent": 0.5},
+        {"type": "column_pair_percent", "column": "a", "other": "b",
+         "op": ">=", "min_percent": 0.5},
+        {"type": "column_pair_percent", "column": "a", "other": "b",
+         "op": "==", "min_percent": 0.5},
+    ]).set_index("check_id")
+    # 3 rows have both sides: (3,1) (2,2) (1,4)
+    assert out.loc[0, "observed"] == round(1 / 3, 6)   # a > b
+    assert not out.loc[0, "passed"]
+    assert out.loc[1, "observed"] == round(2 / 3, 6)   # a >= b
+    assert out.loc[1, "passed"]
+    assert out.loc[2, "observed"] == round(1 / 3, 6)   # a == b
+
+    suite = checks_from_expectations([
+        {"expectation_type":
+            "expect_column_pair_values_a_to_be_greater_than_b",
+         "kwargs": {"column_A": "a", "column_B": "b", "or_equal": True,
+                    "mostly": 0.6}}])
+    assert suite == [{"type": "column_pair_percent", "column": "a",
+                      "other": "b", "op": ">=", "min_percent": 0.6}]
+    got = run_checks(ds, suite).set_index("check_id")
+    assert got.loc[0, "passed"]
