@@ -615,6 +615,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(mk, batch_format="pyarrow"),
             "o_orderkey", "text")
 
+    def pii_iban_orders(sf):
+        # deterministic IBAN-shaped fixture from orders (the pii_luhn
+        # pattern): DE + 2 arbitrary check digits + 18-digit BBAN; the
+        # oracle rebuilds the identical text and re-runs mod-97, so the
+        # verdict is exact on both sides (~1/97 validate by chance).
+        from packs_ray.functions.pii import iban_scan
+
+        def mk(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cd = ((k * 53) % 89 + 10).astype(str)
+            bban = np.char.zfill(
+                ((k * 271 + 7) % 10**18).astype(str), 18)
+            txt = ["pay DE" + c + b + " today"
+                   for c, b in zip(cd, bban)]
+            return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                             "text": pa.array(txt, type=pa.string())})
+
+        return iban_scan(
+            _ds(sf, "orders", ["o_orderkey"])
+            .map_batches(mk, batch_format="pyarrow"),
+            "o_orderkey", "text")
+
     def pack_sequences_documents(sf):
         from packs_ray.functions.sharding import pack_sequences
 
@@ -1222,6 +1248,7 @@ checks for orders:
         "shard_assign_orders": shard_assign_orders,
         "pack_sequences_documents": pack_sequences_documents,
         "pii_luhn_orders": pii_luhn_orders,
+        "pii_iban_orders": pii_iban_orders,
         "quality_filter_documents": quality_filter_documents,
         "pivot_events_type": pivot_events_type,
         "dedup_snapshot_documents": dedup_snapshot_documents,
@@ -2707,6 +2734,34 @@ def _pii_luhn_sql() -> str:
     FROM v GROUP BY o_orderkey"""
 
 
+def _pii_iban_sql() -> str:
+    """pii.iban_scan over the deterministic orders-derived IBAN fixture:
+    identical text construction, RE2 candidate extraction, and the ISO
+    13616 mod-97 check (first 4 chars rotated to the end, A..Z -> 10..35,
+    incremental big-integer remainder via list_reduce) == 1."""
+    return """
+    WITH tx AS (SELECT o_orderkey,
+            'pay DE' || CAST((o_orderkey * 53) % 89 + 10 AS VARCHAR)
+            || lpad(CAST((o_orderkey * 271 + 7) % 1000000000000000000
+                    AS VARCHAR), 18, '0') || ' today' AS text
+            FROM orders),
+    e AS (SELECT o_orderkey, unnest(regexp_extract_all(
+            text, '[A-Z]{2}[0-9]{2}[0-9A-Z]{10,30}')) AS cand FROM tx),
+    r AS (SELECT o_orderkey, cand[5:] || cand[1:4] AS rot FROM e),
+    s AS (SELECT o_orderkey, list_aggregate(list_transform(
+            regexp_extract_all(rot, '.'),
+            c -> CASE WHEN c >= 'A' AND c <= 'Z'
+                      THEN CAST(ascii(c) - 55 AS VARCHAR) ELSE c END),
+            'string_agg', '') AS digs FROM r),
+    v AS (SELECT o_orderkey, list_reduce(
+            list_prepend(CAST(0 AS BIGINT), list_transform(
+                regexp_extract_all(digs, '.'), x -> CAST(x AS BIGINT))),
+            (acc, d) -> (acc * 10 + d) % 97) = 1 AS ok FROM s)
+    SELECT o_orderkey, count(*)::BIGINT AS n_candidates,
+           sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid
+    FROM v GROUP BY o_orderkey"""
+
+
 def _pack_sequences_sql(budget: int, parts: int, salt: str) -> str:
     """sharding.pack_sequences replica: part = h % parts, within-part
     order by (h >> 1, id), window cumsum of \\S+ token counts, bins by
@@ -3559,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
+        "pii_iban_orders": _pii_iban_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
         "sum_anomaly_events": _sum_anomaly_sql(3.0),
         # profiling.histogram: identical fixed binning expression

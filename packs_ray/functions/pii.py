@@ -149,3 +149,63 @@ def luhn_scan(ds, id_col: str, text_col: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+IBAN_CANDIDATE = r"[A-Z]{2}[0-9]{2}[0-9A-Z]{10,30}"
+_IBAN_MAP = str.maketrans({chr(c): str(c - 55) for c in range(65, 91)})
+
+
+def _iban_valid(cands: "list[str]") -> "np.ndarray":
+    """ISO 13616 mod-97 verdict per candidate: move the first 4 chars
+    to the end, map A..Z -> 10..35, big-integer remainder == 1.  The
+    letter mapping is one C-level str.translate and the remainder one
+    int() per candidate — this only ever runs on the (rare) rows the
+    RE2 prefilter kept."""
+    import numpy as np
+
+    out = np.zeros(len(cands), dtype=bool)
+    for i, s in enumerate(cands):
+        digs = (s[4:] + s[:4]).translate(_IBAN_MAP)
+        out[i] = int(digs) % 97 == 1
+    return out
+
+
+def iban_scan(ds, id_col: str, text_col: str):
+    """Checksum-validated IBAN detection: lazy Dataset of
+    ``(id, n_candidates, n_valid)`` for rows containing at least one
+    IBAN-shaped token — the international-bank-account companion of
+    ``luhn_scan`` (the reference's PII bank is regex-only,
+    pii_scanner_pack/pack_conf.json; a mod-97 check drops ~99 % of
+    random IBAN-shaped strings).  Same scale shape as luhn_scan:
+    vectorized RE2 prefilter, candidate loop only over surviving
+    rows."""
+    import numpy as np
+
+    from packs_ray.stages.util import str_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rx = re.compile(IBAN_CANDIDATE)
+        text = str_column(batch, text_col)
+        cand = pc.match_substring_regex(text, IBAN_CANDIDATE) \
+            .fill_null(False).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col)
+        vals = text.to_numpy(zero_copy_only=False)
+        idx, spans = [], []
+        all_cands: list[str] = []
+        for i in np.flatnonzero(cand):
+            found = rx.findall(vals[i])
+            idx.append(i)
+            spans.append(len(found))
+            all_cands.extend(found)
+        ok = _iban_valid(all_cands)
+        n_valid, pos = [], 0
+        for k in spans:
+            n_valid.append(int(ok[pos: pos + k].sum()))
+            pos += k
+        return pa.table({
+            id_col: ids.take(pa.array(idx, type=pa.int64())),
+            "n_candidates": pa.array(spans, type=pa.int64()),
+            "n_valid": pa.array(n_valid, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

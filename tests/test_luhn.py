@@ -44,3 +44,29 @@ def test_luhn_scan_long_run_splits(ray_session):
     ds = _ds([{"id": 1, "text": "x 123456789012345678901 y"}])
     out = luhn_scan(ds, "id", "text").to_pandas()
     assert out["n_candidates"].tolist() == [1]
+
+
+def test_iban_scan_known_ibans(ray_session):
+    """iban_scan: published valid IBANs validate, a corrupted check
+    digit fails, IBAN-free rows are skipped entirely, multiple
+    candidates per row each get a verdict."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.pii import iban_scan
+
+    rows = [
+        (1, "send to GB82WEST12345698765432 please"),        # valid
+        (2, "acct DE89370400440532013000 and GB82WEST12345698765431"),
+        (3, "no bank info here"),
+        (4, None),
+    ]
+    tbl = pa.table({"id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows],
+                                     type=pa.string())})
+    out = iban_scan(ray.data.from_arrow(tbl), "id", "text").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == [1, 2]
+    assert list(out["n_candidates"]) == [1, 2]
+    # row 2: DE IBAN valid, the tampered GB one is not
+    assert list(out["n_valid"]) == [1, 1]
