@@ -469,6 +469,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return drift.psi_drift(a, b, "value", n_bins=10)
 
+    def categorical_drift_events(sf):
+        # chi-square / Cramér's V / categorical PSI between the
+        # event_type distributions of even- vs odd-user events (only
+        # per-category count tables reach the driver)
+        import pyarrow.compute as pc
+
+        ev = _ds(sf, "events", ["user_id", "event_type"])
+
+        def half(parity):
+            return ev.map_batches(
+                lambda t, _p=parity: t.filter(pc.equal(
+                    pc.bit_wise_and(t["user_id"], 1), _p)),
+                batch_format="pyarrow")
+
+        return drift.categorical_drift(half(0), half(1), "event_type")
+
     def pivot_events_type(sf):
         # crosstab: per-user counts of each event type (explicit pivoted
         # domain; per-batch crosstab combiner, bucketed sum reduce)
@@ -1264,6 +1280,7 @@ checks for orders:
         "uniform_sample_orders": uniform_sample_orders,
         "winsorize_lineitem": winsorize_lineitem,
         "psi_drift_events": psi_drift_events,
+        "categorical_drift_events": categorical_drift_events,
         "interval_join_events": interval_join_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
@@ -3610,6 +3627,32 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_orderkey", "l_linenumber"],
             "l_extendedprice", 0.05, 0.95),
         "psi_drift_events": _psi_drift_sql(10, 0.2),
+        # drift.categorical_drift: identical per-category pooled-expected
+        # chi-square, Cramér's V, categorical PSI (1e-6 floor, 6dp)
+        "categorical_drift_events": """
+    WITH a AS (SELECT event_type AS c, count(*)::DOUBLE AS ca FROM events
+               WHERE user_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1),
+    b AS (SELECT event_type AS c, count(*)::DOUBLE AS cb FROM events
+          WHERE user_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1),
+    m AS (SELECT coalesce(a.c, b.c) AS c, coalesce(ca, 0) AS ca,
+                 coalesce(cb, 0) AS cb
+          FROM a FULL OUTER JOIN b ON a.c = b.c),
+    t AS (SELECT (SELECT sum(ca) FROM m) AS na,
+                 (SELECT sum(cb) FROM m) AS nb),
+    x AS (SELECT c, ca, cb, na, nb, (ca + cb) / (na + nb) AS pool
+          FROM m, t),
+    s AS (SELECT count(*)::BIGINT AS k,
+        sum((ca - na * pool) * (ca - na * pool) / (na * pool)
+            + (cb - nb * pool) * (cb - nb * pool) / (nb * pool)) AS chi2,
+        sum((greatest(ca / na, 1e-6) - greatest(cb / nb, 1e-6))
+            * ln(greatest(ca / na, 1e-6) / greatest(cb / nb, 1e-6))) AS psi,
+        any_value(na + nb) AS n FROM x)
+    SELECT 'event_type' AS "column", k AS n_categories,
+        round(chi2, 6) AS chi2,
+        round(CASE WHEN k > 1 THEN sqrt(chi2 / n) ELSE 0.0 END, 6)
+            AS cramers_v,
+        round(psi, 6) AS psi, round(psi, 6) >= 0.2 AS drifted
+    FROM s""",
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),

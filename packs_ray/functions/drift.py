@@ -399,3 +399,56 @@ def psi_drift(ds_a, ds_b, column: str, *, n_bins: int = 10,
     return pd.DataFrame([{"column": column, "psi": psi,
                           "drifted": bool(psi >= threshold),
                           "n_bins": np.int64(n_bins)}])
+
+
+def categorical_drift(ds_a, ds_b, column: str, *,
+                      psi_threshold: float = 0.2) -> pd.DataFrame:
+    """Distribution drift for a CATEGORICAL column — the gap
+    ``ks_2sample`` (numeric ECDF) and ``psi_drift`` (numeric bins)
+    leave open: per-category counts on both sides, then the two-sample
+    chi-square homogeneity statistic, Cramér's V effect size, and
+    categorical PSI over the union of observed categories (1e-6
+    proportion floor, categories absent from one side count as zero).
+
+    Scale shape: each side runs one ``keyed_count`` (per-batch partial
+    counts, bucketed sum reduce); only the per-CATEGORY count tables —
+    bounded by the category cardinality, not the row count — land on
+    the driver for the closed-form statistics.  Nulls are excluded (a
+    missing label is a completeness problem, not a drift signal).  All
+    emitted floats are 6dp-pinned."""
+    from packs_ray.functions.agg import keyed_count
+
+    def counts(ds) -> pd.DataFrame:
+        import pyarrow.compute as pc_
+
+        nn = ds.select_columns([column]).map_batches(
+            lambda t: t.filter(pc_.is_valid(t.column(column))),
+            batch_format="pyarrow")
+        return keyed_count(nn, [column]).to_pandas()
+
+    a, b = counts(ds_a), counts(ds_b)
+    n_a, n_b = int(a["cnt"].sum()) if len(a) else 0, \
+        int(b["cnt"].sum()) if len(b) else 0
+    if n_a == 0 or n_b == 0:
+        return pd.DataFrame([{"column": column, "n_categories": np.int64(0),
+                              "chi2": np.nan, "cramers_v": np.nan,
+                              "psi": np.nan, "drifted": False}])
+    m = a.merge(b, on=column, how="outer", suffixes=("_a", "_b")) \
+        .fillna({"cnt_a": 0, "cnt_b": 0}).sort_values(column)
+    ca = m["cnt_a"].to_numpy(dtype=np.float64)
+    cb = m["cnt_b"].to_numpy(dtype=np.float64)
+    k = len(m)
+    n = float(n_a + n_b)
+    # homogeneity chi-square over the 2xk table (expected from pooled)
+    pool = (ca + cb) / n
+    ea, eb = n_a * pool, n_b * pool
+    chi2 = float(np.sum((ca - ea) ** 2 / ea) + np.sum((cb - eb) ** 2 / eb))
+    v = float(np.sqrt(chi2 / n)) if k > 1 else 0.0
+    pa_ = np.maximum(ca / n_a, 1e-6)
+    pb_ = np.maximum(cb / n_b, 1e-6)
+    psi = float(_r(np.sum((pa_ - pb_) * np.log(pa_ / pb_)), 6))
+    return pd.DataFrame([{"column": column, "n_categories": np.int64(k),
+                          "chi2": float(_r(chi2, 6)),
+                          "cramers_v": float(_r(v, 6)),
+                          "psi": psi,
+                          "drifted": bool(psi >= psi_threshold)}])

@@ -1963,3 +1963,35 @@ def test_column_pair_checks_nulls_and_ops(ray_session):
                       "other": "b", "op": ">=", "min_percent": 0.6}]
     got = run_checks(ds, suite).set_index("check_id")
     assert got.loc[0, "passed"]
+
+
+def test_categorical_drift_shift_and_identical(ray_session):
+    """categorical_drift: near-zero PSI/chi2 on identically distributed
+    sides, large on a shifted category mix; one-side-only categories
+    contribute through the epsilon floor instead of vanishing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.drift import categorical_drift
+
+    rng = np.random.default_rng(11)
+    cats = np.array(["a", "b", "c", "d"])
+    mk = lambda p, n: ray.data.from_arrow(
+        pa.table({"c": cats[rng.choice(4, n, p=p)]})).repartition(4)
+
+    p0 = [0.4, 0.3, 0.2, 0.1]
+    near = categorical_drift(mk(p0, 5000), mk(p0, 5000), "c")
+    far = categorical_drift(mk(p0, 5000), mk([0.1, 0.2, 0.3, 0.4], 5000),
+                            "c")
+    assert near["psi"].iloc[0] < 0.02 and not near["drifted"].iloc[0]
+    assert far["psi"].iloc[0] > 0.3 and far["drifted"].iloc[0]
+    assert far["chi2"].iloc[0] > near["chi2"].iloc[0]
+    assert 0.0 <= far["cramers_v"].iloc[0] <= 1.0
+
+    # category present on one side only
+    a = ray.data.from_arrow(pa.table({"c": ["x"] * 50 + ["y"] * 50}))
+    b = ray.data.from_arrow(pa.table({"c": ["x"] * 100}))
+    out = categorical_drift(a, b, "c")
+    assert out["n_categories"].iloc[0] == 2
+    assert np.isfinite(out["psi"].iloc[0]) and out["drifted"].iloc[0]
