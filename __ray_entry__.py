@@ -273,6 +273,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return histogram(_ds(sf, "lineitem", ["l_extendedprice"]),
                          "l_extendedprice", n_bins=20)
 
+    def benford_lineitem(sf):
+        # first-digit conformity profile of l_extendedprice (exact
+        # int64-cents digit extraction, one streaming bincount pass)
+        from packs_ray.functions.profiling import benford_profile
+
+        return benford_profile(_ds(sf, "lineitem", ["l_extendedprice"]),
+                               "l_extendedprice")
+
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
         from packs_ray.functions.outliers import sum_anomaly
@@ -1291,6 +1299,7 @@ checks for orders:
         "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
+        "benford_lineitem": benford_lineitem,
         "histogram_lineitem": histogram_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
@@ -3660,6 +3669,21 @@ def oracle_sql() -> dict[str, str]:
         "pii_iban_orders": _pii_iban_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
         "sum_anomaly_events": _sum_anomaly_sql(3.0),
+        # profiling.benford_profile: identical exact int64-cents first
+        # digit (string head, no float log10 binning), 6dp proportions
+        "benford_lineitem": """
+    WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 AS cents FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    d AS (SELECT CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit FROM c WHERE cents != 0),
+    g AS (SELECT unnest(range(1, 10)) AS digit),
+    k AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n)::DOUBLE AS tot FROM k)
+    SELECT g.digit, coalesce(k.n, 0)::BIGINT AS n,
+        round(coalesce(k.n, 0) / tot, 6) AS p_observed,
+        round(log10(1.0 + 1.0 / g.digit), 6) AS p_expected
+    FROM g LEFT JOIN k ON g.digit = k.digit CROSS JOIN t""",
         # profiling.histogram: identical fixed binning expression
         # min(floor((x-lo)/w), n-1); empty bins kept via generate_series
         # degenerate-width guard mirrors histogram()'s hi==lo -> w=1.0

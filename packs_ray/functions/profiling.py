@@ -586,3 +586,50 @@ def winsorize(ds, id_cols: list[str], column: str,
 
     return ds.select_columns(id_cols + [column]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def benford_profile(ds, column: str, *, scale: int = 100) -> pd.DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    profiling/fraud screen for amount-like columns (a per-digit
+    companion to the ydata variable catalog; the reference profiles
+    value histograms but has no conformity law check).
+
+    One streaming pass: values become exact int64 cents
+    (``round(v * scale)``, the repo's cents convention), the first
+    digit is the first character of the integer's decimal string —
+    exact on both sides, no float log10 boundary risk — and per-batch
+    10-bin bincount partials sum elementwise.  Zero cents carry no
+    leading digit and are excluded, as are nulls.  Returns 9 rows
+    ``(digit, n, p_observed, p_expected)``, 6dp-pinned, digit
+    ascending."""
+
+    def partial(batch: pa.Table) -> dict:
+        v = batch.column(column).drop_null() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.rint(v * scale).astype(np.int64)
+        cents = cents[cents != 0]
+        if len(cents):
+            first = np.abs(cents).astype(str).astype("<U1") \
+                .astype(np.int64)
+            h = np.bincount(first, minlength=10)
+        else:
+            h = np.zeros(10, dtype=np.int64)
+        return {"h": h.tobytes()}
+
+    def combine(parts: pd.DataFrame) -> dict:
+        tot = np.zeros(10, dtype=np.int64)
+        for b in parts["h"].dropna():
+            tot += np.frombuffer(b, dtype=np.int64)
+        return {"h": tot}
+
+    counts = global_agg(ds.select_columns([column]), partial, combine,
+                        empty_schema=pa.schema([(column, pa.float64())])
+                        )["h"]
+    d = np.arange(1, 10)
+    n = counts[1:10].astype(np.int64)
+    tot = float(n.sum())
+    p_obs = (_r(n / tot, 6) if tot
+             else np.full(9, np.nan))
+    return pd.DataFrame({"digit": d.astype(np.int64), "n": n,
+                         "p_observed": p_obs,
+                         "p_expected": _r(np.log10(1.0 + 1.0 / d), 6)})

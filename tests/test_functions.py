@@ -1995,3 +1995,28 @@ def test_categorical_drift_shift_and_identical(ray_session):
     out = categorical_drift(a, b, "c")
     assert out["n_categories"].iloc[0] == 2
     assert np.isfinite(out["psi"].iloc[0]) and out["drifted"].iloc[0]
+
+
+def test_benford_profile_digits_and_exclusions(ray_session):
+    """benford_profile: first digits counted from exact cents, zeros
+    and nulls excluded, negatives use |value|, expected column is the
+    Benford law, proportions sum to ~1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import benford_profile
+
+    vals = [1.23, 19.99, 0.31, -9.5, 0.0, None, 0.004, 8.88]
+    # cents: 123, 1999, 31, -950, 0(excl), null(excl), 0(round->excl), 888
+    ds = ray.data.from_arrow(pa.table(
+        {"x": pa.array(vals, type=pa.float64())})).repartition(3)
+    out = benford_profile(ds, "x").set_index("digit")
+    assert out.loc[1, "n"] == 2          # 123, 1999
+    assert out.loc[3, "n"] == 1          # 31
+    assert out.loc[9, "n"] == 1          # |-950|
+    assert out.loc[8, "n"] == 1          # 888
+    assert out["n"].sum() == 5
+    assert abs(out["p_observed"].sum() - 1.0) < 1e-5
+    assert abs(out["p_expected"].sum() - 1.0) < 1e-5
+    assert out.loc[1, "p_expected"] == 0.30103
