@@ -273,6 +273,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return histogram(_ds(sf, "lineitem", ["l_extendedprice"]),
                          "l_extendedprice", n_bins=20)
 
+    def correlations_lineitem(sf):
+        # ydata-style pairwise Pearson catalog: exact integer power
+        # sums, one fixed float64 expression per pair
+        from packs_ray.functions.profiling import correlation_matrix
+
+        return correlation_matrix(
+            _ds(sf, "lineitem", ["l_quantity", "l_extendedprice",
+                                 "l_discount", "l_tax"]),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
     def benford_lineitem(sf):
         # first-digit conformity profile of l_extendedprice (exact
         # int64-cents digit extraction, one streaming bincount pass)
@@ -1300,6 +1310,7 @@ checks for orders:
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
         "benford_lineitem": benford_lineitem,
+        "correlations_lineitem": correlations_lineitem,
         "histogram_lineitem": histogram_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
@@ -2760,6 +2771,35 @@ def _pii_luhn_sql() -> str:
     FROM v GROUP BY o_orderkey"""
 
 
+def _corr_pairs_sql(table: str, columns: list[str]) -> str:
+    """profiling.correlation_matrix replica: per pair, HUGEINT cents
+    power sums over both-present rows, then
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) with one
+    DOUBLE cast per integer term (the engine's exact-int-then-float
+    sequence), 6dp; null pearson when n < 2 or a side has zero
+    variance."""
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    parts = []
+    for a, b in pairs:
+        parts.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, n::BIGINT AS n,
+        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                  AND (n * syy - sy * sy) > 0
+             THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        END AS pearson
+    FROM (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM (SELECT CAST(round({a} * 100, 0) AS HUGEINT) AS x,
+                       CAST(round({b} * 100, 0) AS HUGEINT) AS y
+                FROM {table}
+                WHERE {a} IS NOT NULL AND {b} IS NOT NULL) v) s""")
+    return " UNION ALL ".join(parts)
+
+
 def _pii_iban_sql() -> str:
     """pii.iban_scan over the deterministic orders-derived IBAN fixture:
     identical text construction, RE2 candidate extraction, and the ISO
@@ -3669,6 +3709,12 @@ def oracle_sql() -> dict[str, str]:
         "pii_iban_orders": _pii_iban_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
         "sum_anomaly_events": _sum_anomaly_sql(3.0),
+        # profiling.correlation_matrix: exact HUGEINT power sums per
+        # pair over rows where BOTH sides are present, the identical
+        # one-rounding-per-term float64 expression, 6dp
+        "correlations_lineitem": _corr_pairs_sql(
+            "lineitem", ["l_quantity", "l_extendedprice",
+                         "l_discount", "l_tax"]),
         # profiling.benford_profile: identical exact int64-cents first
         # digit (string head, no float log10 binning), 6dp proportions
         "benford_lineitem": """

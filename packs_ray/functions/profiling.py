@@ -633,3 +633,75 @@ def benford_profile(ds, column: str, *, scale: int = 100) -> pd.DataFrame:
     return pd.DataFrame({"digit": d.astype(np.int64), "n": n,
                          "p_observed": p_obs,
                          "p_expected": _r(np.log10(1.0 + 1.0 / d), 6)})
+
+
+def correlation_matrix(ds, columns: list[str], *,
+                       scale: int = 100) -> pd.DataFrame:
+    """Pairwise Pearson correlation for the given numeric columns —
+    the correlations block of a ydata-style profile (the reference's
+    profiling pack ships per-variable stats; correlations are the
+    standard companion catalog).
+
+    One streaming pass: values become exact int64 cents and each batch
+    contributes integer power sums (n, Sx, Sy, Sxx, Syy, Sxy) per
+    column pair over rows where BOTH sides are present.  Integer sums
+    are associative, so the result is exact for any partition order;
+    the driver combine re-sums them as Python ints (no 64-bit overflow
+    at any scale) and evaluates one fixed float64 expression, 6dp.
+    Pairs with fewer than 2 complete rows or zero variance emit a null
+    pearson."""
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+
+    def partial(batch: pa.Table) -> dict:
+        d = {}
+        cents = {}
+        valid = {}
+        for c in columns:
+            v = batch.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ok = ~np.isnan(v)
+            cents[c] = np.where(ok, np.rint(v * scale), 0.0) \
+                .astype(np.int64)
+            valid[c] = ok
+        for i, (a, b) in enumerate(pairs):
+            m = valid[a] & valid[b]
+            x, y = cents[a][m], cents[b][m]
+            d[f"n_{i}"] = int(m.sum())
+            d[f"sx_{i}"] = int(x.sum())
+            d[f"sy_{i}"] = int(y.sum())
+            d[f"sxx_{i}"] = int((x * x).sum())
+            d[f"syy_{i}"] = int((y * y).sum())
+            d[f"sxy_{i}"] = int((x * y).sum())
+        return d
+
+    def combine(p: pd.DataFrame) -> dict:
+        # object-dtype Python-int accumulation: per-batch sums fit
+        # int64, but global Sxx/Sxy at 10^12 rows would not
+        return {k: int(sum(int(v) for v in p[k].dropna()))
+                for k in p.columns}
+
+    agg = global_agg(
+        ds.select_columns(columns), partial, combine,
+        empty_schema=pa.schema([(c, pa.float64()) for c in columns]))
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        n = agg.get(f"n_{i}", 0)
+        if n >= 2:
+            # n*Sxx - Sx^2 etc. in EXACT integer arithmetic, float64
+            # only at the very end — one rounding per term, the same
+            # sequence as the SQL replica's CAST(<HUGEINT expr> AS
+            # DOUBLE), so near-cancellation can't diverge
+            sx, sy = agg[f"sx_{i}"], agg[f"sy_{i}"]
+            vx = n * agg[f"sxx_{i}"] - sx * sx
+            vy = n * agg[f"syy_{i}"] - sy * sy
+            cov = n * agg[f"sxy_{i}"] - sx * sy
+            r = (float(_r(float(cov) / np.sqrt(float(vx) * float(vy)), 6))
+                 if vx > 0 and vy > 0 else None)
+        else:
+            r = None
+        rows.append({"col_a": a, "col_b": b, "n": np.int64(n),
+                     "pearson": r})
+    out = pd.DataFrame(rows)
+    out["pearson"] = out["pearson"].astype(np.float64)
+    return out

@@ -2020,3 +2020,44 @@ def test_benford_profile_digits_and_exclusions(ray_session):
     assert abs(out["p_observed"].sum() - 1.0) < 1e-5
     assert abs(out["p_expected"].sum() - 1.0) < 1e-5
     assert out.loc[1, "p_expected"] == 0.30103
+
+
+def test_correlation_matrix_known_values(ray_session):
+    """correlation_matrix: matches numpy corrcoef on cents-quantized
+    data, perfect +/-1 on linear columns, null on constant columns,
+    pairwise-complete row selection."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import correlation_matrix
+
+    rng = np.random.default_rng(5)
+    x = np.round(rng.normal(50, 10, 4000), 2)
+    noise = np.round(x * 2 + rng.normal(0, 5, 4000), 2)
+    tbl = pa.table({
+        "x": x, "lin": np.round(3.0 * x + 1.0, 2),
+        "neg": np.round(-x, 2), "noisy": noise,
+        "const": np.full(4000, 7.5),
+    })
+    cols = ["x", "lin", "neg", "noisy", "const"]
+    out = correlation_matrix(
+        ray.data.from_arrow(tbl).repartition(6), cols) \
+        .set_index(["col_a", "col_b"])
+    assert out.loc[("x", "lin"), "pearson"] == 1.0
+    assert out.loc[("x", "neg"), "pearson"] == -1.0
+    assert pd.isna(out.loc[("x", "const"), "pearson"])
+    expect = np.corrcoef(np.rint(x * 100), np.rint(noise * 100))[0, 1]
+    assert abs(out.loc[("x", "noisy"), "pearson"] - expect) < 1e-6
+
+    # pairwise-complete: the null row drops from (a,b) but that pair
+    # still correlates the remaining rows
+    t2 = pa.table({"a": pa.array([1.0, 2.0, 3.0, None]),
+                   "b": pa.array([2.0, 4.0, 6.0, 8.0]),
+                   "c": pa.array([1.0, 1.0, 2.0, 2.0])})
+    o2 = correlation_matrix(ray.data.from_arrow(t2), ["a", "b", "c"]) \
+        .set_index(["col_a", "col_b"])
+    assert o2.loc[("a", "b"), "n"] == 3
+    assert o2.loc[("a", "b"), "pearson"] == 1.0
+    assert o2.loc[("b", "c"), "n"] == 4
