@@ -317,7 +317,10 @@ def dedup_lines(ds, id_col: str, text_col: str, *, sep: str = "\n",
         num_partitions = max(2, reduce_partition_count(ds))
 
     def explode(batch: pa.Table, with_text: bool) -> pd.DataFrame:
-        df = batch.select([id_col, text_col]).to_pandas()
+        # null id/text rows carry no lines (the dedup_spans convention;
+        # a null text would NaN-poison the repeat counts below)
+        df = batch.select([id_col, text_col]).to_pandas() \
+            .dropna(subset=[id_col, text_col])
         lines = df[text_col].str.split(sep)
         n = lines.str.len().to_numpy()
         doc = np.repeat(df[id_col].to_numpy(), n)
