@@ -415,6 +415,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "user_id", "value"]),
             "user_id", "value")
 
+    def cohort_retention_events(sf):
+        # per-user first-week cohort x active-week retention counts
+        from packs_ray.functions.windows import cohort_retention
+
+        return cohort_retention(_ds(sf, "events", ["user_id", "ts"]),
+                                "user_id", "ts")
+
     def interval_join_events(sf):
         # range join Ray Data lacks: attach each event to the session
         # interval containing its timestamp
@@ -1300,6 +1307,7 @@ checks for orders:
         "psi_drift_events": psi_drift_events,
         "categorical_drift_events": categorical_drift_events,
         "interval_join_events": interval_join_events,
+        "cohort_retention_events": cohort_retention_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
@@ -3934,6 +3942,17 @@ def oracle_sql() -> dict[str, str]:
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
         "sessionize_events": sessions,
+        # windows.cohort_retention: identical fixed-width epoch periods
+        # (us // 604800e6 == ms // 604800e3 for post-1970 data)
+        "cohort_retention_events": """
+    WITH d AS (SELECT DISTINCT user_id,
+                   epoch_ms(ts) // 604800000 AS wk FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    c AS (SELECT user_id, min(wk) AS cohort FROM d GROUP BY 1)
+    SELECT c.cohort::BIGINT AS cohort_week,
+           (d.wk - c.cohort)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM d JOIN c ON d.user_id = c.user_id GROUP BY 1, 2""",
         "interval_join_events": f"""
     WITH sess AS ({sessions})
     SELECT e.event_id, e.user_id, e.ts,

@@ -251,3 +251,53 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: int = 1800,
     ds2 = ds.select_columns([key_col, ts_col]).map_batches(
         add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def cohort_retention(ds, user_col: str, ts_col: str, *,
+                     period_seconds: int = 604800,
+                     num_partitions: int | None = None):
+    """Cohort-retention matrix: each user's cohort is their first
+    activity period (fixed ``period_seconds`` buckets of the epoch,
+    weeks by default); one output row per ``(cohort_week,
+    week_offset)`` with the count of users from that cohort active
+    that many periods later — the standard engagement/retention
+    analytics shape no single groupby expresses (it needs the per-user
+    first-touch joined back to every activity row).
+
+    Scale shape: per-batch ``(user, period)`` marks are locally
+    deduped (combiner), ONE shuffle co-partitions each user's marks so
+    the cohort min and the per-user distinct offsets are computed
+    together; the resulting (cohort, offset) cells — bounded by
+    users x periods, in practice tiny — flow through ``keyed_count``.
+    Null users/timestamps are excluded."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         keyed_count,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    us = np.int64(period_seconds) * np.int64(1_000_000)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        df = batch.select([user_col, ts_col]).to_pandas() \
+            .dropna(subset=[user_col, ts_col])
+        wk = (df[ts_col].astype("datetime64[us]").astype(np.int64)
+              // us)
+        out = pd.DataFrame({user_col: df[user_col],
+                            "wk": wk}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "wk"])
+        cohort = g.groupby(user_col, sort=False)["wk"].transform("min")
+        return pd.DataFrame({"cohort_week": cohort,
+                             "week_offset": g["wk"] - cohort})
+
+    cells = bucketed_group_reduce(
+        ds.select_columns([user_col, ts_col])
+        .map_batches(marks, batch_format="pyarrow"),
+        [user_col], per_user, num_partitions)
+    return keyed_count(cells, ["cohort_week", "week_offset"],
+                       count_col="n_users")

@@ -2061,3 +2061,39 @@ def test_correlation_matrix_known_values(ray_session):
     assert o2.loc[("a", "b"), "n"] == 3
     assert o2.loc[("a", "b"), "pearson"] == 1.0
     assert o2.loc[("b", "c"), "n"] == 4
+
+
+def test_cohort_retention_matrix(ray_session):
+    """cohort_retention: users land in their first-activity period,
+    each (cohort, offset) counts a user once regardless of event count,
+    nulls excluded, invariant under repartitioning."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import cohort_retention
+
+    W = 7 * 24 * 3600
+    epoch = dt.datetime(1970, 1, 1)
+    t = lambda wk, s=0: epoch + dt.timedelta(seconds=wk * W + s)
+    rows = [
+        (1, t(100)), (1, t(100, 5)), (1, t(101)),   # cohort 100, wk 0+1
+        (2, t(100, 9)), (2, t(102)),                # cohort 100, wk 0+2
+        (3, t(101)),                                # cohort 101, wk 0
+        (None, t(100)), (4, None),                  # excluded
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us"))})
+    out = cohort_retention(ray.data.from_arrow(tbl).repartition(3),
+                           "user_id", "ts").to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "cohort_week": [100, 100, 100, 101],
+        "week_offset": [0, 1, 2, 0],
+        "n_users": [2, 1, 1, 1]})
+    pd.testing.assert_frame_equal(
+        out.astype({"cohort_week": "int64", "week_offset": "int64",
+                    "n_users": "int64"}), exp)
