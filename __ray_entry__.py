@@ -415,6 +415,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "user_id", "value"]),
             "user_id", "value")
 
+    def funnel_events(sf):
+        # ordered view -> click -> purchase conversion funnel (greedy
+        # minimal chain per user, one user-bucketed mark shuffle)
+        from packs_ray.functions.windows import funnel_counts
+
+        return funnel_counts(
+            _ds(sf, "events", ["user_id", "event_type", "ts"]),
+            "user_id", "event_type", "ts",
+            ["view", "click", "purchase"])
+
     def cohort_retention_events(sf):
         # per-user first-week cohort x active-week retention counts
         from packs_ray.functions.windows import cohort_retention
@@ -1308,6 +1318,7 @@ checks for orders:
         "categorical_drift_events": categorical_drift_events,
         "interval_join_events": interval_join_events,
         "cohort_retention_events": cohort_retention_events,
+        "funnel_events": funnel_events,
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
@@ -3942,6 +3953,23 @@ def oracle_sql() -> dict[str, str]:
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
         "sessionize_events": sessions,
+        # windows.funnel_counts: greedy minimal chain — t1 = min(step1),
+        # t_k = min(step_k >= t_{k-1}); inclusive ties on both sides
+        "funnel_events": """
+    WITH e AS (SELECT user_id, event_type, ts FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    s1 AS (SELECT user_id, min(ts) AS t FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(ts) AS t FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = 'click' AND ts >= s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(ts) AS t FROM e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND ts >= s2.t GROUP BY 1)
+    SELECT 0::BIGINT AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1)::BIGINT AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)""",
         # windows.cohort_retention: identical fixed-width epoch periods
         # (us // 604800e6 == ms // 604800e3 for post-1970 data)
         "cohort_retention_events": """

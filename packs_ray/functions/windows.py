@@ -301,3 +301,61 @@ def cohort_retention(ds, user_col: str, ts_col: str, *,
         [user_col], per_user, num_partitions)
     return keyed_count(cells, ["cohort_week", "week_offset"],
                        count_col="n_users")
+
+
+def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
+                  steps: list[str], *, num_partitions: int | None = None):
+    """Ordered-funnel conversion counts: for each prefix of ``steps``,
+    how many users performed those event types in order — the greedy
+    minimal chain (t1 = first step-1 event; t_k = first step-k event at
+    or after t_{k-1}), the standard product-analytics funnel that no
+    single groupby expresses.
+
+    Scale shape: rows are prefiltered to the funnel's event types, then
+    only deduped ``(user, step, ts)`` marks ride ONE user-bucketed
+    shuffle; each bucket resolves its users' chains with k vectorized
+    merge+groupby-min passes (k = #steps) and emits k count rows, and
+    the per-bucket counts sum on the driver (#buckets x k rows).  Null
+    users/timestamps are excluded.  Returns a DataFrame of
+    ``(step_idx, step, n_users)``."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        df = batch.select([user_col, type_col, ts_col]).to_pandas() \
+            .dropna(subset=[user_col, ts_col])
+        df = df[df[type_col].isin(steps)].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev = None          # Series: user -> chain time so far
+        for s in steps:
+            sub = g[g[type_col] == s]
+            if prev is not None:
+                sub = sub.merge(prev.rename("__prev"),
+                                left_on=user_col, right_index=True)
+                sub = sub[sub[ts_col] >= sub["__prev"]]
+            prev = sub.groupby(user_col, sort=False)[ts_col].min()
+            counts.append(np.int64(len(prev)))
+        return pd.DataFrame({"step_idx": np.arange(len(steps),
+                                                   dtype=np.int64),
+                             "step": steps, "n_users": counts})
+
+    parts = bucketed_group_reduce(
+        ds.select_columns([user_col, type_col, ts_col])
+        .map_batches(marks, batch_format="pyarrow"),
+        [user_col], per_bucket, num_partitions).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"step_idx": np.arange(len(steps),
+                                                   dtype=np.int64),
+                             "step": steps,
+                             "n_users": np.zeros(len(steps),
+                                                 dtype=np.int64)})
+    return (parts.groupby(["step_idx", "step"], sort=True)["n_users"]
+            .sum().reset_index())

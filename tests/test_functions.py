@@ -2097,3 +2097,39 @@ def test_cohort_retention_matrix(ray_session):
     pd.testing.assert_frame_equal(
         out.astype({"cohort_week": "int64", "week_offset": "int64",
                     "n_users": "int64"}), exp)
+
+
+def test_funnel_counts_ordering_semantics(ray_session):
+    """funnel_counts: conversion requires steps in timestamp order
+    (greedy minimal chain, inclusive ties); out-of-order users count
+    only for the prefix they completed; monotone non-increasing."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full funnel in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: click BEFORE the first view, never re-clicks -> view only
+        (2, "click", t(0)), (2, "view", t(1)),
+        # u3: view+click, purchase before click -> stops at click
+        (3, "purchase", t(0)), (3, "view", t(1)), (3, "click", t(2)),
+        # u4: simultaneous view/click (inclusive tie) then purchase
+        (4, "view", t(5)), (4, "click", t(5)), (4, "purchase", t(6)),
+        # u5: purchase only -> counts nowhere
+        (5, "purchase", t(0)),
+    ]
+    tbl = pa.table({
+        "u": pa.array([r[0] for r in rows], type=pa.int64()),
+        "et": pa.array([r[1] for r in rows], type=pa.string()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us"))})
+    out = funnel_counts(ray.data.from_arrow(tbl).repartition(3),
+                        "u", "et", "ts", ["view", "click", "purchase"]) \
+        .set_index("step")
+    assert out.loc["view", "n_users"] == 4       # u1 u2 u3 u4
+    assert out.loc["click", "n_users"] == 3      # u1 u3 u4
+    assert out.loc["purchase", "n_users"] == 2   # u1 u4
