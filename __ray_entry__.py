@@ -273,6 +273,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return histogram(_ds(sf, "lineitem", ["l_extendedprice"]),
                          "l_extendedprice", n_bins=20)
 
+    def value_catalog_customer(sf):
+        # ydata "value counts" block: per-column top-10 values by
+        # frequency (one (column,value)-bucketed count shuffle)
+        from packs_ray.functions.profiling import value_counts_catalog
+
+        return value_counts_catalog(
+            _ds(sf, "customer", ["c_mktsegment", "c_nationkey"]),
+            ["c_mktsegment", "c_nationkey"], k=10)
+
     def correlations_lineitem(sf):
         # ydata-style pairwise Pearson catalog: exact integer power
         # sums, one fixed float64 expression per pair
@@ -1330,6 +1339,7 @@ checks for orders:
         "sum_anomaly_events": sum_anomaly_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
+        "value_catalog_customer": value_catalog_customer,
         "histogram_lineitem": histogram_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
@@ -3728,6 +3738,22 @@ def oracle_sql() -> dict[str, str]:
         "pii_iban_orders": _pii_iban_sql(),
         "mad_outliers_lineitem": _mad_outliers_sql(3.0),
         "sum_anomaly_events": _sum_anomaly_sql(3.0),
+        # profiling.value_counts_catalog: values as strings, ties by
+        # (n desc, value asc), p = n / per-column non-null total
+        "value_catalog_customer": """
+    SELECT * FROM (
+    WITH a AS (SELECT 'c_mktsegment' AS "column", c_mktsegment AS value
+               FROM customer WHERE c_mktsegment IS NOT NULL
+               UNION ALL
+               SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+               FROM customer WHERE c_nationkey IS NOT NULL),
+    g AS (SELECT "column", value, count(*)::BIGINT AS n
+          FROM a GROUP BY 1, 2),
+    t AS (SELECT "column", sum(n)::DOUBLE AS tot FROM g GROUP BY 1)
+    SELECT g."column", g.value, g.n, round(g.n / t.tot, 6) AS p
+    FROM g JOIN t ON g."column" = t."column"
+    QUALIFY row_number() OVER (PARTITION BY g."column"
+                               ORDER BY g.n DESC, g.value) <= 10)""",
         # profiling.correlation_matrix: exact HUGEINT power sums per
         # pair over rows where BOTH sides are present, the identical
         # one-rounding-per-term float64 expression, 6dp

@@ -705,3 +705,63 @@ def correlation_matrix(ds, columns: list[str], *,
     out = pd.DataFrame(rows)
     out["pearson"] = out["pearson"].astype(np.float64)
     return out
+
+
+def value_counts_catalog(ds, columns: list[str], k: int = 10,
+                         *, num_partitions: int | None = None):
+    """Per-column top-``k`` most frequent values with counts and
+    frequency — the ydata-profiling "value counts" block
+    (profiling_pack emits per-variable value tables from the full
+    in-memory frame; here it streams).  Ties rank deterministically by
+    (n desc, value asc); values are emitted as strings so one output
+    table covers every column type.  Nulls are excluded (completeness
+    is its own check).
+
+    Scale shape: per-batch per-column value counts (combiner) ride one
+    shuffle bucketed by (column, value); per-bucket sums then a tiny
+    per-column top-k reduce.  Returns a lazy Dataset of
+    ``(column, value, n, p)`` with p = n / column non-null total,
+    6dp."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import str_column
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        frames = []
+        for c in columns:
+            v = str_column(batch, c).drop_null().to_pandas()
+            if not len(v):
+                continue
+            g = v.value_counts()
+            frames.append(pd.DataFrame({
+                "column": c, "value": g.index.astype(str),
+                "n": g.to_numpy(dtype=np.int64)}))
+        if not frames:
+            return pa.table({"column": pa.array([], type=pa.string()),
+                             "value": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.Table.from_pandas(pd.concat(frames),
+                                    preserve_index=False)
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["column", "value"], sort=False)["n"]
+                .sum().reset_index())
+
+    summed = bucketed_group_reduce(
+        ds.select_columns(columns).map_batches(partial,
+                                               batch_format="pyarrow"),
+        ["column", "value"], sum_counts, num_partitions)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("column", sort=False)["n"].transform("sum")
+        g = g.assign(p=_r(g["n"].to_numpy(dtype=np.float64)
+                          / tot.to_numpy(dtype=np.float64), 6))
+        g = g.sort_values(["n", "value"], ascending=[False, True],
+                          kind="stable")
+        return g.groupby("column", sort=False).head(k)
+
+    return bucketed_group_reduce(summed, ["column"], topk,
+                                 min(num_partitions, len(columns)))

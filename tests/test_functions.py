@@ -2133,3 +2133,28 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert out.loc["view", "n_users"] == 4       # u1 u2 u3 u4
     assert out.loc["click", "n_users"] == 3      # u1 u3 u4
     assert out.loc["purchase", "n_users"] == 2   # u1 u4
+
+
+def test_value_counts_catalog_topk_and_ties(ray_session):
+    """value_counts_catalog: per-column top-k by (n desc, value asc),
+    nulls excluded, p sums to <=1, int columns cataloged as strings."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import value_counts_catalog
+
+    tbl = pa.table({
+        "s": pa.array(["b"] * 3 + ["a"] * 3 + ["c"] * 2 + [None, None],
+                      type=pa.string()),
+        "i": pa.array([7] * 5 + [9] * 3 + [None, None], type=pa.int64())})
+    out = value_counts_catalog(
+        ray.data.from_arrow(tbl).repartition(3), ["s", "i"], k=2) \
+        .to_pandas().sort_values(["column", "value"]).reset_index(drop=True)
+    s = out[out["column"] == "s"]
+    # tie between a(3) and b(3) -> value-asc keeps a then b, c dropped
+    assert list(s["value"]) == ["a", "b"]
+    assert list(s["n"]) == [3, 3]
+    assert s["p"].iloc[0] == round(3 / 8, 6)
+    i = out[out["column"] == "i"]
+    assert list(i["value"]) == ["7", "9"]
+    assert list(i["n"]) == [5, 3]
