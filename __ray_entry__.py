@@ -1075,6 +1075,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"expectation_type": "expect_column_max_to_be_between",
              "kwargs": {"column": "c_acctbal", "min_value": 5000.0,
                         "max_value": 12000.0}},
+            {"expectation_type": "expect_column_values_to_not_match_regex",
+             "kwargs": {"column": "c_name", "regex": "[0-9]{12}"}},
+            {"expectation_type": "expect_column_value_lengths_to_equal",
+             "kwargs": {"column": "c_mktsegment", "value": 9,
+                        "mostly": 0.3}},
+            {"expectation_type": "expect_column_values_to_be_null",
+             "kwargs": {"column": "c_acctbal", "mostly": 0.0}},
             {"expectation_type": "expect_column_kl_divergence_to_be_less_than",
              "kwargs": {"column": "c_acctbal"}},
         ]
@@ -3846,14 +3853,35 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL SELECT 6, 'min_between', 'c_acctbal',
         min_bal, min_bal BETWEEN -2000.0 AND 100.0 FROM a
       UNION ALL SELECT 7, 'max_between', 'c_acctbal',
-        max_bal, max_bal BETWEEN 5000.0 AND 12000.0 FROM a)
+        max_bal, max_bal BETWEEN 5000.0 AND 12000.0 FROM a
+      UNION ALL SELECT 8, 'pattern_search_percent', 'c_name',
+        round((SELECT sum(CASE WHEN NOT regexp_matches(c_name,
+                '[0-9]{12}') THEN 1 ELSE 0 END) FROM customer
+               WHERE c_name IS NOT NULL)::DOUBLE / n_name, 6),
+        round((SELECT sum(CASE WHEN NOT regexp_matches(c_name,
+                '[0-9]{12}') THEN 1 ELSE 0 END) FROM customer
+               WHERE c_name IS NOT NULL)::DOUBLE / n_name, 6) >= 1.0
+        FROM a
+      UNION ALL SELECT 9, 'text_length_between_percent', 'c_mktsegment',
+        round((SELECT sum(CASE WHEN length(c_mktsegment) = 9
+                THEN 1 ELSE 0 END) FROM customer
+               WHERE c_mktsegment IS NOT NULL)::DOUBLE
+              / (SELECT count(c_mktsegment) FROM customer), 6),
+        round((SELECT sum(CASE WHEN length(c_mktsegment) = 9
+                THEN 1 ELSE 0 END) FROM customer
+               WHERE c_mktsegment IS NOT NULL)::DOUBLE
+              / (SELECT count(c_mktsegment) FROM customer), 6) >= 0.3
+        FROM a
+      UNION ALL SELECT 10, 'null_percent', 'c_acctbal',
+        round((rows_n - n_bal) / rows_n, 6),
+        round((rows_n - n_bal) / rows_n, 6) >= 0.0 FROM a)
     SELECT * FROM r
-    UNION ALL SELECT 8,
+    UNION ALL SELECT 11,
       'skipped:expect_column_kl_divergence_to_be_less_than', 'c_acctbal',
       NULL, FALSE
     UNION ALL SELECT -1, '__score__', '__dataset__',
       (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
-      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 8 FROM r)""",
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 11 FROM r)""",
         # checks_from_sodacl warn:/fail: threshold blocks + percent
         # one-liners: identical labels, strict boundaries, dup fraction
         "checks_sodacl_thresholds_orders": """

@@ -76,7 +76,7 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                    if c["type"] not in NOSCAN]
     PCT = ("values_in_set_percent", "pattern_match_percent",
            "pattern_search_percent", "text_length_between_percent",
-           "not_null_percent", "column_pair_percent")
+           "not_null_percent", "column_pair_percent", "null_percent")
     EXT = ("min_between", "max_between")
 
     def partial(batch: pa.Table) -> dict:
@@ -98,6 +98,10 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 # denominator = ALL rows (missing fraction semantics)
                 d[f"n_{i}"] = len(col)
                 d[f"k_{i}"] = len(col) - col.null_count
+            elif t == "null_percent":
+                # GE expect_column_values_to_be_null: fraction null
+                d[f"n_{i}"] = len(col)
+                d[f"k_{i}"] = col.null_count
             elif t == "column_pair_percent":
                 # cross-column comparison (GE expect_column_pair_*):
                 # denominator = rows where BOTH sides are present
@@ -120,6 +124,8 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                 elif t == "pattern_search_percent":
                     ok = pc.match_substring_regex(
                         v.cast(pa.string()), c["pattern"])
+                    if c.get("negate"):   # GE ..._to_not_match_regex
+                        ok = pc.invert(ok)
                 else:
                     ln = pc.utf8_length(v.cast(pa.string()))
                     ok = pc.and_(pc.greater_equal(ln, c["min_len"]),
@@ -448,6 +454,18 @@ _GE_MAP = {
         lambda kw: {"type": "max_between", "column": kw["column"],
                     "min": kw.get("min_value", float("-inf")),
                     "max": kw.get("max_value", float("inf"))},
+    "expect_column_values_to_not_match_regex":
+        lambda kw: {"type": "pattern_search_percent", "column": kw["column"],
+                    "pattern": kw["regex"], "negate": True,
+                    "min_percent": kw.get("mostly", 1.0)},
+    "expect_column_value_lengths_to_equal":
+        lambda kw: {"type": "text_length_between_percent",
+                    "column": kw["column"],
+                    "min_len": kw["value"], "max_len": kw["value"],
+                    "min_percent": kw.get("mostly", 1.0)},
+    "expect_column_values_to_be_null":
+        lambda kw: {"type": "null_percent", "column": kw["column"],
+                    "min_percent": kw.get("mostly", 1.0)},
     "expect_column_pair_values_a_to_be_greater_than_b":
         lambda kw: {"type": "column_pair_percent",
                     "column": kw["column_A"], "other": kw["column_B"],

@@ -2158,3 +2158,31 @@ def test_value_counts_catalog_topk_and_ties(ray_session):
     i = out[out["column"] == "i"]
     assert list(i["value"]) == ["7", "9"]
     assert list(i["n"]) == [5, 3]
+
+
+def test_ge_negate_lengths_equal_and_null_percent(ray_session):
+    """New GE mappings: not_match_regex (negated search), value lengths
+    to EQUAL, values_to_be_null fraction."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.checks import (checks_from_expectations,
+                                            run_checks)
+
+    tbl = pa.table({
+        "t": pa.array(["abc", "a12", "xyz", None], type=pa.string()),
+        "v": pa.array([None, None, None, 5.0], type=pa.float64())})
+    suite = checks_from_expectations([
+        {"expectation_type": "expect_column_values_to_not_match_regex",
+         "kwargs": {"column": "t", "regex": "[0-9]", "mostly": 0.6}},
+        {"expectation_type": "expect_column_value_lengths_to_equal",
+         "kwargs": {"column": "t", "value": 3}},
+        {"expectation_type": "expect_column_values_to_be_null",
+         "kwargs": {"column": "v", "mostly": 0.7}},
+    ])
+    out = run_checks(ray.data.from_arrow(tbl), suite).set_index("check_id")
+    # 2 of 3 non-null t values lack digits
+    assert out.loc[0, "observed"] == round(2 / 3, 6)
+    assert out.loc[0, "passed"]
+    assert out.loc[1, "observed"] == 1.0 and out.loc[1, "passed"]
+    assert out.loc[2, "observed"] == 0.75 and out.loc[2, "passed"]
