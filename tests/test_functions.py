@@ -2186,3 +2186,48 @@ def test_ge_negate_lengths_equal_and_null_percent(ray_session):
     assert out.loc[0, "passed"]
     assert out.loc[1, "observed"] == 1.0 and out.loc[1, "passed"]
     assert out.loc[2, "observed"] == 0.75 and out.loc[2, "passed"]
+
+
+def test_funnel_and_cohort_hot_user_skew(ray_session):
+    """Skew stress: one mega-user with 60k events (every other user
+    tiny) — both event ops stay correct; the hot key cannot split
+    across buckets (single-bucket-per-user contract)."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import cohort_retention, funnel_counts
+
+    n_hot = 60_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hot_ts = base + (np.arange(n_hot) * 1_000_000).astype("timedelta64[us]")
+    hot_types = np.where(np.arange(n_hot) % 3 == 0, "view",
+                         np.where(np.arange(n_hot) % 3 == 1, "click",
+                                  "purchase"))
+    cold_ts = base + (np.arange(50) * 86_400_000_000) \
+        .astype("timedelta64[us]")
+    tbl = pa.table({
+        "u": pa.array(np.concatenate([np.full(n_hot, 1),
+                                      np.arange(2, 52)]), type=pa.int64()),
+        "et": pa.array(list(hot_types) + ["view"] * 50, type=pa.string()),
+        "ts": pa.array(np.concatenate([hot_ts, cold_ts]),
+                       type=pa.timestamp("us"))})
+    ds = ray.data.from_arrow(tbl).repartition(16)
+
+    fun = funnel_counts(ds, "u", "et", "ts",
+                        ["view", "click", "purchase"]).set_index("step")
+    # hot user converts fully; 50 cold users stop at view
+    assert fun.loc["view", "n_users"] == 51
+    assert fun.loc["click", "n_users"] == 1
+    assert fun.loc["purchase", "n_users"] == 1
+
+    coh = cohort_retention(ds, "u", "ts").to_pandas()
+    # hot user: weeks 2817..2816+ceil; every user appears exactly once
+    # per (cohort, offset); totals = sum of distinct user-weeks
+    assert int(coh["n_users"].sum()) == len(
+        {(1, int(t.astype("int64") // (604800 * 1_000_000)))
+         for t in hot_ts}
+        | {(int(u), int(t.astype("int64") // (604800 * 1_000_000)))
+           for u, t in zip(range(2, 52), cold_ts)})
