@@ -408,6 +408,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = ds.map_batches(partial, batch_format="pyarrow")
         return bucketed_group_reduce(parts, ["o_orderstatus"], reduce_fn, 4)
 
+    def jsonl_source_events(sf):
+        # round-trips events through a 2-shard JSONL export (planted
+        # null users on event_id % 7 == 0), reads it back via
+        # read_jsonl_sized (block sizing + JSON null semantics) and
+        # aggregates — the JSONL reader's oracle gate
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from packs_ray.functions.agg import bucketed_group_reduce
+        from packs_ray.sources.jsonl import read_jsonl_sized
+
+        df = pq.read_table(
+            os.path.join(sf, "events.parquet"),
+            columns=["event_id", "event_type", "user_id", "value"]
+        ).to_pandas().sort_values("event_id")
+        df.loc[df["event_id"] % 7 == 0, "user_id"] = pd.NA
+        df["user_id"] = df["user_id"].astype("Int64")
+        d = "/tmp/packs_ray_jsonl_fixture"
+        os.makedirs(d, exist_ok=True)
+        half = len(df) // 2
+        paths = []
+        for i, part in enumerate((df.iloc[:half], df.iloc[half:])):
+            p = os.path.join(d, f"events_{i}.jsonl")
+            part.to_json(p, orient="records", lines=True,
+                         date_format="iso")
+            paths.append(p)
+        ds = read_jsonl_sized(paths)
+
+        def partial(batch):
+            pdf = batch.to_pandas()
+            pdf["cents"] = (pdf["value"] * 100).round().astype("Int64")
+            g = (pdf.groupby("event_type", dropna=False)
+                 .agg(n=("cents", "size"),
+                      n_user=("user_id", "count"),
+                      cents=("cents", "sum"))
+                 .reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+            out = (g.groupby("event_type", dropna=False)
+                   [["n", "n_user", "cents"]].sum().reset_index())
+            return out.astype({"n": "int64", "n_user": "int64",
+                               "cents": "int64"})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        return bucketed_group_reduce(parts, ["event_type"], reduce_fn, 4)
+
     def mad_outliers_lineitem(sf):
         from packs_ray.functions.outliers import mad_outliers
 
@@ -1338,6 +1388,7 @@ checks for orders:
         "zscore_events": zscore_events,
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
+        "jsonl_source_events": jsonl_source_events,
         "checks_percent_customer": checks_percent_customer,
         "checks_pair_lineitem": checks_pair_lineitem,
         "checks_ge_full_customer": checks_ge_full_customer,
@@ -3977,6 +4028,18 @@ def oracle_sql() -> dict[str, str]:
       (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 3 FROM r)""",
         # sources/csv.read_csv_sized round-trip: the CSV writer plants
         # empty statuses on o_orderkey % 11 == 0 (read back as null)
+        # sources/jsonl.read_jsonl_sized round-trip: planted null users
+        # on event_id % 7 == 0 survive the JSON null representation
+        "jsonl_source_events": """
+    WITH s AS (SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END
+                   AS user_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           count(user_id)::BIGINT AS n_user,
+           sum(cents)::BIGINT AS cents
+    FROM s GROUP BY event_type""",
         "csv_source_orders": """
     WITH s AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
                     ELSE o_orderstatus END AS o_orderstatus,

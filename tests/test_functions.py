@@ -2231,3 +2231,25 @@ def test_funnel_and_cohort_hot_user_skew(ray_session):
          for t in hot_ts}
         | {(int(u), int(t.astype("int64") // (604800 * 1_000_000)))
            for u, t in zip(range(2, 52), cold_ts)})
+
+
+def test_jsonl_roundtrip_write_read(ray_session, tmp_path):
+    """write_jsonl -> read_jsonl_sized round-trips rows, types and
+    nulls (JSON null), and reads a multi-file directory in parallel."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.sources.jsonl import read_jsonl_sized, write_jsonl
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "txt": pa.array(["a", None, "c", 'quo"te\nline'],
+                        type=pa.string()),
+        "v": pa.array([1.5, None, -2.25, 0.0], type=pa.float64())})
+    out = str(tmp_path / "jl")
+    write_jsonl(ray.data.from_arrow(tbl).repartition(2), out)
+    back = read_jsonl_sized(out).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    exp = tbl.to_pandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(back[["id", "txt", "v"]], exp)
