@@ -1339,6 +1339,31 @@ checks for orders:
         tds = read_parquet_sized(_transcripts(sf), columns=["conv_id", "text"])
         return webquality.boilerplate_texts(tds, "conv_id", "text", min_groups=5)
 
+    def tool_usage_transcripts(sf):
+        # agent-transcript tool profile: per tool, total tool turns and
+        # distinct conversations using it (exact via one
+        # (tool, conv)-bucketed count, then a tiny per-tool reduce)
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.agg import bucketed_group_reduce, keyed_count
+        from packs_ray.sources.parquet import read_parquet_sized
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "tool"])
+        nn = tds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["tool"])),
+            batch_format="pyarrow")
+        pairs = keyed_count(nn, ["tool", "conv_id"])
+
+        def per_tool(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("tool", sort=False)
+                   .agg(n_turns=("cnt", "sum"), n_convs=("cnt", "size"))
+                   .reset_index())
+            return out.astype({"n_turns": "int64", "n_convs": "int64"})
+
+        return bucketed_group_reduce(pairs, ["tool"], per_tool, 4)
+
     return {
         "completeness_events": completeness_events,
         "text_stats_documents": text_stats_documents,
@@ -1389,6 +1414,7 @@ checks for orders:
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
         "jsonl_source_events": jsonl_source_events,
+        "tool_usage_transcripts": tool_usage_transcripts,
         "checks_percent_customer": checks_percent_customer,
         "checks_pair_lineitem": checks_pair_lineitem,
         "checks_ge_full_customer": checks_ge_full_customer,
@@ -2295,6 +2321,23 @@ def _boilerplate_sql() -> str:
            count(*)::BIGINT AS n_rows
     FROM n WHERE text_norm <> ''
     GROUP BY text_norm HAVING count(DISTINCT conv_id) >= 5"""
+
+
+def _tool_usage_sql() -> str:
+    """Per-tool turn and distinct-conversation counts on the sf-sized
+    transcript fixture (the _boilerplate_sql count(*)-gated union)."""
+    a = _ensure_flagship_artifacts()
+    return f"""
+    WITH t AS (
+        SELECT conv_id, tool FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT conv_id, tool FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT conv_id, tool FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000)
+    SELECT tool, count(*)::BIGINT AS n_turns,
+           count(DISTINCT conv_id)::BIGINT AS n_convs
+    FROM t WHERE tool IS NOT NULL GROUP BY tool"""
 
 
 def _ensure_media_artifacts() -> dict[str, str]:
@@ -4265,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": _repetition_sql(),
         "decontam_documents": _decontam_sql(),
         "boilerplate_turns_transcripts": _boilerplate_sql(),
+        "tool_usage_transcripts": _tool_usage_sql(),
         "join_orders_customer":
             "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",

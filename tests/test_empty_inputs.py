@@ -19,7 +19,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # inputs not derived from the sf tables (synthetic media / generated
 # transcripts / file-mtime metadata) are exercised by their own tests
 SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
-        "boilerplate_turns_transcripts", "staleness_inputs",
+        "boilerplate_turns_transcripts", "tool_usage_transcripts",
+        "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 
 
