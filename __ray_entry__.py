@@ -3067,7 +3067,8 @@ def _psi_drift_sql(n_bins: int = 10, threshold: float = 0.2) -> str:
     b AS (SELECT value AS v FROM events
           WHERE event_type = 'view' AND value IS NOT NULL),
     m AS (SELECT min(v) AS lo,
-          CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / {nb}
+          CASE WHEN (max(v) - min(v)) / {nb} > 0
+               THEN (max(v) - min(v)) / {nb}
                ELSE 1.0 END AS w FROM a),
     ca AS (SELECT CAST(least(greatest(floor((v - lo) / w), 0), {nb - 1})
              AS BIGINT) AS bin, count(*)::DOUBLE AS n
@@ -3882,7 +3883,8 @@ def oracle_sql() -> dict[str, str]:
         # fallback (constant column: all rows in bin 0, unit-width bins)
         "histogram_lineitem": """
     WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
-               CASE WHEN max(l_extendedprice) > min(l_extendedprice)
+               CASE WHEN (max(l_extendedprice)
+                          - min(l_extendedprice)) / 20 > 0
                     THEN (max(l_extendedprice) - min(l_extendedprice)) / 20
                     ELSE 1.0 END AS w
                FROM lineitem),

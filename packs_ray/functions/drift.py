@@ -368,7 +368,11 @@ def psi_drift(ds_a, ds_b, column: str, *, n_bins: int = 10,
     agg = global_agg(ds_a.select_columns([column]), mpartial, mcombine,
                      empty_schema=sch)
     lo, hi, n_a = agg["mn"], agg["mx"], agg["n"]
-    w = (hi - lo) / n_bins if hi > lo else 1.0
+    # guard on w (not hi > lo): a subnormal range underflows the
+    # division to 0.0 and would NaN the bin expression
+    w = (hi - lo) / n_bins
+    if not w > 0:
+        w = 1.0
 
     def hpartial(batch: pa.Table) -> dict:
         v = batch.column(column).drop_null() \

@@ -534,7 +534,11 @@ def histogram(ds, column: str, n_bins: int = 20) -> pd.DataFrame:
     agg = global_agg(ds.select_columns([column]), mpartial, mcombine,
                      empty_schema=pa.schema([(column, pa.float64())]))
     lo, hi = agg["mn"], agg["mx"]
-    w = (hi - lo) / n_bins if hi > lo else 1.0
+    # guard on w itself (not hi > lo): a subnormal range underflows
+    # the division to 0.0 and would NaN the bin expression
+    w = (hi - lo) / n_bins
+    if not w > 0:
+        w = 1.0
 
     def hpartial(batch: pa.Table) -> dict:
         v = batch.column(column).drop_null() \

@@ -154,3 +154,67 @@ def test_random_frames_parity(ray_session, df):
     av = eng["text_scrubbed"].to_numpy(dtype=object)
     bv = ora["text_scrubbed"].to_numpy(dtype=object)
     assert all((x == y) or (x is None and y is None) for x, y in zip(av, bv))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.one_of(st.none(),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=120))
+def test_winsorize_matches_numpy_replica(ray_session, vals):
+    """winsorize == clip at np.percentile(linear) of the non-null
+    values, nulls preserved, on adversarial value lists."""
+    import ray.data
+
+    from packs_ray.functions.profiling import winsorize
+    from packs_ray.stages.util import round_half_away
+
+    tbl = pa.table({"id": np.arange(len(vals), dtype=np.int64),
+                    "x": pa.array(vals, type=pa.float64())})
+    out = winsorize(ray.data.from_arrow(tbl).repartition(3),
+                    ["id"], "x", 0.1, 0.9).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    nn = np.array([v for v in vals if v is not None], dtype=np.float64)
+    if len(nn) == 0:
+        assert out["winsorized"].isna().all()
+        return
+    lo, hi = np.percentile(nn, [10, 90], method="linear")
+    for i, v in enumerate(vals):
+        w = out["winsorized"].iloc[i]
+        if v is None:
+            assert pd.isna(w)
+        else:
+            assert w == round_half_away(np.clip(v, lo, hi), 6)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.lists(st.floats(min_value=-100, max_value=100,
+                            allow_nan=False), min_size=2, max_size=200),
+       b=st.lists(st.floats(min_value=-100, max_value=100,
+                            allow_nan=False), min_size=2, max_size=200))
+def test_psi_drift_matches_local_replica(ray_session, a, b):
+    """psi_drift == the plain-numpy PSI over baseline-min/max fixed
+    bins with edge clamping and the 1e-6 floor."""
+    import ray.data
+
+    from packs_ray.functions.drift import psi_drift
+    from packs_ray.stages.util import round_half_away
+
+    mk = lambda v: ray.data.from_arrow(
+        pa.table({"x": pa.array(v, type=pa.float64())})).repartition(2)
+    out = psi_drift(mk(a), mk(b), "x", n_bins=5)
+    av, bv = np.asarray(a), np.asarray(b)
+    lo, hi = av.min(), av.max()
+    w = (hi - lo) / 5
+    if not w > 0:
+        w = 1.0
+    bins = lambda v: np.bincount(
+        np.minimum(np.maximum(np.floor((v - lo) / w), 0), 4).astype(int),
+        minlength=5)
+    pa_ = np.maximum(bins(av) / len(av), 1e-6)
+    pb_ = np.maximum(bins(bv) / len(bv), 1e-6)
+    exp = float(round_half_away(np.sum((pa_ - pb_) * np.log(pa_ / pb_)), 6))
+    assert out["psi"].iloc[0] == exp
