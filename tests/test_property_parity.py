@@ -218,3 +218,65 @@ def test_psi_drift_matches_local_replica(ray_session, a, b):
     pb_ = np.maximum(bins(bv) / len(bv), 1e-6)
     exp = float(round_half_away(np.sum((pa_ - pb_) * np.log(pa_ / pb_)), 6))
     assert out["psi"].iloc[0] == exp
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.one_of(st.none(),
+              st.floats(min_value=-1e10, max_value=1e10,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=150))
+def test_benford_matches_string_replica(ray_session, vals):
+    """benford_profile first digits == str(abs(round(v*100)))[0] over
+    non-null, non-zero-cent values."""
+    import ray.data
+
+    from packs_ray.functions.profiling import benford_profile
+
+    tbl = pa.table({"x": pa.array(vals, type=pa.float64())})
+    out = benford_profile(ray.data.from_arrow(tbl).repartition(3), "x") \
+        .set_index("digit")
+    exp = np.zeros(10, dtype=np.int64)
+    for v in vals:
+        if v is None:
+            continue
+        c = int(np.rint(v * 100))
+        if c != 0:
+            exp[int(str(abs(c))[0])] += 1
+    for d in range(1, 10):
+        assert out.loc[d, "n"] == exp[d]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.lists(st.sampled_from(["x", "y", "z", "w"]),
+                  min_size=1, max_size=100),
+       b=st.lists(st.sampled_from(["x", "y", "z", "q"]),
+                  min_size=1, max_size=100))
+def test_categorical_drift_matches_local_replica(ray_session, a, b):
+    """categorical_drift chi2/psi == the plain-numpy replica over the
+    union of observed categories."""
+    import ray.data
+
+    from packs_ray.functions.drift import categorical_drift
+    from packs_ray.stages.util import round_half_away
+
+    mk = lambda v: ray.data.from_arrow(
+        pa.table({"c": pa.array(v, type=pa.string())})).repartition(2)
+    out = categorical_drift(mk(a), mk(b), "c")
+    cats = sorted(set(a) | set(b))
+    ca = np.array([a.count(c) for c in cats], dtype=np.float64)
+    cb = np.array([b.count(c) for c in cats], dtype=np.float64)
+    n_a, n_b = len(a), len(b)
+    n = float(n_a + n_b)
+    pool = (ca + cb) / n
+    chi2 = float(np.sum((ca - n_a * pool) ** 2 / (n_a * pool))
+                 + np.sum((cb - n_b * pool) ** 2 / (n_b * pool)))
+    pa_ = np.maximum(ca / n_a, 1e-6)
+    pb_ = np.maximum(cb / n_b, 1e-6)
+    psi = float(round_half_away(
+        np.sum((pa_ - pb_) * np.log(pa_ / pb_)), 6))
+    assert out["n_categories"].iloc[0] == len(cats)
+    assert out["chi2"].iloc[0] == float(round_half_away(chi2, 6))
+    assert out["psi"].iloc[0] == psi
