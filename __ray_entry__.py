@@ -238,6 +238,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textstats.top_terms(
             _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=5)
 
+    def bm25_search_documents(sf):
+        # lexical retrieval baseline next to the embedding ANN queries
+        from packs_ray.functions.search import bm25_topk
+
+        return bm25_topk(_ds(sf, "documents", ["doc_id", "text"]),
+                         "doc_id", "text", "hash join merge sort", k=10)
+
     def time_window_agg_events(sf):
         # trailing 1-hour per-user window (RANGE-frame semantics:
         # peers at equal ts included)
@@ -1384,6 +1391,7 @@ checks for orders:
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
         "rollup_counts_orders": rollup_counts_orders,
         "top_terms_documents": top_terms_documents,
+        "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
         "stratified_sample_orders": stratified_sample_orders,
         "dedup_spans_documents": dedup_spans_documents,
@@ -3389,6 +3397,47 @@ def _url_canon_sql() -> str:
     FROM p6"""
 
 
+def _bm25_sql(query: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> str:
+    """search.bm25_topk replica: same trim+whitespace-split tokens as
+    top_terms, Lucene idf via ln (libm on both sides), the engine's
+    exact float-op order — dl/avgdl, (1-b)+(b*ratio), left-associative
+    per-term ``+`` chain over lexicographically sorted terms — and the
+    shared 6dp ROUND before the (score desc, id asc) top-k."""
+    terms = sorted({t for t in query.split() if t})
+    tf_cols = ",\n       ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(terms)))
+    contrib = " + ".join(
+        f"(ln(1 + ((s.n - f.df_{i}) + 0.5) / (f.df_{i} + 0.5))"
+        f" * ((t.tf_{i}::DOUBLE * ({k1!r} + 1))"
+        f" / (t.tf_{i}::DOUBLE + {k1!r} * ((1 - {b!r})"
+        f" + ({b!r} * (t.dl::DOUBLE / s.avgdl))))))"
+        for i in range(len(terms)))
+    any_hit = " + ".join(f"t.tf_{i}" for i in range(len(terms)))
+    return rf"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM documents),
+    dl AS (SELECT doc_id, toks,
+           (CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                 ELSE len(toks) END)::BIGINT AS dl FROM d),
+    t AS (SELECT doc_id, dl,
+       {tf_cols} FROM dl),
+    s AS (SELECT count(*)::BIGINT AS n,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    f AS (SELECT {df_cols} FROM t)
+    SELECT t.doc_id, round({contrib}, 6) AS bm25
+    FROM t, s, f
+    WHERE ({any_hit}) > 0
+    ORDER BY bm25 DESC, t.doc_id ASC
+    LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -3729,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
+        "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
         "top_terms_documents": r"""
     WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
             coalesce(text, ''),

@@ -1,0 +1,126 @@
+"""Lexical (BM25) top-k search over a text column.
+
+Complements the embedding-side similarity search
+(``packs_ray/functions/similarity.py``) with the classic sparse
+retrieval baseline a training-data pipeline needs for corpus triage
+("find the documents most about X"): Okapi BM25 with the Lucene
+non-negative idf, computed in three streaming passes —
+
+1. corpus-stats scan: per-batch partials (doc count, token-length sum,
+   per-query-term document frequency) as ONE tiny row per block; only
+   these fixed-size partials reach the driver;
+2. scoring scan: the (few) query terms + their idf ride the closure,
+   per-batch vectorized tf counts and a sequential per-term float fold
+   (word-for-word the SQL oracle's left-associative ``+`` chain, so
+   scores are bit-identical);
+3. per-batch local top-k partials, driver merge of blocks x k rows —
+   the ``brute_force_topk`` shape: no shuffle, no materialization.
+
+Tokenization matches ``textstats.top_terms``: whitespace-regex split of
+the trimmed, null-filled text; an all-whitespace or null document has
+length 0 and matches nothing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import str_column
+
+_WS_RE = "[ \t\n\r\f\v]+"
+_WS_CHARS = " \t\n\r\f\v"
+
+
+def _term_counts(batch: pa.Table, text_col: str, terms: list[str]):
+    """(dl, tf) for one batch: dl = token count per row (0 for empty /
+    null text), tf = (n_rows, n_terms) exact term-frequency matrix."""
+    col = str_column(batch, text_col)
+    trimmed = pc.utf8_trim(pc.fill_null(col, ""), _WS_CHARS)
+    lists = pc.split_pattern_regex(trimmed, _WS_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    raw_lens = off[1:] - off[:-1]              # [""] slots still length 1
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    dl = np.where(empty, 0, raw_lens).astype(np.int64)
+    flat = lists.flatten()
+    n = len(dl)
+    row_idx = np.repeat(np.arange(n), raw_lens)
+    tf = np.zeros((n, len(terms)), dtype=np.int64)
+    for i, t in enumerate(terms):
+        eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+        hits = row_idx[eq]
+        if hits.size:
+            tf[:, i] = np.bincount(hits, minlength=n)
+    return dl, tf
+
+
+def bm25_topk(ds, id_col: str, text_col: str, query: str, k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Top-``k`` documents by Okapi BM25 against ``query``.
+
+    Query terms are the distinct whitespace tokens of ``query``, sorted
+    lexicographically (the fold order — pinned so the float sum is
+    deterministic and oracle-reproducible).  idf is the Lucene
+    non-negative form ``ln(1 + (N - df + 0.5) / (df + 0.5))`` computed
+    with ``math.log`` (libm, the same code path as the SQL oracle's
+    ``ln``).  Only documents matching at least one term score; ties on
+    the 6dp-rounded score break by ascending id.  Returns
+    (id_col, bm25) sorted (bm25 desc, id asc), at most ``k`` rows."""
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "bm25": pd.Series([], dtype="float64")})
+
+    # pass 1: corpus stats — one fixed-size partial row per block
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tf = _term_counts(batch, text_col, terms)
+        cols = {"n": np.array([len(dl)], dtype=np.int64),
+                "len_sum": np.array([dl.sum()], dtype=np.int64)}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = np.array([(tf[:, i] > 0).sum()],
+                                       dtype=np.int64)
+        return pa.table(cols)
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n"].sum()) if len(parts) else 0
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "bm25": pd.Series([], dtype="float64")})
+    len_sum = int(parts["len_sum"].sum())
+    dfs = [int(parts[f"df_{i}"].sum()) for i in range(len(terms))]
+    avgdl = len_sum / n_docs                     # float64, = SQL sum/count
+    idf = [math.log(1.0 + ((n_docs - d) + 0.5) / (d + 0.5)) for d in dfs]
+
+    # pass 2+3: score + local top-k partials (closure state is tiny —
+    # a handful of floats — so no ray.put broadcast is needed)
+    def score_partial(batch: pa.Table) -> pa.Table:
+        dl, tf = _term_counts(batch, text_col, terms)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        norm = (1.0 - b) + b * (dl.astype(np.float64) / avgdl)
+        score = np.zeros(len(dl), dtype=np.float64)
+        for i in range(len(terms)):              # sequential fold, term order
+            tfi = tf[:, i].astype(np.float64)
+            score = score + idf[i] * ((tfi * (k1 + 1)) / (tfi + k1 * norm))
+        hit = tf.sum(axis=1) > 0
+        score = _r(score, 6)
+        order = np.lexsort((ids, -score))        # score desc, id asc
+        order = order[hit[order]][:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "bm25": pa.array(score[order], type=pa.float64())})
+
+    out = ds.select_columns([id_col, text_col]).map_batches(
+        score_partial, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "bm25": pd.Series([], dtype="float64")})
+    out = out.sort_values(["bm25", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)

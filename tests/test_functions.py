@@ -2253,3 +2253,42 @@ def test_jsonl_roundtrip_write_read(ray_session, tmp_path):
     exp = tbl.to_pandas().sort_values("id").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(back[["id", "txt", "v"]], exp)
+
+
+def test_bm25_topk_scores_and_edges(ray_session):
+    """bm25_topk ranks the doc saturated with the query term first,
+    matches a hand-computed score, ignores empty/null docs, and returns
+    empty frames for an empty query."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.search import bm25_topk
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["spark spark spark", "spark row", "row row",
+                          None, "   "], type=pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    out = bm25_topk(ds, "id", "text", "spark", k=10)
+    assert out["id"].tolist() == [1, 2]          # only matching docs
+    # hand-computed: N=5, dl=[3,2,2,0,0], avgdl=7/5, df(spark)=2
+    idf = math.log(1 + (5 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        norm = (1 - b) + b * (dl / (7 / 5))
+        return idf * ((tf * (k1 + 1)) / (tf + k1 * norm))
+
+    assert abs(out["bm25"].iloc[0] - round(score(3, 3), 6)) < 1e-9
+    assert abs(out["bm25"].iloc[1] - round(score(1, 2), 6)) < 1e-9
+
+    empty = bm25_topk(ds, "id", "text", "   ", k=5)
+    assert empty.empty and list(empty.columns) == ["id", "bm25"]
+
+    # ties (identical docs) break by ascending id, k truncates
+    tie = pa.table({"id": pa.array([9, 7, 8], type=pa.int64()),
+                    "text": pa.array(["x y", "x y", "x y"])})
+    t = bm25_topk(ray.data.from_arrow(tie), "id", "text", "x", k=2)
+    assert t["id"].tolist() == [7, 8]
