@@ -879,6 +879,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return connected_components(pairs, node_col="doc_id",
                                     label_col="cluster_id")
 
+    def neardup_keep_best_documents(sf):
+        # production dedup policy: keep the longest member per cluster
+        from packs_ray.functions.components import (cluster_canonicals,
+                                                    connected_components)
+
+        pairs = neardup.minhash_lsh_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            jaccard_threshold=0.5)
+        clusters = connected_components(pairs, node_col="doc_id",
+                                        label_col="cluster_id")
+        return cluster_canonicals(
+            clusters, _ds(sf, "documents", ["doc_id", "n_chars"]),
+            id_col="doc_id", score_col="n_chars",
+            node_col="doc_id", label_col="cluster_id")
+
     def simhash_documents(sf):
         return neardup.simhash64(_ds(sf, "documents", ["doc_id", "text"]),
                                  "doc_id", "text")
@@ -1449,6 +1464,7 @@ checks for orders:
         "fingerprints_documents": fingerprints_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
         "neardup_clusters_documents": neardup_clusters_documents,
+        "neardup_keep_best_documents": neardup_keep_best_documents,
         "simhash_documents": simhash_documents,
         "ks_drift_events": ks_drift_events,
         "knn_outliers_lineitem": knn_outliers_lineitem,
@@ -4300,6 +4316,18 @@ def oracle_sql() -> dict[str, str]:
                     UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
     SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
     FROM reach GROUP BY a""",
+        "neardup_keep_best_documents": f"""
+    WITH RECURSIVE p AS ({_minhash_sql()}),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (SELECT a, b FROM e
+                    UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+            FROM reach GROUP BY a)
+    SELECT l.cluster_id, l.doc_id, d.n_chars
+    FROM lab l JOIN documents d USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+        ORDER BY d.n_chars DESC, l.doc_id ASC) = 1""",
         "ks_drift_events": _ks_drift_sql(),
         "ann_ivf_embeddings": _ann_ivf_sql(),
         "knn_outliers_lineitem": _knn_lineitem_sql(),

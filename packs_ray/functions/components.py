@@ -130,12 +130,16 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
 
 
 def drop_near_duplicates(ds, id_col: str, labels_ds, *,
-                         node_col: str = "node", label_col: str = "cluster"):
+                         node_col: str = "node", label_col: str = "cluster",
+                         canonicals=None, canonical_col: str | None = None):
     """Keep only cluster-canonical documents: rows whose id is either
-    absent from ``labels_ds`` (no near-dup) or equal to its cluster
-    label (the component minimum).  The non-canonical id set is the
-    clustered-minus-canonical slice — far smaller than the corpus —
-    broadcast once via ``ray.put`` and tested per batch."""
+    absent from ``labels_ds`` (no near-dup) or canonical for its
+    cluster — by default the cluster label itself (the component
+    minimum); pass ``canonicals`` (a ``cluster_canonicals`` result) and
+    ``canonical_col`` to keep the best-scoring member instead.  The
+    non-canonical id set is the clustered-minus-canonical slice — far
+    smaller than the corpus — broadcast once via ``ray.put`` and tested
+    per batch."""
     import ray
 
     def non_canonical(batch: pa.Table) -> pa.Table:
@@ -143,11 +147,24 @@ def drop_near_duplicates(ds, id_col: str, labels_ds, *,
                                     batch.column(label_col))
         return batch.filter(keep).select([node_col])
 
-    bad = np.sort(np.concatenate([
-        np.asarray(b.column(node_col).to_numpy(zero_copy_only=False))
-        for b in ray.get(labels_ds.map_batches(
-            non_canonical, batch_format="pyarrow").to_arrow_refs())
-        if len(b)] or [np.empty(0, dtype=np.int64)]))
+    if canonicals is None:
+        bad = np.sort(np.concatenate([
+            np.asarray(b.column(node_col).to_numpy(zero_copy_only=False))
+            for b in ray.get(labels_ds.map_batches(
+                non_canonical, batch_format="pyarrow").to_arrow_refs())
+            if len(b)] or [np.empty(0, dtype=np.int64)]))
+    else:
+        def ids_of(src, col):
+            return np.concatenate([
+                np.asarray(b.column(col).to_numpy(zero_copy_only=False))
+                for b in ray.get(src.map_batches(
+                    lambda t, c=col: t.select([c]),
+                    batch_format="pyarrow").to_arrow_refs())
+                if len(b)] or [np.empty(0, dtype=np.int64)])
+
+        clustered = ids_of(labels_ds, node_col)
+        keep_ids = ids_of(canonicals, canonical_col or id_col)
+        bad = np.setdiff1d(clustered, keep_ids)   # sorted, unique
     ref = ray.put(bad)
 
     def keep_rows(batch: pa.Table) -> pa.Table:
@@ -159,3 +176,35 @@ def drop_near_duplicates(ds, id_col: str, labels_ds, *,
         return batch.filter(pa.array(drop_ids[pos] != ids))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def cluster_canonicals(labels_ds, scores_ds, *, id_col: str,
+                       score_col: str, node_col: str = "node",
+                       label_col: str = "cluster"):
+    """Per-cluster representative by QUALITY instead of label minimum:
+    the member with the maximum ``score_col`` (ties to the smallest id)
+    — "keep the best document" dedup, the production policy when docs
+    carry a quality/length signal (vs ``drop_near_duplicates``'s
+    keep-min-id).  Returns a lazy Dataset (label_col, id_col, score_col),
+    one row per cluster.
+
+    Scale shape: one equi-join of the (narrow) label set against the
+    score column — the label side broadcasts while small, co-partitions
+    above the join cap — then one bucketed argmax reduce over
+    (label, id, score) rows; the documents themselves never move."""
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.functions.joins import equi_join
+
+    joined = equi_join(scores_ds, labels_ds, left_on=[id_col],
+                       right_on=[node_col], how="inner")
+    keep = [label_col, id_col, score_col]
+    proj = joined.map_batches(lambda t: t.select(keep),
+                              batch_format="pyarrow")
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([score_col, id_col], ascending=[False, True],
+                          kind="mergesort")
+        return g.groupby(label_col, sort=False).head(1)[keep]
+
+    return bucketed_group_reduce(proj, [label_col], best,
+                                 row_shuffle_partitions(labels_ds))

@@ -80,3 +80,42 @@ def test_drop_near_duplicates_keeps_canonical(ray_session):
     kept = drop_near_duplicates(docs, "doc_id",
                                 connected_components(pairs)).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 1, 4]
+
+
+def test_cluster_canonicals_keep_best(ray_session):
+    """cluster_canonicals picks the max-score member (ties -> min id)
+    and drop_near_duplicates(canonicals=...) keeps exactly the
+    canonical + unclustered rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.components import (cluster_canonicals,
+                                                connected_components,
+                                                drop_near_duplicates)
+
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 10], type=pa.int64()),
+        "id_b": pa.array([2, 3, 11], type=pa.int64())}))
+    labels = connected_components(pairs, node_col="doc_id",
+                                  label_col="cluster_id")
+    # scores: doc 3 is the longest in {1,2,3}; 10 and 11 tie -> min id 10
+    scores = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 99], type=pa.int64()),
+        "n_chars": pa.array([5, 7, 9, 4, 4, 100], type=pa.int64())}))
+    canon = cluster_canonicals(labels, scores, id_col="doc_id",
+                               score_col="n_chars", node_col="doc_id",
+                               label_col="cluster_id").to_pandas()
+    canon = canon.sort_values("cluster_id").reset_index(drop=True)
+    assert canon["cluster_id"].tolist() == [1, 10]
+    assert canon["doc_id"].tolist() == [3, 10]
+    assert canon["n_chars"].tolist() == [9, 4]
+    assert canon["doc_id"].dtype == "int64"
+
+    labels2 = connected_components(pairs, node_col="doc_id",
+                                   label_col="cluster_id")
+    kept = drop_near_duplicates(
+        scores, "doc_id", labels2, node_col="doc_id",
+        label_col="cluster_id",
+        canonicals=ray.data.from_pandas(canon),
+        canonical_col="doc_id").to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [3, 10, 99]
