@@ -879,6 +879,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return connected_components(pairs, node_col="doc_id",
                                     label_col="cluster_id")
 
+    def fuzzy_join_customer_supplier(sf):
+        # record linkage: exact 3-gram Jaccard >= 0.25 join of customer
+        # names to supplier names (prefix-filtered, fully distributed)
+        from packs_ray.functions.linkage import fuzzy_join
+
+        return fuzzy_join(
+            _ds(sf, "customer", ["c_custkey", "c_name"]),
+            _ds(sf, "supplier", ["s_suppkey", "s_name"]),
+            left_id="c_custkey", left_text="c_name",
+            right_id="s_suppkey", right_text="s_name",
+            threshold=0.25, gram=3, max_bucket=1_000_000_000)
+
     def neardup_keep_best_documents(sf):
         # production dedup policy: keep the longest member per cluster
         from packs_ray.functions.components import (cluster_canonicals,
@@ -1465,6 +1477,7 @@ checks for orders:
         "minhash_pairs_documents": minhash_pairs_documents,
         "neardup_clusters_documents": neardup_clusters_documents,
         "neardup_keep_best_documents": neardup_keep_best_documents,
+        "fuzzy_join_customer_supplier": fuzzy_join_customer_supplier,
         "simhash_documents": simhash_documents,
         "ks_drift_events": ks_drift_events,
         "knn_outliers_lineitem": knn_outliers_lineitem,
@@ -3413,6 +3426,50 @@ def _url_canon_sql() -> str:
     FROM p6"""
 
 
+def _table_shingles_sql(table: str, id_col: str, text_col: str, n: int,
+                        sfx: str) -> str:
+    """CTE chain ending in ``sh{sfx}(id, h)`` — the ``_sql_doc_shingles``
+    FNV-1a byte-shingle replica parameterized over table/columns so two
+    tables can coexist in one oracle (suffix keeps CTE names distinct)."""
+    return f"""
+    b{sfx} AS (SELECT {id_col} AS id, hex(encode({text_col})) AS hx,
+                 octet_length(encode({text_col})) AS nb
+          FROM {table} WHERE {text_col} IS NOT NULL),
+    bytes{sfx} AS (SELECT id, {_BYTES_EXPR} AS bl, nb FROM b{sfx}),
+    padded{sfx} AS (SELECT id,
+        CASE WHEN nb < {n} THEN bl || list_transform(range(0, {n}-nb), i -> 0::HUGEINT)
+             ELSE bl END AS bl,
+        greatest(nb, {n}) AS nb FROM bytes{sfx}),
+    hl{sfx} AS (SELECT id, list_transform(range(0, nb-{n}+1),
+        w -> list_reduce(list_prepend({_FNV_OFF}::HUGEINT, bl[w+1:w+{n}]),
+             {_FNV_LAMBDA})) AS hs
+        FROM padded{sfx}),
+    sh{sfx} AS (SELECT id, unnest(list_distinct(hs)) AS h FROM hl{sfx})"""
+
+
+def _fuzzy_join_sql(threshold: float = 0.3, gram: int = 3) -> str:
+    """linkage.fuzzy_join replica: exact all-cross-pairs char-gram
+    Jaccard between customer and supplier names over the SAME FNV
+    shingle hashes the engine computes, thresholded on the unrounded
+    value, output rounded 4dp (the engine's prefix filter is a lossless
+    optimization, so the uncapped cross join is its ground truth)."""
+    return f"""
+    WITH {_table_shingles_sql('customer', 'c_custkey', 'c_name', gram, 'c')},
+    {_table_shingles_sql('supplier', 's_suppkey', 's_name', gram, 's')},
+    lc AS (SELECT id, list_sort(list(h)) AS hs, count(*) AS cnt
+           FROM shc GROUP BY id),
+    ls AS (SELECT id, list_sort(list(h)) AS hs, count(*) AS cnt
+           FROM shs GROUP BY id)
+    SELECT a.id AS c_custkey, b.id AS s_suppkey,
+        round(len(list_intersect(a.hs, b.hs))::DOUBLE
+              / (a.cnt + b.cnt - len(list_intersect(a.hs, b.hs))), 4)
+            AS jaccard
+    FROM lc a CROSS JOIN ls b
+    WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
+          / (a.cnt + b.cnt - len(list_intersect(a.hs, b.hs)))
+          >= {threshold!r}"""
+
+
 def _bm25_sql(query: str, k: int = 10, k1: float = 1.2,
               b: float = 0.75) -> str:
     """search.bm25_topk replica: same trim+whitespace-split tokens as
@@ -3795,6 +3852,7 @@ def oracle_sql() -> dict[str, str]:
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
         "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
+        "fuzzy_join_customer_supplier": _fuzzy_join_sql(0.25, 3),
         "top_terms_documents": r"""
     WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
             coalesce(text, ''),

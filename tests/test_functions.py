@@ -2292,3 +2292,41 @@ def test_bm25_topk_scores_and_edges(ray_session):
                     "text": pa.array(["x y", "x y", "x y"])})
     t = bm25_topk(ray.data.from_arrow(tie), "id", "text", "x", k=2)
     assert t["id"].tolist() == [7, 8]
+
+
+def test_fuzzy_join_exact_vs_bruteforce(ray_session):
+    """fuzzy_join (prefix-filtered, distributed) equals the brute-force
+    all-pairs gram Jaccard on a small dirty-names fixture, including
+    threshold boundary and null handling."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.linkage import fuzzy_join
+    from packs_ray.functions.neardup import _shingle_hashes
+
+    left = pa.table({"lid": pa.array([0, 1, 2, 3], type=pa.int64()),
+                     "lname": pa.array(["acme corp", "globex inc",
+                                        "initech llc", None])})
+    right = pa.table({"rid": pa.array([0, 1, 2], type=pa.int64()),
+                      "rname": pa.array(["acme corp.", "globex, inc",
+                                         "umbrella co"])})
+    out = fuzzy_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     left_id="lid", left_text="lname",
+                     right_id="rid", right_text="rname",
+                     threshold=0.5, gram=3).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(out["lid"], out["rid"], out["jaccard"])}
+
+    import numpy as np
+    exp = {}
+    for li, lt in enumerate(left.column("lname").to_pylist()):
+        if lt is None:
+            continue
+        A = _shingle_hashes(lt, 3)
+        for ri, rt in enumerate(right.column("rname").to_pylist()):
+            B = _shingle_hashes(rt, 3)
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            jac = inter / (len(A) + len(B) - inter)
+            if jac >= 0.5:
+                exp[(li, ri)] = round(jac, 4)
+    assert got == exp and len(exp) >= 2       # acme & globex both link
