@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return duplicates.dedup_exact(_ds(sf, "documents", ["doc_id", "text"]),
                                       ["text"], "doc_id").select_columns(["doc_id"])
 
+    def dedup_latest_events(sf):
+        # recency dedup: newest event per user (crawl keep-latest policy)
+        return duplicates.dedup_latest(
+            _ds(sf, "events", ["user_id", "ts", "event_id"]),
+            ["user_id"], "ts", "event_id")
+
     def distinct_mktsegment(sf):
         from packs_ray.functions.agg import keyed_count
 
@@ -1403,6 +1409,7 @@ checks for orders:
         "text_stats_documents": text_stats_documents,
         "duplicates_documents": duplicates_documents,
         "dedup_exact_documents": dedup_exact_documents,
+        "dedup_latest_events": dedup_latest_events,
         "distinct_mktsegment": distinct_mktsegment,
         "numeric_range_lineitem": numeric_range_lineitem,
         "fk_orphans_orders": fk_orphans_orders,
@@ -3713,6 +3720,10 @@ def oracle_sql() -> dict[str, str]:
         "duplicates_documents": duplicates,
         "dedup_exact_documents":
             "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text",
+        "dedup_latest_events": """
+    SELECT user_id, ts, event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC NULLS LAST, event_id ASC) = 1""",
         "distinct_mktsegment":
             "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer GROUP BY c_mktsegment",
         "numeric_range_lineitem": numeric_range,

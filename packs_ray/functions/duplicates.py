@@ -194,3 +194,49 @@ def dedup_exact(ds, key_cols: list[str], order_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby("__p").map_groups(per_bucket, batch_format="pandas")
+
+
+def dedup_latest(ds, key_cols: list[str], ts_col: str, id_col: str,
+                 num_partitions: int | None = None):
+    """Recency dedup: keep the row with max(ts_col) per key group, ties
+    to min(id_col) — the crawl-snapshot policy (newest fetch of a URL
+    wins) complementing ``dedup_exact``'s keep-first.  Returns a lazy
+    Dataset of (key_cols..., ts_col, id_col) survivors.
+
+    Same scale shape as dedup_exact: per-batch argmax partials ride the
+    shuffle keyed on a 128-bit key hash (long text keys never move
+    twice), one vectorized per-bucket argmax.  Null timestamps lose to
+    any real timestamp (SQL NULLS LAST)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    cols = key_cols + [ts_col, id_col]
+
+    def best(df: pd.DataFrame, group_keys: list[str]) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], ascending=[False, True],
+                            kind="mergesort", na_position="last")
+        return df.groupby(group_keys, dropna=False, sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        h1 = np.zeros(len(df), dtype=np.uint64)
+        h2 = np.zeros(len(df), dtype=np.uint64)
+        for c in key_cols:
+            vals = df[c].to_numpy()
+            h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+                vals, hash_key="0123456789123456")
+            h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+                vals, hash_key="6543216543210987")
+        df = df.assign(__h1=h1.view(np.int64), __h2=h2.view(np.int64),
+                       __p=(h1 % np.uint64(num_partitions)).astype(np.int64))
+        out = best(df, ["__p", "__h1", "__h2"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g, ["__h1", "__h2"])[cols]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("__p").map_groups(per_bucket, batch_format="pandas")

@@ -2330,3 +2330,27 @@ def test_fuzzy_join_exact_vs_bruteforce(ray_session):
             if jac >= 0.5:
                 exp[(li, ri)] = round(jac, 4)
     assert got == exp and len(exp) >= 2       # acme & globex both link
+
+
+def test_dedup_latest_recency_and_nulls(ray_session):
+    """dedup_latest keeps max-ts per key (ties -> min id); null ts loses
+    to any real ts; a null key forms its own group."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.duplicates import dedup_latest
+
+    ts = pd.to_datetime(["2026-01-02", "2026-01-03", "2026-01-03",
+                         None, "2026-01-01", None]).astype("datetime64[us]")
+    tbl = pa.table({"k": pa.array([1, 1, 1, 2, 2, None],
+                                  type=pa.int64()),
+                    "ts": pa.array(ts),
+                    "id": pa.array([10, 12, 11, 20, 21, 30],
+                                   type=pa.int64())})
+    out = (dedup_latest(ray.data.from_arrow(tbl), ["k"], "ts", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # k=1: two rows tie at 01-03 -> min id 11; k=2: null ts loses -> 21
+    assert out["id"].tolist() == [11, 21, 30]
+    assert out["k"].dtype == "int64" or out["k"].isna().any()
