@@ -240,6 +240,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
             ["o_orderstatus", "o_orderpriority"])
 
+    def cube_counts_orders(sf):
+        from packs_ray.functions.agg import cube_counts
+
+        return cube_counts(
+            _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
+            ["o_orderstatus", "o_orderpriority"])
+
     def top_terms_documents(sf):
         return textstats.top_terms(
             _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=5)
@@ -1424,6 +1431,7 @@ checks for orders:
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
         "rollup_counts_orders": rollup_counts_orders,
+        "cube_counts_orders": cube_counts_orders,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -3861,6 +3869,10 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts_orders": """
     SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+        "cube_counts_orders": """
+    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
         "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
         "fuzzy_join_customer_supplier": _fuzzy_join_sql(0.25, 3),

@@ -288,6 +288,85 @@ def rollup_counts(ds, cols: list[str], *, count_col: str = "cnt",
     return out.union(gtotal)
 
 
+def cube_counts(ds, cols: list[str], *, count_col: str = "cnt",
+                num_partitions: int | None = None):
+    """SQL ``GROUP BY CUBE(cols...)``: counts for EVERY subset of the
+    grouping columns (2^k levels), absent columns emitted as typed
+    NULLs — the full contingency lattice behind pivot-style data
+    exploration.
+
+    Scale shape mirrors ``rollup_counts``: the raw data is scanned once
+    (the finest ``keyed_count``); every other subset re-reduces those
+    already-tiny count rows, so the 2^k fan-out touches only aggregate
+    rows.  ``k`` is capped at 4 (16 levels) — a wider cube is a sign the
+    caller wants ``keyed_count`` per analysis instead."""
+    from itertools import combinations
+
+    if len(cols) > 4:
+        raise ValueError("cube_counts supports at most 4 columns "
+                         f"(got {len(cols)}: 2^k levels explode)")
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    base = getattr(ds.schema(), "base_schema", None)
+    col_types = {c: (base.field(c).type if base is not None
+                     and base.get_field_index(c) >= 0 else pa.string())
+                 for c in cols}
+
+    def nullify(keep: tuple):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {c: (batch.column(c).cast(col_types[c]) if c in keep
+                       else pa.nulls(len(batch), type=col_types[c]))
+                   for c in cols}
+            out[count_col] = batch.column(count_col)
+            return pa.table(out)
+        return fn
+
+    finest = keyed_count(ds, cols, count_col=count_col,
+                         num_partitions=num_partitions)
+    levels = [finest.map_batches(nullify(tuple(cols)),
+                                 batch_format="pyarrow")]
+    for r in range(len(cols) - 1, 0, -1):
+        for keys in combinations(cols, r):
+            ks = list(keys)
+
+            def partial(batch: pa.Table, _k=ks) -> pa.Table:
+                df = batch.to_pandas()
+                out = (df.groupby(_k, dropna=False, sort=False)[count_col]
+                       .sum().reset_index())
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            def reduce_fn(g: pd.DataFrame, _k=ks) -> pd.DataFrame:
+                return (g.groupby(_k, dropna=False, sort=False)[count_col]
+                        .sum().reset_index())
+
+            parts = finest.map_batches(partial, batch_format="pyarrow")
+            lvl = bucketed_group_reduce(parts, ks, reduce_fn,
+                                        num_partitions)
+            levels.append(lvl.map_batches(nullify(keys),
+                                          batch_format="pyarrow"))
+
+    def gpartial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        total = _pc.sum(batch.column(count_col)).as_py() or 0
+        return pa.table({"__one": pa.array([1], type=pa.int64()),
+                         count_col: pa.array([total], type=pa.int64())})
+
+    def gsum(g: pd.DataFrame) -> pd.DataFrame:
+        row = {c: [None] for c in cols}
+        row[count_col] = [int(g[count_col].sum())]
+        return pd.DataFrame(row)
+
+    gtotal = bucketed_group_reduce(
+        finest.map_batches(gpartial, batch_format="pyarrow"),
+        ["__one"], lambda g: gsum(g), 1).map_batches(
+            nullify(()), batch_format="pyarrow")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.union(gtotal)
+
+
 def groupwise_zscore(ds, key_col: str, value_col: str, *,
                      out_col: str = "zscore", scale: int = 100,
                      ndigits: int = 6, num_partitions: int | None = None,

@@ -2354,3 +2354,30 @@ def test_dedup_latest_recency_and_nulls(ray_session):
     # k=1: two rows tie at 01-03 -> min id 11; k=2: null ts loses -> 21
     assert out["id"].tolist() == [11, 21, 30]
     assert out["k"].dtype == "int64" or out["k"].isna().any()
+
+
+def test_cube_counts_lattice(ray_session):
+    """cube_counts emits every subset level with typed nulls and counts
+    that reconcile across the lattice (including null key values)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import cube_counts
+
+    tbl = pa.table({"a": pa.array(["x", "x", "y", None], type=pa.string()),
+                    "b": pa.array([1, 2, 1, 1], type=pa.int64())})
+    out = cube_counts(ray.data.from_arrow(tbl), ["a", "b"]).to_pandas()
+    assert len(out) == 4 + 3 + 2 + 1           # ab, a, b, total
+    assert out["b"].dtype == "float64" or str(out["b"].dtype) == "Int64" \
+        or out["b"].isna().any()               # typed nulls survive union
+    total = out[out["a"].isna() & out["b"].isna()]
+    # the ({}, {a}) and ({}, {b}) marginals each sum to 4; grand total
+    # row(s): one pure-total row plus the a=None finest rows share the
+    # null pattern, so reconcile by sums instead of row identity
+    assert int(out["cnt"].sum()) == 4 * 4      # each of 4 rows counted at 4 levels
+    assert int(total["cnt"].sum()) >= 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cube_counts(ray.data.from_arrow(tbl), ["a", "b", "a", "b", "a"])
