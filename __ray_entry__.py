@@ -240,6 +240,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
             ["o_orderstatus", "o_orderpriority"])
 
+    def melt_lineitem(sf):
+        from packs_ray.functions.agg import melt
+
+        return melt(_ds(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                         "l_quantity", "l_discount",
+                                         "l_tax"]),
+                    ["l_orderkey", "l_linenumber"],
+                    ["l_quantity", "l_discount", "l_tax"])
+
     def cube_counts_orders(sf):
         from packs_ray.functions.agg import cube_counts
 
@@ -1432,6 +1441,7 @@ checks for orders:
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
         "rollup_counts_orders": rollup_counts_orders,
         "cube_counts_orders": cube_counts_orders,
+        "melt_lineitem": melt_lineitem,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -3873,6 +3883,14 @@ def oracle_sql() -> dict[str, str]:
         "cube_counts_orders": """
     SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+        "melt_lineitem": """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+           l_quantity::DOUBLE AS value FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+           l_discount::DOUBLE FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+           l_tax::DOUBLE FROM lineitem
     """,
         "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
         "fuzzy_join_customer_supplier": _fuzzy_join_sql(0.25, 3),

@@ -470,3 +470,29 @@ def groupwise_zscore(ds, key_col: str, value_col: str, *,
             np.where(ok, z, np.nan), type=pa.float64(), mask=~ok))
 
     return joined.map_batches(zcol, batch_format="pyarrow")
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str], *,
+         var_col: str = "variable", value_col: str = "value"):
+    """Unpivot (SQL UNPIVOT / pandas melt): wide numeric columns to
+    (id_cols..., var_col, value_col) long rows — the inverse of
+    ``pivot_counts`` for feeding column-generic consumers (drift checks,
+    per-metric histograms) without one pass per column.
+
+    Stateless per-batch transform — no shuffle, output streams at
+    len(value_cols) x input rows.  Values cast to float64 (the SQL
+    UNPIVOT common-type rule for mixed numeric columns); nulls
+    survive as null rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = []
+        for v in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_col] = pa.array([v] * batch.num_rows,
+                                     type=pa.string())
+            cols[value_col] = batch.column(v).cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        fn, batch_format="pyarrow")

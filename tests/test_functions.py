@@ -2381,3 +2381,24 @@ def test_cube_counts_lattice(ray_session):
 
     with pytest.raises(ValueError):
         cube_counts(ray.data.from_arrow(tbl), ["a", "b", "a", "b", "a"])
+
+
+def test_melt_roundtrip_nulls(ray_session):
+    """melt emits one long row per (row, value col), keeps nulls, and
+    preserves id dtypes."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import melt
+
+    tbl = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                    "a": pa.array([1.5, None], type=pa.float64()),
+                    "b": pa.array([10, 20], type=pa.int64())})
+    out = (melt(ray.data.from_arrow(tbl), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["variable", "id"])
+           .reset_index(drop=True))
+    assert len(out) == 4
+    assert out["value"].tolist()[0] == 1.5
+    assert out["value"].isna().tolist() == [False, True, False, False]
+    assert out["value"].tolist()[2:] == [10.0, 20.0]
+    assert out["id"].dtype == "int64"
