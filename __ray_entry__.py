@@ -1360,6 +1360,27 @@ checks for orders:
             _ds(sf, "customer", ["c_custkey", "c_mktsegment"]),
             left_on=["o_custkey"], right_on=["c_custkey"], how="left")
 
+    def outer_join_orders_customer(sf):
+        # full outer over two filtered slices so BOTH dangling sides are
+        # exercised: urgent orders of non-BUILDING customers survive
+        # with null customer columns, order-less BUILDING customers with
+        # null order columns
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.joins import equi_join
+
+        urgent = _ds(sf, "orders", ["o_orderkey", "o_custkey",
+                                    "o_orderpriority"]).map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                       .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+        building = _ds(sf, "customer", ["c_custkey", "c_mktsegment"]) \
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+                batch_format="pyarrow")
+        return equi_join(urgent, building, left_on=["o_custkey"],
+                         right_on=["c_custkey"], how="outer")
+
     def asof_last_click_events(sf):
         import pyarrow as pa
 
@@ -1538,6 +1559,7 @@ checks for orders:
         "decontam_documents": decontam_documents,
         "boilerplate_turns_transcripts": boilerplate_turns_transcripts,
         "join_orders_customer": join_orders_customer,
+        "outer_join_orders_customer": outer_join_orders_customer,
         "asof_last_click_events": asof_last_click_events,
         "media_image_features": media_image_features,
         "media_thumb_features": media_thumb_features,
@@ -4491,6 +4513,13 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer":
             "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+        "outer_join_orders_customer": """
+    SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
+    FROM (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+    FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                     WHERE c_mktsegment = 'BUILDING') c
+    ON o.o_custkey = c.c_custkey""",
         "asof_last_click_events": """
     WITH c AS (SELECT user_id, ts, max(value) AS click_value FROM events
                WHERE event_type = 'click' AND user_id IS NOT NULL

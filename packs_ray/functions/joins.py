@@ -34,18 +34,21 @@ JOIN_BROADCAST_CAP = 5_000_000
 
 def equi_join(left_ds, right_ds, *, left_on: list[str], right_on: list[str],
               how: str = "inner", broadcast_cap: int = JOIN_BROADCAST_CAP):
-    """Equi-join two Datasets.  ``how`` in {"inner", "left"}.
+    """Equi-join two Datasets.  ``how`` in {"inner", "left", "right",
+    "outer"}.
 
     Output columns: all left columns, then right columns (join keys
     included; name collisions suffixed ``_r``).  Right side below
     ``broadcast_cap`` rows broadcasts; above it, both sides co-partition
-    on the key hash.
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    on the key hash.  ``right``/``outer`` always co-partition: a
+    broadcast join evaluates the right side once per left batch, so
+    unmatched right rows cannot be emitted exactly once."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"how must be inner/left/right/outer, got {how!r}")
     lcols = left_ds.schema().names
     ren = {c: (c + "_r" if c in lcols else c) for c in right_ds.schema().names}
-    if right_ds.count() <= broadcast_cap:
+    if how in ("inner", "left") and right_ds.count() <= broadcast_cap:
         return _join_broadcast(left_ds, right_ds, left_on, right_on, how, ren)
     return _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren)
 
@@ -178,11 +181,16 @@ def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
             l.merge(r, left_on=left_on, right_on=r_on, how=how))
 
     joined = marked.groupby("__p").map_groups(per_bucket, batch_format="pandas")
-    if how == "left":
-        # null-key left rows: kept with null right columns, no shuffle
+
+    def null_key_branch(src, on, rename_right):
+        # null-key rows cannot match (SQL semantics) and never shuffle;
+        # outer-preserved sides keep them with nulls in the other side
         def null_key_rows(batch: pa.Table) -> pa.Table:
+            if rename_right:
+                batch = batch.rename_columns(
+                    [ren[c] for c in batch.column_names])
             mask = None
-            for c in left_on:
+            for c in on:
                 v = pa.compute.is_null(batch.column(c))
                 mask = v if mask is None else pa.compute.or_(mask, v)
             batch = batch.filter(mask)
@@ -192,8 +200,12 @@ def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
                     cols[name] = pa.nulls(len(batch), typ)
             return pa.table(cols)
 
-        joined = joined.union(left_ds.map_batches(null_key_rows,
-                                                  batch_format="pyarrow"))
+        return src.map_batches(null_key_rows, batch_format="pyarrow")
+
+    if how in ("left", "outer"):
+        joined = joined.union(null_key_branch(left_ds, left_on, False))
+    if how in ("right", "outer"):
+        joined = joined.union(null_key_branch(right_ds, r_on, True))
     return joined
 
 

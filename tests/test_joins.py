@@ -235,3 +235,44 @@ def test_interval_join_random_vs_duckdb(ray_session):
         AND p.ts BETWEEN i.start AND i.end""").df()
     assert sorted(zip(out["eid"], out["sid"])) == \
         sorted(zip(exp["eid"], exp["sid"]))
+
+
+def test_equi_join_right_and_outer_vs_pandas(ray_session):
+    """right/outer joins match pandas merge, including null keys kept
+    on outer-preserved sides and exactly-once unmatched rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.joins import equi_join
+
+    l = pd.DataFrame({"k": [1, 2, 2, None, 5], "lv": [10, 20, 21, 30, 50]})
+    r = pd.DataFrame({"k": [2, 3, None], "rv": ["b", "c", "z"]})
+    lt = pa.table({"k": pa.array(l["k"], type=pa.int64()),
+                   "lv": pa.array(l["lv"], type=pa.int64())})
+    rt = pa.table({"k": pa.array(r["k"], type=pa.int64()),
+                   "rv": pa.array(r["rv"], type=pa.string())})
+
+    # SQL semantics: NULL keys never match (pandas merge would pair
+    # NaN keys, so expectations are explicit row sets)
+    matched = [(2, 20, 2, "b"), (2, 21, 2, "b")]
+    right_dangling = [(None, None, 3, "c"), (None, None, None, "z")]
+    left_dangling = [(1, 10, None, None), (None, 30, None, None),
+                     (5, 50, None, None)]
+    expected = {"right": matched + right_dangling,
+                "outer": matched + right_dangling + left_dangling}
+    for how, exp_rows in expected.items():
+        got = (equi_join(ray.data.from_arrow(lt),
+                         ray.data.from_arrow(rt).repartition(2),
+                         left_on=["k"], right_on=["k"], how=how)
+               .to_pandas())
+        got_rows = sorted(
+            (tuple(None if pd.isna(v) else (v if isinstance(v, str)
+                                            else int(v)) for v in row)
+             for row in got[["k", "lv", "k_r", "rv"]].itertuples(
+                 index=False)),
+            key=lambda t: tuple((x is None, x) for x in t))
+        exp_sorted = sorted(exp_rows,
+                            key=lambda t: tuple((x is None, x)
+                                                for x in t))
+        assert got_rows == exp_sorted, (how, got_rows)
