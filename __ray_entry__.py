@@ -1365,21 +1365,38 @@ checks for orders:
         # exercised: urgent orders of non-BUILDING customers survive
         # with null customer columns, order-less BUILDING customers with
         # null order columns
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         from packs_ray.functions.joins import equi_join
+        from packs_ray.stages.util import schema_anchor
 
-        urgent = _ds(sf, "orders", ["o_orderkey", "o_custkey",
-                                    "o_orderpriority"]).map_batches(
-            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
-                       .select(["o_orderkey", "o_custkey"]),
-            batch_format="pyarrow")
-        building = _ds(sf, "customer", ["c_custkey", "c_mktsegment"]) \
-            .map_batches(
+        urgent = schema_anchor(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey",
+                               "o_orderpriority"]).map_batches(
+                lambda t: t.filter(pc.equal(t["o_orderpriority"],
+                                            "1-URGENT"))
+                           .select(["o_orderkey", "o_custkey"]),
+                batch_format="pyarrow"),
+            pa.schema([("o_orderkey", pa.int64()),
+                       ("o_custkey", pa.int64())]))
+        building = schema_anchor(
+            _ds(sf, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
                 lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
-                batch_format="pyarrow")
+                batch_format="pyarrow"),
+            pa.schema([("c_custkey", pa.int64()),
+                       ("c_mktsegment", pa.string())]))
         return equi_join(urgent, building, left_on=["o_custkey"],
                          right_on=["c_custkey"], how="outer")
+
+    def semi_join_customer_orders(sf):
+        # existence join: customers that placed at least one order
+        from packs_ray.functions.joins import equi_join
+
+        return equi_join(
+            _ds(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            _ds(sf, "orders", ["o_custkey"]),
+            left_on=["c_custkey"], right_on=["o_custkey"], how="semi")
 
     def asof_last_click_events(sf):
         import pyarrow as pa
@@ -1560,6 +1577,7 @@ checks for orders:
         "boilerplate_turns_transcripts": boilerplate_turns_transcripts,
         "join_orders_customer": join_orders_customer,
         "outer_join_orders_customer": outer_join_orders_customer,
+        "semi_join_customer_orders": semi_join_customer_orders,
         "asof_last_click_events": asof_last_click_events,
         "media_image_features": media_image_features,
         "media_thumb_features": media_thumb_features,
@@ -4520,6 +4538,10 @@ def oracle_sql() -> dict[str, str]:
     FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
                      WHERE c_mktsegment = 'BUILDING') c
     ON o.o_custkey = c.c_custkey""",
+        "semi_join_customer_orders": """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)""",
         "asof_last_click_events": """
     WITH c AS (SELECT user_id, ts, max(value) AS click_value FROM events
                WHERE event_type = 'click' AND user_id IS NOT NULL

@@ -195,6 +195,20 @@ def cluster_canonicals(labels_ds, scores_ds, *, id_col: str,
     from packs_ray.functions.agg import row_shuffle_partitions
     from packs_ray.functions.joins import equi_join
 
+    if labels_ds.schema() is None or labels_ds.count() == 0:
+        # no clusters (empty corpus / no near-dups): typed empty result
+        # (an empty map_batches output has no schema to join against)
+        import ray.data
+
+        sbase = getattr(scores_ds.schema(), "base_schema", None)
+        stype = (sbase.field(score_col).type if sbase is not None
+                 and sbase.get_field_index(score_col) >= 0
+                 else pa.float64())
+        return ray.data.from_arrow(pa.table({
+            label_col: pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            score_col: pa.array([], type=stype)}))
+
     joined = equi_join(scores_ds, labels_ds, left_on=[id_col],
                        right_on=[node_col], how="inner")
     keep = [label_col, id_col, score_col]

@@ -43,17 +43,19 @@ def equi_join(left_ds, right_ds, *, left_on: list[str], right_on: list[str],
     on the key hash.  ``right``/``outer`` always co-partition: a
     broadcast join evaluates the right side once per left batch, so
     unmatched right rows cannot be emitted exactly once."""
-    if how not in ("inner", "left", "right", "outer"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
-            f"how must be inner/left/right/outer, got {how!r}")
+            f"how must be inner/left/right/outer/semi/anti, got {how!r}")
     lcols = left_ds.schema().names
     ren = {c: (c + "_r" if c in lcols else c) for c in right_ds.schema().names}
-    if how in ("inner", "left") and right_ds.count() <= broadcast_cap:
+    if how in ("inner", "left", "semi", "anti") \
+            and right_ds.count() <= broadcast_cap:
         return _join_broadcast(left_ds, right_ds, left_on, right_on, how, ren)
     return _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren)
 
 
-_ARROW_HOW = {"inner": "inner", "left": "left outer"}
+_ARROW_HOW = {"inner": "inner", "left": "left outer",
+              "semi": "left semi", "anti": "left anti"}
 
 
 def _dtype_restorer(out_fields):
@@ -142,7 +144,14 @@ def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
     lschema = _arrow_schema(left_ds)
     rschema = _arrow_schema(right_ds)
     out_fields = [(c, lschema.field(c).type) for c in lcols]
-    out_fields += [(ren[c], rschema.field(c).type) for c in rcols]
+    if how in ("semi", "anti"):
+        # existence joins: output is left columns only; the right side
+        # still ships (its keys decide existence) but contributes no
+        # payload — mark only its key columns
+        out_fields += [(c, rschema.field(k).type)
+                       for c, k in zip(r_on, right_on)]
+    else:
+        out_fields += [(ren[c], rschema.field(c).type) for c in rcols]
 
     def mark(side, on):
         def fn(batch: pa.Table) -> pa.Table:
@@ -172,11 +181,20 @@ def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
 
     lout = [c for c, _ in out_fields if c in lcols]
     rout = [c for c, _ in out_fields if c not in lcols]
-    restore_dtypes = _dtype_restorer(out_fields)
+    restore_dtypes = _dtype_restorer(
+        [(c, t) for c, t in out_fields if c in lcols]
+        if how in ("semi", "anti") else out_fields)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][lout]
         r = g[g["__side"] == 1][rout]
+        if how in ("semi", "anti"):
+            rkeys = r[r_on].drop_duplicates()
+            m = l.merge(rkeys, left_on=left_on, right_on=r_on,
+                        how="left", indicator=True)
+            keep = (m["_merge"] == "both") if how == "semi" \
+                else (m["_merge"] == "left_only")
+            return restore_dtypes(m.loc[keep, lout])
         return restore_dtypes(
             l.merge(r, left_on=left_on, right_on=r_on, how=how))
 
@@ -206,6 +224,18 @@ def _join_bucketed(left_ds, right_ds, left_on, right_on, how, ren):
         joined = joined.union(null_key_branch(left_ds, left_on, False))
     if how in ("right", "outer"):
         joined = joined.union(null_key_branch(right_ds, r_on, True))
+    if how == "anti":
+        # null-key left rows match nothing, so an anti join keeps them
+        # (left columns only, like the bucketed output)
+        def null_left(batch: pa.Table) -> pa.Table:
+            mask = None
+            for c in left_on:
+                v = pa.compute.is_null(batch.column(c))
+                mask = v if mask is None else pa.compute.or_(mask, v)
+            return batch.filter(mask)
+
+        joined = joined.union(left_ds.map_batches(null_left,
+                                                  batch_format="pyarrow"))
     return joined
 
 

@@ -25,3 +25,14 @@ def str_column(batch: pa.Table, name: str) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col
+
+
+def schema_anchor(ds, schema: "pa.Schema"):
+    """Union ``ds`` with a 0-row table of ``schema`` so the Dataset
+    keeps a schema even when every upstream block is empty (Ray reports
+    ``schema() is None`` after any transform of an empty dataset, which
+    breaks schema-dependent consumers like joins).  Adds nothing at any
+    real size."""
+    import ray.data
+
+    return ds.union(ray.data.from_arrow(schema.empty_table()))

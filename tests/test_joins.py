@@ -276,3 +276,32 @@ def test_equi_join_right_and_outer_vs_pandas(ray_session):
                             key=lambda t: tuple((x is None, x)
                                                 for x in t))
         assert got_rows == exp_sorted, (how, got_rows)
+
+
+def test_equi_join_semi_anti_both_paths(ray_session):
+    """semi/anti joins match SQL EXISTS / NOT EXISTS on both the
+    broadcast and the bucketed path; null left keys drop from semi and
+    survive anti."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.joins import equi_join
+
+    lt = pa.table({"k": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+                   "lv": pa.array([10, 20, 21, 30, 50], type=pa.int64())})
+    rt = pa.table({"k": pa.array([2, 3, None], type=pa.int64())})
+
+    for cap in (10_000, 0):                    # broadcast, then bucketed
+        semi = (equi_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                          left_on=["k"], right_on=["k"], how="semi",
+                          broadcast_cap=cap).to_pandas()
+                .sort_values("lv").reset_index(drop=True))
+        assert semi["lv"].tolist() == [20, 21], cap
+        assert list(semi.columns) == ["k", "lv"], cap
+        anti = (equi_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                          left_on=["k"], right_on=["k"], how="anti",
+                          broadcast_cap=cap).to_pandas()
+                .sort_values("lv").reset_index(drop=True))
+        assert anti["lv"].tolist() == [10, 30, 50], cap
+        assert anti["k"].isna().tolist() == [False, True, False], cap
