@@ -280,3 +280,55 @@ def test_categorical_drift_matches_local_replica(ray_session, a, b):
     assert out["n_categories"].iloc[0] == len(cats)
     assert out["chi2"].iloc[0] == float(round_half_away(chi2, 6))
     assert out["psi"].iloc[0] == psi
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lnames=st.lists(st.one_of(
+        st.none(),
+        st.text(alphabet="abco ", min_size=0, max_size=12),
+        st.sampled_from(["acme corp", "acme inc", "globex", "co co co"])),
+        min_size=1, max_size=12),
+    rnames=st.lists(st.one_of(
+        st.none(),
+        st.text(alphabet="abco ", min_size=0, max_size=12),
+        st.sampled_from(["acme corp.", "acme co", "globex co"])),
+        min_size=1, max_size=8),
+    tau=st.sampled_from([0.2, 0.4, 0.6, 0.9]))
+def test_fuzzy_join_prefix_filter_lossless(ray_session, lnames, rnames, tau):
+    """The SSJoin prefix filter provably loses no pair: the distributed
+    fuzzy_join equals brute-force all-pairs gram Jaccard on random
+    near-collision-heavy name pools at several thresholds."""
+    import ray.data
+
+    from packs_ray.functions.linkage import fuzzy_join
+    from packs_ray.functions.neardup import _shingle_hashes
+
+    lt = pa.table({"lid": pa.array(range(len(lnames)), type=pa.int64()),
+                   "lname": pa.array(lnames, type=pa.string())})
+    rt = pa.table({"rid": pa.array(range(len(rnames)), type=pa.int64()),
+                   "rname": pa.array(rnames, type=pa.string())})
+    out = fuzzy_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                     left_id="lid", left_text="lname",
+                     right_id="rid", right_text="rname",
+                     threshold=tau, gram=3).to_pandas()
+    got = ({} if out.empty else
+           {(a, b): j for a, b, j in
+            zip(out["lid"], out["rid"], out["jaccard"])})
+
+    exp = {}
+    for li, ltx in enumerate(lnames):
+        if ltx is None:
+            continue
+        A = _shingle_hashes(ltx, 3)
+        for ri, rtx in enumerate(rnames):
+            if rtx is None:
+                continue
+            B = _shingle_hashes(rtx, 3)
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            jac = inter / union if union else 0.0
+            if jac >= tau:
+                exp[(li, ri)] = round(jac, 4)
+    assert got == exp
