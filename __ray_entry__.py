@@ -336,6 +336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sum_anomaly(_ds(sf, "events", ["ts", "value"]),
                            "ts", "value", k=3.0)
 
+    def grouped_stats_lineitem(sf):
+        # per-segment describe(): one exact-cents streaming pass
+        from packs_ray.functions.agg import grouped_stats
+
+        return grouped_stats(
+            _ds(sf, "lineitem", ["l_returnflag", "l_extendedprice"]),
+            "l_returnflag", "l_extendedprice")
+
     def grouped_quantiles_lineitem(sf):
         from packs_ray.functions.profiling import grouped_quantiles
 
@@ -1518,6 +1526,7 @@ checks for orders:
         "checks_ge_full_customer": checks_ge_full_customer,
         "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
+        "grouped_stats_lineitem": grouped_stats_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
@@ -4102,6 +4111,20 @@ def oracle_sql() -> dict[str, str]:
     FROM g CROSS JOIN b LEFT JOIN c ON g.bin = c.bin""",
         # profiling.grouped_quantiles: quantile_cont == np.percentile
         # 'linear'; nulls excluded on both sides
+        "grouped_stats_lineitem": """
+    WITH c AS (SELECT l_returnflag AS k,
+            round(l_extendedprice * 100, 0)::BIGINT AS c
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    a AS (SELECT k, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                 sum(c * c)::BIGINT AS s2, min(c) AS mn, max(c) AS mx
+          FROM c GROUP BY k)
+    SELECT k AS l_returnflag, n, s AS sum_cents,
+        round((s::DOUBLE / n) / 100, 6) AS mean,
+        CASE WHEN n > 1 THEN round(sqrt(greatest(
+            ((s2::DOUBLE / n) - (s::DOUBLE / n) * (s::DOUBLE / n))
+            * n / (n - 1), 0)) / 100, 6) END AS std_samp,
+        mn::DOUBLE / 100 AS min_v, mx::DOUBLE / 100 AS max_v
+    FROM a""",
         "grouped_quantiles_lineitem": """
     WITH v AS (SELECT l_returnflag, l_extendedprice FROM lineitem
                WHERE l_returnflag IS NOT NULL

@@ -496,3 +496,76 @@ def melt(ds, id_cols: list[str], value_cols: list[str], *,
 
     return ds.select_columns(id_cols + value_cols).map_batches(
         fn, batch_format="pyarrow")
+
+
+def grouped_stats(ds, key_col: str, value_col: str, *, scale: int = 100,
+                  ndigits: int = 6, num_partitions: int | None = None):
+    """Per-group descriptive stats: one row per key with
+    (n, sum_cents, mean, std_samp, min_v, max_v) — the "describe() per
+    segment" profile as ONE streaming pass.
+
+    Exactness contract (drives the SQL oracle): values fix to integers
+    at ``scale`` first, so per-group n/s/s2/min/max partials are exact
+    integers in any partition/merge order; mean/std are then a pinned
+    float64 expression replicated in SQL — mean = round((s/n)/scale, d),
+    std = round(sqrt(max(((s2/n) - (s/n)^2) * n/(n-1), 0))/scale, d),
+    null when n == 1.  Null keys group together (SQL GROUP BY); null
+    values drop, and a key with NO non-null value drops entirely
+    (matching SQL aggregation over the value-filtered rows)."""
+    import numpy as np
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.select([key_col, value_col])
+        df = pd.DataFrame({key_col: b.column(key_col).to_numpy(
+            zero_copy_only=False)})
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        v = v.astype(np.float64)
+        ok = ~np.isnan(v)
+        c = np.where(ok, np.rint(np.where(ok, v, 0.0) * scale), 0) \
+            .astype(np.int64)
+        df["__n"] = ok.astype(np.int64)
+        df["__s"] = np.where(ok, c, 0)
+        df["__s2"] = np.where(ok, c * c, 0)
+        df["__mn"] = np.where(ok, c, np.iinfo(np.int64).max)
+        df["__mx"] = np.where(ok, c, np.iinfo(np.int64).min)
+        g = df.groupby(key_col, dropna=False, sort=False)
+        out = g.agg(__n=("__n", "sum"), __s=("__s", "sum"),
+                    __s2=("__s2", "sum"), __mn=("__mn", "min"),
+                    __mx=("__mx", "max")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby(key_col, dropna=False, sort=False)
+             .agg(__n=("__n", "sum"), __s=("__s", "sum"),
+                  __s2=("__s2", "sum"), __mn=("__mn", "min"),
+                  __mx=("__mx", "max")).reset_index())
+        n = a["__n"].to_numpy(dtype=np.float64)
+        s = a["__s"].to_numpy(dtype=np.float64)
+        s2 = a["__s2"].to_numpy(dtype=np.float64)
+        from packs_ray.stages.util import round_half_away
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = s / n
+            var_c = ((s2 / n) - m * m) * n / np.maximum(n - 1, 1)
+            mean = round_half_away(m / scale, ndigits)
+            std = round_half_away(
+                np.sqrt(np.maximum(var_c, 0.0)) / scale, ndigits)
+        out = pd.DataFrame({
+            key_col: a[key_col],
+            "n": a["__n"].astype("int64"),
+            "sum_cents": a["__s"].astype("int64"),
+            "mean": np.where(n > 0, mean, np.nan),
+            "std_samp": np.where(n > 1, std, np.nan),
+            "min_v": np.where(n > 0, a["__mn"].to_numpy(np.float64)
+                              / scale, np.nan),
+            "max_v": np.where(n > 0, a["__mx"].to_numpy(np.float64)
+                              / scale, np.nan)})
+        return out[out["n"] > 0]
+
+    parts = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, [key_col], reduce_fn,
+                                 num_partitions)

@@ -2402,3 +2402,36 @@ def test_melt_roundtrip_nulls(ray_session):
     assert out["value"].isna().tolist() == [False, True, False, False]
     assert out["value"].tolist()[2:] == [10.0, 20.0]
     assert out["id"].dtype == "int64"
+
+
+def test_grouped_stats_null_handling(ray_session):
+    """grouped_stats: exact per-key stats; null values drop; all-null
+    keys vanish; n==1 group has null std; null key groups together."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import grouped_stats
+
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "b", "c", None, None],
+                      type=pa.string()),
+        "v": pa.array([1.0, 3.0, 5.0, None, 2.0, 4.0],
+                      type=pa.float64())})
+    out = (grouped_stats(ray.data.from_arrow(tbl), "k", "v")
+           .to_pandas().sort_values("k", na_position="last")
+           .reset_index(drop=True))
+    assert out["k"].tolist()[:2] == ["a", "b"] and pd_isna(out["k"][2])
+    assert out["n"].tolist() == [2, 1, 2]
+    assert out["mean"].tolist() == [2.0, 5.0, 3.0]
+    assert math.isnan(out["std_samp"][1])        # n == 1
+    assert round(out["std_samp"][0], 6) == round((2.0) ** 0.5, 6)
+    assert out["min_v"].tolist() == [1.0, 5.0, 2.0]
+    assert out["max_v"].tolist() == [3.0, 5.0, 4.0]
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
