@@ -69,6 +69,42 @@ def _events_sqlite(sf_dir: str) -> str:
     return path
 
 
+def _events_orc(sf_dir: str) -> str:
+    """Cached 2-file multi-stripe ORC replica of three events columns
+    (value nulled where event_id % 13 == 0 — a SQL-reproducible plant) —
+    the fixture behind the ``orc_source_events`` round-trip gate."""
+    import os
+
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/packs_ray_data", exist_ok=True)
+    key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    d = f"/tmp/packs_ray_data/events_orc_{key}"
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "event_type", "value"])
+        import pyarrow as pa
+
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % 13 == 0)
+        nulled = pa.compute.if_else(mask, pa.nulls(len(ids), pa.float64()),
+                                    t.column("value"))
+        t = t.set_column(t.schema.get_field_index("value"), "value",
+                         nulled)
+        half = t.num_rows // 2
+        paorc.write_table(t.slice(0, half),
+                          os.path.join(d, "events_0.orc"),
+                          stripe_size=4096)
+        paorc.write_table(t.slice(half),
+                          os.path.join(d, "events_1.orc"),
+                          stripe_size=4096)
+        open(done, "w").close()
+    return d
+
+
 def _transcripts(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf directory
     (no transcript table ships in testdata; see BASELINE.json input_hint)."""
@@ -444,6 +480,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         parts = ds.map_batches(partial, batch_format="pyarrow")
         return bucketed_group_reduce(parts, ["o_orderstatus"], reduce_fn, 4)
+
+    def orc_source_events(sf):
+        # round-trips events through a 2-file multi-stripe ORC export
+        # (planted null values on event_id % 13 == 0), reads it back via
+        # read_orc_sized (stripe-parallel, column-pruned) and aggregates
+        # per type — the ORC reader's oracle gate
+        import pandas as pd
+        import pyarrow as pa
+
+        from packs_ray.functions.agg import bucketed_group_reduce
+        from packs_ray.sources.orc import read_orc_sized
+
+        ds = read_orc_sized(_events_orc(sf), columns=["event_type",
+                                                      "value"],
+                            stripes_per_block=2)
+
+        def partial(batch):
+            pdf = batch.to_pandas()
+            pdf["cents"] = (pdf["value"] * 100).round().astype("Int64")
+            g = (pdf.groupby("event_type", dropna=False)
+                 .agg(n=("cents", "size"), cents=("cents", "sum"))
+                 .reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+            out = (g.groupby("event_type", dropna=False)
+                   [["n", "cents"]].sum().reset_index())
+            return out.astype({"n": "int64", "cents": "int64"})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        return bucketed_group_reduce(parts, ["event_type"], reduce_fn, 4)
 
     def jsonl_source_events(sf):
         # round-trips events through a 2-shard JSONL export (planted
@@ -1520,6 +1587,7 @@ checks for orders:
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
         "jsonl_source_events": jsonl_source_events,
+        "orc_source_events": orc_source_events,
         "tool_usage_transcripts": tool_usage_transcripts,
         "checks_percent_customer": checks_percent_customer,
         "checks_pair_lineitem": checks_pair_lineitem,
@@ -4311,6 +4379,15 @@ def oracle_sql() -> dict[str, str]:
                FROM events)
     SELECT event_type, count(*)::BIGINT AS n,
            count(user_id)::BIGINT AS n_user,
+           sum(cents)::BIGINT AS cents
+    FROM s GROUP BY event_type""",
+        "orc_source_events": """
+    WITH s AS (SELECT event_type,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE CAST(round(value * 100, 0) AS BIGINT)
+               END AS cents
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
            sum(cents)::BIGINT AS cents
     FROM s GROUP BY event_type""",
         "csv_source_orders": """

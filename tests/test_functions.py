@@ -2435,3 +2435,36 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_orc_roundtrip_write_read(ray_session, tmp_path):
+    """write_orc -> read_orc_sized round-trips rows, types and nulls,
+    one file per block, stripe-parallel read with column pruning."""
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+    import ray.data
+
+    from packs_ray.sources.orc import read_orc_sized, write_orc
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "txt": pa.array(["a", None, "c", "d"], type=pa.string()),
+        "v": pa.array([1.5, None, -2.25, 0.0], type=pa.float64())})
+    out = str(tmp_path / "orc")
+    paths = write_orc(ray.data.from_arrow(tbl).repartition(2), out)
+    assert len(paths) == 2 and all(p.endswith(".orc") for p in paths)
+    back = read_orc_sized(out).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(back[["id", "txt", "v"]],
+                                  tbl.to_pandas())
+    pruned = read_orc_sized(out, columns=["id"]).to_pandas()
+    assert list(pruned.columns) == ["id"] and len(pruned) == 4
+
+    # multi-stripe file splits into multiple read tasks
+    big = pa.table({"id": pa.array(range(20_000), type=pa.int64()),
+                    "v": pa.array([0.5] * 20_000, type=pa.float64())})
+    p = str(tmp_path / "big.orc")
+    paorc.write_table(big, p, stripe_size=4096)
+    ds = read_orc_sized(p, stripes_per_block=2)
+    assert ds.count() == 20_000
