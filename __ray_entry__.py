@@ -1111,6 +1111,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = out.groupby("split").count().to_pandas()
         return df.rename(columns={"count()": "cnt"})
 
+    def temperature_sample_documents(sf):
+        # multilingual temperature rebalancing: per-lang budgets ~ n^0.5
+        from packs_ray.functions.sampling import temperature_sample
+
+        return temperature_sample(
+            _ds(sf, "documents", ["doc_id", "lang"]), "lang", "doc_id",
+            alpha=0.5, total_n=200)
+
     def mixture_sample_sources(sf):
         from packs_ray.functions.sampling import mixture_sample
 
@@ -1631,6 +1639,7 @@ checks for orders:
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
+        "temperature_sample_documents": temperature_sample_documents,
         "hash_split_orders": hash_split_orders,
         "transcripts_filter_summary": transcripts_filter_summary,
         "conversation_summary_transcripts": conversation_summary_transcripts,
@@ -3612,6 +3621,38 @@ def _fuzzy_join_sql(threshold: float = 0.3, gram: int = 3) -> str:
           >= {threshold!r}"""
 
 
+def _temperature_sql(alpha: float = 0.5, total_n: int = 200,
+                     salt: str = "temp") -> str:
+    """sampling.temperature_sample replica: per-lang budgets come from
+    the shared ``temperature_budgets`` helper at generation time (the
+    inlined-constant pattern of _ann_ivf_sql — floats touch the budget
+    exactly once, in one shared function) over the driver's compare SF;
+    selection is then the exact _stratified_sql hash machinery with a
+    per-group budget join."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions.sampling import temperature_budgets
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    langs = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["lang"]).column("lang").to_pandas()
+    counts = langs.dropna().value_counts().to_dict()
+    budgets = temperature_budgets(counts, alpha, total_n)
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(budgets.items()))
+    chain = _idhash_cte("documents", "doc_id", salt,
+                        extra_select=", lang", extra_cols=("lang",))
+    return f"""
+    WITH {chain},
+    bud(lang, budget) AS (VALUES {vals}),
+    j AS (SELECT f2.doc_id, f2.lang, f2.h, b.budget
+          FROM f2 JOIN bud b USING (lang))
+    SELECT doc_id, lang FROM j
+    QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY h // 2, doc_id) <= budget"""
+
+
 def _bm25_sql(query: str, k: int = 10, k1: float = 1.2,
               b: float = 0.75) -> str:
     """search.bm25_topk replica: same trim+whitespace-split tokens as
@@ -4010,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
            l_tax::DOUBLE FROM lineitem
     """,
         "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
+        "temperature_sample_documents": _temperature_sql(0.5, 200),
         "fuzzy_join_customer_supplier": _fuzzy_join_sql(0.25, 3),
         "top_terms_documents": r"""
     WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(

@@ -285,3 +285,71 @@ def uniform_sample_n(ds, id_col: str, n: int, *, salt: str = ""):
     parts = ds.select_columns([id_col]) \
         .map_batches(add_key, batch_format="pyarrow")
     return bucketed_group_reduce(parts, ["__one"], reduce_fn, 1)
+
+
+def temperature_budgets(counts: dict, alpha: float,
+                        total_n: int) -> dict:
+    """Per-group budgets for temperature-flattened mixture sampling:
+    budget_g = min(n_g, floor(total_n * n_g^alpha / sum n^alpha)).
+    Shared by the engine and the oracle generator so both sides inline
+    the exact same integers (floats appear only here, once)."""
+    w = {k: float(n) ** alpha for k, n in counts.items() if n > 0}
+    s = sum(w.values())
+    if s <= 0:
+        return {k: 0 for k in counts}
+    return {k: min(int(counts[k]), int(total_n * w.get(k, 0.0) / s))
+            for k in counts}
+
+
+def temperature_sample(ds, group_col: str, id_col: str, *,
+                       alpha: float = 0.5, total_n: int = 1000,
+                       salt: str = "temp",
+                       num_partitions: int | None = None):
+    """Temperature-flattened mixture sampling — the multilingual
+    rebalancing draw (probability mass per group ∝ count^alpha; alpha<1
+    upsamples the tail relative to the head, alpha=1 is proportional,
+    alpha=0 uniform-over-groups).  Deterministic: within each group the
+    budget_g lowest finalized hash(id, salt) rows win (ties by id), so
+    the sample is identical across clusters/retries/block splits.
+
+    Scale shape: one ``keyed_count`` for the (bounded: languages /
+    sources) group sizes, budgets broadcast in the closure, then the
+    ``stratified_sample`` machinery with a per-group head-n — a local
+    combiner caps each (batch, group) at its budget before the one
+    bucketed reduce.  Returns (id_col, group_col) survivors."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce, keyed_count,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    cnt = keyed_count(ds.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t.column(group_col))),
+        batch_format="pyarrow"), [group_col]).to_pandas()
+    budgets = temperature_budgets(
+        dict(zip(cnt[group_col], cnt["cnt"])), alpha, total_n)
+    sc = _salt_constant(salt)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.is_valid(batch.column(group_col)))
+        h, valid = _fnv1a_str(batch.column(id_col))
+        hv = (_finalize(h * sc) >> np.uint64(1)).astype(np.int64)
+        t = batch.append_column("__hv", pa.array(hv))
+        return t.filter(pa.array(valid))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__hv", id_col], kind="stable")
+        rank = df.groupby(group_col, sort=False).cumcount()
+        cap = df[group_col].map(budgets).fillna(0).to_numpy()
+        return df[rank.to_numpy() < cap]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(local(batch.to_pandas()),
+                                    preserve_index=False)
+
+    parts = (ds.select_columns([id_col, group_col])
+             .map_batches(add_hash, batch_format="pyarrow")
+             .map_batches(partial, batch_format="pyarrow"))
+    out = bucketed_group_reduce(parts, [group_col], local, num_partitions)
+    return out.drop_columns(["__hv"])

@@ -2468,3 +2468,34 @@ def test_orc_roundtrip_write_read(ray_session, tmp_path):
     paorc.write_table(big, p, stripe_size=4096)
     ds = read_orc_sized(p, stripes_per_block=2)
     assert ds.count() == 20_000
+
+
+def test_temperature_sample_budgets_and_determinism(ray_session):
+    """alpha<1 flattens the mixture (tail groups overrepresented vs
+    proportional); budgets never exceed group sizes; two runs agree."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import (temperature_budgets,
+                                              temperature_sample)
+
+    b = temperature_budgets({"big": 900, "small": 100}, 0.5, 100)
+    # sqrt weights: 30 vs 10 -> 75/25 split instead of 90/10
+    assert b == {"big": 75, "small": 25}
+    assert temperature_budgets({"a": 3}, 0.5, 100) == {"a": 3}  # capped
+
+    tbl = pa.table({
+        "id": pa.array(range(200), type=pa.int64()),
+        "g": pa.array(["big"] * 180 + ["small"] * 20,
+                      type=pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    s1 = (temperature_sample(ds, "g", "id", alpha=0.5, total_n=50)
+          .to_pandas().sort_values("id").reset_index(drop=True))
+    s2 = (temperature_sample(ds.repartition(5), "g", "id", alpha=0.5,
+                             total_n=50)
+          .to_pandas().sort_values("id").reset_index(drop=True))
+    assert s1.equals(s2)                      # partition-invariant
+    vc = s1["g"].value_counts()
+    exp = temperature_budgets({"big": 180, "small": 20}, 0.5, 50)
+    assert vc["big"] == exp["big"] and vc["small"] == exp["small"]
+    assert vc["small"] / len(s1) > 20 / 200   # tail upsampled
