@@ -1516,6 +1516,18 @@ checks for orders:
         tds = read_parquet_sized(_transcripts(sf), columns=["conv_id", "text"])
         return webquality.boilerplate_texts(tds, "conv_id", "text", min_groups=5)
 
+    def sft_examples_transcripts(sf):
+        # (context, target) SFT pair assembly: previous <=3 turns as
+        # context for every assistant turn, conversation-bucketed
+        from packs_ray.functions.sharding import sft_context_examples
+        from packs_ray.sources.parquet import read_parquet_sized
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "turn_idx",
+                                          "role", "text"])
+        return sft_context_examples(tds, "conv_id", "turn_idx",
+                                    "role", "text", k=3)
+
     def tool_usage_transcripts(sf):
         # agent-transcript tool profile: per tool, total tool turns and
         # distinct conversations using it (exact via one
@@ -1597,6 +1609,7 @@ checks for orders:
         "jsonl_source_events": jsonl_source_events,
         "orc_source_events": orc_source_events,
         "tool_usage_transcripts": tool_usage_transcripts,
+        "sft_examples_transcripts": sft_examples_transcripts,
         "checks_percent_customer": checks_percent_customer,
         "checks_pair_lineitem": checks_pair_lineitem,
         "checks_ge_full_customer": checks_ge_full_customer,
@@ -2526,6 +2539,37 @@ def _tool_usage_sql() -> str:
     SELECT tool, count(*)::BIGINT AS n_turns,
            count(DISTINCT conv_id)::BIGINT AS n_convs
     FROM t WHERE tool IS NOT NULL GROUP BY tool"""
+
+
+def _sft_sql(k: int = 3, target_role: str = "assistant") -> str:
+    """sharding.sft_context_examples replica: the same pinned
+    (turn_idx, role, coalesce(text,'')) total order, a ROWS k-PRECEDING
+    window list of 'role: text' lines newline-joined, filtered to the
+    target role (the _tool_usage_sql count(*)-gated fixture union)."""
+    a = _ensure_flagship_artifacts()
+    return f"""
+    WITH t AS (
+        SELECT conv_id, turn_idx, role, text
+        FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT conv_id, turn_idx, role, text
+        FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT conv_id, turn_idx, role, text
+        FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    f AS (SELECT conv_id, turn_idx, role,
+                 coalesce(text, '') AS tt,
+                 coalesce(role, '') || ': ' || coalesce(text, '') AS fmt
+          FROM t),
+    w AS (SELECT conv_id, turn_idx, role, tt,
+            coalesce(array_to_string(list(fmt) OVER (PARTITION BY conv_id
+                ORDER BY turn_idx, role, tt
+                ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING),
+                chr(10)), '') AS context
+          FROM f)
+    SELECT conv_id, turn_idx, context, tt AS target
+    FROM w WHERE role = '{target_role}'"""
 
 
 def _ensure_media_artifacts() -> dict[str, str]:
@@ -4670,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_documents": _decontam_sql(),
         "boilerplate_turns_transcripts": _boilerplate_sql(),
         "tool_usage_transcripts": _tool_usage_sql(),
+        "sft_examples_transcripts": _sft_sql(3),
         "join_orders_customer":
             "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",

@@ -133,3 +133,53 @@ def pack_sequences(ds, id_col: str, text_col: str, budget: int, *,
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+def sft_context_examples(ds, conv_col: str, turn_col: str, role_col: str,
+                         text_col: str, *, target_role: str = "assistant",
+                         k: int = 3, num_partitions: int | None = None):
+    """SFT training-example assembly from conversation transcripts: one
+    row per ``target_role`` turn with ``context`` = the previous <=k
+    turns rendered ``role: text`` and newline-joined, and ``target`` =
+    the turn's own text — the (prompt, completion) pair builder.
+
+    Turn order is pinned to (turn_idx, role, coalesce(text, '')) so
+    duplicate turn indices (dirty transcripts) order identically here
+    and in the SQL-window oracle.  One conversation-bucketed shuffle;
+    context assembly is k vectorized shift-concats per bucket, no
+    Python row loop."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    cols = [conv_col, turn_col, role_col, text_col]
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["__t"] = g[text_col].fillna("")
+        g = g.sort_values([conv_col, turn_col, role_col, "__t"],
+                          kind="mergesort")
+        fmt = (g[role_col].fillna("") + ": " + g["__t"]).to_numpy(object)
+        conv = g[conv_col].to_numpy(object)
+        n = len(g)
+        ctx = np.full(n, "", dtype=object)
+        have = np.zeros(n, dtype=bool)
+        for j in range(k, 0, -1):            # oldest context line first
+            prev = np.roll(fmt, j)
+            pconv = np.roll(conv, j)
+            ok = np.zeros(n, dtype=bool)
+            ok[j:] = pconv[j:] == conv[j:]   # same conversation only
+            ctx = np.where(ok, np.where(have, ctx + "\n", "") + prev, ctx)
+            have = have | ok
+        out = g.loc[:, [conv_col, turn_col]].copy()
+        out["context"] = ctx
+        out["target"] = g["__t"].to_numpy(object)
+        return out[g[role_col].to_numpy(object) == target_role]
+
+    proj = ds.select_columns(cols)
+    return bucketed_group_reduce(proj, [conv_col], per_conv,
+                                 num_partitions)

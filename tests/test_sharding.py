@@ -122,3 +122,40 @@ def test_quantile_filter_drops_null_scores(ray_session):
         "score": pa.array([0.1, None, 0.9, 0.5])}))
     kept = quantile_filter(ds, "score", 0.5).to_pandas()
     assert 2 not in set(kept["id"])
+
+
+def test_sft_context_examples_window(ray_session):
+    """Context = previous <=k turns in pinned order, conversation-scoped
+    (no bleed between adjacent conversations in one bucket), empty for
+    a conversation-opening target turn."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sharding import sft_context_examples
+
+    rows = [
+        ("c1", 0, "system", "sys prompt"),
+        ("c1", 1, "user", "hi"),
+        ("c1", 2, "assistant", "hello"),
+        ("c1", 3, "user", "more"),
+        ("c1", 4, "assistant", "sure"),
+        ("c2", 0, "assistant", "opener"),      # no context
+        ("c2", 1, "user", None),               # null text -> ''
+        ("c2", 2, "assistant", "ans"),
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows], type=pa.string())})
+    out = (sft_context_examples(ray.data.from_arrow(tbl), "conv_id",
+                                "turn_idx", "role", "text", k=2)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    assert out["target"].tolist() == ["hello", "sure", "opener", "ans"]
+    assert out["context"].tolist() == [
+        "system: sys prompt\nuser: hi",
+        "assistant: hello\nuser: more",
+        "",
+        "assistant: opener\nuser: ",
+    ]
