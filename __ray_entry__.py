@@ -206,6 +206,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
             _query_vec(sf), k=10)
 
+    def quantize_embeddings_int8(sf):
+        # storage compression for ANN: per-vector symmetric int8 + MSE
+        return similarity.quantize_embeddings(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding")
+
     def ann_multi_query(sf):
         import pyarrow.parquet as pq
 
@@ -1568,6 +1574,7 @@ checks for orders:
         "token_counts_documents": token_counts_documents,
         "quality_scores_documents": quality_scores_documents,
         "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
+        "quantize_embeddings_int8": quantize_embeddings_int8,
         "ann_multi_query": ann_multi_query,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
@@ -4022,6 +4029,27 @@ def oracle_sql() -> dict[str, str]:
         for j in (1, 2, 3))})::BIGINT AS tier
     FROM s, p WHERE quality_score IS NOT NULL""",
         "ann_bruteforce_embeddings": ann,
+        # quantize: same half-up floor(x/scale + 0.5) on both sides;
+        # q8 ships as a comma-joined string (portable across Arrow and
+        # DuckDB list representations); list_sum's left fold matches the
+        # engine's sequential per-dimension accumulation
+        "quantize_embeddings_int8": """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    s AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, scale,
+            list_transform(v, x -> CAST(floor(
+                x / (CASE WHEN scale > 0 THEN scale ELSE 1 END) + 0.5)
+                AS BIGINT)) AS q8
+          FROM s)
+    SELECT vec_id, scale,
+        array_to_string(q8, ',') AS q8,
+        round(list_sum(list_transform(list_zip(v, q8),
+            p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)))
+            / len(v), 6) AS mse
+    FROM q""",
         "ann_multi_query": """
     SELECT q.query_idx, e.vec_id,
         round(list_cosine_similarity(e.embedding::DOUBLE[], q.emb), 6) AS cosine

@@ -2499,3 +2499,31 @@ def test_temperature_sample_budgets_and_determinism(ray_session):
     exp = temperature_budgets({"big": 180, "small": 20}, 0.5, 50)
     assert vc["big"] == exp["big"] and vc["small"] == exp["small"]
     assert vc["small"] / len(s1) > 20 / 200   # tail upsampled
+
+
+def test_quantize_embeddings_int8(ray_session):
+    """int8 quantization: values in [-127,127], scale restores the max
+    component exactly, zero vectors quantize to zeros with scale 0,
+    reconstruction stays close."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.similarity import quantize_embeddings
+
+    vecs = [[0.5, -1.0, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0],
+            [2.0, 2.0, 2.0, 2.0]]
+    tbl = pa.table({"vec_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "embedding": pa.array(vecs,
+                                          type=pa.list_(pa.float32()))})
+    out = (quantize_embeddings(ray.data.from_arrow(tbl), "vec_id",
+                               "embedding")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    q1 = [int(x) for x in out["q8"][0].split(",")]
+    assert q1 == [64, -127, 32, 0]            # 0.5/ (1/127) = 63.5 -> 64
+    assert abs(out["scale"][0] - 1.0 / 127) < 1e-12
+    assert out["q8"][1] == "0,0,0,0" and out["scale"][1] == 0.0
+    assert out["q8"][2] == "127,127,127,127"
+    assert (out["mse"] >= 0).all() and out["mse"][1] == 0.0
+    recon = np.array(q1) * out["scale"][0]
+    assert np.allclose(recon, vecs[0], atol=out["scale"][0] / 2 + 1e-12)
