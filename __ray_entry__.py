@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]),
             "vec_id", "embedding")
 
+    def ann_quantized_embeddings(sf):
+        # retrieval-quality audit: cosine top-k over the int8 recon
+        return similarity.brute_force_topk_quantized(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", _query_vec(sf), k=10)
+
     def ann_multi_query(sf):
         import pyarrow.parquet as pq
 
@@ -1575,6 +1581,7 @@ checks for orders:
         "quality_scores_documents": quality_scores_documents,
         "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
         "quantize_embeddings_int8": quantize_embeddings_int8,
+        "ann_quantized_embeddings": ann_quantized_embeddings,
         "ann_multi_query": ann_multi_query,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_per_window": events_per_window,
@@ -4050,6 +4057,21 @@ def oracle_sql() -> dict[str, str]:
             p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)))
             / len(v), 6) AS mse
     FROM q""",
+        "ann_quantized_embeddings": """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    s AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e),
+    r AS (SELECT vec_id, list_transform(v, x -> floor(
+            x / (CASE WHEN scale > 0 THEN scale ELSE 1 END) + 0.5)
+            * scale) AS recon
+          FROM s)
+    SELECT vec_id,
+        round(list_cosine_similarity(recon,
+            (SELECT embedding::DOUBLE[] FROM embeddings
+             WHERE vec_id = 0)), 6) AS cosine
+    FROM r ORDER BY cosine DESC, vec_id LIMIT 10""",
         "ann_multi_query": """
     SELECT q.query_idx, e.vec_id,
         round(list_cosine_similarity(e.embedding::DOUBLE[], q.emb), 6) AS cosine

@@ -414,3 +414,38 @@ def quantize_embeddings(ds, id_col: str, emb_col: str):
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def brute_force_topk_quantized(ds, id_col: str, emb_col: str,
+                               query: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Cosine top-k over int8-QUANTIZED vectors (quantize -> reconstruct
+    -> score): the retrieval-quality audit for ``quantize_embeddings``
+    — at 100 TB the corpus is stored int8 and this is what search
+    actually sees.  Same shape as ``brute_force_topk``: broadcast query,
+    per-batch local top-k partials, blocks x k driver merge."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _fit_dim(_batch_matrix(batch, emb_col), len(qv))
+        amax = np.abs(m).max(axis=1) if m.size else np.zeros(len(m))
+        scale = amax / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        recon = np.floor(m / safe[:, None] + 0.5) * scale[:, None]
+        norms = np.linalg.norm(recon, axis=1)
+        cos = (recon @ qv) / np.where(norms > 0, norms, 1.0)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        top = np.argsort(-cos, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[top]),
+                         "cosine": pa.array(_r(cos[top], 6),
+                                            type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out = parts.sort_values(["cosine", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return out.reset_index(drop=True)
