@@ -889,6 +889,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "user_id", "ts", "value"]),
             "user_id", ["ts", "event_id"], "value", rolling=3)
 
+    def lead_rank_events(sf):
+        # forward window half: lead diff + rank()/dense_rank() per user
+        return windows.keyed_lead_rank(
+            _ds(sf, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id", ["ts", "event_id"], "value")
+
     def profile_stats_lineitem(sf):
         return profiling.numeric_column_stats(
             _ds(sf, "lineitem", ["l_extendedprice"]), "l_extendedprice")
@@ -1638,6 +1644,7 @@ checks for orders:
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
+        "lead_rank_events": lead_rank_events,
         "sessionize_events": sessionize_events,
         "profile_stats_lineitem": profile_stats_lineitem,
         "profile_variables_lineitem": profile_variables_lineitem,
@@ -4553,6 +4560,19 @@ def oracle_sql() -> dict[str, str]:
         sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE
             / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS roll_mean_cents
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+        "lead_rank_events": """
+    WITH c AS (SELECT user_id, ts, event_id,
+            round(value * 100, 0)::BIGINT AS cents FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_id IS NOT NULL AND value IS NOT NULL)
+    SELECT user_id, ts, event_id, cents,
+        (lead(cents) OVER w - cents)::DOUBLE AS lead_diff_cents,
+        rank() OVER (PARTITION BY user_id ORDER BY cents)::BIGINT
+            AS rank_cents,
+        dense_rank() OVER (PARTITION BY user_id ORDER BY cents)::BIGINT
+            AS dense_rank_cents
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
         "sessionize_events": sessions,

@@ -359,3 +359,64 @@ def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
                                                  dtype=np.int64)})
     return (parts.groupby(["step_idx", "step"], sort=True)["n_users"]
             .sum().reset_index())
+
+
+def keyed_lead_rank(ds, key_col: str, order_cols: list[str],
+                    value_col: str, num_buckets: int | None = None):
+    """The forward-looking / ranking half of the window-function surface
+    (``keyed_window_functions`` covers the trailing half): per key —
+    lead difference (next value minus current, null on each key's last
+    row in ``order_cols`` order) and the value's rank() / dense_rank()
+    within its key.  Same one-keyed-bucket-shuffle shape; ranks via
+    pandas' vectorized groupby.rank.
+
+    Returns key_col, *order_cols, cents, lead_diff_cents, rank_cents,
+    dense_rank_cents."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    out_cols = [key_col, *order_cols, "cents", "lead_diff_cents",
+                "rank_cents", "dense_rank_cents"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        valid = pc.is_valid(batch.column(value_col))
+        for c in (key_col, *order_cols):
+            valid = pc.and_(valid, pc.is_valid(batch.column(c)))
+        batch = batch.filter(valid)
+        cents = pc.cast(pc.round(pc.multiply(batch.column(value_col),
+                                             100.0), 0), "int64")
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(_np.asarray(k))
+        t = batch.select([key_col, *order_cols])
+        t = t.append_column("cents", cents)
+        return t.append_column("bucket", pa.array(
+            (h % _np.uint64(num_buckets)).astype(_np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        key = g[key_col].to_numpy()
+        v = g["cents"].to_numpy(dtype=np.int64)
+        n = len(g)
+        last_of_key = np.empty(n, dtype=bool)
+        last_of_key[-1] = True
+        last_of_key[:-1] = key[:-1] != key[1:]
+        lead = np.empty(n, dtype=np.float64)
+        lead[:-1] = (v[1:] - v[:-1]).astype(np.float64)
+        lead[last_of_key] = np.nan
+        out = g.drop(columns="bucket").copy()
+        out["lead_diff_cents"] = lead
+        grp = out.groupby(key_col, sort=False)["cents"]
+        out["rank_cents"] = grp.rank(method="min").astype("int64")
+        out["dense_rank_cents"] = grp.rank(method="dense").astype("int64")
+        return out[out_cols]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
