@@ -18,6 +18,36 @@ from packs_ray.functions.agg import global_agg, keyed_count
 from packs_ray.stages.util import round_half_away as _r
 
 
+def _key_hash128(batch: pa.Table, key_cols: list[str], num_partitions: int):
+    """(h1, h2, p) — a 128-bit hash of the key columns computed from the
+    ARROW columns via a string cast with a null sentinel.  Hashing the
+    pandas materialization instead would be dtype-UNSTABLE: an int64
+    block materializes as int64 when null-free but float64 when any
+    null is present, so the same logical key hashes into two different
+    groups depending on which block it rode in (both copies would then
+    survive a dedup).  The arrow type is identical across blocks, so
+    its string cast is too."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for c in key_cols:
+        col = batch.column(c)
+        if pa.types.is_null(col.type):
+            vals = np.full(n, "\x00<null>", dtype=object)
+        else:
+            s = pc.fill_null(pc.cast(col, pa.string()), "\x00<null>")
+            vals = s.to_numpy(zero_copy_only=False)
+        h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+            vals, hash_key="0123456789123456")
+        h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
+            vals, hash_key="6543216543210987")
+    p = (h1 % np.uint64(num_partitions)).astype(np.int64)
+    return h1.view(np.int64), h2.view(np.int64), p
+
+
 def duplicate_metrics(ds, key_cols: list[str]) -> pd.DataFrame:
     """One row: total_rows, duplicate_rows, distinct_count,
     duplicate_percent (4dp) and score (reference quirk: rate rounded to
@@ -168,17 +198,10 @@ def dedup_exact(ds, key_cols: list[str], order_col: str,
         num_partitions = reduce_partition_count(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(key_cols + [order_col]).to_pandas()
-        h1 = np.zeros(len(df), dtype=np.uint64)
-        h2 = np.zeros(len(df), dtype=np.uint64)
-        for c in key_cols:
-            vals = df[c].to_numpy()
-            h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
-                vals, hash_key="0123456789123456")
-            h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
-                vals, hash_key="6543216543210987")
-        df = df.assign(__h1=h1.view(np.int64), __h2=h2.view(np.int64),
-                       __p=(h1 % np.uint64(num_partitions)).astype(np.int64))
+        sel = batch.select(key_cols + [order_col])
+        h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
+        df = sel.to_pandas()
+        df = df.assign(__h1=h1, __h2=h2, __p=p)
         out = (df.groupby(["__p", "__h1", "__h2"], dropna=False, sort=False)
                .agg({order_col: "min", **{c: "first" for c in key_cols}})
                .reset_index())
@@ -221,17 +244,10 @@ def dedup_latest(ds, key_cols: list[str], ts_col: str, id_col: str,
         return df.groupby(group_keys, dropna=False, sort=False).head(1)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(cols).to_pandas()
-        h1 = np.zeros(len(df), dtype=np.uint64)
-        h2 = np.zeros(len(df), dtype=np.uint64)
-        for c in key_cols:
-            vals = df[c].to_numpy()
-            h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
-                vals, hash_key="0123456789123456")
-            h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
-                vals, hash_key="6543216543210987")
-        df = df.assign(__h1=h1.view(np.int64), __h2=h2.view(np.int64),
-                       __p=(h1 % np.uint64(num_partitions)).astype(np.int64))
+        sel = batch.select(cols)
+        h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
+        df = sel.to_pandas()
+        df = df.assign(__h1=h1, __h2=h2, __p=p)
         out = best(df, ["__p", "__h1", "__h2"])
         return pa.Table.from_pandas(out, preserve_index=False)
 

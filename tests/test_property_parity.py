@@ -332,3 +332,85 @@ def test_fuzzy_join_prefix_filter_lossless(ray_session, lnames, rnames, tau):
             if jac >= tau:
                 exp[(li, ri)] = round(jac, 4)
     assert got == exp
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    ), min_size=1, max_size=40))
+def test_dedup_latest_matches_pandas_replica(ray_session, rows):
+    """dedup_latest == per-key argmax(ts) tie-min(id) computed in plain
+    pandas, across random keys/ts with nulls and heavy ties."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.duplicates import dedup_latest
+
+    ks = [r[0] for r in rows]
+    ts = pd.to_datetime(
+        [None if r[1] is None else f"2026-01-0{r[1] + 1}" for r in rows]
+    ).astype("datetime64[us]")
+    ids = list(range(len(rows)))
+    tbl = pa.table({"k": pa.array(ks, type=pa.int64()),
+                    "ts": pa.array(ts), "id": pa.array(ids,
+                                                       type=pa.int64())})
+    got = (dedup_latest(ray.data.from_arrow(tbl).repartition(3),
+                        ["k"], "ts", "id")
+           .to_pandas().sort_values("id")["id"].tolist())
+
+    df = tbl.to_pandas()
+    df = df.sort_values(["ts", "id"], ascending=[False, True],
+                        kind="mergesort", na_position="last")
+    exp = sorted(df.groupby("k", dropna=False).head(1)["id"].tolist())
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False, width=32))),
+    min_size=1, max_size=50))
+def test_grouped_stats_matches_pandas_replica(ray_session, vals):
+    """grouped_stats == pandas describe on cents-fixed values, across
+    random groups with nulls (all-null groups dropped)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import grouped_stats
+
+    tbl = pa.table({"k": pa.array([v[0] for v in vals], type=pa.int64()),
+                    "v": pa.array([v[1] for v in vals],
+                                  type=pa.float64())})
+    got = grouped_stats(ray.data.from_arrow(tbl).repartition(3),
+                        "k", "v").to_pandas()
+
+    df = tbl.to_pandas().dropna(subset=["v"])
+    if df.empty:
+        # all-null input: every bucket returns an empty frame and the
+        # empty Dataset surfaces schema-less (known Ray behavior)
+        assert got.empty
+        return
+    got = got.sort_values("k").reset_index(drop=True)
+    df["c"] = (df["v"] * 100).round().astype("int64")
+    assert got["k"].tolist() == sorted(df["k"].unique().tolist())
+    for _, row in got.iterrows():
+        c = df.loc[df["k"] == row["k"], "c"]
+        assert row["n"] == len(c)
+        assert row["sum_cents"] == int(c.sum())
+        assert abs(row["mean"] - round(c.sum() / len(c) / 100, 6)) < 1e-9
+        assert row["min_v"] == c.min() / 100
+        assert row["max_v"] == c.max() / 100
+        if len(c) > 1:
+            exp_sd = ((c.astype(float) ** 2).sum() / len(c)
+                      - (c.sum() / len(c)) ** 2) * len(c) / (len(c) - 1)
+            assert abs(row["std_samp"]
+                       - round(math.sqrt(max(exp_sd, 0)) / 100, 6)) < 1e-6
+        else:
+            assert math.isnan(row["std_samp"])
