@@ -327,6 +327,20 @@ def temperature_sample(ds, group_col: str, id_col: str, *,
     cnt = keyed_count(ds.map_batches(
         lambda t: t.filter(pa.compute.is_valid(t.column(group_col))),
         batch_format="pyarrow"), [group_col]).to_pandas()
+    if cnt.empty:
+        # no non-null groups at all: typed empty result (the empty
+        # keyed_count output carries no columns to read budgets from)
+        import ray.data
+
+        base = getattr(ds.schema(), "base_schema", None)
+
+        def _t(col):
+            return (base.field(col).type if base is not None
+                    and base.get_field_index(col) >= 0 else pa.string())
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], type=_t(id_col)),
+            group_col: pa.array([], type=_t(group_col))}))
     budgets = temperature_budgets(
         dict(zip(cnt[group_col], cnt["cnt"])), alpha, total_n)
     sc = _salt_constant(salt)
