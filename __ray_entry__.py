@@ -1025,6 +1025,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return neardup.simhash64(_ds(sf, "documents", ["doc_id", "text"]),
                                  "doc_id", "text")
 
+    def simhash_pairs_documents(sf):
+        # hamming<=3 near-dup pairs; exact by band pigeonhole
+        return neardup.simhash_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            max_hamming=3, max_group=100_000)
+
     def ks_drift_events(sf):
         import pyarrow.compute as pc
 
@@ -1659,6 +1665,7 @@ checks for orders:
         "minhash_pairs_documents": minhash_pairs_documents,
         "neardup_clusters_documents": neardup_clusters_documents,
         "neardup_keep_best_documents": neardup_keep_best_documents,
+        "simhash_pairs_documents": simhash_pairs_documents,
         "fuzzy_join_customer_supplier": fuzzy_join_customer_supplier,
         "simhash_documents": simhash_documents,
         "ks_drift_events": ks_drift_events,
@@ -4701,6 +4708,15 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": _langid_sql(),
         "fingerprints_documents": _fingerprints_sql(),
         "simhash_documents": _simhash_sql(),
+        # simhash_pairs: the band LSH is recall-EXACT at hamming<=3
+        # (pigeonhole over 4 disjoint 16-bit bands), so the uncapped
+        # all-pairs hamming join is its ground truth
+        "simhash_pairs_documents": f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
         "minhash_pairs_documents": _minhash_sql(),
         "neardup_clusters_documents": f"""

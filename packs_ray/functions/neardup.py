@@ -792,3 +792,104 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
                                      _as_f64, verify_cosine, vparts)
     return _pairs_result(verified, skipped_total, "cosine", collect,
                          "embedding_cosine_pairs")
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-table lookup; numpy<2 has no
+    bitwise_count)."""
+    b = np.ascontiguousarray(x.view(np.uint64)).view(np.uint8)
+    return _POP8[b].reshape(-1, 8).sum(axis=1)
+
+
+def simhash_pairs(ds, id_col: str, text_col: str, shingle: int = 4,
+                  max_hamming: int = 3, num_partitions: int | None = None,
+                  max_group: int = 1000, collect: bool = False):
+    """Near-duplicate PAIRS by simhash Hamming distance — the third
+    pair finder next to minhash (Jaccard) and embedding cosine.
+    EXACT for ``max_hamming <= 3``: the 64-bit signature splits into 4
+    disjoint 16-bit bands, and <=3 differing bits can touch at most 3
+    bands, so every qualifying pair collides on at least one band
+    (pigeonhole — no probabilistic recall gap).  Returns a lazy Dataset
+    (id_a, id_b, hamming); ``collect`` mirrors minhash_lsh_pairs.
+
+    Scale shape: band-bucket shuffle -> capped vectorized pair emission
+    (skips surfaced) -> the shared bucketed verify exchange with the
+    8-byte signature as payload (popcount of XOR per pair)."""
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    sigs = simhash64(ds, id_col, text_col, shingle)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_band, out_val, out_id = [], [], []
+        for k in range(4):
+            bv = batch.column(f"b{k}").to_numpy(zero_copy_only=False)
+            out_band.append(np.full(len(ids), k, dtype=np.int64))
+            out_val.append(bv)
+            out_id.append(ids)
+        bv_all = np.concatenate(out_val)
+        band_all = np.concatenate(out_band)
+        mix = (bv_all.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + band_all.view(np.uint64))
+        return pa.table({
+            "__p": pa.array((mix % np.uint64(num_partitions))
+                            .view(np.int64)),
+            "band_id": band_all, "band_val": bv_all,
+            id_col: np.concatenate(out_id)})
+
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        return _emit_capped_pairs(part, ["band_id", "band_val"], id_col,
+                                  max_group=max_group)
+
+    buckets = sigs.map_batches(explode, batch_format="pyarrow")
+    pairs_raw = (buckets.groupby("__p")
+                 .map_groups(emit, batch_format="pandas").materialize())
+    skipped_total = int(pairs_raw.sum("skipped_buckets") or 0)
+    if pairs_raw.count() == 0:
+        return _empty_pairs("hamming", skipped_total, collect)
+    pairs_ds = pairs_raw.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t.column("id_a")))
+                   .select(["id_a", "id_b"]),
+        batch_format="pyarrow").materialize()
+    if pairs_ds.count() == 0:
+        return _empty_pairs("hamming", skipped_total, collect)
+
+    def sig_payload(batch: pa.Table) -> pa.Table:
+        sv = batch.column("simhash").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": batch.column(id_col),
+            "v": pa.array([[int(np.uint64(x & 0xFFFFFFFFFFFFFFFF))]
+                           for x in sv.view(np.uint64)],
+                          type=pa.list_(pa.uint64()))})
+
+    payloads = sigs.map_batches(sig_payload, batch_format="pyarrow")
+    vparts = max(1, min(num_partitions,
+                        int(np.ceil(pairs_ds.count() / 4000))))
+
+    def verify_hamming(lookup: dict, pr: pd.DataFrame) -> pd.DataFrame:
+        if len(pr) == 0:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64")})
+        a = pr["id_a"].to_numpy(dtype=np.int64)
+        b = pr["id_b"].to_numpy(dtype=np.int64)
+        sa = np.array([lookup.get(int(x), _EMPTY_U64)[:1] or [0]
+                       for x in a], dtype=np.uint64).ravel()
+        sb = np.array([lookup.get(int(x), _EMPTY_U64)[:1] or [0]
+                       for x in b], dtype=np.uint64).ravel()
+        ham = _popcount64(np.bitwise_xor(sa, sb))
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep],
+                             "hamming": ham[keep].astype(np.int64)})
+
+    verified = _bucketed_pair_verify(pairs_ds, payloads,
+                                     pa.list_(pa.uint64()), _as_u64,
+                                     verify_hamming, vparts)
+    return _pairs_result(verified, skipped_total, "hamming", collect,
+                         "simhash_pairs")

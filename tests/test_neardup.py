@@ -407,3 +407,40 @@ def test_minhash_pathological_corpus_stays_distributed(ray_session):
     got = labels.set_index("doc_id")["cluster_id"]
     for i in range(160):
         assert got[i] == i % 4  # component min = first doc of each variant
+
+
+def test_simhash_pairs_exact_at_hamming3(ray_session):
+    """simhash_pairs == brute-force all-pairs hamming<=3 (band
+    pigeonhole is recall-exact) on a corpus engineered for near
+    collisions; higher-distance pairs excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.neardup import (_popcount64, simhash64,
+                                             simhash_pairs)
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3 + "!",
+             "a completely different document about data engines",
+             "a completely different document about data engines!!",
+             "unrelated third thing entirely, nothing shared here"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    got = simhash_pairs(ds, "doc_id", "text", max_hamming=3,
+                        collect=True)
+    got_set = {(a, b): h for a, b, h in
+               zip(got["id_a"], got["id_b"], got["hamming"])}
+
+    sigs = (simhash64(ray.data.from_arrow(tbl), "doc_id", "text")
+            .to_pandas().sort_values("doc_id"))
+    sv = sigs["simhash"].to_numpy().view(np.uint64)
+    exp = {}
+    for i in range(len(sv)):
+        for j in range(i + 1, len(sv)):
+            h = int(_popcount64(np.array([sv[i] ^ sv[j]]))[0])
+            if h <= 3:
+                exp[(i, j)] = h
+    assert got_set == exp and len(exp) >= 1
