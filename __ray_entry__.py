@@ -816,6 +816,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "doc_id", "text")
         return quantile_filter(s, "quality_score", 0.5)
 
+    def source_gate_documents(sf):
+        # RefinedWeb-style domain gate: drop every doc of a source whose
+        # MEAN doc length misses the bar
+        from packs_ray.functions.webquality import group_quality_gate
+
+        return group_quality_gate(
+            _ds(sf, "documents", ["doc_id", "source", "n_chars"]),
+            "source", "n_chars", 300.0)
+
     def pii_luhn_orders(sf):
         # deterministic card-shaped fixture derived from orders (the
         # compare_mismatch_export pattern): 16 digits from
@@ -1611,6 +1620,7 @@ checks for orders:
         "pii_luhn_orders": pii_luhn_orders,
         "pii_iban_orders": pii_iban_orders,
         "quality_filter_documents": quality_filter_documents,
+        "source_gate_documents": source_gate_documents,
         "pivot_events_type": pivot_events_type,
         "dedup_snapshot_documents": dedup_snapshot_documents,
         "dedup_lines_documents": dedup_lines_documents,
@@ -3983,6 +3993,17 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": quality,
         # profiling.quantile_filter: identical rank-interpolated median
         # (vlo + (qf - lo_i)*(vhi - vlo), qf = 0.5*(n-1)) then >= gate
+        # source_gate: the engine compares grouped_stats' 6dp-pinned
+        # cents-exact mean, so the SQL replicates that expression
+        "source_gate_documents": """
+    WITH s AS (SELECT source,
+            count(n_chars)::BIGINT AS n,
+            sum(round(n_chars * 100, 0)::BIGINT)::BIGINT AS sc
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+    ok AS (SELECT source FROM s
+           WHERE round((sc::DOUBLE / n) / 100, 6) >= 300.0)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN ok USING (source)""",
         "quality_filter_documents": f"""
     WITH s AS ({quality}),
     r AS (SELECT quality_score AS v,

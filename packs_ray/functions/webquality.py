@@ -471,3 +471,47 @@ def gopher_flags(ds, id_col: str, text_col: str, *,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_quality_gate(ds, group_col: str, value_col: str,
+                       min_mean: float, *, scale: int = 100):
+    """Domain-level quality filtering (the RefinedWeb-style aggregate
+    gate): keep rows whose GROUP's mean value clears ``min_mean`` —
+    low-quality sources/domains drop wholesale, whatever the individual
+    row looks like.  The per-group means come from ``grouped_stats``'s
+    exact integer partials (6dp-pinned mean, so the verdict boundary is
+    oracle-reproducible); the surviving-group set is bounded
+    (domains/sources), broadcast once, and applied in one stateless
+    streaming filter — rows move zero times."""
+    import numpy as np
+
+    import ray
+
+    from packs_ray.functions.agg import grouped_stats
+
+    stats = grouped_stats(ds.select_columns([group_col, value_col]),
+                          group_col, value_col, scale=scale)
+
+    def passing(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(
+            batch.column("mean"), min_mean)).select([group_col])
+
+    blocks = [b.column(group_col).to_numpy(zero_copy_only=False)
+              for b in ray.get(stats.map_batches(
+                  passing, batch_format="pyarrow").to_arrow_refs())
+              if len(b)]
+    keep = np.sort(np.concatenate(blocks)) if blocks \
+        else np.empty(0, dtype=object)
+    ref = ray.put(keep)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        if ks.size == 0:
+            return batch.slice(0, 0)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, g), 0, ks.size - 1)
+        return batch.filter(pa.array(ks[pos] == g))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
