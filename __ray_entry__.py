@@ -985,6 +985,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def langid_documents(sf):
         return textstats.langid_counts(_ds(sf, "documents", ["text"]), "text")
 
+    def corpus_report_documents(sf):
+        # dataset-card rollup per language: docs / nulls / chars / tokens
+        return textstats.corpus_report(
+            _ds(sf, "documents", ["lang", "text"]), "lang", "text")
+
     def fingerprints_documents(sf):
         return textstats.fingerprints(_ds(sf, "documents", ["doc_id", "text"]),
                                       "doc_id", "text")
@@ -1672,6 +1677,7 @@ checks for orders:
         "compare_mismatch_export": compare_mismatch_export,
         "langid_documents": langid_documents,
         "fingerprints_documents": fingerprints_documents,
+        "corpus_report_documents": corpus_report_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
         "neardup_clusters_documents": neardup_clusters_documents,
         "neardup_keep_best_documents": neardup_keep_best_documents,
@@ -3990,6 +3996,14 @@ def oracle_sql() -> dict[str, str]:
         "pattern_validation_part": pattern_validation,
         "pii_scan_documents": pii_scan,
         "token_counts_documents": token_counts,
+        "corpus_report_documents": r"""
+    SELECT lang, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_null_text,
+        sum(coalesce(length(text), 0))::BIGINT AS n_chars,
+        sum(coalesce(length(regexp_extract_all(text, '\S+')), 0))::BIGINT
+            AS n_tokens
+    FROM documents GROUP BY lang""",
         "quality_scores_documents": quality,
         # profiling.quantile_filter: identical rank-interpolated median
         # (vlo + (qf - lo_i)*(vhi - vlo), qf = 0.5*(n-1)) then >= gate

@@ -318,3 +318,39 @@ def top_terms(ds, id_col: str, column: str, k: int = 5,
         return g[[id_col, "rank", "token", "tf", "df"]]
 
     return bucketed_group_reduce(with_df, [id_col], topk, num_partitions)
+
+
+def corpus_report(ds, group_col: str, text_col: str):
+    """Dataset-card rollup: per group (language/source) — document
+    count, null-text count, exact char and whitespace-token totals.
+    One combiner pass (per-batch per-group integer partials), one tiny
+    bucketed sum; nothing but aggregate rows ever moves."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, text_col)
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_numpy(
+                zero_copy_only=False),
+            "n_docs": 1,
+            "n_null_text": pc.is_null(batch.column(text_col)).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_chars": pc.utf8_length(text).fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_tokens": pc.count_substring_regex(text, r"\S+").fill_null(0)
+                .to_numpy(zero_copy_only=False).astype(np.int64)})
+        out = (df.groupby(group_col, dropna=False, sort=False)
+               .sum().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_docs", "n_null_text", "n_chars", "n_tokens"]
+        out = (g.groupby(group_col, dropna=False, sort=False)[cols]
+               .sum().reset_index())
+        return out.astype({c: "int64" for c in cols})
+
+    return bucketed_group_reduce(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [group_col], reduce_fn, reduce_partition_count(ds))
