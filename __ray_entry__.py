@@ -760,6 +760,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return dedup_lines(fixture, "doc_id", "text")
 
+    def strip_html_documents(sf):
+        # WARC->text extraction over a deterministic HTML wrapper that
+        # plants every hazard: script/style blocks (with tags + '<'
+        # inside), multi-line tags, the full entity list incl. the
+        # double-escape '&amp;copy;' ordering trap, escaped text bodies,
+        # and null html rows (doc_id % 23)
+        import pyarrow as pa
+
+        from packs_ray.functions.webquality import strip_html
+
+        def mk(batch):
+            df = batch.to_pandas()
+            base = df["text"].str.slice(0, 60).mask(
+                df["doc_id"] % 17 == 0, "a < b & c > d")
+            esc = (base.str.replace("&", "&amp;", regex=False)
+                       .str.replace("<", "&lt;", regex=False)
+                       .str.replace(">", "&gt;", regex=False))
+            html = ('<HTML><head><STYLE type="text/css">body{color:#'
+                    + (df["doc_id"] % 10).astype(str)
+                    + '}</STYLE><script>if (1 < 2 && x) emit("</div>");'
+                    + '</script></head><body><h1 class="t">Doc&nbsp;'
+                    + df["doc_id"].astype(str) + "</h1>\n<p>" + esc
+                    + '</p><br/><div>&quot;footer&#39;s&quot; &amp;copy;'
+                    + " row " + (df["doc_id"] % 100).astype(str)
+                    + "</div></body></HTML>")
+            html = html.mask(df["doc_id"] % 23 == 0, None)
+            return pa.table({"doc_id": pa.array(df["doc_id"],
+                                                type=pa.int64()),
+                             "html": pa.array(html, type=pa.string())})
+
+        fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            mk, batch_format="pyarrow")
+        return strip_html(fixture, "html", id_cols=["doc_id"])
+
     def semantic_dedup_embeddings(sf):
         # SemDeDup: k-means topic clusters, then leader cosine dedup
         # within each cluster (tau picked where the corpus has a real
@@ -1629,6 +1663,7 @@ checks for orders:
         "pivot_events_type": pivot_events_type,
         "dedup_snapshot_documents": dedup_snapshot_documents,
         "dedup_lines_documents": dedup_lines_documents,
+        "strip_html_documents": strip_html_documents,
         "quality_tiers_documents": quality_tiers_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
@@ -4037,6 +4072,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1 FROM documents b
         WHERE b.doc_id % 2 = 0
           AND substr(b.text, 1, 20) = substr(a.text, 1, 20))""",
+        # webquality.strip_html: identical RE2 chain (DuckDB runs RE2
+        # too), same fixture expression, same fixed entity order
+        "strip_html_documents": r"""
+    WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id % 17 = 0 THEN 'a < b & c > d'
+             ELSE substr(text, 1, 60) END AS base FROM documents),
+    h AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0 THEN NULL ELSE
+        '<HTML><head><STYLE type="text/css">body{color:#'
+        || (doc_id % 10)::VARCHAR
+        || '}</STYLE><script>if (1 < 2 && x) emit("</div>");'
+        || '</script></head><body><h1 class="t">Doc&nbsp;'
+        || doc_id::VARCHAR || '</h1>' || chr(10) || '<p>'
+        || replace(replace(replace(base,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        || '</p><br/><div>&quot;footer&#39;s&quot; &amp;copy; row '
+        || (doc_id % 100)::VARCHAR || '</div></body></HTML>'
+        END AS html FROM b)
+    SELECT doc_id, trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(html,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text_extracted
+    FROM h""",
         "dedup_lines_documents": """
     WITH src AS (SELECT doc_id,
         'shared header ' || (doc_id % 5) || chr(10)

@@ -515,3 +515,55 @@ def group_quality_gate(ds, group_col: str, value_col: str,
         return batch.filter(pa.array(ks[pos] == g))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+# fixed unescape order (amp LAST, per the HTML spec's double-escaping
+# convention: '&amp;lt;' must decode to the literal '&lt;', not '<')
+_HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_html(ds, html_col: str, *, id_cols: list[str] | None = None,
+               out_col: str = "text_extracted"):
+    """HTML → text extraction (the step before every web-corpus quality
+    filter; C4/Raffel et al. 2020 §2.2 start from WET text — this is the
+    WARC→text half for pipelines that ingest raw HTML).
+
+    Pinned, SQL-expressible semantics so a DuckDB twin verifies it
+    hash-exact (both engines run RE2, so the patterns behave
+    byte-identically):
+
+    1. drop ``<script…>…</script>`` and ``<style…>…</style>`` blocks
+       (non-greedy, case-insensitive, dot-matches-newline),
+    2. every remaining tag ``<[^>]*>`` → one space (block tags must
+       separate words, so a space — never ''),
+    3. unescape the fixed entity list ``_HTML_ENTITIES`` in order
+       (``&amp;`` last),
+    4. collapse ASCII-whitespace runs to one space and trim.
+
+    Stateless vectorized ``map_batches`` — no shuffle, nulls propagate.
+    Comments/CDATA fall out of rule 2 per-tag (a multi-line comment's
+    interior text survives — documented limit of the tag-level grammar;
+    real-world extraction quality beyond this needs a DOM parser, which
+    this container does not ship).
+    """
+    keep = id_cols
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(html_col)
+        s = pc.replace_substring_regex(
+            s, r"(?is)<script[^>]*>.*?</script>", " ")
+        s = pc.replace_substring_regex(
+            s, r"(?is)<style[^>]*>.*?</style>", " ")
+        s = pc.replace_substring_regex(s, r"(?s)<[^>]*>", " ")
+        for ent, rep in _HTML_ENTITIES:
+            s = pc.replace_substring(s, ent, rep)
+        s = pc.replace_substring_regex(s, r"[ \t\n\r\f\v]+", " ")
+        s = pc.utf8_trim(s, " ")
+        cols = {c: batch.column(c) for c in
+                (keep if keep is not None else
+                 [c for c in batch.column_names if c != html_col])}
+        cols[out_col] = s
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -276,3 +276,26 @@ def test_fuzzy_join_boilerplate_caps_surface(ray_session, capsys):
     # every cross pair exceeds the cap in every bucket -> empty result,
     # no quadratic blowup; the run itself is the assertion (bounded)
     assert len(out) <= n * n
+
+
+def test_strip_html_edge_cases(ray_session):
+    from packs_ray.functions.webquality import strip_html
+
+    rows = [
+        {"doc_id": 0, "html": "<p>Hello <b>world</b></p>"},
+        {"doc_id": 1, "html": "plain text, no tags"},
+        {"doc_id": 2, "html": None},
+        {"doc_id": 3,
+         "html": '<script>if (1 < 2) emit("</div>");</script>after'},
+        {"doc_id": 4, "html": "<STYLE>p{}</STYLE>a&amp;lt;b &nbsp;&#39;"},
+        {"doc_id": 5, "html": "<div\nclass='x'>multi\nline</div>"},
+        {"doc_id": 6, "html": "  spaced\t\tout  "},
+        {"doc_id": 7, "html": "<br/><br/>"},
+    ]
+    out = (strip_html(_ds(rows), "html", id_cols=["doc_id"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = ["Hello world", "plain text, no tags", None, "after",
+           "a&lt;b '", "multi line", "spaced out", ""]
+    got = [None if v is None or v != v else v
+           for v in out["text_extracted"]]
+    assert got == exp
