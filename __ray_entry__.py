@@ -297,6 +297,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def explode_embeddings(sf):
+        # UNNEST WITH ORDINALITY over the vector column (float32 -> f64
+        # upcast is exact on both sides)
+        from packs_ray.functions.agg import explode
+
+        return explode(_ds(sf, "embeddings", ["vec_id", "embedding"]),
+                       "embedding", ["vec_id"], cast_to="float64")
+
     def cube_counts_orders(sf):
         from packs_ray.functions.agg import cube_counts
 
@@ -1649,6 +1657,7 @@ checks for orders:
         "rollup_counts_orders": rollup_counts_orders,
         "cube_counts_orders": cube_counts_orders,
         "melt_lineitem": melt_lineitem,
+        "explode_embeddings": explode_embeddings,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4246,6 +4255,10 @@ def oracle_sql() -> dict[str, str]:
         "cube_counts_orders": """
     SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+        "explode_embeddings": """
+    SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+           unnest(embedding)::DOUBLE AS value FROM embeddings
     """,
         "melt_lineitem": """
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,

@@ -569,3 +569,37 @@ def grouped_stats(ds, key_col: str, value_col: str, *, scale: int = 100,
         partial, batch_format="pyarrow")
     return bucketed_group_reduce(parts, [key_col], reduce_fn,
                                  num_partitions)
+
+
+def explode(ds, list_col: str, id_cols: list[str], *,
+            pos_col: str = "pos", value_col: str = "value",
+            cast_to: str | None = None):
+    """UNNEST WITH ORDINALITY: flatten a list column into one row per
+    element, carrying ``id_cols`` and the element's 0-based position.
+
+    The relational explode the reference never needs (its frames are all
+    scalar, SURVEY §1.2) but any embedding/token/span table does.
+    Stateless per-batch Arrow kernels (``list_flatten`` +
+    ``list_parent_indices``), no shuffle; null and empty lists emit no
+    rows — SQL ``unnest`` semantics."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lists = batch.column(list_col)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        lens = lists.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(starts.size, dtype=np.int64) - starts
+        if cast_to is not None:
+            flat = pc.cast(flat, cast_to)
+        out = {c: pc.take(batch.column(c), parent) for c in id_cols}
+        out[pos_col] = pa.array(pos, type=pa.int64())
+        out[value_col] = flat
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

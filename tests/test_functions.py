@@ -2527,3 +2527,19 @@ def test_quantize_embeddings_int8(ray_session):
     assert (out["mse"] >= 0).all() and out["mse"][1] == 0.0
     recon = np.array(q1) * out["scale"][0]
     assert np.allclose(recon, vecs[0], atol=out["scale"][0] / 2 + 1e-12)
+
+
+def test_explode_null_and_empty_lists(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import explode
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "xs": pa.array([[10, 20], [], None, [30]],
+                                 type=pa.list_(pa.int64()))})
+    out = (explode(ray.data.from_arrow(t), "xs", ["id"])
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["pos"].tolist() == [0, 1, 0]
+    assert out["value"].tolist() == [10, 20, 30]
