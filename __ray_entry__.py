@@ -297,6 +297,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def impute_events_value(sf):
+        # repair surface: fill planted nulls (event_id % 13) with the
+        # exact global mean from integer-cents partials
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.repair import impute
+
+        def plant(batch):
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+            v = pc.if_else(pa.array(ids % 13 == 0),
+                           pa.nulls(len(ids), pa.float64()),
+                           batch.column("value"))
+            return pa.table({"event_id": batch.column("event_id"),
+                             "value": v})
+
+        fixture = _ds(sf, "events", ["event_id", "value"]).map_batches(
+            plant, batch_format="pyarrow")
+        return impute(fixture, "value", strategy="mean")
+
+    def collect_strings_orders(sf):
+        # ordered string_agg per customer (statuses in orderkey order;
+        # o_orderkey % 11 planted null exercises SQL null skipping)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.agg import collect_strings
+
+        def plant(batch):
+            ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            st = pc.if_else(pa.array(ids % 11 == 0),
+                            pa.nulls(len(ids), pa.string()),
+                            batch.column("o_orderstatus"))
+            return pa.table({"o_custkey": batch.column("o_custkey"),
+                             "o_orderkey": batch.column("o_orderkey"),
+                             "o_orderstatus": st})
+
+        fixture = _ds(sf, "orders", ["o_custkey", "o_orderkey",
+                                     "o_orderstatus"]).map_batches(
+            plant, batch_format="pyarrow")
+        return collect_strings(fixture, "o_custkey", "o_orderstatus",
+                               ["o_orderkey"])
+
     def explode_embeddings(sf):
         # UNNEST WITH ORDINALITY over the vector column (float32 -> f64
         # upcast is exact on both sides)
@@ -1658,6 +1701,8 @@ checks for orders:
         "cube_counts_orders": cube_counts_orders,
         "melt_lineitem": melt_lineitem,
         "explode_embeddings": explode_embeddings,
+        "collect_strings_orders": collect_strings_orders,
+        "impute_events_value": impute_events_value,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4259,6 +4304,26 @@ def oracle_sql() -> dict[str, str]:
         "explode_embeddings": """
     SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
            unnest(embedding)::DOUBLE AS value FROM embeddings
+    """,
+        # repair.impute mean: identical pinned float expression
+        # (exact int64 cents sum -> ::DOUBLE / n / scale)
+        "impute_events_value": """
+    WITH src AS (SELECT event_id,
+        CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        FROM events),
+    m AS (SELECT (sum(round(value * 100, 0)::BIGINT)::DOUBLE
+                  / count(value)) / 100 AS mv FROM src)
+    SELECT event_id, value, coalesce(value, m.mv) AS value_filled
+    FROM src, m
+    """,
+        "collect_strings_orders": """
+    WITH src AS (SELECT o_custkey, o_orderkey,
+        CASE WHEN o_orderkey % 11 = 0 THEN NULL
+             ELSE o_orderstatus END AS o_orderstatus FROM orders)
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS collected,
+           count(o_orderstatus)::BIGINT AS n_values
+    FROM src GROUP BY o_custkey
     """,
         "melt_lineitem": """
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,

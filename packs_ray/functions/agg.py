@@ -603,3 +603,41 @@ def explode(ds, list_col: str, id_cols: list[str], *,
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def collect_strings(ds, key_col: str, value_col: str,
+                    order_cols: list[str], *, sep: str = ",",
+                    out_col: str = "collected",
+                    num_partitions: int | None = None):
+    """Ordered per-key string aggregation (SQL
+    ``string_agg(value, sep ORDER BY order_cols)``): the sequence-
+    assembly reduce behind "collect this key's events in order"
+    (session paths, per-conversation role strings, per-user histories).
+
+    One narrow (key, order, value) projection shuffle via the bucket
+    pattern, then a single vectorized sort + groupby-join per bucket —
+    never a Python loop per group.  Null values are skipped (SQL
+    semantics); a key whose values are all null still emits a row with
+    ``out_col = NULL`` and ``n_values = 0``.  Mega-keys concatenate into
+    one Python string, so this op is for bounded per-key sequences —
+    the same documented contract as exact per-group quantiles."""
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    cols = [key_col, *order_cols, value_col]
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 out_col: pd.Series([], dtype=object),
+                                 "n_values": pd.Series([], dtype="int64")})
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        grp = g.groupby(key_col, sort=False, dropna=False)[value_col]
+        joined = grp.agg(lambda s: sep.join(s.dropna().astype(str))
+                         if s.notna().any() else None)
+        n = grp.count().astype("int64")
+        out = pd.DataFrame({key_col: joined.index, out_col: joined.values,
+                            "n_values": n.values})
+        return out.reset_index(drop=True)
+
+    return bucketed_group_reduce(ds.select_columns(cols), [key_col],
+                                 reduce_fn, num_partitions)

@@ -1,0 +1,80 @@
+"""Data-repair operators: the acting half of the reference's
+detect-only checks (completeness finds the nulls,
+profiling_pack/main.py:305-323; nothing in the packs ever fills them —
+a training-data pipeline has to).
+
+Every strategy is two streaming passes: one partial+final stats scan
+(exact integer partials, the repo's standard cents trick) and one
+stateless fill pass — no shuffle, no driver column materialization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def impute(ds, col: str, *, strategy: str = "mean", constant=None,
+           scale: int = 100, out_col: str | None = None):
+    """Fill nulls in ``col`` (output in ``out_col``, default
+    ``{col}_filled``; original column untouched).
+
+    - ``mean``: exact global mean from int64-cents partials; the filled
+      value is ``(cents_sum::float / n) / scale`` — one division per
+      term, the same pinned float expression the DuckDB twin uses.
+    - ``mode``: most frequent non-null value, ties broken by smallest
+      value.  Uses a distributed value count, so the column must have a
+      bounded domain (categorical) — same documented contract as
+      ``pivot_counts``.
+    - ``constant``: fill with ``constant`` verbatim.
+    """
+    if out_col is None:
+        out_col = f"{col}_filled"
+
+    if strategy == "mean":
+        from packs_ray.functions.agg import global_agg
+
+        def partial(batch: pa.Table) -> dict:
+            v = batch.column(col)
+            cents = pc.cast(pc.round(pc.multiply(v, float(scale)), 0),
+                            "int64")
+            s = pc.sum(cents)
+            return {"s": s.as_py() if s.is_valid else 0,
+                    "n": len(v) - v.null_count}
+
+        def combine(df: pd.DataFrame) -> dict:
+            n = int(df["n"].sum())
+            total = int(sum(int(x) for x in df["s"]))  # Python ints: no overflow
+            return {"n": n, "mean": (float(total) / n) / scale
+                    if n else None}
+
+        fill = global_agg(ds.select_columns([col]), partial, combine)["mean"]
+    elif strategy == "mode":
+        from packs_ray.functions.agg import keyed_count
+
+        counts = keyed_count(ds.select_columns([col]), [col]).to_pandas()
+        counts = counts[counts[col].notna()]
+        if len(counts):
+            counts = counts.sort_values(["cnt", col],
+                                        ascending=[False, True],
+                                        kind="stable")
+            fill = counts.iloc[0][col]
+        else:
+            fill = None
+    elif strategy == "constant":
+        fill = constant
+    else:
+        raise ValueError(f"unknown impute strategy: {strategy!r}")
+
+    def fill_pass(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if fill is None:
+            filled = v
+        else:
+            filled = pc.fill_null(v, pa.scalar(fill))
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        return batch.append_column(out_col, filled)
+
+    return ds.map_batches(fill_pass, batch_format="pyarrow")

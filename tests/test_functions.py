@@ -2543,3 +2543,47 @@ def test_explode_null_and_empty_lists(ray_session):
     assert out["id"].tolist() == [1, 1, 4]
     assert out["pos"].tolist() == [0, 1, 0]
     assert out["value"].tolist() == [10, 20, 30]
+
+
+def test_collect_strings_order_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import collect_strings
+
+    t = pa.table({"k": [1, 1, 1, 2, 2, 3],
+                  "o": [3, 1, 2, 2, 1, 1],
+                  "v": ["c", "a", None, "y", "x", None]})
+    out = (collect_strings(ray.data.from_arrow(t), "k", "v", ["o"],
+                           sep="|")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["collected"].tolist()[:2] == ["a|c", "x|y"]
+    assert out["collected"].isna().tolist() == [False, False, True]
+    assert out["n_values"].tolist() == [2, 2, 0]
+
+
+def test_impute_mode_and_constant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.repair import impute
+
+    t = pa.table({"c": ["b", "a", "b", None, "a", None, "b"]})
+    out = impute(ray.data.from_arrow(t), "c",
+                 strategy="mode").to_pandas()
+    assert out["c_filled"].tolist() == ["b", "a", "b", "b", "a", "b", "b"]
+    t2 = pa.table({"x": pa.array([1.5, None, 2.5], type=pa.float64())})
+    out2 = impute(ray.data.from_arrow(t2), "x", strategy="constant",
+                  constant=0.0).to_pandas()
+    assert out2["x_filled"].tolist() == [1.5, 0.0, 2.5]
+
+
+def test_impute_mode_tie_breaks_smallest(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.repair import impute
+
+    t = pa.table({"c": ["z", "a", None]})
+    out = impute(ray.data.from_arrow(t), "c", strategy="mode").to_pandas()
+    assert out["c_filled"].tolist() == ["z", "a", "a"]
