@@ -105,6 +105,40 @@ def _events_orc(sf_dir: str) -> str:
     return d
 
 
+def _events_ipc(sf_dir: str) -> str:
+    """Cached 2-file multi-record-batch Feather-v2 replica of three
+    events columns (value nulled where event_id % 19 == 0 — a
+    SQL-reproducible plant) — the fixture behind the
+    ``ipc_source_events`` round-trip gate."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/packs_ray_data", exist_ok=True)
+    key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    d = f"/tmp/packs_ray_data/events_ipc_{key}"
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "event_type", "value"])
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % 19 == 0)
+        nulled = pa.compute.if_else(mask, pa.nulls(len(ids), pa.float64()),
+                                    t.column("value"))
+        t = t.set_column(t.schema.get_field_index("value"), "value", nulled)
+        half = t.num_rows // 2
+        for i, part in enumerate((t.slice(0, half), t.slice(half))):
+            with pa.OSFile(os.path.join(d, f"events_{i}.arrow"),
+                           "wb") as sink:
+                with pa.ipc.new_file(sink, part.schema) as w:
+                    for b in part.to_batches(max_chunksize=256):
+                        w.write_batch(b)
+        open(done, "w").close()
+    return d
+
+
 def _transcripts(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf directory
     (no transcript table ships in testdata; see BASELINE.json input_hint)."""
@@ -296,6 +330,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          "l_tax"]),
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
+
+    def ntile_events(sf):
+        # distribution-ranking window half: ntile(4) + percent_rank per
+        # user over the unique (ts, event_id) order
+        return windows.keyed_ntile(
+            _ds(sf, "events", ["event_id", "user_id", "ts"]),
+            "user_id", ["ts", "event_id"], 4)
 
     def impute_events_value(sf):
         # repair surface: fill planted nulls (event_id % 13) with the
@@ -558,6 +599,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_orc_sized(_events_orc(sf), columns=["event_type",
                                                       "value"],
                             stripes_per_block=2)
+
+        def partial(batch):
+            pdf = batch.to_pandas()
+            pdf["cents"] = (pdf["value"] * 100).round().astype("Int64")
+            g = (pdf.groupby("event_type", dropna=False)
+                 .agg(n=("cents", "size"), cents=("cents", "sum"))
+                 .reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def reduce_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+            out = (g.groupby("event_type", dropna=False)
+                   [["n", "cents"]].sum().reset_index())
+            return out.astype({"n": "int64", "cents": "int64"})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        return bucketed_group_reduce(parts, ["event_type"], reduce_fn, 4)
+
+    def ipc_source_events(sf):
+        # round-trips events through a 2-file multi-record-batch Feather
+        # export (planted null values on event_id % 19 == 0), reads it
+        # back via read_ipc_sized (batch-range-parallel) and aggregates
+        # per type — the Arrow IPC reader's oracle gate
+        import pandas as pd
+        import pyarrow as pa
+
+        from packs_ray.functions.agg import bucketed_group_reduce
+        from packs_ray.sources.ipc import read_ipc_sized
+
+        ds = read_ipc_sized(_events_ipc(sf),
+                            columns=["event_type", "value"],
+                            batches_per_block=4)
 
         def partial(batch):
             pdf = batch.to_pandas()
@@ -1703,6 +1775,7 @@ checks for orders:
         "explode_embeddings": explode_embeddings,
         "collect_strings_orders": collect_strings_orders,
         "impute_events_value": impute_events_value,
+        "ntile_events": ntile_events,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -1737,6 +1810,7 @@ checks for orders:
         "mad_outliers_lineitem": mad_outliers_lineitem,
         "csv_source_orders": csv_source_orders,
         "jsonl_source_events": jsonl_source_events,
+        "ipc_source_events": ipc_source_events,
         "orc_source_events": orc_source_events,
         "tool_usage_transcripts": tool_usage_transcripts,
         "sft_examples_transcripts": sft_examples_transcripts,
@@ -4706,6 +4780,15 @@ def oracle_sql() -> dict[str, str]:
            count(user_id)::BIGINT AS n_user,
            sum(cents)::BIGINT AS cents
     FROM s GROUP BY event_type""",
+        "ipc_source_events": """
+    WITH s AS (SELECT event_type,
+               CASE WHEN event_id % 19 = 0 THEN NULL
+                    ELSE CAST(round(value * 100, 0) AS BIGINT)
+               END AS cents
+               FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(cents)::BIGINT AS cents
+    FROM s GROUP BY event_type""",
         "orc_source_events": """
     WITH s AS (SELECT event_type,
                CASE WHEN event_id % 13 = 0 THEN NULL
@@ -4742,6 +4825,15 @@ def oracle_sql() -> dict[str, str]:
         sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::DOUBLE
             / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS roll_mean_cents
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+        "ntile_events": """
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL)
+    SELECT user_id, ts, event_id,
+        CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
         "lead_rank_events": """

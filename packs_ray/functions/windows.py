@@ -420,3 +420,67 @@ def keyed_lead_rank(ds, key_col: str, order_cols: list[str],
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def keyed_ntile(ds, key_col: str, order_cols: list[str], n: int, *,
+                num_buckets: int | None = None):
+    """Distribution ranking within each key: SQL ``ntile(n)`` and
+    ``percent_rank()`` over ``PARTITION BY key ORDER BY order_cols``
+    (the per-user/session quantile-bucket assignment a curation
+    pipeline uses to, e.g., keep each user's top quartile of turns).
+
+    ``order_cols`` must be a unique total order per key (ties would
+    make percent_rank's rank ambiguous); rows with a null key or null
+    order column are dropped (module convention).  Same one keyed
+    bucket shuffle as the sibling window ops; everything inside the
+    bucket is numpy.  ntile semantics match SQL exactly: with c rows,
+    the first ``c % n`` tiles get ``c // n + 1`` rows."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    out_cols = [key_col, *order_cols, "tile", "pct_rank"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        valid = pc.is_valid(batch.column(key_col))
+        for c in order_cols:
+            valid = pc.and_(valid, pc.is_valid(batch.column(c)))
+        batch = batch.filter(valid)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(_np.asarray(k))
+        t = batch.select([key_col, *order_cols])
+        return t.append_column("bucket", pa.array(
+            (h % _np.uint64(num_buckets)).astype(_np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = {c: [] for c in out_cols}
+            return pd.DataFrame(out)
+        g = g.sort_values([key_col, *order_cols],
+                          kind="stable").drop(columns="bucket")
+        key = g[key_col].to_numpy()
+        m = len(g)
+        new_key = np.empty(m, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, m))
+        idx = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+        c = np.repeat(counts, counts).astype(np.int64)
+        q, r = c // n, c % n
+        thr = r * (q + 1)
+        tile = np.where(idx < thr, idx // np.maximum(q + 1, 1),
+                        r + (idx - thr) // np.maximum(q, 1)) + 1
+        pct = np.where(c > 1, idx / np.maximum(c - 1, 1), 0.0)
+        out = g.copy()
+        out["tile"] = tile.astype("int64")
+        out["pct_rank"] = pct.astype("float64")
+        return out[out_cols]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -2587,3 +2587,70 @@ def test_impute_mode_tie_breaks_smallest(ray_session):
     t = pa.table({"c": ["z", "a", None]})
     out = impute(ray.data.from_arrow(t), "c", strategy="mode").to_pandas()
     assert out["c_filled"].tolist() == ["z", "a", "a"]
+
+
+def test_ipc_roundtrip_write_read(ray_session, tmp_path):
+    """write_ipc -> read_ipc_sized round-trips rows, types and nulls,
+    one Feather file per block, batch-range-parallel read with column
+    pruning."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.sources.ipc import read_ipc_sized, write_ipc
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "txt": pa.array(["a", None, "c", "d"], type=pa.string()),
+        "ts": pa.array([pd.Timestamp("2026-01-01"), None,
+                        pd.Timestamp("2026-03-05"),
+                        pd.Timestamp("2026-07-09")],
+                       type=pa.timestamp("us")),
+        "v": pa.array([1.5, None, -2.25, 0.0], type=pa.float64())})
+    out = str(tmp_path / "ipc")
+    paths = write_ipc(ray.data.from_arrow(tbl).repartition(2), out)
+    assert len(paths) == 2 and all(p.endswith(".arrow") for p in paths)
+    back = read_ipc_sized(out).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["id", "txt", "ts", "v"]],
+                                  tbl.to_pandas())
+    pruned = read_ipc_sized(out, columns=["id"]).to_pandas()
+    assert list(pruned.columns) == ["id"] and len(pruned) == 4
+
+    # multi-batch file splits into multiple read tasks
+    big = pa.table({"id": pa.array(range(20_000), type=pa.int64())})
+    p = str(tmp_path / "big.arrow")
+    with pa.OSFile(p, "wb") as sink:
+        with pa.ipc.new_file(sink, big.schema) as w:
+            for b in big.to_batches(max_chunksize=512):
+                w.write_batch(b)
+    ds = read_ipc_sized(p, batches_per_block=4)
+    assert ds.count() == 20_000
+
+
+def test_keyed_ntile_matches_sql_semantics(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import keyed_ntile
+
+    rows = []
+    # keys with 1..7 rows to hit every c%n / c<n branch at n=3
+    rid = 0
+    for k, c in [("a", 1), ("b", 2), ("c", 3), ("d", 5), ("e", 7)]:
+        for i in range(c):
+            rows.append({"k": k, "o": rid})
+            rid += 1
+    rows.append({"k": None, "o": 999})       # dropped by convention
+    t = pa.Table.from_pylist(rows)
+    got = (keyed_ntile(ray.data.from_arrow(t), "k", ["o"], 3)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, o, CAST(ntile(3) OVER w AS BIGINT) AS tile,
+               CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
+        FROM t WHERE k IS NOT NULL
+        WINDOW w AS (PARTITION BY k ORDER BY o) ORDER BY k, o
+    """).df().reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, exp)
