@@ -331,6 +331,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def char_entropy_documents(sf):
+        # gibberish/compression quality signal: codepoint entropy with a
+        # strict ordered fold (bit-identical to the SQL list_reduce)
+        return textstats.char_entropy(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text")
+
+    def vocab_documents(sf):
+        # tokenizer vocabulary: top-200 corpus tokens with count >= 3,
+        # ids by (count desc, token asc) — integer/string-only ranking
+        return textstats.build_vocab(
+            _ds(sf, "documents", ["text"]), "text", min_count=3, k=200)
+
     def ntile_events(sf):
         # distribution-ranking window half: ntile(4) + percent_rank per
         # user over the unique (ts, event_id) order
@@ -1776,6 +1788,8 @@ checks for orders:
         "collect_strings_orders": collect_strings_orders,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
+        "vocab_documents": vocab_documents,
+        "char_entropy_documents": char_entropy_documents,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4826,6 +4840,37 @@ def oracle_sql() -> dict[str, str]:
             / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS roll_mean_cents
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+        # textstats.char_entropy: per-(doc,codepoint) counts, ordered
+        # left-associative fold with 0.0 seed (matches the engine's)
+        "char_entropy_documents": """
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents WHERE text IS NOT NULL AND text <> ''),
+    cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+    term AS (SELECT cnt.doc_id, n,
+             -((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS t,
+             unicode(ch) AS cp
+             FROM cnt JOIN tot USING (doc_id))
+    SELECT doc_id, any_value(n) AS n_chars,
+           count(*)::BIGINT AS n_distinct,
+           round(list_reduce([0.0::DOUBLE] || list(t ORDER BY cp),
+                             (a, b) -> a + b), 6) AS entropy
+    FROM term GROUP BY doc_id
+    """,
+        # textstats.build_vocab: same tokenization CTE as top_terms
+        "vocab_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    t AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                AS BIGINT) AS token_id, token, cnt
+    FROM t WHERE cnt >= 3
+    QUALIFY token_id <= 200
     """,
         "ntile_events": """
     WITH c AS (SELECT user_id, ts, event_id FROM events

@@ -354,3 +354,122 @@ def corpus_report(ds, group_col: str, text_col: str):
         ds.select_columns([group_col, text_col]).map_batches(
             partial, batch_format="pyarrow"),
         [group_col], reduce_fn, reduce_partition_count(ds))
+
+
+def build_vocab(ds, column: str, *, min_count: int = 1, k: int = 50_000,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """Tokenizer-vocabulary construction: the top-``k`` corpus tokens
+    with ``count >= min_count``, ids assigned by rank
+    ``(count desc, token asc)`` — integer/string ordering only, so the
+    vocabulary is bit-deterministic on any cluster.
+
+    Same whitespace tokenization contract as ``top_terms`` (trim, split
+    on ASCII-whitespace runs, empty docs contribute nothing).  Shape:
+    per-batch token-count combiner, ONE token-bucketed sum reduce that
+    also applies ``min_count`` and caps each bucket at its own top-k
+    (any global top-k token is top-k within its bucket, so the cap is
+    lossless), then a bounded ``buckets x k`` driver merge for the
+    final ranking.  A vocabulary is a bounded artifact (k rows), so the
+    driver merge is the honest landing spot."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False   # drop the [""] token
+        vc = pd.Series(flat[keep]).value_counts(sort=False)
+        return pa.table({"token": pa.array(vc.index, type=pa.string()),
+                         "cnt": pa.array(vc.to_numpy(),
+                                         type=pa.int64())})
+
+    parts = ds.select_columns([column]).map_batches(
+        counts, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", sort=False)["cnt"].sum().reset_index()
+        out = out[out["cnt"] >= min_count]
+        out = out.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="stable").head(k)
+        return out.astype({"cnt": "int64"})
+
+    tops = bucketed_group_reduce(parts, ["token"], reduce_fn,
+                                 num_partitions).to_pandas()
+    tops = tops.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+    tops.insert(0, "token_id",
+                np.arange(1, len(tops) + 1, dtype=np.int64))
+    return tops[["token_id", "token", "cnt"]]
+
+
+def char_entropy(ds, id_col: str, text_col: str):
+    """Per-document Shannon entropy over Unicode codepoints — the
+    classic gibberish/compression-quality signal next to the length/
+    punctuation heuristics of ``quality_scores`` (low entropy = runs and
+    boilerplate, high = random bytes; both tails get dropped by web
+    filters).
+
+    Stateless per-batch, no shuffle (a document is one row).  Counting
+    is fully vectorized: one ``str.join`` + utf-32 reinterpret per
+    batch, one pandas groupby over (doc, codepoint).  The final
+    ``-Σ p·log2 p`` is a strict left-associative fold over
+    codepoint-ascending terms with a 0.0 seed — bit-identical to the
+    DuckDB twin's ``list_reduce([0.0] || list(t ORDER BY cp), +)`` —
+    and its cost is alphabet-bounded (≤ distinct codepoints per doc),
+    not text-length-bounded.  Null/empty texts emit no row (SQL WHERE
+    semantics).  Returns (id, n_chars, n_distinct, entropy@6dp)."""
+    import math
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = col.to_pylist()
+        lens = np.array([len(t) if t else 0 for t in texts],
+                        dtype=np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({id_col: pa.array([], batch.schema.field(
+                                id_col).type),
+                             "n_chars": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        big = "".join(t for t in texts if t)
+        codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        cnt = (pd.DataFrame({"d": doc_idx, "c": codes})
+               .groupby(["d", "c"], sort=True).size())
+        d_of_term = cnt.index.get_level_values(0).to_numpy()
+        c_arr = cnt.to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, d_of_term[1:] != d_of_term[:-1]])
+        ends = np.r_[starts[1:], len(c_arr)]
+        out_id, out_n, out_k, out_e = [], [], [], []
+        for s, e in zip(starts, ends):
+            seg = c_arr[s:e]
+            n = int(seg.sum())
+            acc = 0.0
+            for c in seg:                    # alphabet-bounded fold
+                p = c / n
+                acc = acc + (-p * math.log2(p))
+            out_id.append(ids[d_of_term[s]])
+            out_n.append(n)
+            out_k.append(len(seg))
+            out_e.append(round(acc, 6))
+        return pa.table({id_col: pa.array(out_id, batch.schema.field(
+                            id_col).type),
+                         "n_chars": pa.array(out_n, pa.int64()),
+                         "n_distinct": pa.array(out_k, pa.int64()),
+                         "entropy": pa.array(out_e, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

@@ -2654,3 +2654,40 @@ def test_keyed_ntile_matches_sql_semantics(ray_session):
     """).df().reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_build_vocab_ranking_and_min_count(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import build_vocab
+
+    rows = [{"text": "b b b a a c"}, {"text": "a  b"}, {"text": None},
+            {"text": "  "}, {"text": "c"}]
+    v = build_vocab(ray.data.from_arrow(pa.Table.from_pylist(rows)),
+                    "text", min_count=2, k=2)
+    # counts: a=3, b=4, c=2 -> top2 = b(4), a(3)
+    assert v["token"].tolist() == ["b", "a"]
+    assert v["cnt"].tolist() == [4, 3]
+    assert v["token_id"].tolist() == [1, 2]
+
+
+def test_char_entropy_unicode_and_empty(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import char_entropy
+
+    rows = [{"doc_id": 0, "text": "aabb"}, {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": None}, {"doc_id": 3, "text": "☃☃аz"}]
+    out = (char_entropy(ray.data.from_arrow(pa.Table.from_pylist(rows)),
+                        "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 3]      # empty/null emit no row
+    assert out["n_chars"].tolist() == [4, 4]
+    assert out["n_distinct"].tolist() == [2, 3]
+    assert out["entropy"][0] == 1.0              # two equally likely chars
+    exp = round(-(0.5 * math.log2(0.5)) + -(0.25 * math.log2(0.25)) * 2, 6)
+    assert abs(out["entropy"][1] - exp) < 1e-9
