@@ -331,6 +331,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def multi_window_events(sf):
+        # 1h + 24h trailing feature vector in ONE keyed shuffle
+        return windows.keyed_multi_window_agg(
+            _ds(sf, "events", ["user_id", "ts", "value"]),
+            "user_id", "ts", "value", [3600, 86400])
+
+    def snapshot_diff_orders(sf):
+        # CDC diff: old = orders minus %11 keys, new = orders minus %7
+        # keys with +1.0 price bump on %5 keys (exact float add, no
+        # rounding hazard) -> added/removed/changed/unchanged per key
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import snapshot_diff
+
+        base = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+
+        def side(mod, bump):
+            def fn(batch):
+                ids = batch.column("o_orderkey").to_numpy(
+                    zero_copy_only=False)
+                t = batch.filter(pa.array(ids % mod != 0))
+                if bump:
+                    ids2 = t.column("o_orderkey").to_numpy(
+                        zero_copy_only=False)
+                    v = pc.if_else(pa.array(ids2 % 5 == 0),
+                                   pc.add(t.column("o_totalprice"), 1.0),
+                                   t.column("o_totalprice"))
+                    t = t.set_column(t.schema.get_field_index(
+                        "o_totalprice"), "o_totalprice", v)
+                return t
+            return fn
+
+        old = _ds(sf, "orders", base).map_batches(
+            side(11, False), batch_format="pyarrow")
+        new = _ds(sf, "orders", base).map_batches(
+            side(7, True), batch_format="pyarrow")
+        return snapshot_diff(old, new, ["o_orderkey"],
+                             ["o_totalprice", "o_orderstatus"])
+
     def char_entropy_documents(sf):
         # gibberish/compression quality signal: codepoint entropy with a
         # strict ordered fold (bit-identical to the SQL list_reduce)
@@ -1790,6 +1830,8 @@ checks for orders:
         "ntile_events": ntile_events,
         "vocab_documents": vocab_documents,
         "char_entropy_documents": char_entropy_documents,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "multi_window_events": multi_window_events,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4840,6 +4882,43 @@ def oracle_sql() -> dict[str, str]:
             / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS roll_mean_cents
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+        # windows.keyed_multi_window_agg: two RANGE frames, one scan
+        "multi_window_events": """
+    WITH c AS (SELECT user_id, ts,
+            round(value * 100, 0)::BIGINT AS cents FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL)
+    SELECT user_id, ts, cents,
+        CAST(count(*) OVER w1 AS BIGINT) AS n_3600s,
+        CAST(sum(cents) OVER w1 AS BIGINT) AS sum_cents_3600s,
+        CAST(count(*) OVER w2 AS BIGINT) AS n_86400s,
+        CAST(sum(cents) OVER w2 AS BIGINT) AS sum_cents_86400s
+    FROM c
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING
+                  AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 86400 SECONDS PRECEDING
+                  AND CURRENT ROW)
+    """,
+        # drift.snapshot_diff: FULL OUTER JOIN + IS DISTINCT FROM
+        "snapshot_diff_orders": """
+    WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v,
+                        o_orderstatus AS s
+                 FROM orders WHERE o_orderkey % 11 <> 0),
+    new AS (SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS v,
+                   o_orderstatus AS s
+            FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT coalesce(old.k, new.k) AS o_orderkey,
+        CASE WHEN old.k IS NULL THEN 'added'
+             WHEN new.k IS NULL THEN 'removed'
+             WHEN (old.v IS DISTINCT FROM new.v)
+               OR (old.s IS DISTINCT FROM new.s) THEN 'changed'
+             ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.k = new.k
     """,
         # textstats.char_entropy: per-(doc,codepoint) counts, ordered
         # left-associative fold with 0.0 seed (matches the engine's)

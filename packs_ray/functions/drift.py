@@ -456,3 +456,61 @@ def categorical_drift(ds_a, ds_b, column: str, *,
                           "cramers_v": float(_r(v, 6)),
                           "psi": psi,
                           "drifted": bool(psi >= psi_threshold)}])
+
+
+def snapshot_diff(old_ds, new_ds, keys: list[str],
+                  value_cols: list[str], *,
+                  num_partitions: int | None = None):
+    """Keyed CDC diff between two snapshots of one table: per key —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (present
+    in both, any value column differs under SQL ``IS DISTINCT FROM``
+    semantics, i.e. null == null) or ``unchanged``.
+
+    The row-level complement of ``compare_datasets`` (which rolls the
+    same comparison up into precision/recall/F1): the crawl-refresh /
+    table-sync primitive.  Keys must be unique per side (snapshot
+    primary key — the caller's contract).  Both sides project to
+    ``keys + value_cols`` and co-partition on the key hash: one narrow
+    shuffle per side, one vectorized outer merge per bucket, full rows
+    never move twice."""
+    import numpy as np
+    import pyarrow as pa
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+
+    if num_partitions is None:
+        num_partitions = max(row_shuffle_partitions(old_ds),
+                             row_shuffle_partitions(new_ds))
+    cols = keys + value_cols
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols)
+            return t.append_column("__side", pa.array(
+                np.full(len(t), side, dtype=np.int8)))
+        return fn
+
+    both = (old_ds.map_batches(tag(0), batch_format="pyarrow")
+            .union(new_ds.map_batches(tag(1), batch_format="pyarrow")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["__side"] == 0].drop(columns="__side")
+        new = g[g["__side"] == 1].drop(columns="__side")
+        m = old.merge(new, on=keys, how="outer", indicator=True,
+                      suffixes=("_old", "_new"))
+        status = np.where(m["_merge"] == "right_only", "added",
+                          np.where(m["_merge"] == "left_only",
+                                   "removed", "unchanged")).astype(object)
+        in_both = (m["_merge"] == "both").to_numpy()
+        changed = np.zeros(len(m), dtype=bool)
+        for c in value_cols:
+            a, b = m[f"{c}_old"], m[f"{c}_new"]
+            neq = (a != b) & ~(a.isna() & b.isna())   # IS DISTINCT FROM
+            changed |= neq.to_numpy()
+        status[in_both & changed] = "changed"
+        out = m[keys].copy()
+        out["status"] = status
+        return out
+
+    return bucketed_group_reduce(both, keys, per_bucket, num_partitions)

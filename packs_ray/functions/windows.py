@@ -484,3 +484,75 @@ def keyed_ntile(ds, key_col: str, order_cols: list[str], n: int, *,
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def keyed_multi_window_agg(ds, key_col: str, ts_col: str, value_col: str,
+                           windows_seconds: list[int], *,
+                           num_buckets: int | None = None):
+    """``keyed_time_window_agg`` for SEVERAL trailing horizons at once
+    (the 1h/24h/7d feature-vector pattern): per row, count + cents-sum
+    over ``[ts - w, ts]`` for every ``w`` — ONE keyed shuffle total,
+    one extra ``searchsorted`` per horizon inside the bucket, instead
+    of one full shuffle per horizon.
+
+    Same RANGE-frame value semantics and null-drop convention as the
+    single-window op.  Returns key, ts, cents, then
+    ``n_{w}s`` / ``sum_cents_{w}s`` per horizon."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    ws = [int(w) for w in windows_seconds]
+    out_cols = [key_col, ts_col, "cents"]
+    for w in ws:
+        out_cols += [f"n_{w}s", f"sum_cents_{w}s"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.and_(pc.is_valid(batch.column(key_col)),
+                                pc.is_valid(batch.column(ts_col))),
+                        pc.is_valid(batch.column(value_col)))
+        batch = batch.filter(valid)
+        cents = pc.cast(pc.round(pc.multiply(batch.column(value_col),
+                                             100.0), 0), "int64")
+        t = batch.select([key_col, ts_col])
+        t = t.append_column("cents", cents)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return t.append_column(
+            "bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["cents"].to_numpy(dtype=np.int64)
+        key = g[key_col].to_numpy()
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        seg_starts = np.flatnonzero(new_key)
+        seg_ends = np.append(seg_starts[1:], n)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(seg_starts, seg_ends):
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], side="right")
+        out = g.drop(columns="bucket").copy()
+        for w in ws:
+            w_us = np.int64(w * 1_000_000)
+            lo = np.empty(n, dtype=np.int64)
+            for s, e in zip(seg_starts, seg_ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - w_us,
+                                              side="left")
+            out[f"n_{w}s"] = hi - lo
+            out[f"sum_cents_{w}s"] = cs[hi] - cs[lo]
+        return out[out_cols]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

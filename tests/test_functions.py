@@ -2691,3 +2691,51 @@ def test_char_entropy_unicode_and_empty(ray_session):
     assert out["entropy"][0] == 1.0              # two equally likely chars
     exp = round(-(0.5 * math.log2(0.5)) + -(0.25 * math.log2(0.25)) * 2, 6)
     assert abs(out["entropy"][1] - exp) < 1e-9
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.drift import snapshot_diff
+
+    old = pa.table({"k": [1, 2, 3, 4], "v": [1.0, 2.0, None, 4.0],
+                    "s": ["a", "b", "c", "d"]})
+    new = pa.table({"k": [2, 3, 4, 5], "v": [2.5, None, 4.0, 5.0],
+                    "s": ["b", "c", "x", "e"]})
+    out = (snapshot_diff(ray.data.from_arrow(old),
+                         ray.data.from_arrow(new), ["k"], ["v", "s"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4, 5]
+    # 3: null v == null v AND s equal -> unchanged; 4: s differs
+    assert out["status"].tolist() == [
+        "removed", "changed", "unchanged", "changed", "added"]
+
+
+def test_multi_window_matches_single(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import (keyed_multi_window_agg,
+                                             keyed_time_window_agg)
+
+    rows = []
+    for u in range(3):
+        for i in range(40):
+            rows.append({"u": u, "ts": pd.Timestamp("2026-01-01")
+                         + pd.Timedelta(seconds=i * 700 * (u + 1)),
+                         "v": float(i % 7) - 2.0})
+    t = pa.Table.from_pylist(rows)
+    multi = (keyed_multi_window_agg(ray.data.from_arrow(t), "u", "ts",
+                                    "v", [3600, 86400])
+             .to_pandas().sort_values(["u", "ts", "cents"])
+             .reset_index(drop=True))
+    for w in (3600, 86400):
+        single = (keyed_time_window_agg(ray.data.from_arrow(t), "u",
+                                        "ts", "v", w)
+                  .to_pandas().sort_values(["u", "ts", "cents"])
+                  .reset_index(drop=True))
+        assert multi[f"n_{w}s"].tolist() == single["n_window"].tolist()
+        assert (multi[f"sum_cents_{w}s"].tolist()
+                == single["sum_cents_window"].tolist())
