@@ -406,6 +406,9 @@ def build_vocab(ds, column: str, *, min_count: int = 1, k: int = 50_000,
 
     tops = bucketed_group_reduce(parts, ["token"], reduce_fn,
                                  num_partitions).to_pandas()
+    if "cnt" not in tops.columns:     # 0-row input: no block ever ran
+        tops = pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64")})
     tops = tops.sort_values(["cnt", "token"], ascending=[False, True],
                             kind="stable").head(k).reset_index(drop=True)
     tops.insert(0, "token_id",
