@@ -331,6 +331,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def grouped_corr_lineitem(sf):
+        # per-segment Pearson: corr(quantity, extendedprice) by flag
+        return profiling.grouped_correlation(
+            _ds(sf, "lineitem", ["l_returnflag", "l_quantity",
+                                 "l_extendedprice"]),
+            "l_returnflag", "l_quantity", "l_extendedprice")
+
+    def postings_documents(sf):
+        # inverted-index artifact: per token df >= 2 + capped ascending
+        # posting list (comma-joined)
+        from packs_ray.functions.search import build_postings
+
+        return build_postings(_ds(sf, "documents", ["doc_id", "text"]),
+                              "doc_id", "text", min_df=2,
+                              max_docs_per_token=20)
+
+    def split_paragraphs_documents(sf):
+        # line/paragraph explode with consecutive positions; fixture
+        # plants blank lines (doc_id % 9) and null texts (doc_id % 23)
+        import pandas as pd
+        import pyarrow as pa
+
+        from packs_ray.functions.textstats import split_text
+
+        def mk(batch):
+            df = batch.to_pandas()
+            blank = pd.Series(np.where(df["doc_id"] % 9 == 0, "\n", ""),
+                              index=df.index)
+            txt = ("h " + (df["doc_id"] % 5).astype(str) + "\n" + blank
+                   + df["text"].str.slice(0, 40) + "\n"
+                   + "f " + (df["doc_id"] % 7).astype(str))
+            txt = txt.mask(df["doc_id"] % 23 == 0, None)
+            return pa.table({"doc_id": pa.array(df["doc_id"],
+                                                type=pa.int64()),
+                             "text": pa.array(txt, type=pa.string())})
+
+        fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            mk, batch_format="pyarrow")
+        return split_text(fixture, "doc_id", "text", r"\n")
+
     def multi_window_events(sf):
         # 1h + 24h trailing feature vector in ONE keyed shuffle
         return windows.keyed_multi_window_agg(
@@ -1832,6 +1872,9 @@ checks for orders:
         "char_entropy_documents": char_entropy_documents,
         "snapshot_diff_orders": snapshot_diff_orders,
         "multi_window_events": multi_window_events,
+        "split_paragraphs_documents": split_paragraphs_documents,
+        "postings_documents": postings_documents,
+        "grouped_corr_lineitem": grouped_corr_lineitem,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4882,6 +4925,62 @@ def oracle_sql() -> dict[str, str]:
             / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS roll_mean_cents
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+        # profiling.grouped_correlation: HUGEINT power sums per group,
+        # same one-DOUBLE-cast-per-term tail as correlations_lineitem
+        "grouped_corr_lineitem": """
+    SELECT l_returnflag, n::BIGINT AS n,
+        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                  AND (n * syy - sy * sy) > 0
+             THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        END AS pearson
+    FROM (SELECT l_returnflag, count(*)::HUGEINT AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                 sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM (SELECT l_returnflag,
+                       CAST(round(l_quantity * 100, 0) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL) v
+          GROUP BY l_returnflag) s
+    """,
+        # search.build_postings: same tokenization CTE; true df, capped
+        # ascending posting heads
+        "postings_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    t AS (SELECT DISTINCT doc_id, token FROM tok)
+    SELECT token, count(*)::BIGINT AS df,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id),
+                                      1, 20), ',') AS postings
+    FROM t GROUP BY token HAVING count(*) >= 2
+    """,
+        # textstats.split_text: split + ordinality, empties dropped,
+        # positions renumbered over the kept pieces
+        "split_paragraphs_documents": """
+    WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id % 23 = 0 THEN NULL ELSE
+        'h ' || (doc_id % 5) || chr(10)
+        || (CASE WHEN doc_id % 9 = 0 THEN chr(10) ELSE '' END)
+        || substr(text, 1, 40) || chr(10)
+        || 'f ' || (doc_id % 7) END AS txt FROM documents),
+    p AS (SELECT doc_id, generate_subscripts(pieces, 1) AS i,
+                 unnest(pieces) AS piece
+          FROM (SELECT doc_id, string_split(txt, chr(10)) AS pieces
+                FROM src WHERE txt IS NOT NULL)),
+    kept AS (SELECT * FROM p WHERE piece <> '')
+    SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+             AS BIGINT) AS pos, piece
+    FROM kept
     """,
         # windows.keyed_multi_window_agg: two RANGE frames, one scan
         "multi_window_events": """

@@ -769,3 +769,73 @@ def value_counts_catalog(ds, columns: list[str], k: int = 10,
 
     return bucketed_group_reduce(summed, ["column"], topk,
                                  min(num_partitions, len(columns)))
+
+
+def grouped_correlation(ds, group_col: str, x_col: str, y_col: str, *,
+                        scale: int = 100,
+                        num_partitions: int | None = None):
+    """Per-group Pearson correlation — ``correlation_matrix`` keyed by a
+    segment column (the "does the relationship hold per segment"
+    profiling question; SQL ``corr(x, y) ... GROUP BY g`` but with this
+    repo's exact-integer partials instead of a float running sum).
+
+    Per-batch integer power sums per group (cents trick, both-present
+    rows), ONE tiny bucketed reduce over the per-(batch, group) partial
+    rows; the reduce re-sums as Python ints (object dtype — no overflow
+    at any scale) and evaluates the same one-rounding-per-term float64
+    tail as ``correlation_matrix``.  Null pearson when n < 2 or a side
+    has zero variance; null group keys form their own group."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    sum_cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = ~np.isnan(x) & ~np.isnan(y)
+        # rows where a side is null are dropped BEFORE grouping (SQL
+        # WHERE-before-GROUP-BY: a group with only null pairs is absent)
+        xi = np.rint(x[m] * scale).astype(np.int64)
+        yi = np.rint(y[m] * scale).astype(np.int64)
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_pandas()[m],
+            "n": np.ones(len(xi), dtype=np.int64), "sx": xi, "sy": yi,
+            "sxx": xi * xi, "syy": yi * yi, "sxy": xi * yi})
+        out = (df.groupby(group_col, dropna=False, sort=False)[sum_cols]
+               .sum().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.select_columns([group_col, x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        sums = (g.astype({c: object for c in sum_cols})
+                .groupby(group_col, dropna=False, sort=False)[sum_cols]
+                .sum())
+        rows = []
+        for key, r in sums.iterrows():       # bounded: distinct groups
+            n = int(r["n"])
+            pearson = None
+            if n >= 2:
+                sx, sy = int(r["sx"]), int(r["sy"])
+                vx = n * int(r["sxx"]) - sx * sx
+                vy = n * int(r["syy"]) - sy * sy
+                cov = n * int(r["sxy"]) - sx * sy
+                if vx > 0 and vy > 0:
+                    pearson = float(_r(
+                        float(cov) / np.sqrt(float(vx) * float(vy)), 6))
+            rows.append({group_col: key, "n": np.int64(n),
+                         "pearson": pearson})
+        out = pd.DataFrame(rows,
+                           columns=[group_col, "n", "pearson"])
+        out["n"] = out["n"].astype("int64")
+        out["pearson"] = out["pearson"].astype(np.float64)
+        return out
+
+    return bucketed_group_reduce(parts, [group_col], reduce_fn,
+                                 num_partitions)

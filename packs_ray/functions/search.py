@@ -124,3 +124,65 @@ def bm25_topk(ds, id_col: str, text_col: str, query: str, k: int = 10,
     out = out.sort_values(["bm25", id_col], ascending=[False, True],
                           kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+def build_postings(ds, id_col: str, text_col: str, *, min_df: int = 1,
+                   max_docs_per_token: int = 1000,
+                   num_partitions: int | None = None):
+    """Inverted-index construction: per token — document frequency and
+    the first ``max_docs_per_token`` doc ids in ascending order
+    (comma-joined string, so the artifact is one flat scannable table;
+    ``df`` always carries the TRUE count, the posting list is the
+    capped head — cap + surfaced, like every other bounded export).
+
+    Same whitespace tokenization contract as ``top_terms``/``bm25``.
+    Shape: per-batch distinct (doc, token) marks (a doc is one row, so
+    the marks are globally distinct already), ONE token-bucketed
+    reduce.  The postings artifact is what a boolean/BM25 serving layer
+    loads; building it is a batch job, and this is that job."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+    from packs_ray.stages.util import str_column
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def marks(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        raw_lens = off[1:] - off[:-1]
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False
+        df = pd.DataFrame({id_col: np.repeat(ids, raw_lens)[keep],
+                           "token": flat[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        marks, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="stable")
+        grp = g.groupby("token", sort=False)[id_col]
+        df_counts = grp.size().astype("int64")
+        heads = (g.groupby("token", sort=False).head(max_docs_per_token)
+                 .groupby("token", sort=False)[id_col]
+                 .agg(lambda s: ",".join(s.astype(str))))
+        out = pd.DataFrame({"token": df_counts.index,
+                            "df": df_counts.values,
+                            "postings": heads.reindex(
+                                df_counts.index).values})
+        out = out[out["df"] >= min_df]
+        return out.reset_index(drop=True)
+
+    return bucketed_group_reduce(parts, ["token"], reduce_fn,
+                                 num_partitions)

@@ -476,3 +476,49 @@ def char_entropy(ds, id_col: str, text_col: str):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def split_text(ds, id_col: str, text_col: str, pattern: str, *,
+               piece_col: str = "piece", keep_empty: bool = False):
+    """Split every document on an RE2 ``pattern`` and explode the pieces
+    with their 0-based position — the paragraph/line/sentence-unit
+    prep step before line-level dedup or per-paragraph quality scoring
+    (C4 operates on lines; this is the operator that produces them).
+
+    Stateless per-batch (``split_pattern_regex`` + ``list_flatten`` —
+    the explode kernel specialized to strings), no shuffle.  Null texts
+    emit no rows; empty pieces (leading/trailing/adjacent delimiters)
+    are dropped unless ``keep_empty`` — dropping matches the common
+    blank-line-stripping default.  Returns (id, pos, piece); ``pos``
+    numbers the KEPT pieces consecutively."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, text_col)
+        ids = batch.column(id_col)
+        lists = pc.split_pattern_regex(pc.coalesce(col, ""), pattern)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = ~nulls[parent]
+        if not keep_empty:
+            keep &= pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        # renumber kept pieces consecutively per doc
+        n = len(parent)
+        pos = np.zeros(n, dtype=np.int64)
+        if n:
+            new_doc = np.r_[True, parent[1:] != parent[:-1]]
+            starts = np.flatnonzero(new_doc)
+            counts = np.diff(np.append(starts, n))
+            pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table({id_col: pc.take(ids, pa.array(parent)),
+                         "pos": pa.array(pos, type=pa.int64()),
+                         piece_col: flat})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

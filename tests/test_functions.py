@@ -2739,3 +2739,49 @@ def test_multi_window_matches_single(ray_session):
         assert multi[f"n_{w}s"].tolist() == single["n_window"].tolist()
         assert (multi[f"sum_cents_{w}s"].tolist()
                 == single["sum_cents_window"].tolist())
+
+
+def test_grouped_correlation_matches_duckdb_with_nulls(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import grouped_correlation
+
+    rng = np.random.RandomState(7)
+    n = 500
+    g = rng.choice(["a", "b", "c"], n).astype(object)
+    x = np.round(rng.uniform(0, 100, n), 2)
+    y = np.round(x * 2 + rng.normal(0, 5, n), 2)
+    x[rng.rand(n) < 0.1] = np.nan
+    y[rng.rand(n) < 0.1] = np.nan
+    g[rng.rand(n) < 0.05] = None
+    # one group whose every pair has a null side -> absent from output
+    g2 = np.append(g, ["only_null"] * 3)
+    x2 = np.append(x, [1.0, np.nan, 2.0])
+    y2 = np.append(y, [np.nan, 5.0, np.nan])
+    t = pa.table({"g": pa.array(g2),
+                  "x": pa.array(x2, from_pandas=True),
+                  "y": pa.array(y2, from_pandas=True)})
+    got = (grouped_correlation(ray.data.from_arrow(t), "g", "x", "y")
+           .to_pandas().sort_values("g", na_position="last")
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT g, n::BIGINT AS n,
+            CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                 THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                             * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+            END AS pearson
+        FROM (SELECT g, count(*)::HUGEINT AS n, sum(cx) AS sx, sum(cy) AS sy,
+                     sum(cx*cx) AS sxx, sum(cy*cy) AS syy, sum(cx*cy) AS sxy
+              FROM (SELECT g, CAST(round(x*100,0) AS HUGEINT) AS cx,
+                           CAST(round(y*100,0) AS HUGEINT) AS cy
+                    FROM t WHERE x IS NOT NULL AND y IS NOT NULL) v
+              GROUP BY g) s
+        ORDER BY g NULLS LAST
+    """).df().reset_index(drop=True)
+    assert "only_null" not in set(got["g"].dropna())
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, exp)
