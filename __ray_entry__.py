@@ -331,6 +331,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def transitions_events(sf):
+        # Markov transitions over each user's (ts, event_id)-ordered
+        # event-type sequence
+        return windows.transition_counts(
+            _ds(sf, "events", ["user_id", "ts", "event_id",
+                               "event_type"]),
+            "user_id", "event_type", ["ts", "event_id"])
+
+    def json_extract_events(sf):
+        # semi-structured props -> typed column; fixture plants invalid
+        # JSON (event_id % 17) and nulls (event_id % 23)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.json_ops import json_extract
+
+        def plant(batch):
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+            p = batch.column("props")
+            p = pc.if_else(pa.array(ids % 17 == 0),
+                           pa.scalar("not json"), p)
+            p = pc.if_else(pa.array(ids % 23 == 0),
+                           pa.scalar(None, pa.string()), p)
+            return pa.table({"event_id": batch.column("event_id"),
+                             "props": p})
+
+        fixture = _ds(sf, "events", ["event_id", "props"]).map_batches(
+            plant, batch_format="pyarrow")
+        return json_extract(fixture, "props",
+                            {"k": ("k", "int64")},
+                            keep_cols=["event_id"])
+
+    def cooccurrence_events(sf):
+        # market-basket primitive: event-type pairs co-occurring per user
+        from packs_ray.functions.agg import cooccurrence_pairs
+
+        return cooccurrence_pairs(
+            _ds(sf, "events", ["user_id", "event_type"]),
+            "user_id", "event_type")
+
     def grouped_corr_lineitem(sf):
         # per-segment Pearson: corr(quantity, extendedprice) by flag
         return profiling.grouped_correlation(
@@ -1875,6 +1915,9 @@ checks for orders:
         "split_paragraphs_documents": split_paragraphs_documents,
         "postings_documents": postings_documents,
         "grouped_corr_lineitem": grouped_corr_lineitem,
+        "cooccurrence_events": cooccurrence_events,
+        "json_extract_events": json_extract_events,
+        "transitions_events": transitions_events,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4925,6 +4968,39 @@ def oracle_sql() -> dict[str, str]:
             / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             AS roll_mean_cents
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+        # windows.transition_counts: lead() adjacency per user
+        "transitions_events": """
+    WITH c AS (SELECT user_id, event_type, ts, event_id FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    s AS (SELECT user_id, event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_type
+          FROM c)
+    SELECT from_type, to_type, count(*)::BIGINT AS n
+    FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+    """,
+        # json_ops.json_extract: json_valid guard + typed cast
+        "json_extract_events": """
+    WITH src AS (SELECT event_id,
+        CASE WHEN event_id % 23 = 0 THEN NULL
+             WHEN event_id % 17 = 0 THEN 'not json'
+             ELSE props END AS props FROM events)
+    SELECT event_id,
+        (CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract(props, '$.k') END)::BIGINT AS k
+    FROM src
+    """,
+        # agg.cooccurrence_pairs: distinct marks, a<b self-join
+        "cooccurrence_events": """
+    WITH m AS (SELECT DISTINCT user_id, event_type FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           count(*)::BIGINT AS n_keys
+    FROM m a JOIN m b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+    GROUP BY 1, 2
     """,
         # profiling.grouped_correlation: HUGEINT power sums per group,
         # same one-DOUBLE-cast-per-term tail as correlations_lineitem

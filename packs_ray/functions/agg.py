@@ -641,3 +641,52 @@ def collect_strings(ds, key_col: str, value_col: str,
 
     return bucketed_group_reduce(ds.select_columns(cols), [key_col],
                                  reduce_fn, num_partitions)
+
+
+def cooccurrence_pairs(ds, key_col: str, item_col: str, *,
+                       num_partitions: int | None = None):
+    """Unordered co-occurrence counts: for every item pair (a < b), the
+    number of keys whose item set contains both — the market-basket /
+    PMI / association-rule primitive (over users x event types, docs x
+    tags, sessions x tools...).
+
+    Null keys/items are dropped.  Shape: per-batch distinct (key, item)
+    marks, ONE key-bucketed shuffle (all items of a key co-locate), a
+    vectorized self-merge per bucket to expand pairs, then a tiny
+    second reduce bucketed by pair to sum across key-buckets.  The
+    output is bounded by distinct_items², so the item domain must be
+    bounded (categorical) — the same documented contract as
+    ``pivot_counts``; per-key cost is |items-per-key|², which the
+    domain bound also caps."""
+    import numpy as np
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, item_col]).to_pandas()
+        df = df.dropna().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(marks, batch_format="pyarrow")
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()          # marks from different batches
+        m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (m.groupby([f"{item_col}_a", f"{item_col}_b"], sort=False)
+               .size().reset_index(name="n_keys"))
+        return out.rename(columns={f"{item_col}_a": "item_a",
+                                   f"{item_col}_b": "item_b"})
+
+    per_key_bucket = bucketed_group_reduce(parts, [key_col],
+                                           pairs_per_bucket,
+                                           num_partitions)
+
+    def sum_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["item_a", "item_b"], sort=False)["n_keys"]
+               .sum().reset_index())
+        return out.astype({"n_keys": "int64"})
+
+    return bucketed_group_reduce(per_key_bucket, ["item_a", "item_b"],
+                                 sum_fn, max(num_partitions // 4, 1))

@@ -556,3 +556,63 @@ def keyed_multi_window_agg(ds, key_col: str, ts_col: str, value_col: str,
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def transition_counts(ds, key_col: str, type_col: str,
+                      order_cols: list[str], *,
+                      num_buckets: int | None = None):
+    """First-order Markov transition counts: for every adjacent pair of
+    a key's rows in ``order_cols`` order, count (from_type, to_type) —
+    the session-path / behavioral-flow statistic between ``sessionize``
+    (where do sessions break) and ``funnel_counts`` (one fixed path).
+
+    Null key/order/type rows are dropped (module convention).  ONE
+    keyed bucket shuffle of the narrow (key, order, type) projection,
+    one vectorized shift per bucket, then a tiny reduce bucketed by the
+    (from, to) pair — output is bounded by distinct_types²."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(batch.column(key_col)),
+                        pc.is_valid(batch.column(type_col)))
+        for c in order_cols:
+            valid = pc.and_(valid, pc.is_valid(batch.column(c)))
+        batch = batch.filter(valid)
+        t = batch.select([key_col, *order_cols, type_col])
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        key = g[key_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        same = key[:-1] == key[1:]
+        df = pd.DataFrame({"from_type": typ[:-1][same],
+                           "to_type": typ[1:][same]})
+        out = (df.groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        return out.astype({"n": "int64"})
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+
+    def sum_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["from_type", "to_type"], sort=False)["n"]
+               .sum().reset_index())
+        return out.astype({"n": "int64"})
+
+    return bucketed_group_reduce(parts, ["from_type", "to_type"],
+                                 sum_fn, 4)

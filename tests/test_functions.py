@@ -2785,3 +2785,72 @@ def test_grouped_correlation_matches_duckdb_with_nulls(ray_session):
     assert "only_null" not in set(got["g"].dropna())
     import pandas as pd
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cooccurrence_pairs_basic(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import cooccurrence_pairs
+
+    rows = [{"u": 1, "t": "a"}, {"u": 1, "t": "b"}, {"u": 1, "t": "a"},
+            {"u": 2, "t": "a"}, {"u": 2, "t": "b"}, {"u": 2, "t": "c"},
+            {"u": 3, "t": "b"}, {"u": None, "t": "a"},
+            {"u": 4, "t": None}]
+    out = (cooccurrence_pairs(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), "u", "t")
+        .to_pandas().sort_values(["item_a", "item_b"])
+        .reset_index(drop=True))
+    got = list(zip(out["item_a"], out["item_b"], out["n_keys"]))
+    assert got == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+
+
+def test_json_extract_types_and_errors(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.json_ops import json_extract
+
+    rows = [{"id": 0, "j": '{"k": 1, "s": "x", "b": true, "f": 2.5}'},
+            {"id": 1, "j": '{"k": "not int", "nested": {"d": 7}}'},
+            {"id": 2, "j": "not json"},
+            {"id": 3, "j": None},
+            {"id": 4, "j": '{"k": 3.0}'}]
+    out = (json_extract(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), "j",
+        {"k": ("k", "int64"), "s": ("s", "string"),
+         "b": ("b", "bool"), "f": ("f", "float64"),
+         "d": ("nested.d", "int64")}, keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["k"].tolist()[0] == 1
+    assert out["k"].isna().tolist() == [False, True, True, True, False]
+    assert out["k"].tolist()[4] == 3          # 3.0 is integral
+    assert out["s"][0] == "x" and out["b"][0] == True  # noqa: E712
+    assert out["f"][0] == 2.5 and out["d"][1] == 7
+
+
+def test_transition_counts_order_and_nulls(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import transition_counts
+
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        {"u": 1, "ts": base, "i": 1, "t": "a"},
+        {"u": 1, "ts": base + pd.Timedelta(seconds=1), "i": 2, "t": "b"},
+        {"u": 1, "ts": base + pd.Timedelta(seconds=2), "i": 3, "t": "a"},
+        {"u": 2, "ts": base, "i": 4, "t": "a"},
+        {"u": 2, "ts": base + pd.Timedelta(seconds=5), "i": 5, "t": "b"},
+        {"u": 3, "ts": base, "i": 6, "t": "c"},      # singleton: no pair
+        {"u": None, "ts": base, "i": 7, "t": "a"},
+        {"u": 4, "ts": None, "i": 8, "t": "a"},
+    ]
+    out = (transition_counts(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), "u", "t",
+        ["ts", "i"])
+        .to_pandas().sort_values(["from_type", "to_type"])
+        .reset_index(drop=True))
+    got = list(zip(out["from_type"], out["to_type"], out["n"]))
+    assert got == [("a", "b", 2), ("b", "a", 1)]
