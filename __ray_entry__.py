@@ -331,6 +331,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ["l_orderkey", "l_linenumber"],
                     ["l_quantity", "l_discount", "l_tax"])
 
+    def pagerank_lineitem(sf):
+        # exact integer PageRank (3 rounds) over a deterministic
+        # order->part edge graph derived from lineitem
+        import pyarrow as pa
+
+        from packs_ray.functions.graph import pagerank_int
+
+        def mk(batch):
+            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            return pa.table({"src": pa.array(ok % 500, type=pa.int64()),
+                             "dst": pa.array(pk % 500, type=pa.int64())})
+
+        edges = _ds(sf, "lineitem", ["l_orderkey",
+                                     "l_partkey"]).map_batches(
+            mk, batch_format="pyarrow")
+        return pagerank_int(edges, "src", "dst", iters=3)
+
+    def type_inference_orders(sf):
+        # semantic-type sniffing over planted string shapes (int /
+        # float / date / bool / mixed-with-nulls)
+        import pandas as pd
+        import pyarrow as pa
+
+        from packs_ray.functions.profiling import type_inference
+
+        def mk(batch):
+            df = batch.to_pandas()
+            k = df["o_orderkey"]
+            ks = k.astype(str)
+            mixed = pd.Series(np.where(k % 3 == 0, "abc", ks),
+                              index=df.index)
+            mixed = mixed.mask(k % 13 == 0, None)
+            return pa.table({
+                "c_int": pa.array(ks, type=pa.string()),
+                "c_float": pa.array(ks + ".5", type=pa.string()),
+                "c_date": pa.array(
+                    df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                    type=pa.string()),
+                "c_bool": pa.array(
+                    np.where(k % 2 == 0, "true", "false"),
+                    type=pa.string()),
+                "c_mixed": pa.array(mixed, type=pa.string())})
+
+        fixture = _ds(sf, "orders",
+                      ["o_orderkey", "o_orderdate"]).map_batches(
+            mk, batch_format="pyarrow")
+        return type_inference(fixture, ["c_int", "c_float", "c_date",
+                                        "c_bool", "c_mixed"])
+
     def transitions_events(sf):
         # Markov transitions over each user's (ts, event_id)-ordered
         # event-type sequence
@@ -1918,6 +1968,8 @@ checks for orders:
         "cooccurrence_events": cooccurrence_events,
         "json_extract_events": json_extract_events,
         "transitions_events": transitions_events,
+        "type_inference_orders": type_inference_orders,
+        "pagerank_lineitem": pagerank_lineitem,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "time_window_agg_events": time_window_agg_events,
@@ -4087,6 +4139,70 @@ def _bm25_sql(query: str, k: int = 10, k1: float = 1.2,
     LIMIT {k}"""
 
 
+def _pagerank_sql(iters: int = 3, scale: int = 1_000_000,
+                  num: int = 85, den: int = 100) -> str:
+    """graph.pagerank_int replica: identical integer update unrolled
+    per iteration (floor division, exact integer sums — order-free, so
+    hash-exact regardless of join order)."""
+    base = (scale * (den - num)) // den
+    ctes = [f"""e AS (SELECT DISTINCT (l_orderkey % 500)::BIGINT AS src,
+                     (l_partkey % 500)::BIGINT AS dst FROM lineitem),
+    d AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, {scale}::BIGINT AS rank FROM n)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (SELECT e.dst AS node,
+           sum(r{i - 1}.rank // d.deg)::BIGINT AS inc
+           FROM e JOIN d USING (src)
+           JOIN r{i - 1} ON r{i - 1}.node = e.src GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+           ({base} + ({num} * coalesce(c{i}.inc, 0)) // {den})::BIGINT
+               AS rank
+           FROM n LEFT JOIN c{i} USING (node))""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, rank FROM r{iters}")
+
+
+def _type_inference_sql() -> str:
+    """profiling.type_inference replica over the same planted fixture:
+    anchored RE2 shape matches, 6dp fractions, identical int → date →
+    bool → float inference priority."""
+    res = {"int": "^[+-]?[0-9]+$",
+           "float": "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)"
+                    "([eE][+-]?[0-9]+)?$",
+           "date": "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+           "bool": "^(?i)(true|false|yes|no|0|1)$"}
+    cols = ["c_int", "c_float", "c_date", "c_bool", "c_mixed"]
+    parts = []
+    for c in cols:
+        fr = {t: f"round(count_if(regexp_matches({c}, '{rx}'))::DOUBLE"
+                 f" / count({c}), 6)" for t, rx in res.items()}
+        parts.append(f"""
+    SELECT '{c}' AS "column", count({c})::BIGINT AS n,
+        {fr['int']} AS frac_int, {fr['float']} AS frac_float,
+        {fr['date']} AS frac_date, {fr['bool']} AS frac_bool,
+        CASE WHEN count({c}) = 0 THEN 'unknown'
+             WHEN {fr['int']} = 1.0 THEN 'int'
+             WHEN {fr['date']} = 1.0 THEN 'date'
+             WHEN {fr['bool']} = 1.0 THEN 'bool'
+             WHEN {fr['float']} = 1.0 THEN 'float'
+             ELSE 'string' END AS inferred_type
+    FROM src""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+    WITH src AS (SELECT
+        CAST(o_orderkey AS VARCHAR) AS c_int,
+        CAST(o_orderkey AS VARCHAR) || '.5' AS c_float,
+        strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+        CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END
+            AS c_bool,
+        CASE WHEN o_orderkey % 13 = 0 THEN NULL
+             WHEN o_orderkey % 3 = 0 THEN 'abc'
+             ELSE CAST(o_orderkey AS VARCHAR) END AS c_mixed
+        FROM orders)
+    {body}"""
+
+
 def oracle_sql() -> dict[str, str]:
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     completeness = " UNION ALL ".join(
@@ -4969,6 +5085,8 @@ def oracle_sql() -> dict[str, str]:
             AS roll_mean_cents
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+        "type_inference_orders": _type_inference_sql(),
+        "pagerank_lineitem": _pagerank_sql(3),
         # windows.transition_counts: lead() adjacency per user
         "transitions_events": """
     WITH c AS (SELECT user_id, event_type, ts, event_id FROM events

@@ -839,3 +839,70 @@ def grouped_correlation(ds, group_col: str, x_col: str, y_col: str, *,
 
     return bucketed_group_reduce(parts, [group_col], reduce_fn,
                                  num_partitions)
+
+
+_TYPE_RES = (
+    ("int", r"^[+-]?[0-9]+$"),
+    ("float", r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("bool", r"^(?i)(true|false|yes|no|0|1)$"),
+)
+
+
+def type_inference(ds, columns: list[str]):
+    """Semantic-type inference catalog over string columns — the
+    generalization of the reference's date-only sniffing
+    (timeliness_pack/main.py:26-61): per column, the fraction of
+    non-null values matching int / float / date / bool shapes (RE2 on
+    both sides, 6dp) and the inferred type (first family whose
+    fraction is 1.0, in int → date → bool → float priority — ints also
+    match the float shape, so float wins only when something is
+    fractional; all-null columns infer "unknown").
+
+    One streaming scan: per-batch regex-count partials per column, a
+    tiny driver combine (rows = len(columns))."""
+    from packs_ray.functions.agg import global_agg
+
+    def partial(batch: pa.Table) -> dict:
+        d = {}
+        for c in columns:
+            v = batch.column(c)
+            d[f"n_{c}"] = len(v) - v.null_count
+            for name, rx in _TYPE_RES:
+                m = pc.match_substring_regex(v, rx)
+                d[f"{name}_{c}"] = pc.sum(
+                    pc.cast(m, "int64")).as_py() or 0
+        return d
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {k: int(p[k].sum()) for k in p.columns}
+
+    agg = global_agg(
+        ds.select_columns(columns), partial, combine,
+        empty_schema=pa.schema([(c, pa.string()) for c in columns]))
+    rows = []
+    for c in columns:
+        n = agg[f"n_{c}"]
+        fr = {name: (float(_r(agg[f"{name}_{c}"] / n, 6)) if n else None)
+              for name, _ in _TYPE_RES}
+        if n == 0:
+            inferred = "unknown"
+        elif fr["int"] == 1.0:
+            inferred = "int"
+        elif fr["date"] == 1.0:
+            inferred = "date"
+        elif fr["bool"] == 1.0:
+            inferred = "bool"
+        elif fr["float"] == 1.0:
+            inferred = "float"
+        else:
+            inferred = "string"
+        rows.append({"column": c, "n": np.int64(n),
+                     "frac_int": fr["int"], "frac_float": fr["float"],
+                     "frac_date": fr["date"], "frac_bool": fr["bool"],
+                     "inferred_type": inferred})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for name, _ in _TYPE_RES:
+        out[f"frac_{name}"] = out[f"frac_{name}"].astype(np.float64)
+    return out
