@@ -49,7 +49,8 @@ def impute(ds, col: str, *, strategy: str = "mean", constant=None,
             return {"n": n, "mean": (float(total) / n) / scale
                     if n else None}
 
-        fill = global_agg(ds.select_columns([col]), partial, combine)["mean"]
+        fill = global_agg(ds.select_columns([col]), partial, combine,
+                          empty_schema=pa.schema([(col, pa.float64())]))["mean"]
     elif strategy == "mode":
         from packs_ray.functions.agg import keyed_count
 
