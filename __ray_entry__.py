@@ -520,6 +520,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "user_id", "ts"]),
             "user_id", ["ts", "event_id"], 4)
 
+    def global_rank_lineitem(sf):
+        # exact distributed global rank()/percent_rank() (range-bucket
+        # shuffle + driver-held offsets); l_quantity is integral-valued
+        # so heavy tie groups exercise the cross-bucket min-rank shift
+        return windows.global_rank(
+            _ds(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_quantity"]),
+            ["l_orderkey", "l_linenumber"], "l_quantity")
+
+    def encoding_anomalies_documents(sf):
+        # mojibake detector over planted damage: U+FFFD, C1 controls,
+        # UTF-8-as-latin-1 digraphs (one shape per doc_id % 6 residue)
+        import pyarrow as pa
+
+        from packs_ray.functions.webquality import encoding_anomalies
+
+        tails = {1: "�", 2: "\x85\x93", 3: "Ã©",
+                 4: "â€™", 5: "Â "}
+
+        def plant(batch):
+            import numpy as np
+
+            m = batch.column("doc_id").to_numpy(zero_copy_only=False) % 6
+            tail = np.select([m == r for r in tails],
+                             list(tails.values()), default="")
+            out = batch.column("text").to_pandas() + tail
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text": pa.Array.from_pandas(
+                                 out, type=pa.string())})
+
+        fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            plant, batch_format="pyarrow")
+        return encoding_anomalies(fixture, "doc_id", "text")
+
+    def try_cast_orders(sf):
+        # TRY_CAST repair over a planted dirty string column: null,
+        # empty, padded, decimal, scientific, junk, negative, trailing-
+        # garbage shapes (one per o_orderkey % 8 residue)
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.repair import try_cast_columns
+
+        def plant(batch):
+            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ks = k.astype(str).astype(object)
+            m = k % 8
+            raw = np.select(
+                [m == 1, m == 2, m == 3, m == 4, m == 5, m == 6, m == 7],
+                ["", " " + ks + " ", ks + ".25",
+                 "1e" + (k % 5).astype(str).astype(object), "N/A",
+                 "-" + ks, ks + "x"],
+                default=None)
+            return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                             "raw": pa.array(raw, type=pa.string())})
+
+        fixture = _ds(sf, "orders", ["o_orderkey"]).map_batches(
+            plant, batch_format="pyarrow")
+        return try_cast_columns(fixture, {"raw": "double"})
+
     def impute_events_value(sf):
         # repair surface: fill planted nulls (event_id % 13) with the
         # exact global mean from integer-cents partials
@@ -1956,6 +2016,9 @@ checks for orders:
         "melt_lineitem": melt_lineitem,
         "explode_embeddings": explode_embeddings,
         "collect_strings_orders": collect_strings_orders,
+        "global_rank_lineitem": global_rank_lineitem,
+        "try_cast_orders": try_cast_orders,
+        "encoding_anomalies_documents": encoding_anomalies_documents,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
         "vocab_documents": vocab_documents,
@@ -4636,6 +4699,54 @@ def oracle_sql() -> dict[str, str]:
         "explode_embeddings": """
     SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
            unnest(embedding)::DOUBLE AS value FROM embeddings
+    """,
+        # windows.global_rank: rank/percent_rank over the whole table;
+        # pct is (rank-1)/(N-1) in double on both sides
+        "global_rank_lineitem": """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           rank() OVER (ORDER BY l_quantity)::BIGINT AS rnk,
+           percent_rank() OVER (ORDER BY l_quantity)::DOUBLE AS pct_rank
+    FROM lineitem WHERE l_quantity IS NOT NULL
+    """,
+        # webquality.encoding_anomalies: same planted damage, counts by
+        # length-difference arithmetic (RE2 class for the C1 range)
+        "encoding_anomalies_documents": """
+    WITH src AS (SELECT doc_id, text || CASE doc_id % 6
+            WHEN 1 THEN '�' WHEN 2 THEN '\x85\x93'
+            WHEN 3 THEN 'Ã©' WHEN 4 THEN 'â€™'
+            WHEN 5 THEN 'Â ' ELSE '' END AS text
+        FROM documents),
+    c AS (SELECT doc_id,
+        (length(text) - length(replace(text, '�', '')))::BIGINT
+            AS n_replacement,
+        (length(text) - length(regexp_replace(text,
+            '[\\x{0080}-\\x{009F}]', '', 'g')))::BIGINT AS n_c1,
+        ((length(text) - length(replace(text, 'Ã', '')))
+         + (length(text) - length(replace(text, 'Â', '')))
+         + (length(text) - length(replace(text, 'â€', ''))) // 2
+        )::BIGINT AS n_mojibake
+        FROM src WHERE text IS NOT NULL)
+    SELECT doc_id, n_replacement, n_c1, n_mojibake,
+           (n_replacement + n_c1 + n_mojibake) > 0 AS suspect FROM c
+    """,
+        # repair.try_cast_columns: TRY_CAST parity on the planted dirty
+        # string shapes; failed = non-null input, null output
+        "try_cast_orders": """
+    WITH src AS (SELECT o_orderkey,
+        CASE o_orderkey % 8
+            WHEN 1 THEN ''
+            WHEN 2 THEN ' ' || o_orderkey::VARCHAR || ' '
+            WHEN 3 THEN o_orderkey::VARCHAR || '.25'
+            WHEN 4 THEN '1e' || (o_orderkey % 5)::VARCHAR
+            WHEN 5 THEN 'N/A'
+            WHEN 6 THEN '-' || o_orderkey::VARCHAR
+            WHEN 7 THEN o_orderkey::VARCHAR || 'x'
+            ELSE NULL END AS raw
+        FROM orders)
+    SELECT o_orderkey, raw, TRY_CAST(raw AS DOUBLE) AS raw_cast,
+           (raw IS NOT NULL AND TRY_CAST(raw AS DOUBLE) IS NULL)
+               AS raw_cast_failed
+    FROM src
     """,
         # repair.impute mean: identical pinned float expression
         # (exact int64 cents sum -> ::DOUBLE / n / scale)

@@ -79,3 +79,57 @@ def impute(ds, col: str, *, strategy: str = "mean", constant=None,
         return batch.append_column(out_col, filled)
 
     return ds.map_batches(fill_pass, batch_format="pyarrow")
+
+
+def try_cast_columns(ds, casts: dict[str, str], *, suffix: str = "_cast"):
+    """SQL ``TRY_CAST`` as a streaming repair op: for each ``col ->
+    target`` in ``casts``, append ``{col}{suffix}`` (the lenient cast,
+    null on failure) and ``{col}_cast_failed`` (true when the input was
+    non-null but unparseable) — the acting half of the reference's
+    string-typed "dirty column" findings (pattern/accuracy packs report
+    them, nothing repairs them).
+
+    Targets: ``double`` (DuckDB-TRY_CAST-parity for trimmed decimal /
+    scientific forms; '' and junk -> null), ``int64`` (strict: integral
+    strings only — DuckDB's round-half-even string->int is intentionally
+    NOT mimicked, a silent 1.5->2 is a data bug, not a repair), ``date``
+    (ISO yyyy-mm-dd, impossible calendar dates -> null).
+
+    Stateless, vectorized (pandas to_numeric/to_datetime under the
+    hood), no shuffle — the 100-TB shape is one map_batches pass.
+    """
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, target in casts.items():
+            raw = batch.column(col)
+            s = raw.to_pandas().astype("string")
+            raw_valid = s.notna().to_numpy()
+            if target == "double":
+                v = pd.to_numeric(s.str.strip(), errors="coerce")
+                arr = pa.array(v.to_numpy(dtype="float64",
+                                          na_value=np.nan),
+                               type=pa.float64(),
+                               from_pandas=True)
+            elif target == "int64":
+                f = pd.to_numeric(s.str.strip(), errors="coerce")
+                fv = f.to_numpy(dtype="float64", na_value=np.nan)
+                ok = ~np.isnan(fv) & (np.floor(fv) == fv) \
+                    & (np.abs(fv) < 2**53)
+                iv = np.where(ok, fv, 0).astype("int64")
+                arr = pa.array(iv, type=pa.int64(),
+                               from_pandas=True,
+                               mask=~ok)
+            elif target == "date":
+                v = pd.to_datetime(s.str.strip(), format="%Y-%m-%d",
+                                   errors="coerce")
+                arr = pa.Array.from_pandas(v).cast(pa.date32())
+            else:
+                raise ValueError(f"unknown try_cast target: {target!r}")
+            failed = raw_valid & np.asarray(pc.is_null(arr))
+            batch = batch.append_column(f"{col}{suffix}", arr)
+            batch = batch.append_column(
+                f"{col}_cast_failed", pa.array(failed, type=pa.bool_()))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -567,3 +567,41 @@ def strip_html(ds, html_col: str, *, id_cols: list[str] | None = None,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def encoding_anomalies(ds, id_col: str, text_col: str):
+    """Mojibake / encoding-damage detector: per document, counts of
+    (a) U+FFFD replacement characters (a decoder already gave up),
+    (b) C1 control codepoints U+0080-U+009F (cp1252 bytes decoded as
+    latin-1 -- never legitimate in text), and (c) the classic
+    UTF-8-read-as-latin-1 digraph artifacts ('A-tilde', 'A-circumflex',
+    'a-circumflex + euro' -- the lead bytes of 2/3-byte UTF-8 sequences
+    misdecoded).  ``suspect`` flags any hit; a web pipeline re-decodes
+    or drops those docs (CCNet/Wenzek et al. 2020 discard undecodable
+    content the same way).
+
+    One stateless vectorized pass (Arrow count_substring +
+    count_substring_regex -- both engines run RE2, so the C1-class
+    count is twin-exact in DuckDB via length-difference arithmetic).
+    Reference anchor: the packs' nearest signal is the printable-chars
+    regex in pattern_validation_pack; it has no encoding audit at all.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
+        s = batch.column(text_col)
+        n_repl = pc.count_substring(s, "\ufffd")
+        n_c1 = pc.count_substring_regex(s, "[\x80-\x9f]")
+        n_moji = pc.add(
+            pc.add(pc.count_substring(s, "\u00c3"),
+                   pc.count_substring(s, "\u00c2")),
+            pc.count_substring(s, "\u00e2\u20ac"))
+        bad = pc.add(pc.add(n_repl, n_c1), n_moji)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_replacement": pc.cast(n_repl, "int64"),
+            "n_c1": pc.cast(n_c1, "int64"),
+            "n_mojibake": pc.cast(n_moji, "int64"),
+            "suspect": pc.greater(bad, 0)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -616,3 +616,111 @@ def transition_counts(ds, key_col: str, type_col: str,
 
     return bucketed_group_reduce(parts, ["from_type", "to_type"],
                                  sum_fn, 4)
+
+
+def global_rank(ds, id_cols: list[str], value_col: str, *,
+                num_buckets: int | None = None):
+    """SQL ``rank()`` / ``percent_rank() OVER (ORDER BY value)`` for
+    EVERY row — the global (un-keyed) counterpart of ``keyed_ntile``,
+    which Ray Data cannot express at all and a naive
+    ``groupby(constant)`` would funnel through one worker.
+
+    Scale shape: range-partition instead of hash-partition.  Two cheap
+    narrow scans of ``value_col`` (exact min/max, then exact per-range
+    counts on fixed ``num_buckets`` edges), driver holds only the
+    B-entry count vector -> exclusive prefix offsets; then ONE shuffle
+    of (ids, value) rows by range bucket and a vectorized local
+    min-rank per bucket, shifted by the bucket's offset.  Equal values
+    always land in the same bucket (searchsorted on shared edges), so
+    tie ranks are globally exact.  Known skew bound: uniform-width
+    edges — a heavy-tailed column concentrates rows in few buckets
+    (documented; edges-from-quantiles is the refinement if a profile
+    shows it).  Null values are dropped (module convention; SQL twin
+    filters them).
+
+    Reference anchor: the packs rank only via pandas ``rank()`` inside
+    a single process (outlier_detection_pack/main.py:206-220 sorts the
+    whole frame); this is the distributed exact equivalent.
+    """
+    import numpy as np
+
+    from packs_ray.functions.agg import global_agg, row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    narrow = ds.select_columns([value_col])
+    empty_sch = pa.schema([(value_col, pa.float64())])
+
+    def mm_partial(batch: pa.Table) -> dict:
+        v = batch.column(value_col)
+        mn, mx = pc.min(v), pc.max(v)
+        return {"mn": mn.as_py() if mn.is_valid else None,
+                "mx": mx.as_py() if mx.is_valid else None,
+                "n": len(v) - v.null_count}
+
+    def mm_combine(df: pd.DataFrame) -> dict:
+        n = int(df["n"].sum())
+        mns, mxs = df["mn"].dropna(), df["mx"].dropna()
+        return {"n": n,
+                "mn": float(mns.min()) if len(mns) else 0.0,
+                "mx": float(mxs.max()) if len(mxs) else 1.0}
+
+    mm = global_agg(narrow, mm_partial, mm_combine, empty_schema=empty_sch)
+    n_total, lo, hi = mm["n"], mm["mn"], mm["mx"]
+    if hi <= lo:
+        hi = lo + 1.0  # constant column: everything in bucket 0
+    edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def hist_partial(batch: pa.Table) -> dict:
+        v = batch.column(value_col)
+        arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = arr[~np.isnan(arr)]
+        b = np.searchsorted(edges, arr, side="right")
+        cnt = np.bincount(b, minlength=num_buckets)
+        return {f"c{i}": int(cnt[i]) for i in range(num_buckets)}
+
+    def hist_combine(df: pd.DataFrame) -> dict:
+        return {"counts": [int(df[f"c{i}"].sum())
+                           for i in range(num_buckets)]}
+
+    counts = np.array(global_agg(narrow, hist_partial, hist_combine,
+                                 empty_schema=empty_sch)["counts"],
+                      dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    out_cols = [*id_cols, value_col, "rnk", "pct_rank"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(value_col)))
+        arr = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(edges, arr, side="right").astype(np.int64)
+        t = batch.select([*id_cols, value_col])
+        return t.append_column("bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        off = int(offsets[int(g["bucket"].iloc[0])])
+        g = g.sort_values(value_col, kind="stable").drop(columns="bucket")
+        v = g[value_col].to_numpy()
+        m = len(g)
+        new_v = np.empty(m, dtype=bool)
+        new_v[0] = True
+        new_v[1:] = v[1:] != v[:-1]
+        # min-rank of each tie group, local then shifted to global
+        local = np.maximum.accumulate(
+            np.where(new_v, np.arange(m, dtype=np.int64), 0))
+        rnk = off + local + 1
+        out = g.copy()
+        out["rnk"] = rnk
+        out["pct_rank"] = ((rnk - 1) / (n_total - 1) if n_total > 1
+                           else np.zeros(m))
+        out["pct_rank"] = out["pct_rank"].astype("float64")
+        return out[out_cols]
+
+    ds2 = ds.select_columns([*id_cols, value_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

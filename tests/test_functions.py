@@ -2854,3 +2854,85 @@ def test_transition_counts_order_and_nulls(ray_session):
         .reset_index(drop=True))
     got = list(zip(out["from_type"], out["to_type"], out["n"]))
     assert got == [("a", "b", 2), ("b", "a", 1)]
+
+
+def test_global_rank_ties_across_buckets(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import global_rank
+
+    # heavy tie groups + a null, forced into many buckets so tie groups
+    # must not straddle a range-bucket boundary
+    vals = [1.0, 1.0, 1.0, 2.5, 2.5, 7.0, 7.0, 7.0, 7.0, 9.0, None, 3.0]
+    t = pa.table({"i": list(range(len(vals))), "v": vals})
+    got = (global_rank(ray.data.from_arrow(t), ["i"], "v", num_buckets=5)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT i, v, rank() OVER (ORDER BY v)::BIGINT AS rnk,
+               percent_rank() OVER (ORDER BY v)::DOUBLE AS pct_rank
+        FROM t WHERE v IS NOT NULL ORDER BY i
+    """).df().reset_index(drop=True)
+    got["i"] = got["i"].astype(exp["i"].dtype)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_global_rank_constant_column(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import global_rank
+
+    t = pa.table({"i": [0, 1, 2], "v": [4.0, 4.0, 4.0]})
+    got = (global_rank(ray.data.from_arrow(t), ["i"], "v", num_buckets=3)
+           .to_pandas())
+    assert sorted(got["rnk"]) == [1, 1, 1]
+    assert set(got["pct_rank"]) == {0.0}
+
+
+def test_try_cast_int64_and_date_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.repair import try_cast_columns
+
+    t = pa.table({
+        "si": ["42", " 7 ", "1.5", "abc", "", None, "9007199254740993"],
+        "sd": ["2024-02-29", "2023-02-29", "2024-13-01", "x", None,
+               "2020-01-01", ""],
+    })
+    out = try_cast_columns(
+        ray.data.from_arrow(t), {"si": "int64", "sd": "date"}).to_pandas()
+    # strict int: decimals fail (no DuckDB-style rounding); > 2^53 fails
+    assert out["si_cast"].tolist()[:2] == [42, 7]
+    assert out["si_cast"].isna().tolist() == [
+        False, False, True, True, True, True, True]
+    assert out["si_cast_failed"].tolist() == [
+        False, False, True, True, True, False, True]
+    # date: impossible calendar dates fail, leap day parses
+    ok = out["sd_cast"].notna().tolist()
+    assert ok == [True, False, False, False, False, True, False]
+    assert out["sd_cast_failed"].tolist() == [
+        False, True, True, True, False, False, True]
+
+
+def test_encoding_anomalies_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.webquality import encoding_anomalies
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["clean text",
+                           "bad �� and \x85",
+                           "mojibake Ã© â€™",
+                           None]})
+    out = (encoding_anomalies(ray.data.from_arrow(t), "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3]      # null text dropped
+    assert out["n_replacement"].tolist() == [0, 2, 0]
+    assert out["n_c1"].tolist() == [0, 1, 0]
+    assert out["n_mojibake"].tolist() == [0, 0, 2]
+    assert out["suspect"].tolist() == [False, True, True]
