@@ -1564,6 +1564,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("events", _ds(sf, "events", ["event_id"]), "event_id", 0.1),
         ])
 
+    def interleave_sources_mixed(sf):
+        # curriculum interleave: documents 3x the rate of nations in any
+        # prefix of the order; exact order reproducible from the hash
+        from packs_ray.functions.sampling import interleave_sources
+
+        return interleave_sources([
+            ("documents", _ds(sf, "documents", ["doc_id"]), "doc_id", 3),
+            ("nation", _ds(sf, "nation", ["n_nationkey"]),
+             "n_nationkey", 1),
+        ])
+
     def chunk_documents_sliding(sf):
         from packs_ray.functions.textstats import chunk_documents
 
@@ -2116,6 +2127,7 @@ checks for orders:
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
+        "interleave_sources_mixed": interleave_sources_mixed,
         "temperature_sample_documents": temperature_sample_documents,
         "hash_split_orders": hash_split_orders,
         "transcripts_filter_summary": transcripts_filter_summary,
@@ -3377,6 +3389,37 @@ def _mixture_branch_sql(table: str, id_col: str, name: str,
     f2 AS (SELECT id, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr)
     SELECT '{name}' AS source, id FROM f2
     WHERE h % 1000000 < {thr})"""
+
+
+def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
+    """sampling.interleave_sources twin: per source, the exact
+    FNV-1a + salt-premultiply + finalize chain (same cells as
+    ``_mixture_branch_sql``) divided by the integer weight; then one
+    global row_number over (k, source, id)."""
+    from packs_ray.functions.sampling import _salt_constant
+
+    branches = []
+    for name, table, id_col, weight in sources:
+        sc = int(_salt_constant(name))
+        branches.append(f"""
+    SELECT * FROM (
+    WITH v AS (SELECT CAST({id_col} AS VARCHAR) AS id FROM {table}
+               WHERE {id_col} IS NOT NULL),
+    b AS (SELECT id, hex(encode(id)) AS hx,
+                 octet_length(encode(id)) AS nb FROM v),
+    hs AS (SELECT id, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT id, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT id, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM sm),
+    fr AS (SELECT id, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT id, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr)
+    SELECT '{name}' AS source, id, h // {weight}::HUGEINT AS k FROM f2)""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+    SELECT source, id,
+           row_number() OVER (ORDER BY k, source, id)::BIGINT AS order_idx
+    FROM ({union})"""
 
 
 def _hash_split_sql(table: str, id_col: str,
@@ -5560,6 +5603,9 @@ def oracle_sql() -> dict[str, str]:
             _mixture_branch_sql("documents", "doc_id", "documents", 0.4) +
             " UNION ALL " +
             _mixture_branch_sql("events", "event_id", "events", 0.1),
+        "interleave_sources_mixed": _interleave_sql([
+            ("documents", "documents", "doc_id", 3),
+            ("nation", "nation", "n_nationkey", 1)]),
         # chunk_documents: same RE2 ASCII-whitespace tokenizer, same
         # integer chunk-count formula (step = 32 - 8 = 24)
         "chunk_documents_sliding": r"""

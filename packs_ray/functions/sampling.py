@@ -367,3 +367,56 @@ def temperature_sample(ds, group_col: str, id_col: str, *,
              .map_batches(partial, batch_format="pyarrow"))
     out = bucketed_group_reduce(parts, [group_col], local, num_partitions)
     return out.drop_columns(["__hv"])
+
+
+def interleave_sources(sources: list[tuple[str, "object", str, int]], *,
+                       num_buckets: int | None = None):
+    """Deterministic weighted curriculum interleave: union the sources
+    and assign every row a global ``order_idx`` such that reading in
+    ``order_idx`` order yields the sources mixed ~proportionally to
+    their integer weights (a weight-2 source appears twice as often as
+    a weight-1 source in any long prefix).
+
+    Mechanics: each row's position key is ``finalize(fnv1a(id) *
+    salt(source)) // weight`` — dividing a uniform uint64 hash by the
+    weight compresses that source's keys by the weight factor, so its
+    density along the key axis (and hence its rate in any prefix of the
+    global key order) is proportional to the weight.  The mix ratio is
+    statistical (hash-uniform), the ORDER is exact and reproducible on
+    any cluster, any retry — no RNG, no coordination, the same property
+    contract as ``sample_mask``.  ``order_idx`` itself comes from ONE
+    ``global_row_number`` pass over the union (ties broken by
+    (source, id), a unique total order).
+
+    Emits (source, id, order_idx); ids are cast to string so
+    heterogeneous source id types union cleanly.  Null ids are dropped.
+    """
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.windows import global_row_number
+
+    parts = []
+    for name, ds, id_col, weight in sources:
+        if weight < 1:
+            raise ValueError(f"weight must be >= 1, got {weight}")
+
+        def make(name=name, id_col=id_col, weight=weight):
+            def fn(batch: pa.Table) -> pa.Table:
+                batch = batch.filter(pc.is_valid(batch.column(id_col)))
+                col = batch.column(id_col)
+                h, _valid = _fnv1a_str(col)
+                k = _finalize(h * _salt_constant(name)) // np.uint64(weight)
+                return pa.table({
+                    "k": pa.array(k),
+                    "source": pa.array([name] * len(batch),
+                                       type=pa.string()),
+                    "id": pc.cast(col, pa.string())})
+            return fn
+
+        parts.append(ds.select_columns([id_col]).map_batches(
+            make(), batch_format="pyarrow"))
+
+    uni = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    out = global_row_number(uni, "k", ["source", "id"],
+                            num_buckets=num_buckets)
+    return out.select_columns(["source", "id", "order_idx"])

@@ -724,3 +724,87 @@ def global_rank(ds, id_cols: list[str], value_col: str, *,
         add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def global_row_number(ds, key_col: str, tie_cols: list[str], *,
+                      out_col: str = "order_idx",
+                      num_buckets: int | None = None):
+    """SQL ``row_number() OVER (ORDER BY key, ties...)`` for every row —
+    the unique-position sibling of ``global_rank`` (same range-bucket +
+    driver-offset shape; ``(key_col, *tie_cols)`` must be a unique total
+    order or positions among exact duplicates are arbitrary-but-
+    deterministic after the in-bucket stable sort).
+
+    ``key_col`` may be any numeric type (uint64 hash keys included):
+    bucket assignment quantizes through float64 — lossy only for
+    balance, never for correctness, because equal keys quantize equally
+    and the in-bucket sort runs on the EXACT key values.  Null keys are
+    dropped (module convention)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import global_agg, row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    narrow = ds.select_columns([key_col])
+    empty_sch = pa.schema([(key_col, pa.float64())])
+
+    def mm_partial(batch: pa.Table) -> dict:
+        v = batch.column(key_col)
+        mn, mx = pc.min(v), pc.max(v)
+        return {"mn": float(mn.as_py()) if mn.is_valid else None,
+                "mx": float(mx.as_py()) if mx.is_valid else None}
+
+    def mm_combine(df: pd.DataFrame) -> dict:
+        mns, mxs = df["mn"].dropna(), df["mx"].dropna()
+        return {"mn": float(mns.min()) if len(mns) else 0.0,
+                "mx": float(mxs.max()) if len(mxs) else 1.0}
+
+    mm = global_agg(narrow, mm_partial, mm_combine, empty_schema=empty_sch)
+    lo, hi = mm["mn"], mm["mx"]
+    if hi <= lo:
+        hi = lo + 1.0
+    edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def to_f64(v: pa.ChunkedArray) -> np.ndarray:
+        return v.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def hist_partial(batch: pa.Table) -> dict:
+        v = batch.column(key_col)
+        arr = to_f64(v.drop_null())
+        cnt = np.bincount(np.searchsorted(edges, arr, side="right"),
+                          minlength=num_buckets)
+        return {f"c{i}": int(cnt[i]) for i in range(num_buckets)}
+
+    def hist_combine(df: pd.DataFrame) -> dict:
+        return {"counts": [int(df[f"c{i}"].sum())
+                           for i in range(num_buckets)]}
+
+    counts = np.array(global_agg(narrow, hist_partial, hist_combine,
+                                 empty_schema=empty_sch)["counts"],
+                      dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    keep = [key_col, *tie_cols]
+    out_cols = [*keep, out_col]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(key_col)))
+        b = np.searchsorted(edges, to_f64(batch.column(key_col)),
+                            side="right").astype(np.int64)
+        return batch.select(keep).append_column("bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        off = int(offsets[int(g["bucket"].iloc[0])])
+        g = g.sort_values(keep, kind="stable").drop(columns="bucket")
+        out = g.copy()
+        out[out_col] = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        return out[out_cols]
+
+    ds2 = ds.select_columns(keep).map_batches(add_bucket,
+                                              batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -2936,3 +2936,50 @@ def test_encoding_anomalies_counts(ray_session):
     assert out["n_c1"].tolist() == [0, 1, 0]
     assert out["n_mojibake"].tolist() == [0, 0, 2]
     assert out["suspect"].tolist() == [False, True, True]
+
+
+def test_global_row_number_uint64_keys(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import global_row_number
+
+    # huge uint64 keys that collide after float64 quantization: the
+    # in-bucket sort must still order them exactly
+    base = np.uint64(2**63)
+    keys = [base + np.uint64(i) for i in [5, 3, 9, 1, 7, 0, 2]]
+    t = pa.table({"k": pa.array(keys, type=pa.uint64()),
+                  "tag": [str(i) for i in range(7)]})
+    out = (global_row_number(ray.data.from_arrow(t), "k", ["tag"],
+                             num_buckets=3)
+           .to_pandas().sort_values("order_idx"))
+    assert out["order_idx"].tolist() == list(range(1, 8))
+    assert out["k"].tolist() == sorted(int(k) for k in keys)
+
+
+def test_interleave_sources_ratio_and_determinism(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import interleave_sources
+
+    a = pa.table({"id": [f"a{i}" for i in range(900)]})
+    b = pa.table({"id": [f"b{i}" for i in range(900)]})
+    out = interleave_sources([
+        ("heavy", ray.data.from_arrow(a), "id", 3),
+        ("light", ray.data.from_arrow(b), "id", 1),
+    ]).to_pandas().sort_values("order_idx").reset_index(drop=True)
+    assert len(out) == 1800
+    assert out["order_idx"].tolist() == list(range(1, 1801))
+    # 3:1 statistical mix: heavy share of the first quarter ~ 0.75
+    head = out.head(450)
+    share = (head["source"] == "heavy").mean()
+    assert 0.6 < share < 0.9
+    # rerun reproduces the identical order (pure function of the rows)
+    again = interleave_sources([
+        ("heavy", ray.data.from_arrow(a), "id", 3),
+        ("light", ray.data.from_arrow(b), "id", 1),
+    ]).to_pandas().sort_values("order_idx").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
