@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from packs_ray.functions.graph import pagerank_int
 
         def mk(batch):
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.and_(
+                pc.is_valid(batch.column("l_orderkey")),
+                pc.is_valid(batch.column("l_partkey"))))
             ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
             pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
             return pa.table({"src": pa.array(ok % 500, type=pa.int64()),
@@ -528,6 +532,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "lineitem", ["l_orderkey", "l_linenumber",
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
+
+    def edit_join_customer_supplier(sf):
+        # exact Levenshtein<=2 record linkage (PassJoin segment
+        # pigeonhole): synthetic 'id-<key>' strings with planted
+        # deletion/insertion/substitution typos on the supplier side
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.linkage import edit_distance_join
+
+        def mk_left(batch):
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.is_valid(batch.column("c_custkey")))
+            k = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            s = "id-" + k.astype(str).astype(object)
+            return pa.table({"c_custkey": batch.column("c_custkey"),
+                             "lt": pa.array(s, type=pa.string())})
+
+        def mk_right(batch):
+            import pandas as pd
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.is_valid(batch.column("s_suppkey")))
+            k = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+            base = pd.Series("id-" + k.astype(str).astype(object))
+            m = k % 4
+            s = pd.Series(np.select(
+                [m == 1, m == 2, m == 3],
+                [base.str.slice(0, 2) + base.str.slice(3),
+                 base + "x", "x" + base.str.slice(1)],
+                default=base))
+            return pa.table({"s_suppkey": batch.column("s_suppkey"),
+                             "rt": pa.Array.from_pandas(
+                                 s, type=pa.string())})
+
+        left = _ds(sf, "customer", ["c_custkey"]).map_batches(
+            mk_left, batch_format="pyarrow")
+        right = _ds(sf, "supplier", ["s_suppkey"]).map_batches(
+            mk_right, batch_format="pyarrow")
+        # max_bucket raised over the worst-case candidate count: every
+        # fixture string shares the 'id-' prefix, so the hot segment
+        # buckets legitimately hold |left|x|right| pairs and the skew
+        # cap must not fire for the guaranteed-exact oracle compare
+        return edit_distance_join(left, right, left_id="c_custkey",
+                                  left_text="lt", right_id="s_suppkey",
+                                  right_text="rt", max_dist=2,
+                                  max_bucket=1_000_000)
 
     def encoding_anomalies_documents(sf):
         # mojibake detector over planted damage: U+FFFD, C1 controls,
@@ -2030,6 +2080,7 @@ checks for orders:
         "global_rank_lineitem": global_rank_lineitem,
         "try_cast_orders": try_cast_orders,
         "encoding_anomalies_documents": encoding_anomalies_documents,
+        "edit_join_customer_supplier": edit_join_customer_supplier,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
         "vocab_documents": vocab_documents,
@@ -4750,6 +4801,23 @@ def oracle_sql() -> dict[str, str]:
            rank() OVER (ORDER BY l_quantity)::BIGINT AS rnk,
            percent_rank() OVER (ORDER BY l_quantity)::DOUBLE AS pct_rank
     FROM lineitem WHERE l_quantity IS NOT NULL
+    """,
+        # linkage.edit_distance_join: brute-force levenshtein oracle
+        # over the same planted typo fixture (the engine's pigeonhole
+        # candidate set provably covers every dist<=2 pair)
+        "edit_join_customer_supplier": """
+    WITH l AS (SELECT c_custkey,
+                      'id-' || c_custkey::VARCHAR AS lt FROM customer),
+    r0 AS (SELECT s_suppkey,
+                  'id-' || s_suppkey::VARCHAR AS base FROM supplier),
+    r AS (SELECT s_suppkey, CASE s_suppkey % 4
+            WHEN 1 THEN substr(base, 1, 2) || substr(base, 4)
+            WHEN 2 THEN base || 'x'
+            WHEN 3 THEN 'x' || substr(base, 2)
+            ELSE base END AS rt FROM r0)
+    SELECT c_custkey, s_suppkey,
+           levenshtein(lt, rt)::BIGINT AS dist
+    FROM l, r WHERE levenshtein(lt, rt) <= 2
     """,
         # webquality.encoding_anomalies: same planted damage, counts by
         # length-difference arithmetic (RE2 class for the C1 range)

@@ -170,3 +170,183 @@ def fuzzy_join(left_ds, right_ds, *, left_id: str, left_text: str,
 
     return _bucketed_pair_verify(pairs_ds, payloads, pa.list_(pa.uint64()),
                                  as_arr, verify, num_partitions)
+
+
+def _even_segments(length: int, k: int):
+    """Split range(length) into k+1 contiguous spans, first
+    ``length % (k+1)`` spans one char longer.  Returns (starts, lens)."""
+    q, r = divmod(length, k + 1)
+    lens = np.array([q + 1] * r + [q] * (k + 1 - r), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return starts, lens
+
+
+def _lev(a: str, b: str) -> int:
+    """Exact Levenshtein distance (classic DP; linkage keys are short
+    strings, so the O(|a||b|) inner loop is bounded and only runs on
+    pigeonhole-filtered candidates)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def edit_distance_join(left_ds, right_ds, *, left_id: str, left_text: str,
+                       right_id: str, right_text: str, max_dist: int = 2,
+                       num_partitions: int | None = None,
+                       max_bucket: int = 20_000):
+    """EXACT Levenshtein-distance <= ``max_dist`` join (PassJoin-style
+    segment pigeonhole — Li, Deng, Feng 2011): every left string is
+    split into ``k+1`` contiguous segments; if ed(a, b) <= k then at
+    most k segments are touched by edits, so at least one appears in b
+    VERBATIM at a position shifted by at most k.  Candidates therefore
+    come from equality buckets on (|a|, segment_index, segment_text):
+    the left side emits its k+1 segments, the right side emits every
+    substring that could BE such a segment (for each plausible left
+    length in [|b|-k, |b|+k] and shift in [-k, k]) — a provable
+    candidate superset, so no true pair is ever lost.  Strings shorter
+    than k+1 chars can't host a full segment split and route through a
+    dedicated short-string bucket (left |a| <= k joins right
+    |b| <= 2k — the length filter makes anything longer impossible).
+
+    Verification is the exact DP distance per candidate inside the
+    shared pair-verify exchange (pairs never land on the driver);
+    per-bucket candidate counts are capped at ``max_bucket`` and skips
+    surfaced, the same skew guard as ``fuzzy_join``.  Output:
+    (left_id, right_id, dist) with dist <= max_dist.
+    """
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError("max_dist must be >= 1")
+    if num_partitions is None:
+        num_partitions = max(row_shuffle_partitions(left_ds),
+                             row_shuffle_partitions(right_ds))
+
+    def left_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(left_id).to_numpy(zero_copy_only=False)
+        texts = batch.column(left_text).to_numpy(zero_copy_only=False)
+        uids, keys = [], []
+        for rid, s in zip(ids, texts):
+            if s is None:
+                continue
+            uid = int(rid) * 2
+            if len(s) <= k:
+                uids.append(uid)
+                keys.append("S")
+                continue
+            starts, lens = _even_segments(len(s), k)
+            for i in range(k + 1):
+                uids.append(uid)
+                keys.append(f"{len(s)}|{i}|"
+                            f"{s[starts[i]:starts[i] + lens[i]]}")
+        return pa.table({"uid": pa.array(uids, type=pa.int64()),
+                         "key": pa.array(keys, type=pa.string())})
+
+    def right_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(right_id).to_numpy(zero_copy_only=False)
+        texts = batch.column(right_text).to_numpy(zero_copy_only=False)
+        uids, keys = [], []
+        for rid, s in zip(ids, texts):
+            if s is None:
+                continue
+            uid = int(rid) * 2 + 1
+            seen = set()
+            if len(s) <= 2 * k:
+                seen.add("S")
+            for la in range(max(len(s) - k, k + 1), len(s) + k + 1):
+                starts, lens = _even_segments(la, k)
+                for i in range(k + 1):
+                    sl = int(lens[i])
+                    for p in range(max(0, int(starts[i]) - k),
+                                   min(len(s) - sl,
+                                       int(starts[i]) + k) + 1):
+                        seen.add(f"{la}|{i}|{s[p:p + sl]}")
+            uids.extend([uid] * len(seen))
+            keys.extend(seen)
+        return pa.table({"uid": pa.array(uids, type=pa.int64()),
+                         "key": pa.array(keys, type=pa.string())})
+
+    grams = (left_ds.select_columns([left_id, left_text])
+             .map_batches(left_keys, batch_format="pyarrow")
+             .union(right_ds.select_columns([right_id, right_text])
+                    .map_batches(right_keys, batch_format="pyarrow")))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        skipped = 0
+        for _, grp in g.groupby("key", sort=False):
+            uid = grp["uid"].to_numpy()
+            left = np.unique(uid[uid % 2 == 0])
+            right = np.unique(uid[uid % 2 == 1])
+            if not len(left) or not len(right):
+                continue
+            if len(left) * len(right) > max_bucket:
+                skipped += 1
+                continue
+            out_a.append(np.repeat(left, len(right)))
+            out_b.append(np.tile(right, len(left)))
+        if skipped:
+            print(f"edit_distance_join: skipped {skipped} buckets over "
+                  f"max_bucket={max_bucket} candidate pairs")
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b)}).drop_duplicates()
+
+    pairs_ds = bucketed_group_reduce(grams, ["key"], emit_pairs,
+                                     num_partitions)
+
+    def payload(ds, id_col, text_col, side):
+        # strings ride the verify exchange as codepoint arrays so the
+        # shared replicate/lookup machinery (ndarray payloads) applies
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pa.compute.is_valid(batch.column(text_col)))
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            texts = b.column(text_col).to_numpy(zero_copy_only=False)
+            cps = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                   for s in texts]
+            return pa.table({
+                "k": pa.array(ids.astype(np.int64) * 2 + side),
+                "v": pa.array([c.tolist() for c in cps],
+                              type=pa.list_(pa.uint32()))})
+        return ds.select_columns([id_col, text_col]).map_batches(
+            fn, batch_format="pyarrow")
+
+    payloads = (payload(left_ds, left_id, left_text, 0)
+                .union(payload(right_ds, right_id, right_text, 1)))
+
+    def verify(lookup: dict, pr: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for a, b in zip(pr["id_a"], pr["id_b"]):
+            A, B = lookup.get(int(a)), lookup.get(int(b))
+            if A is None or B is None or abs(len(A) - len(B)) > k:
+                continue
+            d = _lev(A, B)
+            if d <= k:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_d.append(d)
+        return pd.DataFrame({
+            left_id: pd.Series(out_a, dtype="int64") // 2,
+            right_id: pd.Series(out_b, dtype="int64") // 2,
+            "dist": pd.Series(out_d, dtype="int64")})
+
+    def as_cp(v) -> np.ndarray:
+        return np.asarray(v, dtype=np.uint32)
+
+    return _bucketed_pair_verify(pairs_ds, payloads,
+                                 pa.list_(pa.uint32()),
+                                 as_cp, verify, num_partitions)

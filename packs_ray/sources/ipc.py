@@ -56,7 +56,7 @@ def read_ipc_sized(path, *, columns=None, batches_per_block: int = 8):
             with pa.memory_map(str(path_)) as source:
                 f = pa.ipc.open_file(source)
                 if f.num_record_batches == 0:
-                    t = pa.table({}, schema=f.schema)
+                    t = f.schema.empty_table()
                     outs.append(t.select(columns) if columns else t)
                     continue
                 for i in range(int(lo), int(hi)):

@@ -2983,3 +2983,33 @@ def test_interleave_sources_ratio_and_determinism(ray_session):
         ("light", ray.data.from_arrow(b), "id", 1),
     ]).to_pandas().sort_values("order_idx").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_edit_distance_join_exact_vs_bruteforce(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.linkage import edit_distance_join
+
+    # adversarial mix: typos at every position, insertions, deletions,
+    # transposed digits, short strings (<= k and <= 2k), exact dupes
+    left = ["alpha", "bravo", "charlie", "delta", "ab", "x", "",
+            "kilo123", "lima456", "golf"]
+    right = ["alpna", "brravo", "charlie", "dela", "ba", "xy", "z",
+             "kilo132", "lima4556", "golfing", "unrelatedstring"]
+    lt = pa.table({"lid": list(range(len(left))), "ltext": left})
+    rt = pa.table({"rid": list(range(len(right))), "rtext": right})
+    got = edit_distance_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        left_id="lid", left_text="ltext", right_id="rid",
+        right_text="rtext", max_dist=2,
+    ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+    exp = duckdb.sql("""
+        SELECT lid, rid, levenshtein(ltext, rtext)::BIGINT AS dist
+        FROM lt, rt WHERE levenshtein(ltext, rtext) <= 2
+        ORDER BY lid, rid
+    """).df().reset_index(drop=True)
+    got = got.astype(exp.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, exp)

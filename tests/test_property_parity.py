@@ -414,3 +414,37 @@ def test_grouped_stats_matches_pandas_replica(ray_session, vals):
                        - round(math.sqrt(max(exp_sd, 0)) / 100, 6)) < 1e-6
         else:
             assert math.isnan(row["std_samp"])
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=st.lists(st.text(alphabet="abcx", min_size=0, max_size=8),
+                     min_size=1, max_size=12),
+       right=st.lists(st.text(alphabet="abcx", min_size=0, max_size=8),
+                      min_size=1, max_size=12))
+def test_edit_distance_join_property_vs_bruteforce(ray_session, left,
+                                                   right):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.linkage import edit_distance_join
+
+    lt = pa.table({"lid": list(range(len(left))), "lt": left})
+    rt = pa.table({"rid": list(range(len(right))), "rt": right})
+    got = edit_distance_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        left_id="lid", left_text="lt", right_id="rid", right_text="rt",
+        max_dist=2, num_partitions=2,
+    ).to_pandas()
+    exp = duckdb.sql("""
+        SELECT lid, rid, levenshtein(lt, rt)::BIGINT AS dist
+        FROM lt, rt WHERE levenshtein(lt, rt) <= 2 ORDER BY lid, rid
+    """).df().reset_index(drop=True)
+    if len(got) == 0:
+        assert len(exp) == 0
+        return
+    got = (got.sort_values(["lid", "rid"]).reset_index(drop=True)
+           .astype(exp.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(got, exp)
