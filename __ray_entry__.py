@@ -533,6 +533,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
 
+    def nfc_normalize_documents(sf):
+        # canonical composition over planted decomposed sequences
+        # (combining acute/ring/diaeresis + already-composed controls)
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.textstats import nfc_normalize
+
+        tails = {1: "éclair", 2: "Århus",
+                 3: "öl", 4: "éclair"}
+
+        def plant(batch):
+            m = batch.column("doc_id").to_numpy(zero_copy_only=False) % 5
+            tail = np.select([m == r for r in tails],
+                             list(tails.values()), default="")
+            out = batch.column("text").to_pandas() + tail
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text": pa.Array.from_pandas(
+                                 out, type=pa.string())})
+
+        fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            plant, batch_format="pyarrow")
+        return nfc_normalize(fixture, "doc_id", "text")
+
+    def compression_ratio_documents(sf):
+        # zlib-ratio spam/repetition proxy (no SQL twin: zlib is not
+        # expressible in DuckDB; gated by pytest + rows-only check)
+        from packs_ray.functions.textstats import compression_ratio
+
+        return compression_ratio(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text")
+
     def edit_join_customer_supplier(sf):
         # exact Levenshtein<=2 record linkage (PassJoin segment
         # pigeonhole): synthetic 'id-<key>' strings with planted
@@ -2081,6 +2113,8 @@ checks for orders:
         "try_cast_orders": try_cast_orders,
         "encoding_anomalies_documents": encoding_anomalies_documents,
         "edit_join_customer_supplier": edit_join_customer_supplier,
+        "nfc_normalize_documents": nfc_normalize_documents,
+        "compression_ratio_documents": compression_ratio_documents,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
         "vocab_documents": vocab_documents,
@@ -4801,6 +4835,20 @@ def oracle_sql() -> dict[str, str]:
            rank() OVER (ORDER BY l_quantity)::BIGINT AS rnk,
            percent_rank() OVER (ORDER BY l_quantity)::DOUBLE AS pct_rank
     FROM lineitem WHERE l_quantity IS NOT NULL
+    """,
+        # textstats.nfc_normalize: DuckDB nfc_normalize implements the
+        # same Unicode canonical composition as Arrow utf8_normalize
+        "nfc_normalize_documents": """
+    WITH src AS (SELECT doc_id, text || CASE doc_id % 5
+            WHEN 1 THEN 'e' || chr(769) || 'clair'
+            WHEN 2 THEN 'A' || chr(778) || 'rhus'
+            WHEN 3 THEN 'o' || chr(776) || 'l'
+            WHEN 4 THEN chr(233) || 'clair'
+            ELSE '' END AS text
+        FROM documents)
+    SELECT doc_id, nfc_normalize(text) AS text_nfc,
+           nfc_normalize(text) != text AS changed
+    FROM src
     """,
         # linkage.edit_distance_join: brute-force levenshtein oracle
         # over the same planted typo fixture (the engine's pigeonhole

@@ -522,3 +522,61 @@ def split_text(ds, id_col: str, text_col: str, pattern: str, *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def nfc_normalize(ds, id_col: str, column: str, *,
+                  out_col: str = "text_nfc"):
+    """Unicode NFC normalization (canonical composition): combining
+    sequences ('e' + U+0301) fold to their precomposed forms, so
+    visually identical strings hash/dedup/join identically -- the
+    canonicalization step before any exact dedup or join over
+    multilingual web text.  CPython's ``unicodedata.normalize`` and
+    DuckDB's ``nfc_normalize`` implement the same Unicode canonical
+    composition, so the SQL twin is hash-exact.  (This container's
+    pyarrow ``utf8_normalize`` ignores its ``form`` option and always
+    decomposes — verified empirically — so the kernel is the stdlib
+    C routine per value; same per-value-C-call shape as
+    ``json_extract``.)  Stateless map, no shuffle."""
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        vals = text.to_numpy(zero_copy_only=False)
+        norm = pa.array([None if s is None
+                         else unicodedata.normalize("NFC", s)
+                         for s in vals], type=pa.string())
+        return pa.table({id_col: batch.column(id_col),
+                         out_col: norm,
+                         "changed": pc.not_equal(norm, text)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compression_ratio(ds, id_col: str, column: str, *, level: int = 6):
+    """zlib compression ratio per document -- the cheap spam /
+    repetition / low-entropy proxy (highly repetitive or templated
+    text compresses far below natural prose; cf. the compression
+    filters in large web-corpus curation pipelines).  Emits
+    (id, n_bytes, n_compressed, ratio = compressed/raw as the pinned
+    one-division double).  Deterministic for a fixed zlib version and
+    level (both sides of any replica run this container's zlib), but
+    not SQL-expressible -- correctness is gated by pytest properties
+    and the driver's rows-only check.  Per-row C-speed zlib calls
+    inside one stateless map_batches pass (same per-value-C-call shape
+    as the JSON parse in ``json_extract``)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(column)))
+        texts = batch.column(column).to_numpy(zero_copy_only=False)
+        raw = [t.encode("utf-8") for t in texts]
+        n_b = np.array([len(b) for b in raw], dtype=np.int64)
+        n_c = np.array([len(zlib.compress(b, level)) for b in raw],
+                       dtype=np.int64)
+        ratio = np.where(n_b > 0, n_c / np.maximum(n_b, 1), 1.0)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_bytes": pa.array(n_b),
+                         "n_compressed": pa.array(n_c),
+                         "ratio": pa.array(ratio.astype(np.float64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -3013,3 +3013,42 @@ def test_edit_distance_join_exact_vs_bruteforce(ray_session):
     """).df().reset_index(drop=True)
     got = got.astype(exp.dtypes.to_dict())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nfc_normalize_composition(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import nfc_normalize
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["éclair",      # decomposed -> composed
+                           "éclair",        # already composed
+                           None]})
+    out = (nfc_normalize(ray.data.from_arrow(t), "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text_nfc"][0] == "éclair"
+    assert bool(out["changed"][0]) is True
+    assert out["text_nfc"][1] == "éclair"
+    assert bool(out["changed"][1]) is False
+    assert out["text_nfc"][2] is None or out["text_nfc"].isna()[2]
+
+
+def test_compression_ratio_repetition_signal(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import compression_ratio
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["spam " * 200,
+                           "The quick brown fox jumps over the lazy dog. "
+                           "Pack my box with five dozen liquor jugs. "
+                           "Sphinx of black quartz, judge my vow.",
+                           None]})
+    out = (compression_ratio(ray.data.from_arrow(t), "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]          # null text dropped
+    # repetitive text compresses far below natural prose
+    assert out["ratio"][0] < 0.1 < out["ratio"][1]
+    assert (out["n_compressed"] <= out["n_bytes"] + 16).all()
