@@ -533,6 +533,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
 
+    def encode_tokens_documents(sf):
+        # text -> token-id sequences under the corpus's own vocabulary
+        # (min_count=3, k=200 — same artifact as vocab_documents); OOV
+        # tokens map to -1, ids ride as a comma-joined string
+        from packs_ray.functions.textstats import build_vocab, encode_tokens
+
+        vocab = build_vocab(_ds(sf, "documents", ["text"]), "text",
+                            min_count=3, k=200)
+        return encode_tokens(_ds(sf, "documents", ["doc_id", "text"]),
+                             "doc_id", "text", vocab)
+
     def nfc_normalize_documents(sf):
         # canonical composition over planted decomposed sequences
         # (combining acute/ring/diaeresis + already-composed controls)
@@ -2114,6 +2125,7 @@ checks for orders:
         "encoding_anomalies_documents": encoding_anomalies_documents,
         "edit_join_customer_supplier": edit_join_customer_supplier,
         "nfc_normalize_documents": nfc_normalize_documents,
+        "encode_tokens_documents": encode_tokens_documents,
         "compression_ratio_documents": compression_ratio_documents,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
@@ -5513,6 +5525,33 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS token_id, token, cnt
     FROM t WHERE cnt >= 3
     QUALIFY token_id <= 200
+    """,
+        # textstats.encode_tokens: rebuild the vocab CTE (identical to
+        # vocab_documents), tokenize with ordinality, OOV -> -1
+        "encode_tokens_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token,
+                   generate_subscripts(toks, 1) AS pos FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    t AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC,
+                  token ASC) AS BIGINT) AS token_id, token
+              FROM t WHERE cnt >= 3
+              QUALIFY token_id <= 200),
+    enc AS (SELECT tok.doc_id,
+                string_agg(coalesce(v.token_id, -1)::VARCHAR, ','
+                           ORDER BY tok.pos) AS ids_csv,
+                count(*)::BIGINT AS n_tokens,
+                count(*) FILTER (v.token_id IS NULL)::BIGINT AS n_oov
+            FROM tok LEFT JOIN vocab v USING (token)
+            GROUP BY tok.doc_id)
+    SELECT doc.doc_id, coalesce(e.ids_csv, '') AS ids_csv,
+           coalesce(e.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(e.n_oov, 0)::BIGINT AS n_oov
+    FROM documents doc LEFT JOIN enc e USING (doc_id)
     """,
         "ntile_events": """
     WITH c AS (SELECT user_id, ts, event_id FROM events

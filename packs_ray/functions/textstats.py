@@ -580,3 +580,52 @@ def compression_ratio(ds, id_col: str, column: str, *, level: int = 6):
                          "ratio": pa.array(ratio.astype(np.float64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def encode_tokens(ds, id_col: str, column: str, vocab: pd.DataFrame, *,
+                  unk_id: int = -1):
+    """Apply a ``build_vocab`` vocabulary: whitespace-tokenize each doc
+    (same trim/split contract as ``build_vocab``/``top_terms``) and map
+    every token to its vocabulary id (``unk_id`` for OOV) — the
+    text -> token-ids step that turns a curated corpus into trainer
+    input.  Emits (id, ids_csv, n_tokens, n_oov); ids ride as a
+    comma-joined string so the artifact round-trips any columnar sink
+    and hash-compares exactly.
+
+    The vocabulary is a bounded driver artifact (<= k rows); it rides
+    into tasks as a plain dict in the function closure — serialized
+    once per task by Ray (``ray.put`` explicitly if you pass a vocab
+    far above the usual tens of MB).  One stateless vectorized pass:
+    flat token array -> one pandas map -> per-doc joins via a grouped
+    aggregate over the repeat-index, no shuffle."""
+    lut = dict(zip(vocab["token"], vocab["token_id"].astype(int)))
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(off - off[0])
+        flat = lists.flatten().to_pandas().to_numpy()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False   # drop the [""] token
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        ids = (pd.Series(flat).map(lut).fillna(unk_id)
+               .astype("int64").to_numpy())
+        n_tokens = np.bincount(doc_idx, minlength=len(batch))
+        n_oov = np.bincount(doc_idx[ids == unk_id], minlength=len(batch))
+        joined = (pd.Series(ids.astype(str))
+                  .groupby(doc_idx).agg(",".join)
+                  .reindex(range(len(batch)), fill_value=""))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "ids_csv": pa.array(joined.to_numpy(), type=pa.string()),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "n_oov": pa.array(n_oov.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -3052,3 +3052,21 @@ def test_compression_ratio_repetition_signal(ray_session):
     # repetitive text compresses far below natural prose
     assert out["ratio"][0] < 0.1 < out["ratio"][1]
     assert (out["n_compressed"] <= out["n_bytes"] + 16).all()
+
+
+def test_encode_tokens_oov_and_empty(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import encode_tokens
+
+    vocab = pd.DataFrame({"token_id": [1, 2, 3],
+                          "token": ["the", "cat", "sat"]})
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["the cat sat", "the dog sat  ", "", None]})
+    out = (encode_tokens(ray.data.from_arrow(t), "doc_id", "text", vocab)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["ids_csv"].tolist() == ["1,2,3", "1,-1,3", "", ""]
+    assert out["n_tokens"].tolist() == [3, 3, 0, 0]
+    assert out["n_oov"].tolist() == [0, 1, 0, 0]
