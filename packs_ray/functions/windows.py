@@ -618,6 +618,41 @@ def transition_counts(ds, key_col: str, type_col: str,
                                  sum_fn, 4)
 
 
+def _range_bucket_counts(narrow, value_col: str, edges, num_buckets: int,
+                         to_f64) -> "np.ndarray":
+    """Exact per-range-bucket row counts as a DISTRIBUTED reduce:
+    per-batch (bucket, cnt) partial rows -> one bucketed sum -> a
+    ``num_buckets``-row driver landing.  (A global_agg emitting one
+    count column per bucket would ship num_buckets scalars per BATCH
+    to the driver — num_buckets scales with input bytes, so that shape
+    breaks at 100 TB; this one lands num_buckets rows total.)"""
+    import numpy as np
+
+    from packs_ray.functions.agg import bucketed_group_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).drop_null()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        arr = to_f64(v)
+        b = np.searchsorted(edges, arr, side="right")
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(uniq.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def sum_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("b", sort=False)["cnt"].sum().reset_index()
+
+    parts = narrow.map_batches(partial, batch_format="pyarrow")
+    agg = bucketed_group_reduce(parts, ["b"], sum_fn,
+                                min(num_buckets, 64)).to_pandas()
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    if len(agg):
+        counts[agg["b"].to_numpy(dtype=np.int64)] = \
+            agg["cnt"].to_numpy(dtype=np.int64)
+    return counts
+
+
 def global_rank(ds, id_cols: list[str], value_col: str, *,
                 num_buckets: int | None = None):
     """SQL ``rank()`` / ``percent_rank() OVER (ORDER BY value)`` for
@@ -672,21 +707,9 @@ def global_rank(ds, id_cols: list[str], value_col: str, *,
         hi = lo + 1.0  # constant column: everything in bucket 0
     edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
 
-    def hist_partial(batch: pa.Table) -> dict:
-        v = batch.column(value_col)
-        arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
-        arr = arr[~np.isnan(arr)]
-        b = np.searchsorted(edges, arr, side="right")
-        cnt = np.bincount(b, minlength=num_buckets)
-        return {f"c{i}": int(cnt[i]) for i in range(num_buckets)}
-
-    def hist_combine(df: pd.DataFrame) -> dict:
-        return {"counts": [int(df[f"c{i}"].sum())
-                           for i in range(num_buckets)]}
-
-    counts = np.array(global_agg(narrow, hist_partial, hist_combine,
-                                 empty_schema=empty_sch)["counts"],
-                      dtype=np.int64)
+    counts = _range_bucket_counts(
+        narrow, value_col, edges, num_buckets,
+        lambda v: v.to_numpy(zero_copy_only=False).astype(np.float64))
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
     out_cols = [*id_cols, value_col, "rnk", "pct_rank"]
@@ -770,20 +793,8 @@ def global_row_number(ds, key_col: str, tie_cols: list[str], *,
     def to_f64(v: pa.ChunkedArray) -> np.ndarray:
         return v.to_numpy(zero_copy_only=False).astype(np.float64)
 
-    def hist_partial(batch: pa.Table) -> dict:
-        v = batch.column(key_col)
-        arr = to_f64(v.drop_null())
-        cnt = np.bincount(np.searchsorted(edges, arr, side="right"),
-                          minlength=num_buckets)
-        return {f"c{i}": int(cnt[i]) for i in range(num_buckets)}
-
-    def hist_combine(df: pd.DataFrame) -> dict:
-        return {"counts": [int(df[f"c{i}"].sum())
-                           for i in range(num_buckets)]}
-
-    counts = np.array(global_agg(narrow, hist_partial, hist_combine,
-                                 empty_schema=empty_sch)["counts"],
-                      dtype=np.int64)
+    counts = _range_bucket_counts(narrow, key_col, edges, num_buckets,
+                                  to_f64)
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
     keep = [key_col, *tie_cols]
