@@ -533,6 +533,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
 
+    def resample_ffill_events(sf):
+        # per-user daily grid with forward fill (epoch-aligned grids,
+        # same-timestamp events dedupe to the max value)
+        return windows.resample_ffill(
+            _ds(sf, "events", ["user_id", "ts", "value"]),
+            "user_id", "ts", "value", every_seconds=86_400)
+
     def encode_tokens_documents(sf):
         # text -> token-id sequences under the corpus's own vocabulary
         # (min_count=3, k=200 — same artifact as vocab_documents); OOV
@@ -2126,6 +2133,7 @@ checks for orders:
         "edit_join_customer_supplier": edit_join_customer_supplier,
         "nfc_normalize_documents": nfc_normalize_documents,
         "encode_tokens_documents": encode_tokens_documents,
+        "resample_ffill_events": resample_ffill_events,
         "compression_ratio_documents": compression_ratio_documents,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
@@ -5525,6 +5533,29 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS token_id, token, cnt
     FROM t WHERE cnt >= 3
     QUALIFY token_id <= 200
+    """,
+        # windows.resample_ffill: ASOF LEFT JOIN against the deduped
+        # event stream reproduces searchsorted forward fill exactly
+        "resample_ffill_events": """
+    WITH e0 AS (SELECT user_id, ts, value FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL),
+    e AS (SELECT user_id, ts, max(value) AS value
+          FROM e0 GROUP BY user_id, ts),
+    b AS (SELECT user_id,
+                 to_timestamp(floor(epoch(min(ts)) / 86400) *
+                              86400)::TIMESTAMP AS t0,
+                 max(ts) AS t1 FROM e GROUP BY user_id),
+    g AS (SELECT user_id,
+                 unnest(generate_series(t0, t1, INTERVAL 1 DAY))
+                     AS grid_ts FROM b),
+    j AS (SELECT g.user_id, g.grid_ts, e.value, e.ts
+          FROM g ASOF LEFT JOIN e
+          ON g.user_id = e.user_id AND e.ts <= g.grid_ts)
+    SELECT user_id, grid_ts, value,
+           CASE WHEN value IS NULL THEN FALSE
+                ELSE ts != grid_ts END AS filled
+    FROM j
     """,
         # textstats.encode_tokens: rebuild the vocab CTE (identical to
         # vocab_documents), tokenize with ordinality, OOV -> -1

@@ -819,3 +819,79 @@ def global_row_number(ds, key_col: str, tie_cols: list[str], *,
                                               batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def resample_ffill(ds, key_col: str, ts_col: str, value_col: str, *,
+                   every_seconds: int = 86_400,
+                   num_buckets: int | None = None):
+    """Per-key time-series resampling to a regular grid with forward
+    fill — the gap-fill step before any per-entity trend feature or
+    monitoring rollup (Ray Data has no resample primitive).
+
+    For each key, grid points run from ``floor(min_ts / every) * every``
+    to ``max_ts`` in ``every_seconds`` steps (epoch-aligned, so grids of
+    different keys line up); the value at a grid point is the value of
+    the LAST event at-or-before it (events at the same timestamp dedupe
+    to the largest ``value`` — a deterministic tie rule both engines
+    express).  Grid points before the key's first event emit null.
+    ``filled`` marks carried-forward (gap) points.
+
+    Same ONE keyed bucket shuffle as the sibling window ops; per key
+    everything is numpy searchsorted.  Output size is bounded by
+    (span / every) per key — choose ``every_seconds`` for the rollup
+    you need, not the raw event rate.  Rows with null key/ts/value are
+    dropped (module convention)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    out_cols = [key_col, "grid_ts", value_col, "filled"]
+    ev = np.int64(every_seconds) * 1_000_000   # grid step in us
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.and_(pc.is_valid(batch.column(key_col)),
+                                pc.is_valid(batch.column(ts_col))),
+                        pc.is_valid(batch.column(value_col)))
+        batch = batch.filter(valid)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        t = batch.select([key_col, ts_col, value_col])
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        g = g.drop(columns="bucket")
+        outs = []
+        for key, grp in g.groupby(key_col, sort=False):
+            ts = grp[ts_col].to_numpy().astype("datetime64[us]")
+            v = grp[value_col].to_numpy()
+            order = np.lexsort((v, ts.view(np.int64)))
+            ts_i, v = ts.view(np.int64)[order], v[order]
+            # dedupe same-timestamp events: keep the largest value
+            last = np.r_[ts_i[1:] != ts_i[:-1], True]
+            ts_i, v = ts_i[last], v[last]
+            g0 = (ts_i[0] // ev) * ev
+            grid = np.arange(g0, ts_i[-1] + 1, ev, dtype=np.int64)
+            idx = np.searchsorted(ts_i, grid, side="right") - 1
+            vals = np.where(idx >= 0, v[np.maximum(idx, 0)], np.nan)
+            exact = np.zeros(len(grid), dtype=bool)
+            pos = np.searchsorted(ts_i, grid, side="left")
+            hit = (pos < len(ts_i))
+            exact[hit] = ts_i[pos[hit]] == grid[hit]
+            outs.append(pd.DataFrame({
+                key_col: key,
+                "grid_ts": grid.view("datetime64[us]"),
+                value_col: vals,
+                "filled": np.where(idx >= 0, ~exact, False)}))
+        out = pd.concat(outs, ignore_index=True)
+        out["filled"] = out["filled"].astype(bool)
+        return out[out_cols]
+
+    ds2 = ds.select_columns([key_col, ts_col, value_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -3070,3 +3070,36 @@ def test_encode_tokens_oov_and_empty(ray_session):
     assert out["ids_csv"].tolist() == ["1,2,3", "1,-1,3", "", ""]
     assert out["n_tokens"].tolist() == [3, 3, 0, 0]
     assert out["n_oov"].tolist() == [0, 1, 0, 0]
+
+
+def test_resample_ffill_gaps_and_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import resample_ffill
+
+    ts = pd.to_datetime(["2024-01-01 06:00", "2024-01-01 06:00",
+                         "2024-01-03 12:00", "2024-01-06 00:00",
+                         "2024-01-02 00:00"])
+    t = pa.table({"k": ["a", "a", "a", "a", "b"],
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "v": [1.0, 5.0, 2.0, 3.0, 9.0]})
+    out = (resample_ffill(ray.data.from_arrow(t), "k", "ts", "v",
+                          every_seconds=86_400)
+           .to_pandas().sort_values(["k", "grid_ts"])
+           .reset_index(drop=True))
+    a = out[out["k"] == "a"]
+    # grid from the day floor of the first event through the last event
+    assert len(a) == 6                       # Jan 1 .. Jan 6
+    # first grid point precedes the first event -> null, not filled
+    assert np.isnan(a["v"].iloc[0]) and not a["filled"].iloc[0]
+    # tie at 06:00 resolves to the max value, carried through Jan 2-3
+    assert a["v"].iloc[1] == 5.0 and a["filled"].iloc[1]
+    assert a["v"].iloc[3] == 2.0             # Jan 4: last event Jan 3
+    # exact-on-grid event is not marked filled
+    assert a["v"].iloc[5] == 3.0 and not bool(a["filled"].iloc[5])
+    b = out[out["k"] == "b"]
+    assert len(b) == 1 and b["v"].iloc[0] == 9.0
+    assert not bool(b["filled"].iloc[0])
