@@ -533,6 +533,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
 
+    def equi_depth_lineitem(sf):
+        # equal-frequency 16-tile histogram over l_extendedprice with
+        # a unique tie-break order (SQL ntile is tie-nondeterministic)
+        from packs_ray.functions.profiling import equi_depth_histogram
+
+        return equi_depth_histogram(
+            _ds(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_extendedprice"]),
+            "l_extendedprice", ["l_orderkey", "l_linenumber"], 16)
+
+    def pivot_sum_orders(sf):
+        # conditional-sum crosstab: total price per priority x status
+        # over the explicit status domain, exact int64-cents partials
+        from packs_ray.functions.agg import pivot_sum
+
+        return pivot_sum(
+            _ds(sf, "orders", ["o_orderpriority", "o_orderstatus",
+                               "o_totalprice"]),
+            "o_orderpriority", "o_orderstatus", "o_totalprice",
+            ["F", "O", "P"])
+
     def resample_ffill_events(sf):
         # per-user daily grid with forward fill (epoch-aligned grids,
         # same-timestamp events dedupe to the max value)
@@ -2134,6 +2155,8 @@ checks for orders:
         "nfc_normalize_documents": nfc_normalize_documents,
         "encode_tokens_documents": encode_tokens_documents,
         "resample_ffill_events": resample_ffill_events,
+        "equi_depth_lineitem": equi_depth_lineitem,
+        "pivot_sum_orders": pivot_sum_orders,
         "compression_ratio_documents": compression_ratio_documents,
         "impute_events_value": impute_events_value,
         "ntile_events": ntile_events,
@@ -5533,6 +5556,33 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS token_id, token, cnt
     FROM t WHERE cnt >= 3
     QUALIFY token_id <= 200
+    """,
+        # profiling.equi_depth_histogram: ntile with the same explicit
+        # tie-break, rolled up per tile
+        "equi_depth_lineitem": """
+    WITH c AS (SELECT l_extendedprice AS v, l_orderkey, l_linenumber
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    t AS (SELECT v, ntile(16) OVER (ORDER BY v, l_orderkey,
+                                    l_linenumber)::BIGINT AS tile
+          FROM c)
+    SELECT tile, count(*)::BIGINT AS n, min(v) AS lo, max(v) AS hi
+    FROM t GROUP BY tile
+    """,
+        # agg.pivot_sum: conditional cents sums, one final division
+        "pivot_sum_orders": """
+    SELECT o_orderpriority,
+        coalesce(sum(round(o_totalprice * 100, 0)::BIGINT)
+                 FILTER (o_orderstatus = 'F'), 0)::DOUBLE / 100
+            AS sum_F,
+        coalesce(sum(round(o_totalprice * 100, 0)::BIGINT)
+                 FILTER (o_orderstatus = 'O'), 0)::DOUBLE / 100
+            AS sum_O,
+        coalesce(sum(round(o_totalprice * 100, 0)::BIGINT)
+                 FILTER (o_orderstatus = 'P'), 0)::DOUBLE / 100
+            AS sum_P
+    FROM orders WHERE o_orderpriority IS NOT NULL
+                  AND o_totalprice IS NOT NULL
+    GROUP BY o_orderpriority
     """,
         # windows.resample_ffill: ASOF LEFT JOIN against the deduped
         # event stream reproduces searchsorted forward fill exactly

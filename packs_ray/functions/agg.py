@@ -13,6 +13,7 @@ from typing import Any, Callable
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _est_bytes_and_cpus(input_ds) -> tuple[int, int]:
@@ -690,3 +691,51 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str, *,
 
     return bucketed_group_reduce(per_key_bucket, ["item_a", "item_b"],
                                  sum_fn, max(num_partitions // 4, 1))
+
+
+def pivot_sum(ds, key_col: str, pivot_col: str, value_col: str,
+              values: list[str], *, prefix: str = "sum_",
+              num_partitions: int | None = None):
+    """Pivoted conditional SUM: one row per ``key_col``, one
+    ``{prefix}{v}`` column per explicit pivot value — the value-sum
+    sibling of ``pivot_counts`` (same explicit-domain contract: output
+    schema never depends on the data).  Sums ride as exact int64 cents
+    and become doubles with ONE division at the end, so the result is
+    order-independent and bit-equal to the SQL twin's
+    ``sum(round(v*100)::BIGINT)::DOUBLE / 100``.
+
+    Scale shape identical to ``pivot_counts``: per-batch pivot combiner,
+    then one bucketed vectorized sum over at most |keys| rows."""
+    import numpy as np
+
+    cols = [f"{prefix}{v}" for v in values]
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, pivot_col, value_col])
+        batch = batch.filter(pc.and_(
+            batch.column(key_col).is_valid(),
+            batch.column(value_col).is_valid()))
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column(value_col), 100.0), 0), "int64")
+        df = pa.table({key_col: batch.column(key_col),
+                       pivot_col: batch.column(pivot_col),
+                       "cents": cents}).to_pandas()
+        pt = df.pivot_table(index=key_col, columns=pivot_col,
+                            values="cents", aggfunc="sum", fill_value=0)
+        pt = pt.reindex(columns=values, fill_value=0)
+        pt.columns = cols
+        pt = pt.reset_index().astype({c: "int64" for c in cols})
+        return pa.Table.from_pandas(pt, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, sort=False)[cols].sum().reset_index()
+        for c in cols:
+            out[c] = out[c].to_numpy(dtype=np.int64) / 100.0
+        return out
+
+    return bucketed_group_reduce(parts, [key_col], reduce_fn,
+                                 num_partitions)

@@ -906,3 +906,57 @@ def type_inference(ds, columns: list[str]):
     for name, _ in _TYPE_RES:
         out[f"frac_{name}"] = out[f"frac_{name}"].astype(np.float64)
     return out
+
+
+def equi_depth_histogram(ds, value_col: str, tie_cols: list[str],
+                         n_tiles: int = 16, *,
+                         num_buckets: int | None = None):
+    """Equal-FREQUENCY histogram (the quantile sibling of the
+    equal-width ``histogram``): SQL ``ntile(n) OVER (ORDER BY value,
+    ties...)`` rolled up per tile to (tile, n, lo, hi).  Tile
+    boundaries ARE the empirical quantiles, so this is the profile a
+    quality gate reads when the distribution is skewed and fixed-width
+    bins collapse into one bar.
+
+    ``(value_col, *tie_cols)`` must be a unique total order (the SQL
+    ntile over a tied order is nondeterministic; the explicit
+    tie-break makes both engines deterministic).  Shape: ONE
+    ``global_row_number`` pass (range-bucket shuffle + driver offsets),
+    a stateless tile map using the exact SQL tile-size rule (first
+    ``N % n`` tiles get one extra row), then an ``n_tiles``-row
+    reduce.  Null values are dropped (module convention)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import bucketed_group_reduce, global_agg
+    from packs_ray.functions.windows import global_row_number
+
+    def n_partial(batch: pa.Table) -> dict:
+        v = batch.column(value_col)
+        return {"n": len(v) - v.null_count}
+
+    n_total = global_agg(
+        ds.select_columns([value_col]), n_partial,
+        lambda df: {"n": int(df["n"].sum())},
+        empty_schema=pa.schema([(value_col, pa.float64())]))["n"]
+
+    ranked = global_row_number(ds, value_col, tie_cols,
+                               num_buckets=num_buckets)
+    q, r = divmod(n_total, n_tiles) if n_total else (0, 0)
+    thr = r * (q + 1)
+
+    def add_tile(batch: pa.Table) -> pa.Table:
+        idx = batch.column("order_idx").to_numpy(
+            zero_copy_only=False) - 1
+        tile = np.where(idx < thr, idx // max(q + 1, 1),
+                        r + (idx - thr) // max(q, 1)) + 1
+        return pa.table({"tile": pa.array(tile.astype(np.int64)),
+                         value_col: batch.column(value_col)})
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("tile", sort=False)[value_col]
+               .agg(n="size", lo="min", hi="max").reset_index())
+        return out.astype({"n": "int64"})
+
+    parts = ranked.map_batches(add_tile, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["tile"], reduce_fn,
+                                 min(n_tiles, 16))

@@ -3103,3 +3103,35 @@ def test_resample_ffill_gaps_and_ties(ray_session):
     b = out[out["k"] == "b"]
     assert len(b) == 1 and b["v"].iloc[0] == 9.0
     assert not bool(b["filled"].iloc[0])
+
+
+def test_equi_depth_histogram_tile_sizes(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import equi_depth_histogram
+
+    # 10 rows into 4 tiles: sizes 3,3,2,2 (first N%n tiles get +1)
+    t = pa.table({"i": list(range(10)),
+                  "v": [5.0, 1.0, 9.0, 2.0, 7.0, 3.0, 8.0, 4.0, 6.0, 0.0]})
+    out = (equi_depth_histogram(ray.data.from_arrow(t), "v", ["i"], 4)
+           .to_pandas().sort_values("tile").reset_index(drop=True))
+    assert out["n"].tolist() == [3, 3, 2, 2]
+    assert out["lo"].tolist() == [0.0, 3.0, 6.0, 8.0]
+    assert out["hi"].tolist() == [2.0, 5.0, 7.0, 9.0]
+
+
+def test_pivot_sum_explicit_domain(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import pivot_sum
+
+    t = pa.table({"k": ["a", "a", "b", "b", None],
+                  "p": ["x", "y", "x", "z", "x"],
+                  "v": [1.25, 2.0, 3.0, 9.0, 100.0]})
+    out = (pivot_sum(ray.data.from_arrow(t), "k", "p", "v", ["x", "y"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # 'z' outside the domain and the null key are dropped
+    assert out["sum_x"].tolist() == [1.25, 3.0]
+    assert out["sum_y"].tolist() == [2.0, 0.0]
