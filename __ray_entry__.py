@@ -533,6 +533,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
 
+    def pii_spans_documents(sf):
+        # PII span offsets over planted emails/IPs (rows-only check:
+        # offsets aren't SQL-expressible; exactness gated by pytest)
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.pii import pii_spans
+
+        def plant(batch):
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = ids % 4
+            tail = np.select(
+                [m == 1, m == 2],
+                [" contact user" + ids.astype(str).astype(object)
+                 + "@example.com", " server 10.0.0.7"], default="")
+            out = batch.column("text").to_pandas() + tail
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text": pa.Array.from_pandas(
+                                 out, type=pa.string())})
+
+        fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+            plant, batch_format="pyarrow")
+        return pii_spans(fixture, "doc_id", "text", concurrency=(1, 2))
+
     def equi_depth_lineitem(sf):
         # equal-frequency 16-tile histogram over l_extendedprice with
         # a unique tie-break order (SQL ntile is tie-nondeterministic)
@@ -2155,6 +2179,7 @@ checks for orders:
         "nfc_normalize_documents": nfc_normalize_documents,
         "encode_tokens_documents": encode_tokens_documents,
         "resample_ffill_events": resample_ffill_events,
+        "pii_spans_documents": pii_spans_documents,
         "equi_depth_lineitem": equi_depth_lineitem,
         "pivot_sum_orders": pivot_sum_orders,
         "compression_ratio_documents": compression_ratio_documents,

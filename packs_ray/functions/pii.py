@@ -209,3 +209,68 @@ def iban_scan(ds, id_col: str, text_col: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class PiiSpanStage:
+    """Actor-pool stage emitting PII match SPANS — (id, kind, start,
+    end) codepoint offsets per match — the audit/NER-training view the
+    scan (counts) and scrub (replace) surfaces don't give.  A reviewer
+    needs offsets to render highlights; a span-corruption training task
+    needs them as labels.
+
+    Stateful map_batches callable: the pattern bank compiles ONCE per
+    actor in ``__init__`` (reference compiles per call,
+    pii_scanner_pack/main.py:29-40); ``__call__`` prefilters rows with
+    the shared RE2 candidate-chars kernel and runs ``finditer`` only on
+    candidate rows (per-match Python is inherent to offset extraction —
+    Arrow has no match-position kernel; the C regex engine does the
+    scanning).  Use as
+    ``ds.map_batches(PiiSpanStage, fn_constructor_kwargs=...,
+    concurrency=N)``."""
+
+    def __init__(self, id_col: str, text_col: str,
+                 cfg: FilterConfig = DEFAULT_CONFIG):
+        self.id_col, self.text_col = id_col, text_col
+        self.bank = [(k, re.compile(p)) for k, p in cfg.pii_patterns]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        text = str_column(batch, self.text_col)
+        cand = pc.match_substring_regex(
+            text, PII_PREFILTER_CHARS).fill_null(False).to_numpy(
+            zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        vals = text.to_numpy(zero_copy_only=False)
+        out_id, out_kind, out_s, out_e = [], [], [], []
+        for i in np.flatnonzero(cand):
+            v = vals[i]
+            if v is None:
+                continue
+            for kind, rx in self.bank:
+                for m in rx.finditer(v):
+                    out_id.append(ids[i])
+                    out_kind.append(kind)
+                    out_s.append(m.start())
+                    out_e.append(m.end())
+        return pa.table({
+            self.id_col: pa.array(out_id,
+                                  type=batch.schema.field(self.id_col).type),
+            "kind": pa.array(out_kind, type=pa.string()),
+            "start": pa.array(out_s, type=pa.int64()),
+            "end": pa.array(out_e, type=pa.int64())})
+
+
+def pii_spans(ds, id_col: str, text_col: str,
+              cfg: FilterConfig = DEFAULT_CONFIG, *, concurrency=None):
+    """PII span extraction over a text column (see ``PiiSpanStage``).
+    Returns a lazy Dataset of (id, kind, start, end)."""
+    if concurrency is None:
+        # autoscaling pool up to 8 actors: span extraction is bursty
+        # (prefilter skips clean rows), so let idle actors release
+        concurrency = (1, 8)
+    return ds.map_batches(
+        PiiSpanStage,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "cfg": cfg},
+        batch_format="pyarrow", concurrency=concurrency)

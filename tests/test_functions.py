@@ -3135,3 +3135,22 @@ def test_pivot_sum_explicit_domain(ray_session):
     # 'z' outside the domain and the null key are dropped
     assert out["sum_x"].tolist() == [1.25, 3.0]
     assert out["sum_y"].tolist() == [2.0, 0.0]
+
+
+def test_pii_spans_offsets(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.pii import pii_spans
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["mail me at bob@example.com thanks",
+                           "no pii in this clean prose",
+                           None]})
+    out = (pii_spans(ray.data.from_arrow(t), "doc_id", "text")
+           .to_pandas())
+    em = out[(out["doc_id"] == 1) & (out["kind"] == "email")]
+    assert len(em) == 1
+    s, e = int(em["start"].iloc[0]), int(em["end"].iloc[0])
+    assert "mail me at bob@example.com thanks"[s:e] == "bob@example.com"
+    assert (out["doc_id"] != 2).all() and (out["doc_id"] != 3).all()
