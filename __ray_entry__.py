@@ -533,6 +533,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "l_quantity"]),
             ["l_orderkey", "l_linenumber"], "l_quantity")
 
+    def regex_extract_orders(sf):
+        # named-group extraction over a planted log-line column (null,
+        # matching and non-matching shapes by o_orderkey % 3)
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.textstats import regex_extract
+
+        def plant(batch):
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.and_(
+                pc.is_valid(batch.column("o_orderkey")),
+                pc.is_valid(batch.column("o_orderstatus"))))
+            k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ks = k.astype(str).astype(object)
+            st = batch.column("o_orderstatus").to_pandas()
+            m = k % 3
+            txt = np.select(
+                [m == 1, m == 2],
+                [("k=" + ks + ";s=") + st.to_numpy(dtype=object),
+                 np.full(len(k), "no match here", dtype=object)],
+                default=None)
+            return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                             "line": pa.array(txt, type=pa.string())})
+
+        fixture = _ds(sf, "orders",
+                      ["o_orderkey", "o_orderstatus"]).map_batches(
+            plant, batch_format="pyarrow")
+        return regex_extract(fixture, "o_orderkey", "line",
+                             r"k=(?P<key>\d+);s=(?P<status>\w)",
+                             ["key", "status"])
+
     def pii_spans_documents(sf):
         # PII span offsets over planted emails/IPs (rows-only check:
         # offsets aren't SQL-expressible; exactness gated by pytest)
@@ -2179,6 +2211,7 @@ checks for orders:
         "nfc_normalize_documents": nfc_normalize_documents,
         "encode_tokens_documents": encode_tokens_documents,
         "resample_ffill_events": resample_ffill_events,
+        "regex_extract_orders": regex_extract_orders,
         "pii_spans_documents": pii_spans_documents,
         "equi_depth_lineitem": equi_depth_lineitem,
         "pivot_sum_orders": pivot_sum_orders,
@@ -5581,6 +5614,27 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS token_id, token, cnt
     FROM t WHERE cnt >= 3
     QUALIFY token_id <= 200
+    """,
+        # textstats.regex_extract: RE2 on both sides; DuckDB's
+        # regexp_extract returns '' on no-match, so gate through
+        # regexp_matches to reproduce the engine's nulls
+        "regex_extract_orders": r"""
+    WITH src AS (SELECT o_orderkey, CASE o_orderkey % 3
+            WHEN 1 THEN 'k=' || o_orderkey::VARCHAR || ';s='
+                        || o_orderstatus
+            WHEN 2 THEN 'no match here' ELSE NULL END AS line
+        FROM orders WHERE o_orderkey IS NOT NULL
+                      AND o_orderstatus IS NOT NULL),
+    m AS (SELECT o_orderkey, line,
+                 coalesce(regexp_matches(line,
+                     'k=(\d+);s=(\w)'), FALSE) AS matched FROM src)
+    SELECT o_orderkey,
+           CASE WHEN matched THEN
+               regexp_extract(line, 'k=(\d+);s=(\w)', 1) END AS key,
+           CASE WHEN matched THEN
+               regexp_extract(line, 'k=(\d+);s=(\w)', 2) END AS status,
+           matched
+    FROM m
     """,
         # profiling.equi_depth_histogram: ntile with the same explicit
         # tie-break, rolled up per tile

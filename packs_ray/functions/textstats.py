@@ -629,3 +629,29 @@ def encode_tokens(ds, id_col: str, column: str, vocab: pd.DataFrame, *,
             "n_oov": pa.array(n_oov.astype(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def regex_extract(ds, id_col: str, column: str, pattern: str,
+                  group_names: list[str]):
+    """Named-group regex extraction to columns — the workhorse ETL
+    primitive for semi-structured text (log lines, user agents,
+    citation keys): ``pattern`` must use RE2 named groups
+    ``(?P<name>...)``; each name becomes a string column (null when the
+    row doesn't match), plus a ``matched`` flag.  First match wins
+    (SQL ``regexp_extract`` semantics).  Both engines run RE2, so the
+    DuckDB twin is hash-exact.  One stateless zero-copy Arrow kernel
+    (``pc.extract_regex``), no shuffle; null text rows emit nulls."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        st = pc.extract_regex(text, pattern)
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        cols = {id_col: batch.column(id_col)}
+        matched = pc.and_kleene(pc.is_valid(st), pc.is_valid(text))
+        for g in group_names:
+            cols[g] = pc.struct_field(st, g)
+        cols["matched"] = pc.fill_null(matched, False)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -3154,3 +3154,21 @@ def test_pii_spans_offsets(ray_session):
     s, e = int(em["start"].iloc[0]), int(em["end"].iloc[0])
     assert "mail me at bob@example.com thanks"[s:e] == "bob@example.com"
     assert (out["doc_id"] != 2).all() and (out["doc_id"] != 3).all()
+
+
+def test_regex_extract_named_groups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import regex_extract
+
+    t = pa.table({"i": [1, 2, 3],
+                  "s": ["k=42;s=F", "nope", None]})
+    out = (regex_extract(ray.data.from_arrow(t), "i", "s",
+                         r"k=(?P<key>\d+);s=(?P<status>\w)",
+                         ["key", "status"])
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    assert out["key"].tolist()[0] == "42"
+    assert out["status"].tolist()[0] == "F"
+    assert out["matched"].tolist() == [True, False, False]
+    assert out["key"].isna().tolist() == [False, True, True]
