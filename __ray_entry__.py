@@ -1775,6 +1775,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def exact_distinct_events(sf):
+        # exact per-key COUNT(DISTINCT): the exact twin of the HLL
+        # query above — local (key, value) dedup combiner, one narrow
+        # bucketed shuffle of the marks
+        from packs_ray.functions.agg import keyed_count_distinct
+
+        return keyed_count_distinct(
+            _ds(sf, "events", ["event_type", "user_id"]),
+            "event_type", "user_id")
+
     def cms_counts_orders(sf):
         from packs_ray.functions.sketches import count_min_counts
 
@@ -2310,6 +2320,7 @@ checks for orders:
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "approx_distinct_orders": approx_distinct_orders,
         "grouped_distinct_events": grouped_distinct_events,
+        "exact_distinct_events": exact_distinct_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -5909,6 +5920,11 @@ def oracle_sql() -> dict[str, str]:
             _hll_column_sql("orders", "o_orderstatus"),
         "grouped_distinct_events":
             _hll_grouped_sql("events", "event_type", "user_id"),
+        # agg.keyed_count_distinct: null keys and null values excluded
+        "exact_distinct_events": """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+    FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
         "hash_split_orders":

@@ -739,3 +739,47 @@ def pivot_sum(ds, key_col: str, pivot_col: str, value_col: str,
 
     return bucketed_group_reduce(parts, [key_col], reduce_fn,
                                  num_partitions)
+
+
+def keyed_count_distinct(ds, key_col: str, col: str, *,
+                         out_col: str = "n_distinct",
+                         num_partitions: int | None = None):
+    """Exact per-key ``COUNT(DISTINCT col)`` — the exact twin of
+    ``sketches.grouped_approx_distinct`` for when the per-key value
+    cardinality is small enough to move (distinct users per event
+    type, distinct domains per language, ...).
+
+    Scale shape: each batch locally dedupes to its distinct
+    (key, value) marks FIRST (combiner — repeated values never leave
+    the block), then ONLY those narrow two-column marks ride one
+    bucketed shuffle on the key; the per-bucket reduce dedupes across
+    batches and counts.  All rows of one key land in one bucket, so
+    the count is exact regardless of partitioning or retries.  Rows
+    with a null key or a null value are excluded, matching the HLL
+    sibling and SQL ``COUNT(DISTINCT col)`` over non-null keys.
+
+    Reference parity: the packs compute distinct counts per group via
+    single-process pandas ``nunique`` (profiling_pack/main.py); this
+    is the distributed exact form.
+    """
+    import numpy as np
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, col]).filter(pc.and_(
+            batch.column(key_col).is_valid(),
+            batch.column(col).is_valid()))
+        return batch.group_by([key_col, col]).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(key_col, sort=False)[col].nunique()
+               .reset_index(name=out_col))
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(parts, [key_col], reduce_fn,
+                                 num_partitions)

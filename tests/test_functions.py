@@ -1925,6 +1925,45 @@ def test_grouped_approx_distinct_accuracy_and_invariance(ray_session):
     assert small["approx_distinct"].iloc[0] == 2
 
 
+def test_keyed_count_distinct_exact(ray_session):
+    """keyed_count_distinct: exact per-key nunique, cross-batch dedup
+    (the same value repeated in different blocks counts once),
+    partition-invariant, null keys/values excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import keyed_count_distinct
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 5, 20_000)
+    v = rng.integers(0, 300, 20_000)
+    tbl = pa.table({"k": pa.array(k, type=pa.int64()),
+                    "v": pa.array(v, type=pa.int64())})
+    # many blocks so every value repeats across blocks
+    ds = ray.data.from_arrow(tbl).repartition(17)
+
+    out = keyed_count_distinct(ds, "k", "v").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exact = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].nunique()
+    assert list(out["k"]) == sorted(exact.index)
+    for _, r in out.iterrows():
+        assert r["n_distinct"] == exact[r["k"]]
+
+    again = keyed_count_distinct(ds.repartition(3), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+    # null key rows and all-null-value keys never appear; string keys work
+    tbl2 = pa.table({"k": pa.array(["a", "a", None, "b"]),
+                     "v": pa.array([5, 5, 7, None], type=pa.int64())})
+    small = keyed_count_distinct(
+        ray.data.from_arrow(tbl2), "k", "v").to_pandas()
+    assert set(small["k"]) == {"a"}
+    assert small["n_distinct"].iloc[0] == 1
+
+
 def test_column_pair_checks_nulls_and_ops(ray_session):
     """column_pair_percent: denominator counts rows where BOTH sides are
     present; each comparison op works; GE pair expectations map onto it
