@@ -890,10 +890,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
+        # (canonical ORDER BY day on both sides: r03 driver hash-red
+        # with no local repro — pin the order so an order-sensitive
+        # hash protocol cannot be the cause)
         from packs_ray.functions.outliers import sum_anomaly
 
         return sum_anomaly(_ds(sf, "events", ["ts", "value"]),
-                           "ts", "value", k=3.0)
+                           "ts", "value", k=3.0).sort("day")
 
     def grouped_stats_lineitem(sf):
         # per-segment describe(): one exact-cents streaming pass
@@ -1156,10 +1159,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         sess = windows.sessionize(_ds(sf, "events", ["user_id", "ts"]),
                                   "user_id", "ts", gap_seconds=1800)
+        # canonical ORDER BY (event_id, session_id) on both sides —
+        # r03 driver hash-red, no local repro; see sum_anomaly_events
         return interval_join(
             _ds(sf, "events", ["event_id", "user_id", "ts"]), sess,
             on="user_id", ts_col="ts", start_col="session_start",
-            end_col="session_end", payload_cols=["session_id"])
+            end_col="session_end", payload_cols=["session_id"]) \
+            .sort(["event_id", "session_id"])
 
     def dsir_weights_documents(sf):
         # DSIR hashed-ngram importance weights: target = the
@@ -1581,8 +1587,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = neardup.minhash_lsh_pairs(
             _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
             jaccard_threshold=0.5)
+        # canonical ORDER BY doc_id on both sides — r03 driver
+        # hash-red, no local repro; see sum_anomaly_events
         return connected_components(pairs, node_col="doc_id",
-                                    label_col="cluster_id")
+                                    label_col="cluster_id").sort("doc_id")
 
     def fuzzy_join_customer_supplier(sf):
         # record linkage: exact 3-gram Jaccard >= 0.25 join of customer
@@ -3809,7 +3817,7 @@ def _sum_anomaly_sql(k: float = 3.0) -> str:
              THEN round(ad / (1.4826 * med2), 6) > {k} END AS is_outlier,
         CASE WHEN 1.4826 * med2 > 0
              THEN round(ad / (1.4826 * med2), 6) END AS mad_z
-    FROM a, m2"""
+    FROM a, m2 ORDER BY day"""
 
 
 def _pii_luhn_sql() -> str:
@@ -5780,7 +5788,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT e.event_id, e.user_id, e.ts,
            s.session_start, s.session_end, s.session_id
     FROM events e JOIN sess s ON e.user_id = s.user_id
-     AND e.ts BETWEEN s.session_start AND s.session_end""",
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    ORDER BY e.event_id, s.session_id""",
         # agg.groupwise_zscore: exact int64 cents sums, then the identical
         # fixed float64 expression (s/n, sqrt(s2/n - mean^2), 6dp)
         "zscore_events": """
@@ -5890,7 +5899,7 @@ def oracle_sql() -> dict[str, str]:
     reach(a, b) AS (SELECT a, b FROM e
                     UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
     SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
-    FROM reach GROUP BY a""",
+    FROM reach GROUP BY a ORDER BY doc_id""",
         "neardup_keep_best_documents": f"""
     WITH RECURSIVE p AS ({_minhash_sql()}),
     e AS (SELECT id_a AS a, id_b AS b FROM p
