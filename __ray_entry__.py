@@ -1783,6 +1783,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def sequence_validity_events(sf):
+        # per-key stream-order validity: dup timestamps, sequence
+        # regressions vs running max, largest gap (the generalized
+        # transcripts turn-order check)
+        from packs_ray.functions.windows import sequence_validity
+
+        return sequence_validity(
+            _ds(sf, "events", ["user_id", "event_id", "ts"]),
+            "user_id", "event_id", "ts")
+
     def exact_distinct_events(sf):
         # exact per-key COUNT(DISTINCT): the exact twin of the HLL
         # query above — local (key, value) dedup combiner, one narrow
@@ -2329,6 +2339,7 @@ checks for orders:
         "approx_distinct_orders": approx_distinct_orders,
         "grouped_distinct_events": grouped_distinct_events,
         "exact_distinct_events": exact_distinct_events,
+        "sequence_validity_events": sequence_validity_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -5934,6 +5945,27 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # windows.sequence_validity: (ts, seq) order per key, dup-ts vs
+        # previous row, regression vs running max of earlier rows
+        "sequence_validity_events": """
+    WITH e AS (SELECT user_id, event_id AS seq, ts FROM events
+               WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                 AND ts IS NOT NULL),
+    w AS (SELECT user_id, seq, ts,
+            lag(ts) OVER ord AS prev_ts,
+            max(seq) OVER (PARTITION BY user_id ORDER BY ts, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_max
+          FROM e WINDOW ord AS (PARTITION BY user_id ORDER BY ts, seq))
+    SELECT user_id,
+        count(*)::BIGINT AS n_rows,
+        sum(CASE WHEN ts = prev_ts THEN 1 ELSE 0 END)::BIGINT AS n_dup_ts,
+        sum(CASE WHEN seq < prev_max THEN 1 ELSE 0 END)::BIGINT
+            AS n_seq_regressions,
+        coalesce(max(epoch_us(ts) - epoch_us(prev_ts)), 0)::BIGINT
+            AS max_gap_us,
+        sum(CASE WHEN seq < prev_max THEN 1 ELSE 0 END) = 0 AS is_monotonic
+    FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
         "hash_split_orders":

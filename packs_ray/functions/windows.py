@@ -895,3 +895,81 @@ def resample_ffill(ds, key_col: str, ts_col: str, value_col: str, *,
         add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def sequence_validity(ds, key_col: str, seq_col: str, ts_col: str,
+                      num_buckets: int | None = None):
+    """Per-key ordering/validity profile of an event or turn stream —
+    the generalized form of the transcripts role-/turn-sequence checks
+    (reference: conversation turn_idx contiguity; SURVEY §2.2): under
+    the deterministic (ts, seq) order per key, count duplicate
+    timestamps, sequence regressions (seq lower than an earlier row's),
+    and the largest inter-event gap.
+
+    Returns a lazy Dataset of (key, n_rows, n_dup_ts, n_seq_regressions,
+    max_gap_us, is_monotonic).  Rows with a null key, seq or ts are
+    excluded (they are counted by the completeness checks, not here).
+
+    Scale shape: only the three narrow columns shuffle once on
+    hash(key); per-bucket work is fully vectorized (sort + shifted
+    compares), output is one row per key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, seq_col, ts_col])
+        mask = pc.and_(pc.and_(batch.column(key_col).is_valid(),
+                               batch.column(seq_col).is_valid()),
+                       batch.column(ts_col).is_valid())
+        batch = batch.filter(mask)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({key_col: [], "n_rows": [], "n_dup_ts": [],
+                          "n_seq_regressions": [], "max_gap_us": [],
+                          "is_monotonic": []})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.sort_values([key_col, ts_col, seq_col], kind="stable")
+        key = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        seq = g[seq_col].to_numpy(dtype=np.int64)
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        same = ~new_key
+        dup_ts = np.zeros(len(g), dtype=np.int64)
+        dup_ts[1:] = same[1:] & (ts[1:] == ts[:-1])
+        # regression = seq strictly below the running max of earlier
+        # rows of the same key (a late re-emit, not just adjacent swap);
+        # segmented cummax resets at key starts
+        gid = np.cumsum(new_key) - 1
+        runmax = pd.Series(seq).groupby(gid).cummax().to_numpy()
+        reg = np.zeros(len(g), dtype=np.int64)
+        reg[1:] = same[1:] & (seq[1:] < runmax[:-1])
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = np.where(same[1:], ts[1:] - ts[:-1], 0)
+        out = pd.DataFrame({key_col: key, "_dup": dup_ts, "_reg": reg,
+                            "_gap": gap})
+        agg = (out.groupby(key_col, sort=False)
+               .agg(n_rows=("_dup", "size"), n_dup_ts=("_dup", "sum"),
+                    n_seq_regressions=("_reg", "sum"),
+                    max_gap_us=("_gap", "max")).reset_index())
+        agg["is_monotonic"] = agg["n_seq_regressions"] == 0
+        for c in ("n_rows", "n_dup_ts", "n_seq_regressions", "max_gap_us"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -1964,6 +1964,43 @@ def test_keyed_count_distinct_exact(ray_session):
     assert small["n_distinct"].iloc[0] == 1
 
 
+def test_sequence_validity_edges(ray_session):
+    """sequence_validity: regressions counted vs RUNNING MAX (a late
+    re-emit after a jump counts even if above its neighbor), duplicate
+    timestamps counted, single-row keys get gap 0, null rows excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import sequence_validity
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = lambda n: base + np.timedelta64(n, "s")
+    tbl = pa.table({
+        # key a: seq 1,5,3,4 by ts -> 3 and 4 are both < runmax 5 (2 regs);
+        # ts dup between rows 2 and 3
+        "k": pa.array(["a", "a", "a", "a", "b", None, "c"]),
+        "seq": pa.array([1, 5, 3, 4, 9, 1, None], type=pa.int64()),
+        "ts": pa.array([s(0), s(10), s(20), s(20), s(0), s(0), s(0)],
+                       type=pa.timestamp("us")),
+    })
+    out = sequence_validity(ray.data.from_arrow(tbl), "k", "seq", "ts") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == ["a", "b"]
+    a = out.iloc[0]
+    assert a["n_rows"] == 4 and a["n_dup_ts"] == 1
+    assert a["n_seq_regressions"] == 2 and not a["is_monotonic"]
+    assert a["max_gap_us"] == 10_000_000
+    b = out.iloc[1]
+    assert b["n_rows"] == 1 and b["max_gap_us"] == 0 and b["is_monotonic"]
+
+    again = sequence_validity(
+        ray.data.from_arrow(tbl).repartition(4), "k", "seq", "ts") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_column_pair_checks_nulls_and_ops(ray_session):
     """column_pair_percent: denominator counts rows where BOTH sides are
     present; each comparison op works; GE pair expectations map onto it
