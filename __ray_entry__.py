@@ -1783,6 +1783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def rolling_psi_events(sf):
+        # drift over time: per-day PSI of `value` vs the global baseline
+        from packs_ray.functions.drift import rolling_psi
+
+        return rolling_psi(_ds(sf, "events", ["ts", "value"]),
+                           "ts", "value", period="day")
+
     def sequence_validity_events(sf):
         # per-key stream-order validity: dup timestamps, sequence
         # regressions vs running max, largest gap (the generalized
@@ -2340,6 +2347,7 @@ checks for orders:
         "grouped_distinct_events": grouped_distinct_events,
         "exact_distinct_events": exact_distinct_events,
         "sequence_validity_events": sequence_validity_events,
+        "rolling_psi_events": rolling_psi_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -5945,6 +5953,43 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # drift.rolling_psi: global-baseline bins (shared boundary
+        # expression), 1e-6 floor, ascending-bin left-assoc PSI fold
+        "rolling_psi_events": """
+    WITH v AS (SELECT date_trunc('day', ts) AS period_start, value AS x
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    m AS (SELECT min(x) AS lo,
+          CASE WHEN (max(x) - min(x)) / 10 > 0
+               THEN (max(x) - min(x)) / 10 ELSE 1.0 END AS w,
+          count(*)::DOUBLE AS n_total FROM v),
+    b AS (SELECT period_start,
+          CAST(least(greatest(floor((x - lo) / w), 0), 9) AS BIGINT) AS bin
+          FROM v, m),
+    cp AS (SELECT period_start, bin, count(*)::BIGINT AS n
+           FROM b GROUP BY 1, 2),
+    gl AS (SELECT bin, sum(n)::BIGINT AS n FROM cp GROUP BY 1),
+    np_ AS (SELECT period_start, sum(n)::DOUBLE AS n_p
+            FROM cp GROUP BY 1),
+    grid AS (SELECT p.period_start, g.bin
+             FROM (SELECT DISTINCT period_start FROM cp) p,
+                  (SELECT unnest(range(0, 10)) AS bin) g),
+    t AS (SELECT grid.period_start, grid.bin,
+           greatest(coalesce(gl.n, 0) / (SELECT n_total FROM m), 1e-6)
+               AS pg,
+           greatest(coalesce(cp.n, 0) / np_.n_p, 1e-6) AS pp
+          FROM grid LEFT JOIN gl ON grid.bin = gl.bin
+               LEFT JOIN cp ON grid.period_start = cp.period_start
+                    AND grid.bin = cp.bin
+               JOIN np_ ON grid.period_start = np_.period_start),
+    f AS (SELECT period_start,
+           round(list_reduce([0.0] ||
+             list((pg - pp) * ln(pg / pp) ORDER BY bin),
+             (a, b) -> a + b), 6) AS psi
+          FROM t GROUP BY period_start)
+    SELECT f.period_start, np_.n_p::BIGINT AS n, f.psi,
+           f.psi >= 0.2 AS drifted
+    FROM f JOIN np_ ON f.period_start = np_.period_start
+    ORDER BY f.period_start""",
         # windows.sequence_validity: (ts, seq) order per key, dup-ts vs
         # previous row, regression vs running max of earlier rows
         "sequence_validity_events": """

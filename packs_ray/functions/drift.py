@@ -514,3 +514,113 @@ def snapshot_diff(old_ds, new_ds, keys: list[str],
         return out
 
     return bucketed_group_reduce(both, keys, per_bucket, num_partitions)
+
+
+def rolling_psi(ds, ts_col: str, value_col: str, *, period: str = "day",
+                n_bins: int = 10, threshold: float = 0.2):
+    """Drift over TIME: Population Stability Index of each period's
+    value distribution against the whole dataset's baseline — the
+    monitoring view ``psi_drift`` (two fixed datasets) doesn't cover
+    (reference shape: data_drift_pack run per scheduled ingest; this
+    folds the whole schedule into one pass).
+
+    Bins are ``n_bins`` fixed-width intervals from the GLOBAL min/max
+    with the shared histogram boundary expression, so the SQL replica
+    reproduces every boundary.  Proportions are floored at 1e-6;
+    ``psi`` is 6dp-pinned with a strict ascending-bin summation order
+    shared with the oracle.
+
+    Scale shape: one min/max scan, then one streaming pass emitting a
+    (period, n_bins-bincount) partial per batch; only those fixed-size
+    partials ride one bucketed reduce keyed on the period, and the
+    bounded per-period table (periods, not rows) lands on the driver
+    for the closed-form PSI.  Returns a pandas DataFrame of
+    (period_start, n, psi, drifted) sorted by period_start.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce, global_agg,
+                                         reduce_partition_count)
+
+    def mpartial(batch: pa.Table) -> dict:
+        # same null gate as the histogram pass: a row with a null ts
+        # never reaches any bin, so it must not shape the baseline
+        v = batch.filter(pc.and_(batch.column(ts_col).is_valid(),
+                                 batch.column(value_col).is_valid())) \
+            .column(value_col)
+        return {"n": len(v),
+                "mn": pc.min(v).as_py() if len(v) else None,
+                "mx": pc.max(v).as_py() if len(v) else None}
+
+    def mcombine(parts: pd.DataFrame) -> dict:
+        n = int(parts["n"].sum())
+        return {"n": n, "mn": float(parts["mn"].min()) if n else 0.0,
+                "mx": float(parts["mx"].max()) if n else 0.0}
+
+    sch = pa.schema([(ts_col, pa.timestamp("us")), (value_col, pa.float64())])
+    narrow = ds.select_columns([ts_col, value_col])
+    agg = global_agg(narrow, mpartial, mcombine, empty_schema=sch)
+    lo, n_total = agg["mn"], agg["n"]
+    w = (agg["mx"] - lo) / n_bins
+    if not w > 0:
+        w = 1.0
+
+    def hpartial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(batch.column(ts_col).is_valid(),
+                                     batch.column(value_col).is_valid()))
+        per = pc.floor_temporal(batch.column(ts_col), unit=period)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        idx = np.minimum(np.maximum(np.floor((v - lo) / w), 0),
+                         n_bins - 1).astype(np.int64)
+        df = pd.DataFrame({"period_start": per.to_numpy(zero_copy_only=False),
+                           "_b": idx})
+        rows = [(p, np.bincount(g["_b"], minlength=n_bins).tobytes())
+                for p, g in df.groupby("period_start", sort=True)]
+        return pa.table({
+            "period_start": pa.array([r[0] for r in rows],
+                                     type=pa.timestamp("us")),
+            "h": pa.array([r[1] for r in rows], type=pa.binary())})
+
+    parts = narrow.map_batches(hpartial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p, grp in g.groupby("period_start", sort=True):
+            tot = np.zeros(n_bins, dtype=np.int64)
+            for b in grp["h"]:
+                tot += np.frombuffer(b, dtype=np.int64)
+            rows.append((p, tot.tobytes()))
+        return pd.DataFrame({"period_start": [r[0] for r in rows],
+                             "h": [r[1] for r in rows]})
+
+    per_period = bucketed_group_reduce(
+        parts, ["period_start"], reduce_fn,
+        reduce_partition_count(narrow)).to_pandas()
+    if len(per_period) == 0 or n_total == 0:
+        return pd.DataFrame({"period_start": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "psi": pd.Series([], dtype="float64"),
+                             "drifted": pd.Series([], dtype="bool")})
+    per_period = per_period.sort_values("period_start").reset_index(drop=True)
+    counts = np.stack([np.frombuffer(b, dtype=np.int64)
+                       for b in per_period["h"]])
+    g_counts = counts.sum(axis=0)
+    pg = np.maximum(g_counts / n_total, 1e-6)
+    out = []
+    for i in range(len(per_period)):
+        n_p = int(counts[i].sum())
+        pp = np.maximum(counts[i] / n_p, 1e-6)
+        # strict ascending-bin left-associative fold, shared with the
+        # SQL list_reduce replica (np.sum's pairwise order would not be)
+        psi = 0.0
+        for t in ((pg - pp) * np.log(pg / pp)):
+            psi += t
+        psi = _r(psi, 6)
+        out.append((per_period["period_start"].iloc[i], n_p, psi,
+                    bool(psi >= threshold)))
+    res = pd.DataFrame(out, columns=["period_start", "n", "psi", "drifted"])
+    res["period_start"] = res["period_start"].astype("datetime64[us]")
+    res["n"] = res["n"].astype(np.int64)
+    return res

@@ -2001,6 +2001,47 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_rolling_psi_detects_shifted_period(ray_session):
+    """rolling_psi: a period whose distribution is shifted far outside
+    the others gets a large PSI and drifted=True; stable periods stay
+    below threshold; result is partition-invariant; null ts/value rows
+    are excluded from baseline and bins alike."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.drift import rolling_psi
+
+    rng = np.random.default_rng(11)
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    day = np.timedelta64(86400, "s")
+    ts, vals = [], []
+    for d in range(4):
+        v = rng.normal(100.0 if d != 2 else 100000.0, 5.0, 500)
+        ts.append(np.full(500, base + d * day))
+        vals.append(v)
+    tbl = pa.table({"ts": pa.array(np.concatenate(ts),
+                                   type=pa.timestamp("us")),
+                    "value": pa.array(np.concatenate(vals))})
+    # plant null rows: never counted anywhere
+    nulls = pa.table({"ts": pa.array([None, base], type=pa.timestamp("us")),
+                      "value": pa.array([1.0, None])})
+    tbl = pa.concat_tables([tbl, nulls])
+    ds = ray.data.from_arrow(tbl).repartition(7)
+
+    out = rolling_psi(ds, "ts", "value", period="day")
+    assert len(out) == 4 and out["n"].sum() == 2000
+    # the shifted day dominates: every day drifts vs the pooled
+    # baseline (its mass warps the bin range), but the shifted day's
+    # PSI is far above the stable days'
+    assert bool(out["drifted"].iloc[2])
+    assert out["psi"].iloc[2] > 2 * out["psi"].iloc[0]
+
+    again = rolling_psi(ds.repartition(2), "ts", "value", period="day")
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_column_pair_checks_nulls_and_ops(ray_session):
     """column_pair_percent: denominator counts rows where BOTH sides are
     present; each comparison op works; GE pair expectations map onto it
