@@ -1783,6 +1783,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def target_encode_orders(sf):
+        # m-estimate smoothed target encoding of order priority by
+        # total price (exact cents partials, pinned float tail)
+        from packs_ray.functions.agg import target_encode
+
+        return target_encode(
+            _ds(sf, "orders", ["o_orderpriority", "o_totalprice"]),
+            "o_orderpriority", "o_totalprice", m=10.0)
+
     def rolling_psi_events(sf):
         # drift over time: per-day PSI of `value` vs the global baseline
         from packs_ray.functions.drift import rolling_psi
@@ -2348,6 +2357,7 @@ checks for orders:
         "exact_distinct_events": exact_distinct_events,
         "sequence_validity_events": sequence_validity_events,
         "rolling_psi_events": rolling_psi_events,
+        "target_encode_orders": target_encode_orders,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -5953,6 +5963,20 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # agg.target_encode: exact cents sums; one pinned float64
+        # evaluation per category (cents/100 + m*mean, /(n+m), 6dp)
+        "target_encode_orders": """
+    WITH c AS (SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders WHERE o_orderpriority IS NOT NULL
+                 AND o_totalprice IS NOT NULL),
+    g AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+          sum(cents)::BIGINT AS cents FROM c GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS tn, sum(cents)::BIGINT AS tc FROM g)
+    SELECT g.o_orderpriority, g.n,
+        round((g.cents::DOUBLE / 100 + 10.0 * (t.tc::DOUBLE / t.tn / 100))
+              / (g.n::DOUBLE + 10.0), 6) AS encoded
+    FROM g, t""",
         # drift.rolling_psi: global-baseline bins (shared boundary
         # expression), 1e-6 floor, ascending-bin left-assoc PSI fold
         "rolling_psi_events": """

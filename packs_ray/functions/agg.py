@@ -783,3 +783,82 @@ def keyed_count_distinct(ds, key_col: str, col: str, *,
 
     return bucketed_group_reduce(parts, [key_col], reduce_fn,
                                  num_partitions)
+
+
+def target_encode(ds, cat_col: str, value_col: str, *, m: float = 10.0,
+                  num_partitions: int | None = None):
+    """Smoothed (m-estimate) target encoding: one row per category with
+    ``encoded = (sum_value + m * global_mean) / (n + m)`` — the
+    leakage-resistant categorical feature encoder (Micci-Barreca 2001).
+
+    Exactness: per-category sums are exact int64 cents partials; the
+    global mean and the encode expression are ONE pinned float64
+    evaluation per category (``cents/100 + m*mean`` then ``/(n+m)``,
+    6dp), shared with the SQL replica.  Rows with a null category or
+    null value are excluded.
+
+    Scale shape: per-batch (category, n, cents) partials ride one
+    bucketed reduce; the global totals come from the same partials via
+    a second tiny streaming scan — the output is bounded by the
+    category cardinality and stays a lazy Dataset.
+    """
+    import numpy as np
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([cat_col, value_col]).filter(pc.and_(
+            batch.column(cat_col).is_valid(),
+            batch.column(value_col).is_valid()))
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column(value_col), 100.0), 0), "int64")
+        df = pa.table({cat_col: batch.column(cat_col),
+                       "cents": cents}).to_pandas()
+        out = (df.groupby(cat_col, sort=False)["cents"]
+               .agg(n="size", cents="sum").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(cat_col, sort=False)[["n", "cents"]]
+                .sum().reset_index())
+
+    # bounded by the category cardinality — materialize so the totals
+    # scan and the encode pass don't each re-execute the full input
+    per_cat = bucketed_group_reduce(parts, [cat_col], reduce_fn,
+                                    num_partitions).materialize()
+
+    def gpartial(batch: pa.Table) -> dict:
+        return {"n": pc.sum(batch.column("n")).as_py() or 0,
+                "cents": pc.sum(batch.column("cents")).as_py() or 0}
+
+    def gcombine(p: pd.DataFrame) -> dict:
+        return {"n": int(p["n"].sum()), "cents": int(p["cents"].sum())}
+
+    tot = global_agg(per_cat, gpartial, gcombine,
+                     empty_schema=pa.schema([("n", pa.int64()),
+                                             ("cents", pa.int64())]))
+    if tot["n"] == 0:
+        return per_cat.map_batches(
+            lambda b: b.append_column("encoded",
+                                      pa.nulls(len(b), type=pa.float64())),
+            batch_format="pyarrow")
+    # pinned float tail shared with the SQL replica
+    mean_v = tot["cents"] / tot["n"] / 100.0
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from packs_ray.stages.util import round_half_away as _r
+
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        enc = _r((cents / 100.0 + m * mean_v) / (n + m), 6)
+        out = batch.remove_column(batch.schema.get_field_index("cents"))
+        return out.append_column("encoded", pa.array(enc,
+                                                     type=pa.float64()))
+
+    return per_cat.map_batches(encode, batch_format="pyarrow")

@@ -2001,6 +2001,39 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_target_encode_shrinkage(ray_session):
+    """target_encode: a rare category shrinks toward the global mean, a
+    frequent one stays near its own mean; exact m-estimate formula;
+    partition-invariant; null rows excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import target_encode
+
+    # frequent 'a' mean 10 (1000 rows), rare 'b' mean 1000 (2 rows)
+    cat = ["a"] * 1000 + ["b", "b", None, "a"]
+    val = [10.0] * 1000 + [1000.0, 1000.0, 5.0, None]
+    ds = ray.data.from_arrow(pa.table({"c": cat, "v": val})).repartition(5)
+    out = target_encode(ds, "c", "v", m=10.0).to_pandas() \
+        .sort_values("c").reset_index(drop=True)
+
+    gmean = (1000 * 10.0 + 2 * 1000.0) / 1002
+    exp_a = (1000 * 10.0 + 10.0 * gmean) / (1000 + 10.0)
+    exp_b = (2 * 1000.0 + 10.0 * gmean) / (2 + 10.0)
+    assert list(out["c"]) == ["a", "b"]
+    assert abs(out["encoded"].iloc[0] - exp_a) < 1e-6
+    assert abs(out["encoded"].iloc[1] - exp_b) < 1e-6
+    # shrinkage: 'b' lands far from its raw mean, toward the global
+    assert out["encoded"].iloc[1] < 500.0
+    assert out["n"].iloc[0] == 1000 and out["n"].iloc[1] == 2
+
+    again = target_encode(ds.repartition(2), "c", "v", m=10.0) \
+        .to_pandas().sort_values("c").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_rolling_psi_detects_shifted_period(ray_session):
     """rolling_psi: a period whose distribution is shifted far outside
     the others gets a large PSI and drifted=True; stable periods stay
