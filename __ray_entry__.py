@@ -1783,6 +1783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def key_skew_events(sf):
+        # shuffle-skew diagnostic: count concentration over user_id
+        from packs_ray.functions.profiling import key_skew
+
+        return key_skew(_ds(sf, "events", ["user_id"]), "user_id",
+                        top_k=10)
+
     def target_encode_orders(sf):
         # m-estimate smoothed target encoding of order priority by
         # total price (exact cents partials, pinned float tail)
@@ -2358,6 +2365,7 @@ checks for orders:
         "sequence_validity_events": sequence_validity_events,
         "rolling_psi_events": rolling_psi_events,
         "target_encode_orders": target_encode_orders,
+        "key_skew_events": key_skew_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -5963,6 +5971,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # profiling.key_skew: exact integer count moments; Gini from
+        # the rank-weighted sum (tie order cancels), pinned 6dp floats
+        "key_skew_events": """
+    WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn FROM c),
+    s AS (SELECT count(*)::BIGINT AS k, sum(cnt)::BIGINT AS n,
+          max(cnt)::BIGINT AS mx, sum(rn * cnt)::BIGINT AS s1 FROM r),
+    t AS (SELECT sum(cnt)::BIGINT AS tk FROM
+          (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10))
+    SELECT 'user_id' AS "column", s.n AS n_rows, s.k AS n_keys,
+        s.mx AS max_count,
+        round(s.mx::DOUBLE / s.n, 6) AS top1_share,
+        round(t.tk::DOUBLE / s.n, 6) AS topk_share,
+        round(2.0 * s.s1::DOUBLE / (s.k::DOUBLE * s.n::DOUBLE)
+              - (s.k::DOUBLE + 1.0) / s.k::DOUBLE, 6) AS gini
+    FROM s, t""",
         # agg.target_encode: exact cents sums; one pinned float64
         # evaluation per category (cents/100 + m*mean, /(n+m), 6dp)
         "target_encode_orders": """

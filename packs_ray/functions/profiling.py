@@ -960,3 +960,72 @@ def equi_depth_histogram(ds, value_col: str, tie_cols: list[str],
     parts = ranked.map_batches(add_tile, batch_format="pyarrow")
     return bucketed_group_reduce(parts, ["tile"], reduce_fn,
                                  min(n_tiles, 16))
+
+
+def key_skew(ds, key_col: str, *, top_k: int = 10) -> pd.DataFrame:
+    """Partition-key skew diagnostic: how concentrated the row count is
+    across the values of ``key_col`` — the number every shuffle/salting
+    decision in this repo hangs on (a groupby on a key with
+    top1_share ≈ 1 funnels through one reducer; see SURVEY §2 skew
+    notes).  One summary row: n_rows, n_keys, max_count, top1_share,
+    topk_share (largest ``top_k`` counts), and the Gini coefficient of
+    the per-key count distribution (0 = perfectly even, →1 = one key
+    owns everything).
+
+    Exactness: counts, the rank-weighted Gini numerator and the top-k
+    sum are exact integers (Python-int combine, no overflow); each
+    share/Gini is ONE pinned float64 expression (6dp) shared with the
+    SQL replica.  Ties in the Gini rank order don't matter — equal
+    counts contribute the same weighted sum under any permutation.
+
+    Scale shape: per-key counts via the bucketed count reduce (bounded
+    by key cardinality, stays distributed); ranks via the
+    range-partitioned global_row_number; then two tiny streaming scans
+    (moment partials, per-block top-k candidates).  Null keys are
+    excluded."""
+    from packs_ray.functions.agg import keyed_count
+    from packs_ray.functions.windows import global_row_number
+
+    narrow = ds.select_columns([key_col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(key_col))),
+        batch_format="pyarrow")
+    counts = keyed_count(narrow, [key_col], count_col="cnt").materialize()
+
+    ranked = global_row_number(counts, "cnt", [key_col], out_col="rn")
+
+    def spartial(batch: pa.Table) -> dict:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        top = np.sort(cnt)[-top_k:]
+        return {"k": len(cnt), "s": int(cnt.sum()),
+                "mx": int(cnt.max()) if len(cnt) else 0,
+                # Python ints: rank*count sums overflow int64 long
+                # before they overflow arbitrary precision
+                "s1": str(sum(int(a) * int(b) for a, b in zip(rn, cnt))),
+                "top": np.ascontiguousarray(top.astype(np.int64)).tobytes()}
+
+    def scombine(p: pd.DataFrame) -> dict:
+        tops = np.sort(np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in p["top"]]
+            or [np.array([], dtype=np.int64)]))[-top_k:]
+        return {"k": int(p["k"].sum()), "s": int(p["s"].sum()),
+                "mx": int(p["mx"].max()) if len(p) else 0,
+                "s1": sum(int(x) for x in p["s1"]),
+                "topk": int(tops.sum())}
+
+    sch = pa.schema([("cnt", pa.int64()), ("rn", pa.int64())])
+    st = global_agg(ranked, spartial, scombine, empty_schema=sch)
+    if st["k"] == 0:
+        return pd.DataFrame([{"column": key_col, "n_rows": np.int64(0),
+                              "n_keys": np.int64(0),
+                              "max_count": np.int64(0),
+                              "top1_share": np.nan, "topk_share": np.nan,
+                              "gini": np.nan}])
+    k, s, s1 = float(st["k"]), float(st["s"]), float(st["s1"])
+    return pd.DataFrame([{
+        "column": key_col,
+        "n_rows": np.int64(st["s"]), "n_keys": np.int64(st["k"]),
+        "max_count": np.int64(st["mx"]),
+        "top1_share": float(_r(st["mx"] / s, 6)),
+        "topk_share": float(_r(st["topk"] / s, 6)),
+        "gini": float(_r(2.0 * s1 / (k * s) - (k + 1.0) / k, 6))}])

@@ -2001,6 +2001,41 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_key_skew_even_vs_hot_key(ray_session):
+    """key_skew: an even distribution scores Gini ≈ 0 / low top1_share;
+    one hot key owning 90% of rows scores high on both; values match
+    the closed-form Gini; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import key_skew
+
+    even = ray.data.from_arrow(pa.table(
+        {"k": pa.array(np.repeat(np.arange(100), 50))})).repartition(6)
+    e = key_skew(even, "k")
+    assert e["n_rows"].iloc[0] == 5000 and e["n_keys"].iloc[0] == 100
+    assert e["gini"].iloc[0] == 0.0
+    assert abs(e["top1_share"].iloc[0] - 0.01) < 1e-9
+
+    hot = ray.data.from_arrow(pa.table(
+        {"k": pa.array(np.r_[np.zeros(900, np.int64),
+                             np.arange(1, 101)])})).repartition(6)
+    h = key_skew(hot, "k")
+    assert h["n_rows"].iloc[0] == 1000 and h["n_keys"].iloc[0] == 101
+    assert h["max_count"].iloc[0] == 900
+    assert h["top1_share"].iloc[0] == 0.9
+    # closed form: counts = [1]*100 + [900], k=101, S=1000
+    # S1 = sum(i*1 for i=1..100) + 101*900 = 5050 + 90900 = 95950
+    exp = round(2.0 * 95950 / (101 * 1000) - 102.0 / 101, 6)
+    assert abs(h["gini"].iloc[0] - exp) < 1e-9
+    assert h["gini"].iloc[0] > 0.8
+
+    again = key_skew(hot.repartition(2), "k")
+    pd.testing.assert_frame_equal(h, again)
+
+
 def test_target_encode_shrinkage(ray_session):
     """target_encode: a rare category shrinks toward the global mean, a
     frequent one stays near its own mean; exact m-estimate formula;
