@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def grouped_sample_events(sf):
+        # cap-per-key curation draw: 20 deterministic events per user
+        from packs_ray.functions.sampling import grouped_sample_n
+
+        return grouped_sample_n(
+            _ds(sf, "events", ["user_id", "event_id"]),
+            "user_id", "event_id", 20)
+
     def key_skew_events(sf):
         # shuffle-skew diagnostic: count concentration over user_id
         from packs_ray.functions.profiling import key_skew
@@ -2366,6 +2374,7 @@ checks for orders:
         "rolling_psi_events": rolling_psi_events,
         "target_encode_orders": target_encode_orders,
         "key_skew_events": key_skew_events,
+        "grouped_sample_events": grouped_sample_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -3993,6 +4002,34 @@ def _weighted_sample_sql(table: str, id_col: str, w_col: str, n: int,
     QUALIFY row_number() OVER (ORDER BY key, {id_col}) <= {n}"""
 
 
+def _grouped_sample_sql(table: str, key_col: str, id_col: str, n: int,
+                        salt: str = "") -> str:
+    """sampling.grouped_sample_n replica: the _uniform_sample_sql FNV
+    chain with the key carried through, n smallest (hv, id) PER KEY."""
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _C1, _C2
+
+    sc, c1, c2 = int(_salt_constant(salt)), int(_C1), int(_C2)
+    return f"""
+    SELECT * FROM (
+    WITH v AS (SELECT {key_col}, {id_col}, CAST({id_col} AS VARCHAR) AS sv
+               FROM {table} WHERE {id_col} IS NOT NULL
+                 AND {key_col} IS NOT NULL),
+    b AS (SELECT {key_col}, {id_col}, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT {key_col}, {id_col},
+        list_reduce(list_prepend({_FNV_OFF}::HUGEINT, {_BYTES_EXPR}),
+                    {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT {key_col}, {id_col}, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT {key_col}, {id_col}, {_mul64_sql('h', c1)} AS h FROM sm),
+    fr AS (SELECT {key_col}, {id_col}, ((h * {1 << 29}::HUGEINT)
+            % {_TWO64}::HUGEINT + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {key_col}, {id_col}, {_mul64_sql('h', c2)} AS h FROM fr)
+    SELECT {key_col}, {id_col}, (h // 2)::BIGINT AS hv FROM f2
+    QUALIFY row_number() OVER (PARTITION BY {key_col}
+                               ORDER BY h // 2, {id_col}) <= {n})"""
+
+
 def _uniform_sample_sql(table: str, id_col: str, n: int,
                         salt: str = "") -> str:
     """sampling.uniform_sample_n replica: the _stratified_sql FNV chain,
@@ -5167,6 +5204,8 @@ def oracle_sql() -> dict[str, str]:
     FROM r""",
         "weighted_sample_orders": _weighted_sample_sql(
             "orders", "o_orderkey", "o_totalprice", 100),
+        "grouped_sample_events": _grouped_sample_sql(
+            "events", "user_id", "event_id", 20),
         "uniform_sample_orders": _uniform_sample_sql(
             "orders", "o_orderkey", 100, salt="uni"),
         "winsorize_lineitem": _winsorize_sql(

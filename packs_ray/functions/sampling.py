@@ -420,3 +420,48 @@ def interleave_sources(sources: list[tuple[str, "object", str, int]], *,
     out = global_row_number(uni, "k", ["source", "id"],
                             num_buckets=num_buckets)
     return out.select_columns(["source", "id", "order_idx"])
+
+
+def grouped_sample_n(ds, key_col: str, id_col: str, n: int, *,
+                     salt: str = ""):
+    """Deterministic per-key exact-n sample: for every value of
+    ``key_col``, the ``n`` rows whose finalized ``hash(id, salt)`` is
+    smallest (ties by id) — the "cap documents per domain" / "cap turns
+    per conversation" curation primitive (RefinedWeb-style per-source
+    caps), reproducible under retries and re-partitioning because the
+    draw is a pure function of the row ids.
+
+    Scale shape: per-batch local per-key head-n FIRST (combiner — at
+    most n rows per (batch, key) survive), then one bucketed reduce on
+    the key; full rows never shuffle.  Null keys or ids are never
+    sampled.  Returns a lazy Dataset of (key_col, id_col, hv)."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    sc = _salt_constant(salt)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([key_col, id_col]).filter(
+            pc.and_(batch.column(key_col).is_valid(),
+                    batch.column(id_col).is_valid()))
+        h, valid = _fnv1a_str(batch.column(id_col))
+        hv = (_finalize(h * sc) >> np.uint64(1)).astype(np.int64)
+        t = pa.table({key_col: batch.column(key_col),
+                      id_col: batch.column(id_col),
+                      "hv": pa.array(hv)}).filter(pa.array(valid))
+        df = (t.to_pandas().sort_values(["hv", id_col], kind="stable")
+              .groupby(key_col, sort=False).head(n))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["hv", id_col], kind="stable")
+                .groupby(key_col, sort=False).head(n)
+                [[key_col, id_col, "hv"]])
+
+    parts = ds.map_batches(add_key, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, [key_col], reduce_fn,
+                                 reduce_partition_count(ds))

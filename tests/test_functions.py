@@ -2001,6 +2001,40 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_grouped_sample_n_caps_and_determinism(ray_session):
+    """grouped_sample_n: exactly min(n, group size) rows per key, the
+    SAME ids under any partitioning (pure function of ids), keys with
+    fewer than n rows keep them all, null keys/ids never sampled."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sampling import grouped_sample_n
+
+    k = np.r_[np.repeat(0, 500), np.repeat(1, 500), np.repeat(2, 3)]
+    ids = np.arange(len(k))
+    tbl = pa.table({"k": pa.array(k, type=pa.int64()),
+                    "id": pa.array(ids, type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    out = grouped_sample_n(ds, "k", "id", 10).to_pandas() \
+        .sort_values(["k", "id"]).reset_index(drop=True)
+    sizes = out.groupby("k").size()
+    assert sizes[0] == 10 and sizes[1] == 10 and sizes[2] == 3
+    # the small group kept ALL its rows
+    assert set(out[out["k"] == 2]["id"]) == {1000, 1001, 1002}
+
+    again = grouped_sample_n(ds.repartition(2), "k", "id", 10) \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+    nulls = pa.table({"k": pa.array([None, 5], type=pa.int64()),
+                      "id": pa.array([7, None], type=pa.int64())})
+    empty = grouped_sample_n(ray.data.from_arrow(nulls), "k", "id", 10) \
+        .to_pandas()
+    assert len(empty) == 0
+
+
 def test_key_skew_even_vs_hot_key(ray_session):
     """key_skew: an even distribution scores Gini ≈ 0 / low top1_share;
     one hot key owning 90% of rows scores high on both; values match
