@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def ngram_novelty_documents(sf):
+        # corpus-level commonness: fraction of each doc's distinct
+        # 3-grams shared with at least one other doc
+        from packs_ray.functions.webquality import ngram_novelty
+
+        return ngram_novelty(_ds(sf, "documents", ["doc_id", "text"]),
+                             "doc_id", "text", n=3)
+
     def grouped_sample_events(sf):
         # cap-per-key curation draw: 20 deterministic events per user
         from packs_ray.functions.sampling import grouped_sample_n
@@ -2375,6 +2383,7 @@ checks for orders:
         "target_encode_orders": target_encode_orders,
         "key_skew_events": key_skew_events,
         "grouped_sample_events": grouped_sample_events,
+        "ngram_novelty_documents": ngram_novelty_documents,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6010,6 +6019,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # webquality.ngram_novelty: distinct word 3-grams per doc, df
+        # over STRING grams (engine uses 64-bit hashes; a collision
+        # would merge two grams — odds ~k²/2⁶⁵, same trade as dedup)
+        "ngram_novelty_documents": """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+          FROM (SELECT doc_id, ws,
+                unnest(generate_series(1, len(ws)-2)) AS i FROM w)),
+    df AS (SELECT gram, count(*)::BIGINT AS df FROM g GROUP BY 1)
+    SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+        round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)::DOUBLE, 6) AS common_frac
+    FROM g JOIN df USING (gram) GROUP BY g.doc_id""",
         # profiling.key_skew: exact integer count moments; Gini from
         # the rank-weighted sum (tie order cancels), pinned 6dp floats
         "key_skew_events": """

@@ -605,3 +605,86 @@ def encoding_anomalies(ds, id_col: str, text_col: str):
             "suspect": pc.greater(bad, 0)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_novelty(ds, id_col: str, text_col: str, n: int = 3,
+                  num_partitions: int | None = None):
+    """Per-document corpus-level n-gram commonness: for every doc with
+    at least one word n-gram, the fraction of its DISTINCT n-grams that
+    also occur in at least one other document — the "how boilerplate is
+    this page" score complementing ``repetition_stats`` (within-doc)
+    and ``drop_boilerplate`` (group-level exact match).  High
+    common_frac = template/mirror content; low = novel text.  Docs too
+    short to form a gram (null text included) have no gram evidence and
+    emit no row.
+
+    Output: (id_col, n_grams, n_common, common_frac), 6dp-pinned.
+
+    Scale shape: grams never shuffle as strings — each batch emits
+    DISTINCT (gram_hash64, doc) marks (~16 B each); the gram-bucketed
+    reduce counts document frequency and re-emits ONE
+    (doc, n_grams, n_common) partial per (bucket, doc); those bounded
+    partials ride a second narrow doc-bucketed sum.  One pass over the
+    input, two mark-sized shuffles.  64-bit FNV gram identity: a
+    collision merges two grams (odds ~k²/2⁶⁵ corpus-wide) — it can only
+    nudge a score, and is the standard trade of this repo's dedup
+    family."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.functions.sketches import _fnv1a_str
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        text = str_column(batch, text_col)
+        words, lens, doc_idx = _flat_words(text)
+        starts = _gram_starts(doc_idx, n)
+        idv = ids.to_numpy(zero_copy_only=False)
+        if not starts.size:
+            return pa.table({"doc": pa.array([], type=ids.type),
+                             "h": pa.array([], type=pa.int64())})
+        gram = words[starts]
+        for k in range(1, n):
+            gram = gram + " "
+            gram = gram + words[starts + k]
+        h, _ = _fnv1a_str(pa.array(gram, type=pa.string()))
+        m = pd.DataFrame({"doc": idv[doc_idx[starts]],
+                          "h": h.view(np.int64)}).drop_duplicates()
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    gram_marks = ds.select_columns([id_col, text_col]) \
+        .map_batches(marks, batch_format="pyarrow")
+
+    def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # marks are already globally distinct (one doc = one input row
+        # = one batch); df per gram, then per-doc totals in this bucket
+        dfreq = g.groupby("h", sort=False)["doc"].transform("size")
+        g = g.assign(_c=(dfreq >= 2).to_numpy().astype(np.int64))
+        out = (g.groupby("doc", sort=False)
+               .agg(n_grams=("_c", "size"), n_common=("_c", "sum"))
+               .reset_index())
+        for c in ("n_grams", "n_common"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = bucketed_group_reduce(gram_marks, ["h"], df_reduce,
+                                     num_partitions)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        from packs_ray.stages.util import round_half_away as _r
+
+        out = (g.groupby("doc", sort=False)[["n_grams", "n_common"]]
+               .sum().reset_index())
+        out["common_frac"] = _r(
+            out["n_common"].to_numpy(np.float64)
+            / out["n_grams"].to_numpy(np.float64), 6)
+        out = out.rename(columns={"doc": id_col})
+        for c in ("n_grams", "n_common"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(partials, ["doc"], final, num_partitions)

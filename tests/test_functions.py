@@ -2001,6 +2001,40 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_ngram_novelty_shared_vs_unique(ray_session):
+    """ngram_novelty: a doc duplicating another's text scores
+    common_frac 1.0, a unique doc scores 0.0, partial overlap lands in
+    between; short/null docs emit no row; partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.webquality import ngram_novelty
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array([shared, shared,
+                          "completely novel words here never repeated",
+                          shared + " with an extra unique tail clause",
+                          "xy", None])})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = ngram_novelty(ds, "doc_id", "text", n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 5 ("xy": < 3 words) and doc 6 (null) have no grams -> no row
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert out["common_frac"].iloc[0] == 1.0
+    assert out["common_frac"].iloc[1] == 1.0
+    assert out["common_frac"].iloc[2] == 0.0
+    assert 0.0 < out["common_frac"].iloc[3] < 1.0
+    # doc 1: 7 distinct 3-grams of a 9-word sentence
+    assert out["n_grams"].iloc[0] == 7
+
+    again = ngram_novelty(ds.repartition(2), "doc_id", "text", n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_grouped_sample_n_caps_and_determinism(ray_session):
     """grouped_sample_n: exactly min(n, group size) rows per key, the
     SAME ids under any partitioning (pure function of ids), keys with
