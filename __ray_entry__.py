@@ -1783,6 +1783,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def trend_per_key_events(sf):
+        # per-user least-squares value trend (units/day), exact
+        # integer power sums
+        from packs_ray.functions.agg import trend_per_key
+
+        return trend_per_key(
+            _ds(sf, "events", ["user_id", "ts", "value"]),
+            "user_id", "ts", "value")
+
     def ngram_novelty_documents(sf):
         # corpus-level commonness: fraction of each doc's distinct
         # 3-grams shared with at least one other doc
@@ -2384,6 +2393,7 @@ checks for orders:
         "key_skew_events": key_skew_events,
         "grouped_sample_events": grouped_sample_events,
         "ngram_novelty_documents": ngram_novelty_documents,
+        "trend_per_key_events": trend_per_key_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6019,6 +6029,26 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # agg.trend_per_key: x = whole minutes since the key's first
+        # event, y = exact cents; HUGEINT power sums, one float tail
+        # (num/den * 14.4 = cents/minute -> units/day), 6dp
+        "trend_per_key_events": """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS y FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND value IS NOT NULL),
+    m AS (SELECT user_id, min(us) AS us0 FROM e GROUP BY 1),
+    c AS (SELECT e.user_id, ((us - us0) // 60000000)::HUGEINT AS x,
+          y::HUGEINT AS y FROM e JOIN m USING (user_id)),
+    s AS (SELECT user_id, count(*)::HUGEINT AS n, sum(x) AS sx,
+          sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+          FROM c GROUP BY 1)
+    SELECT user_id, n::BIGINT AS n,
+        CASE WHEN n >= 2 AND (n*sxx - sx*sx) != 0
+             THEN round((n*sxy - sx*sy)::DOUBLE
+                        / (n*sxx - sx*sx)::DOUBLE * 14.4, 6)
+        END AS slope_per_day
+    FROM s""",
         # webquality.ngram_novelty: distinct word 3-grams per doc, df
         # over STRING grams (engine uses 64-bit hashes; a collision
         # would merge two grams — odds ~k²/2⁶⁵, same trade as dedup)

@@ -862,3 +862,94 @@ def target_encode(ds, cat_col: str, value_col: str, *, m: float = 10.0,
                                                      type=pa.float64()))
 
     return per_cat.map_batches(encode, batch_format="pyarrow")
+
+
+def _exact_int_sum(arr) -> int:
+    """Sum an int64 array exactly: vectorized 65536-row chunk sums
+    (each fits int64 for the bounded operands callers feed in),
+    Python-int outer accumulation — no silent wraparound at any row
+    count."""
+    import numpy as np
+
+    n = len(arr)
+    if n == 0:
+        return 0
+    chunks = np.array_split(arr, max(1, (n + 65535) // 65536))
+    return sum(int(c.sum()) for c in chunks)
+
+
+def trend_per_key(ds, key_col: str, ts_col: str, value_col: str, *,
+                  num_buckets: int | None = None):
+    """Per-key least-squares time trend: the slope of ``value`` over
+    time for every key, in value-units per day — the "is this entity's
+    metric drifting" feature next to the anomaly flags (dqops
+    trend/anomaly check family).
+
+    Exactness: x = whole MINUTES since the key's first event
+    (floor-div; bounds x² so per-chunk int64 sums cannot overflow for
+    spans up to ~10 years), y = exact cents.  All five power sums are
+    exact integers (chunked vectorized partial sums, Python-int
+    accumulation), and the slope is ONE pinned float64 expression
+    ``(n·Sxy − Sx·Sy) / (n·Sxx − Sx²) · cents→units·minutes→day``
+    rounded to 6dp, shared with the HUGEINT SQL replica.  Keys with
+    n < 2 or zero time variance emit a null slope.
+
+    Scale shape: only (key, ts, value) shuffle once on hash(key);
+    per-bucket work is vectorized; output is one row per key."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, ts_col, value_col])
+        mask = pc.and_(pc.and_(batch.column(key_col).is_valid(),
+                               batch.column(ts_col).is_valid()),
+                       batch.column(value_col).is_valid())
+        batch = batch.filter(mask)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({key_col: [], "n": pd.Series([], dtype="int64"),
+                          "slope_per_day": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from packs_ray.stages.util import round_half_away as _r
+
+        if len(g) == 0:
+            return empty.copy()
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(g[value_col].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        keys = g[key_col].to_numpy()
+        rows = []
+        order = np.argsort(keys, kind="stable")
+        keys, us, cents = keys[order], us[order], cents[order]
+        starts = np.r_[0, np.nonzero(keys[1:] != keys[:-1])[0] + 1,
+                       len(keys)]
+        for i in range(len(starts) - 1):
+            a, b = starts[i], starts[i + 1]
+            x = (us[a:b] - us[a:b].min()) // 60_000_000  # whole minutes
+            y = cents[a:b]
+            n = b - a
+            sx, sy = _exact_int_sum(x), _exact_int_sum(y)
+            sxy, sxx = _exact_int_sum(x * y), _exact_int_sum(x * x)
+            den = n * sxx - sx * sx
+            slope = None
+            if n >= 2 and den != 0:
+                num = n * sxy - sx * sy
+                # cents/minute -> units/day: * 1440 / 100
+                slope = float(_r(float(num) / float(den) * 14.4, 6))
+            rows.append((keys[a], np.int64(n), slope))
+        out = pd.DataFrame(rows, columns=[key_col, "n", "slope_per_day"])
+        out["n"] = out["n"].astype(np.int64)
+        out["slope_per_day"] = out["slope_per_day"].astype(np.float64)
+        return out
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

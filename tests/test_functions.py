@@ -2001,6 +2001,45 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_trend_per_key_exact_slope(ray_session):
+    """trend_per_key: a perfectly linear series recovers its slope
+    exactly (units/day), a constant series slopes 0, single-point and
+    zero-time-variance keys emit null; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import trend_per_key
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    minute = np.timedelta64(60, "s")
+    # key a: +2.5 units per minute over 100 minutes -> 3600 units/day
+    ts_a = base + np.arange(100) * minute
+    v_a = 7.0 + 2.5 * np.arange(100)
+    # key b: constant
+    ts_b = base + np.arange(50) * minute
+    v_b = np.full(50, 3.25)
+    # key c: one point; key d: two points at the SAME minute
+    tbl = pa.table({
+        "k": pa.array(["a"] * 100 + ["b"] * 50 + ["c", "d", "d"]),
+        "ts": pa.array(np.r_[ts_a, ts_b, [base, base, base]],
+                       type=pa.timestamp("us")),
+        "v": pa.array(np.r_[v_a, v_b, [1.0, 1.0, 2.0]])})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    out = trend_per_key(ds, "k", "ts", "v").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == ["a", "b", "c", "d"]
+    assert abs(out["slope_per_day"].iloc[0] - 2.5 * 1440) < 1e-6
+    assert out["slope_per_day"].iloc[1] == 0.0
+    assert pd.isna(out["slope_per_day"].iloc[2])
+    assert pd.isna(out["slope_per_day"].iloc[3])
+
+    again = trend_per_key(ds.repartition(2), "k", "ts", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_ngram_novelty_shared_vs_unique(ray_session):
     """ngram_novelty: a doc duplicating another's text scores
     common_frac 1.0, a unique doc scores 0.0, partial overlap lands in
