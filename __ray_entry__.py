@@ -1783,6 +1783,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def missingness_phi_events(sf):
+        # structural-missingness catalog over deterministically planted
+        # nulls (the raw tables are fully populated): value missing on
+        # multiples of 5 or 7, user_id on multiples of 5, event_type on
+        # multiples of 2 — value/user_id co-missing, event_type nearly
+        # independent
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.profiling import missingness_phi
+
+        def plant(t: pa.Table) -> pa.Table:
+            ev = t.column("event_id").to_numpy(zero_copy_only=False)
+            def mask(col, keep):
+                return pa.array(
+                    np.where(keep, t.column(col)
+                             .to_numpy(zero_copy_only=False), None),
+                    type=t.schema.field(col).type)
+            return pa.table({
+                "value": mask("value", (ev % 5 != 0) & (ev % 7 != 0)),
+                "user_id": mask("user_id", ev % 5 != 0),
+                "event_type": mask("event_type", ev % 2 != 0),
+            })
+
+        ds = _ds(sf, "events", ["event_id", "user_id", "event_type",
+                                "value"]) \
+            .map_batches(plant, batch_format="pyarrow")
+        return missingness_phi(ds, ["value", "user_id", "event_type"])
+
     def trend_per_key_events(sf):
         # per-user least-squares value trend (units/day), exact
         # integer power sums
@@ -2394,6 +2423,7 @@ checks for orders:
         "grouped_sample_events": grouped_sample_events,
         "ngram_novelty_documents": ngram_novelty_documents,
         "trend_per_key_events": trend_per_key_events,
+        "missingness_phi_events": missingness_phi_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6029,6 +6059,40 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # profiling.missingness_phi over the same planted-null masks:
+        # exact joint counts, one pinned phi expression per pair
+        "missingness_phi_events": """
+    WITH e AS (SELECT
+        CASE WHEN event_id % 5 != 0 AND event_id % 7 != 0
+             THEN 0 ELSE 1 END AS m_value,
+        CASE WHEN event_id % 5 != 0 THEN 0 ELSE 1 END AS m_user,
+        CASE WHEN event_id % 2 != 0 THEN 0 ELSE 1 END AS m_type
+        FROM events),
+    s AS (SELECT count(*)::BIGINT AS n,
+        sum(m_value)::BIGINT AS a, sum(m_user)::BIGINT AS b,
+        sum(m_type)::BIGINT AS c,
+        sum(m_value * m_user)::BIGINT AS ab,
+        sum(m_value * m_type)::BIGINT AS ac,
+        sum(m_user * m_type)::BIGINT AS bc FROM e)
+    SELECT * FROM (
+    SELECT 'value' AS col_a, 'user_id' AS col_b, n, a AS n_a, b AS n_b,
+        ab AS n_ab,
+        CASE WHEN a*(n-a) > 0 AND b*(n-b) > 0
+             THEN round((n*ab - a*b)::DOUBLE
+                  / sqrt((a*(n-a))::DOUBLE) / sqrt((b*(n-b))::DOUBLE), 6)
+        END AS phi FROM s
+    UNION ALL
+    SELECT 'value', 'event_type', n, a, c, ac,
+        CASE WHEN a*(n-a) > 0 AND c*(n-c) > 0
+             THEN round((n*ac - a*c)::DOUBLE
+                  / sqrt((a*(n-a))::DOUBLE) / sqrt((c*(n-c))::DOUBLE), 6)
+        END FROM s
+    UNION ALL
+    SELECT 'user_id', 'event_type', n, b, c, bc,
+        CASE WHEN b*(n-b) > 0 AND c*(n-c) > 0
+             THEN round((n*bc - b*c)::DOUBLE
+                  / sqrt((b*(n-b))::DOUBLE) / sqrt((c*(n-c))::DOUBLE), 6)
+        END FROM s)""",
         # agg.trend_per_key: x = whole minutes since the key's first
         # event, y = exact cents; HUGEINT power sums, one float tail
         # (num/den * 14.4 = cents/minute -> units/day), 6dp

@@ -1029,3 +1029,54 @@ def key_skew(ds, key_col: str, *, top_k: int = 10) -> pd.DataFrame:
         "top1_share": float(_r(st["mx"] / s, 6)),
         "topk_share": float(_r(st["topk"] / s, 6)),
         "gini": float(_r(2.0 * s1 / (k * s) - (k + 1.0) / k, 6))}])
+
+
+def missingness_phi(ds, columns: list[str]) -> pd.DataFrame:
+    """Missing-value correlation catalog: for every column pair, the
+    phi coefficient between the two null-indicator vectors — the
+    "missing correlations" block of a ydata-style profile (reference
+    profiling pack ambition; structural missingness, e.g. two fields
+    absent together, shows up as phi near 1).
+
+    Exactness: the four joint counts (n, n_a, n_b, n_ab) are exact
+    integers from one streaming pass; phi is ONE pinned float64
+    expression ``(n·n_ab − n_a·n_b) / sqrt(n_a(n−n_a)) / sqrt(n_b(n−n_b))``
+    (6dp) shared with the HUGEINT SQL replica.  Pairs where either
+    column is never or always null emit a null phi (zero variance).
+    """
+    from packs_ray.functions.agg import global_agg
+
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+
+    def partial(batch: pa.Table) -> dict:
+        miss = {c: pc.is_null(batch.column(c))
+                .to_numpy(zero_copy_only=False) for c in columns}
+        d = {"n": len(batch)}
+        for c in columns:
+            d[f"m_{c}"] = int(miss[c].sum())
+        for i, (a, b) in enumerate(pairs):
+            d[f"ab_{i}"] = int((miss[a] & miss[b]).sum())
+        return d
+
+    def combine(p: pd.DataFrame) -> dict:
+        return {k: int(p[k].sum()) for k in p.columns}
+
+    agg = global_agg(ds.select_columns(columns), partial, combine,
+                     empty_schema=pa.schema(
+                         [(c, pa.float64()) for c in columns]))
+    n = agg["n"]
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        na, nb, nab = agg[f"m_{a}"], agg[f"m_{b}"], agg[f"ab_{i}"]
+        va, vb = na * (n - na), nb * (n - nb)
+        phi = None
+        if va > 0 and vb > 0:
+            phi = float(_r((n * nab - na * nb)
+                           / np.sqrt(float(va)) / np.sqrt(float(vb)), 6))
+        rows.append((a, b, np.int64(n), np.int64(na), np.int64(nb),
+                     np.int64(nab), phi))
+    out = pd.DataFrame(rows, columns=["col_a", "col_b", "n", "n_a",
+                                      "n_b", "n_ab", "phi"])
+    out["phi"] = out["phi"].astype(np.float64)
+    return out

@@ -2001,6 +2001,40 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_missingness_phi_structured_vs_independent(ray_session):
+    """missingness_phi: columns that go missing together score phi 1.0,
+    complementary missing score -1.0, a never-null column emits null
+    phi; exact joint counts; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import missingness_phi
+
+    n = 400
+    together = np.arange(n) % 4 == 0
+    a = np.where(together, None, 1.0)
+    b = np.where(together, None, 2.0)   # identical mask -> phi 1
+    c = np.where(together, 3.0, None)   # complement -> phi -1
+    d = np.full(n, 4.0)                 # never null -> phi null
+    tbl = pa.table({"a": pa.array(a, type=pa.float64()),
+                    "b": pa.array(b, type=pa.float64()),
+                    "c": pa.array(c, type=pa.float64()),
+                    "d": pa.array(d, type=pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = missingness_phi(ds, ["a", "b", "c", "d"])
+    r = {(x, y): p for x, y, p in
+         zip(out["col_a"], out["col_b"], out["phi"])}
+    assert r[("a", "b")] == 1.0
+    assert r[("a", "c")] == -1.0
+    assert pd.isna(r[("a", "d")])
+    assert out["n"].iloc[0] == n and out["n_ab"].iloc[0] == 100
+
+    again = missingness_phi(ds.repartition(2), ["a", "b", "c", "d"])
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_trend_per_key_exact_slope(ray_session):
     """trend_per_key: a perfectly linear series recovers its slope
     exactly (units/day), a constant series slopes 0, single-point and
