@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def dup_sizes_documents(sf):
+        # dedup planning view: duplicate-group size distribution of
+        # document text
+        from packs_ray.functions.duplicates import dup_size_histogram
+
+        return dup_size_histogram(_ds(sf, "documents", ["text"]),
+                                  ["text"])
+
     def missingness_phi_events(sf):
         # structural-missingness catalog over deterministically planted
         # nulls (the raw tables are fully populated): value missing on
@@ -2424,6 +2432,7 @@ checks for orders:
         "ngram_novelty_documents": ngram_novelty_documents,
         "trend_per_key_events": trend_per_key_events,
         "missingness_phi_events": missingness_phi_events,
+        "dup_sizes_documents": dup_sizes_documents,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6059,6 +6068,13 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # duplicates.dup_size_histogram: group sizes over text content
+        # (engine groups by 128-bit content hash; nulls one group)
+        "dup_sizes_documents": """
+    WITH g AS (SELECT text, count(*)::BIGINT AS group_size
+               FROM documents GROUP BY text)
+    SELECT group_size, count(*)::BIGINT AS n_groups
+    FROM g GROUP BY group_size""",
         # profiling.missingness_phi over the same planted-null masks:
         # exact joint counts, one pinned phi expression per pair
         "missingness_phi_events": """

@@ -11,6 +11,7 @@ dedup keeps min(order_col) per key group.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -256,3 +257,56 @@ def dedup_latest(ds, key_cols: list[str], ts_col: str, id_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby("__p").map_groups(per_bucket, batch_format="pandas")
+
+
+def dup_size_histogram(ds, key_cols: list[str],
+                       num_partitions: int | None = None):
+    """Duplicate-group size distribution: how many distinct key values
+    occur exactly 1×, 2×, 3×, ... — the dedup PLANNING view the
+    duplicates pack's single metric row doesn't give (is duplication a
+    few huge mirror clusters or a long tail of pairs?  the answer
+    decides cap/salting parameters for the dedup shuffle itself).
+
+    Output: (group_size, n_groups) sorted ascending.  SQL nulls group
+    together (the 128-bit hash uses a null sentinel).
+
+    Scale shape: per-batch partial counts of the 128-bit content hash
+    ride one bucketed sum (the dedup-marks shape, ~40 B/row); the
+    second aggregation runs over (size, count) partials bounded by the
+    distinct group-size count.  A hash collision would merge two
+    groups (odds ~k²/2¹²⁹)."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         keyed_count,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        h1, h2, _ = _key_hash128(batch, key_cols, 1)
+        return pa.table({"h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64))})
+
+    per_group = keyed_count(
+        ds.select_columns(key_cols).map_batches(
+            marks, batch_format="pyarrow"),
+        ["h1", "h2"], count_col="group_size",
+        num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["group_size"]).to_pandas()
+        out = (df.groupby("group_size", sort=False).size()
+               .reset_index(name="n_groups"))
+        out["n_groups"] = out["n_groups"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = per_group.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("group_size", sort=True)["n_groups"]
+               .sum().reset_index())
+        out["n_groups"] = out["n_groups"].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(parts, ["group_size"], reduce_fn,
+                                 num_partitions)

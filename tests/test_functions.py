@@ -2001,6 +2001,31 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_dup_size_histogram_mixed_groups(ray_session):
+    """dup_size_histogram: 10 singletons + 3 pairs + 1 group of 5 →
+    {1: 10, 2: 3, 5: 1}; nulls form one group; int keys work;
+    partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.duplicates import dup_size_histogram
+
+    texts = [f"unique {i}" for i in range(10)] \
+        + ["pair a"] * 2 + ["pair b"] * 2 + ["pair c"] * 2 \
+        + ["five"] * 5 + [None] * 3
+    ds = ray.data.from_arrow(pa.table({"t": pa.array(texts)})) \
+        .repartition(4)
+    out = dup_size_histogram(ds, ["t"]).to_pandas() \
+        .sort_values("group_size").reset_index(drop=True)
+    got = dict(zip(out["group_size"], out["n_groups"]))
+    assert got == {1: 10, 2: 3, 3: 1, 5: 1}
+
+    again = dup_size_histogram(ds.repartition(2), ["t"]).to_pandas() \
+        .sort_values("group_size").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_missingness_phi_structured_vs_independent(ray_session):
     """missingness_phi: columns that go missing together score phi 1.0,
     complementary missing score -1.0, a never-null column emits null
