@@ -1783,6 +1783,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def response_latency_transcripts(sf):
+        # per-conversation assistant response latency over the sf-sized
+        # transcript fixture
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import response_latency
+
+        tds = read_parquet_sized(
+            _transcripts(sf),
+            columns=["conv_id", "turn_idx", "role", "ts"])
+        return response_latency(tds)
+
     def dup_sizes_documents(sf):
         # dedup planning view: duplicate-group size distribution of
         # document text
@@ -2433,6 +2444,7 @@ checks for orders:
         "trend_per_key_events": trend_per_key_events,
         "missingness_phi_events": missingness_phi_events,
         "dup_sizes_documents": dup_sizes_documents,
+        "response_latency_transcripts": response_latency_transcripts,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -3324,6 +3336,38 @@ def _tool_usage_sql() -> str:
     SELECT tool, count(*)::BIGINT AS n_turns,
            count(DISTINCT conv_id)::BIGINT AS n_convs
     FROM t WHERE tool IS NOT NULL GROUP BY tool"""
+
+
+def _response_latency_sql(role: str = "assistant") -> str:
+    """stages.conversation.response_latency replica: lag under the
+    pinned (conv_id, turn_idx) order, role-boundary filter, exact us
+    deltas, 6dp mean."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, ts"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT * FROM t WHERE conv_id IS NOT NULL
+          AND turn_idx IS NOT NULL AND role IS NOT NULL
+          AND ts IS NOT NULL),
+    w AS (SELECT conv_id, role,
+            lag(role) OVER ord AS prev_role,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER ord AS lat
+          FROM e WINDOW ord AS (PARTITION BY conv_id
+                                ORDER BY turn_idx, ts, role)),
+    h AS (SELECT conv_id, lat FROM w
+          WHERE role = '{role}' AND prev_role IS NOT NULL
+            AND prev_role != '{role}')
+    SELECT conv_id, count(*)::BIGINT AS n_responses,
+        round(sum(lat)::DOUBLE / count(*)::DOUBLE, 6)
+            AS mean_latency_us,
+        max(lat)::BIGINT AS max_latency_us
+    FROM h GROUP BY conv_id"""
 
 
 def _sft_sql(k: int = 3, target_role: str = "assistant") -> str:
@@ -6280,6 +6324,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_documents": _decontam_sql(),
         "boilerplate_turns_transcripts": _boilerplate_sql(),
         "tool_usage_transcripts": _tool_usage_sql(),
+        "response_latency_transcripts": _response_latency_sql(),
         "sft_examples_transcripts": _sft_sql(3),
         "join_orders_customer":
             "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "

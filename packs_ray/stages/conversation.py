@@ -250,3 +250,84 @@ def conversation_stage(ds, num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG,
     salt_k = cfg.salt_segment_size
     return ds.groupby("bucket").map_groups(
         lambda g: process_conv_bucket(g, salt_k), batch_format="pandas")
+
+
+def response_latency(ds, *, conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx", role_col: str = "role",
+                     ts_col: str = "ts", role: str = "assistant",
+                     num_buckets: int | None = None):
+    """Per-conversation response-latency profile of an agent
+    transcript: for every ``role`` turn that directly follows a turn of
+    any OTHER role (under the stable (conv, turn_idx) order the whole
+    pipeline pins; BASELINE.json input_hint), the latency is the ts
+    delta to that previous turn.  Output one row per conversation that
+    has at least one such response: (conv_id, n_responses,
+    mean_latency_us, max_latency_us) — the ops-health view of a
+    transcript corpus (is the agent slow, did tool loops stall).
+
+    Exactness: latencies are exact integer microseconds; the mean is
+    one pinned float64 division, 6dp.
+
+    Scale shape: only the four narrow columns shuffle once on
+    hash(conv); per-bucket work is one stable sort + shifted compares.
+    Null conv/idx/role/ts rows are excluded."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    cols = [conv_col, idx_col, role_col, ts_col]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in cols[1:]:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({conv_col: [],
+                          "n_responses": pd.Series([], dtype="int64"),
+                          "mean_latency_us": pd.Series([], dtype="float64"),
+                          "max_latency_us": pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        # total order: the fixture (like real crawls) can contain
+        # duplicate turn_idx rows, so ties are pinned by (ts, role)
+        g = g.sort_values([conv_col, idx_col, ts_col, role_col],
+                          kind="stable")
+        conv = g[conv_col].to_numpy()
+        roles = g[role_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = conv[1:] == conv[:-1]
+        hit = np.zeros(len(g), dtype=bool)
+        hit[1:] = same[1:] & (roles[1:] == role) & (roles[:-1] != role)
+        lat = np.zeros(len(g), dtype=np.int64)
+        lat[1:] = ts[1:] - ts[:-1]
+        d = pd.DataFrame({conv_col: conv[hit], "_lat": lat[hit]})
+        if len(d) == 0:
+            return empty.copy()
+        out = (d.groupby(conv_col, sort=False)["_lat"]
+               .agg(n_responses="size", _sum="sum",
+                    max_latency_us="max").reset_index())
+        out["mean_latency_us"] = _r(
+            out["_sum"].to_numpy(np.float64)
+            / out["n_responses"].to_numpy(np.float64), 6)
+        out = out.drop(columns="_sum")
+        for c in ("n_responses", "max_latency_us"):
+            out[c] = out[c].astype(np.int64)
+        return out[[conv_col, "n_responses", "mean_latency_us",
+                    "max_latency_us"]]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -2001,6 +2001,43 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_response_latency_role_boundaries(ray_session):
+    """response_latency: only role turns directly after an OTHER-role
+    turn count; consecutive assistant turns don't; conversations with
+    no responses emit no row; exact us deltas; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.stages.conversation import response_latency
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = lambda n: base + np.timedelta64(n, "s")
+    tbl = pa.table({
+        "conv_id": pa.array(["c1"] * 5 + ["c2"] * 2),
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1], type=pa.int32()),
+        "role": pa.array(["user", "assistant", "assistant", "user",
+                          "assistant", "assistant", "assistant"]),
+        "ts": pa.array([s(0), s(3), s(5), s(10), s(17), s(0), s(1)],
+                       type=pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = response_latency(ds).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    # c1: responses at turn 1 (3s) and turn 4 (7s); turn 2 follows an
+    # assistant turn so it does NOT count.  c2 has no boundary at all
+    # (its first turn has no predecessor).
+    assert list(out["conv_id"]) == ["c1"]
+    assert out["n_responses"].iloc[0] == 2
+    assert out["max_latency_us"].iloc[0] == 7_000_000
+    assert out["mean_latency_us"].iloc[0] == 5_000_000.0
+
+    again = response_latency(ds.repartition(2)).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_dup_size_histogram_mixed_groups(ray_session):
     """dup_size_histogram: 10 singletons + 3 pairs + 1 group of 5 →
     {1: 10, 2: 3, 5: 1}; nulls form one group; int keys work;
