@@ -1783,6 +1783,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def key_overlap_orders_customer(sf):
+        # join-cardinality diagnostic: orders.o_custkey vs
+        # customer.c_custkey key sets
+        from packs_ray.functions.integrity import key_overlap
+
+        return key_overlap(_ds(sf, "orders", ["o_custkey"]),
+                           _ds(sf, "customer", ["c_custkey"]),
+                           "o_custkey", "c_custkey")
+
     def response_latency_transcripts(sf):
         # per-conversation assistant response latency over the sf-sized
         # transcript fixture
@@ -2445,6 +2454,7 @@ checks for orders:
         "missingness_phi_events": missingness_phi_events,
         "dup_sizes_documents": dup_sizes_documents,
         "response_latency_transcripts": response_latency_transcripts,
+        "key_overlap_orders_customer": key_overlap_orders_customer,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6112,6 +6122,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # integrity.key_overlap: engine compares string-cast keys,
+        # null keys excluded (join semantics)
+        "key_overlap_orders_customer": """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_custkey IS NOT NULL),
+    b AS (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_custkey IS NOT NULL),
+    s AS (SELECT (SELECT count(*) FROM a)::BIGINT AS na,
+          (SELECT count(*) FROM b)::BIGINT AS nb,
+          (SELECT count(*) FROM a JOIN b USING (k))::BIGINT AS nc)
+    SELECT na AS n_keys_a, nb AS n_keys_b, nc AS n_common,
+        CASE WHEN na + nb - nc > 0
+             THEN round(nc::DOUBLE / (na + nb - nc), 6) END AS jaccard,
+        CASE WHEN na > 0 THEN round(nc::DOUBLE / na, 6) END
+            AS containment_a,
+        CASE WHEN nb > 0 THEN round(nc::DOUBLE / nb, 6) END
+            AS containment_b
+    FROM s""",
         # duplicates.dup_size_histogram: group sizes over text content
         # (engine groups by 128-bit content hash; nulls one group)
         "dup_sizes_documents": """

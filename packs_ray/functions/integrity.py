@@ -184,3 +184,65 @@ def fk_orphans(child_ds, child_keys: list[str], parent_ds,
         "orphan_percent": float(_r(orphans / total, 4)) if total else 0.0,
         "score": max(0.0, 1 - (orphans / total if total else 0.0)),
     }])
+
+
+def key_overlap(ds_a, ds_b, key_a: str, key_b: str | None = None) -> "pd.DataFrame":
+    """Join-cardinality diagnostic between two tables' key sets: exact
+    distinct counts on each side, the intersection size, Jaccard, and
+    both containment ratios — what you check BEFORE running an
+    equi-join / FK validation at scale (a containment far below 1.0
+    predicts orphan volume; see ``fk_orphans``).
+
+    Exactness: per-batch distinct (key, side) marks ride one bucketed
+    shuffle; each bucket reduces to three exact integers, driver sums
+    the bounded per-bucket partials.  Ratios are pinned 6dp float64
+    shared with the SQL replica.  Null keys are excluded (SQL DISTINCT
+    join semantics: null never matches)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if key_b is None:
+        key_b = key_a
+
+    def marks(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).drop_null().unique()
+            return pa.table({
+                "k": pc.cast(k, pa.string()),
+                "side": pa.array(np.full(len(k), side, dtype=np.int8))})
+        return fn
+
+    parts = ds_a.select_columns([key_a]) \
+        .map_batches(marks(key_a, 0), batch_format="pyarrow") \
+        .union(ds_b.select_columns([key_b])
+               .map_batches(marks(key_b, 1), batch_format="pyarrow"))
+
+    nparts = max(reduce_partition_count(ds_a),
+                 reduce_partition_count(ds_b))
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct within the bucket (marks repeat across batches)
+        d = g.drop_duplicates()
+        a = d.loc[d["side"] == 0, "k"].to_numpy()
+        b = d.loc[d["side"] == 1, "k"].to_numpy()
+        return pd.DataFrame([{
+            "n_a": len(a), "n_b": len(b),
+            "n_common": len(np.intersect1d(a, b))}])
+
+    per_bucket = bucketed_group_reduce(parts, ["k"], reduce_fn,
+                                       nparts).to_pandas()
+    na = int(per_bucket["n_a"].sum())
+    nb = int(per_bucket["n_b"].sum())
+    nc = int(per_bucket["n_common"].sum())
+    union = na + nb - nc
+    return pd.DataFrame([{
+        "n_keys_a": np.int64(na), "n_keys_b": np.int64(nb),
+        "n_common": np.int64(nc),
+        "jaccard": float(_r(nc / union, 6)) if union else None,
+        "containment_a": float(_r(nc / na, 6)) if na else None,
+        "containment_b": float(_r(nc / nb, 6)) if nb else None}])

@@ -2001,6 +2001,34 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_key_overlap_counts_and_ratios(ray_session):
+    """key_overlap: exact distinct/intersection counts, jaccard and
+    containments; duplicates within a side count once; null keys
+    excluded; partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.integrity import key_overlap
+
+    a = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 1, 2, 3, 4, None], type=pa.int64())})) \
+        .repartition(3)
+    b = ray.data.from_arrow(pa.table(
+        {"k": pa.array([3, 4, 4, 5, None], type=pa.int64())})) \
+        .repartition(2)
+    out = key_overlap(a, b, "k")
+    r = out.iloc[0]
+    assert r["n_keys_a"] == 4 and r["n_keys_b"] == 3
+    assert r["n_common"] == 2
+    assert abs(r["jaccard"] - 2 / 5) < 1e-9
+    assert r["containment_a"] == 0.5
+    assert abs(r["containment_b"] - round(2 / 3, 6)) < 1e-12
+
+    again = key_overlap(a.repartition(1), b.repartition(4), "k")
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_response_latency_role_boundaries(ray_session):
     """response_latency: only role turns directly after an OTHER-role
     turn count; consecutive assistant turns don't; conversations with
