@@ -1823,12 +1823,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from packs_ray.functions.profiling import missingness_phi
 
         def plant(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             ev = t.column("event_id").to_numpy(zero_copy_only=False)
             def mask(col, keep):
-                return pa.array(
-                    np.where(keep, t.column(col)
-                             .to_numpy(zero_copy_only=False), None),
-                    type=t.schema.field(col).type)
+                # arrow-level if_else: a null source value stays null
+                # under either branch (all-null sweep safe)
+                c = t.column(col)
+                return pc.if_else(pa.array(np.asarray(keep, dtype=bool)),
+                                  c, pa.scalar(None, type=c.type))
             return pa.table({
                 "value": mask("value", (ev % 5 != 0) & (ev % 7 != 0)),
                 "user_id": mask("user_id", ev % 5 != 0),

@@ -236,6 +236,8 @@ def key_overlap(ds_a, ds_b, key_a: str, key_b: str | None = None) -> "pd.DataFra
 
     per_bucket = bucketed_group_reduce(parts, ["k"], reduce_fn,
                                        nparts).to_pandas()
+    if per_bucket.empty:  # no non-null key on either side
+        per_bucket = pd.DataFrame([{"n_a": 0, "n_b": 0, "n_common": 0}])
     na = int(per_bucket["n_a"].sum())
     nb = int(per_bucket["n_b"].sum())
     nc = int(per_bucket["n_common"].sum())

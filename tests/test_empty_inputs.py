@@ -20,7 +20,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # transcripts / file-mtime metadata) are exercised by their own tests
 SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
         "boilerplate_turns_transcripts", "tool_usage_transcripts",
-        "sft_examples_transcripts", "staleness_inputs",
+        "sft_examples_transcripts", "response_latency_transcripts",
+        "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 
 
