@@ -1783,6 +1783,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def iqr_outliers_per_key_lineitem(sf):
+        # per-segment Tukey fences over extended price
+        from packs_ray.functions.outliers import iqr_outliers_per_key
+
+        return iqr_outliers_per_key(
+            _ds(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_returnflag", "l_extendedprice"]),
+            "l_returnflag", "l_extendedprice",
+            ["l_orderkey", "l_linenumber"])
+
     def key_overlap_orders_customer(sf):
         # join-cardinality diagnostic: orders.o_custkey vs
         # customer.c_custkey key sets
@@ -2458,6 +2468,7 @@ checks for orders:
         "dup_sizes_documents": dup_sizes_documents,
         "response_latency_transcripts": response_latency_transcripts,
         "key_overlap_orders_customer": key_overlap_orders_customer,
+        "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6125,6 +6136,22 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # outliers.iqr_outliers_per_key: per-key quantile_cont q1/q3
+        # (6dp, grouped_quantiles parity), pinned fence expression
+        "iqr_outliers_lineitem": """
+    WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+               l_extendedprice FROM lineitem
+               WHERE l_returnflag IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+    q AS (SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+          round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+          FROM v GROUP BY 1)
+    SELECT v.l_orderkey, v.l_linenumber, v.l_returnflag,
+        v.l_extendedprice,
+        (v.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+         OR v.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+    FROM v JOIN q USING (l_returnflag)""",
         # integrity.key_overlap: engine compares string-cast keys,
         # null keys excluded (join semantics)
         "key_overlap_orders_customer": """

@@ -333,3 +333,58 @@ def sum_anomaly(ds, ts_col: str, value_col: str, *, k: float = 3.0,
         ds.map_batches(partial, batch_format="pyarrow"),
         ["day"], reduce_fn, num_partitions)
     return mad_outliers(daily, "cents", k=k)
+
+
+def iqr_outliers_per_key(ds, key_col: str, value_col: str,
+                         id_cols: list[str], *, k: float = 1.5,
+                         num_partitions: int | None = None):
+    """Per-group Tukey-fence outlier flags: a row is an outlier when
+    its value leaves ``[q1 − k·IQR, q3 + k·IQR]`` computed over ITS OWN
+    group — the per-segment form of the outlier pack's global checks
+    (a price that's normal for segment A can be anomalous for B).
+
+    Exactness: per-key q1/q3 are exact order statistics (np.percentile
+    'linear' == DuckDB quantile_cont), 6dp-pinned; the fences are one
+    pinned float expression.  Null key/value rows are excluded.
+
+    Scale shape: only the (key, value) projection shuffles once to
+    co-locate each group for the exact quantiles; the bounded per-key
+    fence table is broadcast via ``ray.put`` and the FLAG pass streams
+    the full rows without any shuffle.  Mega-groups inherit
+    grouped_quantiles' documented bucket-fit assumption."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import reduce_partition_count
+    from packs_ray.functions.profiling import grouped_quantiles
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    qt = grouped_quantiles(ds, key_col, value_col, (0.25, 0.75),
+                           num_partitions=num_partitions).to_pandas()
+    fences = {}
+    for key, grp in qt.groupby(key_col, sort=False):
+        q = dict(zip(grp["q"], grp["value"]))
+        iqr = q[0.75] - q[0.25]
+        fences[key] = (q[0.25] - k * iqr, q[0.75] + k * iqr)
+    lo_s = pd.Series({key: v[0] for key, v in fences.items()},
+                     dtype=np.float64)
+    hi_s = pd.Series({key: v[1] for key, v in fences.items()},
+                     dtype=np.float64)
+    ref = ray.put((lo_s, hi_s))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        flo, fhi = ray.get(ref)
+        batch = batch.select(id_cols + [key_col, value_col])
+        mask = pc.and_(pc.is_valid(batch.column(key_col)),
+                       pc.is_valid(batch.column(value_col)))
+        batch = batch.filter(mask)
+        keys = batch.column(key_col).to_pandas()
+        lo = keys.map(flo).to_numpy(dtype=np.float64)
+        hi = keys.map(fhi).to_numpy(dtype=np.float64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.append_column(
+            "is_outlier", pa.array((v < lo) | (v > hi)))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

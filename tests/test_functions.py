@@ -2001,6 +2001,40 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_iqr_outliers_per_key_group_relative(ray_session):
+    """iqr_outliers_per_key: a value normal in one group is an outlier
+    in another (fences are per-group); null rows excluded;
+    partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.outliers import iqr_outliers_per_key
+
+    # group A around 100 with one spike; group B around 10000 where
+    # the SAME spike value (500) would be a LOW outlier
+    rng = np.random.default_rng(5)
+    va = np.r_[rng.uniform(90, 110, 200), [500.0]]
+    vb = np.r_[rng.uniform(9000, 11000, 200), [500.0]]
+    tbl = pa.table({
+        "id": pa.array(np.arange(402), type=pa.int64()),
+        "g": pa.array(["a"] * 201 + ["b"] * 201),
+        "v": pa.array(np.r_[va, vb])})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = iqr_outliers_per_key(ds, "g", "v", ["id"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert len(out) == 402
+    assert bool(out.loc[out["id"] == 200, "is_outlier"].iloc[0])
+    assert bool(out.loc[out["id"] == 401, "is_outlier"].iloc[0])
+    # in-band rows aren't flagged (uniform data has no Tukey outliers)
+    assert out.loc[(out["id"] < 200), "is_outlier"].sum() == 0
+
+    again = iqr_outliers_per_key(ds.repartition(2), "g", "v", ["id"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_key_overlap_counts_and_ratios(ray_session):
     """key_overlap: exact distinct/intersection counts, jaccard and
     containments; duplicates within a side count once; null keys
