@@ -1783,6 +1783,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def pii_density_transcripts(sf):
+        # per-conversation PII density over the sf-sized transcript
+        # fixture (which conversations need scrubbing review)
+        from packs_ray.functions.pii import pii_density
+        from packs_ray.sources.parquet import read_parquet_sized
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "text"])
+        return pii_density(tds, "conv_id", "text")
+
     def iqr_outliers_per_key_lineitem(sf):
         # per-segment Tukey fences over extended price
         from packs_ray.functions.outliers import iqr_outliers_per_key
@@ -2469,6 +2479,7 @@ checks for orders:
         "response_latency_transcripts": response_latency_transcripts,
         "key_overlap_orders_customer": key_overlap_orders_customer,
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
+        "pii_density_transcripts": pii_density_transcripts,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -3360,6 +3371,31 @@ def _tool_usage_sql() -> str:
     SELECT tool, count(*)::BIGINT AS n_turns,
            count(DISTINCT conv_id)::BIGINT AS n_convs
     FROM t WHERE tool IS NOT NULL GROUP BY tool"""
+
+
+def _pii_density_sql() -> str:
+    """pii.pii_density replica over the transcript fixture: the
+    pii_scan any-pattern OR, per-conversation counts, 6dp ratio."""
+    from packs_ray.rules.patterns import PII_PATTERNS
+
+    a = _ensure_flagship_artifacts()
+    any_expr = " OR ".join(f"regexp_matches(text, '{p}')"
+                           for _k, p in PII_PATTERNS)
+    return f"""
+    WITH t AS (
+        SELECT conv_id, text FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT conv_id, text FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT conv_id, text FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000)
+    SELECT conv_id, count(*)::BIGINT AS n_rows,
+        sum(CASE WHEN text IS NOT NULL AND ({any_expr})
+            THEN 1 ELSE 0 END)::BIGINT AS n_pii,
+        round(sum(CASE WHEN text IS NOT NULL AND ({any_expr})
+                  THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+            AS pii_ratio
+    FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
 
 
 def _response_latency_sql(role: str = "assistant") -> str:
@@ -6383,6 +6419,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_turns_transcripts": _boilerplate_sql(),
         "tool_usage_transcripts": _tool_usage_sql(),
         "response_latency_transcripts": _response_latency_sql(),
+        "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),
         "join_orders_customer":
             "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "

@@ -274,3 +274,77 @@ def pii_spans(ds, id_col: str, text_col: str,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
                                "cfg": cfg},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def pii_density(ds, key_col: str, text_col: str,
+                cfg: FilterConfig = DEFAULT_CONFIG,
+                num_partitions: int | None = None):
+    """Per-group PII density: for every value of ``key_col`` (a
+    conversation, a domain, a source), how many rows carry any PII
+    pattern hit in ``text_col`` and the hit ratio — the rollup view of
+    ``pii_scan``'s corpus totals (which conversations need scrubbing
+    review, not just how many rows overall).
+
+    Output: (key_col, n_rows, n_pii, pii_ratio 6dp).  Null-text rows
+    count in n_rows but can't hit; null keys are excluded.
+
+    Scale shape: the row-level any-hit indicator is computed exactly
+    like pii_scan (one vectorized RE2 kernel per safe pattern, the
+    Python loop only for lazy-quantifier patterns over prefiltered
+    candidates); only (key, n, n_pii) partials ride one bucketed sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.functions.validation import _re2_safe
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    bank = [(k, p) for k, p in cfg.pii_patterns]
+    safe = {k for k, p in bank if _re2_safe(p)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, text_col]).filter(
+            batch.column(key_col).is_valid())
+        compiled = [(k, re.compile(p)) for k, p in bank if k not in safe]
+        text = str_column(batch, text_col)
+        any_hit = np.zeros(batch.num_rows, dtype=bool)
+        for key, pat in bank:
+            if key in safe:
+                any_hit |= pc.match_substring_regex(text, pat) \
+                    .fill_null(False).to_numpy(zero_copy_only=False)
+        if compiled:
+            cand = pc.match_substring_regex(
+                text, PII_PREFILTER_CHARS).fill_null(False) \
+                .to_numpy(zero_copy_only=False)
+            vals = text.to_numpy(zero_copy_only=False)
+            for key, rx in compiled:
+                for i in np.flatnonzero(cand & ~any_hit):
+                    if vals[i] is not None and rx.search(vals[i]):
+                        any_hit[i] = True
+        df = pd.DataFrame({key_col: batch.column(key_col)
+                           .to_numpy(zero_copy_only=False),
+                           "_hit": any_hit.astype(np.int64)})
+        out = (df.groupby(key_col, sort=False)["_hit"]
+               .agg(n_rows="size", n_pii="sum").reset_index())
+        for c in ("n_rows", "n_pii"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(key_col, sort=False)[["n_rows", "n_pii"]]
+               .sum().reset_index())
+        out["pii_ratio"] = _r(out["n_pii"].to_numpy(np.float64)
+                              / out["n_rows"].to_numpy(np.float64), 6)
+        for c in ("n_rows", "n_pii"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(parts, [key_col], reduce_fn,
+                                 num_partitions)

@@ -2001,6 +2001,38 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_pii_density_per_group(ray_session):
+    """pii_density: rows with any PII pattern count once per row; null
+    texts count in n_rows but never hit; null keys excluded;
+    partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.pii import pii_density
+
+    tbl = pa.table({
+        "conv": pa.array(["a", "a", "a", "b", "b", None]),
+        "text": pa.array(["mail me at bob@example.com",
+                          "ip 10.1.2.3 and mail x@y.io",  # 1 row, 2 kinds
+                          None,
+                          "clean text here",
+                          "ssn 123-45-6789",
+                          "anything"])})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = pii_density(ds, "conv", "text").to_pandas() \
+        .sort_values("conv").reset_index(drop=True)
+    assert list(out["conv"]) == ["a", "b"]
+    a, b = out.iloc[0], out.iloc[1]
+    assert a["n_rows"] == 3 and a["n_pii"] == 2
+    assert abs(a["pii_ratio"] - round(2 / 3, 6)) < 1e-12
+    assert b["n_rows"] == 2 and b["n_pii"] == 1 and b["pii_ratio"] == 0.5
+
+    again = pii_density(ds.repartition(1), "conv", "text").to_pandas() \
+        .sort_values("conv").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_iqr_outliers_per_key_group_relative(ray_session):
     """iqr_outliers_per_key: a value normal in one group is an outlier
     in another (fences are per-group); null rows excluded;
