@@ -362,6 +362,8 @@ def iqr_outliers_per_key(ds, key_col: str, value_col: str,
 
     qt = grouped_quantiles(ds, key_col, value_col, (0.25, 0.75),
                            num_partitions=num_partitions).to_pandas()
+    if qt.empty:  # 0-row / all-null input: no groups, no fences
+        qt = pd.DataFrame({key_col: [], "q": [], "value": []})
     fences = {}
     for key, grp in qt.groupby(key_col, sort=False):
         q = dict(zip(grp["q"], grp["value"]))
