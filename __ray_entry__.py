@@ -1783,6 +1783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def zipf_fit_documents(sf):
+        # corpus-health screen: Zipf slope of the top-200 token curve
+        from packs_ray.functions.textstats import zipf_fit
+
+        return zipf_fit(_ds(sf, "documents", ["text"]), "text",
+                        k=200, min_count=3)
+
     def pii_density_transcripts(sf):
         # per-conversation PII density over the sf-sized transcript
         # fixture (which conversations need scrubbing review)
@@ -2480,6 +2487,7 @@ checks for orders:
         "key_overlap_orders_customer": key_overlap_orders_customer,
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
         "pii_density_transcripts": pii_density_transcripts,
+        "zipf_fit_documents": zipf_fit_documents,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6172,6 +6180,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # textstats.zipf_fit: the vocab_documents CTE, then strict
+        # rank-ascending list_reduce folds and one pinned closed form
+        "zipf_fit_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    t AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    v AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                 AS BIGINT) AS rank, cnt
+          FROM t WHERE cnt >= 3 QUALIFY rank <= 200),
+    s AS (SELECT count(*)::DOUBLE AS n,
+        list_reduce([0.0] || list(ln(rank::DOUBLE) ORDER BY rank),
+                    (a, b) -> a + b) AS sx,
+        list_reduce([0.0] || list(ln(cnt::DOUBLE) ORDER BY rank),
+                    (a, b) -> a + b) AS sy,
+        list_reduce([0.0] || list(ln(rank::DOUBLE) * ln(cnt::DOUBLE)
+                    ORDER BY rank), (a, b) -> a + b) AS sxy,
+        list_reduce([0.0] || list(ln(rank::DOUBLE) * ln(rank::DOUBLE)
+                    ORDER BY rank), (a, b) -> a + b) AS sxx
+        FROM v),
+    f AS (SELECT n, sy, sx,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+          FROM s)
+    SELECT n::BIGINT AS n_tokens, round(slope_raw, 6) AS slope,
+           round((sy - slope_raw * sx) / n, 6) AS intercept
+    FROM f""",
         # outliers.iqr_outliers_per_key: per-key quantile_cont q1/q3
         # (6dp, grouped_quantiles parity), pinned fence expression
         "iqr_outliers_lineitem": """

@@ -655,3 +655,46 @@ def regex_extract(ds, id_col: str, column: str, pattern: str,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def zipf_fit(ds, column: str, *, k: int = 200, min_count: int = 1,
+             num_partitions: int | None = None) -> pd.DataFrame:
+    """Zipf-law fit of the corpus token-frequency curve: least-squares
+    slope/intercept of ``ln(count)`` against ``ln(rank)`` over the top
+    ``k`` vocabulary tokens — the corpus-health screen (natural text
+    slopes ≈ −1; templated/boilerplate corpora flatten, spam steepens;
+    Zipf 1949, public result).
+
+    Reuses ``build_vocab``'s distributed token counting (the only part
+    that touches data); the fit itself runs over the bounded k-row
+    vocabulary on the driver with STRICT rank-ascending left-associative
+    float sums, bit-shared with the SQL ``list_reduce`` replica.
+    Output: one row (n_tokens, slope, intercept)."""
+    from packs_ray.stages.util import round_half_away as _r
+
+    vocab = build_vocab(ds, column, min_count=min_count, k=k,
+                        num_partitions=num_partitions)
+    n = len(vocab)
+    if n < 2:
+        return pd.DataFrame([{"n_tokens": np.int64(n),
+                              "slope": np.nan, "intercept": np.nan}])
+    vocab = vocab.sort_values("token_id")
+    import math
+
+    sx = sy = sxy = sxx = 0.0
+    for rank, cnt in zip(vocab["token_id"], vocab["cnt"]):
+        x, y = math.log(float(rank)), math.log(float(cnt))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    nf = float(n)
+    den = nf * sxx - sx * sx
+    if den == 0.0:
+        return pd.DataFrame([{"n_tokens": np.int64(n),
+                              "slope": np.nan, "intercept": np.nan}])
+    slope = (nf * sxy - sx * sy) / den
+    return pd.DataFrame([{
+        "n_tokens": np.int64(n),
+        "slope": float(_r(slope, 6)),
+        "intercept": float(_r((sy - slope * sx) / nf, 6))}])

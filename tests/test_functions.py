@@ -2001,6 +2001,37 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_zipf_fit_recovers_power_law(ray_session):
+    """zipf_fit: a corpus built with counts = C / rank recovers slope
+    ≈ -1; partition-invariant; a near-empty corpus emits null slope."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import zipf_fit
+
+    # token t{r} appears round(1000/r) times, r = 1..50
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:03d}"] * round(1000 / r)
+    rng = np.random.default_rng(3)
+    rng.shuffle(words)
+    docs = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)})) \
+        .repartition(4)
+    out = zipf_fit(ds, "text", k=50, min_count=1)
+    assert out["n_tokens"].iloc[0] == 50
+    assert abs(out["slope"].iloc[0] + 1.0) < 0.02
+
+    again = zipf_fit(ds.repartition(2), "text", k=50, min_count=1)
+    pd.testing.assert_frame_equal(out, again)
+
+    tiny = ray.data.from_arrow(pa.table({"text": pa.array(["one"])}))
+    t = zipf_fit(tiny, "text", k=50, min_count=1)
+    assert t["n_tokens"].iloc[0] == 1 and pd.isna(t["slope"].iloc[0])
+
+
 def test_pii_density_per_group(ray_session):
     """pii_density: rows with any PII pattern count once per row; null
     texts count in n_rows but never hit; null keys excluded;
