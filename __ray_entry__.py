@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def rolling_active_events(sf):
+        # trailing 7-day distinct active users per day (WAU rollup)
+        from packs_ray.functions.windows import rolling_active_keys
+
+        return rolling_active_keys(
+            _ds(sf, "events", ["user_id", "ts"]), "user_id", "ts",
+            window_days=7)
+
     def zipf_fit_documents(sf):
         # corpus-health screen: Zipf slope of the top-200 token curve
         from packs_ray.functions.textstats import zipf_fit
@@ -2488,6 +2496,7 @@ checks for orders:
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
         "pii_density_transcripts": pii_density_transcripts,
         "zipf_fit_documents": zipf_fit_documents,
+        "rolling_active_events": rolling_active_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -3432,8 +3441,7 @@ def _response_latency_sql(role: str = "assistant") -> str:
           WHERE role = '{role}' AND prev_role IS NOT NULL
             AND prev_role != '{role}')
     SELECT conv_id, count(*)::BIGINT AS n_responses,
-        round(sum(lat)::DOUBLE / count(*)::DOUBLE, 6)
-            AS mean_latency_us,
+        sum(lat)::DOUBLE / count(*)::DOUBLE AS mean_latency_us,
         max(lat)::BIGINT AS max_latency_us
     FROM h GROUP BY conv_id"""
 
@@ -6180,6 +6188,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # windows.rolling_active_keys: distinct (user, day) marks
+        # exploded to trailing 7-day window ends, set-count per day
+        "rolling_active_events": """
+    WITH m AS (SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS day
+               FROM events WHERE user_id IS NOT NULL
+                 AND ts IS NOT NULL),
+    days AS (SELECT DISTINCT day FROM m)
+    SELECT d.day, count(DISTINCT m.k)::BIGINT AS n_active
+    FROM days d JOIN m
+      ON m.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day""",
         # textstats.zipf_fit: the vocab_documents CTE, then strict
         # rank-ascending list_reduce folds and one pinned closed form
         "zipf_fit_documents": r"""

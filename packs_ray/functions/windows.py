@@ -973,3 +973,86 @@ def sequence_validity(ds, key_col: str, seq_col: str, ts_col: str,
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def rolling_active_keys(ds, key_col: str, ts_col: str, *,
+                        window_days: int = 7,
+                        num_partitions: int | None = None):
+    """Trailing-window distinct actives: for every day that appears in
+    the data, the number of distinct ``key_col`` values seen in the
+    ``window_days`` days ENDING on it (the WAU/MAU rollup; SQL's
+    COUNT(DISTINCT) OVER RANGE, which Ray Data lacks).
+
+    Exactness: distinct (key, day) marks are exploded to the
+    ``window_days`` window-ends they fall into, de-duplicated, and
+    counted per window — set semantics, so any partitioning gives the
+    same answer.  Only days present in the data are emitted (the SQL
+    replica mirrors that).
+
+    Scale shape: per-batch distinct (key, day) marks (a combiner — one
+    mark per key per day per batch at most), one window-bucketed
+    shuffle of marks × window_days (~16 B each, the documented
+    amplification), per-bucket distinct count.  Null key/ts rows are
+    excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, ts_col]).filter(
+            pc.and_(batch.column(key_col).is_valid(),
+                    batch.column(ts_col).is_valid()))
+        day = pc.cast(pc.floor_temporal(batch.column(ts_col), unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({key_col: batch.column(key_col), "day": day}) \
+            .group_by([key_col, "day"]).aggregate([])
+        # explode each (key, day) mark to every window END it counts in
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        reps = np.repeat(np.arange(window_days, dtype="timedelta64[D]")
+                         .astype("timedelta64[us]")[None, :], len(t), 0)
+        win = (d[:, None] + reps).ravel()
+        return pa.table({key_col: pa.array(np.repeat(k, window_days)),
+                         "win": pa.array(win, type=pa.timestamp("us"))})
+
+    parts = ds.map_batches(marks, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates().groupby("win", sort=False)[key_col]
+               .nunique().reset_index(name="n_active"))
+        out["n_active"] = out["n_active"].astype(np.int64)
+        return out.rename(columns={"win": "day"})
+
+    counts = bucketed_group_reduce(parts, ["win"], reduce_fn,
+                                   num_partitions)
+
+    # restrict to days actually present: distinct days are bounded —
+    # broadcast them and filter the exploded window ends
+    import ray
+
+    days = set()
+    for b in ds.select_columns([ts_col]).map_batches(
+            lambda t: pa.table({"day": pc.cast(
+                pc.floor_temporal(t.column(ts_col).drop_null(),
+                                  unit="day"),
+                pa.timestamp("us")).unique()}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        days.update(b.column("day").to_pylist())
+    ref = ray.put(np.sort(np.array(sorted(days),
+                                   dtype="datetime64[us]")))
+
+    def keep_real_days(batch: pa.Table) -> pa.Table:
+        real = ray.get(ref)
+        d = batch.column("day").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        idx = np.searchsorted(real, d)
+        ok = (idx < len(real)) & (real[np.minimum(idx, len(real) - 1)] == d)
+        return batch.filter(pa.array(ok))
+
+    return counts.map_batches(keep_real_days, batch_format="pyarrow")

@@ -274,7 +274,6 @@ def response_latency(ds, *, conv_col: str = "conv_id",
     import pyarrow.compute as pc
 
     from packs_ray.functions.agg import row_shuffle_partitions
-    from packs_ray.stages.util import round_half_away as _r
 
     if num_buckets is None:
         num_buckets = row_shuffle_partitions(ds)
@@ -319,9 +318,12 @@ def response_latency(ds, *, conv_col: str = "conv_id",
         out = (d.groupby(conv_col, sort=False)["_lat"]
                .agg(n_responses="size", _sum="sum",
                     max_latency_us="max").reset_index())
-        out["mean_latency_us"] = _r(
+        # NO rounding: latencies reach 1e10 us where a 6dp round is
+        # below one float64 ulp and diverges across engines; the raw
+        # quotient of exact ints is bit-identical instead
+        out["mean_latency_us"] = (
             out["_sum"].to_numpy(np.float64)
-            / out["n_responses"].to_numpy(np.float64), 6)
+            / out["n_responses"].to_numpy(np.float64))
         out = out.drop(columns="_sum")
         for c in ("n_responses", "max_latency_us"):
             out[c] = out[c].astype(np.int64)
