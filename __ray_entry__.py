@@ -1783,6 +1783,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def truncate_tokens_documents(sf):
+        # context-window prep: trim each doc to its first 32 tokens
+        from packs_ray.functions.textstats import truncate_tokens
+
+        return truncate_tokens(_ds(sf, "documents", ["doc_id", "text"]),
+                               "doc_id", "text", 32)
+
+    def fd_violations_lineitem(sf):
+        # functional-dependency check: one return flag per order?
+        from packs_ray.functions.validation import fd_violations
+
+        return fd_violations(
+            _ds(sf, "lineitem", ["l_orderkey", "l_returnflag"]),
+            "l_orderkey", "l_returnflag")
+
     def rolling_active_events(sf):
         # trailing 7-day distinct active users per day (WAU rollup)
         from packs_ray.functions.windows import rolling_active_keys
@@ -2497,6 +2512,8 @@ checks for orders:
         "pii_density_transcripts": pii_density_transcripts,
         "zipf_fit_documents": zipf_fit_documents,
         "rolling_active_events": rolling_active_events,
+        "fd_violations_lineitem": fd_violations_lineitem,
+        "truncate_tokens_documents": truncate_tokens_documents,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6188,6 +6205,36 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # textstats.truncate_tokens: single-space token contract,
+        # pass-through below the budget
+        "truncate_tokens_documents": """
+    SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+             WHEN len(string_split(text, ' ')) > 32
+             THEN array_to_string(string_split(text, ' ')[1:32], ' ')
+             ELSE text END AS text_truncated,
+        (CASE WHEN text IS NULL THEN 0
+              ELSE least(len(string_split(text, ' ')), 32)
+         END)::BIGINT AS n_tokens,
+        CASE WHEN text IS NULL THEN FALSE
+             ELSE len(string_split(text, ' ')) > 32 END AS truncated
+    FROM documents""",
+        # validation.fd_violations: distinct (lhs, rhs) marks, distinct
+        # rhs per lhs, string-ordered examples
+        "fd_violations_lineitem": """
+    WITH d AS (SELECT DISTINCT l_orderkey AS a, l_returnflag AS b
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+                 AND l_returnflag IS NOT NULL),
+    nd AS (SELECT a, count(DISTINCT b) AS k FROM d GROUP BY 1),
+    bad AS (SELECT a FROM nd WHERE k > 1)
+    SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs,
+        (SELECT count(*) FROM nd)::BIGINT AS n_lhs_values,
+        (SELECT count(*) FROM bad)::BIGINT AS n_violating,
+        round((SELECT count(*) FROM bad)::DOUBLE
+              / (SELECT count(*) FROM nd), 6) AS violation_ratio,
+        coalesce((SELECT string_agg(s, ',' ORDER BY s) FROM
+            (SELECT CAST(a AS VARCHAR) AS s FROM bad
+             ORDER BY CAST(a AS VARCHAR) LIMIT 5)), '') AS example_lhs""",
         # windows.rolling_active_keys: distinct (user, day) marks
         # exploded to trailing 7-day window ends, set-count per day
         "rolling_active_events": """

@@ -698,3 +698,39 @@ def zipf_fit(ds, column: str, *, k: int = 200, min_count: int = 1,
         "n_tokens": np.int64(n),
         "slope": float(_r(slope, 6)),
         "intercept": float(_r((sy - slope * sx) / nf, 6))}])
+
+
+def truncate_tokens(ds, id_col: str, column: str, max_tokens: int,
+                    *, out_col: str = "text_truncated"):
+    """Token-budget trim: cut each text to its first ``max_tokens``
+    whitespace tokens (the context-window prep step before packing /
+    SFT assembly; sequence semantics follow ``split_text``'s single
+    ' ' join).  Stateless per-batch, no shuffle; null texts stay null,
+    short texts pass through byte-identical.
+
+    Output: (id_col, out_col, n_tokens, truncated)."""
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, column)
+        nulls = pc.is_null(text).to_numpy(zero_copy_only=False)
+        split = pc.split_pattern(
+            pc.coalesce(text, pa.scalar("", type=pa.string())), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lens = np.where(nulls, 0, lens)
+        trunc = (~nulls) & (lens > max_tokens)
+        head = pc.list_slice(split, 0, max_tokens)
+        joined = pc.binary_join(pc.cast(head, pa.list_(pa.string())),
+                                " ")
+        out = pc.if_else(pa.array(trunc), joined, text)
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: out,
+            "n_tokens": pa.array(np.minimum(lens, max_tokens)),
+            "truncated": pa.array(trunc)})
+
+    return ds.select_columns([id_col, column]) \
+        .map_batches(fn, batch_format="pyarrow")

@@ -251,3 +251,61 @@ def numeric_range(ds, rules: list[dict]) -> pd.DataFrame:
                      "in_range_percent": float(_r((n - oob) / n, 4)) if n else 1.0,
                      "min_value": agg[f"min_{i}"], "max_value": agg[f"max_{i}"]})
     return pd.DataFrame(rows)
+
+
+def fd_violations(ds, lhs: str, rhs: str, *, examples: int = 5,
+                  num_partitions: int | None = None):
+    """Functional-dependency check ``lhs -> rhs``: a lhs value violates
+    the dependency when it maps to more than one distinct rhs value —
+    the cross-column consistency rule the per-column checks can't see
+    (one customer id with two names, one zip with two cities).
+
+    Returns a one-row summary Dataset: (lhs, rhs, n_lhs_values,
+    n_violating, violation_ratio 6dp, example_lhs — up to ``examples``
+    violating lhs values as a comma-joined string, smallest first, for
+    the report).
+
+    Scale shape: per-batch distinct (lhs, rhs) marks ride one bucketed
+    shuffle on lhs; each bucket counts distinct rhs per lhs and emits
+    one bounded partial row (+ its own smallest violating examples);
+    the driver folds the per-bucket partials.  Rows with null lhs or
+    rhs are excluded (SQL COUNT(DISTINCT) semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([lhs, rhs]).filter(pc.and_(
+            batch.column(lhs).is_valid(), batch.column(rhs).is_valid()))
+        return batch.group_by([lhs, rhs]).aggregate([])
+
+    parts = ds.map_batches(marks, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        nd = d.groupby(lhs, sort=False)[rhs].nunique()
+        bad = nd[nd > 1]
+        # examples ordered by STRING representation on both sides
+        ex = sorted(str(x) for x in bad.index)[:examples]
+        return pd.DataFrame([{
+            "n_lhs": len(nd), "n_bad": len(bad),
+            "ex": ",".join(ex)}])
+
+    per = bucketed_group_reduce(parts, [lhs], per_bucket,
+                                num_partitions).to_pandas()
+    if per.empty:
+        per = pd.DataFrame([{"n_lhs": 0, "n_bad": 0, "ex": ""}])
+    n_lhs = int(per["n_lhs"].sum())
+    n_bad = int(per["n_bad"].sum())
+    all_ex = sorted((x for s in per["ex"] for x in s.split(",") if x))
+    return pd.DataFrame([{
+        "lhs": lhs, "rhs": rhs,
+        "n_lhs_values": np.int64(n_lhs), "n_violating": np.int64(n_bad),
+        "violation_ratio": float(_r(n_bad / n_lhs, 6)) if n_lhs else None,
+        "example_lhs": ",".join(all_ex[:examples])}])

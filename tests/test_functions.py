@@ -2001,6 +2001,43 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_fd_violations_and_truncate_tokens(ray_session):
+    """fd_violations: counts lhs values mapping to >1 distinct rhs,
+    string-ordered examples; truncate_tokens: exact head-n tokens,
+    pass-through below budget, nulls stay null."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import truncate_tokens
+    from packs_ray.functions.validation import fd_violations
+
+    tbl = pa.table({
+        "a": pa.array([1, 1, 2, 2, 3, 10, None], type=pa.int64()),
+        "b": pa.array(["x", "y", "z", "z", "w", "v", "q"])})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = fd_violations(ds, "a", "b")
+    r = out.iloc[0]
+    # lhs 1 -> {x, y} violates; 2 -> {z}; 3 -> {w}; 10 -> {v}
+    assert r["n_lhs_values"] == 4 and r["n_violating"] == 1
+    assert r["violation_ratio"] == 0.25 and r["example_lhs"] == "1"
+    pd.testing.assert_frame_equal(out, fd_violations(ds.repartition(1),
+                                                     "a", "b"))
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["one two three four", "short", None])})
+    t = truncate_tokens(ray.data.from_arrow(docs), "doc_id", "text", 2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert t["text_truncated"].iloc[0] == "one two"
+    assert bool(t["truncated"].iloc[0]) and t["n_tokens"].iloc[0] == 2
+    assert t["text_truncated"].iloc[1] == "short"
+    assert not t["truncated"].iloc[1]
+    assert t["text_truncated"].iloc[2] is None or pd.isna(
+        t["text_truncated"].iloc[2])
+    assert t["n_tokens"].iloc[2] == 0
+
+
 def test_zipf_fit_recovers_power_law(ray_session):
     """zipf_fit: a corpus built with counts = C / rank recovers slope
     ≈ -1; partition-invariant; a near-empty corpus emits null slope."""
