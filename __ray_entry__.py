@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def pmi_pairs_events(sf):
+        # association strength: PMI over event-type co-occurrence
+        # within users
+        from packs_ray.functions.agg import pmi_pairs
+
+        return pmi_pairs(_ds(sf, "events", ["user_id", "event_type"]),
+                         "user_id", "event_type")
+
     def truncate_tokens_documents(sf):
         # context-window prep: trim each doc to its first 32 tokens
         from packs_ray.functions.textstats import truncate_tokens
@@ -2514,6 +2522,7 @@ checks for orders:
         "rolling_active_events": rolling_active_events,
         "fd_violations_lineitem": fd_violations_lineitem,
         "truncate_tokens_documents": truncate_tokens_documents,
+        "pmi_pairs_events": pmi_pairs_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6205,6 +6214,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # agg.pmi_pairs: set-semantics exact counts, one pinned
+        # ln((n_ab·N)/(n_a·n_b)) per pair
+        "pmi_pairs_events": """
+    WITH m AS (SELECT DISTINCT user_id AS k, event_type AS i
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL),
+    n AS (SELECT i, count(DISTINCT k)::BIGINT AS n_item FROM m
+          GROUP BY 1),
+    nk AS (SELECT count(DISTINCT k)::BIGINT AS n FROM m),
+    p AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab
+          FROM m a JOIN m b ON a.k = b.k AND a.i < b.i GROUP BY 1, 2)
+    SELECT p.item_a, p.item_b, p.n_ab,
+        round(ln((p.n_ab::DOUBLE * nk.n::DOUBLE)
+                 / (na.n_item::DOUBLE * nb.n_item::DOUBLE)), 6) AS pmi
+    FROM p, nk
+    JOIN n na ON na.i = p.item_a
+    JOIN n nb ON nb.i = p.item_b""",
         # textstats.truncate_tokens: single-space token contract,
         # pass-through below the budget
         "truncate_tokens_documents": """

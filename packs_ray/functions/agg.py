@@ -953,3 +953,70 @@ def trend_per_key(ds, key_col: str, ts_col: str, value_col: str, *,
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def pmi_pairs(ds, key_col: str, item_col: str, *,
+              min_pairs: int = 1, num_partitions: int | None = None):
+    """Pointwise mutual information over item co-occurrence: for every
+    unordered item pair, ``pmi = ln(n_ab·N / (n_a·n_b))`` where n_a is
+    the distinct-key count containing item a and N the distinct keys
+    with any valid item — the association-strength score on top of
+    ``cooccurrence_pairs`` (Church & Hanks 1990, public measure).
+
+    Exactness: every count is an exact integer (the cooccurrence
+    expansion, one marginal distinct-key count per item, one global
+    distinct-key count); pmi is ONE pinned float64 expression (6dp)
+    shared with the SQL replica.
+
+    Scale shape: reuses cooccurrence_pairs' key-bucketed expansion
+    (bounded item domain contract); marginals ride the same
+    (item, key)-mark shuffle.  Output bounded by distinct_items² and
+    returned as pandas (it is a bounded artifact)."""
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    pairs = cooccurrence_pairs(ds, key_col, item_col,
+                               num_partitions=num_partitions).to_pandas()
+    empty = pd.DataFrame({"item_a": [], "item_b": [],
+                          "n_ab": pd.Series([], dtype="int64"),
+                          "pmi": pd.Series([], dtype="float64")})
+    if pairs.empty:
+        return empty
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([item_col, key_col]).filter(pc.and_(
+            batch.column(item_col).is_valid(),
+            batch.column(key_col).is_valid()))
+        return batch.group_by([item_col, key_col]).aggregate([])
+
+    mk = ds.map_batches(marks, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = (d.groupby(item_col, sort=False)[key_col].nunique()
+               .reset_index(name="n_item"))
+        out["n_item"] = out["n_item"].astype(np.int64)
+        return out
+
+    marg = bucketed_group_reduce(mk, [item_col], per_bucket,
+                                 num_partitions).to_pandas()
+    n_item = dict(zip(marg[item_col], marg["n_item"]))
+    # N: distinct keys with >= 1 valid (key, item) mark — one more
+    # narrow reduce over the same marks
+    n_keys = keyed_count(mk.select_columns([key_col]),
+                         [key_col]).count()
+
+    pairs = pairs.rename(columns={"n_keys": "n_ab"})
+    pairs = pairs[pairs["n_ab"] >= min_pairs].copy()
+    if pairs.empty:
+        return empty
+    na = pairs["item_a"].map(n_item).to_numpy(dtype=np.float64)
+    nb = pairs["item_b"].map(n_item).to_numpy(dtype=np.float64)
+    nab = pairs["n_ab"].to_numpy(dtype=np.float64)
+    pairs["pmi"] = _r(np.log(nab * float(n_keys) / (na * nb)), 6)
+    pairs["n_ab"] = pairs["n_ab"].astype(np.int64)
+    return pairs.reset_index(drop=True)

@@ -2001,6 +2001,41 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_pmi_pairs_positive_and_negative_association(ray_session):
+    """pmi_pairs: items that always co-occur get positive PMI, items
+    that never do are absent; independent-ish pairs near 0; exact
+    count semantics; partition-invariant."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import pmi_pairs
+
+    # 8 users: a+b always together (4 users), c alone (4 users)
+    rows_k, rows_i = [], []
+    for u in range(4):
+        rows_k += [u, u]
+        rows_i += ["a", "b"]
+    for u in range(4, 8):
+        rows_k.append(u)
+        rows_i.append("c")
+    ds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(rows_k, type=pa.int64()),
+         "i": pa.array(rows_i)})).repartition(3)
+    out = pmi_pairs(ds, "k", "i")
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["item_a"], r["item_b"]) == ("a", "b") and r["n_ab"] == 4
+    # pmi = ln(4*8 / (4*4)) = ln 2
+    assert abs(r["pmi"] - round(math.log(2.0), 6)) < 1e-12
+
+    again = pmi_pairs(ds.repartition(1), "k", "i")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  again.reset_index(drop=True))
+
+
 def test_fd_violations_and_truncate_tokens(ray_session):
     """fd_violations: counts lhs values mapping to >1 distinct rhs,
     string-ordered examples; truncate_tokens: exact head-n tokens,
