@@ -1783,6 +1783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def collapse_rare_part(sf):
+        # cardinality taming: collapse part types seen < 10 times
+        from packs_ray.functions.repair import collapse_rare
+
+        return collapse_rare(_ds(sf, "part", ["p_partkey", "p_type"]),
+                             "p_partkey", "p_type", min_count=10)
+
     def pmi_pairs_events(sf):
         # association strength: PMI over event-type co-occurrence
         # within users
@@ -2523,6 +2530,7 @@ checks for orders:
         "fd_violations_lineitem": fd_violations_lineitem,
         "truncate_tokens_documents": truncate_tokens_documents,
         "pmi_pairs_events": pmi_pairs_events,
+        "collapse_rare_part": collapse_rare_part,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6214,6 +6222,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # repair.collapse_rare: frequent-set gate, nulls untouched
+        "collapse_rare_part": """
+    WITH c AS (SELECT p_type, count(*)::BIGINT AS cnt FROM part
+               WHERE p_type IS NOT NULL GROUP BY 1)
+    SELECT p.p_partkey,
+        CASE WHEN p.p_type IS NULL THEN NULL
+             WHEN c.cnt >= 10 THEN p.p_type
+             ELSE '__other__' END AS p_type,
+        CASE WHEN p.p_type IS NULL THEN FALSE
+             ELSE c.cnt < 10 END AS was_collapsed
+    FROM part p LEFT JOIN c ON p.p_type = c.p_type""",
         # agg.pmi_pairs: set-semantics exact counts, one pinned
         # ln((n_ab·N)/(n_a·n_b)) per pair
         "pmi_pairs_events": """

@@ -133,3 +133,51 @@ def try_cast_columns(ds, casts: dict[str, str], *, suffix: str = "_cast"):
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def collapse_rare(ds, id_col: str, column: str, *, min_count: int = 10,
+                  other: str = "__other__"):
+    """Rare-level collapse: replace every value of ``column`` that
+    occurs fewer than ``min_count`` times with the ``other`` sentinel —
+    the one-hot/cardinality-taming prep step (the reference's outlier
+    pack caps one-hot at 100 categories by DROPPING the column;
+    collapsing keeps the signal).
+
+    Scale shape: one keyed_count pass, then the FREQUENT set (bounded
+    by n_rows / min_count values — not the unbounded raw domain) is
+    broadcast via ``ray.put`` and a stateless map pass rewrites rows;
+    rows never shuffle.  Null values stay null (they are a
+    completeness concern, not a category).
+
+    Output: (id_col, column collapsed, was_collapsed)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from packs_ray.functions.agg import keyed_count
+
+    counts = keyed_count(
+        ds.select_columns([column]).map_batches(
+            lambda t: t.filter(t.column(column).is_valid()),
+            batch_format="pyarrow"),
+        [column]).to_pandas()
+    frequent = set(counts.loc[counts["cnt"] >= min_count, column])
+    ref = ray.put(frequent)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        col = batch.column(column)
+        s = col.to_pandas()
+        is_freq = s.isin(keep).to_numpy()
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        collapsed = np.where(null | is_freq, s.to_numpy(), other)
+        out = pa.array(pd.array(collapsed, dtype=object),
+                       type=pa.string())
+        return pa.table({
+            id_col: batch.column(id_col),
+            column: out,
+            "was_collapsed": pa.array(~(null | is_freq))})
+
+    return ds.select_columns([id_col, column]) \
+        .map_batches(fn, batch_format="pyarrow")

@@ -2001,6 +2001,35 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_collapse_rare_frequent_gate(ray_session):
+    """collapse_rare: values below min_count become the sentinel,
+    frequent values pass through, nulls stay null;
+    partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.repair import collapse_rare
+
+    vals = ["big"] * 20 + ["mid"] * 5 + ["tiny", "tiny", None]
+    tbl = pa.table({"id": pa.array(range(len(vals)), type=pa.int64()),
+                    "c": pa.array(vals)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = collapse_rare(ds, "id", "c", min_count=5).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert (out.loc[out["id"] < 20, "c"] == "big").all()
+    assert (out.loc[(out["id"] >= 20) & (out["id"] < 25), "c"]
+            == "mid").all()
+    assert (out.loc[(out["id"] >= 25) & (out["id"] < 27), "c"]
+            == "__other__").all()
+    assert pd.isna(out["c"].iloc[27])
+    assert out["was_collapsed"].sum() == 2
+
+    again = collapse_rare(ds.repartition(2), "id", "c", min_count=5) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_pmi_pairs_positive_and_negative_association(ray_session):
     """pmi_pairs: items that always co-occur get positive PMI, items
     that never do are absent; independent-ish pairs near 0; exact
