@@ -162,6 +162,8 @@ def collapse_rare(ds, id_col: str, column: str, *, min_count: int = 10,
             lambda t: t.filter(t.column(column).is_valid()),
             batch_format="pyarrow"),
         [column]).to_pandas()
+    if counts.empty:  # 0-row / all-null column: nothing is frequent
+        counts = pd.DataFrame({column: [], "cnt": []})
     frequent = set(counts.loc[counts["cnt"] >= min_count, column])
     ref = ray.put(frequent)
 
