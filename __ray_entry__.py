@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def minmax_scale_events(sf):
+        # per-event-type min-max normalization of value
+        from packs_ray.functions.repair import minmax_scale_per_key
+
+        return minmax_scale_per_key(
+            _ds(sf, "events", ["event_id", "event_type", "value"]),
+            "event_type", "value", ["event_id"])
+
     def collapse_rare_part(sf):
         # cardinality taming: collapse part types seen < 10 times
         from packs_ray.functions.repair import collapse_rare
@@ -2531,6 +2539,7 @@ checks for orders:
         "truncate_tokens_documents": truncate_tokens_documents,
         "pmi_pairs_events": pmi_pairs_events,
         "collapse_rare_part": collapse_rare_part,
+        "minmax_scale_events": minmax_scale_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6222,6 +6231,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # repair.minmax_scale_per_key: exact per-key bounds, pinned
+        # (x-min)/(max-min), constant groups -> 0.0
+        "minmax_scale_events": """
+    WITH v AS (SELECT event_id, event_type, value FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    b AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+          FROM v GROUP BY 1)
+    SELECT v.event_id, v.event_type, v.value,
+        CASE WHEN b.mx - b.mn > 0
+             THEN (v.value - b.mn) / (b.mx - b.mn) ELSE 0.0 END AS scaled
+    FROM v JOIN b USING (event_type)""",
         # repair.collapse_rare: frequent-set gate, nulls untouched
         "collapse_rare_part": """
     WITH c AS (SELECT p_type, count(*)::BIGINT AS cnt FROM part

@@ -183,3 +183,69 @@ def collapse_rare(ds, id_col: str, column: str, *, min_count: int = 10,
 
     return ds.select_columns([id_col, column]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def minmax_scale_per_key(ds, key_col: str, value_col: str,
+                         id_cols: list[str], *,
+                         num_partitions: int | None = None):
+    """Per-group min-max normalization: ``(x − min_g) / (max_g − min_g)``
+    with the group's own exact bounds — the feature-scaling prep step
+    (per-segment scaling keeps a segment's spread comparable after
+    mixing).  Constant groups (max == min) emit 0.0 (the sklearn
+    convention); null key/value rows are excluded.
+
+    Scale shape: per-batch (key, min, max) partials ride one bucketed
+    reduce; the bounded per-key bounds broadcast via ``ray.put``; the
+    normalize pass streams the full rows with no shuffle.  The scaled
+    value is ONE pinned float64 expression shared with the SQL
+    replica."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, value_col]).filter(pc.and_(
+            batch.column(key_col).is_valid(),
+            batch.column(value_col).is_valid()))
+        df = batch.to_pandas()
+        out = (df.groupby(key_col, sort=False)[value_col]
+               .agg(mn="min", mx="max").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(key_col, sort=False)
+                .agg(mn=("mn", "min"), mx=("mx", "max")).reset_index())
+
+    bounds = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col], reduce_fn, num_partitions).to_pandas()
+    if bounds.empty:
+        bounds = pd.DataFrame({key_col: [], "mn": [], "mx": []})
+    mn_s = pd.Series(bounds["mn"].to_numpy(np.float64),
+                     index=bounds[key_col])
+    mx_s = pd.Series(bounds["mx"].to_numpy(np.float64),
+                     index=bounds[key_col])
+    ref = ray.put((mn_s, mx_s))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        bmn, bmx = ray.get(ref)
+        batch = batch.select(id_cols + [key_col, value_col]).filter(
+            pc.and_(batch.column(key_col).is_valid(),
+                    batch.column(value_col).is_valid()))
+        keys = batch.column(key_col).to_pandas()
+        mn = keys.map(bmn).to_numpy(dtype=np.float64)
+        mx = keys.map(bmx).to_numpy(dtype=np.float64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rng = mx - mn
+        scaled = np.where(rng > 0, (v - mn) / np.where(rng > 0, rng, 1.0),
+                          0.0)
+        return batch.append_column("scaled", pa.array(scaled))
+
+    return ds.map_batches(scale, batch_format="pyarrow")

@@ -2001,6 +2001,32 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_minmax_scale_per_key_bounds(ray_session):
+    """minmax_scale_per_key: per-group bounds (0 at min, 1 at max),
+    constant groups scale to 0.0, null rows dropped;
+    partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.repair import minmax_scale_per_key
+
+    tbl = pa.table({
+        "id": pa.array(range(7), type=pa.int64()),
+        "g": pa.array(["a", "a", "a", "b", "b", None, "a"]),
+        "v": pa.array([10.0, 20.0, 30.0, 5.0, 5.0, 1.0, None])})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = minmax_scale_per_key(ds, "g", "v", ["id"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == [0, 1, 2, 3, 4]
+    assert list(out["scaled"][:3]) == [0.0, 0.5, 1.0]
+    assert list(out["scaled"][3:5]) == [0.0, 0.0]  # constant group
+
+    again = minmax_scale_per_key(ds.repartition(1), "g", "v", ["id"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_collapse_rare_frequent_gate(ray_session):
     """collapse_rare: values below min_count become the sentinel,
     frequent values pass through, nulls stay null;
