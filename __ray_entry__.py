@@ -1783,6 +1783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def streaks_events(sf):
+        # gaps-and-islands: per-user consecutive-active-day streaks
+        from packs_ray.functions.windows import activity_streaks
+
+        return activity_streaks(_ds(sf, "events", ["user_id", "ts"]),
+                                "user_id", "ts")
+
     def minmax_scale_events(sf):
         # per-event-type min-max normalization of value
         from packs_ray.functions.repair import minmax_scale_per_key
@@ -2540,6 +2547,7 @@ checks for orders:
         "pmi_pairs_events": pmi_pairs_events,
         "collapse_rare_part": collapse_rare_part,
         "minmax_scale_events": minmax_scale_events,
+        "streaks_events": streaks_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6231,6 +6239,27 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # windows.activity_streaks: distinct days, row_number-diff
+        # island trick
+        "streaks_events": """
+    WITH m AS (SELECT DISTINCT user_id AS k,
+               date_trunc('day', ts)::DATE AS day FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT k, day,
+            day - CAST(row_number() OVER (PARTITION BY k ORDER BY day)
+                       AS INTEGER) AS island,
+            day - lag(day) OVER (PARTITION BY k ORDER BY day) AS diff
+          FROM m),
+    runs AS (SELECT k, island, count(*)::BIGINT AS len
+             FROM r GROUP BY 1, 2),
+    a AS (SELECT k, count(*)::BIGINT AS n_active_days,
+          coalesce(max(greatest(diff - 1, 0)), 0)::BIGINT
+              AS max_gap_days FROM r GROUP BY 1),
+    b AS (SELECT k, count(*)::BIGINT AS n_streaks,
+          max(len)::BIGINT AS longest_streak FROM runs GROUP BY 1)
+    SELECT a.k AS user_id, a.n_active_days, b.n_streaks,
+           b.longest_streak, a.max_gap_days
+    FROM a JOIN b USING (k)""",
         # repair.minmax_scale_per_key: exact per-key bounds, pinned
         # (x-min)/(max-min), constant groups -> 0.0
         "minmax_scale_events": """

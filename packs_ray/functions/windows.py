@@ -1056,3 +1056,83 @@ def rolling_active_keys(ds, key_col: str, ts_col: str, *,
         return batch.filter(pa.array(ok))
 
     return counts.map_batches(keep_real_days, batch_format="pyarrow")
+
+
+def activity_streaks(ds, key_col: str, ts_col: str,
+                     num_buckets: int | None = None):
+    """Gaps-and-islands per key: from each key's set of distinct active
+    DAYS, the number of maximal consecutive-day runs, the longest run,
+    and the current-longest-gap statistics — the engagement/streak view
+    (SQL's row_number-difference island trick, which needs a keyed
+    window Ray Data doesn't have).
+
+    Output per key: (key, n_active_days, n_streaks, longest_streak,
+    max_gap_days).  Single-day keys: 1 streak of length 1, gap 0.
+
+    Scale shape: per-batch DISTINCT (key, day) marks (combiner), one
+    keyed bucket shuffle of the ~12 B marks, vectorized sorted-diff
+    islands per bucket.  Null key/ts rows are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_buckets is None:
+        num_buckets = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, ts_col]).filter(
+            pc.and_(batch.column(key_col).is_valid(),
+                    batch.column(ts_col).is_valid()))
+        day = pc.cast(pc.floor_temporal(batch.column(ts_col), unit="day"),
+                      pa.timestamp("us"))
+        t = pa.table({key_col: batch.column(key_col), "day": day}) \
+            .group_by([key_col, "day"]).aggregate([])
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({key_col: [],
+                          "n_active_days": pd.Series([], dtype="int64"),
+                          "n_streaks": pd.Series([], dtype="int64"),
+                          "longest_streak": pd.Series([], dtype="int64"),
+                          "max_gap_days": pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.drop_duplicates(subset=[key_col, "day"]) \
+            .sort_values([key_col, "day"], kind="stable")
+        k = g[key_col].to_numpy()
+        d = (g["day"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        diff = np.zeros(len(g), dtype=np.int64)
+        diff[1:] = d[1:] - d[:-1]
+        new_run = new_key | (diff > 1)
+        gap = np.where(new_key, 0, np.maximum(diff - 1, 0))
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_key_idx = np.nonzero(new_run)[0]
+        df = pd.DataFrame({key_col: k, "_run": run_id, "_gap": gap})
+        runs = pd.DataFrame({key_col: k[run_key_idx],
+                             "_len": run_len})
+        agg1 = (df.groupby(key_col, sort=False)
+                .agg(n_active_days=(key_col, "size"),
+                     max_gap_days=("_gap", "max")).reset_index())
+        agg2 = (runs.groupby(key_col, sort=False)
+                .agg(n_streaks=("_len", "size"),
+                     longest_streak=("_len", "max")).reset_index())
+        out = agg1.merge(agg2, on=key_col)
+        for c in ("n_active_days", "n_streaks", "longest_streak",
+                  "max_gap_days"):
+            out[c] = out[c].astype(np.int64)
+        return out[[key_col, "n_active_days", "n_streaks",
+                    "longest_streak", "max_gap_days"]]
+
+    ds2 = ds.map_batches(marks, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -2001,6 +2001,39 @@ def test_sequence_validity_edges(ray_session):
     pd.testing.assert_frame_equal(out, again)
 
 
+def test_activity_streaks_islands(ray_session):
+    """activity_streaks: consecutive days form one streak, gaps split
+    them, multiple events on one day count once; partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.windows import activity_streaks
+
+    base = np.datetime64("2024-05-01T09:00:00", "us")
+    day = np.timedelta64(86400, "s")
+    # user a: days 0,1,2, 5,6, 10 -> 3 streaks, longest 3, max gap 3
+    a_days = [0, 1, 1, 2, 5, 6, 10]     # day 1 twice
+    # user b: single day
+    ts = [base + d * day for d in a_days] + [base]
+    tbl = pa.table({"u": pa.array(["a"] * 7 + ["b"]),
+                    "ts": pa.array(np.array(ts, dtype="datetime64[us]"),
+                                   type=pa.timestamp("us"))})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = activity_streaks(ds, "u", "ts").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    a, b = out.iloc[0], out.iloc[1]
+    assert a["n_active_days"] == 6 and a["n_streaks"] == 3
+    assert a["longest_streak"] == 3 and a["max_gap_days"] == 3
+    assert b["n_active_days"] == 1 and b["n_streaks"] == 1
+    assert b["longest_streak"] == 1 and b["max_gap_days"] == 0
+
+    again = activity_streaks(ds.repartition(1), "u", "ts").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_minmax_scale_per_key_bounds(ray_session):
     """minmax_scale_per_key: per-group bounds (0 at min, 1 at max),
     constant groups scale to 0.0, null rows dropped;
