@@ -1783,6 +1783,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def entity_clusters_customer_supplier(sf):
+        # entity resolution: fuzzy-join pairs -> connected components
+        # across both tables (node = 2*custkey / 2*suppkey+1 so the two
+        # id spaces can't collide)
+        import pyarrow as pa
+
+        from packs_ray.functions.components import connected_components
+        from packs_ray.functions.linkage import fuzzy_join
+
+        pairs = fuzzy_join(
+            _ds(sf, "customer", ["c_custkey", "c_name"]),
+            _ds(sf, "supplier", ["s_suppkey", "s_name"]),
+            left_id="c_custkey", left_text="c_name",
+            right_id="s_suppkey", right_text="s_name",
+            threshold=0.25, gram=3, max_bucket=1_000_000_000)
+
+        def encode(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "id_a": pc.multiply(t.column("c_custkey"), 2),
+                "id_b": pc.add(pc.multiply(t.column("s_suppkey"), 2), 1)})
+
+        enc = pairs.map_batches(encode, batch_format="pyarrow")
+        out = connected_components(enc, node_col="node",
+                                   label_col="cluster_id")
+
+        def decode(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = t.column("node")
+            return pa.table({
+                "side": pc.if_else(pc.equal(pc.bit_wise_and(n, 1), 0),
+                                   pa.scalar("customer"),
+                                   pa.scalar("supplier")),
+                "entity_id": pc.divide(n, 2),
+                "cluster_id": t.column("cluster_id")})
+
+        return out.map_batches(decode, batch_format="pyarrow") \
+            .sort(["side", "entity_id"])
+
     def streaks_events(sf):
         # gaps-and-islands: per-user consecutive-active-day streaks
         from packs_ray.functions.windows import activity_streaks
@@ -2548,6 +2589,7 @@ checks for orders:
         "collapse_rare_part": collapse_rare_part,
         "minmax_scale_events": minmax_scale_events,
         "streaks_events": streaks_events,
+        "entity_clusters_customer_supplier": entity_clusters_customer_supplier,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -5361,6 +5403,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
         "temperature_sample_documents": _temperature_sql(0.5, 200),
         "fuzzy_join_customer_supplier": _fuzzy_join_sql(0.25, 3),
+        # linkage.fuzzy_join pairs -> connected components across both
+        # tables (node = 2*custkey / 2*suppkey+1), min-node labels
+        "entity_clusters_customer_supplier": f"""
+    WITH RECURSIVE p AS (SELECT * FROM ({_fuzzy_join_sql(0.25, 3)}) q),
+    e0 AS (SELECT c_custkey * 2 AS a, s_suppkey * 2 + 1 AS b FROM p),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(a, b) AS (SELECT a, b FROM e
+                    UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+    SELECT CASE WHEN a % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+        (a // 2)::BIGINT AS entity_id,
+        least(a, min(b))::BIGINT AS cluster_id
+    FROM reach GROUP BY a ORDER BY side, entity_id""",
         "top_terms_documents": r"""
     WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
             coalesce(text, ''),
