@@ -1783,6 +1783,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_type", "user_id"]),
             "event_type", "user_id")
 
+    def k_anonymity_events(sf):
+        # privacy audit: QI = (event_type, user_id), sensitive = props
+        from packs_ray.functions.pii import k_anonymity
+
+        return k_anonymity(
+            _ds(sf, "events", ["event_type", "user_id", "props"]),
+            ["event_type", "user_id"], "props", k=5, l=2)
+
     def entity_clusters_customer_supplier(sf):
         # entity resolution: fuzzy-join pairs -> connected components
         # across both tables (node = 2*custkey / 2*suppkey+1 so the two
@@ -2590,6 +2598,7 @@ checks for orders:
         "minmax_scale_events": minmax_scale_events,
         "streaks_events": streaks_events,
         "entity_clusters_customer_supplier": entity_clusters_customer_supplier,
+        "k_anonymity_events": k_anonymity_events,
         "cms_counts_orders": cms_counts_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
@@ -6293,6 +6302,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
     FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type""",
+        # pii.k_anonymity: exact QI-group sizes + distinct-sensitive
+        # counts (null QI rows form no linkable signature)
+        "k_anonymity_events": """
+    WITH e AS (SELECT event_type, user_id, props FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    g AS (SELECT event_type, user_id, count(*)::BIGINT AS n,
+          count(DISTINCT props)::BIGINT AS ld FROM e GROUP BY 1, 2)
+    SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        min(n)::BIGINT AS k_anonymity,
+        sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+            AS n_rows_at_risk,
+        round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+              / sum(n), 6) AS at_risk_ratio,
+        min(ld)::BIGINT AS min_l_diversity,
+        sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END)::BIGINT
+            AS n_groups_low_diversity
+    FROM g""",
         # windows.activity_streaks: distinct days, row_number-diff
         # island trick
         "streaks_events": """

@@ -348,3 +348,98 @@ def pii_density(ds, key_col: str, text_col: str,
 
     return bucketed_group_reduce(parts, [key_col], reduce_fn,
                                  num_partitions)
+
+
+def k_anonymity(ds, quasi_cols: list[str], sensitive_col: str | None = None,
+                *, k: int = 5, l: int = 2,
+                num_partitions: int | None = None):
+    """k-anonymity / l-diversity audit (Sweeney 2002, Machanavajjhala
+    2007 — public definitions): group rows by the quasi-identifier
+    columns and report how exposed the table is — the privacy
+    complement of the pattern-level PII scan (a row can be re-identified
+    by its QI combination even with every direct identifier scrubbed).
+
+    One summary row: n_rows, n_groups, min_group_size, k_anonymity
+    (the k the table actually achieves = min group size), n_rows_at_risk
+    (rows in groups smaller than ``k``), at_risk_ratio (6dp) and — when
+    ``sensitive_col`` is given — min_l_diversity (the smallest distinct
+    sensitive-value count over groups) and n_groups_low_diversity
+    (groups with fewer than ``l`` distinct sensitive values).
+
+    Scale shape: per-batch (QI..., n, sensitive-distinct marks) partials
+    ride one bucketed reduce on the QI key; only the fixed-width
+    per-bucket summary rows land on the driver.  Rows with any null QI
+    column are excluded (they form no linkable signature)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    cols = quasi_cols + ([sensitive_col] if sensitive_col else [])
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(quasi_cols[0]).is_valid()
+        for c in quasi_cols[1:]:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        df = batch.to_pandas()
+        out = (df.groupby(quasi_cols, sort=False)
+               .size().reset_index(name="_n"))
+        out["_n"] = out["_n"].astype(np.int64)
+        if sensitive_col:
+            # distinct sensitive marks per group, kept as rows so the
+            # reduce can count across batches exactly
+            dd = df.drop_duplicates()
+            out = out.merge(
+                dd.groupby(quasi_cols, sort=False)[sensitive_col]
+                .agg(lambda s: "\x1f".join(
+                    sorted(str(x) for x in s.dropna().unique())))
+                .reset_index(name="_sv"), on=quasi_cols, how="left")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(marks, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = (g.groupby(quasi_cols, sort=False)["_n"].sum())
+        row = {"n_rows": int(sizes.sum()), "n_groups": len(sizes),
+               "min_size": int(sizes.min()) if len(sizes) else 0,
+               "at_risk": int(sizes[sizes < k].sum())}
+        if sensitive_col:
+            sv = (g.dropna(subset=["_sv"])
+                  .groupby(quasi_cols, sort=False)["_sv"]
+                  .agg(lambda s: len(set(
+                      x for joined in s for x in joined.split("\x1f")
+                      if x != ""))))
+            sv = sv.reindex(sizes.index, fill_value=0)
+            row["min_l"] = int(sv.min()) if len(sv) else 0
+            row["low_div"] = int((sv < l).sum())
+        return pd.DataFrame([row])
+
+    per = bucketed_group_reduce(parts, quasi_cols, per_bucket,
+                                num_partitions).to_pandas()
+    if per.empty:
+        base = {"n_rows": 0, "n_groups": 0, "min_size": 0, "at_risk": 0}
+        if sensitive_col:
+            base.update({"min_l": 0, "low_div": 0})
+        per = pd.DataFrame([base])
+    n_rows = int(per["n_rows"].sum())
+    n_groups = int(per["n_groups"].sum())
+    min_size = int(per["min_size"][per["n_groups"] > 0].min()) \
+        if n_groups else 0
+    at_risk = int(per["at_risk"].sum())
+    out = {"n_rows": np.int64(n_rows), "n_groups": np.int64(n_groups),
+           "k_anonymity": np.int64(min_size),
+           "n_rows_at_risk": np.int64(at_risk),
+           "at_risk_ratio": float(_r(at_risk / n_rows, 6))
+           if n_rows else None}
+    if sensitive_col:
+        out["min_l_diversity"] = np.int64(
+            int(per["min_l"][per["n_groups"] > 0].min()) if n_groups
+            else 0)
+        out["n_groups_low_diversity"] = np.int64(
+            int(per["low_div"].sum()))
+    return pd.DataFrame([out])
