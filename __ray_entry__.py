@@ -1184,6 +1184,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def unigram_divergence_documents(sf):
+        # data-mixing diagnostic: top-100 smoothed unigram log-ratio
+        # profile of the corpus vs its deterministic doc_id % 25 == 0
+        # slice (same rebuildable-target pattern as dsir_weights)
+        import numpy as np
+        import pyarrow as pa
+
+        from packs_ray.functions.textstats import unigram_divergence
+
+        def tgt_slice(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 25 == 0))
+
+        src = _ds(sf, "documents", ["doc_id", "text"])
+        tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
+        return unigram_divergence(src, tgt, "text", k=100)
+
     def weighted_sample_orders(sf):
         # Efraimidis-Spirakis weighted draw, hash-derived uniforms:
         # 100 orders with probability proportional to o_totalprice
@@ -2512,6 +2529,7 @@ checks for orders:
         "strip_html_documents": strip_html_documents,
         "quality_tiers_documents": quality_tiers_documents,
         "dsir_weights_documents": dsir_weights_documents,
+        "unigram_divergence_documents": unigram_divergence_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5456,6 +5474,35 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        # textstats.unigram_divergence: exact unigram counts (shared
+        # trim/split contract), add-1 smoothed log-ratio as ONE pinned
+        # expression of exact ints; target = doc_id % 25 == 0 slice
+        "unigram_divergence_documents": r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t0 AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text,
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+            THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM tl),
+    sc AS (SELECT token, count(*)::BIGINT AS n_src FROM tok GROUP BY 1),
+    tc AS (SELECT token, count(*)::BIGINT AS n_tgt FROM tok
+           WHERE doc_id % 25 = 0 GROUP BY 1),
+    j AS (SELECT sc.token, sc.n_src,
+            coalesce(tc.n_tgt, 0)::BIGINT AS n_tgt
+          FROM sc LEFT JOIN tc USING (token)),
+    tot AS (SELECT (SELECT sum(n_src) FROM sc) AS ns,
+                   (SELECT coalesce(sum(n_tgt), 0) FROM tc) AS nt,
+                   (SELECT count(*) FROM sc) AS v),
+    r AS (SELECT token, n_src, n_tgt,
+            CAST(row_number() OVER (ORDER BY n_src + n_tgt DESC,
+                                    token ASC) AS BIGINT) AS rank
+          FROM j)
+    SELECT rank, token, n_src, n_tgt,
+        round(ln(((n_src + 1) * (nt + v))
+                 / ((ns + v) * (n_tgt + 1.0))), 6) AS log_ratio
+    FROM r, tot WHERE rank <= 100 ORDER BY rank
+    """,
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),

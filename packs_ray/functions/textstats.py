@@ -734,3 +734,109 @@ def truncate_tokens(ds, id_col: str, column: str, max_tokens: int,
 
     return ds.select_columns([id_col, column]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def _token_count_parts(ds, column: str, src_side: bool):
+    """Per-batch (token, n_src, n_tgt) unigram-count combiner — the
+    shared tokenization contract of ``build_vocab``/``top_terms`` (trim,
+    split on ASCII-whitespace runs, empty/null docs contribute
+    nothing), with the count landing in the side column selected by
+    ``src_side``."""
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False   # drop the [""] token
+        vc = pd.Series(flat[keep]).value_counts(sort=False)
+        n = vc.to_numpy().astype(np.int64)
+        zero = np.zeros(len(vc), dtype=np.int64)
+        return pa.table({"token": pa.array(vc.index, type=pa.string()),
+                         "n_src": pa.array(n if src_side else zero),
+                         "n_tgt": pa.array(zero if src_side else n)})
+
+    return ds.select_columns([column]).map_batches(
+        counts, batch_format="pyarrow")
+
+
+def unigram_divergence(src, tgt, column: str, *, k: int = 100,
+                       num_partitions: int | None = None) -> pd.DataFrame:
+    """Top-``k`` unigram log-ratio profile between two corpora — the
+    data-mixing / domain-shift diagnostic: for the ``k`` highest
+    combined-count tokens, the add-one-smoothed log probability ratio
+    ``ln(p_src(t) / p_tgt(t))`` with
+    ``p_side(t) = (n_side(t)+1) / (N_side + V)`` over the joint vocab
+    of size ``V`` (Laplace smoothing; the per-token summands of the
+    smoothed KL divergence — public textbook construction).
+
+    Exactness: every count is an exact integer; the log-ratio is ONE
+    pinned float64 expression of exact ints per row
+    (``ln(((n_s+1)(N_t+V)) / ((N_s+V)(n_t+1)))``, 6dp) shared with the
+    SQL replica — no cross-row float accumulation anywhere, so the
+    output is bit-deterministic under any partitioning.
+
+    Scale shape: per-batch unigram combiners on each side, ONE
+    token-bucketed sum reduce that caps each bucket at its own top-k by
+    combined count (lossless: any global top-k token is top-k within
+    its bucket) and emits one exact per-bucket summary row (bucket
+    token totals + distinct-vocab count; buckets partition tokens, so
+    the summaries sum to exact global N_src/N_tgt/V).  Only the bounded
+    ``buckets x (k+1)`` artifact lands on the driver.
+
+    Output: (rank, token, n_src, n_tgt, log_ratio) ordered by combined
+    count desc, token asc."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(src)
+
+    parts = _token_count_parts(src, column, True).union(
+        _token_count_parts(tgt, column, False))
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)[["n_src", "n_tgt"]].sum()
+        s = s.reset_index().astype({"n_src": "int64", "n_tgt": "int64"})
+        summary = pd.DataFrame([{
+            "token": None, "n_src": s["n_src"].sum(),
+            "n_tgt": s["n_tgt"].sum(), "v": np.int64(len(s))}])
+        s["v"] = np.int64(0)
+        s["_c"] = s["n_src"] + s["n_tgt"]
+        s = s.sort_values(["_c", "token"], ascending=[False, True],
+                          kind="stable").head(k).drop(columns="_c")
+        return pd.concat([s, summary], ignore_index=True) \
+            .astype({"n_src": "int64", "n_tgt": "int64", "v": "int64"})
+
+    rows = bucketed_group_reduce(parts, ["token"], reduce_fn,
+                                 num_partitions).to_pandas()
+    empty = pd.DataFrame({
+        "rank": pd.Series([], dtype="int64"),
+        "token": pd.Series([], dtype=object),
+        "n_src": pd.Series([], dtype="int64"),
+        "n_tgt": pd.Series([], dtype="int64"),
+        "log_ratio": pd.Series([], dtype="float64")})
+    if rows.empty or "token" not in rows.columns:
+        return empty
+    summ = rows[rows["token"].isna()]
+    n_s, n_t = int(summ["n_src"].sum()), int(summ["n_tgt"].sum())
+    v = int(summ["v"].sum())
+    toks = rows[rows["token"].notna()].copy()
+    if toks.empty:
+        return empty
+    toks["_c"] = toks["n_src"] + toks["n_tgt"]
+    toks = toks.sort_values(["_c", "token"], ascending=[False, True],
+                            kind="stable").head(k)
+    ns = toks["n_src"].to_numpy(dtype=np.float64)
+    nt = toks["n_tgt"].to_numpy(dtype=np.float64)
+    toks["log_ratio"] = _r(np.log(((ns + 1.0) * float(n_t + v))
+                                  / (float(n_s + v) * (nt + 1.0))), 6)
+    toks["rank"] = np.arange(1, len(toks) + 1, dtype=np.int64)
+    return toks[["rank", "token", "n_src", "n_tgt",
+                 "log_ratio"]].reset_index(drop=True)

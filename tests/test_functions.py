@@ -3845,3 +3845,51 @@ def test_regex_extract_named_groups(ray_session):
     assert out["status"].tolist()[0] == "F"
     assert out["matched"].tolist() == [True, False, False]
     assert out["key"].isna().tolist() == [False, True, True]
+
+
+def test_unigram_divergence_exact(ray_session):
+    """unigram_divergence: exact counts + smoothed log-ratio vs a
+    hand-computed pandas oracle; partition-invariant; empty corpora
+    return the typed empty frame."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import unigram_divergence
+
+    src_docs = ["a a b c", "b c c d", "  ", None, "a d d"]
+    tgt_docs = ["a b", "d", ""]
+    src = ray.data.from_arrow(pa.table({"text": pa.array(
+        src_docs, type=pa.string())})).repartition(3)
+    tgt = ray.data.from_arrow(pa.table({"text": pa.array(
+        tgt_docs, type=pa.string())})).repartition(2)
+    out = unigram_divergence(src, tgt, "text", k=10)
+
+    # oracle: src counts a=3 b=2 c=3 d=3 (N=11), tgt a=1 b=1 d=1 (N=3),
+    # joint vocab V=4
+    exp = {"a": (3, 1), "b": (2, 1), "c": (3, 0), "d": (3, 1)}
+    ns, nt, v = 11, 3, 4
+    rows = sorted(exp.items(),
+                  key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0]))
+    assert list(out["token"]) == [t for t, _ in rows]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    for _, r in out.iterrows():
+        es, et = exp[r["token"]]
+        assert r["n_src"] == es and r["n_tgt"] == et
+        want = round(math.log(((es + 1) * (nt + v))
+                              / ((ns + v) * (et + 1))), 6)
+        assert abs(r["log_ratio"] - want) < 1e-12
+
+    again = unigram_divergence(src.repartition(1), tgt.repartition(4),
+                               "text", k=10, num_partitions=7)
+    pd.testing.assert_frame_equal(out, again)
+
+    empty = ray.data.from_arrow(pa.table({"text": pa.array(
+        [], type=pa.string())}))
+    e = unigram_divergence(empty, empty, "text")
+    assert len(e) == 0 and list(e.columns) == [
+        "rank", "token", "n_src", "n_tgt", "log_ratio"]
+    assert str(e["n_src"].dtype) == "int64"
