@@ -1184,6 +1184,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def padding_waste_documents(sf):
+        # trainer batching-efficiency profile: length buckets (16, 32,
+        # 64, 80) tokens — the top bucket exercises the clip+truncate
+        # branch (docs run up to ~99 tokens)
+        from packs_ray.functions.sharding import padding_waste
+
+        return padding_waste(_ds(sf, "documents", ["doc_id", "text"]),
+                             "text", capacities=(16, 32, 64, 80))
+
     def unigram_divergence_documents(sf):
         # data-mixing diagnostic: top-100 smoothed unigram log-ratio
         # profile of the corpus vs its deterministic doc_id % 25 == 0
@@ -2530,6 +2539,7 @@ checks for orders:
         "quality_tiers_documents": quality_tiers_documents,
         "dsir_weights_documents": dsir_weights_documents,
         "unigram_divergence_documents": unigram_divergence_documents,
+        "padding_waste_documents": padding_waste_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5474,6 +5484,26 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        # sharding.padding_waste: smallest capacity >= clip(n_tokens,
+        # max), exact int sums, pad_ratio = one pinned 6dp division
+        "padding_waste_documents": r"""
+    WITH n AS (SELECT length(regexp_extract_all(coalesce(text, ''),
+            '\S+'))::BIGINT AS n_tok FROM documents),
+    c AS (SELECT least(n_tok, 80) AS clipped,
+                 (n_tok > 80) AS trunc FROM n),
+    b AS (SELECT CASE WHEN clipped <= 16 THEN 16
+                      WHEN clipped <= 32 THEN 32
+                      WHEN clipped <= 64 THEN 64
+                      ELSE 80 END AS capacity,
+                 clipped, trunc FROM c)
+    SELECT capacity::BIGINT AS capacity,
+        count(*)::BIGINT AS n_docs,
+        sum(clipped)::BIGINT AS sum_tokens,
+        (capacity * count(*) - sum(clipped))::BIGINT AS n_pad,
+        round((capacity * count(*) - sum(clipped))::DOUBLE
+              / (capacity * count(*)), 6) AS pad_ratio,
+        sum(CASE WHEN trunc THEN 1 ELSE 0 END)::BIGINT AS n_truncated
+    FROM b GROUP BY capacity""",
         # textstats.unigram_divergence: exact unigram counts (shared
         # trim/split contract), add-1 smoothed log-ratio as ONE pinned
         # expression of exact ints; target = doc_id % 25 == 0 slice

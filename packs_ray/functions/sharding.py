@@ -183,3 +183,75 @@ def sft_context_examples(ds, conv_col: str, turn_col: str, role_col: str,
     proj = ds.select_columns(cols)
     return bucketed_group_reduce(proj, [conv_col], per_conv,
                                  num_partitions)
+
+
+def padding_waste(ds, text_col: str, capacities: tuple[int, ...] = (
+        64, 128, 256, 512, 1024), *, id_col: str | None = None):
+    """Length-bucket batching profile: assign every document to the
+    smallest training-batch capacity that fits its whitespace token
+    count (``\\S+`` runs, the engine-wide convention) and report, per
+    bucket, the padding a fixed-length batcher would waste — the
+    trainer-efficiency diagnostic that decides bucket boundaries before
+    ``pack_sequences`` / SFT batching.  Documents longer than the
+    largest capacity are clipped to it and counted as truncated.
+
+    Exactness: all counts are exact integers summed via fixed-width
+    per-batch partials (one row per capacity per batch); ``pad_ratio``
+    is ONE pinned division per output row (6dp).  No full-row shuffle —
+    only len(capacities)-row partials leave each batch.
+
+    Output: (capacity, n_docs, sum_tokens, n_pad, pad_ratio,
+    n_truncated) ordered by capacity; buckets no document hits are
+    omitted (SQL GROUP BY semantics)."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import global_agg
+    from packs_ray.stages.util import round_half_away as _r, str_column
+
+    caps = np.asarray(sorted(set(int(c) for c in capacities)),
+                      dtype=np.int64)
+    if len(caps) == 0 or caps[0] <= 0:
+        raise ValueError("capacities must be positive ints")
+
+    def partial(batch: pa.Table) -> dict:
+        text = str_column(batch, text_col)
+        n = pc.count_substring_regex(text, r"\S+").fill_null(0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        trunc = n > caps[-1]
+        clipped = np.minimum(n, caps[-1])
+        # smallest capacity >= clipped token count
+        bi = np.searchsorted(caps, clipped, side="left")
+        out: dict = {}
+        for i, c in enumerate(caps):
+            m = bi == i
+            out[f"n_{c}"] = int(m.sum())
+            out[f"t_{c}"] = int(clipped[m].sum())
+            out[f"x_{c}"] = int((m & trunc).sum())
+        return out
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in caps:
+            n = int(parts[f"n_{c}"].sum())
+            if n == 0:
+                continue
+            t = int(parts[f"t_{c}"].sum())
+            x = int(parts[f"x_{c}"].sum())
+            pad = int(c) * n - t
+            rows.append({
+                "capacity": np.int64(c), "n_docs": np.int64(n),
+                "sum_tokens": np.int64(t), "n_pad": np.int64(pad),
+                "pad_ratio": float(_r(pad / (int(c) * n), 6)),
+                "n_truncated": np.int64(x)})
+        if not rows:
+            return pd.DataFrame({
+                "capacity": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "sum_tokens": pd.Series([], dtype="int64"),
+                "n_pad": pd.Series([], dtype="int64"),
+                "pad_ratio": pd.Series([], dtype="float64"),
+                "n_truncated": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows)
+
+    cols = [text_col] if id_col is None else [id_col, text_col]
+    return global_agg(ds.select_columns(cols), partial, combine)

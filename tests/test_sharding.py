@@ -159,3 +159,42 @@ def test_sft_context_examples_window(ray_session):
         "",
         "assistant: opener\nuser: ",
     ]
+
+
+def test_padding_waste_exact(ray_session):
+    """padding_waste: hand-computed buckets incl. clip+truncate branch,
+    empty buckets omitted, partition-invariant, typed empty output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sharding import padding_waste
+
+    docs = ["a b c",                 # 3 tokens  -> cap 4
+            "a b c d",               # 4         -> cap 4
+            " ".join(["x"] * 7),     # 7         -> cap 8
+            " ".join(["x"] * 12),    # 12 > 8    -> clipped to 8, trunc
+            None, ""]                # both 0 tokens -> cap 4
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(
+        docs, type=pa.string())})).repartition(3)
+    out = padding_waste(ds, "text", capacities=(4, 8)) \
+        .sort_values("capacity").reset_index(drop=True)
+    # cap 4: docs {3,4,0,0}: sum=7, pad=16-7=9; cap 8: {7,8}: pad=1
+    exp = pd.DataFrame({
+        "capacity": np.array([4, 8], dtype=np.int64),
+        "n_docs": np.array([4, 2], dtype=np.int64),
+        "sum_tokens": np.array([7, 15], dtype=np.int64),
+        "n_pad": np.array([9, 1], dtype=np.int64),
+        "pad_ratio": [round(9 / 16, 6), round(1 / 16, 6)],
+        "n_truncated": np.array([0, 1], dtype=np.int64)})
+    pd.testing.assert_frame_equal(out, exp)
+
+    again = padding_waste(ds.repartition(1), "text", capacities=(4, 8)) \
+        .sort_values("capacity").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
+
+    empty = ray.data.from_arrow(pa.table({"text": pa.array(
+        [], type=pa.string())}))
+    e = padding_waste(empty, "text", capacities=(4, 8))
+    assert len(e) == 0 and str(e["n_docs"].dtype) == "int64"
