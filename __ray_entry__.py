@@ -1184,6 +1184,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def cohens_kappa_orders_lineitem(sf):
+        # inter-rater agreement: does the order-level status "rater"
+        # agree with each line-level status? join on orderkey, kappa
+        # over the category union
+        from packs_ray.functions.agg import cohens_kappa
+        from packs_ray.functions.joins import equi_join
+
+        j = equi_join(
+            _ds(sf, "lineitem", ["l_orderkey", "l_linestatus"]),
+            _ds(sf, "orders", ["o_orderkey", "o_orderstatus"]),
+            left_on=["l_orderkey"], right_on=["o_orderkey"])
+        return cohens_kappa(j, "o_orderstatus", "l_linestatus")
+
     def padding_waste_documents(sf):
         # trainer batching-efficiency profile: length buckets (16, 32,
         # 64, 80) tokens — the top bucket exercises the clip+truncate
@@ -2540,6 +2553,7 @@ checks for orders:
         "dsir_weights_documents": dsir_weights_documents,
         "unigram_divergence_documents": unigram_divergence_documents,
         "padding_waste_documents": padding_waste_documents,
+        "cohens_kappa_orders_lineitem": cohens_kappa_orders_lineitem,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5484,6 +5498,30 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        # agg.cohens_kappa: exact int counts; every float ONE pinned
+        # expression ((n_agree*n - s) / (n^2 - s))
+        "cohens_kappa_orders_lineitem": """
+    WITH j AS (SELECT o.o_orderstatus AS a, l.l_linestatus AS b
+               FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_orderstatus IS NOT NULL
+                 AND l.l_linestatus IS NOT NULL),
+    cats AS (SELECT a AS cat, count(*)::BIGINT AS n_a,
+                    0::BIGINT AS n_b FROM j GROUP BY 1
+             UNION ALL
+             SELECT b, 0, count(*)::BIGINT FROM j GROUP BY 1),
+    m AS (SELECT cat, sum(n_a)::BIGINT AS n_a, sum(n_b)::BIGINT AS n_b
+          FROM cats GROUP BY 1),
+    t AS (SELECT (SELECT count(*)::BIGINT FROM j) AS n,
+                 (SELECT count(*)::BIGINT FROM j WHERE a = b) AS n_agree,
+                 (SELECT sum(n_a * n_b)::BIGINT FROM m) AS s)
+    SELECT n, n_agree, s AS s_chance,
+        round(n_agree::DOUBLE / n, 6) AS p_observed,
+        round(s::DOUBLE / (n * n), 6) AS p_expected,
+        CASE WHEN n * n != s THEN
+            round((n_agree * n - s)::DOUBLE / (n * n - s), 6)
+        ELSE NULL END AS kappa
+    FROM t""",
         # sharding.padding_waste: smallest capacity >= clip(n_tokens,
         # max), exact int sums, pad_ratio = one pinned 6dp division
         "padding_waste_documents": r"""

@@ -1020,3 +1020,83 @@ def pmi_pairs(ds, key_col: str, item_col: str, *,
     pairs["pmi"] = _r(np.log(nab * float(n_keys) / (na * nb)), 6)
     pairs["n_ab"] = pairs["n_ab"].astype(np.int64)
     return pairs.reset_index(drop=True)
+
+
+def cohens_kappa(ds, col_a: str, col_b: str,
+                 num_partitions: int | None = None) -> pd.DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    columns (Cohen 1960, public measure) — the label-quality check for
+    doubly-annotated training data.  Rows with a null on either side
+    are excluded (unlabeled pairs).
+
+    Exactness: with exact integer counts ``n`` (rated pairs),
+    ``n_agree`` and ``s_chance = Σ_k n_a(k)·n_b(k)`` (marginal product
+    sum over the category union), every float is ONE pinned expression:
+    ``p_observed = n_agree/n``, ``p_expected = s_chance/n²`` and
+    ``kappa = (n_agree·n − s_chance) / (n² − s_chance)`` — no float
+    accumulation, bit-deterministic under any partitioning.
+
+    Scale shape: per-batch (category, n_a, n_b, n_agree) partials (the
+    category domain is bounded — the standard contract for rater
+    labels), one category-bucketed sum reduce; only the bounded
+    per-category frame lands on the driver.  Degenerate chance
+    agreement (``n² == s_chance``, e.g. a constant single label) emits
+    null kappa.
+
+    Output: one row (n, n_agree, s_chance, p_observed, p_expected,
+    kappa)."""
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([col_a, col_b]).filter(pc.and_(
+            batch.column(col_a).is_valid(),
+            batch.column(col_b).is_valid()))
+        a = batch.column(col_a).to_pandas().astype(str)
+        b = batch.column(col_b).to_pandas().astype(str)
+        na = a.value_counts(sort=False)
+        nb = b.value_counts(sort=False)
+        ag = a[a.to_numpy() == b.to_numpy()].value_counts(sort=False)
+        cats = na.index.union(nb.index)
+        return pa.table({
+            "cat": pa.array(cats, type=pa.string()),
+            "n_a": pa.array(na.reindex(cats, fill_value=0)
+                            .to_numpy().astype(np.int64)),
+            "n_b": pa.array(nb.reindex(cats, fill_value=0)
+                            .to_numpy().astype(np.int64)),
+            "n_ag": pa.array(ag.reindex(cats, fill_value=0)
+                             .to_numpy().astype(np.int64))})
+
+    parts = ds.map_batches(marks, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("cat", sort=False)[["n_a", "n_b", "n_ag"]]
+                .sum().reset_index()
+                .astype({"n_a": "int64", "n_b": "int64", "n_ag": "int64"}))
+
+    cat = bucketed_group_reduce(parts, ["cat"], reduce_fn,
+                                num_partitions).to_pandas()
+    if cat.empty or "n_a" not in cat.columns:
+        cat = pd.DataFrame({"n_a": pd.Series([], dtype="int64"),
+                            "n_b": pd.Series([], dtype="int64"),
+                            "n_ag": pd.Series([], dtype="int64")})
+    n = int(cat["n_a"].sum())
+    n_agree = int(cat["n_ag"].sum())
+    s = int((cat["n_a"] * cat["n_b"]).sum())
+    row = {"n": np.int64(n), "n_agree": np.int64(n_agree),
+           "s_chance": np.int64(s)}
+    if n == 0:
+        row.update({"p_observed": None, "p_expected": None, "kappa": None})
+    else:
+        row["p_observed"] = float(_r(n_agree / n, 6))
+        row["p_expected"] = float(_r(s / (n * n), 6))
+        row["kappa"] = (float(_r((n_agree * n - s) / (n * n - s), 6))
+                        if n * n != s else None)
+    out = pd.DataFrame([row])
+    for c in ("p_observed", "p_expected", "kappa"):
+        out[c] = out[c].astype("float64")
+    return out

@@ -3893,3 +3893,41 @@ def test_unigram_divergence_exact(ray_session):
     assert len(e) == 0 and list(e.columns) == [
         "rank", "token", "n_src", "n_tgt", "log_ratio"]
     assert str(e["n_src"].dtype) == "int64"
+
+
+def test_cohens_kappa_exact(ray_session):
+    """cohens_kappa: hand-computed kappa, null exclusion, degenerate
+    single-category null kappa, partition invariance, empty input."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import cohens_kappa
+
+    a = ["x", "x", "y", "y", "x", None, "y"]
+    b = ["x", "y", "y", "y", "x", "x", None]
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, type=pa.string()),
+        "b": pa.array(b, type=pa.string())})).repartition(3)
+    out = cohens_kappa(ds, "a", "b")
+    # pairs: (x,x),(x,y),(y,y),(y,y),(x,x) -> n=5, agree=4
+    # marginals a: x=3 y=2; b: x=2 y=3 -> s = 3*2 + 2*3 = 12
+    assert out["n"].iloc[0] == 5 and out["n_agree"].iloc[0] == 4
+    assert out["s_chance"].iloc[0] == 12
+    assert out["kappa"].iloc[0] == round((4 * 5 - 12) / (25 - 12), 6)
+
+    again = cohens_kappa(ds.repartition(1), "a", "b", num_partitions=5)
+    pd.testing.assert_frame_equal(out, again)
+
+    const = ray.data.from_arrow(pa.table({
+        "a": pa.array(["k", "k"]), "b": pa.array(["k", "k"])}))
+    deg = cohens_kappa(const, "a", "b")
+    assert deg["p_observed"].iloc[0] == 1.0
+    assert np.isnan(deg["kappa"].iloc[0])   # n^2 == s -> null kappa
+
+    empty = ray.data.from_arrow(pa.table({
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string())}))
+    e = cohens_kappa(empty, "a", "b")
+    assert e["n"].iloc[0] == 0 and np.isnan(e["kappa"].iloc[0])
