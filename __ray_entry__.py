@@ -1184,6 +1184,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def grouped_completeness_events(sf):
+        # sliced completeness: per-event_type null profile (nulls
+        # concentrating in one segment hide behind the global ratio)
+        from packs_ray.functions.profiling import grouped_completeness
+
+        return grouped_completeness(
+            _ds(sf, "events", ["event_type", "user_id", "value", "props"]),
+            "event_type", ["user_id", "value", "props"]) \
+            .sort(["event_type", "column"])
+
     def cohens_kappa_orders_lineitem(sf):
         # inter-rater agreement: does the order-level status "rater"
         # agree with each line-level status? join on orderkey, kappa
@@ -2554,6 +2564,7 @@ checks for orders:
         "unigram_divergence_documents": unigram_divergence_documents,
         "padding_waste_documents": padding_waste_documents,
         "cohens_kappa_orders_lineitem": cohens_kappa_orders_lineitem,
+        "grouped_completeness_events": grouped_completeness_events,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5498,6 +5509,22 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        # profiling.grouped_completeness: exact counts per segment,
+        # 6dp pinned division; NULL event_type is its own segment
+        "grouped_completeness_events": """
+    WITH g AS (SELECT event_type, count(*)::BIGINT AS total,
+            count(user_id)::BIGINT AS nn_user,
+            count(value)::BIGINT AS nn_value,
+            count(props)::BIGINT AS nn_props
+        FROM events GROUP BY 1)
+    SELECT event_type, 'user_id' AS "column", nn_user AS non_null,
+        total, round(nn_user::DOUBLE / total, 6) AS completeness FROM g
+    UNION ALL
+    SELECT event_type, 'value', nn_value, total,
+        round(nn_value::DOUBLE / total, 6) FROM g
+    UNION ALL
+    SELECT event_type, 'props', nn_props, total,
+        round(nn_props::DOUBLE / total, 6) FROM g""",
         # agg.cohens_kappa: exact int counts; every float ONE pinned
         # expression ((n_agree*n - s) / (n^2 - s))
         "cohens_kappa_orders_lineitem": """

@@ -1080,3 +1080,56 @@ def missingness_phi(ds, columns: list[str]) -> pd.DataFrame:
                                       "n_b", "n_ab", "phi"])
     out["phi"] = out["phi"].astype(np.float64)
     return out
+
+
+def grouped_completeness(ds, group_col: str, columns: list[str],
+                         num_partitions: int | None = None):
+    """Per-segment completeness: non-null counts + completeness ratio
+    for each ``columns`` entry WITHIN each ``group_col`` value — the
+    sliced view of ``completeness`` that catches a feed whose nulls
+    concentrate in one segment while the global ratio still looks
+    healthy.  Null group values form their own ``None`` segment (they
+    are exactly the rows a segment audit must not drop).
+
+    Exactness: exact integer counts; completeness is one pinned 6dp
+    division per row.  Shape: per-batch (group, n, nn_col...) partial
+    rows, one group-bucketed sum reduce; output is bounded by
+    n_groups x n_columns.
+
+    Output: (group_col, column, non_null, total, completeness)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col] + columns).to_pandas()
+        g = df.groupby(group_col, sort=False, dropna=False)
+        out = g.size().reset_index(name="_n")
+        for c in columns:
+            out[f"_nn_{c}"] = g[c].count().to_numpy().astype(np.int64)
+        out["_n"] = out["_n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(group_col, sort=False, dropna=False).sum()
+        rows = []
+        for grp, r in s.iterrows():
+            total = int(r["_n"])
+            for c in columns:
+                nn = int(r[f"_nn_{c}"])
+                rows.append({
+                    group_col: grp, "column": c,
+                    "non_null": np.int64(nn), "total": np.int64(total),
+                    "completeness": float(_r(nn / total, 6))
+                    if total else None})
+        return pd.DataFrame(rows)
+
+    return bucketed_group_reduce(parts, [group_col], reduce_fn,
+                                 num_partitions)

@@ -3931,3 +3931,38 @@ def test_cohens_kappa_exact(ray_session):
         "b": pa.array([], type=pa.string())}))
     e = cohens_kappa(empty, "a", "b")
     assert e["n"].iloc[0] == 0 and np.isnan(e["kappa"].iloc[0])
+
+
+def test_grouped_completeness_exact(ray_session):
+    """grouped_completeness: per-segment null counts incl. the None
+    segment; partition-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.profiling import grouped_completeness
+
+    t = pa.table({
+        "seg": pa.array(["a", "a", "b", None, "b", "a"]),
+        "x": pa.array([1, None, 3, 4, None, 6], type=pa.int64()),
+        "y": pa.array([None, None, "u", "v", "w", None])})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = grouped_completeness(ds, "seg", ["x", "y"]).to_pandas()
+    out = out.sort_values(["seg", "column"]).reset_index(drop=True)
+
+    def row(seg, col):
+        m = out["seg"].isna() if seg is None else (out["seg"] == seg)
+        return out[m & (out["column"] == col)]
+
+    r = row("a", "x")
+    assert r["non_null"].iloc[0] == 2 and r["total"].iloc[0] == 3
+    assert r["completeness"].iloc[0] == round(2 / 3, 6)
+    r = row("a", "y")
+    assert r["non_null"].iloc[0] == 0
+    r = row(None, "x")
+    assert r["total"].iloc[0] == 1 and r["non_null"].iloc[0] == 1
+
+    again = grouped_completeness(ds.repartition(1), "seg", ["x", "y"],
+                                 num_partitions=4).to_pandas()
+    again = again.sort_values(["seg", "column"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, again)
