@@ -1184,6 +1184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def bigram_collocations_documents(sf):
+        # templated-phrase screen: top-100 adjacent bigrams with PMI
+        from packs_ray.functions.textstats import bigram_collocations
+
+        return bigram_collocations(_ds(sf, "documents", ["text"]),
+                                   "text", k=100)
+
     def grouped_completeness_events(sf):
         # sliced completeness: per-event_type null profile (nulls
         # concentrating in one segment hide behind the global ratio)
@@ -2565,6 +2572,7 @@ checks for orders:
         "padding_waste_documents": padding_waste_documents,
         "cohens_kappa_orders_lineitem": cohens_kappa_orders_lineitem,
         "grouped_completeness_events": grouped_completeness_events,
+        "bigram_collocations_documents": bigram_collocations_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5509,6 +5517,34 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        # textstats.bigram_collocations: adjacent pairs within doc
+        # (shared trim/split contract), pmi = ONE pinned expression
+        # ln(n_pair*N_tok^2 / (N_pairs*n_w1*n_w2))
+        "bigram_collocations_documents": r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t0 AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text,
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+            THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(len(toks))) AS pos FROM tl),
+    pr AS (SELECT a.tok AS w1, b.tok AS w2 FROM tok a
+           JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pcnt AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+             FROM pr GROUP BY 1, 2),
+    tot AS (SELECT (SELECT count(*)::BIGINT FROM pr) AS n_pairs,
+                   (SELECT count(*)::BIGINT FROM tok) AS n_tok),
+    u AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+    r AS (SELECT w1, w2, n_pair,
+            CAST(row_number() OVER (ORDER BY n_pair DESC, w1, w2)
+                 AS BIGINT) AS rank FROM pcnt)
+    SELECT rank, w1, w2, n_pair, u1.n AS n_w1, u2.n AS n_w2,
+        round(ln((n_pair * n_tok * n_tok)::DOUBLE
+                 / (n_pairs * u1.n * u2.n)), 6) AS pmi
+    FROM r CROSS JOIN tot
+    JOIN u u1 ON r.w1 = u1.tok JOIN u u2 ON r.w2 = u2.tok
+    WHERE rank <= 100 ORDER BY rank""",
         # profiling.grouped_completeness: exact counts per segment,
         # 6dp pinned division; NULL event_type is its own segment
         "grouped_completeness_events": """

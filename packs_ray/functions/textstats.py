@@ -840,3 +840,136 @@ def unigram_divergence(src, tgt, column: str, *, k: int = 100,
     toks["rank"] = np.arange(1, len(toks) + 1, dtype=np.int64)
     return toks[["rank", "token", "n_src", "n_tgt",
                  "log_ratio"]].reset_index(drop=True)
+
+
+def bigram_collocations(src, column: str, *, k: int = 100,
+                        min_count: int = 1,
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """Top-``k`` adjacent-bigram collocations with PMI (Church & Hanks
+    1990, public measure): the corpus-analysis screen for templated /
+    boilerplate phrases and multiword expressions.  Bigrams are
+    adjacent token pairs WITHIN a document (the shared trim/split
+    whitespace contract; no cross-document pairs).
+
+    ``pmi = ln(n_pair · N_tok² / (N_pairs · n_w1 · n_w2))`` — every
+    count an exact integer, pmi ONE pinned float64 expression per row
+    (6dp), so the output is bit-deterministic under any partitioning.
+
+    Scale shape: pass 1 — per-batch adjacent-pair combiners, one
+    pair-bucketed sum reduce capped at each bucket's own top-k by
+    ``(n_pair desc, w1, w2)`` (lossless for the global top-k) plus one
+    exact per-bucket summary row (pair total); pass 2 — the <= 2k
+    tokens of the winning pairs broadcast as a filter, one bounded
+    unigram count reduce for their marginals + exact global token
+    count.  Only bounded artifacts land on the driver.
+
+    Output: (rank, w1, w2, n_pair, n_w1, n_w2, pmi)."""
+    import ray
+
+    from packs_ray.functions.agg import (bucketed_group_reduce, global_agg,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(src)
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def _doc_tokens(batch: pa.Table):
+        col = str_column(batch, column)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False   # drop the [""] token
+        lens = (off[1:] - off[:-1]).copy()
+        lens[empty] = 0
+        return flat[keep], lens                    # tokens, per-doc lens
+
+    def pair_parts(batch: pa.Table) -> pa.Table:
+        toks, lens = _doc_tokens(batch)
+        if len(toks) == 0:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "n_pair": pa.array([], type=pa.int64())})
+        # adjacent within doc: drop the last token of every doc
+        ends = np.cumsum(lens)
+        last = ends[lens > 0] - 1
+        m = np.ones(len(toks), dtype=bool)
+        m[last] = False
+        d = pd.DataFrame({"w1": toks[:-1][m[:-1]],
+                          "w2": toks[1:][m[:-1]]})
+        out = (d.groupby(["w1", "w2"], sort=False).size()
+               .reset_index(name="n_pair"))
+        out["n_pair"] = out["n_pair"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = src.select_columns([column]).map_batches(
+        pair_parts, batch_format="pyarrow")
+
+    def pair_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["w1", "w2"], sort=False)["n_pair"].sum()
+             .reset_index().astype({"n_pair": "int64"}))
+        summary = pd.DataFrame([{"w1": None, "w2": None,
+                                 "n_pair": s["n_pair"].sum()}])
+        s = s[s["n_pair"] >= min_count]
+        s = s.sort_values(["n_pair", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
+        return pd.concat([s, summary], ignore_index=True) \
+            .astype({"n_pair": "int64"})
+
+    rows = bucketed_group_reduce(parts, ["w1", "w2"], pair_reduce,
+                                 num_partitions).to_pandas()
+    empty = pd.DataFrame({
+        "rank": pd.Series([], dtype="int64"),
+        "w1": pd.Series([], dtype=object),
+        "w2": pd.Series([], dtype=object),
+        "n_pair": pd.Series([], dtype="int64"),
+        "n_w1": pd.Series([], dtype="int64"),
+        "n_w2": pd.Series([], dtype="int64"),
+        "pmi": pd.Series([], dtype="float64")})
+    if rows.empty or "w1" not in rows.columns:
+        return empty
+    n_pairs = int(rows[rows["w1"].isna()]["n_pair"].sum())
+    top = rows[rows["w1"].notna()].copy()
+    top = top.sort_values(["n_pair", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
+    if top.empty or n_pairs == 0:
+        return empty
+
+    need = sorted(set(top["w1"]) | set(top["w2"]))
+    need_ref = ray.put(np.array(need, dtype=object))
+
+    def uni_parts(batch: pa.Table) -> dict:
+        toks, _ = _doc_tokens(batch)
+        d = {"_n_tok": int(len(toks))}
+        want = ray.get(need_ref)
+        if len(toks):
+            vc = pd.Series(toks).value_counts(sort=False)
+            vc = vc.reindex(want, fill_value=0)
+        else:
+            vc = pd.Series(0, index=want)
+        for t, c in vc.items():
+            d[f"u_{t}"] = int(c)
+        return d
+
+    def uni_combine(p: pd.DataFrame) -> dict:
+        return {"n_tok": int(p["_n_tok"].sum()),
+                **{t: int(p[f"u_{t}"].sum()) for t in need}}
+
+    uni = global_agg(src.select_columns([column]), uni_parts, uni_combine)
+    n_tok = uni["n_tok"]
+    top["n_w1"] = top["w1"].map(uni).astype(np.int64)
+    top["n_w2"] = top["w2"].map(uni).astype(np.int64)
+    np_ = top["n_pair"].to_numpy(dtype=np.float64)
+    pmi = np.log((np_ * float(n_tok) * float(n_tok))
+                 / (float(n_pairs) * top["n_w1"].to_numpy(dtype=np.float64)
+                    * top["n_w2"].to_numpy(dtype=np.float64)))
+    top["pmi"] = _r(pmi, 6)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "w1", "w2", "n_pair", "n_w1", "n_w2",
+                "pmi"]].reset_index(drop=True)

@@ -3966,3 +3966,36 @@ def test_grouped_completeness_exact(ray_session):
                                  num_partitions=4).to_pandas()
     again = again.sort_values(["seg", "column"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_bigram_collocations_exact(ray_session):
+    """bigram_collocations: no cross-document pairs, exact counts,
+    hand-checked PMI, partition-invariant, empty corpus."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.textstats import bigram_collocations
+
+    docs = ["a b a b", "b a", "", None, "c"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(
+        docs, type=pa.string())})).repartition(3)
+    out = bigram_collocations(ds, "text", k=10)
+    # pairs: doc1 (a,b),(b,a),(a,b); doc2 (b,a) -> ab=2, ba=2; N_pairs=4
+    # unigrams: a=3, b=3, c=1; N_tok=7
+    assert list(zip(out["w1"], out["w2"])) == [("a", "b"), ("b", "a")]
+    assert list(out["n_pair"]) == [2, 2]
+    assert list(out["n_w1"]) == [3, 3] and list(out["n_w2"]) == [3, 3]
+    want = round(math.log((2 * 7 * 7) / (4 * 3 * 3)), 6)
+    assert all(abs(p - want) < 1e-12 for p in out["pmi"])
+
+    again = bigram_collocations(ds.repartition(1), "text", k=10,
+                                num_partitions=5)
+    pd.testing.assert_frame_equal(out, again)
+
+    empty = ray.data.from_arrow(pa.table({"text": pa.array(
+        [], type=pa.string())}))
+    e = bigram_collocations(empty, "text")
+    assert len(e) == 0 and str(e["n_pair"].dtype) == "int64"
