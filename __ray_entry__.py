@@ -1184,6 +1184,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tgt = src.map_batches(tgt_slice, batch_format="pyarrow")
         return importance_weights(src, "doc_id", "text", tgt, n_bits=16)
 
+    def contingency_orders(sf):
+        # independence screen: o_orderstatus x o_orderpriority
+        # per-cell chi-squared contributions
+        from packs_ray.functions.agg import contingency_profile
+
+        return contingency_profile(
+            _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
+            "o_orderstatus", "o_orderpriority")
+
     def bigram_collocations_documents(sf):
         # templated-phrase screen: top-100 adjacent bigrams with PMI
         from packs_ray.functions.textstats import bigram_collocations
@@ -2573,6 +2582,7 @@ checks for orders:
         "cohens_kappa_orders_lineitem": cohens_kappa_orders_lineitem,
         "grouped_completeness_events": grouped_completeness_events,
         "bigram_collocations_documents": bigram_collocations_documents,
+        "contingency_orders": contingency_orders,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5517,6 +5527,24 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_orderkey", "o_orderpriority", 20, "strat"),
         "dedup_spans_documents": _dedup_spans_sql(8),
         "dsir_weights_documents": _dsir_sql(16, 25),
+        # agg.contingency_profile: exact cell/marginal counts; expected
+        # and contrib each ONE pinned double expression (ints cast to
+        # double BEFORE the square so nothing overflows int64)
+        "contingency_orders": """
+    WITH c AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+            count(*)::BIGINT AS obs FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2),
+    m AS (SELECT a, b, obs,
+            sum(obs) OVER (PARTITION BY a)::BIGINT AS n_a,
+            sum(obs) OVER (PARTITION BY b)::BIGINT AS n_b,
+            sum(obs) OVER ()::BIGINT AS n FROM c)
+    SELECT a AS o_orderstatus, b AS o_orderpriority, obs, n_a, n_b,
+        round(n_a::DOUBLE * n_b / n, 6) AS expected,
+        round((obs::DOUBLE * n - n_a::DOUBLE * n_b)
+              * (obs::DOUBLE * n - n_a::DOUBLE * n_b)
+              / (n::DOUBLE * n_a * n_b), 6) AS contrib
+    FROM m ORDER BY 1, 2""",
         # textstats.bigram_collocations: adjacent pairs within doc
         # (shared trim/split contract), pmi = ONE pinned expression
         # ln(n_pair*N_tok^2 / (N_pairs*n_w1*n_w2))

@@ -1100,3 +1100,74 @@ def cohens_kappa(ds, col_a: str, col_b: str,
     for c in ("p_observed", "p_expected", "kappa"):
         out[c] = out[c].astype("float64")
     return out
+
+
+def contingency_profile(ds, col_a: str, col_b: str,
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """Chi-squared contingency profile between two bounded categorical
+    columns (Pearson 1900, public): per-cell observed vs expected
+    counts and the cell's chi-squared contribution — the
+    association-strength / independence screen (label leakage, skewed
+    strata, segment drift).  Rows with a null on either side are
+    excluded.
+
+    Exactness: observed and marginal counts are exact integers;
+    ``expected = n_a·n_b/n`` and
+    ``contrib = (obs·n − n_a·n_b)² / (n·n_a·n_b)`` are ONE pinned
+    float64 expression each (6dp, all factors exact ints cast to
+    double first) — no cross-row float accumulation; chi² is the
+    caller's sum of ``contrib``.
+
+    Scale shape: per-batch (a, b, n) cell partials, one cell-bucketed
+    sum reduce; marginals derive from the bounded |A|x|B| cell table on
+    the driver.  Output ordered by (a, b)."""
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([col_a, col_b]).filter(pc.and_(
+            batch.column(col_a).is_valid(),
+            batch.column(col_b).is_valid()))
+        df = batch.to_pandas()
+        out = (df.groupby([col_a, col_b], sort=False).size()
+               .reset_index(name="obs"))
+        out["obs"] = out["obs"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([col_a, col_b], sort=False)["obs"].sum()
+                .reset_index().astype({"obs": "int64"}))
+
+    cells = bucketed_group_reduce(ds.map_batches(marks,
+                                                 batch_format="pyarrow"),
+                                  [col_a, col_b], reduce_fn,
+                                  num_partitions).to_pandas()
+    empty = pd.DataFrame({
+        col_a: pd.Series([], dtype=object),
+        col_b: pd.Series([], dtype=object),
+        "obs": pd.Series([], dtype="int64"),
+        "n_a": pd.Series([], dtype="int64"),
+        "n_b": pd.Series([], dtype="int64"),
+        "expected": pd.Series([], dtype="float64"),
+        "contrib": pd.Series([], dtype="float64")})
+    if cells.empty or "obs" not in cells.columns:
+        return empty
+    n = int(cells["obs"].sum())
+    na = cells.groupby(col_a)["obs"].sum()
+    nb = cells.groupby(col_b)["obs"].sum()
+    cells["n_a"] = cells[col_a].map(na).astype(np.int64)
+    cells["n_b"] = cells[col_b].map(nb).astype(np.int64)
+    o = cells["obs"].to_numpy(dtype=np.float64)
+    a = cells["n_a"].to_numpy(dtype=np.float64)
+    b = cells["n_b"].to_numpy(dtype=np.float64)
+    fn = float(n)
+    cells["expected"] = _r(a * b / fn, 6)
+    x = o * fn - a * b
+    cells["contrib"] = _r((x * x) / (fn * a * b), 6)
+    cells = cells.sort_values([col_a, col_b], kind="stable")
+    return cells[[col_a, col_b, "obs", "n_a", "n_b", "expected",
+                  "contrib"]].reset_index(drop=True)

@@ -3999,3 +3999,39 @@ def test_bigram_collocations_exact(ray_session):
         [], type=pa.string())}))
     e = bigram_collocations(empty, "text")
     assert len(e) == 0 and str(e["n_pair"].dtype) == "int64"
+
+
+def test_contingency_profile_exact(ray_session):
+    """contingency_profile: hand-checked 2x2 table, null exclusion,
+    partition invariance, empty input."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import contingency_profile
+
+    a = ["x", "x", "x", "y", "y", None]
+    b = ["u", "u", "v", "u", "v", "u"]
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, type=pa.string()),
+        "b": pa.array(b, type=pa.string())})).repartition(3)
+    out = contingency_profile(ds, "a", "b")
+    # cells: xu=2 xv=1 yu=1 yv=1; n=5; n_x=3 n_y=2 n_u=3 n_v=2
+    assert list(zip(out["a"], out["b"])) == [
+        ("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")]
+    assert list(out["obs"]) == [2, 1, 1, 1]
+    r = out.iloc[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["expected"] == round(3 * 3 / 5, 6)
+    x = 2 * 5 - 3 * 3
+    assert r["contrib"] == round((x * x) / (5 * 3 * 3), 6)
+
+    again = contingency_profile(ds.repartition(1), "a", "b",
+                                num_partitions=4)
+    pd.testing.assert_frame_equal(out, again)
+
+    empty = ray.data.from_arrow(pa.table({
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string())}))
+    e = contingency_profile(empty, "a", "b")
+    assert len(e) == 0 and str(e["obs"].dtype) == "int64"
