@@ -65,13 +65,43 @@ import pyarrow.compute as pc
 from packs_ray.functions.agg import global_agg
 
 
+def _when_mask(batch: pa.Table, w: dict) -> pa.Array:
+    """Row-condition mask for a check's ``when`` clause:
+    {"column", "op": "=="|"!="|"in", "value"/"values"}.  Rows where the
+    condition column is null are excluded (condition not established) —
+    the GE row_condition / dqops WHERE-filter convention."""
+    col = batch.column(w["column"])
+    op = w.get("op", "==")
+    if op == "==":
+        m = pc.equal(col, w["value"])
+    elif op == "!=":
+        m = pc.not_equal(col, w["value"])
+    elif op == "in":
+        m = pc.is_in(col, value_set=pa.array(
+            w["values"], type=col.type if not isinstance(
+                col, pa.ChunkedArray) else col.type))
+    else:
+        raise ValueError(f"unknown when-op {op!r}")
+    return pc.fill_null(m, False)
+
+
 def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     """One row per check: check_id, type, column, observed (violations,
     or row count for row_count_min), passed — plus a final ``__score__``
     row (checks passed, per the reference roll-up
-    great_expectations_pack/main.py:57-62)."""
+    great_expectations_pack/main.py:57-62).
+
+    Any SCAN check may carry a ``when`` row condition
+    (``{"column", "op": ==|!=|in, "value"/"values"}``): the check then
+    evaluates only over rows satisfying the condition (GE
+    ``row_condition`` / dqops table filter semantics); rows with a null
+    condition column are excluded."""
     NOSCAN = ("row_count_min", "row_count_between", "unique",
               "duplicate_percent_max", "column_exists", "skipped")
+    for c in checks:
+        if c.get("when") is not None and c["type"] in NOSCAN:
+            raise ValueError(
+                f"when-condition unsupported for {c['type']!r}")
     scan_checks = [(i, c) for i, c in enumerate(checks)
                    if c["type"] not in NOSCAN]
     PCT = ("values_in_set_percent", "pattern_match_percent",
@@ -83,7 +113,10 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
         d = {"rows": batch.num_rows}
         for i, c in scan_checks:
             t = c["type"]
-            col = batch.column(c["column"])
+            sub = batch
+            if c.get("when") is not None:
+                sub = batch.filter(_when_mask(batch, c["when"]))
+            col = sub.column(c["column"])
             if t == "not_null":
                 d[f"viol_{i}"] = col.null_count
             elif t == "values_between":

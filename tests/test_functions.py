@@ -4035,3 +4035,42 @@ def test_contingency_profile_exact(ray_session):
         "b": pa.array([], type=pa.string())}))
     e = contingency_profile(empty, "a", "b")
     assert len(e) == 0 and str(e["obs"].dtype) == "int64"
+
+
+def test_run_checks_when_row_condition(ray_session):
+    """A scan check with a ``when`` row condition evaluates only over
+    rows satisfying the condition (GE row_condition / dqops WHERE
+    semantics); null condition rows are excluded; ``in`` op works;
+    NOSCAN checks reject ``when``."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from packs_ray.functions.checks import run_checks
+
+    df = pd.DataFrame({"seg": ["A", "A", "B", "B", None],
+                       "v": [1, 50, 2, 60, 99]})
+    ds = ray.data.from_pandas(df)
+    out = run_checks(ds, [
+        {"type": "values_between", "column": "v", "min": 0, "max": 10,
+         "when": {"column": "seg", "op": "==", "value": "A"}},
+        {"type": "values_between", "column": "v", "min": 0, "max": 10,
+         "when": {"column": "seg", "op": "in", "values": ["A", "B"]}},
+        {"type": "values_between", "column": "v", "min": 0, "max": 10,
+         "when": {"column": "seg", "op": "!=", "value": "A"}},
+        {"type": "values_between", "column": "v", "min": 0, "max": 10},
+    ]).set_index("check_id")
+    assert out.loc[0, "observed"] == 1      # only v=50 in seg A
+    assert out.loc[1, "observed"] == 2      # 50, 60; null-seg row excluded
+    assert out.loc[2, "observed"] == 1      # 60 (B only; null excluded)
+    assert out.loc[3, "observed"] == 3      # 50, 60, 99
+
+    again = run_checks(ds.repartition(3), [
+        {"type": "values_between", "column": "v", "min": 0, "max": 10,
+         "when": {"column": "seg", "op": "==", "value": "A"}}])
+    assert again.set_index("check_id").loc[0, "observed"] == 1
+
+    with _pytest.raises(ValueError, match="when-condition unsupported"):
+        run_checks(ds, [{"type": "row_count_min", "min": 1,
+                         "when": {"column": "seg", "op": "==",
+                                  "value": "A"}}])
