@@ -932,6 +932,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "customer", ["c_mktsegment", "c_name", "c_acctbal"]),
             suite)
 
+    def checks_when_orders(sf):
+        # conditional checks (GE row_condition / dqops WHERE filter):
+        # each rule evaluates only over rows passing its `when` clause;
+        # null condition values are excluded
+        from packs_ray.functions.checks import run_checks
+
+        suite = [
+            {"type": "values_between", "column": "o_totalprice",
+             "min": 1000.0, "max": 400000.0,
+             "when": {"column": "o_orderstatus", "op": "==", "value": "F"}},
+            {"type": "values_in_set", "column": "o_orderpriority",
+             "values": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                        "4-NOT SPECIFIED", "5-LOW"],
+             "when": {"column": "o_orderstatus", "op": "!=", "value": "O"}},
+            {"type": "not_null_percent", "column": "o_custkey",
+             "min_percent": 0.9,
+             "when": {"column": "o_orderpriority", "op": "in",
+                      "values": ["1-URGENT", "2-HIGH"]}},
+            {"type": "mean_between", "column": "o_totalprice",
+             "min": 0.0, "max": 500000.0,
+             "when": {"column": "o_orderstatus", "op": "==", "value": "O"}},
+        ]
+        return run_checks(
+            _ds(sf, "orders", ["o_orderstatus", "o_orderpriority",
+                               "o_custkey", "o_totalprice"]), suite)
+
     def checks_pair_lineitem(sf):
         # GE column-pair expectations (A vs B comparison percent),
         # ingested through the expectation mapper — cross-column
@@ -2605,6 +2631,7 @@ checks for orders:
         "tool_usage_transcripts": tool_usage_transcripts,
         "sft_examples_transcripts": sft_examples_transcripts,
         "checks_percent_customer": checks_percent_customer,
+        "checks_when_orders": checks_when_orders,
         "checks_pair_lineitem": checks_pair_lineitem,
         "checks_ge_full_customer": checks_ge_full_customer,
         "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
@@ -5954,6 +5981,44 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL SELECT 3, 'mean_between', 'c_acctbal',
         round((s3::DOUBLE / n3) / 100.0, 6),
         round((s3::DOUBLE / n3) / 100.0, 6) BETWEEN 0.0 AND 10000.0 FROM a)
+    SELECT * FROM r
+    UNION ALL SELECT -1, '__score__', '__dataset__',
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 4 FROM r)""",
+        # checks.run_checks `when` row conditions: each rule's aggregate
+        # runs only over rows passing its condition (null condition
+        # values excluded — SQL three-valued logic matches the engine's
+        # fill_null(False) mask); same percent/score assembly as above
+        "checks_when_orders": """
+    WITH a AS (SELECT
+        sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+             AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+            THEN 1 ELSE 0 END) AS v0,
+        sum(CASE WHEN o_orderstatus != 'O' AND o_orderpriority IS NOT NULL
+             AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                         '4-NOT SPECIFIED', '5-LOW')
+            THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS k2,
+        sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+            THEN 1 ELSE 0 END) AS n3,
+        sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+            THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            ELSE 0 END) AS s3
+      FROM orders),
+    r AS (
+      SELECT 0::BIGINT AS check_id, 'values_between' AS type,
+        'o_totalprice' AS "column", v0::DOUBLE AS observed,
+        v0 <= 0 AS passed FROM a
+      UNION ALL SELECT 1, 'values_in_set', 'o_orderpriority',
+        v1::DOUBLE, v1 <= 0 FROM a
+      UNION ALL SELECT 2, 'not_null_percent', 'o_custkey',
+        round(k2::DOUBLE / n2, 6), round(k2::DOUBLE / n2, 6) >= 0.9 FROM a
+      UNION ALL SELECT 3, 'mean_between', 'o_totalprice',
+        round((s3::DOUBLE / n3) / 100.0, 6),
+        round((s3::DOUBLE / n3) / 100.0, 6) BETWEEN 0.0 AND 500000.0 FROM a)
     SELECT * FROM r
     UNION ALL SELECT -1, '__score__', '__dataset__',
       (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),

@@ -138,7 +138,7 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
             elif t == "column_pair_percent":
                 # cross-column comparison (GE expect_column_pair_*):
                 # denominator = rows where BOTH sides are present
-                other = batch.column(c["other"])
+                other = sub.column(c["other"])
                 both = pc.and_(pc.is_valid(col), pc.is_valid(other))
                 opf = {">": pc.greater, ">=": pc.greater_equal,
                        "<": pc.less, "<=": pc.less_equal,

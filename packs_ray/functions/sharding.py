@@ -254,4 +254,6 @@ def padding_waste(ds, text_col: str, capacities: tuple[int, ...] = (
         return pd.DataFrame(rows)
 
     cols = [text_col] if id_col is None else [id_col, text_col]
-    return global_agg(ds.select_columns(cols), partial, combine)
+    return global_agg(ds.select_columns(cols), partial, combine,
+                      empty_schema=pa.schema(
+                          [(c, pa.string()) for c in cols]))
