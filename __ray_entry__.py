@@ -1258,6 +1258,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return padding_waste(_ds(sf, "documents", ["doc_id", "text"]),
                              "text", capacities=(16, 32, 64, 80))
 
+    def burstiness_events(sf):
+        # bot/burst screen: per-user VMR + Goh-Barabási B of daily
+        # event counts over the global day span
+        from packs_ray.functions.windows import keyed_burstiness
+
+        return keyed_burstiness(_ds(sf, "events", ["user_id", "ts"]),
+                                "user_id", "ts")
+
+    def association_orders(sf):
+        # feature-redundancy screen: chi2 / Cramér's V / mutual
+        # information / NMI between two categorical columns
+        from packs_ray.functions.agg import association_summary
+
+        return association_summary(
+            _ds(sf, "orders", ["o_orderstatus", "o_orderpriority"]),
+            "o_orderstatus", "o_orderpriority")
+
     def unigram_divergence_documents(sf):
         # data-mixing diagnostic: top-100 smoothed unigram log-ratio
         # profile of the corpus vs its deterministic doc_id % 25 == 0
@@ -2609,6 +2626,8 @@ checks for orders:
         "grouped_completeness_events": grouped_completeness_events,
         "bigram_collocations_documents": bigram_collocations_documents,
         "contingency_orders": contingency_orders,
+        "association_orders": association_orders,
+        "burstiness_events": burstiness_events,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5572,6 +5591,70 @@ def oracle_sql() -> dict[str, str]:
               * (obs::DOUBLE * n - n_a::DOUBLE * n_b)
               / (n::DOUBLE * n_a * n_b), 6) AS contrib
     FROM m ORDER BY 1, 2""",
+        # windows.keyed_burstiness: exact (user, day) counts, global
+        # day span incl. zero days; mean/var/VMR/B identical pinned
+        # double expressions over exact integer sums, 6dp
+        "burstiness_events": """
+    WITH c AS (SELECT user_id, date_trunc('day', ts) AS day,
+            count(*)::BIGINT AS n FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT (date_diff('day', min(day), max(day)) + 1)::BIGINT
+            AS span FROM c),
+    a AS (SELECT user_id, sum(n)::BIGINT AS n_events,
+            count(*)::BIGINT AS n_active_days,
+            sum(n * n)::BIGINT AS s2 FROM c GROUP BY 1),
+    m AS (SELECT user_id, n_events, n_active_days, span,
+            n_events::DOUBLE / span AS mean,
+            greatest(s2::DOUBLE / span
+                     - (n_events::DOUBLE / span)
+                       * (n_events::DOUBLE / span), 0.0) AS var
+          FROM a, t)
+    SELECT user_id, n_events, n_active_days, span AS span_days,
+        round(var / mean, 6) AS vmr,
+        round(CASE WHEN sqrt(var) + mean > 0
+              THEN (sqrt(var) - mean) / (sqrt(var) + mean)
+              ELSE 0.0 END, 6) AS burstiness
+    FROM m ORDER BY user_id""",
+        # agg.association_summary: exact cell/marginal counts; chi2/MI/
+        # entropies are sums of identical per-cell double terms (6dp
+        # rounds absorb summation-order bits); nmi/cramers_v divide the
+        # UNROUNDED aggregates, then round
+        "association_orders": """
+    WITH c AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+            count(*)::BIGINT AS obs FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2),
+    t AS (SELECT sum(obs)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+            count(DISTINCT a)::BIGINT AS ka,
+            count(DISTINCT b)::BIGINT AS kb FROM c),
+    m AS (SELECT a, b, obs,
+            sum(obs) OVER (PARTITION BY a)::BIGINT AS n_a,
+            sum(obs) OVER (PARTITION BY b)::BIGINT AS n_b FROM c),
+    s AS (SELECT
+            sum((obs::DOUBLE * n - n_a::DOUBLE * n_b)
+                * (obs::DOUBLE * n - n_a::DOUBLE * n_b)
+                / (n::DOUBLE * n_a * n_b))
+            + any_value(n)::DOUBLE
+            - sum(n_a::DOUBLE * n_b / n) AS chi2,
+            sum((obs::DOUBLE / n)
+                * ln(obs::DOUBLE * n / (n_a::DOUBLE * n_b))) AS mi
+          FROM m, t),
+    ma AS (SELECT a, sum(obs)::BIGINT AS n_a FROM c GROUP BY a),
+    mb AS (SELECT b, sum(obs)::BIGINT AS n_b FROM c GROUP BY b),
+    ha AS (SELECT -sum((n_a::DOUBLE / n) * ln(n_a::DOUBLE / n)) AS h_a
+           FROM ma, t),
+    hb AS (SELECT -sum((n_b::DOUBLE / n) * ln(n_b::DOUBLE / n)) AS h_b
+           FROM mb, t)
+    SELECT t.n, t.n_cells, t.ka AS n_distinct_a, t.kb AS n_distinct_b,
+        round(s.chi2, 6) AS chi2,
+        round(CASE WHEN least(t.ka, t.kb) > 1
+              THEN sqrt(s.chi2 / (t.n * (least(t.ka, t.kb) - 1)))
+              ELSE 0.0 END, 6) AS cramers_v,
+        round(s.mi, 6) AS mi, round(ha.h_a, 6) AS h_a,
+        round(hb.h_b, 6) AS h_b,
+        round(CASE WHEN ha.h_a * hb.h_b > 0
+              THEN s.mi / sqrt(ha.h_a * hb.h_b) ELSE 0.0 END, 6) AS nmi
+    FROM t, s, ha, hb""",
         # textstats.bigram_collocations: adjacent pairs within doc
         # (shared trim/split contract), pmi = ONE pinned expression
         # ln(n_pair*N_tok^2 / (N_pairs*n_w1*n_w2))

@@ -1171,3 +1171,88 @@ def contingency_profile(ds, col_a: str, col_b: str,
     cells = cells.sort_values([col_a, col_b], kind="stable")
     return cells[[col_a, col_b, "obs", "n_a", "n_b", "expected",
                   "contrib"]].reset_index(drop=True)
+
+
+def association_summary(ds, col_a: str, col_b: str,
+                        num_partitions: int | None = None) -> pd.DataFrame:
+    """One-row association summary between two bounded categorical
+    columns: chi-squared statistic, Cramér's V, mutual information
+    (nats) and normalized MI — the feature-redundancy / label-leakage
+    screen run before training-data column selection (all formulas
+    public: Pearson 1900, Cramér 1946, Shannon 1948).  Rows with a null
+    on either side are excluded.
+
+    Exactness: cell and marginal counts are exact integers (same
+    bucketed cell reduce as :func:`contingency_profile`); each
+    statistic is a float64 sum of per-cell/per-marginal terms taken in
+    canonical (a, b) sort order on the driver-side bounded cell table,
+    rounded 6dp — the round absorbs summation-order bits so a DuckDB
+    oracle summing the identical terms agrees (the
+    profile_variables convention).
+
+    Scale shape: per-batch (a, b, n) cell partials → one cell-bucketed
+    sum reduce; only the bounded |A|x|B| cell table reaches the driver.
+
+    Output: (n, n_cells, n_distinct_a, n_distinct_b, chi2, cramers_v,
+    mi, h_a, h_b, nmi)."""
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([col_a, col_b]).filter(pc.and_(
+            batch.column(col_a).is_valid(),
+            batch.column(col_b).is_valid()))
+        df = batch.to_pandas()
+        out = (df.groupby([col_a, col_b], sort=False).size()
+               .reset_index(name="obs"))
+        out["obs"] = out["obs"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([col_a, col_b], sort=False)["obs"].sum()
+                .reset_index().astype({"obs": "int64"}))
+
+    cells = bucketed_group_reduce(ds.map_batches(marks,
+                                                 batch_format="pyarrow"),
+                                  [col_a, col_b], reduce_fn,
+                                  num_partitions).to_pandas()
+    if cells.empty or "obs" not in cells.columns:
+        return pd.DataFrame([{
+            "n": np.int64(0), "n_cells": np.int64(0),
+            "n_distinct_a": np.int64(0), "n_distinct_b": np.int64(0),
+            "chi2": np.nan, "cramers_v": np.nan, "mi": np.nan,
+            "h_a": np.nan, "h_b": np.nan, "nmi": np.nan}])
+    cells = cells.sort_values([col_a, col_b], kind="stable")
+    n = int(cells["obs"].sum())
+    na = cells.groupby(col_a, sort=True)["obs"].sum()
+    nb = cells.groupby(col_b, sort=True)["obs"].sum()
+    o = cells["obs"].to_numpy(dtype=np.float64)
+    a = cells[col_a].map(na).to_numpy(dtype=np.float64)
+    b = cells[col_b].map(nb).to_numpy(dtype=np.float64)
+    fn = float(n)
+    ka, kb = len(na), len(nb)
+    # full chi2 includes never-observed (a, b) cells: each contributes
+    # its expectation n_a*n_b/n, and summing expectations over ALL cells
+    # gives exactly n — so the zero-cell total is n - sum(observed exp)
+    x = o * fn - a * b
+    chi2 = float(((x * x) / (fn * a * b)).sum()
+                 + (fn - (a * b / fn).sum()))
+    dof_side = min(ka, kb) - 1
+    cramers = float(np.sqrt(chi2 / (fn * dof_side))) if dof_side > 0 else 0.0
+    mi = float(((o / fn) * np.log(o * fn / (a * b))).sum())
+    pa_ = na.to_numpy(dtype=np.float64) / fn
+    pb_ = nb.to_numpy(dtype=np.float64) / fn
+    h_a = float(-(pa_ * np.log(pa_)).sum())
+    h_b = float(-(pb_ * np.log(pb_)).sum())
+    denom = float(np.sqrt(h_a * h_b))
+    nmi = mi / denom if denom > 0 else 0.0
+    return pd.DataFrame([{
+        "n": np.int64(n), "n_cells": np.int64(len(cells)),
+        "n_distinct_a": np.int64(ka), "n_distinct_b": np.int64(kb),
+        "chi2": float(_r(chi2, 6)), "cramers_v": float(_r(cramers, 6)),
+        "mi": float(_r(mi, 6)), "h_a": float(_r(h_a, 6)),
+        "h_b": float(_r(h_b, 6)), "nmi": float(_r(nmi, 6))}])

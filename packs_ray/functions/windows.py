@@ -1136,3 +1136,98 @@ def activity_streaks(ds, key_col: str, ts_col: str,
     ds2 = ds.map_batches(marks, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def keyed_burstiness(ds, key_col: str, ts_col: str,
+                     num_buckets: int | None = None):
+    """Per-key temporal dispersion of daily activity: variance-to-mean
+    ratio (index of dispersion, Fisher 1950) and the Goh–Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ) of each key's daily event
+    counts over the GLOBAL day span (zero-activity days inside the span
+    count as zeros) — the bot/scraper/burst-crawl screen run before
+    per-domain rate caps.  Null key/ts rows are excluded.
+
+    Exactness: per-(key, day) counts are exact integers; μ, σ², VMR and
+    B are pinned float64 expressions over exact integer sums (Σc, Σc²,
+    span), rounded 6dp.  A Poisson-like key has VMR≈1, B≈−… → 0;
+    VMR≫1 / B→1 flags bursty keys.
+
+    Scale shape: per-batch (key, day, n) count partials (combiner), the
+    bounded mark table is materialized once (|keys×active days| rows —
+    far smaller than the input), its global day span read with one tiny
+    aggregate, then ONE keyed bucket shuffle of the marks; no full-row
+    exchange.
+
+    Output per key: (key, n_events, n_active_days, span_days, vmr,
+    burstiness), ordered by key."""
+    import numpy as np
+
+    from packs_ray.functions.agg import reduce_partition_count
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_buckets is None:
+        num_buckets = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, ts_col]).filter(
+            pc.and_(batch.column(key_col).is_valid(),
+                    batch.column(ts_col).is_valid()))
+        day = pc.cast(pc.floor_temporal(batch.column(ts_col), unit="day"),
+                      pa.timestamp("us"))
+        return (pa.table({key_col: batch.column(key_col), "day": day})
+                .group_by([key_col, "day"])
+                .aggregate([([], "count_all")])
+                .rename_columns([key_col, "day", "n"]))
+
+    mk = ds.map_batches(marks, batch_format="pyarrow").materialize()
+    empty = pd.DataFrame({key_col: [],
+                          "n_events": pd.Series([], dtype="int64"),
+                          "n_active_days": pd.Series([], dtype="int64"),
+                          "span_days": pd.Series([], dtype="int64"),
+                          "vmr": pd.Series([], dtype="float64"),
+                          "burstiness": pd.Series([], dtype="float64")})
+    if mk.count() == 0:
+        import ray.data
+
+        return ray.data.from_pandas(empty)
+    # one tiny driver aggregate for the global span (2 scalars)
+    import ray.data
+
+    agg = mk.aggregate(ray.data.aggregate.Min("day"),
+                       ray.data.aggregate.Max("day"))
+    lo = (pd.Timestamp(agg["min(day)"]).to_datetime64()
+          .astype("datetime64[D]").astype(np.int64))
+    hi = (pd.Timestamp(agg["max(day)"]).to_datetime64()
+          .astype("datetime64[D]").astype(np.int64))
+    span = int(hi - lo + 1)
+
+    from packs_ray.functions.agg import bucketed_group_reduce
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = (g.groupby([key_col, "day"], sort=False)["n"].sum()
+             .reset_index())
+        a = (g.groupby(key_col, sort=False)
+             .agg(n_events=("n", "sum"), n_active_days=("n", "size"),
+                  sumsq=("n", lambda s: int((s.astype(np.int64) ** 2)
+                                            .sum())))
+             .reset_index())
+        s = a["n_events"].to_numpy(dtype=np.float64)
+        s2 = a["sumsq"].to_numpy(dtype=np.float64)
+        fspan = float(span)
+        mean = s / fspan
+        var = np.maximum(s2 / fspan - mean * mean, 0.0)
+        sig = np.sqrt(var)
+        out = pd.DataFrame({
+            key_col: a[key_col],
+            "n_events": a["n_events"].astype(np.int64),
+            "n_active_days": a["n_active_days"].astype(np.int64),
+            "span_days": np.int64(span),
+            "vmr": _r(var / mean, 6),
+            "burstiness": _r(np.where(sig + mean > 0,
+                                      (sig - mean) / (sig + mean), 0.0), 6)})
+        return out
+
+    return bucketed_group_reduce(mk, [key_col], per_key,
+                                 num_buckets).sort(key_col)

@@ -4074,3 +4074,75 @@ def test_run_checks_when_row_condition(ray_session):
         run_checks(ds, [{"type": "row_count_min", "min": 1,
                          "when": {"column": "seg", "op": "==",
                                   "value": "A"}}])
+
+
+def test_association_summary_planted(ray_session):
+    """association_summary: independent columns give ~0 chi2/MI/NMI;
+    a deterministic (identical) pairing gives NMI == 1 and MI == H;
+    nulls excluded; empty input yields the NaN summary row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.agg import association_summary
+
+    # perfectly dependent: b == a, uniform over 4 symbols
+    df = pd.DataFrame({"a": ["w", "x", "y", "z"] * 100})
+    df["b"] = df["a"]
+    out = association_summary(ray.data.from_pandas(df), "a", "b")
+    assert out.loc[0, "n"] == 400 and out.loc[0, "n_cells"] == 4
+    assert out.loc[0, "nmi"] == 1.0
+    assert out.loc[0, "mi"] == out.loc[0, "h_a"] == round(np.log(4), 6)
+    assert out.loc[0, "cramers_v"] == 1.0
+
+    # exactly independent: full product table with equal cell counts
+    ind = pd.DataFrame([(x, y) for x in "pq" for y in "rst"] * 50,
+                       columns=["a", "b"])
+    out2 = association_summary(ray.data.from_pandas(ind), "a", "b")
+    assert out2.loc[0, "chi2"] == 0.0 and out2.loc[0, "mi"] == 0.0
+    assert out2.loc[0, "nmi"] == 0.0
+
+    # nulls excluded; repartition-stable
+    withnull = pd.concat([df, pd.DataFrame({"a": [None, "w"],
+                                            "b": ["w", None]})],
+                         ignore_index=True)
+    out3 = association_summary(
+        ray.data.from_pandas(withnull).repartition(3), "a", "b")
+    pd.testing.assert_frame_equal(out3, out)
+
+    empty = association_summary(
+        ray.data.from_pandas(pd.DataFrame({"a": pd.Series([], dtype=object),
+                                           "b": pd.Series([], dtype=object)})),
+        "a", "b")
+    assert empty.loc[0, "n"] == 0 and np.isnan(empty.loc[0, "chi2"])
+
+
+def test_keyed_burstiness_planted(ray_session):
+    """keyed_burstiness: a one-day burst vs a perfectly regular key
+    over the same global span; zero-activity days inside the span count
+    as zeros; null rows excluded; repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.windows import keyed_burstiness
+
+    six = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                          "2024-01-04", "2024-01-05", "2024-01-06"])
+    df = pd.DataFrame({
+        "user_id": ["a"] * 6 + ["b"] * 6 + [None],
+        "ts": (pd.to_datetime(["2024-01-01"] * 6).tolist()
+               + six.tolist() + [pd.Timestamp("2024-01-01")])})
+    out = keyed_burstiness(ray.data.from_pandas(df).repartition(3),
+                           "user_id", "ts").to_pandas()
+    a, b = out.set_index("user_id").loc["a"], out.set_index("user_id").loc["b"]
+    # a: counts (6,0,0,0,0,0) over span 6 -> mean 1, var 5, sigma sqrt5
+    assert a["n_active_days"] == 1 and a["span_days"] == 6
+    assert a["vmr"] == 5.0
+    assert a["burstiness"] == round((np.sqrt(5) - 1) / (np.sqrt(5) + 1), 6)
+    # b: one event every day -> var 0
+    assert b["vmr"] == 0.0 and b["burstiness"] == -1.0
+
+    again = keyed_burstiness(ray.data.from_pandas(df).repartition(5),
+                             "user_id", "ts").to_pandas()
+    pd.testing.assert_frame_equal(out, again)
