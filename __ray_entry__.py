@@ -1258,6 +1258,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return padding_waste(_ds(sf, "documents", ["doc_id", "text"]),
                              "text", capacities=(16, 32, 64, 80))
 
+    def source_overlap_documents(sf):
+        # corpus-mixing diagnostic: pairwise exact-content overlap
+        # (jaccard / containment) between sources
+        from packs_ray.functions.duplicates import cross_source_overlap
+
+        return cross_source_overlap(
+            _ds(sf, "documents", ["text", "source"]), "text", "source")
+
     def burstiness_events(sf):
         # bot/burst screen: per-user VMR + Goh-Barabási B of daily
         # event counts over the global day span
@@ -2628,6 +2636,7 @@ checks for orders:
         "contingency_orders": contingency_orders,
         "association_orders": association_orders,
         "burstiness_events": burstiness_events,
+        "source_overlap_documents": source_overlap_documents,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5591,6 +5600,25 @@ def oracle_sql() -> dict[str, str]:
               * (obs::DOUBLE * n - n_a::DOUBLE * n_b)
               / (n::DOUBLE * n_a * n_b), 6) AS contrib
     FROM m ORDER BY 1, 2""",
+        # duplicates.cross_source_overlap: 128-bit content hash ==
+        # text equality (collision odds negligible); full upper
+        # triangle incl. 0-common pairs; jaccard/containment 6dp
+        "source_overlap_documents": """
+    WITH d AS (SELECT DISTINCT source, text FROM documents
+               WHERE source IS NOT NULL AND text IS NOT NULL),
+    t AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+    p AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS c
+          FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT ta.source AS source_a, tb.source AS source_b,
+        ta.n AS n_a, tb.n AS n_b, coalesce(p.c, 0)::BIGINT AS n_common,
+        round(coalesce(p.c, 0)::DOUBLE
+              / (ta.n + tb.n - coalesce(p.c, 0)), 6) AS jaccard,
+        round(coalesce(p.c, 0)::DOUBLE / least(ta.n, tb.n), 6)
+            AS containment
+    FROM t ta JOIN t tb ON ta.source < tb.source
+    LEFT JOIN p ON p.sa = ta.source AND p.sb = tb.source
+    ORDER BY 1, 2""",
         # windows.keyed_burstiness: exact (user, day) counts, global
         # day span incl. zero days; mean/var/VMR/B identical pinned
         # double expressions over exact integer sums, 6dp

@@ -310,3 +310,97 @@ def dup_size_histogram(ds, key_cols: list[str],
 
     return bucketed_group_reduce(parts, ["group_size"], reduce_fn,
                                  num_partitions)
+
+
+def cross_source_overlap(ds, text_col: str, source_col: str,
+                         num_partitions: int | None = None) -> pd.DataFrame:
+    """Pairwise cross-source duplication matrix: for every pair of
+    sources (a < b), how many DISTINCT documents they share verbatim
+    (exact content identity), with Jaccard and containment — the
+    corpus-mixing diagnostic run before weighting sources (a mirror
+    pair of crawls shows up as jaccard→1 and should not be counted
+    twice in a mixture).  Rows with a null text or source are excluded.
+
+    Identity is the engine-wide 128-bit content hash (``_key_hash128``
+    — collision odds ~n²/2¹²⁸, negligible), so the DuckDB oracle can
+    equivalently compare raw text equality.
+
+    Scale shape: per-batch DISTINCT (h1, h2, source) marks (combiner,
+    ~24 B/doc — text never shuffles), ONE hash-bucketed exchange; each
+    bucket emits per-source distinct totals plus per-source-pair common
+    counts (≤|S|² rows); only those bounded partials reach the driver,
+    which assembles the full |S|(|S|−1)/2 upper triangle (0-common
+    pairs included).
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard,
+    containment), ordered by (source_a, source_b); jaccard =
+    common/(n_a+n_b−common), containment = common/min(n_a, n_b), 6dp."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.select([text_col, source_col]).filter(pc.and_(
+            batch.column(text_col).is_valid(),
+            batch.column(source_col).is_valid()))
+        h1, h2, _ = _key_hash128(batch, [text_col], 1)
+        t = pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                      "src": batch.column(source_col)})
+        return t.group_by(["h1", "h2", "src"]).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kind": pd.Series([], dtype="int64"),
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")}
+        if len(g) == 0:
+            return pd.DataFrame(cols)
+        d = g.drop_duplicates(subset=["h1", "h2", "src"])
+        tot = (d.groupby("src", sort=False).size()
+               .reset_index(name="n"))
+        tot = pd.DataFrame({"kind": np.int64(0), "a": tot["src"],
+                            "b": "", "n": tot["n"].astype(np.int64)})
+        m = d.merge(d, on=["h1", "h2"])
+        m = m[m["src_x"] < m["src_y"]]
+        pair = (m.groupby(["src_x", "src_y"], sort=False).size()
+                .reset_index(name="n"))
+        pair = pd.DataFrame({"kind": np.int64(1), "a": pair["src_x"],
+                             "b": pair["src_y"],
+                             "n": pair["n"].astype(np.int64)})
+        return pd.concat([tot, pair], ignore_index=True)
+
+    parts = bucketed_group_reduce(
+        ds.select_columns([text_col, source_col])
+          .map_batches(marks, batch_format="pyarrow"),
+        ["h1", "h2"], per_bucket, num_partitions).to_pandas()
+    empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype=object),
+        "source_b": pd.Series([], dtype=object),
+        "n_a": pd.Series([], dtype="int64"),
+        "n_b": pd.Series([], dtype="int64"),
+        "n_common": pd.Series([], dtype="int64"),
+        "jaccard": pd.Series([], dtype="float64"),
+        "containment": pd.Series([], dtype="float64")})
+    if parts.empty or "kind" not in parts.columns:
+        return empty
+    tot = (parts[parts["kind"] == 0].groupby("a", sort=True)["n"]
+           .sum())
+    common = (parts[parts["kind"] == 1]
+              .groupby(["a", "b"], sort=True)["n"].sum())
+    srcs = sorted(tot.index)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            na, nb = int(tot[sa]), int(tot[sb])
+            c = int(common.get((sa, sb), 0))
+            rows.append({
+                "source_a": sa, "source_b": sb,
+                "n_a": np.int64(na), "n_b": np.int64(nb),
+                "n_common": np.int64(c),
+                "jaccard": float(_r(c / (na + nb - c), 6)),
+                "containment": float(_r(c / min(na, nb), 6))})
+    return pd.DataFrame(rows) if rows else empty

@@ -4146,3 +4146,39 @@ def test_keyed_burstiness_planted(ray_session):
     again = keyed_burstiness(ray.data.from_pandas(df).repartition(5),
                              "user_id", "ts").to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_cross_source_overlap_planted(ray_session):
+    """cross_source_overlap: planted shared/unique docs give exact
+    jaccard/containment; 0-common pairs appear; distinct-per-source
+    semantics (a doc repeated within one source counts once); null
+    text/source rows excluded; repartition-stable."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.duplicates import cross_source_overlap
+
+    df = pd.DataFrame({
+        "text": ["shared1", "shared2", "only_a", "shared1",   # a
+                 "shared1", "shared2", "only_b1", "only_b2",  # b
+                 "only_c", "only_c",                          # c (dup within)
+                 None, "x"],
+        "source": ["a", "a", "a", "a",
+                   "b", "b", "b", "b",
+                   "c", "c",
+                   "a", None]})
+    out = cross_source_overlap(ray.data.from_pandas(df).repartition(3),
+                               "text", "source")
+    out = out.set_index(["source_a", "source_b"])
+    ab = out.loc[("a", "b")]
+    # a: {shared1, shared2, only_a} (3 distinct), b: 4 distinct, common 2
+    assert ab["n_a"] == 3 and ab["n_b"] == 4 and ab["n_common"] == 2
+    assert ab["jaccard"] == round(2 / 5, 6)
+    assert ab["containment"] == round(2 / 3, 6)
+    ac = out.loc[("a", "c")]
+    assert ac["n_common"] == 0 and ac["jaccard"] == 0.0
+    assert out.loc[("b", "c")]["n_b"] == 1   # c deduped within source
+
+    again = cross_source_overlap(ray.data.from_pandas(df).repartition(5),
+                                 "text", "source")
+    pd.testing.assert_frame_equal(out.reset_index(), again)
