@@ -1258,6 +1258,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return padding_waste(_ds(sf, "documents", ["doc_id", "text"]),
                              "text", capacities=(16, 32, 64, 80))
 
+    def label_entropy_events(sf):
+        # behavioral-diversity screen: per-user Shannon entropy of the
+        # event_type distribution
+        from packs_ray.functions.agg import keyed_label_entropy
+
+        return keyed_label_entropy(
+            _ds(sf, "events", ["user_id", "event_type"]),
+            "user_id", "event_type")
+
     def source_overlap_documents(sf):
         # corpus-mixing diagnostic: pairwise exact-content overlap
         # (jaccard / containment) between sources
@@ -2637,6 +2646,7 @@ checks for orders:
         "association_orders": association_orders,
         "burstiness_events": burstiness_events,
         "source_overlap_documents": source_overlap_documents,
+        "label_entropy_events": label_entropy_events,
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -5600,6 +5610,22 @@ def oracle_sql() -> dict[str, str]:
               * (obs::DOUBLE * n - n_a::DOUBLE * n_b)
               / (n::DOUBLE * n_a * n_b), 6) AS contrib
     FROM m ORDER BY 1, 2""",
+        # agg.keyed_label_entropy: exact (key,label) counts; entropy =
+        # sum of identical per-label double terms (6dp absorbs order
+        # bits); norm divides the UNROUNDED entropy, then rounds
+        "label_entropy_events": """
+    WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT user_id, sum(n)::BIGINT AS tot FROM c GROUP BY 1),
+    e AS (SELECT c.user_id,
+            -sum((c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)) AS ent,
+            count(*)::BIGINT AS n_labels, any_value(t.tot) AS n
+          FROM c JOIN t USING (user_id) GROUP BY c.user_id)
+    SELECT user_id, n, n_labels, round(ent, 6) AS entropy,
+        round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
+              ELSE 0.0 END, 6) AS norm_entropy
+    FROM e ORDER BY user_id""",
         # duplicates.cross_source_overlap: 128-bit content hash ==
         # text equality (collision odds negligible); full upper
         # triangle incl. 0-common pairs; jaccard/containment 6dp

@@ -1256,3 +1256,72 @@ def association_summary(ds, col_a: str, col_b: str,
         "chi2": float(_r(chi2, 6)), "cramers_v": float(_r(cramers, 6)),
         "mi": float(_r(mi, 6)), "h_a": float(_r(h_a, 6)),
         "h_b": float(_r(h_b, 6)), "nmi": float(_r(nmi, 6))}])
+
+
+def keyed_label_entropy(ds, key_col: str, label_col: str,
+                        num_partitions: int | None = None):
+    """Per-key Shannon entropy of a bounded categorical column: how
+    mixed each key's label distribution is (nats) — the label-balance /
+    behavioral-diversity screen (a user with entropy 0 does exactly one
+    thing; normalized entropy ≈1 is uniform across its labels).  Rows
+    with a null key or label are excluded.
+
+    Exactness: per-(key, label) counts are exact integers; entropy is
+    a float64 sum of per-label terms in canonical label sort order,
+    rounded 6dp (the round absorbs summation-order bits so a DuckDB
+    oracle summing identical terms agrees); norm_entropy divides the
+    UNROUNDED entropy by ln(n_labels), then rounds.
+
+    Scale shape: per-batch (key, label, n) count partials (combiner),
+    ONE key-bucketed exchange of the bounded partials; full rows never
+    shuffle.
+
+    Output per key: (key, n, n_labels, entropy, norm_entropy), ordered
+    by key."""
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, label_col]).filter(pc.and_(
+            batch.column(key_col).is_valid(),
+            batch.column(label_col).is_valid()))
+        return (batch.group_by([key_col, label_col])
+                .aggregate([([], "count_all")])
+                .rename_columns([key_col, label_col, "n"]))
+
+    empty = pd.DataFrame({key_col: [],
+                          "n": pd.Series([], dtype="int64"),
+                          "n_labels": pd.Series([], dtype="int64"),
+                          "entropy": pd.Series([], dtype="float64"),
+                          "norm_entropy": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = (g.groupby([key_col, label_col], sort=True)["n"].sum()
+             .reset_index())
+        tot = g.groupby(key_col, sort=False)["n"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        c = g["n"].to_numpy(dtype=np.float64)
+        g["_t"] = -(c / tot) * np.log(c / tot)
+        a = (g.groupby(key_col, sort=False)
+             .agg(n=("n", "sum"), n_labels=("n", "size"),
+                  entropy=("_t", "sum")).reset_index())
+        k = a["n_labels"].to_numpy(dtype=np.float64)
+        ent = a["entropy"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.where(k > 1, ent / np.log(k), 0.0)
+        out = pd.DataFrame({
+            key_col: a[key_col],
+            "n": a["n"].astype(np.int64),
+            "n_labels": a["n_labels"].astype(np.int64),
+            "entropy": _r(ent, 6), "norm_entropy": _r(norm, 6)})
+        return out
+
+    return bucketed_group_reduce(
+        ds.map_batches(marks, batch_format="pyarrow"),
+        [key_col], per_bucket, num_partitions).sort(key_col)

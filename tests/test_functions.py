@@ -4182,3 +4182,35 @@ def test_cross_source_overlap_planted(ray_session):
     again = cross_source_overlap(ray.data.from_pandas(df).repartition(5),
                                  "text", "source")
     pd.testing.assert_frame_equal(out.reset_index(), again)
+
+
+def test_keyed_label_entropy_planted(ray_session):
+    """keyed_label_entropy: uniform 4-label key has entropy ln(4),
+    norm 1; single-label key has 0/0; skewed key matches the closed
+    form; null rows excluded; repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.agg import keyed_label_entropy
+
+    df = pd.DataFrame({
+        "k": ["u"] * 8 + ["s"] * 4 + ["m"] * 4 + [None, "u"],
+        "lab": (["a", "b", "c", "d"] * 2          # u: uniform over 4
+                + ["a"] * 4                       # s: single label
+                + ["a", "a", "a", "b"]            # m: 3/4 vs 1/4
+                + ["a", None])})
+    out = keyed_label_entropy(ray.data.from_pandas(df).repartition(3),
+                              "k", "lab").to_pandas().set_index("k")
+    assert out.loc["u", "entropy"] == round(np.log(4), 6)
+    assert out.loc["u", "norm_entropy"] == 1.0
+    assert out.loc["s", "entropy"] == 0.0
+    assert out.loc["s", "norm_entropy"] == 0.0
+    want = -(0.75 * np.log(0.75) + 0.25 * np.log(0.25))
+    assert out.loc["m", "entropy"] == round(want, 6)
+    assert out.loc["m", "norm_entropy"] == round(want / np.log(2), 6)
+    assert out.loc["u", "n"] == 8 and out.loc["u", "n_labels"] == 4
+
+    again = keyed_label_entropy(ray.data.from_pandas(df).repartition(5),
+                                "k", "lab").to_pandas().set_index("k")
+    pd.testing.assert_frame_equal(out, again)
