@@ -1964,6 +1964,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return activity_streaks(_ds(sf, "events", ["user_id", "ts"]),
                                 "user_id", "ts")
 
+    def robust_scale_events(sf):
+        # outlier-insensitive per-event-type scaling: (x-median)/IQR
+        from packs_ray.functions.repair import robust_scale_per_key
+
+        return robust_scale_per_key(
+            _ds(sf, "events", ["event_id", "event_type", "value"]),
+            "event_type", "value", ["event_id"])
+
     def minmax_scale_events(sf):
         # per-event-type min-max normalization of value
         from packs_ray.functions.repair import minmax_scale_per_key
@@ -2732,6 +2740,7 @@ checks for orders:
         "pmi_pairs_events": pmi_pairs_events,
         "collapse_rare_part": collapse_rare_part,
         "minmax_scale_events": minmax_scale_events,
+        "robust_scale_events": robust_scale_events,
         "streaks_events": streaks_events,
         "entity_clusters_customer_supplier": entity_clusters_customer_supplier,
         "k_anonymity_events": k_anonymity_events,
@@ -6748,6 +6757,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT a.k AS user_id, a.n_active_days, b.n_streaks,
            b.longest_streak, a.max_gap_days
     FROM a JOIN b USING (k)""",
+        # repair.robust_scale_per_key: exact per-key quartiles (6dp,
+        # quantile_cont == np.percentile-linear), pinned
+        # (x-median)/IQR rounded 6dp, IQR==0 groups -> 0.0
+        "robust_scale_events": """
+    WITH v AS (SELECT event_id, event_type, value FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    b AS (SELECT event_type,
+            round(quantile_cont(value, 0.25), 6) AS q1,
+            round(quantile_cont(value, 0.50), 6) AS med,
+            round(quantile_cont(value, 0.75), 6) AS q3 FROM v GROUP BY 1)
+    SELECT v.event_id, v.event_type, v.value,
+        round(CASE WHEN b.q3 - b.q1 > 0
+              THEN (v.value - b.med) / (b.q3 - b.q1)
+              ELSE 0.0 END, 6) AS scaled
+    FROM v JOIN b USING (event_type)""",
         # repair.minmax_scale_per_key: exact per-key bounds, pinned
         # (x-min)/(max-min), constant groups -> 0.0
         "minmax_scale_events": """

@@ -249,3 +249,58 @@ def minmax_scale_per_key(ds, key_col: str, value_col: str,
         return batch.append_column("scaled", pa.array(scaled))
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def robust_scale_per_key(ds, key_col: str, value_col: str,
+                         id_cols: list[str], *,
+                         num_partitions: int | None = None):
+    """Per-group robust scaling: ``(x − median_g) / IQR_g`` with the
+    group's own exact quartiles — the outlier-insensitive sibling of
+    :func:`minmax_scale_per_key` (sklearn RobustScaler semantics): a
+    single extreme value shifts a min-max scale arbitrarily but moves
+    the median/IQR hardly at all.  Groups with IQR == 0 emit 0.0; null
+    key/value rows are excluded.
+
+    Exactness: quartiles are exact np.percentile-'linear'
+    (== DuckDB ``quantile_cont``) values rounded 6dp (the shared
+    contract with :func:`~packs_ray.functions.profiling.grouped_quantiles`);
+    the scaled value is ONE pinned float64 expression over them, 6dp.
+
+    Scale shape: the (key, value) projection shuffles once for the
+    exact grouped order statistic; the bounded per-key quartile table
+    broadcasts via ``ray.put``; the scale pass streams the full rows
+    with no shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from packs_ray.functions.profiling import grouped_quantiles
+    from packs_ray.stages.util import round_half_away as _r
+
+    q = grouped_quantiles(ds, key_col, value_col,
+                          (0.25, 0.5, 0.75),
+                          num_partitions=num_partitions).to_pandas()
+    if q.empty:
+        med_s = pd.Series(dtype="float64")
+        iqr_s = pd.Series(dtype="float64")
+    else:
+        piv = q.pivot(index=key_col, columns="q", values="value")
+        med_s = piv[0.5]
+        iqr_s = piv[0.75] - piv[0.25]
+    ref = ray.put((med_s, iqr_s))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        med, iqr = ray.get(ref)
+        batch = batch.select(id_cols + [key_col, value_col]).filter(
+            pc.and_(batch.column(key_col).is_valid(),
+                    batch.column(value_col).is_valid()))
+        keys = batch.column(key_col).to_pandas()
+        m = keys.map(med).to_numpy(dtype=np.float64)
+        w = keys.map(iqr).to_numpy(dtype=np.float64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        scaled = _r(np.where(w > 0, (v - m) / np.where(w > 0, w, 1.0),
+                             0.0), 6)
+        return batch.append_column("scaled", pa.array(scaled))
+
+    return ds.map_batches(scale, batch_format="pyarrow")

@@ -4214,3 +4214,27 @@ def test_keyed_label_entropy_planted(ray_session):
     again = keyed_label_entropy(ray.data.from_pandas(df).repartition(5),
                                 "k", "lab").to_pandas().set_index("k")
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_robust_scale_per_key_planted(ray_session):
+    """robust_scale_per_key: a planted group scales by its own
+    median/IQR; an extreme outlier barely moves the scale (vs minmax);
+    constant-IQR groups emit 0.0; null rows excluded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.repair import robust_scale_per_key
+
+    df = pd.DataFrame({
+        "id": range(8),
+        "k": ["a"] * 5 + ["c"] * 3,
+        "v": [1.0, 2.0, 3.0, 4.0, 1000.0,   # a: med 3, IQR q3-q1 = 4-2 = 2
+              7.0, 7.0, 7.0]})              # c: constant -> IQR 0
+    out = robust_scale_per_key(ray.data.from_pandas(df).repartition(3),
+                               "k", "v", ["id"]).to_pandas() \
+        .set_index("id").sort_index()
+    assert out.loc[0, "scaled"] == -1.0       # (1-3)/2
+    assert out.loc[2, "scaled"] == 0.0        # (3-3)/2
+    assert out.loc[4, "scaled"] == round((1000 - 3) / 2, 6)
+    assert (out.loc[out["k"] == "c", "scaled"] == 0.0).all()
