@@ -2065,6 +2065,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts"])
         return response_latency(tds)
 
+    def context_fit_transcripts(sf):
+        # keep-last-k truncation planner: per-turn suffix token totals
+        # vs a 256-token context budget
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import context_fit
+
+        tds = read_parquet_sized(
+            _transcripts(sf),
+            columns=["conv_id", "turn_idx", "role", "ts", "text"])
+        return context_fit(tds, 256)
+
     def dup_sizes_documents(sf):
         # dedup planning view: duplicate-group size distribution of
         # document text
@@ -2730,6 +2741,7 @@ checks for orders:
         "missingness_phi_events": missingness_phi_events,
         "dup_sizes_documents": dup_sizes_documents,
         "response_latency_transcripts": response_latency_transcripts,
+        "context_fit_transcripts": context_fit_transcripts,
         "key_overlap_orders_customer": key_overlap_orders_customer,
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
         "pii_density_transcripts": pii_density_transcripts,
@@ -3660,6 +3672,40 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _context_fit_sql(budget: int = 256) -> str:
+    """stages.conversation.context_fit replica: exact \\S+ token
+    counts, suffix = conv total - inclusive prefix + own count under
+    the pinned (conv, turn_idx, ts, role, ntok) order (ntok as final
+    tie key makes the suffix multiset order-independent for fully tied
+    rows)."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, ts, text"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT * FROM t WHERE conv_id IS NOT NULL
+          AND turn_idx IS NOT NULL AND role IS NOT NULL
+          AND ts IS NOT NULL),
+    w AS (SELECT conv_id, turn_idx, role, ts,
+            length(regexp_extract_all(coalesce(text, ''),
+                                      '\\S+'))::BIGINT AS ntok FROM e),
+    s AS (SELECT conv_id, turn_idx, ntok,
+            sum(ntok) OVER (PARTITION BY conv_id)::BIGINT AS tot,
+            sum(ntok) OVER (PARTITION BY conv_id
+                ORDER BY turn_idx, ts, role, ntok
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS pre
+          FROM w)
+    SELECT conv_id, turn_idx, ntok AS n_tokens,
+        (tot - pre + ntok)::BIGINT AS suffix_tokens,
+        tot - pre + ntok <= {budget} AS fits_tail
+    FROM s ORDER BY conv_id, turn_idx"""
 
 
 def _response_latency_sql(role: str = "assistant") -> str:
@@ -7128,6 +7174,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_turns_transcripts": _boilerplate_sql(),
         "tool_usage_transcripts": _tool_usage_sql(),
         "response_latency_transcripts": _response_latency_sql(),
+        "context_fit_transcripts": _context_fit_sql(256),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),
         "join_orders_customer":

@@ -333,3 +333,86 @@ def response_latency(ds, *, conv_col: str = "conv_id",
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def context_fit(ds, context_tokens: int, *, conv_col: str = "conv_id",
+                idx_col: str = "turn_idx", role_col: str = "role",
+                ts_col: str = "ts", text_col: str = "text",
+                num_buckets: int | None = None):
+    """Context-window fit accounting per conversation: for every turn,
+    the whitespace-token count, the suffix token total from this turn
+    to the conversation's END (under the stable (conv, turn_idx, ts,
+    role) order the whole pipeline pins), and whether the tail starting
+    here fits a ``context_tokens`` budget — the keep-last-k-turns
+    truncation planner run before SFT packing (the first row per conv
+    with ``fits_tail`` is where a context-limited trainer would start
+    reading).  Null conv/idx/ts/role rows are excluded; null text
+    counts 0 tokens.
+
+    Exactness: token counts and suffix sums are exact integers; no
+    floats anywhere.
+
+    Scale shape: token counts are computed BEFORE the exchange so only
+    five narrow columns (~24 B/turn, never the text) shuffle once on
+    hash(conv); per-bucket work is one stable sort + a vectorized
+    grouped prefix sum.
+
+    Output per turn: (conv_id, turn_idx, n_tokens, suffix_tokens,
+    fits_tail)."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    cols = [conv_col, idx_col, role_col, ts_col, text_col]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in (idx_col, role_col, ts_col):
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        ntok = pc.fill_null(pc.count_substring_regex(
+            pc.cast(batch.column(text_col), pa.string()), r"\S+"), 0) \
+            .cast(pa.int64())
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return pa.table({
+            conv_col: batch.column(conv_col),
+            idx_col: batch.column(idx_col),
+            role_col: batch.column(role_col),
+            ts_col: batch.column(ts_col), "ntok": ntok,
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({conv_col: [],
+                          idx_col: pd.Series([], dtype="int32"),
+                          "n_tokens": pd.Series([], dtype="int64"),
+                          "suffix_tokens": pd.Series([], dtype="int64"),
+                          "fits_tail": pd.Series([], dtype="bool")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        # ntok as the final tie key: fully tied rows then carry equal
+        # counts, so the suffix multiset is order-independent
+        g = g.sort_values([conv_col, idx_col, ts_col, role_col, "ntok"],
+                          kind="stable")
+        ntok = g["ntok"].to_numpy(dtype=np.int64)
+        pre = g.groupby(conv_col, sort=False)["ntok"].cumsum() \
+            .to_numpy(dtype=np.int64)
+        tot = g.groupby(conv_col, sort=False)["ntok"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        suffix = tot - pre + ntok
+        return pd.DataFrame({
+            conv_col: g[conv_col].to_numpy(),
+            idx_col: g[idx_col].to_numpy(),
+            "n_tokens": ntok, "suffix_tokens": suffix,
+            "fits_tail": suffix <= int(context_tokens)})
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort([conv_col, idx_col])

@@ -4238,3 +4238,34 @@ def test_robust_scale_per_key_planted(ray_session):
     assert out.loc[2, "scaled"] == 0.0        # (3-3)/2
     assert out.loc[4, "scaled"] == round((1000 - 3) / 2, 6)
     assert (out.loc[out["k"] == "c", "scaled"] == 0.0).all()
+
+
+def test_context_fit_planted(ray_session):
+    """context_fit: suffix token totals count from the conversation
+    END in pinned turn order; fits_tail flips exactly at the budget;
+    null text counts 0 tokens; null role rows excluded."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.stages.conversation import context_fit
+
+    ts = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 4 + ["d", "d"],
+        "turn_idx": pd.array([0, 1, 2, 3, 0, 1], dtype="int32"),
+        "role": ["user", "assistant", "user", None, "user", "assistant"],
+        "ts": [ts] * 6,
+        "text": ["one two three", "four five", None, "dropped row",
+                 "a b c d e", "f"]})
+    out = context_fit(ray.data.from_pandas(df).repartition(3), 5) \
+        .to_pandas().set_index(["conv_id", "turn_idx"])
+    # c kept turns: 3, 2, 0 tokens -> suffixes 5, 2, 0
+    assert out.loc[("c", 0), "suffix_tokens"] == 5
+    assert out.loc[("c", 1), "suffix_tokens"] == 2
+    assert out.loc[("c", 2), "suffix_tokens"] == 0
+    assert ("c", 3) not in out.index          # null role excluded
+    assert bool(out.loc[("c", 0), "fits_tail"])     # 5 <= 5
+    # d: suffixes 6, 1 -> first turn does not fit
+    assert out.loc[("d", 0), "suffix_tokens"] == 6
+    assert not bool(out.loc[("d", 0), "fits_tail"])
+    assert bool(out.loc[("d", 1), "fits_tail"])
