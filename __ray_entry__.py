@@ -2065,6 +2065,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts"])
         return response_latency(tds)
 
+    def weighted_quantiles_documents(sf):
+        # corpus-mass view: document-length quantiles weighted by
+        # token count (a 10k-token doc counts 10k times)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.profiling import weighted_quantiles
+
+        def add_w(batch: pa.Table) -> pa.Table:
+            ntok = pc.fill_null(pc.count_substring_regex(
+                pc.cast(batch.column("text"), pa.string()), r"\S+"), 0) \
+                .cast(pa.int64())
+            return pa.table({
+                "v": pc.cast(batch.column("n_chars"), pa.float64()),
+                "w": ntok})
+
+        src = _ds(sf, "documents", ["text", "n_chars"]) \
+            .map_batches(add_w, batch_format="pyarrow")
+        return weighted_quantiles(src, "v", "w",
+                                  (0.1, 0.25, 0.5, 0.75, 0.9))
+
     def context_fit_transcripts(sf):
         # keep-last-k truncation planner: per-turn suffix token totals
         # vs a 256-token context budget
@@ -2742,6 +2763,7 @@ checks for orders:
         "dup_sizes_documents": dup_sizes_documents,
         "response_latency_transcripts": response_latency_transcripts,
         "context_fit_transcripts": context_fit_transcripts,
+        "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
         "pii_density_transcripts": pii_density_transcripts,
@@ -5681,6 +5703,24 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # profiling.weighted_quantiles: q-quantile = SMALLEST value
+        # whose exact int64 cumulative weight reaches q*W (tie-free
+        # shared definition); weights = \\S+ token counts, w<=0 and
+        # null rows excluded
+        "weighted_quantiles_documents": """
+    WITH d AS (SELECT n_chars::DOUBLE AS v,
+            length(regexp_extract_all(coalesce(text, ''),
+                                      '\\S+'))::BIGINT AS w
+        FROM documents WHERE n_chars IS NOT NULL),
+    f AS (SELECT v, w FROM d WHERE w > 0),
+    g AS (SELECT v, sum(w)::BIGINT AS w FROM f GROUP BY v),
+    c AS (SELECT v, sum(w) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING)::BIGINT AS cw FROM g),
+    t AS (SELECT sum(w)::BIGINT AS W FROM f)
+    SELECT q, (SELECT min(v) FROM c, t WHERE cw >= q * W) AS value,
+        (SELECT W FROM t) AS total_weight
+    FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) qs(q)
+    ORDER BY q""",
         # duplicates.cross_source_overlap: 128-bit content hash ==
         # text equality (collision odds negligible); full upper
         # triangle incl. 0-common pairs; jaccard/containment 6dp

@@ -1133,3 +1133,187 @@ def grouped_completeness(ds, group_col: str, columns: list[str],
 
     return bucketed_group_reduce(parts, [group_col], reduce_fn,
                                  num_partitions)
+
+
+def weighted_quantiles(ds, value_col: str, weight_col: str,
+                       qs: tuple = (0.25, 0.5, 0.75), *,
+                       n_bins: int = 4096,
+                       gather_cap: int = 4_000_000) -> pd.DataFrame:
+    """Exact weighted quantiles of ``value_col`` under integer weights
+    ``weight_col`` — e.g. token-weighted document-length quantiles,
+    where a 10k-token document should count 10k times (the corpus-mass
+    view; unweighted quantiles answer the per-document view).  The
+    q-quantile is the SMALLEST value v whose cumulative weight
+    (Σ weight over values ≤ v) reaches ``q × W`` — a tie-free
+    definition both engines compute identically.  Rows with a null
+    value or null/non-positive weight are excluded.
+
+    Exactness: W and all cumulative weights are exact int64 sums; the
+    only float is the ``q × W`` threshold, compared identically by the
+    DuckDB replica.
+
+    Scale shape: the weighted sibling of the :func:`_rank_select`
+    histogram-refinement — one combined (weight-sum, row-count)
+    histogram scan per level over the active spans, descend into the
+    crossing bin, gather a bin to the driver only once it holds
+    ≤ ``gather_cap`` rows; depth ≤ log_bins(n/cap).  No driver column
+    materialization.
+
+    Output: one row per q — (q, value, total_weight), ordered by q."""
+
+    def base_partial(batch: pa.Table) -> dict:
+        v = batch.column(value_col)
+        w = batch.column(weight_col)
+        m = pc.and_(pc.and_(v.is_valid(), w.is_valid()),
+                    pc.greater(pc.fill_null(w, 0), 0))
+        vv = v.filter(m).to_numpy(zero_copy_only=False).astype(np.float64)
+        ww = w.filter(m).to_numpy(zero_copy_only=False).astype(np.int64)
+        return {"W": int(ww.sum()), "n": len(vv),
+                "mn": float(vv.min()) if len(vv) else None,
+                "mx": float(vv.max()) if len(vv) else None}
+
+    def base_combine(p: pd.DataFrame) -> dict:
+        return {"W": int(p["W"].sum()), "n": int(p["n"].sum()),
+                "mn": float(p["mn"].min()) if p["mn"].notna().any() else None,
+                "mx": float(p["mx"].max()) if p["mx"].notna().any() else None}
+
+    narrow = ds.select_columns([value_col, weight_col])
+    base = global_agg(narrow, base_partial, base_combine)
+    W, lo, hi = base["W"], base["mn"], base["mx"]
+    if not base["n"]:
+        return pd.DataFrame({"q": pd.Series(sorted(qs), dtype="float64"),
+                             "value": np.nan,
+                             "total_weight": np.int64(0)})
+    # state per q: [lo, hi, weight_below_lo]; closed spans, the top
+    # edge rides the last bin (idx clipped), so binning == gather
+    state = {float(q): [lo, hi, 0] for q in qs}
+    out: dict[float, float] = {}
+    if hi <= lo:
+        out = {float(q): lo for q in qs}
+
+    def _bin_idx(v: np.ndarray, slo: float, shi: float) -> np.ndarray:
+        edges = _bin_edges(slo, shi, n_bins)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        return np.clip(idx, 0, n_bins - 1)
+
+    for _level in range(6):
+        active = {q: s for q, s in state.items() if q not in out}
+        if not active:
+            break
+        spans = sorted({(s[0], s[1]) for s in active.values()})
+
+        def hist_partial(batch, spans=spans):
+            v = batch.column(value_col)
+            w = batch.column(weight_col)
+            m = pc.and_(pc.and_(v.is_valid(), w.is_valid()),
+                        pc.greater(pc.fill_null(w, 0), 0))
+            vv = v.filter(m).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ww = w.filter(m).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = {}
+            for si, (slo, shi) in enumerate(spans):
+                sel = (vv >= slo) & (vv <= shi)
+                idx = _bin_idx(vv[sel], slo, shi)
+                d[f"w_{si}"] = np.bincount(
+                    idx, weights=ww[sel].astype(np.float64),
+                    minlength=n_bins).astype(np.int64).tobytes()
+                d[f"c_{si}"] = np.bincount(
+                    idx, minlength=n_bins).astype(np.int64).tobytes()
+            return d
+
+        def hist_combine(p):
+            d = {}
+            for si in range(len(spans)):
+                for pre in ("w", "c"):
+                    tot = np.zeros(n_bins, dtype=np.int64)
+                    for b in p[f"{pre}_{si}"]:
+                        tot += np.frombuffer(b, dtype=np.int64)
+                    d[f"{pre}_{si}"] = tot
+            return d
+
+        hists = global_agg(narrow, hist_partial, hist_combine)
+
+        gathers: dict[tuple, list[float]] = {}
+        for q, (slo, shi, below) in active.items():
+            si = spans.index((slo, shi))
+            wsum = hists[f"w_{si}"]
+            cnt = hists[f"c_{si}"]
+            T = q * W
+            cum = below + np.cumsum(wsum)
+            if cum[-1] < T:       # q*W beyond all mass (q == 1.0 edge)
+                out[q] = shi
+                continue
+            # smallest bin whose cumulative weight reaches T
+            b = int(np.searchsorted(cum, T, side="left"))
+            while cum[b] < T:
+                b += 1
+            new_below = int(below + (cum[b - 1] - below if b else 0))
+            edges = _bin_edges(slo, shi, n_bins)
+            blo, bhi = float(edges[b]), float(edges[b + 1] if b + 1 <= n_bins
+                                              else shi)
+            if bhi <= blo:
+                out[q] = blo
+            elif cnt[b] <= gather_cap:
+                gathers.setdefault((slo, shi, b), []).append(q)
+                state[q] = [blo, bhi, new_below]
+            else:
+                state[q] = [blo, bhi, new_below]
+
+        if gathers:
+            def gather_partial(batch, keys=sorted(gathers)):
+                v = batch.column(value_col)
+                w = batch.column(weight_col)
+                m = pc.and_(pc.and_(v.is_valid(), w.is_valid()),
+                            pc.greater(pc.fill_null(w, 0), 0))
+                vv = v.filter(m).to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                ww = w.filter(m).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                d = {}
+                for ki, (slo, shi, b) in enumerate(keys):
+                    sel = (vv >= slo) & (vv <= shi)
+                    sub_v, sub_w = vv[sel], ww[sel]
+                    inbin = _bin_idx(sub_v, slo, shi) == b
+                    # distinct-value weight sums: bounded by bin content
+                    uv, inv = np.unique(sub_v[inbin], return_inverse=True)
+                    uw = np.bincount(inv, weights=sub_w[inbin]
+                                     .astype(np.float64)).astype(np.int64) \
+                        if len(uv) else np.zeros(0, dtype=np.int64)
+                    d[f"gv_{ki}"] = uv.tobytes()
+                    d[f"gw_{ki}"] = uw.tobytes()
+                return d
+
+            def gather_combine(p, keys=sorted(gathers)):
+                d = {}
+                for ki in range(len(keys)):
+                    vs, ws = [], []
+                    for bv, bw in zip(p[f"gv_{ki}"], p[f"gw_{ki}"]):
+                        vs.append(np.frombuffer(bv, dtype=np.float64))
+                        ws.append(np.frombuffer(bw, dtype=np.int64))
+                    av = np.concatenate(vs) if vs else np.zeros(0)
+                    aw = np.concatenate(ws) if ws else np.zeros(0, np.int64)
+                    uv, inv = np.unique(av, return_inverse=True)
+                    uw = np.bincount(inv, weights=aw.astype(np.float64)) \
+                        .astype(np.int64) if len(uv) \
+                        else np.zeros(0, np.int64)
+                    d[f"v_{ki}"] = uv.tobytes()
+                    d[f"w_{ki}"] = uw.tobytes()
+                return d
+
+            g = global_agg(narrow, gather_partial, gather_combine)
+            for ki, key in enumerate(sorted(gathers)):
+                uv = np.frombuffer(g[f"v_{ki}"], dtype=np.float64)
+                uw = np.frombuffer(g[f"w_{ki}"], dtype=np.int64)
+                for q in gathers[key]:
+                    below = state[q][2]
+                    cum = below + np.cumsum(uw)
+                    T = q * W
+                    j = int(np.searchsorted(cum, T, side="left"))
+                    while j < len(cum) and cum[j] < T:
+                        j += 1
+                    out[q] = float(uv[min(j, len(uv) - 1)])
+
+    rows = [{"q": float(q), "value": float(out[float(q)]),
+             "total_weight": np.int64(W)} for q in sorted(qs)]
+    return pd.DataFrame(rows)

@@ -4269,3 +4269,38 @@ def test_context_fit_planted(ray_session):
     assert out.loc[("d", 0), "suffix_tokens"] == 6
     assert not bool(out.loc[("d", 0), "fits_tail"])
     assert bool(out.loc[("d", 1), "fits_tail"])
+
+
+def test_weighted_quantiles_planted(ray_session):
+    """weighted_quantiles: hand-computable weighted CDF (smallest value
+    whose cum weight reaches q*W); deep refinement (tiny bins/cap)
+    agrees with the single-gather path; null/zero-weight rows excluded;
+    degenerate single-value input returns that value at every q."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.profiling import weighted_quantiles
+
+    df = pd.DataFrame({"v": [10.0, 20.0, 30.0, 40.0, None, 5.0],
+                       "w": [1, 2, 3, 4, 7, 0]})
+    # W=10, cum: 10->1, 20->3, 30->6, 40->10
+    out = weighted_quantiles(ray.data.from_pandas(df).repartition(3),
+                             "v", "w", (0.1, 0.3, 0.31, 0.6, 1.0)) \
+        .set_index("q")
+    assert out.loc[0.1, "value"] == 10.0     # cw 1 >= 1
+    assert out.loc[0.3, "value"] == 20.0     # cw 3 >= 3
+    assert out.loc[0.31, "value"] == 30.0
+    assert out.loc[0.6, "value"] == 30.0
+    assert out.loc[1.0, "value"] == 40.0
+    assert (out["total_weight"] == 10).all()
+
+    deep = weighted_quantiles(ray.data.from_pandas(df).repartition(3),
+                              "v", "w", (0.1, 0.3, 0.31, 0.6, 1.0),
+                              n_bins=4, gather_cap=1).set_index("q")
+    pd.testing.assert_frame_equal(out, deep)
+
+    one = weighted_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"v": [7.0] * 5,
+                                           "w": [2] * 5})),
+        "v", "w", (0.25, 0.75))
+    assert (one["value"] == 7.0).all()
