@@ -870,6 +870,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "customer", ["c_mktsegment", "c_nationkey"]),
             ["c_mktsegment", "c_nationkey"], k=10)
 
+    def spearman_lineitem(sf):
+        # monotone association: exact mid-rank Spearman rho over the
+        # bounded (quantity, discount) domains
+        from packs_ray.functions.profiling import spearman_corr
+
+        return spearman_corr(
+            _ds(sf, "lineitem", ["l_quantity", "l_discount"]),
+            "l_quantity", "l_discount")
+
     def correlations_lineitem(sf):
         # ydata-style pairwise Pearson catalog: exact integer power
         # sums, one fixed float64 expression per pair
@@ -2718,6 +2727,7 @@ checks for orders:
         "sum_anomaly_events": sum_anomaly_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
+        "spearman_lineitem": spearman_lineitem,
         "value_catalog_customer": value_catalog_customer,
         "histogram_lineitem": histogram_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
@@ -5703,6 +5713,31 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # profiling.spearman_corr: exact cell/marginal counts, mid-rank
+        # avg ranks (cnt_less + (cnt_eq+1)/2), identical per-cell double
+        # terms, 6dp
+        "spearman_lineitem": """
+    WITH e AS (SELECT l_quantity AS a, l_discount AS b FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+    ca AS (SELECT a, count(*)::BIGINT AS n FROM e GROUP BY a),
+    cb AS (SELECT b, count(*)::BIGINT AS n FROM e GROUP BY b),
+    ra AS (SELECT a, (sum(n) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)
+                      - n + (n + 1) / 2.0) AS r FROM ca),
+    rb AS (SELECT b, (sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                      - n + (n + 1) / 2.0) AS r FROM cb),
+    cell AS (SELECT a, b, count(*)::BIGINT AS n FROM e GROUP BY a, b),
+    j AS (SELECT cell.n::DOUBLE AS w, ra.r AS x, rb.r AS y
+          FROM cell JOIN ra USING (a) JOIN rb USING (b)),
+    s AS (SELECT sum(w) AS n, sum(w * x) AS sx, sum(w * y) AS sy,
+            sum(w * x * x) AS sxx, sum(w * y * y) AS syy,
+            sum(w * x * y) AS sxy FROM j)
+    SELECT n::BIGINT AS n,
+        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN round((n * sxy - sx * sy)
+                        / (sqrt(n * sxx - sx * sx)
+                           * sqrt(n * syy - sy * sy)), 6)
+        END AS spearman_rho
+    FROM s""",
         # profiling.weighted_quantiles: q-quantile = SMALLEST value
         # whose exact int64 cumulative weight reaches q*W (tie-free
         # shared definition); weights = \\S+ token counts, w<=0 and

@@ -1317,3 +1317,80 @@ def weighted_quantiles(ds, value_col: str, weight_col: str,
     rows = [{"q": float(q), "value": float(out[float(q)]),
              "total_weight": np.int64(W)} for q in sorted(qs)]
     return pd.DataFrame(rows)
+
+
+def spearman_corr(ds, col_a: str, col_b: str,
+                  num_partitions: int | None = None) -> pd.DataFrame:
+    """Exact Spearman rank correlation between two bounded-domain
+    numeric columns (Spearman 1904): Pearson over average ranks with
+    the standard mid-rank tie treatment — the monotone-association
+    sibling of the Pearson catalog (:func:`correlation_matrix`), robust
+    to the skewed long-tail columns a quality pipeline scores.  Rows
+    with a null on either side are excluded (pairwise deletion: ranks
+    are computed on the joint non-null set).
+
+    Exactness: the bounded (a, b) cell table and both marginal count
+    tables are exact integers from one bucketed cell reduce; average
+    ranks (cnt_less + (cnt_eq+1)/2) and every moment are float64 sums
+    of identical per-cell terms in canonical (a, b) order, rounded 6dp
+    (the round absorbs summation-order bits — the
+    association_summary convention).  Zero-variance columns yield a
+    null rho.
+
+    Partitioning assumption: the DISTINCT value domains are bounded
+    (discrete/quantized columns — quantities, rates, scores); the cell
+    table, not the rows, reaches the driver.
+
+    Output: one row (n, spearman_rho)."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([col_a, col_b]).filter(pc.and_(
+            batch.column(col_a).is_valid(),
+            batch.column(col_b).is_valid()))
+        return (batch.group_by([col_a, col_b])
+                .aggregate([([], "count_all")])
+                .rename_columns([col_a, col_b, "n"]))
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([col_a, col_b], sort=False)["n"].sum()
+                .reset_index().astype({"n": "int64"}))
+
+    cells = bucketed_group_reduce(
+        ds.map_batches(marks, batch_format="pyarrow"),
+        [col_a, col_b], reduce_fn, num_partitions).to_pandas()
+    if cells.empty or "n" not in cells.columns:
+        return pd.DataFrame([{"n": np.int64(0), "spearman_rho": np.nan}])
+    cells = cells.sort_values([col_a, col_b], kind="stable")
+
+    def avg_ranks(counts: pd.Series) -> pd.Series:
+        # counts indexed by sorted value; avg rank (1-based) =
+        # cnt_less + (cnt_eq + 1)/2, mid-rank tie convention
+        c = counts.to_numpy(dtype=np.float64)
+        less = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        return pd.Series(less + (c + 1.0) / 2.0, index=counts.index)
+
+    na = cells.groupby(col_a, sort=True)["n"].sum()
+    nb = cells.groupby(col_b, sort=True)["n"].sum()
+    ra = avg_ranks(na)
+    rb = avg_ranks(nb)
+    w = cells["n"].to_numpy(dtype=np.float64)
+    x = cells[col_a].map(ra).to_numpy(dtype=np.float64)
+    y = cells[col_b].map(rb).to_numpy(dtype=np.float64)
+    n = float(w.sum())
+    sx, sy = float((w * x).sum()), float((w * y).sum())
+    sxx, syy = float((w * x * x).sum()), float((w * y * y).sum())
+    sxy = float((w * x * y).sum())
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    rho = ((n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+           if vx > 0 and vy > 0 else None)
+    return pd.DataFrame([{
+        "n": np.int64(int(n)),
+        "spearman_rho": float(_r(rho, 6)) if rho is not None else None}])

@@ -4304,3 +4304,36 @@ def test_weighted_quantiles_planted(ray_session):
                                            "w": [2] * 5})),
         "v", "w", (0.25, 0.75))
     assert (one["value"] == 7.0).all()
+
+
+def test_spearman_corr_planted(ray_session):
+    """spearman_corr: perfectly monotone (nonlinear) data gives rho 1,
+    reversed gives -1; agrees with scipy-free closed form on a tied
+    fixture (hand-checked vs pandas corr(method='spearman')); constant
+    column yields null; null rows pairwise-deleted."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.profiling import spearman_corr
+
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, 5.0],
+                      "y": [1.0, 8.0, 27.0, 64.0, 125.0]})
+    up = spearman_corr(ray.data.from_pandas(a), "x", "y")
+    assert up.loc[0, "spearman_rho"] == 1.0 and up.loc[0, "n"] == 5
+    a["y"] = -a["y"]
+    dn = spearman_corr(ray.data.from_pandas(a), "x", "y")
+    assert dn.loc[0, "spearman_rho"] == -1.0
+
+    tied = pd.DataFrame({"x": [1, 1, 2, 2, 3, 3, 4, None],
+                         "y": [2, 1, 2, 2, 3, 5, 5, 9]})
+    got = spearman_corr(ray.data.from_pandas(tied).repartition(3),
+                        "x", "y")
+    want = tied.dropna()[["x", "y"]].corr(method="spearman").iloc[0, 1]
+    assert got.loc[0, "spearman_rho"] == round(want, 6)
+    assert got.loc[0, "n"] == 7
+
+    const = pd.DataFrame({"x": [5.0] * 4, "y": [1.0, 2.0, 3.0, 4.0]})
+    c = spearman_corr(ray.data.from_pandas(const), "x", "y")
+    assert c.loc[0, "spearman_rho"] is None or pd.isna(
+        c.loc[0, "spearman_rho"])
