@@ -879,6 +879,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "lineitem", ["l_quantity", "l_discount"]),
             "l_quantity", "l_discount")
 
+    def kendall_lineitem(sf):
+        # tie-adjusted Kendall tau-b over the same bounded domains
+        from packs_ray.functions.profiling import kendall_tau
+
+        return kendall_tau(
+            _ds(sf, "lineitem", ["l_quantity", "l_discount"]),
+            "l_quantity", "l_discount")
+
     def correlations_lineitem(sf):
         # ydata-style pairwise Pearson catalog: exact integer power
         # sums, one fixed float64 expression per pair
@@ -2728,6 +2736,7 @@ checks for orders:
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
         "spearman_lineitem": spearman_lineitem,
+        "kendall_lineitem": kendall_lineitem,
         "value_catalog_customer": value_catalog_customer,
         "histogram_lineitem": histogram_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
@@ -5713,6 +5722,30 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # profiling.kendall_tau: exact cells; C/D = cell-pair products
+        # classified by the (a_j>a_i, b_j vs b_i) relation; tie terms
+        # from marginals; tau-b 6dp
+        "kendall_lineitem": """
+    WITH e AS (SELECT l_quantity AS a, l_discount AS b FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+    cell AS (SELECT a, b, count(*)::BIGINT AS n FROM e GROUP BY a, b),
+    cd AS (SELECT
+            sum(CASE WHEN j.b > i.b THEN i.n::DOUBLE * j.n END) AS C,
+            sum(CASE WHEN j.b < i.b THEN i.n::DOUBLE * j.n END) AS D
+           FROM cell i JOIN cell j ON j.a > i.a),
+    t AS (SELECT sum(n)::DOUBLE AS n FROM cell),
+    ta AS (SELECT sum(s * (s - 1) / 2.0) AS n1 FROM
+           (SELECT sum(n)::DOUBLE AS s FROM cell GROUP BY a)),
+    tb AS (SELECT sum(s * (s - 1) / 2.0) AS n2 FROM
+           (SELECT sum(n)::DOUBLE AS s FROM cell GROUP BY b))
+    SELECT t.n::BIGINT AS n,
+        CASE WHEN sqrt(t.n * (t.n - 1) / 2.0 - ta.n1)
+              * sqrt(t.n * (t.n - 1) / 2.0 - tb.n2) > 0
+             THEN round((coalesce(cd.C, 0) - coalesce(cd.D, 0))
+                  / (sqrt(t.n * (t.n - 1) / 2.0 - ta.n1)
+                     * sqrt(t.n * (t.n - 1) / 2.0 - tb.n2)), 6)
+        END AS kendall_tau
+    FROM t, ta, tb, cd""",
         # profiling.spearman_corr: exact cell/marginal counts, mid-rank
         # avg ranks (cnt_less + (cnt_eq+1)/2), identical per-cell double
         # terms, 6dp

@@ -4337,3 +4337,35 @@ def test_spearman_corr_planted(ray_session):
     c = spearman_corr(ray.data.from_pandas(const), "x", "y")
     assert c.loc[0, "spearman_rho"] is None or pd.isna(
         c.loc[0, "spearman_rho"])
+
+
+def test_kendall_tau_planted(ray_session):
+    """kendall_tau: monotone data gives 1/-1; a tied fixture matches
+    pandas corr(method='kendall') (tau-b); constant column yields
+    null."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.profiling import kendall_tau
+
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0],
+                      "y": [10.0, 20.0, 30.0, 40.0]})
+    assert kendall_tau(ray.data.from_pandas(a), "x", "y") \
+        .loc[0, "kendall_tau"] == 1.0
+    a["y"] = -a["y"]
+    assert kendall_tau(ray.data.from_pandas(a), "x", "y") \
+        .loc[0, "kendall_tau"] == -1.0
+
+    tied = pd.DataFrame({"x": [1, 1, 2, 2, 3, 3, 4, None],
+                         "y": [2, 1, 2, 2, 3, 5, 5, 9]})
+    got = kendall_tau(ray.data.from_pandas(tied).repartition(3), "x", "y")
+    # hand count (scipy absent here): C=15, D=0, n0=21, tie terms
+    # n1=3 (x: 2,2,2,1), n2=4 (y: 1,3,1,2) -> 15/sqrt(18*17)
+    import numpy as np
+    want = 15.0 / (np.sqrt(21 - 3) * np.sqrt(21 - 4))
+    assert got.loc[0, "kendall_tau"] == round(want, 6)
+    assert got.loc[0, "n"] == 7
+
+    const = pd.DataFrame({"x": [5.0] * 4, "y": [1.0, 2.0, 3.0, 4.0]})
+    c = kendall_tau(ray.data.from_pandas(const), "x", "y")
+    assert pd.isna(c.loc[0, "kendall_tau"])
