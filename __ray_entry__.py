@@ -1781,6 +1781,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_format="pyarrow")
         return drift.ks_2sample(a, b, "value")
 
+    def mannwhitney_events(sf):
+        # nonparametric location-shift drift: exact tie-corrected
+        # Mann-Whitney U between click and view values
+        import pyarrow.compute as pc
+
+        ev = _ds(sf, "events", ["event_type", "value"])
+        a = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "click")),
+                           batch_format="pyarrow")
+        b = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")),
+                           batch_format="pyarrow")
+        return drift.mannwhitney_u(a, b, "value")
+
     def knn_outliers_lineitem(sf):
         import pyarrow.compute as pc
 
@@ -2762,6 +2774,7 @@ checks for orders:
         "fuzzy_join_customer_supplier": fuzzy_join_customer_supplier,
         "simhash_documents": simhash_documents,
         "ks_drift_events": ks_drift_events,
+        "mannwhitney_events": mannwhitney_events,
         "knn_outliers_lineitem": knn_outliers_lineitem,
         "knn_outliers_mixed_events": knn_outliers_mixed_events,
         "record_validation_events": record_validation_events,
@@ -5722,6 +5735,36 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # drift.mannwhitney_u: exact per-value counts, U from the
+        # cumulative-less trick, tie-corrected z; all sums over the
+        # bounded value table (6dp absorbs order bits)
+        "mannwhitney_events": """
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL),
+    ca AS (SELECT v, count(*)::BIGINT AS c FROM a GROUP BY v),
+    cb AS (SELECT v, count(*)::BIGINT AS c FROM b GROUP BY v),
+    allv AS (SELECT v FROM ca UNION SELECT v FROM cb),
+    m AS (SELECT allv.v, coalesce(ca.c, 0)::DOUBLE AS a,
+                 coalesce(cb.c, 0)::DOUBLE AS b
+          FROM allv LEFT JOIN ca USING (v) LEFT JOIN cb USING (v)),
+    w AS (SELECT v, a, b,
+          (sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - b)
+              AS bless FROM m),
+    s AS (SELECT sum(a * (bless + b / 2.0)) AS u,
+          sum((a + b) * ((a + b) * (a + b) - 1.0)) AS tie,
+          (SELECT sum(a) FROM m) AS na,
+          (SELECT sum(b) FROM m) AS nb FROM w)
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(u, 6) AS u,
+        CASE WHEN (na * nb / 12.0) * ((na + nb + 1.0)
+                  - tie / ((na + nb) * (na + nb - 1.0))) > 0
+             THEN round((u - na * nb / 2.0)
+                  / sqrt((na * nb / 12.0) * ((na + nb + 1.0)
+                         - tie / ((na + nb) * (na + nb - 1.0)))), 6)
+        END AS z,
+        round(u / (na * nb), 6) AS auc
+    FROM s""",
         # profiling.kendall_tau: exact cells; C/D = cell-pair products
         # classified by the (a_j>a_i, b_j vs b_i) relation; tie terms
         # from marginals; tau-b 6dp

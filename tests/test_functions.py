@@ -4369,3 +4369,35 @@ def test_kendall_tau_planted(ray_session):
     const = pd.DataFrame({"x": [5.0] * 4, "y": [1.0, 2.0, 3.0, 4.0]})
     c = kendall_tau(ray.data.from_pandas(const), "x", "y")
     assert pd.isna(c.loc[0, "kendall_tau"])
+
+
+def test_mannwhitney_planted(ray_session):
+    """mannwhitney_u: identical sides give U = n_a*n_b/2, z 0, auc 0.5;
+    a fully separated side gives U = n_a*n_b, auc 1; a tied hand
+    fixture matches the closed form; nulls excluded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.drift import mannwhitney_u
+
+    same = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]})
+    out = mannwhitney_u(ray.data.from_pandas(same),
+                        ray.data.from_pandas(same.copy()), "v")
+    assert out.loc[0, "u"] == 8.0 and out.loc[0, "auc"] == 0.5
+    assert out.loc[0, "z"] == 0.0
+
+    hi = pd.DataFrame({"v": [10.0, 11.0, 12.0]})
+    lo = pd.DataFrame({"v": [1.0, 2.0]})
+    sep = mannwhitney_u(ray.data.from_pandas(hi),
+                        ray.data.from_pandas(lo), "v")
+    assert sep.loc[0, "u"] == 6.0 and sep.loc[0, "auc"] == 1.0
+
+    # ties across sides: A=[1,2,2], B=[2,3,None] -> pairs vs B=[2,3]:
+    # 1:(0,0) 2:(.5,0) 2:(.5,0) -> U=1.0
+    a = pd.DataFrame({"v": [1.0, 2.0, 2.0]})
+    b = pd.DataFrame({"v": [2.0, 3.0, None]})
+    t = mannwhitney_u(ray.data.from_pandas(a).repartition(2),
+                      ray.data.from_pandas(b), "v")
+    assert t.loc[0, "u"] == 1.0 and t.loc[0, "n_b"] == 2
+    assert t.loc[0, "auc"] == round(1 / 6, 6)
