@@ -905,6 +905,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return benford_profile(_ds(sf, "lineitem", ["l_extendedprice"]),
                                "l_extendedprice")
 
+    def changepoint_events(sf):
+        # feed-monitoring: CUSUM mean-shift change point over the
+        # daily value series
+        from packs_ray.functions.outliers import cusum_changepoint
+
+        return cusum_changepoint(_ds(sf, "events", ["ts", "value"]),
+                                 "ts", "value")
+
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
         # (canonical ORDER BY day on both sides: r03 driver hash-red
@@ -2745,6 +2753,7 @@ checks for orders:
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "grouped_stats_lineitem": grouped_stats_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
+        "changepoint_events": changepoint_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
         "spearman_lineitem": spearman_lineitem,
@@ -5735,6 +5744,37 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # outliers.cusum_changepoint: exact int daily cents; argmax of
+        # |m*cum - k*tot| in HUGEINT (ties -> earliest day); normalized
+        # stat and split means pinned, 6dp
+        "changepoint_events": """
+    WITH c AS (SELECT date_trunc('day', ts) AS day,
+            sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+    o AS (SELECT day, cents,
+            row_number() OVER (ORDER BY day) AS k,
+            sum(cents) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM c),
+    t AS (SELECT count(*)::BIGINT AS m, sum(cents)::BIGINT AS tot,
+            sqrt(greatest(sum((cents::DOUBLE) * (cents::DOUBLE))
+                          / count(*)
+                          - (sum(cents)::DOUBLE / count(*))
+                            * (sum(cents)::DOUBLE / count(*)), 0.0))
+                AS sd FROM c),
+    s AS (SELECT k, day, cum,
+            abs(m::HUGEINT * cum::HUGEINT
+                - k::HUGEINT * tot::HUGEINT) AS msv
+          FROM o, t WHERE k < m),
+    best AS (SELECT * FROM s ORDER BY msv DESC, day ASC LIMIT 1)
+    SELECT t.m AS n_days, best.day AS change_day,
+        CASE WHEN t.sd > 0
+             THEN round((msv::DOUBLE / t.m) / (t.sd * sqrt(t.m)), 6)
+        END AS stat,
+        round((best.cum::DOUBLE / best.k) / 100.0, 6) AS mean_before,
+        round(((t.tot - best.cum)::DOUBLE / (t.m - best.k)) / 100.0, 6)
+            AS mean_after
+    FROM best, t""",
         # drift.mannwhitney_u: exact per-value counts, U from the
         # cumulative-less trick, tie-corrected z; all sums over the
         # bounded value table (6dp absorbs order bits)

@@ -390,3 +390,94 @@ def iqr_outliers_per_key(ds, key_col: str, value_col: str,
             "is_outlier", pa.array((v < lo) | (v > hi)))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def cusum_changepoint(ds, ts_col: str, value_col: str, *,
+                      scale: int = 100,
+                      num_partitions: int | None = None) -> "pd.DataFrame":
+    """CUSUM mean-shift change-point detection over the daily value
+    series (Page 1954): the day k maximizing |S_k|, S_k = Σ_{i≤k}
+    (v_i − v̄) over daily sums — the pipeline-monitoring question
+    "when did this feed change" that per-day outlier flags
+    (:func:`sum_anomaly`) can't answer (a level shift is many small
+    deviations, not one spike).  Null ts/value rows are excluded.
+
+    Exactness: daily sums are exact int64 cents; the argmax runs on
+    the EXACT integer m·S_k = m·cumsum_k − k·total (no float before
+    the argmax, so the winning day is bit-determined; ties → earliest
+    day); the normalized statistic and the before/after means are
+    pinned float64 expressions, 6dp.
+
+    Scale shape: per-batch (day, cents) partials → bucketed reduce;
+    the |days| series (time-bounded, tiny at any corpus scale) lands
+    on the driver for the scan — the aggregate-then-analyze pattern.
+
+    Output: one row (n_days, change_day, stat, mean_before,
+    mean_after); a single-day series yields nulls."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        day = df[ts_col].dt.floor("D")
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    empty = pd.DataFrame([{
+        "n_days": np.int64(0), "change_day": pd.NaT,
+        "stat": None, "mean_before": None, "mean_after": None}])
+    empty["change_day"] = empty["change_day"].astype("datetime64[us]")
+    if daily.empty or "day" not in daily.columns:
+        return empty
+    daily = daily.sort_values("day", kind="stable").reset_index(drop=True)
+    m = len(daily)
+    v = daily["cents"].to_numpy(dtype=np.int64)
+    if m < 2:
+        out = empty.copy()
+        out.loc[0, "n_days"] = np.int64(m)
+        return out
+    cum = np.cumsum(v)
+    tot = int(cum[-1])
+    # exact integer m*S_k; argmax over k = 1..m-1 (S_m == 0 by def).
+    # Python-int arithmetic (arbitrary precision) once the int64
+    # product could wrap: |m*cum| bounded by m * max|cum|
+    if m * max(abs(int(cum.max())), abs(int(cum.min()))) < (1 << 62):
+        ms = m * cum[:-1] - np.arange(1, m) * tot
+    else:
+        ms = np.array([m * int(c) - kk * tot
+                       for kk, c in enumerate(cum[:-1], start=1)],
+                      dtype=object)
+    k = int(np.argmax(np.abs(ms)))          # earliest day on ties
+    mean = tot / m
+    var = float(np.maximum((v.astype(np.float64) ** 2).mean()
+                           - mean * mean, 0.0))
+    sd = np.sqrt(var)
+    stat = ((abs(int(ms[k])) / m) / (sd * np.sqrt(m))
+            if sd > 0 else None)
+    nb = k + 1
+    mean_before = (int(cum[k]) / nb) / scale
+    mean_after = ((tot - int(cum[k])) / (m - nb)) / scale
+    out = pd.DataFrame([{
+        "n_days": np.int64(m),
+        "change_day": pd.Timestamp(daily["day"].iloc[k]),
+        "stat": float(_r(stat, 6)) if stat is not None else None,
+        "mean_before": float(_r(mean_before, 6)),
+        "mean_after": float(_r(mean_after, 6))}])
+    out["change_day"] = out["change_day"].astype("datetime64[us]")
+    return out

@@ -4401,3 +4401,41 @@ def test_mannwhitney_planted(ray_session):
                       ray.data.from_pandas(b), "v")
     assert t.loc[0, "u"] == 1.0 and t.loc[0, "n_b"] == 2
     assert t.loc[0, "auc"] == round(1 / 6, 6)
+
+
+def test_cusum_changepoint_planted(ray_session):
+    """cusum_changepoint: a planted level shift is located at the last
+    low day; before/after means are exact; a constant series (sd 0)
+    yields a null stat; a single-day series yields nulls;
+    repartition-stable."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.outliers import cusum_changepoint
+
+    days = pd.date_range("2024-03-01", periods=10, freq="D")
+    rows = []
+    for i, d in enumerate(days):
+        rows.append({"ts": d, "value": 10.0 if i < 6 else 50.0})
+    df = pd.DataFrame(rows)
+    out = cusum_changepoint(ray.data.from_pandas(df).repartition(3),
+                            "ts", "value")
+    assert out.loc[0, "n_days"] == 10
+    assert out.loc[0, "change_day"] == pd.Timestamp("2024-03-06")
+    assert out.loc[0, "mean_before"] == 10.0
+    assert out.loc[0, "mean_after"] == 50.0
+    assert out.loc[0, "stat"] > 0.5
+
+    again = cusum_changepoint(ray.data.from_pandas(df).repartition(5),
+                              "ts", "value")
+    pd.testing.assert_frame_equal(out, again)
+
+    const = cusum_changepoint(
+        ray.data.from_pandas(pd.DataFrame(
+            {"ts": days, "value": [7.0] * 10})), "ts", "value")
+    assert pd.isna(const.loc[0, "stat"])
+
+    one = cusum_changepoint(
+        ray.data.from_pandas(pd.DataFrame(
+            {"ts": [days[0]], "value": [1.0]})), "ts", "value")
+    assert one.loc[0, "n_days"] == 1 and pd.isna(one.loc[0, "change_day"])
