@@ -913,6 +913,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cusum_changepoint(_ds(sf, "events", ["ts", "value"]),
                                  "ts", "value")
 
+    def weekday_profile_events(sf):
+        # seasonality: ISO-weekday fold of the daily value series
+        from packs_ray.functions.outliers import weekday_profile
+
+        return weekday_profile(_ds(sf, "events", ["ts", "value"]),
+                               "ts", "value")
+
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
         # (canonical ORDER BY day on both sides: r03 driver hash-red
@@ -2754,6 +2761,7 @@ checks for orders:
         "grouped_stats_lineitem": grouped_stats_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
         "changepoint_events": changepoint_events,
+        "weekday_profile_events": weekday_profile_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
         "spearman_lineitem": spearman_lineitem,
@@ -5744,6 +5752,21 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # outliers.weekday_profile: exact int daily cents folded by
+        # isodow (1=Mon..7=Sun == pandas dayofweek+1); pinned 6dp
+        "weekday_profile_events": """
+    WITH c AS (SELECT date_trunc('day', ts) AS day,
+            sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+    g AS (SELECT isodow(day)::BIGINT AS weekday,
+            count(*)::BIGINT AS n_days, sum(cents)::BIGINT AS s
+          FROM c GROUP BY 1),
+    t AS (SELECT sum(s)::BIGINT AS tot FROM g)
+    SELECT weekday, n_days, round(s::DOUBLE / 100.0, 6) AS total,
+        round((s::DOUBLE / n_days) / 100.0, 6) AS mean_daily,
+        round(s::DOUBLE / tot, 6) AS share
+    FROM g, t ORDER BY weekday""",
         # outliers.cusum_changepoint: exact int daily cents; argmax of
         # |m*cum - k*tot| in HUGEINT (ties -> earliest day); normalized
         # stat and split means pinned, 6dp

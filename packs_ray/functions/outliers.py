@@ -481,3 +481,70 @@ def cusum_changepoint(ds, ts_col: str, value_col: str, *,
         "mean_after": float(_r(mean_after, 6))}])
     out["change_day"] = out["change_day"].astype("datetime64[us]")
     return out
+
+
+def weekday_profile(ds, ts_col: str, value_col: str, *,
+                    scale: int = 100,
+                    num_partitions: int | None = None) -> "pd.DataFrame":
+    """Day-of-week seasonality profile of the daily value series: per
+    ISO weekday (1=Mon..7=Sun), how many days occurred, their exact
+    value total, the mean daily value, and the weekday's share of the
+    grand total — the "is Sunday supposed to be this quiet" complement
+    to :func:`cusum_changepoint` (level shifts) and
+    :func:`sum_anomaly` (single-day spikes).  Null ts/value rows are
+    excluded.
+
+    Exactness: daily and weekday sums are exact int64 cents; mean and
+    share are pinned float64 expressions, 6dp.
+
+    Scale shape: the same per-batch (day, cents) partials → bucketed
+    reduce; the |days| series lands on the driver for the 7-row
+    weekday fold.
+
+    Output: one row per occurring weekday — (weekday, n_days, total,
+    mean_daily, share), ordered by weekday."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        day = df[ts_col].dt.floor("D")
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    if daily.empty or "day" not in daily.columns:
+        return pd.DataFrame({
+            "weekday": pd.Series([], dtype="int64"),
+            "n_days": pd.Series([], dtype="int64"),
+            "total": pd.Series([], dtype="float64"),
+            "mean_daily": pd.Series([], dtype="float64"),
+            "share": pd.Series([], dtype="float64")})
+    daily["weekday"] = (pd.to_datetime(daily["day"]).dt.dayofweek
+                        + 1).astype(np.int64)
+    g = (daily.groupby("weekday", sort=True)["cents"]
+         .agg(n_days="size", s="sum").reset_index())
+    tot = int(g["s"].sum())
+    s = g["s"].to_numpy(dtype=np.float64)
+    nd = g["n_days"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "weekday": g["weekday"].astype(np.int64),
+        "n_days": g["n_days"].astype(np.int64),
+        "total": _r(s / scale, 6),
+        "mean_daily": _r((s / nd) / scale, 6),
+        "share": _r(s / float(tot), 6) if tot else np.nan})

@@ -4439,3 +4439,32 @@ def test_cusum_changepoint_planted(ray_session):
         ray.data.from_pandas(pd.DataFrame(
             {"ts": [days[0]], "value": [1.0]})), "ts", "value")
     assert one.loc[0, "n_days"] == 1 and pd.isna(one.loc[0, "change_day"])
+
+
+def test_weekday_profile_planted(ray_session):
+    """weekday_profile: ISO weekday fold (1=Mon) of exact daily sums;
+    a two-week fixture with doubled Sundays shows share/mean exactly;
+    absent weekdays are omitted."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.outliers import weekday_profile
+
+    rows = []
+    for d in pd.date_range("2024-03-04", periods=14, freq="D"):  # Mon start
+        v = 20.0 if d.dayofweek == 6 else 10.0
+        rows.append({"ts": d, "value": v})
+    out = weekday_profile(ray.data.from_pandas(pd.DataFrame(rows))
+                          .repartition(3), "ts", "value") \
+        .set_index("weekday")
+    assert list(out.index) == [1, 2, 3, 4, 5, 6, 7]
+    assert (out["n_days"] == 2).all()
+    assert out.loc[7, "mean_daily"] == 20.0
+    assert out.loc[1, "mean_daily"] == 10.0
+    # total mass: 12 weekdays*10 + 2 sundays*20 = 160
+    assert out.loc[7, "share"] == round(40 / 160, 6)
+
+    gap = weekday_profile(ray.data.from_pandas(pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-03-04")], "value": [5.0]})),
+        "ts", "value")
+    assert list(gap["weekday"]) == [1] and gap.loc[0, "share"] == 1.0
