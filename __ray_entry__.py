@@ -920,6 +920,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return weekday_profile(_ds(sf, "events", ["ts", "value"]),
                                "ts", "value")
 
+    def autocorr_events(sf):
+        # periodicity detector: calendar-lag ACF of the daily series
+        from packs_ray.functions.outliers import daily_autocorr
+
+        return daily_autocorr(_ds(sf, "events", ["ts", "value"]),
+                              "ts", "value", lags=(1, 2, 7))
+
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
         # (canonical ORDER BY day on both sides: r03 driver hash-red
@@ -2762,6 +2769,7 @@ checks for orders:
         "sum_anomaly_events": sum_anomaly_events,
         "changepoint_events": changepoint_events,
         "weekday_profile_events": weekday_profile_events,
+        "autocorr_events": autocorr_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
         "spearman_lineitem": spearman_lineitem,
@@ -5752,6 +5760,27 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # outliers.daily_autocorr: exact int daily cents; ACF =
+        # sum_pairs(dev_t*dev_{t+L}) / sum_all(dev^2) with the grand
+        # daily mean; calendar-lag join (gap days form no pair); 6dp
+        "autocorr_events": """
+    WITH c AS (SELECT date_trunc('day', ts) AS day,
+            sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+    t AS (SELECT sum(cents)::DOUBLE / count(*) AS mean FROM c),
+    d AS (SELECT day, cents::DOUBLE - t.mean AS dev FROM c, t),
+    den AS (SELECT sum(dev * dev) AS den FROM d),
+    l AS (SELECT unnest([1, 2, 7]) AS lag),
+    p AS (SELECT l.lag, count(*)::BIGINT AS n_pairs,
+            sum(a.dev * b.dev) AS num
+          FROM l JOIN d a ON TRUE
+          JOIN d b ON b.day = a.day + INTERVAL 1 DAY * l.lag
+          GROUP BY l.lag)
+    SELECT l.lag::BIGINT AS lag, coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+        CASE WHEN p.n_pairs > 0 AND den.den > 0
+             THEN round(p.num / den.den, 6) END AS acf
+    FROM l LEFT JOIN p ON p.lag = l.lag, den ORDER BY l.lag""",
         # outliers.weekday_profile: exact int daily cents folded by
         # isodow (1=Mon..7=Sun == pandas dayofweek+1); pinned 6dp
         "weekday_profile_events": """

@@ -548,3 +548,80 @@ def weekday_profile(ds, ts_col: str, value_col: str, *,
         "total": _r(s / scale, 6),
         "mean_daily": _r((s / nd) / scale, 6),
         "share": _r(s / float(tot), 6) if tot else np.nan})
+
+
+def daily_autocorr(ds, ts_col: str, value_col: str, *,
+                   lags: tuple = (1, 2, 7), scale: int = 100,
+                   num_partitions: int | None = None) -> "pd.DataFrame":
+    """Calendar-lag autocorrelation of the daily value series: for each
+    lag L (days), the correlation between day t and day t+L deviations
+    from the global daily mean — the periodicity detector that closes
+    the time-series toolkit (:func:`weekday_profile` shows the weekly
+    fold; ACF at lag 7 shows how strong it is).  Gap days simply form
+    no pair (calendar lag, not index lag).  Null ts/value rows are
+    excluded.
+
+    Exactness: daily sums are exact int64 cents; each ACF value is the
+    standard estimator Σ_pairs(v_t−v̄)(v_{t+L}−v̄) / Σ_all(v−v̄)²
+    with v̄ the grand daily mean — assembled from exact integer sums
+    in ONE pinned float64 expression per lag, 6dp.
+
+    Scale shape: same (day, cents) partials → bucketed reduce; the
+    |days| series lands on the driver for the lag scan.
+
+    Output: one row per lag — (lag, n_pairs, acf); a series with zero
+    variance or no pairs yields a null acf."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        day = df[ts_col].dt.floor("D")
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    lags = sorted(int(x) for x in lags)
+    if daily.empty or "day" not in daily.columns:
+        return pd.DataFrame({
+            "lag": pd.Series(lags, dtype="int64"),
+            "n_pairs": np.int64(0), "acf": None})
+    daily = daily.sort_values("day", kind="stable").reset_index(drop=True)
+    dnum = (pd.to_datetime(daily["day"]).to_numpy()
+            .astype("datetime64[D]").astype(np.int64))
+    v = daily["cents"].to_numpy(dtype=np.float64)
+    m = len(v)
+    mean = v.sum() / m
+    dev = v - mean
+    denom = float((dev * dev).sum())
+    pos = {int(d): i for i, d in enumerate(dnum)}
+    rows = []
+    for lag in lags:
+        idx_t, idx_tl = [], []
+        for i, d in enumerate(dnum):
+            j = pos.get(int(d) + lag)
+            if j is not None:
+                idx_t.append(i)
+                idx_tl.append(j)
+        n_pairs = len(idx_t)
+        acf = (float((dev[idx_t] * dev[idx_tl]).sum()) / denom
+               if n_pairs and denom > 0 else None)
+        rows.append({"lag": np.int64(lag), "n_pairs": np.int64(n_pairs),
+                     "acf": float(_r(acf, 6)) if acf is not None
+                     else None})
+    return pd.DataFrame(rows)

@@ -4468,3 +4468,34 @@ def test_weekday_profile_planted(ray_session):
         {"ts": [pd.Timestamp("2024-03-04")], "value": [5.0]})),
         "ts", "value")
     assert list(gap["weekday"]) == [1] and gap.loc[0, "share"] == 1.0
+
+
+def test_daily_autocorr_planted(ray_session):
+    """daily_autocorr: a period-2 alternating series has ACF ~ -1 at
+    lag 1 and ~ +1 at lag 2; a calendar gap drops pairs (calendar lag,
+    not index lag); zero-variance series yields null acf."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.outliers import daily_autocorr
+
+    days = pd.date_range("2024-03-01", periods=12, freq="D")
+    df = pd.DataFrame({"ts": days,
+                       "value": [10.0, 30.0] * 6})
+    out = daily_autocorr(ray.data.from_pandas(df).repartition(3),
+                         "ts", "value", lags=(1, 2)).set_index("lag")
+    assert out.loc[1, "n_pairs"] == 11 and out.loc[2, "n_pairs"] == 10
+    assert out.loc[1, "acf"] < -0.8
+    assert out.loc[2, "acf"] > 0.8
+
+    # drop one middle day: lag-1 pairs fall by 2 (both sides of gap)
+    gap = df[df["ts"] != pd.Timestamp("2024-03-06")]
+    g = daily_autocorr(ray.data.from_pandas(gap), "ts", "value",
+                       lags=(1,)).set_index("lag")
+    assert g.loc[1, "n_pairs"] == 9
+
+    flat = daily_autocorr(
+        ray.data.from_pandas(pd.DataFrame({"ts": days,
+                                           "value": [5.0] * 12})),
+        "ts", "value", lags=(1,))
+    assert pd.isna(flat.loc[0, "acf"])
