@@ -2137,6 +2137,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return weighted_quantiles(src, "v", "w",
                                   (0.1, 0.25, 0.5, 0.75, 0.9))
 
+    def repeated_responses_transcripts(sf):
+        # agent-health: per-conversation verbatim self-repeat profile
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import repeated_responses
+
+        tds = read_parquet_sized(
+            _transcripts(sf),
+            columns=["conv_id", "turn_idx", "role", "ts", "text"])
+        return repeated_responses(tds)
+
     def context_fit_transcripts(sf):
         # keep-last-k truncation planner: per-turn suffix token totals
         # vs a 256-token context budget
@@ -2820,6 +2830,7 @@ checks for orders:
         "dup_sizes_documents": dup_sizes_documents,
         "response_latency_transcripts": response_latency_transcripts,
         "context_fit_transcripts": context_fit_transcripts,
+        "repeated_responses_transcripts": repeated_responses_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
@@ -3751,6 +3762,49 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _repeated_responses_sql(role: str = "assistant") -> str:
+    """stages.conversation.repeated_responses replica: 128-bit content
+    hash == text equality; repeat = same text as the previous same-role
+    turn under (conv, turn_idx, ts) order; max run via the
+    row_number-difference island trick."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, ts, text"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT * FROM t WHERE conv_id IS NOT NULL
+          AND turn_idx IS NOT NULL AND role IS NOT NULL
+          AND ts IS NOT NULL),
+    w AS (SELECT conv_id, turn_idx, ts, coalesce(text, '') AS text
+          FROM e WHERE role = '{role}'),
+    o AS (SELECT conv_id, text,
+            row_number() OVER (PARTITION BY conv_id
+                ORDER BY turn_idx, ts) AS rn,
+            lag(text) OVER (PARTITION BY conv_id
+                ORDER BY turn_idx, ts) AS prev FROM w),
+    r AS (SELECT conv_id, rn,
+            CASE WHEN prev IS NOT NULL AND text = prev
+                 THEN 1 ELSE 0 END AS rep FROM o),
+    runs AS (SELECT conv_id, count(*)::BIGINT AS len FROM
+             (SELECT conv_id, rn,
+                rn - row_number() OVER (PARTITION BY conv_id
+                    ORDER BY rn) AS grp
+              FROM r WHERE rep = 1)
+             GROUP BY conv_id, grp),
+    m AS (SELECT conv_id, max(len)::BIGINT AS mx FROM runs
+          GROUP BY conv_id)
+    SELECT r.conv_id, count(*)::BIGINT AS n_role_turns,
+        sum(rep)::BIGINT AS n_repeats,
+        coalesce(any_value(m.mx), 0)::BIGINT AS max_repeat_run
+    FROM r LEFT JOIN m ON r.conv_id = m.conv_id
+    GROUP BY r.conv_id ORDER BY r.conv_id"""
 
 
 def _context_fit_sql(budget: int = 256) -> str:
@@ -7418,6 +7472,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_usage_transcripts": _tool_usage_sql(),
         "response_latency_transcripts": _response_latency_sql(),
         "context_fit_transcripts": _context_fit_sql(256),
+        "repeated_responses_transcripts": _repeated_responses_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),
         "join_orders_customer":

@@ -416,3 +416,98 @@ def context_fit(ds, context_tokens: int, *, conv_col: str = "conv_id",
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
         .sort([conv_col, idx_col])
+
+
+def repeated_responses(ds, *, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx", role_col: str = "role",
+                       ts_col: str = "ts", text_col: str = "text",
+                       role: str = "assistant",
+                       num_buckets: int | None = None):
+    """Stuck-loop detector: per conversation, how often a ``role`` turn
+    repeats the PREVIOUS ``role`` turn's text verbatim (under the
+    stable (conv, turn_idx, ts, role) order) and the longest such
+    repeat run — the agent-health sibling of
+    :func:`~packs_ray.functions.webquality.drop_boilerplate` (that one
+    finds cross-conversation boilerplate; this finds a single agent
+    looping).  Null conv/idx/role/ts rows are excluded; null text
+    counts as the empty string.
+
+    Exactness: repeat decisions compare the engine-wide 128-bit
+    content hash (== text equality, collision odds negligible), so the
+    DuckDB oracle can compare raw text; counts are exact integers.
+
+    Scale shape: text is hashed BEFORE the exchange — only five narrow
+    columns (~32 B/turn) shuffle once on hash(conv); per-bucket work
+    is one stable sort + shifted compares.
+
+    Output: one row per conversation with ≥1 ``role`` turn —
+    (conv_id, n_role_turns, n_repeats, max_repeat_run)."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.stages.dedup import content_hash128
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    cols = [conv_col, idx_col, role_col, ts_col, text_col]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in (idx_col, role_col, ts_col):
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()),
+                            "").to_numpy(zero_copy_only=False)
+        roles = batch.column(role_col).to_numpy(zero_copy_only=False)
+        h1, h2 = content_hash128(roles, text)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        hb = pd.util.hash_array(np.asarray(conv))
+        return pa.table({
+            conv_col: batch.column(conv_col),
+            idx_col: batch.column(idx_col),
+            role_col: batch.column(role_col),
+            ts_col: batch.column(ts_col),
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "bucket": pa.array((hb % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({conv_col: [],
+                          "n_role_turns": pd.Series([], dtype="int64"),
+                          "n_repeats": pd.Series([], dtype="int64"),
+                          "max_repeat_run": pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g[g[role_col] == role]
+        if len(g) == 0:
+            return empty.copy()
+        g = g.sort_values([conv_col, idx_col, ts_col], kind="stable")
+        conv = g[conv_col].to_numpy()
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        rep = np.zeros(len(g), dtype=bool)
+        rep[1:] = ((conv[1:] == conv[:-1]) & (h1[1:] == h1[:-1])
+                   & (h2[1:] == h2[:-1]))
+        # run lengths of consecutive repeats, vectorized: distance to
+        # the last non-repeat row (rep[0] is always False, and a conv
+        # change forces False, so runs never cross conversations)
+        idx = np.arange(len(g), dtype=np.int64)
+        last_reset = np.maximum.accumulate(np.where(rep, -1, idx))
+        run = idx - last_reset
+        d = pd.DataFrame({conv_col: conv, "_rep": rep.astype(np.int64),
+                          "_run": run})
+        out = (d.groupby(conv_col, sort=False)
+               .agg(n_role_turns=("_rep", "size"),
+                    n_repeats=("_rep", "sum"),
+                    max_repeat_run=("_run", "max")).reset_index())
+        for c in ("n_role_turns", "n_repeats", "max_repeat_run"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(conv_col)

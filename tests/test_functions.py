@@ -4499,3 +4499,36 @@ def test_daily_autocorr_planted(ray_session):
                                            "value": [5.0] * 12})),
         "ts", "value", lags=(1,))
     assert pd.isna(flat.loc[0, "acf"])
+
+
+def test_repeated_responses_planted(ray_session):
+    """repeated_responses: a planted A-A-A assistant loop counts 2
+    repeats with max run 2; interleaved user turns don't break
+    assistant adjacency; different-text turns don't count; convs with
+    no assistant turn are absent."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.stages.conversation import repeated_responses
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, (role, text) in enumerate([
+            ("user", "hi"), ("assistant", "LOOP"), ("user", "again"),
+            ("assistant", "LOOP"), ("assistant", "LOOP"),
+            ("assistant", "fresh")]):
+        rows.append({"conv_id": "c", "turn_idx": i, "role": role,
+                     "ts": ts, "text": text})
+    rows.append({"conv_id": "d", "turn_idx": 0, "role": "user",
+                 "ts": ts, "text": "no assistant here"})
+    rows.append({"conv_id": "e", "turn_idx": 0, "role": "assistant",
+                 "ts": ts, "text": "solo"})
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    out = repeated_responses(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("conv_id")
+    assert out.loc["c", "n_role_turns"] == 4
+    assert out.loc["c", "n_repeats"] == 2
+    assert out.loc["c", "max_repeat_run"] == 2
+    assert "d" not in out.index
+    assert out.loc["e", "n_repeats"] == 0
