@@ -1178,7 +1178,11 @@ def weighted_quantiles(ds, value_col: str, weight_col: str,
                 "mx": float(p["mx"].max()) if p["mx"].notna().any() else None}
 
     narrow = ds.select_columns([value_col, weight_col])
-    base = global_agg(narrow, base_partial, base_combine)
+    # 0-row inputs lose their lazy schema after any upstream transform;
+    # the partials only cast, so generic numeric fields suffice
+    esch = pa.schema([(value_col, pa.float64()), (weight_col, pa.int64())])
+    base = global_agg(narrow, base_partial, base_combine,
+                      empty_schema=esch)
     W, lo, hi = base["W"], base["mn"], base["mx"]
     if not base["n"]:
         return pd.DataFrame({"q": pd.Series(sorted(qs), dtype="float64"),
@@ -1232,7 +1236,8 @@ def weighted_quantiles(ds, value_col: str, weight_col: str,
                     d[f"{pre}_{si}"] = tot
             return d
 
-        hists = global_agg(narrow, hist_partial, hist_combine)
+        hists = global_agg(narrow, hist_partial, hist_combine,
+                           empty_schema=esch)
 
         gathers: dict[tuple, list[float]] = {}
         for q, (slo, shi, below) in active.items():
@@ -1301,7 +1306,8 @@ def weighted_quantiles(ds, value_col: str, weight_col: str,
                     d[f"w_{ki}"] = uw.tobytes()
                 return d
 
-            g = global_agg(narrow, gather_partial, gather_combine)
+            g = global_agg(narrow, gather_partial, gather_combine,
+                           empty_schema=esch)
             for ki, key in enumerate(sorted(gathers)):
                 uv = np.frombuffer(g[f"v_{ki}"], dtype=np.float64)
                 uw = np.frombuffer(g[f"w_{ki}"], dtype=np.int64)
