@@ -927,6 +927,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return daily_autocorr(_ds(sf, "events", ["ts", "value"]),
                               "ts", "value", lags=(1, 2, 7))
 
+    def ewma_anomaly_events(sf):
+        # trend-reactive control chart: one-step-ahead EWMA residuals
+        from packs_ray.functions.outliers import ewma_anomaly
+
+        return ewma_anomaly(_ds(sf, "events", ["ts", "value"]),
+                            "ts", "value", alpha=0.3, k=3.0)
+
     def sum_anomaly_events(sf):
         # dqops sum_anomaly shape: daily value sums -> median/MAD flags
         # (canonical ORDER BY day on both sides: r03 driver hash-red
@@ -2780,6 +2787,7 @@ checks for orders:
         "changepoint_events": changepoint_events,
         "weekday_profile_events": weekday_profile_events,
         "autocorr_events": autocorr_events,
+        "ewma_anomaly_events": ewma_anomaly_events,
         "benford_lineitem": benford_lineitem,
         "correlations_lineitem": correlations_lineitem,
         "spearman_lineitem": spearman_lineitem,
@@ -5814,6 +5822,35 @@ def oracle_sql() -> dict[str, str]:
         round(CASE WHEN n_labels > 1 THEN ent / ln(n_labels)
               ELSE 0.0 END, 6) AS norm_entropy
     FROM e ORDER BY user_id""",
+        # outliers.ewma_anomaly: identical sequential recurrence
+        # (0.3*v + (1.0-0.3)*e — the SQL spells (1.0-0.3), NOT 0.7,
+        # for bit parity with the engine's 1-alpha); z rounded 6dp
+        # BEFORE the > k compare
+        "ewma_anomaly_events": """
+    WITH RECURSIVE c AS (SELECT date_trunc('day', ts) AS day,
+            sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+    o AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS t
+          FROM c),
+    rec(t, e) AS (
+        SELECT 1::BIGINT, (SELECT cents::DOUBLE FROM o WHERE t = 1)
+        UNION ALL
+        SELECT r.t + 1, 0.3 * o.cents + (1.0 - 0.3) * r.e
+        FROM rec r JOIN o ON o.t = r.t + 1),
+    p AS (SELECT o.t, o.day, o.cents, pr.e AS ewma_prev,
+            o.cents::DOUBLE - pr.e AS resid
+          FROM o LEFT JOIN rec pr ON pr.t = o.t - 1),
+    s AS (SELECT CASE WHEN count(resid) > 0
+            THEN sqrt(sum(resid * resid) / count(resid))
+            ELSE 0.0 END AS sigma FROM p WHERE resid IS NOT NULL)
+    SELECT day, cents, round(ewma_prev, 6) AS ewma_prev,
+        round(resid, 6) AS resid,
+        CASE WHEN s.sigma > 0 THEN round(abs(resid) / s.sigma, 6)
+        END AS z,
+        CASE WHEN s.sigma > 0 AND resid IS NOT NULL
+             THEN round(abs(resid) / s.sigma, 6) > 3.0 END AS is_anomaly
+    FROM p, s ORDER BY day""",
         # outliers.daily_autocorr: exact int daily cents; ACF =
         # sum_pairs(dev_t*dev_{t+L}) / sum_all(dev^2) with the grand
         # daily mean; calendar-lag join (gap days form no pair); 6dp

@@ -625,3 +625,87 @@ def daily_autocorr(ds, ts_col: str, value_col: str, *,
                      "acf": float(_r(acf, 6)) if acf is not None
                      else None})
     return pd.DataFrame(rows)
+
+
+def ewma_anomaly(ds, ts_col: str, value_col: str, *,
+                 alpha: float = 0.3, k: float = 3.0, scale: int = 100,
+                 num_partitions: int | None = None) -> "pd.DataFrame":
+    """EWMA control chart over the daily value series (Roberts 1959):
+    each day is predicted by the exponentially weighted moving average
+    of the PRIOR days (one-step-ahead), and flagged when its residual
+    exceeds ``k`` one-step-error sigmas — the fast-reacting sibling of
+    :func:`sum_anomaly` (median/MAD reacts to level, EWMA to recent
+    trend).  Null ts/value rows are excluded.
+
+    Exactness: daily sums are exact int64 cents; the EWMA recursion
+    ``e_t = α·v_t + (1−α)·e_{t−1}`` (seeded with day 1's value) is a
+    strict sequential float64 recurrence both engines evaluate in the
+    identical order; sigma is the rms one-step residual; z = |r|/σ is
+    rounded 6dp BEFORE the ``> k`` compare so the flag is shared with
+    the SQL replica.
+
+    Scale shape: same (day, cents) partials → bucketed reduce; the
+    |days| series (time-bounded) runs the recursion on the driver.
+
+    Output per day (ordered): (day, cents, ewma_prev, resid, z,
+    is_anomaly); day 1 has null prediction/flag."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        day = df[ts_col].dt.floor("D")
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[us]"),
+        "cents": pd.Series([], dtype="int64"),
+        "ewma_prev": pd.Series([], dtype="float64"),
+        "resid": pd.Series([], dtype="float64"),
+        "z": pd.Series([], dtype="float64"),
+        "is_anomaly": pd.Series([], dtype="object")})
+    if daily.empty or "day" not in daily.columns:
+        return empty
+    daily = daily.sort_values("day", kind="stable").reset_index(drop=True)
+    v = daily["cents"].to_numpy(dtype=np.float64)
+    m = len(v)
+    # strict sequential recurrence — |days| is time-bounded, driver-side
+    ewma_prev = np.full(m, np.nan)
+    e = v[0]
+    for t in range(1, m):
+        ewma_prev[t] = e
+        e = alpha * v[t] + (1.0 - alpha) * e
+    resid = v - ewma_prev                      # nan on day 1
+    rr = resid[1:]
+    sigma = float(np.sqrt((rr * rr).sum() / len(rr))) if m > 1 else 0.0
+    with np.errstate(invalid="ignore"):
+        z = np.abs(resid) / sigma if sigma > 0 else np.full(m, np.nan)
+    zr = np.asarray(_r(z, 6), dtype=np.float64)
+    out = pd.DataFrame({
+        "day": pd.to_datetime(daily["day"]).astype("datetime64[us]"),
+        "cents": daily["cents"].astype(np.int64),
+        "ewma_prev": _r(ewma_prev, 6),
+        "resid": _r(resid, 6),
+        "z": zr,
+        # object dtype with True/False/None — what both an Arrow
+        # nullable bool and DuckDB's fetchdf produce
+        "is_anomaly": pd.Series([None if np.isnan(x) else bool(x > k)
+                                 for x in zr], dtype=object)})
+    return out

@@ -4532,3 +4532,31 @@ def test_repeated_responses_planted(ray_session):
     assert out.loc["c", "max_repeat_run"] == 2
     assert "d" not in out.index
     assert out.loc["e", "n_repeats"] == 0
+
+
+def test_ewma_anomaly_planted(ray_session):
+    """ewma_anomaly: a flat series with one spike flags exactly the
+    spike day; day 1 has null prediction/flag; the recursion matches
+    the hand-rolled recurrence; repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.outliers import ewma_anomaly
+
+    days = pd.date_range("2024-03-01", periods=15, freq="D")
+    vals = [10.0] * 15
+    vals[10] = 200.0
+    df = pd.DataFrame({"ts": days, "value": vals})
+    out = ewma_anomaly(ray.data.from_pandas(df).repartition(3),
+                       "ts", "value", alpha=0.3, k=3.0)
+    assert pd.isna(out.loc[0, "ewma_prev"]) and out.loc[0, "is_anomaly"] is None
+    flagged = out[out["is_anomaly"] == True]  # noqa: E712
+    assert list(flagged["day"]) == [pd.Timestamp("2024-03-11")]
+    # hand recurrence for ewma_prev on the spike day: flat at 1000 cents
+    assert out.loc[10, "ewma_prev"] == 1000.0
+    assert out.loc[10, "resid"] == 19000.0
+
+    again = ewma_anomaly(ray.data.from_pandas(df).repartition(5),
+                         "ts", "value", alpha=0.3, k=3.0)
+    pd.testing.assert_frame_equal(out, again)
