@@ -53,3 +53,37 @@ def read_parquet_sized(path, *, columns=None,
         blocks = max(1, min(4 * cpus, mem // parallel_block_bytes))
         kwargs["override_num_blocks"] = int(blocks)
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def compact_parquet(in_path, out_dir: str, *,
+                    target_file_bytes: int = 128 << 20) -> dict:
+    """Small-file compaction: stream a parquet directory through Ray
+    and rewrite it as ~``target_file_bytes`` files — the maintenance
+    pass every long-running ingest needs (a 100-TB table accreted in
+    10k-row increments reads 100× slower through its file-open
+    overhead than the same bytes in 128 MB files).
+
+    Contents are preserved exactly (no dedup, no reorder guarantees —
+    parquet row order within a file is whatever the stream delivered);
+    only the physical layout changes.  The write streams with
+    backpressure — nothing materializes beyond Ray's block budget.
+
+    Returns {"rows", "in_files", "out_files", "in_bytes"} so callers
+    can log the compaction ratio."""
+    import glob as _glob
+
+    import ray.data
+
+    in_bytes = _disk_bytes(in_path)
+    in_files = (len(_glob.glob(os.path.join(in_path, "**", "*.parquet"),
+                               recursive=True))
+                if os.path.isdir(in_path) else 1)
+    ds = read_parquet_sized(in_path)
+    n_out = max(1, in_bytes // target_file_bytes)
+    ds = ds.repartition(int(n_out))
+    ds.write_parquet(out_dir)
+    out_files = len(_glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                               recursive=True))
+    rows = read_parquet_sized(out_dir).count()
+    return {"rows": int(rows), "in_files": int(in_files),
+            "out_files": int(out_files), "in_bytes": int(in_bytes)}

@@ -4560,3 +4560,32 @@ def test_ewma_anomaly_planted(ray_session):
     again = ewma_anomaly(ray.data.from_pandas(df).repartition(5),
                          "ts", "value", alpha=0.3, k=3.0)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    """compact_parquet: many tiny files become few target-sized files
+    with every row preserved (order-insensitive content equality)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.sources.parquet import compact_parquet
+
+    src = tmp_path / "tiny"
+    os.makedirs(src)
+    for i in range(20):
+        pq.write_table(pa.table({
+            "id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64()),
+            "v": pa.array([float(i)] * 10)}),
+            str(src / f"part_{i:03d}.parquet"))
+    out = tmp_path / "compacted"
+    res = compact_parquet(str(src), str(out))
+    assert res["rows"] == 200 and res["in_files"] == 20
+    assert res["out_files"] < res["in_files"]
+    a = pq.read_table(str(src)).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    b = pq.read_table(str(out)).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
