@@ -887,6 +887,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "lineitem", ["l_quantity", "l_discount"]),
             "l_quantity", "l_discount")
 
+    def histogram2d_lineitem(sf):
+        # joint distribution eyeball view: 20x20 (quantity, price) grid
+        from packs_ray.functions.profiling import histogram2d
+
+        return histogram2d(
+            _ds(sf, "lineitem", ["l_quantity", "l_extendedprice"]),
+            "l_quantity", "l_extendedprice")
+
     def correlations_lineitem(sf):
         # ydata-style pairwise Pearson catalog: exact integer power
         # sums, one fixed float64 expression per pair
@@ -2794,6 +2802,7 @@ checks for orders:
         "kendall_lineitem": kendall_lineitem,
         "value_catalog_customer": value_catalog_customer,
         "histogram_lineitem": histogram_lineitem,
+        "histogram2d_lineitem": histogram2d_lineitem,
         "url_canonicalize_documents": url_canonicalize_documents,
         "domain_counts_documents": domain_counts_documents,
         "window_functions_events": window_functions_events,
@@ -5948,6 +5957,30 @@ def oracle_sql() -> dict[str, str]:
         END AS z,
         round(u / (na * nb), 6) AS auc
     FROM s""",
+        # profiling.histogram2d: same fixed binning expression per
+        # axis as histogram (degenerate width -> 1.0); occupied cells
+        # only, ordered (bin_x, bin_y)
+        "histogram2d_lineitem": """
+    WITH e AS (SELECT l_quantity AS x, l_extendedprice AS y
+               FROM lineitem WHERE l_quantity IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+    b AS (SELECT min(x) AS lox, max(x) AS mxx,
+                 min(y) AS loy, max(y) AS mxy FROM e),
+    w AS (SELECT lox, loy,
+            CASE WHEN (mxx - lox) / 20 > 0
+                 THEN (mxx - lox) / 20 ELSE 1.0 END AS wx,
+            CASE WHEN (mxy - loy) / 20 > 0
+                 THEN (mxy - loy) / 20 ELSE 1.0 END AS wy FROM b),
+    c AS (SELECT CAST(least(floor((x - lox) / wx), 19) AS BIGINT)
+                   AS bin_x,
+                 CAST(least(floor((y - loy) / wy), 19) AS BIGINT)
+                   AS bin_y,
+                 count(*)::BIGINT AS n
+          FROM e, w GROUP BY 1, 2)
+    SELECT bin_x, bin_y,
+        lox + bin_x * wx AS lo_x, lox + (bin_x + 1) * wx AS hi_x,
+        loy + bin_y * wy AS lo_y, loy + (bin_y + 1) * wy AS hi_y, n
+    FROM c, w ORDER BY bin_x, bin_y""",
         # profiling.kendall_tau: exact cells; C/D = cell-pair products
         # classified by the (a_j>a_i, b_j vs b_i) relation; tie terms
         # from marginals; tau-b 6dp

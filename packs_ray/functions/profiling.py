@@ -1467,3 +1467,80 @@ def kendall_tau(ds, col_a: str, col_b: str,
     return pd.DataFrame([{
         "n": np.int64(int(n)),
         "kendall_tau": float(_r(tau, 6)) if tau is not None else None}])
+
+
+def histogram2d(ds, col_x: str, col_y: str, n_bins: int = 20) -> pd.DataFrame:
+    """Joint 2-D histogram of two numeric columns: one row per occupied
+    (bin_x, bin_y) cell — the dependence/drift eyeball view (a joint
+    shift two marginal histograms can't show).  Rows with a null on
+    either side are excluded.
+
+    Same contract as :func:`histogram`: one streaming pass for the
+    global bounds of each column, one for the counts (per-batch 2-D
+    ``np.bincount`` partials, elementwise sum); binning is the fixed
+    float expression ``min(floor((v − lo)/w), n−1)`` per axis so a SQL
+    replica reproduces every boundary bit-for-bit; a constant column
+    lands in bin 0 (w forced to 1.0).  Empty cells are OMITTED (the 2-D
+    lattice is n²; SQL GROUP BY semantics).
+
+    Output: (bin_x, bin_y, lo_x, hi_x, lo_y, hi_y, n), ordered by
+    (bin_x, bin_y)."""
+
+    def mpartial(batch: pa.Table) -> dict:
+        x = batch.column(col_x)
+        y = batch.column(col_y)
+        m = pc.and_(x.is_valid(), y.is_valid())
+        xv, yv = x.filter(m), y.filter(m)
+        return {"n": len(xv),
+                "mnx": pc.min(xv).as_py() if len(xv) else None,
+                "mxx": pc.max(xv).as_py() if len(xv) else None,
+                "mny": pc.min(yv).as_py() if len(yv) else None,
+                "mxy": pc.max(yv).as_py() if len(yv) else None}
+
+    def mcombine(p: pd.DataFrame) -> dict:
+        n = int(p["n"].sum())
+        return {"n": n,
+                "mnx": float(p["mnx"].min()) if n else 0.0,
+                "mxx": float(p["mxx"].max()) if n else 0.0,
+                "mny": float(p["mny"].min()) if n else 0.0,
+                "mxy": float(p["mxy"].max()) if n else 0.0}
+
+    esch = pa.schema([(col_x, pa.float64()), (col_y, pa.float64())])
+    narrow = ds.select_columns([col_x, col_y])
+    agg = global_agg(narrow, mpartial, mcombine, empty_schema=esch)
+    lox, loy = agg["mnx"], agg["mny"]
+    wx = (agg["mxx"] - lox) / n_bins
+    wy = (agg["mxy"] - loy) / n_bins
+    if not wx > 0:
+        wx = 1.0
+    if not wy > 0:
+        wy = 1.0
+
+    def hpartial(batch: pa.Table) -> dict:
+        x = batch.column(col_x)
+        y = batch.column(col_y)
+        m = pc.and_(x.is_valid(), y.is_valid())
+        xv = x.filter(m).to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = y.filter(m).to_numpy(zero_copy_only=False).astype(np.float64)
+        ix = np.minimum(np.floor((xv - lox) / wx), n_bins - 1) \
+            .astype(np.int64)
+        iy = np.minimum(np.floor((yv - loy) / wy), n_bins - 1) \
+            .astype(np.int64)
+        return {"h": np.bincount(ix * n_bins + iy,
+                                 minlength=n_bins * n_bins).tobytes()}
+
+    def hcombine(p: pd.DataFrame) -> dict:
+        tot = np.zeros(n_bins * n_bins, dtype=np.int64)
+        for b in p["h"].dropna():
+            tot += np.frombuffer(b, dtype=np.int64)
+        return {"h": tot}
+
+    counts = global_agg(narrow, hpartial, hcombine,
+                        empty_schema=esch)["h"]
+    grid = counts.reshape(n_bins, n_bins)
+    bx, by = np.nonzero(grid)
+    return pd.DataFrame({
+        "bin_x": bx.astype(np.int64), "bin_y": by.astype(np.int64),
+        "lo_x": lox + bx * wx, "hi_x": lox + (bx + 1) * wx,
+        "lo_y": loy + by * wy, "hi_y": loy + (by + 1) * wy,
+        "n": grid[bx, by].astype(np.int64)})

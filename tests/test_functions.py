@@ -4589,3 +4589,30 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     b = pq.read_table(str(out)).to_pandas().sort_values("id") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_histogram2d_planted(ray_session):
+    """histogram2d: a planted 2x2 point cloud lands in the corner
+    cells with exact counts; a constant axis collapses to bin 0 with
+    width 1.0; empty cells omitted; null rows excluded."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.profiling import histogram2d
+
+    df = pd.DataFrame({
+        "x": [0.0] * 3 + [10.0] * 2 + [0.0, None],
+        "y": [0.0] * 3 + [10.0] * 2 + [10.0, 5.0]})
+    out = histogram2d(ray.data.from_pandas(df).repartition(3),
+                      "x", "y", n_bins=20) \
+        .set_index(["bin_x", "bin_y"])
+    assert out.loc[(0, 0), "n"] == 3       # cluster at origin
+    assert out.loc[(19, 19), "n"] == 2     # max corner (clipped to last bin)
+    assert out.loc[(0, 19), "n"] == 1
+    assert len(out) == 3                   # empty cells omitted
+
+    const = histogram2d(ray.data.from_pandas(
+        pd.DataFrame({"x": [5.0] * 4, "y": [1.0, 2.0, 3.0, 4.0]})),
+        "x", "y", n_bins=20)
+    assert (const["bin_x"] == 0).all()
+    assert (const["hi_x"] - const["lo_x"]).iloc[0] == 1.0
