@@ -170,6 +170,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return profiling.completeness(
             _ds(sf, "events"), ["event_id", "ts", "user_id", "event_type", "value", "props"])
 
+    def completeness_ci_events(sf):
+        # sample-size-aware completeness: Wilson 95% score intervals
+        from packs_ray.functions.profiling import completeness_ci
+
+        return completeness_ci(
+            _ds(sf, "events", ["event_type", "user_id", "value",
+                               "props"]),
+            ["event_type", "user_id", "value", "props"])
+
     def text_stats_documents(sf):
         return textstats.text_validation_stats(
             _ds(sf, "documents", ["text"]), "text", min_length=100, max_length=450)
@@ -2686,6 +2695,7 @@ checks for orders:
 
     return {
         "completeness_events": completeness_events,
+        "completeness_ci_events": completeness_ci_events,
         "text_stats_documents": text_stats_documents,
         "duplicates_documents": duplicates_documents,
         "dedup_exact_documents": dedup_exact_documents,
@@ -5407,6 +5417,29 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "completeness_events": completeness,
+        # profiling.completeness_ci: exact counts; Wilson bounds are
+        # the identical pinned expression over (k, n, z95), 6dp,
+        # clamped to [0, 1]
+        "completeness_ci_events": """
+    WITH a AS (SELECT count(*)::BIGINT AS n,
+            count(event_type)::BIGINT AS k0,
+            count(user_id)::BIGINT AS k1,
+            count(value)::BIGINT AS k2,
+            count(props)::BIGINT AS k3 FROM events),
+    u AS (SELECT 'event_type' AS "column", k0 AS k, n FROM a
+          UNION ALL SELECT 'user_id', k1, n FROM a
+          UNION ALL SELECT 'value', k2, n FROM a
+          UNION ALL SELECT 'props', k3, n FROM a),
+    w AS (SELECT "column", k, n, k::DOUBLE / n AS p,
+            1.959963984540054 AS z FROM u),
+    c AS (SELECT *,
+            (p + z * z / (2.0 * n)) / (1.0 + z * z / n) AS center,
+            (z * sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)))
+                / (1.0 + z * z / n) AS half FROM w)
+    SELECT "column", k AS non_null, n AS total, p AS completeness,
+        round(greatest(center - half, 0.0), 6) AS ci_low,
+        round(least(center + half, 1.0), 6) AS ci_high
+    FROM c""",
         "text_stats_documents": text_stats,
         "duplicates_documents": duplicates,
         "dedup_exact_documents":

@@ -1544,3 +1544,37 @@ def histogram2d(ds, col_x: str, col_y: str, n_bins: int = 20) -> pd.DataFrame:
         "lo_x": lox + bx * wx, "hi_x": lox + (bx + 1) * wx,
         "lo_y": loy + by * wy, "hi_y": loy + (by + 1) * wy,
         "n": grid[bx, by].astype(np.int64)})
+
+
+def completeness_ci(ds, columns: list[str], *,
+                    z: float = 1.959963984540054) -> pd.DataFrame:
+    """Per-column completeness with a Wilson score interval (Wilson
+    1927) — the sample-size-aware version of :func:`completeness`: on
+    a 1k-row partition a 99% point estimate means little, and the
+    Wilson bounds say exactly how little (they stay inside [0, 1] and
+    behave at p→1, where the Wald interval collapses).  Default z is
+    the two-sided 95% normal quantile.
+
+    Exactness: counts are exact integers; the bounds are ONE pinned
+    float64 expression each over (k, n, z), 6dp.
+
+    Output per column: (column, non_null, total, completeness,
+    ci_low, ci_high)."""
+
+    base = completeness(ds, columns)
+    from packs_ray.stages.util import round_half_away as _r
+
+    k = base["non_null"].to_numpy(dtype=np.float64)
+    n = base["total"].to_numpy(dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(n > 0, k / n, 1.0)
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = (z * np.sqrt(p * (1.0 - p) / n
+                            + z * z / (4.0 * n * n))) / denom
+        lo = np.where(n > 0, np.maximum(center - half, 0.0), np.nan)
+        hi = np.where(n > 0, np.minimum(center + half, 1.0), np.nan)
+    out = base.copy()
+    out["ci_low"] = _r(lo.astype(np.float64), 6)
+    out["ci_high"] = _r(hi.astype(np.float64), 6)
+    return out

@@ -4616,3 +4616,29 @@ def test_histogram2d_planted(ray_session):
         "x", "y", n_bins=20)
     assert (const["bin_x"] == 0).all()
     assert (const["hi_x"] - const["lo_x"]).iloc[0] == 1.0
+
+
+def test_completeness_ci_planted(ray_session):
+    """completeness_ci: Wilson bounds bracket the point estimate, stay
+    inside [0,1] at p==1, and tighten with sample size (the
+    sample-size-awareness the point estimate lacks)."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.profiling import completeness_ci
+
+    small = pd.DataFrame({"a": [1.0, None, 3.0, 4.0]})         # p=0.75
+    s = completeness_ci(ray.data.from_pandas(small), ["a"]).iloc[0]
+    assert s["ci_low"] < 0.75 < s["ci_high"]
+    assert 0.0 <= s["ci_low"] and s["ci_high"] <= 1.0
+
+    big = pd.DataFrame({"a": ([1.0] * 300 + [None] * 100)})    # p=0.75
+    b = completeness_ci(ray.data.from_pandas(big).repartition(3),
+                        ["a"]).iloc[0]
+    assert (b["ci_high"] - b["ci_low"]) < (s["ci_high"] - s["ci_low"])
+
+    full = completeness_ci(
+        ray.data.from_pandas(pd.DataFrame({"a": [1.0] * 10})), ["a"]) \
+        .iloc[0]
+    assert full["completeness"] == 1.0 and full["ci_high"] == 1.0
+    assert full["ci_low"] < 1.0     # Wilson does not collapse at p=1
