@@ -2047,6 +2047,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "event_type", "value"]),
             "event_type", "value", ["event_id"])
 
+    def quantile_map_events(sf):
+        # drift repair: re-align view values onto the click
+        # distribution via exact CDF matching
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.repair import quantile_map
+
+        ev = _ds(sf, "events", ["event_id", "event_type", "value"])
+        src = ev.map_batches(lambda t: t.filter(
+            pc.equal(t["event_type"], "view")), batch_format="pyarrow")
+        ref2 = ev.map_batches(lambda t: t.filter(
+            pc.equal(t["event_type"], "click")), batch_format="pyarrow")
+        return quantile_map(src, ref2, "value", ["event_id"])
+
     def minmax_scale_events(sf):
         # per-event-type min-max normalization of value
         from packs_ray.functions.repair import minmax_scale_per_key
@@ -2870,6 +2884,7 @@ checks for orders:
         "collapse_rare_part": collapse_rare_part,
         "minmax_scale_events": minmax_scale_events,
         "robust_scale_events": robust_scale_events,
+        "quantile_map_events": quantile_map_events,
         "streaks_events": streaks_events,
         "entity_clusters_customer_supplier": entity_clusters_customer_supplier,
         "k_anonymity_events": k_anonymity_events,
@@ -7203,6 +7218,29 @@ def oracle_sql() -> dict[str, str]:
     SELECT a.k AS user_id, a.n_active_days, b.n_streaks,
            b.longest_streak, a.max_gap_days
     FROM a JOIN b USING (k)""",
+        # repair.quantile_map: exact per-value counts; mapped(v) =
+        # min reference value whose cum fraction (one double division)
+        # >= the source cum fraction at v — identical double compare
+        "quantile_map_events": """
+    WITH s AS (SELECT event_id, value AS v FROM events
+               WHERE event_type = 'view' AND value IS NOT NULL),
+    r AS (SELECT value AS v FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
+    sc AS (SELECT v, count(*)::BIGINT AS c FROM s GROUP BY v),
+    scum AS (SELECT v, sum(c) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM sc),
+    st AS (SELECT sum(c)::BIGINT AS n FROM sc),
+    rc AS (SELECT v, count(*)::BIGINT AS c FROM r GROUP BY v),
+    rcum AS (SELECT v, sum(c) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM rc),
+    rt AS (SELECT sum(c)::BIGINT AS n FROM rc),
+    map AS (SELECT scum.v,
+            (SELECT min(rcum.v) FROM rcum, rt
+             WHERE rcum.cum::DOUBLE / rt.n
+                   >= scum.cum::DOUBLE / st.n) AS mapped
+            FROM scum, st)
+    SELECT s.event_id, s.v AS value, map.mapped
+    FROM s JOIN map ON s.v = map.v""",
         # repair.robust_scale_per_key: exact per-key quartiles (6dp,
         # quantile_cont == np.percentile-linear), pinned
         # (x-median)/IQR rounded 6dp, IQR==0 groups -> 0.0

@@ -304,3 +304,69 @@ def robust_scale_per_key(ds, key_col: str, value_col: str,
         return batch.append_column("scaled", pa.array(scaled))
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def quantile_map(ds_src, ds_ref, value_col: str, id_cols: list[str], *,
+                 num_partitions: int | None = None):
+    """Quantile-mapping (CDF-matching) normalization: map every source
+    value onto the reference distribution — ``mapped(v)`` is the
+    SMALLEST reference value whose cumulative fraction reaches the
+    source's cumulative fraction at ``v`` (the empirical-quantile
+    transform drift repair uses to re-align a shifted feed, and the
+    tie-free rule shared with
+    :func:`~packs_ray.functions.profiling.weighted_quantiles`).  Null
+    values are excluded.
+
+    Exactness: both ECDFs are exact int64 count tables; each cumulative
+    fraction is ONE double division, and the >= probe compares those
+    identical doubles — numpy ``searchsorted`` here, ``min(v) WHERE``
+    in the DuckDB replica, same result bit-for-bit.
+
+    Partitioning assumption: bounded DISTINCT value domains (the count
+    tables, never the rows, reach the driver); the mapping then
+    broadcasts and the attach pass streams with no shuffle.
+
+    Output: id_cols + (value, mapped); an empty reference maps
+    everything to null."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from packs_ray.functions.agg import keyed_count
+
+    def counts(ds) -> pd.Series:
+        narrow = ds.select_columns([value_col]).map_batches(
+            lambda t: t.filter(pc.is_valid(t.column(value_col))),
+            batch_format="pyarrow")
+        c = keyed_count(narrow, [value_col],
+                        num_partitions=num_partitions).to_pandas()
+        if c.empty or value_col not in c.columns:
+            return pd.Series(dtype="int64")
+        return (c.set_index(value_col)["cnt"].astype(np.int64)
+                .sort_index())
+
+    sc, rc = counts(ds_src), counts(ds_ref)
+    if len(sc) == 0 or len(rc) == 0:
+        mapping = pd.Series(dtype="float64")
+    else:
+        n_s = float(sc.sum())
+        n_r = float(rc.sum())
+        p_src = np.cumsum(sc.to_numpy(dtype=np.float64)) / n_s
+        crf = np.cumsum(rc.to_numpy(dtype=np.float64)) / n_r
+        rv = rc.index.to_numpy(dtype=np.float64)
+        idx = np.searchsorted(crf, p_src, side="left")
+        mapped = np.where(idx < len(rv), rv[np.minimum(idx, len(rv) - 1)],
+                          rv[-1])
+        mapping = pd.Series(mapped, index=sc.index)
+    ref = ray.put(mapping)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        batch = batch.select(id_cols + [value_col]).filter(
+            pc.is_valid(batch.column(value_col)))
+        v = batch.column(value_col).to_pandas()
+        return batch.append_column(
+            "mapped", pa.array(v.map(mp).to_numpy(dtype=np.float64),
+                               type=pa.float64()))
+
+    return ds_src.map_batches(attach, batch_format="pyarrow")

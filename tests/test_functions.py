@@ -4642,3 +4642,33 @@ def test_completeness_ci_planted(ray_session):
         .iloc[0]
     assert full["completeness"] == 1.0 and full["ci_high"] == 1.0
     assert full["ci_low"] < 1.0     # Wilson does not collapse at p=1
+
+
+def test_quantile_map_planted(ray_session):
+    """quantile_map: a shifted source maps back onto the reference
+    scale exactly (hand CDF); max source value maps to max reference;
+    nulls excluded; empty reference maps to null."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.repair import quantile_map
+
+    # src = {10:1, 20:2, 30:1} -> p = .25, .75, 1.0
+    src = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                        "v": [10.0, 20.0, 20.0, 30.0, None]})
+    # ref = {100:1, 200:1, 300:1, 400:1} -> crf .25 .5 .75 1.0
+    ref = pd.DataFrame({"v": [100.0, 200.0, 300.0, 400.0]})
+    out = quantile_map(ray.data.from_pandas(src).repartition(2),
+                       ray.data.from_pandas(ref), "v", ["id"]) \
+        .to_pandas().set_index("id")
+    assert out.loc[1, "mapped"] == 100.0    # p .25 -> first crf >= .25
+    assert out.loc[2, "mapped"] == 300.0    # p .75
+    assert out.loc[4, "mapped"] == 400.0    # p 1.0 -> max ref
+    assert 5 not in out.index               # null excluded
+
+    none = quantile_map(
+        ray.data.from_pandas(src),
+        ray.data.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="float64")})),
+        "v", ["id"]).to_pandas()
+    assert none["mapped"].isna().all()
