@@ -2185,6 +2185,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return repeated_responses(tds)
 
+    def language_consistency_transcripts(sf):
+        # code-switching screen: per-conversation majority language +
+        # agreement from per-turn marker-word language ID
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import conv_language_consistency
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "text"])
+        return conv_language_consistency(tds)
+
     def context_fit_transcripts(sf):
         # keep-last-k truncation planner: per-turn suffix token totals
         # vs a 256-token context budget
@@ -2872,6 +2882,7 @@ checks for orders:
         "response_latency_transcripts": response_latency_transcripts,
         "context_fit_transcripts": context_fit_transcripts,
         "repeated_responses_transcripts": repeated_responses_transcripts,
+        "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
         "iqr_outliers_lineitem": iqr_outliers_per_key_lineitem,
@@ -3804,6 +3815,58 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _lang_consistency_sql() -> str:
+    """stages.conversation.conv_language_consistency replica: the
+    _langid_sql per-row CASE applied per TURN, then the (n DESC,
+    lang ASC) majority pick per conversation."""
+    from packs_ray.models import _CJK_RANGE_RE, LANG_MARKERS
+
+    a = _ensure_flagship_artifacts()
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+        score_exprs.append(
+            f"length(regexp_extract_all(t, '{pat}'))::DOUBLE / tok"
+            f" AS {lang}")
+    cols = "conv_id, text"
+    return f"""
+    WITH t0 AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT conv_id, coalesce(text, '') AS t FROM t0
+          WHERE conv_id IS NOT NULL),
+    base AS (SELECT conv_id, t,
+        greatest(length(regexp_extract_all(t, '\\S+')), 1)::DOUBLE
+            AS tok,
+        greatest(length(t), 1)::DOUBLE AS chars FROM e),
+    sc AS (SELECT conv_id, {', '.join(score_exprs)},
+        length(regexp_extract_all(t, '{_CJK_RANGE_RE}'))::DOUBLE
+            / chars AS cjk FROM base),
+    pred AS (SELECT conv_id, CASE
+        WHEN greatest(en, fr, de, cjk) <= 0 THEN 'und'
+        WHEN en >= fr AND en >= de AND en >= cjk THEN 'en'
+        WHEN fr >= de AND fr >= cjk THEN 'fr'
+        WHEN de >= cjk THEN 'de'
+        ELSE 'cjk' END AS lang FROM sc),
+    c AS (SELECT conv_id, lang, count(*)::BIGINT AS n
+          FROM pred GROUP BY 1, 2),
+    top AS (SELECT conv_id, lang, n, row_number() OVER (
+            PARTITION BY conv_id ORDER BY n DESC, lang ASC) AS rn
+            FROM c),
+    tot AS (SELECT conv_id, sum(n)::BIGINT AS n_turns,
+            count(*)::BIGINT AS n_langs FROM c GROUP BY 1)
+    SELECT tot.conv_id, tot.n_turns, tot.n_langs,
+        top.lang AS majority_lang,
+        round(top.n::DOUBLE / tot.n_turns, 6) AS agreement,
+        tot.n_langs > 1 AS is_mixed
+    FROM tot JOIN top ON tot.conv_id = top.conv_id AND top.rn = 1
+    ORDER BY tot.conv_id"""
 
 
 def _repeated_responses_sql(role: str = "assistant") -> str:
@@ -7614,6 +7677,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency_transcripts": _response_latency_sql(),
         "context_fit_transcripts": _context_fit_sql(256),
         "repeated_responses_transcripts": _repeated_responses_sql(),
+        "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),
         "join_orders_customer":

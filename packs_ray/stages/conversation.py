@@ -511,3 +511,109 @@ def repeated_responses(ds, *, conv_col: str = "conv_id",
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
         .sort(conv_col)
+
+
+def conv_language_consistency(ds, *, conv_col: str = "conv_id",
+                              text_col: str = "text",
+                              num_buckets: int | None = None):
+    """Per-conversation language consistency: classify every turn with
+    the engine's marker-word language heuristic (the
+    :class:`~packs_ray.models.LangIdModel` scoring with the
+    deterministic en→fr→de→cjk argmax tie order), then report each
+    conversation's majority language, how many distinct languages
+    appear and the majority's share — the code-switching screen run
+    before language-bucketed training mixes (a conv that flips
+    language mid-way usually indicates concatenation bugs, not
+    bilingual users).  Null conv rows are excluded; null text counts
+    as ''.
+
+    Exactness: per-turn language labels and all counts are exact;
+    agreement is ONE pinned division, 6dp.  Majority ties break to the
+    lexicographically smallest language (both engines sort
+    (n DESC, lang ASC)).
+
+    Scale shape: languages are classified BEFORE the exchange — only
+    (conv, lang) marks shuffle once on hash(conv); per-bucket work is
+    one vectorized double groupby.
+
+    Output per conversation: (conv_id, n_turns, n_langs,
+    majority_lang, agreement, is_mixed), ordered by conv_id."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.models import _CJK_RANGE_RE, LANG_MARKERS
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    import re as _re
+    patterns = {
+        lang: r"(?i)\b(?:" + "|".join(_re.escape(w) for w in words)
+        + r")\b" for lang, words in LANG_MARKERS.items()}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([conv_col, text_col]).filter(
+            batch.column(conv_col).is_valid())
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()),
+                            "")
+        n_tok = np.maximum(pc.count_substring_regex(text, r"\S+")
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.float64), 1.0)
+        n_chr = np.maximum(pc.utf8_length(text)
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.float64), 1.0)
+        sc = {lang: pc.count_substring_regex(text, pat)
+              .to_numpy(zero_copy_only=False).astype(np.float64) / n_tok
+              for lang, pat in patterns.items()}
+        cjk = pc.count_substring_regex(text, _CJK_RANGE_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) / n_chr
+        en, fr, de = sc["en"], sc["fr"], sc["de"]
+        # the deterministic en>=fr>=de>=cjk cascade (== the SQL CASE)
+        lang = np.where(
+            np.maximum(np.maximum(en, fr), np.maximum(de, cjk)) <= 0,
+            "und",
+            np.where((en >= fr) & (en >= de) & (en >= cjk), "en",
+                     np.where((fr >= de) & (fr >= cjk), "fr",
+                              np.where(de >= cjk, "de", "cjk"))))
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return pa.table({
+            conv_col: batch.column(conv_col),
+            "lang": pa.array(lang.astype(object)),
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({conv_col: [],
+                          "n_turns": pd.Series([], dtype="int64"),
+                          "n_langs": pd.Series([], dtype="int64"),
+                          "majority_lang": pd.Series([], dtype=object),
+                          "agreement": pd.Series([], dtype="float64"),
+                          "is_mixed": pd.Series([], dtype="bool")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from packs_ray.stages.util import round_half_away as _r
+
+        if len(g) == 0:
+            return empty.copy()
+        c = (g.groupby([conv_col, "lang"], sort=False).size()
+             .reset_index(name="n"))
+        c = c.sort_values(["n", "lang"], ascending=[False, True],
+                          kind="stable")
+        top = c.drop_duplicates(subset=[conv_col], keep="first")
+        tot = (c.groupby(conv_col, sort=False)
+               .agg(n_turns=("n", "sum"), n_langs=("n", "size"))
+               .reset_index())
+        out = tot.merge(top[[conv_col, "lang", "n"]], on=conv_col)
+        out["agreement"] = _r(out["n"].to_numpy(np.float64)
+                              / out["n_turns"].to_numpy(np.float64), 6)
+        out["is_mixed"] = out["n_langs"] > 1
+        out = out.rename(columns={"lang": "majority_lang"})
+        for col in ("n_turns", "n_langs"):
+            out[col] = out[col].astype(np.int64)
+        return out[[conv_col, "n_turns", "n_langs", "majority_lang",
+                    "agreement", "is_mixed"]]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(conv_col)

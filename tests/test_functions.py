@@ -4672,3 +4672,32 @@ def test_quantile_map_planted(ray_session):
         ray.data.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="float64")})),
         "v", ["id"]).to_pandas()
     assert none["mapped"].isna().all()
+
+
+def test_conv_language_consistency_planted(ray_session):
+    """conv_language_consistency: planted mono/mixed conversations get
+    the right majority, agreement and is_mixed; majority ties break to
+    the lexicographically smallest language."""
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.stages.conversation import conv_language_consistency
+
+    en = "the quick and brown fox is with that have this for"
+    fr = "le chat est dans les rues avec une pour que nous"
+    df = pd.DataFrame({
+        "conv_id": ["mono"] * 3 + ["mix"] * 4 + ["tie"] * 2 + [None],
+        "text": [en, en, en,
+                 en, en, en, fr,
+                 en, fr, en]})
+    out = conv_language_consistency(
+        ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("conv_id")
+    assert out.loc["mono", "majority_lang"] == "en"
+    assert out.loc["mono", "agreement"] == 1.0
+    assert not out.loc["mono", "is_mixed"]
+    assert out.loc["mix", "majority_lang"] == "en"
+    assert out.loc["mix", "agreement"] == 0.75
+    assert out.loc["mix", "is_mixed"] and out.loc["mix", "n_langs"] == 2
+    assert out.loc["tie", "majority_lang"] == "en"   # 1-1 tie -> lex asc
+    assert None not in out.index
