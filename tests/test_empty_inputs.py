@@ -22,6 +22,8 @@ SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
         "boilerplate_turns_transcripts", "tool_usage_transcripts",
         "sft_examples_transcripts", "response_latency_transcripts",
         "pii_density_transcripts", "context_fit_transcripts",
+        "repeated_responses_transcripts",
+        "language_consistency_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 
