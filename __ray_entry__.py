@@ -244,6 +244,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return np.array(v, dtype=np.float64)
         return np.array([1.0], dtype=np.float64)  # degenerate input
 
+    def label_noise_embeddings(sf):
+        # classifier-data label quality: kNN-vote disagreement screen
+        from packs_ray.functions.similarity import label_noise_knn
+
+        return label_noise_knn(
+            _ds(sf, "embeddings", ["vec_id", "embedding", "label"]),
+            "vec_id", "embedding", "label", k=5)
+
     def ann_bruteforce_embeddings(sf):
         return similarity.brute_force_topk(
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
@@ -2732,7 +2740,28 @@ checks for orders:
         "pii_scan_documents": pii_scan_documents,
         "token_counts_documents": token_counts_documents,
         "quality_scores_documents": quality_scores_documents,
+        # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
+        # ties by id ASC, vote ties by label ASC, self excluded
+        "label_noise_embeddings": """
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id IS NOT NULL AND label IS NOT NULL
+                 AND embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS qa, b.vec_id AS nb, b.label AS nl,
+            round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                AS sim
+          FROM e a JOIN e b ON a.vec_id != b.vec_id),
+    r AS (SELECT qa, nb, nl, row_number() OVER (PARTITION BY qa
+              ORDER BY sim DESC, nb ASC) AS rn FROM p),
+    v AS (SELECT qa, nl, count(*)::BIGINT AS n FROM r
+          WHERE rn <= 5 GROUP BY 1, 2),
+    top AS (SELECT qa, nl, n, row_number() OVER (PARTITION BY qa
+                ORDER BY n DESC, nl ASC) AS rv FROM v)
+    SELECT e.vec_id, e.label, top.nl::BIGINT AS knn_label,
+        top.n AS n_agree, top.nl::BIGINT != e.label AS is_suspect
+    FROM e JOIN top ON top.qa = e.vec_id AND top.rv = 1
+    ORDER BY e.vec_id""",
         "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
+        "label_noise_embeddings": label_noise_embeddings,
         "quantize_embeddings_int8": quantize_embeddings_int8,
         "ann_quantized_embeddings": ann_quantized_embeddings,
         "ann_multi_query": ann_multi_query,

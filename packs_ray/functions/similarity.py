@@ -449,3 +449,78 @@ def brute_force_topk_quantized(ds, id_col: str, emb_col: str,
     out = parts.sort_values(["cosine", id_col], ascending=[False, True],
                             kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+def label_noise_knn(ds, id_col: str, emb_col: str, label_col: str, *,
+                    k: int = 5) -> pd.DataFrame:
+    """Label-noise screen via kNN vote (Confident-Learning-lite,
+    Northcutt et al. 2021 class of checks): each row's label is
+    compared to the majority label of its k nearest neighbors by
+    cosine — a disagreeing neighborhood marks a suspected mislabel,
+    the classifier-data quality check the packs' tabular rules can't
+    express.  Rows with a null id/embedding/label are excluded.
+
+    Determinism contract (shared with the ANN family): cosines are
+    rounded 6dp BEFORE ranking, neighbor ties break on ascending id,
+    vote ties on ascending label, self is excluded by id.
+
+    Scale shape: this is the EXACT baseline — the (id, embedding,
+    label) reference table is collected once and broadcast via
+    ``ray.put`` (reference-table-sized corpora; the scale path is the
+    :func:`semantic_dedup` IVF co-partition with per-cluster kNN), and
+    scoring streams per batch as one matmul against the broadcast
+    matrix.
+
+    Output per row: (id, label, knn_label, n_agree, is_suspect),
+    ordered by id."""
+    import pyarrow.compute as pc
+
+    narrow = ds.select_columns([id_col, emb_col, label_col]) \
+        .map_batches(lambda t: t.filter(pc.and_(pc.and_(
+            pc.is_valid(t.column(id_col)),
+            pc.is_valid(t.column(label_col))),
+            pc.is_valid(t.column(emb_col)))), batch_format="pyarrow")
+    corpus = narrow.to_pandas()
+    if corpus.empty:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            label_col: pd.Series([], dtype="int64"),
+            "knn_label": pd.Series([], dtype="int64"),
+            "n_agree": pd.Series([], dtype="int64"),
+            "is_suspect": pd.Series([], dtype="bool")})
+    ids = corpus[id_col].to_numpy()
+    labels = corpus[label_col].to_numpy()
+    m = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in corpus[emb_col]])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    mn = m / np.where(norms > 0, norms, 1.0)
+    ref = ray.put((ids, labels, mn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cids, clabels, cm = ray.get(ref)
+        bm = _fit_dim(_batch_matrix(batch, emb_col), cm.shape[1])
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bmn = bm / np.where(bn > 0, bn, 1.0)
+        sims = np.asarray(_r(bmn @ cm.T, 6))          # (n, N), 6dp
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        blab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        out_lab = np.empty(len(bids), dtype=np.int64)
+        out_agree = np.empty(len(bids), dtype=np.int64)
+        for i in range(len(bids)):                   # rows per batch;
+            s = sims[i]                              # inner ops vectorized
+            mask = cids != bids[i]
+            order = np.lexsort((cids[mask], -s[mask]))[:k]
+            nl = clabels[mask][order]
+            uniq, cnt = np.unique(nl, return_counts=True)
+            pick = np.lexsort((uniq, -cnt))[0]
+            out_lab[i] = int(uniq[pick])
+            out_agree[i] = int(cnt[pick])
+        return pa.table({
+            id_col: pa.array(bids),
+            label_col: batch.column(label_col),
+            "knn_label": pa.array(out_lab),
+            "n_agree": pa.array(out_agree),
+            "is_suspect": pa.array(out_lab != blab.astype(np.int64))})
+
+    res = narrow.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return res.sort_values(id_col, kind="stable").reset_index(drop=True)

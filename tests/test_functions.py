@@ -4701,3 +4701,33 @@ def test_conv_language_consistency_planted(ray_session):
     assert out.loc["mix", "is_mixed"] and out.loc["mix", "n_langs"] == 2
     assert out.loc["tie", "majority_lang"] == "en"   # 1-1 tie -> lex asc
     assert None not in out.index
+
+
+def test_label_noise_knn_planted(ray_session):
+    """label_noise_knn: a planted mislabel inside a tight cluster is
+    flagged (its neighbors all carry the other label); clean points
+    are not; self is excluded from its own neighborhood."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.RandomState(0)
+    a = rng.normal(0, 0.01, (6, 8)) + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(0, 0.01, (6, 8)) + np.array([0.0] * 7 + [1.0])
+    emb = np.vstack([a, b])
+    labels = [0] * 6 + [1] * 6
+    labels[2] = 1            # planted mislabel inside cluster A
+    df = pd.DataFrame({"vec_id": range(12),
+                       "embedding": [list(map(float, r)) for r in emb],
+                       "label": pd.array(labels, dtype="int32")})
+
+    from packs_ray.functions.similarity import label_noise_knn
+
+    out = label_noise_knn(ray.data.from_pandas(df).repartition(3),
+                          "vec_id", "embedding", "label", k=5) \
+        .set_index("vec_id")
+    assert bool(out.loc[2, "is_suspect"]) and out.loc[2, "knn_label"] == 0
+    clean = out.drop(index=2)
+    assert not clean["is_suspect"].any()
+    # the mislabel pollutes its neighbors' votes but not their majority
+    assert out.loc[0, "n_agree"] >= 3
