@@ -244,6 +244,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 return np.array(v, dtype=np.float64)
         return np.array([1.0], dtype=np.float64)  # degenerate input
 
+    def kcenter_sample_embeddings(sf):
+        # coverage-maximizing diversity seed set: greedy k-center
+        from packs_ray.functions.similarity import kcenter_sample
+
+        return kcenter_sample(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", k=8)
+
     def label_noise_embeddings(sf):
         # classifier-data label quality: kNN-vote disagreement screen
         from packs_ray.functions.similarity import label_noise_knn
@@ -2742,6 +2750,8 @@ checks for orders:
         "quality_scores_documents": quality_scores_documents,
         # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
         # ties by id ASC, vote ties by label ASC, self excluded
+        "kcenter_sample_embeddings": _kcenter_sql(8),
+        # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
         "label_noise_embeddings": """
     WITH e AS (SELECT vec_id, embedding, label FROM embeddings
                WHERE vec_id IS NOT NULL AND label IS NOT NULL
@@ -2762,6 +2772,7 @@ checks for orders:
     ORDER BY e.vec_id""",
         "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
         "label_noise_embeddings": label_noise_embeddings,
+        "kcenter_sample_embeddings": kcenter_sample_embeddings,
         "quantize_embeddings_int8": quantize_embeddings_int8,
         "ann_quantized_embeddings": ann_quantized_embeddings,
         "ann_multi_query": ann_multi_query,
@@ -3844,6 +3855,42 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """similarity.kcenter_sample replica: the greedy maxmin unrolled
+    into k CTE stages (pick -> per-candidate 6dp distance -> running
+    LEAST -> next argmax with (d DESC, id ASC) ties)."""
+    parts = ["e AS (SELECT vec_id, embedding FROM embeddings "
+             "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)",
+             "p1 AS (SELECT min(vec_id) AS id FROM e)"]
+    for i in range(1, k):
+        parts.append(
+            f"v{i} AS (SELECT embedding FROM e JOIN p{i} "
+            f"ON e.vec_id = p{i}.id)")
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id, round(1 - "
+            f"list_cosine_similarity(e.embedding, "
+            f"(SELECT embedding FROM v{i})), 6) AS d FROM e)")
+        if i == 1:
+            parts.append(f"m{i} AS (SELECT vec_id, d FROM d{i})")
+        else:
+            parts.append(
+                f"m{i} AS (SELECT m{i-1}.vec_id, least(m{i-1}.d, "
+                f"d{i}.d) AS d FROM m{i-1} JOIN d{i} USING (vec_id))")
+        prior = ", ".join(f"p{j}" for j in range(1, i + 1))
+        notin = " AND ".join(f"m{i}.vec_id != p{j}.id"
+                             for j in range(1, i + 1))
+        parts.append(
+            f"p{i+1} AS (SELECT m{i}.vec_id AS id, m{i}.d "
+            f"FROM m{i}, {prior} WHERE {notin} "
+            f"ORDER BY m{i}.d DESC, m{i}.vec_id ASC LIMIT 1)")
+    union = ["SELECT 1::BIGINT AS pick_order, p1.id AS vec_id, "
+             "NULL::DOUBLE AS min_dist FROM p1"]
+    for i in range(2, k + 1):
+        union.append(f"SELECT {i}, p{i}.id, p{i}.d FROM p{i}")
+    return ("WITH " + ",\n    ".join(parts) + "\n    "
+            + " UNION ALL ".join(union) + " ORDER BY pick_order")
 
 
 def _lang_consistency_sql() -> str:

@@ -524,3 +524,94 @@ def label_noise_knn(ds, id_col: str, emb_col: str, label_col: str, *,
 
     res = narrow.map_batches(partial, batch_format="pyarrow").to_pandas()
     return res.sort_values(id_col, kind="stable").reset_index(drop=True)
+
+
+def kcenter_sample(ds, id_col: str, emb_col: str, *, k: int = 8) -> pd.DataFrame:
+    """Greedy k-center (maxmin / farthest-point) diversity sample over
+    an embedding column (Gonzalez 1985, 2-approximation): start from
+    the smallest id, then repeatedly pick the point FARTHEST (cosine
+    distance) from everything selected so far — the coverage-maximizing
+    seed-set selection curation uses for eval panels and active
+    labeling.  Null id/embedding rows are excluded.
+
+    Determinism contract (ANN family): distances are
+    ``round(1 − cosine, 6)``; the running minimum is the min of those
+    ROUNDED legs; argmax ties break on ascending id — so a SQL replica
+    unrolling the same k steps agrees exactly.
+
+    Scale shape: ONE streaming scan per iteration (k scans total) —
+    each batch computes its distance to the ≤k broadcast selected
+    vectors, takes a local argmax partial, and ships only (id, d,
+    vector) per batch; nothing else reaches the driver.  This is the
+    iterative-algorithm template (broadcast state → scan → tiny
+    reduce → grow state).
+
+    Output: (pick_order 1..k, id, min_dist) — min_dist is the
+    selection-time distance to the prior set (null for the seed)."""
+    import pyarrow.compute as pc
+
+    narrow = ds.select_columns([id_col, emb_col]).map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t.column(id_col)),
+                                   pc.is_valid(t.column(emb_col)))),
+        batch_format="pyarrow")
+    empty = pd.DataFrame({"pick_order": pd.Series([], dtype="int64"),
+                          id_col: pd.Series([], dtype="int64"),
+                          "min_dist": pd.Series([], dtype="float64")})
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "vec": pa.array([], type=pa.binary())})
+        i = int(np.argmin(ids))
+        m = _batch_matrix(batch.slice(i, 1), emb_col)
+        return pa.table({id_col: pa.array([int(ids[i])]),
+                         "vec": pa.array([m[0].tobytes()])})
+
+    seeds = narrow.map_batches(seed_partial,
+                               batch_format="pyarrow").to_pandas()
+    if seeds.empty:
+        return empty
+    row = seeds.loc[seeds[id_col].idxmin()]
+    sel_ids = [int(row[id_col])]
+    sel_vecs = [np.frombuffer(row["vec"], dtype=np.float64)]
+    out_rows = [{"pick_order": np.int64(1), id_col: np.int64(sel_ids[0]),
+                 "min_dist": np.nan}]
+
+    for step in range(2, k + 1):
+        sm = np.stack(sel_vecs)
+        sn = sm / np.where(np.linalg.norm(sm, axis=1, keepdims=True) > 0,
+                           np.linalg.norm(sm, axis=1, keepdims=True), 1.0)
+        ref = ray.put((np.asarray(sel_ids, dtype=np.int64), sn))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            sids, svecs = ray.get(ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, sids)
+            if not keep.any():
+                return pa.table({id_col: pa.array([], type=pa.int64()),
+                                 "d": pa.array([], type=pa.float64()),
+                                 "vec": pa.array([], type=pa.binary())})
+            m = _fit_dim(_batch_matrix(batch, emb_col), svecs.shape[1])[keep]
+            ids = ids[keep]
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            mn = m / np.where(nrm > 0, nrm, 1.0)
+            d = np.asarray(_r(1.0 - mn @ svecs.T, 6)).min(axis=1)
+            best = np.lexsort((ids, -d))[0]
+            return pa.table({id_col: pa.array([int(ids[best])]),
+                             "d": pa.array([float(d[best])]),
+                             "vec": pa.array([m[best].tobytes()])})
+
+        parts = narrow.map_batches(far_partial,
+                                   batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        parts = parts.sort_values(["d", id_col],
+                                  ascending=[False, True], kind="stable")
+        win = parts.iloc[0]
+        sel_ids.append(int(win[id_col]))
+        sel_vecs.append(np.frombuffer(win["vec"], dtype=np.float64))
+        out_rows.append({"pick_order": np.int64(step),
+                         id_col: np.int64(win[id_col]),
+                         "min_dist": float(win["d"])})
+    return pd.DataFrame(out_rows)

@@ -4731,3 +4731,36 @@ def test_label_noise_knn_planted(ray_session):
     assert not clean["is_suspect"].any()
     # the mislabel pollutes its neighbors' votes but not their majority
     assert out.loc[0, "n_agree"] >= 3
+
+
+def test_kcenter_sample_planted(ray_session):
+    """kcenter_sample: on three tight, well-separated clusters the
+    first three picks land in three DIFFERENT clusters (the coverage
+    property random sampling lacks); the seed is the smallest id;
+    min_dist is non-increasing after the first gap pick;
+    repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.similarity import kcenter_sample
+
+    rng = np.random.RandomState(1)
+    centers = np.eye(3)
+    emb, cluster = [], []
+    for ci in range(3):
+        for _ in range(10):
+            emb.append((centers[ci] + rng.normal(0, 0.01, 3)).tolist())
+            cluster.append(ci)
+    df = pd.DataFrame({"vec_id": range(30), "embedding": emb})
+    out = kcenter_sample(ray.data.from_pandas(df).repartition(3),
+                         "vec_id", "embedding", k=5)
+    assert out.loc[0, "vec_id"] == 0 and pd.isna(out.loc[0, "min_dist"])
+    first3 = [cluster[int(v)] for v in out["vec_id"][:3]]
+    assert len(set(first3)) == 3
+    d = out["min_dist"].dropna().to_numpy()
+    assert (np.diff(d) <= 1e-12).all()      # maxmin distances shrink
+
+    again = kcenter_sample(ray.data.from_pandas(df).repartition(7),
+                           "vec_id", "embedding", k=5)
+    pd.testing.assert_frame_equal(out, again)
