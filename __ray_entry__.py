@@ -2336,6 +2336,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def heavy_hitters_events(sf):
+        # exact phi-heavy hitters WITHOUT a full groupby: Misra-Gries
+        # candidate pass (<=ceil(2/phi) counters per batch, mergeable)
+        # + one exact re-count of just the candidates — the streaming
+        # shape for a 10^9-cardinality key where keyed_count's
+        # all-to-all would blow the reducers
+        from packs_ray.functions.sketches import heavy_hitters
+
+        return heavy_hitters(_ds(sf, "events", ["user_id"]),
+                             "user_id", phi=0.008)
+
     def transcripts_filter_summary(sf):
         import pandas as pd
         import pyarrow as pa
@@ -2940,6 +2951,7 @@ checks for orders:
         "entity_clusters_customer_supplier": entity_clusters_customer_supplier,
         "k_anonymity_events": k_anonymity_events,
         "cms_counts_orders": cms_counts_orders,
+        "heavy_hitters_events": heavy_hitters_events,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7705,6 +7717,19 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # heavy_hitters: the MG prefilter is exact-recall (undercount
+        # <= n/(k+1) < phi*n), so plain HAVING count > phi*n is its
+        # ground truth; share is ONE pinned 6dp division
+        "heavy_hitters_events": """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+            count(*)::BIGINT AS count
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    t AS (SELECT count(*)::BIGINT AS n FROM events
+          WHERE user_id IS NOT NULL)
+    SELECT c.key, c.count, t.n,
+        round(CAST(c.count AS DOUBLE) / t.n, 6) AS share
+    FROM c, t WHERE CAST(c.count AS DOUBLE) > 0.008 * t.n
+    ORDER BY c.count DESC, c.key ASC""",
         "hash_split_orders":
             _hash_split_sql("orders", "o_orderkey",
                             {"train": 0.9, "val": 0.05, "test": 0.05}),

@@ -352,3 +352,111 @@ def grouped_approx_distinct(ds, key_col: str, col: str, *,
         .map_batches(partial, batch_format="pyarrow")
     return bucketed_group_reduce(parts, [key_col], reduce_fn,
                                  num_partitions)
+
+
+def heavy_hitters(ds, col: str, phi: float, *,
+                  fold_batch: int = 64) -> pd.DataFrame:
+    """EXACT phi-heavy hitters (values with frequency > phi*n) without a
+    full-cardinality groupby.  Pass 1 builds per-batch Misra-Gries
+    summaries with k = ceil(2/phi) counters; MG summaries are mergeable
+    (sum matching counters, re-compress by subtracting the (k+1)-th
+    largest — Agarwal et al. 2012), and the merged summary undercounts
+    any value by at most n/(k+1) < phi*n/2, so every true heavy hitter
+    survives as a candidate.  Pass 2 re-counts ONLY the <=k candidate
+    keys exactly (tiny per-batch count vectors, summed driver-side) and
+    keeps those with exact count > phi*n — byte-identical to SQL
+    ``GROUP BY col HAVING count(*) > phi*n``.
+
+    Scale shape: pass-1 partials are <=k (key, cnt) rows per batch
+    regardless of column cardinality (the whole point vs keyed_count on
+    a 10^9-distinct key: no all-to-all of every key, no reducer-side
+    cardinality blowup); pass-2 ships one <=k-slot int64 vector per
+    batch.  Null values are excluded on both sides.  The reference's
+    duplicates/profiling packs compute full value_counts in one process
+    (duplicates_finder_pack/main.py:161-173) — this is the streaming
+    answer for columns whose distinct count doesn't fit anywhere.
+    """
+    from packs_ray.stages.util import round_half_away
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    k = int(math.ceil(2.0 / phi))
+
+    def _compress(keys: np.ndarray, cnts: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        if len(keys) <= k:
+            return keys, cnts
+        # subtract the (k+1)-th largest count; keep strictly positive
+        kth = np.partition(cnts, len(cnts) - (k + 1))[len(cnts) - (k + 1)]
+        keep = cnts - kth > 0
+        return keys[keep], cnts[keep] - kth
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).cast(pa.string())
+        vc = pc.value_counts(pc.drop_null(s))
+        keys = np.asarray(vc.field("values").to_pandas(), dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys, cnts = _compress(keys, cnts)
+        return pa.table({"key": pa.array(list(keys), type=pa.string()),
+                         "cnt": pa.array(cnts, type=pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("key", sort=True, as_index=False).agg(
+            cnt=("cnt", "sum"))
+        keys, cnts = _compress(np.asarray(g["key"], dtype=object),
+                               g["cnt"].to_numpy(dtype=np.int64))
+        return pa.table({"key": pa.array(list(keys), type=pa.string()),
+                         "cnt": pa.array(cnts, type=pa.int64())})
+
+    # pass 1: candidate keys only (exact n is counted in pass 2)
+    parts = (ds.select_columns([col])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow",
+                          batch_size=fold_batch).to_pandas())
+    if len(parts):
+        g = parts.groupby("key", sort=True, as_index=False).agg(
+            cnt=("cnt", "sum"))
+        cand, _ = _compress(np.asarray(g["key"], dtype=object),
+                            g["cnt"].to_numpy(dtype=np.int64))
+    else:
+        cand = np.asarray([], dtype=object)
+    cand = np.asarray(sorted(cand), dtype=object)
+    empty = pd.DataFrame({"key": pd.Series([], dtype="string"),
+                          "count": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "share": pd.Series([], dtype="float64")})
+    if len(cand) == 0:
+        return empty
+
+    # pass 2: exact counts for the <=k candidates + exact non-null n
+    cand_list = [str(c) for c in cand]
+
+    def exact(batch: pa.Table) -> pa.Table:
+        s = pc.drop_null(batch.column(col).cast(pa.string()))
+        idx = pc.fill_null(
+            pc.index_in(s, pa.array(cand_list, type=pa.string())), -1)
+        pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pos[pos >= 0]
+        vec = np.bincount(pos, minlength=len(cand_list)).astype(np.int64)
+        return pa.table({"vec": pa.array([vec.tolist()],
+                                         type=pa.list_(pa.int64())),
+                         "n": pa.array([len(s)], type=pa.int64())})
+
+    ex = ds.select_columns([col]).map_batches(
+        exact, batch_format="pyarrow").to_pandas()
+    if not len(ex):
+        return empty
+    n = int(ex["n"].sum())
+    counts = np.zeros(len(cand_list), dtype=np.int64)
+    for v in ex["vec"]:
+        counts += np.asarray(v, dtype=np.int64)
+    keep = counts.astype(np.float64) > phi * float(n)
+    out = pd.DataFrame({"key": np.asarray(cand_list, dtype=object)[keep],
+                        "count": counts[keep], "n": n,
+                        "share": round_half_away(
+                            counts[keep].astype(np.float64) / float(n), 6)})
+    out = out.sort_values(["count", "key"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out.astype({"count": "int64", "n": "int64"})

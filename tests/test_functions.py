@@ -4764,3 +4764,51 @@ def test_kcenter_sample_planted(ray_session):
     again = kcenter_sample(ray.data.from_pandas(df).repartition(7),
                            "vec_id", "embedding", k=5)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_heavy_hitters_exact_with_mg_compression(ray_session):
+    # Zipf-ish skew with cardinality >> k so the Misra-Gries compress
+    # path actually fires (phi=0.05 -> k=40 counters, 500 distinct keys)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    heavy = np.repeat(np.array([1, 2, 3]), [900, 700, 600])
+    tail = rng.integers(100, 600, size=3000)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(
+        pa.table({"k": vals.astype(np.int64)})).repartition(16)
+
+    out = heavy_hitters(ds, "k", phi=0.05)
+
+    s = pd.Series(vals.astype(np.int64)).astype(str).value_counts()
+    n = len(vals)
+    expect = s[s > 0.05 * n]
+    assert list(out["key"]) == list(expect.index)
+    assert list(out["count"]) == list(expect.values)
+    assert (out["n"] == n).all()
+
+
+def test_heavy_hitters_nulls_and_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.sketches import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["a", None, "a", "b", None], type=pa.string())}))
+    out = heavy_hitters(ds, "k", phi=0.4)
+    # n excludes nulls (3); only "a" (2/3) exceeds 0.4
+    assert list(out["key"]) == ["a"] and list(out["count"]) == [2]
+    assert list(out["n"]) == [3]
+
+    empty = ray.data.from_arrow(pa.table(
+        {"k": pa.array([], type=pa.string())}))
+    out2 = heavy_hitters(empty, "k", phi=0.5)
+    assert len(out2) == 0
+    assert list(out2.columns) == ["key", "count", "n", "share"]
