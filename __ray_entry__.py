@@ -2672,6 +2672,24 @@ checks for orders:
             _ds(sf, "orders", ["o_custkey"]),
             left_on=["c_custkey"], right_on=["o_custkey"], how="semi")
 
+    def bloom_semi_join_orders(sf):
+        # exact semi join behind a broadcast Bloom prefilter: orders
+        # placed by BUILDING-segment customers — the shuffle ships only
+        # bloom survivors (~1/5 of orders here), not every left row
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.joins import bloom_semi_join
+
+        right = _ds(sf, "customer", ["c_custkey", "c_mktsegment"]) \
+            .map_batches(lambda b: b.filter(
+                pc.equal(b.column("c_mktsegment"), "BUILDING")),
+                batch_format="pyarrow")
+        return bloom_semi_join(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+            right.select_columns(["c_custkey"]),
+            left_on="o_custkey", right_on="c_custkey",
+            broadcast_cap=0)  # force the co-partitioned exact-verify path
+
     def asof_last_click_events(sf):
         import pyarrow as pa
 
@@ -2980,6 +2998,7 @@ checks for orders:
         "join_orders_customer": join_orders_customer,
         "outer_join_orders_customer": outer_join_orders_customer,
         "semi_join_customer_orders": semi_join_customer_orders,
+        "bloom_semi_join_orders": bloom_semi_join_orders,
         "asof_last_click_events": asof_last_click_events,
         "media_image_features": media_image_features,
         "media_thumb_features": media_thumb_features,
@@ -7795,6 +7814,14 @@ def oracle_sql() -> dict[str, str]:
     SELECT c_custkey, c_mktsegment FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey)""",
+        # bloom_semi_join: the Bloom pass is a pure prefilter (no false
+        # negatives; exact join settles false positives), so EXISTS is
+        # its ground truth
+        "bloom_semi_join_orders": """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')""",
         "asof_last_click_events": """
     WITH c AS (SELECT user_id, ts, max(value) AS click_value FROM events
                WHERE event_type = 'click' AND user_id IS NOT NULL

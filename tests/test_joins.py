@@ -305,3 +305,49 @@ def test_equi_join_semi_anti_both_paths(ray_session):
                 .sort_values("lv").reset_index(drop=True))
         assert anti["lv"].tolist() == [10, 30, 50], cap
         assert anti["k"].isna().tolist() == [False, True, False], cap
+
+
+def test_bloom_semi_join_exact_and_prefilters(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.joins import bloom_semi_join
+
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 10_000, size=5_000)
+    left = ray.data.from_arrow(pa.table({
+        "k": lk.astype(np.int64),
+        "v": np.arange(5_000, dtype=np.int64)})).repartition(8)
+    rk = np.unique(rng.integers(0, 10_000, size=400)).astype(np.int64)
+    right = ray.data.from_arrow(pa.table({"rk": rk}))
+
+    out = bloom_semi_join(left, right, left_on="k", right_on="rk",
+                          broadcast_cap=0).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    expect = pd.DataFrame({"k": lk, "v": np.arange(5_000)})
+    expect = expect[np.isin(lk, rk)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out, expect.astype({"k": "int64", "v": "int64"}))
+
+
+def test_bloom_semi_join_high_fpr_still_exact(ray_session):
+    # bits_per_key=1 forces a saturated filter: false positives must be
+    # settled by the exact join, null left keys never match
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.joins import bloom_semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 4, 5, 6, 7, 8] * 50,
+                      type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"rk": pa.array(list(range(0, 2000, 2)), type=pa.int64())}))
+    out = bloom_semi_join(left, right, left_on="k", right_on="rk",
+                          bits_per_key=1, broadcast_cap=0).to_pandas()
+    assert sorted(out["k"].unique()) == [2, 4, 6, 8]
+    assert len(out) == 200
