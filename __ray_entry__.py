@@ -2336,6 +2336,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def heaps_law_documents(sf):
+        # vocabulary-growth curve in doc_id order: 20 checkpoints of
+        # (rank, cum_tokens, cum_vocab) — duplication shows up as a
+        # flattening V(T) curve
+        from packs_ray.functions.textstats import heaps_curve
+
+        return heaps_curve(_ds(sf, "documents", ["doc_id", "text"]),
+                           "doc_id", "text", n_checkpoints=20)
+
     def heavy_hitters_events(sf):
         # exact phi-heavy hitters WITHOUT a full groupby: Misra-Gries
         # candidate pass (<=ceil(2/phi) counters per batch, mergeable)
@@ -2970,6 +2979,7 @@ checks for orders:
         "k_anonymity_events": k_anonymity_events,
         "cms_counts_orders": cms_counts_orders,
         "heavy_hitters_events": heavy_hitters_events,
+        "heaps_law_documents": heaps_law_documents,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7736,6 +7746,34 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # heaps_curve: same tokenizer as top_terms; a token pins to its
+        # MIN doc_id; both curve columns are exact integer cumsums
+        "heaps_law_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks
+        FROM documents WHERE doc_id IS NOT NULL),
+    docs AS (SELECT doc_id,
+            CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+                 ELSE len(toks) END AS n_toks,
+            row_number() OVER (ORDER BY doc_id) AS rnk FROM d),
+    p AS (SELECT CAST(ceil(count(*) / 20.0) AS BIGINT) AS step
+          FROM docs),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    f AS (SELECT token, min(doc_id) AS fdoc FROM tok GROUP BY 1),
+    fr AS (SELECT CAST((r.rnk + p.step - 1) // p.step AS BIGINT) AS b
+           FROM f JOIN docs r ON f.fdoc = r.doc_id, p),
+    vb AS (SELECT b, count(*)::BIGINT AS v FROM fr GROUP BY 1),
+    db AS (SELECT CAST((rnk + p.step - 1) // p.step AS BIGINT) AS b,
+            sum(n_toks)::BIGINT AS t, max(rnk)::BIGINT AS cp
+        FROM docs, p GROUP BY 1)
+    SELECT db.cp AS checkpoint,
+        CAST(sum(db.t) OVER (ORDER BY db.b) AS BIGINT) AS cum_tokens,
+        CAST(sum(coalesce(vb.v, 0)) OVER (ORDER BY db.b) AS BIGINT)
+            AS cum_vocab
+    FROM db LEFT JOIN vb USING (b) ORDER BY checkpoint""",
         # heavy_hitters: the MG prefilter is exact-recall (undercount
         # <= n/(k+1) < phi*n), so plain HAVING count > phi*n is its
         # ground truth; share is ONE pinned 6dp division

@@ -973,3 +973,118 @@ def bigram_collocations(src, column: str, *, k: int = 100,
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["rank", "w1", "w2", "n_pair", "n_w1", "n_w2",
                 "pmi"]].reset_index(drop=True)
+
+
+def heaps_curve(ds, id_col: str, column: str, *, n_checkpoints: int = 20,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: reading the corpus in
+    ``id_col`` order, the distinct-vocabulary count V and total token
+    count T at ~``n_checkpoints`` evenly spaced document ranks — the
+    diagnostic behind "is this crawl still adding new content or just
+    re-crawling itself" (V ~ K*T^b with b ≈ 0.5 for natural text; a
+    flattening curve means duplication).  Returns
+    (checkpoint, cum_tokens, cum_vocab) with checkpoint = the doc rank
+    each bucket ends at.
+
+    Exactness: a token's contribution is pinned to the MINIMUM doc id
+    containing it; both curve columns are exact integer sums.  Same
+    whitespace tokenization contract as ``top_terms``.
+
+    Scale shape: per-batch (token, min_id) partials local-dedup before
+    ONE vocab-bounded token shuffle (min-reduce); doc ranks via the
+    range-partitioned ``global_row_number``; first-ranks attach with an
+    equi-join that buckets above the broadcast cap; everything after is
+    <= n_checkpoints rows.  No text ever shuffles."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+    from packs_ray.functions.joins import equi_join
+    from packs_ray.functions.windows import global_row_number
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    ws_re = "[ \t\n\r\f\v]+"
+    narrow = ds.select_columns([id_col, column]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column(id_col))),
+        batch_format="pyarrow")
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+        return pa.table({id_col: batch.column(id_col),
+                         "n_toks": pa.array(n, type=pa.int64())})
+
+    docs = narrow.map_batches(doc_rows, batch_format="pyarrow") \
+        .materialize()
+    n_docs = docs.count()
+    if n_docs == 0:
+        return pd.DataFrame({"checkpoint": pd.Series([], dtype="int64"),
+                             "cum_tokens": pd.Series([], dtype="int64"),
+                             "cum_vocab": pd.Series([], dtype="int64")})
+    step = -(-n_docs // n_checkpoints)
+    # id_col is unique here, so "n_toks" as a tie column never orders
+    # anything — it just rides along (global_row_number keeps only
+    # key + tie columns)
+    ranked = global_row_number(docs, id_col, ["n_toks"], out_col="rnk")
+
+    def tok_min(batch: pa.Table) -> pa.Table:
+        col = str_column(batch, column)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        raw_lens = off[1:] - off[:-1]
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False
+        df = pd.DataFrame({"token": flat[keep],
+                           "fdoc": np.repeat(ids, raw_lens)[keep]})
+        out = df.groupby("token", sort=False, as_index=False).agg(
+            fdoc=("fdoc", "min"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False, as_index=False).agg(
+            fdoc=("fdoc", "min"))
+
+    firsts = bucketed_group_reduce(
+        narrow.map_batches(tok_min, batch_format="pyarrow"),
+        ["token"], min_reduce, num_partitions)
+    fr = equi_join(firsts, ranked.select_columns([id_col, "rnk"]),
+                   left_on=["fdoc"], right_on=[id_col], how="inner")
+
+    def vb_partial(batch: pa.Table) -> pa.Table:
+        rnk = batch.column("rnk").to_numpy(zero_copy_only=False)
+        b = (rnk + step - 1) // step
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u, type=pa.int64()),
+                         "v": pa.array(c.astype(np.int64))})
+
+    vb = fr.map_batches(vb_partial, batch_format="pyarrow").to_pandas()
+    vb = vb.groupby("b", as_index=False).agg(v=("v", "sum")) if len(vb) \
+        else pd.DataFrame({"b": [], "v": []})
+
+    def db_partial(batch: pa.Table) -> pa.Table:
+        rnk = batch.column("rnk").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_toks").to_numpy(zero_copy_only=False)
+        b = (rnk + step - 1) // step
+        df = pd.DataFrame({"b": b, "t": nt, "cp": rnk})
+        g = df.groupby("b", as_index=False).agg(t=("t", "sum"),
+                                                cp=("cp", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    db = ranked.map_batches(db_partial, batch_format="pyarrow").to_pandas()
+    db = db.groupby("b", as_index=False).agg(t=("t", "sum"),
+                                             cp=("cp", "max"))
+    out = db.merge(vb, on="b", how="left").sort_values("b")
+    out["v"] = out["v"].fillna(0)
+    return pd.DataFrame({
+        "checkpoint": out["cp"].to_numpy(dtype=np.int64),
+        "cum_tokens": out["t"].cumsum().to_numpy(dtype=np.int64),
+        "cum_vocab": out["v"].cumsum().to_numpy(dtype=np.int64)})

@@ -4812,3 +4812,36 @@ def test_heavy_hitters_nulls_and_empty(ray_session):
     out2 = heavy_hitters(empty, "k", phi=0.5)
     assert len(out2) == 0
     assert list(out2.columns) == ["key", "count", "n", "share"]
+
+
+def test_heaps_curve_planted(ray_session):
+    # 6 docs, step=ceil(6/3)=2 -> 3 checkpoints; vocabulary growth is
+    # hand-checkable: new words pin to their min doc_id
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.textstats import heaps_curve
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": ["a b", "a c", "", "b c d", None, "d e"]}))
+    out = heaps_curve(ds, "doc_id", "text", n_checkpoints=3)
+    assert list(out["checkpoint"]) == [2, 4, 6]
+    # tokens: 2 + 2 + 0 + 3 + 0 + 2
+    assert list(out["cum_tokens"]) == [4, 7, 9]
+    # vocab first-seen: a,b@1 c@2 | d@4 | e@6
+    assert list(out["cum_vocab"]) == [3, 4, 5]
+
+
+def test_heaps_curve_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.textstats import heaps_curve
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    out = heaps_curve(ds, "doc_id", "text")
+    assert len(out) == 0
+    assert list(out.columns) == ["checkpoint", "cum_tokens", "cum_vocab"]
