@@ -2336,6 +2336,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def js_divergence_documents(sf):
+        # exact Jensen-Shannon divergence between the en and de corpus
+        # unigram distributions (nano-nat integer pinning; ONE
+        # vocab-bounded shuffle, text never moves)
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import js_divergence
+
+        def lang(code):
+            return _ds(sf, "documents", ["lang", "text"]).map_batches(
+                lambda b, c=code: b.filter(
+                    pc.equal(pc.fill_null(b.column("lang"), ""), c)),
+                batch_format="pyarrow")
+
+        return js_divergence(lang("en"), lang("de"), "text")
+
     def heaps_law_documents(sf):
         # vocabulary-growth curve in doc_id order: 20 checkpoints of
         # (rank, cum_tokens, cum_vocab) — duplication shows up as a
@@ -2980,6 +2996,7 @@ checks for orders:
         "cms_counts_orders": cms_counts_orders,
         "heavy_hitters_events": heavy_hitters_events,
         "heaps_law_documents": heaps_law_documents,
+        "js_divergence_documents": js_divergence_documents,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7746,6 +7763,40 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # js_divergence: per-token contribution is ONE pinned double
+        # expression rounded half-away to integer nano-nats, summed
+        # exactly (|JS| <= ln2, so the int64 never overflows)
+        "js_divergence_documents": r"""
+    WITH d AS (SELECT lang, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks
+        FROM documents WHERE coalesce(lang, '') IN ('en', 'de')),
+    tok AS (SELECT lang, unnest(toks) AS token FROM d
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    c AS (SELECT token,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+            sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM tok GROUP BY 1),
+    tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+            sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS va,
+            sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vb,
+            count(*)::BIGINT AS v FROM c),
+    u AS (SELECT CAST(round((
+            CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+                * ln((CAST(ca AS DOUBLE) / na)
+                     / (0.5 * (CAST(ca AS DOUBLE) / na
+                               + CAST(cb AS DOUBLE) / nb))) ELSE 0 END
+          + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+                * ln((CAST(cb AS DOUBLE) / nb)
+                     / (0.5 * (CAST(ca AS DOUBLE) / na
+                               + CAST(cb AS DOUBLE) / nb))) ELSE 0 END
+            ) * 1e9, 0) AS BIGINT) AS term
+        FROM c, tot)
+    SELECT tot.na AS n_a, tot.nb AS n_b, tot.va AS vocab_a,
+        tot.vb AS vocab_b, tot.v AS vocab_union,
+        CAST(sum(u.term) AS DOUBLE) / 1e9 AS js_nats
+    FROM u, tot GROUP BY 1, 2, 3, 4, 5""",
         # heaps_curve: same tokenizer as top_terms; a token pins to its
         # MIN doc_id; both curve columns are exact integer cumsums
         "heaps_law_documents": r"""

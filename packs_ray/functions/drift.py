@@ -685,3 +685,107 @@ def mannwhitney_u(ds_a, ds_b, column: str,
         "u": float(_r(u, 6)),
         "z": float(_r(z, 6)) if z is not None else None,
         "auc": float(_r(u / (na * nb), 6))}])
+
+
+def js_divergence(ds_a, ds_b, text_col: str, *,
+                  num_partitions: int | None = None) -> pd.DataFrame:
+    """EXACT Jensen-Shannon divergence between the unigram
+    distributions of two corpora — the symmetric, bounded-by-ln2
+    distribution-shift score for "did this week's crawl change
+    language" (KL blows up on unseen tokens; JS doesn't).  One summary
+    row: (n_a, n_b, vocab_a, vocab_b, vocab_union, js_nats).
+
+    Determinism: each token's contribution
+    0.5*p*ln(p/m) + 0.5*q*ln(q/m) (m = (p+q)/2) is ONE pinned float64
+    expression rounded half-away to integer NANO-nats; the cross-token
+    sum is then exact int64 (|JS| <= ln2 so the total stays < 1e9 —
+    float summation order can never flip a bit).  The SQL replica
+    mirrors the expression and the nano-int pinning term for term.
+
+    Scale shape: per-batch local token counts (value_counts combiner,
+    same tokenizer contract as top_terms), ONE vocab-bounded token
+    shuffle to merge counts, totals from the merged table, then a
+    second tiny pass over the vocab table emits per-bucket int64
+    contribution partials.  Text never shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+    from packs_ray.stages.util import str_column
+
+    if num_partitions is None:
+        num_partitions = max(row_shuffle_partitions(ds_a),
+                             row_shuffle_partitions(ds_b))
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def counts(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = str_column(batch, text_col)
+            trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+            lists = pc.split_pattern_regex(trimmed, ws_re)
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            off = lists.offsets.to_numpy().astype(np.int64)
+            raw_lens = off[1:] - off[:-1]
+            empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+            flat = lists.flatten().to_pandas().to_numpy()
+            keep = np.ones(len(flat), dtype=bool)
+            keep[(off[:-1] - off[0])[empty]] = False
+            s = pd.Series(flat[keep]).value_counts()
+            ca = s.to_numpy(dtype=np.int64)
+            return pa.table({
+                "token": pa.array(s.index.to_numpy(), type=pa.string()),
+                "ca": pa.array(ca if side == "a"
+                               else np.zeros(len(ca), dtype=np.int64)),
+                "cb": pa.array(ca if side == "b"
+                               else np.zeros(len(ca), dtype=np.int64))})
+        return fn
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False, as_index=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum"))
+
+    both = ds_a.select_columns([text_col]) \
+        .map_batches(counts("a"), batch_format="pyarrow") \
+        .union(ds_b.select_columns([text_col])
+               .map_batches(counts("b"), batch_format="pyarrow"))
+    vocab = bucketed_group_reduce(both, ["token"], merge,
+                                  num_partitions).materialize()
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").to_numpy(zero_copy_only=False)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False)
+        return pa.table({"na": [int(ca.sum())], "nb": [int(cb.sum())],
+                         "va": [int((ca > 0).sum())],
+                         "vb": [int((cb > 0).sum())],
+                         "v": [len(ca)]})
+
+    t = vocab.map_batches(tot_partial, batch_format="pyarrow").to_pandas()
+    na, nb = int(t["na"].sum()), int(t["nb"].sum())
+    va, vb, v = int(t["va"].sum()), int(t["vb"].sum()), int(t["v"].sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"n_a": [na], "n_b": [nb], "vocab_a": [va],
+                             "vocab_b": [vb], "vocab_union": [v],
+                             "js_nats": [0.0]})
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        from packs_ray.stages.util import round_half_away
+        ca = batch.column("ca").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        p = ca / float(na)
+        q = cb / float(nb)
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = (np.where(ca > 0, 0.5 * p * np.log(p / m), 0.0)
+                    + np.where(cb > 0, 0.5 * q * np.log(q / m), 0.0))
+        u = round_half_away(term * 1e9, 0).astype(np.int64)
+        return pa.table({"u": [int(u.sum())]})
+
+    parts = vocab.map_batches(contrib, batch_format="pyarrow").to_pandas()
+    total = int(parts["u"].sum()) if len(parts) else 0
+    return pd.DataFrame({"n_a": [na], "n_b": [nb], "vocab_a": [va],
+                         "vocab_b": [vb], "vocab_union": [v],
+                         "js_nats": [float(total) / 1e9]})

@@ -4845,3 +4845,26 @@ def test_heaps_curve_empty(ray_session):
     out = heaps_curve(ds, "doc_id", "text")
     assert len(out) == 0
     assert list(out.columns) == ["checkpoint", "cum_tokens", "cum_vocab"]
+
+
+def test_js_divergence_identical_and_disjoint(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.drift import js_divergence
+
+    a = ray.data.from_arrow(pa.table({"text": ["x y", "x z"] * 20}))
+    # identical distributions -> 0
+    out = js_divergence(a, a, "text")
+    assert out["js_nats"][0] == 0.0
+    assert out["n_a"][0] == 80 and out["vocab_union"][0] == 3
+    # disjoint vocabularies -> ln 2
+    b = ray.data.from_arrow(pa.table({"text": ["p q", "p r"] * 20}))
+    out2 = js_divergence(a, b, "text")
+    assert abs(out2["js_nats"][0] - math.log(2)) < 1e-6
+    # one side empty -> defined 0 row with totals
+    e = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out3 = js_divergence(a, e, "text")
+    assert out3["n_b"][0] == 0 and out3["js_nats"][0] == 0.0
