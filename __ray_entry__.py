@@ -2336,6 +2336,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def pseudonymize_events(sf):
+        # deterministic keyed tokenization of user_id: equal users keep
+        # equal tokens (joins/groupbys survive), salt rotation unlinks
+        # releases; no shuffle
+        from packs_ray.functions.pii import pseudonymize
+
+        return pseudonymize(_ds(sf, "events", ["event_id", "user_id"]),
+                            ["user_id"], salt="s1")
+
     def js_divergence_documents(sf):
         # exact Jensen-Shannon divergence between the en and de corpus
         # unigram distributions (nano-nat integer pinning; ONE
@@ -2997,6 +3006,7 @@ checks for orders:
         "heavy_hitters_events": heavy_hitters_events,
         "heaps_law_documents": heaps_law_documents,
         "js_divergence_documents": js_divergence_documents,
+        "pseudonymize_events": pseudonymize_events,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7763,6 +7773,26 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # pseudonymize: same FNV-1a fold as the fingerprint replica,
+        # over 'salt:' || CAST(value AS VARCHAR); token renders the
+        # signed int64
+        "pseudonymize_events": f"""
+    WITH b AS (SELECT event_id,
+            CASE WHEN user_id IS NULL THEN NULL
+                 ELSE 's1:' || CAST(user_id AS VARCHAR) END AS t
+        FROM events),
+    e AS (SELECT event_id, t, hex(encode(coalesce(t, ''))) AS hx,
+                 octet_length(encode(coalesce(t, ''))) AS nb FROM b),
+    bl AS (SELECT event_id, t, {_BYTES_EXPR} AS bl FROM e),
+    f AS (SELECT event_id, t,
+            list_reduce(list_prepend({_FNV_OFF}::HUGEINT, bl),
+                        {_FNV_LAMBDA}) AS v FROM bl)
+    SELECT event_id,
+        CASE WHEN t IS NULL THEN NULL
+             ELSE 'anon_' || CAST((CASE WHEN v >= {2**63}::HUGEINT
+                 THEN v - {_TWO64}::HUGEINT ELSE v END)::BIGINT
+                 AS VARCHAR) END AS user_id
+    FROM f""",
         # js_divergence: per-token contribution is ONE pinned double
         # expression rounded half-away to integer nano-nats, summed
         # exactly (|JS| <= ln2, so the int64 never overflows)

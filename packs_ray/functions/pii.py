@@ -443,3 +443,47 @@ def k_anonymity(ds, quasi_cols: list[str], sensitive_col: str | None = None,
         out["n_groups_low_diversity"] = np.int64(
             int(per["low_div"].sum()))
     return pd.DataFrame([out])
+
+
+def pseudonymize(ds, cols: list[str], *, salt: str = "s1"):
+    """Deterministic keyed pseudonymization: each listed column is
+    replaced by the token ``anon_<fnv1a64(salt || ':' || value)>`` (the
+    repo's shared vectorized FNV-1a over the value's string form,
+    signed-int64 rendering — the same fold the fingerprint/HLL SQL
+    replicas reproduce).  Equal values map to equal tokens, so joins
+    and groupbys on the pseudonymized key still work; different salts
+    give unlinkable token spaces across releases.  Nulls stay null.
+
+    This is referential-integrity tokenization, NOT cryptographic
+    anonymization — FNV-1a is not a keyed MAC, and a determined party
+    with the salt (or a small value domain) can dictionary-reverse it.
+    For release-grade privacy swap in a real HMAC behind the same seam.
+
+    Stateless vectorized map_batches (one lockstep byte pass per
+    column per batch); text never leaves the worker, no shuffle."""
+    import numpy as np
+
+    from packs_ray.functions.sketches import _fnv1a_str
+
+    pre = salt + ":"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch
+        for c in cols:
+            col = out.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = col.cast(pa.string())
+            full = pc.binary_join_element_wise(
+                pa.array([pre] * len(out), type=pa.string()), s, "")
+            h, valid = _fnv1a_str(full)
+            signed = h.astype(np.int64)
+            tok = pd.Series(np.char.add("anon_", signed.astype("U21")),
+                            dtype=object)
+            tok[~valid] = None
+            arr = pa.array(tok, type=pa.string())
+            out = out.set_column(out.schema.get_field_index(c),
+                                 pa.field(c, pa.string()), arr)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -4868,3 +4868,23 @@ def test_js_divergence_identical_and_disjoint(ray_session):
     e = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     out3 = js_divergence(a, e, "text")
     assert out3["n_b"][0] == 0 and out3["js_nats"][0] == 0.0
+
+
+def test_pseudonymize_consistency_and_salt(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.pii import pseudonymize
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "k": pa.array([10, 20, 10, None], type=pa.int64())}))
+    out = pseudonymize(ds, ["k"], salt="a").to_pandas()
+    # equal values -> equal tokens; null stays null; original gone
+    assert out["k"][0] == out["k"][2]
+    assert out["k"][0] != out["k"][1]
+    assert out["k"][0].startswith("anon_")
+    assert out["k"][3] is None
+    # different salt -> different token space
+    out_b = pseudonymize(ds, ["k"], salt="b").to_pandas()
+    assert out_b["k"][0] != out["k"][0]
