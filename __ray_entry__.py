@@ -2336,6 +2336,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def ngram_diversity_documents(sf):
+        # distinct-1/2/3 per language: the mode-collapse / templated-
+        # content screen (ratio near 0 = the corpus repeats itself)
+        from packs_ray.functions.textstats import ngram_diversity
+
+        return ngram_diversity(_ds(sf, "documents", ["lang", "text"]),
+                               "lang", "text", max_n=3)
+
     def pseudonymize_events(sf):
         # deterministic keyed tokenization of user_id: equal users keep
         # equal tokens (joins/groupbys survive), salt rotation unlinks
@@ -3007,6 +3015,7 @@ checks for orders:
         "heaps_law_documents": heaps_law_documents,
         "js_divergence_documents": js_divergence_documents,
         "pseudonymize_events": pseudonymize_events,
+        "ngram_diversity_documents": ngram_diversity_documents,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7773,6 +7782,32 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # ngram_diversity: engine dedups (w1..wn) tuples, oracle joins
+        # with chr(31) — equivalent while tokens avoid \\x1f
+        "ngram_diversity_documents": r"""
+    WITH d AS (SELECT lang, regexp_split_to_array(regexp_replace(
+            coalesce(text, ''),
+            '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+            '[ \t\n\r\f\v]+') AS toks
+        FROM documents WHERE lang IS NOT NULL),
+    tl AS (SELECT lang, CASE WHEN len(toks) = 1 AND toks[1] = ''
+            THEN []::VARCHAR[] ELSE toks END AS toks FROM d),
+    j2 AS (SELECT lang, toks,
+            unnest(range(greatest(len(toks) - 1, 0))) AS j FROM tl),
+    j3 AS (SELECT lang, toks,
+            unnest(range(greatest(len(toks) - 2, 0))) AS j FROM tl),
+    g AS (SELECT lang, 1 AS n, unnest(toks) AS gram FROM tl
+          UNION ALL
+          SELECT lang, 2, array_to_string(toks[j+1:j+2], chr(31))
+          FROM j2
+          UNION ALL
+          SELECT lang, 3, array_to_string(toks[j+1:j+3], chr(31))
+          FROM j3)
+    SELECT lang, CAST(n AS BIGINT) AS n, count(*)::BIGINT AS n_grams,
+        count(DISTINCT gram)::BIGINT AS n_distinct,
+        round(count(DISTINCT gram)::DOUBLE / count(*), 6)
+            AS distinct_ratio
+    FROM g GROUP BY lang, n ORDER BY lang, n""",
         # pseudonymize: same FNV-1a fold as the fingerprint replica,
         # over 'salt:' || CAST(value AS VARCHAR); token renders the
         # signed int64

@@ -1088,3 +1088,128 @@ def heaps_curve(ds, id_col: str, column: str, *, n_checkpoints: int = 20,
         "checkpoint": out["cp"].to_numpy(dtype=np.int64),
         "cum_tokens": out["t"].cumsum().to_numpy(dtype=np.int64),
         "cum_vocab": out["v"].cumsum().to_numpy(dtype=np.int64)})
+
+
+def ngram_diversity(ds, group_col: str, text_col: str, *, max_n: int = 3,
+                    num_partitions: int | None = None) -> pd.DataFrame:
+    """Distinct-n diversity profile per corpus group (Li et al. 2016's
+    distinct-1/2/3, the standard mode-collapse / templated-content
+    screen): for each (group, n<=max_n) — total n-gram positions,
+    distinct n-grams, and distinct_ratio (a ratio near 0 means the
+    group keeps repeating the same phrases).  Same trim/split
+    whitespace tokenizer as top_terms; n-grams are adjacent WITHIN a
+    document.  Null group rows are dropped.
+
+    Exactness: both counts are exact integers (distinct via one
+    gram-bucketed mark shuffle with local dedup combiners — a gram's
+    marks all land in one bucket, so the global distinct is a plain
+    sum); the ratio is ONE pinned 6dp division.
+
+    Scale shape: marks are (group, n, w1..wn) rows deduped per batch
+    before the ONE bounded-by-vocab shuffle; position totals are tiny
+    per-batch partials summed driver-side.  Text never shuffles."""
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         row_shuffle_partitions)
+    from packs_ray.stages.util import round_half_away
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    ws_re = "[ \t\n\r\f\v]+"
+    wcols = [f"w{i + 1}" for i in range(max_n)]
+
+    def _doc_tokens(batch: pa.Table):
+        col = str_column(batch, text_col)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_pandas().to_numpy()
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[empty]] = False
+        lens = (off[1:] - off[:-1]).copy()
+        lens[empty] = 0
+        return flat[keep], lens
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(group_col)))
+        grp = batch.column(group_col).cast(pa.string()) \
+            .to_pandas().to_numpy()
+        toks, lens = _doc_tokens(batch)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        frames = []
+        for n in range(1, max_n + 1):
+            if len(toks) < n:
+                continue
+            tail = len(toks) - (n - 1)
+            ok = doc_idx[:tail] == doc_idx[n - 1:] if n > 1 \
+                else np.ones(tail, dtype=bool)
+            d = {"grp": grp[doc_idx[:tail][ok]],
+                 "n": np.int64(n)}
+            for i in range(max_n):
+                d[wcols[i]] = (toks[i: tail + i][ok] if i < n
+                               else "")
+            frames.append(pd.DataFrame(d))
+        if not frames:
+            return pa.table({"grp": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             **{w: pa.array([], type=pa.string())
+                                for w in wcols}})
+        out = pd.concat(frames).drop_duplicates()
+        out = out[["grp", "n", *wcols]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def distinct_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates()
+        s = (u.groupby(["grp", "n"], sort=False).size()
+             .reset_index(name="n_distinct"))
+        s["n_distinct"] = s["n_distinct"].astype(np.int64)
+        return s
+
+    dist_parts = bucketed_group_reduce(
+        ds.select_columns([group_col, text_col])
+        .map_batches(marks, batch_format="pyarrow"),
+        wcols, distinct_reduce, num_partitions).to_pandas()
+    dist = (dist_parts.groupby(["grp", "n"], as_index=False)
+            .agg(n_distinct=("n_distinct", "sum"))
+            if len(dist_parts) else
+            pd.DataFrame({"grp": [], "n": [], "n_distinct": []}))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(group_col)))
+        grp = batch.column(group_col).cast(pa.string()) \
+            .to_pandas().to_numpy()
+        _, lens = _doc_tokens(batch)
+        frames = []
+        for n in range(1, max_n + 1):
+            pos = np.maximum(lens - (n - 1), 0)
+            frames.append(pd.DataFrame(
+                {"grp": grp, "n": np.int64(n), "t": pos}))
+        g = (pd.concat(frames).groupby(["grp", "n"], as_index=False)
+             .agg(t=("t", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = ds.select_columns([group_col, text_col]).map_batches(
+        totals, batch_format="pyarrow").to_pandas()
+    tot = (tot.groupby(["grp", "n"], as_index=False).agg(t=("t", "sum"))
+           if len(tot) else pd.DataFrame({"grp": [], "n": [], "t": []}))
+    out = tot.merge(dist, on=["grp", "n"], how="left")
+    out = out[out["t"] > 0]
+    if not len(out):
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="string"),
+            "n": pd.Series([], dtype="int64"),
+            "n_grams": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "distinct_ratio": pd.Series([], dtype="float64")})
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    out = out.sort_values(["grp", "n"]).reset_index(drop=True)
+    return pd.DataFrame({
+        group_col: out["grp"].astype(object),
+        "n": out["n"].to_numpy(dtype=np.int64),
+        "n_grams": out["t"].to_numpy(dtype=np.int64),
+        "n_distinct": out["n_distinct"].to_numpy(dtype=np.int64),
+        "distinct_ratio": round_half_away(
+            out["n_distinct"].to_numpy(dtype=np.float64)
+            / out["t"].to_numpy(dtype=np.float64), 6)})

@@ -4888,3 +4888,24 @@ def test_pseudonymize_consistency_and_salt(ray_session):
     # different salt -> different token space
     out_b = pseudonymize(ds, ["k"], salt="b").to_pandas()
     assert out_b["k"][0] != out["k"][0]
+
+
+def test_ngram_diversity_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.textstats import ngram_diversity
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["x", "x", "y", None],
+        "text": ["a a a", "a b", "c", "dropped"]})).repartition(3)
+    out = ngram_diversity(ds, "g", "text", max_n=2)
+    got = {(r.g, r.n): (r.n_grams, r.n_distinct)
+           for r in out.itertuples()}
+    # x: unigrams 5 positions {a,b}=2; bigrams 3 positions {a a, a b}=2
+    assert got[("x", 1)] == (5, 2)
+    assert got[("x", 2)] == (3, 2)
+    # y: one token, no bigram row (t=0 dropped)
+    assert got[("y", 1)] == (1, 1)
+    assert ("y", 2) not in got
+    assert not any(g is None for g, _ in got)
