@@ -762,6 +762,8 @@ def js_divergence(ds_a, ds_b, text_col: str, *,
                          "v": [len(ca)]})
 
     t = vocab.map_batches(tot_partial, batch_format="pyarrow").to_pandas()
+    if not len(t):   # both corpora empty: no vocab blocks at all
+        t = pd.DataFrame({"na": [], "nb": [], "va": [], "vb": [], "v": []})
     na, nb = int(t["na"].sum()), int(t["nb"].sum())
     va, vb, v = int(t["va"].sum()), int(t["vb"].sum()), int(t["v"].sum())
     if na == 0 or nb == 0:

@@ -513,7 +513,17 @@ def bloom_semi_join(left_ds, right_ds, *, left_on: str, right_on: str,
             keep[valid] = hit
         return batch.filter(pa.array(keep))
 
+    def empty_left(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 0)
+
+    # 0-row right (or left) short-circuits: a semi join against an
+    # empty build side is empty, and equi_join can't read a schema off
+    # a 0-block stream
+    if n_right == 0 or left_ds.schema() is None:
+        return left_ds.map_batches(empty_left, batch_format="pyarrow")
     survivors = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    if survivors.schema() is None:
+        return left_ds.map_batches(empty_left, batch_format="pyarrow")
     return equi_join(survivors, right_ds.select_columns([right_on]),
                      left_on=[left_on], right_on=[right_on], how="semi",
                      broadcast_cap=broadcast_cap)
