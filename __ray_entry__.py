@@ -2336,6 +2336,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def union_by_name_orders(sf):
+        # schema-evolution union: two drifted projections of orders
+        # (week-1 has totalprice, week-2 has orderpriority) align by
+        # name with typed-null fill — no shuffle
+        from packs_ray.functions.repair import union_by_name
+
+        a = _ds(sf, "orders", ["o_orderkey", "o_totalprice"])
+        b = _ds(sf, "orders", ["o_orderkey", "o_orderpriority"])
+        return union_by_name([a, b])
+
     def ngram_diversity_documents(sf):
         # distinct-1/2/3 per language: the mode-collapse / templated-
         # content screen (ratio near 0 = the corpus repeats itself)
@@ -3016,6 +3026,7 @@ checks for orders:
         "js_divergence_documents": js_divergence_documents,
         "pseudonymize_events": pseudonymize_events,
         "ngram_diversity_documents": ngram_diversity_documents,
+        "union_by_name_orders": union_by_name_orders,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7782,6 +7793,12 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        "union_by_name_orders": """
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+    FROM orders""",
         # ngram_diversity: engine dedups (w1..wn) tuples, oracle joins
         # with chr(31) — equivalent while tokens avoid \\x1f
         "ngram_diversity_documents": r"""

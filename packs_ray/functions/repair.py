@@ -370,3 +370,49 @@ def quantile_map(ds_src, ds_ref, value_col: str, id_cols: list[str], *,
                                type=pa.float64()))
 
     return ds_src.map_batches(attach, batch_format="pyarrow")
+
+
+def union_by_name(datasets: list, *, strict: bool = False):
+    """Schema-evolution-safe UNION ALL BY NAME: concatenate Datasets
+    whose schemas drifted across snapshots (a column added in week 2,
+    one dropped in week 5 — the normal life of a crawl).  Columns are
+    matched by NAME; the output schema is the union in first-seen
+    order; a column missing from an input fills with typed nulls.  On
+    a name whose type differs across inputs, the first-seen type wins
+    and later inputs cast to it (``strict=True`` raises instead) —
+    an uncastable value is an error either way, never silent data
+    corruption.
+
+    Stateless per-batch projection (add typed nulls + reorder), then
+    Ray's plain metadata union — no shuffle, no materialization."""
+    from packs_ray.functions.joins import _arrow_schema
+
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    target: list[tuple[str, pa.DataType]] = []
+    seen: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = _arrow_schema(ds)
+        for f in sch:
+            if f.name not in seen:
+                seen[f.name] = f.type
+                target.append((f.name, f.type))
+            elif strict and f.type != seen[f.name]:
+                raise ValueError(
+                    f"column {f.name!r}: type {f.type} != first-seen "
+                    f"{seen[f.name]} (strict union_by_name)")
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = []
+        for name, typ in target:
+            if name in batch.schema.names:
+                c = batch.column(name)
+                cols.append(c if c.type == typ else c.cast(typ))
+            else:
+                cols.append(pa.nulls(len(batch), type=typ))
+        return pa.table(dict(zip([n for n, _ in target], cols)))
+
+    out = datasets[0].map_batches(project, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(project, batch_format="pyarrow"))
+    return out

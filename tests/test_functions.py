@@ -4909,3 +4909,24 @@ def test_ngram_diversity_planted(ray_session):
     assert got[("y", 1)] == (1, 1)
     assert ("y", 2) not in got
     assert not any(g is None for g, _ in got)
+
+
+def test_union_by_name_fill_cast_and_strict(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from packs_ray.functions.repair import union_by_name
+
+    a = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "x": pa.array([1.5, 2.5], type=pa.float64())}))
+    b = ray.data.from_arrow(pa.table({
+        "y": pa.array(["p", "q"], type=pa.string()),
+        "id": pa.array([3, 4], type=pa.int32())}))  # castable drift
+    out = union_by_name([a, b]).to_pandas()
+    assert list(out.columns) == ["id", "x", "y"]
+    assert sorted(out["id"]) == [1, 2, 3, 4]
+    assert out["x"].isna().sum() == 2 and out["y"].isna().sum() == 2
+    with pytest.raises(ValueError, match="strict"):
+        union_by_name([a, b], strict=True)
