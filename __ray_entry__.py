@@ -2336,6 +2336,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def fuzzy_decontam_documents(sf):
+        # paraphrase-tolerant benchmark leakage screen: max 5-char-
+        # shingle Jaccard of every doc vs the bench fixture
+        # (doc_id % 97 == 0), bench union broadcast once
+        import pyarrow.parquet as pq
+
+        from packs_ray.functions.webquality import fuzzy_decontam
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        sel = ids % 97 == 0
+        bench_ids = [int(i) for i in ids[sel]]
+        texts = t.column("text").to_pylist()
+        bench_texts = [texts[k] for k in np.flatnonzero(sel)]
+        return fuzzy_decontam(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            bench_ids, bench_texts, shingle=5, threshold=0.5)
+
     def union_by_name_orders(sf):
         # schema-evolution union: two drifted projections of orders
         # (week-1 has totalprice, week-2 has orderpriority) align by
@@ -3027,6 +3046,7 @@ checks for orders:
         "pseudonymize_events": pseudonymize_events,
         "ngram_diversity_documents": ngram_diversity_documents,
         "union_by_name_orders": union_by_name_orders,
+        "fuzzy_decontam_documents": fuzzy_decontam_documents,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7793,6 +7813,29 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # fuzzy_decontam: jaccard over the same distinct-shingle-hash
+        # sets as the minhash replica; per-pair jac rounds 6dp BEFORE
+        # the max; ties to the smallest bench id
+        "fuzzy_decontam_documents": f"""
+    WITH {_sql_doc_shingles(5)},
+    bsh AS (SELECT doc_id AS bid, h FROM sh WHERE doc_id % 97 = 0),
+    nbt AS (SELECT bid, count(*)::BIGINT AS nb FROM bsh GROUP BY 1),
+    ndt AS (SELECT doc_id, count(*)::BIGINT AS nd FROM sh GROUP BY 1),
+    i AS (SELECT s.doc_id, bsh.bid, count(*)::BIGINT AS ic
+          FROM sh s JOIN bsh USING (h) GROUP BY 1, 2),
+    j AS (SELECT i.doc_id, i.bid,
+            round(CAST(i.ic AS DOUBLE) / (ndt.nd + nbt.nb - i.ic), 6)
+                AS jac
+          FROM i JOIN ndt USING (doc_id) JOIN nbt USING (bid)),
+    best AS (SELECT doc_id, bid, jac, row_number() OVER (
+                PARTITION BY doc_id ORDER BY jac DESC, bid ASC) AS rn
+             FROM j WHERE jac > 0)
+    SELECT d.doc_id, coalesce(ndt.nd, 0)::BIGINT AS n_shingles,
+        best.bid AS bench_id,
+        coalesce(best.jac, 0.0) AS max_jaccard,
+        coalesce(best.jac, 0.0) >= 0.5 AS contaminated
+    FROM documents d LEFT JOIN ndt ON d.doc_id = ndt.doc_id
+    LEFT JOIN best ON d.doc_id = best.doc_id AND best.rn = 1""",
         "union_by_name_orders": """
     SELECT o_orderkey, o_totalprice,
            CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders

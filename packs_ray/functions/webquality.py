@@ -688,3 +688,93 @@ def ngram_novelty(ds, id_col: str, text_col: str, n: int = 3,
         return out
 
     return bucketed_group_reduce(partials, ["doc"], final, num_partitions)
+
+
+def fuzzy_decontam(ds, id_col: str, text_col: str, bench_ids: list,
+                   bench_texts: list[str], *, shingle: int = 5,
+                   threshold: float = 0.5):
+    """Fuzzy benchmark decontamination: per-document MAX character-
+    shingle Jaccard against a (small, by definition) benchmark set —
+    catches paraphrased / lightly-edited eval leakage the exact n-gram
+    screen (``decontaminate``) misses.  Output per doc:
+    (id, n_shingles, bench_id of the best match — null when nothing
+    intersects, max_jaccard 6dp, contaminated = max >= threshold).
+    Ties break to the smallest bench id.  Jaccard is EXACT over
+    distinct shingle hash sets (same ``_shingle_hashes`` fold the
+    minhash SQL replicas reproduce).
+
+    Scale shape: the bench shingle union is built once on the driver
+    (benchmarks are KB-MB scale) and broadcast as ONE sorted uint64
+    array + a packed per-shingle membership bitmap; each batch does a
+    single searchsorted of all its docs' concatenated shingles, one
+    bit-unpack, and one add.reduceat per doc — no shuffle, no pairs,
+    text never leaves the worker."""
+    import ray
+
+    from packs_ray.functions.neardup import _shingle_hashes
+    from packs_ray.stages.util import round_half_away
+
+    order = np.argsort(np.asarray(bench_ids, dtype=np.int64),
+                       kind="stable")
+    bids = np.asarray(bench_ids, dtype=np.int64)[order]
+    bsets = [_shingle_hashes(bench_texts[i], shingle) for i in order]
+    B = len(bsets)
+    nb = np.array([len(s) for s in bsets], dtype=np.int64)
+    if B and sum(map(len, bsets)):
+        all_h = np.concatenate(bsets)
+        uni = np.unique(all_h)
+        nwords = (B + 7) // 8
+        mask = np.zeros((len(uni), nwords), dtype=np.uint8)
+        for j, s in enumerate(bsets):
+            idx = np.searchsorted(uni, s)
+            mask[idx, j // 8] |= np.uint8(1 << (j % 8))
+    else:
+        uni = np.zeros(0, dtype=np.uint64)
+        mask = np.zeros((0, max(1, (B + 7) // 8)), dtype=np.uint8)
+    ref = ray.put((uni, mask, nb, bids))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u, m, nbv, bv = ray.get(ref)
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        hs = [_shingle_hashes(t, shingle) for t in texts]
+        lens = np.array([len(h) for h in hs], dtype=np.int64)
+        n = len(texts)
+        max_j = np.zeros(n, dtype=np.float64)
+        best = np.full(n, -1, dtype=np.int64)
+        if len(u) and lens.sum():
+            cat = np.concatenate([h for h in hs if len(h)]) \
+                if lens.sum() else np.zeros(0, dtype=np.uint64)
+            doc_of = np.repeat(np.arange(n), lens)
+            pos = np.searchsorted(u, cat)
+            pos_c = np.minimum(pos, len(u) - 1)
+            hit = u[pos_c] == cat
+            # per-doc per-bench intersection counts: unpack membership
+            # bits of the hit shingles, segment-sum per doc
+            bits = np.unpackbits(m[pos_c[hit]], axis=1,
+                                 bitorder="little")[:, :B] \
+                if hit.any() else np.zeros((0, B), dtype=np.uint8)
+            doc_hit = doc_of[hit]
+            inter = np.zeros((n, B), dtype=np.int64)
+            if len(doc_hit):
+                np.add.at(inter, doc_hit, bits.astype(np.int64))
+            union = lens[:, None] + nbv[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            jac = round_half_away(jac, 6)
+            max_j = jac.max(axis=1) if B else max_j
+            # argmax with ties to the smallest bench id (bids sorted)
+            best = np.where(max_j > 0, jac.argmax(axis=1), -1)
+        bench_vals = pa.array(np.where(best >= 0, bv[np.maximum(best, 0)]
+                                       if len(bv) else 0, 0),
+                              type=pa.int64())
+        bench_col = pc.if_else(pa.array(best >= 0), bench_vals,
+                               pa.nulls(n, type=pa.int64()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_shingles": pa.array(lens, type=pa.int64()),
+            "bench_id": bench_col,
+            "max_jaccard": pa.array(max_j, type=pa.float64()),
+            "contaminated": pa.array(max_j >= threshold)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")

@@ -299,3 +299,44 @@ def test_strip_html_edge_cases(ray_session):
     got = [None if v is None or v != v else v
            for v in out["text_extracted"]]
     assert got == exp
+
+
+def test_fuzzy_decontam_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.webquality import fuzzy_decontam
+
+    bench_ids = [100, 200]
+    bench_texts = ["the quick brown fox jumps over the lazy dog",
+                   "completely different benchmark content here"]
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["the quick brown fox jumps over the lazy dog",  # exact
+                 "the quick brown fox leaps over the lazy dog",  # near
+                 "zzz qqq vvv unrelated",                        # none
+                 None]})
+    out = fuzzy_decontam(ray.data.from_arrow(docs), "doc_id", "text",
+                         bench_ids, bench_texts,
+                         threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["max_jaccard"][0] == 1.0 and bool(out["contaminated"][0])
+    assert out["bench_id"][0] == 100
+    assert 0.5 < out["max_jaccard"][1] < 1.0
+    assert bool(out["contaminated"][1])
+    assert out["max_jaccard"][2] == 0.0
+    assert pd.isna(out["bench_id"][2]) and not bool(out["contaminated"][2])
+    assert out["n_shingles"][3] == 0 and out["max_jaccard"][3] == 0.0
+
+
+def test_fuzzy_decontam_empty_bench(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.webquality import fuzzy_decontam
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()), "text": ["abc def"]}))
+    out = fuzzy_decontam(docs, "doc_id", "text", [], []).to_pandas()
+    assert out["max_jaccard"][0] == 0.0
+    assert not bool(out["contaminated"][0])
