@@ -2336,6 +2336,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def dedup_window_events(sf):
+        # streaming repeat suppression: same (user, event_type) within
+        # 1 h of its last sighting drops; narrow hash-mark shuffle only
+        from packs_ray.functions.duplicates import dedup_within_window
+
+        return dedup_within_window(
+            _ds(sf, "events", ["event_id", "user_id", "event_type",
+                               "ts"]),
+            ["user_id", "event_type"], "ts", "event_id", 3600)
+
     def fuzzy_decontam_documents(sf):
         # paraphrase-tolerant benchmark leakage screen: max 5-char-
         # shingle Jaccard of every doc vs the bench fixture
@@ -3047,6 +3057,7 @@ checks for orders:
         "ngram_diversity_documents": ngram_diversity_documents,
         "union_by_name_orders": union_by_name_orders,
         "fuzzy_decontam_documents": fuzzy_decontam_documents,
+        "dedup_window_events": dedup_window_events,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7813,6 +7824,19 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # dedup_within_window: lag() against the previous SIGHTING
+        # (kept or not), strict > on the gap
+        "dedup_window_events": """
+    WITH c AS (SELECT event_id, user_id, event_type, ts FROM events
+        WHERE event_id IS NOT NULL AND ts IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL),
+    w AS (SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
+            lag(epoch_us(ts)::BIGINT) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS pts
+        FROM c)
+    SELECT event_id, ts_us,
+        (pts IS NULL OR ts_us - pts > 3600000000) AS kept FROM w""",
         # fuzzy_decontam: jaccard over the same distinct-shingle-hash
         # sets as the minhash replica; per-pair jac rounds 6dp BEFORE
         # the max; ties to the smallest bench id

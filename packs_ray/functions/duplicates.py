@@ -404,3 +404,68 @@ def cross_source_overlap(ds, text_col: str, source_col: str,
                 "jaccard": float(_r(c / (na + nb - c), 6)),
                 "containment": float(_r(c / min(na, nb), 6))})
     return pd.DataFrame(rows) if rows else empty
+
+
+def dedup_within_window(ds, key_cols: list[str], ts_col: str, id_col: str,
+                        window_seconds: int,
+                        num_partitions: int | None = None):
+    """Streaming repeat suppression: mark each row kept=False when the
+    SAME content (key_cols) was last seen within ``window_seconds``
+    before it — re-crawls, retry storms, and copy-paste turn repeats
+    drop while genuine periodic re-occurrences survive.  Semantics are
+    SQL ``lag(ts) OVER (PARTITION BY content ORDER BY ts, id)``: a row
+    keeps iff it has no predecessor or ``ts - prev_ts >
+    window_seconds`` (strict; predecessor is the previous SIGHTING,
+    kept or not, so the rule is one window-pass, not a kept-chain
+    recursion).  Rows with null key/ts/id are dropped (module
+    convention).  Returns a lazy Dataset of (id, ts, kept).
+
+    Scale shape: content groups on the 128-bit key hash (long text
+    never rides the exchange); ONE narrow bucketed shuffle of
+    (h1, h2, ts, id) marks; per-group numpy diff.  Ties on equal ts
+    order by id, deterministically."""
+    import numpy as np
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    win_us = np.int64(window_seconds) * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(batch.column(id_col))
+        valid = pc.and_(valid, pc.is_valid(batch.column(ts_col)))
+        for c in key_cols:
+            valid = pc.and_(valid, pc.is_valid(batch.column(c)))
+        batch = batch.filter(valid)
+        sel = batch.select(key_cols + [ts_col, id_col])
+        h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
+        ts = sel.column(ts_col).cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        ids = sel.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({"__p": pa.array(p), "__h1": pa.array(h1),
+                         "__h2": pa.array(h2),
+                         "ts_us": pa.array(ts, type=pa.int64()),
+                         id_col: pa.array(ids)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h1", "__h2", "ts_us", id_col],
+                          kind="stable")
+        h1 = g["__h1"].to_numpy()
+        h2 = g["__h2"].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        kept = first | (gap > win_us)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "ts_us": ts, "kept": kept})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("__p").map_groups(per_bucket,
+                                           batch_format="pandas")

@@ -4930,3 +4930,26 @@ def test_union_by_name_fill_cast_and_strict(ray_session):
     assert out["x"].isna().sum() == 2 and out["y"].isna().sum() == 2
     with pytest.raises(ValueError, match="strict"):
         union_by_name([a, b], strict=True)
+
+
+def test_dedup_within_window_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.duplicates import dedup_within_window
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    sec = np.timedelta64(1_000_000, "us")
+    # key A: t=0 keep, t=30 drop, t=31 drop (gap from t=30 is 1s),
+    # t=100 keep (gap 69s > 60); key B independent; null ts dropped
+    ts = [base, base + 30 * sec, base + 31 * sec, base + 100 * sec,
+          base + 5 * sec, None]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "k": ["A", "A", "A", "A", "B", "B"],
+        "ts": pa.array(ts, type=pa.timestamp("us"))}))
+    out = dedup_within_window(ds, ["k"], "ts", "id", 60).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == [1, 2, 3, 4, 5]
+    assert list(out["kept"]) == [True, False, False, True, True]
