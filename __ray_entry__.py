@@ -2201,6 +2201,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return repeated_responses(tds)
 
+    def echo_score_transcripts(sf):
+        # assistant-parroting profile: token overlap of each assistant
+        # turn with the nearest preceding user turn
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import echo_score
+
+        tds = read_parquet_sized(
+            _transcripts(sf),
+            columns=["conv_id", "turn_idx", "role", "ts", "text"])
+        return echo_score(tds)
+
     def language_consistency_transcripts(sf):
         # code-switching screen: per-conversation majority language +
         # agreement from per-turn marker-word language ID
@@ -3032,6 +3043,7 @@ checks for orders:
         "response_latency_transcripts": response_latency_transcripts,
         "context_fit_transcripts": context_fit_transcripts,
         "repeated_responses_transcripts": repeated_responses_transcripts,
+        "echo_score_transcripts": echo_score_transcripts,
         "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
@@ -4010,6 +4022,62 @@ def _kcenter_sql(k: int = 8) -> str:
         union.append(f"SELECT {i}, p{i}.id, p{i}.d FROM p{i}")
     return ("WITH " + ",\n    ".join(parts) + "\n    "
             + " UNION ALL ".join(union) + " ORDER BY pick_order")
+
+
+def _echo_score_sql() -> str:
+    """stages.conversation.echo_score replica: nearest preceding user
+    turn via a windowed max over user row numbers; per-turn ratio pins
+    to integer ppm before the per-conversation mean/max."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, ts, text"
+    ws = r"[ \t\n\r\f\v]+"
+    trim = r"^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT conv_id, turn_idx, role, ts, coalesce(text, '') AS text
+          FROM t WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+            AND role IS NOT NULL AND ts IS NOT NULL),
+    o AS (SELECT conv_id, role, text,
+            row_number() OVER (PARTITION BY conv_id
+                ORDER BY turn_idx, ts) AS rn FROM e),
+    p AS (SELECT conv_id, rn, role, text,
+            max(CASE WHEN role = 'user' THEN rn END) OVER (
+                PARTITION BY conv_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pu
+          FROM o),
+    al AS (SELECT p.conv_id, p.rn,
+            regexp_split_to_array(regexp_replace(p.text,
+                '{trim}', '', 'g'), '{ws}') AS atoks,
+            regexp_split_to_array(regexp_replace(u.text,
+                '{trim}', '', 'g'), '{ws}') AS utoks
+          FROM p JOIN o u ON u.conv_id = p.conv_id AND u.rn = p.pu
+          WHERE p.role = 'assistant' AND p.pu IS NOT NULL),
+    sz AS (SELECT conv_id, rn, atoks, utoks,
+            CASE WHEN len(atoks) = 1 AND atoks[1] = '' THEN 0
+                 ELSE len(atoks) END AS n_tok FROM al),
+    at AS (SELECT conv_id, rn, unnest(atoks) AS tok FROM sz
+           WHERE n_tok > 0),
+    ut AS (SELECT DISTINCT conv_id, rn, unnest(utoks) AS tok FROM sz
+           WHERE n_tok > 0
+             AND NOT (len(utoks) = 1 AND utoks[1] = '')),
+    h AS (SELECT at.conv_id, at.rn, count(*)::BIGINT AS hits
+          FROM at JOIN ut USING (conv_id, rn, tok) GROUP BY 1, 2),
+    r AS (SELECT sz.conv_id, sz.rn, sz.n_tok,
+            coalesce(h.hits, 0)::BIGINT AS hits
+          FROM sz LEFT JOIN h USING (conv_id, rn) WHERE sz.n_tok > 0),
+    ppm AS (SELECT conv_id, CAST(round(
+            CAST(hits AS DOUBLE) / n_tok * 1e6, 0) AS BIGINT) AS ppm
+        FROM r)
+    SELECT conv_id, count(*)::BIGINT AS n_scored,
+        round(CAST(sum(ppm) AS DOUBLE) / count(*) / 1e6, 6) AS mean_echo,
+        CAST(max(ppm) AS DOUBLE) / 1e6 AS max_echo
+    FROM ppm GROUP BY conv_id ORDER BY conv_id"""
 
 
 def _lang_consistency_sql() -> str:
@@ -8035,6 +8103,7 @@ def oracle_sql() -> dict[str, str]:
         "response_latency_transcripts": _response_latency_sql(),
         "context_fit_transcripts": _context_fit_sql(256),
         "repeated_responses_transcripts": _repeated_responses_sql(),
+        "echo_score_transcripts": _echo_score_sql(),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),

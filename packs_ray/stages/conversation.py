@@ -617,3 +617,127 @@ def conv_language_consistency(ds, *, conv_col: str = "conv_id",
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
         .sort(conv_col)
+
+def echo_score(ds, *, conv_col: str = "conv_id", idx_col: str = "turn_idx",
+               role_col: str = "role", ts_col: str = "ts",
+               text_col: str = "text",
+               num_buckets: int | None = None):
+    """Assistant-parroting profile: for every assistant turn, the
+    fraction of its token POSITIONS whose token also appears in the
+    nearest PRECEDING user turn of the same conversation (under the
+    stable (conv, turn_idx, ts) order) — the echo/copy metric that
+    catches agents answering by quoting the question back.  One row
+    per conversation with >=1 scored assistant turn:
+    (conv_id, n_scored, mean_echo, max_echo).  Assistant turns with no
+    tokens or no preceding user turn are not scored; a preceding user
+    turn with EMPTY text scores 0.  Null conv/idx/role/ts rows drop;
+    null text counts as empty.  Same trim/split tokenizer as
+    top_terms.
+
+    Determinism: per-turn ratios pin to integer PARTS-PER-MILLION
+    (half-away); mean_echo = round(sum_ppm / n / 1e6, 6) and
+    max_echo = max_ppm / 1e6 are each ONE shared float expression.
+
+    Scale shape: text shuffles ONCE on hash(conv) (like the SFT
+    assembler — token comparison needs the raw turns together);
+    per-bucket work is one stable sort + vectorized last-user-index
+    accumulate + two exploded-token merges."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.stages.util import round_half_away
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    cols = [conv_col, idx_col, role_col, ts_col, text_col]
+    ws_re = r"[ \t\n\r\f\v]+"
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in (idx_col, role_col, ts_col):
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        hb = pd.util.hash_array(np.asarray(conv))
+        return batch.append_column(
+            "bucket", pa.array((hb % np.uint64(num_buckets))
+                               .astype(np.int64)))
+
+    empty = pd.DataFrame({conv_col: [],
+                          "n_scored": pd.Series([], dtype="int64"),
+                          "mean_echo": pd.Series([], dtype="float64"),
+                          "max_echo": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.sort_values([conv_col, idx_col, ts_col],
+                          kind="stable").reset_index(drop=True)
+        conv = g[conv_col].to_numpy()
+        role = g[role_col].to_numpy()
+        text = g[text_col].fillna("").to_numpy()
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        conv_start = np.zeros(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        conv_start = pos[new][np.cumsum(new) - 1]
+        # index of the last user turn at-or-before each row, then
+        # shift: the PRECEDING user turn for row i is that value at i-1
+        user_at = np.where(role == "user", pos, np.int64(-1))
+        last_user = np.maximum.accumulate(user_at)
+        prev_user = np.full(n, -1, dtype=np.int64)
+        prev_user[1:] = last_user[:-1]
+        prev_user[prev_user < conv_start] = -1
+        scored = (role == "assistant") & (prev_user >= 0)
+        if not scored.any():
+            return empty.copy()
+        sidx = np.flatnonzero(scored)
+        a_tok = (pd.Series(text[sidx]).str.strip(" \t\n\r\f\v")
+                 .str.split(ws_re, regex=True))
+        n_tok = a_tok.str.len().to_numpy(dtype=np.int64).copy()
+        empty_a = pd.Series(text[sidx]).str.strip(" \t\n\r\f\v") == ""
+        n_tok[empty_a.to_numpy()] = 0
+        ok = n_tok > 0
+        sidx, a_tok, n_tok = sidx[ok], a_tok[ok.tolist()], n_tok[ok]
+        if not len(sidx):
+            return empty.copy()
+        rows = np.repeat(np.arange(len(sidx)), n_tok)
+        a_long = pd.DataFrame({"r": rows,
+                               "tok": np.concatenate(a_tok.to_numpy())})
+        u_txt = pd.Series(text[prev_user[sidx]])
+        u_tok = (u_txt.str.strip(" \t\n\r\f\v")
+                 .str.split(ws_re, regex=True))
+        u_len = u_tok.str.len().to_numpy(dtype=np.int64).copy()
+        u_len[(u_txt.str.strip(" \t\n\r\f\v") == "").to_numpy()] = 0
+        u_rows = np.repeat(np.arange(len(sidx)), u_len)
+        nz = u_len > 0   # empty user turns contribute no tokens, and
+        # their [''] split artifact must not enter the concat
+        u_long = pd.DataFrame({
+            "r": u_rows,
+            "tok": np.concatenate(list(u_tok[nz.tolist()]))
+            if nz.any() else np.array([], dtype=object)}) \
+            .drop_duplicates()
+        hits = (a_long.merge(u_long, on=["r", "tok"], how="inner")
+                .groupby("r").size())
+        hit_vec = np.zeros(len(sidx), dtype=np.int64)
+        hit_vec[hits.index.to_numpy()] = hits.to_numpy()
+        ppm = round_half_away(
+            hit_vec.astype(np.float64) / n_tok.astype(np.float64) * 1e6,
+            0).astype(np.int64)
+        d = pd.DataFrame({conv_col: conv[sidx], "ppm": ppm})
+        out = (d.groupby(conv_col, sort=False)
+               .agg(n_scored=("ppm", "size"), sum_ppm=("ppm", "sum"),
+                    max_ppm=("ppm", "max")).reset_index())
+        out["n_scored"] = out["n_scored"].astype(np.int64)
+        out["mean_echo"] = round_half_away(
+            out["sum_ppm"].to_numpy(dtype=np.float64)
+            / out["n_scored"].to_numpy(dtype=np.float64) / 1e6, 6)
+        out["max_echo"] = out["max_ppm"].to_numpy(dtype=np.float64) / 1e6
+        return out[[conv_col, "n_scored", "mean_echo", "max_echo"]]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(conv_col)

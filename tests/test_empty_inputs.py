@@ -24,6 +24,7 @@ SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
         "pii_density_transcripts", "context_fit_transcripts",
         "repeated_responses_transcripts",
         "language_consistency_transcripts",
+        "echo_score_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 

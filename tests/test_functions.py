@@ -4953,3 +4953,35 @@ def test_dedup_within_window_planted(ray_session):
         .sort_values("id").reset_index(drop=True)
     assert list(out["id"]) == [1, 2, 3, 4, 5]
     assert list(out["kept"]) == [True, False, False, True, True]
+
+
+def test_echo_score_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.stages.conversation import echo_score
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = pa.array([base] * 7, type=pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c1", "c1", "c2", "c2", "c2"],
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 2], type=pa.int32()),
+        "role": ["user", "assistant", "user", "assistant",
+                 "assistant", "user", "assistant"],
+        "text": ["hello world foo",
+                 "hello there",          # 1/2 tokens echo -> 0.5
+                 "bar",
+                 "bar bar baz",          # 2/3 echo -> 0.666667
+                 "no preceding user",    # not scored
+                 "",                     # empty user turn
+                 "anything here"],       # scored 0 vs empty user
+        "ts": ts}))
+    out = echo_score(ds).to_pandas()
+    c1 = out[out["conv_id"] == "c1"].iloc[0]
+    assert c1["n_scored"] == 2
+    assert c1["max_echo"] == 0.666667
+    from packs_ray.stages.util import round_half_away
+    assert c1["mean_echo"] == round_half_away((500000 + 666667) / 2 / 1e6, 6)
+    c2 = out[out["conv_id"] == "c2"].iloc[0]
+    assert c2["n_scored"] == 1 and c2["mean_echo"] == 0.0
