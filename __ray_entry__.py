@@ -2347,6 +2347,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_min_counts(_ds(sf, "orders", ["o_custkey"]),
                                 "o_custkey", list(range(1, 21)))
 
+    def incremental_distinct_events(sf):
+        # incremental cardinality monitoring: two "runs" (event_id
+        # parity split) each persist a 4 KB/column HLL state; the
+        # merged estimate equals one pass over the union — history is
+        # never rescanned
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.sketches import (merged_distinct,
+                                                  save_distinct_state)
+
+        key = sf.rstrip("/").rsplit("sf", 1)[-1]
+        paths = []
+        for par in (0, 1):
+            run = _ds(sf, "events", ["event_id", "user_id",
+                                     "event_type"]) \
+                .map_batches(lambda b, p=par: b.filter(pc.equal(
+                    pc.bit_wise_and(b.column("event_id"), 1), p)),
+                    batch_format="pyarrow")
+            paths.append(save_distinct_state(
+                run, ["user_id", "event_type"],
+                f"/tmp/packs_ray_data/hll_state_{key}_{par}.parquet"))
+        return merged_distinct(paths)
+
     def dedup_window_events(sf):
         # streaming repeat suppression: same (user, event_type) within
         # 1 h of its last sighting drops; narrow hash-mark shuffle only
@@ -3070,6 +3093,7 @@ checks for orders:
         "union_by_name_orders": union_by_name_orders,
         "fuzzy_decontam_documents": fuzzy_decontam_documents,
         "dedup_window_events": dedup_window_events,
+        "incremental_distinct_events": incremental_distinct_events,
         "chunk_documents_sliding": chunk_documents_sliding,
         "mixture_sample_sources": mixture_sample_sources,
         "interleave_sources_mixed": interleave_sources_mixed,
@@ -7892,6 +7916,12 @@ def oracle_sql() -> dict[str, str]:
     FROM w GROUP BY user_id""",
         "cms_counts_orders":
             _cms_sql("orders", "o_custkey", list(range(1, 21))),
+        # incremental_distinct: register-max over a partition of the
+        # stream == registers of the union, so the whole-table HLL
+        # replica is the exact ground truth for the merged state
+        "incremental_distinct_events":
+            _hll_column_sql("events", "event_type") + " UNION ALL " +
+            _hll_column_sql("events", "user_id"),
         # dedup_within_window: lag() against the previous SIGHTING
         # (kept or not), strict > on the gap
         "dedup_window_events": """

@@ -460,3 +460,75 @@ def heavy_hitters(ds, col: str, phi: float, *,
     out = out.sort_values(["count", "key"],
                           ascending=[False, True]).reset_index(drop=True)
     return out.astype({"count": "int64", "n": "int64"})
+
+
+def save_distinct_state(ds, columns: list[str], path: str,
+                        *, fold_batch: int = 256) -> str:
+    """Persist the mergeable HLL register state of a run: one parquet
+    row per column — (column, regs list<uint8>[4096]) — so cardinality
+    monitoring is INCREMENTAL across snapshots: each ingest saves its
+    own 4 KB/column state, and ``merged_distinct`` answers "distinct
+    over all runs so far" by an elementwise register max, never
+    rescanning history.  (Register max over a union of streams equals
+    the union's registers — HLL's defining property.)"""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": pa.array(columns),
+            "regs": pa.array([_registers(batch.column(c)).tolist()
+                              for c in columns],
+                             type=pa.list_(pa.uint8()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_c, out_r = [], []
+        for c, grp in df.groupby("column", sort=True):
+            regs = np.stack([np.asarray(r, dtype=np.uint8)
+                             for r in grp["regs"]]).max(axis=0)
+            out_c.append(c)
+            out_r.append(regs.tolist())
+        return pa.table({"column": pa.array(out_c),
+                         "regs": pa.array(out_r,
+                                          type=pa.list_(pa.uint8()))})
+
+    parts = (ds.select_columns(columns)
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow",
+                          batch_size=fold_batch).to_pandas())
+    rows_c, rows_r = [], []
+    for c in columns:
+        grp = parts[parts["column"] == c] if len(parts) else parts
+        regs = (np.stack([np.asarray(r, dtype=np.uint8)
+                          for r in grp["regs"]]).max(axis=0)
+                if len(grp) else np.zeros(M, dtype=np.uint8))
+        rows_c.append(c)
+        rows_r.append(regs.tolist())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(pa.table({
+        "column": pa.array(rows_c),
+        "regs": pa.array(rows_r, type=pa.list_(pa.uint8()))}),
+        path + ".tmp")
+    os.replace(path + ".tmp", path)   # atomic: resume-safe
+    return path
+
+
+def merged_distinct(paths: list[str]) -> pd.DataFrame:
+    """Merge persisted HLL states (see ``save_distinct_state``) and
+    estimate: one row per column — (column, approx_distinct,
+    zero_registers, harmonic_scaled), identical to running
+    ``approx_distinct`` over the concatenation of all runs."""
+    import pyarrow.parquet as pq
+
+    acc: dict[str, np.ndarray] = {}
+    for p in paths:
+        t = pq.read_table(p)
+        for c, r in zip(t.column("column").to_pylist(),
+                        t.column("regs").to_pylist()):
+            r = np.asarray(r, dtype=np.uint8)
+            acc[c] = np.maximum(acc[c], r) if c in acc else r
+    rows = [{"column": c, **_estimate(r)}
+            for c, r in sorted(acc.items())]
+    return pd.DataFrame(rows)

@@ -4985,3 +4985,24 @@ def test_echo_score_planted(ray_session):
     assert c1["mean_echo"] == round_half_away((500000 + 666667) / 2 / 1e6, 6)
     c2 = out[out["conv_id"] == "c2"].iloc[0]
     assert c2["n_scored"] == 1 and c2["mean_echo"] == 0.0
+
+
+def test_hll_state_merge_equals_single_pass(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.sketches import (approx_distinct,
+                                              merged_distinct,
+                                              save_distinct_state)
+
+    vals = np.arange(5_000, dtype=np.int64)
+    full = ray.data.from_arrow(pa.table({"v": vals}))
+    a = ray.data.from_arrow(pa.table({"v": vals[: 3_000]}))
+    b = ray.data.from_arrow(pa.table({"v": vals[2_000:]}))  # overlap
+    pa_ = save_distinct_state(a, ["v"], str(tmp_path / "a.parquet"))
+    pb_ = save_distinct_state(b, ["v"], str(tmp_path / "b.parquet"))
+    merged = merged_distinct([pa_, pb_])
+    single = approx_distinct(full, ["v"])
+    assert merged["approx_distinct"][0] == single["approx_distinct"][0]
+    assert merged["harmonic_scaled"][0] == single["harmonic_scaled"][0]
