@@ -1602,6 +1602,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "doc_id", "text")
         return quantile_filter(s, "quality_score", 0.5)
 
+    def group_quality_filter_documents(sf):
+        # per-LANGUAGE median gate: each doc clears its own language's
+        # bar, so the dominant language can't starve the rest (the
+        # grouped sibling of quality_filter_documents)
+        from packs_ray.functions.joins import equi_join
+        from packs_ray.functions.profiling import grouped_quantile_filter
+        from packs_ray.functions.textstats import quality_scores
+
+        s = quality_scores(_ds(sf, "documents", ["doc_id", "text"]),
+                           "doc_id", "text")
+        j = equi_join(s, _ds(sf, "documents", ["doc_id", "lang"]),
+                      left_on=["doc_id"], right_on=["doc_id"],
+                      how="inner")
+        return grouped_quantile_filter(
+            j, "lang", "quality_score", 0.5,
+            keep_cols=["doc_id", "lang", "quality_score"])
+
     def source_gate_documents(sf):
         # RefinedWeb-style domain gate: drop every doc of a source whose
         # MEAN doc length misses the bar
@@ -2964,6 +2981,7 @@ checks for orders:
         "pii_luhn_orders": pii_luhn_orders,
         "pii_iban_orders": pii_iban_orders,
         "quality_filter_documents": quality_filter_documents,
+        "group_quality_filter_documents": group_quality_filter_documents,
         "source_gate_documents": source_gate_documents,
         "pivot_events_type": pivot_events_type,
         "dedup_snapshot_documents": dedup_snapshot_documents,
@@ -5830,6 +5848,17 @@ def oracle_sql() -> dict[str, str]:
             AS n_tokens
     FROM documents GROUP BY lang""",
         "quality_scores_documents": quality,
+        # grouped_quantile_filter: per-lang quantile_cont median,
+        # rounded 6dp BEFORE the >= compare (same as the engine)
+        "group_quality_filter_documents": f"""
+    WITH s AS ({quality}),
+    j AS (SELECT s.doc_id, d.lang, s.quality_score
+          FROM s JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL AND s.quality_score IS NOT NULL),
+    t AS (SELECT lang, round(quantile_cont(quality_score, 0.5), 6)
+              AS thr FROM j GROUP BY 1)
+    SELECT j.doc_id, j.lang, j.quality_score
+    FROM j JOIN t USING (lang) WHERE j.quality_score >= t.thr""",
         # profiling.quantile_filter: identical rank-interpolated median
         # (vlo + (qf - lo_i)*(vhi - vlo), qf = 0.5*(n-1)) then >= gate
         # source_gate: the engine compares grouped_stats' 6dp-pinned

@@ -1578,3 +1578,46 @@ def completeness_ci(ds, columns: list[str], *,
     out["ci_low"] = _r(lo.astype(np.float64), 6)
     out["ci_high"] = _r(hi.astype(np.float64), 6)
     return out
+
+
+def grouped_quantile_filter(ds, key_col: str, value_col: str, q: float,
+                            *, keep_cols: list[str] | None = None,
+                            num_partitions: int | None = None):
+    """Per-GROUP quantile gate: keep rows whose value is at-or-above
+    their own group's q-quantile — the curation shape that a global
+    gate (``quantile_filter``) gets wrong on mixed corpora, where one
+    dominant language/domain sets the bar and starves the rest.
+    Returns a lazy Dataset of the kept rows (``keep_cols`` or all
+    input columns).  Null key/value rows drop (they have no group
+    bar to clear).
+
+    Exactness: thresholds come from the exact ``grouped_quantiles``
+    (quantile_cont interpolation, 6dp) and the compare is ``>=``
+    against the ROUNDED threshold — both shared with the SQL replica.
+
+    Scale shape: the threshold table is bounded by group cardinality
+    (languages/domains — small by construction; a 10^9-key group-by
+    wants the sketch path instead), broadcast once with ``ray.put``;
+    the gate itself is a stateless vectorized filter, full rows never
+    shuffle."""
+    import ray
+
+    thr = grouped_quantiles(ds, key_col, value_col, qs=(q,),
+                            num_partitions=num_partitions).to_pandas()
+    mapping = dict(zip(thr[key_col], thr["value"]))
+    ref = ray.put(mapping)
+    cols = keep_cols or ds.schema().names
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        batch = batch.select(cols)
+        mask = pc.and_(pc.is_valid(batch.column(key_col)),
+                       pc.is_valid(batch.column(value_col)))
+        batch = batch.filter(mask)
+        keys = batch.column(key_col).to_pandas()
+        bars = keys.map(m).to_numpy(dtype=np.float64, na_value=np.inf)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.filter(pa.array(v >= bars))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

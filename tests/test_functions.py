@@ -5006,3 +5006,21 @@ def test_hll_state_merge_equals_single_pass(ray_session, tmp_path):
     single = approx_distinct(full, ["v"])
     assert merged["approx_distinct"][0] == single["approx_distinct"][0]
     assert merged["harmonic_scaled"][0] == single["harmonic_scaled"][0]
+
+
+def test_grouped_quantile_filter_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.profiling import grouped_quantile_filter
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(list(range(8)), type=pa.int64()),
+        "g": ["a", "a", "a", "a", "b", "b", None, "b"],
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 99.0, None],
+                      type=pa.float64())})).repartition(3)
+    out = grouped_quantile_filter(ds, "g", "v", 0.5).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # group a median 2.5 -> keep 3,4; group b median 15 -> keep 20;
+    # null g and null v rows drop
+    assert list(out["id"]) == [2, 3, 5]
