@@ -46,6 +46,16 @@ def equi_join(left_ds, right_ds, *, left_on: list[str], right_on: list[str],
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
             f"how must be inner/left/right/outer/semi/anti, got {how!r}")
+    # a schema-less side is a 0-row dataset whose upstream map stages
+    # never ran (known Ray behavior on empty input): its column names
+    # are unknowable, so emit the only provable result instead of
+    # raising — no left row can match a schema-less-empty right
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    if lsch is None:
+        return right_ds if how in ("right", "outer") else left_ds
+    if rsch is None:
+        return (left_ds if how in ("left", "anti", "outer")
+                else left_ds.limit(0))
     lcols = left_ds.schema().names
     ren = {c: (c + "_r" if c in lcols else c) for c in right_ds.schema().names}
     if how in ("inner", "left", "semi", "anti") \

@@ -1602,9 +1602,12 @@ def grouped_quantile_filter(ds, key_col: str, value_col: str, q: float,
     shuffle."""
     import ray
 
+    if ds.schema() is None:  # schema-less 0-row input: nothing to gate
+        return ds
     thr = grouped_quantiles(ds, key_col, value_col, qs=(q,),
                             num_partitions=num_partitions).to_pandas()
-    mapping = dict(zip(thr[key_col], thr["value"]))
+    mapping = (dict(zip(thr[key_col], thr["value"]))
+               if key_col in thr.columns else {})
     ref = ray.put(mapping)
     cols = keep_cols or ds.schema().names
 
