@@ -2299,6 +2299,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["user_id", "ts", "value"]),
             "user_id", "ts", "value")
 
+    def grouped_linreg_lineitem(sf):
+        # per-returnflag OLS of extendedprice on quantity: exact
+        # integer power sums, pinned float tail (regr_slope family)
+        from packs_ray.functions.agg import grouped_linreg
+
+        return grouped_linreg(
+            _ds(sf, "lineitem",
+                ["l_returnflag", "l_quantity", "l_extendedprice"]),
+            "l_returnflag", "l_quantity", "l_extendedprice")
+
     def ngram_novelty_documents(sf):
         # corpus-level commonness: fraction of each doc's distinct
         # 3-grams shared with at least one other doc
@@ -3079,6 +3089,7 @@ checks for orders:
         "grouped_sample_events": grouped_sample_events,
         "ngram_novelty_documents": ngram_novelty_documents,
         "trend_per_key_events": trend_per_key_events,
+        "grouped_linreg_lineitem": grouped_linreg_lineitem,
         "missingness_phi_events": missingness_phi_events,
         "dup_sizes_documents": dup_sizes_documents,
         "response_latency_transcripts": response_latency_transcripts,
@@ -7838,6 +7849,32 @@ def oracle_sql() -> dict[str, str]:
              THEN round((n*sxy - sx*sy)::DOUBLE
                         / (n*sxx - sx*sx)::DOUBLE * 14.4, 6)
         END AS slope_per_day
+    FROM s""",
+        # agg.grouped_linreg: exact HUGEINT power sums over int cents;
+        # slope = num/denx, intercept = (sy - num/denx*sx)/n/100,
+        # r2 = (num/denx)*(num/deny) — factored so no intermediate
+        # leaves HUGEINT; every float op order-pinned with the engine
+        "grouped_linreg_lineitem": """
+    WITH c AS (SELECT l_returnflag AS k,
+           CAST(round(l_quantity * 100, 0) AS BIGINT)::HUGEINT AS x,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT)::HUGEINT AS y
+           FROM lineitem WHERE l_returnflag IS NOT NULL
+             AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    s AS (SELECT k, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+          FROM c GROUP BY 1)
+    SELECT k AS l_returnflag, n::BIGINT AS n,
+      CASE WHEN n >= 2 AND (n*sxx - sx*sx) != 0
+           THEN round((n*sxy - sx*sy)::DOUBLE
+                      / (n*sxx - sx*sx)::DOUBLE, 6) END AS slope,
+      CASE WHEN n >= 2 AND (n*sxx - sx*sx) != 0
+           THEN round((sy::DOUBLE - (n*sxy - sx*sy)::DOUBLE
+                       / (n*sxx - sx*sx)::DOUBLE * sx::DOUBLE)
+                      / n::DOUBLE / 100.0, 6) END AS intercept,
+      CASE WHEN n >= 2 AND (n*sxx - sx*sx) != 0 AND (n*syy - sy*sy) != 0
+           THEN round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+                      * ((n*sxy - sx*sy)::DOUBLE
+                         / (n*syy - sy*sy)::DOUBLE), 6) END AS r2
     FROM s""",
         # webquality.ngram_novelty: distinct word 3-grams per doc, df
         # over STRING grams (engine uses 64-bit hashes; a collision

@@ -935,7 +935,7 @@ def trend_per_key(ds, key_col: str, ts_col: str, value_col: str, *,
             a, b = starts[i], starts[i + 1]
             x = (us[a:b] - us[a:b].min()) // 60_000_000  # whole minutes
             y = cents[a:b]
-            n = b - a
+            n = int(b - a)  # Python int: n*sxy must not wrap in int64
             sx, sy = _exact_int_sum(x), _exact_int_sum(y)
             sxy, sxx = _exact_int_sum(x * y), _exact_int_sum(x * x)
             den = n * sxx - sx * sx
@@ -1325,3 +1325,90 @@ def keyed_label_entropy(ds, key_col: str, label_col: str,
     return bucketed_group_reduce(
         ds.map_batches(marks, batch_format="pyarrow"),
         [key_col], per_bucket, num_partitions).sort(key_col)
+
+
+def grouped_linreg(ds, key_col: str, x_col: str, y_col: str, *,
+                   num_buckets: int | None = None):
+    """Per-key OLS of ``y`` on ``x``: slope, intercept, r2 — the
+    regr_slope/regr_intercept/regr_r2 family (dqops column-comparison
+    checks; the reference's nearest shape is the numeric-relationship
+    scoring in numeric_validation_pack/main.py:104-204, which only
+    bounds single columns).
+
+    Exactness: both columns scale to exact int64 cents (round half
+    away), all five power sums accumulate as exact Python ints
+    (chunked via _exact_int_sum), and the float expressions are pinned
+    term-for-term with the HUGEINT SQL replica:
+    ``slope = num/denx``, ``intercept = (sy - num/denx*sx)/n/100``,
+    ``r2 = (num/denx)*(num/deny)`` (the factored form keeps every
+    intermediate inside HUGEINT — denx*deny would overflow 128 bits),
+    each rounded 6dp.  Keys with n < 2 or zero x-variance emit nulls
+    (r2 also null on zero y-variance).  Null key/x/y rows drop.
+
+    Scale shape: only (key, x, y) shuffles once on hash(key); per-
+    bucket work is vectorized; output is one row per key."""
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, x_col, y_col])
+        mask = pc.and_(pc.and_(batch.column(key_col).is_valid(),
+                               batch.column(x_col).is_valid()),
+                       batch.column(y_col).is_valid())
+        batch = batch.filter(mask)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({key_col: [], "n": pd.Series([], dtype="int64"),
+                          "slope": pd.Series([], dtype="float64"),
+                          "intercept": pd.Series([], dtype="float64"),
+                          "r2": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        xc = np.rint(g[x_col].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        yc = np.rint(g[y_col].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        keys = g[key_col].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys, xc, yc = keys[order], xc[order], yc[order]
+        starts = np.r_[0, np.nonzero(keys[1:] != keys[:-1])[0] + 1,
+                       len(keys)]
+        rows = []
+        for i in range(len(starts) - 1):
+            a, b = starts[i], starts[i + 1]
+            x, y = xc[a:b], yc[a:b]
+            n = int(b - a)  # Python int: n*sxy would wrap in int64
+            sx, sy = _exact_int_sum(x), _exact_int_sum(y)
+            sxx, syy = _exact_int_sum(x * x), _exact_int_sum(y * y)
+            sxy = _exact_int_sum(x * y)
+            num = n * sxy - sx * sy
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            slope = intercept = r2 = None
+            if n >= 2 and denx != 0:
+                sl = float(num) / float(denx)
+                slope = float(_r(sl, 6))
+                intercept = float(_r(
+                    (float(sy) - sl * float(sx)) / float(n) / 100.0, 6))
+                if deny != 0:
+                    r2 = float(_r(sl * (float(num) / float(deny)), 6))
+            rows.append((keys[a], np.int64(n), slope, intercept, r2))
+        out = pd.DataFrame(rows, columns=[key_col, "n", "slope",
+                                          "intercept", "r2"])
+        out["n"] = out["n"].astype(np.int64)
+        for c in ("slope", "intercept", "r2"):
+            out[c] = out[c].astype(np.float64)
+        return out
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -5024,3 +5024,46 @@ def test_grouped_quantile_filter_planted(ray_session):
     # group a median 2.5 -> keep 3,4; group b median 15 -> keep 20;
     # null g and null v rows drop
     assert list(out["id"]) == [2, 3, 5]
+
+
+def test_grouped_linreg_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.agg import grouped_linreg
+
+    # group a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    # group b: constant x -> null slope/intercept/r2; null rows drop
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b", "b", None, "a"],
+        "x": pa.array([1.0, 2.0, 3.0, 5.0, 5.0, 1.0, None],
+                      type=pa.float64()),
+        "y": pa.array([3.0, 5.0, 7.0, 9.0, 11.0, 1.0, 2.0],
+                      type=pa.float64())})).repartition(3)
+    out = grouped_linreg(ds, "g", "x", "y").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(out["g"]) == ["a", "b"]
+    assert list(out["n"]) == [3, 2]
+    a = out.iloc[0]
+    assert a["slope"] == 2.0 and a["intercept"] == 1.0 and a["r2"] == 1.0
+    b = out.iloc[1]
+    assert np.isnan(b["slope"]) and np.isnan(b["r2"])
+
+
+def test_grouped_linreg_no_int64_wraparound(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.agg import grouped_linreg
+
+    # magnitudes chosen so n*sxy exceeds int64: a wraparound flips the
+    # r2 sign (the bug this test pins); exact math keeps r2 in [0, 1]
+    n = 20_000
+    rng = __import__("numpy").random.default_rng(7)
+    x = rng.uniform(1, 50, n).round(2)
+    y = rng.uniform(900.0, 105_000.0, n).round(2)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["k"] * n), "x": pa.array(x), "y": pa.array(y)}))
+    out = grouped_linreg(ds, "g", "x", "y").to_pandas()
+    assert len(out) == 1 and 0.0 <= out["r2"][0] <= 1.0
