@@ -2229,6 +2229,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def refusal_profile_transcripts(sf):
+        # SFT-curation screen: per-conversation assistant refusal rate
+        # (literal contains against rules.patterns.REFUSAL_PHRASES)
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import refusal_profile
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "role", "text"])
+        return refusal_profile(tds)
+
     def language_consistency_transcripts(sf):
         # code-switching screen: per-conversation majority language +
         # agreement from per-turn marker-word language ID
@@ -3096,6 +3106,7 @@ checks for orders:
         "context_fit_transcripts": context_fit_transcripts,
         "repeated_responses_transcripts": repeated_responses_transcripts,
         "echo_score_transcripts": echo_score_transcripts,
+        "refusal_profile_transcripts": refusal_profile_transcripts,
         "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
@@ -4131,6 +4142,36 @@ def _echo_score_sql() -> str:
         round(CAST(sum(ppm) AS DOUBLE) / count(*) / 1e6, 6) AS mean_echo,
         CAST(max(ppm) AS DOUBLE) / 1e6 AS max_echo
     FROM ppm GROUP BY conv_id ORDER BY conv_id"""
+
+
+def _refusal_profile_sql() -> str:
+    """stages.conversation.refusal_profile replica: assistant turns
+    only (null role/conv drop, null text counts but never matches),
+    literal lowercase CONTAINS against REFUSAL_PHRASES, one pinned
+    6dp division per conversation."""
+    from packs_ray.rules.patterns import REFUSAL_PHRASES
+
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, role, text"
+    hit = " OR ".join(
+        "contains(low, '" + p.replace("'", "''") + "')"
+        for p in REFUSAL_PHRASES)
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT conv_id, lower(coalesce(text, '')) AS low FROM t
+          WHERE conv_id IS NOT NULL
+            AND coalesce(CAST(role AS VARCHAR), '') = 'assistant')
+    SELECT conv_id, count(*)::BIGINT AS n_assistant,
+        sum(CASE WHEN {hit} THEN 1 ELSE 0 END)::BIGINT AS n_refusals,
+        round(sum(CASE WHEN {hit} THEN 1 ELSE 0 END)::DOUBLE
+              / count(*), 6) AS refusal_rate
+    FROM e GROUP BY conv_id ORDER BY conv_id"""
 
 
 def _lang_consistency_sql() -> str:
@@ -8200,6 +8241,7 @@ def oracle_sql() -> dict[str, str]:
         "context_fit_transcripts": _context_fit_sql(256),
         "repeated_responses_transcripts": _repeated_responses_sql(),
         "echo_score_transcripts": _echo_score_sql(),
+        "refusal_profile_transcripts": _refusal_profile_sql(),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),

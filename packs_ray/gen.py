@@ -66,6 +66,19 @@ _TOX_SNIPPETS = [
     "i will toxthreat1 you if this happens again",
 ]
 
+# refusal openers planted on ~4% of clean assistant turns (NOT a defect
+# class: refusals are kept by the filter; they exist so the refusal
+# screen has real positives to find). Each contains >=1 of
+# packs_ray.rules.patterns.REFUSAL_PHRASES.
+_REFUSAL_SNIPPETS = [
+    "i cannot help with that request",
+    "i'm sorry but that is not something i can do",
+    "i am unable to provide that information",
+    "i won't be able to do that",
+    "as an ai i cannot comply with this",
+    "i apologize but i must decline",
+]
+
 DEFECT_CLASSES = (
     "clean",            # 0
     "null_text",        # 1
@@ -227,6 +240,15 @@ def generate_transcripts(
     ooo = idx_of("ooo_ts")
     ts[ooo[ooo > 0]] = base  # far before its conversation's window
 
+    # plant refusal openers on ~4% of clean assistant turns (before the
+    # duplicate copy so dup pairs stay exact)
+    ref_cand = np.flatnonzero((defect == "clean")
+                              & (np.asarray(role, dtype=object) == "assistant"))
+    ref_sel = ref_cand[rng.random(len(ref_cand)) < 0.04]
+    for k, i in zip(rng.integers(0, len(_REFUSAL_SNIPPETS),
+                                 size=len(ref_sel)), ref_sel):
+        text[i] = f"{_REFUSAL_SNIPPETS[int(k)]} {text[i]}"
+
     dup = idx_of("duplicate")
     clean = idx_of("clean")
     if len(dup) and len(clean):
@@ -262,7 +284,11 @@ def transcripts_path(n_turns: int, seed: int = 42, cache_dir: str = "/tmp/packs_
     files (sharded input for the resumable pipeline); otherwise one file.
     """
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"transcripts_n{n_turns}_s{seed}" + (f"_f{num_files}" if num_files > 1 else "")
+    # bump the generation tag whenever generate_transcripts changes:
+    # cache files are keyed by (n, seed, g) so a stale pre-change cache
+    # can never be served against post-change oracles (g2: refusals)
+    tag = (f"transcripts_n{n_turns}_s{seed}_g2"
+           + (f"_f{num_files}" if num_files > 1 else ""))
     path = os.path.join(cache_dir, tag if num_files > 1 else tag + ".parquet")
     done = path + ".done"
     if os.path.exists(done):

@@ -92,3 +92,14 @@ TOXICITY_REGEX: str = r"(?i)\b(?:" + "|".join(re.escape(k) for k in TOXICITY_KEY
 #: /root/reference/fhir_compliance_pack/main.py:77-79 applied to the
 #: transcript ``role`` column).
 VALID_ROLES: frozenset[str] = frozenset({"system", "user", "assistant", "tool"})
+
+#: Literal lowercase substrings that mark an assistant turn as a refusal
+#: (the SFT-curation screen for refusal-heavy data; contains-semantics
+#: like the PII search, /root/reference/pii_scanner_pack/main.py:29-55).
+#: Kept literal (no regex) so the engine and the SQL oracle share exact
+#: strpos semantics.
+REFUSAL_PHRASES: list[str] = [
+    "i cannot", "i can't", "i am unable", "i'm unable", "i won't",
+    "i'm sorry", "i am sorry", "as an ai", "i apologize",
+    "i must decline", "unable to provide", "cannot comply",
+]

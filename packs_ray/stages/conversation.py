@@ -741,3 +741,82 @@ def echo_score(ds, *, conv_col: str = "conv_id", idx_col: str = "turn_idx",
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
         .sort(conv_col)
+
+
+def refusal_profile(ds, *, conv_col: str = "conv_id",
+                    role_col: str = "role", text_col: str = "text",
+                    phrases: list[str] | None = None,
+                    num_buckets: int | None = None):
+    """Per-conversation assistant-refusal profile: how many assistant
+    turns open with a refusal ("i cannot", "i'm sorry", ...) — the SFT
+    curation screen that drops or downweights refusal-heavy
+    conversations before instruction tuning.  Matching is literal
+    lowercase CONTAINS against :data:`packs_ray.rules.patterns
+    .REFUSAL_PHRASES` (the pii_scanner contains-semantics,
+    /root/reference/pii_scanner_pack/main.py:29-55) so the engine and
+    the SQL oracle share exact strpos semantics.
+
+    Output per conversation with >=1 assistant turn:
+    (conv_id, n_assistant, n_refusals, refusal_rate) ordered by
+    conv_id.  Null-text assistant turns count in n_assistant but never
+    as refusals; null conv/role rows drop.  refusal_rate is ONE pinned
+    division, 6dp.
+
+    Scale shape: flags are computed BEFORE the exchange — only
+    (conv, is_refusal) marks shuffle once on hash(conv); per-bucket
+    work is one vectorized groupby-sum."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.rules.patterns import REFUSAL_PHRASES
+
+    bank = REFUSAL_PHRASES if phrases is None else phrases
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([conv_col, role_col, text_col])
+        mask = pc.and_(batch.column(conv_col).is_valid(),
+                       pc.equal(pc.fill_null(
+                           pc.cast(batch.column(role_col), pa.string()),
+                           ""), "assistant"))
+        batch = batch.filter(mask)
+        low = pc.utf8_lower(pc.fill_null(
+            pc.cast(batch.column(text_col), pa.string()), ""))
+        hit = np.zeros(len(batch), dtype=bool)
+        for p in bank:
+            hit |= pc.match_substring(low, p).to_numpy(
+                zero_copy_only=False)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return pa.table({
+            conv_col: batch.column(conv_col),
+            "is_refusal": pa.array(hit.astype(np.int64)),
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({conv_col: [],
+                          "n_assistant": pd.Series([], dtype="int64"),
+                          "n_refusals": pd.Series([], dtype="int64"),
+                          "refusal_rate": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from packs_ray.stages.util import round_half_away as _r
+
+        if len(g) == 0:
+            return empty.copy()
+        out = (g.groupby(conv_col, sort=False)
+               .agg(n_assistant=("is_refusal", "size"),
+                    n_refusals=("is_refusal", "sum"))
+               .reset_index())
+        out["refusal_rate"] = _r(
+            out["n_refusals"].to_numpy(np.float64)
+            / out["n_assistant"].to_numpy(np.float64), 6)
+        for col in ("n_assistant", "n_refusals"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(conv_col)

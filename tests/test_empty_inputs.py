@@ -25,6 +25,7 @@ SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
         "repeated_responses_transcripts",
         "language_consistency_transcripts",
         "echo_score_transcripts",
+        "refusal_profile_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 

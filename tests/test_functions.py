@@ -4987,6 +4987,33 @@ def test_echo_score_planted(ray_session):
     assert c2["n_scored"] == 1 and c2["mean_echo"] == 0.0
 
 
+def test_refusal_profile_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.stages.conversation import refusal_profile
+
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3", None],
+        "role": ["user", "assistant", "assistant",
+                 "assistant", "assistant", "user", "assistant"],
+        "text": ["I cannot come to the phone",   # user turn: ignored
+                 "I CANNOT help with that",       # refusal (case-folded)
+                 "sure, here you go",             # not a refusal
+                 None,                            # null text: counted, no hit
+                 "well, i must decline today",    # refusal mid-string
+                 "hi",                            # conv c3: no assistant turns
+                 "i apologize"]}))                # null conv: dropped
+    out = refusal_profile(ds).to_pandas().set_index("conv_id")
+    assert list(out.index) == ["c1", "c2"]
+    assert out.loc["c1", "n_assistant"] == 2
+    assert out.loc["c1", "n_refusals"] == 1
+    assert out.loc["c1", "refusal_rate"] == 0.5
+    assert out.loc["c2", "n_assistant"] == 2
+    assert out.loc["c2", "n_refusals"] == 1
+    assert out.loc["c2", "refusal_rate"] == 0.5
+
+
 def test_hll_state_merge_equals_single_pass(ray_session, tmp_path):
     import numpy as np
     import pyarrow as pa
