@@ -2239,6 +2239,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  columns=["conv_id", "role", "text"])
         return refusal_profile(tds)
 
+    def toxicity_profile_transcripts(sf):
+        # toxicity curation screen: per-conversation toxic-turn counts
+        # (north-star toxicity keyword filter as a conversation metric)
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import toxicity_profile
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "role", "text"])
+        return toxicity_profile(tds)
+
+    def turn_integrity_transcripts(sf):
+        # sequence-integrity screen: per-conversation turn_idx holes
+        # and double writes (fhir_compliance sequence semantics at the
+        # conversation level)
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import turn_integrity
+
+        tds = read_parquet_sized(_transcripts(sf),
+                                 columns=["conv_id", "turn_idx"])
+        return turn_integrity(tds)
+
+    def dedup_conversations_transcripts(sf):
+        # conversation-LEVEL exact dedup over the fixture UNION a
+        # relabeled copy of itself, so every conversation has exactly
+        # one planted duplicate and the canonical-min assignment is
+        # exercised on every digest group
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import dedup_conversations
+
+        cols = ["conv_id", "turn_idx", "role", "text"]
+        tds = read_parquet_sized(_transcripts(sf), columns=cols)
+
+        def relabel(t):
+            cid = pc.binary_join_element_wise(
+                pc.cast(t.column("conv_id"), pa.string()), "zcopy", "_")
+            return t.set_column(t.schema.get_field_index("conv_id"),
+                                "conv_id", cid)
+
+        both = tds.union(tds.map_batches(relabel, batch_format="pyarrow"))
+        return dedup_conversations(both)
+
     def language_consistency_transcripts(sf):
         # code-switching screen: per-conversation majority language +
         # agreement from per-turn marker-word language ID
@@ -3107,6 +3151,9 @@ checks for orders:
         "repeated_responses_transcripts": repeated_responses_transcripts,
         "echo_score_transcripts": echo_score_transcripts,
         "refusal_profile_transcripts": refusal_profile_transcripts,
+        "toxicity_profile_transcripts": toxicity_profile_transcripts,
+        "turn_integrity_transcripts": turn_integrity_transcripts,
+        "dedup_conversations_transcripts": dedup_conversations_transcripts,
         "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
@@ -4172,6 +4219,100 @@ def _refusal_profile_sql() -> str:
         round(sum(CASE WHEN {hit} THEN 1 ELSE 0 END)::DOUBLE
               / count(*), 6) AS refusal_rate
     FROM e GROUP BY conv_id ORDER BY conv_id"""
+
+
+def _toxicity_profile_sql() -> str:
+    """stages.conversation.toxicity_profile replica: null conv drops,
+    null text never matches, null role counts but is never assistant,
+    one pinned 6dp division per conversation; same RE2 regex engine
+    on both sides."""
+    from packs_ray.rules.patterns import TOXICITY_REGEX
+
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, role, text"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT conv_id,
+            CASE WHEN coalesce(regexp_matches(text, '{TOXICITY_REGEX}'),
+                               false) THEN 1 ELSE 0 END AS tox,
+            CASE WHEN coalesce(CAST(role AS VARCHAR), '') = 'assistant'
+                 THEN 1 ELSE 0 END AS is_a
+          FROM t WHERE conv_id IS NOT NULL)
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+        sum(tox)::BIGINT AS n_toxic,
+        sum(tox * is_a)::BIGINT AS n_toxic_assistant,
+        round(sum(tox)::DOUBLE / count(*), 6) AS toxicity_rate
+    FROM e GROUP BY conv_id ORDER BY conv_id"""
+
+
+def _turn_integrity_sql() -> str:
+    """stages.conversation.turn_integrity replica: null conv/idx rows
+    drop; n_missing = span - distinct, n_dup_idx = rows - distinct."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT conv_id, turn_idx::BIGINT AS idx FROM t
+          WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
+    SELECT conv_id, count(*)::BIGINT AS n_turns,
+        count(DISTINCT idx)::BIGINT AS n_distinct_idx,
+        min(idx)::BIGINT AS min_idx, max(idx)::BIGINT AS max_idx,
+        (max(idx) - min(idx) + 1 - count(DISTINCT idx))::BIGINT AS n_missing,
+        (count(*) - count(DISTINCT idx))::BIGINT AS n_dup_idx
+    FROM e GROUP BY conv_id ORDER BY conv_id"""
+
+
+def _dedup_conversations_sql() -> str:
+    """stages.conversation.dedup_conversations replica over the fixture
+    UNION a '_zcopy'-relabeled copy: conversations are content-equal
+    iff their multisets of (turn_idx, role, text) triples are equal —
+    the oracle canonicalizes each multiset as an ordered string_agg
+    (the engine sums avalanched per-row hashes, same partition up to
+    negligible 128-bit collisions); canonical = min(conv_id) per
+    content group.  Null role/text are content: encoded with a chr(0)
+    sentinel no fixture text contains."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, text"
+    nul = "chr(0) || 'N'"
+    return f"""
+    WITH t0 AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    t AS (SELECT * FROM t0
+          UNION ALL
+          SELECT conv_id || '_zcopy' AS conv_id, turn_idx, role, text
+          FROM t0 WHERE conv_id IS NOT NULL),
+    e AS (SELECT conv_id, turn_idx::BIGINT AS idx,
+            coalesce(CAST(role AS VARCHAR), {nul}) AS r,
+            coalesce(text, {nul}) AS tx
+          FROM t WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
+    k AS (SELECT conv_id,
+            string_agg(idx || chr(31) || r || chr(31) || tx, chr(30)
+                       ORDER BY idx, r, tx) AS sig
+          FROM e GROUP BY conv_id),
+    c AS (SELECT conv_id,
+            min(conv_id) OVER (PARTITION BY sig) AS canonical_conv_id
+          FROM k)
+    SELECT conv_id, canonical_conv_id,
+        (CASE WHEN conv_id <> canonical_conv_id THEN 1 ELSE 0 END)::BIGINT
+            AS is_dup
+    FROM c ORDER BY conv_id"""
 
 
 def _lang_consistency_sql() -> str:
@@ -8242,6 +8383,9 @@ def oracle_sql() -> dict[str, str]:
         "repeated_responses_transcripts": _repeated_responses_sql(),
         "echo_score_transcripts": _echo_score_sql(),
         "refusal_profile_transcripts": _refusal_profile_sql(),
+        "toxicity_profile_transcripts": _toxicity_profile_sql(),
+        "turn_integrity_transcripts": _turn_integrity_sql(),
+        "dedup_conversations_transcripts": _dedup_conversations_sql(),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),

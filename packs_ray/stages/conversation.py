@@ -820,3 +820,265 @@ def refusal_profile(ds, *, conv_col: str = "conv_id",
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
         .sort(conv_col)
+
+
+def toxicity_profile(ds, *, conv_col: str = "conv_id",
+                     role_col: str = "role", text_col: str = "text",
+                     regex: str | None = None,
+                     num_buckets: int | None = None):
+    """Per-conversation toxicity profile: how many turns (any role) match
+    the toxicity keyword bank, and how many of those are assistant turns
+    — the curation screen that drops or routes toxic conversations before
+    training (the north-star "toxicity keyword filter" surfaced as a
+    per-conversation metric instead of a per-turn drop bit,
+    :data:`packs_ray.rules.turn_rules` bit ``toxicity``).
+
+    Matching is :data:`packs_ray.rules.patterns.TOXICITY_REGEX` via RE2
+    (`pc.match_substring_regex`), the same engine DuckDB uses for
+    ``regexp_matches`` — so engine and oracle share exact semantics.
+
+    Output per conversation: (conv_id, n_turns, n_toxic,
+    n_toxic_assistant, toxicity_rate) ordered by conv_id.  Null-conv
+    rows drop; null text counts in n_turns but never matches; null role
+    counts but is never "assistant".  toxicity_rate is ONE pinned
+    division, 6dp.
+
+    Scale shape: flags are computed BEFORE the exchange — only
+    (conv, is_toxic, is_assistant) marks shuffle once on hash(conv);
+    per-bucket work is one vectorized groupby-sum."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.rules.patterns import TOXICITY_REGEX
+
+    rx = TOXICITY_REGEX if regex is None else regex
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([conv_col, role_col, text_col])
+        batch = batch.filter(batch.column(conv_col).is_valid())
+        text = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        tox = pc.match_substring_regex(text, rx).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        role = pc.fill_null(pc.cast(batch.column(role_col), pa.string()), "")
+        is_a = pc.equal(role, "assistant").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return pa.table({
+            conv_col: batch.column(conv_col),
+            "is_toxic": pa.array(tox),
+            "tox_assistant": pa.array(tox * is_a),
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({
+        conv_col: [],
+        "n_turns": pd.Series([], dtype="int64"),
+        "n_toxic": pd.Series([], dtype="int64"),
+        "n_toxic_assistant": pd.Series([], dtype="int64"),
+        "toxicity_rate": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from packs_ray.stages.util import round_half_away as _r
+
+        if len(g) == 0:
+            return empty.copy()
+        out = (g.groupby(conv_col, sort=False)
+               .agg(n_turns=("is_toxic", "size"),
+                    n_toxic=("is_toxic", "sum"),
+                    n_toxic_assistant=("tox_assistant", "sum"))
+               .reset_index())
+        out["toxicity_rate"] = _r(
+            out["n_toxic"].to_numpy(np.float64)
+            / out["n_turns"].to_numpy(np.float64), 6)
+        for col in ("n_turns", "n_toxic", "n_toxic_assistant"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(conv_col)
+
+
+def turn_integrity(ds, *, conv_col: str = "conv_id",
+                   idx_col: str = "turn_idx",
+                   num_buckets: int | None = None):
+    """Per-conversation turn-index integrity: does the conversation's
+    turn_idx sequence have holes or duplicates?  The transcript analogue
+    of the reference's sequence/required-field validity
+    (/root/reference/fhir_compliance_pack/main.py:67-98) at the
+    conversation level — truncated logging, lost turns and double
+    writes all show up here before they poison SFT assembly.
+
+    Output per conversation: (conv_id, n_turns, n_distinct_idx,
+    min_idx, max_idx, n_missing, n_dup_idx) ordered by conv_id, where
+    n_missing = (max-min+1) - n_distinct (holes inside the observed
+    span) and n_dup_idx = n_turns - n_distinct (double-written
+    indices).  Rows with null conv or null idx drop (a null index can
+    be neither a hole nor a duplicate).
+
+    Scale shape: only (conv, idx) marks shuffle once on hash(conv);
+    per-bucket work is one vectorized groupby (size/nunique/min/max)."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select([conv_col, idx_col])
+        mask = pc.and_(batch.column(conv_col).is_valid(),
+                       batch.column(idx_col).is_valid())
+        batch = batch.filter(mask)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return pa.table({
+            conv_col: batch.column(conv_col),
+            "idx": pc.cast(batch.column(idx_col), pa.int64()),
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({
+        conv_col: [],
+        **{c: pd.Series([], dtype="int64")
+           for c in ("n_turns", "n_distinct_idx", "min_idx", "max_idx",
+                     "n_missing", "n_dup_idx")}})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        out = (g.groupby(conv_col, sort=False)
+               .agg(n_turns=("idx", "size"),
+                    n_distinct_idx=("idx", "nunique"),
+                    min_idx=("idx", "min"), max_idx=("idx", "max"))
+               .reset_index())
+        out["n_missing"] = (out["max_idx"] - out["min_idx"] + 1
+                            - out["n_distinct_idx"])
+        out["n_dup_idx"] = out["n_turns"] - out["n_distinct_idx"]
+        for c in ("n_turns", "n_distinct_idx", "min_idx", "max_idx",
+                  "n_missing", "n_dup_idx"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(conv_col)
+
+
+def dedup_conversations(ds, *, conv_col: str = "conv_id",
+                        idx_col: str = "turn_idx",
+                        role_col: str = "role", text_col: str = "text",
+                        num_buckets: int | None = None):
+    """Conversation-LEVEL exact dedup: two conversations are duplicates
+    iff their multisets of (turn_idx, role, text) triples are equal —
+    i.e. the same turns at the same positions, regardless of row order
+    on disk.  The whole-dialog analogue of the per-turn exact dedup
+    (:func:`packs_ray.stages.dedup.dedup_marks`); re-crawled or
+    double-logged conversations collapse to one canonical id.
+
+    Output one row per conversation: (conv_id, canonical_conv_id,
+    is_dup) ordered by conv_id, where canonical_conv_id is the MINIMUM
+    conv_id among content-equal conversations and is_dup = 1 for every
+    non-canonical member.  Rows with null conv or null idx drop; null
+    role/text are content (hashed like any value).
+
+    Scale design: text NEVER shuffles.  Each row contributes two
+    avalanched 64-bit mixes of (turn_idx, role, text); a conversation's
+    digest is the WRAPPING uint64 SUM of its rows' mixes (order-free,
+    so batch-local partial sums combine across blocks), 128 bits total
+    — collision odds are negligible at 10^12 turns.  Exchange 1:
+    per-batch partial sums (conv, s1, s2, n) on hash(conv).  Exchange
+    2: one finished digest row per conversation on hash(digest), where
+    min(conv_id) per digest group is the canonical.  Both exchanges
+    carry ~40 B/conversation."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    P = np.uint64(1099511628211)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([conv_col, idx_col, role_col, text_col])
+        mask = pc.and_(batch.column(conv_col).is_valid(),
+                       batch.column(idx_col).is_valid())
+        batch = batch.filter(mask)
+        role = batch.column(role_col).to_numpy(
+            zero_copy_only=False).astype(object)
+        text = batch.column(text_col).to_numpy(
+            zero_copy_only=False).astype(object)
+        idx = pc.cast(batch.column(idx_col),
+                      pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        h1 = (pd.util.hash_array(role, hash_key="0123456789123456") * P) \
+            ^ pd.util.hash_array(text, hash_key="0123456789123456")
+        h2 = (pd.util.hash_array(role, hash_key="6543216543210987") * P) \
+            ^ pd.util.hash_array(text, hash_key="6543216543210987")
+        # avalanche the (content, position) pair so wrapping sums of
+        # many rows cannot cancel structurally
+        m1 = pd.util.hash_array((h1 ^ (idx * P)).astype(np.uint64))
+        m2 = pd.util.hash_array((h2 ^ (idx * np.uint64(0x9E3779B97F4A7C15)))
+                                .astype(np.uint64))
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.Series(conv), sort=False)
+        order = np.argsort(codes, kind="stable")
+        starts = np.searchsorted(codes[order], np.arange(len(uniq)))
+        s1 = np.add.reduceat(m1[order], starts) if len(uniq) else \
+            np.array([], dtype=np.uint64)
+        s2 = np.add.reduceat(m2[order], starts) if len(uniq) else \
+            np.array([], dtype=np.uint64)
+        hb = pd.util.hash_array(np.asarray(uniq, dtype=object))
+        return pa.table({
+            conv_col: pa.array(uniq, type=pa.string()),
+            "s1": pa.array(s1.view(np.int64)),
+            "s2": pa.array(s2.view(np.int64)),
+            "bucket": pa.array((hb % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    dig_empty = pd.DataFrame({conv_col: [],
+                              "d1": pd.Series([], dtype="int64"),
+                              "d2": pd.Series([], dtype="int64"),
+                              "bucket2": pd.Series([], dtype="int64")})
+
+    def finish_digest(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return dig_empty.copy()
+        gg = g.sort_values(conv_col, kind="stable")
+        codes, uniq = pd.factorize(gg[conv_col], sort=False)
+        starts = np.searchsorted(codes, np.arange(len(uniq)))
+        d1 = np.add.reduceat(
+            gg["s1"].to_numpy(np.int64).view(np.uint64), starts)
+        d2 = np.add.reduceat(
+            gg["s2"].to_numpy(np.int64).view(np.uint64), starts)
+        hb = pd.util.hash_array((d1 * P) ^ d2)
+        return pd.DataFrame({
+            conv_col: uniq,
+            "d1": d1.view(np.int64), "d2": d2.view(np.int64),
+            "bucket2": (hb % np.uint64(num_buckets)).astype(np.int64)})
+
+    out_empty = pd.DataFrame({conv_col: [],
+                              "canonical_conv_id": pd.Series([], dtype=object),
+                              "is_dup": pd.Series([], dtype="int64")})
+
+    def assign_canonical(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return out_empty.copy()
+        canon = g.groupby(["d1", "d2"], sort=False)[conv_col].transform("min")
+        return pd.DataFrame({
+            conv_col: g[conv_col].to_numpy(),
+            "canonical_conv_id": canon.to_numpy(),
+            "is_dup": (g[conv_col].to_numpy()
+                       != canon.to_numpy()).astype(np.int64)})
+
+    digests = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(finish_digest, batch_format="pandas"))
+    return digests.groupby("bucket2") \
+        .map_groups(assign_canonical, batch_format="pandas") \
+        .sort(conv_col)

@@ -26,6 +26,9 @@ SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
         "language_consistency_transcripts",
         "echo_score_transcripts",
         "refusal_profile_transcripts",
+        "toxicity_profile_transcripts",
+        "turn_integrity_transcripts",
+        "dedup_conversations_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 

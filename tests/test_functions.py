@@ -5094,3 +5094,80 @@ def test_grouped_linreg_no_int64_wraparound(ray_session):
         "g": pa.array(["k"] * n), "x": pa.array(x), "y": pa.array(y)}))
     out = grouped_linreg(ds, "g", "x", "y").to_pandas()
     assert len(out) == 1 and 0.0 <= out["r2"][0] <= 1.0
+
+
+def test_toxicity_profile_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.stages.conversation import toxicity_profile
+
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2", None],
+        "role": ["user", "assistant", None, "assistant", "user"],
+        "text": ["you toxslur1!",          # toxic user turn
+                 "ToxThreat1 indeed",       # toxic assistant (case-fold)
+                 None,                      # null text: counted, no hit
+                 "all calm",                # clean
+                 "toxslur2"]}))             # null conv: dropped
+    out = toxicity_profile(ds).to_pandas().set_index("conv_id")
+    assert list(out.index) == ["c1", "c2"]
+    assert out.loc["c1", "n_turns"] == 3
+    assert out.loc["c1", "n_toxic"] == 2
+    assert out.loc["c1", "n_toxic_assistant"] == 1
+    assert out.loc["c1", "toxicity_rate"] == 0.666667
+    assert out.loc["c2", "n_toxic"] == 0
+    # word boundary: substring inside a longer token must NOT match
+    ds2 = ray.data.from_arrow(pa.table({
+        "conv_id": ["x"], "role": ["user"], "text": ["xtoxslur1y"]}))
+    assert toxicity_profile(ds2).to_pandas()["n_toxic"][0] == 0
+
+
+def test_turn_integrity_holes_and_dups(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.stages.conversation import turn_integrity
+
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": ["a", "a", "a", "b", "b", "c", None],
+        "turn_idx": pa.array([0, 2, 2, 5, 6, None, 0], type=pa.int32())}))
+    out = turn_integrity(ds).to_pandas().set_index("conv_id")
+    # a: idx {0,2,2} -> span 3, distinct 2, 1 hole (idx 1), 1 dup
+    assert list(out.index) == ["a", "b"]
+    assert out.loc["a", "n_turns"] == 3
+    assert out.loc["a", "n_distinct_idx"] == 2
+    assert (out.loc["a", "min_idx"], out.loc["a", "max_idx"]) == (0, 2)
+    assert out.loc["a", "n_missing"] == 1
+    assert out.loc["a", "n_dup_idx"] == 1
+    # b: contiguous but not zero-based -> no holes inside observed span
+    assert out.loc["b", "n_missing"] == 0 and out.loc["b", "n_dup_idx"] == 0
+
+
+def test_dedup_conversations_multiset_semantics(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.stages.conversation import dedup_conversations
+
+    ds = ray.data.from_arrow(pa.table({
+        # b == a (same triples, different on-disk row order);
+        # c differs from a only by turn positions (swapped idx);
+        # d differs by one role; e has a null text matching f's null
+        "conv_id": ["a", "a", "b", "b", "c", "c", "d", "d", "e", "f"],
+        "turn_idx": pa.array([0, 1, 1, 0, 1, 0, 0, 1, 0, 0],
+                             type=pa.int32()),
+        "role": ["user", "assistant", "assistant", "user",
+                 "user", "assistant", "user", "user", "user", "user"],
+        "text": ["hi", "yo", "yo", "hi",
+                 "hi", "yo", "hi", "yo", None, None]}))
+    out = dedup_conversations(ds).to_pandas().set_index("conv_id")
+    assert out.loc["a", "canonical_conv_id"] == "a"
+    assert out.loc["b", "canonical_conv_id"] == "a"
+    assert bool(out.loc["b", "is_dup"]) is True
+    # c: (0,assistant,yo),(1,user,hi) != a's (0,user,hi),(1,assistant,yo)
+    assert out.loc["c", "canonical_conv_id"] == "c"
+    assert out.loc["d", "canonical_conv_id"] == "d"
+    # null text is content and equal across conversations
+    assert out.loc["f", "canonical_conv_id"] == "e"
+    assert int(out["is_dup"].sum()) == 2
