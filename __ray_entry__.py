@@ -234,6 +234,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textstats.quality_scores(_ds(sf, "documents", ["doc_id", "text"]),
                                         "doc_id", "text")
 
+    def readability_documents(sf):
+        # Flesch reading-ease per doc (dictionary-free syllable count)
+        return textstats.readability(_ds(sf, "documents", ["doc_id", "text"]),
+                                     "doc_id", "text")
+
+    def day_gaps_events(sf):
+        # feed-continuity screen: per-user calendar-day holes
+        from packs_ray.functions.timeliness import day_gaps
+
+        return day_gaps(_ds(sf, "events", ["user_id", "ts"]),
+                        "user_id", "ts")
+
+    def embedding_quality_embeddings(sf):
+        # ANN pre-flight: null/ragged/non-finite/zero vectors + norm
+        # distribution, exact integer nano/micro pins
+        from packs_ray.functions.similarity import embedding_quality
+
+        return embedding_quality(_ds(sf, "embeddings", ["embedding"]),
+                                 "embedding")
+
+    def star_join_revenue(sf):
+        # three-way star join + exact-cents revenue rollup (TPC-H Q5
+        # shape): lineitem->orders->customer->nation, revenue =
+        # sum(extendedprice*(1-discount)) on an exact 1e-4 integer grid
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.joins import equi_join
+
+        li = _ds(sf, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def to_e4(t: pa.Table) -> pa.Table:
+            price_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100.0)), pa.int64())
+            disc_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), 100.0)), pa.int64())
+            rev = pc.multiply(price_c, pc.subtract(
+                pa.scalar(100, type=pa.int64()), disc_c))
+            return pa.table({"l_orderkey": t.column("l_orderkey"),
+                             "rev_e4": rev})
+
+        oc = equi_join(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _ds(sf, "customer", ["c_custkey", "c_nationkey"]),
+            left_on=["o_custkey"], right_on=["c_custkey"], how="inner")
+        ocn = equi_join(
+            oc, _ds(sf, "nation", ["n_nationkey", "n_name"]),
+            left_on=["c_nationkey"], right_on=["n_nationkey"],
+            how="inner")
+        j = equi_join(li.map_batches(to_e4, batch_format="pyarrow"),
+                      ocn.select_columns(["o_orderkey", "n_name"]),
+                      left_on=["l_orderkey"], right_on=["o_orderkey"],
+                      how="inner")
+
+        def part_sum(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            import pyarrow as pa
+
+            df = pd.DataFrame({
+                "n_name": t.column("n_name").to_numpy(zero_copy_only=False),
+                "rev_e4": t.column("rev_e4").to_numpy(zero_copy_only=False)})
+            g = df.groupby("n_name", sort=False).agg(
+                rev_e4=("rev_e4", "sum"), n_items=("rev_e4", "size")) \
+                .reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from packs_ray.stages.util import round_half_away as _r6
+
+            out = g.groupby("n_name", sort=False).agg(
+                rev_e4=("rev_e4", "sum"), n_items=("n_items", "sum")) \
+                .reset_index()
+            out["revenue"] = _r6(
+                out["rev_e4"].to_numpy(np.float64) / 1e4, 2)
+            out["n_items"] = out["n_items"].astype(np.int64)
+            return out[["n_name", "n_items", "revenue"]]
+
+        return (j.map_batches(part_sum, batch_format="pyarrow")
+                .groupby("n_name").map_groups(finish,
+                                              batch_format="pandas")
+                .sort("n_name"))
+
     def _query_vec(sf):
         import pyarrow.parquet as pq
 
@@ -2973,6 +3058,10 @@ checks for orders:
         "pii_scan_documents": pii_scan_documents,
         "token_counts_documents": token_counts_documents,
         "quality_scores_documents": quality_scores_documents,
+        "readability_documents": readability_documents,
+        "day_gaps_events": day_gaps_events,
+        "embedding_quality_embeddings": embedding_quality_embeddings,
+        "star_join_revenue": star_join_revenue,
         # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
         # ties by id ASC, vote ties by label ASC, self excluded
         "kcenter_sample_embeddings": _kcenter_sql(8),
@@ -6041,6 +6130,85 @@ def oracle_sql() -> dict[str, str]:
             AS n_tokens
     FROM documents GROUP BY lang""",
         "quality_scores_documents": quality,
+        # textstats.readability: identical RE2 counts, ONE fixed
+        # left-to-right double expression, 4dp half-away on both sides
+        "readability_documents": r"""
+    SELECT doc_id, w AS n_words,
+        CASE WHEN w > 0 THEN s ELSE 0 END::BIGINT AS n_sentences,
+        sy AS n_syllables,
+        CASE WHEN w > 0 THEN
+            round(206.835 - 1.015 * (w::DOUBLE / s)
+                  - 84.6 * (sy::DOUBLE / w), 4) END AS flesch
+    FROM (SELECT doc_id,
+        length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS w,
+        greatest(length(regexp_extract_all(coalesce(text, ''),
+                                           '[.!?]+')), 1)::BIGINT AS s,
+        length(regexp_extract_all(coalesce(text, ''),
+                                  '(?i)[aeiouy]+'))::BIGINT AS sy
+      FROM documents)""",
+        # timeliness.day_gaps: distinct (user, epoch-day) marks; gap =
+        # lag-diff - 1 inside each user's observed span
+        "day_gaps_events": """
+    WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    g AS (SELECT user_id, day,
+           day - lag(day) OVER (PARTITION BY user_id ORDER BY day) - 1
+               AS gap
+          FROM d)
+    SELECT user_id, count(*)::BIGINT AS n_days,
+        (max(day) - min(day) + 1)::BIGINT AS span_days,
+        (max(day) - min(day) + 1 - count(*))::BIGINT AS n_missing_days,
+        coalesce(max(gap), 0)::BIGINT AS max_gap_days
+    FROM g GROUP BY user_id ORDER BY user_id""",
+        # similarity.embedding_quality: per-element integer NANO pins
+        # (round(x^2 * 1e9)) summed exactly, per-vector integer MICRO
+        # norms, one final division — identical expressions both sides
+        "embedding_quality_embeddings": """
+    WITH p AS (SELECT embedding IS NULL AS vec_null,
+        CASE WHEN embedding IS NULL THEN NULL
+             ELSE len(embedding) END AS dim,
+        CASE WHEN embedding IS NULL THEN NULL
+             WHEN len(list_filter(embedding,
+                 x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+                 )) > 0 THEN 1 ELSE 0 END AS nonfin,
+        CASE WHEN embedding IS NULL THEN NULL
+             ELSE coalesce(list_sum(list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                 * 1000000000, 0) AS BIGINT))), 0)
+             END AS ssq_nano
+      FROM embeddings),
+    q AS (SELECT *, CASE WHEN nonfin = 0 THEN
+            CAST(round(sqrt(ssq_nano::DOUBLE / 1000000000.0)
+                       * 1000000.0, 0) AS BIGINT) END AS micro
+          FROM p)
+    SELECT count(*)::BIGINT AS n_vecs,
+        sum(CASE WHEN vec_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        sum(CASE WHEN nonfin = 1 THEN 1 ELSE 0 END)::BIGINT
+            AS n_nonfinite,
+        sum(CASE WHEN nonfin = 0 AND ssq_nano = 0 AND dim > 0
+                 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        min(dim)::BIGINT AS min_dim, max(dim)::BIGINT AS max_dim,
+        sum(CASE WHEN micro IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_norm,
+        min(micro)::DOUBLE / 1000000.0 AS min_norm,
+        max(micro)::DOUBLE / 1000000.0 AS max_norm,
+        round(sum(micro)::DOUBLE
+              / sum(CASE WHEN micro IS NOT NULL THEN 1 ELSE 0 END)
+              / 1000000.0, 6) AS mean_norm
+    FROM q""",
+        # star_join_revenue: three-way star join, exact 1e-4-grid
+        # integer revenue, one final division + 2dp round
+        "star_join_revenue": """
+    WITH li AS (SELECT l_orderkey,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+      FROM lineitem)
+    SELECT n.n_name, count(*)::BIGINT AS n_items,
+        round(sum(li.rev_e4)::DOUBLE / 10000, 2) AS revenue
+    FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name""",
         # grouped_quantile_filter: per-lang quantile_cont median,
         # rounded 6dp BEFORE the >= compare (same as the engine)
         "group_quality_filter_documents": f"""

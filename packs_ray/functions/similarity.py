@@ -615,3 +615,96 @@ def kcenter_sample(ds, id_col: str, emb_col: str, *, k: int = 8) -> pd.DataFrame
                          id_col: np.int64(win[id_col]),
                          "min_dist": float(win["d"])})
     return pd.DataFrame(out_rows)
+
+
+def embedding_quality(ds, emb_col: str) -> pd.DataFrame:
+    """One-row hygiene profile of an embedding column — the pre-flight
+    check every ANN / semantic-dedup stage needs: null rows, ragged
+    dimensions, non-finite values, silent zero vectors, and the norm
+    distribution (an unnormalized or collapsed encoder shows up here
+    long before recall metrics do).
+
+    Exactness: each vector's squared-norm is pinned to integer
+    NANO-units per element (round(x²·1e9) summed in int64 — order-free,
+    so block order can't drift bits), and each norm to integer
+    MICRO-units; min/max/mean are over those ints with ONE final
+    division.  Non-finite vectors are counted but excluded from norm
+    stats; a null row contributes only to n_null.
+
+    Scale: streaming per-block partials via ``global_agg`` — nothing
+    but one ~10-field dict per block reaches the driver."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import global_agg
+    from packs_ray.stages.util import round_half_away as _rr
+
+    def partial(batch: pa.Table) -> dict:
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        n_null = int(n - valid.sum())
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        dims = lens[valid].astype(np.int64) if valid.any() else \
+            np.array([], dtype=np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # per-valid-row segments over the flattened values
+        ends = np.cumsum(dims)
+        starts = ends - dims
+        fin = np.isfinite(vals)
+        row_fin = np.ones(len(dims), dtype=bool)
+        if len(vals):
+            bad = np.add.reduceat(
+                (~fin).astype(np.int64), np.minimum(starts, len(vals) - 1))
+            bad[dims == 0] = 0
+            row_fin = bad == 0
+        sq_nano = np.zeros(len(vals), dtype=np.int64)
+        if len(vals):
+            sq = np.where(fin, vals, 0.0)
+            sq_nano = _rr(sq * sq * 1e9, 0).astype(np.int64)
+        ssq = np.zeros(len(dims), dtype=np.int64)
+        if len(vals) and len(dims):
+            ssq = np.add.reduceat(sq_nano, np.minimum(starts, len(vals) - 1))
+            ssq[dims == 0] = 0
+        ssq_fin = ssq[row_fin]
+        dims_fin = dims[row_fin]
+        micro = _rr(np.sqrt(ssq_fin.astype(np.float64) / 1e9) * 1e6,
+                    0).astype(np.int64)
+        return {
+            "n_vecs": n, "n_null": n_null,
+            "n_nonfinite": int((~row_fin).sum()),
+            "n_zero": int(((ssq_fin == 0) & (dims_fin > 0)).sum()),
+            "min_dim": int(dims.min()) if len(dims) else None,
+            "max_dim": int(dims.max()) if len(dims) else None,
+            "n_norm": len(micro),
+            "min_micro": int(micro.min()) if len(micro) else None,
+            "max_micro": int(micro.max()) if len(micro) else None,
+            "sum_micro": int(micro.sum()),
+        }
+
+    def combine(p: pd.DataFrame) -> dict:
+        n_norm = int(p["n_norm"].sum())
+        mn = p["min_micro"].dropna()
+        mx = p["max_micro"].dropna()
+        return {
+            "n_vecs": int(p["n_vecs"].sum()),
+            "n_null": int(p["n_null"].sum()),
+            "n_nonfinite": int(p["n_nonfinite"].sum()),
+            "n_zero": int(p["n_zero"].sum()),
+            "min_dim": (int(p["min_dim"].dropna().min())
+                        if p["min_dim"].notna().any() else None),
+            "max_dim": (int(p["max_dim"].dropna().max())
+                        if p["max_dim"].notna().any() else None),
+            "n_norm": n_norm,
+            "min_norm": float(mn.min()) / 1e6 if len(mn) else None,
+            "max_norm": float(mx.max()) / 1e6 if len(mx) else None,
+            "mean_norm": (_rr(float(p["sum_micro"].sum()) / n_norm / 1e6, 6)
+                          if n_norm else None),
+        }
+
+    agg = global_agg(ds, partial, combine,
+                     empty_schema=pa.schema(
+                         [(emb_col, pa.list_(pa.float32()))]))
+    return pd.DataFrame([agg])

@@ -1213,3 +1213,46 @@ def ngram_diversity(ds, group_col: str, text_col: str, *, max_n: int = 3,
         "distinct_ratio": round_half_away(
             out["n_distinct"].to_numpy(dtype=np.float64)
             / out["t"].to_numpy(dtype=np.float64), 6)})
+
+
+def readability(ds, id_col: str, text_col: str):
+    """Per-document Flesch reading-ease score (Flesch 1948) from three
+    vectorized RE2 counts — the classic curriculum / audience screen
+    (very low scores flag machine-generated or degenerate text; the
+    text_validation_pack's length checks generalized to a readability
+    axis, /root/reference/text_validation_pack/main.py:66-114).
+
+    words = \\S+ runs; sentences = [.!?]+ runs (min 1 once any word
+    exists); syllables = case-insensitive [aeiouy]+ vowel groups (the
+    standard dictionary-free approximation).  flesch = round(206.835 -
+    1.015*(w/s) - 84.6*(sy/w), 4) — ONE fixed left-to-right double
+    expression shared with the SQL oracle.  Rows with zero words (null
+    or whitespace-only text) emit null flesch.
+
+    Scale: stateless vectorized map_batches, no exchange."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = str_column(batch, text_col)
+        w = pc.count_substring_regex(text, r"\S+").fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(text, r"[.!?]+").fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = pc.count_substring_regex(text, r"(?i)[aeiouy]+").fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        ok = w > 0
+        wf = w.astype(np.float64)
+        flesch = np.where(
+            ok,
+            _r(206.835 - 1.015 * (wf / s.astype(np.float64))
+               - 84.6 * (sy.astype(np.float64) / np.maximum(wf, 1.0)), 4),
+            np.nan)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(w),
+            "n_sentences": pa.array(np.where(ok, s, 0).astype(np.int64)),
+            "n_syllables": pa.array(sy),
+            "flesch": pa.array(flesch, type=pa.float64(),
+                               from_pandas=True)})  # NaN (no words) -> null
+
+    return ds.map_batches(fn, batch_format="pyarrow")

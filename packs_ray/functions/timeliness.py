@@ -169,3 +169,80 @@ def timeliness(ds, ts_cols: list[str], now: _dt.datetime) -> pd.DataFrame:
         rows.append({"column": c, "latest_ts": latest, "days_since_latest": days,
                      "timeliness_score": float(_r(score, 2))})
     return _us_ts(pd.DataFrame(rows))
+
+
+def day_gaps(ds, key_col: str, ts_col: str,
+             num_buckets: int | None = None):
+    """Per-key calendar-day coverage: which keys have HOLES in their
+    daily event stream?  The feed-continuity screen (a day with zero
+    events usually means an ingestion outage, not real silence) — the
+    timeliness_pack's freshness idea applied inside the observed span
+    instead of only at its end.
+
+    day = epoch_ms // 86,400,000 (UTC bucket, the house convention).
+    Output per key: (key, n_days, span_days, n_missing_days,
+    max_gap_days) ordered by key, where span = max-min+1,
+    missing = span - n_days and max_gap = the longest run of absent
+    days between two present days (0 when fully contiguous).  Null
+    key/ts rows drop.
+
+    Scale shape: per-batch LOCAL (key, day) dedup combiner, then only
+    distinct day marks (16 B) shuffle once on hash(key); per-bucket
+    work is one sort + vectorized diff."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, ts_col])
+        mask = pc.and_(batch.column(key_col).is_valid(),
+                       batch.column(ts_col).is_valid())
+        batch = batch.filter(mask)
+        us = pc.cast(batch.column(ts_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = us // np.int64(86_400_000_000)
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"k": key, "day": day}).drop_duplicates()
+        h = pd.util.hash_array(d["k"].to_numpy())
+        return pa.table({
+            key_col: pa.array(d["k"].to_numpy()),
+            "day": pa.array(d["day"].to_numpy(np.int64)),
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int64))})
+
+    empty = pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                          **{c: pd.Series([], dtype="int64")
+                             for c in ("n_days", "span_days",
+                                       "n_missing_days", "max_gap_days")}})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.drop_duplicates([key_col, "day"]) \
+            .sort_values([key_col, "day"], kind="stable") \
+            .reset_index(drop=True)
+        k = g[key_col].to_numpy()
+        day = g["day"].to_numpy(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        gap = np.where(same, day - np.roll(day, 1) - 1, 0)
+        gg = pd.DataFrame({key_col: k, "day": day, "gap": gap})
+        out = (gg.groupby(key_col, sort=False)
+               .agg(n_days=("day", "size"), mn=("day", "min"),
+                    mx=("day", "max"), max_gap_days=("gap", "max"))
+               .reset_index())
+        out["span_days"] = out["mx"] - out["mn"] + 1
+        out["n_missing_days"] = out["span_days"] - out["n_days"]
+        for c in ("n_days", "span_days", "n_missing_days",
+                  "max_gap_days"):
+            out[c] = out[c].astype("int64")
+        return out[[key_col, "n_days", "span_days", "n_missing_days",
+                    "max_gap_days"]]
+
+    ds2 = ds.map_batches(marks, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+        .sort(key_col)

@@ -5171,3 +5171,82 @@ def test_dedup_conversations_multiset_semantics(ray_session):
     # null text is content and equal across conversations
     assert out.loc["f", "canonical_conv_id"] == "e"
     assert int(out["is_dup"].sum()) == 2
+
+
+def test_readability_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.textstats import readability
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        # doc 1: 4 words, 2 sentence-runs, syllable groups: "the"(1)
+        # "cat sat"(2) "down."(1+... ) -> count below; doc 2: no words
+        # (null flesch, 0 sentences); doc 3: whitespace-only; doc 4:
+        # no terminator -> sentence count clamps to 1
+        "text": ["The cat sat down. Again!", None, "   \t ",
+                 "word word word"]}))
+    out = readability(ds, "doc_id", "text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_words"]) == [5, 0, 0, 3]
+    assert list(out["n_sentences"]) == [2, 0, 0, 1]
+    # vowel-group counts: The(1)+cat(1)+sat(1)+down(1)+Again(2)=6
+    assert out.loc[0, "n_syllables"] == 6
+    w, s, sy = 5.0, 2.0, 6.0
+    exp = round(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 4)
+    assert abs(out.loc[0, "flesch"] - exp) < 1e-12
+    assert np.isnan(out.loc[1, "flesch"]) and np.isnan(out.loc[2, "flesch"])
+
+
+def test_day_gaps_planted(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.timeliness import day_gaps
+
+    day = 86_400_000_000  # us
+    ts = pa.array([0, 1, day, 3 * day, 3 * day + 5,   # user 1: days 0,1,3
+                   10 * day,                           # user 2: day 10
+                   0, 7 * day,                         # user 3: days 0,7
+                   None, 5 * day],                     # nulls drop
+                  type=pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 3, 3, 1, None],
+                            type=pa.int64()),
+        "ts": ts})).repartition(3)
+    out = day_gaps(ds, "user_id", "ts").to_pandas() \
+        .set_index("user_id")
+    assert out.loc[1, "n_days"] == 3 and out.loc[1, "span_days"] == 4
+    assert out.loc[1, "n_missing_days"] == 1
+    assert out.loc[1, "max_gap_days"] == 1          # hole at day 2
+    assert out.loc[2, "span_days"] == 1 and out.loc[2, "max_gap_days"] == 0
+    assert out.loc[3, "n_missing_days"] == 6        # days 1..6 absent
+    assert out.loc[3, "max_gap_days"] == 6
+    assert len(out) == 3
+
+
+def test_embedding_quality_pathological(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.similarity import embedding_quality
+
+    vecs = pa.array([
+        [3.0, 4.0],                 # norm 5
+        [0.0, 0.0],                 # zero vector
+        None,                       # null row
+        [float("nan"), 1.0],        # non-finite
+        [1.0, 0.0, 0.0],            # ragged dim 3, norm 1
+    ], type=pa.list_(pa.float32()))
+    ds = ray.data.from_arrow(pa.table({"embedding": vecs})).repartition(2)
+    out = embedding_quality(ds, "embedding").iloc[0]
+    assert out["n_vecs"] == 5 and out["n_null"] == 1
+    assert out["n_nonfinite"] == 1 and out["n_zero"] == 1
+    assert out["min_dim"] == 2 and out["max_dim"] == 3
+    assert out["n_norm"] == 3                       # finite non-null rows
+    assert out["min_norm"] == 0.0 and out["max_norm"] == 5.0
+    assert abs(out["mean_norm"] - 2.0) < 1e-9       # (5+0+1)/3
