@@ -2882,6 +2882,25 @@ checks for orders:
         media = ray.data.from_arrow(multimodal.synth_media_table(128))
         return multimodal.audio_features(media)
 
+    def media_phash_hashes(sf):
+        # BMP decode -> 64-bit dHash per image; the oracle recomputes
+        # every bit from ground-truth pixels that never saw the codec
+        import ray.data
+
+        media = ray.data.from_arrow(
+            multimodal.synth_neardup_images(96, seed=7))
+        return multimodal.image_dhash(media).sort("media_id")
+
+    def media_phash_pairs(sf):
+        # near-dup image pairs via banded Hamming-LSH over dHash
+        # (11 bands > max_hamming=10 -> exact recall by pigeonhole);
+        # oracle brute-forces all pairs with bit_count(xor)
+        import ray.data
+
+        media = ray.data.from_arrow(
+            multimodal.synth_neardup_images(96, seed=7))
+        return multimodal.phash_pairs(multimodal.image_dhash(media))
+
     def repetition_documents(sf):
         from packs_ray.functions import webquality
 
@@ -3301,6 +3320,8 @@ checks for orders:
         "bloom_semi_join_orders": bloom_semi_join_orders,
         "asof_last_click_events": asof_last_click_events,
         "media_image_features": media_image_features,
+        "media_phash_hashes": media_phash_hashes,
+        "media_phash_pairs": media_phash_pairs,
         "media_thumb_features": media_thumb_features,
         "media_audio_features": media_audio_features,
         "media_video_frames": media_video_frames,
@@ -4761,6 +4782,102 @@ def _media_video_sql() -> str:
     JOIN read_parquet('{a["vid"]}') f USING (media_id)
     WHERE m.kind = 'video'
     GROUP BY m.media_id, f.frame_idx, m.duration_ms"""
+
+
+def _ensure_phash_artifact() -> str:
+    """Ground-truth GRAY pixels (media_id, y, x, gray=r+g+b) of the
+    planted near-duplicate image corpus (multimodal.neardup_truth_pixels
+    — never touches the BMP encode/decode path under test), persisted so
+    the SQL oracle can recompute every dHash bit with exact integer
+    pooling."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions import multimodal as mm
+
+    d = "/tmp/packs_ray_data"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/media_neardup_gray.parquet"
+    if not os.path.exists(path):
+        import numpy as np
+
+        pxs = mm.neardup_truth_pixels(96, seed=7)
+        mids, ys, xs, gs = [], [], [], []
+        for mid, px in enumerate(pxs):
+            gray = px.astype(np.int64).sum(axis=2)
+            hh, ww = gray.shape
+            yy, xx = np.meshgrid(np.arange(hh), np.arange(ww),
+                                 indexing="ij")
+            mids.append(np.full(gray.size, mid, dtype=np.int64))
+            ys.append(yy.ravel().astype(np.int64))
+            xs.append(xx.ravel().astype(np.int64))
+            gs.append(gray.ravel())
+        pq.write_table(pa.table({
+            "media_id": pa.array(np.concatenate(mids)),
+            "y": pa.array(np.concatenate(ys)),
+            "x": pa.array(np.concatenate(xs)),
+            "gray": pa.array(np.concatenate(gs))}), path)
+    return path
+
+
+def _phash_hashes_cte() -> str:
+    """Shared CTE computing each image's 64-bit dHash from ground-truth
+    gray pixels with the EXACT integer spec of multimodal.dhash64:
+    8x9 grid pooling by (y*8)//H, (x*9)//W; bit = cross-multiplied
+    cell-sum compare; hash assembled in HUGEINT then mapped to the
+    int64 two's-complement view the engine emits."""
+    art = _ensure_phash_artifact()
+    return f"""
+    px AS (SELECT media_id, y, x, gray FROM read_parquet('{art}')),
+    dim AS (SELECT media_id, max(y) + 1 AS h, max(x) + 1 AS w
+            FROM px GROUP BY 1),
+    cells AS (SELECT p.media_id, (p.y * 8) // d.h AS r,
+                     (p.x * 9) // d.w AS c,
+                     sum(p.gray)::BIGINT AS s, count(*)::BIGINT AS n
+              FROM px p JOIN dim d USING (media_id) GROUP BY 1, 2, 3),
+    grid AS (SELECT m.media_id, r.range AS r, c.range AS c
+             FROM (SELECT DISTINCT media_id FROM px) m,
+                  range(0, 8) r, range(0, 9) c),
+    full_cells AS (SELECT g.media_id, g.r, g.c,
+                          coalesce(cl.s, 0) AS s, coalesce(cl.n, 0) AS n
+                   FROM grid g LEFT JOIN cells cl
+                     ON g.media_id = cl.media_id AND g.r = cl.r
+                    AND g.c = cl.c),
+    bits AS (SELECT l.media_id, l.r, l.c,
+                    CASE WHEN l.s * rr.n > rr.s * l.n THEN 1 ELSE 0 END
+                        AS bit
+             FROM full_cells l JOIN full_cells rr
+               ON l.media_id = rr.media_id AND l.r = rr.r
+              AND rr.c = l.c + 1
+             WHERE l.c < 8),
+    hraw AS (SELECT media_id,
+                    sum(CASE WHEN bit = 1
+                             THEN (1::HUGEINT << (r * 8 + c))
+                             ELSE 0::HUGEINT END) AS hu
+             FROM bits GROUP BY 1),
+    hashes AS (SELECT media_id,
+                      CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                                THEN hu - 18446744073709551616::HUGEINT
+                                ELSE hu END AS BIGINT) AS phash
+               FROM hraw)"""
+
+
+def _media_phash_hashes_sql() -> str:
+    return f"""
+    WITH {_phash_hashes_cte()}
+    SELECT media_id, phash FROM hashes ORDER BY media_id"""
+
+
+def _media_phash_pairs_sql(max_hamming: int = 10) -> str:
+    return f"""
+    WITH {_phash_hashes_cte()}
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+    ORDER BY 1, 2"""
 
 
 def _mul64_sql(expr: str, c: int) -> str:
@@ -7904,6 +8021,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_outliers_mixed_events": _knn_mixed_events_sql(),
         "record_validation_events": _record_validation_sql(),
         "media_image_features": _media_image_sql(),
+        "media_phash_hashes": _media_phash_hashes_sql(),
+        "media_phash_pairs": _media_phash_pairs_sql(),
         "media_thumb_features": _media_thumb_sql(4, 4),
         "media_audio_features": _media_audio_sql(),
         "media_video_frames": _media_video_sql(),

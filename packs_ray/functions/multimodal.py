@@ -361,3 +361,190 @@ def video_frames(ds, n_frames: int = 4, batch_size: int = 16, concurrency=(1, 4)
     return vid.map_batches(VideoFrameSampleStage, fn_constructor_args=(n_frames,),
                            batch_format="pyarrow", batch_size=batch_size,
                            concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# perceptual hashing (dHash) + Hamming-banded near-duplicate mining
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (shared byte-table kernel)."""
+    from packs_ray.functions.neardup import _popcount64 as _pc
+
+    return _pc(x).astype(np.int64)
+
+
+def dhash64(px: np.ndarray) -> np.uint64:
+    """64-bit difference hash of an HxWx3 uint8 image — the classic
+    near-duplicate image fingerprint (gradient signs survive re-encode,
+    resize and small edits; Krawetz's public dHash recipe), specified
+    here in EXACT integer arithmetic so the SQL oracle reproduces every
+    bit from the ground-truth pixels:
+
+    - gray(y, x) = r + g + b (int, no luma weights — keeps both sides
+      on a pure-integer grid)
+    - 8x9 grid pooling by integer cell assignment
+      (row y -> y*8//H, col x -> x*9//W; cells may be empty when
+      H < 8 or W < 9 — handled below without division)
+    - bit(r, c) = mean(cell r,c) > mean(cell r,c+1), compared as
+      cross-multiplied integer sums (sum_l*n_r > sum_r*n_l) so empty
+      cells and uneven cell sizes stay exact
+    - hash = sum of bit << (r*8 + c), c in 0..7
+    """
+    gray = px.astype(np.int64).sum(axis=2)
+    h, w = gray.shape
+    ry = (np.arange(h, dtype=np.int64) * 8) // h
+    cx = (np.arange(w, dtype=np.int64) * 9) // w
+    idx = (ry[:, None] * 9 + cx[None, :]).ravel()
+    s = np.bincount(idx, weights=gray.ravel(), minlength=72) \
+        .astype(np.int64).reshape(8, 9)      # cell sums <= 24*24*765
+    n = np.bincount(idx, minlength=72).astype(np.int64).reshape(8, 9)
+    bits = s[:, :8] * n[:, 1:] > s[:, 1:] * n[:, :8]
+    pos = (np.arange(8)[:, None] * 8 + np.arange(8)[None, :])
+    return np.uint64((bits.astype(np.uint64)
+                      << pos.astype(np.uint64)).sum(dtype=np.uint64))
+
+
+def neardup_truth_pixels(n: int = 96, seed: int = 7,
+                         dup_rate: float = 0.3) -> list[np.ndarray]:
+    """Ground-truth pixel arrays for the planted near-duplicate corpus —
+    a pure function of (n, seed, dup_rate), exposed separately so the
+    SQL oracle can persist these values WITHOUT touching the BMP
+    encode/decode path under test."""
+    pxs: list[np.ndarray] = []
+    for i in range(n):
+        rng = np.random.default_rng((seed << 20) ^ (i * 2654435761 % (1 << 31)))
+        if i > 0 and rng.random() < dup_rate:
+            src = int(rng.integers(0, i))
+            px = pxs[src].copy()
+            hh, ww, _ = px.shape
+            for _ in range(int(rng.integers(1, 4))):
+                y, x, c = (int(rng.integers(0, hh)), int(rng.integers(0, ww)),
+                           int(rng.integers(0, 3)))
+                px[y, x, c] = np.uint8((int(px[y, x, c])
+                                        + int(rng.integers(-8, 9))) % 256)
+        else:
+            hh, ww = int(rng.integers(8, 25)), int(rng.integers(9, 25))
+            px = rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        pxs.append(px)
+    return pxs
+
+
+def synth_neardup_images(n: int = 96, seed: int = 7,
+                         dup_rate: float = 0.3) -> pa.Table:
+    """Deterministic image corpus WITH planted near-duplicates: each row
+    is either a fresh random image or a copy of an earlier one with a
+    handful of pixels nudged (the crawl-reality of re-hosted thumbnails
+    and recompressed copies).  Payloads are real encoded BMPs of
+    ``neardup_truth_pixels``."""
+    pxs = neardup_truth_pixels(n, seed, dup_rate)
+    payloads = [encode_bmp(px) for px in pxs]
+    heights = [px.shape[0] for px in pxs]
+    widths = [px.shape[1] for px in pxs]
+    return pa.table({
+        "media_id": pa.array(np.arange(n), type=pa.int64()),
+        "kind": pa.array(["image"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/bmp"] * n, type=pa.string()),
+        "width": pa.array(np.asarray(widths, dtype=np.int32)),
+        "height": pa.array(np.asarray(heights, dtype=np.int32)),
+        "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+    })
+
+
+class ImageDHashStage:
+    """Actor stage: BMP decode -> 64-bit dHash (emitted as the int64
+    two's-complement view so the value survives Arrow/SQL round-trips
+    bit-for-bit)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        hashes = np.zeros(len(payloads), dtype=np.uint64)
+        for i, p in enumerate(payloads):
+            hashes[i] = dhash64(decode_bmp(p))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "phash": pa.array(hashes.view(np.int64)),
+        })
+
+
+def image_dhash(ds, batch_size: int = 64, concurrency=(1, 4)):
+    imgs = ds.map_batches(_kind_filter("image"), batch_format="pyarrow")
+    return imgs.map_batches(ImageDHashStage, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)
+
+
+def _band_widths(bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band, splitting 64 bits as evenly as possible."""
+    base, extra = divmod(64, bands)
+    out, shift = [], 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def phash_pairs(hash_ds, *, max_hamming: int = 10, bands: int = 11,
+                group_cap: int = 512):
+    """Near-duplicate image pairs by banded Hamming-LSH over dHash
+    values: two hashes within ``max_hamming`` bits differ in at most
+    ``max_hamming`` bands, so with ``bands > max_hamming`` they MUST
+    agree exactly on at least one band (pigeonhole — exact recall, same
+    guarantee as the MinHash band construction in neardup.py).
+
+    Scale shape: explode each hash into ``bands`` (band, value) keys
+    (9 B/row), groupby band-key, all-pairs verify only INSIDE a band
+    bucket (uniform hashes -> tiny buckets; pathological pile-ups are
+    capped at ``group_cap`` members with the skip surfaced, the
+    minhash convention), popcount-verify vectorized, dedup via a final
+    (id_a, id_b) groupby.  Output: (id_a, id_b, hamming) sorted."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    widths = _band_widths(bands)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mid = batch.column("media_id").to_numpy(zero_copy_only=False)
+        hv = batch.column("phash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        outs = {"band": [], "val": [], "media_id": [], "phash": []}
+        for b, (shift, w) in enumerate(widths):
+            mask = np.uint64((1 << w) - 1)
+            outs["band"].append(np.full(len(hv), b, dtype=np.int64))
+            outs["val"].append(((hv >> np.uint64(shift)) & mask)
+                               .astype(np.int64))
+            outs["media_id"].append(mid)
+            outs["phash"].append(hv.view(np.int64))
+        return pa.table({k: pa.array(np.concatenate(v))
+                         for k, v in outs.items()})
+
+    def bucket_pairs(g) -> "object":
+        import pandas as pd
+
+        g = g.drop_duplicates("media_id").sort_values("media_id")
+        m = len(g)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if m < 2:
+            return empty
+        if m > group_cap:
+            print(f"phash_pairs: skipping over-sized band bucket "
+                  f"({m} > {group_cap})")
+            return empty
+        ids = g["media_id"].to_numpy(np.int64)
+        hv = g["phash"].to_numpy(np.int64).view(np.uint64)
+        ia, ib = np.triu_indices(m, k=1)
+        d = _popcount64(hv[ia] ^ hv[ib])
+        keep = d <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": d[keep]})
+
+    def dedup(g) -> "object":
+        return g.head(1)
+
+    return (hash_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["band", "val"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["id_a", "id_b"])
+            .map_groups(dedup, batch_format="pandas")
+            .sort(["id_a", "id_b"]))

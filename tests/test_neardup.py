@@ -444,3 +444,40 @@ def test_simhash_pairs_exact_at_hamming3(ray_session):
             if h <= 3:
                 exp[(i, j)] = h
     assert got_set == exp and len(exp) >= 1
+
+
+def test_phash_pairs_recall_and_cap(ray_session):
+    """Banded Hamming-LSH must find EVERY pair within max_hamming
+    (pigeonhole recall with bands > max_hamming) and must skip (not
+    crash on) a pathological bucket where every image is identical."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions import multimodal as mm
+
+    # recall: brute force over the planted corpus
+    t = mm.synth_neardup_images(64, seed=11)
+    hd = mm.image_dhash(ray.data.from_arrow(t).repartition(3))
+    hdf = hd.to_pandas().sort_values("media_id").reset_index(drop=True)
+    hv = hdf["phash"].to_numpy(np.int64).view(np.uint64)
+    ia, ib = np.triu_indices(len(hv), k=1)
+    d = mm._popcount64(hv[ia] ^ hv[ib])
+    mids = hdf["media_id"].to_numpy(np.int64)
+    exp = set(zip(mids[ia[d <= 10]].tolist(), mids[ib[d <= 10]].tolist()))
+    got = mm.phash_pairs(hd).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == exp and len(exp) >= 1
+    assert list(got["hamming"].dtype.name)[0] == "i"
+
+    # dHash is invariant to the BMP round-trip
+    truths = mm.neardup_truth_pixels(64, seed=11)
+    assert all(int(hv[i]) == int(mm.dhash64(truths[i]))
+               for i in range(len(truths)))
+
+    # cap: 600 identical hashes -> every band bucket oversized -> all
+    # skipped, empty result (surfaced, not O(n^2))
+    same = ray.data.from_arrow(pa.table({
+        "media_id": pa.array(np.arange(600, dtype=np.int64)),
+        "phash": pa.array(np.full(600, 12345, dtype=np.int64))}))
+    capped = mm.phash_pairs(same, group_cap=512).to_pandas()
+    assert len(capped) == 0
