@@ -527,6 +527,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             {"k": ("k", "int64")},
                             keep_cols=["event_id"])
 
+    def json_schema_profile_events(sf):
+        # de-facto schema discovery of the props JSON column; fixture
+        # plants invalid JSON, nulls, and type-flipping keys so every
+        # JSON type appears (same plant order as the SQL oracle)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.json_ops import json_schema_profile
+
+        mixed = '{"k": 1.5, "tags": [1], "meta": {"a": true}}'
+        stringy = '{"k": "s", "flag": false, "note": null}'
+
+        def plant(batch):
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+            p = batch.column("props")
+            p = pc.if_else(pa.array(ids % 11 == 0), pa.scalar(stringy), p)
+            p = pc.if_else(pa.array(ids % 7 == 0), pa.scalar(mixed), p)
+            p = pc.if_else(pa.array(ids % 23 == 0),
+                           pa.scalar(None, pa.string()), p)
+            p = pc.if_else(pa.array(ids % 17 == 0),
+                           pa.scalar("not json"), p)
+            return pa.table({"props": p})
+
+        fixture = _ds(sf, "events", ["event_id", "props"]).map_batches(
+            plant, batch_format="pyarrow")
+        return json_schema_profile(fixture, "props", max_depth=1)
+
     def cooccurrence_events(sf):
         # market-basket primitive: event-type pairs co-occurring per user
         from packs_ray.functions.agg import cooccurrence_pairs
@@ -3140,6 +3167,7 @@ checks for orders:
         "grouped_corr_lineitem": grouped_corr_lineitem,
         "cooccurrence_events": cooccurrence_events,
         "json_extract_events": json_extract_events,
+        "json_schema_profile_events": json_schema_profile_events,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -7603,6 +7631,47 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # json_ops.json_schema_profile: same plant precedence (17 over
+        # 23 over 7 over 11), frac over PARSEABLE docs, canonical JSON
+        # type names (UBIGINT/BIGINT -> integer, DOUBLE -> number)
+        "json_schema_profile_events": """
+    WITH src AS (SELECT CASE
+            WHEN event_id % 17 = 0 THEN 'not json'
+            WHEN event_id % 23 = 0 THEN NULL
+            WHEN event_id % 7 = 0
+                THEN '{"k": 1.5, "tags": [1], "meta": {"a": true}}'
+            WHEN event_id % 11 = 0
+                THEN '{"k": "s", "flag": false, "note": null}'
+            ELSE props END AS props
+        FROM events),
+    v AS (SELECT props FROM src
+          WHERE props IS NOT NULL AND json_valid(props)),
+    tot AS (SELECT count(*) AS n_valid FROM v),
+    root AS (SELECT '$' AS path,
+                CASE json_type(props) WHEN 'OBJECT' THEN 'object'
+                     WHEN 'ARRAY' THEN 'array' WHEN 'VARCHAR' THEN 'string'
+                     WHEN 'BOOLEAN' THEN 'boolean'
+                     WHEN 'DOUBLE' THEN 'number' WHEN 'NULL' THEN 'null'
+                     ELSE 'integer' END AS jtype,
+                count(*) AS n
+             FROM v GROUP BY 1, 2),
+    kv AS (SELECT props, unnest(json_keys(props)) AS k FROM v
+           WHERE json_type(props) = 'OBJECT'),
+    keyed AS (SELECT '$.' || k AS path,
+                -- json_type(json null) is SQL NULL, not 'NULL'
+                CASE coalesce(json_type(json_extract(props, '$.' || k)),
+                              'NULL')
+                     WHEN 'OBJECT' THEN 'object'
+                     WHEN 'ARRAY' THEN 'array' WHEN 'VARCHAR' THEN 'string'
+                     WHEN 'BOOLEAN' THEN 'boolean'
+                     WHEN 'DOUBLE' THEN 'number' WHEN 'NULL' THEN 'null'
+                     ELSE 'integer' END AS jtype,
+                count(*) AS n
+              FROM kv GROUP BY 1, 2)
+    SELECT path, jtype, n::BIGINT AS n,
+           round(n::DOUBLE / tot.n_valid, 6) AS frac
+    FROM (SELECT * FROM root UNION ALL SELECT * FROM keyed) u, tot
+    ORDER BY path, jtype""",
         # agg.cooccurrence_pairs: distinct marks, a<b self-join
         "cooccurrence_events": """
     WITH m AS (SELECT DISTINCT user_id, event_type FROM events

@@ -81,3 +81,77 @@ def json_extract(ds, json_col: str, fields: dict[str, tuple[str, str]],
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def json_schema_profile(ds, json_col: str, *, max_depth: int = 1):
+    """Discover the de-facto schema of a JSON-string column: for every
+    key path down to ``max_depth`` (root = depth 0, path ``$``), the
+    JSON type distribution and its document frequency — the first
+    question anyone asks of a semi-structured feed (which keys exist?
+    how often? does a key flip between number and string?), mirroring
+    what the profiling pack answers for flat columns
+    (/root/reference/profiling_pack/main.py:356-371).
+
+    Types use the canonical JSON names (object / array / string /
+    integer / number / boolean / null); ``frac`` is relative to the
+    count of PARSEABLE documents (null and invalid JSON rows are
+    excluded from the denominator).  Keys containing ``.`` would
+    collide with path joining — fine for profiling, documented limit.
+
+    Scale: per-block counting (C-speed json.loads inside map_batches),
+    one tiny (path, type) groupby — output is bounded by schema
+    vocabulary, never by corpus size."""
+
+    def jtype(v) -> str:
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "integer"
+        if isinstance(v, float):
+            return "number"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, list):
+            return "array"
+        return "object"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        n_valid = 0
+        for s in batch.column(json_col).to_pylist():
+            if s is None:
+                continue
+            try:
+                obj = json.loads(s)
+            except (ValueError, TypeError):
+                continue
+            n_valid += 1
+            stack = [("$", obj, 0)]
+            while stack:
+                path, v, d = stack.pop()
+                k = (path, jtype(v))
+                counts[k] = counts.get(k, 0) + 1
+                if isinstance(v, dict) and d < max_depth:
+                    for key, sub in v.items():
+                        stack.append((f"{path}.{key}", sub, d + 1))
+        paths = [p for p, _ in counts] + ["__docs__"]
+        types = [t for _, t in counts] + ["__docs__"]
+        ns = list(counts.values()) + [n_valid]
+        return pa.table({"path": pa.array(paths, type=pa.string()),
+                         "jtype": pa.array(types, type=pa.string()),
+                         "n": pa.array(np.asarray(ns, dtype=np.int64))})
+
+    from packs_ray.stages.util import round_half_away as _rr
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["path", "jtype"]).sum("n").to_pandas())
+    agg = agg.rename(columns={"sum(n)": "n"})
+    docs = agg[agg["path"] == "__docs__"]
+    n_valid = int(docs["n"].iloc[0]) if len(docs) else 0
+    out = agg[agg["path"] != "__docs__"].copy()
+    out["n"] = out["n"].astype("int64")
+    out["frac"] = _rr(out["n"].to_numpy(np.float64) / max(n_valid, 1), 6)
+    return (out[["path", "jtype", "n", "frac"]]
+            .sort_values(["path", "jtype"]).reset_index(drop=True))

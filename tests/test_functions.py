@@ -5250,3 +5250,32 @@ def test_embedding_quality_pathological(ray_session):
     assert out["n_norm"] == 3                       # finite non-null rows
     assert out["min_norm"] == 0.0 and out["max_norm"] == 5.0
     assert abs(out["mean_norm"] - 2.0) < 1e-9       # (5+0+1)/3
+
+
+def test_json_schema_profile_nested_and_invalid(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.json_ops import json_schema_profile
+
+    docs = ['{"a": 1, "b": {"c": "x", "d": [1]}}',
+            '{"a": 2.5, "b": {"c": null}}',
+            'not json', None, '[1, 2]']
+    ds = ray.data.from_arrow(pa.table({"j": pa.array(docs)})).repartition(2)
+
+    # depth 2: nested keys appear; frac over 3 parseable docs
+    out = json_schema_profile(ds, "j", max_depth=2)
+    rows = {(r.path, r.jtype): (r.n, r.frac) for r in out.itertuples()}
+    assert rows[("$", "object")] == (2, round(2 / 3, 6))
+    assert rows[("$", "array")][0] == 1            # [1,2] root
+    assert rows[("$.a", "integer")][0] == 1
+    assert rows[("$.a", "number")][0] == 1         # type flip surfaces
+    assert rows[("$.b.c", "string")][0] == 1
+    assert rows[("$.b.c", "null")][0] == 1
+    assert rows[("$.b.d", "array")][0] == 1
+
+    # depth 1: no nested descent
+    shallow = json_schema_profile(ds, "j", max_depth=1)
+    assert not any(p.startswith("$.b.") for p in shallow["path"])
+    assert ("$.b", "object") in {(r.path, r.jtype)
+                                 for r in shallow.itertuples()}
