@@ -554,6 +554,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def candidate_keys_orders(sf):
+        # uniqueness-based key discovery over singles + pairs
+        from packs_ray.functions.integrity import candidate_keys
+
+        return candidate_keys(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey",
+                               "o_orderstatus", "o_totalprice"]),
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+            max_arity=2)
+
     def cooccurrence_events(sf):
         # market-basket primitive: event-type pairs co-occurring per user
         from packs_ray.functions.agg import cooccurrence_pairs
@@ -3168,6 +3178,7 @@ checks for orders:
         "cooccurrence_events": cooccurrence_events,
         "json_extract_events": json_extract_events,
         "json_schema_profile_events": json_schema_profile_events,
+        "candidate_keys_orders": candidate_keys_orders,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -5112,6 +5123,26 @@ def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     SELECT source, id,
            row_number() OVER (ORDER BY k, source, id)::BIGINT AS order_idx
     FROM ({union})"""
+
+
+def _candidate_keys_sql(table: str, columns: list[str],
+                        max_arity: int = 2) -> str:
+    """Exact replica of integrity.candidate_keys: SELECT DISTINCT
+    tuple counts (nulls group as values), one UNION ALL branch per
+    combination."""
+    from itertools import combinations
+
+    combos = [list(c) for r in range(1, max_arity + 1)
+              for c in combinations(columns, r)]
+    branches = " UNION ALL ".join(
+        f"SELECT '{','.join(cols)}' AS combo, (SELECT count(*) FROM "
+        f"(SELECT DISTINCT {', '.join(cols)} FROM {table})) AS nd"
+        for cols in combos)
+    return f"""
+    SELECT combo, nd::BIGINT AS n_distinct,
+           (SELECT count(*) FROM {table})::BIGINT AS n_rows,
+           nd = (SELECT count(*) FROM {table}) AS is_key
+    FROM ({branches}) ORDER BY combo"""
 
 
 def _hash_split_sql(table: str, id_col: str,
@@ -7631,6 +7662,10 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # integrity.candidate_keys: DISTINCT-tuple counts per combo
+        "candidate_keys_orders": _candidate_keys_sql(
+            "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice"]),
         # json_ops.json_schema_profile: same plant precedence (17 over
         # 23 over 7 over 11), frac over PARSEABLE docs, canonical JSON
         # type names (UBIGINT/BIGINT -> integer, DOUBLE -> number)

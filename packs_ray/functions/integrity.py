@@ -248,3 +248,80 @@ def key_overlap(ds_a, ds_b, key_a: str, key_b: str | None = None) -> "pd.DataFra
         "jaccard": float(_r(nc / union, 6)) if union else None,
         "containment_a": float(_r(nc / na, 6)) if na else None,
         "containment_b": float(_r(nc / nb, 6)) if nb else None}])
+
+
+def candidate_keys(ds, columns: list[str], *, max_arity: int = 2,
+                   num_partitions: int | None = None) -> pd.DataFrame:
+    """Candidate-key discovery: for every column combination up to
+    ``max_arity``, the exact distinct-tuple count and whether it equals
+    the row count — the uniqueness half of profiling-era key detection
+    (which columns could be a primary key? which pairs?), with NULL
+    treated as a value (SQL ``SELECT DISTINCT`` grouping semantics,
+    NOT ``count(DISTINCT)``'s null-dropping).
+
+    Scale shape: one pass emits per-block LOCALLY-DEDUPED 128-bit tuple
+    hashes tagged by combo id (<= 24 B/mark), ONE narrow shuffle on
+    hash bucket, per-bucket exact dedup, and a driver-side sum over the
+    tiny (combo, bucket) count table.  Values are hashed from their
+    Arrow-cast string form so block-level pandas dtype drift (int64 vs
+    float64-with-NaN) cannot split a value across buckets."""
+    from itertools import combinations
+
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    combos = [list(c) for r in range(1, max_arity + 1)
+              for c in combinations(columns, r)]
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    n_rows = ds.count()
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        svs = {}
+        for c in columns:
+            col = pc.cast(batch.column(c), pa.string())
+            svs[c] = (col.to_pandas().fillna("\x00<null>")
+                      .to_numpy(dtype=object))
+        outs = []
+        for cid, cols in enumerate(combos):
+            h1 = np.full(batch.num_rows, np.uint64(0xCBF29CE484222325))
+            h2 = np.full(batch.num_rows, np.uint64(0x84222325CBF29CE4))
+            for c in cols:
+                h1 = (h1 * P) ^ pd.util.hash_array(
+                    svs[c], hash_key="0123456789123456")
+                h2 = (h2 * P) ^ pd.util.hash_array(
+                    svs[c], hash_key="6543216543210987")
+            part = pd.DataFrame({
+                "__cid": np.full(batch.num_rows, cid, dtype=np.int64),
+                "__h1": h1.view(np.int64), "__h2": h2.view(np.int64),
+            }).drop_duplicates()
+            outs.append(part)
+        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"__cid": [], "__h1": [], "__h2": []}, dtype="int64")
+        out["__p"] = (out["__h1"].to_numpy().view(np.uint64)
+                      % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["__cid", "__h1", "__h2"])
+             .groupby("__cid", sort=False).size().reset_index(name="nd"))
+        d["nd"] = d["nd"].astype("int64")
+        return d[["__cid", "nd"]]
+
+    agg = (ds.map_batches(marks, batch_format="pyarrow")
+           .groupby("__p").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    by_cid = (agg.groupby("__cid")["nd"].sum() if len(agg)
+              else pd.Series(dtype="int64"))
+    rows = []
+    for cid, cols in enumerate(combos):
+        nd = int(by_cid.get(cid, 0))
+        rows.append({"combo": ",".join(cols), "n_distinct": nd,
+                     "n_rows": int(n_rows), "is_key": nd == n_rows})
+    out = pd.DataFrame(rows).sort_values("combo").reset_index(drop=True)
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out

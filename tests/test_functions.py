@@ -5279,3 +5279,41 @@ def test_json_schema_profile_nested_and_invalid(ray_session):
     assert not any(p.startswith("$.b.") for p in shallow["path"])
     assert ("$.b", "object") in {(r.path, r.jtype)
                                  for r in shallow.itertuples()}
+
+
+def test_candidate_keys_null_as_value(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.integrity import candidate_keys
+
+    # a: unique except one null pair collision; b: nulls group together
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, None, None], type=pa.int64()),
+        "b": pa.array(["x", "x", "y", "y", "y"], type=pa.string()),
+    })).repartition(3)
+    out = candidate_keys(ds, ["a", "b"], max_arity=2) \
+        .set_index("combo")
+    # DISTINCT semantics: null == null, so 'a' has 4 distinct (1,2,3,null)
+    assert out.loc["a", "n_distinct"] == 4 and not out.loc["a", "is_key"]
+    assert out.loc["b", "n_distinct"] == 2
+    # (a,b): (null,'y') appears twice -> 4 distinct, not a key
+    assert out.loc["a,b", "n_distinct"] == 4
+    assert not out.loc["a,b", "is_key"]
+    assert (out["n_rows"] == 5).all()
+
+
+def test_candidate_keys_dtype_drift_across_blocks(ray_session):
+    """An int column that is null-free in one block and has nulls in
+    another must still count as ONE value domain (the Arrow-cast string
+    hash guards against pandas int64/float64 block drift)."""
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.integrity import candidate_keys
+
+    b1 = pa.table({"a": pa.array([5, 6], type=pa.int64())})
+    b2 = pa.table({"a": pa.array([5, None], type=pa.int64())})
+    ds = ray.data.from_arrow(b1).union(ray.data.from_arrow(b2))
+    out = candidate_keys(ds, ["a"], max_arity=1).set_index("combo")
+    assert out.loc["a", "n_distinct"] == 3      # {5, 6, null}
