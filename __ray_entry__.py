@@ -554,6 +554,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def stratified_split_orders(sf):
+        # exact-proportion per-stratum split; result = counts per
+        # (priority, split) so the guarantee is directly visible
+        from packs_ray.functions.sampling import stratified_split
+
+        out = stratified_split(
+            _ds(sf, "orders", ["o_orderpriority", "o_orderkey"]),
+            "o_orderpriority", "o_orderkey",
+            {"train": 0.8, "val": 0.1, "test": 0.1})
+        df = (out.groupby(["o_orderpriority", "split"]).count()
+              .to_pandas().rename(columns={"count()": "cnt"}))
+        df["cnt"] = df["cnt"].astype("int64")
+        return df.sort_values(["o_orderpriority", "split"]) \
+            .reset_index(drop=True)
+
     def candidate_keys_orders(sf):
         # uniqueness-based key discovery over singles + pairs
         from packs_ray.functions.integrity import candidate_keys
@@ -3179,6 +3194,7 @@ checks for orders:
         "json_extract_events": json_extract_events,
         "json_schema_profile_events": json_schema_profile_events,
         "candidate_keys_orders": candidate_keys_orders,
+        "stratified_split_orders": stratified_split_orders,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -5123,6 +5139,51 @@ def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     SELECT source, id,
            row_number() OVER (ORDER BY k, source, id)::BIGINT AS order_idx
     FROM ({union})"""
+
+
+def _stratified_split_sql(table: str, group_col: str, id_col: str,
+                          fractions: dict[str, float],
+                          salt: str = "split") -> str:
+    """Exact replica of sampling.stratified_split -> per-(group, split)
+    counts: same FNV-1a + finalize hash chain as _hash_split_sql, rank
+    by (h, id) within group, cumulative half-away thresholds.  The
+    cumulative fractions are inlined with full float repr so both sides
+    floor() the SAME doubles."""
+    import numpy as np
+
+    from packs_ray.functions.sampling import _salt_constant
+
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    whens = " ".join(
+        f"WHEN rn <= floor({float(c)!r} * n + 0.5) THEN '{nm}'"
+        for nm, c in zip(names[:-1], cum[:-1]))
+    sc = int(_salt_constant(salt))
+    return f"""
+    SELECT * FROM (
+    WITH v AS (SELECT {group_col} AS grp, {id_col} AS id,
+                      CAST({id_col} AS VARCHAR) AS sv
+               FROM {table}
+               WHERE {id_col} IS NOT NULL AND {group_col} IS NOT NULL),
+    b AS (SELECT grp, id, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT grp, id, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT grp, id, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT grp, id, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h
+           FROM sm),
+    fr AS (SELECT grp, id, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT grp, id, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h
+           FROM fr),
+    r AS (SELECT grp, id,
+                 row_number() OVER (PARTITION BY grp ORDER BY h, id)
+                     AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n FROM f2)
+    SELECT grp AS {group_col},
+           CASE {whens} ELSE '{names[-1]}' END AS split,
+           count(*)::BIGINT AS cnt
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2)"""
 
 
 def _candidate_keys_sql(table: str, columns: list[str],
@@ -7662,6 +7723,11 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # sampling.stratified_split: same hash chain as hash_split,
+        # rank by (h, id) in group, cumulative half-away thresholds
+        "stratified_split_orders": _stratified_split_sql(
+            "orders", "o_orderpriority", "o_orderkey",
+            {"train": 0.8, "val": 0.1, "test": 0.1}),
         # integrity.candidate_keys: DISTINCT-tuple counts per combo
         "candidate_keys_orders": _candidate_keys_sql(
             "orders", ["o_orderkey", "o_custkey", "o_orderstatus",

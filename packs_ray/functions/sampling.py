@@ -465,3 +465,56 @@ def grouped_sample_n(ds, key_col: str, id_col: str, n: int, *,
     parts = ds.map_batches(add_key, batch_format="pyarrow")
     return bucketed_group_reduce(parts, [key_col], reduce_fn,
                                  reduce_partition_count(ds))
+
+
+def stratified_split(ds, group_col: str, id_col: str,
+                     fractions: dict[str, float], *, salt: str = "split"):
+    """EXACT-proportion per-stratum split: within every ``group_col``
+    value, rows are ranked by (finalized hash(id, salt), id) and the
+    first round(n*f1) go to split 1, the next round(n*(f1+f2)) - that
+    to split 2, ... (cumulative thresholds, half-away rounding, last
+    split absorbs the remainder).  Unlike ``hash_split`` (expected
+    proportions, id-sticky across datasets), this guarantees the split
+    sizes per stratum on THIS dataset — the right tool for sizing
+    eval/test sets from small or skewed strata.
+
+    Output: (group_col, id_col, split) marks — only the key/id columns
+    shuffle, join back by id if the full rows are needed.  Null group
+    or id rows drop.  Partitioning assumption: one stratum's marks fit
+    in a worker (the repo's map_groups convention); a mega-stratum
+    needs the two-pass distributed rank-select in profiling.py."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    sc = _salt_constant(salt)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([group_col, id_col])
+        mask = pc.and_(batch.column(group_col).is_valid(),
+                       batch.column(id_col).is_valid())
+        batch = batch.filter(mask)
+        h, _ = _fnv1a_str(batch.column(id_col))
+        return batch.append_column(
+            "__h", pa.array(_finalize(h * sc).view(np.int64)))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="stable",
+                          key=lambda s: (s.to_numpy().view(np.uint64)
+                                         if s.name == "__h" else s)) \
+            .reset_index(drop=True)
+        n = len(g)
+        edges = np.floor(cum * n + 0.5).astype(np.int64)
+        edges[-1] = n
+        band = np.searchsorted(edges, np.arange(1, n + 1), side="left")
+        g["split"] = np.array(names, dtype=object)[
+            np.minimum(band, len(names) - 1)]
+        return g[[group_col, id_col, "split"]]
+
+    return (ds.map_batches(marks, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(per_group, batch_format="pandas"))

@@ -5317,3 +5317,41 @@ def test_candidate_keys_dtype_drift_across_blocks(ray_session):
     ds = ray.data.from_arrow(b1).union(ray.data.from_arrow(b2))
     out = candidate_keys(ds, ["a"], max_arity=1).set_index("combo")
     assert out.loc["a", "n_distinct"] == 3      # {5, 6, null}
+
+
+def test_stratified_split_exact_proportions(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.sampling import stratified_split
+
+    # strata of sizes 10 / 7 / 1 (and null rows that must drop)
+    g = ["a"] * 10 + ["b"] * 7 + ["c"] + [None]
+    ids = list(range(len(g)))
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g, type=pa.string()),
+        "id": pa.array(ids, type=pa.int64())})).repartition(3)
+    out = stratified_split(ds, "g", "id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas()
+    sizes = out.groupby(["g", "split"]).size()
+    # n=10: floor(8+.5)=8 train, floor(9+.5)-8=1 val, 1 test
+    assert sizes.get(("a", "train"), 0) == 8
+    assert sizes.get(("a", "val"), 0) == 1
+    assert sizes.get(("a", "test"), 0) == 1
+    # n=7: floor(5.6+.5)=6 train, floor(6.3+.5)-6=0 val, 1 test
+    assert sizes.get(("b", "train"), 0) == 6
+    assert sizes.get(("b", "val"), 0) == 0
+    assert sizes.get(("b", "test"), 0) == 1
+    # n=1: train absorbs (floor(0.8+0.5)=1)
+    assert sizes.get(("c", "train"), 0) == 1
+    assert len(out) == 18                      # null stratum dropped
+
+    # determinism: same input, fresh run, identical assignment
+    out2 = stratified_split(ds, "g", "id",
+                            {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas()
+    m1 = out.sort_values("id").reset_index(drop=True)
+    m2 = out2.sort_values("id").reset_index(drop=True)
+    assert (m1["split"] == m2["split"]).all()
