@@ -554,6 +554,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def embedding_drift_embeddings(sf):
+        # encoder/corpus drift screen: centroid cosine between the
+        # even- and odd-id halves of the embedding table; fixture
+        # plants null vectors (vec_id % 31) to exercise exclusions
+        import pyarrow as pa
+
+        from packs_ray.functions.similarity import embedding_drift
+
+        def plant_and_split(parity):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("vec_id") \
+                    .to_numpy(zero_copy_only=False)
+                keep = (ids % 2) == parity
+                t = batch.filter(pa.array(keep))
+                ids2 = t.column("vec_id").to_numpy(zero_copy_only=False)
+                col = t.column("embedding")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                drop = (ids2 % 31) == 0
+                if drop.any():
+                    vals = col.to_pylist()
+                    col = pa.array(
+                        [None if d else v for v, d in zip(vals, drop)],
+                        type=col.type)
+                return pa.table({"embedding": col})
+            return fn
+
+        base = _ds(sf, "embeddings", ["vec_id", "embedding"])
+        even = base.map_batches(plant_and_split(0), batch_format="pyarrow")
+        odd = base.map_batches(plant_and_split(1), batch_format="pyarrow")
+        return embedding_drift(even, odd, "embedding")
+
     def stratified_split_orders(sf):
         # exact-proportion per-stratum split; result = counts per
         # (priority, split) so the guarantee is directly visible
@@ -3195,6 +3227,7 @@ checks for orders:
         "json_schema_profile_events": json_schema_profile_events,
         "candidate_keys_orders": candidate_keys_orders,
         "stratified_split_orders": stratified_split_orders,
+        "embedding_drift_embeddings": embedding_drift_embeddings,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -7723,6 +7756,36 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # similarity.embedding_drift: per-dim integer NANO sums in
+        # HUGEINT, exact integer dot/norms, ONE final float expression
+        # (identical on both sides); planted nulls (vec_id % 31) drop
+        "embedding_drift_embeddings": """
+    WITH v AS (SELECT vec_id % 2 AS side, embedding
+               FROM embeddings
+               WHERE vec_id % 31 <> 0 AND embedding IS NOT NULL),
+    u AS (SELECT side, g.i AS i,
+                 CAST(round(CAST(embedding[g.i] AS DOUBLE)
+                            * 1000000000, 0) AS BIGINT) AS nano
+          FROM v, (SELECT unnest(generate_series(1, 64)) AS i) g),
+    s AS (SELECT side, i, sum(nano)::HUGEINT AS sm
+          FROM u GROUP BY 1, 2),
+    agg AS (SELECT
+        (SELECT sum(a.sm * b.sm) FROM s a JOIN s b
+            ON a.i = b.i AND a.side = 0 AND b.side = 1) AS dot,
+        (SELECT sum(sm * sm) FROM s WHERE side = 0) AS na,
+        (SELECT sum(sm * sm) FROM s WHERE side = 1) AS nb,
+        (SELECT count(*) FROM v WHERE side = 0) AS n_a,
+        (SELECT count(*) FROM v WHERE side = 1) AS n_b,
+        (SELECT count(*) FROM embeddings
+         WHERE vec_id % 31 = 0 OR embedding IS NULL) AS n_excluded)
+    SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           n_excluded::BIGINT AS n_excluded, 64::BIGINT AS dim,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE))
+                        * sqrt(CAST(nb AS DOUBLE))), 6) END
+               AS centroid_cosine
+    FROM agg""",
         # sampling.stratified_split: same hash chain as hash_split,
         # rank by (h, id) in group, cumulative half-away thresholds
         "stratified_split_orders": _stratified_split_sql(

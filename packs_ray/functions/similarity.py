@@ -708,3 +708,99 @@ def embedding_quality(ds, emb_col: str) -> pd.DataFrame:
                      empty_schema=pa.schema(
                          [(emb_col, pa.list_(pa.float32()))]))
     return pd.DataFrame([agg])
+
+
+def embedding_drift(ds_a, ds_b, emb_col: str) -> pd.DataFrame:
+    """Centroid drift between two embedding feeds (old vs new encoder
+    run, snapshot A vs B): the cosine between the two MEAN vectors —
+    the cheapest early-warning that an encoder changed or a corpus
+    shifted, long before ANN recall moves.
+
+    Exactness: each element is pinned to integer NANO-units
+    (round(x*1e9)) and summed per dimension in int64 (order-free);
+    the cosine is computed from those integer sums in arbitrary-
+    precision Python ints (the 1e9 scale cancels), with ONE final
+    float division — bit-identical to the HUGEINT SQL oracle.  Null
+    rows, ragged and non-finite vectors are excluded (and counted).
+
+    Scale: one streaming pass per side; only a (dim,)-int64 partial
+    per block reaches the combiner."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import global_agg
+    from packs_ray.stages.util import round_half_away as _rr
+
+    def side_sum(ds):
+        def partial(batch: pa.Table) -> dict:
+            col = batch.column(emb_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            lens = np.where(valid, lens, 0).astype(np.int64)
+            # majority dim of this block decides candidates; ragged and
+            # non-finite rows drop (counted)
+            vals = col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            dims = lens[valid] if valid.any() else np.array([], np.int64)
+            dim = int(np.bincount(dims).argmax()) if len(dims) else 0
+            nano = _rr(vals * 1e9, 0)
+            fin = np.isfinite(vals)
+            # vectorized row screen: finite everywhere + exact dim
+            bad = np.zeros(len(lens), dtype=np.int64)
+            if len(vals):
+                bad = np.add.reduceat((~fin).astype(np.int64),
+                                      np.minimum(starts, len(vals) - 1))
+                bad[lens == 0] = 0
+            ok = valid & (lens == dim) & (bad == 0) & (dim > 0)
+            sums = np.zeros(dim, dtype=np.int64)
+            if ok.any():
+                sel = np.repeat(ok, lens)            # mask over flat values
+                sums = nano[sel].astype(np.int64).reshape(-1, dim) \
+                    .sum(axis=0)
+            n_used = int(ok.sum())
+            return {"dim": dim, "n_used": n_used,
+                    "n_skip": int((valid & ~ok).sum()),
+                    "n_null": int((~valid).sum()),
+                    "sums": sums.tolist()}
+
+        def combine(p: pd.DataFrame) -> dict:
+            dims = [d for d in p["dim"] if d]
+            dim = max(set(dims), key=lambda d: sum(
+                n for dd, n in zip(p["dim"], p["n_used"]) if dd == d)) \
+                if dims else 0
+            sums = [0] * dim
+            n_used = n_skip = 0
+            for _, row in p.iterrows():
+                if row["dim"] == dim and row["n_used"]:
+                    for j, v in enumerate(row["sums"]):
+                        sums[j] += int(v)
+                    n_used += int(row["n_used"])
+                else:
+                    n_skip += int(row["n_used"])
+                n_skip += int(row["n_skip"])
+            return {"dim": dim, "n_used": n_used, "n_skip": n_skip,
+                    "n_null": int(p["n_null"].sum()), "sums": sums}
+
+        return global_agg(ds, partial, combine,
+                          empty_schema=pa.schema(
+                              [(emb_col, pa.list_(pa.float32()))]))
+
+    a, b = side_sum(ds_a), side_sum(ds_b)
+    cos = None
+    if a["n_used"] and b["n_used"] and a["dim"] == b["dim"]:
+        dot = sum(x * y for x, y in zip(a["sums"], b["sums"]))
+        na = sum(x * x for x in a["sums"])
+        nb = sum(y * y for y in b["sums"])
+        if na > 0 and nb > 0:
+            cos = float(_rr(float(dot) / (np.sqrt(float(na))
+                                          * np.sqrt(float(nb))), 6))
+    return pd.DataFrame([{
+        "n_a": int(a["n_used"]), "n_b": int(b["n_used"]),
+        "n_excluded": int(a["n_skip"] + a["n_null"]
+                          + b["n_skip"] + b["n_null"]),
+        "dim": int(a["dim"]),
+        "centroid_cosine": cos,
+    }])

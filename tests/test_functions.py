@@ -5355,3 +5355,27 @@ def test_stratified_split_exact_proportions(ray_session):
     m1 = out.sort_values("id").reset_index(drop=True)
     m2 = out2.sort_values("id").reset_index(drop=True)
     assert (m1["split"] == m2["split"]).all()
+
+
+def test_embedding_drift_pathological(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.similarity import embedding_drift
+
+    typ = pa.list_(pa.float32())
+    a = ray.data.from_arrow(pa.table({"embedding": pa.array(
+        [[1.0, 0.0], [1.0, 0.0], None,             # null drops
+         [1.0, 0.0, 0.0],                          # ragged drops
+         [float("nan"), 1.0]], type=typ)}))        # non-finite drops
+    b = ray.data.from_arrow(pa.table({"embedding": pa.array(
+        [[0.0, 1.0], [0.0, 1.0]], type=typ)})).repartition(2)
+    out = embedding_drift(a, b, "embedding").iloc[0]
+    assert out["n_a"] == 2 and out["n_b"] == 2 and out["dim"] == 2
+    assert out["n_excluded"] == 3
+    assert out["centroid_cosine"] == 0.0          # orthogonal centroids
+
+    # identical sides -> cosine exactly 1
+    same = embedding_drift(a, a, "embedding").iloc[0]
+    assert same["centroid_cosine"] == 1.0
