@@ -554,6 +554,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def mutual_info_events(sf):
+        # dependency screen: event_type vs user-id bucket (MI ~ 0 on
+        # this synthetic feed; the nano-pinned terms make it exact)
+        import pyarrow as pa
+
+        from packs_ray.functions.profiling import mutual_info
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            import pyarrow as pa
+
+            uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": batch.column("event_type"),
+                "ub": pa.array(
+                    pd.array(uid, dtype="Int64") % 5,
+                    type=pa.int64(), from_pandas=True)})
+
+        src = _ds(sf, "events", ["event_type", "user_id"]).map_batches(
+            bucket, batch_format="pyarrow")
+        return mutual_info(src, "event_type", "ub")
+
     def embedding_drift_embeddings(sf):
         # encoder/corpus drift screen: centroid cosine between the
         # even- and odd-id halves of the embedding table; fixture
@@ -3228,6 +3250,7 @@ checks for orders:
         "candidate_keys_orders": candidate_keys_orders,
         "stratified_split_orders": stratified_split_orders,
         "embedding_drift_embeddings": embedding_drift_embeddings,
+        "mutual_info_events": mutual_info_events,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -7756,6 +7779,39 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # profiling.mutual_info: per-cell NANO-nat integer terms (the
+        # js_divergence convention), single-division tails, nmi = one
+        # fixed float expression rounded 6dp
+        "mutual_info_events": """
+    WITH s AS (SELECT event_type AS a, user_id % 5 AS b FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    j AS (SELECT a, b, count(*)::BIGINT AS nij FROM s GROUP BY 1, 2),
+    ma AS (SELECT a, sum(nij)::BIGINT AS ni FROM j GROUP BY 1),
+    mb AS (SELECT b, sum(nij)::BIGINT AS nj FROM j GROUP BY 1),
+    tot AS (SELECT sum(nij)::BIGINT AS n,
+                   (SELECT count(*) FROM ma) AS card_a,
+                   (SELECT count(*) FROM mb) AS card_b FROM j),
+    terms AS (SELECT CAST(round((CAST(nij AS DOUBLE) / n)
+                * ln((CAST(n AS DOUBLE) * nij)
+                     / (CAST(ni AS DOUBLE) * nj)) * 1e9, 0) AS BIGINT)
+                  AS t
+              FROM j JOIN ma USING (a) JOIN mb USING (b), tot),
+    ea AS (SELECT CAST(round((-(CAST(ni AS DOUBLE) / n))
+                * ln(CAST(ni AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS t
+           FROM ma, tot),
+    eb AS (SELECT CAST(round((-(CAST(nj AS DOUBLE) / n))
+                * ln(CAST(nj AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS t
+           FROM mb, tot),
+    f AS (SELECT tot.n, tot.card_a, tot.card_b,
+                 CAST((SELECT sum(t) FROM terms) AS DOUBLE) / 1e9 AS mi,
+                 CAST((SELECT sum(t) FROM ea) AS DOUBLE) / 1e9 AS ha,
+                 CAST((SELECT sum(t) FROM eb) AS DOUBLE) / 1e9 AS hb
+          FROM tot)
+    SELECT n, card_a::BIGINT AS card_a, card_b::BIGINT AS card_b,
+           mi AS mi_nats, ha AS h_a, hb AS h_b,
+           CASE WHEN ha > 0 AND hb > 0
+                THEN round(mi / sqrt(ha * hb), 6) END AS nmi
+    FROM f""",
         # similarity.embedding_drift: per-dim integer NANO sums in
         # HUGEINT, exact integer dot/norms, ONE final float expression
         # (identical on both sides); planted nulls (vec_id % 31) drop

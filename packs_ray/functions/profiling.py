@@ -1624,3 +1624,64 @@ def grouped_quantile_filter(ds, key_col: str, value_col: str, q: float,
         return batch.filter(pa.array(v >= bars))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def mutual_info(ds, col_a: str, col_b: str) -> pd.DataFrame:
+    """Mutual information between two categorical columns (nats) plus
+    marginal entropies and normalized MI — the dependency screen behind
+    "is this field redundant / is this split leaking labels?".  Extends
+    the profiling pack's per-column view to column PAIRS (the reference
+    only profiles columns independently, profiling_pack/main.py:356-371).
+
+    Exactness (the js_divergence convention): every per-cell float
+    contribution is pinned to integer NANO-nats and summed as int64 —
+    order-free, so block/partition order cannot drift a bit.  The final
+    mi / h_a / h_b are single divisions of those integer sums; nmi is
+    ONE fixed float expression, rounded 6dp, identical in the SQL
+    oracle.  Rows with a null in either column drop.
+
+    Scale: per-block local (a, b, n) combiner rides one tiny groupby —
+    driver sees only the joint-cardinality table."""
+    import pyarrow.compute as pc
+
+    from packs_ray.stages.util import round_half_away as _rr
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select([col_a, col_b])
+        mask = pc.and_(batch.column(col_a).is_valid(),
+                       batch.column(col_b).is_valid())
+        df = batch.filter(mask).to_pandas()
+        out = (df.groupby([col_a, col_b], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    joint = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby([col_a, col_b]).sum("n").to_pandas()
+             .rename(columns={"sum(n)": "nij"}))
+    if joint.empty:
+        return pd.DataFrame([{"n": 0, "card_a": 0, "card_b": 0,
+                              "mi_nats": None, "h_a": None, "h_b": None,
+                              "nmi": None}])
+    nij = joint["nij"].to_numpy(np.int64)
+    ni = joint.groupby(col_a)["nij"].transform("sum").to_numpy(np.int64)
+    nj = joint.groupby(col_b)["nij"].transform("sum").to_numpy(np.int64)
+    n = int(nij.sum())
+    nf, nijf, nif, njf = float(n), nij.astype(np.float64), \
+        ni.astype(np.float64), nj.astype(np.float64)
+    terms = _rr((nijf / nf) * np.log((nf * nijf) / (nif * njf)) * 1e9,
+                0).astype(np.int64)
+    mi = float(terms.sum()) / 1e9
+    ma = joint.groupby(col_a)["nij"].sum().to_numpy(np.int64) \
+        .astype(np.float64)
+    mb = joint.groupby(col_b)["nij"].sum().to_numpy(np.int64) \
+        .astype(np.float64)
+    ha = float(_rr((-(ma / nf)) * np.log(ma / nf) * 1e9, 0)
+               .astype(np.int64).sum()) / 1e9
+    hb = float(_rr((-(mb / nf)) * np.log(mb / nf) * 1e9, 0)
+               .astype(np.int64).sum()) / 1e9
+    nmi = (float(_rr(mi / np.sqrt(ha * hb), 6))
+           if ha > 0 and hb > 0 else None)
+    return pd.DataFrame([{
+        "n": n, "card_a": int(len(ma)), "card_b": int(len(mb)),
+        "mi_nats": mi, "h_a": ha, "h_b": hb, "nmi": nmi}])

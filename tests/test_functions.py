@@ -5379,3 +5379,37 @@ def test_embedding_drift_pathological(ray_session):
     # identical sides -> cosine exactly 1
     same = embedding_drift(a, a, "embedding").iloc[0]
     assert same["centroid_cosine"] == 1.0
+
+
+def test_mutual_info_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.profiling import mutual_info
+
+    # perfectly dependent: b = f(a) -> MI == H(a) == H(b), NMI == 1
+    a = ["x"] * 4 + ["y"] * 4
+    b = [1] * 4 + [2] * 4
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a), "b": pa.array(b, type=pa.int64())})) \
+        .repartition(3)
+    out = mutual_info(ds, "a", "b").iloc[0]
+    assert out["n"] == 8 and out["card_a"] == 2 and out["card_b"] == 2
+    assert abs(out["mi_nats"] - np.log(2)) < 1e-6
+    assert out["nmi"] == 1.0
+
+    # independent uniform: MI == 0 exactly (integer-pinned terms)
+    a2 = ["x", "x", "y", "y"] * 2
+    b2 = [1, 2, 1, 2] * 2
+    ds2 = ray.data.from_arrow(pa.table({
+        "a": pa.array(a2), "b": pa.array(b2, type=pa.int64())})) \
+        .repartition(2)
+    out2 = mutual_info(ds2, "a", "b").iloc[0]
+    assert out2["mi_nats"] == 0.0 and out2["nmi"] == 0.0
+
+    # null rows drop
+    ds3 = ray.data.from_arrow(pa.table({
+        "a": pa.array(["x", None, "y"]),
+        "b": pa.array([1, 2, None], type=pa.int64())}))
+    assert mutual_info(ds3, "a", "b").iloc[0]["n"] == 1
