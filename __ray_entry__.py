@@ -554,6 +554,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def contrastive_pairs_embeddings(sf):
+        # (anchor, positive, hard-negative) triplet mining for
+        # embedding finetunes; 6dp-rounded cosine, ties by id ASC
+        from packs_ray.functions.similarity import contrastive_pairs
+
+        return contrastive_pairs(
+            _ds(sf, "embeddings", ["vec_id", "embedding", "label"]),
+            "vec_id", "embedding", "label", anchor_mod=50)
+
     def mutual_info_events(sf):
         # dependency screen: event_type vs user-id bucket (MI ~ 0 on
         # this synthetic feed; the nano-pinned terms make it exact)
@@ -3251,6 +3260,7 @@ checks for orders:
         "stratified_split_orders": stratified_split_orders,
         "embedding_drift_embeddings": embedding_drift_embeddings,
         "mutual_info_events": mutual_info_events,
+        "contrastive_pairs_embeddings": contrastive_pairs_embeddings,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -7779,6 +7789,33 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # similarity.contrastive_pairs: 6dp-rounded cosine BEFORE the
+        # rank, candidate ties by id ASC, self excluded, anchors =
+        # vec_id % 50 == 0; pos/neg ids DOUBLE (nullable parity)
+        "contrastive_pairs_embeddings": """
+    WITH a AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+                 AND label IS NOT NULL),
+    c AS (SELECT a.vec_id AS anchor, a.label AS alabel,
+                 b.vec_id AS cand, (b.label = a.label) AS same,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 6)
+                     AS cos
+          FROM a JOIN embeddings b
+            ON b.vec_id <> a.vec_id AND b.embedding IS NOT NULL
+               AND b.label IS NOT NULL),
+    r AS (SELECT anchor, alabel, cand, same, cos,
+                 row_number() OVER (PARTITION BY anchor, same
+                                    ORDER BY cos DESC, cand) AS rn
+          FROM c)
+    SELECT anchor AS anchor_id, max(alabel)::BIGINT AS anchor_label,
+           max(CASE WHEN same AND rn = 1 THEN cand END)::DOUBLE
+               AS pos_id,
+           max(CASE WHEN same AND rn = 1 THEN cos END) AS pos_cos,
+           max(CASE WHEN NOT same AND rn = 1 THEN cand END)::DOUBLE
+               AS neg_id,
+           max(CASE WHEN NOT same AND rn = 1 THEN cos END) AS neg_cos
+    FROM r GROUP BY anchor ORDER BY anchor""",
         # profiling.mutual_info: per-cell NANO-nat integer terms (the
         # js_divergence convention), single-division tails, nmi = one
         # fixed float expression rounded 6dp

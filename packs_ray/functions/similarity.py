@@ -804,3 +804,109 @@ def embedding_drift(ds_a, ds_b, emb_col: str) -> pd.DataFrame:
         "dim": int(a["dim"]),
         "centroid_cosine": cos,
     }])
+
+
+def contrastive_pairs(ds, id_col: str, emb_col: str, label_col: str, *,
+                      anchor_mod: int = 50) -> pd.DataFrame:
+    """Contrastive training-pair mining: for each anchor (ids with
+    ``id % anchor_mod == 0``) the most-similar SAME-label row (the
+    positive) and the most-similar DIFFERENT-label row (the hard
+    negative) — the (anchor, positive, hard-negative) triplets every
+    embedding-finetune data pipeline materializes.
+
+    Determinism contract (ANN family): cosines rounded 6dp BEFORE
+    ranking, ties break on ascending candidate id, self excluded by id.
+    Rows with null id/embedding/label are excluded everywhere.
+
+    Scale shape: anchors are broadcast once as a normalized matrix
+    (``ray.put``); the corpus STREAMS through map_batches emitting one
+    (anchor, side, best_cos, best_id) partial per block — an exact
+    tournament reduce, no N x N materialization; driver sees
+    O(anchors x blocks) partials.  At IVF scale, restrict candidates
+    per anchor to probed clusters first (`ann_ivf` path)."""
+    import pyarrow.compute as pc
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    narrow = ds.select_columns([id_col, emb_col, label_col]) \
+        .map_batches(lambda t: t.filter(pc.and_(pc.and_(
+            pc.is_valid(t.column(id_col)),
+            pc.is_valid(t.column(label_col))),
+            pc.is_valid(t.column(emb_col)))), batch_format="pyarrow")
+
+    def is_anchor(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % anchor_mod == 0))
+
+    anchors = narrow.map_batches(is_anchor,
+                                 batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "anchor_id": pd.Series([], dtype="int64"),
+        "anchor_label": pd.Series([], dtype="int64"),
+        "pos_id": pd.Series([], dtype="float64"),
+        "pos_cos": pd.Series([], dtype="float64"),
+        "neg_id": pd.Series([], dtype="float64"),
+        "neg_cos": pd.Series([], dtype="float64")})
+    if anchors.empty:
+        return empty
+    a_ids = anchors[id_col].to_numpy(np.int64)
+    a_lab = anchors[label_col].to_numpy(np.int64)
+    am = np.stack([np.asarray(e, dtype=np.float64)
+                   for e in anchors[emb_col]])
+    an = np.linalg.norm(am, axis=1, keepdims=True)
+    amn = am / np.where(an > 0, an, 1.0)
+    ref = ray.put((a_ids, a_lab, amn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ai, al, amat = ray.get(ref)
+        bm = _fit_dim(_batch_matrix(batch, emb_col), amat.shape[1])
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bmn = bm / np.where(bn > 0, bn, 1.0)
+        sims = np.asarray(_r(amat @ bmn.T, 6))        # (A, n)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        blab = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rows = {"anchor": [], "side": [], "cos": [], "cand": []}
+        same_all = al[:, None] == blab[None, :]       # (A, n)
+        not_self = ai[:, None] != bids[None, :]
+        for side, m in ((1, same_all & not_self),
+                        (0, ~same_all & not_self)):
+            ok = m.any(axis=1)
+            if not ok.any():
+                continue
+            s = np.where(m, sims, -np.inf)
+            best = s.max(axis=1)
+            # tie -> smallest candidate id (mask non-best with +inf ids)
+            cand = np.where(s == best[:, None], bids[None, :],
+                            np.iinfo(np.int64).max).min(axis=1)
+            idx = np.flatnonzero(ok)
+            rows["anchor"].extend(ai[idx].tolist())
+            rows["side"].extend([side] * len(idx))
+            rows["cos"].extend(best[idx].tolist())
+            rows["cand"].extend(cand[idx].tolist())
+        return pa.table({
+            "anchor": pa.array(rows["anchor"], type=pa.int64()),
+            "side": pa.array(rows["side"], type=pa.int64()),
+            "cos": pa.array(rows["cos"], type=pa.float64()),
+            "cand": pa.array(rows["cand"], type=pa.int64())})
+
+    parts = narrow.map_batches(partial, batch_format="pyarrow").to_pandas()
+    lab_by_id = dict(zip(a_ids.tolist(), a_lab.tolist()))
+    out_rows = []
+    for aid in sorted(lab_by_id):
+        row = {"anchor_id": aid, "anchor_label": lab_by_id[aid],
+               "pos_id": None, "pos_cos": None,
+               "neg_id": None, "neg_cos": None}
+        for side, pid, pcos in ((1, "pos_id", "pos_cos"),
+                                (0, "neg_id", "neg_cos")):
+            g = parts[(parts["anchor"] == aid) & (parts["side"] == side)]
+            if len(g):
+                best = g["cos"].max()
+                row[pcos] = float(best)
+                row[pid] = int(g.loc[g["cos"] == best, "cand"].min())
+        out_rows.append(row)
+    out = pd.DataFrame(out_rows)
+    for c in ("pos_id", "neg_id"):
+        out[c] = out[c].astype("float64")   # nullable-friendly, SQL parity
+    return out

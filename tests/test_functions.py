@@ -5413,3 +5413,32 @@ def test_mutual_info_planted(ray_session):
         "a": pa.array(["x", None, "y"]),
         "b": pa.array([1, 2, None], type=pa.int64())}))
     assert mutual_info(ds3, "a", "b").iloc[0]["n"] == 1
+
+
+def test_contrastive_pairs_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.similarity import contrastive_pairs
+
+    typ = pa.list_(pa.float32())
+    # anchor 0 (label 1): ids 2 and 4 are same-label exact ties at
+    # cosine 1 -> positive = smaller id 2; id 3 (label 2) is the only
+    # negative; anchor 50 (label 9) is a singleton class -> null pos
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 2, 4, 3, 50], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [2.0, 0.0], [3.0, 0.0],
+                               [1.0, 1.0], [0.0, 1.0]], type=typ),
+        "label": pa.array([1, 1, 1, 2, 9], type=pa.int32()),
+    })).repartition(3)
+    out = contrastive_pairs(ds, "vec_id", "embedding", "label",
+                            anchor_mod=50).set_index("anchor_id")
+    a0 = out.loc[0]
+    assert a0["pos_id"] == 2.0 and a0["pos_cos"] == 1.0
+    assert a0["neg_id"] == 3.0
+    assert abs(a0["neg_cos"] - round(1 / np.sqrt(2), 6)) < 1e-12
+    a50 = out.loc[50]
+    assert np.isnan(a50["pos_id"])                 # singleton class
+    assert a50["neg_id"] == 3.0                    # best different-label
+    assert len(out) == 2
