@@ -554,6 +554,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def key_collisions_customer(sf):
+        # silent-join-breaker screen; fixture plants case/whitespace
+        # variants of the PREVIOUS customer's name (custkey % 13)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.duplicates import key_collisions
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = batch.column("c_custkey") \
+                .to_numpy(zero_copy_only=False)
+            planted = pa.array(
+                ["CUSTOMER#" + str(int(k) - 1).zfill(9) + "  "
+                 for k in keys], type=pa.string())
+            use = pa.array((keys % 13 == 0) & (keys > 0))
+            return pa.table({
+                "c_name": pc.if_else(use, planted,
+                                     batch.column("c_name"))})
+
+        fixture = _ds(sf, "customer", ["c_custkey", "c_name"]) \
+            .map_batches(plant, batch_format="pyarrow")
+        return key_collisions(fixture, "c_name")
+
     def contrastive_pairs_embeddings(sf):
         # (anchor, positive, hard-negative) triplet mining for
         # embedding finetunes; 6dp-rounded cosine, ties by id ASC
@@ -3261,6 +3286,7 @@ checks for orders:
         "embedding_drift_embeddings": embedding_drift_embeddings,
         "mutual_info_events": mutual_info_events,
         "contrastive_pairs_embeddings": contrastive_pairs_embeddings,
+        "key_collisions_customer": key_collisions_customer,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -7789,6 +7815,19 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # duplicates.key_collisions: collapse-trim-lower normalization,
+        # collisions = normalized keys with >1 raw variant
+        "key_collisions_customer": r"""
+    WITH src AS (SELECT CASE WHEN c_custkey % 13 = 0 AND c_custkey > 0
+            THEN 'CUSTOMER#' || lpad((c_custkey - 1)::VARCHAR, 9, '0')
+                 || '  '
+            ELSE c_name END AS k FROM customer),
+    n AS (SELECT k, lower(trim(regexp_replace(
+              k, '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) AS nk
+          FROM src WHERE k IS NOT NULL)
+    SELECT nk AS norm_key, count(*)::BIGINT AS n_rows,
+           count(DISTINCT k)::BIGINT AS n_raw_variants
+    FROM n GROUP BY 1 HAVING count(DISTINCT k) > 1 ORDER BY 1""",
         # similarity.contrastive_pairs: 6dp-rounded cosine BEFORE the
         # rank, candidate ties by id ASC, self excluded, anchors =
         # vec_id % 50 == 0; pos/neg ids DOUBLE (nullable parity)

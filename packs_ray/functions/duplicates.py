@@ -469,3 +469,57 @@ def dedup_within_window(ds, key_cols: list[str], ts_col: str, id_col: str,
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby("__p").map_groups(per_bucket,
                                            batch_format="pandas")
+
+
+def key_collisions(ds, key_col: str, num_partitions: int | None = None):
+    """Normalized-key collision report: raw key values that become
+    IDENTICAL after whitespace-collapse + trim + lowercase but differ
+    as stored — the classic silent-join-breaker (\"Acme Corp\" vs
+    \"acme  corp \") and the cheap precursor to full entity resolution
+    (see entity_clusters for the fuzzy tier).
+
+    Normalization spec (shared verbatim with the SQL oracle): collapse
+    every whitespace run to one space, trim spaces, lowercase.  Output
+    one row per colliding normalized key: (norm_key, n_rows,
+    n_raw_variants), n_raw_variants > 1, sorted by norm_key.  Null keys
+    drop.
+
+    Scale: per-block (norm, raw, n) combiner, ONE bucketed shuffle on
+    hash(norm); only collision rows (a tiny set on honest data) leave
+    the reduce."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        norm = pc.utf8_lower(pc.utf8_trim(pc.replace_substring_regex(
+            col, r"[ \t\n\r\f\v]+", " "), " "))
+        df = pd.DataFrame({"norm_key": norm.to_numpy(zero_copy_only=False),
+                           "raw": col.to_numpy(zero_copy_only=False)})
+        out = (df.groupby(["norm_key", "raw"], sort=False)
+               .size().reset_index(name="n"))
+        h = pd.util.hash_array(out["norm_key"].to_numpy(dtype=object))
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("norm_key", sort=False)
+               .agg(n_rows=("n", "sum"), n_raw_variants=("raw", "nunique"))
+               .reset_index())
+        agg = agg[agg["n_raw_variants"] > 1]
+        agg["n_rows"] = agg["n_rows"].astype("int64")
+        agg["n_raw_variants"] = agg["n_raw_variants"].astype("int64")
+        return agg[["norm_key", "n_rows", "n_raw_variants"]]
+
+    return (ds.select_columns([key_col])
+            .map_batches(marks, batch_format="pyarrow")
+            .groupby("__p").map_groups(per_bucket, batch_format="pandas")
+            .sort("norm_key"))

@@ -5442,3 +5442,20 @@ def test_contrastive_pairs_planted(ray_session):
     assert np.isnan(a50["pos_id"])                 # singleton class
     assert a50["neg_id"] == 3.0                    # best different-label
     assert len(out) == 2
+
+
+def test_key_collisions_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.duplicates import key_collisions
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(
+        ["Acme Corp", "acme  corp ", "ACME\tCORP", "Beta", "beta",
+         "Solo", None, "  acme corp"])})).repartition(3)
+    out = key_collisions(ds, "k").to_pandas().set_index("norm_key")
+    assert list(out.index) == ["acme corp", "beta"]
+    assert out.loc["acme corp", "n_rows"] == 4
+    assert out.loc["acme corp", "n_raw_variants"] == 4
+    assert out.loc["beta", "n_raw_variants"] == 2
+    # 'Solo' normalizes uniquely -> excluded; null dropped
