@@ -554,6 +554,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             plant, batch_format="pyarrow")
         return json_schema_profile(fixture, "props", max_depth=1)
 
+    def id_gaps_orders(sf):
+        # ingest-loss detector: fixture knocks out 13-wide id runs
+        # (o_orderkey % 97 < 13) so gaps exist at every scale
+        import pyarrow as pa
+
+        from packs_ray.functions.integrity import id_gaps
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch.column("o_orderkey") \
+                .to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 97 >= 13))
+
+        fixture = _ds(sf, "orders", ["o_orderkey"]).map_batches(
+            plant, batch_format="pyarrow")
+        return id_gaps(fixture, "o_orderkey")
+
     def key_collisions_customer(sf):
         # silent-join-breaker screen; fixture plants case/whitespace
         # variants of the PREVIOUS customer's name (custkey % 13)
@@ -3287,6 +3305,7 @@ checks for orders:
         "mutual_info_events": mutual_info_events,
         "contrastive_pairs_embeddings": contrastive_pairs_embeddings,
         "key_collisions_customer": key_collisions_customer,
+        "id_gaps_orders": id_gaps_orders,
         "transitions_events": transitions_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
@@ -7815,6 +7834,20 @@ def oracle_sql() -> dict[str, str]:
               THEN json_extract(props, '$.k') END)::BIGINT AS k
     FROM src
     """,
+        # integrity.id_gaps: gap = maximal missing run between two
+        # present ids (lag-diff - 1 over distinct ids)
+        "id_gaps_orders": """
+    WITH d AS (SELECT DISTINCT o_orderkey AS id FROM orders
+               WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 >= 13),
+    g AS (SELECT id, id - lag(id) OVER (ORDER BY id) - 1 AS gap FROM d)
+    SELECT count(*)::BIGINT AS n_ids, min(id)::BIGINT AS min_id,
+           max(id)::BIGINT AS max_id,
+           (max(id) - min(id) + 1)::BIGINT AS span,
+           (max(id) - min(id) + 1 - count(*))::BIGINT AS n_missing,
+           coalesce(max(gap), 0)::BIGINT AS max_gap,
+           coalesce(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_gaps
+    FROM g""",
         # duplicates.key_collisions: collapse-trim-lower normalization,
         # collisions = normalized keys with >1 raw variant
         "key_collisions_customer": r"""

@@ -325,3 +325,67 @@ def candidate_keys(ds, columns: list[str], *, max_arity: int = 2,
     out["n_distinct"] = out["n_distinct"].astype("int64")
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
+
+
+def id_gaps(ds, id_col: str, num_partitions: int | None = None) -> pd.DataFrame:
+    """Global id-sequence gap profile: how contiguous is a surrogate-key
+    / offset column?  (n_ids, min_id, max_id, span, n_missing, max_gap,
+    n_gaps) where a \"gap\" is a maximal run of absent values between
+    two present ids — the batch-ingest loss detector (a dropped file
+    shows up as one wide gap, steady sampling as many unit gaps).
+    Duplicates collapse (distinct ids); null ids drop.
+
+    Scale shape: RANGE-bucketed by id//span so adjacency is local —
+    each bucket reduces its sorted distinct ids to a fixed-width
+    summary (min, max, count, max internal gap, internal gap count);
+    the driver stitches only consecutive bucket summaries.  Two narrow
+    passes (global min/max, then the bucketed reduce); the id column
+    never leaves the cluster un-reduced."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = row_shuffle_partitions(ds)
+    proj = ds.select_columns([id_col])
+    lo = proj.min(id_col)
+    hi = proj.max(id_col)
+    empty = pd.DataFrame([{"n_ids": 0, "min_id": None, "max_id": None,
+                           "span": 0, "n_missing": 0, "max_gap": 0,
+                           "n_gaps": 0}])
+    if lo is None or hi is None:
+        return empty
+    lo, hi = int(lo), int(hi)
+    span = max(1, -(-(hi - lo + 1) // num_partitions))
+
+    def marks(batch: pa.Table) -> pa.Table:
+        ids = np.unique(batch.column(id_col).drop_null()
+                        .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"id": pa.array(ids),
+                         "__b": pa.array((ids - lo) // span)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["id"].to_numpy(np.int64))
+        d = np.diff(ids) - 1
+        return pd.DataFrame([{
+            "__b": int(g["__b"].iloc[0]), "mn": int(ids[0]),
+            "mx": int(ids[-1]), "cnt": int(len(ids)),
+            "mg": int(d.max()) if len(d) else 0,
+            "ng": int((d > 0).sum())}])
+
+    s = (proj.map_batches(marks, batch_format="pyarrow")
+         .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+         .to_pandas().sort_values("__b").reset_index(drop=True))
+    if s.empty:
+        return empty
+    max_gap = int(s["mg"].max())
+    n_gaps = int(s["ng"].sum())
+    bound = s["mn"].to_numpy(np.int64)[1:] - s["mx"].to_numpy(np.int64)[:-1] - 1
+    if len(bound):
+        max_gap = max(max_gap, int(bound.max()))
+        n_gaps += int((bound > 0).sum())
+    n_ids = int(s["cnt"].sum())
+    return pd.DataFrame([{
+        "n_ids": n_ids, "min_id": lo, "max_id": hi,
+        "span": hi - lo + 1, "n_missing": (hi - lo + 1) - n_ids,
+        "max_gap": max_gap, "n_gaps": n_gaps}])

@@ -5459,3 +5459,27 @@ def test_key_collisions_planted(ray_session):
     assert out.loc["acme corp", "n_raw_variants"] == 4
     assert out.loc["beta", "n_raw_variants"] == 2
     # 'Solo' normalizes uniquely -> excluded; null dropped
+
+
+def test_id_gaps_cross_bucket_stitch(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.integrity import id_gaps
+
+    # ids 0,1,2, 50,51, 99 with many range buckets -> the widest gap
+    # (47, between 2 and 50) spans bucket BOUNDARIES and must stitch;
+    # duplicates collapse, nulls drop
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2, 50, 51, 99, 2, None],
+                       type=pa.int64())})).repartition(4)
+    out = id_gaps(ds, "id", num_partitions=10).iloc[0]
+    assert out["n_ids"] == 6 and out["min_id"] == 0 and out["max_id"] == 99
+    assert out["span"] == 100 and out["n_missing"] == 94
+    assert out["max_gap"] == 47
+    assert out["n_gaps"] == 2                 # 3..49 and 52..98
+
+    # empty input
+    e = id_gaps(ray.data.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64())})), "id").iloc[0]
+    assert e["n_ids"] == 0 and e["max_gap"] == 0
