@@ -660,6 +660,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         odd = base.map_batches(plant_and_split(1), batch_format="pyarrow")
         return embedding_drift(even, odd, "embedding")
 
+    def _plant_null_vecs(modulus):
+        # shared fixture: null out embedding rows where vec_id % m == 0
+        # so the operators' null-exclusion path is exercised
+        import pyarrow as pa
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            drop = (ids % modulus) == 0
+            if drop.any():
+                vals = col.to_pylist()
+                col = pa.array(
+                    [None if d else v for v, d in zip(vals, drop)],
+                    type=col.type)
+            return pa.table({"vec_id": batch.column("vec_id"),
+                             "embedding": col})
+        return fn
+
+    def covariance_embeddings(sf):
+        # exact 64x64 covariance matrix (PCA/whitening prep) from
+        # micro-int power sums; fixture plants nulls (vec_id % 37)
+        from packs_ray.functions.similarity import covariance_matrix
+
+        src = _ds(sf, "embeddings", ["vec_id", "embedding"]).map_batches(
+            _plant_null_vecs(37), batch_format="pyarrow")
+        return covariance_matrix(src, "embedding", dim=64)
+
+    def pca_project_embeddings(sf):
+        # top-2 principal-component projection over the same exact
+        # covariance sums; eigh is driver-side on the 64x64 matrix so
+        # no SQL twin exists (pytest-gated: numpy parity + sign pin)
+        from packs_ray.functions.similarity import pca_project
+
+        src = _ds(sf, "embeddings", ["vec_id", "embedding"]).map_batches(
+            _plant_null_vecs(37), batch_format="pyarrow")
+        return pca_project(src, "vec_id", "embedding", k=2, dim=64)
+
     def stratified_split_orders(sf):
         # exact-proportion per-stratum split; result = counts per
         # (priority, split) so the guarantee is directly visible
@@ -3302,6 +3341,8 @@ checks for orders:
         "candidate_keys_orders": candidate_keys_orders,
         "stratified_split_orders": stratified_split_orders,
         "embedding_drift_embeddings": embedding_drift_embeddings,
+        "covariance_embeddings": covariance_embeddings,
+        "pca_project_embeddings": pca_project_embeddings,
         "mutual_info_events": mutual_info_events,
         "contrastive_pairs_embeddings": contrastive_pairs_embeddings,
         "key_collisions_customer": key_collisions_customer,
@@ -7951,6 +7992,30 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(CAST(nb AS DOUBLE))), 6) END
                AS centroid_cosine
     FROM agg""",
+        # similarity.covariance_matrix: exact micro-int power sums,
+        # one pinned left-assoc float expression per cell, 9dp
+        "covariance_embeddings": """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 37 <> 0 AND embedding IS NOT NULL
+                 AND len(embedding) = 64),
+    u AS (SELECT vec_id, g.i AS i,
+                 CAST(round(CAST(embedding[g.i] AS DOUBLE)
+                            * 1000000, 0) AS BIGINT) AS micro
+          FROM v, (SELECT unnest(generate_series(1, 64)) AS i) g),
+    nn AS (SELECT count(*) AS n FROM v),
+    s1 AS (SELECT i, sum(micro)::HUGEINT AS s FROM u GROUP BY 1),
+    s2 AS (SELECT a.i AS i, b.i AS j,
+                  sum(a.micro::HUGEINT * b.micro) AS s
+           FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2)
+    SELECT s2.i::BIGINT AS i, s2.j::BIGINT AS j, nn.n::BIGINT AS n,
+           round((CAST(s2.s AS DOUBLE) / nn.n
+                  - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)
+                    / nn.n / nn.n) / 1e12, 9) AS cov
+    FROM s2 CROSS JOIN nn
+    JOIN s1 sa ON sa.i = s2.i
+    JOIN s1 sb ON sb.i = s2.j
+    ORDER BY i, j""",
         # sampling.stratified_split: same hash chain as hash_split,
         # rank by (h, id) in group, cumulative half-away thresholds
         "stratified_split_orders": _stratified_split_sql(

@@ -148,6 +148,11 @@ def json_schema_profile(ds, json_col: str, *, max_depth: int = 1):
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["path", "jtype"]).sum("n").to_pandas())
     agg = agg.rename(columns={"sum(n)": "n"})
+    if "path" not in agg.columns:  # all blocks empty: schema-less groupby
+        return pd.DataFrame({"path": pd.Series(dtype="object"),
+                             "jtype": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "frac": pd.Series(dtype="float64")})
     docs = agg[agg["path"] == "__docs__"]
     n_valid = int(docs["n"].iloc[0]) if len(docs) else 0
     out = agg[agg["path"] != "__docs__"].copy()

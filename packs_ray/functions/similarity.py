@@ -910,3 +910,161 @@ def contrastive_pairs(ds, id_col: str, emb_col: str, label_col: str, *,
     for c in ("pos_id", "neg_id"):
         out[c] = out[c].astype("float64")   # nullable-friendly, SQL parity
     return out
+
+
+def _cov_power_sums(ds, emb_col: str, dim: int):
+    """Exact micro-int power sums for a covariance matrix.
+
+    Each element is pinned to integer MICRO-units (round-half-away of
+    x*1e6 after the float32->float64 cast — the `embedding_drift`
+    convention), then S1[i] = sum(micro_i) and S2[i][j] = sum(micro_i *
+    micro_j) are exact integers: block order, batch size and CPU count
+    cannot drift a bit.  Per-block products use one int64 matmul when
+    the magnitude bound allows (always, for unit-scale embeddings) and
+    fall back to row-chunked matmuls otherwise so no partial ever
+    overflows; cross-block combine is Python-int (arbitrary precision).
+
+    Scale: only (dim*(dim+1)/2 + dim + 1)-row integer partials per block
+    reach the driver — never a vector.  Rows that are null, ragged
+    (len != dim) or contain non-finite values are excluded.
+
+    Returns (n_rows, S1 list[int], S2 dict[(i, j)] -> int, 0-based,
+    i <= j)."""
+    import pyarrow.compute as pc
+
+    iu0, iu1 = np.triu_indices(dim)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = col.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
+        m = _batch_matrix(batch.filter(pa.array(keep)), emb_col)
+        m = _fit_dim(m, dim) if m.size else np.zeros((0, dim))
+        fin = np.isfinite(m).all(axis=1)
+        m = m[fin]
+        micro = _r(m * 1e6, 0).astype(np.int64)
+        n = micro.shape[0]
+        tabs = []
+        mx = int(np.abs(micro).max()) if n else 0
+        step = n if not n else max(1, min(n, (2 ** 62) // max(mx * mx, 1)))
+        for a in range(0, max(n, 1), max(step, 1)):
+            c = micro[a:a + step]
+            if not len(c) and a:
+                break
+            s2 = (c.T @ c) if len(c) else np.zeros((dim, dim), np.int64)
+            s1 = c.sum(axis=0) if len(c) else np.zeros(dim, np.int64)
+            i_rows = np.concatenate([iu0 + 1, np.arange(1, dim + 1), [0]])
+            j_rows = np.concatenate([iu1 + 1, np.zeros(dim, np.int64), [0]])
+            s_rows = np.concatenate([s2[iu0, iu1], s1,
+                                     [np.int64(len(c))]])
+            tabs.append(pa.table({
+                "i": pa.array(i_rows, type=pa.int64()),
+                "j": pa.array(j_rows, type=pa.int64()),
+                "s": pa.array(s_rows, type=pa.int64())}))
+            if not n:
+                break
+        return pa.concat_tables(tabs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return 0, [0] * dim, {}
+    parts["s"] = parts["s"].map(int)            # Python-int combine
+    sums = parts.groupby(["i", "j"])["s"].sum()
+    n = int(sums.get((0, 0), 0))
+    s1 = [int(sums.get((i, 0), 0)) for i in range(1, dim + 1)]
+    s2 = {(int(i) - 1, int(j) - 1): int(v)
+          for (i, j), v in sums.items() if i >= 1 and j >= 1}
+    return n, s1, s2
+
+
+def covariance_matrix(ds, emb_col: str, dim: int = 64) -> pd.DataFrame:
+    """Exact population covariance matrix of an embedding column — the
+    whitening / PCA-prep profile (the reference computes only per-column
+    scalar stats, `profiling_pack/main.py:373-400`; this is the
+    vector-column analogue).
+
+    cov(i, j) = (S2/n - S1_i*S1_j/n/n) / 1e12 over the exact micro-int
+    power sums of `_cov_power_sums`, ONE pinned left-associative float
+    expression per cell shared with the DuckDB replica, rounded 9dp
+    half-away.  Output: one row per (i, j), 1-based, i <= j."""
+    n, s1, s2 = _cov_power_sums(ds, emb_col, dim)
+    if n == 0:
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64"),
+                             "cov": pd.Series(dtype="float64")})
+    rows = []
+    for (i, j), sij in sorted(s2.items()):
+        cov = (float(sij) / n - float(s1[i]) * float(s1[j]) / n / n) / 1e12
+        rows.append({"i": np.int64(i + 1), "j": np.int64(j + 1),
+                     "n": np.int64(n), "cov": float(_r(cov, 9))})
+    return pd.DataFrame(rows)
+
+
+def pca_project(ds, id_col: str, emb_col: str, *, k: int = 2,
+                dim: int = 64):
+    """PCA projection of an embedding column onto its top-k principal
+    components — dimensionality reduction for visualization / cheap
+    clustering over the same exact covariance sums as
+    `covariance_matrix`.
+
+    Determinism: the covariance matrix is built from exact integer
+    sums (bit-identical at any parallelism), `np.linalg.eigh` of that
+    fixed matrix is deterministic, and each eigenvector's sign is
+    pinned (its largest-|.|-component is made positive, first index on
+    ties) so the projection never flips between runs.  Eigen-
+    decomposition is not SQL-expressible, so this operator is
+    pytest-gated (numpy parity + variance ordering) rather than
+    oracle-gated.
+
+    Scale: one streaming power-sum pass (fixed-size partials), a
+    dim x dim driver eigh (trivial), then one stateless broadcast
+    projection pass — rows never shuffle."""
+    n, s1, s2 = _cov_power_sums(ds, emb_col, dim)
+    if n == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 **{f"pc{c + 1}": pa.array([], type=pa.float64())
+                    for c in range(k)}}),
+            batch_format="pyarrow")
+    cov = np.zeros((dim, dim))
+    for (i, j), sij in s2.items():
+        v = (float(sij) / n - float(s1[i]) * float(s1[j]) / n / n) / 1e12
+        cov[i, j] = cov[j, i] = v
+    mean = np.array([float(x) / n / 1e6 for x in s1])
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :k].copy()            # descending eigenvalue
+    for c in range(comps.shape[1]):             # sign pin
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, vv = ray.get(ref)
+        import pyarrow.compute as pc
+
+        col = batch.column(emb_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = col.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
+        t = batch.filter(pa.array(keep))
+        m = _fit_dim(_batch_matrix(t, emb_col), dim) if keep.any() \
+            else np.zeros((0, dim))
+        fin = np.isfinite(m).all(axis=1) if len(m) else \
+            np.zeros(0, dtype=bool)
+        t = t.filter(pa.array(fin)) if len(m) else t
+        z = (m[fin] - mu) @ vv
+        cols = {id_col: t.column(id_col)}
+        for c in range(vv.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(
+                _r(z[:, c], 6) if len(z) else
+                np.zeros(0), type=pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

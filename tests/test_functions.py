@@ -5483,3 +5483,57 @@ def test_id_gaps_cross_bucket_stitch(ray_session):
     e = id_gaps(ray.data.from_arrow(pa.table({
         "id": pa.array([], type=pa.int64())})), "id").iloc[0]
     assert e["n_ids"] == 0 and e["max_gap"] == 0
+
+
+def test_covariance_and_pca_numpy_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.similarity import covariance_matrix, pca_project
+
+    rng = np.random.default_rng(7)
+    dim = 5
+    m = rng.normal(size=(60, dim)) * 0.3
+    rows = [list(map(float, r)) for r in m]
+    rows[3] = None                              # null row excluded
+    rows[9] = [1.0, 2.0]                        # ragged row excluded
+    rows[11] = [float("nan")] * dim             # non-finite excluded
+    ds = ray.data.from_arrow(pa.table({
+        "vid": pa.array(range(60), type=pa.int64()),
+        "emb": pa.array(rows, type=pa.list_(pa.float32()))})).repartition(4)
+
+    keep = np.ones(60, dtype=bool)
+    keep[[3, 9, 11]] = False
+    x = np.round(np.float64(m[keep].astype(np.float32)) * 1e6) / 1e6
+    ref_cov = np.cov(x, rowvar=False, bias=True)
+
+    out = covariance_matrix(ds, "emb", dim=dim)
+    assert len(out) == dim * (dim + 1) // 2
+    assert (out["n"] == keep.sum()).all()
+    for _, r in out.iterrows():
+        assert abs(r["cov"] - ref_cov[int(r["i"]) - 1, int(r["j"]) - 1]) \
+            < 1e-8
+
+    # projection: matches a full-precision numpy PCA up to quantization
+    proj = pca_project(ds, "vid", "emb", k=2, dim=dim).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert len(proj) == keep.sum()
+    w, v = np.linalg.eigh(ref_cov)
+    comps = v[:, ::-1][:, :2].copy()
+    for c in range(2):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    z = (x - x.mean(axis=0)) @ comps
+    assert np.abs(proj[["pc1", "pc2"]].to_numpy()
+                  - z[np.argsort(np.arange(60)[keep])]).max() < 1e-4
+    # variance ordering: pc1 carries at least as much variance as pc2
+    assert proj["pc1"].var() >= proj["pc2"].var() - 1e-9
+
+    # empty input keeps the schema
+    empty = ray.data.from_arrow(pa.table({
+        "vid": pa.array([], type=pa.int64()),
+        "emb": pa.array([], type=pa.list_(pa.float32()))}))
+    assert covariance_matrix(empty, "emb", dim=dim).empty
+    assert pca_project(empty, "vid", "emb", k=2, dim=dim).count() == 0
