@@ -2511,6 +2511,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def merge_turns_transcripts(sf):
+        # SFT-prep repair: collapse consecutive same-role turns into
+        # one turn per run under the pinned total order
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import merge_consecutive_turns
+
+        tds = read_parquet_sized(
+            _transcripts(sf),
+            columns=["conv_id", "turn_idx", "role", "ts", "text"])
+        return merge_consecutive_turns(tds)
+
     def refusal_profile_transcripts(sf):
         # SFT-curation screen: per-conversation assistant refusal rate
         # (literal contains against rules.patterns.REFUSAL_PHRASES)
@@ -3465,6 +3476,7 @@ checks for orders:
         "context_fit_transcripts": context_fit_transcripts,
         "repeated_responses_transcripts": repeated_responses_transcripts,
         "echo_score_transcripts": echo_score_transcripts,
+        "merge_turns_transcripts": merge_turns_transcripts,
         "refusal_profile_transcripts": refusal_profile_transcripts,
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
         "turn_integrity_transcripts": turn_integrity_transcripts,
@@ -4450,6 +4462,42 @@ def _kcenter_sql(k: int = 8) -> str:
         union.append(f"SELECT {i}, p{i}.id, p{i}.d FROM p{i}")
     return ("WITH " + ",\n    ".join(parts) + "\n    "
             + " UNION ALL ".join(union) + " ORDER BY pick_order")
+
+
+def _merge_turns_sql() -> str:
+    """stages.conversation.merge_consecutive_turns replica: islands of
+    consecutive same-role rows via the row_number-difference trick
+    under the pinned (turn_idx, ts, role, text) total order; text
+    joined in-order, ts = run min, dense new turn_idx per conv."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, ts, text"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT conv_id, turn_idx, role, ts,
+                 coalesce(text, '') AS text
+          FROM t WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+            AND role IS NOT NULL AND ts IS NOT NULL),
+    o AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+              ORDER BY turn_idx, ts, role, text) AS rn FROM e),
+    i AS (SELECT *, rn - row_number() OVER (
+              PARTITION BY conv_id, role ORDER BY rn) AS grp FROM o),
+    m AS (SELECT conv_id, role, grp, min(ts) AS ts,
+                 count(*)::BIGINT AS n_merged,
+                 string_agg(text, chr(10) || chr(10) ORDER BY rn)
+                     AS text,
+                 min(rn) AS first_rn
+          FROM i GROUP BY 1, 2, 3)
+    SELECT conv_id,
+           (row_number() OVER (PARTITION BY conv_id ORDER BY first_rn)
+            - 1)::BIGINT AS turn_idx,
+           role, text, ts, n_merged
+    FROM m ORDER BY conv_id, turn_idx"""
 
 
 def _echo_score_sql() -> str:
@@ -9132,6 +9180,7 @@ def oracle_sql() -> dict[str, str]:
         "context_fit_transcripts": _context_fit_sql(256),
         "repeated_responses_transcripts": _repeated_responses_sql(),
         "echo_score_transcripts": _echo_score_sql(),
+        "merge_turns_transcripts": _merge_turns_sql(),
         "refusal_profile_transcripts": _refusal_profile_sql(),
         "toxicity_profile_transcripts": _toxicity_profile_sql(),
         "turn_integrity_transcripts": _turn_integrity_sql(),

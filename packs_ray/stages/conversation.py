@@ -1082,3 +1082,86 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
     return digests.groupby("bucket2") \
         .map_groups(assign_canonical, batch_format="pandas") \
         .sort(conv_col)
+
+
+def merge_consecutive_turns(ds, *, conv_col: str = "conv_id",
+                            idx_col: str = "turn_idx",
+                            role_col: str = "role", ts_col: str = "ts",
+                            text_col: str = "text",
+                            sep: str = "\n\n",
+                            num_buckets: int | None = None):
+    """SFT-prep repair: merge runs of consecutive same-role turns into
+    one turn per run (crawled/agent transcripts routinely split one
+    logical message across rows; chat-template training assumes
+    alternating roles).  Within each conversation — under the pinned
+    (turn_idx, ts, role, text) total order the pipeline uses everywhere
+    — adjacent rows with the same role collapse into one output turn:
+    text joined by ``sep`` in order, ts = earliest of the run,
+    n_merged = run length, and a new dense 0-based turn_idx.
+
+    This is the repair twin of the role-sequence validity check
+    (reference semantics: `fhir_compliance_pack/main.py:67-98` flags
+    invalid sequences; this op normalizes them).
+
+    Scale shape: only the five needed columns shuffle once on
+    hash(conv); per-bucket work is one stable sort + one vectorized
+    run-boundary scan + a bounded per-run string join.  Null
+    conv/idx/role/ts rows are excluded; null text joins as ''."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    cols = [conv_col, idx_col, role_col, ts_col, text_col]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in (idx_col, role_col, ts_col):
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({
+        conv_col: pd.Series([], dtype="object"),
+        idx_col: pd.Series([], dtype="int64"),
+        role_col: pd.Series([], dtype="object"),
+        text_col: pd.Series([], dtype="object"),
+        ts_col: pd.Series([], dtype="datetime64[us]"),
+        "n_merged": pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.copy()
+        g[text_col] = g[text_col].fillna("")
+        g[ts_col] = g[ts_col].astype("datetime64[us]")
+        g = g.sort_values([conv_col, idx_col, ts_col, role_col, text_col],
+                          kind="stable")
+        conv = g[conv_col].to_numpy()
+        roles = g[role_col].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (conv[1:] != conv[:-1]) | (roles[1:] != roles[:-1])
+        grp = np.cumsum(new) - 1
+        g["_grp"] = grp
+        m = (g.groupby("_grp", sort=True)
+             .agg(**{conv_col: (conv_col, "first"),
+                     role_col: (role_col, "first"),
+                     ts_col: (ts_col, "min"),
+                     "n_merged": (text_col, "size"),
+                     text_col: (text_col, sep.join)})
+             .reset_index(drop=True))
+        m[idx_col] = m.groupby(conv_col, sort=False).cumcount() \
+            .astype("int64")
+        m["n_merged"] = m["n_merged"].astype("int64")
+        return m[[conv_col, idx_col, role_col, text_col, ts_col,
+                  "n_merged"]]
+
+    ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return ds2.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -5537,3 +5537,38 @@ def test_covariance_and_pca_numpy_parity(ray_session):
         "emb": pa.array([], type=pa.list_(pa.float32()))}))
     assert covariance_matrix(empty, "emb", dim=dim).empty
     assert pca_project(empty, "vid", "emb", k=2, dim=dim).count() == 0
+
+
+def test_merge_consecutive_turns_planted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.stages.conversation import merge_consecutive_turns
+
+    ts = np.datetime64("2026-01-01T00:00:00", "us")
+    us = np.timedelta64(1_000_000, "us")
+    rows = pa.table({
+        "conv_id": pa.array(["a"] * 5 + ["b"] * 3 + [None]),
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1, 2, 0],
+                             type=pa.int32()),
+        "role": pa.array(["user", "assistant", "assistant", "assistant",
+                          "user", "user", "user", "assistant", "user"]),
+        "ts": pa.array([ts + i * us for i in range(9)],
+                       type=pa.timestamp("us")),
+        "text": pa.array(["q1", "p1", None, "p3", "q2",
+                          "x", "y", "z", "dropped"])})
+    out = merge_consecutive_turns(
+        ray.data.from_arrow(rows).repartition(3)).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    a = out[out.conv_id == "a"]
+    assert list(a.role) == ["user", "assistant", "user"]
+    assert list(a.turn_idx) == [0, 1, 2]
+    assert a.iloc[1].text == "p1\n\n\n\np3"      # null text joins as ''
+    assert a.iloc[1].n_merged == 3
+    assert a.iloc[1].ts == ts + 1 * us           # run keeps earliest ts
+    b = out[out.conv_id == "b"]
+    assert list(b.text) == ["x\n\ny", "z"]
+    assert len(out) == 5                         # null conv row dropped
