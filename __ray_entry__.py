@@ -2511,6 +2511,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def incremental_dedup_documents(sf):
+        # continuous-ingest dedup: persist 16 B/key marks for the
+        # "seen" corpus (doc_id % 3 != 0), then keep only new docs
+        # (doc_id % 3 == 0) whose text was never seen — the corpus is
+        # NOT rescanned, only its persisted mark state is read
+        import os
+
+        from packs_ray.functions.duplicates import (dedup_against_state,
+                                                    save_dedup_state)
+
+        import pyarrow as pa
+
+        def third(want_new):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(
+                    zero_copy_only=False)
+                m = (ids % 3) == 0
+                return batch.filter(pa.array(m if want_new else ~m))
+            return fn
+
+        base = _ds(sf, "documents", ["doc_id", "text"])
+        seen = base.map_batches(third(False), batch_format="pyarrow")
+        new = base.map_batches(third(True), batch_format="pyarrow")
+        state_dir = os.path.join(
+            "/tmp/packs_ray_state",
+            "dedup_" + os.path.basename(sf.rstrip("/")))
+        run = save_dedup_state(seen, ["text"], state_dir, run_id="seen")
+        return dedup_against_state(new, ["text"], "doc_id", [run])
+
     def merge_turns_transcripts(sf):
         # SFT-prep repair: collapse consecutive same-role turns into
         # one turn per run under the pinned total order
@@ -3477,6 +3506,7 @@ checks for orders:
         "repeated_responses_transcripts": repeated_responses_transcripts,
         "echo_score_transcripts": echo_score_transcripts,
         "merge_turns_transcripts": merge_turns_transcripts,
+        "incremental_dedup_documents": incremental_dedup_documents,
         "refusal_profile_transcripts": refusal_profile_transcripts,
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
         "turn_integrity_transcripts": turn_integrity_transcripts,
@@ -9181,6 +9211,16 @@ def oracle_sql() -> dict[str, str]:
         "repeated_responses_transcripts": _repeated_responses_sql(),
         "echo_score_transcripts": _echo_score_sql(),
         "merge_turns_transcripts": _merge_turns_sql(),
+        # duplicates.save_dedup_state + dedup_against_state: anti-join
+        # on content vs the persisted-marks corpus (null text matches
+        # null text, the hash-sentinel convention)
+        "incremental_dedup_documents": """
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND NOT EXISTS (SELECT 1 FROM documents o
+                      WHERE o.doc_id % 3 <> 0
+                        AND o.text IS NOT DISTINCT FROM d.text)
+    ORDER BY doc_id""",
         "refusal_profile_transcripts": _refusal_profile_sql(),
         "toxicity_profile_transcripts": _toxicity_profile_sql(),
         "turn_integrity_transcripts": _turn_integrity_sql(),

@@ -134,26 +134,17 @@ def dedup_against(ds, snapshot_ds, key_cols: list[str], id_col: str,
         num_partitions = max(reduce_partition_count(ds),
                              reduce_partition_count(snapshot_ds))
 
-    def _hash128(df: pd.DataFrame):
-        h1 = np.zeros(len(df), dtype=np.uint64)
-        h2 = np.zeros(len(df), dtype=np.uint64)
-        for c in key_cols:
-            vals = df[c].to_numpy()
-            h1 = (h1 * np.uint64(1099511628211)) ^ pd.util.hash_array(
-                vals, hash_key="0123456789123456")
-            h2 = (h2 * np.uint64(1099511628211)) ^ pd.util.hash_array(
-                vals, hash_key="6543216543210987")
-        return h1, h2
-
     def mk_partial(side: int, local_dedup: bool):
         def partial(batch: pa.Table) -> pa.Table:
-            df = batch.select([id_col] + key_cols).to_pandas()
-            h1, h2 = _hash128(df)
+            sel = batch.select([id_col] + key_cols)
+            # ARROW-column hashing (_key_hash128): hashing the pandas
+            # materialization is dtype-unstable across blocks (int64
+            # vs float64 depending on null presence)
+            h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
             out = pd.DataFrame({
-                id_col: df[id_col],
-                "__h1": h1.view(np.int64), "__h2": h2.view(np.int64),
-                "__p": (h1 % np.uint64(num_partitions)).astype(np.int64),
-                "__side": np.full(len(df), side, dtype=np.int8)})
+                id_col: sel.column(id_col).to_pandas(),
+                "__h1": h1, "__h2": h2, "__p": p,
+                "__side": np.full(len(h1), side, dtype=np.int8)})
             if local_dedup:
                 out = out.drop_duplicates(["__h1", "__h2"])
             return pa.Table.from_pandas(out, preserve_index=False)
@@ -173,6 +164,108 @@ def dedup_against(ds, snapshot_ds, key_cols: list[str], id_col: str,
         return new[[id_col]]
 
     return (new_marks.union(snap_marks).groupby("__p")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def save_dedup_state(ds, key_cols: list[str], state_dir: str,
+                     run_id: str = "run0") -> str:
+    """Persist the 128-bit content marks of a corpus snapshot so later
+    ingests can dedup against it WITHOUT rescanning the corpus (the
+    exact-dedup sibling of ``sketches.save_distinct_state``): 16 bytes
+    per distinct key ride a distributed parquet write — the text never
+    moves and never lands on the driver.  One directory per run under
+    ``state_dir`` (write-to-tmp + atomic rename: resume-safe; a
+    re-run of the same run_id replaces it idempotently).  Marks use
+    the same Arrow-cast `_key_hash128` as dedup_exact, so a state
+    written by one run matches hashes computed by any other."""
+    import os
+    import shutil
+
+    def marks(batch: pa.Table) -> pa.Table:
+        h1, h2, _ = _key_hash128(batch.select(key_cols), key_cols, 1)
+        out = pd.DataFrame({"__h1": h1, "__h2": h2}) \
+            .drop_duplicates(["__h1", "__h2"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tmp = os.path.join(state_dir, f".tmp_{run_id}")
+    final = os.path.join(state_dir, run_id)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(state_dir, exist_ok=True)
+    ds.map_batches(marks, batch_format="pyarrow").write_parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return final
+
+
+def dedup_against_state(ds, key_cols: list[str], id_col: str,
+                        state_dirs: list[str],
+                        num_partitions: int | None = None):
+    """Incremental-crawl dedup against PERSISTED marks: ids of ``ds``
+    rows whose content hash appears in none of the ``state_dirs``
+    written by ``save_dedup_state`` (the union of runs is the corpus
+    seen so far).  Equivalent to ``dedup_against`` with the historical
+    snapshot as the right side, but the right side is 16 B/key marks
+    read straight from parquet — the continuous-ingest shape where
+    re-reading yesterday's 100 TB is not an option.
+
+    Scale: state marks and new-row marks co-partition on h1; only
+    (id, h1, h2) rows move."""
+    import ray
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def new_marks(batch: pa.Table) -> pa.Table:
+        sel = batch.select([id_col] + key_cols)
+        h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
+        return pa.Table.from_pandas(pd.DataFrame({
+            id_col: sel.column(id_col).to_pandas(),
+            "__h1": h1, "__h2": h2, "__p": p,
+            "__side": np.full(len(h1), 0, dtype=np.int8)}),
+            preserve_index=False)
+
+    # typed id sentinel so the union schema matches across sides and
+    # integer id dtypes survive the pandas bucket reduce
+    id_type = ds.schema().base_schema.field(id_col).type
+    sentinel = "" if pa.types.is_string(id_type) or \
+        pa.types.is_large_string(id_type) else 0
+
+    def state_marks(batch: pa.Table) -> pa.Table:
+        h1 = batch.column("__h1").to_numpy(zero_copy_only=False)
+        p = (h1.view(np.uint64)
+             % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(
+                np.full(len(h1), sentinel, dtype=object), type=id_type),
+            "__h1": batch.column("__h1"), "__h2": batch.column("__h2"),
+            "__p": pa.array(p),
+            "__side": pa.array(np.ones(len(h1), dtype=np.int8))})
+
+    import glob
+    import os
+
+    paths: list[str] = []           # Ray rejects dirs inside a list
+    for d in state_dirs:
+        paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet")))
+                     if os.path.isdir(d) else [d])
+    state = ray.data.read_parquet(paths, columns=["__h1", "__h2"]) \
+        .map_batches(state_marks, batch_format="pyarrow")
+    new = ds.map_batches(new_marks, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["__side"] == 0]
+        seen = g[g["__side"] == 1]
+        if not seen.empty:
+            mi_new = pd.MultiIndex.from_arrays([keep["__h1"],
+                                                keep["__h2"]])
+            mi_seen = pd.MultiIndex.from_arrays([seen["__h1"],
+                                                 seen["__h2"]])
+            keep = keep[~mi_new.isin(mi_seen)]
+        return keep[[id_col]]
+
+    return (new.union(state).groupby("__p")
             .map_groups(per_bucket, batch_format="pandas"))
 
 

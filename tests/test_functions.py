@@ -5572,3 +5572,38 @@ def test_merge_consecutive_turns_planted(ray_session):
     b = out[out.conv_id == "b"]
     assert list(b.text) == ["x\n\ny", "z"]
     assert len(out) == 5                         # null conv row dropped
+
+
+def test_dedup_state_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.duplicates import (dedup_against_state,
+                                                save_dedup_state)
+
+    old = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a", "b", None])})).repartition(2)
+    run1 = save_dedup_state(old, ["text"], str(tmp_path), run_id="r1")
+
+    new = ray.data.from_arrow(pa.table({
+        "id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": pa.array(["a", "c", None, "d"])})).repartition(3)
+    kept = dedup_against_state(new, ["text"], "id", [run1]).to_pandas()
+    # 'a' and the null text were seen; 'c'/'d' are new
+    assert sorted(kept["id"]) == [11, 13]
+    assert str(kept["id"].dtype) == "int64"
+
+    # a second run's marks union in
+    run2 = save_dedup_state(
+        ray.data.from_arrow(pa.table({
+            "id": pa.array([20], type=pa.int64()),
+            "text": pa.array(["c"])})), ["text"], str(tmp_path),
+        run_id="r2")
+    kept2 = dedup_against_state(new, ["text"], "id",
+                                [run1, run2]).to_pandas()
+    assert sorted(kept2["id"]) == [13]
+
+    # idempotent overwrite of the same run_id
+    run1b = save_dedup_state(old, ["text"], str(tmp_path), run_id="r1")
+    assert run1b == run1
