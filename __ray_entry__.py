@@ -2511,6 +2511,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def fd_repair_orders(sf):
+        # consistency repair: planted segment column (majority value
+        # per custkey, 1/97 rows corrupted to 'X') normalized back to
+        # the per-custkey majority; single-order custkeys whose only
+        # row is corrupt correctly KEEP the corrupt value
+        import pyarrow as pa
+
+        from packs_ray.functions.repair import fd_repair
+
+        def plant(batch: pa.Table) -> pa.Table:
+            ok = batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)
+            seg = np.where(ok % 97 == 0, "X",
+                           np.char.add("S", (ck % 5).astype(str)))
+            return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                             "o_custkey": batch.column("o_custkey"),
+                             "seg": pa.array(seg.tolist(),
+                                             type=pa.string())})
+
+        src = _ds(sf, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            plant, batch_format="pyarrow")
+        return fd_repair(src, "o_custkey", "seg")
+
     def incremental_dedup_documents(sf):
         # continuous-ingest dedup: persist 16 B/key marks for the
         # "seen" corpus (doc_id % 3 != 0), then keep only new docs
@@ -3507,6 +3532,7 @@ checks for orders:
         "echo_score_transcripts": echo_score_transcripts,
         "merge_turns_transcripts": merge_turns_transcripts,
         "incremental_dedup_documents": incremental_dedup_documents,
+        "fd_repair_orders": fd_repair_orders,
         "refusal_profile_transcripts": refusal_profile_transcripts,
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
         "turn_integrity_transcripts": turn_integrity_transcripts,
@@ -9214,6 +9240,26 @@ def oracle_sql() -> dict[str, str]:
         # duplicates.save_dedup_state + dedup_against_state: anti-join
         # on content vs the persisted-marks corpus (null text matches
         # null text, the hash-sentinel convention)
+        # repair.fd_repair: majority rhs per violating lhs (ties to
+        # smallest rhs), non-violating and single-row lhs untouched
+        "fd_repair_orders": """
+    WITH t AS (SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                 ELSE 'S' || CAST(o_custkey % 5 AS VARCHAR) END AS seg
+        FROM orders),
+    c AS (SELECT o_custkey, seg, count(*) AS n FROM t GROUP BY 1, 2),
+    v AS (SELECT o_custkey FROM c GROUP BY 1 HAVING count(*) > 1),
+    ranked AS (SELECT o_custkey, seg, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY n DESC, seg ASC) AS rn
+        FROM c),
+    canon AS (SELECT r.o_custkey, r.seg FROM ranked r
+              JOIN v USING (o_custkey) WHERE r.rn = 1)
+    SELECT t.o_orderkey, t.o_custkey,
+           coalesce(canon.seg, t.seg) AS seg,
+           (canon.seg IS NOT NULL AND canon.seg <> t.seg)
+               AS was_repaired
+    FROM t LEFT JOIN canon ON t.o_custkey = canon.o_custkey
+    ORDER BY o_orderkey""",
         "incremental_dedup_documents": """
     SELECT d.doc_id FROM documents d
     WHERE d.doc_id % 3 = 0

@@ -416,3 +416,81 @@ def union_by_name(datasets: list, *, strict: bool = False):
     for ds in datasets[1:]:
         out = out.union(ds.map_batches(project, batch_format="pyarrow"))
     return out
+
+
+def fd_repair(ds, lhs: str, rhs: str, *, max_map: int = 5_000_000,
+              num_partitions: int | None = None):
+    """Functional-dependency repair ``lhs -> rhs``: wherever one lhs
+    value maps to several distinct non-null rhs values, rewrite rhs to
+    the MAJORITY value for that lhs (ties break to the smallest rhs) —
+    the repair twin of ``validation.fd_violations`` (one customer id
+    with two spellings of its name collapses to the dominant one).
+
+    Null lhs rows and null rhs values are untouched (nulls are a
+    completeness concern — ``impute``'s job, not consistency's).
+
+    Scale shape: one keyed_count over (lhs, rhs), a bucketed per-lhs
+    majority reduce, then ONLY the VIOLATING-lhs canonical map (not the
+    full lhs domain) is broadcast via ``ray.put`` for a stateless
+    rewrite pass — rows never shuffle.  The map is bounded by the
+    violation count; above ``max_map`` entries the op raises rather
+    than silently broadcasting an unbounded set (co-partition with
+    ``joins.equi_join`` instead at that scale).
+
+    Output: the input columns with rhs repaired + ``was_repaired``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         keyed_count,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    pairs = ds.select_columns([lhs, rhs]).map_batches(
+        lambda t: t.filter(pc.and_(t.column(lhs).is_valid(),
+                                   t.column(rhs).is_valid())),
+        batch_format="pyarrow")
+    counts = keyed_count(pairs, [lhs, rhs],
+                         num_partitions=num_partitions)
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(lhs, sort=False)[rhs].size()
+        bad = sizes[sizes > 1].index
+        if not len(bad):
+            return g.head(0)[[lhs, rhs]]      # keeps real dtypes
+        g = g[g[lhs].isin(bad)]
+        g = g.sort_values(["cnt", rhs], ascending=[False, True],
+                          kind="stable")
+        return g.groupby(lhs, sort=False).first().reset_index() \
+            [[lhs, rhs]]
+
+    canon = bucketed_group_reduce(counts, [lhs], majority,
+                                  num_partitions).to_pandas()
+    if len(canon) > max_map:
+        raise ValueError(
+            f"fd_repair: {len(canon)} violating lhs values exceeds "
+            f"max_map={max_map}; co-partition with joins.equi_join "
+            "instead of broadcasting")
+    mapping = dict(zip(canon[lhs], canon[rhs])) if len(canon) else {}
+    ref = ray.put(mapping)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        mp = ray.get(ref)
+        lv = batch.column(lhs).to_pandas()
+        rv = batch.column(rhs).to_pandas()
+        tgt = lv.map(mp)
+        hit = tgt.notna() & rv.notna()
+        changed = hit & (tgt != rv)
+        out = rv.where(~changed, tgt)
+        rep = pa.array(pd.array(out, dtype=object),
+                       type=batch.schema.field(rhs).type)
+        cols = {c: (rep if c == rhs else batch.column(c))
+                for c in batch.column_names}
+        cols["was_repaired"] = pa.array(changed.to_numpy(dtype=bool))
+        return pa.table(cols)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

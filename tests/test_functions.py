@@ -5607,3 +5607,31 @@ def test_dedup_state_roundtrip(ray_session, tmp_path):
     # idempotent overwrite of the same run_id
     run1b = save_dedup_state(old, ["text"], str(tmp_path), run_id="r1")
     assert run1b == run1
+
+
+def test_fd_repair_nulls_and_ties(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.repair import fd_repair
+
+    t = pa.table({
+        "id": pa.array(range(10), type=pa.int64()),
+        "k": pa.array([1, 1, 1, 2, 2, None, 3, 3, 4, 1],
+                      type=pa.int64()),
+        "v": pa.array(["a", "a", "b", "x", "y", "z", None, "q",
+                       "solo", None])})
+    out = fd_repair(ray.data.from_arrow(t).repartition(3), "k", "v") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # k=1: majority 'a' (2 vs 1) -> row 2 repaired; null v untouched
+    assert list(out.loc[[0, 1, 2], "v"]) == ["a", "a", "a"]
+    assert bool(out.loc[2, "was_repaired"]) and not out.loc[1,
+                                                            "was_repaired"]
+    assert out.loc[9, "v"] is None or out.loc[9, "v"] != out.loc[9, "v"]
+    # k=2: tie (1 vs 1) -> smallest rhs 'x' wins
+    assert list(out.loc[[3, 4], "v"]) == ["x", "x"]
+    # k=3: one null + one non-null -> NOT violating (nulls don't vote)
+    assert out.loc[7, "v"] == "q" and not out.loc[7, "was_repaired"]
+    # null lhs and singleton untouched
+    assert out.loc[5, "v"] == "z" and out.loc[8, "v"] == "solo"
+    assert not out["was_repaired"][[0, 1, 3, 5, 6, 8]].any()
