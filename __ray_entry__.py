@@ -581,14 +581,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from packs_ray.functions.duplicates import key_collisions
 
         def plant(batch: pa.Table) -> pa.Table:
-            import numpy as np
+            import pandas as pd
 
-            keys = batch.column("c_custkey") \
-                .to_numpy(zero_copy_only=False)
+            keys = pd.array(batch.column("c_custkey")
+                            .to_numpy(zero_copy_only=False),
+                            dtype="Int64")
             planted = pa.array(
                 ["CUSTOMER#" + str(int(k) - 1).zfill(9) + "  "
-                 for k in keys], type=pa.string())
-            use = pa.array((keys % 13 == 0) & (keys > 0))
+                 if k is not pd.NA else None for k in keys],
+                type=pa.string())
+            use = pa.array(((keys % 13 == 0) & (keys > 0))
+                           .fillna(False).to_numpy(dtype=bool))
             return pa.table({
                 "c_name": pc.if_else(use, planted,
                                      batch.column("c_name"))})
@@ -710,6 +713,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"train": 0.8, "val": 0.1, "test": 0.1})
         df = (out.groupby(["o_orderpriority", "split"]).count()
               .to_pandas().rename(columns={"count()": "cnt"}))
+        if "cnt" not in df.columns:   # all blocks empty: schema-less
+            import pandas as pd
+            df = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                               "split": pd.Series(dtype="object"),
+                               "cnt": pd.Series(dtype="int64")})
         df["cnt"] = df["cnt"].astype("int64")
         return df.sort_values(["o_orderpriority", "split"]) \
             .reset_index(drop=True)
