@@ -192,6 +192,7 @@ def save_dedup_state(ds, key_cols: list[str], state_dir: str,
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(state_dir, exist_ok=True)
     ds.map_batches(marks, batch_format="pyarrow").write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # 0-row write emits no files
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
     return final
@@ -228,7 +229,10 @@ def dedup_against_state(ds, key_cols: list[str], id_col: str,
 
     # typed id sentinel so the union schema matches across sides and
     # integer id dtypes survive the pandas bucket reduce
-    id_type = ds.schema().base_schema.field(id_col).type
+    sch = ds.schema()
+    if sch is None:                 # schema-less 0-row input
+        return ds
+    id_type = sch.base_schema.field(id_col).type
     sentinel = "" if pa.types.is_string(id_type) or \
         pa.types.is_large_string(id_type) else 0
 
@@ -250,6 +254,8 @@ def dedup_against_state(ds, key_cols: list[str], id_col: str,
     for d in state_dirs:
         paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet")))
                      if os.path.isdir(d) else [d])
+    if not paths:                   # empty corpus so far: keep all
+        return ds.select_columns([id_col])
     state = ray.data.read_parquet(paths, columns=["__h1", "__h2"]) \
         .map_batches(state_marks, batch_format="pyarrow")
     new = ds.map_batches(new_marks, batch_format="pyarrow")

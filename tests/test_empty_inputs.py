@@ -25,6 +25,7 @@ SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
         "repeated_responses_transcripts",
         "language_consistency_transcripts",
         "echo_score_transcripts",
+        "merge_turns_transcripts",
         "refusal_profile_transcripts",
         "toxicity_profile_transcripts",
         "turn_integrity_transcripts",
