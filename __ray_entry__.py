@@ -2519,6 +2519,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def c4_clean_documents(sf):
+        # C4 line/page cleaning rules over the documents corpus
+        from packs_ray.functions.webquality import c4_clean
+
+        return c4_clean(_ds(sf, "documents", ["doc_id", "text"]),
+                        "doc_id", "text")
+
     def fd_repair_orders(sf):
         # consistency repair: planted segment column (majority value
         # per custkey, 1/97 rows corrupted to 'X') normalized back to
@@ -3541,6 +3548,7 @@ checks for orders:
         "merge_turns_transcripts": merge_turns_transcripts,
         "incremental_dedup_documents": incremental_dedup_documents,
         "fd_repair_orders": fd_repair_orders,
+        "c4_clean_documents": c4_clean_documents,
         "refusal_profile_transcripts": refusal_profile_transcripts,
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
         "turn_integrity_transcripts": turn_integrity_transcripts,
@@ -9248,6 +9256,32 @@ def oracle_sql() -> dict[str, str]:
         # duplicates.save_dedup_state + dedup_against_state: anti-join
         # on content vs the persisted-marks corpus (null text matches
         # null text, the hash-sentinel convention)
+        # webquality.c4_clean: per-line terminal-punct / min-words /
+        # javascript rules + page-level lorem-ipsum / brace flags
+        "c4_clean_documents": """
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    l AS (SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1)
+                     AS ord
+          FROM d),
+    k AS (SELECT doc_id, line, ord,
+            (regexp_matches(line, '[.!?"]$')
+             AND len(list_filter(regexp_split_to_array(
+                     line, '[ \t\r\f\v]+'), x -> x <> '')) >= 3
+             AND NOT contains(lower(line), 'javascript')) AS keep
+          FROM l),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   coalesce(count(*) FILTER (keep), 0)::BIGINT
+                       AS n_kept,
+                   coalesce(string_agg(line, chr(10) ORDER BY ord)
+                            FILTER (keep), '') AS text_clean
+            FROM k GROUP BY 1)
+    SELECT d.doc_id, agg.text_clean, agg.n_lines, agg.n_kept,
+           (contains(lower(d.text), 'lorem ipsum')
+            OR contains(d.text, '{')) AS dropped
+    FROM d JOIN agg USING (doc_id) ORDER BY doc_id""",
         # repair.fd_repair: majority rhs per violating lhs (ties to
         # smallest rhs), non-violating and single-row lhs untouched
         "fd_repair_orders": """

@@ -778,3 +778,63 @@ def fuzzy_decontam(ds, id_col: str, text_col: str, bench_ids: list,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def c4_clean(ds, id_col: str, text_col: str, *,
+             min_line_words: int = 3):
+    """C4-style per-document line cleaning (Raffel et al. 2020 §2.2,
+    the in-doc half; ``dedup_lines`` is the cross-doc half): a line
+    survives only if it ends in terminal punctuation (. ! ? \"), has at
+    least ``min_line_words`` whitespace-separated words, and does not
+    mention 'javascript' (case-insensitive).  A document is flagged
+    ``dropped`` when its ORIGINAL text contains 'lorem ipsum'
+    (case-insensitive) or a '{' (C4's page-level rules).
+
+    Output: (id_col, text_clean, n_lines, n_kept, dropped) — one row
+    per non-null input doc; consumers filter on ``dropped`` / empty
+    ``text_clean``.
+
+    Scale: stateless per-batch pandas-str kernel — lines never leave
+    their block, nothing shuffles.  Word counting pins the whitespace
+    class to [ \\t\\r\\f\\v] (no \\n inside a line) so the SQL replica
+    is byte-identical."""
+    ws = r"[^ \t\r\f\v]+"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col, text_col]).to_pandas() \
+            .dropna(subset=[id_col, text_col])
+        txt = df[text_col].astype(object)
+        lines = txt.str.split("\n")
+        n = lines.str.len().to_numpy(dtype=np.int64) if len(df) else \
+            np.array([], dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(df)), n)
+        flat = (np.concatenate([np.asarray(v, dtype=object)
+                                for v in lines])
+                if len(df) else np.array([], dtype=object))
+        fl = pd.Series(flat, dtype=object)
+        keep = (fl.str.endswith((".", "!", "?", '"')).to_numpy(dtype=bool)
+                & (fl.str.count(ws).to_numpy(dtype=np.int64)
+                   >= min_line_words)
+                & ~fl.str.lower().str.contains("javascript", regex=False)
+                .to_numpy(dtype=bool)) if len(fl) else \
+            np.zeros(0, dtype=bool)
+        n_kept = np.bincount(doc_idx[keep], minlength=len(df)) \
+            .astype(np.int64)
+        joined = (pd.Series(flat[keep])
+                  .groupby(doc_idx[keep]).agg("\n".join)
+                  if keep.any() else pd.Series(dtype=object))
+        clean = np.full(len(df), "", dtype=object)
+        if len(joined):
+            clean[joined.index.to_numpy()] = joined.to_numpy()
+        low = txt.str.lower()
+        dropped = (low.str.contains("lorem ipsum", regex=False)
+                   | txt.str.contains("{", regex=False)).to_numpy(
+            dtype=bool) if len(df) else np.zeros(0, dtype=bool)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy()),
+            "text_clean": pa.array(clean, type=pa.string()),
+            "n_lines": pa.array(n),
+            "n_kept": pa.array(n_kept),
+            "dropped": pa.array(dropped)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -340,3 +340,30 @@ def test_fuzzy_decontam_empty_bench(ray_session):
     out = fuzzy_decontam(docs, "doc_id", "text", [], []).to_pandas()
     assert out["max_jaccard"][0] == 0.0
     assert not bool(out["contaminated"][0])
+
+
+def test_c4_clean_planted(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.webquality import c4_clean
+
+    docs = pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "Good line stays here.\nshort.\nno terminal punct at all\n"
+            "Uses some JavaScript code here.\nAnother keeper line!",
+            "lorem ipsum dolor sit amet.",
+            "var x = { a: 1 };\nReal sentence to keep right here.",
+            ""])})
+    out = c4_clean(ray.data.from_arrow(docs).repartition(2), "id",
+                   "text").to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert out.loc[0, "text_clean"] == \
+        "Good line stays here.\nAnother keeper line!"
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "n_kept"] == 2
+    assert not out.loc[0, "dropped"]
+    assert bool(out.loc[1, "dropped"])      # lorem ipsum page rule
+    assert bool(out.loc[2, "dropped"])      # brace page rule
+    assert out.loc[2, "text_clean"] == "Real sentence to keep right here."
+    assert out.loc[3, "text_clean"] == "" and out.loc[3, "n_lines"] == 1
