@@ -2519,6 +2519,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def clustered_read_orders(sf):
+        # range-clustered layout + zone-map-pruned read: write orders
+        # clustered on o_totalprice, read back one price band; the
+        # pytest asserts files were actually skipped
+        import os
+
+        from packs_ray.sources.parquet import (read_clustered,
+                                               write_clustered)
+
+        layout = os.path.join(
+            "/tmp/packs_ray_state",
+            "cluster_" + os.path.basename(sf.rstrip("/")))
+        write_clustered(
+            _ds(sf, "orders", ["o_orderkey", "o_totalprice"]),
+            "o_totalprice", layout, num_files=8)
+        out, _stats = read_clustered(layout, 50_000.0, 100_000.0)
+        return out
+
     def c4_clean_documents(sf):
         # C4 line/page cleaning rules over the documents corpus
         from packs_ray.functions.webquality import c4_clean
@@ -3549,6 +3567,7 @@ checks for orders:
         "incremental_dedup_documents": incremental_dedup_documents,
         "fd_repair_orders": fd_repair_orders,
         "c4_clean_documents": c4_clean_documents,
+        "clustered_read_orders": clustered_read_orders,
         "refusal_profile_transcripts": refusal_profile_transcripts,
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
         "turn_integrity_transcripts": turn_integrity_transcripts,
@@ -9256,6 +9275,12 @@ def oracle_sql() -> dict[str, str]:
         # duplicates.save_dedup_state + dedup_against_state: anti-join
         # on content vs the persisted-marks corpus (null text matches
         # null text, the hash-sentinel convention)
+        # sources.write_clustered/read_clustered: layout round-trip —
+        # contents must equal the plain range predicate
+        "clustered_read_orders": """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+    ORDER BY o_orderkey""",
         # webquality.c4_clean: per-line terminal-punct / min-words /
         # javascript rules + page-level lorem-ipsum / brace flags
         "c4_clean_documents": """

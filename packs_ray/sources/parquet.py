@@ -87,3 +87,133 @@ def compact_parquet(in_path, out_dir: str, *,
     rows = read_parquet_sized(out_dir).count()
     return {"rows": int(rows), "in_files": int(in_files),
             "out_files": int(out_files), "in_bytes": int(in_bytes)}
+
+
+def write_clustered(ds, key_col: str, out_dir: str, *,
+                    num_files: int = 8) -> dict:
+    """Range-clustered parquet layout with a zone-map manifest: rows are
+    range-partitioned on the EXACT global quantiles of ``key_col``
+    (equal-frequency cuts — skew cannot starve or bloat a file), sorted
+    within each file, and a ``manifest.json`` records per-file
+    (rows, min, max) so ``read_clustered`` can prune files that cannot
+    contain a requested key range — the clustering / Z-order-lite
+    maintenance pass that turns full scans into bounded reads.
+
+    The write is distributed (each range writes its own file from its
+    reduce task) and atomic (tmp dir + rename); re-running replaces the
+    layout idempotently.  Null keys land in file 0 and are recorded as
+    ``null_rows`` (a range read never matches them).  Partitioning
+    assumption: one range ≈ total/num_files rows must fit a worker —
+    size ``num_files`` to ~128 MB ranges like ``compact_parquet``.
+
+    Returns the manifest dict."""
+    import json
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions.profiling import quantile_thresholds
+
+    qs = [i / num_files for i in range(1, num_files)]
+    cuts = quantile_thresholds(ds, key_col, qs) if num_files > 1 else []
+    cuts = np.asarray(cuts if cuts is not None else [], dtype=np.float64)
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.cast(batch.column(key_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        fid = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        fid[~np.isfinite(v)] = 0            # nulls/NaN -> file 0
+        return batch.append_column("__file", pa.array(fid))
+
+    def write_range(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"file": [], "rows": [],
+                                 "null_rows": [], "min": [], "max": []})
+        fid = int(g["__file"].iloc[0])
+        g = g.drop(columns="__file").sort_values(key_col, kind="stable",
+                                                 na_position="first")
+        path = os.path.join(tmp, f"part-{fid:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       path + ".w")
+        os.replace(path + ".w", path)
+        k = g[key_col].dropna()
+        return pd.DataFrame([{
+            "file": f"part-{fid:05d}.parquet",
+            "rows": len(g), "null_rows": int(len(g) - len(k)),
+            "min": float(k.min()) if len(k) else None,
+            "max": float(k.max()) if len(k) else None}])
+
+    man_rows = (ds.map_batches(assign, batch_format="pyarrow")
+                .groupby("__file")
+                .map_groups(write_range, batch_format="pandas")
+                .to_pandas())
+    if "file" not in man_rows.columns:  # 0-row input: no files written
+        man_rows = pd.DataFrame({"file": [], "rows": [],
+                                 "null_rows": [], "min": [], "max": []})
+    man_rows = man_rows.sort_values("file").reset_index(drop=True)
+    manifest = {"key": key_col, "cuts": cuts.tolist(),
+                "files": man_rows.to_dict("records")}
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return manifest
+
+
+def read_clustered(layout_dir: str, lo: float, hi: float, *,
+                   columns=None):
+    """Zone-map-pruned range read over a ``write_clustered`` layout:
+    only files whose [min, max] overlaps [lo, hi] are opened (the
+    manifest decides — a driver-side metadata check, no data IO), then
+    one residual filter pass bounds the edge files exactly.
+
+    Returns (Dataset, stats) where stats records files_total /
+    files_read so callers can assert the pruning actually happened."""
+    import json
+
+    import pyarrow as pa
+
+    import ray.data
+
+    with open(os.path.join(layout_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    key = manifest["key"]
+    picked = [r["file"] for r in manifest["files"]
+              if r["min"] is not None
+              and not (r["max"] < lo or r["min"] > hi)]
+    stats = {"files_total": len(manifest["files"]),
+             "files_read": len(picked)}
+    if not picked:
+        # typed empty result: schema from any layout file, else key-only
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        if manifest["files"]:
+            sch = pq.read_schema(os.path.join(
+                layout_dir, manifest["files"][0]["file"]))
+            if columns is not None:
+                keep = [c for c in columns if c in sch.names]
+                sch = pa.schema([sch.field(c) for c in keep])
+            return sch.empty_table().to_pandas(), stats
+        return pd.DataFrame({key: pd.Series(dtype="float64")}), stats
+
+    if columns is not None and key not in columns:
+        columns = list(columns) + [key]   # residual filter needs it
+    ds = ray.data.read_parquet(
+        [os.path.join(layout_dir, p) for p in picked], columns=columns)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.cast(batch.column(key), pa.float64())
+        m = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        return batch.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(residual, batch_format="pyarrow"), stats

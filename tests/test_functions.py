@@ -5635,3 +5635,37 @@ def test_fd_repair_nulls_and_ties(ray_session):
     # null lhs and singleton untouched
     assert out.loc[5, "v"] == "z" and out.loc[8, "v"] == "solo"
     assert not out["was_repaired"][[0, 1, 3, 5, 6, 8]].any()
+
+
+def test_clustered_layout_prunes(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.sources.parquet import read_clustered, write_clustered
+
+    vals = np.arange(1000, dtype=np.float64)
+    vals[7] = np.nan
+    t = pa.table({"id": pa.array(range(1000), type=pa.int64()),
+                  "v": pa.array(vals)})
+    layout = str(tmp_path / "lay")
+    man = write_clustered(ray.data.from_arrow(t).repartition(5), "v",
+                          layout, num_files=8)
+    assert len(man["files"]) == 8
+    assert sum(r["rows"] for r in man["files"]) == 1000
+    assert sum(r["null_rows"] for r in man["files"]) == 1
+
+    out, stats = read_clustered(layout, 100.0, 200.0)
+    assert stats["files_read"] < stats["files_total"]   # pruning real
+    df = out.to_pandas()
+    assert sorted(df["v"]) == [float(x) for x in range(100, 201)]
+
+    # no-overlap range prunes everything (typed empty result)
+    none, st2 = read_clustered(layout, 5000.0, 6000.0)
+    assert st2["files_read"] == 0 and len(none) == 0
+    assert "v" in none.columns
+
+    # idempotent re-write
+    man2 = write_clustered(ray.data.from_arrow(t), "v", layout,
+                           num_files=8)
+    assert man2["cuts"] == man["cuts"]
