@@ -2519,6 +2519,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["conv_id", "turn_idx", "role", "ts", "text"])
         return echo_score(tds)
 
+    def suppress_neardup_documents(sf):
+        # incremental near-dup suppression: persist LSH band marks for
+        # the seen corpus (doc_id % 3 != 0), suppress new docs
+        # (doc_id % 3 == 0) that share any band bucket with history
+        import os
+
+        import pyarrow as pa
+
+        from packs_ray.functions.neardup import (save_neardup_state,
+                                                 suppress_against_state)
+
+        def third(want_new):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(
+                    zero_copy_only=False)
+                m = (ids % 3) == 0
+                return batch.filter(pa.array(m if want_new else ~m))
+            return fn
+
+        base = _ds(sf, "documents", ["doc_id", "text"])
+        seen = base.map_batches(third(False), batch_format="pyarrow")
+        new = base.map_batches(third(True), batch_format="pyarrow")
+        state_dir = os.path.join(
+            "/tmp/packs_ray_state",
+            "neardup_" + os.path.basename(sf.rstrip("/")))
+        run = save_neardup_state(seen, "doc_id", "text", state_dir,
+                                 run_id="seen")
+        return suppress_against_state(new, "doc_id", "text", [run])
+
     def clustered_read_orders(sf):
         # range-clustered layout + zone-map-pruned read: write orders
         # clustered on o_totalprice, read back one price band; the
@@ -3567,6 +3596,7 @@ checks for orders:
         "incremental_dedup_documents": incremental_dedup_documents,
         "fd_repair_orders": fd_repair_orders,
         "c4_clean_documents": c4_clean_documents,
+        "suppress_neardup_documents": suppress_neardup_documents,
         "clustered_read_orders": clustered_read_orders,
         "refusal_profile_transcripts": refusal_profile_transcripts,
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
@@ -3796,6 +3826,43 @@ def _ngram_jaccard_sql() -> str:
     FROM shl a JOIN shl b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.hs, b.hs))::DOUBLE
           / (a.cnt + b.cnt - len(list_intersect(a.hs, b.hs))) >= 0.5"""
+
+
+def _suppress_neardup_sql() -> str:
+    """neardup.suppress_against_state replica: the _minhash_sql band
+    machinery over ALL documents, old/new split by doc_id % 3, one
+    band-bucket semi-join (no verify — suppression is pure-LSH by
+    design since history payloads are gone)."""
+    prime = 0xFFFFFFFB
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, prime, size=64, dtype=np.uint64)
+    b = rng.integers(0, prime, size=64, dtype=np.uint64)
+    mins = ",\n        ".join(
+        f"min(({int(a[i])}::HUGEINT * x + {int(b[i])}::HUGEINT) % {prime}::HUGEINT) AS m{i}"
+        for i in range(64))
+    bands = ",\n        ".join(
+        "((" + " + ".join(
+            f"(m{4*bi+j} * {_GOLD}::HUGEINT) % {_TWO64}::HUGEINT"
+            for j in range(4)) + f") % {_TWO64}::HUGEINT) AS bh{bi}"
+        for bi in range(16))
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS bi, bh{bi} AS bh FROM band"
+        for bi in range(16))
+    return f"""
+    WITH {_sql_doc_shingles(5)},
+    x AS (SELECT doc_id, (h % 4294967296)::HUGEINT AS x FROM sh),
+    sig AS (SELECT doc_id,
+        {mins}
+        FROM x GROUP BY doc_id),
+    band AS (SELECT doc_id,
+        {bands}
+        FROM sig),
+    bands AS ({unpivot}),
+    old AS (SELECT DISTINCT bi, bh FROM bands WHERE doc_id % 3 <> 0),
+    nw AS (SELECT doc_id, bi, bh FROM bands WHERE doc_id % 3 = 0)
+    SELECT DISTINCT nw.doc_id FROM nw
+    JOIN old ON old.bi = nw.bi AND old.bh = nw.bh
+    ORDER BY doc_id"""
 
 
 def _minhash_sql() -> str:
@@ -8597,6 +8664,7 @@ def oracle_sql() -> dict[str, str]:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
         "minhash_pairs_documents": _minhash_sql(),
+        "suppress_neardup_documents": _suppress_neardup_sql(),
         "neardup_clusters_documents": f"""
     WITH RECURSIVE p AS ({_minhash_sql()}),
     e AS (SELECT id_a AS a, id_b AS b FROM p

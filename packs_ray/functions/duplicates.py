@@ -252,8 +252,10 @@ def dedup_against_state(ds, key_cols: list[str], id_col: str,
 
     paths: list[str] = []           # Ray rejects dirs inside a list
     for d in state_dirs:
-        paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet")))
-                     if os.path.isdir(d) else [d])
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        elif os.path.exists(d):
+            paths.append(d)
     if not paths:                   # empty corpus so far: keep all
         return ds.select_columns([id_col])
     state = ray.data.read_parquet(paths, columns=["__h1", "__h2"]) \

@@ -893,3 +893,164 @@ def simhash_pairs(ds, id_col: str, text_col: str, shingle: int = 4,
                                      verify_hamming, vparts)
     return _pairs_result(verified, skipped_total, "hamming", collect,
                          "simhash_pairs")
+
+
+def save_neardup_state(ds, id_col: str, text_col: str, state_dir: str,
+                       run_id: str = "run0", *, num_perm: int = 64,
+                       shingle: int = 5, seed: int = 42) -> str:
+    """Persist the distinct LSH band buckets (band_id, band_hash) of a
+    corpus snapshot — 16 bands x 8 B per doc before local dedup — so a
+    later crawl can suppress near-duplicates of EVERYTHING seen so far
+    without rescanning history (the minhash sibling of
+    ``duplicates.save_dedup_state``).  Null-text rows contribute no
+    bands (the SQL-replica convention).  Atomic tmp rename, idempotent
+    per run_id."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    n_bands = num_perm // 4
+    sigs = minhash_signatures(
+        ds.map_batches(
+            lambda t: t.filter(pc.and_(t.column(id_col).is_valid(),
+                                       t.column(text_col).is_valid())),
+            batch_format="pyarrow"),
+        id_col, text_col, num_perm, shingle, seed)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bids = np.concatenate([np.full(n, bi, dtype=np.int64)
+                               for bi in range(n_bands)]) if n else \
+            np.zeros(0, dtype=np.int64)
+        bhs = (np.concatenate(
+            [batch.column(f"band_{bi}").to_numpy(zero_copy_only=False)
+             for bi in range(n_bands)]) if n else
+            np.zeros(0, dtype=np.int64))
+        out = pd.DataFrame({"band_id": bids, "band_hash": bhs}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tmp = os.path.join(state_dir, f".tmp_{run_id}")
+    final = os.path.join(state_dir, run_id)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(state_dir, exist_ok=True)
+    sigs.map_batches(explode, batch_format="pyarrow").write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)     # 0-row write emits no files
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    return final
+
+
+def suppress_against_state(ds, id_col: str, text_col: str,
+                           state_dirs: list[str], *, num_perm: int = 64,
+                           shingle: int = 5, seed: int = 42,
+                           num_partitions: int | None = None):
+    """Incremental near-dup SUPPRESSION: ids of ``ds`` docs that share
+    at least one LSH band bucket with the persisted history
+    (``save_neardup_state``) — the continuous-crawl policy "drop
+    anything that looks like something we already have" (pure-LSH
+    recall semantics: two docs collide when any 4-row minhash band
+    agrees, the same candidate rule ``minhash_lsh_pairs`` verifies;
+    suppression deliberately skips the verify step because history
+    payloads are gone — only their 16 B band marks remain).
+
+    Scale: new-side (id, band_id, band_hash) rows and state marks
+    co-partition on band_hash; per bucket one vectorized semi-join;
+    output = distinct suppressed ids."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    n_bands = num_perm // 4
+
+    paths: list[str] = []
+    for d in state_dirs:
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        elif os.path.exists(d):
+            paths.append(d)
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.and_(t.column(id_col).is_valid(),
+                                   t.column(text_col).is_valid())),
+        batch_format="pyarrow")
+    if not paths:
+        return filtered.select_columns([id_col]).limit(0)
+
+    sigs = minhash_signatures(filtered, id_col, text_col, num_perm,
+                              shingle, seed)
+
+    def explode_new(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        bids = np.concatenate([np.full(n, bi, dtype=np.int64)
+                               for bi in range(n_bands)]) if n else \
+            np.zeros(0, dtype=np.int64)
+        bhs = (np.concatenate(
+            [batch.column(f"band_{bi}").to_numpy(zero_copy_only=False)
+             for bi in range(n_bands)]) if n else
+            np.zeros(0, dtype=np.int64))
+        out_ids = np.tile(ids, n_bands) if n else ids[:0]
+        p = (bhs.view(np.uint64)
+             % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({id_col: pa.array(out_ids),
+                         "band_id": pa.array(bids),
+                         "band_hash": pa.array(bhs),
+                         "__p": pa.array(p),
+                         "__side": pa.array(
+                             np.zeros(len(bids), dtype=np.int8))})
+
+    def mark_state(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        p = (bh.view(np.uint64)
+             % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({id_col: pa.array(
+            np.full(len(bh), _STATE_ID_SENTINEL, dtype=np.int64)),
+            "band_id": batch.column("band_id"),
+            "band_hash": batch.column("band_hash"),
+            "__p": pa.array(p),
+            "__side": pa.array(np.ones(len(bh), dtype=np.int8))})
+
+    import ray as _ray
+    state = _ray.data.read_parquet(paths) \
+        .map_batches(mark_state, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["__side"] == 0]
+        seen = g[g["__side"] == 1]
+        if seen.empty or new.empty:
+            return new.head(0)[[id_col]]
+        mi_new = pd.MultiIndex.from_arrays(
+            [new["band_id"], new["band_hash"]])
+        mi_seen = pd.MultiIndex.from_arrays(
+            [seen["band_id"], seen["band_hash"]])
+        hit = new[mi_new.isin(mi_seen)]
+        return hit[[id_col]].drop_duplicates()
+
+    sup = (sigs.map_batches(explode_new, batch_format="pyarrow")
+           .union(state).groupby("__p")
+           .map_groups(per_bucket, batch_format="pandas"))
+
+    def final_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[id_col]].drop_duplicates()
+
+    # a doc can hit in several band partitions: one tiny id-bucketed
+    # distinct pass bounds the duplicates
+    def id_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids))
+        return batch.append_column("__q", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.int64)))
+
+    return (sup.map_batches(id_bucket, batch_format="pyarrow")
+            .groupby("__q").map_groups(
+                lambda g: final_distinct(g.drop(columns="__q")),
+                batch_format="pandas"))
+
+
+_STATE_ID_SENTINEL = -1

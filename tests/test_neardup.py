@@ -481,3 +481,33 @@ def test_phash_pairs_recall_and_cap(ray_session):
         "phash": pa.array(np.full(600, 12345, dtype=np.int64))}))
     capped = mm.phash_pairs(same, group_cap=512).to_pandas()
     assert len(capped) == 0
+
+
+def test_suppress_against_state_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.neardup import (save_neardup_state,
+                                             suppress_against_state)
+
+    base = ("The quick brown fox jumps over the lazy dog again and "
+            "again in the long document body. " * 4)
+    old = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([base, "totally unrelated content here"])}))
+    run = save_neardup_state(old, "id", "text", str(tmp_path),
+                             run_id="r1")
+
+    new = ray.data.from_arrow(pa.table({
+        "id": pa.array([10, 11, 12], type=pa.int64()),
+        "text": pa.array([
+            base.replace("lazy", "sleepy"),     # near-dup of doc 1
+            "completely fresh never seen text about other things",
+            None])})).repartition(2)
+    sup = suppress_against_state(new, "id", "text", [run]).to_pandas()
+    assert list(sup["id"]) == [10]
+
+    # empty state: nothing suppressed
+    none = suppress_against_state(new, "id", "text",
+                                  [str(tmp_path / "missing")])
+    assert none.count() == 0
