@@ -3405,28 +3405,6 @@ checks for orders:
         "day_gaps_events": day_gaps_events,
         "embedding_quality_embeddings": embedding_quality_embeddings,
         "star_join_revenue": star_join_revenue,
-        # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
-        # ties by id ASC, vote ties by label ASC, self excluded
-        "kcenter_sample_embeddings": _kcenter_sql(8),
-        # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
-        "label_noise_embeddings": """
-    WITH e AS (SELECT vec_id, embedding, label FROM embeddings
-               WHERE vec_id IS NOT NULL AND label IS NOT NULL
-                 AND embedding IS NOT NULL),
-    p AS (SELECT a.vec_id AS qa, b.vec_id AS nb, b.label AS nl,
-            round(list_cosine_similarity(a.embedding, b.embedding), 6)
-                AS sim
-          FROM e a JOIN e b ON a.vec_id != b.vec_id),
-    r AS (SELECT qa, nb, nl, row_number() OVER (PARTITION BY qa
-              ORDER BY sim DESC, nb ASC) AS rn FROM p),
-    v AS (SELECT qa, nl, count(*)::BIGINT AS n FROM r
-          WHERE rn <= 5 GROUP BY 1, 2),
-    top AS (SELECT qa, nl, n, row_number() OVER (PARTITION BY qa
-                ORDER BY n DESC, nl ASC) AS rv FROM v)
-    SELECT e.vec_id, e.label, top.nl::BIGINT AS knn_label,
-        top.n AS n_agree, top.nl::BIGINT != e.label AS is_suspect
-    FROM e JOIN top ON top.qa = e.vec_id AND top.rv = 1
-    ORDER BY e.vec_id""",
         "ann_bruteforce_embeddings": ann_bruteforce_embeddings,
         "label_noise_embeddings": label_noise_embeddings,
         "kcenter_sample_embeddings": kcenter_sample_embeddings,
@@ -4590,7 +4568,8 @@ def _kcenter_sql(k: int = 8) -> str:
     """similarity.kcenter_sample replica: the greedy maxmin unrolled
     into k CTE stages (pick -> per-candidate 6dp distance -> running
     LEAST -> next argmax with (d DESC, id ASC) ties)."""
-    parts = ["e AS (SELECT vec_id, embedding FROM embeddings "
+    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding "
+             "FROM embeddings "
              "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)",
              "p1 AS (SELECT min(vec_id) AS id FROM e)"]
     for i in range(1, k):
@@ -6922,6 +6901,29 @@ def oracle_sql() -> dict[str, str]:
         for j in (1, 2, 3))})::BIGINT AS tier
     FROM s, p WHERE quality_score IS NOT NULL""",
         "ann_bruteforce_embeddings": ann,
+        # similarity.kcenter_sample: greedy maxmin unrolled in SQL
+        "kcenter_sample_embeddings": _kcenter_sql(8),
+        # similarity.label_noise_knn: 6dp-rounded cosine, neighbor
+        # ties by id ASC, vote ties by label ASC, self excluded
+        "label_noise_embeddings": """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding, label
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND label IS NOT NULL
+                 AND embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS qa, b.vec_id AS nb, b.label AS nl,
+            round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                AS sim
+          FROM e a JOIN e b ON a.vec_id != b.vec_id),
+    r AS (SELECT qa, nb, nl, row_number() OVER (PARTITION BY qa
+              ORDER BY sim DESC, nb ASC) AS rn FROM p),
+    v AS (SELECT qa, nl, count(*)::BIGINT AS n FROM r
+          WHERE rn <= 5 GROUP BY 1, 2),
+    top AS (SELECT qa, nl, n, row_number() OVER (PARTITION BY qa
+                ORDER BY n DESC, nl ASC) AS rv FROM v)
+    SELECT e.vec_id, e.label, top.nl::BIGINT AS knn_label,
+        top.n AS n_agree, top.nl::BIGINT != e.label AS is_suspect
+    FROM e JOIN top ON top.qa = e.vec_id AND top.rv = 1
+    ORDER BY e.vec_id""",
         # quantize: same half-up floor(x/scale + 0.5) on both sides;
         # q8 ships as a comma-joined string (portable across Arrow and
         # DuckDB list representations); list_sum's left fold matches the
