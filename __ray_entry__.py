@@ -1882,6 +1882,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return corpus_perplexity(_ds(sf, "documents", ["doc_id", "text"]),
                                  "doc_id", "text")
 
+    def token_ppl_documents(sf):
+        # word-level KenLM-style self-perplexity: top-512 vocab + UNK,
+        # add-one smoothed token-bigram LM trained on the corpus itself
+        from packs_ray.functions.lm import token_bigram_perplexity
+
+        return token_bigram_perplexity(
+            _ds(sf, "documents", ["doc_id", "text"]),
+            "doc_id", "text", vocab_size=512)
+
     def quality_filter_documents(sf):
         # two-pass corpus gate: exact global median of the heuristic
         # quality score, then keep rows at-or-above it
@@ -3484,6 +3493,7 @@ checks for orders:
         "source_overlap_documents": source_overlap_documents,
         "label_entropy_events": label_entropy_events,
         "perplexity_corpus_documents": perplexity_corpus_documents,
+        "token_ppl_documents": token_ppl_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6109,6 +6119,48 @@ def _perplexity_corpus_sql() -> str:
     FROM b LEFT JOIN s USING (doc_id)"""
 
 
+def _token_ppl_sql(v: int = 512) -> str:
+    """Exact replica of lm.token_bigram_perplexity: whitespace-token
+    contract, top-v vocab by (count desc, token asc) with UNK id 0,
+    within-doc adjacent bigrams keyed w1*(v+1)+w2, add-one smoothing
+    with V_sm = len(vocab)+1, per-doc mean -log2, 6dp."""
+    m = v + 1
+    return rf"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t0 AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text,
+        '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+        '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+                THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(len(toks))) AS pos FROM tl),
+    uc AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT tok, (row_number() OVER (
+                  ORDER BY cnt DESC, tok ASC))::BIGINT AS id
+              FROM uc ORDER BY cnt DESC, tok ASC LIMIT {v}),
+    vs AS (SELECT (count(*) + 1)::DOUBLE AS v_sm FROM vocab),
+    ti AS (SELECT t.doc_id, t.pos, coalesce(vb.id, 0)::BIGINT AS id
+           FROM tok t LEFT JOIN vocab vb ON vb.tok = t.tok),
+    seq AS (SELECT doc_id, list(id ORDER BY pos) AS ids
+            FROM ti GROUP BY doc_id),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ids)),
+               i -> ids[i] * {m} + ids[i+1])) AS pr
+           FROM seq WHERE len(ids) >= 2),
+    cnt AS (SELECT pr, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+    ctx AS (SELECT pr // {m} AS w1, sum(c)::BIGINT AS cw
+            FROM cnt GROUP BY 1),
+    w AS (SELECT cnt.pr, log2((cnt.c + 1.0) / (ctx.cw + vs.v_sm)) AS lp
+          FROM cnt JOIN ctx ON cnt.pr // {m} = ctx.w1, vs),
+    s AS (SELECT b.doc_id, count(*)::BIGINT AS nb, sum(w.lp) AS slp
+          FROM bg b JOIN w USING (pr) GROUP BY 1),
+    n AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+          FROM tok GROUP BY 1)
+    SELECT d.doc_id, coalesce(n.n_tokens, 0)::BIGINT AS n_tokens,
+        coalesce(s.nb, 0)::BIGINT AS n_bigrams,
+        round(coalesce(-s.slp / s.nb, 0.0), 6) AS bits_per_token
+    FROM d LEFT JOIN n USING (doc_id) LEFT JOIN s USING (doc_id)"""
+
+
 def _dsir_sql(n_bits: int = 16, mod: int = 25) -> str:
     """Exact replica of dsir.importance_weights: the dedup_spans token
     chain (RE2 whitespace split, FNV-1a + mul-rot-mul finalize), bigram
@@ -7634,6 +7686,7 @@ def oracle_sql() -> dict[str, str]:
     FROM r, tot WHERE rank <= 100 ORDER BY rank
     """,
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
+        "token_ppl_documents": _token_ppl_sql(512),
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
         "budget_mixture_documents": _budget_mixture_sql(),

@@ -96,3 +96,159 @@ def corpus_perplexity(ds, id_col: str, text_col: str, *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def _doc_token_ids(batch: pa.Table, text_col: str, lut: dict,
+                   unk_id: int = 0):
+    """Shared whitespace-tokenize → vocabulary-id step: returns
+    (doc_idx, ids) flat arrays for a batch under the build_vocab
+    trim/split contract (empty/null docs contribute nothing)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from packs_ray.stages.util import str_column
+
+    col = str_column(batch, text_col)
+    trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+    lists = pc.split_pattern_regex(trimmed, "[ \t\n\r\f\v]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(off - off[0])
+    flat = lists.flatten().to_pandas().to_numpy()
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    keep = np.ones(len(flat), dtype=bool)
+    keep[(off[:-1] - off[0])[empty]] = False   # drop the [""] token
+    flat, doc_idx = flat[keep], doc_idx[keep]
+    ids = (pd.Series(flat).map(lut).fillna(unk_id)
+           .astype("int64").to_numpy())
+    return doc_idx, ids
+
+
+def train_token_bigram_counts(ds, text_col: str, vocab,
+                              *, num_partitions: int | None = None):
+    """Exact corpus (w1, w2) adjacent-token-bigram counts over
+    vocabulary ids (UNK folded to id 0; pairs never cross documents).
+
+    Scale shape: per-batch pair-count combiners (bounded by the batch,
+    emitted as (w1, w2, cnt) partials), ONE pair-bucketed sum reduce —
+    the result is bounded by (len(vocab)+1)² rows regardless of corpus
+    size, so collecting it as the model artifact is the honest landing
+    spot (the unigram_divergence / build_vocab convention).
+
+    Returns a pandas frame (w1, w2, cnt) sorted by (w1, w2)."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    lut = dict(zip(vocab["token"], vocab["token_id"].astype(int)))
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        doc_idx, ids = _doc_token_ids(batch, text_col, lut)
+        if len(ids) < 2:
+            return pa.table({"w1": pa.array([], type=pa.int64()),
+                             "w2": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        same = doc_idx[1:] == doc_idx[:-1]
+        w1, w2 = ids[:-1][same], ids[1:][same]
+        g = (pd.DataFrame({"w1": w1, "w2": w2})
+             .groupby(["w1", "w2"], sort=False).size()
+             .rename("cnt").reset_index())
+        return pa.Table.from_pandas(g.astype("int64"),
+                                    preserve_index=False)
+
+    parts = ds.select_columns([text_col]).map_batches(
+        pair_counts, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["w1", "w2"], sort=False)["cnt"].sum()
+        return out.reset_index().astype("int64")
+
+    bg = bucketed_group_reduce(parts, ["w1", "w2"], reduce_fn,
+                               num_partitions).to_pandas()
+    if "cnt" not in bg.columns:       # 0-row input: no block ever ran
+        bg = pd.DataFrame({"w1": pd.Series([], dtype="int64"),
+                           "w2": pd.Series([], dtype="int64"),
+                           "cnt": pd.Series([], dtype="int64")})
+    return bg.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def token_bigram_perplexity(ds, id_col: str, text_col: str, *,
+                            vocab_size: int = 1024,
+                            num_partitions: int | None = None):
+    """Word-level KenLM-style self-perplexity: train an add-one-smoothed
+    token-bigram LM on the corpus itself (top-``vocab_size`` vocabulary,
+    OOV folded to UNK), then score every document's
+    ``bits_per_token = -(1/n)·Σ log2 P(w_i | w_{i-1})`` — the CCNet
+    perplexity-ranking signal, trained distributively instead of
+    shipped as a fixed model (reference scores quality per-column only,
+    e.g. completeness_pack/main.py:34-68; this is the corpus-LM
+    generalization a training-data pipeline needs).
+
+    Three streaming passes, all bounded exchanges: (1) ``build_vocab``
+    (token-bucketed count reduce, bounded k-row artifact), (2)
+    ``train_token_bigram_counts`` (pair-bucketed reduce, bounded
+    (V+1)² artifact), (3) a stateless scoring map with the model in the
+    task closure (Ray serializes it once per task; ``ray.put`` it
+    explicitly for vocabularies far above tens of MB).  Per-bigram
+    log-probs are ONE pinned float64 expression of exact integer counts
+    (``log2((c+1)/(cw1+V_sm))``, V_sm = len(vocab)+1); the per-doc mean
+    is 6dp-rounded — the perplexity_corpus oracle convention.
+
+    Output: lazy Dataset (id, n_tokens, n_bigrams, bits_per_token);
+    docs with < 2 tokens (incl. null/empty) score 0.0."""
+    from packs_ray.functions.textstats import build_vocab
+
+    vocab = build_vocab(ds, text_col, k=vocab_size,
+                        num_partitions=num_partitions)
+    bg = train_token_bigram_counts(ds, text_col, vocab,
+                                   num_partitions=num_partitions)
+    lut = dict(zip(vocab["token"], vocab["token_id"].astype(int)))
+    mult = np.int64(vocab_size + 1)          # pinned: requested V + 1
+    v_sm = float(len(vocab) + 1)             # actual vocab incl. UNK
+    keys = (bg["w1"].to_numpy(dtype=np.int64) * mult
+            + bg["w2"].to_numpy(dtype=np.int64))
+    cnts = bg["cnt"].to_numpy(dtype=np.int64)
+    ctx = bg.groupby("w1", sort=True)["cnt"].sum()
+    ctx_ids = ctx.index.to_numpy(dtype=np.int64)
+    ctx_cnts = ctx.to_numpy(dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_idx, ids = _doc_token_ids(batch, text_col, lut)
+        n = len(batch)
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(ids) >= 2:
+            same = doc_idx[1:] == doc_idx[:-1]
+            w1, w2 = ids[:-1][same], ids[1:][same]
+            didx = doc_idx[:-1][same]
+        else:
+            w1 = w2 = didx = np.array([], dtype=np.int64)
+        k = w1 * mult + w2
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+            c = np.where(keys[pos] == k, cnts[pos], 0).astype(np.float64)
+        else:
+            c = np.zeros(len(k), dtype=np.float64)
+        if len(ctx_ids):
+            cpos = np.clip(np.searchsorted(ctx_ids, w1), 0,
+                           len(ctx_ids) - 1)
+            cw = np.where(ctx_ids[cpos] == w1, ctx_cnts[cpos],
+                          0).astype(np.float64)
+        else:
+            cw = np.zeros(len(w1), dtype=np.float64)
+        lp = np.log2((c + 1.0) / (cw + v_sm))
+        slp = np.bincount(didx, weights=lp, minlength=n)
+        nb = np.bincount(didx, minlength=n).astype(np.int64)
+        bits = np.where(nb > 0, -slp / np.maximum(nb, 1), 0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tokens),
+            "n_bigrams": pa.array(nb),
+            "bits_per_token": pa.array(_r(bits, 6), type=pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

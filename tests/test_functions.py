@@ -1542,6 +1542,74 @@ def test_corpus_perplexity_trained_lm(ray_session):
     assert out.loc[56, "bits_per_byte"] == 0.0   # single byte
 
 
+def test_token_bigram_perplexity_parity(ray_session):
+    """Word-level bigram LM: trained counts match a local replica
+    (within-doc pairs only, UNK folding at the vocab cutoff), scores
+    match a hand-rolled add-one-smoothed scorer, corpus-typical docs
+    score below shuffled-token docs, and <2-token docs score 0.0."""
+    import collections
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.lm import (token_bigram_perplexity,
+                                        train_token_bigram_counts)
+    from packs_ray.functions.textstats import build_vocab
+
+    rng = np.random.default_rng(7)
+    vocab_words = [f"w{i}" for i in range(30)]
+    typical = ["the cat sat on the mat and the cat slept"
+               for _ in range(40)]
+    shuffled = [" ".join(rng.permutation(vocab_words).tolist())
+                for _ in range(5)]
+    rows = typical + shuffled + [None, "", "solo", "  "]
+    ids = list(range(len(rows)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": rows})).repartition(3)
+
+    v = 16      # small cutoff so shuffled docs hit UNK
+    vocab = build_vocab(ds, "text", k=v)
+    bg = train_token_bigram_counts(ds, "text", vocab)
+
+    # local replica
+    lut = dict(zip(vocab["token"], vocab["token_id"].astype(int)))
+    exp = collections.Counter()
+    for t in rows:
+        toks = (t or "").split()
+        idseq = [lut.get(w, 0) for w in toks]
+        for a, b in zip(idseq[:-1], idseq[1:]):
+            exp[(a, b)] += 1
+    got = {(r.w1, r.w2): r.cnt for r in bg.itertuples()}
+    assert got == dict(exp)
+
+    out = token_bigram_perplexity(
+        ds, "doc_id", "text", vocab_size=v).to_pandas() \
+        .set_index("doc_id")
+    # hand-rolled scorer parity on one typical and one shuffled doc
+    ctx = collections.Counter()
+    for (a, _), c in exp.items():
+        ctx[a] += c
+    v_sm = len(vocab) + 1
+    for probe in (0, 40):
+        toks = rows[probe].split()
+        idseq = [lut.get(w, 0) for w in toks]
+        lps = [math.log2((exp[(a, b)] + 1) / (ctx[a] + v_sm))
+               for a, b in zip(idseq[:-1], idseq[1:])]
+        want = round(-sum(lps) / len(lps), 6)
+        assert abs(out.loc[probe, "bits_per_token"] - want) < 1e-9
+        assert out.loc[probe, "n_bigrams"] == len(lps)
+    typ = out.loc[range(40), "bits_per_token"]
+    shf = out.loc[range(40, 45), "bits_per_token"]
+    assert typ.max() < shf.min()
+    for i in (45, 46, 47, 48):          # null / empty / 1-token / ws
+        assert out.loc[i, "bits_per_token"] == 0.0
+        assert out.loc[i, "n_bigrams"] == 0
+    assert out.loc[47, "n_tokens"] == 1
+    assert out.loc[48, "n_tokens"] == 0
+
+
 def test_cluster_balanced_sample_flattens_mixture(ray_session):
     """cluster_balanced_sample: a dominant topic cluster contributes the
     same row budget as a rare one, assignment matches a local Lloyd
