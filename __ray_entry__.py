@@ -2981,6 +2981,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg = global_agg(out, partial, lambda p: {c: int(p[c].sum()) for c in p.columns})
         return pd.DataFrame([{"metric": k, "n": v} for k, v in agg.items()])
 
+    def rule_ablation_transcripts(sf):
+        # per-rule ablation table over the flagship filter's rule bits:
+        # hits, unique (marginal) hits, and kept-if-removed counts
+        from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+        from packs_ray.state.metrics import rule_ablation
+
+        return rule_ablation(run_filter_pipeline(_transcripts(sf)))
+
     def mode_mktsegment(sf):
         from packs_ray.functions.agg import keyed_count
 
@@ -3623,6 +3631,7 @@ checks for orders:
         "temperature_sample_documents": temperature_sample_documents,
         "hash_split_orders": hash_split_orders,
         "transcripts_filter_summary": transcripts_filter_summary,
+        "rule_ablation_transcripts": rule_ablation_transcripts,
         "conversation_summary_transcripts": conversation_summary_transcripts,
         "mode_mktsegment": mode_mktsegment,
         "head_sample_orders": head_sample_orders,
@@ -4452,6 +4461,32 @@ def _transcripts_filter_summary_sql() -> str:
     SELECT 'total' AS metric, count(*)::BIGINT AS n FROM rb
     UNION ALL SELECT 'kept', sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT FROM rb
     UNION ALL {per_rule}"""
+
+
+def _rule_ablation_sql() -> str:
+    """state.metrics.rule_ablation replica: per-rule hit / unique-hit /
+    kept-if-removed counts over the flagship rule booleans (nr = number
+    of rules firing per turn; unique = fires with nr == 1; removing a
+    rule keeps a turn iff it was kept or the rule was its only drop)."""
+    from packs_ray.config import RULE_NAMES
+
+    nr = " + ".join(f"(CASE WHEN r_{n} THEN 1 ELSE 0 END)"
+                    for n in RULE_NAMES)
+    per = " UNION ALL ".join(
+        f"SELECT '{n}' AS rule, "
+        f"sum(CASE WHEN r_{n} THEN 1 ELSE 0 END)::BIGINT AS n_hit, "
+        f"sum(CASE WHEN r_{n} AND nr = 1 THEN 1 ELSE 0 END)::BIGINT "
+        f"AS n_unique, "
+        f"sum(CASE WHEN kept OR (r_{n} AND nr = 1) THEN 1 ELSE 0 "
+        f"END)::BIGINT AS n_kept_if_removed FROM rbn"
+        for n in RULE_NAMES)
+    return f"""
+    WITH {_flagship_rules_cte()},
+    rbn AS (SELECT *, ({nr}) AS nr FROM rb)
+    {per}
+    UNION ALL SELECT '__none__', count(*)::BIGINT,
+        sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT,
+        sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT FROM rbn"""
 
 
 def _conversation_summary_sql() -> str:
@@ -9494,6 +9529,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT e.event_id, e.user_id, e.ts, c.click_value
     FROM events e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts""",
         "transcripts_filter_summary": _transcripts_filter_summary_sql(),
+        "rule_ablation_transcripts": _rule_ablation_sql(),
         "conversation_summary_transcripts": _conversation_summary_sql(),
         "profile_summary_events": _profile_summary_sql(),
         "schema_drift_orders_lineitem": """

@@ -68,6 +68,53 @@ class MetricsCollector:
                 json.dump(data, f, indent=1, default=str)
 
 
+def rule_ablation(ds, bits_col: str = "rule_bits"):
+    """Per-rule ablation diagnostic over the filter pipeline's rule-bit
+    column — the quality-filter tuning table: for every rule,
+    ``n_hit`` (turns it fired on), ``n_unique`` (turns ONLY it fired on
+    — its marginal contribution; a rule with 0 unique hits is fully
+    shadowed by the others), and ``n_kept_if_removed`` (turns that
+    would survive with the rule ablated: already-kept turns plus its
+    unique drops).  Pure bit arithmetic over exact integers — ONE
+    streaming scan of fixed ``n_rules × 3`` int64 partials, no shuffle,
+    bit-deterministic under any partitioning.
+
+    Returns a pandas frame (rule, n_hit, n_unique, n_kept_if_removed)
+    in rule-bit order plus a final ``__none__`` row carrying the
+    baseline (total, kept, kept) for reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from packs_ray.config import RULE_NAMES
+    from packs_ray.functions.agg import global_agg
+
+    def partial(batch: pa.Table) -> dict:
+        bits = batch.column(bits_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = {"total": len(bits), "kept": int((bits == 0).sum())}
+        for i, name in enumerate(RULE_NAMES):
+            bit = np.int64(1 << i)
+            d[f"hit_{name}"] = int(((bits & bit) != 0).sum())
+            d[f"uniq_{name}"] = int((bits == bit).sum())
+        return d
+
+    agg = global_agg(ds, partial,
+                     lambda p: {c: int(p[c].sum()) for c in p.columns})
+    rows = [{"rule": name,
+             "n_hit": agg.get(f"hit_{name}", 0),
+             "n_unique": agg.get(f"uniq_{name}", 0),
+             "n_kept_if_removed": (agg.get("kept", 0)
+                                   + agg.get(f"uniq_{name}", 0))}
+            for name in RULE_NAMES]
+    rows.append({"rule": "__none__", "n_hit": agg.get("total", 0),
+                 "n_unique": agg.get("kept", 0),
+                 "n_kept_if_removed": agg.get("kept", 0)})
+    return pd.DataFrame(rows).astype(
+        {"n_hit": "int64", "n_unique": "int64",
+         "n_kept_if_removed": "int64"})
+
+
 def pipeline_metrics(rule_counts: dict[str, int], total: int, kept: int,
                      scrubbed: int, dataset: str) -> MetricsCollector:
     """Roll the flagship pipeline's rule-hit histogram into the

@@ -18,7 +18,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # inputs not derived from the sf tables (synthetic media / generated
 # transcripts / file-mtime metadata) are exercised by their own tests
-SKIP = {"transcripts_filter_summary", "conversation_summary_transcripts",
+SKIP = {"transcripts_filter_summary", "rule_ablation_transcripts",
+        "conversation_summary_transcripts",
         "boilerplate_turns_transcripts", "tool_usage_transcripts",
         "sft_examples_transcripts", "response_latency_transcripts",
         "pii_density_transcripts", "context_fit_transcripts",

@@ -138,3 +138,36 @@ def test_conversation_summary(ray_session, small_transcripts_path):
         summary.astype({"n_kept": "int64", "n_scrubbed": "int64"}),
         exp.astype({"n_kept": "int64", "n_scrubbed": "int64"}),
         check_dtype=False)
+
+
+def test_rule_ablation_bit_semantics(ray_session):
+    """rule_ablation: counts match a direct bit-level replica over the
+    pipeline's rule_bits, unique hits never exceed hits, and the
+    __none__ baseline row carries (total, kept, kept)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.config import RULE_NAMES
+    from packs_ray.state.metrics import rule_ablation
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    # synthetic bit column: ~60% kept, skewed single- and multi-rule hits
+    bits = np.where(rng.random(n) < 0.6, 0,
+                    rng.integers(1, 1 << len(RULE_NAMES), n))
+    ds = ray.data.from_arrow(pa.table({"rule_bits": bits})).repartition(7)
+    out = rule_ablation(ds).set_index("rule")
+
+    kept = int((bits == 0).sum())
+    for i, name in enumerate(RULE_NAMES):
+        bit = 1 << i
+        hit = int(((bits & bit) != 0).sum())
+        uniq = int((bits == bit).sum())
+        assert out.loc[name, "n_hit"] == hit
+        assert out.loc[name, "n_unique"] == uniq
+        assert out.loc[name, "n_kept_if_removed"] == kept + uniq
+        assert uniq <= hit
+    assert out.loc["__none__", "n_hit"] == n
+    assert out.loc["__none__", "n_unique"] == kept
+    assert out.loc["__none__", "n_kept_if_removed"] == kept
