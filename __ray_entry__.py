@@ -2701,6 +2701,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = tds.union(tds.map_batches(relabel, batch_format="pyarrow"))
         return dedup_conversations(both)
 
+    def template_dedup_transcripts(sf):
+        # template-level dedup over the fixture UNION a copy whose
+        # digits are all flipped to 7 — invisible to exact dedup, but
+        # every conversation still collapses onto its mutated twin
+        # after entity masking
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import template_dedup
+
+        cols = ["conv_id", "turn_idx", "role", "text"]
+        tds = read_parquet_sized(_transcripts(sf), columns=cols)
+
+        def mutate(t):
+            cid = pc.binary_join_element_wise(
+                pc.cast(t.column("conv_id"), pa.string()), "tmut", "_")
+            t = t.set_column(t.schema.get_field_index("conv_id"),
+                             "conv_id", cid)
+            txt = pc.replace_substring_regex(t.column("text"),
+                                             "[0-9]", "7")
+            return t.set_column(t.schema.get_field_index("text"),
+                                "text", txt)
+
+        both = tds.union(tds.map_batches(mutate, batch_format="pyarrow"))
+        return template_dedup(both)
+
     def language_consistency_transcripts(sf):
         # code-switching screen: per-conversation majority language +
         # agreement from per-turn marker-word language ID
@@ -3598,6 +3625,7 @@ checks for orders:
         "toxicity_profile_transcripts": toxicity_profile_transcripts,
         "turn_integrity_transcripts": turn_integrity_transcripts,
         "dedup_conversations_transcripts": dedup_conversations_transcripts,
+        "template_dedup_transcripts": template_dedup_transcripts,
         "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
@@ -4848,6 +4876,50 @@ def _dedup_conversations_sql() -> str:
     e AS (SELECT conv_id, turn_idx::BIGINT AS idx,
             coalesce(CAST(role AS VARCHAR), {nul}) AS r,
             coalesce(text, {nul}) AS tx
+          FROM t WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
+    k AS (SELECT conv_id,
+            string_agg(idx || chr(31) || r || chr(31) || tx, chr(30)
+                       ORDER BY idx, r, tx) AS sig
+          FROM e GROUP BY conv_id),
+    c AS (SELECT conv_id,
+            min(conv_id) OVER (PARTITION BY sig) AS canonical_conv_id
+          FROM k)
+    SELECT conv_id, canonical_conv_id,
+        (CASE WHEN conv_id <> canonical_conv_id THEN 1 ELSE 0 END)::BIGINT
+            AS is_dup
+    FROM c ORDER BY conv_id"""
+
+
+def _template_dedup_sql() -> str:
+    """stages.conversation.template_dedup replica: the exact-dedup
+    oracle's ordered-string_agg canonicalization, but over
+    entity-masked text (lower → url → email → digit-runs → whitespace,
+    all RE2 in both engines) and a planted digits→7 mutated copy."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, text"
+    nul = "chr(0) || 'N'"
+    norm = (r"trim(regexp_replace(regexp_replace(regexp_replace("
+            r"regexp_replace(lower(text), 'https?://[^ \t\n\r\f\v]+',"
+            r" '<url>', 'g'),"
+            r" '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),"
+            r" '[0-9]+', '0', 'g'),"
+            r" '[ \t\n\r\f\v]+', ' ', 'g'), ' ')")
+    return f"""
+    WITH t0 AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    t AS (SELECT * FROM t0
+          UNION ALL
+          SELECT conv_id || '_tmut' AS conv_id, turn_idx, role,
+                 regexp_replace(text, '[0-9]', '7', 'g') AS text
+          FROM t0 WHERE conv_id IS NOT NULL),
+    e AS (SELECT conv_id, turn_idx::BIGINT AS idx,
+            coalesce(CAST(role AS VARCHAR), {nul}) AS r,
+            coalesce({norm}, {nul}) AS tx
           FROM t WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
     k AS (SELECT conv_id,
             string_agg(idx || chr(31) || r || chr(31) || tx, chr(30)
@@ -9496,6 +9568,7 @@ def oracle_sql() -> dict[str, str]:
         "toxicity_profile_transcripts": _toxicity_profile_sql(),
         "turn_integrity_transcripts": _turn_integrity_sql(),
         "dedup_conversations_transcripts": _dedup_conversations_sql(),
+        "template_dedup_transcripts": _template_dedup_sql(),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),

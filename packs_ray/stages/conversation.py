@@ -1084,6 +1084,54 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
         .sort(conv_col)
 
 
+TEMPLATE_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+TEMPLATE_URL_RE = r"https?://[^ \t\n\r\f\v]+"
+
+
+def template_normalize(text):
+    """Entity-masking normalizer for template fingerprints: lowercase,
+    URLs → <url>, emails → <email>, digit runs → 0, whitespace runs
+    collapsed + trimmed.  All patterns are RE2 on both engines (pyarrow
+    and DuckDB), so the SQL twin is byte-identical; nulls stay null."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(text)
+    t = pc.replace_substring_regex(t, TEMPLATE_URL_RE, "<url>")
+    t = pc.replace_substring_regex(t, TEMPLATE_EMAIL_RE, "<email>")
+    t = pc.replace_substring_regex(t, "[0-9]+", "0")
+    t = pc.replace_substring_regex(t, "[ \t\n\r\f\v]+", " ")
+    return pc.utf8_trim(t, " ")
+
+
+def template_dedup(ds, *, conv_col: str = "conv_id",
+                   idx_col: str = "turn_idx", role_col: str = "role",
+                   text_col: str = "text",
+                   num_buckets: int | None = None):
+    """Template-level conversation dedup: conversations are duplicates
+    iff they are content-equal AFTER entity masking
+    (:func:`template_normalize`) — the re-crawl / form-letter catcher
+    for dialogs that differ only in ids, emails, URLs or numbers, which
+    exact dedup (:func:`dedup_conversations`) cannot see.
+
+    Same output contract and scale shape as ``dedup_conversations``
+    (text never shuffles; two ~40 B/conversation exchanges): the
+    normalizer is one extra zero-copy Arrow kernel chain in the partial
+    pass."""
+    import pyarrow.compute as pc
+
+    from packs_ray.stages.util import str_column
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        t = template_normalize(str_column(batch, text_col))
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, t)
+
+    return dedup_conversations(
+        ds.map_batches(normalize, batch_format="pyarrow"),
+        conv_col=conv_col, idx_col=idx_col, role_col=role_col,
+        text_col=text_col, num_buckets=num_buckets)
+
+
 def merge_consecutive_turns(ds, *, conv_col: str = "conv_id",
                             idx_col: str = "turn_idx",
                             role_col: str = "role", ts_col: str = "ts",

@@ -31,6 +31,7 @@ SKIP = {"transcripts_filter_summary", "rule_ablation_transcripts",
         "toxicity_profile_transcripts",
         "turn_integrity_transcripts",
         "dedup_conversations_transcripts",
+        "template_dedup_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 

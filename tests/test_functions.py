@@ -5212,6 +5212,43 @@ def test_turn_integrity_holes_and_dups(ray_session):
     assert out.loc["b", "n_missing"] == 0 and out.loc["b", "n_dup_idx"] == 0
 
 
+def test_template_dedup_masks_entities(ray_session):
+    """template_dedup: conversations differing only in numbers, emails,
+    URLs or case/whitespace collapse onto one canonical id, while a
+    real wording change stays distinct; normalizer masks as specified."""
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.stages.conversation import (template_dedup,
+                                               template_normalize)
+
+    norm = template_normalize(pa.array([
+        "Order #1234 for bob@x.com at https://a.b/c?d=5  now",
+        None])).to_pylist()
+    assert norm[0] == "order #0 for <email> at <url> now"
+    assert norm[1] is None
+
+    rows = [
+        ("a", 0, "user", "My id is 111 email a@b.co"),
+        ("a", 1, "assistant", "Visit https://x.io/111 please"),
+        ("b", 0, "user", "My ID is  999 email z@q.org"),     # template-equal to a
+        ("b", 1, "assistant", "visit https://y.net/222 PLEASE"),
+        ("c", 0, "user", "My id is 111 email a@b.co"),
+        ("c", 1, "assistant", "Do NOT visit anything"),       # real difference
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": [r[1] for r in rows],
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows]})).repartition(3)
+    out = template_dedup(ds).to_pandas().set_index("conv_id")
+    assert out.loc["a", "canonical_conv_id"] == "a"
+    assert out.loc["b", "canonical_conv_id"] == "a"
+    assert out.loc["b", "is_dup"] == 1
+    assert out.loc["c", "canonical_conv_id"] == "c"
+    assert out.loc["c", "is_dup"] == 0
+
+
 def test_dedup_conversations_multiset_semantics(ray_session):
     import pyarrow as pa
     import ray
