@@ -2728,6 +2728,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = tds.union(tds.map_batches(mutate, batch_format="pyarrow"))
         return template_dedup(both)
 
+    def preference_pairs_transcripts(sf):
+        # DPO pair mining: per repeated prompt, highest- vs lowest-
+        # quality adjacent assistant response (deterministic ties)
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import preference_pairs
+
+        cols = ["conv_id", "turn_idx", "role", "ts", "text"]
+        return preference_pairs(
+            read_parquet_sized(_transcripts(sf), columns=cols))
+
     def language_consistency_transcripts(sf):
         # code-switching screen: per-conversation majority language +
         # agreement from per-turn marker-word language ID
@@ -3626,6 +3636,7 @@ checks for orders:
         "turn_integrity_transcripts": turn_integrity_transcripts,
         "dedup_conversations_transcripts": dedup_conversations_transcripts,
         "template_dedup_transcripts": template_dedup_transcripts,
+        "preference_pairs_transcripts": preference_pairs_transcripts,
         "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
@@ -4888,6 +4899,59 @@ def _dedup_conversations_sql() -> str:
         (CASE WHEN conv_id <> canonical_conv_id THEN 1 ELSE 0 END)::BIGINT
             AS is_dup
     FROM c ORDER BY conv_id"""
+
+
+def _preference_pairs_sql() -> str:
+    """stages.conversation.preference_pairs replica: lag() adjacency
+    under the pinned (conv, turn_idx, ts, role, text) order, the
+    quality_scores formula over the response, row_number best/worst
+    per prompt with (response, conv_id) tie pins."""
+    from packs_ray.functions.textstats import STOPWORDS
+
+    a = _ensure_flagship_artifacts()
+    stop_re = "(?i)\\b(?:" + "|".join(STOPWORDS) + ")\\b"
+    cols = "conv_id, turn_idx, role, ts, text"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT * FROM t WHERE conv_id IS NOT NULL
+            AND turn_idx IS NOT NULL AND role IS NOT NULL
+            AND ts IS NOT NULL AND text IS NOT NULL),
+    o AS (SELECT conv_id, role, text,
+            lag(role) OVER w AS prole, lag(text) OVER w AS ptext
+          FROM e WINDOW w AS (PARTITION BY conv_id
+                              ORDER BY turn_idx, ts, role, text)),
+    pr AS (SELECT ptext AS prompt, text AS response, conv_id FROM o
+           WHERE role = 'assistant' AND prole = 'user'),
+    f AS (SELECT prompt, response, conv_id,
+            length(response)::DOUBLE AS n_chars,
+            length(regexp_extract_all(response, '\\S+'))::DOUBLE AS n_tok,
+            length(regexp_extract_all(response, '{stop_re}'))::DOUBLE
+                AS n_stop,
+            length(regexp_extract_all(response,
+                '[^A-Za-z0-9\\s]'))::DOUBLE AS n_sym
+          FROM pr),
+    sc AS (SELECT prompt, response, conv_id,
+            round((least(n_chars / 200.0, 1.0)
+                 + least((n_stop / greatest(n_tok, 1.0)) / 0.4, 1.0)
+                 + 1.0 - least(n_sym / greatest(n_chars, 1.0) / 0.5,
+                               1.0)) / 3.0, 4) AS score
+           FROM f),
+    ch AS (SELECT *, row_number() OVER (PARTITION BY prompt
+               ORDER BY score DESC, response ASC, conv_id ASC) AS rc,
+            row_number() OVER (PARTITION BY prompt
+               ORDER BY score ASC, response ASC, conv_id ASC) AS rr,
+            count(*) OVER (PARTITION BY prompt) AS n FROM sc)
+    SELECT c.prompt, c.response AS chosen, r.response AS rejected,
+        c.score AS chosen_score, r.score AS rejected_score,
+        c.n::BIGINT AS n_candidates
+    FROM ch c JOIN ch r ON c.prompt = r.prompt AND c.rc = 1 AND r.rr = 1
+    WHERE c.response <> r.response ORDER BY c.prompt"""
 
 
 def _template_dedup_sql() -> str:
@@ -9569,6 +9633,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_integrity_transcripts": _turn_integrity_sql(),
         "dedup_conversations_transcripts": _dedup_conversations_sql(),
         "template_dedup_transcripts": _template_dedup_sql(),
+        "preference_pairs_transcripts": _preference_pairs_sql(),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),

@@ -1084,6 +1084,134 @@ def dedup_conversations(ds, *, conv_col: str = "conv_id",
         .sort(conv_col)
 
 
+def preference_pairs(ds, *, conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx", role_col: str = "role",
+                     ts_col: str = "ts", text_col: str = "text",
+                     prompt_role: str = "user",
+                     response_role: str = "assistant",
+                     num_buckets: int | None = None):
+    """DPO-style preference-pair mining over a transcript corpus: for
+    every PROMPT (a ``prompt_role`` turn directly followed by a
+    ``response_role`` turn under the pinned (conv, turn_idx, ts, role,
+    text) total order) that occurs with ≥ 2 distinct responses across
+    the corpus, emit (prompt, chosen, rejected) where chosen/rejected
+    are the highest/lowest heuristic-quality responses (the
+    ``textstats.quality_scores`` formula; ties pinned by (response,
+    conv) so the pair set is bit-deterministic).
+
+    Output: (prompt, chosen, rejected, chosen_score, rejected_score,
+    n_candidates) ordered by prompt; prompts whose best and worst
+    response are the same text emit nothing.
+
+    Scale shape: two narrow shuffles — (conv)-bucketed adjacency
+    extraction (text moves once, with its conversation), then a
+    (prompt)-bucketed group reduce over candidate rows only.  Skewed
+    mega-prompts ("hi") concentrate their candidates in one bucket;
+    cap-per-prompt sampling upstream is the guard if a corpus is
+    pathological."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+    from packs_ray.functions.textstats import STOPWORDS
+    from packs_ray.stages.util import round_half_away as _rr
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    cols = [conv_col, idx_col, role_col, ts_col, text_col]
+    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in cols[1:]:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    pair_empty = pd.DataFrame({
+        "prompt": pd.Series([], dtype=object),
+        "response": pd.Series([], dtype=object),
+        conv_col: pd.Series([], dtype=object),
+        "bucket2": pd.Series([], dtype="int64")})
+
+    def extract_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pair_empty.copy()
+        g = g.sort_values([conv_col, idx_col, ts_col, role_col, text_col],
+                          kind="stable")
+        conv = g[conv_col].to_numpy()
+        roles = g[role_col].to_numpy()
+        text = g[text_col].to_numpy()
+        hit = np.zeros(len(g), dtype=bool)
+        hit[1:] = ((conv[1:] == conv[:-1])
+                   & (roles[1:] == response_role)
+                   & (roles[:-1] == prompt_role))
+        prev = np.roll(text, 1)          # hit[0] is always False
+        d = pd.DataFrame({"prompt": prev[hit],
+                          "response": text[hit],
+                          conv_col: conv[hit]})
+        hb = pd.util.hash_array(d["prompt"].to_numpy(dtype=object))
+        d["bucket2"] = (hb % np.uint64(num_buckets)).astype(np.int64)
+        return d
+
+    out_empty = pd.DataFrame({
+        "prompt": pd.Series([], dtype=object),
+        "chosen": pd.Series([], dtype=object),
+        "rejected": pd.Series([], dtype=object),
+        "chosen_score": pd.Series([], dtype="float64"),
+        "rejected_score": pd.Series([], dtype="float64"),
+        "n_candidates": pd.Series([], dtype="int64")})
+
+    def _score(texts: pd.Series) -> np.ndarray:
+        arr = pa.array(texts, type=pa.string())
+        n_chars = pc.utf8_length(arr).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_tok = pc.count_substring_regex(arr, r"\S+").fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_stop = pc.count_substring_regex(arr, stop_re).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_sym = pc.count_substring_regex(arr, r"[^A-Za-z0-9\s]") \
+            .fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        len_score = np.minimum(n_chars / 200.0, 1.0)
+        stop_score = np.minimum((n_stop / np.maximum(n_tok, 1.0)) / 0.4, 1.0)
+        sym_score = 1.0 - np.minimum(
+            n_sym / np.maximum(n_chars, 1.0) / 0.5, 1.0)
+        return _rr((len_score + stop_score + sym_score) / 3.0, 4)
+
+    def pick_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return out_empty.copy()
+        g = g.copy()
+        g["score"] = _score(g["response"])
+        n = g.groupby("prompt", sort=False)["response"].transform("size")
+        g["n_candidates"] = n.astype(np.int64)
+        best = (g.sort_values(["score", "response", conv_col],
+                              ascending=[False, True, True], kind="stable")
+                .groupby("prompt", sort=False).head(1))
+        worst = (g.sort_values(["score", "response", conv_col],
+                               ascending=[True, True, True], kind="stable")
+                 .groupby("prompt", sort=False).head(1))
+        m = best.merge(worst, on="prompt", suffixes=("_c", "_r"))
+        m = m[m["response_c"] != m["response_r"]]
+        return pd.DataFrame({
+            "prompt": m["prompt"],
+            "chosen": m["response_c"],
+            "rejected": m["response_r"],
+            "chosen_score": m["score_c"].astype("float64"),
+            "rejected_score": m["score_r"].astype("float64"),
+            "n_candidates": m["n_candidates_c"].astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(extract_pairs, batch_format="pandas")
+            .groupby("bucket2")
+            .map_groups(pick_pairs, batch_format="pandas")
+            .sort("prompt"))
+
+
 TEMPLATE_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 TEMPLATE_URL_RE = r"https?://[^ \t\n\r\f\v]+"
 

@@ -32,6 +32,7 @@ SKIP = {"transcripts_filter_summary", "rule_ablation_transcripts",
         "turn_integrity_transcripts",
         "dedup_conversations_transcripts",
         "template_dedup_transcripts",
+        "preference_pairs_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 

@@ -5249,6 +5249,52 @@ def test_template_dedup_masks_entities(ray_session):
     assert out.loc["c", "is_dup"] == 0
 
 
+def test_preference_pairs_mining(ray_session):
+    """preference_pairs: adjacency requires user→assistant under the
+    pinned order, only repeated prompts with distinct responses emit,
+    chosen/rejected follow the quality formula with deterministic
+    ties, and single-candidate prompts are dropped."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.stages.conversation import preference_pairs
+
+    t0 = dt.datetime(2024, 1, 1)
+    long_good = ("this is the kind of answer with many of the common "
+                 "stopword rich words and it is quite long so that the "
+                 "length score saturates toward its maximum value here "
+                 "and the symbol cleanliness also stays high over all "
+                 "of the characters included")
+    short_bad = "#$%! no"
+    rows = [
+        # prompt P asked twice with different responses
+        ("c1", 0, "user", "P"), ("c1", 1, "assistant", long_good),
+        ("c2", 0, "user", "P"), ("c2", 1, "assistant", short_bad),
+        # prompt Q asked once -> no pair
+        ("c3", 0, "user", "Q"), ("c3", 1, "assistant", "whatever"),
+        # prompt R repeated but identical responses -> no pair
+        ("c4", 0, "user", "R"), ("c4", 1, "assistant", "same"),
+        ("c5", 0, "user", "R"), ("c5", 1, "assistant", "same"),
+        # assistant not adjacent to user -> not a candidate
+        ("c6", 0, "user", "P"), ("c6", 1, "tool", "x"),
+        ("c6", 2, "assistant", "tool-following answer"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": [r[1] for r in rows],
+        "role": [r[2] for r in rows],
+        "ts": [t0 + dt.timedelta(seconds=i) for i in range(len(rows))],
+        "text": [r[3] for r in rows]})).repartition(4)
+    out = preference_pairs(ds).to_pandas()
+    assert list(out["prompt"]) == ["P"]
+    assert out.loc[0, "chosen"] == long_good
+    assert out.loc[0, "rejected"] == short_bad
+    assert out.loc[0, "n_candidates"] == 2
+    assert out.loc[0, "chosen_score"] > out.loc[0, "rejected_score"]
+
+
 def test_dedup_conversations_multiset_semantics(ray_session):
     import pyarrow as pa
     import ray
