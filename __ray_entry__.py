@@ -2767,6 +2767,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dup_size_histogram(_ds(sf, "documents", ["text"]),
                                   ["text"])
 
+    def dup_weights_documents(sf):
+        # soft dedup: per-doc exact duplicate-group size and 1/n
+        # sampling weight (downweight instead of drop)
+        from packs_ray.functions.duplicates import dup_weights
+
+        return dup_weights(_ds(sf, "documents", ["doc_id", "text"]),
+                           "doc_id", ["text"])
+
     def missingness_phi_events(sf):
         # structural-missingness catalog over deterministically planted
         # nulls (the raw tables are fully populated): value missing on
@@ -3621,6 +3629,7 @@ checks for orders:
         "grouped_linreg_lineitem": grouped_linreg_lineitem,
         "missingness_phi_events": missingness_phi_events,
         "dup_sizes_documents": dup_sizes_documents,
+        "dup_weights_documents": dup_weights_documents,
         "response_latency_transcripts": response_latency_transcripts,
         "context_fit_transcripts": context_fit_transcripts,
         "repeated_responses_transcripts": repeated_responses_transcripts,
@@ -9161,6 +9170,12 @@ def oracle_sql() -> dict[str, str]:
                FROM documents GROUP BY text)
     SELECT group_size, count(*)::BIGINT AS n_groups
     FROM g GROUP BY group_size""",
+        # duplicates.dup_weights: exact group size over text (null text
+        # is one group, matching the hash null sentinel), 6dp 1/n
+        "dup_weights_documents": """
+    SELECT doc_id, count(*) OVER (PARTITION BY text)::BIGINT AS group_size,
+        round(1.0 / count(*) OVER (PARTITION BY text), 6) AS weight
+    FROM documents ORDER BY doc_id""",
         # profiling.missingness_phi over the same planted-null masks:
         # exact joint counts, one pinned phi expression per pair
         "missingness_phi_events": """

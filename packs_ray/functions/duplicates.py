@@ -624,3 +624,52 @@ def key_collisions(ds, key_col: str, num_partitions: int | None = None):
             .map_batches(marks, batch_format="pyarrow")
             .groupby("__p").map_groups(per_bucket, batch_format="pandas")
             .sort("norm_key"))
+
+
+def dup_weights(ds, id_col: str, key_cols: list[str],
+                num_partitions: int | None = None):
+    """Soft-dedup sampling weights: every row's exact duplicate-group
+    size over ``key_cols`` and ``weight = round(1/n, 6)`` — the
+    downweight-instead-of-drop alternative to hard dedup (each content
+    group contributes total weight ~1 to the training mixture, so
+    boilerplate stops dominating without losing coverage).
+
+    Scale shape: ONE shuffle of narrow (id, h1, h2) marks — rows group
+    on the 128-bit content hash (the dedup_exact convention; raw text
+    never moves), all rows of a hash land in one bucket, so the
+    per-bucket group size IS the exact global size.  ~24 B/row on the
+    wire regardless of text size.
+
+    Output: lazy Dataset (id_col, group_size, weight) sorted by id."""
+    from packs_ray.functions.agg import reduce_partition_count
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        sel = batch.select(key_cols + [id_col])
+        h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
+        return pa.table({
+            id_col: sel.column(id_col),
+            "__h1": pa.array(h1),
+            "__h2": pa.array(h2),
+            "__p": pa.array(p)})
+
+    empty = pd.DataFrame({
+        id_col: pd.Series([], dtype="int64"),
+        "group_size": pd.Series([], dtype="int64"),
+        "weight": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        n = (g.groupby(["__h1", "__h2"], sort=False)[id_col]
+             .transform("size").to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "group_size": n,
+            "weight": _r(1.0 / n.astype(np.float64), 6)})
+
+    return (ds.map_batches(marks, batch_format="pyarrow")
+            .groupby("__p").map_groups(per_bucket, batch_format="pandas")
+            .sort(id_col))

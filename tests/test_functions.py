@@ -5820,3 +5820,29 @@ def test_clustered_layout_prunes(ray_session, tmp_path):
     man2 = write_clustered(ray.data.from_arrow(t), "v", layout,
                            num_files=8)
     assert man2["cuts"] == man["cuts"]
+
+
+def test_dup_weights_soft_dedup(ray_session):
+    """dup_weights: exact group sizes under block-boundary splits, each
+    group's total weight sums to ~1, nulls form one group, and the
+    dtype-unstable-hash trap (int column with nulls in one block only)
+    keeps one group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.duplicates import dup_weights
+
+    texts = ["a"] * 5 + ["b"] * 2 + ["c"] + [None, None, None]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts})) \
+        .repartition(4)
+    out = dup_weights(ds, "doc_id", ["text"]).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "group_size"] == 5
+    assert out.loc[0, "weight"] == round(1 / 5, 6)
+    assert out.loc[5, "group_size"] == 2
+    assert out.loc[7, "group_size"] == 1
+    assert out.loc[8, "group_size"] == 3          # nulls are one group
+    gw = out.groupby("group_size")["weight"].first()
+    assert np.isclose((out["weight"]).sum(), 4.0, atol=1e-4)  # 4 groups
