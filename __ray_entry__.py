@@ -139,6 +139,12 @@ def _events_ipc(sf_dir: str) -> str:
     return d
 
 
+# curation_documents planted texts (shared verbatim with _curation_sql)
+_CURATION_SHORT = "alpha beta gamma delta."
+_CURATION_DUP = ("the quick brown fox jumps over the lazy dog and then "
+                 "it runs far away to the hills beyond the river valley.")
+
+
 def _transcripts(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf directory
     (no transcript table ships in testdata; see BASELINE.json input_hint)."""
@@ -2767,6 +2773,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dup_size_histogram(_ds(sf, "documents", ["text"]),
                                   ["text"])
 
+    def curation_documents(sf):
+        # end-to-end document curation: C4 clean -> Gopher rules ->
+        # exact dedup -> global-median quality gate -> shard assignment.
+        # The raw fixture is single-line without terminal punctuation
+        # (every doc would drop at 'clean'), so a deterministic per-doc
+        # plant routes docs to every stage: %11 -> brace page-drop,
+        # %7 -> 4-word gopher-fail, %5 -> one shared 22-word duplicate
+        # group, else sentence-ified base text
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.pipelines.curation_pipeline import (
+            run_curation_pipeline)
+
+        def plant(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            text = pc.cast(t.column("text"), pa.string())
+            base = pc.binary_join_element_wise(text, ".", "")
+            brace = pc.binary_join_element_wise(text, " {", "")
+            d = np.nan_to_num(
+                pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.float64),
+                nan=1.0).astype(np.int64)
+            m11, m7, m5 = (pa.array(d % k == 0) for k in (11, 7, 5))
+            out = pc.if_else(
+                m11, brace,
+                pc.if_else(m7, pa.scalar(_CURATION_SHORT),
+                           pc.if_else(m5, pa.scalar(_CURATION_DUP),
+                                      base)))
+            return t.set_column(t.schema.get_field_index("text"),
+                                "text", out)
+
+        return run_curation_pipeline(
+            _ds(sf, "documents", ["doc_id", "text"]).map_batches(
+                plant, batch_format="pyarrow"),
+            min_words=20, n_shards=16)
+
     def dup_weights_documents(sf):
         # soft dedup: per-doc exact duplicate-group size and 1/n
         # sampling weight (downweight instead of drop)
@@ -3630,6 +3674,7 @@ checks for orders:
         "missingness_phi_events": missingness_phi_events,
         "dup_sizes_documents": dup_sizes_documents,
         "dup_weights_documents": dup_weights_documents,
+        "curation_documents": curation_documents,
         "response_latency_transcripts": response_latency_transcripts,
         "context_fit_transcripts": context_fit_transcripts,
         "repeated_responses_transcripts": repeated_responses_transcripts,
@@ -4908,6 +4953,104 @@ def _dedup_conversations_sql() -> str:
         (CASE WHEN conv_id <> canonical_conv_id THEN 1 ELSE 0 END)::BIGINT
             AS is_dup
     FROM c ORDER BY conv_id"""
+
+
+def _curation_sql(n_shards: int = 16) -> str:
+    """pipelines.curation_pipeline.run_curation_pipeline replica,
+    composed from the proven stage oracles: the c4_clean CTEs, the
+    gopher_filter expressions over text_clean, min-id-per-text_clean
+    dedup, the rank-interpolated median gate (_median_ctes) over the
+    quality formula, and the _idhash_cte shard hash."""
+    from packs_ray.functions.textstats import STOPWORDS
+
+    stop_re = "(?i)\\b(?:" + "|".join(STOPWORDS) + ")\\b"
+    return f"""
+    WITH d0 AS (SELECT doc_id, text FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    d AS (SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN text || ' {{'
+                 WHEN doc_id % 7 = 0 THEN '{_CURATION_SHORT}'
+                 WHEN doc_id % 5 = 0 THEN '{_CURATION_DUP}'
+                 ELSE text || '.' END AS text
+          FROM d0),
+    l AS (SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1)
+                     AS ord
+          FROM d),
+    k AS (SELECT doc_id, line, ord,
+            (regexp_matches(line, '[.!?"]$')
+             AND len(list_filter(regexp_split_to_array(
+                     line, '[ \t\r\f\v]+'), x -> x <> '')) >= 3
+             AND NOT contains(lower(line), 'javascript')) AS keep
+          FROM l),
+    agg AS (SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY ord)
+                            FILTER (keep), '') AS text_clean
+            FROM k GROUP BY 1),
+    c4 AS (SELECT d.doc_id, agg.text_clean,
+             (contains(lower(d.text), 'lorem ipsum')
+              OR contains(d.text, '{{') OR agg.text_clean = '')
+                 AS drop_clean
+           FROM d JOIN agg USING (doc_id)),
+    gm AS (SELECT doc_id, text_clean, drop_clean,
+        length(regexp_extract_all(text_clean, '\\S+'))::DOUBLE AS n_words,
+        length(regexp_extract_all(text_clean, '\\S'))::DOUBLE AS n_wchars,
+        length(regexp_extract_all(text_clean, '[#…]'))::DOUBLE AS n_sym,
+        length(regexp_extract_all(text_clean,
+            '\\S*[A-Za-z]\\S*'))::DOUBLE AS n_alpha,
+        length(regexp_extract_all(text_clean, '{stop_re}'))::DOUBLE
+            AS n_stop,
+        (length(text_clean) - length(replace(text_clean, chr(10), ''))
+            + 1)::DOUBLE AS n_lines,
+        length(regexp_extract_all(text_clean,
+            '(?m)^[ \t]*[-*•]'))::DOUBLE AS n_bullet,
+        length(regexp_extract_all(text_clean,
+            '(?m)(?:\\.\\.\\.|…)[ \t]*$'))::DOUBLE AS n_ellip
+        FROM c4),
+    g AS (SELECT doc_id, text_clean, drop_clean,
+        (n_words >= 20 AND n_words <= 100000
+         AND round(n_wchars / greatest(n_words, 1), 4) >= 3.0
+         AND round(n_wchars / greatest(n_words, 1), 4) <= 10.0
+         AND round(n_sym / greatest(n_words, 1), 4) <= 0.1
+         AND round(n_bullet / n_lines, 4) <= 0.9
+         AND round(n_ellip / n_lines, 4) <= 0.3
+         AND round(n_alpha / greatest(n_words, 1), 4) >= 0.8
+         AND n_stop >= 2) AS keep_gopher
+        FROM gm),
+    sur AS (SELECT doc_id, text_clean FROM g
+            WHERE NOT drop_clean AND keep_gopher),
+    canon AS (SELECT doc_id,
+            (doc_id = min(doc_id) OVER (PARTITION BY text_clean))
+                AS canon
+          FROM sur),
+    qs AS (SELECT s.doc_id,
+            round((least(length(s.text_clean)::DOUBLE / 200.0, 1.0)
+             + least((length(regexp_extract_all(s.text_clean,
+                   '{stop_re}'))::DOUBLE
+                 / greatest(length(regexp_extract_all(s.text_clean,
+                   '\\S+'))::DOUBLE, 1.0)) / 0.4, 1.0)
+             + 1.0 - least(length(regexp_extract_all(s.text_clean,
+                   '[^A-Za-z0-9\\s]'))::DOUBLE
+                 / greatest(length(s.text_clean)::DOUBLE, 1.0) / 0.5,
+                 1.0)) / 3.0, 4) AS score
+           FROM sur s JOIN canon c USING (doc_id) WHERE c.canon),
+    {_median_ctes('qs', 'score', 'q')},
+    {_idhash_cte('d', 'doc_id', 'shard')},
+    lab AS (SELECT g.doc_id,
+        CASE WHEN g.drop_clean THEN 'clean'
+             WHEN NOT g.keep_gopher THEN 'gopher'
+             WHEN NOT coalesce(c.canon, FALSE) THEN 'dedup'
+             WHEN qs.score >= (SELECT medq FROM mq) THEN 'kept'
+             ELSE 'quality' END AS stage,
+        qs.score AS quality_score
+      FROM g LEFT JOIN canon c USING (doc_id)
+             LEFT JOIN qs USING (doc_id))
+    SELECT lab.doc_id, lab.stage, lab.quality_score,
+        CASE WHEN lab.stage = 'kept'
+             THEN (f2.h % {n_shards})::BIGINT END AS shard
+    FROM lab LEFT JOIN f2 ON lab.doc_id = f2.doc_id
+    ORDER BY lab.doc_id"""
 
 
 def _preference_pairs_sql() -> str:
@@ -9649,6 +9792,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_conversations_transcripts": _dedup_conversations_sql(),
         "template_dedup_transcripts": _template_dedup_sql(),
         "preference_pairs_transcripts": _preference_pairs_sql(),
+        "curation_documents": _curation_sql(16),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),
         "sft_examples_transcripts": _sft_sql(3),

@@ -103,25 +103,33 @@ def token_counts(ds, id_col: str, column: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_score_array(text: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """The heuristic quality formula as a batch kernel: mean of (length
+    score, stopword-ratio score, symbol cleanliness) in [0,1], 4dp —
+    shared by ``quality_scores``, ``preference_pairs`` and the curation
+    pipeline so all three stay SQL-replicable with ONE expression."""
+    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+    n_chars = pc.utf8_length(text).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_tok = pc.count_substring_regex(text, r"\S+").fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_stop = pc.count_substring_regex(text, stop_re).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_sym = pc.count_substring_regex(text, r"[^A-Za-z0-9\s]").fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    len_score = np.minimum(n_chars / 200.0, 1.0)
+    stop_score = np.minimum((n_stop / np.maximum(n_tok, 1.0)) / 0.4, 1.0)
+    sym_score = 1.0 - np.minimum(n_sym / np.maximum(n_chars, 1.0) / 0.5, 1.0)
+    return _r((len_score + stop_score + sym_score) / 3.0, 4)
+
+
 def quality_scores(ds, id_col: str, column: str):
     """Per-row heuristic quality score in [0,1]:
     mean of (length score, stopword-ratio score, symbol cleanliness).
     Deterministic double arithmetic, 4dp — SQL-replicable."""
-    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
 
     def fn(batch: pa.Table) -> pa.Table:
-        text = str_column(batch, column)
-        n_chars = pc.utf8_length(text).fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
-        n_tok = pc.count_substring_regex(text, r"\S+").fill_null(0).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        n_stop = pc.count_substring_regex(text, stop_re).fill_null(0).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        n_sym = pc.count_substring_regex(text, r"[^A-Za-z0-9\s]").fill_null(0).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        len_score = np.minimum(n_chars / 200.0, 1.0)
-        stop_score = np.minimum((n_stop / np.maximum(n_tok, 1.0)) / 0.4, 1.0)
-        sym_score = 1.0 - np.minimum(n_sym / np.maximum(n_chars, 1.0) / 0.5, 1.0)
-        score = _r((len_score + stop_score + sym_score) / 3.0, 4)
+        score = quality_score_array(str_column(batch, column))
         return pa.table({id_col: batch.column(id_col),
                          "quality_score": pa.array(score, type=pa.float64())})
 

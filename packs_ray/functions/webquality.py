@@ -405,7 +405,8 @@ def gopher_flags(ds, id_col: str, text_col: str, *,
                  max_bullet_frac: float = 0.9,
                  max_ellipsis_frac: float = 0.3,
                  min_alpha_frac: float = 0.8,
-                 min_stopwords: int = 2):
+                 min_stopwords: int = 2,
+                 passthrough: tuple = ()):
     """Gopher quality-rule bundle (Rae et al. 2021 App. A1.1, adapted):
     per-document metrics + a combined keep verdict from the published
     thresholds — word-count bounds, mean word length, #/… symbol-to-word
@@ -458,7 +459,7 @@ def gopher_flags(ds, id_col: str, text_col: str, *,
                 & (ellip_frac <= max_ellipsis_frac)
                 & (alpha_frac >= min_alpha_frac)
                 & (n_stop >= min_stopwords))
-        return pa.table({
+        cols = {
             id_col: batch.column(id_col),
             "n_words": pa.array(n_words.astype(np.int64)),
             "mean_word_len": pa.array(mean_wl, type=pa.float64()),
@@ -468,7 +469,10 @@ def gopher_flags(ds, id_col: str, text_col: str, *,
             "alpha_frac": pa.array(alpha_frac, type=pa.float64()),
             "n_stopwords": pa.array(n_stop.astype(np.int64)),
             "keep_gopher": pa.array(keep.astype(np.int64)),
-        })
+        }
+        for c in passthrough:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

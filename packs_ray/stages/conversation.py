@@ -1112,13 +1112,10 @@ def preference_pairs(ds, *, conv_col: str = "conv_id",
     import pyarrow.compute as pc
 
     from packs_ray.functions.agg import row_shuffle_partitions
-    from packs_ray.functions.textstats import STOPWORDS
-    from packs_ray.stages.util import round_half_away as _rr
 
     if num_buckets is None:
         num_buckets = row_shuffle_partitions(ds)
     cols = [conv_col, idx_col, role_col, ts_col, text_col]
-    stop_re = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         batch = batch.select(cols)
@@ -1166,20 +1163,9 @@ def preference_pairs(ds, *, conv_col: str = "conv_id",
         "n_candidates": pd.Series([], dtype="int64")})
 
     def _score(texts: pd.Series) -> np.ndarray:
-        arr = pa.array(texts, type=pa.string())
-        n_chars = pc.utf8_length(arr).fill_null(0).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        n_tok = pc.count_substring_regex(arr, r"\S+").fill_null(0) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        n_stop = pc.count_substring_regex(arr, stop_re).fill_null(0) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        n_sym = pc.count_substring_regex(arr, r"[^A-Za-z0-9\s]") \
-            .fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
-        len_score = np.minimum(n_chars / 200.0, 1.0)
-        stop_score = np.minimum((n_stop / np.maximum(n_tok, 1.0)) / 0.4, 1.0)
-        sym_score = 1.0 - np.minimum(
-            n_sym / np.maximum(n_chars, 1.0) / 0.5, 1.0)
-        return _rr((len_score + stop_score + sym_score) / 3.0, 4)
+        from packs_ray.functions.textstats import quality_score_array
+
+        return quality_score_array(pa.array(texts, type=pa.string()))
 
     def pick_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:

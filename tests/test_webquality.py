@@ -367,3 +367,45 @@ def test_c4_clean_planted(ray_session):
     assert bool(out.loc[2, "dropped"])      # brace page rule
     assert out.loc[2, "text_clean"] == "Real sentence to keep right here."
     assert out.loc[3, "text_clean"] == "" and out.loc[3, "n_lines"] == 1
+
+
+def test_curation_pipeline_stage_routing(ray_session):
+    """run_curation_pipeline: each doc lands at its first failing stage,
+    dedup keeps the min id per cleaned text, the quality gate is the
+    exact survivor median, and kept docs get deterministic shards."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.pipelines.curation_pipeline import run_curation_pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away to the hills beyond the river valley %d.")
+    rows = {
+        0: "lorem ipsum " + good % 0,          # clean (page rule)
+        1: "no punct line here",               # clean (no terminal punct)
+        2: "alpha beta gamma.",                # gopher (3 words < 20)
+        3: good % 3,                           # survivor
+        4: good % 3,                           # dedup (same cleaned text)
+        5: good % 5,                           # survivor
+        6: good % 6 + " ### ### ### ### ### ### ### ### ### ###.",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(rows), "text": list(rows.values())})).repartition(3)
+    out = run_curation_pipeline(ds, min_words=10).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "stage"] == "clean"
+    assert out.loc[1, "stage"] == "clean"
+    assert out.loc[2, "stage"] == "gopher"
+    assert out.loc[4, "stage"] == "dedup"       # 3 is the canonical
+    assert out.loc[6, "stage"] == "gopher"      # symbol ratio
+    surv = out.loc[[3, 5]]
+    assert set(surv["stage"]) <= {"kept", "quality"}
+    assert (surv["stage"] == "kept").sum() >= 1   # median gate keeps >= 1
+    kept = out[out["stage"] == "kept"]
+    assert kept["shard"].notna().all()
+    assert out[out["stage"] != "kept"]["shard"].isna().all()
+    # deterministic: rerun equals
+    out2 = run_curation_pipeline(ds, min_words=10).to_pandas() \
+        .set_index("doc_id")
+    assert out.equals(out2)
