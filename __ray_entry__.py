@@ -384,6 +384,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "embeddings", ["vec_id", "embedding"]), "vec_id", "embedding",
             _query_vec(sf), k=10)
 
+    def ann_recall_embeddings(sf):
+        # retrieval eval: recall@10 and MRR of the IVF index against
+        # the exact brute-force top-10 for the shared query vector
+        from packs_ray.functions.similarity import ranking_metrics
+
+        truth = similarity.brute_force_topk(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", _query_vec(sf), k=10)
+        pred = similarity.ivf_topk(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", _query_vec(sf), k=10)
+        return ranking_metrics(pred, truth, "vec_id", 10)
+
     def events_per_window(sf):
         return windows.events_per_window(
             _ds(sf, "events", ["user_id", "ts", "value"]), "user_id", "ts", "value")
@@ -3518,6 +3531,7 @@ checks for orders:
         "ann_quantized_embeddings": ann_quantized_embeddings,
         "ann_multi_query": ann_multi_query,
         "ann_ivf_embeddings": ann_ivf_embeddings,
+        "ann_recall_embeddings": ann_recall_embeddings,
         "events_per_window": events_per_window,
         "approx_quantiles_lineitem": approx_quantiles_lineitem,
         "rollup_counts_orders": rollup_counts_orders,
@@ -4953,6 +4967,33 @@ def _dedup_conversations_sql() -> str:
         (CASE WHEN conv_id <> canonical_conv_id THEN 1 ELSE 0 END)::BIGINT
             AS is_dup
     FROM c ORDER BY conv_id"""
+
+
+def _ann_recall_sql() -> str:
+    """similarity.ranking_metrics replica over the two proven ANN
+    oracles: exact brute-force top-10 (truth) vs the inlined-centroid
+    IVF top-10 (pred); rank pinned (cosine desc, vec_id asc)."""
+    brute = """
+    SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings
+             WHERE vec_id = 0)), 6) AS cosine
+    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10"""
+    return f"""
+    WITH truth AS (SELECT * FROM ({brute}) bf),
+    pred AS (SELECT * FROM ({_ann_ivf_sql()}) iv),
+    pr AS (SELECT vec_id, row_number() OVER (
+               ORDER BY cosine DESC, vec_id ASC) AS rnk FROM pred),
+    ov AS (SELECT count(*)::BIGINT AS n_overlap,
+                  min(rnk) AS first_rel
+           FROM pr JOIN truth USING (vec_id))
+    SELECT 10::BIGINT AS k,
+        (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+        (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        ov.n_overlap,
+        round(ov.n_overlap / 10.0, 6) AS recall_at_k,
+        round(coalesce(1.0 / ov.first_rel, 0.0), 6) AS mrr
+    FROM ov"""
 
 
 def _curation_sql(n_shards: int = 16) -> str:
@@ -9065,6 +9106,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.n_chars DESC, l.doc_id ASC) = 1""",
         "ks_drift_events": _ks_drift_sql(),
         "ann_ivf_embeddings": _ann_ivf_sql(),
+        "ann_recall_embeddings": _ann_recall_sql(),
         "knn_outliers_lineitem": _knn_lineitem_sql(),
         "knn_outliers_mixed_events": _knn_mixed_events_sql(),
         "record_validation_events": _record_validation_sql(),

@@ -1068,3 +1068,36 @@ def pca_project(ds, id_col: str, emb_col: str, *, k: int = 2,
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def ranking_metrics(pred: pd.DataFrame, truth: pd.DataFrame,
+                    id_col: str, k: int,
+                    score_col: str = "cosine") -> pd.DataFrame:
+    """Retrieval-quality metrics of an approximate top-k ``pred``
+    against the exact ``truth`` set (both bounded k-row driver
+    artifacts, the ANN-family output contract): overlap recall@k and
+    MRR (reciprocal rank of the first relevant prediction under the
+    pinned (score desc, id asc) ranking).  The standard eval for an
+    IVF/LSH index against brute force — run it on a held-out query
+    sample before trusting an index at corpus scale.
+
+    Returns one row: (k, n_pred, n_truth, n_overlap, recall_at_k,
+    mrr), 6dp floats."""
+    from packs_ray.stages.util import round_half_away as _r6
+
+    pr = pred.sort_values([score_col, id_col],
+                          ascending=[False, True], kind="stable") \
+        .reset_index(drop=True)
+    pr["__rnk"] = np.arange(1, len(pr) + 1, dtype=np.int64)
+    tset = set(truth[id_col].tolist())
+    hits = pr[pr[id_col].isin(tset)]
+    n_overlap = int(len(hits))
+    mrr = float(_r6(1.0 / float(hits["__rnk"].min()), 6)) \
+        if n_overlap else 0.0
+    return pd.DataFrame([{
+        "k": np.int64(k),
+        "n_pred": np.int64(len(pred)),
+        "n_truth": np.int64(len(truth)),
+        "n_overlap": np.int64(n_overlap),
+        "recall_at_k": float(_r6(n_overlap / float(k), 6)),
+        "mrr": mrr}])

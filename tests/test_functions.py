@@ -5846,3 +5846,25 @@ def test_dup_weights_soft_dedup(ray_session):
     assert out.loc[8, "group_size"] == 3          # nulls are one group
     gw = out.groupby("group_size")["weight"].first()
     assert np.isclose((out["weight"]).sum(), 4.0, atol=1e-4)  # 4 groups
+
+
+def test_ranking_metrics_recall_mrr(ray_session):
+    """ranking_metrics: overlap recall, reciprocal first-relevant rank
+    under the pinned (score desc, id asc) order, zero-overlap MRR=0."""
+    import pandas as pd
+
+    from packs_ray.functions.similarity import ranking_metrics
+
+    truth = pd.DataFrame({"vec_id": [1, 2, 3], "cosine": [.9, .8, .7]})
+    pred = pd.DataFrame({"vec_id": [9, 2, 8, 3],
+                         "cosine": [.95, .9, .9, .5]})
+    out = ranking_metrics(pred, truth, "vec_id", 3)
+    row = out.iloc[0]
+    # ranking: 9 (.95), 2 (.9, id 2 < 8), 8 (.9), 3 (.5)
+    assert row["n_overlap"] == 2
+    assert row["recall_at_k"] == round(2 / 3, 6)
+    assert row["mrr"] == 0.5          # first relevant is rank 2
+    none = ranking_metrics(
+        pd.DataFrame({"vec_id": [9], "cosine": [1.0]}), truth, "vec_id", 3)
+    assert none.iloc[0]["mrr"] == 0.0
+    assert none.iloc[0]["n_overlap"] == 0
