@@ -522,6 +522,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "event_type"]),
             "user_id", "event_type", ["ts", "event_id"])
 
+    def scd2_events(sf):
+        # SCD type-2 dimension history: per-user event_type change runs
+        # with validity intervals
+        return windows.scd2_intervals(
+            _ds(sf, "events", ["user_id", "ts", "event_type"]),
+            "user_id", "ts", "event_type")
+
     def json_extract_events(sf):
         # semi-structured props -> typed column; fixture plants invalid
         # JSON (event_id % 17) and nulls (event_id % 23)
@@ -3573,6 +3580,7 @@ checks for orders:
         "key_collisions_customer": key_collisions_customer,
         "id_gaps_orders": id_gaps_orders,
         "transitions_events": transitions_events,
+        "scd2_events": scd2_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
         "top_terms_documents": top_terms_documents,
@@ -8478,6 +8486,24 @@ def oracle_sql() -> dict[str, str]:
         "type_inference_orders": _type_inference_sql(),
         "pagerank_lineitem": _pagerank_sql(3),
         # windows.transition_counts: lead() adjacency per user
+        # windows.scd2_intervals: lag-based change runs, lead valid_to,
+        # (ts, value) tie pin, version = per-key run ordinal
+        "scd2_events": """
+    WITH e AS (SELECT user_id, ts, event_type AS v FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL),
+    o AS (SELECT *, lag(v) OVER (PARTITION BY user_id
+              ORDER BY ts, v) AS pv FROM e),
+    r AS (SELECT user_id, ts, v FROM o WHERE pv IS NULL OR pv <> v),
+    w AS (SELECT user_id, v AS value, ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, v)
+                AS valid_to,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, v)
+                AS version
+          FROM r)
+    SELECT user_id, value, valid_from, valid_to, version::BIGINT AS version,
+        (valid_to IS NULL) AS is_current
+    FROM w ORDER BY user_id, version""",
         "transitions_events": """
     WITH c AS (SELECT user_id, event_type, ts, event_id FROM events
                WHERE user_id IS NOT NULL AND ts IS NOT NULL

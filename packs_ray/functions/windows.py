@@ -1231,3 +1231,73 @@ def keyed_burstiness(ds, key_col: str, ts_col: str,
 
     return bucketed_group_reduce(mk, [key_col], per_key,
                                  num_buckets).sort(key_col)
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, value_col: str, *,
+                   num_buckets: int | None = None):
+    """SCD type-2 validity intervals: each key's (ts, value)-ordered
+    value history collapsed into change runs — one row per run of equal
+    consecutive values: (key, value, valid_from, valid_to, version,
+    is_current), with ``valid_to`` = the next run's ``valid_from``
+    (null on the current run) — the warehouse dimension-history build
+    the reference's pandas scripts do row-by-row, as one shuffle.
+
+    A value that reappears later opens a NEW run (type-2 semantics);
+    ties at equal ts pin by value so the run order is total.  Null
+    key/ts/value rows drop (module convention).
+
+    Scale shape: ONE keyed bucket shuffle of the narrow (key, ts,
+    value) projection (a key never spans buckets), per bucket a stable
+    sort + shifted compares + one groupby-cumcount — all vectorized."""
+    import numpy as np
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.and_(pc.is_valid(batch.column(key_col)),
+                                pc.is_valid(batch.column(ts_col))),
+                        pc.is_valid(batch.column(value_col)))
+        t = batch.filter(valid).select([key_col, ts_col, value_col])
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({
+        key_col: pd.Series([], dtype="int64"),
+        "value": pd.Series([], dtype=object),
+        "valid_from": pd.Series([], dtype="datetime64[us]"),
+        "valid_to": pd.Series([], dtype="datetime64[us]"),
+        "version": pd.Series([], dtype="int64"),
+        "is_current": pd.Series([], dtype=bool)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.sort_values([key_col, ts_col, value_col], kind="stable")
+        key = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        val = g[value_col].to_numpy()
+        new_run = np.ones(len(g), dtype=bool)
+        new_run[1:] = (key[1:] != key[:-1]) | (val[1:] != val[:-1])
+        idx = np.flatnonzero(new_run)
+        rkey, rts, rval = key[idx], ts[idx], val[idx]
+        same_next = np.zeros(len(idx), dtype=bool)
+        same_next[:-1] = rkey[:-1] == rkey[1:]
+        vt = np.full(len(idx), np.datetime64("NaT", "us"))
+        vt[same_next] = rts[np.flatnonzero(same_next) + 1]
+        version = (pd.Series(np.ones(len(idx), dtype=np.int64))
+                   .groupby(pd.Series(rkey)).cumsum().to_numpy())
+        return pd.DataFrame({
+            key_col: rkey, "value": rval,
+            "valid_from": rts, "valid_to": vt,
+            "version": version.astype(np.int64),
+            "is_current": ~same_next})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .sort([key_col, "version"]))

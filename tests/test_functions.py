@@ -5868,3 +5868,44 @@ def test_ranking_metrics_recall_mrr(ray_session):
         pd.DataFrame({"vec_id": [9], "cosine": [1.0]}), truth, "vec_id", 3)
     assert none.iloc[0]["mrr"] == 0.0
     assert none.iloc[0]["n_overlap"] == 0
+
+
+def test_scd2_intervals_change_runs(ray_session):
+    """scd2_intervals: consecutive equal values merge, reappearing
+    values open new runs, valid_to chains to the next run, versions
+    are per-key ordinals, and null rows drop."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    t0 = dt.datetime(2024, 1, 1)
+    from packs_ray.functions.windows import scd2_intervals
+
+    rows = [
+        (1, 0, "A"), (1, 1, "A"), (1, 2, "B"), (1, 3, "A"),
+        (2, 0, "X"),
+        (3, 0, None), (None, 1, "A"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "ts": [t0 + dt.timedelta(hours=r[1]) for r in rows],
+        "event_type": [r[2] for r in rows]})).repartition(3)
+    out = scd2_intervals(ds, "user_id", "ts", "event_type").to_pandas()
+    u1 = out[out["user_id"] == 1].reset_index(drop=True)
+    assert list(u1["value"]) == ["A", "B", "A"]
+    assert list(u1["version"]) == [1, 2, 3]
+    assert u1.loc[0, "valid_from"] == t0
+    assert u1.loc[0, "valid_to"] == t0 + dt.timedelta(hours=2)
+    assert u1.loc[1, "valid_to"] == t0 + dt.timedelta(hours=3)
+    assert pd_isna(u1.loc[2, "valid_to"]) and u1.loc[2, "is_current"]
+    assert not u1.loc[0, "is_current"]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2.iloc[0]["is_current"]
+    assert set(out["user_id"].unique()) == {1, 2}   # null rows dropped
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
