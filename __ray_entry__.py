@@ -1188,6 +1188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return spandedup.dedup_spans(
             _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text", k=8)
 
+    def shuffle_plan_events(sf):
+        # pre-shuffle balance diagnostic: per-partition row counts of a
+        # hypothetical 32-way user_id shuffle under the route hash
+        from packs_ray.functions.sharding import shuffle_plan
+
+        return shuffle_plan(_ds(sf, "events", ["user_id"]),
+                            "user_id", 32)
+
     def shard_assign_orders(sf):
         from packs_ray.functions.sharding import assign_shards
 
@@ -3589,6 +3597,7 @@ checks for orders:
         "stratified_sample_orders": stratified_sample_orders,
         "dedup_spans_documents": dedup_spans_documents,
         "shard_assign_orders": shard_assign_orders,
+        "shuffle_plan_events": shuffle_plan_events,
         "pack_sequences_documents": pack_sequences_documents,
         "pii_luhn_orders": pii_luhn_orders,
         "pii_iban_orders": pii_iban_orders,
@@ -8134,6 +8143,13 @@ def oracle_sql() -> dict[str, str]:
     FROM s""",
         "shard_assign_orders": _shard_assign_sql(
             "orders", "o_orderkey", 16, "shard"),
+        # sharding.shuffle_plan: same _idhash_cte route hash, group
+        # count per partition (fixture user_id is never null, so the
+        # -1 null-route partition is absent on both sides)
+        "shuffle_plan_events": f"""
+    WITH {_idhash_cte('events', 'user_id', 'plan')}
+    SELECT (h % 32)::BIGINT AS partition, count(*)::BIGINT AS n_rows
+    FROM f2 GROUP BY 1 ORDER BY 1""",
         "pack_sequences_documents": _pack_sequences_sql(2048, 8, "pack"),
         "pii_luhn_orders": _pii_luhn_sql(),
         "pii_iban_orders": _pii_iban_sql(),

@@ -257,3 +257,44 @@ def padding_waste(ds, text_col: str, capacities: tuple[int, ...] = (
     return global_agg(ds.select_columns(cols), partial, combine,
                       empty_schema=pa.schema(
                           [(c, pa.string()) for c in cols]))
+
+
+def shuffle_plan(ds, key_col: str, num_partitions: int, *,
+                 salt: str = "plan"):
+    """Pre-shuffle partition-balance diagnostic: row counts per target
+    partition under the engine's deterministic route hash
+    (finalize(fnv1a(str(key)) · salt) % P) — run it BEFORE committing a
+    partition count for a keyed shuffle to see whether hot keys
+    concentrate load (pair with ``profiling.key_skew`` for the per-key
+    view; this is the per-PARTITION view after hashing).
+
+    One streaming scan of per-batch bincount partials (bounded P ints
+    per batch), one partition-bucketed sum reduce.  Rows with a null
+    key are counted under partition -1 (they cannot be routed).
+
+    Returns a lazy Dataset (partition, n_rows), empty partitions
+    omitted, sorted by partition."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    np_u = np.uint64(num_partitions)
+    nparts = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, valid = _hash_cols(batch, key_col, salt)
+        p = np.where(valid, (h % np_u).astype(np.int64), -1)
+        vc = pd.Series(p).value_counts(sort=False)
+        return pa.table({
+            "partition": pa.array(vc.index.to_numpy(dtype=np.int64)),
+            "n_rows": pa.array(vc.to_numpy(dtype=np.int64))})
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("partition", sort=False)["n_rows"].sum()
+        return out.reset_index().astype("int64")
+
+    parts = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["partition"], reduce_fn,
+                                 nparts).sort("partition")

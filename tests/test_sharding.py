@@ -198,3 +198,26 @@ def test_padding_waste_exact(ray_session):
         [], type=pa.string())}))
     e = padding_waste(empty, "text", capacities=(4, 8))
     assert len(e) == 0 and str(e["n_docs"].dtype) == "int64"
+
+
+def test_shuffle_plan_counts_and_null_route(ray_session):
+    """shuffle_plan: per-partition counts equal a local replica of the
+    route hash, null keys land in partition -1, totals preserved."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.sharding import _hash_cols, shuffle_plan
+
+    ids = list(range(200)) + [None] * 7
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(ids,
+                                                     type=pa.int64())}))
+    out = shuffle_plan(ds.repartition(5), "k", 8).to_pandas() \
+        .set_index("partition")
+    t = pa.table({"k": pa.array(ids, type=pa.int64())})
+    h, valid = _hash_cols(t, "k", "plan")
+    p = np.where(valid, (h % np.uint64(8)).astype(np.int64), -1)
+    exp = {int(x): int((p == x).sum()) for x in np.unique(p)}
+    assert out["n_rows"].to_dict() == exp
+    assert out.loc[-1, "n_rows"] == 7
+    assert out["n_rows"].sum() == len(ids)
