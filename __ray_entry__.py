@@ -2762,6 +2762,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = tds.union(tds.map_batches(mutate, batch_format="pyarrow"))
         return template_dedup(both)
 
+    def conversation_windows_transcripts(sf):
+        # sliding 8-turn windows every 4 turns per conversation (the
+        # long-context training tiling; text never shuffles)
+        from packs_ray.sources.parquet import read_parquet_sized
+        from packs_ray.stages.conversation import conversation_windows
+
+        cols = ["conv_id", "turn_idx", "role", "ts"]
+        return conversation_windows(
+            read_parquet_sized(_transcripts(sf), columns=cols),
+            window=8, stride=4)
+
     def preference_pairs_transcripts(sf):
         # DPO pair mining: per repeated prompt, highest- vs lowest-
         # quality adjacent assistant response (deterministic ties)
@@ -3722,6 +3733,7 @@ checks for orders:
         "dedup_conversations_transcripts": dedup_conversations_transcripts,
         "template_dedup_transcripts": template_dedup_transcripts,
         "preference_pairs_transcripts": preference_pairs_transcripts,
+        "conversation_windows_transcripts": conversation_windows_transcripts,
         "language_consistency_transcripts": language_consistency_transcripts,
         "weighted_quantiles_documents": weighted_quantiles_documents,
         "key_overlap_orders_customer": key_overlap_orders_customer,
@@ -5109,6 +5121,36 @@ def _curation_sql(n_shards: int = 16) -> str:
              THEN (f2.h % {n_shards})::BIGINT END AS shard
     FROM lab LEFT JOIN f2 ON lab.doc_id = f2.doc_id
     ORDER BY lab.doc_id"""
+
+
+def _conversation_windows_sql(w: int = 8, s: int = 4) -> str:
+    """stages.conversation.conversation_windows replica: row_number pos
+    under the pinned (turn_idx, ts, role) order, per-turn window range
+    [ceil((pos-w+1)/s) clamped to 0, pos//s]."""
+    a = _ensure_flagship_artifacts()
+    cols = "conv_id, turn_idx, role, ts"
+    return f"""
+    WITH t AS (
+        SELECT {cols} FROM read_parquet('{a["t2000"]}')
+        WHERE (SELECT count(*) FROM events) < 5000
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t20000"]}')
+        WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+        UNION ALL SELECT {cols} FROM read_parquet('{a["t200000"]}')
+        WHERE (SELECT count(*) FROM events) >= 50000),
+    e AS (SELECT * FROM t WHERE conv_id IS NOT NULL
+            AND turn_idx IS NOT NULL AND role IS NOT NULL
+            AND ts IS NOT NULL),
+    o AS (SELECT conv_id, turn_idx,
+            row_number() OVER (PARTITION BY conv_id
+                ORDER BY turn_idx, ts, role) - 1 AS pos FROM e),
+    x AS (SELECT conv_id, turn_idx, pos,
+            unnest(range(greatest(0,
+                CAST(ceil((pos - {w} + 1) / {s}.0) AS BIGINT)),
+                pos // {s} + 1)) AS window_id
+          FROM o)
+    SELECT conv_id, window_id, pos::BIGINT AS pos,
+        turn_idx::BIGINT AS turn_idx
+    FROM x ORDER BY conv_id, window_id, pos"""
 
 
 def _preference_pairs_sql() -> str:
@@ -9876,6 +9918,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_conversations_transcripts": _dedup_conversations_sql(),
         "template_dedup_transcripts": _template_dedup_sql(),
         "preference_pairs_transcripts": _preference_pairs_sql(),
+        "conversation_windows_transcripts": _conversation_windows_sql(8, 4),
         "curation_documents": _curation_sql(16),
         "language_consistency_transcripts": _lang_consistency_sql(),
         "pii_density_transcripts": _pii_density_sql(),

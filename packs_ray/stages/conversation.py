@@ -1198,6 +1198,81 @@ def preference_pairs(ds, *, conv_col: str = "conv_id",
             .sort("prompt"))
 
 
+def conversation_windows(ds, *, conv_col: str = "conv_id",
+                         idx_col: str = "turn_idx",
+                         role_col: str = "role", ts_col: str = "ts",
+                         window: int = 8, stride: int = 4,
+                         num_buckets: int | None = None):
+    """Sliding turn-window expansion for long-context training: each
+    conversation's turns (0-based ``pos`` under the pinned (turn_idx,
+    ts, role) order) are tiled into overlapping windows of ``window``
+    turns every ``stride`` turns; window ``n`` covers positions
+    ``[n·stride, n·stride + window)``.  One output row per
+    (turn, containing window): (conv_id, window_id, pos, turn_idx) —
+    the turn-granular analogue of ``textstats.chunk_documents``.
+
+    Output rows are deterministic even when turns tie on all three
+    order columns: tied rows are indistinguishable in the output, so
+    either pos assignment yields the same row multiset.
+
+    Scale shape: ONE keyed shuffle of the narrow (conv, idx, ts, role)
+    projection (text never moves); per bucket a stable sort + a
+    vectorized repeat-expansion (each turn appears in at most
+    ``ceil(window/stride)`` windows).  Null conv/idx/ts/role rows
+    drop (module convention)."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    cols = [conv_col, idx_col, ts_col, role_col]
+    w, s = int(window), int(stride)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(conv_col).is_valid()
+        for c in cols[1:]:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv))
+        return batch.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    empty = pd.DataFrame({
+        conv_col: pd.Series([], dtype=object),
+        "window_id": pd.Series([], dtype="int64"),
+        "pos": pd.Series([], dtype="int64"),
+        idx_col: pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        g = g.sort_values([conv_col, idx_col, ts_col, role_col],
+                          kind="stable")
+        conv = g[conv_col].to_numpy()
+        idx = g[idx_col].to_numpy().astype(np.int64)
+        pos = (pd.Series(np.ones(len(g), dtype=np.int64))
+               .groupby(pd.Series(conv)).cumsum().to_numpy() - 1)
+        lo = np.maximum(0, -((w - 1 - pos) // s))   # ceil((p-w+1)/s)
+        hi = pos // s
+        n = hi - lo + 1
+        off = np.cumsum(n) - n
+        flat = np.arange(n.sum(), dtype=np.int64)
+        win = np.repeat(lo, n) + (flat - np.repeat(off, n))
+        return pd.DataFrame({
+            conv_col: np.repeat(conv, n),
+            "window_id": win,
+            "pos": np.repeat(pos, n),
+            idx_col: np.repeat(idx, n)})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sort([conv_col, "window_id", "pos"]))
+
+
 TEMPLATE_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 TEMPLATE_URL_RE = r"https?://[^ \t\n\r\f\v]+"
 

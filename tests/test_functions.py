@@ -5909,3 +5909,36 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_conversation_windows_tiling(ray_session):
+    """conversation_windows: window n covers pos [n*s, n*s+w); every
+    turn appears in exactly its covering windows; short conversations
+    produce a single window 0."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.stages.conversation import conversation_windows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", i) for i in range(10)] + [("b", 0), ("b", 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": [r[1] for r in rows],
+        "role": ["user"] * len(rows),
+        "ts": [t0 + dt.timedelta(minutes=i) for i in range(len(rows))],
+    })).repartition(3)
+    out = conversation_windows(ds, window=4, stride=2).to_pandas()
+    a = out[out["conv_id"] == "a"]
+    # pos p in window n iff n*2 <= p < n*2+4
+    for _, r in a.iterrows():
+        assert r["window_id"] * 2 <= r["pos"] < r["window_id"] * 2 + 4
+    # every covering window is present for pos 5: windows 1 and 2
+    w5 = sorted(a[a["pos"] == 5]["window_id"])
+    assert w5 == [1, 2]
+    # pos 0/1 only window 0
+    assert sorted(a[a["pos"] == 0]["window_id"]) == [0]
+    b = out[out["conv_id"] == "b"]
+    assert sorted(b["window_id"].unique()) == [0] and len(b) == 2
