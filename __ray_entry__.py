@@ -1301,6 +1301,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sum_anomaly(_ds(sf, "events", ["ts", "value"]),
                            "ts", "value", k=3.0).sort("day")
 
+    def tpch_q1_lineitem(sf):
+        # TPC-H Q1 pricing summary: the canonical compound aggregate,
+        # exact int-cents partials, one combiner + tiny reduce
+        from packs_ray.functions.agg import tpch_q1
+
+        return tpch_q1(_ds(sf, "lineitem", [
+            "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"]))
+
     def grouped_stats_lineitem(sf):
         # per-segment describe(): one exact-cents streaming pass
         from packs_ray.functions.agg import grouped_stats
@@ -3660,6 +3669,7 @@ checks for orders:
         "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "grouped_stats_lineitem": grouped_stats_lineitem,
+        "tpch_q1_lineitem": tpch_q1_lineitem,
         "sum_anomaly_events": sum_anomaly_events,
         "changepoint_events": changepoint_events,
         "weekday_profile_events": weekday_profile_events,
@@ -8254,6 +8264,33 @@ def oracle_sql() -> dict[str, str]:
     FROM g CROSS JOIN b LEFT JOIN c ON g.bin = c.bin""",
         # profiling.grouped_quantiles: quantile_cont == np.percentile
         # 'linear'; nulls excluded on both sides
+        # agg.tpch_q1: identical int-hundredths folds and pinned
+        # divisions (sq/100, sdp/1e4, sch/1e6, s/n/100), 6dp
+        "tpch_q1_lineitem": """
+    WITH f AS (SELECT l_returnflag, l_linestatus,
+            round(l_quantity * 100)::BIGINT AS q,
+            round(l_extendedprice * 100)::BIGINT AS p,
+            round(l_discount * 100)::BIGINT AS d,
+            round(l_tax * 100)::BIGINT AS t
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59.999999'),
+    s AS (SELECT l_returnflag, l_linestatus,
+            sum(q)::BIGINT AS sq, sum(p)::BIGINT AS sp,
+            sum(d)::BIGINT AS sd,
+            sum(p * (100 - d))::BIGINT AS sdp,
+            sum(p * (100 - d) * (100 + t))::BIGINT AS sch,
+            count(*)::BIGINT AS n
+          FROM f GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus,
+        round(sq / 100.0, 6) AS sum_qty,
+        round(sp / 100.0, 6) AS sum_base_price,
+        round(sdp / 10000.0, 6) AS sum_disc_price,
+        round(sch / 1000000.0, 6) AS sum_charge,
+        round(sq::DOUBLE / n / 100.0, 6) AS avg_qty,
+        round(sp::DOUBLE / n / 100.0, 6) AS avg_price,
+        round(sd::DOUBLE / n / 100.0, 6) AS avg_disc,
+        n AS count_order
+    FROM s ORDER BY l_returnflag, l_linestatus""",
         "grouped_stats_lineitem": """
     WITH c AS (SELECT l_returnflag AS k,
             round(l_extendedprice * 100, 0)::BIGINT AS c

@@ -1412,3 +1412,83 @@ def grouped_linreg(ds, key_col: str, x_col: str, y_col: str, *,
     ds2 = ds.map_batches(add_bucket, batch_format="pyarrow")
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas")
+
+
+def tpch_q1(ds, *, cutoff: str = "1998-09-02", scale: int = 100,
+            num_partitions: int | None = None):
+    """The TPC-H Q1 pricing-summary report (public benchmark query) as
+    one streaming pass — the canonical compound aggregate: per
+    (l_returnflag, l_linestatus) over rows shipped on/before
+    ``cutoff``: sum_qty, sum_base_price, sum_disc_price
+    (Σ price·(1−disc)), sum_charge (Σ price·(1−disc)·(1+tax)),
+    avg_qty, avg_price, avg_disc, count_order.
+
+    Exactness contract: quantity/price/discount/tax fix to integer
+    hundredths first, so every partial is an exact int64 in any
+    partition/merge order (disc_price sums are ×10⁴ units, charge
+    ×10⁶; int64 is exact to ~10⁹ rows per group at TPC-H magnitudes —
+    beyond that widen the partials to Python int / HUGEINT).  The
+    final unit divisions and 6dp rounds are pinned float64 expressions
+    the SQL oracle replicates term-for-term."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    cut = np.datetime64(cutoff + "T23:59:59.999999", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch.column("l_shipdate")),
+                    pc.less_equal(batch.column("l_shipdate"),
+                                  pa.scalar(cut.item())))
+        b = batch.filter(m)
+        df = pd.DataFrame({
+            "l_returnflag": b.column("l_returnflag").to_numpy(
+                zero_copy_only=False),
+            "l_linestatus": b.column("l_linestatus").to_numpy(
+                zero_copy_only=False)})
+        q = _r(b.column("l_quantity").to_numpy(zero_copy_only=False)
+               * scale, 0).astype(np.int64)
+        p = _r(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * scale, 0).astype(np.int64)
+        d = _r(b.column("l_discount").to_numpy(zero_copy_only=False)
+               * scale, 0).astype(np.int64)
+        t = _r(b.column("l_tax").to_numpy(zero_copy_only=False)
+               * scale, 0).astype(np.int64)
+        df["sq"], df["sp"], df["sd"] = q, p, d
+        df["sdp"] = p * (scale - d)
+        df["sch"] = p * (scale - d) * (scale + t)
+        df["n"] = np.int64(1)
+        out = df.groupby(["l_returnflag", "l_linestatus"],
+                         dropna=False, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["l_returnflag", "l_linestatus"], dropna=False,
+                      sort=False).sum().reset_index()
+        n = s["n"].to_numpy(dtype=np.float64)
+        sc = float(scale)
+        out = pd.DataFrame({
+            "l_returnflag": s["l_returnflag"],
+            "l_linestatus": s["l_linestatus"],
+            "sum_qty": _r(s["sq"].to_numpy(np.float64) / sc, 6),
+            "sum_base_price": _r(s["sp"].to_numpy(np.float64) / sc, 6),
+            "sum_disc_price": _r(
+                s["sdp"].to_numpy(np.float64) / (sc * sc), 6),
+            "sum_charge": _r(
+                s["sch"].to_numpy(np.float64) / (sc * sc * sc), 6),
+            "avg_qty": _r(s["sq"].to_numpy(np.float64) / n / sc, 6),
+            "avg_price": _r(s["sp"].to_numpy(np.float64) / n / sc, 6),
+            "avg_disc": _r(s["sd"].to_numpy(np.float64) / n / sc, 6),
+            "count_order": s["n"].to_numpy(np.int64)})
+        return out
+
+    parts = ds.select_columns(
+        ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax"]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_group_reduce(
+        parts, ["l_returnflag", "l_linestatus"], reduce_fn,
+        num_partitions).sort(["l_returnflag", "l_linestatus"])

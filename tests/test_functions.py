@@ -5942,3 +5942,54 @@ def test_conversation_windows_tiling(ray_session):
     assert sorted(a[a["pos"] == 0]["window_id"]) == [0]
     b = out[out["conv_id"] == "b"]
     assert sorted(b["window_id"].unique()) == [0] and len(b) == 2
+
+
+def test_tpch_q1_exact_cents(ray_session):
+    """tpch_q1: matches a local pandas replica on a crafted frame with
+    ship-date cutoff, multiple groups and awkward decimals."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from packs_ray.functions.agg import tpch_q1
+    from packs_ray.stages.util import round_half_away
+
+    def _r6(x):
+        return float(round_half_away(np.float64(x), 6))
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["O", "F"], n),
+        "l_shipdate": [dt.datetime(1998, 1, 1)
+                       + dt.timedelta(days=int(x))
+                       for x in rng.integers(0, 500, n)],
+        "l_quantity": rng.integers(1, 50, n).astype(float),
+        "l_extendedprice": np.round(rng.random(n) * 50_000, 2),
+        "l_discount": np.round(rng.integers(0, 11, n) / 100, 2),
+        "l_tax": np.round(rng.integers(0, 9, n) / 100, 2)})
+    ds = ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    out = tpch_q1(ds).to_pandas().set_index(
+        ["l_returnflag", "l_linestatus"])
+
+    cut = dt.datetime(1998, 9, 2, 23, 59, 59, 999999)
+    f = df[df["l_shipdate"] <= cut].copy()
+    f["q"] = (f["l_quantity"] * 100).round().astype(np.int64)
+    f["p"] = (f["l_extendedprice"] * 100).round().astype(np.int64)
+    f["d"] = (f["l_discount"] * 100).round().astype(np.int64)
+    f["t"] = (f["l_tax"] * 100).round().astype(np.int64)
+    for (rf, st), g in f.groupby(["l_returnflag", "l_linestatus"]):
+        row = out.loc[(rf, st)]
+        assert row["count_order"] == len(g)
+        assert row["sum_qty"] == _r6(g["q"].sum() / 100.0)
+        assert row["sum_disc_price"] == _r6(
+            (g["p"] * (100 - g["d"])).sum() / 1e4)
+        assert row["sum_charge"] == _r6(
+            (g["p"] * (100 - g["d"]) * (100 + g["t"])).sum() / 1e6)
+        assert row["avg_disc"] == _r6(
+            g["d"].sum() / len(g) / 100.0)
