@@ -482,6 +482,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return pagerank_int(edges, "src", "dst", iters=3)
 
+    def triangles_lineitem(sf):
+        # exact triangle count + clustering coefficient over the same
+        # order->part graph as pagerank: degeneracy orientation, wedge
+        # generation, one (x, y) closure shuffle — all-integer
+        import pyarrow as pa
+
+        from packs_ray.functions.graph import triangle_count
+
+        def mk(batch):
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.and_(
+                pc.is_valid(batch.column("l_orderkey")),
+                pc.is_valid(batch.column("l_partkey"))))
+            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            return pa.table({"src": pa.array(ok % 500, type=pa.int64()),
+                             "dst": pa.array(pk % 500, type=pa.int64())})
+
+        edges = _ds(sf, "lineitem", ["l_orderkey",
+                                     "l_partkey"]).map_batches(
+            mk, batch_format="pyarrow")
+        return triangle_count(edges, "src", "dst")
+
     def type_inference_orders(sf):
         # semantic-type sniffing over planted string shapes (int /
         # float / date / bool / mixed-with-nulls)
@@ -1166,6 +1189,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bm25_topk(_ds(sf, "documents", ["doc_id", "text"]),
                          "doc_id", "text", "hash join merge sort", k=10)
+
+    def hybrid_search_documents(sf):
+        # reciprocal-rank fusion of the BM25 lexical top-20 and the
+        # cosine embedding top-20 (row-aligned corpora, RRF c=60)
+        from packs_ray.functions.search import hybrid_rrf
+
+        return hybrid_rrf(
+            _ds(sf, "documents", ["doc_id", "text"]),
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            id_col="doc_id", text_col="text", emb_id_col="vec_id",
+            emb_col="embedding", query_text="hash join merge sort",
+            query_vec=_query_vec(sf), k=10, k_each=20)
 
     def time_window_agg_events(sf):
         # trailing 1-hour per-user window (RANGE-frame semantics:
@@ -1916,6 +1951,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cluster_balanced_sample(
             _ds(sf, "embeddings", ["vec_id", "embedding"]),
             "vec_id", "embedding", n_per_cluster=10, n_clusters=8)
+
+    def kmeans_embeddings(sf):
+        # fully distributed Lloyd k-means: broadcast-centroid assignment
+        # + exact integer (cluster, dim) update partials — every pass
+        # streams, byte-identical at any parallelism
+        from packs_ray.functions.similarity import kmeans_fit
+
+        _, summary = kmeans_fit(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", k=8, iters=2)
+        return summary
 
     def perplexity_corpus_documents(sf):
         # KenLM-style self-perplexity: byte-bigram LM trained on the
@@ -3412,6 +3458,17 @@ checks for orders:
             _ds(sf, "customer", ["c_custkey", "c_mktsegment"]),
             left_on=["o_custkey"], right_on=["c_custkey"], how="left")
 
+    def skew_join_orders_customer(sf):
+        # skew-aware inner join: phi-heavy probe keys broadcast (no
+        # shuffle touches them), cold keys co-partition — same row set
+        # as the plain inner join, straggler-free physical plan
+        from packs_ray.functions.joins import skew_join
+
+        return skew_join(
+            _ds(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _ds(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            left_on="o_custkey", right_on="c_custkey", phi=0.001)
+
     def outer_join_orders_customer(sf):
         # full outer over two filtered slices so BOTH dangling sides are
         # exercised: urgent orders of non-BUILDING customers survive
@@ -3611,8 +3668,10 @@ checks for orders:
         "scd2_events": scd2_events,
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
+        "triangles_lineitem": triangles_lineitem,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
+        "hybrid_search_documents": hybrid_search_documents,
         "time_window_agg_events": time_window_agg_events,
         "stratified_sample_orders": stratified_sample_orders,
         "dedup_spans_documents": dedup_spans_documents,
@@ -3643,6 +3702,7 @@ checks for orders:
         "perplexity_corpus_documents": perplexity_corpus_documents,
         "token_ppl_documents": token_ppl_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
+        "kmeans_embeddings": kmeans_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -3798,6 +3858,7 @@ checks for orders:
         "decontam_documents": decontam_documents,
         "boilerplate_turns_transcripts": boilerplate_turns_transcripts,
         "join_orders_customer": join_orders_customer,
+        "skew_join_orders_customer": skew_join_orders_customer,
         "outer_join_orders_customer": outer_join_orders_customer,
         "semi_join_customer_orders": semi_join_customer_orders,
         "bloom_semi_join_orders": bloom_semi_join_orders,
@@ -4753,6 +4814,66 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: int = 1_000_000) -> str:
+    """similarity.kmeans_fit replica: Lloyd unrolled into ``iters``
+    CTE stages.  Coordinates quantize once (round-half-away micro
+    ints), distances are the sequential list_sum fold over xq/scale
+    (matching `_sq_dist_seq`), argmin ties to the lowest cluster
+    index, centroid update = round(s / (n * scale), 6) with empty
+    clusters keeping the prior centroid, inertia = exact micro-int
+    sum / scale."""
+    d2 = ("list_sum(list_transform(list_zip(ev.xv, c.cv), "
+          "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+    parts = [
+        f"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+            x -> CAST(round(x * {scale}, 0) AS BIGINT)) AS xq
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)""",
+        f"""ev AS (SELECT vec_id, xq,
+            list_transform(xq, v -> v::DOUBLE / {scale}) AS xv FROM e)""",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+            xv AS cv FROM ev ORDER BY vec_id LIMIT {k})"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (SELECT ev.vec_id, c.cidx, {d2} AS d2
+        FROM ev CROSS JOIN c{i - 1} c)""")
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, cidx FROM d{i}
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cidx) = 1)""")
+        parts.append(
+            f"""n{i} AS (SELECT cidx, count(*)::BIGINT AS n
+        FROM a{i} GROUP BY 1)""")
+        parts.append(
+            f"""s{i} AS (SELECT a.cidx, i.i AS dim,
+            sum(ev.xq[i.i])::BIGINT AS s
+        FROM a{i} a JOIN ev USING (vec_id)
+        CROSS JOIN (SELECT UNNEST(generate_series(1, {dim})) AS i) i
+        GROUP BY 1, 2)""")
+        parts.append(
+            f"""m{i} AS (SELECT s{i}.cidx,
+            list(round(s{i}.s::DOUBLE / (n{i}.n::DOUBLE * {scale}), 6)
+                 ORDER BY s{i}.dim) AS cv
+        FROM s{i} JOIN n{i} USING (cidx) GROUP BY s{i}.cidx)""")
+        parts.append(
+            f"""c{i} AS (SELECT c{i - 1}.cidx,
+            coalesce(m{i}.cv, c{i - 1}.cv) AS cv
+        FROM c{i - 1} LEFT JOIN m{i} USING (cidx))""")
+    parts.append(
+        f"""df AS (SELECT ev.vec_id, c.cidx, {d2} AS d2
+        FROM ev CROSS JOIN c{iters} c)""")
+    parts.append(
+        """af AS (SELECT vec_id, cidx, d2 FROM df
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cidx) = 1)""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT cidx::BIGINT AS cluster_id, count(*)::BIGINT AS n,
+           sum(CAST(round(d2 * {scale}, 0) AS BIGINT))::DOUBLE / {scale}
+               AS inertia
+    FROM af GROUP BY 1 ORDER BY 1""")
 
 
 def _kcenter_sql(k: int = 8) -> str:
@@ -7621,6 +7742,27 @@ def oracle_sql() -> dict[str, str]:
            l_tax::DOUBLE FROM lineitem
     """,
         "bm25_search_documents": _bm25_sql("hash join merge sort", 10),
+        # search.hybrid_rrf replica: both retriever CTEs re-ranked with
+        # the same (score desc, id asc) row_number, identical RRF
+        # expression (term order: bm25 + cosine), 6dp round
+        "hybrid_search_documents": f"""
+    WITH lex AS ({_bm25_sql("hash join merge sort", 20)}),
+    lr AS (SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb FROM lex),
+    sem AS (SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings
+             WHERE vec_id = 0)), 6) AS cosine
+        FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 20),
+    sr AS (SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id) AS rc FROM sem),
+    f AS (SELECT coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+            round(coalesce(1.0 / (60 + rb), 0)
+                  + coalesce(1.0 / (60 + rc), 0), 6) AS rrf,
+            rb::DOUBLE AS bm25_rank, rc::DOUBLE AS cos_rank
+          FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id)
+    SELECT doc_id, rrf, bm25_rank, cos_rank FROM f
+    ORDER BY rrf DESC, doc_id LIMIT 10""",
         "temperature_sample_documents": _temperature_sql(0.5, 200),
         "fuzzy_join_customer_supplier": _fuzzy_join_sql(0.25, 3),
         # linkage.fuzzy_join pairs -> connected components across both
@@ -8121,6 +8263,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "token_ppl_documents": _token_ppl_sql(512),
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
+        "kmeans_embeddings": _kmeans_sql(8, 2, 64),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
         "budget_mixture_documents": _budget_mixture_sql(),
         # gopher_flags: same RE2 patterns (DuckDB and pyarrow both run
@@ -8580,6 +8723,33 @@ def oracle_sql() -> dict[str, str]:
     """,
         "type_inference_orders": _type_inference_sql(),
         "pagerank_lineitem": _pagerank_sql(3),
+        # graph.triangle_count replica: canonical u<v distinct edges,
+        # the u<v<w three-way join counts each triangle once; wedges =
+        # sum C(d, 2); identical 6dp clustering expression
+        "triangles_lineitem": """
+    WITH raw AS (SELECT DISTINCT
+            least(l_orderkey % 500, l_partkey % 500)::BIGINT AS u,
+            greatest(l_orderkey % 500, l_partkey % 500)::BIGINT AS v
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          AND (l_orderkey % 500) <> (l_partkey % 500)),
+    deg AS (SELECT node, count(*)::BIGINT AS d FROM
+            (SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)
+            GROUP BY node),
+    tri AS (SELECT count(*)::BIGINT AS t FROM raw e1
+            JOIN raw e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN raw e3 ON e3.u = e1.v AND e3.v = e2.v),
+    agg AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM raw) AS n_edges,
+                   (SELECT t FROM tri) AS n_triangles,
+                   (SELECT coalesce(sum((d * (d - 1)) // 2), 0)
+                    FROM deg) AS n_wedges)
+    SELECT n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges,
+           n_triangles::BIGINT AS n_triangles, n_wedges::BIGINT AS n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS clustering
+    FROM agg""",
         # windows.transition_counts: lead() adjacency per user
         # windows.scd2_intervals: lag-based change runs, lead valid_to,
         # (ts, value) tie pin, version = per-key run ordinal
@@ -9963,6 +10133,9 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer":
             "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
             "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+        "skew_join_orders_customer":
+            "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey",
         "outer_join_orders_customer": """
     SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
     FROM (SELECT o_orderkey, o_custkey FROM orders

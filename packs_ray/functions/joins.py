@@ -537,3 +537,77 @@ def bloom_semi_join(left_ds, right_ds, *, left_on: str, right_on: str,
     return equi_join(survivors, right_ds.select_columns([right_on]),
                      left_on=[left_on], right_on=[right_on], how="semi",
                      broadcast_cap=broadcast_cap)
+
+
+def skew_join(left_ds, right_ds, *, left_on: str, right_on: str,
+              phi: float = 0.01):
+    """Skew-aware INNER equi-join — same row set and column contract as
+    ``equi_join(how="inner")``, different physical plan for hot keys.
+
+    A plain co-partition join sends every row of a key to ONE bucket,
+    so a mega-key (the null-ish sentinel user, the default session id,
+    the one viral document) turns the shuffle into a single straggler
+    task.  Here the probe side's phi-heavy hitters are detected first
+    (:func:`~packs_ray.functions.sketches.heavy_hitters` — exact, two
+    streaming passes with fixed-size Misra-Gries partials, no
+    full-cardinality groupby), then:
+
+    - HOT keys: only the right side's hot-key rows broadcast
+      (``ray.put`` once); every left batch joins them inline with
+      Arrow's hash join — no shuffle touches a hot key at all;
+    - COLD keys: both sides filter the hot set out and co-partition as
+      usual, so every bucket is bounded by ``phi * n`` rows.
+
+    Assumption (the dimension-side contract): the right side holds
+    O(1) rows per key, so the hot broadcast is ~|hot keys| rows.  A
+    hot key on BOTH sides is a cross-product whose output is
+    quadratic no matter the plan — pre-aggregate one side first.
+
+    Keys compare as strings on the hot/cold split (matching the
+    heavy-hitter summary representation); null keys never match and
+    are dropped on both paths (SQL inner semantics)."""
+    import ray
+
+    from packs_ray.functions.sketches import heavy_hitters
+
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    if lsch is None or rsch is None:
+        return equi_join(left_ds, right_ds, left_on=[left_on],
+                         right_on=[right_on], how="inner")
+    hh = heavy_hitters(left_ds, left_on, phi)
+    if not len(hh):
+        return _join_bucketed(left_ds, right_ds, [left_on], [right_on],
+                              "inner",
+                              {c: (c + "_r" if c in lsch.names else c)
+                               for c in rsch.names})
+    hot = pa.array([str(k) for k in hh["key"]], type=pa.string())
+    hot_ref = ray.put(hot)
+
+    def side_filter(col: str, keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keys = batch.column(col).cast(pa.string())
+            m = pc.is_in(keys, value_set=ray.get(hot_ref))
+            if not keep_hot:
+                m = pc.and_(pc.invert(pc.fill_null(m, False)),
+                            pc.is_valid(batch.column(col)))
+            else:
+                m = pc.fill_null(m, False)
+            return batch.filter(m)
+        return fn
+
+    ren = {c: (c + "_r" if c in lsch.names else c) for c in rsch.names}
+    l_hot = left_ds.map_batches(side_filter(left_on, True),
+                                batch_format="pyarrow")
+    r_hot = right_ds.map_batches(side_filter(right_on, True),
+                                 batch_format="pyarrow")
+    l_cold = left_ds.map_batches(side_filter(left_on, False),
+                                 batch_format="pyarrow")
+    r_cold = right_ds.map_batches(side_filter(right_on, False),
+                                  batch_format="pyarrow")
+    hot_join = _join_broadcast(l_hot, r_hot, [left_on], [right_on],
+                               "inner", ren)
+    cold_join = _join_bucketed(l_cold, r_cold, [left_on], [right_on],
+                               "inner", ren)
+    return hot_join.union(cold_join)

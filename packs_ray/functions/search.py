@@ -186,3 +186,53 @@ def build_postings(ds, id_col: str, text_col: str, *, min_df: int = 1,
 
     return bucketed_group_reduce(parts, ["token"], reduce_fn,
                                  num_partitions)
+
+
+def hybrid_rrf(doc_ds, emb_ds, *, id_col: str, text_col: str,
+               emb_id_col: str, emb_col: str, query_text: str,
+               query_vec, k: int = 10, k_each: int = 20,
+               c: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical BM25
+    top-``k_each`` (:func:`bm25_topk`) and a cosine embedding
+    top-``k_each`` (`similarity.brute_force_topk` — swap in the IVF
+    variant at corpus scale) over the SAME id space (the documents /
+    embeddings tables are row-aligned corpora).
+
+    RRF score = 1/(c + bm25_rank) + 1/(c + cos_rank), each term 0 when
+    the id is absent from that list (Cormack et al. 2009, c = 60).
+    Ranks are 1-based positions under each list's pinned
+    (score desc, id asc) order.  Returns the fused top-``k``:
+    (id, rrf 6dp, bm25_rank, cos_rank) — ranks as float64 with NaN for
+    misses, the SQL-client convention for nullable BIGINT.
+
+    Scale: both retrievers are bounded-driver-artifact operators
+    (per-block local top-k partials, no shuffle); the fusion itself
+    touches <= 2 * k_each rows."""
+    from packs_ray.functions.similarity import brute_force_topk
+    from packs_ray.stages.util import round_half_away as _r6
+
+    lex = bm25_topk(doc_ds, id_col, text_col, query_text, k=k_each)
+    sem = brute_force_topk(emb_ds, emb_id_col, emb_col, query_vec,
+                           k=k_each)
+    # null-id rows (degenerate corpora) cannot be fused — rank after
+    # dropping them (real corpora have non-null ids, so this is a
+    # no-op under the oracle)
+    lex = lex[lex[id_col].notna()].reset_index(drop=True)
+    sem = sem[sem[emb_id_col].notna()].reset_index(drop=True)
+    lex = lex.reset_index(drop=True)
+    lex["bm25_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+    sem = sem.reset_index(drop=True)
+    sem["cos_rank"] = np.arange(1, len(sem) + 1, dtype=np.int64)
+    sem = sem.rename(columns={emb_id_col: id_col})
+    m = lex[[id_col, "bm25_rank"]].merge(
+        sem[[id_col, "cos_rank"]], on=id_col, how="outer")
+    rb = m["bm25_rank"].to_numpy(dtype=np.float64)
+    rc = m["cos_rank"].to_numpy(dtype=np.float64)
+    tb = np.where(np.isnan(rb), 0.0, 1.0 / (c + rb))
+    tc = np.where(np.isnan(rc), 0.0, 1.0 / (c + rc))
+    m["rrf"] = _r6(tb + tc, 6)
+    m = m.sort_values(["rrf", id_col], ascending=[False, True],
+                      kind="stable").head(k).reset_index(drop=True)
+    return m[[id_col, "rrf", "bm25_rank", "cos_rank"]].astype(
+        {id_col: "int64", "rrf": "float64",
+         "bm25_rank": "float64", "cos_rank": "float64"})

@@ -1101,3 +1101,160 @@ def ranking_metrics(pred: pd.DataFrame, truth: pd.DataFrame,
         "n_overlap": np.int64(n_overlap),
         "recall_at_k": float(_r6(n_overlap / float(k), 6)),
         "mrr": mrr}])
+
+
+def kmeans_fit(ds, id_col: str, emb_col: str, *, k: int = 8,
+               iters: int = 2, scale: int = 1_000_000):
+    """Fully DISTRIBUTED Lloyd k-means over the embedding column — the
+    iterative-ML-at-scale shape the IVF helpers avoid by fitting on a
+    driver-side sample (`_fit_centroids`).  Here every pass streams the
+    WHOLE dataset: assignment is a stateless ``map_batches`` over
+    ``ray.put``-broadcast centroids, and the centroid update is an
+    exact integer partial — per-(cluster, dim) sums of micro-unit
+    quantized coordinates plus per-cluster counts — reduced with one
+    narrow groupby shuffle of at most ``k * (dim + 1)`` tiny rows per
+    block.  Integer partials make each update order-free, so the whole
+    fit is byte-identical under any partition layout / CPU count (the
+    classic distributed-kmeans float pitfall is summing raw float
+    coordinates, whose value depends on block merge order).
+
+    Determinism contract (mirrored exactly by the SQL oracle):
+
+    - coordinates quantize ONCE: ``xq = round_half_away(x * scale)``
+      (int64); all distances use ``xv = xq / scale`` float64;
+    - squared distances accumulate dimension-by-dimension in index
+      order (`_sq_dist_seq` == the oracle's ``list_sum`` fold);
+    - argmin ties go to the lowest cluster index;
+    - updated centroid coord = ``round(s / (n * scale), 6)`` half-away;
+      empty clusters keep their previous centroid;
+    - init = the embeddings of the ``k`` smallest non-null ids;
+    - inertia = exact int64 sum of per-row ``round(d2 * scale)`` micro
+      distances, divided by ``scale`` once at the end.
+
+    Null id / null embedding rows are excluded.  Returns
+    ``(centroids, summary)``: the (k', dim) float64 centroid matrix and
+    a k'-row pandas frame ``(cluster_id, n, inertia)`` from a final
+    assignment pass (bounded driver artifact, like the ANN outputs).
+
+    Scale shape: ``iters + 2`` streaming passes over a 2-column
+    projection (init scan, ``iters`` update passes, final stats pass);
+    nothing wide ever materializes.  For k*dim beyond ~10^5 the
+    per-block partial should switch from dense to per-present-cluster
+    emission — already the case here (zero-count clusters are dropped
+    per block)."""
+    import pyarrow.compute as pc
+
+    sel = ds.select_columns([id_col, emb_col])
+    fscale = float(scale)
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.is_valid(batch.column(id_col)),
+                                    pc.is_valid(batch.column(emb_col))))
+
+    empty = pd.DataFrame({"cluster_id": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "inertia": pd.Series(dtype="float64")})
+
+    # ---- init: embeddings of the k smallest ids (per-block top-k
+    # partials -> bounded driver merge; no sort shuffle) ----
+    def init_partial(batch: pa.Table) -> pa.Table:
+        batch = _valid(batch).select([id_col, emb_col])
+        if len(batch) == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(order, type=pa.int64()))
+
+    cand = sel.map_batches(init_partial, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return np.zeros((0, 0)), empty
+    order = np.argsort(cand[id_col].to_numpy(), kind="stable")[:k]
+    vecs = [np.asarray(v, dtype=np.float64)
+            for v in cand[emb_col].to_numpy()[order]]
+    ndim = max(len(v) for v in vecs)
+    m0 = np.zeros((len(vecs), ndim))
+    for i, v in enumerate(vecs):
+        m0[i, :len(v)] = v
+    cent = _r(m0 * fscale, 0) / fscale          # quantized init centroids
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        m = _fit_dim(_batch_matrix(batch, emb_col), ndim)
+        return _r(m * fscale, 0).astype(np.int64)
+
+    # ---- Lloyd iterations: exact integer update partials ----
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def upd_partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            centv = ray.get(_cref)
+            batch = _valid(batch)
+            if len(batch) == 0:
+                return pa.table({"cluster": pa.array([], type=pa.int64()),
+                                 "dim": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.int64())})
+            xq = _quant(batch)
+            a = _sq_dist_seq(xq / fscale, centv).argmin(1)
+            kk, dd = centv.shape
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(sums, a, xq)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            cl = np.repeat(np.arange(kk, dtype=np.int64), dd + 1)
+            dims = np.tile(np.arange(-1, dd, dtype=np.int64), kk)
+            vals = np.concatenate(
+                [np.concatenate(([counts[c]], sums[c])) for c in range(kk)])
+            keep = np.repeat(counts > 0, dd + 1)   # drop untouched clusters
+            return pa.table({"cluster": pa.array(cl[keep]),
+                             "dim": pa.array(dims[keep]),
+                             "s": pa.array(vals[keep])})
+
+        agg = (sel.map_batches(upd_partial, batch_format="pyarrow")
+               .groupby(["cluster", "dim"]).sum("s").to_pandas())
+        if agg.empty:
+            break
+        kk, dd = cent.shape
+        counts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, dd), dtype=np.int64)
+        c_arr = agg["cluster"].to_numpy(dtype=np.int64)
+        d_arr = agg["dim"].to_numpy(dtype=np.int64)
+        s_arr = agg["sum(s)"].to_numpy(dtype=np.int64)
+        is_n = d_arr == -1
+        counts[c_arr[is_n]] = s_arr[is_n]
+        sums[c_arr[~is_n], d_arr[~is_n]] = s_arr[~is_n]
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = _r(sums[nz] / (counts[nz, None].astype(np.float64)
+                                 * fscale), 6)
+        cent = new
+
+    # ---- final assignment + exact micro-int inertia ----
+    cref = ray.put(cent)
+
+    def stats_partial(batch: pa.Table, _cref=cref) -> pa.Table:
+        centv = ray.get(_cref)
+        batch = _valid(batch)
+        if len(batch) == 0:
+            return pa.table({"cluster": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "iq": pa.array([], type=pa.int64())})
+        xq = _quant(batch)
+        d2 = _sq_dist_seq(xq / fscale, centv)
+        a = d2.argmin(1)
+        iq = _r(d2[np.arange(len(a)), a] * fscale, 0).astype(np.int64)
+        kk = centv.shape[0]
+        counts = np.bincount(a, minlength=kk).astype(np.int64)
+        isums = np.zeros(kk, dtype=np.int64)
+        np.add.at(isums, a, iq)
+        keep = counts > 0
+        return pa.table(
+            {"cluster": pa.array(np.arange(kk, dtype=np.int64)[keep]),
+             "n": pa.array(counts[keep]), "iq": pa.array(isums[keep])})
+
+    stats = (sel.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("cluster").sum(["n", "iq"]).to_pandas())
+    if stats.empty:
+        return cent, empty
+    out = pd.DataFrame({
+        "cluster_id": stats["cluster"].astype("int64"),
+        "n": stats["sum(n)"].astype("int64"),
+        "inertia": stats["sum(iq)"].to_numpy(dtype=np.float64) / fscale})
+    return cent, out.sort_values("cluster_id").reset_index(drop=True)
