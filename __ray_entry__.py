@@ -1943,6 +1943,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "documents", ["doc_id", "source", "n_chars"]),
             "doc_id", "source", "n_chars", budgets, salt="mix")
 
+    def bpe_merges_documents(sf):
+        # tokenizer induction: 6 BPE merge rounds over the distinct-word
+        # count artifact (greedy left-to-right replace semantics shared
+        # bit-for-bit with SQL replace)
+        from packs_ray.functions.bpe import bpe_merges
+
+        return bpe_merges(_ds(sf, "documents", ["text"]), "text",
+                          n_merges=6)
+
+    def nb_classify_documents(sf):
+        # supervised multinomial Naive Bayes: train on the corpus's own
+        # lang labels (bounded C*(V+2) count artifact), score every doc
+        from packs_ray.functions.lm import naive_bayes_classify
+
+        return naive_bayes_classify(
+            _ds(sf, "documents", ["doc_id", "text", "lang"]),
+            "doc_id", "text", "lang", vocab_size=512)
+
     def cluster_balance_embeddings(sf):
         # topic-balanced curation: k-means over embeddings, then a
         # deterministic stratified sample of 10 ids per cluster
@@ -3703,6 +3721,8 @@ checks for orders:
         "token_ppl_documents": token_ppl_documents,
         "cluster_balance_embeddings": cluster_balance_embeddings,
         "kmeans_embeddings": kmeans_embeddings,
+        "nb_classify_documents": nb_classify_documents,
+        "bpe_merges_documents": bpe_merges_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -4814,6 +4834,45 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _bpe_sql(n_merges: int = 6) -> str:
+    """bpe.bpe_merges replica: the merge rounds unrolled into CTE
+    stages.  Word states use the two-space boundary encoding, so SQL
+    ``replace`` reproduces the engine's greedy left-to-right merge
+    exactly; pair counts are exact ints; argmax ties (cnt desc, l, r)."""
+    parts = [
+        r"""d AS (SELECT coalesce(text, '') AS text FROM documents)""",
+        r"""t0 AS (SELECT regexp_split_to_array(regexp_replace(text,
+        '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+        '[ \t\n\r\f\v]+') AS toks FROM d)""",
+        """w AS (SELECT unnest(toks) AS word FROM t0)""",
+        """wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w
+        WHERE word <> '' GROUP BY 1)""",
+        """s0 AS MATERIALIZED (SELECT '  ' || array_to_string(list_transform(
+            generate_series(1, length(word)), i -> word[i]), '  ')
+            || '  ' AS state, cnt FROM wc)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (SELECT u.pr[1] AS l, u.pr[2] AS r,
+            sum(t.cnt)::BIGINT AS cnt
+        FROM (SELECT string_split(trim(state), '  ') AS li, cnt
+              FROM s{i - 1}) t,
+             UNNEST(list_transform(generate_series(1, len(t.li) - 1),
+                    j -> [t.li[j], t.li[j + 1]])) AS u(pr)
+        GROUP BY 1, 2)""")
+        parts.append(f"""m{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i}
+        ORDER BY cnt DESC, l, r LIMIT 1)""")
+        parts.append(f"""s{i} AS MATERIALIZED (SELECT replace(state,
+            ' ' || (SELECT l FROM m{i}) || '  '
+                || (SELECT r FROM m{i}) || ' ',
+            ' ' || (SELECT l FROM m{i})
+                || (SELECT r FROM m{i}) || ' ') AS state, cnt
+        FROM s{i - 1})""")
+    union = " UNION ALL ".join(
+        f'SELECT {i}::BIGINT AS rank, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM m{i}" for i in range(1, n_merges + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union \
+        + " ORDER BY rank"
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
@@ -8262,8 +8321,60 @@ def oracle_sql() -> dict[str, str]:
     """,
         "perplexity_corpus_documents": _perplexity_corpus_sql(),
         "token_ppl_documents": _token_ppl_sql(512),
+        # lm.naive_bayes_classify replica: token-LM vocab contract,
+        # dense class x id add-one log-probs via ln (libm both sides),
+        # per-(doc, class) score = prior + list_sum of id-ORDERED
+        # cnt*lp terms (== the engine's ascending-id reduceat), argmax
+        # ties to the smallest class
+        "nb_classify_documents": r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text, lang
+               FROM documents),
+    t0 AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text,
+        '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+        '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+                THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+    uc AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT tok, (row_number() OVER (
+                  ORDER BY cnt DESC, tok ASC))::BIGINT AS id
+              FROM uc ORDER BY cnt DESC, tok ASC LIMIT 512),
+    vs AS (SELECT (count(*) + 1)::DOUBLE AS v_sm FROM vocab),
+    ti AS (SELECT t.doc_id, coalesce(vb.id, 0)::BIGINT AS id
+           FROM tok t LEFT JOIN vocab vb ON vb.tok = t.tok),
+    lab AS (SELECT doc_id, lang FROM d WHERE lang IS NOT NULL),
+    cls AS (SELECT lang AS class, count(*)::BIGINT AS nc
+            FROM lab GROUP BY 1),
+    nd AS (SELECT sum(nc)::BIGINT AS n FROM cls),
+    tc AS (SELECT l.lang AS class, ti.id, count(*)::BIGINT AS c
+           FROM ti JOIN lab l USING (doc_id) GROUP BY 1, 2),
+    tot AS (SELECT class, sum(c)::BIGINT AS t FROM tc GROUP BY 1),
+    ids AS (SELECT 0::BIGINT AS id UNION ALL SELECT id FROM vocab),
+    lp AS (SELECT cls.class, ids.id,
+            ln((coalesce(tc.c, 0) + 1.0)
+               / (coalesce(tot.t, 0) + vs.v_sm)) AS lp
+           FROM cls CROSS JOIN ids
+           LEFT JOIN tc ON tc.class = cls.class AND tc.id = ids.id
+           LEFT JOIN tot ON tot.class = cls.class
+           CROSS JOIN vs),
+    pri AS (SELECT class, ln(nc::DOUBLE / nd.n) AS pr FROM cls, nd),
+    dcnt AS (SELECT doc_id, id, count(*)::BIGINT AS cnt
+             FROM ti GROUP BY 1, 2),
+    sc AS (SELECT dcnt.doc_id, lp.class,
+            list_sum(list(dcnt.cnt * lp.lp ORDER BY dcnt.id)) AS s
+           FROM dcnt JOIN lp USING (id) GROUP BY 1, 2),
+    all_sc AS (SELECT d.doc_id, pri.class,
+                pri.pr + coalesce(sc.s, 0.0) AS score
+               FROM d CROSS JOIN pri
+               LEFT JOIN sc ON sc.doc_id = d.doc_id
+                           AND sc.class = pri.class)
+    SELECT doc_id, class AS pred, round(score, 6) AS logp
+    FROM all_sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, class ASC) = 1""",
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "kmeans_embeddings": _kmeans_sql(8, 2, 64),
+        "bpe_merges_documents": _bpe_sql(6),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
         "budget_mixture_documents": _budget_mixture_sql(),
         # gopher_flags: same RE2 patterns (DuckDB and pyarrow both run

@@ -252,3 +252,134 @@ def token_bigram_perplexity(ds, id_col: str, text_col: str, *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def naive_bayes_classify(ds, id_col: str, text_col: str, label_col: str,
+                         *, vocab_size: int = 512,
+                         num_partitions: int | None = None):
+    """Multinomial Naive Bayes text classifier — train on the corpus's
+    own labels, score every document back: the fastText-style
+    supervised source/language/quality classifier of large-scale
+    curation stacks, expressed as two bounded-exchange streaming
+    passes (the reference has no supervised models at all; this is the
+    natural next step after the unsupervised LMs above).
+
+    Train: (1) :func:`~packs_ray.functions.textstats.build_vocab`
+    (top-``vocab_size`` whitespace tokens, UNK id 0 — the token-LM
+    contract); (2) one bucketed reduce of per-(class, token-id) exact
+    counts plus per-class doc counts (id -1 rows) — the model artifact
+    is bounded by ``C * (V + 2)`` rows regardless of corpus size.
+
+    Score (stateless map, model in the task closure): per class,
+    ``ln(n_c / n_docs) + sum_runs cnt * ln((c_{t,c} + 1) / (tot_c +
+    V_sm))`` with the run terms accumulated in ascending token-id
+    order (np.add.reduceat == the oracle's list_sum over an
+    id-ordered list), ``V_sm = len(vocab) + 1``; prediction = argmax,
+    ties to the lexicographically smallest class; per-class log-probs
+    from exact integer counts via libm ``math.log`` (the bm25
+    convention).  Docs with a null label still score (they just don't
+    train).  Returns a lazy Dataset (id, pred, logp 6dp); if no
+    labeled docs exist the output is empty.
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.functions.textstats import build_vocab
+    from packs_ray.stages.util import str_column
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    vocab = build_vocab(ds, text_col, k=vocab_size,
+                        num_partitions=num_partitions)
+    lut = dict(zip(vocab["token"], vocab["token_id"].astype(int)))
+    n_ids = len(vocab) + 1                       # + UNK id 0
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(label_col)))
+        empty = pa.table({"label": pa.array([], type=pa.string()),
+                          "id": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if len(batch) == 0:
+            return empty
+        labels = str_column(batch, label_col).to_pandas().to_numpy()
+        doc_idx, ids = _doc_token_ids(batch, text_col, lut)
+        tok_lab = labels[doc_idx]
+        g = (pd.DataFrame({"label": tok_lab, "id": ids})
+             .groupby(["label", "id"], sort=False).size()
+             .rename("cnt").reset_index())
+        dc = (pd.Series(labels).value_counts().rename("cnt")
+              .rename_axis("label").reset_index())
+        dc["id"] = np.int64(-1)
+        out = pd.concat([g, dc[["label", "id", "cnt"]]],
+                        ignore_index=True)
+        out["id"] = out["id"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["label", "id"], sort=False)["cnt"].sum()
+        return out.reset_index()
+
+    art = bucketed_group_reduce(
+        ds.select_columns([text_col, label_col]).map_batches(
+            train_partial, batch_format="pyarrow"),
+        ["label", "id"], reduce_fn, num_partitions).to_pandas()
+    empty_out = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "pred": pa.array([], type=pa.string()),
+                          "logp": pa.array([], type=pa.float64())})
+    if art.empty or "label" not in art.columns:
+        return ds.map_batches(lambda b: empty_out,
+                              batch_format="pyarrow")
+    classes = sorted(art["label"].unique().tolist())
+    cidx = {c: i for i, c in enumerate(classes)}
+    v_sm = float(n_ids)                          # vocab incl. UNK
+    nc = np.zeros(len(classes), dtype=np.int64)
+    tot = np.zeros(len(classes), dtype=np.int64)
+    cnt_mat = np.zeros((len(classes), n_ids), dtype=np.int64)
+    for lab, i, c in art[["label", "id", "cnt"]].itertuples(index=False):
+        ci = cidx[lab]
+        if i == -1:
+            nc[ci] = c
+        else:
+            cnt_mat[ci, int(i)] = c
+            tot[ci] += c
+    n_docs = int(nc.sum())
+    prior = np.array([math.log(int(nc[ci]) / n_docs)
+                      for ci in range(len(classes))])
+    lnp = np.empty((len(classes), n_ids), dtype=np.float64)
+    for ci in range(len(classes)):
+        denom = float(tot[ci]) + v_sm
+        for i in range(n_ids):
+            lnp[ci, i] = math.log((int(cnt_mat[ci, i]) + 1.0) / denom)
+    class_arr = np.asarray(classes, dtype=object)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        doc_idx, ids = _doc_token_ids(batch, text_col, lut)
+        scores = np.tile(prior, (n, 1))
+        if len(ids):
+            order = np.lexsort((ids, doc_idx))
+            d2, i2 = doc_idx[order], ids[order]
+            run = np.r_[True, (d2[1:] != d2[:-1]) | (i2[1:] != i2[:-1])]
+            starts = np.flatnonzero(run)
+            cnts = np.diff(np.r_[starts, len(d2)]).astype(np.float64)
+            rd, ri = d2[starts], i2[starts]
+            dstarts = np.flatnonzero(np.r_[True, rd[1:] != rd[:-1]])
+            present = rd[dstarts]
+            for ci in range(len(classes)):
+                terms = cnts * lnp[ci][ri]
+                scores[present, ci] = scores[present, ci] \
+                    + np.add.reduceat(terms, dstarts)
+        pred = scores.argmax(axis=1)
+        logp = _r(scores[np.arange(n), pred], 6)
+        return pa.table({id_col: batch.column(id_col),
+                         "pred": pa.array(class_arr[pred],
+                                          type=pa.string()),
+                         "logp": pa.array(logp, type=pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
