@@ -1943,6 +1943,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "documents", ["doc_id", "source", "n_chars"]),
             "doc_id", "source", "n_chars", budgets, salt="mix")
 
+    def class_tfidf_documents(sf):
+        # c-TF-IDF per-language distinguishing terms (BERTopic formula):
+        # one token-bucketed exact reduce, per-bucket lossless top-k
+        from packs_ray.functions.textstats import class_tfidf
+
+        return class_tfidf(_ds(sf, "documents", ["lang", "text"]),
+                           "lang", "text", k=10)
+
     def bpe_merges_documents(sf):
         # tokenizer induction: 6 BPE merge rounds over the distinct-word
         # count artifact (greedy left-to-right replace semantics shared
@@ -3723,6 +3731,7 @@ checks for orders:
         "kmeans_embeddings": kmeans_embeddings,
         "nb_classify_documents": nb_classify_documents,
         "bpe_merges_documents": bpe_merges_documents,
+        "class_tfidf_documents": class_tfidf_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -8375,6 +8384,28 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "kmeans_embeddings": _kmeans_sql(8, 2, 64),
         "bpe_merges_documents": _bpe_sql(6),
+        # textstats.class_tfidf replica: identical tokenization, exact
+        # int tf/f, A = total/C, raw-score ranking (ties term asc),
+        # 6dp only in the output column
+        "class_tfidf_documents": r"""
+    WITH d AS (SELECT lang, coalesce(text, '') AS text FROM documents
+               WHERE lang IS NOT NULL),
+    t0 AS (SELECT lang, regexp_split_to_array(regexp_replace(text,
+        '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+        '[ \t\n\r\f\v]+') AS toks FROM d),
+    tok AS (SELECT lang, unnest(toks) AS term FROM t0
+            WHERE NOT (len(toks) = 1 AND toks[1] = '')),
+    tc AS (SELECT lang AS class, term, count(*)::BIGINT AS tf
+           FROM tok GROUP BY 1, 2),
+    tot AS (SELECT class, sum(tf)::BIGINT AS s FROM tc GROUP BY 1),
+    a AS (SELECT sum(s)::DOUBLE / count(*) AS a_const FROM tot),
+    ft AS (SELECT term, sum(tf)::BIGINT AS f FROM tc GROUP BY 1),
+    sc AS (SELECT tc.class, tc.term, tc.tf,
+            tc.tf * ln(1.0 + a.a_const / ft.f) AS raw
+           FROM tc JOIN ft USING (term), a)
+    SELECT class, term, tf, round(raw, 6) AS score FROM sc
+    QUALIFY row_number() OVER (PARTITION BY class
+        ORDER BY raw DESC, term ASC) <= 10""",
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 0.3),
         "budget_mixture_documents": _budget_mixture_sql(),
         # gopher_flags: same RE2 patterns (DuckDB and pyarrow both run

@@ -1264,3 +1264,117 @@ def readability(ds, id_col: str, text_col: str):
                                from_pandas=True)})  # NaN (no words) -> null
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def class_tfidf(ds, label_col: str, text_col: str, *, k: int = 10,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """c-TF-IDF class-distinguishing terms (the BERTopic topic-keyword
+    formula, Grootendorst 2022): treating each label's documents as one
+    meta-document, score every (class, term) with
+
+        W(t, c) = tf(t, c) * ln(1 + A / f(t))
+
+    where ``tf`` is the exact term count inside the class, ``f`` the
+    exact corpus count, and ``A`` the average token count per class —
+    the per-source / per-language "what makes this slice different"
+    profile next to :func:`top_terms`' per-document ranking.
+
+    Scale shape: per-batch (class, token, tf) combiners ride ONE
+    token-bucketed reduce — every class row of a token lands in the
+    same bucket, so ``f(t)`` and all class scores for that token are
+    computed exactly inside the bucket; each bucket emits only its own
+    per-class top-``k`` candidates (lossless for the global top-k) and
+    the driver keeps k per class.  ``ln`` is libm ``math.log`` per
+    surviving (class, token) row (the bm25 convention — bounded by the
+    bucket's candidate rows, never the corpus).  Null labels are
+    excluded; ties (score desc, token asc).  Returns
+    (class, term, tf, score) with score unrounded inputs ordered, 6dp
+    in the output."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away, str_column
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    ws_re = "[ \t\n\r\f\v]+"
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(label_col)))
+        empty = pa.table({"label": pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string()),
+                          "tf": pa.array([], type=pa.int64())})
+        if len(batch) == 0:
+            return empty
+        labels = str_column(batch, label_col).to_pandas().to_numpy()
+        col = str_column(batch, text_col)
+        trimmed = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\f\v")
+        lists = pc.split_pattern_regex(trimmed, ws_re)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(off - off[0])
+        flat = lists.flatten().to_pandas().to_numpy()
+        row = np.repeat(np.arange(len(batch)), lens)
+        emp = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(flat), dtype=bool)
+        keep[(off[:-1] - off[0])[emp]] = False
+        flat, row = flat[keep], row[keep]
+        if len(flat) == 0:
+            return empty
+        g = (pd.DataFrame({"label": labels[row], "token": flat})
+             .groupby(["label", "token"], sort=False).size()
+             .rename("tf").reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.select_columns([label_col, text_col]).map_batches(
+        tf_rows, batch_format="pyarrow")
+
+    # global scalars: per-class token totals -> A = total / n_classes
+    def cls_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("label", sort=False)["tf"].sum().reset_index()
+        g["tf"] = g["tf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mat = parts.materialize()
+    cls = mat.map_batches(cls_partial, batch_format="pyarrow") \
+        .to_pandas()
+    empty_out = pd.DataFrame({"class": pd.Series(dtype="object"),
+                              "term": pd.Series(dtype="object"),
+                              "tf": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+    if cls.empty or "label" not in cls.columns:
+        return empty_out
+    totals = cls.groupby("label")["tf"].sum()
+    a_const = float(int(totals.sum())) / len(totals)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["label", "token"], sort=False)["tf"].sum() \
+            .reset_index()
+        ft = t.groupby("token", sort=False)["tf"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        tf = t["tf"].to_numpy(dtype=np.int64)
+        t["score"] = [tf[i] * math.log(1.0 + a_const / float(ft[i]))
+                      for i in range(len(t))]
+        t = t.sort_values(["label", "score", "token"],
+                          ascending=[True, False, True], kind="stable")
+        return t.groupby("label", sort=False).head(k)
+
+    cand = bucketed_group_reduce(mat, ["token"], bucket_topk,
+                                 num_partitions).to_pandas()
+    if cand.empty or "label" not in cand.columns:
+        return empty_out
+    cand = cand.sort_values(["label", "score", "token"],
+                            ascending=[True, False, True],
+                            kind="stable")
+    out = cand.groupby("label", sort=False).head(k).reset_index(drop=True)
+    return pd.DataFrame({"class": out["label"].astype(object),
+                         "term": out["token"].astype(object),
+                         "tf": out["tf"].astype("int64"),
+                         "score": round_half_away(
+                             out["score"].to_numpy(dtype=np.float64), 6)})
