@@ -1943,6 +1943,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "documents", ["doc_id", "source", "n_chars"]),
             "doc_id", "source", "n_chars", budgets, salt="mix")
 
+    def nb_eval_documents(sf):
+        # classifier eval harness: confusion matrix of the NB
+        # self-classification against the true labels (broadcast join
+        # of the bounded prediction set onto the label projection,
+        # then one keyed count)
+        from packs_ray.functions.agg import keyed_count
+        from packs_ray.functions.joins import equi_join
+        from packs_ray.functions.lm import naive_bayes_classify
+
+        preds = naive_bayes_classify(
+            _ds(sf, "documents", ["doc_id", "text", "lang"]),
+            "doc_id", "text", "lang", vocab_size=512)
+        joined = equi_join(
+            _ds(sf, "documents", ["doc_id", "lang"]), preds,
+            left_on=["doc_id"], right_on=["doc_id"], how="inner")
+        return keyed_count(joined, ["lang", "pred"],
+                           count_col="n").sort(["lang", "pred"])
+
     def class_tfidf_documents(sf):
         # c-TF-IDF per-language distinguishing terms (BERTopic formula):
         # one token-bucketed exact reduce, per-bucket lossless top-k
@@ -3732,6 +3750,7 @@ checks for orders:
         "nb_classify_documents": nb_classify_documents,
         "bpe_merges_documents": bpe_merges_documents,
         "class_tfidf_documents": class_tfidf_documents,
+        "nb_eval_documents": nb_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -6741,6 +6760,54 @@ def _perplexity_corpus_sql() -> str:
     FROM b LEFT JOIN s USING (doc_id)"""
 
 
+_NB_SQL = r"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text, lang
+               FROM documents),
+    t0 AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text,
+        '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
+        '[ \t\n\r\f\v]+') AS toks FROM d),
+    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
+                THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+    uc AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT tok, (row_number() OVER (
+                  ORDER BY cnt DESC, tok ASC))::BIGINT AS id
+              FROM uc ORDER BY cnt DESC, tok ASC LIMIT 512),
+    vs AS (SELECT (count(*) + 1)::DOUBLE AS v_sm FROM vocab),
+    ti AS (SELECT t.doc_id, coalesce(vb.id, 0)::BIGINT AS id
+           FROM tok t LEFT JOIN vocab vb ON vb.tok = t.tok),
+    lab AS (SELECT doc_id, lang FROM d WHERE lang IS NOT NULL),
+    cls AS (SELECT lang AS class, count(*)::BIGINT AS nc
+            FROM lab GROUP BY 1),
+    nd AS (SELECT sum(nc)::BIGINT AS n FROM cls),
+    tc AS (SELECT l.lang AS class, ti.id, count(*)::BIGINT AS c
+           FROM ti JOIN lab l USING (doc_id) GROUP BY 1, 2),
+    tot AS (SELECT class, sum(c)::BIGINT AS t FROM tc GROUP BY 1),
+    ids AS (SELECT 0::BIGINT AS id UNION ALL SELECT id FROM vocab),
+    lp AS (SELECT cls.class, ids.id,
+            ln((coalesce(tc.c, 0) + 1.0)
+               / (coalesce(tot.t, 0) + vs.v_sm)) AS lp
+           FROM cls CROSS JOIN ids
+           LEFT JOIN tc ON tc.class = cls.class AND tc.id = ids.id
+           LEFT JOIN tot ON tot.class = cls.class
+           CROSS JOIN vs),
+    pri AS (SELECT class, ln(nc::DOUBLE / nd.n) AS pr FROM cls, nd),
+    dcnt AS (SELECT doc_id, id, count(*)::BIGINT AS cnt
+             FROM ti GROUP BY 1, 2),
+    sc AS (SELECT dcnt.doc_id, lp.class,
+            list_sum(list(dcnt.cnt * lp.lp ORDER BY dcnt.id)) AS s
+           FROM dcnt JOIN lp USING (id) GROUP BY 1, 2),
+    all_sc AS (SELECT d.doc_id, pri.class,
+                pri.pr + coalesce(sc.s, 0.0) AS score
+               FROM d CROSS JOIN pri
+               LEFT JOIN sc ON sc.doc_id = d.doc_id
+                           AND sc.class = pri.class)
+    SELECT doc_id, class AS pred, round(score, 6) AS logp
+    FROM all_sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, class ASC) = 1"""
+
+
 def _token_ppl_sql(v: int = 512) -> str:
     """Exact replica of lm.token_bigram_perplexity: whitespace-token
     contract, top-v vocab by (count desc, token asc) with UNK id 0,
@@ -8335,52 +8402,13 @@ def oracle_sql() -> dict[str, str]:
         # per-(doc, class) score = prior + list_sum of id-ORDERED
         # cnt*lp terms (== the engine's ascending-id reduceat), argmax
         # ties to the smallest class
-        "nb_classify_documents": r"""
-    WITH d AS (SELECT doc_id, coalesce(text, '') AS text, lang
-               FROM documents),
-    t0 AS (SELECT doc_id, regexp_split_to_array(regexp_replace(text,
-        '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g'),
-        '[ \t\n\r\f\v]+') AS toks FROM d),
-    tl AS (SELECT doc_id, CASE WHEN len(toks) = 1 AND toks[1] = ''
-                THEN []::VARCHAR[] ELSE toks END AS toks FROM t0),
-    tok AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
-    uc AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
-    vocab AS (SELECT tok, (row_number() OVER (
-                  ORDER BY cnt DESC, tok ASC))::BIGINT AS id
-              FROM uc ORDER BY cnt DESC, tok ASC LIMIT 512),
-    vs AS (SELECT (count(*) + 1)::DOUBLE AS v_sm FROM vocab),
-    ti AS (SELECT t.doc_id, coalesce(vb.id, 0)::BIGINT AS id
-           FROM tok t LEFT JOIN vocab vb ON vb.tok = t.tok),
-    lab AS (SELECT doc_id, lang FROM d WHERE lang IS NOT NULL),
-    cls AS (SELECT lang AS class, count(*)::BIGINT AS nc
-            FROM lab GROUP BY 1),
-    nd AS (SELECT sum(nc)::BIGINT AS n FROM cls),
-    tc AS (SELECT l.lang AS class, ti.id, count(*)::BIGINT AS c
-           FROM ti JOIN lab l USING (doc_id) GROUP BY 1, 2),
-    tot AS (SELECT class, sum(c)::BIGINT AS t FROM tc GROUP BY 1),
-    ids AS (SELECT 0::BIGINT AS id UNION ALL SELECT id FROM vocab),
-    lp AS (SELECT cls.class, ids.id,
-            ln((coalesce(tc.c, 0) + 1.0)
-               / (coalesce(tot.t, 0) + vs.v_sm)) AS lp
-           FROM cls CROSS JOIN ids
-           LEFT JOIN tc ON tc.class = cls.class AND tc.id = ids.id
-           LEFT JOIN tot ON tot.class = cls.class
-           CROSS JOIN vs),
-    pri AS (SELECT class, ln(nc::DOUBLE / nd.n) AS pr FROM cls, nd),
-    dcnt AS (SELECT doc_id, id, count(*)::BIGINT AS cnt
-             FROM ti GROUP BY 1, 2),
-    sc AS (SELECT dcnt.doc_id, lp.class,
-            list_sum(list(dcnt.cnt * lp.lp ORDER BY dcnt.id)) AS s
-           FROM dcnt JOIN lp USING (id) GROUP BY 1, 2),
-    all_sc AS (SELECT d.doc_id, pri.class,
-                pri.pr + coalesce(sc.s, 0.0) AS score
-               FROM d CROSS JOIN pri
-               LEFT JOIN sc ON sc.doc_id = d.doc_id
-                           AND sc.class = pri.class)
-    SELECT doc_id, class AS pred, round(score, 6) AS logp
-    FROM all_sc
-    QUALIFY row_number() OVER (PARTITION BY doc_id
-        ORDER BY score DESC, class ASC) = 1""",
+        "nb_classify_documents": _NB_SQL,
+        "nb_eval_documents": f"""
+    WITH nb AS ({_NB_SQL}),
+    j AS (SELECT d.lang, nb.pred FROM documents d
+          JOIN nb USING (doc_id))
+    SELECT lang, pred, count(*)::BIGINT AS n FROM j
+    GROUP BY 1, 2""",
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "kmeans_embeddings": _kmeans_sql(8, 2, 64),
         "bpe_merges_documents": _bpe_sql(6),
