@@ -1961,6 +1961,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return keyed_count(joined, ["lang", "pred"],
                            count_col="n").sort(["lang", "pred"])
 
+    def calibration_events(sf):
+        # reliability bins + ECE + Brier of a [0,1] score against a
+        # binary outcome (pred = value/500 clipped, label = click or
+        # purchase) — exact integer micro-unit sums, one streaming scan
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import calibration_profile
+
+        def proj(t):
+            p = pc.divide(pc.cast(t.column("value"), pa.float64()),
+                          500.0)
+            et = t.column("event_type")
+            y = pc.if_else(
+                et.is_valid(),
+                pc.cast(pc.is_in(et, value_set=pa.array(
+                    ["click", "purchase"])), pa.int64()),
+                pa.nulls(len(t), type=pa.int64()))
+            return pa.table({"p": p, "y": y})
+
+        ds = _ds(sf, "events", ["value", "event_type"]) \
+            .map_batches(proj, batch_format="pyarrow")
+        return calibration_profile(ds, "p", "y", n_bins=10)
+
+    def novelty_events(sf):
+        # per-day first-seen novelty of (user_id, event_type) keys:
+        # exact global first day per key via one bucketed reduce
+        from packs_ray.functions.timeliness import novelty_rate
+
+        return novelty_rate(_ds(sf, "events",
+                                ["user_id", "event_type", "ts"]),
+                            ["user_id", "event_type"], "ts")
+
     def class_tfidf_documents(sf):
         # c-TF-IDF per-language distinguishing terms (BERTopic formula):
         # one token-bucketed exact reduce, per-bucket lossless top-k
@@ -3751,6 +3784,8 @@ checks for orders:
         "bpe_merges_documents": bpe_merges_documents,
         "class_tfidf_documents": class_tfidf_documents,
         "nb_eval_documents": nb_eval_documents,
+        "calibration_events": calibration_events,
+        "novelty_events": novelty_events,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -8409,6 +8444,54 @@ def oracle_sql() -> dict[str, str]:
           JOIN nb USING (doc_id))
     SELECT lang, pred, count(*)::BIGINT AS n FROM j
     GROUP BY 1, 2""",
+        # drift.calibration_profile replica: identical [0,1] clip and
+        # integer micro-unit pins (p6 linear / p4 squared, HUGEINT
+        # sums), bin = p6*10 // 1e6 clamped, ECE summed in
+        # ascending-bin order (list_sum ORDER BY bin == the engine's
+        # fixed driver loop), 6dp at the emit boundary only
+        "calibration_events": """
+    WITH v AS (SELECT least(greatest(value / 500.0, 0.0), 1.0) AS p,
+        CASE WHEN event_type IN ('click', 'purchase') THEN 1
+             ELSE 0 END::BIGINT AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    q AS (SELECT CAST(round(p * 1000000, 0) AS BIGINT) AS p6,
+                 CAST(round(p * 10000, 0) AS BIGINT) AS p4, y FROM v),
+    b AS (SELECT least(p6 * 10 // 1000000, 9) AS bin, p6, p4, y FROM q),
+    g AS (SELECT bin, count(*)::BIGINT AS n,
+                 sum(p6)::HUGEINT AS sp6, sum(y)::HUGEINT AS sy,
+                 sum((p4 - y * 10000) * (p4 - y * 10000))::HUGEINT
+                     AS sq4
+          FROM b GROUP BY 1),
+    t AS (SELECT sum(n)::HUGEINT AS total, sum(sq4)::HUGEINT AS ssq,
+                 list_sum(list(
+                     n * abs(sp6 / (n * 1000000.0) - sy / (n * 1.0))
+                     ORDER BY bin)) AS ece_num
+          FROM g)
+    SELECT bin::BIGINT AS bin, n,
+        round(sp6 / (n * 1000000.0), 6) AS mean_pred,
+        round(sy / (n * 1.0), 6) AS frac_pos,
+        round(abs(sp6 / (n * 1000000.0) - sy / (n * 1.0)), 6) AS gap,
+        round(t.ece_num / (t.total * 1.0), 6) AS ece,
+        round(t.ssq / (t.total * 100000000.0), 6) AS brier
+    FROM g CROSS JOIN t ORDER BY bin""",
+        # timeliness.novelty_rate replica: same UTC day bucket as
+        # day_gaps, exact min-day per (user_id, event_type) key, 6dp
+        # ratio
+        "novelty_events": """
+    WITH v AS (SELECT user_id, event_type,
+                      epoch_ms(ts) // 86400000 AS day
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL AND ts IS NOT NULL),
+    f AS (SELECT user_id, event_type, min(day) AS first_day
+          FROM v GROUP BY 1, 2),
+    nf AS (SELECT first_day AS day, count(*)::BIGINT AS n_first
+           FROM f GROUP BY 1),
+    ne AS (SELECT day, count(*)::BIGINT AS n_events FROM v GROUP BY 1)
+    SELECT ne.day::BIGINT AS day, ne.n_events,
+        coalesce(nf.n_first, 0)::BIGINT AS n_first,
+        round(coalesce(nf.n_first, 0) / (ne.n_events * 1.0), 6)
+            AS novelty_ratio
+    FROM ne LEFT JOIN nf USING (day) ORDER BY day""",
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "kmeans_embeddings": _kmeans_sql(8, 2, 64),
         "bpe_merges_documents": _bpe_sql(6),

@@ -791,3 +791,102 @@ def js_divergence(ds_a, ds_b, text_col: str, *,
     return pd.DataFrame({"n_a": [na], "n_b": [nb], "vocab_a": [va],
                          "vocab_b": [vb], "vocab_union": [v],
                          "js_nats": [float(total) / 1e9]})
+
+
+def calibration_profile(ds, prob_col: str, label_col: str, *,
+                        n_bins: int = 10) -> pd.DataFrame:
+    """Probability-calibration audit of a scored dataset: reliability
+    bins + ECE + Brier score (Guo et al. 2017 definitions) — the
+    quality gate for any learned filter (langid confidence, NB quality
+    classifier, toxicity score) whose probabilities drive keep/drop
+    thresholds downstream.  The packs' score-rollup idea
+    (profiling_pack/main.py:402-432 emits a dataset-level score from
+    per-check rates) applied to a model column.
+
+    Contract: ``prob_col`` is clipped into [0, 1]; ``label_col`` is a
+    0/1 outcome; rows with a null in either column drop.  Probabilities
+    are pinned to integer micro-units (1e-6 for the linear terms, 1e-4
+    for the squared Brier terms) so every sum is an exact integer and
+    the result is bit-identical at any parallelism; the SQL replica
+    mirrors the same quantization.
+
+    Output: one row per non-empty bin — (bin, n, mean_pred, frac_pos,
+    gap) — plus the dataset-level ``ece`` (bin-weighted mean |gap|,
+    summed in ascending-bin order) and ``brier`` repeated on every row,
+    all 6dp-pinned, ordered by bin.
+
+    Scale shape: one streaming scan; each batch emits four fixed-width
+    int64 per-bin vectors (n, sum_p6, sum_y, sum_sq4), combined on the
+    driver in arbitrary-precision Python ints — nothing but
+    O(blocks * n_bins) integers ever move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import global_agg
+    from packs_ray.stages.util import round_half_away as _rh
+
+    def partial(batch: pa.Table) -> dict:
+        p = batch.column(prob_col)
+        y = batch.column(label_col)
+        mask = pc.and_(p.is_valid(), y.is_valid())
+        p = np.minimum(np.maximum(
+            p.filter(mask).to_numpy(zero_copy_only=False)
+            .astype(np.float64), 0.0), 1.0)
+        yv = y.filter(mask).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p6 = _rh(p * 1e6, 0).astype(np.int64)
+        p4 = _rh(p * 1e4, 0).astype(np.int64)
+        b = np.minimum(p6 * n_bins // 1_000_000, n_bins - 1)
+        out = {"n": np.bincount(b, minlength=n_bins)}
+        for k, v in (("sp6", p6), ("sy", yv),
+                     ("sq4", (p4 - yv * 10_000) ** 2)):
+            acc = np.zeros(n_bins, dtype=np.int64)
+            np.add.at(acc, b, v)
+            out[k] = acc
+        return {k: v.astype(np.int64).tobytes() for k, v in out.items()}
+
+    def combine(parts: pd.DataFrame) -> dict:
+        tot = {k: [0] * n_bins for k in ("n", "sp6", "sy", "sq4")}
+        for k in tot:
+            for buf in parts[k].dropna():
+                a = np.frombuffer(buf, dtype=np.int64)
+                # python-int accumulation: sq4 sums overflow int64 at
+                # ~1e12 rows; the oracle uses HUGEINT for the same sums
+                for i in range(n_bins):
+                    tot[k][i] += int(a[i])
+        return {k: repr(v) for k, v in tot.items()}
+
+    sch = pa.schema([(prob_col, pa.float64()), (label_col, pa.int64())])
+    agg = global_agg(ds.select_columns([prob_col, label_col]),
+                     partial, combine, empty_schema=sch)
+    import ast
+
+    n = [int(x) for x in ast.literal_eval(agg["n"])]
+    sp6 = [int(x) for x in ast.literal_eval(agg["sp6"])]
+    sy = [int(x) for x in ast.literal_eval(agg["sy"])]
+    sq4 = [int(x) for x in ast.literal_eval(agg["sq4"])]
+    total = sum(n)
+    rows, ece_acc = [], 0.0
+    for b in range(n_bins):
+        if n[b] == 0:
+            continue
+        mp = float(sp6[b]) / (n[b] * 1e6)
+        fp = float(sy[b]) / float(n[b])
+        gap = abs(mp - fp)
+        ece_acc += n[b] * gap          # ascending-bin order, both sides
+        rows.append({"bin": np.int64(b), "n": np.int64(n[b]),
+                     "mean_pred": float(_rh(mp, 6)),
+                     "frac_pos": float(_rh(fp, 6)),
+                     "gap": float(_rh(gap, 6))})
+    if not rows:
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             **{c: pd.Series([], dtype="float64")
+                                for c in ("mean_pred", "frac_pos",
+                                          "gap", "ece", "brier")}})
+    ece = float(_rh(ece_acc / total, 6))
+    brier = float(_rh(float(sum(sq4)) / (total * 1e8), 6))
+    out = pd.DataFrame(rows)
+    out["ece"] = ece
+    out["brier"] = brier
+    return out

@@ -246,3 +246,92 @@ def day_gaps(ds, key_col: str, ts_col: str,
     return ds2.groupby("bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
         .sort(key_col)
+
+
+def novelty_rate(ds, key_cols: list[str], ts_col: str,
+                 num_partitions: int | None = None):
+    """Per-day first-seen novelty of a keyed event stream: for each
+    UTC day, how many events arrived and how many of them introduced a
+    key never seen before — the crawl-freshness signal (a feed whose
+    novelty ratio decays to zero is re-serving old content; a spike is
+    a new source coming online).  Extends the timeliness_pack's
+    freshness idea (timeliness_pack/main.py:107-112 tracks only the
+    newest timestamp) to the full arrival curve.
+
+    day = epoch_us // 86_400_000_000 (the house UTC bucket, as
+    ``day_gaps``).  Rows with a null ts or any null key column drop
+    from both counts.  Output: (day, n_events, n_first, novelty_ratio)
+    ordered by day, ratio 6dp-pinned.
+
+    Scale shape: per-batch (key..., min day) combiner marks ride ONE
+    bucketed reduce on hash(key) for the exact global first-day per
+    key; day totals are a ``keyed_count`` over the derived day column.
+    Only per-day count rows (bounded by the observed day span) land on
+    the driver."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         keyed_count,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _rh
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select(key_cols + [ts_col])
+        mask = batch.column(ts_col).is_valid()
+        for c in key_cols:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        batch = batch.filter(mask)
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({c: batch.column(c).to_numpy(
+            zero_copy_only=False) for c in key_cols})
+        df["day"] = us // np.int64(86_400_000_000)
+        out = (df.groupby(key_cols, sort=False)["day"].min()
+               .reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.groupby(key_cols, sort=False)["day"].min())
+        cnt = first.value_counts().sort_index()
+        return pd.DataFrame({"day": cnt.index.to_numpy(np.int64),
+                             "n_first": cnt.to_numpy(np.int64)})
+
+    firsts = bucketed_group_reduce(
+        ds.map_batches(marks, batch_format="pyarrow"), key_cols,
+        per_bucket, num_partitions).to_pandas()
+    if len(firsts):
+        firsts = (firsts.groupby("day", sort=True)["n_first"].sum()
+                  .reset_index())
+
+    def day_col(batch: pa.Table) -> pa.Table:
+        mask = batch.column(ts_col).is_valid()
+        for c in key_cols:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        us = pc.cast(pc.cast(batch.filter(mask).column(ts_col),
+                             pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array(
+            us // np.int64(86_400_000_000), type=pa.int64())})
+
+    totals = keyed_count(
+        ds.select_columns(key_cols + [ts_col])
+        .map_batches(day_col, batch_format="pyarrow"),
+        ["day"], count_col="n_events").to_pandas()
+    if not len(totals):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "n_first": pd.Series([], dtype="int64"),
+            "novelty_ratio": pd.Series([], dtype="float64")})
+    out = totals.merge(firsts, on="day", how="left") \
+        if len(firsts) else totals.assign(n_first=0)
+    out["n_first"] = out["n_first"].fillna(0).astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    out["novelty_ratio"] = _rh(
+        out["n_first"].to_numpy(np.float64)
+        / out["n_events"].to_numpy(np.float64), 6)
+    return out.sort_values("day", kind="stable").reset_index(drop=True)

@@ -1,0 +1,114 @@
+"""Edge-semantics tests for the session-8 operators (the DuckDB-oracle
+sweeps cover end-to-end parity; these pin the tricky local semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+# -------------------------------------------------- calibration_profile
+
+def test_calibration_perfectly_calibrated(ray_session):
+    from packs_ray.functions.drift import calibration_profile
+
+    # bin 2 (p=0.25): 1/4 positives; bin 7 (p=0.75): 3/4 positives —
+    # both gaps are exactly 0 -> ECE 0
+    df = pd.DataFrame({
+        "p": [0.25, 0.25, 0.25, 0.25, 0.75, 0.75, 0.75, 0.75],
+        "y": [1, 0, 0, 0, 1, 1, 1, 0]})
+    out = calibration_profile(_ds(df), "p", "y", n_bins=10)
+    assert list(out["bin"]) == [2, 7]
+    assert list(out["n"]) == [4, 4]
+    assert out["ece"].iloc[0] == 0.0
+    exp = ((0.25 - 1) ** 2 + 3 * 0.25 ** 2
+           + 3 * (0.75 - 1) ** 2 + 0.75 ** 2) / 8
+    assert abs(out["brier"].iloc[0] - round(exp, 6)) < 1e-9
+
+
+def test_calibration_clip_nulls_and_edge_bin(ray_session):
+    from packs_ray.functions.drift import calibration_profile
+
+    # p=1.0 lands in the TOP bin (clamped, not bin 10); p=-0.3 clips to
+    # 0 -> bin 0; nulls in either column drop
+    df = pd.DataFrame({
+        "p": [1.0, -0.3, None, 0.5],
+        "y": [1, 0, 1, None]})
+    out = calibration_profile(_ds(df), "p", "y", n_bins=10)
+    assert list(out["bin"]) == [0, 9]
+    assert list(out["n"]) == [1, 1]
+    # bin 9: pred 1.0, pos 1.0 -> gap 0; bin 0: pred 0.0, pos 0 -> 0
+    assert out["ece"].iloc[0] == 0.0
+
+
+def test_calibration_empty(ray_session):
+    from packs_ray.functions.drift import calibration_profile
+
+    df = pd.DataFrame({"p": pd.Series([None], dtype="float64"),
+                       "y": pd.Series([None], dtype="float64")})
+    out = calibration_profile(_ds(df), "p", "y")
+    assert len(out) == 0
+    assert list(out.columns) == ["bin", "n", "mean_pred", "frac_pos",
+                                 "gap", "ece", "brier"]
+
+
+def test_calibration_miscalibrated_ece(ray_session):
+    from packs_ray.functions.drift import calibration_profile
+
+    # all predictions 0.9, no positives: ECE = |0.9 - 0| = 0.9
+    df = pd.DataFrame({"p": [0.9] * 5, "y": [0] * 5})
+    out = calibration_profile(_ds(df), "p", "y", n_bins=10)
+    assert len(out) == 1
+    assert out["gap"].iloc[0] == 0.9
+    assert out["ece"].iloc[0] == 0.9
+    assert out["brier"].iloc[0] == round(0.81, 6)
+
+
+# ------------------------------------------------------- novelty_rate
+
+def test_novelty_first_seen_days(ray_session):
+    from packs_ray.functions.timeliness import novelty_rate
+
+    day = 86_400_000_000  # us
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "a", "c", None],
+        "ts": pd.to_datetime(
+            np.array([0, 0, day // 2, day, day, day], dtype="int64"),
+            unit="us"),
+    })
+    out = novelty_rate(_ds(df), ["k"], "ts")
+    # day 0: 3 events (a,a,b), 2 first-seen keys (a,b); day 1: 2 valid
+    # events (a,c — null key drops), 1 first-seen (c)
+    assert list(out["day"]) == [0, 1]
+    assert list(out["n_events"]) == [3, 2]
+    assert list(out["n_first"]) == [2, 1]
+    assert list(out["novelty_ratio"]) == [round(2 / 3, 6), 0.5]
+
+
+def test_novelty_all_repeat_second_day(ray_session):
+    from packs_ray.functions.timeliness import novelty_rate
+
+    day = 86_400_000_000
+    df = pd.DataFrame({
+        "k": ["x", "y", "x", "y"],
+        "ts": pd.to_datetime(
+            np.array([0, 1, day, day + 1], dtype="int64"), unit="us")})
+    out = novelty_rate(_ds(df), ["k"], "ts")
+    assert list(out["n_first"]) == [2, 0]
+    assert list(out["novelty_ratio"]) == [1.0, 0.0]
+
+
+def test_novelty_empty(ray_session):
+    from packs_ray.functions.timeliness import novelty_rate
+
+    df = pd.DataFrame({"k": pd.Series([None, None], dtype="object"),
+                       "ts": pd.to_datetime(pd.Series([None, None]))})
+    out = novelty_rate(_ds(df), ["k"], "ts")
+    assert len(out) == 0
+    assert list(out.columns) == ["day", "n_events", "n_first",
+                                 "novelty_ratio"]
