@@ -1985,6 +1985,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(proj, batch_format="pyarrow")
         return calibration_profile(ds, "p", "y", n_bins=10)
 
+    def overlap_sessions_events(sf):
+        # interval x interval OVERLAP join (unkeyed, time-tiled): which
+        # user click-sessions intersected a daily error window — the
+        # temporal diagnostic neither asof_join nor interval_join
+        # (point-in-interval) covers
+        import pyarrow as pa
+
+        from packs_ray.functions import windows
+        from packs_ray.functions.agg import (bucketed_group_reduce,
+                                             reduce_partition_count)
+        from packs_ray.functions.joins import overlap_join
+
+        ev = _ds(sf, "events", ["user_id", "ts", "event_type"])
+
+        def clicks(t):
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t.column("event_type"), "click")) \
+                .select(["user_id", "ts"])
+
+        sessions = windows.sessionize(
+            ev.map_batches(clicks, batch_format="pyarrow"),
+            "user_id", "ts", gap_seconds=1800)
+
+        def err_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df = df[(df["event_type"] == "error") & df["ts"].notna()]
+            df["day"] = (df["ts"].astype("datetime64[us]")
+                         .astype("int64") // 86_400_000_000)
+            part = (df.groupby("day", sort=False)
+                    .agg(w_start=("ts", "min"), w_end=("ts", "max"),
+                         n_errors=("ts", "size")).reset_index())
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+        def err_reduce(g):
+            out = (g.groupby("day", sort=False)
+                   .agg(w_start=("w_start", "min"),
+                        w_end=("w_end", "max"),
+                        n_errors=("n_errors", "sum")).reset_index())
+            out["n_errors"] = out["n_errors"].astype("int64")
+            return out
+
+        wins = bucketed_group_reduce(
+            ev.map_batches(err_partial, batch_format="pyarrow"),
+            ["day"], err_reduce, reduce_partition_count(ev))
+        out = overlap_join(sessions, wins,
+                           left_start="session_start",
+                           left_end="session_end",
+                           right_start="w_start", right_end="w_end",
+                           bucket_seconds=86_400)
+        return out.sort(["user_id", "session_id", "r_day"])
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -3786,6 +3837,7 @@ checks for orders:
         "nb_eval_documents": nb_eval_documents,
         "calibration_events": calibration_events,
         "novelty_events": novelty_events,
+        "overlap_sessions_events": overlap_sessions_events,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -8474,6 +8526,42 @@ def oracle_sql() -> dict[str, str]:
         round(t.ece_num / (t.total * 1.0), 6) AS ece,
         round(t.ssq / (t.total * 100000000.0), 6) AS brier
     FROM g CROSS JOIN t ORDER BY bin""",
+        # joins.overlap_join replica: click sessions (the sessionize
+        # contract) x per-day error windows, closed-interval overlap
+        # predicate, overlap_us = min(end) - max(start) in micros
+        "overlap_sessions_events": """
+    WITH d AS (
+        SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                 THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1
+                AS session_id
+        FROM d),
+    sess AS (SELECT user_id, session_id::BIGINT AS session_id,
+        min(ts) AS session_start, max(ts) AS session_end,
+        count(*)::BIGINT AS n_events
+        FROM s GROUP BY 1, 2),
+    win AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        min(ts) AS w_start, max(ts) AS w_end,
+        count(*)::BIGINT AS n_errors
+        FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+        GROUP BY 1)
+    SELECT sess.user_id, sess.session_id, sess.session_start,
+        sess.session_end, sess.n_events,
+        win.day::BIGINT AS r_day, win.w_start AS r_w_start,
+        win.w_end AS r_w_end, win.n_errors AS r_n_errors,
+        (epoch_us(least(session_end, w_end))
+         - epoch_us(greatest(session_start, w_start)))::BIGINT
+            AS overlap_us
+    FROM sess JOIN win ON session_start <= w_end
+                      AND w_start <= session_end
+    ORDER BY user_id, session_id, r_day""",
         # timeliness.novelty_rate replica: same UTC day bucket as
         # day_gaps, exact min-day per (user_id, event_type) key, 6dp
         # ratio

@@ -611,3 +611,128 @@ def skew_join(left_ds, right_ds, *, left_on: str, right_on: str,
     cold_join = _join_bucketed(l_cold, r_cold, [left_on], [right_on],
                                "inner", ren)
     return hot_join.union(cold_join)
+
+
+def overlap_join(left_ds, right_ds, *, left_start: str, left_end: str,
+                 right_start: str, right_end: str,
+                 bucket_seconds: int = 86_400,
+                 right_prefix: str = "r_",
+                 num_partitions: int | None = None):
+    """Interval-OVERLAP join (closed intervals, unkeyed): every
+    (left, right) pair whose time intervals intersect —
+    ``l.start <= r.end AND r.start <= l.end`` — the third member of the
+    temporal-join family next to ``asof_join`` (point→latest point) and
+    ``interval_join`` (point→containing interval).  Ray Data has no
+    native equivalent.
+
+    Distributed shape (time tiling): each interval replicates into the
+    ``bucket_seconds``-wide time buckets it covers, both sides shuffle
+    ONCE on ``bucket % P``, and each pair is emitted exactly once — in
+    the bucket containing ``max(l.start, r.start)`` (both intervals
+    provably cover that bucket when they overlap, so no pair is lost
+    and cross-bucket duplicates are filtered without a distinct pass).
+
+    Partitioning assumption (document per SURVEY §2 custom-op rule):
+    per-bucket cost is |L_b| x |R_b| — ``bucket_seconds`` must be sized
+    so concurrently-open intervals per bucket stay merge-joinable (a
+    day for session-vs-outage diagnostics); replication factor per row
+    is ceil(span / bucket_seconds).
+
+    Rows with a null endpoint or ``end < start`` drop (they define no
+    interval).  Output: left columns + right columns prefixed
+    ``right_prefix`` + ``overlap_us`` (int64 inclusive-intersection
+    length).  Lazy Dataset."""
+    import pyarrow.compute as pc
+
+    if left_ds.schema() is None or right_ds.schema() is None:
+        # a fully-empty side with unknown schema (e.g. intervals
+        # derived from an empty table through map_groups): the inner
+        # join is empty; the vanished side's column names are
+        # unknowable, so emit zero rows with the known side's columns
+        # (house convention, cf. interval_join)
+        import ray.data
+        cols = {}
+        for side_ds, pref in ((left_ds, ""), (right_ds, right_prefix)):
+            if side_ds.schema() is not None:
+                sch = _arrow_schema(side_ds)
+                for c in sch.names:
+                    cols[pref + c] = pd.Series(
+                        [], dtype="datetime64[us]"
+                        if pa.types.is_timestamp(sch.field(c).type)
+                        else sch.field(c).type.to_pandas_dtype())
+        cols["overlap_us"] = pd.Series([], dtype="int64")
+        return ray.data.from_pandas(pd.DataFrame(cols))
+
+    lsch = _arrow_schema(left_ds)
+    rsch = _arrow_schema(right_ds)
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    ren = {c: right_prefix + c for c in rcols}
+    if num_partitions is None:
+        num_partitions = max(reduce_partition_count(left_ds),
+                             reduce_partition_count(right_ds))
+    w = np.int64(bucket_seconds) * 1_000_000
+
+    out_fields = ([(c, lsch.field(c).type) for c in lcols]
+                  + [(ren[c], rsch.field(c).type) for c in rcols])
+    rout = [ren[c] for c in rcols]
+
+    def mark(side, s_col, e_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.rename_columns(
+                    [ren[c] for c in batch.column_names])
+            s_us = pc.cast(pc.cast(batch.column(s_col),
+                                   pa.timestamp("us")), pa.int64())
+            e_us = pc.cast(pc.cast(batch.column(e_col),
+                                   pa.timestamp("us")), pa.int64())
+            mask = pc.and_(pc.and_(s_us.is_valid(), e_us.is_valid()),
+                           pc.less_equal(s_us, e_us))
+            batch = batch.filter(mask)
+            s = s_us.filter(mask).to_numpy(zero_copy_only=False)
+            e = e_us.filter(mask).to_numpy(zero_copy_only=False)
+            b0, b1 = s // w, e // w
+            reps = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+            # bucket id per replica: cumulative offset within each row
+            off = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+            bucket = np.repeat(b0, reps) + off
+            n = len(idx)
+            cols = {"__b": pa.array(bucket),
+                    "__p": pa.array(bucket % np.int64(num_partitions)),
+                    "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                    "__s": pa.array(s[idx]), "__e": pa.array(e[idx])}
+            taken = batch.take(pa.array(idx))
+            for name, typ in out_fields:
+                cols[name] = (taken.column(name)
+                              if name in taken.column_names
+                              else pa.nulls(n, typ))
+            return pa.table(cols)
+        return fn
+
+    marked = (left_ds.map_batches(mark(0, left_start, left_end),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(
+                  mark(1, ren[right_start], ren[right_end]),
+                  batch_format="pyarrow")))
+    restore = _dtype_restorer(out_fields + [("overlap_us", pa.int64())])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lcols + ["__b", "__s", "__e"]]
+        r = g[g["__side"] == 1][rout + ["__b", "__s", "__e"]] \
+            .rename(columns={"__s": "__rs", "__e": "__re"})
+        m = l.merge(r, on="__b")
+        if len(m):
+            mx = np.maximum(m["__s"].to_numpy(np.int64),
+                            m["__rs"].to_numpy(np.int64))
+            mn = np.minimum(m["__e"].to_numpy(np.int64),
+                            m["__re"].to_numpy(np.int64))
+            keep = (mx <= mn) & (mx // w == m["__b"].to_numpy(np.int64))
+            m = m.loc[keep].assign(overlap_us=(mn - mx)[keep])
+        else:
+            m = m.assign(overlap_us=pd.Series([], dtype="int64"))
+        return restore(m[lcols + rout + ["overlap_us"]])
+
+    return marked.groupby("__p").map_groups(per_bucket,
+                                            batch_format="pandas")

@@ -112,3 +112,66 @@ def test_novelty_empty(ray_session):
     assert len(out) == 0
     assert list(out.columns) == ["day", "n_events", "n_first",
                                  "novelty_ratio"]
+
+
+# ------------------------------------------------------- overlap_join
+
+def _iv(rows, s="s", e="e"):
+    df = pd.DataFrame(rows)
+    for c in (s, e):
+        df[c] = pd.to_datetime(df[c], unit="us")
+    return _ds(df)
+
+
+def test_overlap_join_spanning_interval_emitted_once(ray_session):
+    from packs_ray.functions.joins import overlap_join
+
+    day = 86_400_000_000
+    # left interval spans 3 day-buckets; right sits inside day 1 -> the
+    # pair must appear EXACTLY once despite tiling into 3 replicas
+    l = _iv([{"lid": 1, "s": 0, "e": 3 * day - 1}])
+    r = _iv([{"rid": 7, "s": day + 5, "e": day + 10}])
+    out = overlap_join(l, r, left_start="s", left_end="e",
+                       right_start="s", right_end="e").to_pandas()
+    assert len(out) == 1
+    assert out["overlap_us"].iloc[0] == 5
+    assert out["r_rid"].iloc[0] == 7
+
+
+def test_overlap_join_inclusive_touch_and_disjoint(ray_session):
+    from packs_ray.functions.joins import overlap_join
+
+    # touching endpoints (e_l == s_r) overlap with length 0; disjoint
+    # intervals don't match
+    l = _iv([{"lid": 1, "s": 0, "e": 100},
+             {"lid": 2, "s": 0, "e": 10}])
+    r = _iv([{"rid": 1, "s": 100, "e": 200},
+             {"rid": 2, "s": 50, "e": 60}])
+    out = overlap_join(l, r, left_start="s", left_end="e",
+                       right_start="s", right_end="e").to_pandas()
+    got = sorted(zip(out["lid"], out["r_rid"], out["overlap_us"]))
+    assert got == [(1, 1, 0), (1, 2, 10)]
+
+
+def test_overlap_join_null_and_inverted_drop(ray_session):
+    from packs_ray.functions.joins import overlap_join
+
+    l = pd.DataFrame({"lid": [1, 2, 3],
+                      "s": pd.to_datetime([10, None, 100], unit="us"),
+                      "e": pd.to_datetime([20, 30, 50], unit="us")})
+    r = _iv([{"rid": 1, "s": 0, "e": 1000}])
+    out = overlap_join(_ds(l), r, left_start="s", left_end="e",
+                       right_start="s", right_end="e").to_pandas()
+    # row 2: null start; row 3: end < start -> both drop
+    assert list(out["lid"]) == [1]
+
+
+def test_overlap_join_cross_product_within_bucket(ray_session):
+    from packs_ray.functions.joins import overlap_join
+
+    l = _iv([{"lid": i, "s": 0, "e": 50} for i in range(3)])
+    r = _iv([{"rid": j, "s": 10, "e": 60} for j in range(2)])
+    out = overlap_join(l, r, left_start="s", left_end="e",
+                       right_start="s", right_end="e").to_pandas()
+    assert len(out) == 6
+    assert set(out["overlap_us"]) == {40}
