@@ -1985,6 +1985,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(proj, batch_format="pyarrow")
         return calibration_profile(ds, "p", "y", n_bins=10)
 
+    def setsim_pairs_documents(sf):
+        # EXACT prefix-filtered set-similarity self-join (AllPairs /
+        # PPJoin): no LSH, output equals the brute-force truth
+        from packs_ray.functions.setsim import setsim_join
+
+        out = setsim_join(_ds(sf, "documents", ["doc_id", "text"]),
+                          "doc_id", "text", threshold=0.9)
+        return out.sort(["id_a", "id_b"])
+
     def overlap_sessions_events(sf):
         # interval x interval OVERLAP join (unkeyed, time-tiled): which
         # user click-sessions intersected a daily error window — the
@@ -3838,6 +3847,7 @@ checks for orders:
         "calibration_events": calibration_events,
         "novelty_events": novelty_events,
         "overlap_sessions_events": overlap_sessions_events,
+        "setsim_pairs_documents": setsim_pairs_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -8526,6 +8536,28 @@ def oracle_sql() -> dict[str, str]:
         round(t.ece_num / (t.total * 1.0), 6) AS ece,
         round(t.ssq / (t.total * 100000000.0), 6) AS brier
     FROM g CROSS JOIN t ORDER BY bin""",
+        # setsim.setsim_join replica: brute-force exact token-set
+        # Jaccard (the engine's prefix filter is a sound pruning, so
+        # the outputs are identical); same trim/split contract as the
+        # lm tokenizer, unrounded threshold compare, 6dp emit
+        "setsim_pairs_documents": r"""
+    WITH d AS (SELECT doc_id, regexp_replace(text,
+                   '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g') AS t
+               FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(t,
+                '[ \t\n\r\f\v]+')) AS tok
+            FROM d WHERE t <> ''),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM tok GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     count(*)::BIGINT AS c
+              FROM tok a JOIN tok b ON a.tok = b.tok
+                                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT ia, ib, c, (sa.s + sb.s - c)::BIGINT AS un
+          FROM inter JOIN sz sa ON sa.doc_id = ia
+                     JOIN sz sb ON sb.doc_id = ib)
+    SELECT ia AS id_a, ib AS id_b, round(c / (un * 1.0), 6) AS jaccard
+    FROM j WHERE c / (un * 1.0) >= 0.9 ORDER BY 1, 2""",
         # joins.overlap_join replica: click sessions (the sessionize
         # contract) x per-day error windows, closed-interval overlap
         # predicate, overlap_us = min(end) - max(start) in micros

@@ -175,3 +175,66 @@ def test_overlap_join_cross_product_within_bucket(ray_session):
                        right_start="s", right_end="e").to_pandas()
     assert len(out) == 6
     assert set(out["overlap_us"]) == {40}
+
+
+# -------------------------------------------------------- setsim_join
+
+def _brute_pairs(texts, t):
+    import itertools
+    sets = {i: set(x.split()) for i, x in texts.items()
+            if x is not None and x.strip()}
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and i / u >= t:
+            out.append((a, b))
+    return sorted(out)
+
+
+def test_setsim_matches_brute_force_random(ray_session):
+    from packs_ray.functions.setsim import setsim_join
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    for i in range(80):
+        n = rng.randint(3, 20)
+        texts[i] = " ".join(rng.choice(vocab, size=n))
+    # plant exact dups and near-dups
+    texts[80] = texts[0]
+    texts[81] = texts[1] + " extra"
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    for t in (0.5, 0.8, 0.95):
+        out = setsim_join(_ds(df), "doc_id", "text", threshold=t,
+                          collect=True)
+        got = sorted(zip(out["id_a"], out["id_b"]))
+        assert got == _brute_pairs(texts, t), f"threshold {t}"
+
+
+def test_setsim_threshold_boundary_and_empty_docs(ray_session):
+    from packs_ray.functions.setsim import setsim_join
+
+    # J(0,1)=1.0 (identical), J(0,2)=3/4=0.75, J(3,*)=0; doc 4 empty,
+    # doc 5 null -> both excluded
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["a b c", "c b a", "a b c d", "x y z", "   ", None]})
+    out = setsim_join(_ds(df), "doc_id", "text", threshold=0.75,
+                      collect=True)
+    got = sorted(zip(out["id_a"], out["id_b"], out["jaccard"]))
+    assert got == [(0, 1, 1.0), (0, 2, 0.75), (1, 2, 0.75)]
+    out2 = setsim_join(_ds(df), "doc_id", "text", threshold=0.76,
+                       collect=True)
+    assert sorted(zip(out2["id_a"], out2["id_b"])) == [(0, 1)]
+
+
+def test_setsim_max_group_skip_surfaced(ray_session):
+    from packs_ray.functions.setsim import setsim_join
+
+    # every doc identical -> one prefix-token group of 30 > max_group
+    df = pd.DataFrame({"doc_id": range(30), "text": ["q r s"] * 30})
+    out = setsim_join(_ds(df), "doc_id", "text", threshold=0.9,
+                      max_group=10, collect=True)
+    assert len(out) == 0
+    assert out.attrs["skipped_buckets"] >= 1
