@@ -1985,6 +1985,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(proj, batch_format="pyarrow")
         return calibration_profile(ds, "p", "y", n_bins=10)
 
+    def t_closeness_events(sf):
+        # privacy audit beyond k-anonymity/l-diversity: per-QI-group
+        # total-variation distance to the global sensitive distribution
+        from packs_ray.functions.pii import t_closeness
+
+        return t_closeness(
+            _ds(sf, "events", ["event_type", "user_id", "props"]),
+            ["event_type", "user_id"], "props", t=0.2)
+
     def setsim_pairs_documents(sf):
         # EXACT prefix-filtered set-similarity self-join (AllPairs /
         # PPJoin): no LSH, output equals the brute-force truth
@@ -3848,6 +3857,7 @@ checks for orders:
         "novelty_events": novelty_events,
         "overlap_sessions_events": overlap_sessions_events,
         "setsim_pairs_documents": setsim_pairs_documents,
+        "t_closeness_events": t_closeness_events,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -8536,6 +8546,36 @@ def oracle_sql() -> dict[str, str]:
         round(t.ece_num / (t.total * 1.0), 6) AS ece,
         round(t.ssq / (t.total * 100000000.0), 6) AS brier
     FROM g CROSS JOIN t ORDER BY bin""",
+        # pii.t_closeness replica: identical nano-unit term pins
+        # (round half-away), absent-value mass via the t_all identity,
+        # 6dp only on max_t
+        "t_closeness_events": """
+    WITH e AS (SELECT event_type, user_id, props AS v FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                 AND props IS NOT NULL),
+    tot AS (SELECT count(*)::BIGINT AS n FROM e),
+    gcnt AS (SELECT v, count(*)::BIGINT AS cv FROM e GROUP BY 1),
+    g9 AS (SELECT v, cv, CAST(round(cv / (tot.n * 1.0) * 1000000000, 0)
+                AS BIGINT) AS q9 FROM gcnt CROSS JOIN tot),
+    ta AS (SELECT sum(q9)::BIGINT AS t_all FROM g9),
+    gv AS (SELECT event_type, user_id, v, count(*)::BIGINT AS c
+           FROM e GROUP BY 1, 2, 3),
+    gn AS (SELECT event_type, user_id, sum(c)::BIGINT AS ng
+           FROM gv GROUP BY 1, 2),
+    term AS (SELECT gv.event_type, gv.user_id,
+        CAST(round(abs(gv.c / (gn.ng * 1.0) - g9.cv / (tot.n * 1.0))
+                   * 1000000000, 0) AS BIGINT) - g9.q9 AS u
+        FROM gv JOIN gn USING (event_type, user_id)
+                JOIN g9 USING (v) CROSS JOIN tot),
+    gt AS (SELECT event_type, user_id,
+                  (sum(u) + (SELECT t_all FROM ta))::BIGINT AS su
+           FROM term GROUP BY 1, 2)
+    SELECT (SELECT n FROM tot) AS n_rows,
+        count(*)::BIGINT AS n_groups,
+        round(max(su) / 2000000000.0, 6) AS max_t,
+        sum(CASE WHEN su / 2000000000.0 > 0.2 THEN 1
+                 ELSE 0 END)::BIGINT AS n_groups_above
+    FROM gt""",
         # setsim.setsim_join replica: brute-force exact token-set
         # Jaccard (the engine's prefix filter is a sound pruning, so
         # the outputs are identical); same trim/split contract as the

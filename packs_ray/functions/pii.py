@@ -487,3 +487,98 @@ def pseudonymize(ds, cols: list[str], *, salt: str = "s1"):
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def t_closeness(ds, quasi_cols: list[str], sensitive_col: str, *,
+                t: float = 0.2,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — public
+    definition) for a CATEGORICAL sensitive attribute: per
+    quasi-identifier group, the total-variation distance between the
+    group's sensitive-value distribution and the global one — the
+    attack k-anonymity and l-diversity miss (a group can be large and
+    diverse yet still skewed enough to leak).
+
+    One summary row: n_rows, n_groups, max_t (the largest group TVD,
+    6dp) and n_groups_above (groups with TVD > ``t``).  Rows with a
+    null QI column or null sensitive value drop from both
+    distributions.
+
+    Exactness: each |p_group - p_global| term is pinned to an integer
+    nano-unit (round half-away, mirrored by the SQL twin); values
+    ABSENT from a group contribute their pinned global mass via the
+    identity  su = sum_in_group(|..| - q9(v)) + sum_all(q9), so the
+    per-group fold is an exact integer at any parallelism.
+
+    Scale shape: the global distribution is one ``keyed_count``
+    collected to the driver — bounded by the SENSITIVE-value
+    cardinality, the documented assumption (a privacy attribute is
+    categorical); per-(QI, value) counts ride one bucketed reduce on
+    the QI key; only fixed-width per-bucket summary rows return."""
+    import numpy as np
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         keyed_count,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _rh
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+    cols = quasi_cols + [sensitive_col]
+
+    def filt(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        mask = batch.column(cols[0]).is_valid()
+        for c in cols[1:]:
+            mask = pc.and_(mask, batch.column(c).is_valid())
+        return batch.filter(mask)
+
+    nn = ds.map_batches(filt, batch_format="pyarrow")
+    glob = keyed_count(nn.select_columns([sensitive_col]),
+                       [sensitive_col], count_col="cv").to_pandas()
+    empty = pd.DataFrame([{ "n_rows": np.int64(0),
+                            "n_groups": np.int64(0),
+                            "max_t": None,
+                            "n_groups_above": np.int64(0)}])
+    if glob.empty:
+        return empty
+    n_total = int(glob["cv"].sum())
+    q = {v: int(c) for v, c in zip(glob[sensitive_col], glob["cv"])}
+    q9 = {v: int(_rh(c / n_total * 1e9, 0)) for v, c in q.items()}
+    t_all = sum(q9.values())
+
+    gv = keyed_count(nn, cols, count_col="c")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"n_rows": pd.Series([], dtype="int64"),
+                                 "n_groups": pd.Series([], dtype="int64"),
+                                 "max_su": pd.Series([], dtype="int64"),
+                                 "n_above": pd.Series([], dtype="int64")})
+        c = g["c"].to_numpy(np.float64)
+        ng = (g.groupby(quasi_cols, sort=False)["c"].transform("sum")
+              .to_numpy(np.float64))
+        cv = g[sensitive_col].map(q).to_numpy(np.float64)
+        term = np.abs(c / ng - cv / n_total) * 1e9
+        u = (_rh(term, 0).astype(np.int64)
+             - g[sensitive_col].map(q9).to_numpy(np.int64))
+        gg = g.assign(_u=u)
+        su = (gg.groupby(quasi_cols, sort=False)["_u"].sum()
+              .to_numpy(np.int64) + np.int64(t_all))
+        tg = su / 2_000_000_000.0
+        return pd.DataFrame([{
+            "n_rows": np.int64(g["c"].sum()),
+            "n_groups": np.int64(su.size),
+            "max_su": np.int64(su.max()),
+            "n_above": np.int64(int((tg > t).sum()))}])
+
+    parts = bucketed_group_reduce(gv, quasi_cols, per_bucket,
+                                  num_partitions).to_pandas()
+    if parts.empty or int(parts["n_groups"].sum()) == 0:
+        return empty
+    max_su = int(parts["max_su"][parts["n_groups"] > 0].max())
+    return pd.DataFrame([{
+        "n_rows": np.int64(parts["n_rows"].sum()),
+        "n_groups": np.int64(parts["n_groups"].sum()),
+        "max_t": float(_rh(max_su / 2_000_000_000.0, 6)),
+        "n_groups_above": np.int64(parts["n_above"].sum())}])

@@ -238,3 +238,45 @@ def test_setsim_max_group_skip_surfaced(ray_session):
                       max_group=10, collect=True)
     assert len(out) == 0
     assert out.attrs["skipped_buckets"] >= 1
+
+
+# -------------------------------------------------------- t_closeness
+
+def test_t_closeness_uniform_groups_zero(ray_session):
+    from packs_ray.functions.pii import t_closeness
+
+    # every group has the same 50/50 sensitive split as the global
+    # distribution -> max TVD 0
+    df = pd.DataFrame({"q": ["a", "a", "b", "b"],
+                       "s": ["x", "y", "x", "y"]})
+    out = t_closeness(_ds(df), ["q"], "s", t=0.2)
+    assert out["max_t"].iloc[0] == 0.0
+    assert out["n_groups_above"].iloc[0] == 0
+    assert out["n_groups"].iloc[0] == 2
+
+
+def test_t_closeness_skewed_group(ray_session):
+    from packs_ray.functions.pii import t_closeness
+
+    # global: x 3/4, y 1/4.  group a = {x,x}: TVD = 0.5*(|1-3/4| +
+    # |0-1/4|) = 0.25; group b = {x,y}: 0.5*(|1/2-3/4|+|1/2-1/4|)=0.25
+    df = pd.DataFrame({"q": ["a", "a", "b", "b"],
+                       "s": ["x", "x", "x", "y"]})
+    out = t_closeness(_ds(df), ["q"], "s", t=0.2)
+    assert out["max_t"].iloc[0] == 0.25
+    assert out["n_groups_above"].iloc[0] == 2
+    # nulls drop entirely
+    df2 = pd.concat([df, pd.DataFrame({"q": [None, "a"],
+                                       "s": ["x", None]})])
+    out2 = t_closeness(_ds(df2), ["q"], "s", t=0.2)
+    assert out2["n_rows"].iloc[0] == 4
+    assert out2["max_t"].iloc[0] == 0.25
+
+
+def test_t_closeness_empty(ray_session):
+    from packs_ray.functions.pii import t_closeness
+
+    df = pd.DataFrame({"q": pd.Series([None], dtype="object"),
+                       "s": pd.Series([None], dtype="object")})
+    out = t_closeness(_ds(df), ["q"], "s")
+    assert out["n_groups"].iloc[0] == 0 and out["max_t"].iloc[0] is None
