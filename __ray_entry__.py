@@ -1985,6 +1985,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(proj, batch_format="pyarrow")
         return calibration_profile(ds, "p", "y", n_bins=10)
 
+    def langid_eval_documents(sf):
+        # confusion matrix of the langid heuristic vs the true lang
+        # label (the language-gate eval of the flagship pipeline)
+        from packs_ray.functions.textstats import langid_eval
+
+        return langid_eval(_ds(sf, "documents", ["text", "lang"]),
+                           "text", "lang")
+
     def t_closeness_events(sf):
         # privacy audit beyond k-anonymity/l-diversity: per-QI-group
         # total-variation distance to the global sensitive distribution
@@ -3858,6 +3866,7 @@ checks for orders:
         "overlap_sessions_events": overlap_sessions_events,
         "setsim_pairs_documents": setsim_pairs_documents,
         "t_closeness_events": t_closeness_events,
+        "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
         "gopher_filter_documents": gopher_filter_documents,
@@ -4081,6 +4090,39 @@ def _langid_sql() -> str:
             ELSE 'cjk' END AS predicted_lang
         FROM sc)
     SELECT predicted_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1
+    """
+
+
+def _langid_eval_sql() -> str:
+    """textstats.langid_eval replica: the _langid_sql prediction CASE
+    with the true label carried through, null labels dropped."""
+    from packs_ray.models import _CJK_RANGE_RE, LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+        score_exprs.append(
+            f"length(regexp_extract_all(t, '{pat}'))::DOUBLE / tok AS {lang}")
+    return f"""
+    WITH base AS (
+        SELECT lang AS label, coalesce(text, '') AS t,
+            greatest(length(regexp_extract_all(coalesce(text, ''), '\\S+')), 1)::DOUBLE AS tok,
+            greatest(length(coalesce(text, '')), 1)::DOUBLE AS chars
+        FROM documents WHERE lang IS NOT NULL),
+    sc AS (
+        SELECT label, {', '.join(score_exprs)},
+            length(regexp_extract_all(t, '{_CJK_RANGE_RE}'))::DOUBLE / chars AS cjk
+        FROM base),
+    pred AS (
+        SELECT label, CASE
+            WHEN greatest(en, fr, de, cjk) <= 0 THEN 'und'
+            WHEN en >= fr AND en >= de AND en >= cjk THEN 'en'
+            WHEN fr >= de AND fr >= cjk THEN 'fr'
+            WHEN de >= cjk THEN 'de'
+            ELSE 'cjk' END AS predicted_lang
+        FROM sc)
+    SELECT label AS lang, predicted_lang, count(*)::BIGINT AS n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 # FNV-1a machinery shared by the shingle-based oracles (fingerprints,
@@ -9774,6 +9816,7 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY s.o_orderkey LIMIT 10000
     """,
         "langid_documents": _langid_sql(),
+        "langid_eval_documents": _langid_eval_sql(),
         "fingerprints_documents": _fingerprints_sql(),
         "simhash_documents": _simhash_sql(),
         # simhash_pairs: the band LSH is recall-EXACT at hamming<=3

@@ -1378,3 +1378,29 @@ def class_tfidf(ds, label_col: str, text_col: str, *, k: int = 10,
                          "tf": out["tf"].astype("int64"),
                          "score": round_half_away(
                              out["score"].to_numpy(dtype=np.float64), 6)})
+
+
+def langid_eval(ds, text_col: str, label_col: str):
+    """Confusion matrix of the langid heuristic against a true-label
+    column — the eval harness for the quality_filter pipeline's
+    language gate (one (label, predicted, n) row per observed cell).
+    Rows with a null label drop (unlabeled docs can't score).
+
+    Scale shape: the model is per-worker state; predictions ride the
+    same one-pass keyed_count as every categorical histogram."""
+    from packs_ray.functions.agg import keyed_count
+
+    model_holder: dict = {}
+
+    def add_pred(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column(label_col).is_valid())
+        model = model_holder.setdefault("m", LangIdModel())
+        pred, _ = model.predict_batch(str_column(batch, text_col))
+        return pa.table({label_col: batch.column(label_col),
+                         "predicted_lang": pa.array(pred.astype(str))})
+
+    return keyed_count(
+        ds.select_columns([label_col, text_col]).map_batches(
+            add_pred, batch_format="pyarrow"),
+        [label_col, "predicted_lang"], count_col="n") \
+        .sort([label_col, "predicted_lang"])
