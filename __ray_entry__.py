@@ -3141,6 +3141,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return key_skew(_ds(sf, "events", ["user_id"]), "user_id",
                         top_k=10)
 
+    def gini_orders(sf):
+        # inequality profile: exact Gini of order totals (rank-weighted
+        # sum via range-bucketed global ranks; int-cents exact)
+        from packs_ray.functions.profiling import gini_profile
+
+        return gini_profile(_ds(sf, "orders", ["o_totalprice"]),
+                            "o_totalprice")
+
     def target_encode_orders(sf):
         # m-estimate smoothed target encoding of order priority by
         # total price (exact cents partials, pinned float tail)
@@ -3943,6 +3951,7 @@ checks for orders:
         "rolling_psi_events": rolling_psi_events,
         "target_encode_orders": target_encode_orders,
         "key_skew_events": key_skew_events,
+        "gini_orders": gini_orders,
         "grouped_sample_events": grouped_sample_events,
         "ngram_novelty_documents": ngram_novelty_documents,
         "trend_per_key_events": trend_per_key_events,
@@ -10205,6 +10214,19 @@ def oracle_sql() -> dict[str, str]:
     FROM g JOIN df USING (gram) GROUP BY g.doc_id""",
         # profiling.key_skew: exact integer count moments; Gini from
         # the rank-weighted sum (tie order cancels), pinned 6dp floats
+        # profiling.gini_profile: exact HUGEINT rank-weighted sum over
+        # int cents (tie order cancels: equal values x consecutive
+        # ranks); one pinned double division, 6dp
+        "gini_orders": """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)::HUGEINT
+               AS cents FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+    s AS (SELECT count(*)::HUGEINT AS n, sum(cents) AS t,
+          sum(rn * cents) AS sr FROM r)
+    SELECT n::BIGINT AS n, round(t::DOUBLE / 100, 2) AS total,
+        CASE WHEN t > 0 THEN round((2*sr - (n+1)*t)::DOUBLE
+                                   / (n*t)::DOUBLE, 6) END AS gini
+    FROM s""",
         "key_skew_events": """
     WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events
                WHERE user_id IS NOT NULL GROUP BY 1),

@@ -1685,3 +1685,115 @@ def mutual_info(ds, col_a: str, col_b: str) -> pd.DataFrame:
     return pd.DataFrame([{
         "n": n, "card_a": int(len(ma)), "card_b": int(len(mb)),
         "mi_nats": mi, "h_a": ha, "h_b": hb, "nmi": nmi}])
+
+
+def _exact_dot_py(a, b, cap: int = 1 << 62):
+    """Exact Σ a_i*b_i for int64 vectors whose per-element product fits
+    int64 but whose SUM may not: vectorized int64 products, chunked so
+    each chunk's partial stays under ``cap``, Python-int fold across the
+    (few) chunk partials.  Returns a Python int."""
+    import numpy as np
+
+    if len(a) == 0:
+        return 0
+    prod = a.astype(np.int64) * b.astype(np.int64)
+    mx = int(np.abs(prod).max()) or 1
+    step = max(1, cap // (mx + 1))
+    return sum(int(prod[i:i + step].sum())
+               for i in range(0, len(prod), step))
+
+
+def gini_profile(ds, value_col: str, *,
+                 num_buckets: int | None = None) -> pd.DataFrame:
+    """Exact Gini coefficient of a non-negative numeric column —
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending sort — the
+    inequality profile of a curation pipeline (token-budget or revenue
+    concentration; a corpus whose domain sizes have G→1 is one crawl
+    host in a trench coat).  Values are pinned to integer cents; the
+    rank-weighted sum is exact (chunked-int64 + Python-int fold; the
+    SQL twin uses HUGEINT), and tie groups contribute a
+    permutation-invariant Σ, so the result is bit-stable at any
+    parallelism.  Nulls drop.  One row: n, total (2dp), gini (6dp,
+    null when n=0 or Σx=0).
+
+    Scale shape: the global_rank range-bucket pattern — two narrow
+    scans (min/max, per-bucket counts) give exclusive offsets; ONE
+    value-bucketed shuffle of (cents) rows; per bucket a local sort +
+    one exact dot against the global 1-based rank window.  Only
+    fixed-width partials land on the driver."""
+    import numpy as np
+
+    from packs_ray.functions.agg import global_agg, row_shuffle_partitions
+    from packs_ray.functions.windows import _range_bucket_counts
+    from packs_ray.stages.util import round_half_away as _rh
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(ds)
+    narrow = ds.select_columns([value_col])
+    empty_sch = pa.schema([(value_col, pa.float64())])
+
+    def cents_of(col: pa.Array) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return _rh(v * 100.0, 0).astype(np.int64)
+
+    def mm_partial(batch: pa.Table) -> dict:
+        v = batch.column(value_col).drop_null()
+        mn, mx = pc.min(v), pc.max(v)
+        return {"mn": mn.as_py() if mn.is_valid else None,
+                "mx": mx.as_py() if mx.is_valid else None,
+                "n": len(v) - v.null_count}
+
+    def mm_combine(df: pd.DataFrame) -> dict:
+        n = int(df["n"].sum())
+        mns, mxs = df["mn"].dropna(), df["mx"].dropna()
+        return {"n": n, "mn": float(mns.min()) if len(mns) else 0.0,
+                "mx": float(mxs.max()) if len(mxs) else 1.0}
+
+    mm = global_agg(narrow, mm_partial, mm_combine,
+                    empty_schema=empty_sch)
+    n_total, lo, hi = mm["n"], mm["mn"], mm["mx"]
+    if n_total == 0:
+        return pd.DataFrame([{"n": np.int64(0), "total": None,
+                              "gini": None}])
+    if hi <= lo:
+        hi = lo + 1.0
+    edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+    counts = _range_bucket_counts(
+        narrow, value_col, edges, num_buckets,
+        lambda v: v.to_numpy(zero_copy_only=False).astype(np.float64))
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col).drop_null()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(edges, arr, side="right").astype(np.int64)
+        return pa.table({"c": pa.array(cents_of(col)),
+                         "bucket": pa.array(b)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"sr": pd.Series([], dtype="object"),
+                                 "t": pd.Series([], dtype="object")})
+        off = int(offsets[int(g["bucket"].iloc[0])])
+        c = np.sort(g["c"].to_numpy(np.int64))
+        rn = np.arange(1, len(c) + 1, dtype=np.int64) + np.int64(off)
+        return pd.DataFrame([{"sr": str(_exact_dot_py(rn, c)),
+                              "t": str(_exact_dot_py(
+                                  np.ones(len(c), dtype=np.int64), c))}])
+
+    parts = (narrow.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             .to_pandas())
+    sr = sum(int(x) for x in parts["sr"]) if len(parts) else 0
+    t = sum(int(x) for x in parts["t"]) if len(parts) else 0
+    total = float(_rh(t / 100.0, 2))
+    if t <= 0:
+        return pd.DataFrame([{"n": np.int64(n_total), "total": total,
+                              "gini": None}])
+    gini = float(_rh(float(2 * sr - (n_total + 1) * t)
+                     / float(n_total * t), 6))
+    return pd.DataFrame([{"n": np.int64(n_total), "total": total,
+                          "gini": gini}])
