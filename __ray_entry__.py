@@ -3141,6 +3141,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return key_skew(_ds(sf, "events", ["user_id"]), "user_id",
                         top_k=10)
 
+    def binary_eval_events(sf):
+        # threshold-sweep scorer eval: ROC-AUC / AP / best-F1 of
+        # `value` as a score for engagement events (click|purchase)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import binary_eval
+
+        def lab(t):
+            y = pc.is_in(t.column("event_type"),
+                         value_set=pa.array(["click", "purchase"]))
+            return t.set_column(t.schema.get_field_index("event_type"),
+                                "event_type",
+                                pc.cast(y, pa.int8()))
+
+        ds = _ds(sf, "events", ["event_type", "value"]) \
+            .map_batches(lab, batch_format="pyarrow")
+        return binary_eval(ds, "value", "event_type", decimals=2)
+
     def gini_orders(sf):
         # inequality profile: exact Gini of order totals (rank-weighted
         # sum via range-bucketed global ranks; int-cents exact)
@@ -3952,6 +3972,7 @@ checks for orders:
         "target_encode_orders": target_encode_orders,
         "key_skew_events": key_skew_events,
         "gini_orders": gini_orders,
+        "binary_eval_events": binary_eval_events,
         "grouped_sample_events": grouped_sample_events,
         "ngram_novelty_documents": ngram_novelty_documents,
         "trend_per_key_events": trend_per_key_events,
@@ -10214,6 +10235,39 @@ def oracle_sql() -> dict[str, str]:
     FROM g JOIN df USING (gram) GROUP BY g.doc_id""",
         # profiling.key_skew: exact integer count moments; Gini from
         # the rank-weighted sum (tie order cancels), pinned 6dp floats
+        # drift.binary_eval: exact cumulative counts over the distinct
+        # cents-score domain; AUC from HUGEINT 2U; AP folds left-assoc
+        # descending (list_sum == engine loop); F1 max over cuts with
+        # identical double expressions on both sides
+        "binary_eval_events": """
+    WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS s,
+               CASE WHEN event_type IN ('click', 'purchase')
+                    THEN 1 ELSE 0 END AS y
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    g AS (SELECT s, sum(y)::BIGINT AS p, sum(1 - y)::BIGINT AS q
+          FROM e GROUP BY 1),
+    t AS (SELECT sum(p)::BIGINT AS pp, sum(q)::BIGINT AS nn FROM g),
+    c AS (SELECT s, p, q,
+          sum(p) OVER (ORDER BY s DESC)::BIGINT AS ctp,
+          sum(q) OVER (ORDER BY s DESC)::BIGINT AS cfp FROM g),
+    a AS (SELECT sum((2 * p::HUGEINT * ((SELECT nn FROM t) - cfp)
+                      + p::HUGEINT * q)::HUGEINT) AS num2 FROM c),
+    ap AS (SELECT list_sum(list((p::DOUBLE / t.pp::DOUBLE)
+               * (ctp::DOUBLE / (ctp + cfp)::DOUBLE) ORDER BY s DESC))
+           AS ap FROM c, t),
+    f AS (SELECT max(2.0 * ctp / (ctp + cfp + t.pp)) AS bf FROM c, t),
+    ft AS (SELECT max(s) AS bs FROM c, t
+           WHERE 2.0 * ctp / (ctp + cfp + t.pp) = (SELECT bf FROM f))
+    SELECT (t.pp + t.nn) AS n, t.pp AS n_pos, t.nn AS n_neg,
+        CASE WHEN t.pp > 0 AND t.nn > 0 THEN
+            round(a.num2::DOUBLE / (2 * t.pp::HUGEINT * t.nn)::DOUBLE, 6)
+        END AS roc_auc,
+        CASE WHEN t.pp > 0 THEN round(ap.ap, 6) END AS avg_precision,
+        CASE WHEN t.pp > 0 THEN round(f.bf, 6) END AS best_f1,
+        CASE WHEN t.pp > 0 THEN ft.bs::DOUBLE / 100 END
+            AS best_f1_threshold
+    FROM t, a, ap, f, ft""",
         # profiling.gini_profile: exact HUGEINT rank-weighted sum over
         # int cents (tie order cancels: equal values x consecutive
         # ranks); one pinned double division, 6dp

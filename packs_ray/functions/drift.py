@@ -890,3 +890,91 @@ def calibration_profile(ds, prob_col: str, label_col: str, *,
     out["ece"] = ece
     out["brier"] = brier
     return out
+
+
+def binary_eval(ds, score_col: str, label_col: str, *, decimals: int = 2,
+                num_partitions: int | None = None) -> pd.DataFrame:
+    """Exact threshold-sweep evaluation of a binary scorer — the
+    ranking twin of :func:`calibration_profile` for the quality-model
+    loop (the reference scores rows and thresholds at a fixed 0.5,
+    ``outlier_detection_pack/main.py:201-260``; picking that threshold
+    needs this sweep): tie-corrected ROC-AUC, average precision (the
+    PR-curve area as the standard step-wise sum), and the best
+    achievable F1 with the highest score attaining it.
+
+    Exactness: scores quantize to ``decimals`` fixed-point units
+    (round-half-away, the repo cents convention); one distributed
+    (score_unit, label) count reduce gives the bounded table — bounded
+    by the quantized score DOMAIN, never the row count — and every
+    curve quantity is assembled from exact Python-int cumulative
+    counts: ROC-AUC = Σ(2·p·(N−cumfp) + p·q) / (2·P·N) with one pinned
+    float division; AP folds (p/P)·(cumtp/(cumtp+cumfp)) left-assoc in
+    score-descending order (== the SQL ``list_sum(list(... ORDER BY s
+    DESC))``); F1 = 2·cumtp/(cumtp+cumfp+P) per cut, max over cuts.
+    Nulls in either column drop.  6dp.
+
+    Output: one row (n, n_pos, n_neg, roc_auc, avg_precision, best_f1,
+    best_f1_threshold); the AUC/AP/F1 fields are null when a class is
+    empty (AP/F1 need positives; AUC needs both)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import keyed_count
+    from packs_ray.stages.util import round_half_away as _rh
+
+    unit = 10.0 ** decimals
+
+    def proj(batch: pa.Table) -> pa.Table:
+        t = batch.select([score_col, label_col])
+        m = pc.and_(pc.is_valid(t.column(score_col)),
+                    pc.is_valid(t.column(label_col)))
+        t = t.filter(m)
+        s = t.column(score_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = np.asarray(t.column(label_col).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        ok = np.isfinite(s) & ~np.isnan(y)
+        s, y = s[ok], (y[ok] != 0).astype(np.int8)
+        return pa.table({"s": pa.array(_rh(s * unit, 0).astype(np.int64)),
+                         "y": pa.array(y)})
+
+    cnt = keyed_count(ds.map_batches(proj, batch_format="pyarrow"),
+                      ["s", "y"], num_partitions=num_partitions).to_pandas()
+    if len(cnt) == 0:
+        return pd.DataFrame([{
+            "n": np.int64(0), "n_pos": np.int64(0), "n_neg": np.int64(0),
+            "roc_auc": None, "avg_precision": None, "best_f1": None,
+            "best_f1_threshold": None}])
+    g = (cnt.pivot_table(index="s", columns="y", values="cnt",
+                         aggfunc="sum", fill_value=0)
+         .reindex(columns=[0, 1], fill_value=0)
+         .sort_index(ascending=False))
+    p = [int(x) for x in g[1]]          # positives per distinct score
+    q = [int(x) for x in g[0]]          # negatives per distinct score
+    s_desc = [int(x) for x in g.index]
+    P, N = sum(p), sum(q)
+    ctp = cfp = 0
+    num2 = 0                            # 2·U, exact Python int
+    ap = 0.0                            # left-assoc fold == list_sum
+    best_f1 = None
+    best_s = None
+    for i in range(len(p)):
+        ctp += p[i]
+        cfp += q[i]
+        num2 += 2 * p[i] * (N - cfp) + p[i] * q[i]
+        if P > 0 and p[i] > 0:
+            ap = ap + (float(p[i]) / float(P)) \
+                * (float(ctp) / float(ctp + cfp))
+        if P > 0:
+            f1 = 2.0 * float(ctp) / float(ctp + cfp + P)
+            if best_f1 is None or f1 > best_f1:
+                best_f1, best_s = f1, s_desc[i]
+    return pd.DataFrame([{
+        "n": np.int64(P + N), "n_pos": np.int64(P), "n_neg": np.int64(N),
+        "roc_auc": (float(_rh(float(num2) / float(2 * P * N), 6))
+                    if P > 0 and N > 0 else None),
+        "avg_precision": float(_rh(ap, 6)) if P > 0 else None,
+        "best_f1": float(_rh(best_f1, 6)) if P > 0 else None,
+        "best_f1_threshold": (float(best_s) / unit
+                              if best_s is not None else None)}])

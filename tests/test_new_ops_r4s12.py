@@ -70,3 +70,71 @@ def test_gini_zero_total_is_null(ray_session):
     assert out["n"].iloc[0] == 50
     assert out["total"].iloc[0] == 0.0
     assert out["gini"].iloc[0] is None
+
+
+# -------------------------------------------------- binary_eval
+
+def test_binary_eval_perfect_separation(ray_session):
+    from packs_ray.functions.drift import binary_eval
+
+    df = pd.DataFrame({"s": [0.9, 0.8, 0.7, 0.2, 0.1],
+                       "y": [1, 1, 1, 0, 0]})
+    out = binary_eval(_ds(df), "s", "y")
+    assert out["n_pos"].iloc[0] == 3 and out["n_neg"].iloc[0] == 2
+    assert out["roc_auc"].iloc[0] == 1.0
+    assert out["avg_precision"].iloc[0] == 1.0
+    assert out["best_f1"].iloc[0] == 1.0
+    assert out["best_f1_threshold"].iloc[0] == 0.7
+
+
+def test_binary_eval_ties_and_closed_form(ray_session):
+    from packs_ray.functions.drift import binary_eval
+
+    # one tied score holding 1 pos + 1 neg: the tie contributes 1/2
+    # per cross pair.  scores desc: (0.9,P) (0.5,P+N tie) (0.1,N)
+    # pairs: (0.9P vs 0.5N)=1, (0.9P vs 0.1N)=1, (0.5P vs 0.5N)=0.5,
+    # (0.5P vs 0.1N)=1 -> U=3.5, AUC=3.5/4
+    df = pd.DataFrame({"s": [0.9, 0.5, 0.5, 0.1],
+                       "y": [1, 1, 0, 0]})
+    out = binary_eval(_ds(df), "s", "y")
+    assert out["roc_auc"].iloc[0] == round(3.5 / 4, 6)
+    # AP groups desc: s=0.9 (p=1,ctp=1,cfp=0): (1/2)*(1/1)
+    #                 s=0.5 (p=1,ctp=2,cfp=1): (1/2)*(2/3)
+    exp_ap = round(0.5 * 1.0 + 0.5 * (2 / 3), 6)
+    assert out["avg_precision"].iloc[0] == exp_ap
+    # F1 cuts: @0.9: 2*1/(1+0+2)=2/3; @0.5: 2*2/(2+1+2)=0.8; @0.1: 2*2/6
+    assert out["best_f1"].iloc[0] == 0.8
+    assert out["best_f1_threshold"].iloc[0] == 0.5
+
+
+def test_binary_eval_partition_invariance(ray_session):
+    from packs_ray.functions.drift import binary_eval
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"s": rng.uniform(0, 5, 500).round(2),
+                       "y": rng.randint(0, 2, 500)})
+    a = binary_eval(_ds(df).repartition(1), "s", "y")
+    b = binary_eval(_ds(df).repartition(9), "s", "y")
+    pd.testing.assert_frame_equal(a, b)
+    # sanity: random scores give AUC near 0.5
+    assert 0.4 < a["roc_auc"].iloc[0] < 0.6
+
+
+def test_binary_eval_single_class_and_empty(ray_session):
+    from packs_ray.functions.drift import binary_eval
+
+    pos_only = pd.DataFrame({"s": [0.3, 0.7], "y": [1, 1]})
+    o = binary_eval(_ds(pos_only), "s", "y")
+    assert o["roc_auc"].iloc[0] is None
+    assert o["avg_precision"].iloc[0] == 1.0
+    assert o["best_f1"].iloc[0] == 1.0
+
+    neg_only = pd.DataFrame({"s": [0.3, 0.7], "y": [0, 0]})
+    o2 = binary_eval(_ds(neg_only), "s", "y")
+    assert o2["roc_auc"].iloc[0] is None
+    assert o2["avg_precision"].iloc[0] is None
+
+    empty = pd.DataFrame({"s": pd.Series([None], dtype="float64"),
+                          "y": pd.Series([None], dtype="float64")})
+    e = binary_eval(_ds(empty), "s", "y")
+    assert e["n"].iloc[0] == 0 and e["roc_auc"].iloc[0] is None
