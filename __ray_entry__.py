@@ -3141,6 +3141,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return key_skew(_ds(sf, "events", ["user_id"]), "user_id",
                         top_k=10)
 
+    def cluster_split_documents(sf):
+        # leakage-safe split: near-dup clusters (minhash, j>=0.5) land
+        # wholly in one split; split keyed on the cluster canonical id
+        from packs_ray.functions.sampling import cluster_split
+
+        pairs = neardup.minhash_lsh_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            jaccard_threshold=0.5)
+        return cluster_split(
+            _ds(sf, "documents", ["doc_id"]), "doc_id", pairs,
+            {"train": 0.8, "val": 0.1, "test": 0.1}).sort("doc_id")
+
     def binary_eval_events(sf):
         # threshold-sweep scorer eval: ROC-AUC / AP / best-F1 of
         # `value` as a score for engagement events (click|purchase)
@@ -3973,6 +3985,7 @@ checks for orders:
         "key_skew_events": key_skew_events,
         "gini_orders": gini_orders,
         "binary_eval_events": binary_eval_events,
+        "cluster_split_documents": cluster_split_documents,
         "grouped_sample_events": grouped_sample_events,
         "ngram_novelty_documents": ngram_novelty_documents,
         "trend_per_key_events": trend_per_key_events,
@@ -6371,6 +6384,51 @@ def _candidate_keys_sql(table: str, columns: list[str],
            (SELECT count(*) FROM {table})::BIGINT AS n_rows,
            nd = (SELECT count(*) FROM {table}) AS is_key
     FROM ({branches}) ORDER BY combo"""
+
+def _cluster_split_sql(fractions: dict[str, float],
+                       salt: str = "split") -> str:
+    """sampling.cluster_split replica: minhash closure -> canonical
+    cluster label (singletons label themselves) -> the hash_split FNV +
+    finalize band chain over CAST(cluster AS VARCHAR), carrying
+    (doc_id, cluster) through every stage."""
+    import numpy as np
+
+    from packs_ray.functions.sampling import _salt_constant
+
+    names = list(fractions)
+    edges = np.cumsum([int(round(fractions[n] * 1e6)) for n in names])
+    whens = " ".join(
+        f"WHEN m < {int(e)} THEN '{n}'" for n, e in
+        zip(names[:-1], edges[:-1]))
+    sc = int(_salt_constant(salt))
+    return f"""
+    WITH RECURSIVE p AS ({_minhash_sql()}),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (SELECT a, b FROM e
+                    UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+            FROM reach GROUP BY a),
+    alld AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster
+             FROM documents d LEFT JOIN lab l USING (doc_id)),
+    b AS (SELECT doc_id, cluster,
+          hex(encode(CAST(cluster AS VARCHAR))) AS hx,
+          octet_length(encode(CAST(cluster AS VARCHAR))) AS nb FROM alld),
+    hs AS (SELECT doc_id, cluster,
+           list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+               {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sm AS (SELECT doc_id, cluster, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT doc_id, cluster,
+           {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM sm),
+    fr AS (SELECT doc_id, cluster,
+           ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+            + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT doc_id, cluster,
+           {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
+    m AS (SELECT doc_id, cluster, (h % 1000000)::BIGINT AS m FROM f2)
+    SELECT doc_id, cluster,
+        CASE {whens} ELSE '{names[-1]}' END AS split
+    FROM m ORDER BY doc_id"""
 
 
 def _hash_split_sql(table: str, id_col: str,
@@ -9860,6 +9918,8 @@ def oracle_sql() -> dict[str, str]:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
         "minhash_pairs_documents": _minhash_sql(),
+        "cluster_split_documents": _cluster_split_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}),
         "suppress_neardup_documents": _suppress_neardup_sql(),
         "neardup_clusters_documents": f"""
     WITH RECURSIVE p AS ({_minhash_sql()}),

@@ -518,3 +518,51 @@ def stratified_split(ds, group_col: str, id_col: str,
     return (ds.map_batches(marks, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(per_group, batch_format="pandas"))
+
+
+def cluster_split(ds, id_col: str, pairs, fractions: dict[str, float], *,
+                  id_a: str = "id_a", id_b: str = "id_b",
+                  salt: str = "split"):
+    """Leakage-safe train/val/test split: every near-duplicate CLUSTER
+    lands wholly in one split.  A plain :func:`hash_split` on document
+    id leaks — two near-identical docs hash to different splits and the
+    eval set grades memorization (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §6).  Here the split
+    decision is keyed on the cluster's canonical (minimum) member id:
+    ``pairs`` (any near-dup pair Dataset — minhash, simhash,
+    embedding-cosine) is closed into components, every id joins its
+    component label (singletons label themselves), and the usual hash
+    band assigns the split.
+
+    Returns a Dataset of (``id_col``, cluster, split).
+
+    Scale shape: component labels ride `connected_components`' narrow
+    bucketed label propagation; the label attach is ONE equi-join
+    (broadcast under the join cap — the pair-touched id set is tiny on
+    a deduplicated corpus — bucketed co-partition above it); the band
+    decision is stateless per batch.  Nothing but fixed-width partials
+    lands on the driver."""
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.components import connected_components
+    from packs_ray.functions.joins import equi_join
+
+    narrow = ds.select_columns([id_col])
+    labels = connected_components(pairs, id_a, id_b, node_col="__node",
+                                  label_col="__cluster")
+    joined = equi_join(narrow, labels, left_on=[id_col],
+                       right_on=["__node"], how="left")
+
+    def attach_key(batch: pa.Table) -> pa.Table:
+        own = batch.column(id_col)
+        if "__cluster" in batch.schema.names:
+            cl = batch.column("__cluster")
+            if isinstance(cl, pa.ChunkedArray):
+                cl = cl.combine_chunks()
+            cluster = pc.coalesce(cl.cast(own.type), own)
+        else:                      # empty pair set: upstream map stages
+            cluster = own          # never ran, all rows are singletons
+        return pa.table({id_col: own, "cluster": cluster})
+
+    keyed = joined.map_batches(attach_key, batch_format="pyarrow")
+    return hash_split(keyed, "cluster", fractions, salt=salt)

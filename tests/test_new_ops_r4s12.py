@@ -138,3 +138,65 @@ def test_binary_eval_single_class_and_empty(ray_session):
                           "y": pd.Series([None], dtype="float64")})
     e = binary_eval(_ds(empty), "s", "y")
     assert e["n"].iloc[0] == 0 and e["roc_auc"].iloc[0] is None
+
+
+# -------------------------------------------------- cluster_split
+
+def test_cluster_split_no_leakage(ray_session):
+    import ray.data
+
+    from packs_ray.functions.sampling import cluster_split
+
+    # 300 ids; chain-pair ids 3k..3k+2 into 100 clusters of 3
+    ids = pd.DataFrame({"id": np.arange(300, dtype=np.int64)})
+    pairs = pd.DataFrame({
+        "id_a": [3 * k + i for k in range(100) for i in (0, 1)],
+        "id_b": [3 * k + i + 1 for k in range(100) for i in (0, 1)]})
+    out = cluster_split(_ds(ids), "id", _ds(pairs),
+                        {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas()
+    assert len(out) == 300
+    # every cluster is wholly in one split
+    assert (out.groupby("cluster")["split"].nunique() == 1).all()
+    # cluster label is the minimum member id
+    assert (out["cluster"] == (out["id"] // 3) * 3).all()
+    # and the decision matches hash_split on the canonical id
+    from packs_ray.functions.sampling import hash_split
+    ref = hash_split(_ds(out[["cluster"]].drop_duplicates()), "cluster",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    merged = out.merge(ref, on="cluster", suffixes=("", "_ref"))
+    assert (merged["split"] == merged["split_ref"]).all()
+
+
+def test_cluster_split_singletons_and_empty_pairs(ray_session):
+    from packs_ray.functions.sampling import cluster_split
+
+    ids = pd.DataFrame({"id": np.arange(50, dtype=np.int64)})
+    empty_pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64")})
+    out = cluster_split(_ds(ids), "id", _ds(empty_pairs),
+                        {"train": 0.5, "val": 0.5}).to_pandas()
+    assert len(out) == 50
+    # singleton clusters label themselves
+    assert (out["cluster"] == out["id"]).all()
+    from packs_ray.functions.sampling import hash_split
+    ref = hash_split(_ds(ids), "id", {"train": 0.5, "val": 0.5}) \
+        .to_pandas().rename(columns={"id": "cluster"})
+    merged = out.merge(ref, on="cluster", suffixes=("", "_ref"))
+    assert (merged["split"] == merged["split_ref"]).all()
+
+
+def test_cluster_split_partition_invariance(ray_session):
+    from packs_ray.functions.sampling import cluster_split
+
+    ids = pd.DataFrame({"id": np.arange(120, dtype=np.int64)})
+    pairs = pd.DataFrame({"id_a": np.arange(0, 60, 2, dtype=np.int64),
+                          "id_b": np.arange(1, 61, 2, dtype=np.int64)})
+    a = cluster_split(_ds(ids).repartition(1), "id", _ds(pairs),
+                      {"train": 0.7, "test": 0.3}) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    b = cluster_split(_ds(ids).repartition(8), "id",
+                      _ds(pairs).repartition(4),
+                      {"train": 0.7, "test": 0.3}) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
