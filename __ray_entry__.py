@@ -2062,6 +2062,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            bucket_seconds=86_400)
         return out.sort(["user_id", "session_id", "r_day"])
 
+    def survival_events(sf):
+        # Kaplan-Meier user-lifetime survival with 7-day right-
+        # censoring: (user, span) marks ride one bucketed reduce; the
+        # KM fold runs on the bounded per-duration step table
+        # (np.cumprod == the oracle's list_product left fold,
+        # verified bit-identical)
+        from packs_ray.functions.survival import survival_curve
+
+        return survival_curve(
+            _ds(sf, "events", ["user_id", "event_type", "ts"]),
+            ["user_id", "event_type"], "ts", censor_horizon_days=1)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -3903,6 +3915,7 @@ checks for orders:
         "nb_eval_documents": nb_eval_documents,
         "calibration_events": calibration_events,
         "novelty_events": novelty_events,
+        "survival_events": survival_events,
         "overlap_sessions_events": overlap_sessions_events,
         "setsim_pairs_documents": setsim_pairs_documents,
         "t_closeness_events": t_closeness_events,
@@ -8782,6 +8795,40 @@ def oracle_sql() -> dict[str, str]:
         round(coalesce(nf.n_first, 0) / (ne.n_events * 1.0), 6)
             AS novelty_ratio
     FROM ne LEFT JOIN nf USING (day) ORDER BY day""",
+        # survival.survival_curve replica: identical span/censor ints,
+        # the SAME ascending-duration sequential float fold
+        # (list_product window == np.cumprod), 6dp pin at the end
+        "survival_events": """
+    WITH v AS (SELECT user_id, event_type, epoch_us(ts) AS us
+               FROM events WHERE user_id IS NOT NULL
+                 AND event_type IS NOT NULL AND ts IS NOT NULL),
+    k AS (SELECT user_id, event_type, min(us) AS first_us,
+                 max(us) AS last_us
+          FROM v GROUP BY 1, 2),
+    g AS (SELECT max(last_us) AS gmax, count(*) AS total FROM k),
+    d AS (SELECT (last_us - first_us) // 86400000000 AS duration_d,
+                 CASE WHEN g.gmax - last_us > 1 * 86400000000
+                      THEN 1 ELSE 0 END AS obs
+          FROM k, g),
+    s AS (SELECT duration_d, sum(obs)::BIGINT AS n_event,
+                 sum(1 - obs)::BIGINT AS n_censored
+          FROM d GROUP BY 1),
+    r AS (SELECT duration_d, n_event, n_censored,
+                 ((SELECT total FROM g) - coalesce(
+                     sum(n_event + n_censored) OVER (ORDER BY duration_d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0))::BIGINT AS n_risk
+          FROM s),
+    w AS (SELECT duration_d, n_risk, n_event, n_censored,
+                 round(list_product(
+                     list((n_risk - n_event) / (n_risk * 1.0))
+                     OVER (ORDER BY duration_d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+          FROM r)
+    SELECT duration_d::BIGINT AS duration_d, n_risk, n_event,
+           n_censored, survival
+    FROM w WHERE n_event > 0 ORDER BY duration_d""",
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "kmeans_embeddings": _kmeans_sql(8, 2, 64),
         "bpe_merges_documents": _bpe_sql(6),

@@ -1,0 +1,99 @@
+"""Edge-semantics tests for the session-13 operators (the DuckDB-oracle
+sweeps cover end-to-end parity; these pin the tricky local semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+# -------------------------------------------------- survival_curve
+
+def _ts(day_offsets):
+    base = pd.Timestamp("2024-01-01")
+    return [base + pd.Timedelta(days=d) for d in day_offsets]
+
+
+def test_survival_basic_km(ray_session):
+    from packs_ray.functions.survival import survival_curve
+
+    # 4 keys: lifetimes 1, 1, 2, 3 days; global max day = 30 so with
+    # a 7-day horizon every key churns (observed).
+    rows = []
+    for k, (start, end) in enumerate([(0, 1), (2, 3), (4, 6), (7, 10)]):
+        rows.append({"k": f"u{k}", "ts": _ts([start])[0]})
+        rows.append({"k": f"u{k}", "ts": _ts([end])[0]})
+    rows.append({"k": "anchor", "ts": _ts([30])[0]})  # censored, dur 0
+    df = pd.DataFrame(rows)
+    out = survival_curve(_ds(df).repartition(3), ["k"], "ts",
+                         censor_horizon_days=7)
+    # step table: dur 0 (anchor, censored only -> no emitted row but
+    # at risk), dur 1 (2 events), 2 (1), 3 (1)
+    assert out["duration_d"].tolist() == [1, 2, 3]
+    assert out["n_risk"].tolist() == [4, 2, 1]
+    assert out["n_event"].tolist() == [2, 1, 1]
+    # KM: dur0 term (5-0)/5 = 1; then 2/4, then 1/2, then 0/1
+    s = np.cumprod([1.0, 2 / 4, 1 / 2, 0 / 1])
+    assert out["survival"].tolist() == [round(x, 6) for x in s[1:]]
+
+
+def test_survival_censored_at_same_duration_stays_at_risk(ray_session):
+    from packs_ray.functions.survival import survival_curve
+
+    # one churned and one censored key, both lifetime 2 days: the
+    # censored key counts in n_risk at t=2 (deaths before censoring),
+    # while "late" (duration 0, censored) left the risk set at t=0
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "late"],
+        "ts": _ts([0, 2, 18, 20, 20]),
+    })
+    out = survival_curve(_ds(df), ["k"], "ts", censor_horizon_days=7)
+    assert out["duration_d"].tolist() == [2]
+    assert out["n_risk"].iloc[0] == 2           # a and b; late left at t=0
+    assert out["n_event"].iloc[0] == 1          # only a churned
+    assert out["n_censored"].iloc[0] == 1       # b censored at same t
+    assert out["survival"].iloc[0] == round(1 / 2, 6)
+
+
+def test_survival_null_and_empty(ray_session):
+    from packs_ray.functions.survival import survival_curve
+
+    df = pd.DataFrame({"k": [None, "a"],
+                       "ts": _ts([0, 1]) })
+    df.loc[1, "ts"] = pd.NaT
+    out = survival_curve(_ds(df), ["k"], "ts")
+    assert len(out) == 0
+    assert list(out.columns) == ["duration_d", "n_risk", "n_event",
+                                 "n_censored", "survival"]
+    assert out["survival"].dtype == np.float64
+
+
+def test_survival_partition_invariance(ray_session):
+    from packs_ray.functions.survival import survival_curve
+
+    rng = np.random.RandomState(7)
+    n = 400
+    start = rng.randint(0, 20, n)
+    df = pd.DataFrame({
+        "k": [f"u{i}" for i in range(n)],
+        "ts": _ts(start),
+    })
+    df2 = pd.DataFrame({
+        "k": [f"u{i}" for i in range(n)],
+        "ts": _ts(start + rng.randint(0, 15, n)),
+    })
+    both = pd.concat([df, df2], ignore_index=True)
+    a = survival_curve(_ds(both).repartition(1), ["k"], "ts",
+                       censor_horizon_days=3)
+    b = survival_curve(_ds(both).repartition(13), ["k"], "ts",
+                       censor_horizon_days=3)
+    pd.testing.assert_frame_equal(a, b)
+    # survival is non-increasing and within (0, 1]
+    sv = a["survival"].to_numpy()
+    assert (np.diff(sv) <= 0).all()
+    assert sv[0] <= 1.0 and (sv >= 0).all()
