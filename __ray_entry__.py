@@ -505,6 +505,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mk, batch_format="pyarrow")
         return triangle_count(edges, "src", "dst")
 
+    def kcore_lineitem(sf):
+        # k-core (k=25) of the part-supplier bipartite graph: iterative
+        # peel — per round ONE narrow endpoint keyed_count + TWO exact
+        # semi joins, edge list re-materialized so lineage stays O(1)
+        import pyarrow as pa
+
+        from packs_ray.functions.graph import kcore
+
+        def mk(batch):
+            import pyarrow.compute as pc
+            batch = batch.filter(pc.and_(
+                pc.is_valid(batch.column("l_partkey")),
+                pc.is_valid(batch.column("l_suppkey"))))
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            return pa.table({"src": pa.array(2 * pk, type=pa.int64()),
+                             "dst": pa.array(2 * sk + 1, type=pa.int64())})
+
+        edges = _ds(sf, "lineitem", ["l_partkey", "l_suppkey"]) \
+            .map_batches(mk, batch_format="pyarrow")
+        return kcore(edges, "src", "dst", k=25)
+
     def type_inference_orders(sf):
         # semantic-type sniffing over planted string shapes (int /
         # float / date / bool / mixed-with-nulls)
@@ -3875,6 +3897,7 @@ checks for orders:
         "type_inference_orders": type_inference_orders,
         "pagerank_lineitem": pagerank_lineitem,
         "triangles_lineitem": triangles_lineitem,
+        "kcore_lineitem": kcore_lineitem,
         "top_terms_documents": top_terms_documents,
         "bm25_search_documents": bm25_search_documents,
         "hybrid_search_documents": hybrid_search_documents,
@@ -5067,6 +5090,34 @@ def _pii_density_sql() -> str:
                   THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
             AS pii_ratio
     FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id"""
+
+
+def _kcore_sql(k: int = 25, depth: int = 8) -> str:
+    """graph.kcore replica: the peel unrolled to ``depth`` MATERIALIZED
+    stages (idempotent once converged, so depth only needs to exceed
+    the actual round count); node ids namespaced 2*part / 2*supp+1
+    exactly as the engine query builds them."""
+    parts = ["""e0 AS MATERIALIZED (
+        SELECT DISTINCT least(2 * l_partkey, 2 * l_suppkey + 1) AS a,
+               greatest(2 * l_partkey, 2 * l_suppkey + 1) AS b
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL)"""]
+    for i in range(1, depth + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM e{i-1}
+            UNION ALL SELECT b AS node FROM e{i-1}) GROUP BY node)""")
+        parts.append(f"""g{i} AS MATERIALIZED (
+        SELECT node FROM d{i} WHERE deg >= {k})""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+        SELECT a, b FROM e{i-1}
+        WHERE a IN (SELECT node FROM g{i})
+          AND b IN (SELECT node FROM g{i}))""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT node::BIGINT AS node, count(*)::BIGINT AS degree FROM (
+        SELECT a AS node FROM e{depth}
+        UNION ALL SELECT b AS node FROM e{depth})
+    GROUP BY node ORDER BY node""")
 
 
 def _bpe_sql(n_merges: int = 6) -> str:
@@ -8832,6 +8883,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balance_embeddings": _cluster_balance_sql(8, 10),
         "kmeans_embeddings": _kmeans_sql(8, 2, 64),
         "bpe_merges_documents": _bpe_sql(6),
+        "kcore_lineitem": _kcore_sql(25, 8),
         # textstats.class_tfidf replica: identical tokenization, exact
         # int tf/f, A = total/C, raw-score ranking (ties term asc),
         # 6dp only in the output column

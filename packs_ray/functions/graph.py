@@ -321,3 +321,97 @@ def triangle_count(edges, src_col: str, dst_col: str, *,
                           "n_triangles": np.int64(n_tri),
                           "n_wedges": np.int64(n_wedges),
                           "clustering": clustering}])
+
+
+def kcore(edges, src_col: str, dst_col: str, *, k: int = 3,
+          max_iters: int = 50,
+          num_partitions: int | None = None) -> pd.DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node whose degree in the surviving subgraph is < k until a
+    fixpoint; return the surviving nodes with their core degree.
+
+    The k-core is the density screen the near-dup components
+    (components.py) don't give: connected components find *any* link
+    chain, the k-core finds regions where every member has >= k
+    intra-region links (dense template families in a similarity graph,
+    well-connected supplier hubs, spam link farms).
+
+    Semantics: undirected simple graph — edges canonicalize to
+    (min, max), exact-dedupe, drop self-loops and null endpoints;
+    degree counts distinct neighbors.  All arithmetic is integer, so
+    the fixpoint (and hence the output) is independent of partition
+    order.
+
+    Scale shape per iteration: degree = one narrow keyed_count over
+    the 2-column endpoint stream; the surviving-node set filters the
+    edge list via TWO exact semi joins (broadcast <= 5M survivor keys,
+    hash co-partitioned above — equi_join picks); the edge list is
+    re-materialized each round so the lineage stays O(1) deep.
+    Worst case is the classic peeling chain (a path graph peels two
+    endpoints per round, O(n) rounds) — bounded by ``max_iters``,
+    which raises rather than silently returning a non-fixpoint.
+    """
+    from packs_ray.functions.agg import (keyed_count,
+                                         reduce_partition_count)
+    from packs_ray.functions.joins import equi_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col)
+        b = batch.column(dst_col)
+        mask = pc.and_(a.is_valid(), b.is_valid())
+        batch = batch.filter(mask)
+        av = batch.column(src_col).to_numpy(zero_copy_only=False)
+        bv = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        lo = np.minimum(av, bv)
+        hi = np.maximum(av, bv)
+        keep = lo != hi                     # self-loops never core-count
+        return pa.table({"a": pa.array(lo[keep], type=pa.int64()),
+                         "b": pa.array(hi[keep], type=pa.int64())})
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    from packs_ray.functions.agg import bucketed_group_reduce
+
+    raw = edges.map_batches(canon, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(raw)
+    e = bucketed_group_reduce(raw, ["a", "b"], dedupe,
+                              num_partitions).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("a").combine_chunks().cast(pa.int64()),
+            batch.column("b").combine_chunks().cast(pa.int64())])})
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "degree": pd.Series([], dtype="int64")})
+
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            return _empty()
+        deg = keyed_count(e.map_batches(endpoints, batch_format="pyarrow"),
+                          ["node"], count_col="degree")
+        kk = int(k)
+
+        def good_nodes(batch: pa.Table) -> pa.Table:
+            m = pc.greater_equal(batch.column("degree"), kk)
+            return batch.filter(m).select(["node"])
+
+        good = deg.map_batches(good_nodes, batch_format="pyarrow")
+        e2 = equi_join(e, good, left_on=["a"], right_on=["node"],
+                       how="semi")
+        e2 = equi_join(e2, good, left_on=["b"], right_on=["node"],
+                       how="semi").materialize()
+        n2 = e2.count()
+        if n2 == n_edges:                   # no node fell below k
+            out = keyed_count(
+                e2.map_batches(endpoints, batch_format="pyarrow"),
+                ["node"], count_col="degree").to_pandas()
+            return (out.sort_values("node").reset_index(drop=True)
+                    .astype({"node": "int64", "degree": "int64"}))
+        e, n_edges = e2, n2
+    raise RuntimeError(
+        f"kcore did not converge within max_iters={max_iters}")

@@ -97,3 +97,54 @@ def test_survival_partition_invariance(ray_session):
     sv = a["survival"].to_numpy()
     assert (np.diff(sv) <= 0).all()
     assert sv[0] <= 1.0 and (sv >= 0).all()
+
+
+# -------------------------------------------------- kcore
+
+def test_kcore_triangle_with_tail(ray_session):
+    from packs_ray.functions.graph import kcore
+
+    # triangle 1-2-3 plus a tail 3-4-5: 2-core = the triangle only
+    df = pd.DataFrame({"s": [1, 2, 3, 3, 4],
+                       "d": [2, 3, 1, 4, 5]})
+    out = kcore(_ds(df), "s", "d", k=2)
+    assert out["node"].tolist() == [1, 2, 3]
+    assert out["degree"].tolist() == [2, 2, 2]
+
+
+def test_kcore_path_graph_peels_to_empty(ray_session):
+    from packs_ray.functions.graph import kcore
+
+    # a 12-node path has no 2-core; the peel takes ~n/2 rounds
+    # (endpoints drop one layer per iteration) — exercises the
+    # multi-round loop, not just one pass
+    n = 12
+    df = pd.DataFrame({"s": range(n - 1), "d": range(1, n)})
+    out = kcore(_ds(df), "s", "d", k=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "degree"]
+
+
+def test_kcore_dedup_selfloop_and_orientation(ray_session):
+    from packs_ray.functions.graph import kcore
+
+    # duplicate edges (both orientations) count once; self-loops never
+    # contribute degree
+    df = pd.DataFrame({"s": [1, 2, 1, 3, 2, 9],
+                       "d": [2, 1, 3, 1, 3, 9]})
+    out = kcore(_ds(df).repartition(3), "s", "d", k=2)
+    assert out["node"].tolist() == [1, 2, 3]
+    assert out["degree"].tolist() == [2, 2, 2]
+
+
+def test_kcore_partition_invariance(ray_session):
+    from packs_ray.functions.graph import kcore
+
+    rng = np.random.RandomState(3)
+    m = 600
+    df = pd.DataFrame({"s": rng.randint(0, 60, m),
+                       "d": rng.randint(0, 60, m)})
+    a = kcore(_ds(df).repartition(1), "s", "d", k=8)
+    b = kcore(_ds(df).repartition(11), "s", "d", k=8)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["degree"] >= 8).all()
