@@ -2096,6 +2096,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["user_id", "event_type", "ts"]),
             ["user_id", "event_type"], "ts", censor_horizon_days=1)
 
+    def dp_counts_events(sf):
+        # epsilon-DP noisy event-type counts: exact keyed_count + a
+        # Laplace draw that is a pure function of the group value
+        # (FNV-1a + salt + finalize -> inverse-CDF), so the release is
+        # retry/resume-reproducible and oracle-verifiable
+        from packs_ray.functions.pii import dp_counts
+
+        return dp_counts(_ds(sf, "events", ["event_type"]),
+                         "event_type", epsilon=0.5, salt="dp")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -3942,6 +3952,7 @@ checks for orders:
         "overlap_sessions_events": overlap_sessions_events,
         "setsim_pairs_documents": setsim_pairs_documents,
         "t_closeness_events": t_closeness_events,
+        "dp_counts_events": dp_counts_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6354,6 +6365,38 @@ def _mixture_branch_sql(table: str, id_col: str, name: str,
     WHERE h % 1000000 < {thr})"""
 
 
+def _dp_counts_sql(table: str, group_col: str, epsilon: float,
+                   salt: str) -> str:
+    """pii.dp_counts replica: exact group counts + the SAME
+    FNV-1a(CAST(g AS VARCHAR)) * salt * finalize chain, u = (h mod
+    2^53)/2^53, Laplace inverse-CDF with libm ln, 6dp pin."""
+    from packs_ray.functions.sampling import _salt_constant
+
+    sc = int(_salt_constant(salt))
+    b = 1.0 / float(epsilon)
+    return f"""
+    WITH c AS (SELECT {group_col} AS g, count(*)::BIGINT AS n
+               FROM {table} WHERE {group_col} IS NOT NULL GROUP BY 1),
+    v AS (SELECT g, n, hex(encode(CAST(g AS VARCHAR))) AS hx,
+                 octet_length(encode(CAST(g AS VARCHAR))) AS nb FROM c),
+    hs AS (SELECT g, n, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM v),
+    sm AS (SELECT g, n, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT g, n, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM sm),
+    fr AS (SELECT g, n, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT g, n, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
+    u AS (SELECT g, n,
+                 (h % {1 << 53}::HUGEINT)::DOUBLE / {float(1 << 53)} - 0.5
+                     AS c
+          FROM f2)
+    SELECT g AS {group_col}, n,
+           round(n + CASE WHEN c = 0 THEN 0.0
+               ELSE -{b!r} * sign(c) * ln(1 - 2 * abs(c)) END, 6)
+             AS n_noisy
+    FROM u ORDER BY g"""
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -8743,6 +8786,7 @@ def oracle_sql() -> dict[str, str]:
         # pii.t_closeness replica: identical nano-unit term pins
         # (round half-away), absent-value mass via the t_all identity,
         # 6dp only on max_t
+        "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "t_closeness_events": """
     WITH e AS (SELECT event_type, user_id, props AS v FROM events
                WHERE event_type IS NOT NULL AND user_id IS NOT NULL

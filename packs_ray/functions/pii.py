@@ -582,3 +582,67 @@ def t_closeness(ds, quasi_cols: list[str], sensitive_col: str, *,
         "n_groups": np.int64(parts["n_groups"].sum()),
         "max_t": float(_rh(max_su / 2_000_000_000.0, 6)),
         "n_groups_above": np.int64(parts["n_above"].sum())}])
+
+
+def dp_counts(ds, group_col: str, *, epsilon: float = 1.0,
+              salt: str = "dp",
+              num_partitions: int | None = None) -> "pd.DataFrame":
+    """epsilon-DP noisy group counts: exact distributed counts plus
+    Laplace(1/epsilon) noise whose randomness is a PURE FUNCTION of the
+    group value — seeded by the repo's FNV-1a + finalize hash of
+    CAST(group AS VARCHAR) premultiplied by the salt constant — so the
+    release is reproducible on any cluster, any retry, any resume (the
+    same no-RNG-state contract as sampling.sample_mask), and the DuckDB
+    oracle can verify it cell-for-cell.
+
+    Noise = inverse-CDF Laplace: u = (h mod 2^53) / 2^53 (exact
+    double), c = u - 0.5, noise = -(1/eps) * sign(c) * ln(1 - 2|c|).
+    Every arithmetic step is an exact-rounded IEEE op shared with the
+    SQL twin; ln is libm on both sides (class_tfidf precedent).
+    Sensitivity is 1 (row-level adjacency): one row changes one group
+    count by one.  NOTE a real release publishes ONLY n_noisy; the
+    exact n column here exists for the parity gate.
+
+    Caveat (documented, matching standard practice): a fixed salt
+    means repeated releases share noise — rotate the salt per release
+    epoch, and remember the group-key SET itself is data-dependent
+    (standard known-domain assumption).
+
+    Scale shape: counts are keyed_count partials (one narrow reduce);
+    only the bounded per-group table lands on the driver, where the
+    noise loop is O(groups)."""
+    import math
+
+    import numpy as np
+
+    from packs_ray.functions.agg import keyed_count
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _finalize, _fnv1a_str
+    from packs_ray.stages.util import round_half_away as _rh
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column(group_col).is_valid())
+
+    cnt = keyed_count(
+        ds.select_columns([group_col]).map_batches(
+            drop_null, batch_format="pyarrow"),
+        [group_col], count_col="n",
+        num_partitions=num_partitions).to_pandas()
+    if not len(cnt):
+        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "n_noisy": pd.Series([], dtype="float64")})
+    cnt = cnt.sort_values(group_col).reset_index(drop=True)
+    h, _valid = _fnv1a_str(pa.array(cnt[group_col].astype(str)))
+    h = _finalize(h * _salt_constant(salt))
+    u = (h % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53)
+    b = 1.0 / float(epsilon)
+    noisy = []
+    for n_i, u_i in zip(cnt["n"].to_numpy(np.int64), u):
+        c = u_i - 0.5
+        noise = 0.0 if c == 0.0 else -b * math.copysign(1.0, c) \
+            * math.log(1.0 - 2.0 * abs(c))
+        noisy.append(float(n_i) + noise)
+    cnt["n"] = cnt["n"].astype("int64")
+    cnt["n_noisy"] = _rh(np.array(noisy), 6)
+    return cnt[[group_col, "n", "n_noisy"]]

@@ -148,3 +148,57 @@ def test_kcore_partition_invariance(ray_session):
     b = kcore(_ds(df).repartition(11), "s", "d", k=8)
     pd.testing.assert_frame_equal(a, b)
     assert (a["degree"] >= 8).all()
+
+
+# -------------------------------------------------- dp_counts
+
+def test_dp_counts_noise_is_deterministic_and_laplace(ray_session):
+    import math
+
+    from packs_ray.functions.pii import dp_counts
+    from packs_ray.functions.sampling import _salt_constant
+    from packs_ray.functions.sketches import _finalize, _fnv1a_str
+    import pyarrow as pa
+
+    df = pd.DataFrame({"g": ["a"] * 10 + ["b"] * 5 + [None] * 3})
+    out = dp_counts(_ds(df).repartition(4), "g", epsilon=0.5, salt="dp")
+    assert out["g"].tolist() == ["a", "b"]       # nulls dropped
+    assert out["n"].tolist() == [10, 5]
+    # replicate the seeded Laplace draw by hand
+    h, _ = _fnv1a_str(pa.array(["a", "b"]))
+    h = _finalize(h * _salt_constant("dp"))
+    u = (h % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53)
+    exp = []
+    for n, ui in zip([10, 5], u):
+        c = ui - 0.5
+        noise = 0.0 if c == 0 else -2.0 * math.copysign(1.0, c) \
+            * math.log(1.0 - 2.0 * abs(c))
+        exp.append(round(n + noise, 6) if abs(n + noise) < 1e15 else n)
+    assert out["n_noisy"].tolist() == pytest.approx(exp, abs=1e-6)
+    # same input, same salt -> byte-identical release
+    out2 = dp_counts(_ds(df).repartition(2), "g", epsilon=0.5, salt="dp")
+    pd.testing.assert_frame_equal(out, out2)
+    # different salt -> different noise (overwhelmingly)
+    out3 = dp_counts(_ds(df), "g", epsilon=0.5, salt="dp-epoch2")
+    assert not np.allclose(out3["n_noisy"], out["n_noisy"])
+
+
+def test_dp_counts_epsilon_scales_noise(ray_session):
+    from packs_ray.functions.pii import dp_counts
+
+    df = pd.DataFrame({"g": ["x"] * 100})
+    tight = dp_counts(_ds(df), "g", epsilon=10.0)
+    loose = dp_counts(_ds(df), "g", epsilon=0.1)
+    # identical u -> noise scales by the eps ratio (6dp output pin
+    # limits the comparison to ~1e-4 after the 100x amplification)
+    assert abs(loose["n_noisy"][0] - 100) == pytest.approx(
+        100 * abs(tight["n_noisy"][0] - 100), abs=1e-3)
+
+
+def test_dp_counts_empty(ray_session):
+    from packs_ray.functions.pii import dp_counts
+
+    df = pd.DataFrame({"g": pd.Series([None, None], dtype="object")})
+    out = dp_counts(_ds(df), "g")
+    assert len(out) == 0
+    assert list(out.columns) == ["g", "n", "n_noisy"]
