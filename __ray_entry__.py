@@ -2106,6 +2106,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dp_counts(_ds(sf, "events", ["event_type"]),
                          "event_type", epsilon=0.5, salt="dp")
 
+    def welch_events(sf):
+        # Welch unequal-variance t-test of mean(value), click vs view
+        # cohorts: three exact integer power sums per side, one pinned
+        # float expression at the end
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import welch_ttest
+
+        def cohort(et):
+            def fn(t):
+                return t.filter(pc.equal(t.column("event_type"), et))
+            return _ds(sf, "events", ["event_type", "value"]) \
+                .map_batches(fn, batch_format="pyarrow")
+
+        return welch_ttest(cohort("click"), cohort("view"), "value")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -3953,6 +3969,7 @@ checks for orders:
         "setsim_pairs_documents": setsim_pairs_documents,
         "t_closeness_events": t_closeness_events,
         "dp_counts_events": dp_counts_events,
+        "welch_events": welch_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -8786,6 +8803,32 @@ def oracle_sql() -> dict[str, str]:
         # pii.t_closeness replica: identical nano-unit term pins
         # (round half-away), absent-value mass via the t_all identity,
         # 6dp only on max_t
+        "welch_events": """
+    WITH a AS (SELECT CAST(round(value * 100, 0) AS BIGINT)::HUGEINT AS c
+               FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT CAST(round(value * 100, 0) AS BIGINT)::HUGEINT AS c
+          FROM events
+          WHERE event_type = 'view' AND value IS NOT NULL),
+    sa AS (SELECT count(*)::BIGINT AS n, coalesce(sum(c), 0) AS s1,
+                  coalesce(sum(c * c), 0) AS s2 FROM a),
+    sb AS (SELECT count(*)::BIGINT AS n, coalesce(sum(c), 0) AS s1,
+                  coalesce(sum(c * c), 0) AS s2 FROM b),
+    v AS (SELECT sa.n AS na, sb.n AS nb, sa.s1 AS a1, sb.s1 AS b1,
+        (sa.s2::DOUBLE - sa.s1::DOUBLE * sa.s1::DOUBLE / sa.n)
+            / (sa.n - 1) / 10000.0 AS va,
+        (sb.s2::DOUBLE - sb.s1::DOUBLE * sb.s1::DOUBLE / sb.n)
+            / (sb.n - 1) / 10000.0 AS vb
+        FROM sa, sb)
+    SELECT na AS n_a, nb AS n_b,
+        round(a1::DOUBLE / (na * 100.0), 6) AS mean_a,
+        round(b1::DOUBLE / (nb * 100.0), 6) AS mean_b,
+        round((a1::DOUBLE / (na * 100.0) - b1::DOUBLE / (nb * 100.0))
+              / sqrt(va / na + vb / nb), 6) AS t_stat,
+        round((va / na + vb / nb) * (va / na + vb / nb) /
+              ((va / na) * (va / na) / (na - 1)
+               + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
+    FROM v""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "t_closeness_events": """
     WITH e AS (SELECT event_type, user_id, props AS v FROM events

@@ -978,3 +978,74 @@ def binary_eval(ds, score_col: str, label_col: str, *, decimals: int = 2,
         "best_f1": float(_rh(best_f1, 6)) if P > 0 else None,
         "best_f1_threshold": (float(best_s) / unit
                               if best_s is not None else None)}])
+
+
+def welch_ttest(ds_a, ds_b, column: str) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t-test on the means — the
+    parametric cohort-comparison beside :func:`mannwhitney_u` (which
+    reads rank shift) and :func:`ks_2sample` (any CDF gap): "did the
+    mean of `value` move between feed A and feed B / treatment and
+    control", with the Welch-Satterthwaite degrees of freedom so
+    unequal variances and sizes stay honest.
+
+    Exactness: each side reduces to three exact integer power sums
+    over integer cents (n, Σc, Σc²) — per-batch int64 partials
+    (bounded: |value| < 9e7 at 64Ki-row batches), Python-int driver
+    accumulation, no float ever crosses a partition boundary.  The
+    final t / dof are ONE pinned float64 expression both the engine
+    and the DuckDB twin evaluate literally (HUGEINT sums cast to
+    DOUBLE at the same points).
+
+    Output: one row (n_a, n_b, mean_a, mean_b, t_stat, dof), floats
+    6dp-pinned.  Null values drop; a side with n < 2 yields null
+    t/dof (variance undefined)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from packs_ray.functions.agg import _exact_int_sum
+    from packs_ray.stages.util import round_half_away as _r
+
+    def side_sums(ds) -> tuple[int, int, int]:
+        def partial(batch: "pa.Table") -> "pa.Table":
+            import numpy as np
+            import pyarrow as pa
+
+            col = batch.column(column)
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+            c = np.round(v * 100.0).astype(np.int64)
+            return pa.table({
+                "n": pa.array([len(c)], type=pa.int64()),
+                "s1": pa.array([_exact_int_sum(c)], type=pa.int64()),
+                "s2": pa.array([_exact_int_sum(c * c)], type=pa.int64())})
+
+        p = ds.select_columns([column]).map_batches(
+            partial, batch_format="pyarrow").to_pandas()
+        if not len(p):
+            return 0, 0, 0
+        return (int(p["n"].sum()),
+                sum(int(x) for x in p["s1"]),
+                sum(int(x) for x in p["s2"]))
+
+    na, sa, s2a = side_sums(ds_a)
+    nb, sb, s2b = side_sums(ds_b)
+    mean_a = _r(sa / (na * 100.0), 6) if na else None
+    mean_b = _r(sb / (nb * 100.0), 6) if nb else None
+    t_stat = dof = None
+    if na >= 2 and nb >= 2:
+        na_d, nb_d = float(na), float(nb)
+        va = (float(s2a) - float(sa) * float(sa) / na_d) \
+            / (na_d - 1.0) / 10000.0
+        vb = (float(s2b) - float(sb) * float(sb) / nb_d) \
+            / (nb_d - 1.0) / 10000.0
+        se2 = va / na_d + vb / nb_d
+        if se2 > 0:
+            t_stat = float(_r((sa / (na_d * 100.0) - sb / (nb_d * 100.0))
+                              / np.sqrt(se2), 6))
+            dof = float(_r(se2 * se2 / (
+                (va / na_d) * (va / na_d) / (na_d - 1.0)
+                + (vb / nb_d) * (vb / nb_d) / (nb_d - 1.0)), 6))
+    return pd.DataFrame([{
+        "n_a": np.int64(na), "n_b": np.int64(nb),
+        "mean_a": None if mean_a is None else float(mean_a),
+        "mean_b": None if mean_b is None else float(mean_b),
+        "t_stat": t_stat, "dof": dof}])

@@ -202,3 +202,39 @@ def test_dp_counts_empty(ray_session):
     out = dp_counts(_ds(df), "g")
     assert len(out) == 0
     assert list(out.columns) == ["g", "n", "n_noisy"]
+
+
+# -------------------------------------------------- welch_ttest
+
+def test_welch_matches_scipy_formula(ray_session):
+    from packs_ray.functions.drift import welch_ttest
+
+    rng = np.random.RandomState(11)
+    a = np.round(rng.normal(50, 10, 300), 2)
+    b = np.round(rng.normal(52, 18, 120), 2)
+    out = welch_ttest(_ds(pd.DataFrame({"v": a})).repartition(5),
+                      _ds(pd.DataFrame({"v": b})).repartition(3), "v")
+    r = out.iloc[0]
+    assert r["n_a"] == 300 and r["n_b"] == 120
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 300 + vb / 120
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof_ref = se2 ** 2 / ((va / 300) ** 2 / 299 + (vb / 120) ** 2 / 119)
+    assert r["t_stat"] == pytest.approx(t_ref, abs=2e-6)
+    assert r["dof"] == pytest.approx(dof_ref, abs=2e-4)
+    assert r["mean_a"] == pytest.approx(a.mean(), abs=1e-6)
+
+
+def test_welch_degenerate_sides(ray_session):
+    from packs_ray.functions.drift import welch_ttest
+
+    one = _ds(pd.DataFrame({"v": [1.0]}))
+    many = _ds(pd.DataFrame({"v": [1.0, 2.0, 3.0]}))
+    out = welch_ttest(one, many, "v")
+    assert out["n_a"].iloc[0] == 1
+    assert out["t_stat"].iloc[0] is None or pd.isna(out["t_stat"].iloc[0])
+    # identical constant sides: zero variance -> undefined t
+    c = pd.DataFrame({"v": [5.0] * 10})
+    out2 = welch_ttest(_ds(c), _ds(c), "v")
+    assert pd.isna(out2["t_stat"].iloc[0])
+    assert out2["mean_a"].iloc[0] == 5.0
