@@ -2122,6 +2122,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return welch_ttest(cohort("click"), cohort("view"), "value")
 
+    def dim_truncation_embeddings(sf):
+        # matryoshka truncation eval: recall@10 / MRR of d-prefix
+        # cosine retrieval vs the full-dim truth, ONE corpus scan for
+        # all truncation levels
+        from packs_ray.functions.similarity import dim_truncation_eval
+
+        return dim_truncation_eval(
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", _query_vec(sf),
+            dims=(8, 16, 32), k=10)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -3970,6 +3981,7 @@ checks for orders:
         "t_closeness_events": t_closeness_events,
         "dp_counts_events": dp_counts_events,
         "welch_events": welch_events,
+        "dim_truncation_embeddings": dim_truncation_embeddings,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6414,6 +6426,38 @@ def _dp_counts_sql(table: str, group_col: str, epsilon: float,
     FROM u ORDER BY g"""
 
 
+def _dim_trunc_sql(dims=(8, 16, 32, 64), k: int = 10) -> str:
+    """similarity.dim_truncation_eval replica: per level, prefix-slice
+    cosine top-k under the (cosine 6dp DESC, vec_id ASC) pinned order;
+    recall/MRR against the full-dim level."""
+    full = max(dims)
+    ctes, rows = [], []
+    for d in sorted(set(dims)):
+        ctes.append(f"""p{d} AS MATERIALIZED (
+        SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rnk
+        FROM (SELECT e.vec_id,
+                round(list_cosine_similarity(
+                    (e.embedding::DOUBLE[])[1:{d}],
+                    (SELECT (embedding::DOUBLE[])[1:{d}] FROM embeddings
+                     WHERE vec_id = 0)), 6) AS c
+              FROM embeddings e
+              ORDER BY c DESC, e.vec_id LIMIT {k}))""")
+        rows.append(f"""
+    SELECT {d}::BIGINT AS dim, {k}::BIGINT AS k,
+        (SELECT count(*)::BIGINT FROM p{d}
+         WHERE vec_id IN (SELECT vec_id FROM p{full})) AS n_overlap,
+        round((SELECT count(*) FROM p{d}
+               WHERE vec_id IN (SELECT vec_id FROM p{full}))
+              / {float(k)}, 6) AS recall_at_k,
+        coalesce(round(1.0 / (SELECT min(rnk) FROM p{d}
+               WHERE vec_id IN (SELECT vec_id FROM p{full})), 6), 0.0)
+            AS mrr""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + " ".join([("" if i == 0 else " UNION ALL ") + r
+                        for i, r in enumerate(rows)])
+            + " ORDER BY dim")
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -8830,6 +8874,7 @@ def oracle_sql() -> dict[str, str]:
                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
     FROM v""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
+        "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),
         "t_closeness_events": """
     WITH e AS (SELECT event_type, user_id, props AS v FROM events
                WHERE event_type IS NOT NULL AND user_id IS NOT NULL

@@ -1258,3 +1258,68 @@ def kmeans_fit(ds, id_col: str, emb_col: str, *, k: int = 8,
         "n": stats["sum(n)"].astype("int64"),
         "inertia": stats["sum(iq)"].to_numpy(dtype=np.float64) / fscale})
     return cent, out.sort_values("cluster_id").reset_index(drop=True)
+
+
+def dim_truncation_eval(ds, id_col: str, emb_col: str,
+                        query: np.ndarray, *, dims=(8, 16, 32, 64),
+                        k: int = 10) -> pd.DataFrame:
+    """Matryoshka-style dimension-truncation retrieval eval: how much
+    recall@k / MRR survives when both corpus and query vectors are
+    truncated to their first ``d`` dimensions (the MRL deployment
+    question — can the 100-TB index store d=16 prefixes instead of
+    full vectors).  Truth = the full-dimension exact top-k.
+
+    ONE corpus scan computes every truncation level: per batch, one
+    (n, d_full) matrix is sliced per d, cosine = dot over the prefix
+    divided by prefix norms (float64), local top-k per d selected
+    under the global (cosine 6dp desc, id asc) order so cross-batch
+    merging is deterministic; the driver merges blocks × |dims| × k
+    rows and scores each level against the full-dim level.
+
+    Output: one row per d — (dim, k, n_overlap, recall_at_k, mrr)."""
+    from packs_ray.functions.similarity import ranking_metrics
+    from packs_ray.stages.util import round_half_away as _r6
+
+    q = np.asarray(query, dtype=np.float64)
+    dims = tuple(sorted({int(d) for d in dims} | {len(q)}))
+    qref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _fit_dim(_batch_matrix(batch, emb_col), len(qv))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_d, out_id, out_cos = [], [], []
+        for d in dims:
+            md, qd = m[:, :d], qv[:d]
+            qn = np.linalg.norm(qd)
+            norms = np.linalg.norm(md, axis=1) * (qn if qn > 0 else 1.0)
+            cos = (md @ qd) / np.where(norms > 0, norms, 1.0)
+            cr = _r(cos, 6)
+            top = np.lexsort((ids, -cr))[:k]
+            out_d.append(np.full(len(top), d, dtype=np.int64))
+            out_id.append(ids[top])
+            out_cos.append(cr[top])
+        return pa.table({"dim": np.concatenate(out_d),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_cos),
+                                            type=pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype="int64"),
+            "k": pd.Series([], dtype="int64"),
+            "n_overlap": pd.Series([], dtype="int64"),
+            "recall_at_k": pd.Series([], dtype="float64"),
+            "mrr": pd.Series([], dtype="float64")})
+    top = (parts.sort_values(["dim", "cosine", id_col],
+                             ascending=[True, False, True], kind="stable")
+           .groupby("dim", sort=True).head(k))
+    truth = top[top["dim"] == len(q)]
+    rows = []
+    for d in dims:
+        pred = top[top["dim"] == d].reset_index(drop=True)
+        m = ranking_metrics(pred, truth, id_col, k)
+        m.insert(0, "dim", np.int64(d))
+        rows.append(m[["dim", "k", "n_overlap", "recall_at_k", "mrr"]])
+    return pd.concat(rows, ignore_index=True)

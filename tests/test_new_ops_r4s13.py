@@ -238,3 +238,49 @@ def test_welch_degenerate_sides(ray_session):
     out2 = welch_ttest(_ds(c), _ds(c), "v")
     assert pd.isna(out2["t_stat"].iloc[0])
     assert out2["mean_a"].iloc[0] == 5.0
+
+
+# -------------------------------------------------- dim_truncation_eval
+
+def test_dim_truncation_full_dim_is_perfect(ray_session):
+    from packs_ray.functions.similarity import dim_truncation_eval
+
+    rng = np.random.RandomState(5)
+    emb = rng.normal(size=(200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in emb]})
+    out = dim_truncation_eval(_ds(df).repartition(4), "vec_id",
+                              "embedding", emb[0], dims=(4, 8), k=5)
+    assert out["dim"].tolist() == [4, 8, 16]
+    full = out[out["dim"] == 16].iloc[0]
+    assert full["recall_at_k"] == 1.0 and full["mrr"] == 1.0
+    assert (out["recall_at_k"] <= 1.0).all()
+
+
+def test_dim_truncation_partition_invariance(ray_session):
+    from packs_ray.functions.similarity import dim_truncation_eval
+
+    rng = np.random.RandomState(9)
+    emb = rng.normal(size=(300, 12))
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in emb]})
+    a = dim_truncation_eval(_ds(df).repartition(1), "vec_id",
+                            "embedding", emb[7], dims=(3, 6), k=8)
+    b = dim_truncation_eval(_ds(df).repartition(9), "vec_id",
+                            "embedding", emb[7], dims=(3, 6), k=8)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dim_truncation_identical_prefix_recovers(ray_session):
+    from packs_ray.functions.similarity import dim_truncation_eval
+
+    # corpus where the first 2 dims already determine the ranking:
+    # truncation to d=2 must agree with full-dim truth
+    base = np.array([[1.0, 0.0], [0.9, 0.1], [0.5, 0.5], [0.0, 1.0]])
+    emb = np.hstack([base, np.zeros((4, 6))])
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in emb]})
+    out = dim_truncation_eval(_ds(df), "vec_id", "embedding", emb[0],
+                              dims=(2,), k=3)
+    r2 = out[out["dim"] == 2].iloc[0]
+    assert r2["recall_at_k"] == 1.0 and r2["mrr"] == 1.0
