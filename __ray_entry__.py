@@ -2133,6 +2133,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vec_id", "embedding", _query_vec(sf),
             dims=(8, 16, 32), k=10)
 
+    def logrank_events(sf):
+        # log-rank test: do click-keys churn on a different schedule
+        # than view-keys?  Pooled-censoring step tables, exact int
+        # counts, sequential ascending-t float fold (== list_sum)
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.survival import logrank_test
+
+        def cohort(et):
+            def fn(t):
+                return t.filter(pc.equal(t.column("event_type"), et))
+            return _ds(sf, "events",
+                       ["event_type", "user_id", "ts"]) \
+                .map_batches(fn, batch_format="pyarrow")
+
+        return logrank_test(cohort("click"), cohort("view"),
+                            ["user_id"], "ts", censor_horizon_days=1)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -3982,6 +4000,7 @@ checks for orders:
         "dp_counts_events": dp_counts_events,
         "welch_events": welch_events,
         "dim_truncation_embeddings": dim_truncation_embeddings,
+        "logrank_events": logrank_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6458,6 +6477,67 @@ def _dim_trunc_sql(dims=(8, 16, 32, 64), k: int = 10) -> str:
             + " ORDER BY dim")
 
 
+def _logrank_sql(et_a: str, et_b: str, horizon_days: int) -> str:
+    """survival.logrank_test replica: identical span/censor ints, risk
+    sets from cumulative leavers below t, E/V via the list_sum left
+    fold over ascending pooled event times."""
+    h = horizon_days * 86400000000
+    spans = """SELECT user_id, min(epoch_us(ts)) AS f,
+                      max(epoch_us(ts)) AS l
+               FROM events
+               WHERE event_type = '{et}' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL GROUP BY 1"""
+    return f"""
+    WITH ka AS MATERIALIZED ({spans.format(et=et_a)}),
+    kb AS MATERIALIZED ({spans.format(et=et_b)}),
+    g AS (SELECT greatest((SELECT max(l) FROM ka),
+                          (SELECT max(l) FROM kb)) AS gmax),
+    la AS (SELECT (l - f) // 86400000000 AS t,
+                  CASE WHEN g.gmax - l > {h} THEN 1 ELSE 0 END AS obs
+           FROM ka, g),
+    lb AS (SELECT (l - f) // 86400000000 AS t,
+                  CASE WHEN g.gmax - l > {h} THEN 1 ELSE 0 END AS obs
+           FROM kb, g),
+    sa AS (SELECT t, sum(obs)::BIGINT AS d, count(*)::BIGINT AS leav
+           FROM la GROUP BY t),
+    sb AS (SELECT t, sum(obs)::BIGINT AS d, count(*)::BIGINT AS leav
+           FROM lb GROUP BY t),
+    ts_ AS (SELECT DISTINCT t FROM (
+        SELECT t FROM la WHERE obs = 1
+        UNION ALL SELECT t FROM lb WHERE obs = 1)),
+    rows_ AS (SELECT ts_.t,
+        coalesce((SELECT d FROM sa WHERE sa.t = ts_.t), 0) AS da,
+        coalesce((SELECT d FROM sb WHERE sb.t = ts_.t), 0) AS db,
+        ((SELECT count(*) FROM ka)
+         - coalesce((SELECT sum(leav) FROM sa WHERE sa.t < ts_.t), 0))
+            AS ra,
+        ((SELECT count(*) FROM kb)
+         - coalesce((SELECT sum(leav) FROM sb WHERE sb.t < ts_.t), 0))
+            AS rb
+        FROM ts_),
+    terms AS (SELECT t, da, db, ra, rb,
+                     (da + db)::DOUBLE AS dt, (ra + rb)::DOUBLE AS nt
+              FROM rows_ WHERE da + db > 0),
+    folds AS (SELECT
+        coalesce(list_sum(list(dt * (ra / nt) ORDER BY t)), 0.0) AS ea,
+        coalesce(list_sum(list(dt * (rb / nt) ORDER BY t)), 0.0) AS eb,
+        coalesce(list_sum(list(
+            CASE WHEN nt > 1 THEN dt * (ra / nt) * (1.0 - ra / nt)
+                      * (nt - dt) / (nt - 1.0) ELSE 0.0 END
+            ORDER BY t)), 0.0) AS v,
+        coalesce(sum(da), 0)::BIGINT AS oa,
+        coalesce(sum(db), 0)::BIGINT AS ob
+        FROM terms)
+    SELECT (SELECT count(*) FROM ka)::BIGINT AS n_a,
+           (SELECT count(*) FROM kb)::BIGINT AS n_b,
+           oa AS o_a, round(ea, 6) AS e_a,
+           ob AS o_b, round(eb, 6) AS e_b,
+           CASE WHEN v > 0
+                THEN round((oa - ea) * (oa - ea) / v, 6)
+                ELSE NULL END AS chi2
+    FROM folds"""
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -8874,6 +8954,7 @@ def oracle_sql() -> dict[str, str]:
                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
     FROM v""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
+        "logrank_events": _logrank_sql("click", "view", 1),
         "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),
         "t_closeness_events": """
     WITH e AS (SELECT event_type, user_id, props AS v FROM events

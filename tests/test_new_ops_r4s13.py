@@ -284,3 +284,58 @@ def test_dim_truncation_identical_prefix_recovers(ray_session):
                               dims=(2,), k=3)
     r2 = out[out["dim"] == 2].iloc[0]
     assert r2["recall_at_k"] == 1.0 and r2["mrr"] == 1.0
+
+
+# -------------------------------------------------- logrank_test
+
+def test_logrank_identical_cohorts_zero_chi2(ray_session):
+    from packs_ray.functions.survival import logrank_test
+
+    rows = []
+    for i in range(40):
+        rows.append({"k": f"u{i}", "ts": _ts([0])[0]})
+        rows.append({"k": f"u{i}", "ts": _ts([i % 5 + 1])[0]})
+    rows.append({"k": "anchor", "ts": _ts([40])[0]})
+    df = pd.DataFrame(rows)
+    out = logrank_test(_ds(df), _ds(df), ["k"], "ts",
+                       censor_horizon_days=3)
+    r = out.iloc[0]
+    assert r["n_a"] == r["n_b"] == 41
+    assert r["o_a"] == r["o_b"]
+    # identical cohorts: observed == expected exactly -> chi2 == 0
+    assert r["chi2"] == 0.0
+    assert r["e_a"] == pytest.approx(r["o_a"], abs=1e-6)
+
+
+def test_logrank_detects_faster_churn(ray_session):
+    from packs_ray.functions.survival import logrank_test
+
+    # cohort A lifetimes 1-2 days, cohort B lifetimes 8-9 days; both
+    # fully observed (anchor 40 days later)
+    rows_a, rows_b = [], []
+    for i in range(30):
+        rows_a += [{"k": f"a{i}", "ts": _ts([0])[0]},
+                   {"k": f"a{i}", "ts": _ts([1 + i % 2])[0]}]
+        rows_b += [{"k": f"b{i}", "ts": _ts([0])[0]},
+                   {"k": f"b{i}", "ts": _ts([8 + i % 2])[0]}]
+    rows_a.append({"k": "anchor", "ts": _ts([40])[0]})
+    rows_b.append({"k": "anchor", "ts": _ts([40])[0]})
+    out = logrank_test(_ds(pd.DataFrame(rows_a)),
+                       _ds(pd.DataFrame(rows_b)), ["k"], "ts",
+                       censor_horizon_days=3)
+    r = out.iloc[0]
+    # A churns early: o_a far above e_a, large chi2
+    assert r["o_a"] > r["e_a"]
+    assert r["chi2"] > 20
+
+
+def test_logrank_empty_side(ray_session):
+    from packs_ray.functions.survival import logrank_test
+
+    df = pd.DataFrame({"k": ["a", "a"], "ts": _ts([0, 1])})
+    empty = pd.DataFrame({"k": pd.Series([], dtype="object"),
+                          "ts": pd.Series([], dtype="datetime64[us]")})
+    out = logrank_test(_ds(df), _ds(empty), ["k"], "ts")
+    r = out.iloc[0]
+    assert r["n_a"] == 1 and r["n_b"] == 0
+    assert pd.isna(r["chi2"])
