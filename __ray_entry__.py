@@ -2151,6 +2151,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return logrank_test(cohort("click"), cohort("view"),
                             ["user_id"], "ts", censor_horizon_days=1)
 
+    def seasonal_events(sf):
+        # additive weekly seasonal indices of the daily value series:
+        # exact integer detrending (7*cents - centered-7day-sum), only
+        # the final index and <=7-term centering fold are floats
+        from packs_ray.functions.outliers import seasonal_decompose_daily
+
+        return seasonal_decompose_daily(
+            _ds(sf, "events", ["ts", "value"]), "ts", "value")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4001,6 +4010,7 @@ checks for orders:
         "welch_events": welch_events,
         "dim_truncation_embeddings": dim_truncation_embeddings,
         "logrank_events": logrank_events,
+        "seasonal_events": seasonal_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -8953,6 +8963,31 @@ def oracle_sql() -> dict[str, str]:
               ((va / na) * (va / na) / (na - 1)
                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
     FROM v""",
+        "seasonal_events": """
+    WITH v AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    d AS (SELECT day, sum(c)::BIGINT AS cents FROM v GROUP BY 1),
+    w AS (SELECT day, cents,
+            sum(cents) OVER (ORDER BY day
+                RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                AND INTERVAL 3 DAY FOLLOWING) AS d7,
+            count(*) OVER (ORDER BY day
+                RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                AND INTERVAL 3 DAY FOLLOWING) AS n7
+          FROM d),
+    det AS (SELECT isodow(day) AS weekday, 7 * cents - d7 AS num
+            FROM w WHERE n7 = 7),
+    sw AS (SELECT weekday, sum(num)::BIGINT AS num,
+                  count(*)::BIGINT AS cnt
+           FROM det GROUP BY 1),
+    sraw AS (SELECT weekday, cnt, num::DOUBLE / (7.0 * cnt) AS s
+             FROM sw),
+    m AS (SELECT list_sum(list(s ORDER BY weekday)) / count(*) AS ms
+          FROM sraw)
+    SELECT weekday::BIGINT AS weekday, cnt AS n_used,
+           round((s - (SELECT ms FROM m)) / 100.0, 6) AS seasonal
+    FROM sraw ORDER BY weekday""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "logrank_events": _logrank_sql("click", "view", 1),
         "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),

@@ -709,3 +709,86 @@ def ewma_anomaly(ds, ts_col: str, value_col: str, *,
         "is_anomaly": pd.Series([None if np.isnan(x) else bool(x > k)
                                  for x in zr], dtype=object)})
     return out
+
+
+def seasonal_decompose_daily(ds, ts_col: str, value_col: str, *,
+                             scale: int = 100,
+                             num_partitions: int | None = None
+                             ) -> "pd.DataFrame":
+    """Classical additive seasonal decomposition of the daily value
+    series, weekly period: trend = centered 7-day moving average,
+    seasonal index per ISO weekday = mean detrended deviation,
+    centered to sum ~0 — the decomposition behind
+    :func:`weekday_profile` (which shows raw weekday totals; this
+    isolates the seasonal effect from the trend so a ramping feed
+    doesn't masquerade as seasonality).
+
+    Exactness: the detrended deviation is kept in exact integer
+    micro-units — 7*cents[t] - sum7[t] (both int64) — so the per-
+    weekday numerator is an exact integer sum; only the final
+    index = num / (7*cnt) and the ≤7-term centering fold are floats,
+    pinned to the oracle's expression order (list_sum left fold by
+    weekday).  Days without a full 7-day calendar window (boundaries,
+    gaps) are excluded, matching the SQL RANGE-window row count.
+
+    Scale shape: per-batch (day, cents) partials → one bucketed
+    reduce; only the |days| daily series lands on the driver for the
+    rolling window (bounded by the time span, not the row count).
+
+    Output: one row per occurring weekday — (weekday, n_used,
+    seasonal), value units, 6dp, ordered by weekday."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        day = df[ts_col].dt.floor("D")
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    empty = pd.DataFrame({"weekday": pd.Series([], dtype="int64"),
+                          "n_used": pd.Series([], dtype="int64"),
+                          "seasonal": pd.Series([], dtype="float64")})
+    if daily.empty or "day" not in daily.columns:
+        return empty
+    daily = daily.sort_values("day").reset_index(drop=True)
+    daily["day"] = pd.to_datetime(daily["day"])
+    # full-calendar reindex: a missing day voids every window it touches
+    cal = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D")
+    ser = daily.set_index("day")["cents"].reindex(cal)
+    roll = ser.rolling(7, center=True, min_periods=7).sum()
+    ok = roll.notna() & ser.notna()
+    if not ok.any():
+        return empty
+    cents = ser[ok].to_numpy(np.int64)
+    d7 = roll[ok].to_numpy(np.float64).astype(np.int64)
+    weekday = (ser.index[ok].dayofweek + 1).to_numpy(np.int64)
+    num = 7 * cents - d7                       # exact int micro-units
+    sw = (pd.DataFrame({"weekday": weekday, "num": num})
+          .groupby("weekday", sort=True)
+          .agg(num=("num", "sum"), cnt=("num", "size")).reset_index())
+    s = sw["num"].to_numpy(np.float64) / (7.0 * sw["cnt"].to_numpy(np.float64))
+    ms = 0.0
+    for x in s:                                 # left fold == list_sum
+        ms += float(x)
+    ms /= float(len(s))
+    return pd.DataFrame({
+        "weekday": sw["weekday"].astype(np.int64),
+        "n_used": sw["cnt"].astype(np.int64),
+        "seasonal": _r((s - ms) / float(scale), 6)})

@@ -339,3 +339,48 @@ def test_logrank_empty_side(ray_session):
     r = out.iloc[0]
     assert r["n_a"] == 1 and r["n_b"] == 0
     assert pd.isna(r["chi2"])
+
+
+# -------------------------------------------------- seasonal_decompose_daily
+
+def test_seasonal_flat_series_is_zero(ray_session):
+    from packs_ray.functions.outliers import seasonal_decompose_daily
+
+    # constant daily value: every seasonal index exactly 0
+    days = pd.date_range("2024-01-01", periods=28, freq="D")
+    df = pd.DataFrame({"ts": days, "v": 10.0})
+    out = seasonal_decompose_daily(_ds(df).repartition(4), "ts", "v")
+    assert out["weekday"].tolist() == list(range(1, 8))
+    assert (out["seasonal"] == 0.0).all()
+    # 28 days -> 22 full windows, spread over weekdays
+    assert out["n_used"].sum() == 22
+
+
+def test_seasonal_recovers_planted_weekday_effect(ray_session):
+    from packs_ray.functions.outliers import seasonal_decompose_daily
+
+    # value = 100 + 20 on Sundays: the Sunday index should be ~+20*6/7
+    # relative spread (additive index recovers the planted bump shape)
+    days = pd.date_range("2024-01-01", periods=35, freq="D")
+    v = np.where(days.dayofweek == 6, 120.0, 100.0)
+    df = pd.DataFrame({"ts": days, "v": v})
+    out = seasonal_decompose_daily(_ds(df), "ts", "v")
+    sun = out[out["weekday"] == 7]["seasonal"].iloc[0]
+    rest = out[out["weekday"] != 7]["seasonal"]
+    assert sun > 15
+    assert (rest < 0).all()
+    # additive indices ~sum to 0 (cnt-weighted centering is exact only
+    # for balanced counts; 35 days is balanced)
+    assert abs(out["seasonal"].sum()) < 1e-4
+
+
+def test_seasonal_gap_voids_windows(ray_session):
+    from packs_ray.functions.outliers import seasonal_decompose_daily
+
+    days = list(pd.date_range("2024-01-01", periods=10, freq="D"))
+    days = days[:4] + days[5:]          # drop day 5 -> no full window
+    # only windows not touching the gap survive: with 10 days and one
+    # hole there are 0 full 7-day windows centered on an observed day
+    df = pd.DataFrame({"ts": days, "v": 1.0})
+    out = seasonal_decompose_daily(_ds(df), "ts", "v")
+    assert len(out) == 0
