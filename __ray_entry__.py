@@ -2160,6 +2160,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return seasonal_decompose_daily(
             _ds(sf, "events", ["ts", "value"]), "ts", "value")
 
+    def conformal_events(sf):
+        # split-conformal interval calibration: 50/50 hash split,
+        # per-type calib-mean predictor, exact order-stat radius from
+        # a (split, residual) count table, test-side coverage
+        from packs_ray.functions.drift import conformal_interval
+
+        return conformal_interval(
+            _ds(sf, "events", ["event_id", "event_type", "value"]),
+            "event_id", "event_type", "value", alpha=0.1)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4011,6 +4021,7 @@ checks for orders:
         "dim_truncation_embeddings": dim_truncation_embeddings,
         "logrank_events": logrank_events,
         "seasonal_events": seasonal_events,
+        "conformal_events": conformal_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6548,6 +6559,52 @@ def _logrank_sql(et_a: str, et_b: str, horizon_days: int) -> str:
     FROM folds"""
 
 
+def _conformal_sql(table: str, id_col: str, group_col: str,
+                   value_col: str, alpha: float, salt: str) -> str:
+    """drift.conformal_interval replica: same hash band, half-away
+    integer-cents group mean, exact OFFSET order statistic."""
+    from packs_ray.functions.sampling import _salt_constant
+
+    sc = int(_salt_constant(salt))
+    lvl = 1.0 - alpha
+    return f"""
+    WITH v AS (SELECT {group_col} AS g,
+                      CAST(round({value_col} * 100, 0) AS BIGINT) AS c,
+                      hex(encode(CAST({id_col} AS VARCHAR))) AS hx,
+                      octet_length(encode(CAST({id_col} AS VARCHAR)))
+                          AS nb
+               FROM {table}
+               WHERE {id_col} IS NOT NULL AND {group_col} IS NOT NULL
+                 AND {value_col} IS NOT NULL),
+    hs AS (SELECT g, c, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM v),
+    sm AS (SELECT g, c, {_mul64_sql('h', sc)} AS h FROM hs),
+    f1 AS (SELECT g, c, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h
+           FROM sm),
+    fr AS (SELECT g, c, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT g, c, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h
+           FROM fr),
+    sp AS (SELECT g, c, CASE WHEN h % 1000000 < 500000
+                THEN 'calib' ELSE 'test' END AS split FROM f2),
+    mg AS (SELECT g, round(sum(c) / (count(*) * 1.0), 0)::BIGINT AS mc
+           FROM sp WHERE split = 'calib' GROUP BY g),
+    r AS (SELECT sp.split, abs(sp.c - mg.mc) AS r
+          FROM sp JOIN mg USING (g)),
+    nc AS (SELECT count(*)::BIGINT AS n FROM r WHERE split = 'calib'),
+    qv AS (SELECT r FROM r WHERE split = 'calib' ORDER BY r
+           LIMIT 1 OFFSET (SELECT ceil((n + 1) * {lvl!r})::BIGINT - 1
+                           FROM nc))
+    SELECT (SELECT n FROM nc) AS n_calib,
+        (SELECT count(*)::BIGINT FROM r WHERE split = 'test') AS n_test,
+        round((SELECT r FROM qv) / 100.0, 6) AS q,
+        round((SELECT count(*) FROM r
+               WHERE split = 'test' AND r <= (SELECT r FROM qv))
+              / ((SELECT count(*) FROM r WHERE split = 'test') * 1.0),
+              6) AS coverage,
+        {lvl!r} AS target"""
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -8990,6 +9047,7 @@ def oracle_sql() -> dict[str, str]:
     FROM sraw ORDER BY weekday""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "logrank_events": _logrank_sql("click", "view", 1),
+        "conformal_events": _conformal_sql("events", "event_id", "event_type", "value", 0.1, "conformal"),
         "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),
         "t_closeness_events": """
     WITH e AS (SELECT event_type, user_id, props AS v FROM events

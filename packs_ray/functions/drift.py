@@ -1049,3 +1049,114 @@ def welch_ttest(ds_a, ds_b, column: str) -> pd.DataFrame:
         "mean_a": None if mean_a is None else float(mean_a),
         "mean_b": None if mean_b is None else float(mean_b),
         "t_stat": t_stat, "dof": dof}])
+
+
+def conformal_interval(ds, id_col: str, group_col: str, value_col: str,
+                       *, alpha: float = 0.1, salt: str = "conformal",
+                       scale: int = 100,
+                       num_partitions: int | None = None) -> pd.DataFrame:
+    """Split-conformal prediction-interval calibration — the
+    distribution-free uncertainty check for any per-group predictor:
+    rows split 50/50 into calibration/test by the reproducible hash
+    band (sampling.hash_split, keyed on ``id_col``); the predictor is
+    the per-group calibration mean; the conformal radius q is the
+    ceil((n+1)(1-alpha))-th smallest calibration residual, and the
+    test-side coverage of |value - mean_g| <= q should be ~(1-alpha)
+    if exchangeability holds (a coverage collapse = the feed shifted
+    between "calibration" and "test" populations).
+
+    Exactness: residuals are exact integer cents against the
+    half-away-rounded integer-cents group mean; the conformal radius
+    is an exact order statistic read from a (split, residual) count
+    table bounded by the DISTINCT residual domain (mannwhitney_u's
+    partitioning assumption) — rows never land on the driver.
+
+    Output: one row (n_calib, n_test, q, coverage, target); q in
+    value units, coverage 6dp, q/coverage null when a side is empty."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import keyed_count
+    from packs_ray.functions.sampling import hash_split
+    from packs_ray.stages.util import round_half_away as _rh
+
+    sp = hash_split(
+        ds.select_columns([id_col, group_col, value_col]), id_col,
+        {"calib": 0.5, "test": 0.5}, salt=salt)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        m = batch.column("split").is_valid()
+        for c in (group_col, value_col):
+            m = pc.and_(m, batch.column(c).is_valid())
+        return batch.filter(m)
+
+    sp = sp.map_batches(clean, batch_format="pyarrow").materialize()
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("split"), "calib"))
+        df = batch.select([group_col, value_col]).to_pandas()
+        df["c"] = np.rint(df[value_col].to_numpy(np.float64)
+                          * scale).astype(np.int64)
+        g = df.groupby(group_col, sort=False)["c"] \
+            .agg(["sum", "size"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mp = sp.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
+    out_cols = ["n_calib", "n_test", "q", "coverage", "target"]
+    if not len(mp):
+        return pd.DataFrame([{**dict.fromkeys(out_cols),
+                              "n_calib": np.int64(0),
+                              "n_test": np.int64(0),
+                              "target": 1.0 - alpha}])[out_cols]
+    mg = mp.groupby(group_col, sort=False).agg(
+        s=("sum", "sum"), n=("size", "sum"))
+    means = {k: np.int64(_rh(float(r.s) / (r.n * 1.0), 0))
+             for k, r in mg.iterrows()}
+    import ray as _ray
+    means_ref = _ray.put(means)
+
+    def resid_partial(batch: pa.Table) -> pa.Table:
+        mm = _ray.get(means_ref)
+        df = batch.select(["split", group_col, value_col]).to_pandas()
+        mc = df[group_col].map(mm)
+        keep = mc.notna()
+        df, mc = df[keep], mc[keep]
+        c = np.rint(df[value_col].to_numpy(np.float64)
+                    * scale).astype(np.int64)
+        r = np.abs(c - mc.to_numpy(np.int64))
+        g = (pd.DataFrame({"split": df["split"].to_numpy(), "r": r})
+             .groupby(["split", "r"], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = sp.map_batches(resid_partial,
+                           batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame([{**dict.fromkeys(out_cols),
+                              "n_calib": np.int64(0),
+                              "n_test": np.int64(0),
+                              "target": 1.0 - alpha}])[out_cols]
+    tab = (parts.groupby(["split", "r"], sort=True)["cnt"].sum()
+           .reset_index())
+    cal = tab[tab["split"] == "calib"].sort_values("r")
+    tst = tab[tab["split"] == "test"]
+    n_cal = int(cal["cnt"].sum())
+    n_tst = int(tst["cnt"].sum())
+    q_cents = cov = None
+    if n_cal:
+        k = math.ceil((n_cal + 1) * (1.0 - alpha))
+        if k <= n_cal:
+            cum = cal["cnt"].cumsum().to_numpy(np.int64)
+            q_cents = int(cal["r"].to_numpy(np.int64)[
+                np.searchsorted(cum, k, side="left")])
+            if n_tst:
+                hit = int(tst[tst["r"] <= q_cents]["cnt"].sum())
+                cov = float(_rh(hit / (n_tst * 1.0), 6))
+    return pd.DataFrame([{
+        "n_calib": np.int64(n_cal), "n_test": np.int64(n_tst),
+        "q": None if q_cents is None else float(_rh(
+            q_cents / float(scale), 6)),
+        "coverage": cov, "target": 1.0 - alpha}])[out_cols]

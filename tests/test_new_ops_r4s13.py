@@ -384,3 +384,65 @@ def test_seasonal_gap_voids_windows(ray_session):
     df = pd.DataFrame({"ts": days, "v": 1.0})
     out = seasonal_decompose_daily(_ds(df), "ts", "v")
     assert len(out) == 0
+
+
+# -------------------------------------------------- conformal_interval
+
+def test_conformal_coverage_near_target(ray_session):
+    from packs_ray.functions.drift import conformal_interval
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b"], n),
+        "v": np.round(rng.normal(50, 10, n), 2)})
+    out = conformal_interval(_ds(df).repartition(6), "id", "g", "v",
+                             alpha=0.1)
+    r = out.iloc[0]
+    assert r["n_calib"] + r["n_test"] == n
+    assert abs(r["n_calib"] - n / 2) < n * 0.05
+    # exchangeable data: coverage within a few points of 90%
+    assert 0.85 < r["coverage"] < 0.95
+    assert r["target"] == 0.9
+    # q ~ the 90% two-sided radius of N(0,10) ~ 16.4
+    assert 12 < r["q"] < 22
+
+
+def test_conformal_shift_collapses_coverage(ray_session):
+    from packs_ray.functions.drift import conformal_interval
+
+    # plant a shift correlated with the split: impossible for a real
+    # hash split, so emulate by making one group bimodal — coverage
+    # still holds (sanity that grouping absorbs group-level shift)
+    rng = np.random.RandomState(4)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": ["a"] * n,
+        "v": np.round(np.where(rng.rand(n) < 0.5,
+                               rng.normal(10, 1, n),
+                               rng.normal(90, 1, n)), 2)})
+    out = conformal_interval(_ds(df), "id", "g", "v", alpha=0.2)
+    r = out.iloc[0]
+    # bimodal residuals: radius must cover ~80% anyway (conformal is
+    # distribution-free)
+    assert 0.7 < r["coverage"] < 0.9
+
+
+def test_conformal_deterministic_and_empty(ray_session):
+    from packs_ray.functions.drift import conformal_interval
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "id": np.arange(500, dtype=np.int64),
+        "g": rng.choice(["x", "y", "z"], 500),
+        "v": np.round(rng.gamma(2, 10, 500), 2)})
+    a = conformal_interval(_ds(df).repartition(1), "id", "g", "v")
+    b = conformal_interval(_ds(df).repartition(7), "id", "g", "v")
+    pd.testing.assert_frame_equal(a, b)
+    empty = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                          "g": pd.Series([], dtype="object"),
+                          "v": pd.Series([], dtype="float64")})
+    out = conformal_interval(_ds(empty), "id", "g", "v")
+    assert out["n_calib"].iloc[0] == 0 and pd.isna(out["q"].iloc[0])
