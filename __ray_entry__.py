@@ -2170,6 +2170,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "event_type", "value"]),
             "event_id", "event_type", "value", alpha=0.1)
 
+    def entropy_rate_events(sf):
+        # next-state conditional entropy per event type (bot /
+        # stuck-loop predictability screen) from the bounded
+        # transition-count table
+        from packs_ray.functions.windows import entropy_rate
+
+        return entropy_rate(
+            _ds(sf, "events", ["user_id", "ts", "event_id",
+                               "event_type"]),
+            "user_id", "event_type", ["ts", "event_id"])
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4022,6 +4033,7 @@ checks for orders:
         "logrank_events": logrank_events,
         "seasonal_events": seasonal_events,
         "conformal_events": conformal_events,
+        "entropy_rate_events": entropy_rate_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -9045,6 +9057,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT weekday::BIGINT AS weekday, cnt AS n_used,
            round((s - (SELECT ms FROM m)) / 100.0, 6) AS seasonal
     FROM sraw ORDER BY weekday""",
+        "entropy_rate_events": """
+    WITH v AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    o AS (SELECT event_type, lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM v),
+    tc AS (SELECT event_type AS ft, nxt, count(*)::BIGINT AS c
+           FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    n AS (SELECT ft, sum(c)::BIGINT AS n, count(*)::BIGINT AS k
+          FROM tc GROUP BY 1),
+    h AS (SELECT tc.ft, n.n, n.k,
+            list_sum(list(-((c / (n.n * 1.0))
+                * log2(c / (n.n * 1.0))) ORDER BY tc.nxt)) AS h
+          FROM tc JOIN n ON tc.ft = n.ft GROUP BY tc.ft, n.n, n.k)
+    SELECT ft AS from_type, n AS n_out, k AS n_next_types,
+           round(h, 6) AS h_bits
+    FROM h ORDER BY 1""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "logrank_events": _logrank_sql("click", "view", 1),
         "conformal_events": _conformal_sql("events", "event_id", "event_type", "value", 0.1, "conformal"),

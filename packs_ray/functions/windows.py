@@ -1301,3 +1301,48 @@ def scd2_intervals(ds, key_col: str, ts_col: str, value_col: str, *,
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas")
             .sort([key_col, "version"]))
+
+
+def entropy_rate(ds, key_col: str, type_col: str,
+                 order_cols: list[str], *,
+                 num_buckets: int | None = None) -> "pd.DataFrame":
+    """Predictability profile of keyed event streams: per current
+    state, the Shannon conditional entropy (bits) of the next-state
+    distribution, from the :func:`transition_counts` table — the
+    bot/stuck-loop detector that complements ``transition_counts``
+    (raw flows) and ``label_entropy`` (static mix): organic traffic
+    has high next-state entropy, scripted traffic collapses toward 0.
+
+    Floats: per-state fold -Σ (c/n) log2(c/n) runs ascending to_type
+    (a Python loop == the oracle's list_sum left fold); log2 is libm.
+    Counts are exact ints from the bounded distinct_types² table —
+    the only driver landing.
+
+    Output: one row per from_type — (from_type, n_out, n_next_types,
+    h_bits), ordered by from_type, 6dp."""
+    import math
+
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _rh
+
+    tc = transition_counts(ds, key_col, type_col, order_cols,
+                           num_buckets=num_buckets).to_pandas()
+    if not len(tc):
+        return pd.DataFrame({
+            "from_type": pd.Series([], dtype="object"),
+            "n_out": pd.Series([], dtype="int64"),
+            "n_next_types": pd.Series([], dtype="int64"),
+            "h_bits": pd.Series([], dtype="float64")})
+    rows = []
+    for ft, g in tc.sort_values(["from_type", "to_type"]) \
+                   .groupby("from_type", sort=True):
+        n = int(g["n"].sum())
+        h = 0.0
+        for c in g["n"].to_numpy(np.int64):     # left fold == list_sum
+            p = c / (n * 1.0)
+            h += -(p * math.log2(p))
+        rows.append({"from_type": ft, "n_out": np.int64(n),
+                     "n_next_types": np.int64(len(g)),
+                     "h_bits": float(_rh(h, 6))})
+    return pd.DataFrame(rows)

@@ -446,3 +446,37 @@ def test_conformal_deterministic_and_empty(ray_session):
                           "v": pd.Series([], dtype="float64")})
     out = conformal_interval(_ds(empty), "id", "g", "v")
     assert out["n_calib"].iloc[0] == 0 and pd.isna(out["q"].iloc[0])
+
+
+# -------------------------------------------------- entropy_rate
+
+def test_entropy_rate_deterministic_and_scripted_vs_random(ray_session):
+    from packs_ray.functions.windows import entropy_rate
+
+    # user "bot" cycles a->b->a->b (zero next-state entropy);
+    # user "organic" hits a,b,c,d uniformly after 'x'
+    rows = []
+    for i in range(40):
+        rows.append({"u": "bot", "ts": i, "eid": i,
+                     "t": "a" if i % 2 == 0 else "b"})
+    seq = ["x", "a", "x", "b", "x", "c", "x", "d"] * 5
+    for i, t in enumerate(seq):
+        rows.append({"u": "org", "ts": i, "eid": 1000 + i, "t": t})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(df["ts"], "s")
+    out = entropy_rate(_ds(df).repartition(4), "u", "t", ["ts", "eid"])
+    h = out.set_index("from_type")["h_bits"]
+    # a -> b (bot, 20x) or a -> x (org, 5x): H(0.8, 0.2) = 0.72 bits
+    assert h["a"] == round(-(0.8 * np.log2(0.8) + 0.2 * np.log2(0.2)), 6)
+    assert h["x"] == 2.0           # uniform over 4 next states
+    out2 = entropy_rate(_ds(df).repartition(1), "u", "t", ["ts", "eid"])
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2)
+
+
+def test_entropy_rate_empty(ray_session):
+    from packs_ray.functions.windows import entropy_rate
+
+    df = pd.DataFrame({"u": ["a"], "ts": [pd.Timestamp("2024-01-01")],
+                       "eid": [1], "t": ["x"]})   # single row: no pairs
+    out = entropy_rate(_ds(df), "u", "t", ["ts", "eid"])
+    assert len(out) == 0
