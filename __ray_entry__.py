@@ -2181,6 +2181,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "event_type"]),
             "user_id", "event_type", ["ts", "event_id"])
 
+    def bootstrap_ci_events(sf):
+        # deterministic Poisson-bootstrap CI of mean(value): per-row
+        # replicate weights are a pure function of (event_id, r), so
+        # every replicate is retry/layout-stable and oracle-verified
+        from packs_ray.functions.sampling import bootstrap_ci
+
+        return bootstrap_ci(_ds(sf, "events", ["event_id", "value"]),
+                            "event_id", "value", n_replicates=40)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4034,6 +4043,7 @@ checks for orders:
         "seasonal_events": seasonal_events,
         "conformal_events": conformal_events,
         "entropy_rate_events": entropy_rate_events,
+        "bootstrap_ci_events": bootstrap_ci_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6617,6 +6627,75 @@ def _conformal_sql(table: str, id_col: str, group_col: str,
         {lvl!r} AS target"""
 
 
+def _bootstrap_sql(table: str, id_col: str, value_col: str,
+                   n_replicates: int, salt: str) -> str:
+    """sampling.bootstrap_ci replica: same per-(id, r) hash chain
+    (salt constants and Poisson(1) cumulative thresholds embedded as
+    literal doubles), exact HUGEINT replicate sums, list_sum folds."""
+    from packs_ray.functions.sampling import (_poisson1_cum,
+                                              _salt_constant)
+
+    R = n_replicates
+    consts = ", ".join(
+        f"({r}, {int(_salt_constant(f'{salt}:{r}')) & 0xFFFFFFFF}::HUGEINT, "
+        f"{int(_salt_constant(f'{salt}:{r}')) >> 32}::HUGEINT)"
+        for r in range(R))
+    wcase = " + ".join(
+        f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)"
+        for c in _poisson1_cum())
+    return f"""
+    WITH v AS (SELECT CAST({id_col} AS VARCHAR) AS sv,
+                      CAST(round({value_col} * 100, 0) AS BIGINT) AS c
+               FROM {table} WHERE {id_col} IS NOT NULL
+                 AND {value_col} IS NOT NULL),
+    base AS (SELECT count(*)::BIGINT AS n_rows,
+                    coalesce(sum(c::HUGEINT), 0) AS s_tot FROM v),
+    b AS (SELECT c, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT c, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sc(r, lo, hi) AS (VALUES {consts}),
+    x AS (SELECT hs.c, sc.r,
+            ((hs.h * sc.lo) % {_TWO64}::HUGEINT
+             + (((hs.h * sc.hi) % {1 << 32}::HUGEINT)
+                * {1 << 32}::HUGEINT)) % {_TWO64}::HUGEINT AS h
+          FROM hs CROSS JOIN sc),
+    f1 AS (SELECT c, r, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h
+           FROM x),
+    fr AS (SELECT c, r, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT c, r, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h
+           FROM fr),
+    wt AS (SELECT c, r,
+            (SELECT {wcase} FROM (SELECT
+                (f.h % {1 << 53}::HUGEINT)::DOUBLE / {float(1 << 53)}
+                AS u) _) AS w
+           FROM f2 f),
+    reps AS (SELECT r, sum(w::HUGEINT * c::HUGEINT) AS swc,
+                    sum(w::HUGEINT) AS sw
+             FROM wt GROUP BY r),
+    m AS (SELECT r, swc::DOUBLE / (sw * 1.0) / 100.0 AS m
+          FROM reps WHERE sw > 0),
+    folds AS (SELECT list_sum(list(m ORDER BY r)) / count(*) AS mbar,
+                     count(*)::BIGINT AS k FROM m),
+    ssq AS (SELECT list_sum(list(
+                (m - (SELECT mbar FROM folds))
+                * (m - (SELECT mbar FROM folds)) ORDER BY r)) AS ssq
+            FROM m)
+    SELECT (SELECT n_rows FROM base) AS n_rows,
+        round((SELECT s_tot FROM base)::DOUBLE
+              / ((SELECT n_rows FROM base) * 1.0) / 100.0, 6) AS mean,
+        {R}::BIGINT AS n_replicates,
+        round(sqrt((SELECT ssq FROM ssq)
+                   / ((SELECT k FROM folds) - 1.0)), 6) AS se_boot,
+        round((SELECT m FROM m ORDER BY m LIMIT 1 OFFSET
+               (SELECT floor(0.025 * k)::BIGINT FROM folds)), 6)
+            AS ci_lo,
+        round((SELECT m FROM m ORDER BY m LIMIT 1 OFFSET
+               (SELECT ceil(0.975 * k)::BIGINT - 1 FROM folds)), 6)
+            AS ci_hi"""
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -9077,6 +9156,7 @@ def oracle_sql() -> dict[str, str]:
     FROM h ORDER BY 1""",
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "logrank_events": _logrank_sql("click", "view", 1),
+        "bootstrap_ci_events": _bootstrap_sql("events", "event_id", "value", 40, "boot"),
         "conformal_events": _conformal_sql("events", "event_id", "event_type", "value", 0.1, "conformal"),
         "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),
         "t_closeness_events": """

@@ -566,3 +566,124 @@ def cluster_split(ds, id_col: str, pairs, fractions: dict[str, float], *,
 
     keyed = joined.map_batches(attach_key, batch_format="pyarrow")
     return hash_split(keyed, "cluster", fractions, salt=salt)
+
+
+def _poisson1_cum(k_max: int = 12) -> "np.ndarray":
+    """Cumulative P(X<=k) for Poisson(1), k=0..k_max-1, as the exact
+    double constants BOTH the engine and the SQL twin use literally
+    (embedded into the oracle, so no cross-library exp/factorial
+    divergence can exist)."""
+    import math
+
+    probs, term = [], math.exp(-1.0)
+    cum = 0.0
+    for k in range(k_max):
+        if k > 0:
+            term = term / k
+        cum += term
+        probs.append(cum)
+    return np.array(probs, dtype=np.float64)
+
+
+def bootstrap_ci(ds, id_col: str, value_col: str, *,
+                 n_replicates: int = 40, salt: str = "boot",
+                 scale: int = 100) -> "pd.DataFrame":
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` — the resampling SE/CI without any RNG state: each
+    row's weight in replicate r is Poisson(1) drawn by inverse CDF
+    from u = finalized(FNV(id) × salt_r) / 2^53, a pure function of
+    (id, r), so every replicate is identical on any cluster, any
+    retry, any block layout (the Chamandy et al. "Poisson bootstrap"
+    estimator for map-reduce, made deterministic).
+
+    Exactness: replicate aggregates are exact integer cents —
+    per-batch (r, Σw, Σw·cents) int64 partials, Python-int driver
+    fold; only the R replicate means, their ≤R-term stddev fold and
+    two order-statistic quantiles are floats, pinned to the oracle's
+    expression order.
+
+    Output: one row — (n_rows, mean, n_replicates, se_boot, ci_lo,
+    ci_hi), value units, 6dp; CI = percentile bootstrap at 2.5/97.5
+    (indexes floor(.025·R) and ceil(.975·R)-1 of the sorted means)."""
+    import math
+
+    import pandas as pd
+
+    from packs_ray.functions.agg import _exact_int_sum
+    from packs_ray.stages.util import round_half_away as _rh
+
+    R = int(n_replicates)
+    cum = _poisson1_cum()
+    salts = np.array([_salt_constant(f"{salt}:{r}") for r in range(R)],
+                     dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as pc
+
+        t = batch.select([id_col, value_col])
+        mask = pc.and_(t.column(id_col).is_valid(),
+                       t.column(value_col).is_valid())
+        t = t.filter(mask)
+        h, _v = _fnv1a_str(t.column(id_col))
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        cents = _np.rint(_np.asarray(v, dtype=_np.float64)
+                         * scale).astype(_np.int64)
+        rs = _np.empty(R, dtype=_np.int64)
+        sw = _np.empty(R, dtype=_np.int64)
+        swc = _np.empty(R, dtype=_np.int64)
+        n = _np.int64(len(cents))
+        s = _np.int64(_exact_int_sum(cents)) if len(cents) else 0
+        for r in range(R):
+            hr = _finalize(h * salts[r])
+            u = (hr % _np.uint64(1 << 53)).astype(_np.float64) \
+                / float(1 << 53)
+            w = _np.searchsorted(cum, u, side="right").astype(_np.int64)
+            rs[r] = r
+            sw[r] = _exact_int_sum(w)
+            swc[r] = _exact_int_sum(w * cents)
+        out = pa.table({"r": pa.array(rs), "sw": pa.array(sw),
+                        "swc": pa.array(swc)})
+        return out.append_column("n", pa.array(
+            _np.full(R, n, dtype=_np.int64))).append_column(
+            "s", pa.array(_np.full(R, s, dtype=_np.int64)))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["n_rows", "mean", "n_replicates", "se_boot", "ci_lo", "ci_hi"]
+    if not len(parts):
+        return pd.DataFrame([{**dict.fromkeys(cols),
+                              "n_rows": np.int64(0),
+                              "n_replicates": np.int64(R)}])[cols]
+    # every partial carries the SAME per-batch (n, s) once per r row;
+    # divide by R to undo the replication
+    n_rows = int(parts["n"].sum()) // R
+    s_tot = sum(int(x) for x in parts["s"]) // R
+    g = parts.groupby("r", sort=True)
+    means = []
+    for r, gg in g:
+        swr = sum(int(x) for x in gg["sw"])
+        swcr = sum(int(x) for x in gg["swc"])
+        if swr > 0:
+            means.append(float(swcr) / (swr * 1.0) / float(scale))
+    if n_rows == 0 or not means:
+        return pd.DataFrame([{**dict.fromkeys(cols),
+                              "n_rows": np.int64(n_rows),
+                              "n_replicates": np.int64(R)}])[cols]
+    mbar = 0.0
+    for m in means:                       # left fold == list_sum
+        mbar += m
+    mbar /= float(len(means))
+    ssq = 0.0
+    for m in means:
+        d = m - mbar
+        ssq += d * d
+    se = math.sqrt(ssq / (len(means) - 1.0)) if len(means) > 1 else None
+    srt = sorted(means)
+    lo = srt[int(math.floor(0.025 * len(srt)))]
+    hi = srt[int(math.ceil(0.975 * len(srt))) - 1]
+    return pd.DataFrame([{
+        "n_rows": np.int64(n_rows),
+        "mean": float(_rh(float(s_tot) / (n_rows * 1.0) / float(scale), 6)),
+        "n_replicates": np.int64(R),
+        "se_boot": None if se is None else float(_rh(se, 6)),
+        "ci_lo": float(_rh(lo, 6)), "ci_hi": float(_rh(hi, 6))}])[cols]

@@ -480,3 +480,45 @@ def test_entropy_rate_empty(ray_session):
                        "eid": [1], "t": ["x"]})   # single row: no pairs
     out = entropy_rate(_ds(df), "u", "t", ["ts", "eid"])
     assert len(out) == 0
+
+
+# -------------------------------------------------- bootstrap_ci
+
+def test_bootstrap_ci_covers_mean_and_is_deterministic(ray_session):
+    from packs_ray.functions.sampling import bootstrap_ci
+
+    rng = np.random.RandomState(21)
+    n = 3000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": np.round(rng.normal(50, 10, n), 2)})
+    a = bootstrap_ci(_ds(df).repartition(1), "id", "v")
+    b = bootstrap_ci(_ds(df).repartition(9), "id", "v")
+    pd.testing.assert_frame_equal(a, b)
+    r = a.iloc[0]
+    assert r["n_rows"] == n
+    # CI straddles the point estimate; width ~ 4*se ~ 4*10/sqrt(3000)
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    assert 0.1 < r["se_boot"] < 0.4
+    assert (r["ci_hi"] - r["ci_lo"]) < 1.5
+
+
+def test_bootstrap_ci_se_matches_analytic(ray_session):
+    from packs_ray.functions.sampling import bootstrap_ci
+
+    rng = np.random.RandomState(8)
+    n = 5000
+    v = np.round(rng.exponential(20, n), 2)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "v": v})
+    out = bootstrap_ci(_ds(df), "id", "v", n_replicates=40)
+    se_analytic = v.std(ddof=1) / np.sqrt(n)
+    # bootstrap SE within 40% of analytic (R=40 replicates is noisy)
+    assert 0.6 * se_analytic < out["se_boot"].iloc[0] < 1.4 * se_analytic
+
+
+def test_bootstrap_ci_empty_and_nulls(ray_session):
+    from packs_ray.functions.sampling import bootstrap_ci
+
+    df = pd.DataFrame({"id": [1, None], "v": [None, 2.0]})
+    out = bootstrap_ci(_ds(df), "id", "v")
+    assert out["n_rows"].iloc[0] == 0
+    assert pd.isna(out["se_boot"].iloc[0])
