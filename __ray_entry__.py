@@ -2190,6 +2190,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bootstrap_ci(_ds(sf, "events", ["event_id", "value"]),
                             "event_id", "value", n_replicates=40)
 
+    def url_path_rollup_documents(sf):
+        # path-prefix hierarchy census over the canonical URLs: one
+        # bucketed (depth, prefix) count reduce
+        from packs_ray.functions.urls import path_rollup
+
+        out = path_rollup(_docs_with_urls(sf), "url", max_depth=2)
+        return out.sort(["depth", "prefix"])
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4044,6 +4052,7 @@ checks for orders:
         "conformal_events": conformal_events,
         "entropy_rate_events": entropy_rate_events,
         "bootstrap_ci_events": bootstrap_ci_events,
+        "url_path_rollup_documents": url_path_rollup_documents,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -9758,6 +9767,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT o_orderstatus, count(*)::BIGINT AS n,
            sum(cents)::BIGINT AS cents
     FROM s GROUP BY o_orderstatus""",
+        "url_path_rollup_documents": f"""
+    WITH c AS ({_url_canon_sql()}),
+    p AS (SELECT regexp_replace(
+            split_part(split_part(url_canon, '?', 1), '://', 2),
+            '^[^/]*', '') AS path FROM c),
+    x AS (
+        SELECT 1 AS depth,
+               regexp_extract(path, '^((?:/[^/]+){{1}})', 1) AS prefix
+        FROM p
+        UNION ALL
+        SELECT 2 AS depth,
+               regexp_extract(path, '^((?:/[^/]+){{2}})', 1) AS prefix
+        FROM p)
+    SELECT depth::BIGINT AS depth, prefix, count(*)::BIGINT AS n_urls
+    FROM x WHERE prefix != '' GROUP BY 1, 2 ORDER BY 1, 2""",
         "url_canonicalize_documents": _url_canon_sql(),
         "domain_counts_documents": f"""
     SELECT domain, count(*)::BIGINT AS n_docs

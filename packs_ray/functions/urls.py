@@ -116,3 +116,45 @@ def filter_blocked_domains(ds, url_col: str, blocked: set[str],
 
     out = ds.map_batches(fn, batch_format="pyarrow")
     return out.select_columns(keep_cols) if keep_cols else out
+
+
+def path_rollup(ds, url_col: str, *, max_depth: int = 3,
+                num_partitions: int | None = None):
+    """Path-prefix hierarchy rollup over canonicalized URLs: for each
+    depth d <= max_depth, count URLs under every /seg1/../segd prefix
+    — the crawl-structure census that sits between
+    :func:`domain_counts` (host level) and full-URL dedup (leaf
+    level): which sections of a site dominate the corpus, where to
+    aim crawl budget or block rules.
+
+    Prefixes come from the canonical URL (tracking params dropped,
+    trailing slash stripped) with the query part removed; a URL
+    shallower than d contributes no depth-d row.  Pure string
+    vectorization + ONE bucketed count reduce on (depth, prefix);
+    output is bounded by the distinct-prefix domain.
+
+    Returns a lazy Dataset (depth, prefix, n_urls)."""
+    from packs_ray.functions.agg import keyed_count
+
+    canon = canonicalize_urls(ds.select_columns([url_col]), url_col)
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        u = batch.column("url_canon").to_pandas().fillna("").astype(str)
+        path = (u.str.split("?", n=1).str[0]
+                .str.split("://", n=1).str[-1]
+                .str.replace(r"^[^/]*", "", regex=True))
+        out_d, out_p = [], []
+        for d in range(1, max_depth + 1):
+            pre = path.str.extract(r"^((?:/[^/]+){%d})" % d)[0].dropna()
+            out_d.append(np.full(len(pre), d, dtype=np.int64))
+            out_p.append(pre.to_numpy())
+        if not out_d:
+            return pa.table({"depth": pa.array([], type=pa.int64()),
+                             "prefix": pa.array([], type=pa.string())})
+        return pa.table({
+            "depth": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "prefix": pa.array(np.concatenate(out_p), type=pa.string())})
+
+    return keyed_count(canon.map_batches(prefixes, batch_format="pyarrow"),
+                       ["depth", "prefix"], count_col="n_urls",
+                       num_partitions=num_partitions)

@@ -522,3 +522,42 @@ def test_bootstrap_ci_empty_and_nulls(ray_session):
     out = bootstrap_ci(_ds(df), "id", "v")
     assert out["n_rows"].iloc[0] == 0
     assert pd.isna(out["se_boot"].iloc[0])
+
+
+# -------------------------------------------------- path_rollup
+
+def test_path_rollup_prefix_census(ray_session):
+    from packs_ray.functions.urls import path_rollup
+
+    df = pd.DataFrame({"url": [
+        "https://a.com/docs/intro?utm_source=x",
+        "https://a.com/docs/api/v1",
+        "http://a.com/docs/",              # trailing slash strips
+        "https://b.net/",                  # root only: no prefix rows
+        "https://b.net/blog/post?a=1",
+        None, ""]})
+    out = path_rollup(_ds(df), "url", max_depth=2).to_pandas() \
+        .sort_values(["depth", "prefix"]).reset_index(drop=True)
+    d1 = out[out["depth"] == 1].set_index("prefix")["n_urls"]
+    assert d1["/docs"] == 3
+    assert d1["/blog"] == 1
+    d2 = out[out["depth"] == 2].set_index("prefix")["n_urls"]
+    assert d2["/docs/intro"] == 1
+    assert d2["/docs/api"] == 1
+    assert d2["/blog/post"] == 1
+    # query strings never leak into prefixes
+    assert not any("?" in p for p in out["prefix"])
+
+
+def test_path_rollup_partition_invariance(ray_session):
+    from packs_ray.functions.urls import path_rollup
+
+    urls = [f"https://s.com/a{i % 3}/b{i % 5}/c{i}" for i in range(120)]
+    df = pd.DataFrame({"url": urls})
+    a = path_rollup(_ds(df).repartition(1), "url", max_depth=3) \
+        .to_pandas().sort_values(["depth", "prefix"]).reset_index(drop=True)
+    b = path_rollup(_ds(df).repartition(8), "url", max_depth=3) \
+        .to_pandas().sort_values(["depth", "prefix"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a[a["depth"] == 1]["n_urls"].sum() == 120
+    assert len(a[a["depth"] == 3]) == 120    # all leaves distinct
