@@ -2198,6 +2198,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = path_rollup(_docs_with_urls(sf), "url", max_depth=2)
         return out.sort(["depth", "prefix"])
 
+    def setcover_sample_documents(sf):
+        # greedy max-coverage corpus selection: k rounds, fixed 8 KB
+        # covered-bitmask broadcast, per-batch winner partials carry
+        # their own bucket lists (no rescans)
+        from packs_ray.functions.textstats import setcover_sample
+
+        return setcover_sample(_ds(sf, "documents", ["doc_id", "text"]),
+                               "doc_id", "text", k=4)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4053,6 +4062,7 @@ checks for orders:
         "entropy_rate_events": entropy_rate_events,
         "bootstrap_ci_events": bootstrap_ci_events,
         "url_path_rollup_documents": url_path_rollup_documents,
+        "setcover_sample_documents": setcover_sample_documents,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6705,6 +6715,45 @@ def _bootstrap_sql(table: str, id_col: str, value_col: str,
             AS ci_hi"""
 
 
+def _setcover_sql(k: int = 4, shingle: int = 5,
+                  universe_bits: int = 16) -> str:
+    """textstats.setcover_sample replica: the greedy unrolled to k
+    MATERIALIZED rounds over the shared shingle-hash CTE; winner =
+    (gain DESC, doc_id ASC); covered = UNION of prior winners'
+    buckets."""
+    m = 1 << universe_bits
+    parts = [_sql_doc_shingles(shingle).strip().lstrip(",").rstrip(",")]
+    # _sql_doc_shingles ends with the sh(doc_id, h) CTE; fold buckets
+    parts.append(f"""bk AS MATERIALIZED (
+        SELECT DISTINCT doc_id, (h % {m})::BIGINT AS b FROM sh)""")
+    sel = []
+    for r in range(1, k + 1):
+        prior = " OR ".join(
+            f"doc_id = (SELECT doc_id FROM p{j})" for j in range(1, r))
+        notdone = f"WHERE NOT ({prior})" if prior else ""
+        if r == 1:
+            gain = "count(*)"
+        else:
+            gain = (f"count(*) FILTER (WHERE b NOT IN "
+                    f"(SELECT b FROM c{r-1}))")
+        parts.append(f"""w{r} AS MATERIALIZED (
+        SELECT doc_id, {gain}::BIGINT AS gain FROM bk {notdone}
+        GROUP BY doc_id)""")
+        parts.append(f"""p{r} AS MATERIALIZED (
+        SELECT doc_id, gain FROM w{r}
+        ORDER BY gain DESC, doc_id LIMIT 1)""")
+        prev = f"SELECT b FROM c{r-1} UNION " if r > 1 else ""
+        parts.append(f"""c{r} AS MATERIALIZED (
+        {prev}SELECT b FROM bk
+        WHERE doc_id = (SELECT doc_id FROM p{r}))""")
+        sel.append(f"""
+    SELECT {r}::BIGINT AS round, (SELECT doc_id FROM p{r})::BIGINT AS id,
+        (SELECT gain FROM p{r}) AS gain,
+        (SELECT count(*)::BIGINT FROM c{r}) AS covered_total""")
+    return ("WITH " + ",\n    ".join(parts)
+            + " UNION ALL ".join(sel) + " ORDER BY round")
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -9166,6 +9215,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "logrank_events": _logrank_sql("click", "view", 1),
         "bootstrap_ci_events": _bootstrap_sql("events", "event_id", "value", 40, "boot"),
+        "setcover_sample_documents": _setcover_sql(4, 5, 16),
         "conformal_events": _conformal_sql("events", "event_id", "event_type", "value", 0.1, "conformal"),
         "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),
         "t_closeness_events": """

@@ -1404,3 +1404,93 @@ def langid_eval(ds, text_col: str, label_col: str):
             add_pred, batch_format="pyarrow"),
         [label_col, "predicted_lang"], count_col="n") \
         .sort([label_col, "predicted_lang"])
+
+
+def setcover_sample(ds, id_col: str, text_col: str, *, k: int = 4,
+                    shingle: int = 5, universe_bits: int = 16,
+                    num_partitions: int | None = None) -> "pd.DataFrame":
+    """Greedy max-coverage (set-cover) corpus selection: pick k
+    documents that together cover the most distinct character-shingle
+    hash buckets — the submodular data-subset-selection baseline
+    (facility-location family) beside :func:`similarity.kcenter_sample`
+    (which maximizes embedding spread; this maximizes LEXICAL
+    coverage, needing no embeddings).  Greedy is the classic (1-1/e)
+    approximation, and marginal gains are computed over a bounded
+    2^universe_bits bucket universe so the "covered" state broadcast
+    per round is a fixed-size bitmask (8 KB at 16 bits), never a
+    document set.
+
+    Determinism: shingle hashes are the repo FNV chain
+    (neardup._shingle_hashes) folded mod 2^universe_bits; each round's
+    winner is (gain DESC, id ASC) — exact integer gains, so ties are
+    stable at any parallelism.
+
+    Scale shape: k rounds × (one corpus scan emitting per-batch
+    winner partials — each partial carries its candidate's bucket
+    list, so the driver never rescans); the only driver state is the
+    bitmask + k winner rows.
+
+    Output: (round, id, gain, covered_total) — gain = newly covered
+    buckets, covered_total = running union size."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from packs_ray.functions.neardup import _shingle_hashes
+
+    m = 1 << universe_bits
+    mask_mod = np.uint64(m - 1)
+    covered = np.zeros(m, dtype=bool)
+    chosen: set = set()
+    rows = []
+    for rnd in range(1, k + 1):
+        cov_ref = ray.put((covered, frozenset(chosen)))
+
+        def partial(batch: pa.Table, _cov_ref=cov_ref) -> pa.Table:
+            cov, done = ray.get(_cov_ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            best_gain, best_id, best_b = -1, None, None
+            for i, t in zip(ids, texts):
+                if t is None or i is None or i in done:
+                    continue
+                b = np.unique(_shingle_hashes(t, shingle) & mask_mod) \
+                    .astype(np.int64)
+                gain = int((~cov[b]).sum())
+                if gain > best_gain or (gain == best_gain
+                                        and best_id is not None
+                                        and i < best_id):
+                    best_gain, best_id, best_b = gain, i, b
+            if best_id is None:
+                return pa.table({
+                    "id": pa.array([], type=pa.int64()),
+                    "gain": pa.array([], type=pa.int64()),
+                    "buckets": pa.array([], type=pa.list_(pa.int64()))})
+            return pa.table({
+                "id": pa.array([best_id], type=pa.int64()),
+                "gain": pa.array([best_gain], type=pa.int64()),
+                "buckets": pa.array([best_b.tolist()],
+                                    type=pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        parts = parts.sort_values(["gain", "id"],
+                                  ascending=[False, True], kind="stable")
+        win = parts.iloc[0]
+        wb = np.asarray(win["buckets"], dtype=np.int64)
+        new = wb[~covered[wb]]
+        covered[new] = True
+        chosen.add(int(win["id"]))
+        rows.append({"round": np.int64(rnd),
+                     "id": np.int64(win["id"]),
+                     "gain": np.int64(len(new)),
+                     "covered_total": np.int64(int(covered.sum()))})
+    if not rows:
+        return pd.DataFrame({"round": pd.Series([], dtype="int64"),
+                             "id": pd.Series([], dtype="int64"),
+                             "gain": pd.Series([], dtype="int64"),
+                             "covered_total": pd.Series([], dtype="int64")})
+    return pd.DataFrame(rows)

@@ -561,3 +561,39 @@ def test_path_rollup_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a[a["depth"] == 1]["n_urls"].sum() == 120
     assert len(a[a["depth"] == 3]) == 120    # all leaves distinct
+
+
+# -------------------------------------------------- setcover_sample
+
+def test_setcover_greedy_picks_best_coverage(ray_session):
+    from packs_ray.functions.textstats import setcover_sample
+
+    # doc 1 covers a superset of doc 2's shingles; doc 3 disjoint
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abcdefghij" * 4,            # rich
+                 "abcdefghij",                # subset of doc 1
+                 "KLMNOPQRSTUV" * 3]})        # disjoint
+    out = setcover_sample(_ds(df), "doc_id", "text", k=3)
+    assert out["round"].tolist() == [1, 2, 3]
+    # round 1 takes the richest; round 2 the disjoint one; round 3 the
+    # fully-covered subset with gain 0
+    assert out["id"].tolist()[0] in (1, 3)
+    assert set(out["id"]) == {1, 2, 3}
+    assert out["gain"].iloc[2] == 0
+    # covered_total is the running union and non-decreasing
+    assert (np.diff(out["covered_total"]) >= 0).all()
+    assert out["covered_total"].iloc[0] == out["gain"].iloc[0]
+
+
+def test_setcover_deterministic_across_partitions(ray_session):
+    from packs_ray.functions.textstats import setcover_sample
+
+    rng = np.random.RandomState(6)
+    docs = ["".join(rng.choice(list("abcdefgh "), 60)) for _ in range(80)]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": docs})
+    a = setcover_sample(_ds(df).repartition(1), "doc_id", "text", k=5)
+    b = setcover_sample(_ds(df).repartition(9), "doc_id", "text", k=5)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(set(a["id"])) == 5              # no doc chosen twice
