@@ -2207,6 +2207,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return setcover_sample(_ds(sf, "documents", ["doc_id", "text"]),
                                "doc_id", "text", k=4)
 
+    def moment_drift_embeddings(sf):
+        # 2nd-moment shape drift between the even/odd embedding halves:
+        # closed-form quadratic-kernel MMD^2 from exact micro-int power
+        # sums (no pair sampling)
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.similarity import moment_drift
+
+        def half(parity):
+            def fn(t):
+                ids = t.column("vec_id")
+                return t.filter(pc.equal(pc.bit_wise_and(ids, 1),
+                                         parity))
+            return _ds(sf, "embeddings", ["vec_id", "embedding"]) \
+                .map_batches(fn, batch_format="pyarrow")
+
+        return moment_drift(half(0), half(1), "embedding", dim=64)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4063,6 +4081,7 @@ checks for orders:
         "bootstrap_ci_events": bootstrap_ci_events,
         "url_path_rollup_documents": url_path_rollup_documents,
         "setcover_sample_documents": setcover_sample_documents,
+        "moment_drift_embeddings": moment_drift_embeddings,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10042,6 +10061,49 @@ def oracle_sql() -> dict[str, str]:
     FROM agg""",
         # similarity.covariance_matrix: exact micro-int power sums,
         # one pinned left-assoc float expression per cell, 9dp
+        "moment_drift_embeddings": """
+    WITH va AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+                  AND len(embedding) = 64),
+    vb AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+             AND len(embedding) = 64),
+    ua AS (SELECT vec_id, g.i AS i,
+                  CAST(round(CAST(embedding[g.i] AS DOUBLE)
+                             * 1000000, 0) AS BIGINT) AS micro
+           FROM va, (SELECT unnest(generate_series(1, 64)) AS i) g),
+    ub AS (SELECT vec_id, g.i AS i,
+                  CAST(round(CAST(embedding[g.i] AS DOUBLE)
+                             * 1000000, 0) AS BIGINT) AS micro
+           FROM vb, (SELECT unnest(generate_series(1, 64)) AS i) g),
+    na AS (SELECT count(*) AS n FROM va),
+    nb AS (SELECT count(*) AS n FROM vb),
+    s1a AS (SELECT i, sum(micro)::HUGEINT AS s FROM ua GROUP BY 1),
+    s1b AS (SELECT i, sum(micro)::HUGEINT AS s FROM ub GROUP BY 1),
+    s2a AS (SELECT a.i AS i, b.i AS j,
+                   sum(a.micro::HUGEINT * b.micro) AS s
+            FROM ua a JOIN ua b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2),
+    s2b AS (SELECT a.i AS i, b.i AS j,
+                   sum(a.micro::HUGEINT * b.micro) AS s
+            FROM ub a JOIN ub b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2),
+    md AS (SELECT s1a.i,
+              (CAST(s1a.s AS DOUBLE) / (SELECT n FROM na)
+               - CAST(s1b.s AS DOUBLE) / (SELECT n FROM nb)) / 1e6 AS d
+           FROM s1a JOIN s1b USING (i)),
+    mg AS (SELECT list_sum(list(d * d ORDER BY i)) AS g FROM md),
+    fd AS (SELECT s2a.i, s2a.j,
+              (CAST(s2a.s AS DOUBLE) / (SELECT n FROM na)
+               - CAST(s2b.s AS DOUBLE) / (SELECT n FROM nb)) / 1e12 AS d
+           FROM s2a JOIN s2b USING (i, j)),
+    ff AS (SELECT list_sum(list(
+              (CASE WHEN i = j THEN 1.0 ELSE 2.0 END) * (d * d)
+              ORDER BY i, j)) AS f FROM fd)
+    SELECT (SELECT n FROM na)::BIGINT AS n_a,
+           (SELECT n FROM nb)::BIGINT AS n_b,
+           round(sqrt((SELECT g FROM mg)), 9) AS mean_l2,
+           round((SELECT f FROM ff), 9) AS mmd2_quad""",
         "covariance_embeddings": """
     WITH v AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 37 <> 0 AND embedding IS NOT NULL

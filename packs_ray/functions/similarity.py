@@ -1323,3 +1323,44 @@ def dim_truncation_eval(ds, id_col: str, emb_col: str,
         m.insert(0, "dim", np.int64(d))
         rows.append(m[["dim", "k", "n_overlap", "recall_at_k", "mrr"]])
     return pd.concat(rows, ignore_index=True)
+
+
+def moment_drift(ds_a, ds_b, emb_col: str, *, dim: int = 64) -> pd.DataFrame:
+    """Second-moment distribution drift between two embedding feeds —
+    the shape-change detector :func:`embedding_drift` (centroid cosine,
+    1st moment) cannot see: a feed can keep its mean while its spread
+    or correlation structure shifts (encoder retrain, domain mix
+    change).  The statistic is the quadratic-kernel MMD^2 in closed
+    form, ||E[xxT]_a - E[xxT]_b||_F^2 — moment matching instead of a
+    pairwise kernel sum, so it reduces EXACTLY to the micro-int power
+    sums of `_cov_power_sums` (order-free integer partials; no pair
+    sampling, no RNG), plus the L2 mean gap for the 1st moment.
+
+    Floats: per-cell deltas and the two folds (ascending i, then
+    (i, j)) are the only float ops, pinned to the oracle's list_sum
+    order; off-diagonal cells weight 2 (symmetry).
+
+    Output: one row (n_a, n_b, mean_l2, mmd2_quad), 9dp."""
+    import math
+
+    from packs_ray.stages.util import round_half_away as _r9
+
+    na, s1a, s2a = _cov_power_sums(ds_a, emb_col, dim)
+    nb, s1b, s2b = _cov_power_sums(ds_b, emb_col, dim)
+    if na == 0 or nb == 0:
+        return pd.DataFrame([{"n_a": np.int64(na), "n_b": np.int64(nb),
+                              "mean_l2": None, "mmd2_quad": None}])
+    g = 0.0
+    for i in range(dim):                       # left fold == list_sum
+        di = (float(s1a[i]) / na - float(s1b[i]) / nb) / 1e6
+        g += di * di
+    f = 0.0
+    for (i, j) in sorted(set(s2a) | set(s2b)):
+        dij = (float(s2a.get((i, j), 0)) / na
+               - float(s2b.get((i, j), 0)) / nb) / 1e12
+        w = 1.0 if i == j else 2.0
+        f += w * (dij * dij)
+    return pd.DataFrame([{
+        "n_a": np.int64(na), "n_b": np.int64(nb),
+        "mean_l2": float(_r9(math.sqrt(g), 9)),
+        "mmd2_quad": float(_r9(f, 9))}])

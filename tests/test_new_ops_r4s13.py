@@ -597,3 +597,53 @@ def test_setcover_deterministic_across_partitions(ray_session):
     b = setcover_sample(_ds(df).repartition(9), "doc_id", "text", k=5)
     pd.testing.assert_frame_equal(a, b)
     assert len(set(a["id"])) == 5              # no doc chosen twice
+
+
+# -------------------------------------------------- moment_drift
+
+def test_moment_drift_identical_feeds_zero(ray_session):
+    from packs_ray.functions.similarity import moment_drift
+
+    rng = np.random.RandomState(17)
+    emb = rng.normal(size=(200, 8))
+    df = pd.DataFrame({"embedding": [list(map(float, v)) for v in emb]})
+    out = moment_drift(_ds(df), _ds(df), "embedding", dim=8)
+    r = out.iloc[0]
+    assert r["n_a"] == r["n_b"] == 200
+    assert r["mean_l2"] == 0.0 and r["mmd2_quad"] == 0.0
+
+
+def test_moment_drift_detects_scale_change_with_same_mean(ray_session):
+    from packs_ray.functions.similarity import moment_drift
+
+    # feed B = feed A scaled 2x around zero: identical (zero) mean,
+    # different second moment — centroid drift is blind, MMD is not
+    rng = np.random.RandomState(3)
+    a = rng.normal(size=(400, 8))
+    a = a - a.mean(axis=0)                  # exact-ish zero mean
+    b = 2.0 * a
+    da = pd.DataFrame({"embedding": [list(map(float, v)) for v in a]})
+    db = pd.DataFrame({"embedding": [list(map(float, v)) for v in b]})
+    out = moment_drift(_ds(da).repartition(3), _ds(db).repartition(5),
+                       "embedding", dim=8)
+    r = out.iloc[0]
+    assert r["mean_l2"] < 1e-5
+    assert r["mmd2_quad"] > 1.0
+
+
+def test_moment_drift_partition_invariance_and_empty(ray_session):
+    from packs_ray.functions.similarity import moment_drift
+
+    rng = np.random.RandomState(31)
+    a = rng.normal(size=(150, 8))
+    b = rng.normal(loc=0.3, size=(130, 8))
+    da = pd.DataFrame({"embedding": [list(map(float, v)) for v in a]})
+    db = pd.DataFrame({"embedding": [list(map(float, v)) for v in b]})
+    x = moment_drift(_ds(da).repartition(1), _ds(db).repartition(1),
+                     "embedding", dim=8)
+    y = moment_drift(_ds(da).repartition(7), _ds(db).repartition(4),
+                     "embedding", dim=8)
+    pd.testing.assert_frame_equal(x, y)
+    empty = pd.DataFrame({"embedding": pd.Series([], dtype="object")})
+    z = moment_drift(_ds(da), _ds(empty), "embedding", dim=8)
+    assert z["n_b"].iloc[0] == 0 and pd.isna(z["mmd2_quad"].iloc[0])
