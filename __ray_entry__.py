@@ -2225,6 +2225,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return moment_drift(half(0), half(1), "embedding", dim=64)
 
+    def neardup_eval_documents(sf):
+        # dedup-QA: precision/recall/F1 of the minhash-LSH pair set
+        # against the exact 5-gram-Jaccard truth at the same threshold
+        from packs_ray.functions.neardup import pair_set_eval
+
+        truth = neardup.ngram_jaccard_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            threshold=0.5, max_rows=500)
+        pred = neardup.minhash_lsh_pairs(
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text",
+            jaccard_threshold=0.5, collect=True)
+        return pair_set_eval(truth.rename(columns={"jaccard": "j"}),
+                             pred.rename(columns={"jaccard": "j"}))
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4082,6 +4096,7 @@ checks for orders:
         "url_path_rollup_documents": url_path_rollup_documents,
         "setcover_sample_documents": setcover_sample_documents,
         "moment_drift_embeddings": moment_drift_embeddings,
+        "neardup_eval_documents": neardup_eval_documents,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10061,6 +10076,22 @@ def oracle_sql() -> dict[str, str]:
     FROM agg""",
         # similarity.covariance_matrix: exact micro-int power sums,
         # one pinned left-assoc float expression per cell, 9dp
+        "neardup_eval_documents": f"""
+    WITH t AS ({_ngram_jaccard_sql()}),
+    p AS ({_minhash_sql()}),
+    c AS (SELECT count(*)::BIGINT AS n
+          FROM t JOIN p USING (id_a, id_b)),
+    m AS (SELECT (SELECT count(*)::BIGINT FROM t) AS nt,
+                 (SELECT count(*)::BIGINT FROM p) AS np_,
+                 (SELECT n FROM c) AS nc)
+    SELECT nt AS n_truth, np_ AS n_pred, nc AS n_common,
+        round(nc / (np_ * 1.0), 6) AS precision,
+        round(nc / (nt * 1.0), 6) AS recall,
+        CASE WHEN nc / (np_ * 1.0) + nc / (nt * 1.0) > 0
+             THEN round(2.0 * (nc / (np_ * 1.0)) * (nc / (nt * 1.0))
+                  / (nc / (np_ * 1.0) + nc / (nt * 1.0)), 6)
+             ELSE 0.0 END AS f1
+    FROM m""",
         "moment_drift_embeddings": """
     WITH va AS (SELECT vec_id, embedding FROM embeddings
                 WHERE vec_id % 2 = 0 AND embedding IS NOT NULL

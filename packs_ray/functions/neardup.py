@@ -1054,3 +1054,40 @@ def suppress_against_state(ds, id_col: str, text_col: str,
 
 
 _STATE_ID_SENTINEL = -1
+
+
+def pair_set_eval(truth: "pd.DataFrame", pred: "pd.DataFrame",
+                  id_a: str = "id_a", id_b: str = "id_b") -> "pd.DataFrame":
+    """Dedup-QA eval: precision/recall/F1 of a predicted near-dup pair
+    set against an exact ground-truth pair set (both bounded driver
+    artifacts — the contract of `ngram_jaccard_pairs` (truth, capped
+    exact baseline) and `minhash_lsh_pairs(collect=True)` (prediction)).
+    Run it on a sampled shard before trusting LSH parameters
+    (num_perm / bands / threshold) at corpus scale — the standard
+    tuning loop for MinHash dedup.
+
+    Output: one row (n_truth, n_pred, n_common, precision, recall,
+    f1), 6dp; precision/recall null when the respective side is empty."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.stages.util import round_half_away as _r6
+
+    t = set(zip(truth[id_a].tolist(), truth[id_b].tolist())) \
+        if len(truth) else set()
+    p = set(zip(pred[id_a].tolist(), pred[id_b].tolist())) \
+        if len(pred) else set()
+    c = len(t & p)
+    prec = c / (len(p) * 1.0) if p else None
+    rec = c / (len(t) * 1.0) if t else None
+    f1 = None
+    if prec is not None and rec is not None and (prec + rec) > 0:
+        f1 = 2.0 * prec * rec / (prec + rec)
+    elif prec is not None and rec is not None:
+        f1 = 0.0
+    return pd.DataFrame([{
+        "n_truth": np.int64(len(t)), "n_pred": np.int64(len(p)),
+        "n_common": np.int64(c),
+        "precision": None if prec is None else float(_r6(prec, 6)),
+        "recall": None if rec is None else float(_r6(rec, 6)),
+        "f1": None if f1 is None else float(_r6(f1, 6))}])

@@ -647,3 +647,20 @@ def test_moment_drift_partition_invariance_and_empty(ray_session):
     empty = pd.DataFrame({"embedding": pd.Series([], dtype="object")})
     z = moment_drift(_ds(da), _ds(empty), "embedding", dim=8)
     assert z["n_b"].iloc[0] == 0 and pd.isna(z["mmd2_quad"].iloc[0])
+
+
+# -------------------------------------------------- pair_set_eval
+
+def test_pair_set_eval_counts():
+    from packs_ray.functions.neardup import pair_set_eval
+
+    truth = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 4]})
+    pred = pd.DataFrame({"id_a": [1, 3, 9], "id_b": [2, 4, 10]})
+    out = pair_set_eval(truth, pred).iloc[0]
+    assert out["n_common"] == 2
+    assert out["precision"] == round(2 / 3, 6)
+    assert out["recall"] == round(2 / 3, 6)
+    assert out["f1"] == round(2 / 3, 6)
+    # empty prediction: precision undefined, recall 0
+    out2 = pair_set_eval(truth, pred.iloc[:0]).iloc[0]
+    assert pd.isna(out2["precision"]) and out2["recall"] == 0.0
