@@ -2239,6 +2239,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pair_set_eval(truth.rename(columns={"jaccard": "j"}),
                              pred.rename(columns={"jaccard": "j"}))
 
+    def sessionize_incremental_events(sf):
+        # stateful streaming sessionization: two ts-ordered chunks,
+        # open-tail state carried across the boundary; combined output
+        # must equal the one-shot sessionize (same SQL oracle)
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.windows import run_incremental_sessionize
+
+        cut = np.datetime64("2024-01-16", "us")
+
+        def chunk(before):
+            def fn(t):
+                ts = t.column("ts")
+                m = pc.less(ts, pa.scalar(cut, type=pa.timestamp("us")))
+                return t.filter(m if before else pc.invert(m))
+            return _ds(sf, "events", ["user_id", "ts"]) \
+                .map_batches(fn, batch_format="pyarrow")
+
+        out = run_incremental_sessionize(
+            [chunk(True), chunk(False)], "user_id", "ts",
+            gap_seconds=1800)
+        return out
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4097,6 +4122,7 @@ checks for orders:
         "setcover_sample_documents": setcover_sample_documents,
         "moment_drift_embeddings": moment_drift_embeddings,
         "neardup_eval_documents": neardup_eval_documents,
+        "sessionize_incremental_events": sessionize_incremental_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10462,6 +10488,7 @@ def oracle_sql() -> dict[str, str]:
     FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
         "sessionize_events": sessions,
+        "sessionize_incremental_events": sessions,
         # windows.funnel_counts: greedy minimal chain — t1 = min(step1),
         # t_k = min(step_k >= t_{k-1}); inclusive ties on both sides
         "funnel_events": """

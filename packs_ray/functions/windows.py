@@ -1346,3 +1346,150 @@ def entropy_rate(ds, key_col: str, type_col: str,
                      "n_next_types": np.int64(len(g)),
                      "h_bits": float(_rh(h, 6))})
     return pd.DataFrame(rows)
+
+
+def sessionize_incremental(new_ds, state_df, key_col: str, ts_col: str,
+                           gap_seconds: int = 1800,
+                           num_buckets: int | None = None) -> "pd.DataFrame":
+    """ONE streaming step of sessionization with boundary-state carry —
+    the stateful window :func:`sessionize` cannot express across feed
+    chunks: a session spanning two ingest batches must keep one id and
+    one event count.  State = each key's OPEN tail session
+    (key, session_id, session_start, session_end, n_events); a new
+    chunk's first event within ``gap_seconds`` of the stored
+    session_end CONTINUES that session (id, start and count carry
+    over), else numbering resumes at session_id + 1.
+
+    Contract (standard watermark assumption, asserted by the
+    equivalence test): chunks are per-key time-ordered — every new
+    event's ts >= the key's stored session_end.  Under it, emitting
+    each chunk's non-tail sessions and re-feeding the tail state
+    reproduces the full-run :func:`sessionize` byte-for-byte
+    (pytest + the combined-output SQL oracle).
+
+    Scale shape: state rides the SAME hash-bucket shuffle as the new
+    rows (tagged virtual rows carrying their session payload), so the
+    step is one co-partitioned exchange; per-bucket logic stays fully
+    vectorized.  Output: pandas (key, session_id, session_start,
+    session_end, n_events, is_open); rows with is_open=True are the
+    next state."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from packs_ray.functions.agg import row_shuffle_partitions
+
+    if num_buckets is None:
+        num_buckets = row_shuffle_partitions(new_ds)
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col])
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        n = len(t)
+        return pa.table({
+            key_col: t.column(key_col),
+            "ts_us": ts,
+            "start_us": ts,
+            "w": pa.array(np.ones(n, dtype=np.int64)),
+            "sid0": pa.array(np.full(n, -1, dtype=np.int64)),
+            "is_state": pa.array(np.zeros(n, dtype=np.int8))})
+
+    stream = new_ds.map_batches(tag_new, batch_format="pyarrow")
+    if state_df is not None and len(state_df):
+        st = pd.DataFrame({
+            key_col: state_df[key_col].to_numpy(),
+            "ts_us": pd.to_datetime(state_df["session_end"])
+                .astype("datetime64[us]").astype(np.int64),
+            "start_us": pd.to_datetime(state_df["session_start"])
+                .astype("datetime64[us]").astype(np.int64),
+            "w": state_df["n_events"].to_numpy(np.int64),
+            "sid0": state_df["session_id"].to_numpy(np.int64),
+            "is_state": np.ones(len(state_df), dtype=np.int8)})
+        stream = stream.union(ray.data.from_pandas(st))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return batch.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64)))
+
+    out_cols = [key_col, "session_id", "session_start", "session_end",
+                "n_events", "is_open"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: [] for c in out_cols})
+        # state rows first at ts ties so the gap reads state -> event
+        g = g.sort_values([key_col, "ts_us", "is_state"],
+                          ascending=[True, True, False], kind="stable")
+        key = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        is_state = g["is_state"].to_numpy(np.int8).astype(bool)
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        seg = np.cumsum(new_key | gap) - 1
+        idx = np.arange(n)
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        seg_in_key = seg - seg[key_start]
+        # base sid: the key's state row (always its first row under the
+        # watermark contract) carries sid0; keys without state start at 0
+        base = np.where(is_state[key_start],
+                        g["sid0"].to_numpy(np.int64)[key_start], 0)
+        sid = seg_in_key + base
+        out = (pd.DataFrame({
+            key_col: key, "session_id": sid,
+            "start_us": g["start_us"].to_numpy(np.int64),
+            "ts_us": ts, "w": g["w"].to_numpy(np.int64)})
+            .groupby([key_col, "session_id"], sort=False)
+            .agg(start_us=("start_us", "min"), end_us=("ts_us", "max"),
+                 n_events=("w", "sum")).reset_index())
+        last_sid = out.groupby(key_col)["session_id"].transform("max")
+        out["is_open"] = out["session_id"] == last_sid
+        out["session_start"] = pd.to_datetime(out.pop("start_us"),
+                                              unit="us") \
+            .astype("datetime64[us]")
+        out["session_end"] = pd.to_datetime(out.pop("end_us"),
+                                            unit="us") \
+            .astype("datetime64[us]")
+        return out[out_cols]
+
+    res = (stream.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    df = res.to_pandas()
+    if not len(df):
+        return pd.DataFrame({c: [] for c in out_cols})
+    return df.reset_index(drop=True)
+
+
+def run_incremental_sessionize(chunks, key_col: str, ts_col: str,
+                               gap_seconds: int = 1800) -> "pd.DataFrame":
+    """Drive :func:`sessionize_incremental` over an ordered list of
+    chunk Datasets, carrying the open-tail state between steps; returns
+    the combined closed+final-open session table (== the full-run
+    :func:`sessionize` under the watermark contract), sorted."""
+    import pandas as pd
+
+    state = None
+    closed = []
+    for ch in chunks:
+        out = sessionize_incremental(ch, state, key_col, ts_col,
+                                     gap_seconds)
+        closed.append(out[~out["is_open"]])
+        state = out[out["is_open"]]
+    parts = closed + ([state] if state is not None else [])
+    parts = [p for p in parts if p is not None and len(p)]
+    cols = [key_col, "session_id", "session_start", "session_end",
+            "n_events"]
+    if not parts:
+        return pd.DataFrame({c: [] for c in cols})
+    df = pd.concat(parts, ignore_index=True)[cols]
+    return df.sort_values([key_col, "session_id"]) \
+        .reset_index(drop=True).astype({"session_id": "int64",
+                                        "n_events": "int64"})

@@ -664,3 +664,66 @@ def test_pair_set_eval_counts():
     # empty prediction: precision undefined, recall 0
     out2 = pair_set_eval(truth, pred.iloc[:0]).iloc[0]
     assert pd.isna(out2["precision"]) and out2["recall"] == 0.0
+
+
+# -------------------------------------------------- incremental sessionize
+
+def _sess_events(seed=19, n=600, users=25):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-03-01").value // 1000
+    rows = []
+    for u in range(users):
+        t = base + rng.randint(0, 3600) * 1_000_000
+        for _ in range(n // users):
+            t += int(rng.exponential(1200) * 1e6)   # ~20 min gaps
+            rows.append({"u": f"user{u}", "ts": t})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+    return df.sort_values("ts").reset_index(drop=True)
+
+
+def test_incremental_equals_full_run(ray_session):
+    from packs_ray.functions.windows import (run_incremental_sessionize,
+                                             sessionize)
+
+    df = _sess_events()
+    cut = df["ts"].quantile(0.5)
+    chunks = [_ds(df[df["ts"] < cut].reset_index(drop=True)),
+              _ds(df[df["ts"] >= cut].reset_index(drop=True))]
+    inc = run_incremental_sessionize(chunks, "u", "ts", gap_seconds=1800)
+    full = sessionize(_ds(df), "u", "ts", gap_seconds=1800).to_pandas() \
+        .rename(columns={"u": "u"}) \
+        .sort_values(["u", "session_id"]).reset_index(drop=True)
+    full = full[["u", "session_id", "session_start", "session_end",
+                 "n_events"]].astype({"session_id": "int64",
+                                      "n_events": "int64"})
+    inc2 = inc.copy()
+    for c in ("session_start", "session_end"):
+        inc2[c] = pd.to_datetime(inc2[c]).astype("datetime64[us]")
+        full[c] = pd.to_datetime(full[c]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(inc2, full)
+
+
+def test_incremental_session_spans_boundary(ray_session):
+    from packs_ray.functions.windows import sessionize_incremental
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    mk = lambda *m: pd.DataFrame({
+        "u": ["a"] * len(m),
+        "ts": pd.to_datetime([t0 + pd.Timedelta(minutes=x) for x in m])
+        .astype("datetime64[us]")})
+    s1 = sessionize_incremental(_ds(mk(0, 10)), None, "u", "ts", 1800)
+    assert len(s1) == 1 and s1["is_open"].iloc[0]
+    state = s1[s1["is_open"]]
+    # next chunk 15 min later: same session continues (id 0, n=3)
+    s2 = sessionize_incremental(_ds(mk(25)), state, "u", "ts", 1800)
+    assert len(s2) == 1
+    assert s2["session_id"].iloc[0] == 0 and s2["n_events"].iloc[0] == 3
+    assert s2["session_start"].iloc[0] == t0
+    # then a chunk 2 h later: new session id 1, old emitted closed
+    s3 = sessionize_incremental(_ds(mk(180)), s2[s2["is_open"]],
+                                "u", "ts", 1800)
+    assert len(s3) == 2
+    closed = s3[~s3["is_open"]].iloc[0]
+    assert closed["session_id"] == 0 and closed["n_events"] == 3
+    assert s3[s3["is_open"]]["session_id"].iloc[0] == 1
