@@ -2264,6 +2264,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             gap_seconds=1800)
         return out
 
+    def cdc_merge_orders(sf):
+        # CDC apply: deterministic changelog (keys %5 updated +10% a
+        # day later, %7 tombstoned two days later) merged into the
+        # snapshot; latest (ts, source) wins, tombstones drop keys
+        import pandas as pd
+        import pyarrow as pa
+
+        from packs_ray.functions.duplicates import cdc_merge
+
+        snap = _ds(sf, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+        def log_fn(t):
+            d = t.to_pandas()
+            upd = d[d.o_orderkey % 5 == 0].copy()
+            upd["o_totalprice"] = upd["o_totalprice"] * 1.1
+            upd["o_orderdate"] = upd["o_orderdate"] + pd.Timedelta(days=1)
+            upd["op"] = "U"
+            dele = d[d.o_orderkey % 7 == 0].copy()
+            dele["o_orderdate"] = dele["o_orderdate"] \
+                + pd.Timedelta(days=2)
+            dele["op"] = "D"
+            out = pd.concat([upd, dele], ignore_index=True)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        log = snap.map_batches(log_fn, batch_format="pyarrow")
+        out = cdc_merge(snap, log, ["o_orderkey"], "o_orderdate")
+        return out.sort("o_orderkey")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4123,6 +4152,7 @@ checks for orders:
         "moment_drift_embeddings": moment_drift_embeddings,
         "neardup_eval_documents": neardup_eval_documents,
         "sessionize_incremental_events": sessionize_incremental_events,
+        "cdc_merge_orders": cdc_merge_orders,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10118,6 +10148,26 @@ def oracle_sql() -> dict[str, str]:
                   / (nc / (np_ * 1.0) + nc / (nt * 1.0)), 6)
              ELSE 0.0 END AS f1
     FROM m""",
+        "cdc_merge_orders": """
+    WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderdate,
+                         'U' AS op, 0 AS src
+                  FROM orders WHERE o_orderkey IS NOT NULL
+                    AND o_orderdate IS NOT NULL),
+    upd AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+                   o_orderdate + INTERVAL 1 DAY AS o_orderdate,
+                   'U' AS op, 1 AS src
+            FROM orders WHERE o_orderkey % 5 = 0),
+    del_ AS (SELECT o_orderkey, o_totalprice,
+                    o_orderdate + INTERVAL 2 DAY AS o_orderdate,
+                    'D' AS op, 1 AS src
+             FROM orders WHERE o_orderkey % 7 = 0),
+    all_ AS (SELECT * FROM snap UNION ALL
+             SELECT * FROM upd UNION ALL SELECT * FROM del_),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY o_orderdate DESC, src DESC) AS rn
+          FROM all_)
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
         "moment_drift_embeddings": """
     WITH va AS (SELECT vec_id, embedding FROM embeddings
                 WHERE vec_id % 2 = 0 AND embedding IS NOT NULL

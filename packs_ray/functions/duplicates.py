@@ -673,3 +673,78 @@ def dup_weights(ds, id_col: str, key_cols: list[str],
     return (ds.map_batches(marks, batch_format="pyarrow")
             .groupby("__p").map_groups(per_bucket, batch_format="pandas")
             .sort(id_col))
+
+
+def cdc_merge(snapshot_ds, changelog_ds, key_cols: list[str],
+              ts_col: str, *, op_col: str = "op",
+              num_partitions: int | None = None):
+    """Apply a CDC changelog (upserts + tombstone deletes) to a
+    snapshot — the merge step between :func:`dedup_latest` (upsert-only
+    latest-wins) and :func:`drift.snapshot_diff` (which DETECTS the
+    delta; this APPLIES one): per key the newest record wins, where
+    "newest" orders by (ts, source) with the changelog beating the
+    snapshot on ties (a change observed at the same instant as the
+    base row supersedes it), and a winning ``op_col`` = 'D' tombstone
+    removes the key entirely.
+
+    Changelog rows must carry ``op_col`` in {'U', 'D'}; snapshot rows
+    need no op column (one is added as 'U').  Null keys/ts drop.
+
+    Scale shape: tag + union the two lazy streams, ONE bucketed
+    reduce on hash(key); the per-bucket winner pick is a vectorized
+    sort + groupby-tail.  Output: a lazy Dataset with the snapshot's
+    columns (op/source helpers removed)."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.joins import _arrow_schema
+
+    sch = _arrow_schema(snapshot_ds)
+    payload = [f.name for f in sch if f.name not in (op_col,)]
+
+    def tag(src: int, with_op: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = None
+            for c in key_cols + [ts_col]:
+                v = batch.column(c).is_valid()
+                mask = v if mask is None else pc.and_(mask, v)
+            batch = batch.filter(mask)
+            if with_op:
+                op = batch.column(op_col).cast(pa.string())
+                batch = batch.drop_columns([op_col])
+            else:
+                op = pa.array(["U"] * len(batch), type=pa.string())
+            batch = batch.select(payload)
+            batch = batch.append_column("__op", op)
+            return batch.append_column("__src", pa.array(
+                np.full(len(batch), src, dtype=np.int8)))
+        return fn
+
+    stream = (snapshot_ds.map_batches(tag(0, False),
+                                      batch_format="pyarrow")
+              .union(changelog_ds.map_batches(tag(1, True),
+                                              batch_format="pyarrow")))
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(snapshot_ds)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + [ts_col, "__src"], kind="stable")
+        win = g.groupby(key_cols, sort=False).tail(1)
+        win = win[win["__op"] != "D"]
+        return win[payload]
+
+    out = bucketed_group_reduce(stream, key_cols, pick, num_partitions)
+    # the pandas reduce upcasts (us timestamps -> ns); restore the
+    # snapshot's arrow schema
+    target = pa.schema([sch.field(c) for c in payload])
+
+    def restore(batch: pa.Table) -> pa.Table:
+        return batch.select(payload).cast(target)
+
+    return out.map_batches(restore, batch_format="pyarrow")
+

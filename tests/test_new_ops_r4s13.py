@@ -727,3 +727,38 @@ def test_incremental_session_spans_boundary(ray_session):
     closed = s3[~s3["is_open"]].iloc[0]
     assert closed["session_id"] == 0 and closed["n_events"] == 3
     assert s3[s3["is_open"]]["session_id"].iloc[0] == 1
+
+
+# -------------------------------------------------- cdc_merge
+
+def test_cdc_merge_semantics(ray_session):
+    from packs_ray.functions.duplicates import cdc_merge
+
+    snap = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": [10.0, 20.0, 30.0, 40.0],
+        "ts": pd.to_datetime(["2024-01-01"] * 4).astype("datetime64[us]")})
+    log = pd.DataFrame({
+        "k": [2, 3, 3, 5],
+        "v": [21.0, 31.0, 0.0, 50.0],
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-02",
+                              "2024-01-03", "2024-01-02"])
+        .astype("datetime64[us]"),
+        "op": ["U", "U", "D", "U"]})
+    out = cdc_merge(_ds(snap), _ds(log), ["k"], "ts").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # k=1 untouched, k=2 updated, k=3 deleted (later D), k=4 untouched,
+    # k=5 inserted by the log
+    assert out["k"].tolist() == [1, 2, 4, 5]
+    assert out["v"].tolist() == [10.0, 21.0, 40.0, 50.0]
+    assert "op" not in out.columns and "__src" not in out.columns
+
+
+def test_cdc_merge_tie_changelog_wins(ray_session):
+    from packs_ray.functions.duplicates import cdc_merge
+
+    ts = pd.to_datetime(["2024-01-01"]).astype("datetime64[us]")
+    snap = pd.DataFrame({"k": [1], "v": [1.0], "ts": ts})
+    log = pd.DataFrame({"k": [1], "v": [2.0], "ts": ts, "op": ["U"]})
+    out = cdc_merge(_ds(snap), _ds(log), ["k"], "ts").to_pandas()
+    assert out["v"].tolist() == [2.0]
