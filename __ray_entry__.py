@@ -2293,6 +2293,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = cdc_merge(snap, log, ["o_orderkey"], "o_orderdate")
         return out.sort("o_orderkey")
 
+    def decayed_hitters_events(sf):
+        # recency-weighted top-10 users: exact (user, day) counts, per
+        # key ascending-day float fold with libm pow decay
+        from packs_ray.functions.sketches import decayed_heavy_hitters
+
+        return decayed_heavy_hitters(
+            _ds(sf, "events", ["user_id", "ts"]), "user_id", "ts",
+            half_life_days=7.0, k=10)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4153,6 +4162,7 @@ checks for orders:
         "neardup_eval_documents": neardup_eval_documents,
         "sessionize_incremental_events": sessionize_incremental_events,
         "cdc_merge_orders": cdc_merge_orders,
+        "decayed_hitters_events": decayed_hitters_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10148,6 +10158,20 @@ def oracle_sql() -> dict[str, str]:
                   / (nc / (np_ * 1.0) + nc / (nt * 1.0)), 6)
              ELSE 0.0 END AS f1
     FROM m""",
+        "decayed_hitters_events": """
+    WITH v AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    c AS (SELECT user_id, day, count(*)::BIGINT AS cnt
+          FROM v GROUP BY 1, 2),
+    d AS (SELECT max(day) AS dm FROM c),
+    s AS (SELECT user_id, sum(cnt)::BIGINT AS n_total,
+            round(list_sum(list(
+                cnt * power(0.5, ((SELECT dm FROM d) - day) / 7.0)
+                ORDER BY day)), 6) AS decayed
+          FROM c GROUP BY user_id)
+    SELECT user_id, n_total, decayed FROM s
+    ORDER BY decayed DESC, user_id LIMIT 10""",
         "cdc_merge_orders": """
     WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderdate,
                          'U' AS op, 0 AS src

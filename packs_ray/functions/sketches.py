@@ -532,3 +532,84 @@ def merged_distinct(paths: list[str]) -> pd.DataFrame:
     rows = [{"column": c, **_estimate(r)}
             for c, r in sorted(acc.items())]
     return pd.DataFrame(rows)
+
+
+def decayed_heavy_hitters(ds, key_col: str, ts_col: str, *,
+                          half_life_days: float = 7.0, k: int = 10,
+                          num_partitions: int | None = None) -> "pd.DataFrame":
+    """Exponentially time-decayed top-k keys: score(key) =
+    Σ_days cnt(key, day) · 0.5^((D_max − day) / half_life) — the
+    trending/recency ranking :func:`heavy_hitters` (all-time phi-heavy)
+    cannot give: a key hammering the feed THIS week outranks a bigger
+    but stale historical key.
+
+    Determinism: day counts are exact ints; the decay weight is
+    libm pow on an integer age (identical on both sides); the per-key
+    fold runs ascending day — a bounded (≤ day-span terms) Python
+    float loop inside the bucketed reduce, == the oracle's
+    ``list_sum(list(term ORDER BY day))``.  Ranking is
+    (score 6dp DESC, key ASC), so ties are stable.
+
+    Scale shape: ONE bucketed (key, day) count reduce (keys stay
+    distributed; the fold happens inside each bucket), a narrow
+    global-max-day pre-scan, then per-bucket top-k partials — only
+    buckets × k rows land on the driver.
+
+    Output: top-k (key, n_total, decayed) rows."""
+    import math
+
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _rh
+
+    def day_marks(batch: pa.Table) -> pa.Table:
+        batch = batch.select([key_col, ts_col])
+        mask = pc.and_(batch.column(key_col).is_valid(),
+                       batch.column(ts_col).is_valid())
+        batch = batch.filter(mask)
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key_col: batch.column(key_col).to_numpy(
+            zero_copy_only=False),
+            "day": us // np.int64(86_400_000_000)})
+        g = (df.groupby([key_col, "day"], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    marks = ds.map_batches(day_marks, batch_format="pyarrow") \
+        .materialize()
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(marks)
+    if marks.count() == 0:
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "n_total": pd.Series([], dtype="int64"),
+                             "decayed": pd.Series([], dtype="float64")})
+    d_max = int(marks.max("day"))
+    hl = float(half_life_days)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby([key_col, "day"], sort=False)["cnt"].sum()
+             .reset_index().sort_values([key_col, "day"], kind="stable"))
+        rows = []
+        for key, gg in g.groupby(key_col, sort=False):
+            s = 0.0
+            for day, cnt in zip(gg["day"].to_numpy(np.int64),
+                                gg["cnt"].to_numpy(np.int64)):
+                s += cnt * math.pow(0.5, (d_max - day) / hl)
+            rows.append((key, int(gg["cnt"].sum()), s))
+        out = pd.DataFrame(rows, columns=[key_col, "n_total", "decayed"])
+        out["decayed"] = _rh(out["decayed"].to_numpy(np.float64), 6)
+        # bucket-local top-k partial: global winner must be in some
+        # bucket's local top-k
+        return (out.sort_values(["decayed", key_col],
+                                ascending=[False, True], kind="stable")
+                .head(k))
+
+    parts = bucketed_group_reduce(marks, [key_col], per_bucket,
+                                  num_partitions).to_pandas()
+    return (parts.sort_values(["decayed", key_col],
+                              ascending=[False, True], kind="stable")
+            .head(k).reset_index(drop=True)
+            .astype({"n_total": "int64", "decayed": "float64"}))

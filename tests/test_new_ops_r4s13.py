@@ -762,3 +762,40 @@ def test_cdc_merge_tie_changelog_wins(ray_session):
     log = pd.DataFrame({"k": [1], "v": [2.0], "ts": ts, "op": ["U"]})
     out = cdc_merge(_ds(snap), _ds(log), ["k"], "ts").to_pandas()
     assert out["v"].tolist() == [2.0]
+
+
+# -------------------------------------------------- decayed_heavy_hitters
+
+def test_decayed_hitters_recency_beats_volume(ray_session):
+    from packs_ray.functions.sketches import decayed_heavy_hitters
+
+    # "stale" fires 60 events 30 days ago; "fresh" fires 20 today:
+    # with a 7-day half-life fresh (20) outranks stale (60 * 2^-30/7
+    # ~= 3.1)
+    t_old = pd.Timestamp("2024-01-01")
+    t_new = pd.Timestamp("2024-01-31")
+    df = pd.DataFrame({
+        "k": ["stale"] * 60 + ["fresh"] * 20,
+        "ts": [t_old] * 60 + [t_new] * 20})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = decayed_heavy_hitters(_ds(df).repartition(3), "k", "ts",
+                                half_life_days=7.0, k=2)
+    assert out["k"].tolist() == ["fresh", "stale"]
+    assert out["n_total"].tolist() == [20, 60]
+    assert out["decayed"].iloc[0] == 20.0
+    assert out["decayed"].iloc[1] == round(60 * 0.5 ** (30 / 7.0), 6)
+
+
+def test_decayed_hitters_deterministic(ray_session):
+    from packs_ray.functions.sketches import decayed_heavy_hitters
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({
+        "k": rng.choice([f"u{i}" for i in range(30)], 2000),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 40 * 86400, 2000), "s")})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    a = decayed_heavy_hitters(_ds(df).repartition(1), "k", "ts", k=5)
+    b = decayed_heavy_hitters(_ds(df).repartition(11), "k", "ts", k=5)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 5
