@@ -2302,6 +2302,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["user_id", "ts"]), "user_id", "ts",
             half_life_days=7.0, k=10)
 
+    def schema_contract_events(sf):
+        # data-contract gate: expected (name, type, required) vs the
+        # actual parquet schema; metadata-only, widening table applied
+        from packs_ray.functions.validation import schema_contract
+
+        contract = [
+            ("event_id", "int64", True),
+            ("ts", "timestamp[us]", True),
+            ("user_id", "int64", True),
+            ("event_type", "string", True),
+            ("value", "float32", False),      # actual double: widened
+            ("country", "string", True),      # absent: missing
+        ]
+        return schema_contract(_ds(sf, "events"), contract)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4163,6 +4178,7 @@ checks for orders:
         "sessionize_incremental_events": sessionize_incremental_events,
         "cdc_merge_orders": cdc_merge_orders,
         "decayed_hitters_events": decayed_hitters_events,
+        "schema_contract_events": schema_contract_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10172,6 +10188,32 @@ def oracle_sql() -> dict[str, str]:
           FROM c GROUP BY user_id)
     SELECT user_id, n_total, decayed FROM s
     ORDER BY decayed DESC, user_id LIMIT 10""",
+        "schema_contract_events": """
+    WITH actual AS (SELECT column_name AS col,
+        CASE data_type
+            WHEN 'BIGINT' THEN 'int64' WHEN 'INTEGER' THEN 'int32'
+            WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float32'
+            WHEN 'VARCHAR' THEN 'string'
+            WHEN 'TIMESTAMP' THEN 'timestamp[us]'
+            ELSE lower(data_type) END AS typ
+        FROM information_schema.columns WHERE table_name = 'events'),
+    contract(col, exp, req) AS (VALUES
+        ('event_id', 'int64', true), ('ts', 'timestamp[us]', true),
+        ('user_id', 'int64', true), ('event_type', 'string', true),
+        ('value', 'float32', false), ('country', 'string', true)),
+    j AS (SELECT coalesce(c.col, a.col) AS "column",
+            c.exp AS expected, a.typ AS actual,
+            CASE WHEN c.col IS NULL THEN 'extra'
+                 WHEN a.col IS NULL AND c.req THEN 'missing'
+                 WHEN a.col IS NULL THEN 'missing_optional'
+                 WHEN c.exp = a.typ THEN 'ok'
+                 WHEN (c.exp = 'int32' AND a.typ = 'int64')
+                   OR (c.exp = 'float32' AND a.typ = 'double')
+                   OR (c.exp = 'date32' AND a.typ = 'timestamp[us]')
+                      THEN 'widened'
+                 ELSE 'mismatch' END AS verdict
+        FROM contract c FULL OUTER JOIN actual a ON c.col = a.col)
+    SELECT * FROM j ORDER BY "column" """,
         "cdc_merge_orders": """
     WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderdate,
                          'U' AS op, 0 AS src

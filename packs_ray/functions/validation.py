@@ -309,3 +309,57 @@ def fd_violations(ds, lhs: str, rhs: str, *, examples: int = 5,
         "n_lhs_values": np.int64(n_lhs), "n_violating": np.int64(n_bad),
         "violation_ratio": float(_r(n_bad / n_lhs, 6)) if n_lhs else None,
         "example_lhs": ",".join(all_ex[:examples])}])
+
+
+_CONTRACT_WIDENINGS = {
+    ("int8", "int16"), ("int8", "int32"), ("int8", "int64"),
+    ("int16", "int32"), ("int16", "int64"), ("int32", "int64"),
+    ("uint8", "uint16"), ("uint16", "uint32"), ("uint32", "uint64"),
+    ("float32", "double"), ("float", "double"),
+    ("date32", "timestamp[us]"), ("date32[day]", "timestamp[us]"),
+    ("string", "large_string"),
+}
+
+
+def schema_contract(ds, contract: list[tuple[str, str, bool]]) -> "pd.DataFrame":
+    """Data-contract check of a Dataset's schema against an expected
+    column list — the ingestion gate between
+    :func:`type_inference` (discovers types) and
+    :func:`drift.schema_drift` (diffs two feeds): a producer promised
+    (name, type, required) columns; classify each as ok / widened
+    (lossless type promotion per the fixed widening table) / mismatch
+    / missing, and flag unexpected columns as extra.  Metadata-only —
+    no data rows are read.
+
+    ``contract`` entries are (column, arrow-type-string, required);
+    optional missing columns report 'missing_optional' (non-fatal).
+
+    Output: one row per contract-or-actual column —
+    (column, expected, actual, verdict), sorted by column."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.joins import _arrow_schema
+
+    actual = {f.name: str(f.type) for f in _arrow_schema(ds)}
+    rows = []
+    seen = set()
+    for name, exp, required in contract:
+        seen.add(name)
+        act = actual.get(name)
+        if act is None:
+            verdict = "missing" if required else "missing_optional"
+        elif act == exp:
+            verdict = "ok"
+        elif (exp, act) in _CONTRACT_WIDENINGS:
+            verdict = "widened"
+        else:
+            verdict = "mismatch"
+        rows.append({"column": name, "expected": exp, "actual": act,
+                     "verdict": verdict})
+    for name, act in actual.items():
+        if name not in seen:
+            rows.append({"column": name, "expected": None,
+                         "actual": act, "verdict": "extra"})
+    return (pd.DataFrame(rows).sort_values("column")
+            .reset_index(drop=True))

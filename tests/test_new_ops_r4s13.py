@@ -799,3 +799,28 @@ def test_decayed_hitters_deterministic(ray_session):
     b = decayed_heavy_hitters(_ds(df).repartition(11), "k", "ts", k=5)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 5
+
+
+# -------------------------------------------------- schema_contract
+
+def test_schema_contract_verdicts(ray_session):
+    from packs_ray.functions.validation import schema_contract
+
+    df = pd.DataFrame({"a": np.array([1], dtype=np.int64),
+                       "b": np.array([1.5], dtype=np.float64),
+                       "z": ["x"]})
+    out = schema_contract(_ds(df), [
+        ("a", "int32", True),        # widened int32 -> int64
+        ("b", "double", True),       # ok
+        ("c", "string", True),       # missing
+        ("d", "string", False),      # missing_optional
+    ])
+    v = out.set_index("column")["verdict"]
+    assert v["a"] == "widened"
+    assert v["b"] == "ok"
+    assert v["c"] == "missing"
+    assert v["d"] == "missing_optional"
+    assert v["z"] == "extra"
+    # mismatch: demand string where int lives
+    out2 = schema_contract(_ds(df), [("a", "string", True)])
+    assert out2.set_index("column")["verdict"]["a"] == "mismatch"
