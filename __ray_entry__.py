@@ -2317,6 +2317,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ]
         return schema_contract(_ds(sf, "events"), contract)
 
+    def parquet_stats_lineitem(sf):
+        # zone-map introspection: per-row-group min/max/null stats of
+        # the numeric lineitem columns (footer-only read)
+        from packs_ray.sources.parquet import parquet_rowgroup_stats
+
+        return parquet_rowgroup_stats(
+            f"{sf}/lineitem.parquet",
+            ["l_quantity", "l_extendedprice", "l_discount"])
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4179,6 +4188,7 @@ checks for orders:
         "cdc_merge_orders": cdc_merge_orders,
         "decayed_hitters_events": decayed_hitters_events,
         "schema_contract_events": schema_contract_events,
+        "parquet_stats_lineitem": parquet_stats_lineitem,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6868,6 +6878,27 @@ def _setcover_sql(k: int = 4, shingle: int = 5,
         (SELECT count(*)::BIGINT FROM c{r}) AS covered_total""")
     return ("WITH " + ",\n    ".join(parts)
             + " UNION ALL ".join(sel) + " ORDER BY round")
+
+
+def _parquet_stats_sql() -> str:
+    """sources.parquet_rowgroup_stats replica via DuckDB's
+    parquet_metadata() over the same file; the sf dir comes from
+    GRAFT_ORACLE_SF (the staleness-oracle convention — the driver
+    gates at sf0.01)."""
+    import os as _os
+
+    sfdir = _os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return f"""
+    SELECT row_group_id::BIGINT AS row_group,
+           path_in_schema AS "column",
+           num_values::BIGINT AS n_values,
+           stats_null_count::BIGINT AS null_count,
+           round(CAST(stats_min_value AS DOUBLE), 6) AS min_d,
+           round(CAST(stats_max_value AS DOUBLE), 6) AS max_d
+    FROM parquet_metadata('{sfdir}/lineitem.parquet')
+    WHERE path_in_schema IN
+        ('l_quantity', 'l_extendedprice', 'l_discount')
+    ORDER BY 1, 2"""
 
 
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
@@ -10188,6 +10219,7 @@ def oracle_sql() -> dict[str, str]:
           FROM c GROUP BY user_id)
     SELECT user_id, n_total, decayed FROM s
     ORDER BY decayed DESC, user_id LIMIT 10""",
+        "parquet_stats_lineitem": _parquet_stats_sql(),
         "schema_contract_events": """
     WITH actual AS (SELECT column_name AS col,
         CASE data_type

@@ -217,3 +217,55 @@ def read_clustered(layout_dir: str, lo: float, hi: float, *,
         return batch.filter(pc.fill_null(m, False))
 
     return ds.map_batches(residual, batch_format="pyarrow"), stats
+
+
+def parquet_rowgroup_stats(path: str, columns: list[str]) -> "pd.DataFrame":
+    """Zone-map report of a parquet file: per (row_group, column) the
+    value count, null count and min/max statistics — the storage
+    introspection behind ``clustered_read``'s pruning (this SHOWS the
+    zone maps; that USES them).  Run it before choosing a sort/cluster
+    key: a column whose row-group ranges all overlap prunes nothing.
+
+    Metadata-only (footer read; zero data pages touched) — at 100 TB
+    this is one driver-side footer fetch per file, so wrap per-file
+    calls in ``map_batches`` over a file listing for fleets of files.
+
+    Output: (row_group, column, n_values, null_count, min_d, max_d)
+    with min/max as doubles rounded 6dp (numeric columns only — the
+    caller picks ``columns``), sorted."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from packs_ray.stages.util import round_half_away as _rh
+
+    md = pq.ParquetFile(path).metadata
+    want = set(columns)
+    rows = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema not in want:
+                continue
+            st = c.statistics
+            rows.append({
+                "row_group": np.int64(g),
+                "column": c.path_in_schema,
+                "n_values": np.int64(c.num_values),
+                "null_count": np.int64(st.null_count)
+                if st is not None and st.has_null_count else None,
+                "min_d": float(_rh(float(st.min), 6))
+                if st is not None and st.has_min_max else None,
+                "max_d": float(_rh(float(st.max), 6))
+                if st is not None and st.has_min_max else None})
+    if not rows:
+        return pd.DataFrame({
+            "row_group": pd.Series([], dtype="int64"),
+            "column": pd.Series([], dtype="object"),
+            "n_values": pd.Series([], dtype="int64"),
+            "null_count": pd.Series([], dtype="int64"),
+            "min_d": pd.Series([], dtype="float64"),
+            "max_d": pd.Series([], dtype="float64")})
+    return (pd.DataFrame(rows).sort_values(["row_group", "column"])
+            .reset_index(drop=True))

@@ -824,3 +824,25 @@ def test_schema_contract_verdicts(ray_session):
     # mismatch: demand string where int lives
     out2 = schema_contract(_ds(df), [("a", "string", True)])
     assert out2.set_index("column")["verdict"]["a"] == "mismatch"
+
+
+# -------------------------------------------------- parquet_rowgroup_stats
+
+def test_parquet_rowgroup_stats(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.sources.parquet import parquet_rowgroup_stats
+
+    t = pa.table({"x": pa.array([1.0, 2.0, None, 9.5]),
+                  "y": pa.array([10, 20, 30, 40], type=pa.int64()),
+                  "s": pa.array(["a", "b", "c", "d"])})
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(t, f, row_group_size=2)
+    out = parquet_rowgroup_stats(f, ["x", "y"])
+    assert out["row_group"].tolist() == [0, 0, 1, 1]
+    x0 = out[(out["row_group"] == 0) & (out["column"] == "x")].iloc[0]
+    assert x0["min_d"] == 1.0 and x0["max_d"] == 2.0
+    x1 = out[(out["row_group"] == 1) & (out["column"] == "x")].iloc[0]
+    assert x1["null_count"] == 1 and x1["max_d"] == 9.5
+    assert "s" not in set(out["column"])
