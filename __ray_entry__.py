@@ -2326,6 +2326,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/lineitem.parquet",
             ["l_quantity", "l_extendedprice", "l_discount"])
 
+    def theilsen_events(sf):
+        # Theil-Sen robust daily trend: exact int-cents daily series,
+        # median of pairwise slopes by exact order statistic
+        from packs_ray.functions.outliers import theilsen_daily_trend
+
+        return theilsen_daily_trend(
+            _ds(sf, "events", ["ts", "value"]), "ts", "value")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4189,6 +4197,7 @@ checks for orders:
         "decayed_hitters_events": decayed_hitters_events,
         "schema_contract_events": schema_contract_events,
         "parquet_stats_lineitem": parquet_stats_lineitem,
+        "theilsen_events": theilsen_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10246,6 +10255,34 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'mismatch' END AS verdict
         FROM contract c FULL OUTER JOIN actual a ON c.col = a.col)
     SELECT * FROM j ORDER BY "column" """,
+        "theilsen_events": """
+    WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+               FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    d AS (SELECT day, sum(c)::BIGINT AS cents FROM v GROUP BY 1),
+    p AS (SELECT (b.cents - a.cents) * 1.0 / (b.day - a.day) AS s
+          FROM d a JOIN d b ON a.day < b.day),
+    np_ AS (SELECT count(*)::BIGINT AS n FROM p),
+    sm AS (SELECT CASE WHEN (SELECT n FROM np_) % 2 = 1
+        THEN (SELECT s FROM p ORDER BY s LIMIT 1
+              OFFSET (SELECT n // 2 FROM np_))
+        ELSE ((SELECT s FROM p ORDER BY s LIMIT 1
+               OFFSET (SELECT n // 2 - 1 FROM np_))
+            + (SELECT s FROM p ORDER BY s LIMIT 1
+               OFFSET (SELECT n // 2 FROM np_))) / 2.0 END AS s),
+    r AS (SELECT cents - (SELECT s FROM sm) * day AS r FROM d),
+    nr AS (SELECT count(*)::BIGINT AS n FROM r),
+    im AS (SELECT CASE WHEN (SELECT n FROM nr) % 2 = 1
+        THEN (SELECT r FROM r ORDER BY r LIMIT 1
+              OFFSET (SELECT n // 2 FROM nr))
+        ELSE ((SELECT r FROM r ORDER BY r LIMIT 1
+               OFFSET (SELECT n // 2 - 1 FROM nr))
+            + (SELECT r FROM r ORDER BY r LIMIT 1
+               OFFSET (SELECT n // 2 FROM nr))) / 2.0 END AS i)
+    SELECT (SELECT count(*)::BIGINT FROM d) AS n_days,
+           (SELECT n FROM np_) AS n_pairs,
+           round((SELECT s FROM sm) / 100.0, 6) AS slope_per_day,
+           round((SELECT i FROM im) / 100.0, 6) AS intercept""",
         "cdc_merge_orders": """
     WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderdate,
                          'U' AS op, 0 AS src

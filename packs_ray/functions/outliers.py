@@ -792,3 +792,78 @@ def seasonal_decompose_daily(ds, ts_col: str, value_col: str, *,
         "weekday": sw["weekday"].astype(np.int64),
         "n_used": sw["cnt"].astype(np.int64),
         "seasonal": _r((s - ms) / float(scale), 6)})
+
+
+def theilsen_daily_trend(ds, ts_col: str, value_col: str, *,
+                         scale: int = 100,
+                         num_partitions: int | None = None
+                         ) -> "pd.DataFrame":
+    """Theil-Sen robust trend of the daily value series: the median of
+    all pairwise day-to-day slopes — the outlier-immune complement to
+    :func:`cusum_changepoint` (level shifts) and the least-squares
+    ``trend_per_key`` (which one spike day can swing; the median slope
+    shrugs it off).  Breakdown point 29%.
+
+    Exactness: daily sums are exact int64 cents (the house partials);
+    each slope is ONE pinned float division of integer cents by an
+    integer day gap; the median is an exact order statistic — sorted
+    ascending, odd count takes the middle element, even count averages
+    the two middles with one pinned (a + b) / 2.0.  The pairwise slope
+    set is bounded by days², i.e. the TIME SPAN, never the row count —
+    the same driver-landing bound as the whole daily-series family.
+
+    Output: one row (n_days, n_pairs, slope_per_day, intercept) —
+    slope in value units/day (6dp); intercept = median residual
+    m = median(v_i - slope * day_i) (the Theil-Sen intercept), 6dp."""
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _r
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ts_col, value_col]).to_pandas() \
+            .dropna(subset=[ts_col, value_col])
+        us = df[ts_col].astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(df[value_col].to_numpy(dtype=np.float64)
+                        * scale).astype(np.int64)
+        g = (pd.DataFrame({"day": us // np.int64(86_400_000_000),
+                           "cents": cents})
+             .groupby("day", sort=False)["cents"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)["cents"].sum().reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    cols = ["n_days", "n_pairs", "slope_per_day", "intercept"]
+    if daily.empty or "day" not in daily.columns or len(daily) < 2:
+        return pd.DataFrame([{**dict.fromkeys(cols),
+                              "n_days": np.int64(len(daily)),
+                              "n_pairs": np.int64(0)}])[cols]
+    daily = daily.sort_values("day").reset_index(drop=True)
+    day = daily["day"].to_numpy(np.int64)
+    cents = daily["cents"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(day), k=1)
+    slopes = (cents[j] - cents[i]) * 1.0 / (day[j] - day[i])
+
+    def _median(arr: np.ndarray) -> float:
+        srt = np.sort(arr, kind="stable")
+        n = len(srt)
+        if n % 2:
+            return float(srt[n // 2])
+        return (float(srt[n // 2 - 1]) + float(srt[n // 2])) / 2.0
+
+    slope_c = _median(slopes)                  # cents / day
+    resid = cents - slope_c * day
+    inter_c = _median(resid)
+    return pd.DataFrame([{
+        "n_days": np.int64(len(day)),
+        "n_pairs": np.int64(len(slopes)),
+        "slope_per_day": float(_r(slope_c / float(scale), 6)),
+        "intercept": float(_r(inter_c / float(scale), 6))}])[cols]

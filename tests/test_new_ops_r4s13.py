@@ -846,3 +846,34 @@ def test_parquet_rowgroup_stats(tmp_path):
     x1 = out[(out["row_group"] == 1) & (out["column"] == "x")].iloc[0]
     assert x1["null_count"] == 1 and x1["max_d"] == 9.5
     assert "s" not in set(out["column"])
+
+
+# -------------------------------------------------- theilsen_daily_trend
+
+def test_theilsen_immune_to_spike(ray_session):
+    from packs_ray.functions.outliers import theilsen_daily_trend
+
+    # perfect slope-2 line with one massive spike day: Theil-Sen
+    # recovers slope 2 exactly
+    days = pd.date_range("2024-01-01", periods=15, freq="D")
+    v = 10.0 + 2.0 * np.arange(15)
+    v[7] = 1e5
+    df = pd.DataFrame({"ts": days.astype("datetime64[us]"), "v": v})
+    out = theilsen_daily_trend(_ds(df).repartition(4), "ts", "v")
+    r = out.iloc[0]
+    assert r["n_days"] == 15 and r["n_pairs"] == 105
+    assert r["slope_per_day"] == 2.0
+    # intercept = median residual ~ 10 - 2*day0... day index is epoch
+    # days, so just check the fitted line reproduces a clean value
+    assert abs(r["intercept"] + 2.0 * (days[0].value // 86400_000_000_000)
+               - 10.0) < 0.5
+
+
+def test_theilsen_degenerate(ray_session):
+    from packs_ray.functions.outliers import theilsen_daily_trend
+
+    df = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"])
+                       .astype("datetime64[us]"), "v": [5.0]})
+    out = theilsen_daily_trend(_ds(df), "ts", "v")
+    assert out["n_days"].iloc[0] == 1
+    assert pd.isna(out["slope_per_day"].iloc[0])
