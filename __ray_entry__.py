@@ -2334,6 +2334,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return theilsen_daily_trend(
             _ds(sf, "events", ["ts", "value"]), "ts", "value")
 
+    def sprt_events(sf):
+        # Wald SPRT on the daily purchase rate (H0 p=0.19 vs H1
+        # p=0.21): exact daily (n, x) counts, ascending-day LLR fold
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import sprt_monitor
+
+        def add_flag(t):
+            m = t.filter(pc.is_valid(t.column("event_type")))
+            return m.append_column("is_purchase", pc.cast(
+                pc.equal(m.column("event_type"), "purchase"),
+                pa.int64()))
+
+        ds = _ds(sf, "events", ["ts", "event_type"]) \
+            .map_batches(add_flag, batch_format="pyarrow")
+        return sprt_monitor(ds, "ts", "is_purchase",
+                            p0=0.19, p1=0.21)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4198,6 +4217,7 @@ checks for orders:
         "schema_contract_events": schema_contract_events,
         "parquet_stats_lineitem": parquet_stats_lineitem,
         "theilsen_events": theilsen_events,
+        "sprt_events": sprt_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10255,6 +10275,28 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'mismatch' END AS verdict
         FROM contract c FULL OUTER JOIN actual a ON c.col = a.col)
     SELECT * FROM j ORDER BY "column" """,
+        "sprt_events": """
+    WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END AS x
+               FROM events
+               WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    d AS (SELECT day, count(*)::BIGINT AS n, sum(x)::BIGINT AS x
+          FROM v GROUP BY 1),
+    c AS (SELECT day, n, x,
+            (x * ln(0.21 / 0.19))
+            + ((n - x) * ln((1.0 - 0.21) / (1.0 - 0.19))) AS t
+          FROM d),
+    w AS (SELECT day, n, x,
+            list_sum(list(t) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              AS llr
+          FROM c)
+    SELECT day::BIGINT AS day, n, x, round(llr, 6) AS llr,
+        CASE WHEN llr >= ln((1.0 - 0.05) / 0.05) THEN 'accept_h1'
+             WHEN llr <= ln(0.05 / (1.0 - 0.05)) THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+    FROM w ORDER BY day""",
         "theilsen_events": """
     WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day,
                       CAST(round(value * 100, 0) AS BIGINT) AS c

@@ -1160,3 +1160,90 @@ def conformal_interval(ds, id_col: str, group_col: str, value_col: str,
         "q": None if q_cents is None else float(_rh(
             q_cents / float(scale), 6)),
         "coverage": cov, "target": 1.0 - alpha}])[out_cols]
+
+
+def sprt_monitor(ds, ts_col: str, flag_col: str, *,
+                 p0: float, p1: float, alpha: float = 0.05,
+                 beta: float = 0.05,
+                 num_partitions: int | None = None) -> pd.DataFrame:
+    """Wald sequential probability-ratio test (SPRT) over a daily
+    Bernoulli stream — the always-valid monitoring companion to the
+    fixed-horizon :func:`welch_ttest`: each day adds its exact
+    (n, successes) counts to the cumulative log-likelihood ratio for
+    H1: rate = p1 vs H0: rate = p0; the run stops the first day the
+    LLR crosses ln((1-beta)/alpha) (accept H1) or ln(beta/(1-alpha))
+    (accept H0) — with error rates alpha/beta guaranteed regardless of
+    when you peek, which a repeated t-test cannot give.
+
+    ``flag_col`` must be boolean-like (0/1 after cast).  Null ts/flag
+    rows drop.  Floats: the two per-observation log terms and the
+    boundaries are computed by the identical ln expressions on both
+    sides; the cumulative fold runs ascending day (engine loop ==
+    the oracle's window list_sum).
+
+    Scale shape: per-batch (day, n, x) int partials → one bucketed
+    reduce; the day-span-bounded series folds on the driver.
+
+    Output: one row per day — (day, n, x, llr, decision) with
+    decision in {'continue', 'accept_h0', 'accept_h1'} evaluated on
+    the cumulative LLR that day (monitoring view: rows after a
+    boundary crossing keep reporting their state)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _rh
+
+    if num_partitions is None:
+        num_partitions = reduce_partition_count(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([ts_col, flag_col])
+        mask = pc.and_(t.column(ts_col).is_valid(),
+                       t.column(flag_col).is_valid())
+        t = t.filter(mask)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        x = pc.cast(t.column(flag_col), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"day": us // np.int64(86_400_000_000),
+                           "n": np.ones(len(x), dtype=np.int64),
+                           "x": x})
+             .groupby("day", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", sort=False)[["n", "x"]].sum() \
+            .reset_index()
+
+    daily = bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], reduce_fn, num_partitions).to_pandas()
+    cols = ["day", "n", "x", "llr", "decision"]
+    if daily.empty or "day" not in daily.columns:
+        return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "x": pd.Series([], dtype="int64"),
+                             "llr": pd.Series([], dtype="float64"),
+                             "decision": pd.Series([], dtype="object")})
+    daily = daily.sort_values("day").reset_index(drop=True)
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+    llr = 0.0
+    rows = []
+    for day, n, x in zip(daily["day"].to_numpy(np.int64),
+                         daily["n"].to_numpy(np.int64),
+                         daily["x"].to_numpy(np.int64)):
+        llr += (x * l1) + ((n - x) * l0)       # left fold == list_sum
+        dec = ("accept_h1" if llr >= a_bound
+               else "accept_h0" if llr <= b_bound else "continue")
+        rows.append({"day": np.int64(day), "n": np.int64(n),
+                     "x": np.int64(x), "llr": float(_rh(llr, 6)),
+                     "decision": dec})
+    return pd.DataFrame(rows)[cols]

@@ -877,3 +877,44 @@ def test_theilsen_degenerate(ray_session):
     out = theilsen_daily_trend(_ds(df), "ts", "v")
     assert out["n_days"].iloc[0] == 1
     assert pd.isna(out["slope_per_day"].iloc[0])
+
+
+# -------------------------------------------------- sprt_monitor
+
+def test_sprt_accepts_h1_on_high_rate(ray_session):
+    from packs_ray.functions.drift import sprt_monitor
+
+    # 10 days of 200 trials at 35% success vs H0 10% / H1 30%:
+    # crosses the H1 boundary fast
+    rng = np.random.RandomState(5)
+    rows = []
+    for d in range(10):
+        for _ in range(200):
+            rows.append({"ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d),
+                         "f": int(rng.rand() < 0.35)})
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = sprt_monitor(_ds(df).repartition(4), "ts", "f",
+                       p0=0.10, p1=0.30)
+    assert len(out) == 10
+    assert out["decision"].iloc[0] == "accept_h1"
+    assert (np.diff(out["llr"]) > 0).all()
+
+
+def test_sprt_accepts_h0_on_low_rate(ray_session):
+    from packs_ray.functions.drift import sprt_monitor
+
+    rows = []
+    for d in range(10):
+        for i in range(100):
+            rows.append({"ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d),
+                         "f": int(i < 5)})       # exactly 5%
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = sprt_monitor(_ds(df), "ts", "f", p0=0.05, p1=0.20)
+    assert out["decision"].iloc[-1] == "accept_h0"
+    a = sprt_monitor(_ds(df).repartition(9), "ts", "f",
+                     p0=0.05, p1=0.20)
+    pd.testing.assert_frame_equal(out, a)
