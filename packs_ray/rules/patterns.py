@@ -103,3 +103,16 @@ REFUSAL_PHRASES: list[str] = [
     "i'm sorry", "i am sorry", "as an ai", "i apologize",
     "i must decline", "unable to provide", "cannot comply",
 ]
+
+# prompt-injection / jailbreak markers (RE2-safe, shared verbatim with
+# the DuckDB oracle's regexp_matches; (?i) per-alternative engine-wide)
+INJECTION_REGEX: str = (
+    r"(?i)(ignore (all |your |the )?(previous|prior|above) "
+    r"(instructions|prompts?)"
+    r"|disregard (all |your )?(previous|prior) instructions"
+    r"|reveal (your |the )?(system )?prompt"
+    r"|jailbreak"
+    r"|do anything now"
+    r"|DAN mode"
+    r"|override (safety|your) (rules|guidelines))"
+)
