@@ -2396,6 +2396,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(rename, batch_format="pyarrow")
 
+    def fingerprint_orders(sf):
+        # order-free reconciliation digest of orders key columns: per
+        # hash bucket, (count, sum of row hashes mod 2^64)
+        from packs_ray.functions.integrity import table_fingerprint
+
+        return table_fingerprint(
+            _ds(sf, "orders",
+                ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+            ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+            buckets=16)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4262,6 +4273,7 @@ checks for orders:
         "theilsen_events": theilsen_events,
         "sprt_events": sprt_events,
         "injection_screen_transcripts": injection_screen_transcripts,
+        "fingerprint_orders": fingerprint_orders,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10382,6 +10394,26 @@ def oracle_sql() -> dict[str, str]:
              WHEN llr <= ln(0.05 / (1.0 - 0.05)) THEN 'accept_h0'
              ELSE 'continue' END AS decision
     FROM w ORDER BY day""",
+        "fingerprint_orders": f"""
+    WITH v AS (SELECT
+        coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL')
+        || chr(31) ||
+        coalesce(CAST(o_orderstatus AS VARCHAR), chr(1) || 'NULL')
+        || chr(31) ||
+        coalesce(CAST(o_orderpriority AS VARCHAR), chr(1) || 'NULL')
+            AS sv
+        FROM orders),
+    b AS (SELECT hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    f1 AS (SELECT {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h FROM hs),
+    fr AS (SELECT ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr)
+    SELECT (h % 16)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+           CAST(sum(h) % {_TWO64}::HUGEINT AS VARCHAR) AS digest
+    FROM f2 GROUP BY 1 ORDER BY 1""",
         "theilsen_events": """
     WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day,
                       CAST(round(value * 100, 0) AS BIGINT) AS c

@@ -389,3 +389,73 @@ def id_gaps(ds, id_col: str, num_partitions: int | None = None) -> pd.DataFrame:
         "n_ids": n_ids, "min_id": lo, "max_id": hi,
         "span": hi - lo + 1, "n_missing": (hi - lo + 1) - n_ids,
         "max_gap": max_gap, "n_gaps": n_gaps}])
+
+
+def table_fingerprint(ds, cols: list[str], *, buckets: int = 16):
+    """Order-free table fingerprint for cross-system reconciliation:
+    every row hashes to 64 bits (FNV-1a + finalize over the
+    chr(31)-joined string casts, nulls as a chr(1) sentinel), and each
+    of ``buckets`` hash buckets reports (n_rows, sum of hashes mod
+    2^64).  Addition is commutative, so the digest is independent of
+    row order, partitioning and cluster size — two systems holding the
+    same rows produce identical digests, and a mismatch localizes to a
+    bucket (re-run on the suspect bucket's rows to drill down).
+
+    Cast caveat (documented contract): string/integer columns format
+    identically everywhere; floats/timestamps should be pre-rounded to
+    strings by the caller before fingerprinting (float shortest-
+    round-trip formatting is not cross-engine stable).
+
+    Scale shape: one streaming pass; per-batch partials are
+    ``buckets`` rows of (bucket, n, wrapped-sum) — uint64 wraparound
+    IS the mod, so partials stay int64-width and merge by addition.
+
+    Output: (bucket, n_rows, digest) with digest as the decimal
+    string of the 64-bit sum, plus n_rows; ordered by bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from packs_ray.functions.sketches import _finalize, _fnv1a_str
+
+    nb = int(buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = batch.column(c)
+            s = col.cast(pa.string())
+            s = pc.fill_null(s, "\x01NULL")
+            parts.append(s)
+        joined = pc.binary_join_element_wise(*parts, "\x1f") \
+            if len(parts) > 1 else parts[0]
+        h, _valid = _fnv1a_str(joined.combine_chunks()
+                               if isinstance(joined, pa.ChunkedArray)
+                               else joined)
+        h = _finalize(h)
+        b = (h % np.uint64(nb)).astype(np.int64)
+        ns = np.zeros(nb, dtype=np.int64)
+        dg = np.zeros(nb, dtype=np.uint64)
+        for i in range(nb):
+            m = b == i
+            ns[i] = int(m.sum())
+            dg[i] = h[m].sum(dtype=np.uint64)   # wraps == mod 2^64
+        return pa.table({
+            "bucket": pa.array(np.arange(nb, dtype=np.int64)),
+            "n": pa.array(ns),
+            "d": pa.array(dg.astype(np.int64))})  # two's-complement carry
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                             "n_rows": pd.Series([], dtype="int64"),
+                             "digest": pd.Series([], dtype="object")})
+    g = parts.groupby("bucket", sort=True)
+    rows = []
+    for b, gg in g:
+        n = int(gg["n"].sum())
+        d = sum(int(x) & 0xFFFFFFFFFFFFFFFF
+                for x in gg["d"].to_numpy(np.int64)) % (1 << 64)
+        rows.append({"bucket": np.int64(b), "n_rows": np.int64(n),
+                     "digest": str(d)})
+    return pd.DataFrame(rows)

@@ -946,3 +946,35 @@ def test_injection_regex_hits_and_misses(ray_session):
     m = pc.match_substring_regex(arr, INJECTION_REGEX)
     got = pc.fill_null(m, False).to_pylist()
     assert got == [True] * len(hits) + [False] * len(misses)
+
+
+# -------------------------------------------------- table_fingerprint
+
+def test_fingerprint_order_free_and_sensitive(ray_session):
+    from packs_ray.functions.integrity import table_fingerprint
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                       "s": [f"v{i % 7}" for i in range(500)]})
+    a = table_fingerprint(_ds(df).repartition(1), ["k", "s"])
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    b = table_fingerprint(_ds(shuffled).repartition(9), ["k", "s"])
+    pd.testing.assert_frame_equal(a, b)          # order/partition free
+    assert a["n_rows"].sum() == 500
+    # one changed value flips exactly one bucket's digest
+    df2 = df.copy()
+    df2.loc[250, "s"] = "CHANGED"
+    c = table_fingerprint(_ds(df2), ["k", "s"])
+    diff = (a["digest"] != c["digest"]).sum()
+    assert diff in (1, 2)      # old row left one bucket, new entered one
+    assert (a["n_rows"].sum() == c["n_rows"].sum())
+
+
+def test_fingerprint_null_sentinel(ray_session):
+    from packs_ray.functions.integrity import table_fingerprint
+
+    a = table_fingerprint(
+        _ds(pd.DataFrame({"k": [1], "s": [None]})), ["k", "s"])
+    b = table_fingerprint(
+        _ds(pd.DataFrame({"k": [1], "s": ["\x01NULL"]})), ["k", "s"])
+    # sentinel collision is by design (documented); digests equal
+    pd.testing.assert_frame_equal(a, b)
