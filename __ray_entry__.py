@@ -2407,6 +2407,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["o_orderkey", "o_orderstatus", "o_orderpriority"],
             buckets=16)
 
+    def out_of_order_events(sf):
+        # late-data watermark diagnostic: lateness vs the running
+        # event_id-order high watermark, exact two-pass prefix max
+        from packs_ray.functions.timeliness import out_of_order_profile
+
+        return out_of_order_profile(
+            _ds(sf, "events", ["event_id", "ts"]), "event_id", "ts",
+            bucket_size=1000)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4274,6 +4283,7 @@ checks for orders:
         "sprt_events": sprt_events,
         "injection_screen_transcripts": injection_screen_transcripts,
         "fingerprint_orders": fingerprint_orders,
+        "out_of_order_events": out_of_order_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10414,6 +10424,20 @@ def oracle_sql() -> dict[str, str]:
     SELECT (h % 16)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
            CAST(sum(h) % {_TWO64}::HUGEINT AS VARCHAR) AS digest
     FROM f2 GROUP BY 1 ORDER BY 1""",
+        "out_of_order_events": """
+    WITH v AS (SELECT event_id AS seq, epoch_us(ts) AS us FROM events
+               WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+    w AS (SELECT us, max(us) OVER (ORDER BY seq
+              ROWS UNBOUNDED PRECEDING) AS wm FROM v),
+    e AS (SELECT us // 86400000000 AS day,
+                 CASE WHEN wm - us > 0 THEN 1 ELSE 0 END AS late,
+                 (wm - us) // 1000000 AS lat_s
+          FROM w)
+    SELECT day::BIGINT AS day, count(*)::BIGINT AS n_events,
+           sum(late)::BIGINT AS n_late,
+           max(lat_s)::BIGINT AS max_lateness_s,
+           round(sum(late) / (count(*) * 1.0), 6) AS late_ratio
+    FROM e GROUP BY 1 ORDER BY 1""",
         "theilsen_events": """
     WITH v AS (SELECT epoch_us(ts) // 86400000000 AS day,
                       CAST(round(value * 100, 0) AS BIGINT) AS c

@@ -335,3 +335,125 @@ def novelty_rate(ds, key_cols: list[str], ts_col: str,
         out["n_first"].to_numpy(np.float64)
         / out["n_events"].to_numpy(np.float64), 6)
     return out.sort_values("day", kind="stable").reset_index(drop=True)
+
+
+def out_of_order_profile(ds, seq_col: str, ts_col: str, *,
+                         bucket_size: int = 100_000) -> "pd.DataFrame":
+    """Late-data / watermark diagnostic of an ingest stream: reading
+    rows in ``seq_col`` (arrival) order, how often does event time run
+    BACKWARD past the high-watermark, and by how much?  The number
+    that sizes streaming-window allowed-lateness and decides whether
+    an append-only contract (e.g. :func:`windows.sessionize_incremental`)
+    actually holds on a feed.
+
+    lateness(i) = max(ts[j] for j arriving before or at i) − ts[i]; a
+    row is LATE when lateness > 0.  Exact two-pass prefix-max: arrival
+    order is range-bucketed on ``seq_col`` (contiguous id ranges), each
+    bucket computes its internal running max and reports its own max;
+    the driver folds the bounded per-bucket maxima into exclusive
+    prefix carries, and a second vectorized pass applies them — no
+    global sort, no sequential scan.
+
+    Output: one row per UTC day (of event ts) — (day, n_events,
+    n_late, max_lateness_s, late_ratio 6dp), ordered by day; null
+    seq/ts rows drop."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.stages.util import round_half_away as _rh
+
+    def marks(batch: pa.Table) -> pa.Table:
+        t = batch.select([seq_col, ts_col])
+        mask = pc.and_(t.column(seq_col).is_valid(),
+                       t.column(ts_col).is_valid())
+        t = t.filter(mask)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        seq = t.column(seq_col).cast(pa.int64())
+        return pa.table({"seq": seq, "us": us})
+
+    nar = ds.map_batches(marks, batch_format="pyarrow").materialize()
+    cols = ["day", "n_events", "n_late", "max_lateness_s", "late_ratio"]
+    if nar.count() == 0:
+        return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "n_late": pd.Series([], dtype="int64"),
+                             "max_lateness_s": pd.Series([], dtype="int64"),
+                             "late_ratio": pd.Series([], dtype="float64")})
+
+    bs = int(bucket_size)
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        seq = batch.column("seq").to_numpy(zero_copy_only=False)
+        us = batch.column("us").to_numpy(zero_copy_only=False)
+        b = seq // bs
+        g = (pd.DataFrame({"b": b, "us": us}).groupby("b", sort=False)
+             ["us"].max().reset_index(name="mx"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bmax = nar.map_batches(pass1, batch_format="pyarrow").to_pandas()
+    bmax = bmax.groupby("b", sort=True)["mx"].max()
+    # exclusive prefix maxima over the bounded bucket index
+    carry = {}
+    run = np.iinfo(np.int64).min
+    for b, mx in bmax.items():
+        carry[int(b)] = run
+        run = max(run, int(mx))
+    import ray as _ray
+
+    carry_ref = _ray.put(carry)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        cr = _ray.get(carry_ref)
+        df = pd.DataFrame({
+            "seq": batch.column("seq").to_numpy(zero_copy_only=False),
+            "us": batch.column("us").to_numpy(zero_copy_only=False)})
+        df = df.sort_values("seq", kind="stable")
+        out_parts = []
+        for b, g in df.groupby(df["seq"].to_numpy(np.int64) // bs,
+                               sort=True):
+            us = g["us"].to_numpy(np.int64)
+            # NOTE: exactness of the in-bucket running max requires
+            # each bucket's rows to be together — the materialized
+            # narrow table is re-bucketed below via groupby to
+            # guarantee it
+            run = np.maximum.accumulate(us)
+            wm = np.maximum(run, np.int64(cr.get(int(b),
+                                                 np.iinfo(np.int64).min)))
+            late_us = wm - us
+            day = us // np.int64(86_400_000_000)
+            out_parts.append(pd.DataFrame({
+                "day": day,
+                "late": (late_us > 0).astype(np.int64),
+                "lat_s": late_us // np.int64(1_000_000)}))
+        o = pd.concat(out_parts, ignore_index=True)
+        g = (o.groupby("day", sort=False)
+             .agg(n_events=("late", "size"), n_late=("late", "sum"),
+                  max_lateness_s=("lat_s", "max")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        seq = batch.column("seq").to_numpy(zero_copy_only=False)
+        return batch.append_column("bkt", pa.array(
+            (seq // bs).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g[["seq", "us"]], preserve_index=False)
+        return pass2(t).to_pandas()
+
+    daily = bucketed_group_reduce(
+        nar.map_batches(add_b, batch_format="pyarrow"), ["bkt"],
+        per_bucket, reduce_partition_count(nar)).to_pandas()
+    daily = (daily.groupby("day", sort=True)
+             .agg(n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+                  max_lateness_s=("max_lateness_s", "max"))
+             .reset_index())
+    daily["late_ratio"] = _rh(
+        daily["n_late"].to_numpy(np.float64)
+        / daily["n_events"].to_numpy(np.float64), 6)
+    return daily[cols].astype({
+        "day": "int64", "n_events": "int64", "n_late": "int64",
+        "max_lateness_s": "int64", "late_ratio": "float64"})

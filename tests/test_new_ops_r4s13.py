@@ -978,3 +978,39 @@ def test_fingerprint_null_sentinel(ray_session):
         _ds(pd.DataFrame({"k": [1], "s": ["\x01NULL"]})), ["k", "s"])
     # sentinel collision is by design (documented); digests equal
     pd.testing.assert_frame_equal(a, b)
+
+
+# -------------------------------------------------- out_of_order_profile
+
+def test_out_of_order_exact_lateness(ray_session):
+    from packs_ray.functions.timeliness import out_of_order_profile
+
+    # arrival order 0..5 with one late row (seq 3 has the earliest ts)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    us = np.array([100, 200, 300, 50, 400, 350]) * 1_000_000 + base
+    df = pd.DataFrame({"seq": np.arange(6, dtype=np.int64),
+                       "ts": pd.to_datetime(us, unit="us")
+                       .astype("datetime64[us]")})
+    out = out_of_order_profile(_ds(df).repartition(3), "seq", "ts",
+                               bucket_size=2)
+    r = out.iloc[0]
+    # late rows: seq 3 (wm 300 vs 50 -> 250 s) and seq 5 (400 vs 350)
+    assert r["n_events"] == 6 and r["n_late"] == 2
+    assert r["max_lateness_s"] == 250
+    assert r["late_ratio"] == round(2 / 6, 6)
+
+
+def test_out_of_order_monotone_stream_clean(ray_session):
+    from packs_ray.functions.timeliness import out_of_order_profile
+
+    df = pd.DataFrame({
+        "seq": np.arange(1000, dtype=np.int64),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(np.arange(1000), "s"))
+        .astype("datetime64[us]")})
+    a = out_of_order_profile(_ds(df).repartition(7), "seq", "ts",
+                             bucket_size=100)
+    assert a["n_late"].sum() == 0 and a["max_lateness_s"].max() == 0
+    b = out_of_order_profile(_ds(df).repartition(1), "seq", "ts",
+                             bucket_size=100)
+    pd.testing.assert_frame_equal(a, b)
