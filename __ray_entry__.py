@@ -2416,6 +2416,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "ts"]), "event_id", "ts",
             bucket_size=1000)
 
+    def emd_events(sf):
+        # exact 1-D Wasserstein drift of value, purchase vs error
+        # cohorts: bounded integer-cents count tables, ascending
+        # merged-support fold
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.drift import emd_drift
+
+        def cohort(et):
+            def fn(t):
+                return t.filter(pc.equal(t.column("event_type"), et))
+            return _ds(sf, "events", ["event_type", "value"]) \
+                .map_batches(fn, batch_format="pyarrow")
+
+        return emd_drift(cohort("purchase"), cohort("error"), "value")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4284,6 +4300,7 @@ checks for orders:
         "injection_screen_transcripts": injection_screen_transcripts,
         "fingerprint_orders": fingerprint_orders,
         "out_of_order_events": out_of_order_events,
+        "emd_events": emd_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10424,6 +10441,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT (h % 16)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
            CAST(sum(h) % {_TWO64}::HUGEINT AS VARCHAR) AS digest
     FROM f2 GROUP BY 1 ORDER BY 1""",
+        "emd_events": """
+    WITH a AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+               FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+    b AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+          FROM events
+          WHERE event_type = 'error' AND value IS NOT NULL),
+    ca AS (SELECT c, count(*)::BIGINT AS n FROM a GROUP BY 1),
+    cb AS (SELECT c, count(*)::BIGINT AS n FROM b GROUP BY 1),
+    na AS (SELECT count(*)::BIGINT AS n FROM a),
+    nb AS (SELECT count(*)::BIGINT AS n FROM b),
+    m AS (SELECT c FROM ca UNION SELECT c FROM cb),
+    j AS (SELECT m.c, coalesce(ca.n, 0) AS xa, coalesce(cb.n, 0) AS xb
+          FROM m LEFT JOIN ca USING (c) LEFT JOIN cb USING (c)),
+    w AS (SELECT c,
+            sum(xa) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cuma,
+            sum(xb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cumb,
+            lead(c) OVER (ORDER BY c) AS cnext
+          FROM j),
+    t AS (SELECT c,
+            abs(cuma / ((SELECT n FROM na) * 1.0)
+                - cumb / ((SELECT n FROM nb) * 1.0))
+            * ((cnext - c) * 1.0) AS term
+          FROM w WHERE cnext IS NOT NULL)
+    SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+        round(coalesce(list_sum(list(term ORDER BY c)), 0.0)
+              / 100.0, 6) AS emd
+    FROM t""",
         "out_of_order_events": """
     WITH v AS (SELECT event_id AS seq, epoch_us(ts) AS us FROM events
                WHERE event_id IS NOT NULL AND ts IS NOT NULL),

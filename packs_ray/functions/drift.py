@@ -1247,3 +1247,63 @@ def sprt_monitor(ds, ts_col: str, flag_col: str, *,
                      "x": np.int64(x), "llr": float(_rh(llr, 6)),
                      "decision": dec})
     return pd.DataFrame(rows)[cols]
+
+
+def emd_drift(ds_a, ds_b, column: str, *, scale: int = 100,
+              num_partitions: int | None = None) -> pd.DataFrame:
+    """Exact 1-D earth-mover (Wasserstein-1) distance between two
+    numeric feeds — the magnitude-aware drift number the rest of the
+    family lacks: KS reads the worst CDF gap, PSI reads binned ratio
+    shifts, but only EMD says "the distribution moved by ~3.2 value
+    units on average", in the column's own units.
+
+    W1 = ∫ |F_a(x) − F_b(x)| dx over the merged support of integer
+    cents: counts are exact int64 value tables (bounded by the
+    DISTINCT cents domain — the mannwhitney_u partitioning
+    assumption); the integral folds ascending over merged values with
+    term |cumA/nA − cumB/nB| · gap, one pinned float expression per
+    step (engine loop == the oracle's list_sum ORDER BY value).
+
+    Output: one row (n_a, n_b, emd), value units 6dp; null when a
+    side is empty."""
+    import numpy as np
+
+    from packs_ray.functions.agg import keyed_count
+    from packs_ray.stages.util import round_half_away as _rh
+
+    def counts(ds) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def to_cents(batch: pa.Table) -> pa.Table:
+            col = batch.column(column).drop_null()
+            v = col.to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array(
+                np.rint(np.asarray(v, np.float64) * scale)
+                .astype(np.int64))})
+
+        c = keyed_count(ds.select_columns([column]).map_batches(
+            to_cents, batch_format="pyarrow"), ["c"],
+            num_partitions=num_partitions).to_pandas()
+        if c.empty or "c" not in c.columns:
+            return pd.Series(dtype="int64")
+        return c.set_index("c")["cnt"].astype(np.int64).sort_index()
+
+    ca, cb = counts(ds_a), counts(ds_b)
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame([{"n_a": np.int64(na), "n_b": np.int64(nb),
+                              "emd": None}])
+    merged = ca.index.union(cb.index)
+    va = ca.reindex(merged, fill_value=0).to_numpy(np.int64)
+    vb = cb.reindex(merged, fill_value=0).to_numpy(np.int64)
+    vals = merged.to_numpy()
+    cum_a = np.cumsum(va)
+    cum_b = np.cumsum(vb)
+    emd = 0.0
+    for i in range(len(vals) - 1):            # left fold == list_sum
+        gap = float(vals[i + 1] - vals[i])
+        emd += abs(cum_a[i] / (na * 1.0) - cum_b[i] / (nb * 1.0)) * gap
+    return pd.DataFrame([{
+        "n_a": np.int64(na), "n_b": np.int64(nb),
+        "emd": float(_rh(emd / float(scale), 6))}])

@@ -1014,3 +1014,35 @@ def test_out_of_order_monotone_stream_clean(ray_session):
     b = out_of_order_profile(_ds(df).repartition(1), "seq", "ts",
                              bucket_size=100)
     pd.testing.assert_frame_equal(a, b)
+
+
+# -------------------------------------------------- emd_drift
+
+def test_emd_pure_shift_equals_shift(ray_session):
+    from packs_ray.functions.drift import emd_drift
+
+    rng = np.random.RandomState(14)
+    a = np.round(rng.normal(50, 5, 2000), 2)
+    b = a + 3.0                            # pure +3 location shift
+    out = emd_drift(_ds(pd.DataFrame({"v": a})).repartition(4),
+                    _ds(pd.DataFrame({"v": b})).repartition(2), "v")
+    r = out.iloc[0]
+    assert r["n_a"] == r["n_b"] == 2000
+    assert r["emd"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_emd_identical_zero_and_deterministic(ray_session):
+    from packs_ray.functions.drift import emd_drift
+
+    rng = np.random.RandomState(2)
+    v = np.round(rng.exponential(10, 1500), 2)
+    da = pd.DataFrame({"v": v})
+    out = emd_drift(_ds(da), _ds(da), "v")
+    assert out["emd"].iloc[0] == 0.0
+    x = emd_drift(_ds(da).repartition(1),
+                  _ds(pd.DataFrame({"v": v * 1.5})).repartition(1), "v")
+    y = emd_drift(_ds(da).repartition(9),
+                  _ds(pd.DataFrame({"v": v * 1.5})).repartition(5), "v")
+    pd.testing.assert_frame_equal(x, y)
+    # scaling by 1.5: W1 = 0.5 * E[v] exactly
+    assert x["emd"].iloc[0] == pytest.approx(0.5 * v.mean(), abs=1e-2)
