@@ -34,6 +34,7 @@ SKIP = {"transcripts_filter_summary", "rule_ablation_transcripts",
         "template_dedup_transcripts",
         "preference_pairs_transcripts",
         "conversation_windows_transcripts",
+        "injection_screen_transcripts",
         "staleness_inputs",
         "media_image_features", "media_audio_features", "media_video_frames"}
 
