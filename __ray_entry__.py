@@ -2432,6 +2432,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emd_drift(cohort("purchase"), cohort("error"), "value")
 
+    def ref_chain_tpch(sf):
+        # whole-star referential integrity: every declared FK edge
+        # anti-joined in one audit (broadcast-or-bucketed per edge)
+        from packs_ray.functions.integrity import ref_integrity_chain
+
+        return ref_integrity_chain([
+            ("orders->customer",
+             _ds(sf, "orders", ["o_custkey"]), ["o_custkey"],
+             _ds(sf, "customer", ["c_custkey"]), ["c_custkey"]),
+            ("customer->nation",
+             _ds(sf, "customer", ["c_nationkey"]), ["c_nationkey"],
+             _ds(sf, "nation", ["n_nationkey"]), ["n_nationkey"]),
+            ("nation->region",
+             _ds(sf, "nation", ["n_regionkey"]), ["n_regionkey"],
+             _ds(sf, "region", ["r_regionkey"]), ["r_regionkey"]),
+            ("lineitem->part",
+             _ds(sf, "lineitem", ["l_partkey"]), ["l_partkey"],
+             _ds(sf, "part", ["p_partkey"]), ["p_partkey"]),
+            ("lineitem->supplier",
+             _ds(sf, "lineitem", ["l_suppkey"]), ["l_suppkey"],
+             _ds(sf, "supplier", ["s_suppkey"]), ["s_suppkey"]),
+        ])
+
+    def row_completeness_events(sf):
+        # per-RECORD completeness histogram: how many of the 6 event
+        # columns are non-null per row (one validity-sum pass)
+        from packs_ray.functions.integrity import row_completeness
+
+        return row_completeness(
+            _ds(sf, "events"),
+            ["event_id", "ts", "user_id", "event_type", "value",
+             "props"])
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4301,6 +4334,8 @@ checks for orders:
         "fingerprint_orders": fingerprint_orders,
         "out_of_order_events": out_of_order_events,
         "emd_events": emd_events,
+        "ref_chain_tpch": ref_chain_tpch,
+        "row_completeness_events": row_completeness_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10441,6 +10476,68 @@ def oracle_sql() -> dict[str, str]:
     SELECT (h % 16)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
            CAST(sum(h) % {_TWO64}::HUGEINT AS VARCHAR) AS digest
     FROM f2 GROUP BY 1 ORDER BY 1""",
+        "ref_chain_tpch": """
+    SELECT 'orders->customer' AS edge, count(*)::BIGINT AS child_rows,
+        (count(*) - count(*) FILTER (o_custkey IS NOT NULL AND o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)))::BIGINT
+          AS orphan_rows,
+        round((count(*) - count(*) FILTER (o_custkey IS NOT NULL
+               AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey IS NOT NULL)))
+              / (count(*) * 1.0), 4) AS orphan_percent
+    FROM orders UNION ALL 
+    SELECT 'customer->nation' AS edge, count(*)::BIGINT AS child_rows,
+        (count(*) - count(*) FILTER (c_nationkey IS NOT NULL AND c_nationkey IN
+            (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)))::BIGINT
+          AS orphan_rows,
+        round((count(*) - count(*) FILTER (c_nationkey IS NOT NULL
+               AND c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_nationkey IS NOT NULL)))
+              / (count(*) * 1.0), 4) AS orphan_percent
+    FROM customer UNION ALL 
+    SELECT 'nation->region' AS edge, count(*)::BIGINT AS child_rows,
+        (count(*) - count(*) FILTER (n_regionkey IS NOT NULL AND n_regionkey IN
+            (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)))::BIGINT
+          AS orphan_rows,
+        round((count(*) - count(*) FILTER (n_regionkey IS NOT NULL
+               AND n_regionkey IN (SELECT r_regionkey FROM region
+                            WHERE r_regionkey IS NOT NULL)))
+              / (count(*) * 1.0), 4) AS orphan_percent
+    FROM nation UNION ALL 
+    SELECT 'lineitem->part' AS edge, count(*)::BIGINT AS child_rows,
+        (count(*) - count(*) FILTER (l_partkey IS NOT NULL AND l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)))::BIGINT
+          AS orphan_rows,
+        round((count(*) - count(*) FILTER (l_partkey IS NOT NULL
+               AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_partkey IS NOT NULL)))
+              / (count(*) * 1.0), 4) AS orphan_percent
+    FROM lineitem UNION ALL 
+    SELECT 'lineitem->supplier' AS edge, count(*)::BIGINT AS child_rows,
+        (count(*) - count(*) FILTER (l_suppkey IS NOT NULL AND l_suppkey IN
+            (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)))::BIGINT
+          AS orphan_rows,
+        round((count(*) - count(*) FILTER (l_suppkey IS NOT NULL
+               AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_suppkey IS NOT NULL)))
+              / (count(*) * 1.0), 4) AS orphan_percent
+    FROM lineitem""",
+        "row_completeness_events": """
+    WITH r AS (SELECT
+        (CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS n_nonnull
+        FROM events),
+    c AS (SELECT n_nonnull::BIGINT AS n_nonnull,
+                 count(*)::BIGINT AS n_rows
+          FROM r GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS tot FROM c)
+    SELECT n_nonnull, n_rows,
+           round(n_rows / ((SELECT tot FROM t) * 1.0), 6) AS pct
+    FROM c ORDER BY n_nonnull""",
         "emd_events": """
     WITH a AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
                FROM events

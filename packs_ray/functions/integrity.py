@@ -459,3 +459,72 @@ def table_fingerprint(ds, cols: list[str], *, buckets: int = 16):
         rows.append({"bucket": np.int64(b), "n_rows": np.int64(n),
                      "digest": str(d)})
     return pd.DataFrame(rows)
+
+
+def ref_integrity_chain(edges: list[tuple[str, "object", list[str],
+                                          "object", list[str]]]
+                        ) -> pd.DataFrame:
+    """Schema-level referential-integrity audit: run the
+    :func:`fk_orphans` anti-join over EVERY declared FK edge of a
+    schema in one call and emit the per-edge report — the "is the
+    whole star intact" overview a single fk check can't give (orders →
+    customer → nation → region each individually green can still hide
+    a broken edge elsewhere).
+
+    ``edges`` entries are (name, child_ds, child_keys, parent_ds,
+    parent_keys); each edge reuses fk_orphans' broadcast-or-bucketed
+    shape unchanged.
+
+    Output: one row per edge — (edge, child_rows, orphan_rows,
+    orphan_percent), in the declared edge order."""
+    import numpy as np
+
+    rows = []
+    for name, child, ck, parent, pk in edges:
+        r = fk_orphans(child, ck, parent, pk).iloc[0]
+        rows.append({"edge": name,
+                     "child_rows": np.int64(r["child_rows"]),
+                     "orphan_rows": np.int64(r["orphan_rows"]),
+                     "orphan_percent": float(r["orphan_percent"])})
+    return pd.DataFrame(rows)
+
+
+def row_completeness(ds, cols: list[str], *, n_bins: int | None = None
+                     ) -> pd.DataFrame:
+    """Row-level completeness distribution: for each row, how many of
+    ``cols`` are non-null — the per-RECORD view column completeness
+    (:func:`functions.profiling`) aggregates away: a table can be 90 %
+    complete per column yet have zero fully-complete rows.
+
+    Exact histogram over 0..len(cols) non-null counts via one
+    vectorized validity-sum pass and a bounded (len(cols)+1)-row
+    reduce.
+
+    Output: (n_nonnull, n_rows, pct 6dp) ascending, plus the count of
+    fully-complete rows is the last bucket."""
+    import numpy as np
+
+    from packs_ray.functions.agg import keyed_count
+    from packs_ray.stages.util import round_half_away as _rh
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        acc = np.zeros(n, dtype=np.int64)
+        for c in cols:
+            acc += batch.column(c).is_valid().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({"n_nonnull": pa.array(acc)})
+
+    counts = keyed_count(ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"), ["n_nonnull"],
+        count_col="n_rows").to_pandas()
+    if not len(counts):
+        return pd.DataFrame({"n_nonnull": pd.Series([], dtype="int64"),
+                             "n_rows": pd.Series([], dtype="int64"),
+                             "pct": pd.Series([], dtype="float64")})
+    counts = counts.sort_values("n_nonnull").reset_index(drop=True)
+    total = int(counts["n_rows"].sum())
+    counts["pct"] = _rh(counts["n_rows"].to_numpy(np.float64)
+                        / (total * 1.0), 6)
+    return counts.astype({"n_nonnull": "int64", "n_rows": "int64",
+                          "pct": "float64"})

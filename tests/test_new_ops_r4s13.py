@@ -1046,3 +1046,34 @@ def test_emd_identical_zero_and_deterministic(ray_session):
     pd.testing.assert_frame_equal(x, y)
     # scaling by 1.5: W1 = 0.5 * E[v] exactly
     assert x["emd"].iloc[0] == pytest.approx(0.5 * v.mean(), abs=1e-2)
+
+
+# -------------------------------------------------- ref chain + row completeness
+
+def test_ref_integrity_chain_reports_broken_edge(ray_session):
+    from packs_ray.functions.integrity import ref_integrity_chain
+
+    child = pd.DataFrame({"fk": [1, 2, 3, None, 9]})
+    parent = pd.DataFrame({"pk": [1, 2, 3]})
+    out = ref_integrity_chain([
+        ("ok_edge", _ds(parent.rename(columns={"pk": "fk"})), ["fk"],
+         _ds(parent), ["pk"]),
+        ("broken", _ds(child), ["fk"], _ds(parent), ["pk"]),
+    ])
+    assert out["edge"].tolist() == ["ok_edge", "broken"]
+    assert out["orphan_rows"].tolist() == [0, 2]   # null + 9
+    assert out["orphan_percent"].iloc[1] == round(2 / 5, 4)
+
+
+def test_row_completeness_histogram(ray_session):
+    from packs_ray.functions.integrity import row_completeness
+
+    df = pd.DataFrame({
+        "a": [1, None, 3, None],
+        "b": [1.0, 2.0, None, None],
+        "c": ["x", "y", "z", None]})
+    out = row_completeness(_ds(df).repartition(2), ["a", "b", "c"])
+    # rows: (1,1.0,x)=3, (None,2.0,y)=2, (3,None,z)=2, all-null=0
+    assert out["n_nonnull"].tolist() == [0, 2, 3]
+    assert out["n_rows"].tolist() == [1, 2, 1]
+    assert out["pct"].tolist() == [0.25, 0.5, 0.25]
