@@ -2465,6 +2465,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["event_id", "ts", "user_id", "event_type", "value",
              "props"])
 
+    def rbo_search_documents(sf):
+        # rank-biased overlap between BM25 and hybrid-RRF top-10: does
+        # fusion move the head of the ranking?
+        from packs_ray.functions.search import bm25_topk, hybrid_rrf, rbo
+
+        a = bm25_topk(_ds(sf, "documents", ["doc_id", "text"]),
+                      "doc_id", "text", "hash join merge sort", k=10)
+        b = hybrid_rrf(
+            _ds(sf, "documents", ["doc_id", "text"]),
+            _ds(sf, "embeddings", ["vec_id", "embedding"]),
+            id_col="doc_id", text_col="text", emb_id_col="vec_id",
+            emb_col="embedding", query_text="hash join merge sort",
+            query_vec=_query_vec(sf), k=10, k_each=20)
+        return rbo(a["doc_id"].tolist(), b["doc_id"].tolist(), p=0.9)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4336,6 +4351,7 @@ checks for orders:
         "emd_events": emd_events,
         "ref_chain_tpch": ref_chain_tpch,
         "row_completeness_events": row_completeness_events,
+        "rbo_search_documents": rbo_search_documents,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10538,6 +10554,43 @@ def oracle_sql() -> dict[str, str]:
     SELECT n_nonnull, n_rows,
            round(n_rows / ((SELECT tot FROM t) * 1.0), 6) AS pct
     FROM c ORDER BY n_nonnull""",
+        "rbo_search_documents": f"""
+    WITH lex AS ({_bm25_sql("hash join merge sort", 20)}),
+    lr0 AS (SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb FROM lex),
+    sem AS (SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings
+             WHERE vec_id = 0)), 6) AS cosine
+        FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 20),
+    sr AS (SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id) AS rc FROM sem),
+    f AS (SELECT coalesce(lr0.doc_id, sr.doc_id) AS doc_id,
+            round(coalesce(1.0 / (60 + rb), 0)
+                  + coalesce(1.0 / (60 + rc), 0), 6) AS rrf
+          FROM lr0 FULL OUTER JOIN sr ON lr0.doc_id = sr.doc_id),
+    hyb AS (SELECT doc_id, rrf FROM f
+            ORDER BY rrf DESC, doc_id LIMIT 10),
+    a AS (SELECT doc_id,
+          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM (SELECT * FROM lex ORDER BY bm25 DESC, doc_id LIMIT 10)),
+    b AS (SELECT doc_id,
+          row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+          FROM hyb),
+    kk AS (SELECT least((SELECT count(*) FROM a),
+                        (SELECT count(*) FROM b))::BIGINT AS k),
+    ds_ AS (SELECT unnest(generate_series(1, (SELECT k FROM kk))) AS d),
+    ov AS (SELECT d, (SELECT count(*) FROM a JOIN b USING (doc_id)
+                      WHERE a.rnk <= d AND b.rnk <= d)::BIGINT AS o
+           FROM ds_),
+    t AS (SELECT d, o,
+            ((1.0 - 0.9) * power(0.9, d - 1)) * (o / (d * 1.0)) AS term
+          FROM ov)
+    SELECT (SELECT k FROM kk) AS k,
+        (SELECT o FROM ov WHERE d = (SELECT k FROM kk))
+            AS overlap_at_k,
+        round(list_sum(list(term ORDER BY d)), 6) AS rbo
+    FROM t""",
         "emd_events": """
     WITH a AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
                FROM events

@@ -236,3 +236,47 @@ def hybrid_rrf(doc_ds, emb_ds, *, id_col: str, text_col: str,
     return m[[id_col, "rrf", "bm25_rank", "cos_rank"]].astype(
         {id_col: "int64", "rrf": "float64",
          "bm25_rank": "float64", "cos_rank": "float64"})
+
+
+def rbo(rank_a, rank_b, *, p: float = 0.9) -> pd.DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated form) between
+    two ranked id lists — the ranking-comparison eval
+    :func:`similarity.ranking_metrics` (set recall@k + MRR) can't
+    give: RBO weights agreement at the TOP of the lists (persistence
+    p), so swapping ranks 1 and 2 costs more than swapping 9 and 10 —
+    the right metric for "did the hybrid fusion actually change what
+    users see first vs plain BM25".
+
+    rbo = Σ_{d=1..k} (1-p)·p^(d-1) · |A_:d ∩ B_:d| / d with
+    k = min(|A|, |B|) (truncated, no extrapolation — reported as-is).
+    Overlap counts are exact ints; the fold runs ascending d (==
+    the oracle's list_sum), pow is libm.
+
+    Inputs are bounded driver artifacts (top-k outputs).  Output: one
+    row (k, overlap_at_k, rbo 6dp)."""
+    import math
+
+    import numpy as np
+
+    from packs_ray.stages.util import round_half_away as _rh
+
+    a = list(rank_a)
+    b = list(rank_b)
+    k = min(len(a), len(b))
+    if k == 0:
+        return pd.DataFrame([{"k": np.int64(0),
+                              "overlap_at_k": np.int64(0),
+                              "rbo": None}])
+    sa: set = set()
+    sb: set = set()
+    val = 0.0
+    ov = 0
+    for d in range(1, k + 1):                  # left fold == list_sum
+        sa.add(a[d - 1])
+        sb.add(b[d - 1])
+        ov = len(sa & sb)
+        w = (1.0 - p) * math.pow(p, d - 1)
+        val += w * (ov / (d * 1.0))
+    return pd.DataFrame([{"k": np.int64(k),
+                          "overlap_at_k": np.int64(ov),
+                          "rbo": float(_rh(val, 6))}])

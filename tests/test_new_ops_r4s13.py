@@ -1077,3 +1077,29 @@ def test_row_completeness_histogram(ray_session):
     assert out["n_nonnull"].tolist() == [0, 2, 3]
     assert out["n_rows"].tolist() == [1, 2, 1]
     assert out["pct"].tolist() == [0.25, 0.5, 0.25]
+
+
+# -------------------------------------------------- rbo
+
+def test_rbo_identical_and_disjoint():
+    from packs_ray.functions.search import rbo
+
+    ids = [5, 3, 9, 1, 7]
+    same = rbo(ids, ids, p=0.9).iloc[0]
+    # identical lists: rbo = (1-p) sum p^(d-1) * 1 = 1 - p^k
+    assert same["rbo"] == round(1 - 0.9 ** 5, 6)
+    assert same["overlap_at_k"] == 5
+    disj = rbo(ids, [10, 11, 12, 13, 14], p=0.9).iloc[0]
+    assert disj["rbo"] == 0.0 and disj["overlap_at_k"] == 0
+
+
+def test_rbo_top_heavy_weighting():
+    from packs_ray.functions.search import rbo
+
+    base = [1, 2, 3, 4, 5]
+    swap_top = rbo(base, [9, 2, 3, 4, 5]).iloc[0]["rbo"]
+    swap_tail = rbo(base, [1, 2, 3, 4, 9]).iloc[0]["rbo"]
+    # disagreeing at rank 1 hurts more than at rank 5
+    assert swap_top < swap_tail
+    empty = rbo([], [1]).iloc[0]
+    assert empty["k"] == 0 and pd.isna(empty["rbo"])
