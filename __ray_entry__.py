@@ -2480,6 +2480,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             query_vec=_query_vec(sf), k=10, k_each=20)
         return rbo(a["doc_id"].tolist(), b["doc_id"].tolist(), p=0.9)
 
+    def null_bursts_events(sf):
+        # outage detector: planted null bursts (event_id % 50 < 4) in
+        # value; distributed run-length with boundary stitching
+        # (bucket_size 251 forces runs across range boundaries)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.timeliness import null_burst_profile
+
+        def plant(t):
+            m = pc.less(pc.bit_wise_and(
+                pc.cast(pc.subtract(
+                    t.column("event_id"),
+                    pc.multiply(pc.divide(t.column("event_id"), 50),
+                                50)), pa.int64()),
+                pa.scalar(0xFFFF, type=pa.int64())), 4)
+            v = pc.if_else(m, pa.scalar(None, type=pa.float64()),
+                           t.column("value"))
+            return t.set_column(t.schema.get_field_index("value"),
+                                "value", v)
+
+        ds = _ds(sf, "events", ["event_id", "value"]) \
+            .map_batches(plant, batch_format="pyarrow")
+        return null_burst_profile(ds, "event_id", "value",
+                                  bucket_size=251)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4352,6 +4378,7 @@ checks for orders:
         "ref_chain_tpch": ref_chain_tpch,
         "row_completeness_events": row_completeness_events,
         "rbo_search_documents": rbo_search_documents,
+        "null_bursts_events": null_bursts_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10591,6 +10618,22 @@ def oracle_sql() -> dict[str, str]:
             AS overlap_at_k,
         round(list_sum(list(term ORDER BY d)), 6) AS rbo
     FROM t""",
+        "null_bursts_events": """
+    WITH v AS (SELECT event_id AS seq,
+                      CASE WHEN event_id % 50 < 4 THEN 1 ELSE 0 END
+                          AS nl
+               FROM events WHERE event_id IS NOT NULL),
+    o AS (SELECT nl, row_number() OVER (ORDER BY seq) AS rn FROM v),
+    g AS (SELECT nl, rn, rn - row_number() OVER (PARTITION BY nl
+              ORDER BY rn) AS grp FROM o),
+    runs AS (SELECT count(*)::BIGINT AS len FROM g
+             WHERE nl = 1 GROUP BY grp)
+    SELECT (SELECT count(*)::BIGINT FROM v) AS n_rows,
+        (SELECT coalesce(sum(nl), 0)::BIGINT FROM v) AS n_null,
+        (SELECT count(*)::BIGINT FROM runs) AS n_bursts,
+        (SELECT coalesce(max(len), 0)::BIGINT FROM runs) AS max_burst,
+        round((SELECT coalesce(sum(nl), 0) FROM v)
+              / ((SELECT count(*) FROM runs) * 1.0), 6) AS mean_burst""",
         "emd_events": """
     WITH a AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
                FROM events

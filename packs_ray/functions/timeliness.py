@@ -457,3 +457,114 @@ def out_of_order_profile(ds, seq_col: str, ts_col: str, *,
     return daily[cols].astype({
         "day": "int64", "n_events": "int64", "n_late": "int64",
         "max_lateness_s": "int64", "late_ratio": "float64"})
+
+
+def null_burst_profile(ds, seq_col: str, col: str, *,
+                       bucket_size: int = 100_000) -> "pd.DataFrame":
+    """Null-burst (upstream-outage) detector: in arrival order
+    (``seq_col``), find maximal runs of consecutive rows whose ``col``
+    is null — scattered nulls are entry noise, but a 500-row null BURST
+    is a dead sensor / broken join upstream, and column-level
+    completeness (which only counts) cannot tell the two apart.
+
+    Exact distributed run-length: rows are range-bucketed on
+    ``seq_col`` (contiguous id ranges); each bucket reports its
+    leading-run length, trailing-run length, interior burst count/max
+    and null/row totals; the driver folds the bounded bucket summaries
+    ascending, stitching runs that touch bucket boundaries (all-null
+    buckets chain through).  Adjacency is by sort position within the
+    ``seq_col`` order.
+
+    Output: one row — (n_rows, n_null, n_bursts, max_burst,
+    mean_burst 6dp); mean_burst = n_null / n_bursts, null when no
+    bursts."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+    from packs_ray.stages.util import round_half_away as _rh
+
+    bs = int(bucket_size)
+
+    def marks(batch: pa.Table) -> pa.Table:
+        t = batch.select([seq_col, col])
+        t = t.filter(t.column(seq_col).is_valid())
+        seq = t.column(seq_col).cast(pa.int64())
+        isnull = pc.cast(pc.is_null(t.column(col)), pa.int8())
+        out = pa.table({"seq": seq, "nl": isnull})
+        return out.append_column("bkt", pc.divide(
+            out.column("seq"), pa.scalar(bs, type=pa.int64())))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, gg in g.groupby("bkt", sort=True):
+            gg = gg.sort_values("seq", kind="stable")
+            nl = gg["nl"].to_numpy(np.int8).astype(bool)
+            n = len(nl)
+            if n == 0:
+                continue
+            # run-length encode
+            change = np.flatnonzero(np.diff(nl.astype(np.int8)) != 0)
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [n]))
+            lens = ends - starts
+            vals = nl[starts]
+            null_lens = lens[vals]
+            lead = int(lens[0]) if vals[0] else 0
+            trail = int(lens[-1]) if vals[-1] else 0
+            all_null = bool(nl.all())
+            interior = null_lens
+            rows.append({
+                "bkt": np.int64(b), "n": np.int64(n),
+                "n_null": np.int64(int(nl.sum())),
+                "n_runs": np.int64(len(null_lens)),
+                "max_run": np.int64(int(null_lens.max())
+                                    if len(null_lens) else 0),
+                "lead": np.int64(lead), "trail": np.int64(trail),
+                "all_null": np.int64(1 if all_null else 0)})
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["bkt", "n", "n_null",
+                                           "n_runs", "max_run", "lead",
+                                           "trail", "all_null"]})
+        return pd.DataFrame(rows)
+
+    parts = bucketed_group_reduce(
+        ds.map_batches(marks, batch_format="pyarrow"), ["bkt"],
+        per_bucket, reduce_partition_count(ds)).to_pandas()
+    cols = ["n_rows", "n_null", "n_bursts", "max_burst", "mean_burst"]
+    if not len(parts):
+        return pd.DataFrame([{**dict.fromkeys(cols),
+                              "n_rows": np.int64(0),
+                              "n_null": np.int64(0),
+                              "n_bursts": np.int64(0),
+                              "max_burst": np.int64(0)}])[cols]
+    parts = parts.sort_values("bkt").reset_index(drop=True)
+    n_rows = int(parts["n"].sum())
+    n_null = int(parts["n_null"].sum())
+    n_bursts = int(parts["n_runs"].sum())
+    max_burst = int(parts["max_run"].max()) if len(parts) else 0
+    # stitch boundary runs ascending: carry the running open-run length
+    open_run = 0
+    for _, r in parts.iterrows():
+        if open_run > 0 and r["lead"] > 0:
+            # the carried run and this bucket's leading run are ONE
+            # burst: uncount one junction
+            n_bursts -= 1
+            merged = open_run + int(r["lead"])
+            if int(r["all_null"]):
+                open_run = merged            # chains to the next bucket
+            else:
+                open_run = int(r["trail"])
+            max_burst = max(max_burst, merged)
+        else:
+            open_run = int(r["trail"]) if not int(r["all_null"]) \
+                else int(r["n"]) if open_run == 0 else open_run + int(r["n"])
+    mean = None
+    if n_bursts > 0:
+        mean = float(_rh(n_null / (n_bursts * 1.0), 6))
+    return pd.DataFrame([{
+        "n_rows": np.int64(n_rows), "n_null": np.int64(n_null),
+        "n_bursts": np.int64(n_bursts),
+        "max_burst": np.int64(max_burst), "mean_burst": mean}])[cols]

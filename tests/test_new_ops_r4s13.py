@@ -1103,3 +1103,50 @@ def test_rbo_top_heavy_weighting():
     assert swap_top < swap_tail
     empty = rbo([], [1]).iloc[0]
     assert empty["k"] == 0 and pd.isna(empty["rbo"])
+
+
+# -------------------------------------------------- null_burst_profile
+
+def test_null_bursts_boundary_stitching(ray_session):
+    from packs_ray.functions.timeliness import null_burst_profile
+
+    # nulls at seq 8..12 — a single 5-run crossing the bucket boundary
+    # at 10 (bucket_size=5 -> buckets [5,10), [10,15))
+    n = 20
+    v = [None if 8 <= i <= 12 else 1.0 for i in range(n)]
+    df = pd.DataFrame({"seq": np.arange(n, dtype=np.int64), "v": v})
+    out = null_burst_profile(_ds(df).repartition(4), "seq", "v",
+                             bucket_size=5)
+    r = out.iloc[0]
+    assert r["n_rows"] == 20 and r["n_null"] == 5
+    assert r["n_bursts"] == 1 and r["max_burst"] == 5
+    assert r["mean_burst"] == 5.0
+
+
+def test_null_bursts_all_null_chain(ray_session):
+    from packs_ray.functions.timeliness import null_burst_profile
+
+    # one run spanning three buckets (middle bucket entirely null)
+    n = 30
+    v = [None if 7 <= i <= 24 else 1.0 for i in range(n)]
+    df = pd.DataFrame({"seq": np.arange(n, dtype=np.int64), "v": v})
+    out = null_burst_profile(_ds(df).repartition(3), "seq", "v",
+                             bucket_size=10)
+    r = out.iloc[0]
+    assert r["n_bursts"] == 1 and r["max_burst"] == 18
+
+
+def test_null_bursts_separate_runs(ray_session):
+    from packs_ray.functions.timeliness import null_burst_profile
+
+    v = [None, None, 1.0, None, 1.0, 1.0, None, None, None, 1.0]
+    df = pd.DataFrame({"seq": np.arange(10, dtype=np.int64), "v": v})
+    a = null_burst_profile(_ds(df).repartition(5), "seq", "v",
+                           bucket_size=3)
+    b = null_burst_profile(_ds(df).repartition(1), "seq", "v",
+                           bucket_size=1000)
+    pd.testing.assert_frame_equal(a, b)
+    r = a.iloc[0]
+    assert r["n_bursts"] == 3 and r["max_burst"] == 3
+    assert r["n_null"] == 6
+    assert r["mean_burst"] == 2.0
