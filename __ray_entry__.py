@@ -2506,6 +2506,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return null_burst_profile(ds, "event_id", "value",
                                   bucket_size=251)
 
+    def join_size_orders_customer(sf):
+        # planner statistic: CMS inner-product estimate of
+        # |orders join customer on custkey| from two 128 KB sketches
+        from packs_ray.functions.sketches import cms_join_size
+
+        return cms_join_size(
+            _ds(sf, "orders", ["o_custkey"]), "o_custkey",
+            _ds(sf, "customer", ["c_custkey"]), "c_custkey")
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4379,6 +4388,7 @@ checks for orders:
         "row_completeness_events": row_completeness_events,
         "rbo_search_documents": rbo_search_documents,
         "null_bursts_events": null_bursts_events,
+        "join_size_orders_customer": join_size_orders_customer,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -6804,6 +6814,50 @@ def _cms_sql(table: str, col: str, probes: list[int]) -> str:
             LEFT JOIN counters c ON c.j = pc.j AND c.pos = pc.pos
             GROUP BY pc.key)
     SELECT CAST(key AS VARCHAR) AS key, est_count FROM est)"""
+
+
+def _cms_join_sql(table_a: str, col_a: str, table_b: str,
+                  col_b: str) -> str:
+    """sketches.cms_join_size replica: both sides run the _cms_sql
+    hash chain into (j, pos) counter tables; estimate = min over j of
+    the cell dot product (absent j rows coalesce to 0)."""
+    from packs_ray.functions.sketches import CMS_D, CMS_W
+
+    mul_c3 = _mul64_sql("h", 0xC2B2AE3D27D4EB4F)
+
+    def side(table, col, tag):
+        return f"""
+    src{tag} AS (SELECT CAST({col} AS VARCHAR) AS sv FROM {table}
+                 WHERE {col} IS NOT NULL),
+    b{tag} AS (SELECT sv, hex(encode(sv)) AS hx,
+                      octet_length(encode(sv)) AS nb FROM src{tag}),
+    hs{tag} AS (SELECT list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b{tag}),
+    f1{tag} AS (SELECT {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h
+                FROM hs{tag}),
+    fr{tag} AS (SELECT ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+                + h // {1 << 35}::HUGEINT) AS h FROM f1{tag}),
+    f2{tag} AS (SELECT {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h
+                FROM fr{tag}),
+    hh{tag} AS (SELECT h % {CMS_W} AS a,
+                (({mul_c3}) - ({mul_c3}) % 2 + 1) % {CMS_W} AS bb
+                FROM f2{tag}),
+    cells{tag} AS (SELECT j.range AS j,
+                   (a + j.range * bb) % {CMS_W} AS pos
+                   FROM hh{tag} CROSS JOIN range(0, {CMS_D}) j),
+    cnt{tag} AS (SELECT j, pos, count(*)::BIGINT AS c FROM cells{tag}
+                 GROUP BY j, pos)"""
+
+    return f"""
+    WITH {side(table_a, col_a, 'a').strip().lstrip(',')},
+    {side(table_b, col_b, 'b').strip()},
+    d AS (SELECT cnta.j, sum(cnta.c::HUGEINT * cntb.c) AS dot
+          FROM cnta JOIN cntb USING (j, pos) GROUP BY cnta.j)
+    SELECT (SELECT count(*)::BIGINT FROM srca) AS n_a,
+        (SELECT count(*)::BIGINT FROM srcb) AS n_b,
+        (SELECT min(coalesce(d.dot, 0))::BIGINT
+         FROM range(0, {CMS_D}) r LEFT JOIN d ON d.j = r.range)
+            AS est_join_rows"""
 
 
 def _mixture_branch_sql(table: str, id_col: str, name: str,
@@ -10618,6 +10672,7 @@ def oracle_sql() -> dict[str, str]:
             AS overlap_at_k,
         round(list_sum(list(term ORDER BY d)), 6) AS rbo
     FROM t""",
+        "join_size_orders_customer": _cms_join_sql("orders", "o_custkey", "customer", "c_custkey"),
         "null_bursts_events": """
     WITH v AS (SELECT event_id AS seq,
                       CASE WHEN event_id % 50 < 4 THEN 1 ELSE 0 END

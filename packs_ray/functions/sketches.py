@@ -613,3 +613,60 @@ def decayed_heavy_hitters(ds, key_col: str, ts_col: str, *,
                               ascending=[False, True], kind="stable")
             .head(k).reset_index(drop=True)
             .astype({"n_total": "int64", "decayed": "float64"}))
+
+
+def _cms_matrix(ds, col: str, *, fold_batch: int = 64) -> "np.ndarray":
+    """(CMS_D, CMS_W) merged counter matrix of a column stream (the
+    count_min_counts partial/fold shape, returned raw)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = _cms_counters(batch.column(col))
+        return pa.table({"cnt": pa.array([cnt.ravel().tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for r in batch.column("cnt").to_pylist():
+            acc += np.asarray(r, dtype=np.int64)
+        return pa.table({"cnt": pa.array([acc.tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow",
+                          batch_size=fold_batch).to_pandas())
+    cnt = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in parts["cnt"] if len(parts) else ():
+        cnt += np.asarray(r, dtype=np.int64)
+    return cnt.reshape(CMS_D, CMS_W)
+
+
+def cms_join_size(ds_a, col_a: str, ds_b, col_b: str) -> pd.DataFrame:
+    """Equi-join SIZE estimate without running the join: the classic
+    count-min inner-product estimator |A ⋈ B| ≈ min_j Σ_pos
+    cntA[j][pos]·cntB[j][pos] (an upper bound in expectation within
+    nA·nB/CMS_W per row) — the planner statistic that decides
+    broadcast-vs-shuffle-vs-skew-salt BEFORE paying for the exchange,
+    from two fixed 128 KB sketches instead of a key-cardinality scan.
+
+    Null join keys never enter the sketches (they never match).  All
+    counters are exact ints; the per-row dot products accumulate in
+    Python ints (no overflow at any stream length), so the estimate is
+    bit-deterministic and the oracle replicates it cell-for-cell.
+
+    Output: one row (n_a, n_b, est_join_rows)."""
+    def nn(ds, col):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"x": batch.column(col).drop_null()})
+        return ds.select_columns([col]).map_batches(
+            f, batch_format="pyarrow")
+
+    A = _cms_matrix(nn(ds_a, col_a), "x")
+    B = _cms_matrix(nn(ds_b, col_b), "x")
+    n_a = int(A[0].sum())
+    n_b = int(B[0].sum())
+    dots = []
+    for j in range(CMS_D):
+        dots.append(sum(int(x) * int(y)
+                        for x, y in zip(A[j], B[j]) if x and y))
+    return pd.DataFrame([{
+        "n_a": np.int64(n_a), "n_b": np.int64(n_b),
+        "est_join_rows": np.int64(min(dots))}])

@@ -1150,3 +1150,35 @@ def test_null_bursts_separate_runs(ray_session):
     assert r["n_bursts"] == 3 and r["max_burst"] == 3
     assert r["n_null"] == 6
     assert r["mean_burst"] == 2.0
+
+
+# -------------------------------------------------- cms_join_size
+
+def test_cms_join_size_upper_bounds_truth(ray_session):
+    from packs_ray.functions.sketches import cms_join_size
+
+    rng = np.random.RandomState(23)
+    a = pd.DataFrame({"k": rng.randint(0, 200, 3000)})
+    b = pd.DataFrame({"k": rng.randint(0, 200, 1500)})
+    truth = a["k"].value_counts().mul(
+        b["k"].value_counts(), fill_value=0).sum()
+    out = cms_join_size(_ds(a).repartition(4), "k",
+                        _ds(b).repartition(3), "k").iloc[0]
+    assert out["n_a"] == 3000 and out["n_b"] == 1500
+    est = out["est_join_rows"]
+    # CMS inner product >= truth; error bound ~ n_a*n_b/W = 1100
+    assert truth <= est <= truth + 3000 * 1500 / 4096 * 4
+    # determinism across layouts
+    out2 = cms_join_size(_ds(a).repartition(1), "k",
+                         _ds(b).repartition(9), "k").iloc[0]
+    assert out2["est_join_rows"] == est
+
+
+def test_cms_join_size_disjoint_near_zero(ray_session):
+    from packs_ray.functions.sketches import cms_join_size
+
+    a = pd.DataFrame({"k": np.arange(0, 500, dtype=np.int64)})
+    b = pd.DataFrame({"k": np.arange(10_000, 10_500, dtype=np.int64)})
+    out = cms_join_size(_ds(a), "k", _ds(b), "k").iloc[0]
+    # truth 0; collisions only -> bounded by n_a*n_b/W ~ 61
+    assert out["est_join_rows"] <= 500 * 500 / 4096 * 5
