@@ -2515,6 +2515,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "orders", ["o_custkey"]), "o_custkey",
             _ds(sf, "customer", ["c_custkey"]), "c_custkey")
 
+    def bootstrap_median_events(sf):
+        # robust uncertainty: percentile-bootstrap CI of median(value)
+        # with exact integer weighted medians per replicate
+        from packs_ray.functions.sampling import bootstrap_median_ci
+
+        return bootstrap_median_ci(
+            _ds(sf, "events", ["event_id", "value"]),
+            "event_id", "value", n_replicates=40)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4389,6 +4398,7 @@ checks for orders:
         "rbo_search_documents": rbo_search_documents,
         "null_bursts_events": null_bursts_events,
         "join_size_orders_customer": join_size_orders_customer,
+        "bootstrap_median_events": bootstrap_median_events,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -7186,6 +7196,69 @@ def _parquet_stats_sql() -> str:
     ORDER BY 1, 2"""
 
 
+def _bootstrap_median_sql(table: str, id_col: str, value_col: str,
+                          n_replicates: int, salt: str) -> str:
+    """sampling.bootstrap_median_ci replica: the bootstrap hash chain
+    (salt constants + Poisson thresholds embedded), base replicate
+    r = -1 with weight 1, lower weighted median = min c with
+    2*cum >= W, percentile order statistics over replicate medians."""
+    from packs_ray.functions.sampling import (_poisson1_cum,
+                                              _salt_constant)
+
+    R = n_replicates
+    consts = ", ".join(
+        f"({r}, {int(_salt_constant(f'{salt}:{r}')) & 0xFFFFFFFF}::HUGEINT, "
+        f"{int(_salt_constant(f'{salt}:{r}')) >> 32}::HUGEINT)"
+        for r in range(R))
+    wcase = " + ".join(
+        f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)"
+        for c in _poisson1_cum())
+    return f"""
+    WITH v AS (SELECT CAST({id_col} AS VARCHAR) AS sv,
+                      CAST(round({value_col} * 100, 0) AS BIGINT) AS c
+               FROM {table} WHERE {id_col} IS NOT NULL
+                 AND {value_col} IS NOT NULL),
+    b AS (SELECT c, hex(encode(sv)) AS hx,
+                 octet_length(encode(sv)) AS nb FROM v),
+    hs AS (SELECT c, list_reduce(list_prepend({_FNV_OFF}::HUGEINT,
+                {_BYTES_EXPR}), {_FNV_LAMBDA}) AS h FROM b),
+    sc(r, lo, hi) AS (VALUES {consts}),
+    x AS (SELECT hs.c, sc.r,
+            ((hs.h * sc.lo) % {_TWO64}::HUGEINT
+             + (((hs.h * sc.hi) % {1 << 32}::HUGEINT)
+                * {1 << 32}::HUGEINT)) % {_TWO64}::HUGEINT AS h
+          FROM hs CROSS JOIN sc),
+    f1 AS (SELECT c, r, {_mul64_sql('h', 0x9E3779B97F4A7C15)} AS h
+           FROM x),
+    fr AS (SELECT c, r, ((h * {1 << 29}::HUGEINT) % {_TWO64}::HUGEINT
+               + h // {1 << 35}::HUGEINT) AS h FROM f1),
+    f2 AS (SELECT c, r, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h
+           FROM fr),
+    wt AS (SELECT c, r,
+            (SELECT {wcase} FROM (SELECT
+                (f.h % {1 << 53}::HUGEINT)::DOUBLE / {float(1 << 53)}
+                AS u) _) AS w
+           FROM f2 f),
+    allw AS (SELECT r, c, sum(w)::BIGINT AS w FROM (
+        SELECT r, c, w FROM wt
+        UNION ALL SELECT -1 AS r, c, 1 AS w FROM v) u
+        GROUP BY r, c HAVING sum(w) > 0),
+    tot AS (SELECT r, sum(w) AS wtot FROM allw GROUP BY r),
+    cw AS (SELECT r, c, sum(w) OVER (PARTITION BY r ORDER BY c) AS cum
+           FROM allw),
+    med AS (SELECT cw.r, min(c) AS m FROM cw JOIN tot USING (r)
+            WHERE 2 * cum >= wtot GROUP BY cw.r),
+    mr AS (SELECT m FROM med WHERE r >= 0),
+    k AS (SELECT count(*)::BIGINT AS n FROM mr)
+    SELECT (SELECT sum(w)::BIGINT FROM allw WHERE r = -1) AS n_rows,
+        (SELECT m FROM med WHERE r = -1) / 100.0 AS median,
+        (SELECT m FROM mr ORDER BY m LIMIT 1 OFFSET
+            (SELECT floor(0.025 * n)::BIGINT FROM k)) / 100.0 AS ci_lo,
+        (SELECT m FROM mr ORDER BY m LIMIT 1 OFFSET
+            (SELECT ceil(0.975 * n)::BIGINT - 1 FROM k)) / 100.0
+          AS ci_hi"""
+
+
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
     """sampling.interleave_sources twin: per source, the exact
     FNV-1a + salt-premultiply + finalize chain (same cells as
@@ -9647,6 +9720,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_counts_events": _dp_counts_sql("events", "event_type", 0.5, "dp"),
         "logrank_events": _logrank_sql("click", "view", 1),
         "bootstrap_ci_events": _bootstrap_sql("events", "event_id", "value", 40, "boot"),
+        "bootstrap_median_events": _bootstrap_median_sql("events", "event_id", "value", 40, "bootm"),
         "setcover_sample_documents": _setcover_sql(4, 5, 16),
         "conformal_events": _conformal_sql("events", "event_id", "event_type", "value", 0.1, "conformal"),
         "dim_truncation_embeddings": _dim_trunc_sql((8, 16, 32, 64), 10),

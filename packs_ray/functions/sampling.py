@@ -687,3 +687,106 @@ def bootstrap_ci(ds, id_col: str, value_col: str, *,
         "n_replicates": np.int64(R),
         "se_boot": None if se is None else float(_rh(se, 6)),
         "ci_lo": float(_rh(lo, 6)), "ci_hi": float(_rh(hi, 6))}])[cols]
+
+
+def bootstrap_median_ci(ds, id_col: str, value_col: str, *,
+                        n_replicates: int = 40, salt: str = "bootm",
+                        scale: int = 100) -> "pd.DataFrame":
+    """Poisson-bootstrap percentile CI for the MEDIAN — the robust
+    companion to :func:`bootstrap_ci` (mean): same deterministic
+    hash-seeded replicate weights, but each replicate statistic is the
+    lower weighted median of integer cents, so every step through the
+    order statistics is EXACT integer arithmetic (no float fold at
+    all until the final /scale).
+
+    Lower weighted median rule (pinned, shared with the oracle):
+    the smallest value c with 2 * cum_weight(c) >= W_total.
+
+    Scale shape: per-batch (r, cents, w) count partials ride one
+    bucketed reduce on (r, cents); the driver folds a table bounded by
+    n_replicates x the DISTINCT cents domain (the mannwhitney_u
+    partitioning assumption), never rows.
+
+    Output: one row (n_rows, median, ci_lo, ci_hi), value units;
+    CI = percentile bootstrap at 2.5/97.5 of the replicate medians."""
+    import math
+
+    import pandas as pd
+
+    from packs_ray.functions.agg import (bucketed_group_reduce,
+                                         reduce_partition_count)
+
+    R = int(n_replicates)
+    cum = _poisson1_cum()
+    salts = np.array([_salt_constant(f"{salt}:{r}") for r in range(R)],
+                     dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as pc
+
+        t = batch.select([id_col, value_col])
+        mask = pc.and_(t.column(id_col).is_valid(),
+                       t.column(value_col).is_valid())
+        t = t.filter(mask)
+        h, _v = _fnv1a_str(t.column(id_col))
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        cents = _np.rint(_np.asarray(v, dtype=_np.float64)
+                         * scale).astype(_np.int64)
+        frames = [pd.DataFrame({"r": _np.int64(-1), "c": cents,
+                                "w": _np.int64(1)})]
+        for r in range(R):
+            hr = _finalize(h * salts[r])
+            u = (hr % _np.uint64(1 << 53)).astype(_np.float64) \
+                / float(1 << 53)
+            w = _np.searchsorted(cum, u, side="right") \
+                .astype(_np.int64)
+            frames.append(pd.DataFrame({"r": _np.int64(r), "c": cents,
+                                        "w": w}))
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["r", "c"], sort=False)["w"].sum().reset_index())
+        return pa.Table.from_pandas(g[g["w"] > 0],
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["r", "c"], sort=False)["w"].sum().reset_index()
+
+    tab = bucketed_group_reduce(parts, ["r", "c"], reduce_fn,
+                                reduce_partition_count(ds)).to_pandas()
+    cols = ["n_rows", "median", "ci_lo", "ci_hi"]
+    if not len(tab):
+        return pd.DataFrame([{**dict.fromkeys(cols),
+                              "n_rows": np.int64(0)}])[cols]
+
+    def wmedian(g: pd.DataFrame) -> int | None:
+        g = g.sort_values("c")
+        w = g["w"].to_numpy(np.int64)
+        total = int(w.sum())
+        if total == 0:
+            return None
+        cumw = np.cumsum(w)
+        idx = int(np.searchsorted(2 * cumw, total, side="left"))
+        return int(g["c"].to_numpy(np.int64)[idx])
+
+    base = tab[tab["r"] == -1]
+    n_rows = int(base["w"].sum())
+    if n_rows == 0:
+        return pd.DataFrame([{**dict.fromkeys(cols),
+                              "n_rows": np.int64(0)}])[cols]
+    med_c = wmedian(base)
+    meds = []
+    for r in range(R):
+        m = wmedian(tab[tab["r"] == r])
+        if m is not None:
+            meds.append(m)
+    meds.sort()
+    lo = meds[int(math.floor(0.025 * len(meds)))] if meds else None
+    hi = meds[int(math.ceil(0.975 * len(meds))) - 1] if meds else None
+    f = float(scale)
+    return pd.DataFrame([{
+        "n_rows": np.int64(n_rows),
+        "median": med_c / f,
+        "ci_lo": None if lo is None else lo / f,
+        "ci_hi": None if hi is None else hi / f}])[cols]

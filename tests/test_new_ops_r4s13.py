@@ -1182,3 +1182,31 @@ def test_cms_join_size_disjoint_near_zero(ray_session):
     out = cms_join_size(_ds(a), "k", _ds(b), "k").iloc[0]
     # truth 0; collisions only -> bounded by n_a*n_b/W ~ 61
     assert out["est_join_rows"] <= 500 * 500 / 4096 * 5
+
+
+# -------------------------------------------------- bootstrap_median_ci
+
+def test_bootstrap_median_brackets_true_median(ray_session):
+    from packs_ray.functions.sampling import bootstrap_median_ci
+
+    rng = np.random.RandomState(33)
+    n = 4000
+    v = np.round(rng.lognormal(3, 0.5, n), 2)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "v": v})
+    a = bootstrap_median_ci(_ds(df).repartition(1), "id", "v")
+    b = bootstrap_median_ci(_ds(df).repartition(8), "id", "v")
+    pd.testing.assert_frame_equal(a, b)
+    r = a.iloc[0]
+    true_med = np.median(v)
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+    assert abs(r["median"] - true_med) < 0.5
+    assert (r["ci_hi"] - r["ci_lo"]) < 3.0
+
+
+def test_bootstrap_median_empty(ray_session):
+    from packs_ray.functions.sampling import bootstrap_median_ci
+
+    df = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                       "v": pd.Series([], dtype="float64")})
+    out = bootstrap_median_ci(_ds(df), "id", "v")
+    assert out["n_rows"].iloc[0] == 0 and pd.isna(out["median"].iloc[0])
