@@ -2524,6 +2524,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "events", ["event_id", "value"]),
             "event_id", "value", n_replicates=40)
 
+    def ann_ivf_incremental(sf):
+        # persisted-index maintenance: build IVF from the even-id half,
+        # ivf_append the odd half against the FIXED centroids, query
+        # the combined index (fresh dir per call, so appends never
+        # double-count)
+        import tempfile
+
+        import pyarrow.compute as pc
+
+        from packs_ray.functions.similarity import (ivf_append,
+                                                    ivf_build,
+                                                    ivf_query)
+
+        def half(parity):
+            def fn(t):
+                ids = t.column("vec_id")
+                return t.filter(pc.equal(pc.bit_wise_and(ids, 1),
+                                         parity))
+            return _ds(sf, "embeddings", ["vec_id", "embedding"]) \
+                .map_batches(fn, batch_format="pyarrow")
+
+        idx = tempfile.mkdtemp(prefix="ivf_inc_", dir="/tmp")
+        ivf_build(half(0), "vec_id", "embedding", idx,
+                  n_centroids=16, sample_rows=2048, seed=42)
+        ivf_append(half(1), "vec_id", "embedding", idx)
+        return ivf_query(idx, "vec_id", "embedding", _query_vec(sf),
+                         k=10, nprobe=4)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4399,6 +4427,7 @@ checks for orders:
         "null_bursts_events": null_bursts_events,
         "join_size_orders_customer": join_size_orders_customer,
         "bootstrap_median_events": bootstrap_median_events,
+        "ann_ivf_incremental": ann_ivf_incremental,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -7257,6 +7286,56 @@ def _bootstrap_median_sql(table: str, id_col: str, value_col: str,
         (SELECT m FROM mr ORDER BY m LIMIT 1 OFFSET
             (SELECT ceil(0.975 * n)::BIGINT - 1 FROM k)) / 100.0
           AS ci_hi"""
+
+
+def _ann_ivf_incremental_sql() -> str:
+    """ann_ivf_incremental replica: centroids re-fit on the EVEN-id
+    half's first 2048 rows (the engine's ivf_build input), every
+    vector of BOTH halves assigned to those fixed centroids, nprobe-4
+    pruning, rounded-cosine top-10 — the append changes which rows are
+    in the index, never the centroids."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.functions.similarity import _batch_matrix, _lloyd
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+    even = t.filter(pa.array((ids & 1) == 0)).slice(0, 2048)
+    m = _batch_matrix(even, "embedding")
+    cent = _lloyd(m, 16, 42)
+    q, qid = None, 0
+    for i in range(min(t.num_rows, 100)):
+        v = t.column("embedding")[i].as_py()
+        if v is not None:
+            q = np.array(v, dtype=np.float64)
+            qid = t.column("vec_id")[i].as_py()
+            break
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:4].tolist()
+    cent_vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row)
+        + "]::DOUBLE[])"
+        for i, row in enumerate(cent))
+    return f"""
+    WITH cent(cidx, cv) AS (VALUES {cent_vals}),
+    d AS (SELECT e.vec_id, e.embedding, c.cidx,
+            list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+          FROM embeddings e CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, embedding, cidx FROM d
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, cidx) = 1),
+    sel AS (SELECT vec_id, embedding FROM assigned
+            WHERE cidx IN ({", ".join(str(p) for p in probe)}))
+    SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[],
+            (SELECT embedding::DOUBLE[] FROM embeddings
+             WHERE vec_id = {qid})), 6) AS cosine
+    FROM sel ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
 def _interleave_sql(sources: list[tuple[str, str, str, int]]) -> str:
@@ -11387,6 +11466,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.n_chars DESC, l.doc_id ASC) = 1""",
         "ks_drift_events": _ks_drift_sql(),
         "ann_ivf_embeddings": _ann_ivf_sql(),
+        "ann_ivf_incremental": _ann_ivf_incremental_sql(),
         "ann_recall_embeddings": _ann_recall_sql(),
         "knn_outliers_lineitem": _knn_lineitem_sql(),
         "knn_outliers_mixed_events": _knn_mixed_events_sql(),

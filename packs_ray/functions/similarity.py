@@ -1364,3 +1364,41 @@ def moment_drift(ds_a, ds_b, emb_col: str, *, dim: int = 64) -> pd.DataFrame:
         "n_a": np.int64(na), "n_b": np.int64(nb),
         "mean_l2": float(_r9(math.sqrt(g), 9)),
         "mmd2_quad": float(_r9(f, 9))}])
+
+
+def ivf_append(new_ds, id_col: str, emb_col: str,
+               index_dir: str) -> int:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    EXISTING persisted centroids and append them to the index's hive
+    partitions — the streaming-ingest path :func:`ivf_build` (full
+    rebuild) can't serve: at 100 TB a nightly feed appends millions of
+    vectors and must not re-shuffle the corpus.  Centroids stay fixed
+    (the standard IVF maintenance contract — rebuild when the
+    assignment-distance distribution drifts; ``ivf_query`` needs no
+    change because parquet appends are new files in the same
+    ``ivf_bucket=`` directories).
+
+    Returns the number of vectors appended.  Ray's parquet writer
+    UUIDs its filenames, so repeated appends never clobber; callers
+    needing exactly-once should stage via the checkpoint manifest
+    (state/checkpoint.py) like the curation pipelines."""
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centv = ray.get(cref)
+        m = _batch_matrix(batch, emb_col)
+        d = _sq_dist_seq(m, centv)
+        return pa.table({id_col: batch.column(id_col),
+                         emb_col: batch.column(emb_col),
+                         "ivf_bucket": pa.array(
+                             d.argmin(1).astype(np.int64))})
+
+    out = (new_ds.select_columns([id_col, emb_col])
+           .map_batches(assign, batch_format="pyarrow")).materialize()
+    n = out.count()
+    if n:
+        out.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    return n

@@ -1210,3 +1210,32 @@ def test_bootstrap_median_empty(ray_session):
                        "v": pd.Series([], dtype="float64")})
     out = bootstrap_median_ci(_ds(df), "id", "v")
     assert out["n_rows"].iloc[0] == 0 and pd.isna(out["median"].iloc[0])
+
+
+# -------------------------------------------------- ivf_append
+
+def test_ivf_append_extends_index(ray_session, tmp_path):
+    from packs_ray.functions.similarity import (ivf_append, ivf_build,
+                                                ivf_query)
+
+    rng = np.random.RandomState(41)
+    emb = rng.normal(size=(400, 8))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [list(map(float, v)) for v in emb]})
+    first, second = df.iloc[:250], df.iloc[250:]
+    idx = str(tmp_path / "ivf")
+    ivf_build(_ds(first.reset_index(drop=True)), "vec_id", "embedding",
+              idx, n_centroids=8, sample_rows=250)
+    before = ivf_query(idx, "vec_id", "embedding", emb[0], k=5,
+                       nprobe=8)
+    n = ivf_append(_ds(second.reset_index(drop=True)), "vec_id",
+                   "embedding", idx)
+    assert n == 150
+    after = ivf_query(idx, "vec_id", "embedding", emb[0], k=5, nprobe=8)
+    # nprobe=8 == all buckets: results are exact over the indexed set,
+    # so appending can only improve (or keep) the top-5 cosines
+    assert after["cosine"].iloc[-1] >= before["cosine"].iloc[-1]
+    ids_after = set(after["vec_id"])
+    # the appended half is now retrievable: query one of ITS vectors
+    hit = ivf_query(idx, "vec_id", "embedding", emb[300], k=1, nprobe=8)
+    assert hit["vec_id"].iloc[0] == 300
