@@ -2552,6 +2552,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ivf_query(idx, "vec_id", "embedding", _query_vec(sf),
                          k=10, nprobe=4)
 
+    def quota_documents(sf):
+        # largest-remainder allocation of 1000 sample slots across
+        # sources: exact integer seats, remainders break ties by group
+        from packs_ray.functions.sampling import quota_allocation
+
+        return quota_allocation(_ds(sf, "documents", ["source"]),
+                                "source", 1000)
+
     def novelty_events(sf):
         # per-day first-seen novelty of (user_id, event_type) keys:
         # exact global first day per key via one bucketed reduce
@@ -4428,6 +4436,7 @@ checks for orders:
         "join_size_orders_customer": join_size_orders_customer,
         "bootstrap_median_events": bootstrap_median_events,
         "ann_ivf_incremental": ann_ivf_incremental,
+        "quota_documents": quota_documents,
         "langid_eval_documents": langid_eval_documents,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "budget_mixture_documents": budget_mixture_documents,
@@ -10826,6 +10835,21 @@ def oracle_sql() -> dict[str, str]:
         round(list_sum(list(term ORDER BY d)), 6) AS rbo
     FROM t""",
         "join_size_orders_customer": _cms_join_sql("orders", "o_custkey", "customer", "c_custkey"),
+        "quota_documents": """
+    WITH c AS (SELECT source AS g, count(*)::BIGINT AS n
+               FROM documents WHERE source IS NOT NULL GROUP BY 1),
+    t AS (SELECT sum(n) AS big_n FROM c),
+    s AS (SELECT g, n, 1000::HUGEINT * n AS seats FROM c),
+    b AS (SELECT g, n, seats // (SELECT big_n FROM t) AS base,
+                 seats % (SELECT big_n FROM t) AS rem
+          FROM s),
+    e AS (SELECT 1000 - sum(base) AS extra FROM b),
+    r AS (SELECT g, n, base, rem,
+            row_number() OVER (ORDER BY rem DESC, g) AS rk FROM b)
+    SELECT g AS source, n AS n_rows,
+        (base + CASE WHEN rk <= (SELECT extra FROM e)
+                     THEN 1 ELSE 0 END)::BIGINT AS quota
+    FROM r ORDER BY source""",
         "null_bursts_events": """
     WITH v AS (SELECT event_id AS seq,
                       CASE WHEN event_id % 50 < 4 THEN 1 ELSE 0 END

@@ -790,3 +790,51 @@ def bootstrap_median_ci(ds, id_col: str, value_col: str, *,
         "median": med_c / f,
         "ci_lo": None if lo is None else lo / f,
         "ci_hi": None if hi is None else hi / f}])[cols]
+
+
+def quota_allocation(ds, group_col: str, total: int, *,
+                     num_partitions: int | None = None) -> "pd.DataFrame":
+    """Largest-remainder (Hamilton) quota allocation: split ``total``
+    sample/shard slots across groups proportionally to their row
+    counts, in EXACT integer arithmetic — the allocation step behind
+    stratified budgets that float rounding gets wrong (quotas that sum
+    to total±1 and flap between runs).  seats_g = total·n_g; base =
+    seats_g // N; the ``total − Σ base`` leftover seats go to the
+    largest remainders (seats_g mod N), ties to the lexicographically
+    first group — so the result is bit-stable and always sums to
+    ``total`` exactly.
+
+    Scale shape: one keyed_count reduce; the allocation folds the
+    bounded per-group table on the driver.
+
+    Output: (group, n_rows, quota) sorted by group."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.functions.agg import keyed_count
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column(group_col).is_valid())
+
+    cnt = keyed_count(
+        ds.select_columns([group_col]).map_batches(
+            drop_null, batch_format="pyarrow"),
+        [group_col], count_col="n_rows",
+        num_partitions=num_partitions).to_pandas()
+    if not len(cnt):
+        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                             "n_rows": pd.Series([], dtype="int64"),
+                             "quota": pd.Series([], dtype="int64")})
+    cnt = cnt.sort_values(group_col).reset_index(drop=True)
+    n = cnt["n_rows"].to_numpy(np.int64)
+    big_n = int(n.sum())
+    seats = [int(total) * int(x) for x in n]         # exact ints
+    base = np.array([s // big_n for s in seats], dtype=np.int64)
+    rem = np.array([s % big_n for s in seats], dtype=np.int64)
+    extra = int(total) - int(base.sum())
+    order = np.lexsort((np.arange(len(cnt)), -rem))  # rem desc, grp asc
+    quota = base.copy()
+    quota[order[:extra]] += 1
+    cnt["quota"] = quota
+    return cnt[[group_col, "n_rows", "quota"]].astype(
+        {"n_rows": "int64", "quota": "int64"})

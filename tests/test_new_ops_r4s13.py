@@ -1239,3 +1239,21 @@ def test_ivf_append_extends_index(ray_session, tmp_path):
     # the appended half is now retrievable: query one of ITS vectors
     hit = ivf_query(idx, "vec_id", "embedding", emb[300], k=1, nprobe=8)
     assert hit["vec_id"].iloc[0] == 300
+
+
+# -------------------------------------------------- quota_allocation
+
+def test_quota_sums_exactly_and_is_proportional(ray_session):
+    from packs_ray.functions.sampling import quota_allocation
+
+    df = pd.DataFrame({"g": ["a"] * 17 + ["b"] * 43 + ["c"] * 40})
+    out = quota_allocation(_ds(df).repartition(3), "g", 10)
+    assert out["quota"].sum() == 10
+    q = out.set_index("g")["quota"]
+    # proportional within 1 seat of n_g * total / N
+    assert q["a"] in (1, 2) and q["b"] in (4, 5) and q["c"] == 4
+    # exact tie: equal remainders -> earlier group gets the seat
+    df2 = pd.DataFrame({"g": ["x"] * 50 + ["y"] * 50})
+    out2 = quota_allocation(_ds(df2), "g", 3)
+    assert out2["quota"].tolist() == [2, 1]
+    assert out2["quota"].sum() == 3
