@@ -766,12 +766,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def pca_project_embeddings(sf):
         # top-2 principal-component projection over the same exact
         # covariance sums; eigh is driver-side on the 64x64 matrix so
-        # no SQL twin exists (pytest-gated: numpy parity + sign pin)
+        # the oracle reads a driver-side numpy ground-truth artifact
+        # (_ensure_pca_artifact) rather than an SQL recompute
         from packs_ray.functions.similarity import pca_project
 
         src = _ds(sf, "embeddings", ["vec_id", "embedding"]).map_batches(
             _plant_null_vecs(37), batch_format="pyarrow")
-        return pca_project(src, "vec_id", "embedding", k=2, dim=64)
+        return pca_project(src, "vec_id", "embedding",
+                           k=2, dim=64).sort("vec_id")
 
     def stratified_split_orders(sf):
         # exact-proportion per-stratum split; result = counts per
@@ -973,7 +975,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         fixture = _ds(sf, "documents", ["doc_id", "text"]).map_batches(
             plant, batch_format="pyarrow")
-        return pii_spans(fixture, "doc_id", "text", concurrency=(1, 2))
+        # canonical ORDER BY on both sides (the r03 hash-red lesson);
+        # truth spans ride a per-sf parquet artifact the SQL reads
+        return pii_spans(fixture, "doc_id", "text",
+                         concurrency=(1, 2)).sort(
+            ["doc_id", "kind", "start", "end"])
 
     def equi_depth_lineitem(sf):
         # equal-frequency 16-tile histogram over l_extendedprice with
@@ -1039,12 +1045,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return nfc_normalize(fixture, "doc_id", "text")
 
     def compression_ratio_documents(sf):
-        # zlib-ratio spam/repetition proxy (no SQL twin: zlib is not
-        # expressible in DuckDB; gated by pytest + rows-only check)
+        # zlib-ratio spam/repetition proxy; zlib is not expressible in
+        # DuckDB, so the oracle reads a driver-side ground-truth parquet
+        # artifact (_ensure_compression_artifact) instead of recomputing
         from packs_ray.functions.textstats import compression_ratio
 
         return compression_ratio(
-            _ds(sf, "documents", ["doc_id", "text"]), "doc_id", "text")
+            _ds(sf, "documents", ["doc_id", "text"]), "doc_id",
+            "text").sort("doc_id")
 
     def edit_join_customer_supplier(sf):
         # exact Levenshtein<=2 record linkage (PassJoin segment
@@ -6657,6 +6665,179 @@ def _ensure_phash_artifact() -> str:
     return path
 
 
+def _oracle_sf_tag() -> tuple[str, str]:
+    """(sf_dir, filename tag) for sf-dependent ground-truth artifacts:
+    the driver/replica point GRAFT_ORACLE_SF at the compare dir
+    (scripts/check_correctness.py sets it), so artifacts regenerate per
+    sf instead of silently reusing another scale's truth table."""
+    import hashlib
+    import os
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return sf_dir, hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+
+
+def _ensure_pii_spans_artifact() -> str:
+    """Ground-truth PII span offsets for pii_spans_documents, computed
+    DRIVER-SIDE with plain ``re.finditer`` over the planted fixture —
+    independently of the engine's RE2 prefilter + actor-pool path
+    (packs_ray/functions/pii.py PiiSpanStage): every row is scanned, no
+    candidate-chars shortcut, so a prefilter that wrongly skipped a row
+    would show up as a hash mismatch.  Persisted once per sf dir (the
+    media-truth pattern, _ensure_media_artifacts)."""
+    import os
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.config import DEFAULT_CONFIG
+
+    sf_dir, tag = _oracle_sf_tag()
+    d = "/tmp/packs_ray_data"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/pii_spans_truth_{tag}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        bank = [(k, _re.compile(p)) for k, p in DEFAULT_CONFIG.pii_patterns]
+        out_id, out_kind, out_s, out_e = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            if text is None:
+                continue
+            m = doc_id % 4                      # same plant as the query
+            if m == 1:
+                text = text + f" contact user{doc_id}@example.com"
+            elif m == 2:
+                text = text + " server 10.0.0.7"
+            for kind, rx in bank:
+                for hit in rx.finditer(text):
+                    out_id.append(doc_id)
+                    out_kind.append(kind)
+                    out_s.append(hit.start())
+                    out_e.append(hit.end())
+        pq.write_table(pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "kind": pa.array(out_kind, type=pa.string()),
+            "start": pa.array(out_s, type=pa.int64()),
+            "end": pa.array(out_e, type=pa.int64())}), path)
+    return path
+
+
+def _ensure_compression_artifact() -> str:
+    """Ground-truth zlib ratios for compression_ratio_documents,
+    computed driver-side row-at-a-time in plain Python (the engine path
+    is a vectorized map_batches stage, textstats.compression_ratio) —
+    both sides call this container's zlib at level 6, so the artifact
+    pins the (n_bytes, n_compressed, ratio) triple the SQL can't
+    express.  Persisted once per sf dir."""
+    import os
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir, tag = _oracle_sf_tag()
+    d = "/tmp/packs_ray_data"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/compression_truth_{tag}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids, n_b, n_c, ratio = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            if text is None:
+                continue
+            raw = text.encode("utf-8")
+            comp = zlib.compress(raw, 6)
+            ids.append(doc_id)
+            n_b.append(len(raw))
+            n_c.append(len(comp))
+            ratio.append(len(comp) / len(raw) if len(raw) > 0 else 1.0)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_bytes": pa.array(n_b, type=pa.int64()),
+            "n_compressed": pa.array(n_c, type=pa.int64()),
+            "ratio": pa.array(ratio, type=pa.float64())}), path)
+    return path
+
+
+def _ensure_pca_artifact() -> str:
+    """Ground-truth top-2 PCA projection for pca_project_embeddings,
+    computed driver-side in one numpy pass: the same exact micro-int
+    power sums the engine folds distributively
+    (similarity._cov_power_sums — integer sums are order-free, so a
+    single-pass driver replica is bit-identical by construction), the
+    same pinned per-cell covariance expression, one eigh, the same
+    largest-|.|-component sign pin, and a whole-matrix projection.  The
+    engine projects per batch at arbitrary block splits; agreement at
+    6dp is exactly the batch-invariance the cross-parallelism sweep
+    asserts.  Null planting mirrors the query (vec_id % 37 -> null).
+    Persisted once per sf dir."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from packs_ray.stages.util import round_half_away as _r
+
+    sf_dir, tag = _oracle_sf_tag()
+    d = "/tmp/packs_ray_data"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/pca_truth_{tag}.parquet"
+    if not os.path.exists(path):
+        dim, k = 64, 2
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(emb).fill_null(0).to_numpy(
+            zero_copy_only=False)
+        keep = (emb.is_valid().to_numpy(zero_copy_only=False)
+                & (lens == dim) & (ids % 37 != 0))   # query's null plant
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        rows = np.flatnonzero(keep)
+        m = np.stack([flat[s:s + dim]
+                      for s in starts[rows]]) if len(rows) \
+            else np.zeros((0, dim))
+        fin = np.isfinite(m).all(axis=1) if len(m) else \
+            np.zeros(0, dtype=bool)
+        m, rows = m[fin], rows[fin]
+        micro = _r(m * 1e6, 0).astype(np.int64)
+        n = micro.shape[0]
+        assert n == 0 or int(np.abs(micro).max()) ** 2 * n < 2 ** 62, \
+            "int64 power-sum overflow: chunk the matmul"
+        s2m = micro.T @ micro
+        s1v = micro.sum(axis=0)
+        cov = np.zeros((dim, dim))
+        for i in range(dim):
+            for j in range(i, dim):
+                v = (float(s2m[i, j]) / n
+                     - float(s1v[i]) * float(s1v[j]) / n / n) / 1e12
+                cov[i, j] = cov[j, i] = v
+        mean = np.array([float(x) / n / 1e6 for x in s1v])
+        w, v = np.linalg.eigh(cov)
+        comps = v[:, ::-1][:, :k].copy()
+        for c in range(comps.shape[1]):
+            if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+                comps[:, c] = -comps[:, c]
+        z = (m - mean) @ comps
+        cols = {"vec_id": pa.array(ids[rows].astype(np.int64))}
+        for c in range(k):
+            cols[f"pc{c + 1}"] = pa.array(
+                _r(z[:, c], 6) if n else np.zeros(0), type=pa.float64())
+        pq.write_table(pa.table(cols), path)
+    return path
+
+
 def _phash_hashes_cte() -> str:
     """Shared CTE computing each image's 64-bit dHash from ground-truth
     gray pixels with the EXACT integer spec of multimodal.dhash64:
@@ -11021,6 +11202,21 @@ def oracle_sql() -> dict[str, str]:
     JOIN s1 sa ON sa.i = s2.i
     JOIN s1 sb ON sb.i = s2.j
     ORDER BY i, j""",
+        # driver-side ground-truth artifacts (the media-truth pattern)
+        # for the three operators whose kernels SQL cannot express:
+        # plain-re span offsets, zlib byte counts, eigh projections
+        "pii_spans_documents": f"""
+    SELECT doc_id, kind, "start", "end"
+    FROM read_parquet('{_ensure_pii_spans_artifact()}')
+    ORDER BY doc_id, kind, "start", "end" """,
+        "compression_ratio_documents": f"""
+    SELECT doc_id, n_bytes, n_compressed, ratio
+    FROM read_parquet('{_ensure_compression_artifact()}')
+    ORDER BY doc_id""",
+        "pca_project_embeddings": f"""
+    SELECT vec_id, pc1, pc2
+    FROM read_parquet('{_ensure_pca_artifact()}')
+    ORDER BY vec_id""",
         # sampling.stratified_split: same hash chain as hash_split,
         # rank by (h, id) in group, cumulative half-away thresholds
         "stratified_split_orders": _stratified_split_sql(
