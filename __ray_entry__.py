@@ -7119,7 +7119,8 @@ def _dp_counts_sql(table: str, group_col: str, epsilon: float,
                    salt: str) -> str:
     """pii.dp_counts replica: exact group counts + the SAME
     FNV-1a(CAST(g AS VARCHAR)) * salt * finalize chain, u = (h mod
-    2^53)/2^53, Laplace inverse-CDF with libm ln, 6dp pin."""
+    (2^53-1) + 1)/2^53 (both Laplace endpoints excluded — u = 0 would
+    hit ln(0)), Laplace inverse-CDF with libm ln, 6dp pin."""
     from packs_ray.functions.sampling import _salt_constant
 
     sc = int(_salt_constant(salt))
@@ -7137,8 +7138,8 @@ def _dp_counts_sql(table: str, group_col: str, epsilon: float,
                + h // {1 << 35}::HUGEINT) AS h FROM f1),
     f2 AS (SELECT g, n, {_mul64_sql('h', 0xFF51AFD7ED558CCD)} AS h FROM fr),
     u AS (SELECT g, n,
-                 (h % {1 << 53}::HUGEINT)::DOUBLE / {float(1 << 53)} - 0.5
-                     AS c
+                 (h % {(1 << 53) - 1}::HUGEINT + 1)::DOUBLE
+                     / {float(1 << 53)} - 0.5 AS c
           FROM f2)
     SELECT g AS {group_col}, n,
            round(n + CASE WHEN c = 0 THEN 0.0
@@ -10898,11 +10899,14 @@ def oracle_sql() -> dict[str, str]:
     FROM w ORDER BY day""",
         "fingerprint_orders": f"""
     WITH v AS (SELECT
-        coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL')
-        || chr(31) ||
-        coalesce(CAST(o_orderstatus AS VARCHAR), chr(1) || 'NULL')
-        || chr(31) ||
-        coalesce(CAST(o_orderpriority AS VARCHAR), chr(1) || 'NULL')
+        coalesce(length(CAST(o_orderkey AS VARCHAR))::VARCHAR || ':'
+                 || CAST(o_orderkey AS VARCHAR), 'N:')
+        ||
+        coalesce(length(CAST(o_orderstatus AS VARCHAR))::VARCHAR || ':'
+                 || CAST(o_orderstatus AS VARCHAR), 'N:')
+        ||
+        coalesce(length(CAST(o_orderpriority AS VARCHAR))::VARCHAR || ':'
+                 || CAST(o_orderpriority AS VARCHAR), 'N:')
             AS sv
         FROM orders),
     b AS (SELECT hex(encode(sv)) AS hx,
@@ -11133,7 +11137,8 @@ def oracle_sql() -> dict[str, str]:
     all_ AS (SELECT * FROM snap UNION ALL
              SELECT * FROM upd UNION ALL SELECT * FROM del_),
     r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
-              ORDER BY o_orderdate DESC, src DESC) AS rn
+              ORDER BY o_orderdate DESC, src DESC, o_totalprice DESC,
+                       op DESC) AS rn
           FROM all_)
     SELECT o_orderkey, o_totalprice, o_orderdate
     FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",

@@ -878,6 +878,27 @@ def _exact_int_sum(arr) -> int:
     return sum(int(c.sum()) for c in chunks)
 
 
+def _exact_prod_sum(a, b) -> int:
+    """Sum of elementwise products Σ a_i·b_i, exact for int64 operand
+    arrays of ANY magnitude: chunk length adapts to the provable
+    product bound so no vectorized partial can wrap, and once even a
+    single product could exceed int64 (|a_i·b_i| ≥ 2^62) the whole sum
+    falls back to arbitrary-precision Python ints.  Use this instead
+    of ``_exact_int_sum(a * b)``, whose elementwise product silently
+    wraps above ~3e9·3e9."""
+    import numpy as np
+
+    n = len(a)
+    if n == 0:
+        return 0
+    ma, mb = int(np.abs(a).max()), int(np.abs(b).max())
+    if ma * mb >= 2 ** 62:          # Python-int compare: cannot wrap
+        return sum(int(x) * int(y) for x, y in zip(a.tolist(), b.tolist()))
+    step = max(1, min(n, (2 ** 62) // max(ma * mb, 1)))
+    return sum(int((a[k:k + step] * b[k:k + step]).sum())
+               for k in range(0, n, step))
+
+
 def trend_per_key(ds, key_col: str, ts_col: str, value_col: str, *,
                   num_buckets: int | None = None):
     """Per-key least-squares time trend: the slope of ``value`` over

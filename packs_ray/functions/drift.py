@@ -989,9 +989,13 @@ def welch_ttest(ds_a, ds_b, column: str) -> pd.DataFrame:
     unequal variances and sizes stay honest.
 
     Exactness: each side reduces to three exact integer power sums
-    over integer cents (n, Σc, Σc²) — per-batch int64 partials
-    (bounded: |value| < 9e7 at 64Ki-row batches), Python-int driver
-    accumulation, no float ever crosses a partition boundary.  The
+    over integer cents (n, Σc, Σc²) — per-batch partials with
+    Python-int driver accumulation, no float ever crosses a partition
+    boundary.  Σc² is computed magnitude-adaptively
+    (``agg._exact_prod_sum``) and rides between partitions as a
+    decimal string, so the sums stay exact for any |value| whose cents
+    fit int64 (~9.2e16); Σc needs only the int64 column (65536-row
+    batches of int64 cents cannot wrap its chunk sums).  The
     final t / dof are ONE pinned float64 expression both the engine
     and the DuckDB twin evaluate literally (HUGEINT sums cast to
     DOUBLE at the same points).
@@ -1010,13 +1014,16 @@ def welch_ttest(ds_a, ds_b, column: str) -> pd.DataFrame:
             import numpy as np
             import pyarrow as pa
 
+            from packs_ray.functions.agg import _exact_prod_sum
+
             col = batch.column(column)
             v = col.drop_null().to_numpy(zero_copy_only=False)
             c = np.round(v * 100.0).astype(np.int64)
             return pa.table({
                 "n": pa.array([len(c)], type=pa.int64()),
                 "s1": pa.array([_exact_int_sum(c)], type=pa.int64()),
-                "s2": pa.array([_exact_int_sum(c * c)], type=pa.int64())})
+                "s2": pa.array([str(_exact_prod_sum(c, c))],
+                               type=pa.string())})
 
         p = ds.select_columns([column]).map_batches(
             partial, batch_format="pyarrow").to_pandas()

@@ -682,10 +682,12 @@ def cdc_merge(snapshot_ds, changelog_ds, key_cols: list[str],
     snapshot — the merge step between :func:`dedup_latest` (upsert-only
     latest-wins) and :func:`drift.snapshot_diff` (which DETECTS the
     delta; this APPLIES one): per key the newest record wins, where
-    "newest" orders by (ts, source) with the changelog beating the
-    snapshot on ties (a change observed at the same instant as the
-    base row supersedes it), and a winning ``op_col`` = 'D' tombstone
-    removes the key entirely.
+    "newest" orders by (ts, source, payload..., op) — the changelog
+    beats the snapshot on ts ties (a change observed at the same
+    instant as the base row supersedes it), and the payload + op tail
+    pins the winner deterministically even for changelogs with
+    duplicate (key, ts) rows (no arrival-order dependence).  A winning
+    ``op_col`` = 'D' tombstone removes the key entirely.
 
     Changelog rows must carry ``op_col`` in {'U', 'D'}; snapshot rows
     need no op column (one is added as 'U').  Null keys/ts drop.
@@ -732,8 +734,16 @@ def cdc_merge(snapshot_ds, changelog_ds, key_cols: list[str],
     if num_partitions is None:
         num_partitions = reduce_partition_count(snapshot_ds)
 
+    # winner = max under (ts, src, payload..., op): the payload + op
+    # tail makes the pick deterministic even when multiple changelog
+    # rows share (key, ts, src) — arrival/partition order never
+    # decides (fully identical rows tie, but then the winner is
+    # identical too); the SQL twin mirrors the same DESC chain
+    tie_cols = [c for c in payload if c not in set(key_cols + [ts_col])]
+
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_cols + [ts_col, "__src"], kind="stable")
+        g = g.sort_values(key_cols + [ts_col, "__src"] + tie_cols
+                          + ["__op"], kind="stable")
         win = g.groupby(key_cols, sort=False).tail(1)
         win = win[win["__op"] != "D"]
         return win[payload]

@@ -394,7 +394,10 @@ def id_gaps(ds, id_col: str, num_partitions: int | None = None) -> pd.DataFrame:
 def table_fingerprint(ds, cols: list[str], *, buckets: int = 16):
     """Order-free table fingerprint for cross-system reconciliation:
     every row hashes to 64 bits (FNV-1a + finalize over the
-    chr(31)-joined string casts, nulls as a chr(1) sentinel), and each
+    concatenated LENGTH-PREFIXED string casts — each field rides as
+    ``{char_len}:{value}`` and null as ``N:``, so the encoding is
+    prefix-free: no value, including one containing separators or a
+    would-be sentinel literal, can alias another row), and each
     of ``buckets`` hash buckets reports (n_rows, sum of hashes mod
     2^64).  Addition is commutative, so the digest is independent of
     row order, partitioning and cluster size — two systems holding the
@@ -425,9 +428,12 @@ def table_fingerprint(ds, cols: list[str], *, buckets: int = 16):
         for c in cols:
             col = batch.column(c)
             s = col.cast(pa.string())
-            s = pc.fill_null(s, "\x01NULL")
-            parts.append(s)
-        joined = pc.binary_join_element_wise(*parts, "\x1f") \
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            ln = pc.utf8_length(s).cast(pa.string())
+            enc = pc.binary_join_element_wise(ln, s, ":")  # {len}:{val}
+            parts.append(pc.fill_null(enc, "N:"))
+        joined = pc.binary_join_element_wise(*parts, "") \
             if len(parts) > 1 else parts[0]
         h, _valid = _fnv1a_str(joined.combine_chunks()
                                if isinstance(joined, pa.ChunkedArray)

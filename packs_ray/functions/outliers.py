@@ -724,8 +724,10 @@ def seasonal_decompose_daily(ds, ts_col: str, value_col: str, *,
     doesn't masquerade as seasonality).
 
     Exactness: the detrended deviation is kept in exact integer
-    micro-units — 7*cents[t] - sum7[t] (both int64) — so the per-
-    weekday numerator is an exact integer sum; only the final
+    micro-units — 7*cents[t] - sum7[t], with sum7 an int64
+    convolution over the gap-masked daily array (exact while each
+    7-day cents sum stays inside int64; no float64 round-trip) — so
+    the per-weekday numerator is an exact integer sum; only the final
     index = num / (7*cnt) and the ≤7-term centering fold are floats,
     pinned to the oracle's expression order (list_sum left fold by
     weekday).  Days without a full 7-day calendar window (boundaries,
@@ -769,16 +771,32 @@ def seasonal_decompose_daily(ds, ts_col: str, value_col: str, *,
         return empty
     daily = daily.sort_values("day").reset_index(drop=True)
     daily["day"] = pd.to_datetime(daily["day"])
-    # full-calendar reindex: a missing day voids every window it touches
+    # full calendar with explicit gap masking: a missing day voids
+    # every window it touches.  The window sums stay int64 end-to-end
+    # (a pandas reindex would pass through a NaN-bearing float64
+    # series and silently lose cents beyond 2^53) — each centered
+    # 7-day sum is one exact int64 convolution term, so the claimed
+    # bound is |7-day cents sum| < 2^63, not 2^53.
     cal = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D")
-    ser = daily.set_index("day")["cents"].reindex(cal)
-    roll = ser.rolling(7, center=True, min_periods=7).sum()
-    ok = roll.notna() & ser.notna()
+    n = len(cal)
+    if n < 7:
+        return empty
+    idx = ((daily["day"] - cal[0]) // pd.Timedelta(days=1)) \
+        .to_numpy(np.int64)
+    present = np.zeros(n, dtype=bool)
+    present[idx] = True
+    ivals = np.zeros(n, dtype=np.int64)
+    ivals[idx] = daily["cents"].to_numpy(np.int64)
+    kern = np.ones(7, dtype=np.int64)
+    win_sum = np.convolve(ivals, kern, mode="valid")   # center t = i + 3
+    win_cnt = np.convolve(present.astype(np.int64), kern, mode="valid")
+    centers = np.arange(3, n - 3)
+    ok = present[centers] & (win_cnt == 7)
     if not ok.any():
         return empty
-    cents = ser[ok].to_numpy(np.int64)
-    d7 = roll[ok].to_numpy(np.float64).astype(np.int64)
-    weekday = (ser.index[ok].dayofweek + 1).to_numpy(np.int64)
+    cents = ivals[centers][ok]
+    d7 = win_sum[ok]
+    weekday = (cal[centers][ok].dayofweek + 1).to_numpy(np.int64)
     num = 7 * cents - d7                       # exact int micro-units
     sw = (pd.DataFrame({"weekday": weekday, "num": num})
           .groupby("weekday", sort=True)

@@ -635,7 +635,12 @@ def dp_counts(ds, group_col: str, *, epsilon: float = 1.0,
     cnt = cnt.sort_values(group_col).reset_index(drop=True)
     h, _valid = _fnv1a_str(pa.array(cnt[group_col].astype(str)))
     h = _finalize(h * _salt_constant(salt))
-    u = (h % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53)
+    # u in [2^-53, 1 - 2^-53]: the mod-(2^53-1)-plus-1 map keeps both
+    # Laplace branch endpoints out of the domain (u = 0 would put
+    # c = -0.5 into ln(1 - 2|c|) = ln 0), every value exactly
+    # representable; the SQL twin evaluates the identical chain
+    u = ((h % np.uint64((1 << 53) - 1)) + np.uint64(1)) \
+        .astype(np.float64) / float(1 << 53)
     b = 1.0 / float(epsilon)
     noisy = []
     for n_i, u_i in zip(cnt["n"].to_numpy(np.int64), u):

@@ -976,8 +976,16 @@ def test_fingerprint_null_sentinel(ray_session):
         _ds(pd.DataFrame({"k": [1], "s": [None]})), ["k", "s"])
     b = table_fingerprint(
         _ds(pd.DataFrame({"k": [1], "s": ["\x01NULL"]})), ["k", "s"])
-    # sentinel collision is by design (documented); digests equal
-    pd.testing.assert_frame_equal(a, b)
+    # length-prefixed encoding: a real value can never alias the null
+    # marker (the old in-band sentinel collided here by design)
+    assert not a.equals(b)
+    # separator injection cannot alias either: ("a\x1fb", "c") vs
+    # ("a", "b\x1fc") hash differently under {len}:{val} prefixes
+    c = table_fingerprint(
+        _ds(pd.DataFrame({"k": ["a\x1fb"], "s": ["c"]})), ["k", "s"])
+    d = table_fingerprint(
+        _ds(pd.DataFrame({"k": ["a"], "s": ["b\x1fc"]})), ["k", "s"])
+    assert not c.equals(d)
 
 
 # -------------------------------------------------- out_of_order_profile
