@@ -158,3 +158,173 @@ class PerplexityModel:
         """Mean negative bigram log2-prob per row; 0.0 for rows with < 2
         bytes (null/empty/1-char rows are the other rules' business)."""
         return bits_per_byte_from_logp(self.logp, text)
+
+
+# ------------------------------------------------- real-model seam (gated)
+#
+# The north star names fastText langid and KenLM perplexity explicitly.
+# This container ships neither the libraries nor downloadable artifacts,
+# so the stages default to the deterministic stand-ins above — but the
+# seam below accepts REAL model artifacts when they exist (the dbt-gate
+# convention, functions/dbt_adapter.py: probe availability, fail with an
+# actionable message, identical call surface either way):
+#
+# - ``ArpaLM`` loads any KenLM-format ARPA n-gram file (the public
+#   textual format `kenlm` itself trains to) with a pure-Python parser
+#   + standard backoff query — usable HERE, today, with a locally-built
+#   .arpa; it also probes for the `kenlm` C library and uses it when
+#   importable (bit-identical scores, far faster).
+# - ``FastTextLangId`` wraps a real fastText ``.bin``/``.ftz`` behind an
+#   import probe of the `fasttext` library (the .bin format is only
+#   readable through it).
+#
+# ``load_langid_model`` / ``load_perplexity_model`` are the single
+# dispatch points the stages call: explicit path argument first, then
+# the PACKS_RAY_FASTTEXT_BIN / PACKS_RAY_KENLM_ARPA environment probes,
+# then the stand-in.  Paths (not model objects) ride in
+# ``fn_constructor_kwargs`` so every actor loads its own copy once.
+
+
+class ArpaLM:
+    """Word n-gram language model read from a KenLM/SRILM ARPA file.
+
+    Standard backoff query (Katz/interpolated — the ARPA file already
+    encodes whichever the trainer used): ``p(w|h)`` is the stored
+    n-gram log10-prob when present, else ``backoff(h) + p(w|h[1:])``;
+    words outside the vocabulary score as ``<unk>`` when the model has
+    one, else a floor of -7 log10 (KenLM convention is always-has-unk).
+    Sentences are scored as ``<s> w1 .. wn </s>`` like ``kenlm``'s
+    ``score(text, bos=True, eos=True)``.
+
+    The pure-Python query loop is the correctness seam, not the scale
+    path: with the `kenlm` package importable the class delegates to it
+    (same file, same scores); at 10^12-turn scale you would always
+    install the C library on the workers.  Either way the model loads
+    ONCE per actor (stage ``__init__``) and the artifact itself stays
+    on shared storage."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._kenlm = None
+        try:                                    # availability probe
+            import kenlm                        # type: ignore
+
+            self._kenlm = kenlm.Model(path)
+            self.order = self._kenlm.order
+            return
+        except ImportError:
+            pass
+        self.logp: dict[tuple[str, ...], float] = {}
+        self.backoff: dict[tuple[str, ...], float] = {}
+        self.order = 0
+        section = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("\\data\\"):
+                    continue
+                if line.startswith("\\end\\"):
+                    break
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    section = int(line[1:line.index("-")])
+                    self.order = max(self.order, section)
+                    continue
+                if section == 0:
+                    continue                    # "ngram N=count" headers
+                parts = line.split()    # tabs or spaces; words are
+                # always space-separated within the n-gram field
+                if len(parts) < section + 1:
+                    continue
+                lp = float(parts[0])
+                words = tuple(parts[1:1 + section])
+                self.logp[words] = lp
+                if len(parts) > section + 1:
+                    self.backoff[words] = float(parts[section + 1])
+        self.vocab = {w[0] for w in self.logp if len(w) == 1}
+        self.unk_logp = self.logp.get(("<unk>",), -7.0)
+
+    def _prob(self, context: tuple[str, ...], w: str) -> float:
+        """log10 p(w | context) with standard backoff recursion:
+        stored n-gram if present, else backoff(context) + shorter."""
+        ng = context + (w,)
+        if ng in self.logp:
+            return self.logp[ng]
+        if not context:
+            return self.unk_logp
+        return self.backoff.get(context, 0.0) + self._prob(context[1:], w)
+
+    def score(self, sentence: str) -> float:
+        """Total log10 prob of the sentence with <s>/</s> like kenlm."""
+        if self._kenlm is not None:
+            return float(self._kenlm.score(sentence, bos=True, eos=True))
+        toks = ["<s>"] + [t if t in self.vocab else "<unk>"
+                          for t in sentence.split()] + ["</s>"]
+        total = 0.0
+        for i in range(1, len(toks)):
+            ctx = tuple(toks[max(0, i - self.order + 1):i])
+            total += self._prob(ctx, toks[i])
+        return total
+
+    def bits_per_byte(self, text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Same contract as ``PerplexityModel.bits_per_byte``: mean
+        negative log2-prob per UTF-8 byte; 0.0 for empty/null rows."""
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        vals = pc.fill_null(text, "").to_pylist()
+        out = np.zeros(len(vals), dtype=np.float64)
+        log2_10 = np.log2(10.0)
+        for i, v in enumerate(vals):
+            nb = len(v.encode("utf-8"))
+            if nb == 0:
+                continue
+            out[i] = -self.score(v) * log2_10 / nb
+        return out
+
+
+class FastTextLangId:
+    """Real fastText language-ID model behind an import probe: the
+    ``.bin``/``.ftz`` container is only readable through the `fasttext`
+    library, so construction raises an actionable error where the
+    library is absent (this sandbox) and otherwise exposes the exact
+    ``predict_batch`` surface of the stand-in ``LangIdModel`` — the
+    stage code is identical either way."""
+
+    def __init__(self, path: str) -> None:
+        try:
+            import fasttext                    # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "fasttext library not importable — install `fasttext` on "
+                "the workers (or leave PACKS_RAY_FASTTEXT_BIN unset to use "
+                "the deterministic stand-in LangIdModel)") from e
+        self.model = fasttext.load_model(path)
+
+    def predict_batch(self, text: pa.Array | pa.ChunkedArray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        vals = [v.replace("\n", " ")
+                for v in pc.fill_null(text, "").to_pylist()]
+        labels, probs = self.model.predict(vals, k=2)
+        pred = np.array([(ls[0].replace("__label__", "") if ls else "und")
+                         for ls in labels], dtype=object)
+        margin = np.array([(ps[0] - ps[1]) if len(ps) > 1
+                           else (ps[0] if len(ps) else 0.0)
+                           for ps in probs], dtype=np.float64)
+        return pred, margin
+
+
+def load_langid_model(path: str | None = None):
+    """Dispatch: explicit path > PACKS_RAY_FASTTEXT_BIN env > stand-in."""
+    import os
+
+    path = path or os.environ.get("PACKS_RAY_FASTTEXT_BIN")
+    return FastTextLangId(path) if path else LangIdModel()
+
+
+def load_perplexity_model(path: str | None = None):
+    """Dispatch: explicit path > PACKS_RAY_KENLM_ARPA env > stand-in."""
+    import os
+
+    path = path or os.environ.get("PACKS_RAY_KENLM_ARPA")
+    return ArpaLM(path) if path else PerplexityModel()

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from packs_ray.config import DEFAULT_CONFIG, RULE_BIT, FilterConfig
-from packs_ray.models import LangIdModel, PerplexityModel
+from packs_ray.models import load_langid_model, load_perplexity_model
 from packs_ray.stages.util import str_column
 
 
@@ -28,9 +28,13 @@ class LangIdStage:
     """Adds ``lang`` (predicted language) and ORs the ``non_target_lang``
     rule bit for confident non-target predictions."""
 
-    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG) -> None:
+    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG, *,
+                 model_path: str | None = None) -> None:
         self.cfg = cfg
-        self.model = LangIdModel()  # once per actor
+        # once per actor: stand-in by default, real fastText .bin when
+        # model_path / PACKS_RAY_FASTTEXT_BIN points at one (gated
+        # loader, models.load_langid_model) -- identical surface
+        self.model = load_langid_model(model_path)
         self.keep = frozenset(cfg.keep_languages) | {"und"}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -46,9 +50,13 @@ class LangIdStage:
 class PerplexityStage:
     """Adds ``bits_per_byte`` and ORs the ``high_perplexity`` rule bit."""
 
-    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG) -> None:
+    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG, *,
+                 model_path: str | None = None) -> None:
         self.cfg = cfg
-        self.model = PerplexityModel()  # trained once per actor
+        # once per actor: byte-bigram stand-in by default, a real
+        # KenLM-format ARPA file when model_path / PACKS_RAY_KENLM_ARPA
+        # points at one (models.load_perplexity_model)
+        self.model = load_perplexity_model(model_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = str_column(batch, "text")
@@ -66,9 +74,11 @@ class QualityModelStage:
     a single fused pool keeps every actor busy and removes one
     inter-stage object-store hop per block."""
 
-    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG) -> None:
-        self.langid = LangIdStage(cfg)
-        self.ppl = PerplexityStage(cfg)
+    def __init__(self, cfg: FilterConfig = DEFAULT_CONFIG, *,
+                 langid_model_path: str | None = None,
+                 perplexity_model_path: str | None = None) -> None:
+        self.langid = LangIdStage(cfg, model_path=langid_model_path)
+        self.ppl = PerplexityStage(cfg, model_path=perplexity_model_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.ppl(self.langid(batch))
