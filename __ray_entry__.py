@@ -3967,6 +3967,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         "mostly": 0.3}},
             {"expectation_type": "expect_column_values_to_be_null",
              "kwargs": {"column": "c_acctbal", "mostly": 0.0}},
+            {"expectation_type": "expect_table_row_count_to_equal",
+             "kwargs": {"value": 1500}},
+            {"expectation_type":
+             "expect_column_quantile_values_to_be_between",
+             "kwargs": {"column": "c_acctbal", "quantile_ranges": {
+                 "quantiles": [0.25, 0.5, 0.75],
+                 "value_ranges": [[-2000.0, 5000.0], [0.0, 8000.0],
+                                  [4000.0, None]]}}},
+            {"expectation_type": "expect_column_values_to_be_in_type_list",
+             "kwargs": {"column": "c_acctbal",
+                        "type_list": ["DOUBLE", "float64"]}},
             {"expectation_type": "expect_column_kl_divergence_to_be_less_than",
              "kwargs": {"column": "c_acctbal"}},
         ]
@@ -10414,14 +10425,32 @@ def oracle_sql() -> dict[str, str]:
         FROM a
       UNION ALL SELECT 10, 'null_percent', 'c_acctbal',
         round((rows_n - n_bal) / rows_n, 6),
-        round((rows_n - n_bal) / rows_n, 6) >= 0.0 FROM a)
+        round((rows_n - n_bal) / rows_n, 6) >= 0.0 FROM a
+      UNION ALL SELECT 11, 'row_count_between', '__table__',
+        rows_n, rows_n = 1500 FROM a
+      UNION ALL SELECT 12, 'quantile_between', 'c_acctbal',
+        ((CASE WHEN quantile_cont(c_acctbal, 0.25)
+               NOT BETWEEN -2000.0 AND 5000.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN quantile_cont(c_acctbal, 0.5)
+                 NOT BETWEEN 0.0 AND 8000.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN quantile_cont(c_acctbal, 0.75) < 4000.0
+                 THEN 1 ELSE 0 END))::DOUBLE,
+        ((CASE WHEN quantile_cont(c_acctbal, 0.25)
+               NOT BETWEEN -2000.0 AND 5000.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN quantile_cont(c_acctbal, 0.5)
+                 NOT BETWEEN 0.0 AND 8000.0 THEN 1 ELSE 0 END)
+         + (CASE WHEN quantile_cont(c_acctbal, 0.75) < 4000.0
+                 THEN 1 ELSE 0 END)) = 0
+        FROM customer
+      UNION ALL SELECT 13, 'dtype_in_list', 'c_acctbal',
+        1.0::DOUBLE, TRUE FROM a)
     SELECT * FROM r
-    UNION ALL SELECT 11,
+    UNION ALL SELECT 14,
       'skipped:expect_column_kl_divergence_to_be_less_than', 'c_acctbal',
       NULL, FALSE
     UNION ALL SELECT -1, '__score__', '__dataset__',
       (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
-      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 11 FROM r)""",
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 14 FROM r)""",
         # checks_from_sodacl warn:/fail: threshold blocks + percent
         # one-liners: identical labels, strict boundaries, dup fraction
         "checks_sodacl_thresholds_orders": """

@@ -18,6 +18,14 @@ Check types:
 - values_in_set:   {type, column, values}        (all non-null in set)
 - unique:          {type, column}                (no duplicate values)
 - column_exists:   {type, column}                (schema-level)
+- quantile_between: {type, column, quantiles, ranges}  (GE
+  expect_column_quantile_values_to_be_between: every exact
+  quantile_cont value inside its [lo, hi]; null bound = unbounded;
+  observed = out-of-range count; distributed rank selection, never a
+  column materialize)
+- dtype_in_list:   {type, column, types}         (GE
+  expect_column_values_to_be_in_type_list — schema-level, Arrow type
+  matched case-insensitively against conventional alias sets)
 - skipped:         {type, name}                  (surfaced no-op: an
   unmapped upstream check — reported as a row with passed=False and
   excluded from the score denominator, never silently dropped)
@@ -97,7 +105,8 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     ``row_condition`` / dqops table filter semantics); rows with a null
     condition column are excluded."""
     NOSCAN = ("row_count_min", "row_count_between", "unique",
-              "duplicate_percent_max", "column_exists", "skipped")
+              "duplicate_percent_max", "column_exists", "skipped",
+              "quantile_between", "dtype_in_list")
     for c in checks:
         if c.get("when") is not None and c["type"] in NOSCAN:
             raise ValueError(
@@ -209,6 +218,13 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
 
             m = duplicate_metrics(ds, [c["column"]])
             agg[f"viol_{i}"] = int(m["duplicate_rows"].iloc[0])
+        elif c["type"] == "quantile_between":
+            # exact quantile_cont via the distributed rank selection
+            # (≤2 scans at any row count — never a column materialize)
+            from packs_ray.functions.profiling import quantile_thresholds
+
+            agg[f"q_{i}"] = quantile_thresholds(
+                ds, c["column"], list(c["quantiles"]))
 
     schema_names = None
     rows = []
@@ -231,6 +247,23 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
             if schema_names is None:
                 schema_names = set(ds.schema().names)
             observed = int(c["column"] in schema_names)
+            passed = bool(observed)
+        elif t == "quantile_between":
+            qv = agg[f"q_{i}"]
+            if qv is None:                      # no non-null values
+                observed, passed = None, False
+            else:
+                viol = sum(
+                    1 for v, (qlo, qhi) in zip(qv, c["ranges"])
+                    if (qlo is not None and v < qlo)
+                    or (qhi is not None and v > qhi))
+                observed, passed = viol, viol == 0
+        elif t == "dtype_in_list":
+            sch = ds.schema()
+            tmap = dict(zip(sch.names, sch.types))
+            at = tmap.get(c["column"])
+            observed = int(at is not None
+                           and _dtype_matches(at, c["types"]))
             passed = bool(observed)
         elif t == "duplicate_percent_max":
             pct = agg[f"viol_{i}"] / agg["rows"] if agg["rows"] else 0.0
@@ -433,6 +466,51 @@ def checks_from_sodacl(text: str) -> list[dict]:
     return out
 
 
+def _dtype_matches(arrow_type, names: list[str]) -> bool:
+    """True when an Arrow column type answers to any of the given GE
+    type-list names (GE suites name pandas/numpy/SQL types loosely —
+    'int64', 'INTEGER', 'object', 'DOUBLE' — so each Arrow type accepts
+    its conventional alias set, case-insensitively)."""
+    import pyarrow.types as pt
+
+    t = arrow_type
+    if not isinstance(t, pa.DataType):
+        # pandas-block datasets surface plain Python types in
+        # ray.data.Schema (e.g. `object` for string columns)
+        name = getattr(t, "__name__", str(t)).lower()
+        aliases = {name}
+        if name == "object":
+            aliases |= {"str", "string", "varchar", "text"}
+        elif name == "str":
+            aliases |= {"object", "string", "varchar", "text"}
+        return bool(aliases & {str(n).lower() for n in names})
+    aliases: set[str] = {str(t).lower()}
+    if pt.is_integer(t):
+        aliases |= {"int", "integer"}
+        if pt.is_int64(t) or pt.is_uint64(t):
+            aliases |= {"bigint", "long", "int64"}
+        if t.bit_width <= 32:
+            aliases |= {"int32"}
+    elif pt.is_floating(t):
+        aliases |= {"float", "double", "float64",
+                    "double precision", "numeric"}
+        if pt.is_float32(t):
+            aliases |= {"real", "float32"}
+    elif pt.is_string(t) or pt.is_large_string(t):
+        aliases |= {"str", "string", "varchar", "text", "object"}
+    elif pt.is_boolean(t):
+        aliases |= {"bool", "boolean"}
+    elif pt.is_timestamp(t):
+        aliases |= {"timestamp", "datetime", "datetime64",
+                    "datetime64[ns]", "datetime64[us]"}
+    elif pt.is_date(t):
+        aliases |= {"date"}
+    elif pt.is_decimal(t):
+        aliases |= {"decimal", "numeric"}
+    want = {str(n).lower() for n in names}
+    return bool(aliases & want)
+
+
 def _ge_not_null(kw):
     if kw.get("mostly", 1) < 1:
         return {"type": "not_null_percent", "column": kw["column"],
@@ -514,6 +592,26 @@ _GE_MAP = {
                     if kw.get("max_value") is not None
                     else {"type": "row_count_min",
                           "min": kw.get("min_value", 0)}),
+    "expect_table_row_count_to_equal":
+        lambda kw: {"type": "row_count_between",
+                    "min": kw["value"], "max": kw["value"]},
+    "expect_column_quantile_values_to_be_between":
+        # quantile semantics pinned to quantile_cont / np.percentile
+        # 'linear' (exact, SQL-replicable, distributed rank-select);
+        # GE's pandas engine uses 'nearest' interpolation — divergence
+        # only where a quantile falls strictly between two distinct
+        # order statistics (GE itself allows engine-dependent
+        # approximation via allow_relative_error)
+        lambda kw: {"type": "quantile_between", "column": kw["column"],
+                    "quantiles": [float(q) for q in
+                                  kw["quantile_ranges"]["quantiles"]],
+                    "ranges": [[None if lo is None else float(lo),
+                                None if hi is None else float(hi)]
+                               for lo, hi in
+                               kw["quantile_ranges"]["value_ranges"]]},
+    "expect_column_values_to_be_in_type_list":
+        lambda kw: {"type": "dtype_in_list", "column": kw["column"],
+                    "types": [str(t) for t in kw["type_list"]]},
 }
 
 

@@ -5993,3 +5993,71 @@ def test_tpch_q1_exact_cents(ray_session):
             (g["p"] * (100 - g["d"]) * (100 + g["t"])).sum() / 1e6)
         assert row["avg_disc"] == _r6(
             g["d"].sum() / len(g) / 100.0)
+
+
+def test_ge_long_tail_expectations(ray_session):
+    """expect_table_row_count_to_equal / quantile_values_to_be_between /
+    values_to_be_in_type_list — the round-5 long-tail mappings."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from packs_ray.functions.checks import (checks_from_expectations,
+                                            run_checks)
+
+    df = pd.DataFrame({"v": np.arange(101, dtype=np.float64),
+                       "s": [f"x{i}" for i in range(101)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    suite = [
+        {"expectation_type": "expect_table_row_count_to_equal",
+         "kwargs": {"value": 101}},
+        {"expectation_type": "expect_table_row_count_to_equal",
+         "kwargs": {"value": 100}},
+        {"expectation_type": "expect_column_quantile_values_to_be_between",
+         "kwargs": {"column": "v", "quantile_ranges": {
+             "quantiles": [0.25, 0.5, 0.75],
+             # exact quantile_cont of 0..100: 25, 50, 75
+             "value_ranges": [[25, 25], [None, 50], [80, None]]}}},
+        {"expectation_type": "expect_column_values_to_be_in_type_list",
+         "kwargs": {"column": "v", "type_list": ["DOUBLE", "int64"]}},
+        {"expectation_type": "expect_column_values_to_be_in_type_list",
+         "kwargs": {"column": "s", "type_list": ["int64"]}},
+    ]
+    out = run_checks(ds, checks_from_expectations(suite))
+    by_id = out.set_index("check_id")
+    assert bool(by_id.loc[0, "passed"]) and by_id.loc[0, "observed"] == 101
+    assert not by_id.loc[1, "passed"]
+    # q75 = 75 < 80 -> exactly one quantile violation
+    assert by_id.loc[2, "observed"] == 1 and not by_id.loc[2, "passed"]
+    assert bool(by_id.loc[3, "passed"])          # float64 in list
+    assert not by_id.loc[4, "passed"]            # string is not int64
+    score = out[out["check_id"] == -1].iloc[0]
+    assert score["observed"] == 2 and not score["passed"]
+
+
+def test_dtype_alias_matching():
+    import pyarrow as pa
+
+    from packs_ray.functions.checks import _dtype_matches
+
+    assert _dtype_matches(pa.int64(), ["BIGINT"])
+    assert _dtype_matches(pa.int32(), ["integer"])
+    assert not _dtype_matches(pa.int32(), ["bigint"])
+    assert _dtype_matches(pa.float64(), ["double precision"])
+    assert _dtype_matches(pa.string(), ["object"])
+    assert _dtype_matches(pa.timestamp("us"), ["datetime64[ns]"])
+    assert not _dtype_matches(pa.bool_(), ["int", "float"])
+
+
+def test_quantile_between_empty_column(ray_session):
+    import pandas as pd
+    import ray
+
+    from packs_ray.functions.checks import run_checks
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": pd.Series([None, None], dtype="float64")}))
+    out = run_checks(ds, [{"type": "quantile_between", "column": "v",
+                           "quantiles": [0.5], "ranges": [[0, 1]]}])
+    r = out[out["check_id"] == 0].iloc[0]
+    assert pd.isna(r["observed"]) and not r["passed"]
