@@ -14,6 +14,7 @@ from typing import Any, Callable
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _est_bytes_and_cpus(input_ds) -> tuple[int, int]:
@@ -141,7 +142,7 @@ def top_k_per_group(ds, keys: list[str], value_col: str, k: int,
         return df.groupby(keys, dropna=False, sort=False).head(k)
 
     def partial(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(local_topk(batch.to_pandas()),
+        return _table_from_pandas(local_topk(batch.to_pandas()),
                                     preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
@@ -162,7 +163,7 @@ def keyed_count(ds, keys: list[str], *, count_col: str = "cnt",
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys).to_pandas()
         out = df.groupby(keys, dropna=False, sort=False).size().reset_index(name=count_col)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -203,7 +204,7 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], *,
         ct = ct.reindex(columns=values, fill_value=0)
         ct.columns = cols
         ct = ct.reset_index().astype({c: "int64" for c in cols})
-        return pa.Table.from_pandas(ct, preserve_index=False)
+        return _table_from_pandas(ct, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -254,7 +255,7 @@ def rollup_counts(ds, cols: list[str], *, count_col: str = "cnt",
             df = batch.to_pandas()
             out = (df.groupby(_k, dropna=False, sort=False)[count_col]
                    .sum().reset_index())
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _table_from_pandas(out, preserve_index=False)
 
         def reduce_fn(g: pd.DataFrame, _k=keys) -> pd.DataFrame:
             return (g.groupby(_k, dropna=False, sort=False)[count_col]
@@ -334,7 +335,7 @@ def cube_counts(ds, cols: list[str], *, count_col: str = "cnt",
                 df = batch.to_pandas()
                 out = (df.groupby(_k, dropna=False, sort=False)[count_col]
                        .sum().reset_index())
-                return pa.Table.from_pandas(out, preserve_index=False)
+                return _table_from_pandas(out, preserve_index=False)
 
             def reduce_fn(g: pd.DataFrame, _k=ks) -> pd.DataFrame:
                 return (g.groupby(_k, dropna=False, sort=False)[count_col]
@@ -416,7 +417,7 @@ def groupwise_zscore(ds, key_col: str, value_col: str, *,
         g = df.groupby(key_col, sort=False)
         out = g.agg(__n=("__s", "size"), __s=("__s", "sum"),
                     __s2=("__s2", "sum")).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby(key_col, sort=False)
@@ -536,7 +537,7 @@ def grouped_stats(ds, key_col: str, value_col: str, *, scale: int = 100,
         out = g.agg(__n=("__n", "sum"), __s=("__s", "sum"),
                     __s2=("__s2", "sum"), __mn=("__mn", "min"),
                     __mx=("__mx", "max")).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         a = (g.groupby(key_col, dropna=False, sort=False)
@@ -667,7 +668,7 @@ def cooccurrence_pairs(ds, key_col: str, item_col: str, *,
     def marks(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, item_col]).to_pandas()
         df = df.dropna().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(marks, batch_format="pyarrow")
 
@@ -727,7 +728,7 @@ def pivot_sum(ds, key_col: str, pivot_col: str, value_col: str,
         pt = pt.reindex(columns=values, fill_value=0)
         pt.columns = cols
         pt = pt.reset_index().astype({c: "int64" for c in cols})
-        return pa.Table.from_pandas(pt, preserve_index=False)
+        return _table_from_pandas(pt, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -818,7 +819,7 @@ def target_encode(ds, cat_col: str, value_col: str, *, m: float = 10.0,
         out = (df.groupby(cat_col, sort=False)["cents"]
                .agg(n="size", cents="sum").reset_index())
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1157,7 +1158,7 @@ def contingency_profile(ds, col_a: str, col_b: str,
         out = (df.groupby([col_a, col_b], sort=False).size()
                .reset_index(name="obs"))
         out["obs"] = out["obs"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby([col_a, col_b], sort=False)["obs"].sum()
@@ -1231,7 +1232,7 @@ def association_summary(ds, col_a: str, col_b: str,
         out = (df.groupby([col_a, col_b], sort=False).size()
                .reset_index(name="obs"))
         out["obs"] = out["obs"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby([col_a, col_b], sort=False)["obs"].sum()
@@ -1484,7 +1485,7 @@ def tpch_q1(ds, *, cutoff: str = "1998-09-02", scale: int = 100,
         df["n"] = np.int64(1)
         out = df.groupby(["l_returnflag", "l_linestatus"],
                          dropna=False, sort=False).sum().reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby(["l_returnflag", "l_linestatus"], dropna=False,

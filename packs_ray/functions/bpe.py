@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _pair_counts(words: pd.Series, cnts: np.ndarray) -> pd.DataFrame:
@@ -89,7 +90,7 @@ def bpe_merges(ds, text_col: str, *, n_merges: int = 6,
         g = flat.value_counts().rename("cnt").rename_axis("word") \
             .reset_index()
         g["cnt"] = g["cnt"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def word_reduce(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("word", sort=False)["cnt"].sum().reset_index()
@@ -112,7 +113,7 @@ def bpe_merges(ds, text_col: str, *, n_merges: int = 6,
         g = _pair_counts(batch.column("state").to_pandas(),
                          batch.column("cnt").to_numpy(
                              zero_copy_only=False).astype(np.int64))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def pair_reduce(g: pd.DataFrame) -> pd.DataFrame:
         t = g.groupby(["l", "r"], sort=False)["cnt"].sum().reset_index()

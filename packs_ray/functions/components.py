@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 from packs_ray.functions.agg import bucketed_group_reduce, reduce_partition_count
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
@@ -40,7 +41,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b", *,
 
     if isinstance(pairs, pd.DataFrame):
         pairs = ray.data.from_arrow(
-            pa.Table.from_pandas(pairs[[id_a, id_b]], preserve_index=False))
+            _table_from_pandas(pairs[[id_a, id_b]], preserve_index=False))
     else:
         pairs = pairs.select_columns([id_a, id_b])
 

@@ -19,6 +19,7 @@ import pandas as pd
 import ray
 
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _column_values(ds, column: str, cap: int = 2_000_000,
@@ -160,7 +161,7 @@ def _cobucketed_frames(source_ds, target_ds, id_cols, value_cols,
             out = df[id_cols + value_cols].copy()
             out["__side"] = np.int8(side)
             out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _table_from_pandas(out, preserve_index=False)
         return fn
 
     src = source_ds.select_columns(id_cols + value_cols).map_batches(
@@ -282,7 +283,7 @@ def compare_mismatch_rows(source_ds, target_ds, id_cols: list[str],
                          "column": pa.string(), "source_value": pa.float64(),
                          "target_value": pa.float64()}
                 return pa.table({k: pa.array([], type=types[k]) for k in cols})
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _table_from_pandas(out, preserve_index=False)
 
         parts = source_ds.select_columns(id_cols + value_cols).map_batches(
             partial, batch_format="pyarrow").to_pandas()
@@ -1109,7 +1110,7 @@ def conformal_interval(ds, id_col: str, group_col: str, value_col: str,
                           * scale).astype(np.int64)
         g = df.groupby(group_col, sort=False)["c"] \
             .agg(["sum", "size"]).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     mp = sp.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
     out_cols = ["n_calib", "n_test", "q", "coverage", "target"]
@@ -1137,7 +1138,7 @@ def conformal_interval(ds, id_col: str, group_col: str, value_col: str,
         g = (pd.DataFrame({"split": df["split"].to_numpy(), "r": r})
              .groupby(["split", "r"], sort=False).size()
              .reset_index(name="cnt"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     parts = sp.map_batches(resid_partial,
                            batch_format="pyarrow").to_pandas()
@@ -1221,7 +1222,7 @@ def sprt_monitor(ds, ts_col: str, flag_col: str, *,
                            "n": np.ones(len(x), dtype=np.int64),
                            "x": x})
              .groupby("day", sort=False).sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)[["n", "x"]].sum() \

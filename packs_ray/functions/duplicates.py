@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from packs_ray.functions.agg import global_agg, keyed_count
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _key_hash128(batch: pa.Table, key_cols: list[str], num_partitions: int):
@@ -147,7 +148,7 @@ def dedup_against(ds, snapshot_ds, key_cols: list[str], id_col: str,
                 "__side": np.full(len(h1), side, dtype=np.int8)})
             if local_dedup:
                 out = out.drop_duplicates(["__h1", "__h2"])
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _table_from_pandas(out, preserve_index=False)
         return partial
 
     new_marks = ds.map_batches(mk_partial(0, False), batch_format="pyarrow")
@@ -185,7 +186,7 @@ def save_dedup_state(ds, key_cols: list[str], state_dir: str,
         h1, h2, _ = _key_hash128(batch.select(key_cols), key_cols, 1)
         out = pd.DataFrame({"__h1": h1, "__h2": h2}) \
             .drop_duplicates(["__h1", "__h2"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     tmp = os.path.join(state_dir, f".tmp_{run_id}")
     final = os.path.join(state_dir, run_id)
@@ -221,7 +222,7 @@ def dedup_against_state(ds, key_cols: list[str], id_col: str,
     def new_marks(batch: pa.Table) -> pa.Table:
         sel = batch.select([id_col] + key_cols)
         h1, h2, p = _key_hash128(sel, key_cols, num_partitions)
-        return pa.Table.from_pandas(pd.DataFrame({
+        return _table_from_pandas(pd.DataFrame({
             id_col: sel.column(id_col).to_pandas(),
             "__h1": h1, "__h2": h2, "__p": p,
             "__side": np.full(len(h1), 0, dtype=np.int8)}),
@@ -307,7 +308,7 @@ def dedup_exact(ds, key_cols: list[str], order_col: str,
         out = (df.groupby(["__p", "__h1", "__h2"], dropna=False, sort=False)
                .agg({order_col: "min", **{c: "first" for c in key_cols}})
                .reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # sort so "first" key value is the one carried by the min-order row
@@ -351,7 +352,7 @@ def dedup_latest(ds, key_cols: list[str], ts_col: str, id_col: str,
         df = sel.to_pandas()
         df = df.assign(__h1=h1, __h2=h2, __p=p)
         out = best(df, ["__p", "__h1", "__h2"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return best(g, ["__h1", "__h2"])[cols]
@@ -399,7 +400,7 @@ def dup_size_histogram(ds, key_cols: list[str],
         out = (df.groupby("group_size", sort=False).size()
                .reset_index(name="n_groups"))
         out["n_groups"] = out["n_groups"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = per_group.map_batches(partial, batch_format="pyarrow")
 
@@ -609,7 +610,7 @@ def key_collisions(ds, key_col: str, num_partitions: int | None = None):
         h = pd.util.hash_array(out["norm_key"].to_numpy(dtype=object))
         out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = (g.groupby("norm_key", sort=False)

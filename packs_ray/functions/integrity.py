@@ -20,6 +20,7 @@ import ray
 
 from packs_ray.functions.agg import global_agg
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _combined_hash(arrays: list[np.ndarray]) -> np.ndarray:
@@ -303,7 +304,7 @@ def candidate_keys(ds, columns: list[str], *, max_arity: int = 2,
             {"__cid": [], "__h1": [], "__h2": []}, dtype="int64")
         out["__p"] = (out["__h1"].to_numpy().view(np.uint64)
                       % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = (g.drop_duplicates(["__cid", "__h1", "__h2"])

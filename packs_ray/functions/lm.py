@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from packs_ray.models import _utf8_buffers, bits_per_byte_from_logp
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _batch_bigram_counts(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -158,7 +159,7 @@ def train_token_bigram_counts(ds, text_col: str, vocab,
         g = (pd.DataFrame({"w1": w1, "w2": w2})
              .groupby(["w1", "w2"], sort=False).size()
              .rename("cnt").reset_index())
-        return pa.Table.from_pandas(g.astype("int64"),
+        return _table_from_pandas(g.astype("int64"),
                                     preserve_index=False)
 
     parts = ds.select_columns([text_col]).map_batches(
@@ -318,7 +319,7 @@ def naive_bayes_classify(ds, id_col: str, text_col: str, label_col: str,
                         ignore_index=True)
         out["id"] = out["id"].astype("int64")
         out["cnt"] = out["cnt"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["label", "id"], sort=False)["cnt"].sum()

@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray
 
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _knn_univariate(x: np.ndarray, train_sorted: np.ndarray, k: int) -> np.ndarray:
@@ -324,7 +325,7 @@ def sum_anomaly(ds, ts_col: str, value_col: str, *, k: float = 3.0,
                         * scale).astype(np.int64)
         g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()
@@ -431,7 +432,7 @@ def cusum_changepoint(ds, ts_col: str, value_col: str, *,
                         * scale).astype(np.int64)
         g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()
@@ -520,7 +521,7 @@ def weekday_profile(ds, ts_col: str, value_col: str, *,
                         * scale).astype(np.int64)
         g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()
@@ -588,7 +589,7 @@ def daily_autocorr(ds, ts_col: str, value_col: str, *,
                         * scale).astype(np.int64)
         g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()
@@ -666,7 +667,7 @@ def ewma_anomaly(ds, ts_col: str, value_col: str, *,
                         * scale).astype(np.int64)
         g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()
@@ -756,7 +757,7 @@ def seasonal_decompose_daily(ds, ts_col: str, value_col: str, *,
                         * scale).astype(np.int64)
         g = (pd.DataFrame({"day": day.to_numpy(), "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()
@@ -851,7 +852,7 @@ def theilsen_daily_trend(ds, ts_col: str, value_col: str, *,
         g = (pd.DataFrame({"day": us // np.int64(86_400_000_000),
                            "cents": cents})
              .groupby("day", sort=False)["cents"].sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("day", sort=False)["cents"].sum().reset_index()

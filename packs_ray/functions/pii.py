@@ -18,6 +18,7 @@ from packs_ray.rules.patterns import PII_PREFILTER_CHARS
 from packs_ray.stages.util import str_column
 
 from packs_ray.functions.agg import global_agg
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def pii_scan(ds, columns: list[str], cfg: FilterConfig = DEFAULT_CONFIG) -> pd.DataFrame:
@@ -333,7 +334,7 @@ def pii_density(ds, key_col: str, text_col: str,
                .agg(n_rows="size", n_pii="sum").reset_index())
         for c in ("n_rows", "n_pii"):
             out[c] = out[c].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -399,7 +400,7 @@ def k_anonymity(ds, quasi_cols: list[str], sensitive_col: str | None = None,
                 .agg(lambda s: "\x1f".join(
                     sorted(str(x) for x in s.dropna().unique())))
                 .reset_index(name="_sv"), on=quasi_cols, how="left")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(marks, batch_format="pyarrow")
 

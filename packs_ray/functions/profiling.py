@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 from packs_ray.functions.agg import global_agg
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def completeness(ds, columns: list[str]) -> pd.DataFrame:
@@ -747,7 +748,7 @@ def value_counts_catalog(ds, columns: list[str], k: int = 10,
             return pa.table({"column": pa.array([], type=pa.string()),
                              "value": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        return pa.Table.from_pandas(pd.concat(frames),
+        return _table_from_pandas(pd.concat(frames),
                                     preserve_index=False)
 
     def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -808,7 +809,7 @@ def grouped_correlation(ds, group_col: str, x_col: str, y_col: str, *,
             "sxx": xi * xi, "syy": yi * yi, "sxy": xi * yi})
         out = (df.groupby(group_col, dropna=False, sort=False)[sum_cols]
                .sum().reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.select_columns([group_col, x_col, y_col]).map_batches(
         partial, batch_format="pyarrow")
@@ -1113,7 +1114,7 @@ def grouped_completeness(ds, group_col: str, columns: list[str],
         for c in columns:
             out[f"_nn_{c}"] = g[c].count().to_numpy().astype(np.int64)
         out["_n"] = out["_n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1654,7 +1655,7 @@ def mutual_info(ds, col_a: str, col_b: str) -> pd.DataFrame:
         out = (df.groupby([col_a, col_b], sort=False)
                .size().reset_index(name="n"))
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     joint = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby([col_a, col_b]).sum("n").to_pandas()

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def impute(ds, col: str, *, strategy: str = "mean", constant=None,
@@ -216,7 +217,7 @@ def minmax_scale_per_key(ds, key_col: str, value_col: str,
         df = batch.to_pandas()
         out = (df.groupby(key_col, sort=False)[value_col]
                .agg(mn="min", mx="max").reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby(key_col, sort=False)

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from packs_ray.functions.sketches import _finalize, _fnv1a_str
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 _MOD = np.uint64(1_000_000)
 
@@ -133,7 +134,7 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int, *,
         return df.groupby(group_col, dropna=False, sort=False).head(n_per_group)
 
     def partial(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(local(batch.to_pandas()),
+        return _table_from_pandas(local(batch.to_pandas()),
                                     preserve_index=False)
 
     parts = (ds.map_batches(add_hash, batch_format="pyarrow")
@@ -188,7 +189,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, n: int, *,
                       "key": pa.array(key, type=pa.float64())})
         df = t.to_pandas().sort_values(["key", id_col], kind="stable").head(n)
         df["__one"] = np.int64(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.sort_values(["key", id_col], kind="stable").head(n)
@@ -276,7 +277,7 @@ def uniform_sample_n(ds, id_col: str, n: int, *, salt: str = ""):
                       "hv": pa.array(hv)}).filter(pa.array(valid))
         df = t.to_pandas().sort_values(["hv", id_col], kind="stable").head(n)
         df["__one"] = np.int64(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["hv", id_col], kind="stable").head(n)
@@ -359,7 +360,7 @@ def temperature_sample(ds, group_col: str, id_col: str, *,
         return df[rank.to_numpy() < cap]
 
     def partial(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(local(batch.to_pandas()),
+        return _table_from_pandas(local(batch.to_pandas()),
                                     preserve_index=False)
 
     parts = (ds.select_columns([id_col, group_col])
@@ -455,7 +456,7 @@ def grouped_sample_n(ds, key_col: str, id_col: str, n: int, *,
                       "hv": pa.array(hv)}).filter(pa.array(valid))
         df = (t.to_pandas().sort_values(["hv", id_col], kind="stable")
               .groupby(key_col, sort=False).head(n))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["hv", id_col], kind="stable")
@@ -745,7 +746,7 @@ def bootstrap_median_ci(ds, id_col: str, value_col: str, *,
                                         "w": w}))
         g = (pd.concat(frames, ignore_index=True)
              .groupby(["r", "c"], sort=False)["w"].sum().reset_index())
-        return pa.Table.from_pandas(g[g["w"] > 0],
+        return _table_from_pandas(g[g["w"] > 0],
                                     preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")

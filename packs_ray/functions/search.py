@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 from packs_ray.stages.util import round_half_away as _r
 from packs_ray.stages.util import str_column
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 _WS_RE = "[ \t\n\r\f\v]+"
 _WS_CHARS = " \t\n\r\f\v"
@@ -165,7 +166,7 @@ def build_postings(ds, id_col: str, text_col: str, *, min_df: int = 1,
         keep[(off[:-1] - off[0])[empty]] = False
         df = pd.DataFrame({id_col: np.repeat(ids, raw_lens)[keep],
                            "token": flat[keep]}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     parts = ds.select_columns([id_col, text_col]).map_batches(
         marks, batch_format="pyarrow")

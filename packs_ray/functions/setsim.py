@@ -49,6 +49,7 @@ from packs_ray.functions.neardup import (_EMPTY_U64, _as_u64,
                                          _emit_capped_pairs,
                                          _empty_pairs, _pairs_result)
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 _WS = " \t\n\r\f\v"
 
@@ -105,7 +106,7 @@ def setsim_join(ds, id_col: str, text_col: str, *,
         df["s"] = (df.groupby(id_col, sort=False)["tok"]
                    .transform("size").astype("int64"))
         df[id_col] = df[id_col].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     toks = ds.select_columns([id_col, text_col]).map_batches(
         tok_rows, batch_format="pyarrow").materialize()

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 P_BITS = 12
 M = 1 << P_BITS                      # 4096 registers
@@ -576,7 +577,7 @@ def decayed_heavy_hitters(ds, key_col: str, ts_col: str, *,
             "day": us // np.int64(86_400_000_000)})
         g = (df.groupby([key_col, "day"], sort=False).size()
              .reset_index(name="cnt"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     marks = ds.map_batches(day_marks, batch_format="pyarrow") \
         .materialize()

@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 _DAY_US = np.int64(86_400_000_000)
 
@@ -77,7 +78,7 @@ def _span_dataset(ds, key_cols: list[str], ts_col: str,
         df["last_us"] = us
         g = df.groupby(key_cols, sort=False).agg(
             first_us=("first_us", "min"), last_us=("last_us", "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        return _table_from_pandas(g.reset_index(), preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         gg = g.groupby(key_cols, sort=False).agg(
@@ -109,7 +110,7 @@ def _step_table(spans_ds, gmax_us: int,
                              "n_event": obs.astype(np.int64),
                              "n_censored": (~obs).astype(np.int64)})
                .groupby("duration_d", sort=False).sum().reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = spans_ds.map_batches(partial,
                                  batch_format="pyarrow").to_pandas()

@@ -18,6 +18,7 @@ from packs_ray.functions.agg import global_agg
 from packs_ray.models import LangIdModel
 from packs_ray.rules.patterns import NULL_PLACEHOLDERS_LOWER
 from packs_ray.stages.util import round_half_away as _r, str_column
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 _PLACEHOLDERS = pa.array(sorted(NULL_PLACEHOLDERS_LOWER), type=pa.string())
 
@@ -305,7 +306,7 @@ def top_terms(ds, id_col: str, column: str, k: int = 5,
                            "token": flat[keep]})
         out = (df.groupby([id_col, "token"], sort=False).size()
                .reset_index(name="tf"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     tf = ds.select_columns([id_col, column]).map_batches(
         tf_rows, batch_format="pyarrow")
@@ -350,7 +351,7 @@ def corpus_report(ds, group_col: str, text_col: str):
                 .to_numpy(zero_copy_only=False).astype(np.int64)})
         out = (df.groupby(group_col, dropna=False, sort=False)
                .sum().reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         cols = ["n_docs", "n_null_text", "n_chars", "n_tokens"]
@@ -912,7 +913,7 @@ def bigram_collocations(src, column: str, *, k: int = 100,
         out = (d.groupby(["w1", "w2"], sort=False).size()
                .reset_index(name="n_pair"))
         out["n_pair"] = out["n_pair"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = src.select_columns([column]).map_batches(
         pair_parts, batch_format="pyarrow")
@@ -1055,7 +1056,7 @@ def heaps_curve(ds, id_col: str, column: str, *, n_checkpoints: int = 20,
                            "fdoc": np.repeat(ids, raw_lens)[keep]})
         out = df.groupby("token", sort=False, as_index=False).agg(
             fdoc=("fdoc", "min"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("token", sort=False, as_index=False).agg(
@@ -1085,7 +1086,7 @@ def heaps_curve(ds, id_col: str, column: str, *, n_checkpoints: int = 20,
         df = pd.DataFrame({"b": b, "t": nt, "cp": rnk})
         g = df.groupby("b", as_index=False).agg(t=("t", "sum"),
                                                 cp=("cp", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     db = ranked.map_batches(db_partial, batch_format="pyarrow").to_pandas()
     db = db.groupby("b", as_index=False).agg(t=("t", "sum"),
@@ -1166,7 +1167,7 @@ def ngram_diversity(ds, group_col: str, text_col: str, *, max_n: int = 3,
                                 for w in wcols}})
         out = pd.concat(frames).drop_duplicates()
         out = out[["grp", "n", *wcols]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def distinct_reduce(g: pd.DataFrame) -> pd.DataFrame:
         u = g.drop_duplicates()
@@ -1196,7 +1197,7 @@ def ngram_diversity(ds, group_col: str, text_col: str, *, max_n: int = 3,
                 {"grp": grp, "n": np.int64(n), "t": pos}))
         g = (pd.concat(frames).groupby(["grp", "n"], as_index=False)
              .agg(t=("t", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     tot = ds.select_columns([group_col, text_col]).map_batches(
         totals, batch_format="pyarrow").to_pandas()
@@ -1329,7 +1330,7 @@ def class_tfidf(ds, label_col: str, text_col: str, *, k: int = 10,
              .groupby(["label", "token"], sort=False).size()
              .rename("tf").reset_index())
         g["tf"] = g["tf"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     parts = ds.select_columns([label_col, text_col]).map_batches(
         tf_rows, batch_format="pyarrow")
@@ -1339,7 +1340,7 @@ def class_tfidf(ds, label_col: str, text_col: str, *, k: int = 10,
         df = batch.to_pandas()
         g = df.groupby("label", sort=False)["tf"].sum().reset_index()
         g["tf"] = g["tf"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     mat = parts.materialize()
     cls = mat.map_batches(cls_partial, batch_format="pyarrow") \

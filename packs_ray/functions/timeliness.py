@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 
 from packs_ray.functions.agg import global_agg
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def staleness(paths: list[str], now: _dt.datetime) -> pd.DataFrame:
@@ -291,7 +292,7 @@ def novelty_rate(ds, key_cols: list[str], ts_col: str,
         df["day"] = us // np.int64(86_400_000_000)
         out = (df.groupby(key_cols, sort=False)["day"].min()
                .reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         first = (g.groupby(key_cols, sort=False)["day"].min())
@@ -389,7 +390,7 @@ def out_of_order_profile(ds, seq_col: str, ts_col: str, *,
         b = seq // bs
         g = (pd.DataFrame({"b": b, "us": us}).groupby("b", sort=False)
              ["us"].max().reset_index(name="mx"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     bmax = nar.map_batches(pass1, batch_format="pyarrow").to_pandas()
     bmax = bmax.groupby("b", sort=True)["mx"].max()
@@ -430,7 +431,7 @@ def out_of_order_profile(ds, seq_col: str, ts_col: str, *,
         g = (o.groupby("day", sort=False)
              .agg(n_events=("late", "size"), n_late=("late", "sum"),
                   max_lateness_s=("lat_s", "max")).reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     from packs_ray.functions.agg import (bucketed_group_reduce,
                                          reduce_partition_count)
@@ -441,7 +442,7 @@ def out_of_order_profile(ds, seq_col: str, ts_col: str, *,
             (seq // bs).astype(np.int64)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        t = pa.Table.from_pandas(g[["seq", "us"]], preserve_index=False)
+        t = _table_from_pandas(g[["seq", "us"]], preserve_index=False)
         return pass2(t).to_pandas()
 
     daily = bucketed_group_reduce(

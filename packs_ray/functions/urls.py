@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 _TRACKING_RE = r"^(?:utm_[^=]*|gclid|fbclid)="
 
@@ -84,7 +85,7 @@ def canonicalize_urls(ds, url_col: str, keep_cols: list[str] | None = None):
     def fn(batch: pa.Table) -> pa.Table:
         out = _canon_frame(batch.column(url_col).to_pandas())
         t = batch.select(keep_cols) if keep_cols else None
-        res = pa.Table.from_pandas(out, preserve_index=False)
+        res = _table_from_pandas(out, preserve_index=False)
         for i, c in enumerate(keep_cols):
             res = res.add_column(i, c, t.column(c))
         return res

@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 
 from packs_ray.functions.agg import bucketed_group_reduce, reduce_partition_count
 from packs_ray.stages.util import str_column
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 # Python str.strip / Arrow trim default whitespace, pinned to the ASCII
 # set so the DuckDB twin (trim(text, ' \t\n\r\x0b\x0c')) matches.
@@ -147,7 +148,7 @@ def boilerplate_texts(ds, group_col: str, text_col: str, *, min_groups: int = 5)
         df = df[df["text_norm"].notna() & (df["text_norm"] != "")]
         part = (df.groupby(["text_norm", "g"], sort=False).size()
                   .rename("n_rows").reset_index())
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return _table_from_pandas(part, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = (g.groupby("text_norm", sort=False)
@@ -345,7 +346,7 @@ def dedup_lines(ds, id_col: str, text_col: str, *, sep: str = "\n",
                .drop_duplicates(["__h1", "__h2"]))
         out["__p"] = (out["__h1"].to_numpy().view(np.uint64)
                       % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def elect(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.sort_values([id_col, "__idx"], kind="stable")
@@ -366,7 +367,7 @@ def dedup_lines(ds, id_col: str, text_col: str, *, sep: str = "\n",
         out = out.drop(columns=["__h1", "__h2"])
         out["__side"] = np.int8(0)
         out["__p"] = doc_bucket(out)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def mark_side(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -374,7 +375,7 @@ def dedup_lines(ds, id_col: str, text_col: str, *, sep: str = "\n",
         out["__line"] = ""
         out["__side"] = np.int8(1)
         out["__p"] = doc_bucket(out)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         keep = g[g["__side"] == 1][[id_col, "__idx"]]
@@ -658,7 +659,7 @@ def ngram_novelty(ds, id_col: str, text_col: str, n: int = 3,
         h, _ = _fnv1a_str(pa.array(gram, type=pa.string()))
         m = pd.DataFrame({"doc": idv[doc_idx[starts]],
                           "h": h.view(np.int64)}).drop_duplicates()
-        return pa.Table.from_pandas(m, preserve_index=False)
+        return _table_from_pandas(m, preserve_index=False)
 
     gram_marks = ds.select_columns([id_col, text_col]) \
         .map_batches(marks, batch_format="pyarrow")

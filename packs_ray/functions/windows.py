@@ -10,6 +10,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
@@ -34,7 +35,7 @@ def events_per_window(ds, key_col: str, ts_col: str, value_col: str,
         out = (df.groupby([key_col, "window_start"], sort=False)
                .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum"))
                .reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -287,7 +288,7 @@ def cohort_retention(ds, user_col: str, ts_col: str, *,
               // us)
         out = pd.DataFrame({user_col: df[user_col],
                             "wk": wk}).drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates([user_col, "wk"])
@@ -330,7 +331,7 @@ def funnel_counts(ds, user_col: str, type_col: str, ts_col: str,
         df = batch.select([user_col, type_col, ts_col]).to_pandas() \
             .dropna(subset=[user_col, ts_col])
         df = df[df[type_col].isin(steps)].drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         counts = []

@@ -12,6 +12,7 @@ what you want on a real multi-node cluster.
 from __future__ import annotations
 
 import os
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 # ~4x is a typical parquet→Arrow in-memory expansion for mixed columns
 MEM_FACTOR = 4
@@ -141,7 +142,7 @@ def write_clustered(ds, key_col: str, out_dir: str, *,
         g = g.drop(columns="__file").sort_values(key_col, kind="stable",
                                                  na_position="first")
         path = os.path.join(tmp, f"part-{fid:05d}.parquet")
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+        pq.write_table(_table_from_pandas(g, preserve_index=False),
                        path + ".w")
         os.replace(path + ".w", path)
         k = g[key_col].dropna()

@@ -11,6 +11,7 @@ import numpy as np
 import pyarrow as pa
 
 from packs_ray.config import RULE_NAMES
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def bits_to_reasons(unique_bits: np.ndarray) -> list[list[str]]:
@@ -59,7 +60,7 @@ def conversation_summary(out_ds, num_partitions: int | None = None):
                   n_scrubbed=("scrubbed", "sum"),
                   ts_min=("ts", "min"), ts_max=("ts", "max"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby("conv_id", sort=False)

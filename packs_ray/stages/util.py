@@ -36,3 +36,16 @@ def schema_anchor(ds, schema: "pa.Schema"):
     import ray.data
 
     return ds.union(ray.data.from_arrow(schema.empty_table()))
+
+
+def table_from_pandas(df, **kwargs) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the pandas schema metadata.
+
+    The metadata blob is a dict, which makes every resulting schema
+    unhashable — Ray Data's block-schema deduplication hashes schemas
+    and logs a warning per block otherwise ("Failed to hash the
+    schemas"), burying real warnings in executor logs.  Nothing in this
+    engine reads the pandas metadata back (all round-trips go through
+    explicit Arrow schemas), so it is dropped at the source."""
+    t = pa.Table.from_pandas(df, **kwargs)
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
