@@ -69,6 +69,36 @@ def _events_sqlite(sf_dir: str) -> str:
     return path
 
 
+def _events_duckdb_mixed(sf_dir: str) -> str:
+    """Cached DuckDB replica of events with the awkward driver types —
+    DECIMAL(14,3), BLOB, TIMESTAMPTZ and a NULLABLE partition key
+    (event_id % 11 -> NULL) — the fixture behind the
+    ``db_source_mixed_events`` type-matrix gate (UTC session pinned so
+    the naive->tz cast is deterministic)."""
+    import os
+
+    import duckdb
+
+    os.makedirs("/tmp/packs_ray_data", exist_ok=True)
+    key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    path = f"/tmp/packs_ray_data/events_mixed_{key}.duckdb"
+    if not os.path.exists(path):
+        con = duckdb.connect(path + ".tmp")
+        con.execute("SET TimeZone='UTC'")
+        con.execute(f"""
+            CREATE TABLE ev AS SELECT
+              CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_id END
+                  AS pid,
+              event_id,
+              CAST(value AS DECIMAL(14,3)) AS dval,
+              encode(event_type) AS payload,
+              CAST(ts AS TIMESTAMPTZ) AS tsz
+            FROM read_parquet('{sf_dir}/events.parquet')""")
+        con.close()
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def _events_orc(sf_dir: str) -> str:
     """Cached 2-file multi-stripe ORC replica of three events columns
     (value nulled where event_id % 13 == 0 — a SQL-reproducible plant) —
@@ -2996,6 +3026,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              partition_column="event_id",
                              num_partitions=8)
 
+    def db_source_mixed_events(sf):
+        # driver-type matrix over the range-partitioned DBAPI read:
+        # DECIMAL(14,3), BLOB, TIMESTAMPTZ and a nullable partition key
+        # (the IS NULL partition must recover event_id % 11 rows);
+        # values normalized to hashable scalars for the gate
+        import pyarrow.compute as pc
+
+        from packs_ray.sources.database import (duckdb_connection_factory,
+                                                read_database)
+
+        path = _events_duckdb_mixed(sf)
+        src = read_database(duckdb_connection_factory(path), "ev",
+                            partition_column="pid", num_partitions=4)
+
+        def norm(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "event_id": batch.column("event_id"),
+                "pid_is_null": pc.is_null(batch.column("pid")),
+                "dval_str": pc.cast(batch.column("dval"), pa.string()),
+                "payload_bytes": pc.cast(
+                    pc.binary_length(batch.column("payload")), pa.int64()),
+                "ts_us": pc.cast(batch.column("tsz"), pa.int64())})
+
+        return src.map_batches(norm, batch_format="pyarrow") \
+            .sort("event_id")
+
     def staleness_inputs(sf):
         import glob as _glob
 
@@ -4524,6 +4583,7 @@ checks for orders:
         "knn_outliers_mixed_events": knn_outliers_mixed_events,
         "record_validation_events": record_validation_events,
         "db_source_events": db_source_events,
+        "db_source_mixed_events": db_source_mixed_events,
         "staleness_inputs": staleness_inputs,
         "schema_hashes_lineitem": schema_hashes_lineitem,
         "approx_distinct_orders": approx_distinct_orders,
@@ -11733,6 +11793,16 @@ def oracle_sql() -> dict[str, str]:
         "media_video_frames": _media_video_sql(),
         "db_source_events":
             "SELECT event_id, event_type, user_id, value FROM events",
+        # db_source_mixed_events: the same normalizations straight off
+        # the parquet view (decimal text form, utf-8 byte length, epoch
+        # micros under the pinned UTC naive->tz cast)
+        "db_source_mixed_events": """
+    SELECT event_id,
+           (event_id % 11 = 0) AS pid_is_null,
+           CAST(CAST(value AS DECIMAL(14,3)) AS VARCHAR) AS dval_str,
+           octet_length(encode(event_type))::BIGINT AS payload_bytes,
+           epoch_us(ts)::BIGINT AS ts_us
+    FROM events ORDER BY event_id""",
         "staleness_inputs": _staleness_sql(),
         "approx_distinct_orders":
             _hll_column_sql("orders", "o_custkey") + " UNION ALL " +
