@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray
 
 from packs_ray.stages.util import round_half_away as _r
+from packs_ray.stages.util import table_from_pandas as _table_from_pandas
 
 
 def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
@@ -43,6 +44,67 @@ def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     for j in range(win.shape[1]):
         h = ((h ^ win[:, j].astype(np.uint64)) * P) & MASK
     return np.unique(h)
+
+
+def _shingle_hashes_flat(texts: "pa.Array", n: int = 5
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Char n-gram FNV hashes for a whole string column in ONE
+    vectorized pass: one sliding window over the concatenated utf-8
+    buffer, 5 vector rounds total, windows crossing row boundaries
+    masked out.  Returns (flat uint64 window hashes in row order, per-
+    row window counts).  Hashes are NOT per-row deduplicated — minhash
+    takes a min, which is multiplicity-blind, so signatures are
+    identical to the per-row ``_shingle_hashes`` path (whose np.unique
+    exists for the exact-Jaccard verify, not the signature).  Null rows
+    emit 0 windows; rows shorter than n take the per-row padded path
+    (exact parity, rare)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    valid = texts.is_valid().to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(texts, "")
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    bin_ = filled.cast(pa.binary())
+    off = np.frombuffer(bin_.buffers()[1], dtype=np.int32)
+    offsets = off[bin_.offset: bin_.offset + len(bin_) + 1].astype(np.int64)
+    buf = bin_.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None else np.zeros(0, dtype=np.uint8))
+    data = data[offsets[0]: offsets[-1]]
+    offsets = offsets - offsets[0]
+    nr = len(bin_)
+    blens = np.diff(offsets)
+    long_mask = valid & (blens >= n)
+    short_mask = valid & (blens < n)
+    lens = np.zeros(nr, dtype=np.int64)
+    lens[long_mask] = blens[long_mask] - n + 1
+    lens[short_mask] = 1                       # padded single window
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=np.uint64)
+    out_off = np.concatenate(([0], np.cumsum(lens)))
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+    P = np.uint64(1099511628211)
+    if len(data) >= n and long_mask.any():
+        win = np.lib.stride_tricks.sliding_window_view(data, n)
+        h = np.full(len(win), np.uint64(14695981039346656037))
+        for j in range(n):
+            h = ((h ^ win[:, j].astype(np.uint64)) * P) & MASK
+        w = lens[long_mask]
+        rel = np.arange(int(w.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(w)[:-1])), w)
+        src = np.repeat(offsets[:-1][long_mask], w) + rel
+        dst = np.repeat(out_off[:-1][long_mask], w) + rel
+        flat[dst] = h[src]
+    for i in np.flatnonzero(short_mask):
+        b = bytes(data[offsets[i]:offsets[i + 1]])
+        b = b + b"\x00" * (n - len(b))
+        hh = np.uint64(14695981039346656037)
+        for byte in b:
+            hh = ((hh ^ np.uint64(byte)) * P) & MASK
+        flat[out_off[i]] = hh
+    return flat, lens
 
 
 _PRIME = np.uint64(0xFFFFFFFB)
@@ -69,11 +131,12 @@ def minhash_signatures(ds, id_col: str, text_col: str, num_perm: int = 64,
 
     def fn(batch: pa.Table) -> pa.Table:
         av, bv = ray.get(aref)
-        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-        n = len(texts)
+        n = batch.num_rows
         sigs = np.zeros((n, num_perm), dtype=np.uint64)
-        hs_list = [_shingle_hashes(t, shingle) for t in texts]
-        lens = np.array([len(h) for h in hs_list], dtype=np.int64)
+        # one vectorized shingling pass for the whole batch (window
+        # hashes in row order; multiplicity doesn't affect the min)
+        flat, lens = _shingle_hashes_flat(batch.column(text_col), shingle)
+        row_off = np.concatenate(([0], np.cumsum(lens)))
         nz = np.flatnonzero(lens)
         # permute whole row-chunks at once: one (num_perm, chunk_shingles)
         # universal-hash matrix + min.reduceat per row — no per-row loop,
@@ -85,7 +148,8 @@ def minhash_signatures(ds, id_col: str, text_col: str, num_perm: int = 64,
                 tot += lens[nz[end]]
                 end += 1
             rows = nz[start:end]
-            x = np.concatenate([hs_list[i] for i in rows]) & np.uint64(0xFFFFFFFF)
+            x = np.concatenate([flat[row_off[i]:row_off[i + 1]]
+                                for i in rows]) & np.uint64(0xFFFFFFFF)
             vals = (av[:, None] * x[None, :] + bv[:, None]) % _PRIME
             offs = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
             sigs[rows] = np.minimum.reduceat(vals, offs, axis=1).T
@@ -258,7 +322,31 @@ def _bucketed_pair_verify(pairs_ds, payload_ds, payload_type, as_arr,
     (requesting-partition, id_b) request join — payload bytes ship at
     most once per (doc, partition), never per pair.
     ``verify_fn(lookup: dict[id -> ndarray], pairs: DataFrame)`` runs
-    once per partition on globally-deduplicated pairs."""
+    once per partition on globally-deduplicated pairs.
+
+    Small-side gate: when the candidate set is provably tiny (both
+    inputs are already materialized by every caller, so ``count()`` /
+    ``size_bytes()`` are metadata-cheap), the sort exchange costs more
+    than the work it distributes — ~3 s of all-to-all scheduling to
+    route a few thousand rows at 32 CPUs.  Below the gate the verify
+    runs as one driver call over the same verify_fn and returns
+    ``from_pandas`` (identical pairs, same lazy return type); above it
+    the distributed bucketed exchange runs unchanged.  The gate is a
+    deterministic function of the data, so cross-parallelism
+    determinism holds."""
+    GATE_PAIRS, GATE_BYTES = 500_000, 64 << 20
+    try:
+        small = (pairs_ds.count() <= GATE_PAIRS
+                 and payload_ds.size_bytes() <= GATE_BYTES)
+    except Exception:
+        small = False
+    if small:
+        import ray.data as _rd
+
+        pay = payload_ds.to_pandas()
+        lookup = {int(k): as_arr(v) for k, v in zip(pay["k"], pay["v"])}
+        pr = pairs_ds.to_pandas().drop_duplicates()
+        return _rd.from_pandas(verify_fn(lookup, pr))
 
     def _vtable(__p, id_a, id_b, k, v, kind) -> pa.Table:
         n = len(__p)
@@ -402,7 +490,11 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
     from packs_ray.functions.agg import reduce_partition_count
 
     if num_partitions is None:
-        num_partitions = reduce_partition_count(ds)
+        # floor of 4: the input-bytes heuristic collapses small corpora
+        # to ONE partition, serializing the band sort AND the pair
+        # emission into a single task (measured 3× slower than 4-way on
+        # this host); big inputs keep the bytes-derived count
+        num_partitions = max(4, reduce_partition_count(ds))
     sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle, seed)
     n_bands = num_perm // 4
 
@@ -451,10 +543,14 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, num_perm: int = 64,
     # set, so driver memory stays flat on boilerplate-heavy corpora
     nbits = _bloom_nbits(2 * n_pairs)
     bloom_ref = ray.put(_bloom_build(pairs_ds, nbits))
-    # verify-stage partition count sized to the CANDIDATE set, not the
-    # input: a sort-exchange with P≫rows/1000 is all mesh overhead
+    # verify-stage partition count sized to the CANDIDATE set and the
+    # CPUs, not the input bytes: capping by the input-derived partition
+    # count collapsed verify to one task on small corpora (the whole
+    # 192k-pair verify then ran serially), while P≫pairs/20k is all
+    # mesh overhead
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     vparts = verify_partitions or int(
-        max(1, min(num_partitions, np.ceil(2 * n_pairs / 4000))))
+        max(2, min(cpus, np.ceil(2 * n_pairs / 20_000))))
 
     # distributed shingle extraction of (bloom-probable) candidate docs
     def extract(batch: pa.Table) -> pa.Table:
@@ -685,7 +781,7 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
         import ray.data as _rd
 
         return _rd.from_arrow(
-            pa.Table.from_pandas(out, preserve_index=False))
+            _table_from_pandas(out, preserve_index=False))
 
     if num_partitions is None:
         num_partitions = reduce_partition_count(ds)
@@ -929,7 +1025,7 @@ def save_neardup_state(ds, id_col: str, text_col: str, state_dir: str,
             np.zeros(0, dtype=np.int64))
         out = pd.DataFrame({"band_id": bids, "band_hash": bhs}) \
             .drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     tmp = os.path.join(state_dir, f".tmp_{run_id}")
     final = os.path.join(state_dir, run_id)
