@@ -178,6 +178,17 @@ def main() -> None:
                 res.to_pandas()
             timings[name] = round(time.time() - t0, 3)
 
+    # second flagship: the end-to-end curation pipeline
+    # (C4→Gopher→dedup→quality gate→shards), timed OUTSIDE the fixed
+    # 12-query comparator sum so round-over-round deltas stay clean
+    curation = None
+    if "--headline-only" not in sys.argv:
+        t0 = time.time()
+        res = entrymod.queries()["curation_documents"](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        curation = round(time.time() - t0, 3)
+
     print(json.dumps({
         "metric": "flagship filter+scrub wall time on synthetic transcripts",
         "value": round(headline, 3), "unit": "sec",
@@ -186,6 +197,7 @@ def main() -> None:
         # queries as round 3, so round-over-round deltas aren't
         # confounded by bench-set growth)
         "queries_sum": round(sum(timings.values()), 3) if timings else None,
+        "curation_sec": curation,
         "n_turns": n_turns, "turns_per_sec": round(n_turns / headline, 1),
     }))
     ray.shutdown()
