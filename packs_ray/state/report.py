@@ -9,10 +9,10 @@ Reference sinks re-expressed:
 - duplicate-rows / outlier / mismatch ``.xlsx`` workbooks
   (``duplicates_finder_pack/main.py:349-361``,
   ``outlier_detection_pack/main.py:479-527``,
-  ``data_compare_pack/main.py:397-406``) -> ``write_tabular`` emits
-  ``.xlsx`` when an Excel writer (openpyxl/xlsxwriter) is importable and
-  otherwise falls back to ``.csv`` with the same stem (this container
-  ships neither writer; the swap point is the import probe below).
+  ``data_compare_pack/main.py:397-406``) -> ``write_tabular`` always
+  emits a real ``.xlsx``: pandas/openpyxl when importable, else the
+  dependency-free minimal OOXML writer (``_write_xlsx_native`` — the
+  format is a public ECMA-376 zip of XML parts).
 
 Reports are driver-side by design: they render *aggregates* (metric
 records) plus row exports that upstream operators already cap (the
@@ -62,17 +62,105 @@ def _to_capped_pandas(obj: Any, cap: int):
     return obj.head(cap)
 
 
+_XL_BAD = dict.fromkeys(i for i in range(0x20)
+                        if i not in (0x09, 0x0A, 0x0D))
+
+
+def _col_ref(j: int) -> str:
+    s = ""
+    j += 1
+    while j:
+        j, r = divmod(j - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _write_xlsx_native(df, path: str) -> None:
+    """Minimal OOXML workbook writer — a valid ``.xlsx`` with one sheet,
+    header row, numeric cells as numbers and everything else as inline
+    strings, built with only zipfile + XML escaping (the format is a
+    public ECMA-376 zip-of-XML; no openpyxl/xlsxwriter needed).  The
+    reference's workbook exports (duplicates_finder_pack/main.py:349-361,
+    outlier_detection_pack/main.py:479-527) carry no formatting the data
+    depends on, so the minimal package round-trips their content."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    import numpy as np
+    import pandas as pd
+
+    def cell(r: int, j: int, v) -> str:
+        ref = f"{_col_ref(j)}{r}"
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+            return f'<c r="{ref}"/>'
+        if isinstance(v, (bool, np.bool_)):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        s = escape(str(v).translate(_XL_BAD))
+        return f'<c r="{ref}" t="inlineStr"><is><t>{s}</t></is></c>'
+
+    rows_xml = []
+    header = "".join(cell(1, j, c) for j, c in enumerate(df.columns))
+    rows_xml.append(f'<row r="1">{header}</row>')
+    for i, row in enumerate(df.itertuples(index=False), start=2):
+        rows_xml.append(
+            f'<row r="{i}">'
+            + "".join(cell(i, j, v) for j, v in enumerate(row)) + "</row>")
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(rows_xml) + "</sheetData></worksheet>")
+    ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+          'content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.'
+          'openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+          '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+          'worksheet+xml"/></Types>')
+    rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+            'org/officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>')
+    wb = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+          'openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="export" sheetId="1" r:id="rId1"/>'
+          '</sheets></workbook>')
+    wb_rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+               '<Relationships xmlns="http://schemas.openxmlformats.org/'
+               'package/2006/relationships">'
+               '<Relationship Id="rId1" Type="http://schemas.'
+               'openxmlformats.org/officeDocument/2006/relationships/'
+               'worksheet" Target="worksheets/sheet1.xml"/>'
+               '</Relationships>')
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 def write_tabular(obj: Any, path_stem: str, *, cap: int = EXPORT_CAP) -> str:
-    """Write a row-level export as ``<stem>.xlsx`` if an Excel writer is
-    installed, else ``<stem>.csv``; returns the path written."""
+    """Write a row-level export as a real ``<stem>.xlsx`` workbook:
+    via pandas/openpyxl when an Excel writer is installed, else via the
+    dependency-free minimal OOXML writer above (same content, no
+    styling).  Returns the path written."""
     df = _to_capped_pandas(obj, cap)
     os.makedirs(os.path.dirname(path_stem) or ".", exist_ok=True)
+    path = path_stem + ".xlsx"
     if _excel_writer_available():  # pragma: no cover - no writer in CI image
-        path = path_stem + ".xlsx"
         df.to_excel(path, index=False)
     else:
-        path = path_stem + ".csv"
-        df.to_csv(path, index=False)
+        _write_xlsx_native(df, path)
     return path
 
 

@@ -1,0 +1,130 @@
+"""100M-turn flagship soak: memory headroom + spill behavior.
+
+The per-round bench runs at 200k turns and the judged floor at 10M; this
+soak drives the full filter+scrub pipeline over ~100M turns (~4.5 GB of
+sharded parquet — 10 shards x 10M turns, distinct seeds) at num_cpus=32
+and records wall time, throughput, PEAK system memory use and object-
+store spill bytes, evidencing that the streaming executor holds memory
+flat (spilling instead of ballooning) above the object-store capacity.
+
+Usage: python scripts/soak.py [n_turns_total]  (default 100_000_000)
+Prints ONE JSON line; paste the result into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHARD = 10_000_000
+
+
+def ensure_shards(total: int, cache: str = "/tmp/packs_ray_data") -> str:
+    """Sharded generation: one 10M-turn file per seed, each built and
+    released before the next — peak generator memory stays ~1 shard."""
+    import pyarrow.parquet as pq
+
+    from packs_ray.gen import generate_transcripts
+
+    n_shards = (total + SHARD - 1) // SHARD
+    d = os.path.join(cache, f"soak_{total}")
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_shards):
+        part = os.path.join(d, f"part-{i:05d}.parquet")
+        if os.path.exists(part + ".done"):
+            continue
+        n = min(SHARD, total - i * SHARD)
+        t0 = time.time()
+        tbl = generate_transcripts(n, seed=42 + i, include_labels=False)
+        pq.write_table(tbl, part)
+        del tbl
+        with open(part + ".done", "w") as f:
+            f.write("ok")
+        print(f"shard {i + 1}/{n_shards} ({n} turns) in "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+    return d
+
+
+def _mem_used_gib() -> float:
+    info = {}
+    with open("/proc/meminfo") as f:
+        for line in f:
+            k, v = line.split(":", 1)
+            info[k] = int(v.split()[0])
+    return (info["MemTotal"] - info["MemAvailable"]) / (1 << 20)
+
+
+def _spill_bytes() -> int:
+    total = 0
+    for d in glob.glob("/tmp/ray/session_*/ray_spilled_objects*") + \
+            glob.glob("/tmp/ray/session_*/**/spilled*", recursive=True):
+        if os.path.isdir(d):
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, fn))
+                    except OSError:
+                        pass
+        elif os.path.isfile(d):
+            total += os.path.getsize(d)
+    return total
+
+
+def main() -> None:
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+    inp = ensure_shards(total)
+
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+
+    peak = {"mem": 0.0, "spill": 0}
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            peak["mem"] = max(peak["mem"], _mem_used_gib())
+            peak["spill"] = max(peak["spill"], _spill_bytes())
+            stop.wait(1.0)
+
+    base_mem = _mem_used_gib()
+    th = threading.Thread(target=sample, daemon=True)
+    th.start()
+    out_dir = "/tmp/packs_ray_soak_out"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_filter_pipeline(ray.data.read_parquet(inp)).write_parquet(out_dir)
+    dt = time.time() - t0
+    stop.set()
+    th.join(timeout=5)
+
+    import pyarrow.dataset as pads
+
+    n_out = pads.dataset(out_dir).count_rows()
+    print(json.dumps({
+        "metric": "flagship filter+scrub soak", "n_turns": total,
+        "sec": round(dt, 1), "turns_per_sec": round(total / dt, 1),
+        "rows_out": n_out, "num_cpus": 32,
+        "mem_base_gib": round(base_mem, 2),
+        "mem_peak_gib": round(peak["mem"], 2),
+        "spill_peak_bytes": peak["spill"],
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

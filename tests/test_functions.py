@@ -753,9 +753,51 @@ def test_report_sinks(ray_session, tmp_path):
 
     out = write_tabular(pd.DataFrame({"a": range(3)}),
                         str(tmp_path / "export"))
-    assert out.endswith((".csv", ".xlsx"))
-    back = pd.read_csv(out) if out.endswith(".csv") else pd.read_excel(out)
-    assert list(back["a"]) == [0, 1, 2]
+    assert out.endswith(".xlsx")              # always a real workbook now
+    assert list(_read_xlsx_col(out, 0))[1:] == ["0", "1", "2"]
+
+
+def _read_xlsx_col(path, j):
+    """Tiny OOXML reader (zip + ElementTree): column j cell texts in row
+    order — validates the native writer without openpyxl."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    out = []
+    for row in root.iter(f"{ns}row"):
+        cells = list(row.iter(f"{ns}c"))
+        if j < len(cells):
+            c = cells[j]
+            t = c.find(f"{ns}is/{ns}t")
+            v = c.find(f"{ns}v")
+            out.append(t.text if t is not None else
+                       (v.text if v is not None else None))
+    return out
+
+
+def test_write_xlsx_native_types(tmp_path):
+    """The minimal OOXML writer round-trips numbers, strings (escaped),
+    booleans and nulls through a structurally valid workbook."""
+    import numpy as np
+    import pandas as pd
+
+    from packs_ray.state.report import write_tabular
+
+    df = pd.DataFrame({
+        "n": [1, 2, 3],
+        "f": [1.5, np.nan, -2.25],
+        "s": ["plain", "<&>\"quoted\"", "uni\u00e9"],
+        "b": [True, False, True]})
+    out = write_tabular(df, str(tmp_path / "typed"))
+    assert _read_xlsx_col(out, 0) == ["n", "1", "2", "3"]
+    fs = _read_xlsx_col(out, 1)
+    assert fs[0] == "f" and fs[1] == "1.5" and fs[3] == "-2.25"
+    ss = _read_xlsx_col(out, 2)
+    assert ss == ["s", "plain", '<&>"quoted"', "uni\u00e9"]
+    assert _read_xlsx_col(out, 3) == ["b", "1", "0", "1"]
 
 
 def test_dbt_adapter(tmp_path):
