@@ -107,6 +107,24 @@ def _shingle_hashes_flat(texts: "pa.Array", n: int = 5
     return flat, lens
 
 
+def _shingle_hashes_flat_unique(texts: "pa.Array", n: int = 5
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """``_shingle_hashes_flat`` + per-row dedup in ONE lexsort (sorted
+    unique hashes per row, exactly ``np.unique`` of the per-row path)
+    for the multiplicity-SENSITIVE consumers (simhash's bit majority)."""
+    flat, lens = _shingle_hashes_flat(texts, n)
+    if not len(flat):
+        return flat, lens
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    order = np.lexsort((flat, row_idx))
+    f2, r2 = flat[order], row_idx[order]
+    keep = np.empty(len(f2), dtype=bool)
+    keep[0] = True
+    keep[1:] = (r2[1:] != r2[:-1]) | (f2[1:] != f2[:-1])
+    return f2[keep], np.bincount(r2[keep],
+                                 minlength=len(lens)).astype(np.int64)
+
+
 _PRIME = np.uint64(0xFFFFFFFB)
 
 
@@ -653,10 +671,14 @@ def simhash64(ds, id_col: str, text_col: str, shingle: int = 4):
     """Lazy Dataset of (id, simhash:int64, bucket sub-bands b0..b3)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        hs_list = [_shingle_hashes(t, shingle) for t in texts]
-        lens = np.array([len(h) for h in hs_list], dtype=np.int64)
+        n = batch.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        # one vectorized shingle pass + one lexsort dedup (the bit vote
+        # IS multiplicity-sensitive, so per-row UNIQUE sets — identical
+        # to the old per-row np.unique path)
+        flat, lens = _shingle_hashes_flat_unique(batch.column(text_col),
+                                                 shingle)
+        row_off = np.concatenate(([0], np.cumsum(lens)))
         nz = np.flatnonzero(lens)
         shifts = np.arange(64, dtype=np.uint64)[None, :]
         pw = np.uint64(1) << np.arange(64, dtype=np.uint64)
@@ -670,7 +692,8 @@ def simhash64(ds, id_col: str, text_col: str, shingle: int = 4):
                 tot += lens[nz[end]]
                 end += 1
             rows = nz[start:end]
-            all_h = np.concatenate([hs_list[i] for i in rows])
+            all_h = np.concatenate([flat[row_off[i]:row_off[i + 1]]
+                                    for i in rows])
             bits = ((all_h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             offs = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
             ones = np.add.reduceat(bits, offs, axis=0)
