@@ -4044,6 +4044,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ds(sf, "customer", ["c_name", "c_acctbal", "c_mktsegment"]),
             checks_from_expectations(suite))
 
+    def checks_ge_stats_lineitem(sf):
+        # GE tier-2 surface: table shape (column count / set), exact
+        # sum/stdev over integer cents, median via the distributed
+        # quantile machinery, non-null distinct count, compound
+        # uniqueness — one planted failure (wrong column set) so the
+        # score roll-up is exercised
+        from packs_ray.functions.checks import (checks_from_expectations,
+                                                run_checks)
+
+        suite = [
+            {"expectation_type": "expect_table_column_count_to_equal",
+             "kwargs": {"value": 4}},
+            {"expectation_type": "expect_table_columns_to_match_set",
+             "kwargs": {"column_set": ["l_orderkey", "l_linenumber",
+                                       "l_quantity", "l_returnflag"],
+                        "exact_match": True}},
+            {"expectation_type": "expect_table_columns_to_match_set",
+             "kwargs": {"column_set": ["l_orderkey", "l_linenumber",
+                                       "nope"], "exact_match": True}},
+            {"expectation_type": "expect_table_columns_to_match_set",
+             "kwargs": {"column_set": ["l_orderkey", "l_quantity"],
+                        "exact_match": False}},
+            {"expectation_type": "expect_column_sum_to_be_between",
+             "kwargs": {"column": "l_quantity", "min_value": 0,
+                        "max_value": 1e12}},
+            {"expectation_type": "expect_column_stdev_to_be_between",
+             "kwargs": {"column": "l_quantity", "min_value": 10.0,
+                        "max_value": 20.0}},
+            {"expectation_type": "expect_column_median_to_be_between",
+             "kwargs": {"column": "l_quantity", "min_value": 20.0,
+                        "max_value": 30.0}},
+            {"expectation_type":
+             "expect_column_unique_value_count_to_be_between",
+             "kwargs": {"column": "l_returnflag", "min_value": 1,
+                        "max_value": 10}},
+            {"expectation_type": "expect_compound_columns_to_be_unique",
+             "kwargs": {"column_list": ["l_orderkey", "l_linenumber"]}},
+        ]
+        return run_checks(
+            _ds(sf, "lineitem", ["l_orderkey", "l_linenumber",
+                                 "l_quantity", "l_returnflag"]),
+            checks_from_expectations(suite))
+
     def checks_sodacl_thresholds_orders(sf):
         # SodaCL warn:/fail: threshold blocks + percent one-liners (the
         # production shapes of soda_pack/main.py:54-67) mapped onto the
@@ -4539,6 +4582,7 @@ checks for orders:
         "checks_when_orders": checks_when_orders,
         "checks_pair_lineitem": checks_pair_lineitem,
         "checks_ge_full_customer": checks_ge_full_customer,
+        "checks_ge_stats_lineitem": checks_ge_stats_lineitem,
         "checks_sodacl_thresholds_orders": checks_sodacl_thresholds_orders,
         "grouped_quantiles_lineitem": grouped_quantiles_lineitem,
         "grouped_stats_lineitem": grouped_stats_lineitem,
@@ -10428,6 +10472,44 @@ def oracle_sql() -> dict[str, str]:
         # checks_from_expectations end-to-end: GE regex-search/mostly/
         # length/exists/distinct-set/mean/min/max forms + a surfaced
         # skipped row for the unmapped expectation type
+        "checks_ge_stats_lineitem": """
+    WITH a AS (SELECT
+        count(*)::BIGINT AS rows_n,
+        count(l_quantity) AS n_q,
+        sum(CAST(round(l_quantity * 100, 0) AS BIGINT))::HUGEINT AS s_q,
+        sum(CAST(round(l_quantity * 100, 0) AS BIGINT)::HUGEINT
+            * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS q_q,
+        quantile_cont(l_quantity, 0.5) AS med_q,
+        count(DISTINCT l_returnflag)::BIGINT AS d_rf
+      FROM lineitem),
+    dup AS (SELECT coalesce(sum(c - 1), 0)::BIGINT AS d FROM
+            (SELECT count(*) AS c FROM lineitem
+             GROUP BY l_orderkey, l_linenumber)),
+    r AS (
+      SELECT 0::BIGINT AS check_id, 'column_count_equal' AS type,
+        '__table__' AS "column", 4.0::DOUBLE AS observed, TRUE AS passed
+      UNION ALL SELECT 1, 'columns_match_set', '__table__', 0.0, TRUE
+      UNION ALL SELECT 2, 'columns_match_set', '__table__', 3.0, FALSE
+      UNION ALL SELECT 3, 'columns_match_set', '__table__', 0.0, TRUE
+      UNION ALL SELECT 4, 'sum_between', 'l_quantity',
+        round(s_q::DOUBLE / 100.0, 6),
+        round(s_q::DOUBLE / 100.0, 6) BETWEEN 0 AND 1e12 FROM a
+      UNION ALL SELECT 5, 'stdev_between', 'l_quantity',
+        round(sqrt((q_q::DOUBLE - s_q::DOUBLE * s_q::DOUBLE / n_q)
+                   / (n_q - 1)) / 100.0, 6),
+        round(sqrt((q_q::DOUBLE - s_q::DOUBLE * s_q::DOUBLE / n_q)
+                   / (n_q - 1)) / 100.0, 6) BETWEEN 10.0 AND 20.0 FROM a
+      UNION ALL SELECT 6, 'quantile_between', 'l_quantity',
+        (CASE WHEN med_q BETWEEN 20.0 AND 30.0 THEN 0 ELSE 1 END)::DOUBLE,
+        med_q BETWEEN 20.0 AND 30.0 FROM a
+      UNION ALL SELECT 7, 'distinct_count_between', 'l_returnflag',
+        d_rf::DOUBLE, d_rf BETWEEN 1 AND 10 FROM a
+      UNION ALL SELECT 8, 'unique', 'l_orderkey,l_linenumber',
+        d::DOUBLE, d <= 0 FROM dup)
+    SELECT * FROM r
+    UNION ALL SELECT -1, '__score__', '__dataset__',
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END)::DOUBLE FROM r),
+      (SELECT sum(CASE WHEN passed THEN 1 ELSE 0 END) = 9 FROM r)""",
         "checks_ge_full_customer": """
     WITH a AS (SELECT
         count(*)::DOUBLE AS rows_n,

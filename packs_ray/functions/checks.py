@@ -26,6 +26,16 @@ Check types:
 - dtype_in_list:   {type, column, types}         (GE
   expect_column_values_to_be_in_type_list — schema-level, Arrow type
   matched case-insensitively against conventional alias sets)
+- column_count_equal / columns_match_set (schema-level table shape:
+  GE expect_table_column_count_to_equal / columns_to_match_set with
+  ``exact``; observed = mismatch count)
+- sum_between / stdev_between: {type, column, min, max} — exact
+  integer-cents sums (Σc² rides as a decimal string, the welch_ttest
+  convention, so the sample stdev stays exact at any magnitude)
+- distinct_count_between: {type, column, min, max} (GE
+  unique_value_count — NON-null distinct, one keyed-count shuffle)
+- unique with ``columns`` (compound): GE
+  expect_compound_columns_to_be_unique
 - skipped:         {type, name}                  (surfaced no-op: an
   unmapped upstream check — reported as a row with passed=False and
   excluded from the score denominator, never silently dropped)
@@ -106,7 +116,8 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     condition column are excluded."""
     NOSCAN = ("row_count_min", "row_count_between", "unique",
               "duplicate_percent_max", "column_exists", "skipped",
-              "quantile_between", "dtype_in_list")
+              "quantile_between", "dtype_in_list", "column_count_equal",
+              "columns_match_set", "distinct_count_between")
     for c in checks:
         if c.get("when") is not None and c["type"] in NOSCAN:
             raise ValueError(
@@ -182,12 +193,27 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
                     d[f"x_{i}"] = pc.min(v).as_py()
                 else:
                     d[f"x_{i}"] = pc.max(v).as_py()
-            elif t == "mean_between":
+            elif t in ("mean_between", "sum_between"):
                 v = col.drop_null()
                 cents = pc.cast(pc.round(pc.multiply(
                     pc.cast(v, pa.float64()), 100.0), 0), "int64")
                 d[f"n_{i}"] = len(v)
                 d[f"s_{i}"] = pc.sum(cents).as_py() or 0
+            elif t == "stdev_between":
+                import numpy as np
+
+                from packs_ray.functions.agg import (_exact_int_sum,
+                                                     _exact_prod_sum)
+
+                v = col.drop_null()
+                cents = pc.cast(pc.round(pc.multiply(
+                    pc.cast(v, pa.float64()), 100.0), 0), "int64") \
+                    .to_numpy(zero_copy_only=False)
+                d[f"n_{i}"] = len(cents)
+                d[f"s_{i}"] = _exact_int_sum(cents)
+                # Σc² rides as a decimal string (welch_ttest convention:
+                # the exact sum can exceed int64)
+                d[f"q_{i}"] = str(_exact_prod_sum(cents, cents))
             else:
                 raise ValueError(f"unknown check type {t!r}")
         return d
@@ -195,7 +221,12 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
     def combine(p: pd.DataFrame) -> dict:
         out = {"rows": int(p["rows"].sum())}
         for i, c in scan_checks:
-            if c["type"] in PCT or c["type"] == "mean_between":
+            if c["type"] == "stdev_between":
+                out[f"n_{i}"] = int(p[f"n_{i}"].fillna(0).sum())
+                out[f"s_{i}"] = int(p[f"s_{i}"].fillna(0).sum())
+                out[f"q_{i}"] = sum(int(x) for x in p[f"q_{i}"].dropna())
+            elif c["type"] in PCT or c["type"] in ("mean_between",
+                                                   "sum_between"):
                 out[f"n_{i}"] = int(p[f"n_{i}"].fillna(0).sum())
                 key = f"k_{i}" if c["type"] in PCT else f"s_{i}"
                 out[key] = int(p[key].fillna(0).sum())
@@ -216,8 +247,21 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
         if c["type"] in ("unique", "duplicate_percent_max"):
             from packs_ray.functions.duplicates import duplicate_metrics
 
-            m = duplicate_metrics(ds, [c["column"]])
+            # "columns" (compound uniqueness, GE
+            # expect_compound_columns_to_be_unique) or single "column"
+            m = duplicate_metrics(ds, c.get("columns", [c["column"]]))
             agg[f"viol_{i}"] = int(m["duplicate_rows"].iloc[0])
+        elif c["type"] == "distinct_count_between":
+            from packs_ray.functions.duplicates import duplicate_metrics
+
+            def _nn(batch: pa.Table, col=c["column"]) -> pa.Table:
+                return batch.filter(batch.column(col).is_valid())
+
+            # GE counts NON-NULL unique values (pandas nunique)
+            m = duplicate_metrics(
+                ds.select_columns([c["column"]]).map_batches(
+                    _nn, batch_format="pyarrow"), [c["column"]])
+            agg[f"d_{i}"] = int(m["distinct_count"].iloc[0])
         elif c["type"] == "quantile_between":
             # exact quantile_cont via the distributed rank selection
             # (≤2 scans at any row count — never a column materialize)
@@ -265,6 +309,32 @@ def run_checks(ds, checks: list[dict]) -> pd.DataFrame:
             observed = int(at is not None
                            and _dtype_matches(at, c["types"]))
             passed = bool(observed)
+        elif t == "column_count_equal":
+            observed = len(ds.schema().names)
+            passed = observed == c["value"]
+        elif t == "columns_match_set":
+            have = set(ds.schema().names)
+            want = set(c["columns"])
+            missing = want - have
+            extra = (have - want) if c.get("exact", True) else set()
+            observed = len(missing) + len(extra)
+            passed = observed == 0
+        elif t == "distinct_count_between":
+            observed = agg[f"d_{i}"]
+            passed = c.get("min", 0) <= observed <= c.get(
+                "max", float("inf"))
+        elif t == "sum_between":
+            n, s = agg[f"n_{i}"], agg[f"s_{i}"]
+            observed = round(s / 100.0, 6)
+            passed = c["min"] <= observed <= c["max"]
+        elif t == "stdev_between":
+            n, s, q = agg[f"n_{i}"], agg[f"s_{i}"], agg[f"q_{i}"]
+            if n < 2:
+                observed, passed = None, False
+            else:
+                var = (float(q) - float(s) * float(s) / n) / (n - 1)
+                observed = round((var ** 0.5) / 100.0, 6)
+                passed = c["min"] <= observed <= c["max"]
         elif t == "duplicate_percent_max":
             pct = agg[f"viol_{i}"] / agg["rows"] if agg["rows"] else 0.0
             observed = round(pct, 6)
@@ -612,6 +682,35 @@ _GE_MAP = {
     "expect_column_values_to_be_in_type_list":
         lambda kw: {"type": "dtype_in_list", "column": kw["column"],
                     "types": [str(t) for t in kw["type_list"]]},
+    "expect_table_column_count_to_equal":
+        lambda kw: {"type": "column_count_equal", "value": kw["value"]},
+    "expect_table_columns_to_match_set":
+        lambda kw: {"type": "columns_match_set",
+                    "columns": list(kw["column_set"]),
+                    "exact": bool(kw.get("exact_match", True))},
+    "expect_column_sum_to_be_between":
+        lambda kw: {"type": "sum_between", "column": kw["column"],
+                    "min": kw.get("min_value", float("-inf")),
+                    "max": kw.get("max_value", float("inf"))},
+    "expect_column_stdev_to_be_between":
+        lambda kw: {"type": "stdev_between", "column": kw["column"],
+                    "min": kw.get("min_value", float("-inf")),
+                    "max": kw.get("max_value", float("inf"))},
+    "expect_column_median_to_be_between":
+        lambda kw: {"type": "quantile_between", "column": kw["column"],
+                    "quantiles": [0.5],
+                    "ranges": [[kw.get("min_value"), kw.get("max_value")]]},
+    "expect_column_unique_value_count_to_be_between":
+        lambda kw: {"type": "distinct_count_between",
+                    "column": kw["column"],
+                    "min": kw.get("min_value", 0),
+                    "max": (kw.get("max_value")
+                            if kw.get("max_value") is not None
+                            else float("inf"))},
+    "expect_compound_columns_to_be_unique":
+        lambda kw: {"type": "unique",
+                    "columns": list(kw["column_list"]),
+                    "column": ",".join(kw["column_list"])},
 }
 
 

@@ -106,8 +106,11 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    # explicit file list: the shard dir also holds .done markers, which
+    # a directory read would try to parse as parquet
+    files = sorted(glob.glob(os.path.join(inp, "part-*.parquet")))
     t0 = time.time()
-    run_filter_pipeline(ray.data.read_parquet(inp)).write_parquet(out_dir)
+    run_filter_pipeline(files).write_parquet(out_dir)
     dt = time.time() - t0
     stop.set()
     th.join(timeout=5)

@@ -6103,3 +6103,54 @@ def test_quantile_between_empty_column(ray_session):
                            "quantiles": [0.5], "ranges": [[0, 1]]}])
     r = out[out["check_id"] == 0].iloc[0]
     assert pd.isna(r["observed"]) and not r["passed"]
+
+
+def test_ge_tier2_expectations(ray_session):
+    """column-count / column-set / sum / stdev / median / distinct /
+    compound-unique mappings (round-5 tier 2)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from packs_ray.functions.checks import (checks_from_expectations,
+                                            run_checks)
+
+    df = pd.DataFrame({"a": [1, 1, 2, 2, 3],
+                       "b": [1, 2, 1, 2, 1],
+                       "v": [10.0, 20.0, 30.0, 40.0, None]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    suite = [
+        {"expectation_type": "expect_table_column_count_to_equal",
+         "kwargs": {"value": 3}},
+        {"expectation_type": "expect_table_columns_to_match_set",
+         "kwargs": {"column_set": ["a", "b", "v"], "exact_match": True}},
+        {"expectation_type": "expect_table_columns_to_match_set",
+         "kwargs": {"column_set": ["a"], "exact_match": False}},
+        {"expectation_type": "expect_column_sum_to_be_between",
+         "kwargs": {"column": "v", "min_value": 100, "max_value": 100}},
+        {"expectation_type": "expect_column_stdev_to_be_between",
+         "kwargs": {"column": "v", "min_value": 12.9, "max_value": 12.91}},
+        {"expectation_type": "expect_column_median_to_be_between",
+         "kwargs": {"column": "v", "min_value": 25, "max_value": 25}},
+        {"expectation_type":
+         "expect_column_unique_value_count_to_be_between",
+         "kwargs": {"column": "v", "min_value": 4, "max_value": 4}},
+        {"expectation_type": "expect_compound_columns_to_be_unique",
+         "kwargs": {"column_list": ["a", "b"]}},
+        {"expectation_type": "expect_compound_columns_to_be_unique",
+         "kwargs": {"column_list": ["a"]}},        # dup a values -> fail
+    ]
+    out = run_checks(ds, checks_from_expectations(suite))
+    by = out.set_index("check_id")
+    assert bool(by.loc[0, "passed"]) and by.loc[0, "observed"] == 3
+    assert bool(by.loc[1, "passed"])
+    assert bool(by.loc[2, "passed"])               # subset, exact=False
+    assert bool(by.loc[3, "passed"])               # 10+20+30+40 = 100
+    # sample stdev of [10,20,30,40] = 12.909944
+    assert by.loc[4, "observed"] == 12.909944 and bool(by.loc[4, "passed"])
+    assert bool(by.loc[5, "passed"])               # median 25
+    assert by.loc[6, "observed"] == 4 and bool(by.loc[6, "passed"])
+    assert bool(by.loc[7, "passed"])               # (a,b) unique
+    assert by.loc[8, "observed"] == 2 and not by.loc[8, "passed"]  # sum(cnt-1)
+    sc = out[out["check_id"] == -1].iloc[0]
+    assert sc["observed"] == 8 and not sc["passed"]
