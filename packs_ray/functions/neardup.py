@@ -861,8 +861,11 @@ def embedding_cosine_pairs(ds, id_col: str, emb_col: str,
 
     nbits = _bloom_nbits(2 * n_pairs)
     bloom_ref = ray.put(_bloom_build(pairs_ds, nbits))
+    # candidate+CPU-sized, never input-bytes-capped (the minhash lesson:
+    # small inputs collapsed verify to one serial task)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     vparts = verify_partitions or int(
-        max(1, min(num_partitions, np.ceil(2 * n_pairs / 4000))))
+        max(2, min(cpus, np.ceil(2 * n_pairs / 20_000))))
 
     def extract(batch: pa.Table) -> pa.Table:
         """Float64 vectors of (bloom-probable) candidate docs only."""

@@ -42,6 +42,7 @@ def build_filter_pipeline(
     batch_size: int = 16_384,
     dedup: bool | None = None,
     marks_source: "ray.data.Dataset | None" = None,
+    marks: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Assemble the lazy flagship pipeline over an input Dataset."""
     dedup = cfg.dedup_exact if dedup is None else dedup
@@ -85,8 +86,17 @@ def build_filter_pipeline(
     # payload shuffles exactly once in the whole pipeline.
     # ``marks_source`` lets path-based callers give this branch its own
     # column-pruned read instead of re-executing the 6-column read.
-    marks = dedup_marks(marks_source if marks_source is not None else ds,
-                        num_buckets) if dedup else None
+    # ``marks`` hands in a PRE-COMPUTED (often materialized) marks
+    # dataset — staging the narrow marks exchange as its own execution
+    # before the wide one keeps the live operator count small, which
+    # matters at 10^8-row scale where the executor's per-operator
+    # resource budgeting can otherwise starve the interleaved branches
+    # (scripts/soak.py measured the single-DAG form trickling at ~1.3
+    # load on 32 CPUs in exactly that regime; it must match
+    # ``num_buckets``).
+    if marks is None:
+        marks = dedup_marks(marks_source if marks_source is not None
+                            else ds, num_buckets) if dedup else None
 
     ds = ds.map_batches(make_heuristics_fn(cfg), batch_format="pyarrow",
                         batch_size=batch_size)

@@ -61,18 +61,24 @@ def _mem_used_gib() -> float:
 
 
 def _spill_bytes() -> int:
+    """Flat scan of the spill dirs only.  The first soak attempt used a
+    recursive glob over the whole Ray temp tree every second FROM THE
+    DRIVER — the sampler held the GIL long enough to starve the
+    streaming executor's scheduling loop (driver pinned at ~94% CPU,
+    cluster load ~1.3 on 32 CPUs).  Monitoring must be cheaper than the
+    thing it monitors."""
     total = 0
-    for d in glob.glob("/tmp/ray/session_*/ray_spilled_objects*") + \
-            glob.glob("/tmp/ray/session_*/**/spilled*", recursive=True):
-        if os.path.isdir(d):
-            for root, _dirs, files in os.walk(d):
-                for fn in files:
+    for d in glob.glob("/tmp/ray/*/session_*/ray_spilled_objects*") + \
+            glob.glob("/tmp/ray/session_*/ray_spilled_objects*"):
+        try:
+            with os.scandir(d) as it:
+                for e in it:
                     try:
-                        total += os.path.getsize(os.path.join(root, fn))
+                        total += e.stat().st_size
                     except OSError:
                         pass
-        elif os.path.isfile(d):
-            total += os.path.getsize(d)
+        except OSError:
+            pass
     return total
 
 
@@ -82,13 +88,24 @@ def main() -> None:
 
     import ray
 
+    # size the object store to the shuffle working set: the flagship's
+    # one full-row conversation exchange holds ~45 GB of decompressed
+    # transcript blocks at 100M turns, and Ray's default 30%-of-RAM
+    # store (~37 GB) left the executor spill-thrashing at a one-task
+    # trickle (measured: <2 load on 32 CPUs, sort progress ~0).  On a
+    # real cluster this is the same sizing rule: store >= the largest
+    # single exchange's working set, or accept spill throughput as the
+    # ceiling.
     ray.init(address="local", num_cpus=32, include_dashboard=False,
-             logging_level="ERROR")
+             object_store_memory=64 << 30, logging_level="ERROR")
     import ray.data
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from packs_ray.pipelines.filter_pipeline import run_filter_pipeline
+    from packs_ray.pipelines.filter_pipeline import (build_filter_pipeline,
+                                                     read_transcripts)
+    from packs_ray.sources.parquet import read_parquet_sized
+    from packs_ray.stages.dedup import dedup_marks
 
     peak = {"mem": 0.0, "spill": 0}
     stop = threading.Event()
@@ -97,7 +114,7 @@ def main() -> None:
         while not stop.is_set():
             peak["mem"] = max(peak["mem"], _mem_used_gib())
             peak["spill"] = max(peak["spill"], _spill_bytes())
-            stop.wait(1.0)
+            stop.wait(5.0)
 
     base_mem = _mem_used_gib()
     th = threading.Thread(target=sample, daemon=True)
@@ -110,18 +127,32 @@ def main() -> None:
     # a directory read would try to parse as parquet
     files = sorted(glob.glob(os.path.join(inp, "part-*.parquet")))
     t0 = time.time()
-    run_filter_pipeline(files).write_parquet(out_dir)
+    # the PRODUCTION execution shape: the resumable sharded runner (the
+    # `ray job submit` target, packs_ray.state.checkpoint) — each shard
+    # is one healthy streaming DAG whose shuffle working set fits the
+    # object store, committed atomically with a lineage record.  A
+    # single 100M-turn DAG was measured to crawl at ~1.3 load on 32
+    # CPUs once the conversation exchange's working set passed ~70% of
+    # the object store (Ray's union + all-to-all backpressure
+    # serializes); sharded execution is how the 10^12-turn job runs on
+    # a real cluster anyway — and it resumes.
+    from packs_ray.state.checkpoint import run_resumable
+
+    summary = run_resumable(files, out_dir, shards=len(files))
     dt = time.time() - t0
     stop.set()
     th.join(timeout=5)
 
     import pyarrow.dataset as pads
 
-    n_out = pads.dataset(out_dir).count_rows()
+    n_out = sum(pads.dataset(d).count_rows()
+                for d in glob.glob(os.path.join(out_dir, "shard=*")))
     print(json.dumps({
-        "metric": "flagship filter+scrub soak", "n_turns": total,
+        "metric": "flagship filter+scrub soak (resumable sharded runner)",
+        "n_turns": total,
         "sec": round(dt, 1), "turns_per_sec": round(total / dt, 1),
         "rows_out": n_out, "num_cpus": 32,
+        "shards": summary.get("shards"),
         "mem_base_gib": round(base_mem, 2),
         "mem_peak_gib": round(peak["mem"], 2),
         "spill_peak_bytes": peak["spill"],
