@@ -362,9 +362,15 @@ def _bucketed_pair_verify(pairs_ds, payload_ds, payload_type, as_arr,
         import ray.data as _rd
 
         pay = payload_ds.to_pandas()
-        lookup = {int(k): as_arr(v) for k, v in zip(pay["k"], pay["v"])}
-        pr = pairs_ds.to_pandas().drop_duplicates()
-        return _rd.from_pandas(verify_fn(lookup, pr))
+        # an empty Dataset collects to a COLUMNLESS frame — normalize
+        # both sides so verify_fn sees its usual typed shape
+        lookup = ({int(k): as_arr(v) for k, v in zip(pay["k"], pay["v"])}
+                  if "k" in pay.columns else {})
+        pr = pairs_ds.to_pandas()
+        if "id_a" not in pr.columns:
+            pr = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                               "id_b": pd.Series([], dtype="int64")})
+        return _rd.from_pandas(verify_fn(lookup, pr.drop_duplicates()))
 
     def _vtable(__p, id_a, id_b, k, v, kind) -> pa.Table:
         n = len(__p)
