@@ -248,8 +248,17 @@ def conversation_stage(ds, num_buckets: int, cfg: FilterConfig = DEFAULT_CONFIG,
         ds = ds.union(marks.map_batches(align_marks(num_buckets, cfg, schema),
                                         batch_format="pyarrow"))
     salt_k = cfg.salt_segment_size
+    # emit ARROW from the group fn: the downstream arrow stages would
+    # run the identical pandas→arrow conversion per block anyway, but
+    # Ray's own conversion keeps the pandas metadata dict that makes
+    # block schemas unhashable (executor "Failed to hash the schemas"
+    # spam); table_from_pandas is that conversion minus the metadata
+    from packs_ray.stages.util import table_from_pandas
+
     return ds.groupby("bucket").map_groups(
-        lambda g: process_conv_bucket(g, salt_k), batch_format="pandas")
+        lambda g: table_from_pandas(process_conv_bucket(g, salt_k),
+                                    preserve_index=False),
+        batch_format="pandas")
 
 
 def response_latency(ds, *, conv_col: str = "conv_id",
