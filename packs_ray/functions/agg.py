@@ -117,8 +117,13 @@ def bucketed_group_reduce(parts, keys: list[str], reduce_fn, num_partitions: int
         p = (h % np.uint64(num_partitions)).view(np.int64)
         return batch.append_column("__p", pa.array(p, type=pa.int64()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return reduce_fn(g.drop(columns="__p"))
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # Arrow out of the group fn: downstream arrow stages would run
+        # the identical pandas→arrow conversion per block anyway, but
+        # Ray's own conversion keeps the pandas metadata dict that
+        # makes block schemas unhashable (executor log spam)
+        return _table_from_pandas(reduce_fn(g.drop(columns="__p")),
+                                  preserve_index=False)
 
     return (parts.map_batches(add_p, batch_format="pyarrow")
             .groupby("__p").map_groups(per_bucket, batch_format="pandas"))
